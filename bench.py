@@ -1,0 +1,100 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec, ...}, "sf": ...}.
+
+Each query is forced to full execution with a noop-style sink (count of
+a cached-free plan); nothing collects to the driver beyond the final
+aggregate. A warmup pass on sf0.001 primes the JVM so the measured
+numbers reflect plan execution, not session startup.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, _HERE)
+
+from hydraide_spark import golden  # noqa: E402
+from hydraide_spark.session import get_spark  # noqa: E402
+
+# Headline set: one per operator family; kept in sync as golden grows.
+HEADLINE = [
+    "get_point_read",
+    "get_by_keys_semijoin",
+    "get_by_index_paged",
+    "get_by_index_time_range",
+    "stream_filtered_ordered",
+    "stream_from_many",
+    "count_per_swamp",
+    "count_matching",
+    "tpch_q1_pricing_summary",
+    "join_star_revenue",
+    "semi_anti_join",
+    "topk_per_group",
+    "windowed_event_stats",
+    "grouping_rollup",
+    "filter_scalar_tree",
+    "filter_in_ops",
+    "filter_has_key",
+    "filter_slice_ops",
+    "filter_len_and_wildcard",
+    "nested_slice_quantifiers",
+]
+
+
+def run_query(fn, spark, sf_dir: str) -> float:
+    t0 = time.time()
+    df = fn(spark, sf_dir)
+    # force full execution without driver collect
+    df.write.format("noop").mode("overwrite").save()
+    return time.time() - t0
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+
+    spark = get_spark("bench")
+    qs = golden.queries()
+    names = [n for n in HEADLINE if n in qs]
+
+    # warmup: smallest sf primes codegen/JIT paths
+    warm_dir = "/root/testdata/sf0.001"
+    if os.path.isdir(warm_dir):
+        for n in names[:4]:
+            try:
+                run_query(qs[n], spark, warm_dir)
+            except Exception:
+                pass
+
+    timings: dict[str, float] = {}
+    for n in names:
+        try:
+            timings[n] = round(run_query(qs[n], spark, sf_dir), 3)
+        except Exception as e:  # a broken query must not hide the rest
+            timings[n] = -1.0
+            print(f"bench error in {n}: {e}", file=sys.stderr)
+
+    total = round(sum(v for v in timings.values() if v >= 0), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

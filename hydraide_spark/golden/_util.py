@@ -1,0 +1,50 @@
+"""Shared helpers for golden queries."""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+
+from ..sources.tables import load_table
+
+
+def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+def big(c: Column | str) -> Column:
+    """Cast to BIGINT — canonical integer width for oracle comparison."""
+    col = F.col(c) if isinstance(c, str) else c
+    return col.cast("bigint")
+
+
+def dec(c: Column | str, scale: int = 2, precision: int = 28) -> Column:
+    """Canonical decimal for exact, order-independent aggregation."""
+    col = F.col(c) if isinstance(c, str) else c
+    return col.cast(f"decimal({precision},{scale})")
+
+
+def dbl(c: Column) -> Column:
+    return c.cast("double")
+
+
+def orders_as_swamp(df: DataFrame) -> DataFrame:
+    """View the TPC-H orders table as a treasure swamp: string key +
+    value columns + nullable created_at (every 10th row unstamped, to
+    exercise the §1.4 null-timestamp-exclusion rule)."""
+    return df.select(
+        F.col("o_orderkey").cast("string").alias("key"),
+        F.col("o_totalprice").alias("totalprice"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_orderpriority").alias("priority"),
+        F.when(F.col("o_orderkey") % 10 != 0, F.col("o_orderdate")).alias("created_at"),
+    )
+
+
+ORDERS_SWAMP_SQL = """
+    SELECT CAST(o_orderkey AS VARCHAR) AS key,
+           o_totalprice AS totalprice,
+           o_orderstatus AS status,
+           o_orderpriority AS priority,
+           CASE WHEN o_orderkey % 10 <> 0 THEN o_orderdate END AS created_at
+    FROM orders
+"""

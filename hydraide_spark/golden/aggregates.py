@@ -1,0 +1,250 @@
+"""Golden queries: counts, grouped aggregation, joins, windows, top-k
+(SURVEY.md §2.3-§2.6).
+
+The reference has Count/CountMatching only; grouping is structural (one
+swamp per group). The Spark engine exposes the idiomatic generalization:
+groupBy over any namespace prefix, full joins, window functions, top-k.
+Double sums run through DECIMAL so the result is order-independent and
+bit-identical to the serial oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W, functions as F
+
+from ..operators import read as R
+from ..query import And, Cmp, Op
+from . import golden
+from ._util import big, dbl, dec, t
+
+
+@golden(
+    "count_per_swamp",
+    oracle="""
+    SELECT o_orderstatus AS swamp, CAST(COUNT(*) AS BIGINT) AS count
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def count_per_swamp(spark, sf_dir):
+    """Reference `Count` (gateway.go:1396-1480), multi-swamp batch ==
+    one grouped count (map-side partial agg, no wide shuffle)."""
+    orders = t(spark, sf_dir, "orders").withColumnRenamed("o_orderstatus", "swamp")
+    return R.count(orders)
+
+
+@golden(
+    "count_matching",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS count
+    FROM lineitem
+    WHERE l_returnflag = 'R' AND l_quantity >= 30 AND l_discount < 0.05
+    """,
+)
+def count_matching(spark, sf_dir):
+    """Reference `CountMatching` (swamp.go:2686-2694): FilterGroup count.
+    The whole predicate pushes into the parquet scan."""
+    li = t(spark, sf_dir, "lineitem")
+    filt = And(
+        [
+            Cmp("l_returnflag", Op.EQ, "R"),
+            Cmp("l_quantity", Op.GE, 30.0),
+            Cmp("l_discount", Op.LT, 0.05),
+        ]
+    )
+    return R.count_matching(li, filt)
+
+
+@golden(
+    "tpch_q1_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,2))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,2)) * (1 - CAST(l_discount AS DECIMAL(28,2)))) AS DOUBLE) AS sum_disc_price,
+           CAST(COUNT(*) AS BIGINT) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def tpch_q1_pricing_summary(spark, sf_dir):
+    """Grouped aggregation anchor (TPC-H Q1 shape): 2-col groupBy with
+    decimal-exact sums. Partial aggregation map-side, 6-value group key
+    space — the shuffle moves ~nothing regardless of input scale."""
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dbl(F.sum(dec("l_quantity"))).alias("sum_qty"),
+            dbl(F.sum(dec("l_extendedprice"))).alias("sum_base_price"),
+            dbl(F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount")))).alias(
+                "sum_disc_price"
+            ),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@golden(
+    "join_star_revenue",
+    oracle="""
+    SELECT CAST(o.o_orderkey AS BIGINT) AS o_orderkey,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(28,2)) * (1 - CAST(l.l_discount AS DECIMAL(28,2)))) AS DOUBLE) AS revenue,
+           o.o_orderdate
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+                    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+      AND l.l_shipdate  > TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY o.o_orderkey, o.o_orderdate
+    ORDER BY revenue DESC, o_orderkey
+    LIMIT 10
+    """,
+)
+def join_star_revenue(spark, sf_dir):
+    """Join anchor (TPC-H Q3 shape): the capability the reference
+    delegates to client-side reverse indexes (SURVEY.md §2.3) is a
+    first-class join here. customer is the small dimension -> broadcast;
+    orders⋈lineitem co-shuffles on the order key."""
+    c = t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < F.lit("1997-01-01"))
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > F.lit("1997-01-01"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(
+            dbl(F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount")))).alias("revenue")
+        )
+        .select(big("o_orderkey").alias("o_orderkey"), "revenue", "o_orderdate")
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+@golden(
+    "semi_anti_join",
+    oracle="""
+    SELECT CAST(c_custkey AS BIGINT) AS c_custkey, c_name
+    FROM customer
+    WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 400000)
+      AND c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'P')
+    """,
+)
+def semi_anti_join(spark, sf_dir):
+    """Reference reverse-index pattern (hydrex: resolve ids, then keyed
+    read) as left-semi + left-anti joins — the N+1 collapse of
+    SURVEY.md §2.3."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    big_orders = o.filter(F.col("o_totalprice") > 400000).select("o_custkey")
+    pending = o.filter(F.col("o_orderstatus") == "P").select("o_custkey")
+    return (
+        c.join(big_orders, c.c_custkey == big_orders.o_custkey, "left_semi")
+        .join(pending, F.col("c_custkey") == pending.o_custkey, "left_anti")
+        .select(big("c_custkey").alias("c_custkey"), "c_name")
+    )
+
+
+@golden(
+    "topk_per_group",
+    oracle="""
+    SELECT CAST(o_custkey AS BIGINT) AS o_custkey,
+           CAST(o_orderkey AS BIGINT) AS o_orderkey, o_totalprice
+    FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders
+    ) WHERE rn <= 3 AND o_custkey <= 100
+    """,
+)
+def topk_per_group(spark, sf_dir):
+    """Window anchor (SURVEY.md §2.5): the reference's priority-queue pop
+    (`ShiftMatching` top-K) generalized to top-K per group via
+    row_number — one shuffle on the partition key."""
+    o = t(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") <= 3) & (F.col("o_custkey") <= 100))
+        .select(
+            big("o_custkey").alias("o_custkey"),
+            big("o_orderkey").alias("o_orderkey"),
+            "o_totalprice",
+        )
+    )
+
+
+@golden(
+    "windowed_event_stats",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS window_start, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total_value
+    FROM events
+    WHERE ts < TIMESTAMP '2024-01-03 00:00:00'
+    GROUP BY 1, 2
+    """,
+)
+def windowed_event_stats(spark, sf_dir):
+    """Reference telemetry shape (proto:2393-2458: windowed call-rate /
+    avg-duration): tumbling 1h windows over the event stream, batch
+    form. The streaming form (streaming.info) shares this plan."""
+    ev = t(spark, sf_dir, "events").filter(F.col("ts") < F.lit("2024-01-03"))
+    return (
+        ev.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("window_start"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dbl(F.sum(dec("value", scale=6))).alias("total_value"),
+        )
+    )
+
+
+@golden(
+    "grouping_rollup",
+    oracle="""
+    SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag,
+           COALESCE(l_linestatus, 'ALL') AS l_linestatus,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def grouping_rollup(spark, sf_dir):
+    """Rollup over the namespace hierarchy — the idiomatic reading of the
+    reference's "structural grouping" (one swamp per group, SURVEY §2.4):
+    counts at every prefix level in one pass."""
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("l_returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("l_linestatus"),
+            "n",
+        )
+    )
+
+
+@golden(
+    "approx_distinct_exact_oracle",
+    oracle="""
+    SELECT CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+           CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_orders
+    FROM orders
+    """,
+)
+def approx_distinct_exact_oracle(spark, sf_dir):
+    """Distinct-count surface. Exact countDistinct here (oracle-checkable);
+    `approx_count_distinct` (HLL, no exact-dedup shuffle) is the 100 TB
+    path and is exercised in tests/bench where a hash match isn't required."""
+    o = t(spark, sf_dir, "orders")
+    return o.agg(
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.countDistinct("o_orderkey").alias("n_orders"),
+    )
