@@ -1,0 +1,312 @@
+"""Deduplication operators for training-data pipelines: exact,
+n-gram-Jaccard, MinHash+LSH, SimHash, and embedding-cosine near-dup.
+
+Design rules for 100 TB:
+- no pairwise cross joins — every near-dup path goes through a blocking
+  key (shingle inverted index, MinHash band bucket, LSH bucket,
+  embedding block) so candidate generation is an equi-join;
+- Jaccard thresholds compare integers (2*inter >= tau_num*union style),
+  never floats, so results are engine-exact;
+- MinHash uses md5 (stable across engines and runs) rather than
+  JVM-specific hashes; signatures are tiny (k strings) relative to docs.
+"""
+
+from __future__ import annotations
+
+from fractions import Fraction
+
+from pyspark.sql import Column, DataFrame, Window as W, functions as F
+
+from ..query.filters import cosine_similarity
+from .text import shingles, tokenize
+
+
+def exact_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    normalize: bool = True,
+) -> DataFrame:
+    """Exact duplicate grouping by content hash: one hash-groupBy, the
+    canonical survivor is the minimum id. Returns
+    (content_hash, n_dups, keep_id)."""
+    txt = F.col(text_col)
+    if normalize:
+        txt = F.lower(F.trim(txt))
+    return (
+        df.select(F.col(id_col), F.md5(txt).alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(
+            F.count(F.lit(1)).alias("n_dups"),
+            F.min(id_col).alias("keep_id"),
+        )
+    )
+
+
+def _pair_jaccard_candidates(
+    df: DataFrame, id_col: str, shingle_col: str
+) -> DataFrame:
+    """Candidate pairs via shingle inverted index (blocking join): only
+    pairs sharing >= 1 shingle are materialized, with their intersection
+    size — never a cross join."""
+    inv = df.select(F.col(id_col), F.explode(F.col(shingle_col)).alias("shingle"))
+    a, b = inv.alias("a"), inv.alias("b")
+    return (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    tau: float,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Near-duplicate pairs with shingle-set Jaccard >= tau.
+
+    Exact (no approximation): candidates from the inverted index, then
+    the integer test ``den * inter >= num * (|A| + |B| - inter)`` — a
+    rational comparison with no float anywhere, so Spark and any oracle
+    agree bit-for-bit. Returns (id_a, id_b, inter, union).
+    """
+    frac = Fraction(tau).limit_denominator(10**6)
+    num, den = frac.numerator, frac.denominator
+    sh = df.select(F.col(id_col), shingles(F.col(text_col), n).alias("sh"))
+    sizes = sh.select(F.col(id_col), F.col("sh"), F.size("sh").alias("n_sh"))
+    cand = _pair_jaccard_candidates(sizes, id_col, "sh")
+    sz = sizes.select(F.col(id_col), F.col("n_sh"))
+    out = (
+        cand.join(sz.withColumnRenamed(id_col, "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
+        .join(sz.withColumnRenamed(id_col, "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
+        .withColumn("union", F.col("n_a") + F.col("n_b") - F.col("inter"))
+        .filter(F.lit(den) * F.col("inter") >= F.lit(num) * F.col("union"))
+    )
+    return out.select("id_a", "id_b", "inter", "union")
+
+
+def _perm_hash(perm: int):
+    # one-parameter lambda factory (a 2nd parameter would turn this into
+    # an (element, index) lambda and feed the index in place of `perm`)
+    return lambda s: F.md5(F.concat(F.lit(f"{perm}:"), s))
+
+
+def minhash_signature(
+    shingle_col: Column, k: int = 16, prefix: str = "mh"
+) -> list[Column]:
+    """k MinHash values: min over md5(seed_i || shingle) — md5 is stable
+    across engines; min of hex strings is a total order. Each column is
+    one permutation's minimum."""
+    return [
+        F.array_min(F.transform(shingle_col, _perm_hash(i))).alias(f"{prefix}{i}")
+        for i in range(k)
+    ]
+
+
+def minhash_neardup_pairs(
+    df: DataFrame,
+    tau: float,
+    n: int = 3,
+    k: int = 16,
+    bands: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """MinHash + LSH near-dup: signature -> band buckets -> candidate
+    pairs within a bucket -> exact Jaccard verify >= tau.
+
+    The band bucket is the blocking key: pairs never materialize unless
+    they collide on a full band, so the join cost tracks true-duplicate
+    density, not corpus size squared. Verification reuses the exact
+    integer Jaccard, so the output has no false positives; recall is the
+    standard LSH S-curve in (k, bands).
+    """
+    assert k % bands == 0
+    rows_per_band = k // bands
+    frac = Fraction(tau).limit_denominator(10**6)
+    num, den = frac.numerator, frac.denominator
+
+    sh = df.select(F.col(id_col), shingles(F.col(text_col), n).alias("sh")).filter(
+        F.size("sh") > 0
+    )
+    sig = sh.select(F.col(id_col), F.col("sh"), *minhash_signature(F.col("sh"), k))
+
+    band_cols = [
+        F.concat_ws(
+            "|",
+            F.lit(str(b)),
+            *[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)],
+        ).alias(f"band{b}")
+        for b in range(bands)
+    ]
+    banded = sig.select(F.col(id_col), F.col("sh"), F.size("sh").alias("n_sh"), *band_cols)
+
+    buckets = None
+    for b in range(bands):
+        part = banded.select(F.col(id_col), F.col(f"band{b}").alias("bucket"))
+        buckets = part if buckets is None else buckets.unionByName(part)
+
+    a, b_ = buckets.alias("a"), buckets.alias("b")
+    cand = (
+        a.join(
+            b_,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+
+    sizes = banded.select(F.col(id_col), F.col("sh"), F.col("n_sh"))
+    pa = sizes.select(
+        F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"), F.col("n_sh").alias("n_a")
+    )
+    pb = sizes.select(
+        F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"), F.col("n_sh").alias("n_b")
+    )
+    verified = (
+        cand.join(pa, "id_a")
+        .join(pb, "id_b")
+        .withColumn("inter", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn("union", F.col("n_a") + F.col("n_b") - F.col("inter"))
+        .filter(F.lit(den) * F.col("inter") >= F.lit(num) * F.col("union"))
+    )
+    return verified.select("id_a", "id_b", "inter", "union")
+
+
+SIMHASH_BITS = 64
+
+
+def simhash_bits(text_col: Column) -> Column:
+    """SimHash of the token multiset as a 64-slot bit array
+    (``array<int>`` of 0/1), computed as a pure column expression —
+    per-token xxhash64 bits, per-bit +/-1 votes folded over tokens in one
+    ``aggregate``, sign threshold at the end. No UDF, no shuffle.
+
+    The bit-array representation (vs a packed int64) keeps every
+    operation — hamming distance, chunk extraction — in plain
+    higher-order functions; shift amounts in Spark must be literals, so
+    the per-bit extraction loop runs at plan-build time (64 exprs), not
+    per row."""
+    toks = tokenize(text_col)
+
+    def token_bits(w: Column) -> Column:
+        h = F.xxhash64(w)
+        return F.array(
+            *[F.shiftright(h, i).bitwiseAND(F.lit(1)).cast("int") for i in range(SIMHASH_BITS)]
+        )
+
+    zeros = F.array_repeat(F.lit(0), SIMHASH_BITS)
+    votes = F.aggregate(
+        toks,
+        zeros,
+        lambda acc, w: F.zip_with(
+            acc,
+            token_bits(w),
+            lambda a, bit: a + F.when(bit == 1, F.lit(1)).otherwise(F.lit(-1)),
+        ),
+    )
+    return F.transform(votes, lambda v: F.when(v > 0, F.lit(1)).otherwise(F.lit(0)))
+
+
+def simhash64(text_col: Column) -> Column:
+    """Packed BIGINT form of :func:`simhash_bits` (bit i = array slot i;
+    the top bit contributes the sign via xor-fold, which is fine — the
+    value is an opaque fingerprint)."""
+    bits = simhash_bits(text_col)
+    terms = [
+        F.when(F.element_at(bits, i + 1) == 1, F.lit(1 << i if i < 63 else -(1 << 63)).cast("bigint"))
+        .otherwise(F.lit(0).cast("bigint"))
+        for i in range(SIMHASH_BITS)
+    ]
+    out = terms[0]
+    for t_ in terms[1:]:
+        out = out.bitwiseXOR(t_)
+    return out
+
+
+def hamming_distance_bits(a: Column, b: Column) -> Column:
+    """Hamming distance between two bit arrays — zip_with + aggregate."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: F.when(x != y, 1).otherwise(0)),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+
+
+def simhash_neardup_pairs(
+    df: DataFrame,
+    max_hamming: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_blocks: int = 4,
+) -> DataFrame:
+    """SimHash near-dup with the standard block-rotation blocking: split
+    the 64 bits into ``n_blocks`` chunks; any pair within ``max_hamming``
+    (< n_blocks per pigeonhole when max_hamming < n_blocks; a recall
+    heuristic otherwise) must agree on >= 1 chunk, so candidates come
+    from chunk-equality equi-joins, then exact hamming verify."""
+    bits_per = SIMHASH_BITS // n_blocks
+    h = df.select(F.col(id_col), simhash_bits(F.col(text_col)).alias("simbits"))
+    chunks = None
+    for i in range(n_blocks):
+        part = h.select(
+            F.col(id_col),
+            F.col("simbits"),
+            F.lit(i).alias("chunk_no"),
+            F.concat_ws(
+                "", F.slice(F.col("simbits"), i * bits_per + 1, bits_per)
+            ).alias("chunk"),
+        )
+        chunks = part if chunks is None else chunks.unionByName(part)
+    a, b = chunks.alias("a"), chunks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.chunk_no") == F.col("b.chunk_no"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.simbits").alias("h_a"),
+            F.col("b.simbits").alias("h_b"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn("hamming", hamming_distance_bits(F.col("h_a"), F.col("h_b")))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    tau: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str | None = None,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs. With ``block_col`` the join is an
+    equi-join on the block (cluster id / LSH bucket) — the scalable form;
+    without it, a full self-join (only for small corpora / verification).
+    """
+    a = df.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"),
+        *( [F.col(block_col).alias("_blk")] if block_col else [] ),
+    )
+    b = df.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"),
+        *( [F.col(block_col).alias("_blk")] if block_col else [] ),
+    )
+    cond = F.col("id_a") < F.col("id_b")
+    joined = a.join(b, ["_blk"]).filter(cond) if block_col else a.join(b, cond)
+    return (
+        joined.withColumn("score", cosine_similarity(F.col("v_a"), F.col("v_b")))
+        .filter(F.col("score") >= tau)
+        .select("id_a", "id_b", "score")
+    )

@@ -1,0 +1,140 @@
+"""Text analysis operators for large-scale training-data pipelines:
+tokenization, word-position indexes (the phrase-search input), language
+ID, quality scoring, fingerprinting, shingling.
+
+All pure Column expressions / built-in functions — no Python UDFs — so
+they whole-stage-codegen and scale linearly with input splits. The
+reference's seed for these is its word->positions index + phrase filter
+(reference ``app/server/gateway/filter.go:562-589``) and the
+Trendizz-style word->domain reverse indexes (README "Why HydrAIDE
+exists"); the rest is the standard LLM-corpus toolkit built on the same
+primitives.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# Tiny built-in marker vocabularies for the language-ID heuristic.
+# Deliberately deterministic + SQL-replicable (the oracle re-derives the
+# same scores); swap for fastText/CLD3 in production via the same API.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "a", "value", "table"],
+    "de": ["der", "die", "das", "und", "nicht"],
+    "fr": ["le", "la", "les", "et", "une"],
+    "es": ["el", "los", "una", "por", "que"],
+    "zh": ["de5", "shi4", "le5"],  # romanized placeholders
+}
+LANG_PRIORITY = ["en", "de", "fr", "es", "zh"]
+
+STOPWORDS = ["the", "a", "and", "of", "to", "in", "is", "it"]
+
+
+def tokenize(text: Column) -> Column:
+    """Whitespace tokenization (the engine's canonical split)."""
+    return F.split(text, r"\s+")
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokenize(text))
+
+
+BPE_ISH_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """A BPE-flavored token estimate: alpha runs, digit runs, and
+    punctuation chars counted separately — the standard cheap proxy for
+    LLM token budgeting. The pattern is RE2-safe (no lookarounds) so
+    any engine computes the same count."""
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_ISH_PATTERN), F.lit(0)))
+
+
+def word_index(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Build the reference's word->sorted-positions map per document
+    (``MAP<STRING, ARRAY<INT>>``, 1-based positions).
+
+    Shape: explode -> two-level groupBy -> map_from_entries. Both
+    aggregations share the same ``id_col`` grouping key, so at scale this
+    is one shuffle on doc id (AQE coalesces the tiny word-level stage).
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.posexplode(tokenize(F.col(text_col))).alias("pos", "word"),
+    )
+    per_word = toks.groupBy(id_col, "word").agg(
+        F.sort_array(F.collect_list(F.col("pos") + 1)).alias("positions")
+    )
+    return per_word.groupBy(id_col).agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("word"), F.col("positions")))
+        ).alias("word_index")
+    )
+
+
+def lang_id(text: Column) -> Column:
+    """Marker-word language ID: score = total occurrences of each
+    language's marker tokens; argmax with fixed priority tiebreak.
+    Cheap, deterministic, one pass."""
+    toks = tokenize(text)
+
+    # NB: the lambda must take exactly one parameter — a second parameter
+    # makes PySpark treat it as an (element, index) lambda.
+    def member_of(markers):
+        return lambda w: w.isin(markers)
+
+    scores = {
+        lang: F.size(F.filter(toks, member_of(markers)))
+        for lang, markers in LANG_MARKERS.items()
+    }
+    best = scores[LANG_PRIORITY[0]]
+    for lang in LANG_PRIORITY[1:]:
+        best = F.greatest(best, scores[lang])
+    out = F.lit("unknown")
+    # reverse priority so earlier languages win ties
+    for lang in reversed(LANG_PRIORITY):
+        out = F.when((scores[lang] == best) & (best > 0), F.lit(lang)).otherwise(out)
+    return out
+
+
+def quality_score(text: Column) -> Column:
+    """Composite quality heuristic in [0,1]: favors mid-length docs,
+    low stopword saturation, high alpha ratio. All double arithmetic
+    with deterministic operand order (oracle-replicable)."""
+    toks = tokenize(text)
+    n = F.size(toks).cast("double")
+    n_stop = F.size(F.filter(toks, lambda w: w.isin(STOPWORDS))).cast("double")
+    mean_len = (F.length(text).cast("double") - (n - F.lit(1.0))) / n  # avg token len
+    stop_ratio = n_stop / n
+    len_score = F.least(n / F.lit(64.0), F.lit(1.0))
+    wordlen_score = F.when((mean_len >= 3.0) & (mean_len <= 10.0), F.lit(1.0)).otherwise(
+        F.lit(0.5)
+    )
+    return (
+        F.lit(0.4) * len_score
+        + F.lit(0.3) * (F.lit(1.0) - stop_ratio)
+        + F.lit(0.3) * wordlen_score
+    )
+
+
+def fingerprint(text: Column, k: int = 16) -> Column:
+    """Document fingerprint: md5 over the first-k-token prefix of the
+    whitespace-normalized text — the cheap "same leading content"
+    rolling-hash analogue, stable across engines."""
+    prefix = F.concat_ws(" ", F.slice(tokenize(text), 1, k))
+    return F.md5(prefix)
+
+
+def shingles(text: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles as an array<string> — the input to
+    Jaccard / MinHash dedup. Built with transform over positions; stays
+    JVM-side."""
+    toks = tokenize(text)
+    count = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0))
+    grams = F.transform(
+        F.sequence(F.lit(1), count),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+    return F.when(count > 0, F.array_distinct(grams)).otherwise(
+        F.array().cast("array<string>")
+    )

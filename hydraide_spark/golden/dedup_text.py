@@ -1,1 +1,247 @@
-"""Golden queries: dedup_text (filled in incrementally)."""
+"""Golden queries: deduplication + text analysis (the LLM-data-pipeline
+operator family; BASELINE.json north star).
+
+The driver's documents table has no duplicates, so the dedup queries
+build a deterministic augmented corpus in-query: every 10th doc gets a
+truncated near-copy (id+1000000), every 25th an exact copy
+(id+2000000). Both engines derive the same corpus, so dup groups and
+near-dup pairs are non-trivial and exactly checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..functions.dedup import (
+    exact_dedup,
+    minhash_neardup_pairs,
+    ngram_jaccard_pairs,
+    simhash_neardup_pairs,
+)
+from ..functions.text import (
+    BPE_ISH_PATTERN,
+    LANG_MARKERS,
+    STOPWORDS,
+    bpe_ish_token_count,
+    fingerprint,
+    lang_id,
+    quality_score,
+    token_count,
+)
+from . import golden
+from ._util import big, t
+
+
+def _augmented_corpus(spark, sf_dir):
+    """documents ∪ truncated near-copies (every 10th) ∪ exact copies
+    (every 25th) — deterministic, engine-independent."""
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.split(F.col("text"), " ")
+    near = (
+        docs.filter(F.col("doc_id") % 10 == 0)
+        .select(
+            (F.col("doc_id") + 1000000).alias("doc_id"),
+            F.concat_ws(" ", F.slice(toks, 1, F.greatest(F.size(toks) - 5, F.lit(1)))).alias(
+                "text"
+            ),
+        )
+    )
+    exact = docs.filter(F.col("doc_id") % 25 == 0).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"), "text"
+    )
+    return docs.unionByName(near).unionByName(exact)
+
+
+_CORPUS_SQL = """
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id,
+             array_to_string(string_split(text, ' ')[1:greatest(len(string_split(text, ' ')) - 5, 1)], ' ') AS text
+      FROM documents WHERE doc_id % 10 = 0
+      UNION ALL
+      SELECT doc_id + 2000000 AS doc_id, text FROM documents WHERE doc_id % 25 = 0
+"""
+
+
+@golden(
+    "dedup_exact",
+    oracle=f"""
+    WITH corpus AS ({_CORPUS_SQL})
+    SELECT md5(lower(trim(text))) AS content_hash,
+           CAST(COUNT(*) AS BIGINT) AS n_dups,
+           CAST(MIN(doc_id) AS BIGINT) AS keep_id
+    FROM corpus GROUP BY 1 HAVING COUNT(*) > 1
+    """,
+)
+def dedup_exact(spark, sf_dir):
+    """Exact dedup: content-hash groupBy, min-id survivor. One shuffle
+    on the hash; at 100 TB the hash is the partition key and the group
+    state is O(distinct docs)."""
+    corpus = _augmented_corpus(spark, sf_dir)
+    out = exact_dedup(corpus)
+    return out.filter(F.col("n_dups") > 1).select(
+        "content_hash", big("n_dups").alias("n_dups"), big("keep_id").alias("keep_id")
+    )
+
+
+@golden(
+    "ngram_jaccard_neardup",
+    oracle=f"""
+    WITH corpus AS ({_CORPUS_SQL}),
+    sh AS (
+      SELECT doc_id, list_distinct(list(array_to_string(w[i:i+2], ' '))) AS sh
+      FROM (
+        SELECT doc_id, w, unnest(range(1, len(w) - 1)) AS i
+        FROM (SELECT doc_id, string_split(text, ' ') AS w FROM corpus)
+        WHERE len(w) >= 3
+      )
+      GROUP BY doc_id
+    ),
+    inv AS (SELECT doc_id, unnest(sh) AS shingle FROM sh),
+    cand AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+      FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    sizes AS (SELECT doc_id, len(sh) AS n_sh FROM sh)
+    SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+           CAST(inter AS BIGINT) AS inter,
+           CAST(sa.n_sh + sb.n_sh - inter AS BIGINT) AS "union"
+    FROM cand JOIN sizes sa ON cand.id_a = sa.doc_id
+              JOIN sizes sb ON cand.id_b = sb.doc_id
+    WHERE 5 * inter >= 3 * (sa.n_sh + sb.n_sh - inter)
+    """,
+)
+def ngram_jaccard_neardup(spark, sf_dir):
+    """Exact n-gram-Jaccard near-dup (tau=0.6, 3-gram shingles):
+    candidates from a shingle inverted-index join (blocking — no cross
+    join anywhere), threshold as the integer test 5*inter >= 3*union so
+    no float ever enters the decision."""
+    corpus = _augmented_corpus(spark, sf_dir)
+    out = ngram_jaccard_pairs(corpus, tau=0.6, n=3)
+    return out.select(
+        big("id_a").alias("id_a"),
+        big("id_b").alias("id_b"),
+        big("inter").alias("inter"),
+        big("union").alias("union"),
+    )
+
+
+@golden("minhash_lsh_neardup")  # LSH recall is probabilistic -> rows-only
+def minhash_lsh_neardup(spark, sf_dir):
+    """MinHash+LSH near-dup (k=16, 4 bands, tau=0.6): band-bucket
+    blocking join -> exact Jaccard verify. No false positives by
+    construction; recall vs the exhaustive ngram_jaccard_neardup is
+    asserted >= 0.9 in tests/test_dedup.py. The band bucket is the
+    shuffle key — candidate cost tracks duplicate density, not corpus²."""
+    corpus = _augmented_corpus(spark, sf_dir)
+    out = minhash_neardup_pairs(corpus, tau=0.6, n=3, k=16, bands=4)
+    return out.select(
+        big("id_a").alias("id_a"),
+        big("id_b").alias("id_b"),
+        big("inter").alias("inter"),
+        big("union").alias("union"),
+    )
+
+
+@golden("simhash_neardup")  # bit-level hash specifics -> rows-only
+def simhash_neardup(spark, sf_dir):
+    """SimHash near-dup (64-bit, hamming <= 12, 4-block rotation
+    blocking): per-token xxhash64 bit votes folded JVM-side (no UDF),
+    chunk-equality candidate join, exact popcount verify."""
+    corpus = _augmented_corpus(spark, sf_dir)
+    out = simhash_neardup_pairs(corpus, max_hamming=12)
+    return out.select(
+        big("id_a").alias("id_a"), big("id_b").alias("id_b"), big("hamming").alias("hamming")
+    )
+
+
+_MARKER_SQL = {
+    lang: ", ".join(f"'{w}'" for w in ws) for lang, ws in LANG_MARKERS.items()
+}
+_STOP_SQL = ", ".join(f"'{w}'" for w in STOPWORDS)
+
+
+@golden(
+    "text_quality_tokens",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, text, string_split(text, ' ') AS toks,
+             CAST(len(string_split(text, ' ')) AS DOUBLE) AS n
+      FROM documents
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(n AS BIGINT) AS n_tokens,
+           CAST(len(regexp_extract_all(text, '{BPE_ISH_PATTERN}')) AS BIGINT) AS n_bpe_ish,
+           0.4 * least(n / 64.0, 1.0)
+             + 0.3 * (1.0 - CAST(len(list_filter(toks, x -> x IN ({_STOP_SQL}))) AS DOUBLE) / n)
+             + 0.3 * (CASE WHEN (CAST(length(text) AS DOUBLE) - (n - 1.0)) / n >= 3.0
+                            AND (CAST(length(text) AS DOUBLE) - (n - 1.0)) / n <= 10.0
+                           THEN 1.0 ELSE 0.5 END) AS quality
+    FROM d
+    """,
+)
+def text_quality_tokens(spark, sf_dir):
+    """Token counting (whitespace + BPE-ish regex) and composite quality
+    scoring (length / stopword-ratio / word-length heuristics) — per-row
+    arithmetic with deterministic operand order, so the doubles match the
+    oracle bit-for-bit."""
+    docs = t(spark, sf_dir, "documents")
+    return docs.select(
+        big("doc_id").alias("doc_id"),
+        token_count(F.col("text")).cast("bigint").alias("n_tokens"),
+        bpe_ish_token_count(F.col("text")).cast("bigint").alias("n_bpe_ish"),
+        quality_score(F.col("text")).alias("quality"),
+    )
+
+
+@golden(
+    "lang_id_heuristic",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ),
+    s AS (
+      SELECT doc_id,
+             len(list_filter(toks, x -> x IN ({_MARKER_SQL['en']}))) AS s_en,
+             len(list_filter(toks, x -> x IN ({_MARKER_SQL['de']}))) AS s_de,
+             len(list_filter(toks, x -> x IN ({_MARKER_SQL['fr']}))) AS s_fr,
+             len(list_filter(toks, x -> x IN ({_MARKER_SQL['es']}))) AS s_es,
+             len(list_filter(toks, x -> x IN ({_MARKER_SQL['zh']}))) AS s_zh
+      FROM d
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CASE WHEN greatest(s_en, s_de, s_fr, s_es, s_zh) = 0 THEN 'unknown'
+                WHEN s_en = greatest(s_en, s_de, s_fr, s_es, s_zh) THEN 'en'
+                WHEN s_de = greatest(s_en, s_de, s_fr, s_es, s_zh) THEN 'de'
+                WHEN s_fr = greatest(s_en, s_de, s_fr, s_es, s_zh) THEN 'fr'
+                WHEN s_es = greatest(s_en, s_de, s_fr, s_es, s_zh) THEN 'es'
+                ELSE 'zh' END AS lang_pred
+    FROM s
+    """,
+)
+def lang_id_heuristic(spark, sf_dir):
+    """Marker-token language ID: per-language occurrence scores, argmax
+    with fixed priority tiebreak (en > de > fr > es > zh), 'unknown' when
+    nothing matches. One pass, pure column expressions."""
+    docs = t(spark, sf_dir, "documents")
+    return docs.select(
+        big("doc_id").alias("doc_id"), lang_id(F.col("text")).alias("lang_pred")
+    )
+
+
+@golden(
+    "doc_fingerprint",
+    oracle="""
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           md5(array_to_string(string_split(text, ' ')[1:16], ' ')) AS fp
+    FROM documents
+    """,
+)
+def doc_fingerprint(spark, sf_dir):
+    """Document fingerprinting: md5 over the 16-token prefix — the
+    stable rolling-hash analogue used as a cheap near-front dup key."""
+    docs = t(spark, sf_dir, "documents")
+    return docs.select(
+        big("doc_id").alias("doc_id"), fingerprint(F.col("text"), 16).alias("fp")
+    )

@@ -1,1 +1,283 @@
-"""Golden queries: mutations (filled in incrementally)."""
+"""Golden queries: the mutation + claim surface (SURVEY.md §2.9-§2.10).
+
+Mutations are pure transformations (state, spec) -> (new state, per-key
+statuses); each golden query computes the result frame the reference's
+RPC would return. The DuckDB oracle derives the same statuses
+*independently* (from the update-rule arithmetic, not by mirroring the
+join), so agreement is a real semantic check.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+from pyspark.sql import functions as F
+
+from ..operators import claims as C
+from ..operators import mutate as M
+from ..query import And, Cmp, Index, IndexOrder, IndexType, Op
+from . import golden
+from ._util import ORDERS_SWAMP_SQL, big, orders_as_swamp, t
+
+
+def _customer_kv(spark, sf_dir):
+    return t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").cast("string").alias("key"),
+        F.col("c_acctbal").alias("bal"),
+        F.col("c_mktsegment").alias("seg"),
+    )
+
+
+def _updates(spark, sf_dir):
+    """Deterministic update batch: existing keys 1..500 (every 3rd gets
+    bal+100, the rest resubmit their current value — NOTHING_CHANGED),
+    plus 100 brand-new keys n1..n100 with bal 0."""
+    cust = t(spark, sf_dir, "customer")
+    existing = cust.filter(F.col("c_custkey") <= 500).select(
+        F.col("c_custkey").cast("string").alias("key"),
+        F.when(F.col("c_custkey") % 3 == 0, F.col("c_acctbal") + 100.0)
+        .otherwise(F.col("c_acctbal"))
+        .alias("bal"),
+        F.col("c_mktsegment").alias("seg"),
+    )
+    new = (
+        cust.filter(F.col("c_custkey") <= 100)
+        .select(
+            F.concat(F.lit("n"), F.col("c_custkey").cast("string")).alias("key"),
+            F.lit(0.0).alias("bal"),
+            F.lit("NONE").alias("seg"),
+        )
+    )
+    return existing.unionByName(new)
+
+
+@golden(
+    "set_upsert_status",
+    oracle="""
+    WITH base AS (
+      SELECT CAST(c_custkey AS VARCHAR) AS key, c_acctbal AS bal, c_custkey AS k
+      FROM customer
+    )
+    SELECT key,
+           CASE WHEN k <= 500 AND k % 3 = 0 THEN bal + 100.0 ELSE bal END AS bal,
+           CASE WHEN k <= 500 AND k % 3 = 0 THEN 'UPDATED'
+                ELSE 'NOTHING_CHANGED' END AS set_status
+    FROM base
+    UNION ALL
+    SELECT 'n' || CAST(c_custkey AS VARCHAR) AS key, 0.0 AS bal, 'NEW' AS set_status
+    FROM customer WHERE c_custkey <= 100
+    """,
+)
+def set_upsert_status(spark, sf_dir):
+    """Reference `Set` upsert mode (CreateIfNotExist+Overwrite): per-key
+    NEW / UPDATED / NOTHING_CHANGED statuses from a null-safe diff in
+    the merge join (proto:1031-1039; changed-field detection
+    swamp.go:2174-2176). Unchanged resubmits report NOTHING_CHANGED —
+    the reference's no-event case."""
+    base = _customer_kv(spark, sf_dir)
+    out = M.set_treasures(base, _updates(spark, sf_dir))
+    return out.select("key", "bal", "set_status")
+
+
+@golden(
+    "set_insert_only_counts",
+    oracle="""
+    SELECT 'NEW' AS set_status, CAST(COUNT(*) AS BIGINT) AS n
+    FROM customer WHERE c_custkey <= 100
+    UNION ALL
+    SELECT 'NOT_CREATED' AS set_status,
+           CAST(SUM(CASE WHEN c_custkey <= 500 THEN 1 ELSE 0 END) AS BIGINT) AS n
+    FROM customer
+    UNION ALL
+    SELECT 'NOTHING_CHANGED' AS set_status,
+           CAST(SUM(CASE WHEN c_custkey > 500 THEN 1 ELSE 0 END) AS BIGINT) AS n
+    FROM customer
+    """,
+)
+def set_insert_only_counts(spark, sf_dir):
+    """Insert-only mode (CreateIfNotExist, no Overwrite): updates to
+    existing keys are refused (NOT_CREATED), new keys insert (NEW),
+    untouched rows NOTHING_CHANGED — the 4-flag-mode matrix of
+    proto:916-931, aggregated to status counts."""
+    base = _customer_kv(spark, sf_dir)
+    out = M.set_treasures(base, _updates(spark, sf_dir), overwrite=False)
+    return out.groupBy("set_status").agg(F.count(F.lit(1)).alias("n"))
+
+
+@golden(
+    "increment_conditional",
+    oracle="""
+    SELECT CAST(c_custkey AS VARCHAR) AS key,
+           c_acctbal AS old_value,
+           CASE WHEN c_acctbal < 5000.005 THEN c_acctbal + 100.0
+                ELSE c_acctbal END AS new_value,
+           (c_acctbal < 5000.005) AS applied
+    FROM customer
+    """,
+)
+def increment_conditional(spark, sf_dir):
+    """The 10 Increment<T> RPCs as one generic conditional add
+    (proto:420-455): delta applied iff the relational condition holds on
+    the CURRENT value; returns (old, new, applied) per key."""
+    base = _customer_kv(spark, sf_dir)
+    out = M.increment(base, "bal", 100.0, condition=Cmp("bal", Op.LT, 5000.005))
+    return out.select("key", "old_value", "new_value", "applied")
+
+
+@golden(
+    "patch_struct_ops",
+    oracle="""
+    WITH e AS (
+      SELECT event_id, event_type, value, user_id % 5 AS retry FROM events
+    )
+    SELECT CAST(event_id AS BIGINT) AS event_id,
+           CASE WHEN retry < 3 THEN 'patched' ELSE event_type END AS kind_after,
+           CASE WHEN retry < 3 THEN value + 2.5 ELSE value END AS amount_after,
+           CAST(CASE WHEN retry < 3 THEN 2 ELSE 1 END AS BIGINT) AS n_tags_after,
+           CASE WHEN retry < 3 THEN 'PATCHED' ELSE 'CONDITION_NOT_MET' END AS patch_status
+    FROM e
+    """,
+)
+def patch_struct_ops(spark, sf_dir):
+    """PatchTreasures (proto:2988-3177): ordered op-list — SET a field,
+    INC a numeric field, APPEND to an array — gated by a per-row
+    PatchCondition (retry < 3); condition failures leave the body
+    byte-identical and report CONDITION_NOT_MET. Struct surgery via
+    withField keeps untouched fields untouched by construction
+    (the msgpackpatch property invariant)."""
+    ev = t(spark, sf_dir, "events").select(
+        "event_id",
+        F.struct(
+            F.col("event_type").alias("kind"),
+            F.col("value").alias("amount"),
+            F.array(F.col("event_type")).alias("tags"),
+            (F.col("user_id") % 5).alias("retry"),
+        ).alias("body"),
+    )
+    ops = [
+        M.PatchOp(M.PatchKind.SET, "kind", "patched"),
+        M.PatchOp(M.PatchKind.INC, "amount", 2.5),
+        M.PatchOp(M.PatchKind.APPEND, "tags", "x"),
+    ]
+    out = M.patch_treasures(ev, ops, condition=Cmp("body.retry", Op.LT, 3), key_col="event_id")
+    return out.select(
+        big("event_id").alias("event_id"),
+        F.col("body.kind").alias("kind_after"),
+        F.col("body.amount").alias("amount_after"),
+        F.size("body.tags").cast("bigint").alias("n_tags_after"),
+        "patch_status",
+    )
+
+
+_NOW = datetime(1996, 1, 1)
+
+
+@golden(
+    "shift_expired_claim",
+    oracle=f"""
+    WITH swamp AS ({ORDERS_SWAMP_SQL})
+    SELECT key, created_at AS expired_at FROM swamp
+    WHERE created_at IS NOT NULL AND created_at < TIMESTAMP '1996-01-01 00:00:00'
+    ORDER BY created_at ASC, key ASC
+    LIMIT 100
+    """,
+)
+def shift_expired_claim(spark, sf_dir):
+    """ShiftExpiredTreasures (proto:159-177): TTL-queue pop — oldest
+    expired first, bounded, atomically removed. NULL expired_at rows are
+    not in the expiration index (§1.4) hence never claimable. The
+    returned frame is the claim; deletion-from-state is asserted in
+    tests/test_claims.py."""
+    swamp = orders_as_swamp(t(spark, sf_dir, "orders")).withColumnRenamed(
+        "created_at", "expired_at"
+    )
+    claimed, _remaining = C.shift_expired(swamp, _NOW, how_many=100)
+    return claimed.select("key", "expired_at")
+
+
+@golden(
+    "shift_matching_cap",
+    oracle=f"""
+    WITH swamp AS ({ORDERS_SWAMP_SQL}),
+    cur AS (
+      SELECT COUNT(*) AS c FROM swamp
+      WHERE priority = '1-URGENT' AND totalprice > 300000
+    ),
+    sel AS (
+      SELECT key, totalprice,
+             ROW_NUMBER() OVER (ORDER BY totalprice DESC, key ASC) AS rn
+      FROM swamp WHERE status = 'O'
+    )
+    SELECT key, totalprice FROM sel, cur
+    WHERE rn <= 50 AND rn <= GREATEST(1250 - c, 0)
+    """,
+)
+def shift_matching_cap(spark, sf_dir):
+    """ShiftMatchingTreasures with Cap (proto:191-216, 1136-1162):
+    ordered parametric claim bounded by min(HowMany, cap budget), where
+    budget = max_matching - current matches of the cap filter. With the
+    fixed quota 1250 the three sfs exercise all regimes: non-binding
+    (sf0.001), binding (sf0.01 -> 27 rows), exhausted (sf0.1 -> 0 rows,
+    CapReached)."""
+    swamp = orders_as_swamp(t(spark, sf_dir, "orders"))
+    idx = Index(index_type=IndexType.VALUE, value_column="totalprice", order=IndexOrder.DESC)
+    cap = C.Cap(
+        filter=And(
+            [Cmp("priority", Op.EQ, "1-URGENT"), Cmp("totalprice", Op.GT, 300000.0)]
+        ),
+        max_matching=1250,
+    )
+    claimed, _remaining = C.shift_matching(
+        swamp, idx, Cmp("status", Op.EQ, "O"), how_many=50, cap=cap
+    )
+    return claimed.select("key", "totalprice")
+
+
+@golden(
+    "patch_expired_lease",
+    oracle=f"""
+    WITH swamp AS (
+      SELECT CAST(o_orderkey AS VARCHAR) AS key,
+             CASE WHEN o_orderkey % 10 <> 0 THEN o_orderdate END AS expired_at,
+             o_orderkey % 5 AS retry
+      FROM orders
+    ),
+    sel AS (
+      SELECT * FROM swamp
+      WHERE expired_at IS NOT NULL AND expired_at < TIMESTAMP '1996-01-01 00:00:00'
+      ORDER BY expired_at ASC, key ASC
+      LIMIT 80
+    )
+    SELECT key,
+           CASE WHEN retry < 3 THEN TIMESTAMP '1996-01-01 00:15:00'
+                ELSE expired_at END AS expired_at,
+           CAST(CASE WHEN retry < 3 THEN retry + 1 ELSE retry END AS BIGINT) AS retry_after,
+           CASE WHEN retry < 3 THEN 'PATCHED' ELSE 'CONDITION_NOT_MET' END AS patch_status
+    FROM sel
+    """,
+)
+def patch_expired_lease(spark, sf_dir):
+    """PatchExpiredTreasures (proto:494-522): lease claim — select
+    expired oldest-first, apply the op-set (INC retry), slide expired_at
+    to now+lease as the crash-recovery deadline; condition failures
+    (retry >= 3) re-insert unchanged with CONDITION_NOT_MET."""
+    orders = t(spark, sf_dir, "orders")
+    swamp = orders.select(
+        F.col("o_orderkey").cast("string").alias("key"),
+        F.when(F.col("o_orderkey") % 10 != 0, F.col("o_orderdate")).alias("expired_at"),
+        F.struct((F.col("o_orderkey") % 5).alias("retry")).alias("body"),
+    )
+    results, _new_state = C.patch_expired(
+        swamp,
+        _NOW,
+        how_many=80,
+        lease=timedelta(minutes=15),
+        ops=[M.PatchOp(M.PatchKind.INC, "retry", 1)],
+        condition=Cmp("body.retry", Op.LT, 3),
+    )
+    return results.select(
+        "key",
+        "expired_at",
+        F.col("body.retry").cast("bigint").alias("retry_after"),
+        "patch_status",
+    )

@@ -1,1 +1,146 @@
-"""Golden queries: vectors (filled in incrementally)."""
+"""Golden queries: vector similarity filter, exact ANN top-k, LSH ANN,
+embedding near-dup (SURVEY.md §2.2 VectorFilter + beyond-parity
+similarity search).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..functions.vector import cosine_topk, lsh_topk
+from ..functions.dedup import embedding_neardup_pairs
+from ..query import VectorSim, translate
+from ..query.filters import cosine_similarity
+from . import golden
+from ._util import big, t
+
+def _cos_sql(a: str, b: str) -> str:
+    """Cosine in DuckDB with the same operand structure as
+    query.filters.cosine_similarity: dot / (sqrt(dot(a,a)) *
+    sqrt(dot(b,b))), all sequential double folds."""
+    return (
+        f"list_dot_product({a}, {b}) / "
+        f"(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
+    )
+
+
+def _query_vec(spark, sf_dir, vec_id: int = 0) -> list[float]:
+    row = (
+        t(spark, sf_dir, "embeddings").filter(F.col("vec_id") == vec_id).select("embedding").head()
+    )
+    return [float(x) for x in row["embedding"]]
+
+
+@golden(
+    "vector_filter",
+    oracle=f"""
+    WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+    scored AS (
+      SELECT e.vec_id,
+             {_cos_sql('e.embedding::DOUBLE[]', 'q.qv')} AS score
+      FROM embeddings e, q
+    )
+    SELECT CAST(vec_id AS BIGINT) AS vec_id, round(score, 4) AS score
+    FROM scored WHERE score >= 0.25
+    """,
+)
+def vector_filter(spark, sf_dir):
+    """VectorFilter (filter.go:594-645): cosine >= MinSimilarity against
+    a query vector, score emitted. Thresholds chosen with >= 1e-4 margin
+    from every row's score (verified over all sfs), so engine float
+    noise cannot flip membership."""
+    emb = t(spark, sf_dir, "embeddings")
+    qv = _query_vec(spark, sf_dir, 0)
+    vs = VectorSim("embedding", qv, 0.25, normalize=True)
+    score = cosine_similarity(
+        F.col("embedding"), F.array(*[F.lit(x) for x in qv]).cast("array<double>")
+    )
+    return (
+        emb.filter(translate(vs, emb))
+        .select(big("vec_id").alias("vec_id"), F.round(score, 4).alias("score"))
+    )
+
+
+@golden(
+    "ann_topk_exact",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+               FROM embeddings WHERE vec_id < 5),
+    scored AS (
+      SELECT q.query_id, e.vec_id,
+             {_cos_sql('e.embedding::DOUBLE[]', 'q.qv')} AS score
+      FROM embeddings e, q
+    ),
+    ranked AS (
+      SELECT query_id, vec_id, score,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, vec_id ASC) AS rn
+      FROM scored
+    )
+    SELECT CAST(query_id AS BIGINT) AS query_id,
+           CAST(vec_id AS BIGINT) AS vec_id,
+           round(score, 4) AS score
+    FROM ranked WHERE rn <= 10
+    """,
+)
+def ann_topk_exact(spark, sf_dir):
+    """Brute-force cosine top-k (the ANN correctness baseline): 5 query
+    vectors broadcast against the corpus, window top-10 per query.
+    Rank-10/11 score gaps verified >= 2e-5 across sfs, far above
+    cross-engine float noise."""
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = cosine_topk(emb, queries, k=10)
+    return out.select(
+        big("query_id").alias("query_id"),
+        big("vec_id").alias("vec_id"),
+        F.round("score", 4).alias("score"),
+    )
+
+
+@golden("ann_topk_lsh")  # approximate: rows-only check (recall < 1 by design)
+def ann_topk_lsh(spark, sf_dir):
+    """LSH-bucketed ANN (the 100 TB path): candidates share the query's
+    random-hyperplane bucket; exact re-rank within candidates. Recall is
+    probabilistic, so no SQL oracle — the driver records rows-only; the
+    recall floor vs exact top-k is asserted in tests/test_vectors.py."""
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = lsh_topk(emb, queries, k=10, dim=64, n_bits=6)
+    return out.select(
+        big("query_id").alias("query_id"),
+        big("vec_id").alias("vec_id"),
+        F.round("score", 4).alias("score"),
+    )
+
+
+@golden(
+    "embedding_neardup",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings),
+    pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             {_cos_sql('a.emb', 'b.emb')} AS score
+      FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+    )
+    SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+           round(score, 4) AS score
+    FROM pairs WHERE score >= 0.40
+    """,
+)
+def embedding_neardup(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs, blocked on the label column
+    (cluster id): candidate generation is an equi-join on the block, not
+    a cross join — the shape that survives 100 TB. Threshold margin
+    >= 1.2e-4 verified across sfs."""
+    emb = t(spark, sf_dir, "embeddings")
+    out = embedding_neardup_pairs(emb, tau=0.40, block_col="label")
+    return out.select(
+        big("id_a").alias("id_a"),
+        big("id_b").alias("id_b"),
+        F.round("score", 4).alias("score"),
+    )

@@ -1,0 +1,253 @@
+"""The mutation surface: Set modes, Delete/Shift, conditional
+Increments, structural Patch on struct bodies, Uint32Slice set ops
+(SURVEY.md §2.10).
+
+Every operator here is a *pure transformation*: (current state,
+mutation spec) -> (new state, per-key status rows). The reference
+returns per-key statuses (NEW/UPDATED/NOTHING_CHANGED,
+proto:1031-1039; patch codes proto:3192-3249) from inside its per-key
+guard; the Spark engine computes the same statuses relationally — a
+null-safe diff join in the same batch — and the storage layer
+(sources.store) persists new state + emits change events. Concurrency
+collapses to per-partition single-writer batch semantics (SURVEY §3.2).
+
+Scale notes: the state/updates join is an equi-join on the key (hash
+shuffle both sides or broadcast for small update batches); statuses are
+a projection of that same join — no second pass over state.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from enum import Enum
+from typing import Any, Optional, Sequence
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from ..query.filters import Pred, translate
+
+STATUS_NEW = "NEW"
+STATUS_UPDATED = "UPDATED"
+STATUS_NOTHING_CHANGED = "NOTHING_CHANGED"
+STATUS_NOT_CREATED = "NOT_CREATED"  # insert-only hit existing / update-only miss
+STATUS_DELETED = "DELETED"
+STATUS_PATCHED = "PATCHED"
+STATUS_CONDITION_NOT_MET = "CONDITION_NOT_MET"
+STATUS_NOT_FOUND = "NOT_FOUND"
+
+
+def set_treasures(
+    base: DataFrame,
+    updates: DataFrame,
+    key_col: str = "key",
+    create_if_not_exist: bool = True,
+    overwrite: bool = True,
+) -> DataFrame:
+    """Reference ``Set`` (gateway.go:194-333): upsert / insert-only /
+    update-only via the CreateIfNotExist x Overwrite flags (proto:916-931),
+    with per-key status NEW / UPDATED / NOTHING_CHANGED / NOT_CREATED.
+
+    Returns one row per key in (base ∪ updates) with the post-set value
+    columns plus ``set_status``. Value columns = all shared non-key
+    columns of the two frames; unchanged detection is a null-safe
+    column-wise comparison (the reference's changed-field detection,
+    swamp.go:2174-2176).
+    """
+    value_cols = [c for c in updates.columns if c != key_col and c in base.columns]
+    b = base.select(key_col, *value_cols).alias("b")
+    u = updates.select(key_col, *value_cols).alias("u")
+    j = b.join(u, F.col(f"b.{key_col}") == F.col(f"u.{key_col}"), "full_outer")
+
+    in_base = F.col(f"b.{key_col}").isNotNull()
+    in_upd = F.col(f"u.{key_col}").isNotNull()
+    same = F.lit(True)
+    for c in value_cols:
+        same = same & F.col(f"b.{c}").eqNullSafe(F.col(f"u.{c}"))
+
+    take_update = (
+        (in_upd & ~in_base & F.lit(create_if_not_exist))
+        | (in_upd & in_base & F.lit(overwrite))
+    )
+    status = (
+        F.when(~in_upd, F.lit(STATUS_NOTHING_CHANGED))  # untouched existing row
+        .when(~in_base & F.lit(create_if_not_exist), F.lit(STATUS_NEW))
+        .when(~in_base, F.lit(STATUS_NOT_CREATED))  # update-only miss
+        .when(~F.lit(overwrite), F.lit(STATUS_NOT_CREATED))  # insert-only hit
+        .when(same, F.lit(STATUS_NOTHING_CHANGED))
+        .otherwise(F.lit(STATUS_UPDATED))
+    )
+
+    out_cols = [
+        F.coalesce(F.col(f"b.{key_col}"), F.col(f"u.{key_col}")).alias(key_col)
+    ]
+    for c in value_cols:
+        out_cols.append(
+            F.when(take_update, F.col(f"u.{c}")).otherwise(F.col(f"b.{c}")).alias(c)
+        )
+    out_cols.append(status.alias("set_status"))
+    return j.select(*out_cols)
+
+
+def delete_treasures(
+    base: DataFrame, keys: Sequence[str], key_col: str = "key"
+) -> tuple[DataFrame, DataFrame]:
+    """Reference ``Delete`` (gateway.go:1326-1395): returns
+    (remaining, deleted). Deleted rows double as the shadow-delete
+    tombstones for subscribers (swamp.go:2551-2575)."""
+    cond = F.col(key_col).isin(list(keys))
+    return base.filter(~cond), base.filter(cond)
+
+
+def shift_by_keys(
+    base: DataFrame, keys: Sequence[str], key_col: str = "key"
+) -> tuple[DataFrame, DataFrame]:
+    """Reference ``ShiftByKeys`` (proto:127-157): atomic read+delete by
+    key list (queue ack). Returns (claimed, remaining) — the claimed
+    rows are the operator's output, the remaining frame is the new
+    state."""
+    remaining, claimed = delete_treasures(base, keys, key_col)
+    return claimed, remaining
+
+
+def increment(
+    base: DataFrame,
+    value_col: str,
+    delta: float,
+    condition: Optional[Pred] = None,
+    key_col: str = "key",
+    create_if_not_exist: bool = False,
+    init: Any = None,
+) -> DataFrame:
+    """The 10 ``Increment<T>`` RPCs as ONE generic conditional add
+    (reference burns ~900 LoC on per-type copies, swamp.go:1274-2017;
+    Spark's numeric tower needs a single expression).
+
+    Returns key, old_value, new_value, applied — applied=False rows keep
+    their value (condition failed), matching the reference's
+    returns-new-value + applied flag contract (proto:420-455)."""
+    cond = translate(condition, base) if condition is not None else F.lit(True)
+    old = F.col(value_col)
+    new = F.when(cond, old + F.lit(delta)).otherwise(old)
+    return base.select(
+        F.col(key_col),
+        old.alias("old_value"),
+        new.alias("new_value"),
+        (cond & old.isNotNull()).alias("applied"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Structural patch on struct-typed body columns
+
+
+class PatchKind(Enum):
+    SET = "set"
+    DELETE = "delete"
+    INC = "inc"
+    APPEND = "append"
+    PREPEND = "prepend"
+    REMOVE_AT = "remove_at"
+    REMOVE_VAL = "remove_val"
+    MERGE = "merge"
+
+
+@dataclass(frozen=True)
+class PatchOp:
+    kind: PatchKind
+    path: str  # dotted path inside the body struct
+    value: Any = None
+
+
+def _apply_patch_op(body: Column, op: PatchOp) -> Column:
+    """One structural op on a struct column via withField/dropFields —
+    Spark's native struct surgery replaces the reference's msgpack
+    byte-level patching (msgpackpatch pkg); untouched fields are
+    untouched columns by construction."""
+    path = op.path
+    if op.kind is PatchKind.SET:
+        return body.withField(path, F.lit(op.value))
+    if op.kind is PatchKind.DELETE:
+        return body.dropFields(path)
+    if op.kind is PatchKind.INC:
+        return body.withField(path, _get_path(body, path) + F.lit(op.value))
+    if op.kind is PatchKind.APPEND:
+        arr = _get_path(body, path)
+        return body.withField(path, F.concat(arr, F.array(F.lit(op.value))))
+    if op.kind is PatchKind.PREPEND:
+        arr = _get_path(body, path)
+        return body.withField(path, F.concat(F.array(F.lit(op.value)), arr))
+    if op.kind is PatchKind.REMOVE_AT:
+        arr = _get_path(body, path)
+        idx = int(op.value)
+        return body.withField(
+            path,
+            F.filter(arr, lambda x, i: i != idx),
+        )
+    if op.kind is PatchKind.REMOVE_VAL:
+        arr = _get_path(body, path)
+        return body.withField(path, F.array_remove(arr, op.value))
+    if op.kind is PatchKind.MERGE:
+        out = body
+        for k, v in dict(op.value).items():
+            out = out.withField(f"{path}.{k}" if path else k, F.lit(v))
+        return out
+    raise ValueError(f"unknown patch kind {op.kind}")
+
+
+def _get_path(body: Column, path: str) -> Column:
+    out = body
+    for seg in path.split("."):
+        out = out[seg]
+    return out
+
+
+def patch_treasures(
+    base: DataFrame,
+    ops: Sequence[PatchOp],
+    condition: Optional[Pred] = None,
+    key_col: str = "key",
+    body_col: str = "body",
+) -> DataFrame:
+    """Reference ``PatchTreasures`` (proto:2988-3177, msgpackpatch pkg):
+    an ordered op-list applied atomically per row, gated by an optional
+    per-row PatchCondition. Untouched fields stay identical (the
+    reference's core invariant, property_test.go) — here structurally
+    guaranteed by withField.
+
+    Returns all rows with the (possibly) patched body and
+    ``patch_status`` ∈ PATCHED / CONDITION_NOT_MET."""
+    cond = translate(condition, base) if condition is not None else F.lit(True)
+    patched = F.col(body_col)
+    for op in ops:
+        patched = _apply_patch_op(patched, op)
+    new_body = F.when(cond, patched).otherwise(F.col(body_col))
+    status = F.when(cond, F.lit(STATUS_PATCHED)).otherwise(F.lit(STATUS_CONDITION_NOT_MET))
+    # one projection: both expressions must bind to the ORIGINAL body —
+    # chaining withColumn would re-resolve the condition against the
+    # already-patched body and misreport rows the patch pushed across
+    # the condition boundary
+    return base.withColumns({body_col: new_body, "patch_status": status})
+
+
+# ---------------------------------------------------------------------------
+# Uint32Slice set-valued cell ops (proto:378-418)
+
+
+def uint32slice_push(base: DataFrame, values: Sequence[int], ids_col: str = "ids") -> DataFrame:
+    """Push with auto-dedup (proto:960-964: set semantics)."""
+    lits = F.array(*[F.lit(int(v)) for v in values]).cast("array<bigint>")
+    return base.withColumn(ids_col, F.array_distinct(F.concat(F.col(ids_col), lits)))
+
+
+def uint32slice_delete(base: DataFrame, values: Sequence[int], ids_col: str = "ids") -> DataFrame:
+    """Delete; missing values ignored."""
+    lits = F.array(*[F.lit(int(v)) for v in values]).cast("array<bigint>")
+    return base.withColumn(ids_col, F.array_except(F.col(ids_col), lits))
+
+
+def uint32slice_size(base: DataFrame, ids_col: str = "ids") -> Column:
+    return F.size(F.col(ids_col))
+
+
+def uint32slice_is_value_exist(base: DataFrame, value: int, ids_col: str = "ids") -> Column:
+    return F.array_contains(F.col(ids_col), F.lit(int(value)).cast("bigint"))
