@@ -45,6 +45,27 @@ HEADLINE = [
     "filter_slice_ops",
     "filter_len_and_wildcard",
     "nested_slice_quantifiers",
+    "phrase_match",
+    "geo_inside",
+    "labeled_search_meta",
+    "vector_filter",
+    "ann_topk_exact",
+    "ann_topk_lsh",
+    "embedding_neardup",
+    "uint32slice_ops",
+    "set_upsert_status",
+    "increment_conditional",
+    "patch_struct_ops",
+    "shift_expired_claim",
+    "shift_matching_cap",
+    "patch_expired_lease",
+    "dedup_exact",
+    "ngram_jaccard_neardup",
+    "minhash_lsh_neardup",
+    "simhash_neardup",
+    "text_quality_tokens",
+    "lang_id_heuristic",
+    "multimodal_features",
 ]
 
 

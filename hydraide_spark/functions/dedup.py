@@ -75,7 +75,9 @@ def ngram_jaccard_pairs(
     frac = Fraction(tau).limit_denominator(10**6)
     num, den = frac.numerator, frac.denominator
     sh = df.select(F.col(id_col), shingles(F.col(text_col), n).alias("sh"))
-    sizes = sh.select(F.col(id_col), F.col("sh"), F.size("sh").alias("n_sh"))
+    # persist: the inverted-index self-join and the size lookups would
+    # otherwise recompute the shingle pipeline four times
+    sizes = sh.select(F.col(id_col), F.col("sh"), F.size("sh").alias("n_sh")).persist()
     cand = _pair_jaccard_candidates(sizes, id_col, "sh")
     sz = sizes.select(F.col(id_col), F.col("n_sh"))
     out = (
@@ -141,13 +143,18 @@ def minhash_neardup_pairs(
         ).alias(f"band{b}")
         for b in range(bands)
     ]
-    banded = sig.select(F.col(id_col), F.col("sh"), F.size("sh").alias("n_sh"), *band_cols)
+    # one pass: explode the band array instead of unioning `bands` frames
+    # (a union would recompute the md5 signature pipeline per band);
+    # persist the tiny (id, sh, sizes, bucket) frame so candidate-gen and
+    # verification don't recompute it either
+    banded = sig.select(
+        F.col(id_col),
+        F.col("sh"),
+        F.size("sh").alias("n_sh"),
+        F.explode(F.array(*band_cols)).alias("bucket"),
+    ).persist()
 
-    buckets = None
-    for b in range(bands):
-        part = banded.select(F.col(id_col), F.col(f"band{b}").alias("bucket"))
-        buckets = part if buckets is None else buckets.unionByName(part)
-
+    buckets = banded.select(F.col(id_col), F.col("bucket"))
     a, b_ = buckets.alias("a"), buckets.alias("b")
     cand = (
         a.join(
@@ -159,7 +166,9 @@ def minhash_neardup_pairs(
         .distinct()
     )
 
-    sizes = banded.select(F.col(id_col), F.col("sh"), F.col("n_sh"))
+    sizes = banded.select(F.col(id_col), F.col("sh"), F.col("n_sh")).dropDuplicates(
+        [id_col]
+    )
     pa = sizes.select(
         F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"), F.col("n_sh").alias("n_a")
     )
@@ -249,18 +258,27 @@ def simhash_neardup_pairs(
     heuristic otherwise) must agree on >= 1 chunk, so candidates come
     from chunk-equality equi-joins, then exact hamming verify."""
     bits_per = SIMHASH_BITS // n_blocks
-    h = df.select(F.col(id_col), simhash_bits(F.col(text_col)).alias("simbits"))
-    chunks = None
-    for i in range(n_blocks):
-        part = h.select(
-            F.col(id_col),
-            F.col("simbits"),
-            F.lit(i).alias("chunk_no"),
-            F.concat_ws(
-                "", F.slice(F.col("simbits"), i * bits_per + 1, bits_per)
-            ).alias("chunk"),
-        )
-        chunks = part if chunks is None else chunks.unionByName(part)
+    # one pass over the expensive simhash computation: explode the chunk
+    # array (a union of per-chunk frames would recompute the bit votes
+    # n_blocks times); persist the small (id, bits, chunk) frame for the
+    # two join sides
+    chunk_structs = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("chunk_no"),
+                F.concat_ws("", F.slice(F.col("simbits"), i * bits_per + 1, bits_per)).alias(
+                    "chunk"
+                ),
+            )
+            for i in range(n_blocks)
+        ]
+    )
+    chunks = (
+        df.select(F.col(id_col), simhash_bits(F.col(text_col)).alias("simbits"))
+        .select(F.col(id_col), F.col("simbits"), F.explode(chunk_structs).alias("c"))
+        .select(F.col(id_col), F.col("simbits"), F.col("c.chunk_no"), F.col("c.chunk"))
+        .persist()
+    )
     a, b = chunks.alias("a"), chunks.alias("b")
     cand = (
         a.join(

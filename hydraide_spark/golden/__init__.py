@@ -65,4 +65,5 @@ def _load_all() -> None:
     from . import mutations  # noqa: F401
     from . import dedup_text  # noqa: F401
     from . import vectors  # noqa: F401
+    from . import multimodal  # noqa: F401
     _LOADED = True

@@ -267,12 +267,20 @@ def _scalar_op(col: Column, op: Op, value: Any, dtype: Optional[T.DataType]) -> 
         return has if op is Op.SLICE_CONTAINS_SUBSTRING else col.isNotNull() & ~has
 
     if op is Op.IN:
-        return F.coalesce(col.isin(list(value)), F.lit(False))
+        # NULL input -> NULL -> no-match under a filter; raw isin stays
+        # pushable to the parquet scan (In(...) in PushedFilters)
+        return col.isin(list(value))
     if op is Op.NOT_IN:
         return col.isNotNull() & ~col.isin(list(value))
 
     v = _lit_value(value)
-    raw = {
+    # Raw SQL three-valued logic gives exactly the reference's
+    # missing-path => no-match semantics under a filter (NULL rows drop),
+    # while keeping every predicate *pushable* — wrapping in
+    # coalesce(pred, false) would block parquet predicate pushdown
+    # entirely. Projection contexts that need a real boolean use
+    # translate_bool().
+    return {
         Op.EQ: lambda: col == v,
         Op.NE: lambda: col != v,
         Op.GT: lambda: col > v,
@@ -284,7 +292,6 @@ def _scalar_op(col: Column, op: Op, value: Any, dtype: Optional[T.DataType]) -> 
         Op.STARTS_WITH: lambda: col.startswith(v),
         Op.ENDS_WITH: lambda: col.endswith(v),
     }[op]()
-    return F.coalesce(raw, F.lit(False))
 
 
 # ---------------------------------------------------------------------------
@@ -444,9 +451,11 @@ def _translate(pred: Pred, df: Optional[DataFrame], base: Optional[Column]) -> C
             return arr.isNotNull() & F.forall(arr, elem_pred)
         if pred.quant is Quant.NONE:
             return arr.isNotNull() & ~F.coalesce(F.exists(arr, elem_pred), F.lit(False))
-        # COUNT: number of matching elements <count_op> count_value
+        # COUNT: number of matching elements <count_op> count_value;
+        # the isNotNull guard matters because size(NULL) is -1 in
+        # non-ANSI Spark and would otherwise satisfy LT/LE comparisons
         n = F.size(F.filter(arr, elem_pred))
-        return _scalar_op(n, pred.count_op, pred.count_value, T.IntegerType())
+        return arr.isNotNull() & _scalar_op(n, pred.count_op, pred.count_value, T.IntegerType())
 
     if isinstance(pred, Phrase):
         col, wc = resolve(pred.field)
@@ -466,13 +475,25 @@ def _translate(pred: Pred, df: Optional[DataFrame], base: Optional[Column]) -> C
 
 
 def translate(pred: Pred, df: Optional[DataFrame] = None) -> Column:
-    """Fold a predicate tree into one boolean Column.
+    """Fold a predicate tree into one boolean Column for FILTERING.
 
     ``df`` is optional and only consulted for dynamic-type decisions
     (IS_EMPTY on arrays/maps vs strings); the returned Column is valid
     against any DataFrame with the referenced fields.
+
+    The result uses SQL three-valued logic: rows where a referenced
+    field is NULL evaluate to NULL, which a filter drops — exactly the
+    reference's missing-path => no-match rule — while every conjunct
+    stays pushable into the scan. To *project* the predicate as a
+    boolean column (labels, status fields), use :func:`translate_bool`.
     """
     return _translate(pred, df, None)
+
+
+def translate_bool(pred: Pred, df: Optional[DataFrame] = None) -> Column:
+    """Predicate as a real three-state-free boolean (NULL -> false) for
+    projection contexts."""
+    return F.coalesce(_translate(pred, df, None), F.lit(False))
 
 
 def with_search_meta(

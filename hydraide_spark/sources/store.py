@@ -1,0 +1,240 @@
+"""TreasureStore: a parquet-backed mutable table with a change-event
+log — the storage/transaction layer under the mutation and claim
+operators.
+
+Maps the reference's per-swamp storage + reactivity model (SURVEY.md
+§2.1, §2.9) onto immutable snapshots:
+
+- **state** lives in versioned parquet snapshots ``root/v=N/``; a write
+  produces v=N+1 (the Spark reading of the reference's append-only
+  chronicle + compaction: every snapshot is already compact).
+- **changes** append to ``root/changes/`` as parquet batches with the
+  reference's event shape (proto:755-784): op NEW/UPDATED/DELETED, key,
+  old/new row payloads (JSON-encoded, schema-agnostic), event_time, and
+  a monotonically increasing batch id. Unchanged writes emit NO event
+  (reference StatusSame, swamp.go:2233-2234). Structured Streaming
+  tails this directory (streaming.subscribe).
+- **serialization**: all mutations for a store go through this single
+  applier object — the engine's analogue of the reference's per-swamp
+  guard ("two concurrent callers never observe overlapping sets",
+  proto:194-196). On a cluster the same role is played by Delta's
+  optimistic concurrency or a single foreachBatch owner per table; the
+  applier keeps that contract explicit and testable locally.
+
+Scale note: snapshots are partitioned parquet — at 100 TB a version
+bump rewrites only the partitions a batch touches (partitionBy on the
+namespace columns); the change log is append-only and time-partitioned.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+from datetime import datetime, timezone
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import types as T
+
+from ..operators import claims as claims_ops
+from ..operators import mutate as mutate_ops
+from ..query.filters import Pred
+
+CHANGE_SCHEMA = T.StructType(
+    [
+        T.StructField("batch_id", T.LongType(), False),
+        T.StructField("op", T.StringType(), False),  # NEW | UPDATED | DELETED
+        T.StructField("key", T.StringType(), False),
+        T.StructField("new", T.StringType(), True),  # JSON row payload
+        T.StructField("old", T.StringType(), True),
+        T.StructField("event_time", T.TimestampType(), False),
+    ]
+)
+
+
+class TreasureStore:
+    def __init__(self, spark: SparkSession, root: str, key_col: str = "key"):
+        self.spark = spark
+        self.root = root
+        self.key_col = key_col
+        os.makedirs(self.changes_dir, exist_ok=True)
+
+    # -- layout ------------------------------------------------------------
+
+    @property
+    def changes_dir(self) -> str:
+        return os.path.join(self.root, "changes")
+
+    def _versions(self) -> list[int]:
+        if not os.path.isdir(self.root):
+            return []
+        out = []
+        for name in os.listdir(self.root):
+            m = re.fullmatch(r"v=(\d+)", name)
+            if m:
+                out.append(int(m.group(1)))
+        return sorted(out)
+
+    @property
+    def version(self) -> int:
+        vs = self._versions()
+        return vs[-1] if vs else -1
+
+    def _snapshot_path(self, v: int) -> str:
+        return os.path.join(self.root, f"v={v}")
+
+    # -- state -------------------------------------------------------------
+
+    def exists(self) -> bool:
+        return self.version >= 0
+
+    def current(self) -> DataFrame:
+        v = self.version
+        if v < 0:
+            raise FileNotFoundError(f"store {self.root} has no snapshot")
+        return self.spark.read.parquet(self._snapshot_path(v))
+
+    def init(self, df: DataFrame) -> None:
+        """Create v=0 without emitting events (bulk load / migration)."""
+        df.write.mode("overwrite").parquet(self._snapshot_path(self.version + 1))
+
+    def changes(self) -> DataFrame:
+        return self.spark.read.schema(CHANGE_SCHEMA).parquet(self.changes_dir)
+
+    # -- internals ---------------------------------------------------------
+
+    def _write_version(self, df: DataFrame) -> int:
+        v = self.version + 1
+        df.write.mode("overwrite").parquet(self._snapshot_path(v))
+        return v
+
+    def _emit(self, events: DataFrame, batch_id: int) -> None:
+        now = datetime.now(timezone.utc)
+        out = events.select(
+            F.lit(batch_id).cast("long").alias("batch_id"),
+            F.col("op"),
+            F.col(self.key_col).cast("string").alias("key"),
+            F.col("new"),
+            F.col("old"),
+            F.lit(now).alias("event_time"),
+        )
+        # one file per batch keeps per-swamp FIFO: the stream source
+        # processes files in order, so subscribers see batches in commit
+        # order (the per-partition ordering contract of SURVEY §7)
+        out.coalesce(1).write.mode("append").parquet(self.changes_dir)
+
+    @staticmethod
+    def _payload(df: DataFrame, cols: Sequence[str]) -> F.Column:
+        return F.to_json(F.struct(*[F.col(c) for c in cols]))
+
+    # -- mutations (each is one serialized transaction) ---------------------
+
+    def set(
+        self,
+        updates: DataFrame,
+        create_if_not_exist: bool = True,
+        overwrite: bool = True,
+    ) -> DataFrame:
+        """Reference ``Set``: merge + per-key statuses + change events
+        (NEW/UPDATED; NOTHING_CHANGED emits nothing)."""
+        base = self.current()
+        value_cols = [c for c in updates.columns if c != self.key_col]
+        merged = mutate_ops.set_treasures(
+            base, updates, self.key_col, create_if_not_exist, overwrite
+        ).cache()
+        new_state = merged.filter(
+            F.col("set_status") != mutate_ops.STATUS_NOT_CREATED
+        ).drop("set_status")
+        batch = self._write_version(new_state)
+
+        old = base.select(
+            F.col(self.key_col), self._payload(base, value_cols).alias("old")
+        )
+        events = (
+            merged.filter(
+                F.col("set_status").isin(
+                    mutate_ops.STATUS_NEW, mutate_ops.STATUS_UPDATED
+                )
+            )
+            .withColumn("op", F.col("set_status"))
+            .withColumn("new", self._payload(merged, value_cols))
+            .join(old, self.key_col, "left")
+            .withColumn(
+                "old",
+                F.when(F.col("op") == mutate_ops.STATUS_UPDATED, F.col("old")),
+            )
+            .withColumn("op", F.when(F.col("op") == "UPDATED", "UPDATED").otherwise("NEW"))
+        )
+        self._emit(events, batch)
+        statuses = merged.select(self.key_col, "set_status")
+        merged.unpersist()
+        return statuses
+
+    def delete(self, keys: Sequence[str]) -> DataFrame:
+        base = self.current()
+        value_cols = [c for c in base.columns if c != self.key_col]
+        remaining, deleted = mutate_ops.delete_treasures(base, keys, self.key_col)
+        deleted = deleted.cache()
+        batch = self._write_version(remaining)
+        events = deleted.select(
+            F.col(self.key_col),
+            F.lit("DELETED").alias("op"),
+            F.lit(None).cast("string").alias("new"),
+            self._payload(deleted, value_cols).alias("old"),
+        )
+        self._emit(events, batch)
+        out = deleted.select(self.key_col).withColumn("deleted", F.lit(True))
+        deleted.unpersist()
+        return out
+
+    def shift_expired(self, now: datetime, how_many: int) -> DataFrame:
+        """TTL-queue pop as one serialized transaction: claim, persist
+        state without claimed rows, emit DELETED events, return claimed."""
+        base = self.current()
+        value_cols = [c for c in base.columns if c != self.key_col]
+        claimed, remaining = claims_ops.shift_expired(
+            base, now, how_many, key_col=self.key_col
+        )
+        claimed = claimed.cache()
+        claimed.count()  # pin the claim set before the snapshot swaps
+        batch = self._write_version(remaining)
+        self._emit(
+            claimed.select(
+                F.col(self.key_col),
+                F.lit("DELETED").alias("op"),
+                F.lit(None).cast("string").alias("new"),
+                self._payload(claimed, value_cols).alias("old"),
+            ),
+            batch,
+        )
+        return claimed
+
+    def patch_expired(
+        self,
+        now: datetime,
+        how_many: int,
+        lease,
+        ops: Sequence[mutate_ops.PatchOp] = (),
+        condition: Optional[Pred] = None,
+        cap: Optional[claims_ops.Cap] = None,
+    ) -> DataFrame:
+        base = self.current()
+        value_cols = [c for c in base.columns if c != self.key_col]
+        results, new_state = claims_ops.patch_expired(
+            base, now, how_many, lease, ops, condition, cap, key_col=self.key_col
+        )
+        results = results.cache()
+        results.count()
+        batch = self._write_version(new_state)
+        patched = results.filter(F.col("patch_status") == mutate_ops.STATUS_PATCHED)
+        self._emit(
+            patched.select(
+                F.col(self.key_col),
+                F.lit("UPDATED").alias("op"),
+                self._payload(patched, value_cols).alias("new"),
+                F.lit(None).cast("string").alias("old"),
+            ),
+            batch,
+        )
+        return results

@@ -1,0 +1,13 @@
+from .subscribe import (
+    subscribe,
+    subscribe_snapshot_then_live,
+    subscribe_to_info,
+    run_ttl_claim_loop,
+)
+
+__all__ = [
+    "subscribe",
+    "subscribe_snapshot_then_live",
+    "subscribe_to_info",
+    "run_ttl_claim_loop",
+]

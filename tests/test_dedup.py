@@ -1,0 +1,113 @@
+"""Dedup-family semantics: exact dedup collapse, Jaccard pair
+correctness on a known corpus, MinHash-LSH recall vs the exhaustive
+baseline, SimHash self-consistency, LSH-ANN recall vs exact top-k.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from hydraide_spark.functions.dedup import (
+    exact_dedup,
+    minhash_neardup_pairs,
+    ngram_jaccard_pairs,
+    simhash_neardup_pairs,
+)
+from hydraide_spark.functions.vector import cosine_topk, lsh_topk
+from hydraide_spark.golden.dedup_text import _augmented_corpus
+from hydraide_spark.sources.tables import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    return _augmented_corpus(spark, SF).cache()
+
+
+def test_exact_dedup_collapses_known_copies(spark, corpus):
+    groups = exact_dedup(corpus).filter(F.col("n_dups") > 1).collect()
+    # every 25th doc got an exact copy; survivor is the original (min id)
+    n_copied = corpus.filter(
+        (F.col("doc_id") < 1000000) & (F.col("doc_id") % 25 == 0)
+    ).count()
+    assert len(groups) == n_copied
+    assert all(g["keep_id"] < 1000000 for g in groups)
+    assert all(g["n_dups"] == 2 for g in groups)
+
+
+def test_jaccard_pairs_find_truncated_copies(spark, corpus):
+    pairs = ngram_jaccard_pairs(corpus, tau=0.6, n=3).collect()
+    got = {(p["id_a"], p["id_b"]) for p in pairs}
+    # every truncated near-copy pairs with its original
+    originals = [
+        r["doc_id"]
+        for r in corpus.filter(
+            (F.col("doc_id") < 1000000) & (F.col("doc_id") % 10 == 0)
+        ).collect()
+    ]
+    long_enough = set(
+        r["doc_id"]
+        for r in corpus.filter(F.size(F.split("text", " ")) >= 20).collect()
+    )
+    expected = {
+        (d, d + 1000000) for d in originals if d in long_enough
+    }
+    missing = expected - got
+    assert not missing, f"missing true near-dup pairs: {sorted(missing)[:5]}"
+    # jaccard math: inter <= union, threshold respected (5*inter >= 3*union)
+    for p in pairs:
+        assert p["inter"] <= p["union"]
+        assert 5 * p["inter"] >= 3 * p["union"]
+
+
+def test_minhash_lsh_recall(spark, corpus):
+    exact = {
+        (p["id_a"], p["id_b"])
+        for p in ngram_jaccard_pairs(corpus, tau=0.6, n=3).collect()
+    }
+    approx = {
+        (p["id_a"], p["id_b"])
+        for p in minhash_neardup_pairs(corpus, tau=0.6, n=3, k=16, bands=4).collect()
+    }
+    # verification step guarantees zero false positives
+    assert approx <= exact
+    # LSH S-curve at j>=0.6 with 4 bands x 4 rows: recall should be high
+    assert len(exact) > 0
+    recall = len(approx & exact) / len(exact)
+    assert recall >= 0.9, f"LSH recall {recall:.2f} below floor"
+
+
+def test_simhash_truncated_copies_close(spark, corpus):
+    pairs = simhash_neardup_pairs(corpus, max_hamming=12).collect()
+    got = {(p["id_a"], p["id_b"]) for p in pairs}
+    # exact copies have hamming 0 -> always found
+    exact_copy_pairs = {
+        (r["doc_id"], r["doc_id"] + 2000000)
+        for r in corpus.filter(
+            (F.col("doc_id") < 1000000) & (F.col("doc_id") % 25 == 0)
+        ).collect()
+    }
+    assert exact_copy_pairs <= got
+    zero = [p for p in pairs if (p["id_a"], p["id_b"]) in exact_copy_pairs]
+    assert all(p["hamming"] == 0 for p in zero)
+
+
+def test_lsh_ann_recall_vs_exact(spark):
+    emb = load_table(spark, SF, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact = cosine_topk(emb, queries, k=5)
+    approx = lsh_topk(emb, queries, k=5, dim=64, n_bits=4)
+    e = {(r["query_id"], r["vec_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["vec_id"]) for r in approx.collect()}
+    # the query vector itself always collides with its own bucket
+    self_hits = {(q, q) for q, _ in e if (q, q) in e}
+    assert self_hits <= a
+    # approximate results are a subset of the corpus scored exactly:
+    # every returned pair must also appear in exact top-5 OR be a true
+    # bucket neighbor; assert sane overlap instead of exact equality
+    recall = len(a & e) / len(e)
+    assert recall >= 0.3, f"LSH-ANN recall {recall:.2f} suspiciously low"

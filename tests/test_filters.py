@@ -297,4 +297,6 @@ def test_labeled_filters_no_short_circuit(fixture_df):
 
 
 def test_not_wrapper(fixture_df):
-    assert keys(fixture_df, Not(Cmp("price", Op.GT, 1000))) == ["k2", "k4"]
+    # NOT follows the reference's negative-op convention: a missing
+    # field never matches, in either polarity (k2's NULL price drops)
+    assert keys(fixture_df, Not(Cmp("price", Op.GT, 1000))) == ["k4"]

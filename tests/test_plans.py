@@ -1,0 +1,103 @@
+"""Plan-shape assertions: the optimizations the engine relies on at
+scale must be visible in the physical plan (SURVEY.md §4) — pushdown,
+pruning, broadcast joins, bounded shuffle counts.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from hydraide_spark.golden import queries
+from hydraide_spark.plans import (
+    count_exchanges,
+    has_pushed_filters,
+    physical_plan,
+    scan_read_schema,
+    uses_broadcast_join,
+)
+from hydraide_spark.query import And, Cmp, GeoDistance, Op, translate
+from hydraide_spark.sources.tables import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def Q():
+    return queries()
+
+
+def test_scalar_filter_pushes_down(spark):
+    part = load_table(spark, SF, "part")
+    filt = And([Cmp("p_size", Op.GE, 10), Cmp("p_brand", Op.EQ, "Brand#1")])
+    df = part.filter(translate(filt, part)).select("p_partkey")
+    assert has_pushed_filters(df, "GreaterThanOrEqual(p_size,10)", "EqualTo(p_brand,Brand#1)")
+
+
+def test_column_pruning_reaches_scan(spark):
+    li = load_table(spark, SF, "lineitem")
+    df = li.filter(F.col("l_quantity") > 10).select("l_orderkey")
+    schemas = scan_read_schema(df)
+    # 2-column projection: scan must not read all 11 lineitem columns
+    assert schemas and all("l_extendedprice" not in s for s in schemas)
+    assert all("l_orderkey" in s for s in schemas)
+
+
+def test_point_read_pushes_in_filter(spark):
+    """Keyed reads on a physical key column push the IN-list into the
+    scan. (The golden get_point_read casts the key to string in its
+    swamp adapter, which keeps the filter post-scan — the store layout
+    keeps keys physical precisely for this reason.)"""
+    from hydraide_spark.operators import read as R
+
+    part = load_table(spark, SF, "part")
+    df = R.get(part, [1, 2, 3], key_column="p_partkey")
+    assert has_pushed_filters(df, "In(p_partkey")
+
+
+def test_geo_bbox_prefilter_pushes_down(spark):
+    """The generated bounding box must reach the scan as plain range
+    predicates — the trig itself can't push down, the box can
+    (reference filter.go:34-56 analogue)."""
+    docs = load_table(spark, SF, "documents").select(
+        "doc_id",
+        (47.0 + (F.col("doc_id") % 100) * 0.01).alias("lat"),
+        (18.5 + (F.col("doc_id") % 120) * 0.01).alias("lng"),
+    )
+    # geo over physical columns pushes the bbox to the scan; over the
+    # derived columns above it still constrains the filter node — assert
+    # the bbox comparisons exist in the plan
+    g = GeoDistance("lat", "lng", 47.4979, 19.0402, 30.0, inside=True)
+    plan = physical_plan(docs.filter(translate(g, docs)))
+    assert "47.2" in plan and "47.7" in plan  # lat bounds ±~0.27°
+
+
+def test_star_join_broadcasts_dimension(spark, Q):
+    df = Q["join_star_revenue"](spark, SF)
+    assert uses_broadcast_join(df)
+
+
+def test_semi_join_path_for_large_key_batch(spark, Q):
+    df = Q["get_by_keys_semijoin"](spark, SF)
+    plan = physical_plan(df)
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+
+
+def test_groupby_count_shuffles_once(spark, Q):
+    df = Q["count_per_swamp"](spark, SF)
+    # partial agg map-side + one exchange on the group key
+    assert count_exchanges(df) == 1
+    plan = physical_plan(df)
+    assert "partial_count" in plan  # map-side combine present
+
+
+def test_topk_is_take_ordered_not_global_sort(spark, Q):
+    df = Q["get_by_index_paged"](spark, SF)
+    plan = physical_plan(df)
+    assert "TakeOrderedAndProject" in plan  # distributed top-k, no full sort
+
+
+def test_claim_selection_is_top_k(spark, Q):
+    df = Q["shift_expired_claim"](spark, SF)
+    plan = physical_plan(df)
+    assert "TakeOrderedAndProject" in plan

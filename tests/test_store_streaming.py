@@ -1,0 +1,176 @@
+"""Store + reactivity tests: snapshot versioning, per-key statuses,
+change-event emission (no event for unchanged writes), subscribe
+snapshot-then-live via a memory-sink streaming query, SubscribeToInfo
+counts, and the TTL claim transaction's disjointness.
+"""
+
+from __future__ import annotations
+
+import json
+from datetime import datetime, timedelta
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from hydraide_spark.operators.mutate import PatchKind, PatchOp
+from hydraide_spark.query import Cmp, Op
+from hydraide_spark.sources.store import TreasureStore
+from hydraide_spark.streaming import subscribe, subscribe_to_info
+
+
+def make_store(spark, tmp_path, rows):
+    store = TreasureStore(spark, str(tmp_path / "store"))
+    store.init(spark.createDataFrame(rows, "key string, val long, expired_at timestamp"))
+    return store
+
+
+BASE = [
+    Row(key="a", val=1, expired_at=datetime(2020, 1, 1)),
+    Row(key="b", val=2, expired_at=datetime(2020, 1, 2)),
+    Row(key="c", val=3, expired_at=None),  # §1.4: never claimable
+]
+
+
+def test_set_statuses_and_events(spark, tmp_path):
+    store = make_store(spark, tmp_path, BASE)
+    updates = spark.createDataFrame(
+        [
+            ("a", 10, datetime(2020, 1, 1)),  # changed
+            ("b", 2, datetime(2020, 1, 2)),  # unchanged
+            ("d", 4, None),  # new
+        ],
+        "key string, val long, expired_at timestamp",
+    )
+    statuses = {r["key"]: r["set_status"] for r in store.set(updates).collect()}
+    assert statuses == {
+        "a": "UPDATED",
+        "b": "NOTHING_CHANGED",
+        "c": "NOTHING_CHANGED",
+        "d": "NEW",
+    }
+    state = {r["key"]: r["val"] for r in store.current().collect()}
+    assert state == {"a": 10, "b": 2, "c": 3, "d": 4}
+
+    # change log: exactly one event for a (UPDATED w/ old) and d (NEW),
+    # none for the unchanged b/c (reference StatusSame => no event)
+    ev = {r["key"]: r for r in store.changes().collect()}
+    assert set(ev) == {"a", "d"}
+    assert ev["a"]["op"] == "UPDATED"
+    assert json.loads(ev["a"]["old"])["val"] == 1
+    assert json.loads(ev["a"]["new"])["val"] == 10
+    assert ev["d"]["op"] == "NEW" and ev["d"]["old"] is None
+
+
+def test_insert_only_and_update_only(spark, tmp_path):
+    store = make_store(spark, tmp_path, BASE)
+    schema = "key string, val long, expired_at timestamp"
+    updates = spark.createDataFrame(
+        [("a", 99, None), ("x", 7, None)], schema
+    )
+    st = {r["key"]: r["set_status"] for r in store.set(updates, overwrite=False).collect()}
+    assert st["a"] == "NOT_CREATED" and st["x"] == "NEW"
+    # update-only: new keys refused
+    st2 = {
+        r["key"]: r["set_status"]
+        for r in store.set(
+            spark.createDataFrame([("y", 1, None)], schema),
+            create_if_not_exist=False,
+        ).collect()
+    }
+    assert st2["y"] == "NOT_CREATED"
+    assert "y" not in {r["key"] for r in store.current().collect()}
+
+
+def test_delete_emits_tombstones(spark, tmp_path):
+    store = make_store(spark, tmp_path, BASE)
+    store.delete(["a", "nope"])
+    assert {r["key"] for r in store.current().collect()} == {"b", "c"}
+    ev = [r for r in store.changes().collect() if r["op"] == "DELETED"]
+    assert len(ev) == 1 and ev[0]["key"] == "a"
+    assert json.loads(ev[0]["old"])["val"] == 1  # shadow-delete payload
+
+
+def test_shift_expired_transaction(spark, tmp_path):
+    store = make_store(spark, tmp_path, BASE)
+    claimed = store.shift_expired(datetime(2021, 1, 1), how_many=1)
+    keys = [r["key"] for r in claimed.collect()]
+    assert keys == ["a"]  # oldest expired first; c (NULL) never claimable
+    assert {r["key"] for r in store.current().collect()} == {"b", "c"}
+    # second claim gets the NEXT row — disjoint sets
+    claimed2 = store.shift_expired(datetime(2021, 1, 1), how_many=5)
+    assert [r["key"] for r in claimed2.collect()] == ["b"]
+    assert {r["key"] for r in store.current().collect()} == {"c"}
+
+
+def test_patch_expired_lease_and_condition(spark, tmp_path):
+    store = TreasureStore(spark, str(tmp_path / "store"))
+    store.init(
+        spark.createDataFrame(
+            [
+                Row(key="a", body=Row(retry=1), expired_at=datetime(2020, 1, 1)),
+                Row(key="b", body=Row(retry=9), expired_at=datetime(2020, 1, 2)),
+                Row(key="c", body=Row(retry=0), expired_at=datetime(2030, 1, 1)),
+            ]
+        )
+    )
+    now = datetime(2021, 1, 1)
+    res = store.patch_expired(
+        now,
+        how_many=10,
+        lease=timedelta(minutes=15),
+        ops=[PatchOp(PatchKind.INC, "retry", 1)],
+        condition=Cmp("body.retry", Op.LT, 3),
+    )
+    rows = {r["key"]: r for r in res.collect()}
+    assert rows["a"]["patch_status"] == "PATCHED"
+    assert rows["b"]["patch_status"] == "CONDITION_NOT_MET"
+    state = {r["key"]: r for r in store.current().collect()}
+    assert state["a"]["body"]["retry"] == 2
+    assert state["a"]["expired_at"] == datetime(2021, 1, 1, 0, 15)  # slid to now+lease
+    assert state["b"]["body"]["retry"] == 9  # untouched
+    assert state["b"]["expired_at"] == datetime(2020, 1, 2)
+    assert state["c"]["expired_at"] == datetime(2030, 1, 1)  # not yet expired
+
+
+def test_subscribe_snapshot_then_live(spark, tmp_path):
+    store = make_store(spark, tmp_path, BASE)
+    store.set(spark.createDataFrame([("e", 5, None)], "key string, val long, expired_at timestamp"))
+    store.delete(["a"])
+
+    q = (
+        subscribe(spark, store)
+        .writeStream.format("memory")
+        .queryName("events_out")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        ev = spark.sql(
+            "SELECT batch_id, op, key FROM events_out ORDER BY batch_id"
+        ).collect()
+    finally:
+        q.stop()
+    # commit order preserved: NEW e (batch 1) before DELETED a (batch 2)
+    assert [(r["op"], r["key"]) for r in ev] == [("NEW", "e"), ("DELETED", "a")]
+
+
+def test_subscribe_to_info_live_count(spark, tmp_path):
+    store = make_store(spark, tmp_path, BASE)
+    # subscribe FIRST (snapshot: 3 rows at v0), then mutate
+    info = subscribe_to_info(spark, store)
+    store.set(spark.createDataFrame([("e", 5, None)], "key string, val long, expired_at timestamp"))  # +1
+    store.delete(["a", "b"])  # -2
+    q = (
+        info.writeStream.format("memory")
+        .queryName("info_out")
+        .outputMode("complete")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        n = spark.sql("SELECT count FROM info_out").collect()[0]["count"]
+    finally:
+        q.stop()
+    # 3 (snapshot) + 1 (NEW e) - 2 (DELETED a,b) == live count of state
+    assert n == 2 == store.current().count()
