@@ -63,6 +63,7 @@ def _load_all() -> None:
     from . import documents  # noqa: F401
     from . import sets_exists  # noqa: F401
     from . import mutations  # noqa: F401
+    from . import mutations2  # noqa: F401
     from . import dedup_text  # noqa: F401
     from . import vectors  # noqa: F401
     from . import multimodal  # noqa: F401

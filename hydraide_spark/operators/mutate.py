@@ -158,15 +158,23 @@ class PatchOp:
     value: Any = None
 
 
-def _apply_patch_op(body: Column, op: PatchOp) -> Column:
+def _apply_patch_op(body: Column, op: PatchOp, structural: bool = True) -> Column:
     """One structural op on a struct column via withField/dropFields —
     Spark's native struct surgery replaces the reference's msgpack
     byte-level patching (msgpackpatch pkg); untouched fields are
-    untouched columns by construction."""
+    untouched columns by construction.
+
+    ``structural``: whether schema-changing ops are allowed. A row-gated
+    (conditional) patch must keep the schema uniform across rows, so
+    DELETE degrades to nulling the field."""
     path = op.path
     if op.kind is PatchKind.SET:
         return body.withField(path, F.lit(op.value))
     if op.kind is PatchKind.DELETE:
+        if not structural:
+            target = _get_path(body, path)
+            typed_null = F.when(F.lit(False), target)  # NULL of target's type
+            return body.withField(path, typed_null)
         return body.dropFields(path)
     if op.kind is PatchKind.INC:
         return body.withField(path, _get_path(body, path) + F.lit(op.value))
@@ -216,11 +224,16 @@ def patch_treasures(
 
     Returns all rows with the (possibly) patched body and
     ``patch_status`` ∈ PATCHED / CONDITION_NOT_MET."""
-    cond = translate(condition, base) if condition is not None else F.lit(True)
+    structural = condition is None
     patched = F.col(body_col)
     for op in ops:
-        patched = _apply_patch_op(patched, op)
-    new_body = F.when(cond, patched).otherwise(F.col(body_col))
+        patched = _apply_patch_op(patched, op, structural=structural)
+    if structural:
+        new_body = patched
+        cond = F.lit(True)
+    else:
+        cond = translate(condition, base)
+        new_body = F.when(cond, patched).otherwise(F.col(body_col))
     status = F.when(cond, F.lit(STATUS_PATCHED)).otherwise(F.lit(STATUS_CONDITION_NOT_MET))
     # one projection: both expressions must bind to the ORIGINAL body —
     # chaining withColumn would re-resolve the condition against the
