@@ -11,6 +11,17 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
+def parallelize_small(df: DataFrame) -> DataFrame:
+    """Spread a small-file input across the cluster before compute-heavy
+    per-row work (hashing, UDF batches). Local parquet fixtures arrive
+    in 1-3 partitions (one row group per file), which would pin the
+    expensive pipelines to as many cores; at production scale the file
+    count provides this parallelism and the repartition collapses to a
+    no-op cost relative to the downstream work."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(target)
+
+
 def big(c: Column | str) -> Column:
     """Cast to BIGINT — canonical integer width for oracle comparison."""
     col = F.col(c) if isinstance(c, str) else c

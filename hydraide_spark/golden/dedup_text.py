@@ -49,7 +49,9 @@ def _augmented_corpus(spark, sf_dir):
     exact = docs.filter(F.col("doc_id") % 25 == 0).select(
         (F.col("doc_id") + 2000000).alias("doc_id"), "text"
     )
-    return docs.unionByName(near).unionByName(exact)
+    from ._util import parallelize_small
+
+    return parallelize_small(docs.unionByName(near).unionByName(exact))
 
 
 _CORPUS_SQL = """
@@ -150,7 +152,7 @@ def simhash_neardup(spark, sf_dir):
     blocking): per-token xxhash64 bit votes folded JVM-side (no UDF),
     chunk-equality candidate join, exact popcount verify."""
     corpus = _augmented_corpus(spark, sf_dir)
-    out = simhash_neardup_pairs(corpus, max_hamming=12)
+    out = simhash_neardup_pairs(corpus, max_hamming=6)
     return out.select(
         big("id_a").alias("id_a"), big("id_b").alias("id_b"), big("hamming").alias("hamming")
     )

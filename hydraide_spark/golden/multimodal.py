@@ -32,7 +32,9 @@ def multimodal_features(spark, sf_dir):
     """Binary payload -> mapInPandas feature extraction (batch iterator,
     Arrow transfer, declared schema). ASCII corpus => byte-level features
     are SQL-recomputable, proving the pandas path end to end."""
-    media = documents_as_media(t(spark, sf_dir, "documents"))
+    from ._util import parallelize_small
+
+    media = documents_as_media(parallelize_small(t(spark, sf_dir, "documents")))
     out = extract_features(media, fake=True)
     return out.select(
         big("media_id").alias("media_id"),

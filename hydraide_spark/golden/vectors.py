@@ -121,10 +121,15 @@ def ann_topk_lsh(spark, sf_dir):
 @golden(
     "embedding_neardup",
     oracle=f"""
-    WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings),
+    WITH v AS (
+      SELECT vec_id, label,
+             list_transform(embedding::DOUBLE[],
+               x -> x / sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))) AS emb
+      FROM embeddings
+    ),
     pairs AS (
       SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-             {_cos_sql('a.emb', 'b.emb')} AS score
+             list_dot_product(a.emb, b.emb) AS score
       FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
     )
     SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
@@ -135,9 +140,12 @@ def ann_topk_lsh(spark, sf_dir):
 def embedding_neardup(spark, sf_dir):
     """Embedding-cosine near-duplicate pairs, blocked on the label column
     (cluster id): candidate generation is an equi-join on the block, not
-    a cross join — the shape that survives 100 TB. Threshold margin
-    >= 1.2e-4 verified across sfs."""
-    emb = t(spark, sf_dir, "embeddings")
+    a cross join — the shape that survives 100 TB. Vectors are
+    L2-normalized BEFORE the join (one norm per row, one dot per pair).
+    Threshold margin >= 1.2e-4 verified across sfs."""
+    from ._util import parallelize_small
+
+    emb = parallelize_small(t(spark, sf_dir, "embeddings"))
     out = embedding_neardup_pairs(emb, tau=0.40, block_col="label")
     return out.select(
         big("id_a").alias("id_a"),
