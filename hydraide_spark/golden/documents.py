@@ -61,14 +61,17 @@ def phrase_negated(spark, sf_dir):
 
 # Deterministic synthetic coordinates derived from doc_id (cities grid
 # around Budapest + ~3% Null Island rows) — recomputable by the oracle.
-_GEO_SPARK = {
-    "lat": F.when(F.col("doc_id") % 37 == 0, F.lit(0.0)).otherwise(
-        47.0 + (F.col("doc_id") * 3 % 100) * 0.01
-    ),
-    "lng": F.when(F.col("doc_id") % 37 == 0, F.lit(0.0)).otherwise(
-        18.5 + (F.col("doc_id") * 7 % 120) * 0.01
-    ),
-}
+# Built lazily: Column construction needs an active SparkContext, and
+# queries() must be importable before the driver opens a session.
+def _geo_spark() -> dict:
+    return {
+        "lat": F.when(F.col("doc_id") % 37 == 0, F.lit(0.0)).otherwise(
+            47.0 + (F.col("doc_id") * 3 % 100) * 0.01
+        ),
+        "lng": F.when(F.col("doc_id") % 37 == 0, F.lit(0.0)).otherwise(
+            18.5 + (F.col("doc_id") * 7 % 120) * 0.01
+        ),
+    }
 
 _GEO_SQL = """
       SELECT doc_id,
@@ -95,10 +98,11 @@ _HAV = _HAV_SQL.format(lat0=_LAT0, lng0=_LNG0)
 
 
 def _docs_with_geo(spark, sf_dir):
+    geo = _geo_spark()
     return (
         t(spark, sf_dir, "documents")
-        .withColumn("lat", _GEO_SPARK["lat"])
-        .withColumn("lng", _GEO_SPARK["lng"])
+        .withColumn("lat", geo["lat"])
+        .withColumn("lng", geo["lng"])
     )
 
 

@@ -102,6 +102,32 @@ class TreasureStore:
     def changes(self) -> DataFrame:
         return self.spark.read.schema(CHANGE_SCHEMA).parquet(self.changes_dir)
 
+    # -- lifecycle -----------------------------------------------------------
+
+    def destroy(self) -> None:
+        """Reference ``Destroy``/``DestroyBulk`` (proto:689-733): drop the
+        whole store — every snapshot version and the change log. The
+        parquet analogue of deleting the swamp's `.hyd` file; bulk = a
+        loop over stores (each destroy is independent, no coordination)."""
+        import shutil
+
+        shutil.rmtree(self.root, ignore_errors=True)
+
+    def compact(self, keep_versions: int = 1) -> int:
+        """Reference ``CompactSwamp`` (proto:2967-2977; compactor.go):
+        reclaim dead storage. Snapshots are already compact — every
+        version holds live rows only — so compaction reduces to dropping
+        superseded version directories (the analogue of rewriting the
+        append-only file without tombstones). Keeps the newest
+        ``keep_versions``; returns the number of versions removed."""
+        import shutil
+
+        vs = self._versions()
+        drop = vs[:-keep_versions] if keep_versions > 0 else vs
+        for v in drop:
+            shutil.rmtree(self._snapshot_path(v), ignore_errors=True)
+        return len(drop)
+
     # -- internals ---------------------------------------------------------
 
     def _write_version(self, df: DataFrame) -> int:

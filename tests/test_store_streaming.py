@@ -174,3 +174,26 @@ def test_subscribe_to_info_live_count(spark, tmp_path):
         q.stop()
     # 3 (snapshot) + 1 (NEW e) - 2 (DELETED a,b) == live count of state
     assert n == 2 == store.current().count()
+
+
+def test_compact_and_destroy(spark, tmp_path):
+    store = make_store(spark, tmp_path, BASE)
+    updates = spark.createDataFrame(
+        [("a", 10, datetime(2020, 1, 1))], "key string, val long, expired_at timestamp"
+    )
+    store.set(updates)
+    store.delete(["b"])
+    assert store.version == 2  # three snapshot dirs on disk
+
+    removed = store.compact()
+    assert removed == 2
+    # reads still serve the latest state, change log untouched
+    state = {r["key"]: r["val"] for r in store.current().collect()}
+    assert state == {"a": 10, "c": 3}
+    assert store.changes().count() == 2  # UPDATED a + DELETED b
+
+    store.destroy()
+    assert not store.exists()
+    import os
+
+    assert not os.path.isdir(store.root)
