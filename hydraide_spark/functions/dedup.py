@@ -137,10 +137,18 @@ def minhash_neardup_pairs(
     frac = Fraction(tau).limit_denominator(10**6)
     num, den = frac.numerator, frac.denominator
 
-    sh = df.select(F.col(id_col), shingles(F.col(text_col), n).alias("sh")).filter(
-        F.size("sh") > 0
-    )
-    sig = sh.select(F.col(id_col), F.col("sh"), *minhash_signature(F.col("sh"), k))
+    # persist the (id, shingles) frame: shingle construction is the
+    # expensive per-row expression (O(tokens * n) string building +
+    # distinct) and EVERY downstream leg needs it — the signature pass,
+    # and both sides of the verification join. The cache materializes it
+    # exactly once; everything above recomputes only cheap hashes.
+    # The non-empty filter sits ABOVE the cache: below it, Catalyst
+    # inlines the whole shingle expression into the predicate and pushes
+    # it under the input's repartition — evaluating it once per row in
+    # the (narrow) scan stage and again in the projection.
+    sh = df.select(F.col(id_col), shingles(F.col(text_col), n).alias("sh")).persist()
+    sh = sh.filter(F.size("sh") > 0)
+    sig = sh.select(F.col(id_col), *minhash_signature(F.col("sh"), k))
 
     band_cols = [
         F.concat_ws(
@@ -151,18 +159,15 @@ def minhash_neardup_pairs(
         for b in range(bands)
     ]
     # one pass: explode the band array instead of unioning `bands` frames
-    # (a union would recompute the md5 signature pipeline per band);
-    # persist the tiny (id, sh, sizes, bucket) frame so candidate-gen and
-    # verification don't recompute it either
+    # (a union would recompute the signature pipeline per band). The
+    # banded frame carries ONLY (id, bucket) — shingle arrays stay out of
+    # the bucket shuffle (they'd be duplicated `bands` times).
     banded = sig.select(
         F.col(id_col),
-        F.col("sh"),
-        F.size("sh").alias("n_sh"),
         F.explode(F.array(*band_cols)).alias("bucket"),
-    ).persist()
+    )
 
-    buckets = banded.select(F.col(id_col), F.col("bucket"))
-    a, b_ = buckets.alias("a"), buckets.alias("b")
+    a, b_ = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(
             b_,
@@ -173,9 +178,7 @@ def minhash_neardup_pairs(
         .distinct()
     )
 
-    sizes = banded.select(F.col(id_col), F.col("sh"), F.col("n_sh")).dropDuplicates(
-        [id_col]
-    )
+    sizes = sh.select(F.col(id_col), F.col("sh"), F.size("sh").alias("n_sh"))
     pa = sizes.select(
         F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"), F.col("n_sh").alias("n_a")
     )
@@ -265,10 +268,12 @@ def simhash_neardup_pairs(
     heuristic otherwise) must agree on >= 1 chunk, so candidates come
     from chunk-equality equi-joins, then exact hamming verify."""
     bits_per = SIMHASH_BITS // n_blocks
-    # one pass over the expensive simhash computation: explode the chunk
-    # array (a union of per-chunk frames would recompute the bit votes
-    # n_blocks times); persist the small (id, bits, chunk) frame for the
-    # two join sides
+    # persist the (id, simbits) frame: the bit-vote aggregate is the
+    # expensive per-row expression; chunk extraction, the candidate join,
+    # and both verify sides all read the cached bits instead of
+    # recomputing the votes. The exploded chunk frame carries only
+    # (id, chunk_no, chunk) — bit arrays stay out of the bucket shuffle.
+    sims = df.select(F.col(id_col), simhash_bits(F.col(text_col)).alias("simbits")).persist()
     chunk_structs = F.array(
         *[
             F.struct(
@@ -280,11 +285,8 @@ def simhash_neardup_pairs(
             for i in range(n_blocks)
         ]
     )
-    chunks = (
-        df.select(F.col(id_col), simhash_bits(F.col(text_col)).alias("simbits"))
-        .select(F.col(id_col), F.col("simbits"), F.explode(chunk_structs).alias("c"))
-        .select(F.col(id_col), F.col("simbits"), F.col("c.chunk_no"), F.col("c.chunk"))
-        .persist()
+    chunks = sims.select(F.col(id_col), F.explode(chunk_structs).alias("c")).select(
+        F.col(id_col), F.col("c.chunk_no"), F.col("c.chunk")
     )
     a, b = chunks.alias("a"), chunks.alias("b")
     cand = (
@@ -294,16 +296,15 @@ def simhash_neardup_pairs(
             & (F.col("a.chunk") == F.col("b.chunk"))
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
         )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            F.col("a.simbits").alias("h_a"),
-            F.col("b.simbits").alias("h_b"),
-        )
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
         .distinct()
     )
+    ha = sims.select(F.col(id_col).alias("id_a"), F.col("simbits").alias("h_a"))
+    hb = sims.select(F.col(id_col).alias("id_b"), F.col("simbits").alias("h_b"))
     return (
-        cand.withColumn("hamming", hamming_distance_bits(F.col("h_a"), F.col("h_b")))
+        cand.join(ha, "id_a")
+        .join(hb, "id_b")
+        .withColumn("hamming", hamming_distance_bits(F.col("h_a"), F.col("h_b")))
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )

@@ -11,14 +11,20 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
-def parallelize_small(df: DataFrame) -> DataFrame:
+def parallelize_small(df: DataFrame, cap: int | None = None) -> DataFrame:
     """Spread a small-file input across the cluster before compute-heavy
     per-row work (hashing, UDF batches). Local parquet fixtures arrive
     in 1-3 partitions (one row group per file), which would pin the
     expensive pipelines to as many cores; at production scale the file
     count provides this parallelism and the repartition collapses to a
-    no-op cost relative to the downstream work."""
+    no-op cost relative to the downstream work.
+
+    ``cap`` bounds the fan-out for Arrow/pandas stages: each partition
+    is a Python worker whose startup+import cost dwarfs trivial per-row
+    work, so batch-heavy UDF stages want fewer, larger Arrow batches."""
     target = df.sparkSession.sparkContext.defaultParallelism
+    if cap is not None:
+        target = min(target, cap)
     return df.repartition(target)
 
 

@@ -34,7 +34,7 @@ def multimodal_features(spark, sf_dir):
     are SQL-recomputable, proving the pandas path end to end."""
     from ._util import parallelize_small
 
-    media = documents_as_media(parallelize_small(t(spark, sf_dir, "documents")))
+    media = documents_as_media(parallelize_small(t(spark, sf_dir, "documents"), cap=8))
     out = extract_features(media, fake=True)
     return out.select(
         big("media_id").alias("media_id"),
