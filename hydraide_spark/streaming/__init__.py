@@ -3,6 +3,8 @@ from .subscribe import (
     subscribe_snapshot_then_live,
     subscribe_to_info,
     run_ttl_claim_loop,
+    windowed_event_rates,
+    stateful_key_activity,
 )
 
 __all__ = [
@@ -10,4 +12,6 @@ __all__ = [
     "subscribe_snapshot_then_live",
     "subscribe_to_info",
     "run_ttl_claim_loop",
+    "windowed_event_rates",
+    "stateful_key_activity",
 ]

@@ -75,6 +75,66 @@ def subscribe_to_info(
     return events.agg((F.lit(base_count) + F.coalesce(delta, F.lit(0))).alias("count"))
 
 
+def windowed_event_rates(
+    spark: SparkSession,
+    store: TreasureStore,
+    window_duration: str = "1 minute",
+    slide: Optional[str] = None,
+    watermark_delay: str = "30 seconds",
+) -> DataFrame:
+    """Event-time windowed mutation rates over the change stream — the
+    streaming generalization of the reference's telemetry rolling stats
+    (proto:2393-2458, 30-min buffer). Tumbling by default, sliding when
+    ``slide`` is given; the watermark bounds state and defines how late
+    an event may arrive and still be counted (the reference has no
+    event-time/late-data story at all — SURVEY §2.9)."""
+    ev = subscribe(spark, store).withWatermark("event_time", watermark_delay)
+    win = F.window("event_time", window_duration, slide or window_duration)
+    return ev.groupBy(win.alias("win"), F.col("op")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.approx_count_distinct("key").alias("n_keys"),
+    )
+
+
+def stateful_key_activity(spark: SparkSession, store: TreasureStore) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState): per
+    key, maintain lifetime mutation count and live/deleted status across
+    micro-batches — state the built-in aggregates can't express (the
+    status depends on the ORDER of ops, not their multiset).
+
+    Arrow-batched; state is one small tuple per key, partitioned by the
+    grouping key, so state size is O(live keys / executor) at scale."""
+    import pandas as pd  # local import: worker-side dependency
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        n, alive = (state.get if state.exists else (0, True))
+        last_batch = -1
+        for pdf in pdfs:
+            pdf = pdf.sort_values("batch_id")
+            n += len(pdf)
+            tail = pdf.iloc[-1]
+            if tail["batch_id"] > last_batch:
+                last_batch = int(tail["batch_id"])
+                alive = tail["op"] != "DELETED"
+        state.update((int(n), bool(alive)))
+        yield pd.DataFrame(
+            {"key": [key[0]], "n_mutations": [int(n)], "alive": [bool(alive)]}
+        )
+
+    return (
+        subscribe(spark, store)
+        .groupBy("key")
+        .applyInPandasWithState(
+            update,
+            outputStructType="key string, n_mutations bigint, alive boolean",
+            stateStructType="n bigint, alive boolean",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def run_ttl_claim_loop(
     spark: SparkSession,
     store: TreasureStore,

@@ -197,3 +197,61 @@ def test_compact_and_destroy(spark, tmp_path):
     import os
 
     assert not os.path.isdir(store.root)
+
+
+def test_windowed_event_rates_with_watermark(spark, tmp_path):
+    store = make_store(spark, tmp_path, BASE)
+    store.set(spark.createDataFrame([("e", 5, None)], "key string, val long, expired_at timestamp"))
+    store.delete(["a", "b"])
+    from hydraide_spark.streaming import windowed_event_rates
+
+    rates = windowed_event_rates(spark, store, window_duration="10 minutes")
+    q = (
+        rates.writeStream.format("memory")
+        .queryName("rates_out")
+        .outputMode("update")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = spark.sql("SELECT op, n_events, n_keys FROM rates_out").collect()
+    finally:
+        q.stop()
+    got = {r["op"]: (r["n_events"], r["n_keys"]) for r in rows}
+    # both commits land inside one wall-clock window
+    assert got["NEW"] == (1, 1)
+    assert got["DELETED"] == (2, 2)
+
+
+def test_stateful_key_activity(spark, tmp_path):
+    store = make_store(spark, tmp_path, BASE)
+    updates = "key string, val long, expired_at timestamp"
+    store.set(spark.createDataFrame([("a", 10, None)], updates))  # UPDATED a
+    store.set(spark.createDataFrame([("a", 11, None)], updates))  # UPDATED a again
+    store.delete(["b"])  # DELETED b
+    from hydraide_spark.streaming import stateful_key_activity
+
+    out = stateful_key_activity(spark, store)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("activity_out")
+        .outputMode("update")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = spark.sql(
+            "SELECT key, n_mutations, alive FROM activity_out"
+        ).collect()
+    finally:
+        q.stop()
+    # update mode may emit once per micro-batch and the memory sink has
+    # no ordering guarantee; n_mutations is monotonic, so the final
+    # state is the row with the max count per key
+    final = {}
+    for r in rows:
+        cur = final.get(r["key"])
+        if cur is None or r["n_mutations"] > cur[0]:
+            final[r["key"]] = (r["n_mutations"], r["alive"])
+    assert final["a"] == (2, True)  # two UPDATEDs, still alive
+    assert final["b"] == (1, False)  # one DELETED, dead
