@@ -248,3 +248,34 @@ def approx_distinct_exact_oracle(spark, sf_dir):
         F.countDistinct("o_custkey").alias("n_customers"),
         F.countDistinct("o_orderkey").alias("n_orders"),
     )
+
+
+@golden(
+    "salted_skew_join",
+    oracle="""
+    SELECT l.l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(CAST(l.l_quantity AS DECIMAL(28,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderpriority = '1-URGENT'
+    GROUP BY l.l_returnflag
+    """,
+)
+def salted_skew_join(spark, sf_dir):
+    """Skew-mitigating salted join (operators/skew.py): lineitem spreads
+    each order key over 8 shuffle sub-keys, orders replicates 8x — no
+    reducer ever owns a whole hot key. The oracle is the PLAIN join, so
+    the gate proves the salting rewrite is semantics-preserving."""
+    from ..operators.skew import salted_join
+
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_returnflag", "l_quantity")
+    o = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_orderkey").alias("l_orderkey"))
+    )
+    joined = salted_join(li, o, ["l_orderkey"], n_salts=8)
+    return joined.groupBy("l_returnflag").agg(
+        big(F.count(F.lit(1))).alias("n_items"),
+        dbl(F.sum(dec("l_quantity"))).alias("sum_qty"),
+    )

@@ -101,3 +101,29 @@ def test_claim_selection_is_top_k(spark, Q):
     df = Q["shift_expired_claim"](spark, SF)
     plan = physical_plan(df)
     assert "TakeOrderedAndProject" in plan
+
+
+def test_salted_join_matches_plain_join(spark):
+    from hydraide_spark.operators.skew import salted_join
+    from pyspark.sql import functions as F
+
+    li = load_table(spark, SF, "lineitem").select("l_orderkey", "l_quantity")
+    o = load_table(spark, SF, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+    )
+    plain = li.join(o, "l_orderkey").groupBy("o_orderpriority").count()
+    salted = (
+        salted_join(li, o, ["l_orderkey"], n_salts=4)
+        .groupBy("o_orderpriority")
+        .count()
+    )
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_salted_join_rejects_outer(spark):
+    from hydraide_spark.operators.skew import salted_join
+
+    li = load_table(spark, SF, "lineitem")
+    o = load_table(spark, SF, "orders")
+    with pytest.raises(ValueError):
+        salted_join(li, o, ["l_orderkey"], how="full")
