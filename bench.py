@@ -39,6 +39,7 @@ HEADLINE = [
     "semi_anti_join",
     "topk_per_group",
     "windowed_event_stats",
+    "session_windows",
     "grouping_rollup",
     "filter_scalar_tree",
     "filter_in_ops",

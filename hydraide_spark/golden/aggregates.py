@@ -279,3 +279,53 @@ def salted_skew_join(spark, sf_dir):
         big(F.count(F.lit(1))).alias("n_items"),
         dbl(F.sum(dec("l_quantity"))).alias("sum_qty"),
     )
+
+
+@golden(
+    "session_windows",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, value,
+             CASE WHEN ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
+                  OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT user_id, ts, value,
+             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS sess_no
+      FROM flagged
+    )
+    SELECT CAST(user_id AS BIGINT) AS user_id,
+           MIN(ts) AS session_start,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total_value
+    FROM sess GROUP BY user_id, sess_no
+    """,
+)
+def session_windows(spark, sf_dir):
+    """Session windows (30-min inactivity gap) per user over the event
+    stream — the session analogue of the telemetry windows; the same
+    `session_window` expression runs under Structured Streaming with a
+    watermark. The oracle derives identical sessions via gaps-and-islands
+    (LAG >= gap starts a new island), so the built-in operator's
+    semantics are pinned exactly: a session ends when the NEXT event is
+    >= 30 minutes away; window end = last event + gap (exclusive)."""
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.session_window(F.col("ts"), "30 minutes").alias("sw"),
+            F.col("user_id"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dbl(F.sum(dec("value", scale=6))).alias("total_value"),
+        )
+        .select(
+            big("user_id").alias("user_id"),
+            F.col("sw.start").alias("session_start"),
+            "n_events",
+            "total_value",
+        )
+    )

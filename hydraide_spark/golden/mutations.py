@@ -82,16 +82,15 @@ def set_upsert_status(spark, sf_dir):
 @golden(
     "set_insert_only_counts",
     oracle="""
-    SELECT 'NEW' AS set_status, CAST(COUNT(*) AS BIGINT) AS n
-    FROM customer WHERE c_custkey <= 100
-    UNION ALL
-    SELECT 'NOT_CREATED' AS set_status,
-           CAST(SUM(CASE WHEN c_custkey <= 500 THEN 1 ELSE 0 END) AS BIGINT) AS n
-    FROM customer
-    UNION ALL
-    SELECT 'NOTHING_CHANGED' AS set_status,
-           CAST(SUM(CASE WHEN c_custkey > 500 THEN 1 ELSE 0 END) AS BIGINT) AS n
-    FROM customer
+    WITH statuses AS (
+      SELECT 'NEW' AS set_status FROM customer WHERE c_custkey <= 100
+      UNION ALL
+      SELECT CASE WHEN c_custkey <= 500 THEN 'NOT_CREATED'
+                  ELSE 'NOTHING_CHANGED' END AS set_status
+      FROM customer
+    )
+    SELECT set_status, CAST(COUNT(*) AS BIGINT) AS n
+    FROM statuses GROUP BY set_status
     """,
 )
 def set_insert_only_counts(spark, sf_dir):

@@ -255,3 +255,28 @@ def test_stateful_key_activity(spark, tmp_path):
             final[r["key"]] = (r["n_mutations"], r["alive"])
     assert final["a"] == (2, True)  # two UPDATEDs, still alive
     assert final["b"] == (1, False)  # one DELETED, dead
+
+
+def test_ttl_claim_loop_drains_expired(spark, tmp_path):
+    import time as _time
+
+    store = make_store(spark, tmp_path, BASE)
+    from hydraide_spark.streaming import run_ttl_claim_loop
+
+    claimed_keys = []
+
+    def on_claim(df, epoch):
+        claimed_keys.extend(r["key"] for r in df.collect())
+
+    q = run_ttl_claim_loop(spark, store, how_many=1, on_claim=on_claim)
+    try:
+        deadline = _time.time() + 60
+        # a & b are expired (2020); c has NULL expired_at -> never claimable.
+        # how_many=1 => drained one per tick, so order is oldest-first.
+        while len(claimed_keys) < 2 and _time.time() < deadline:
+            _time.sleep(0.5)
+    finally:
+        q.stop()
+    assert claimed_keys[:2] == ["a", "b"]  # oldest expiry first
+    remaining = [r["key"] for r in store.current().collect()]
+    assert remaining == ["c"]
