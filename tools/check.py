@@ -90,11 +90,15 @@ def main() -> int:
     con = duck_connection(sf_dir)
 
     qs = entrymod.queries()
+    if only:
+        unknown = only - set(qs)
+        if unknown:
+            print("unknown queries:", sorted(unknown))
+            return 2
+        qs = {n: f for n, f in qs.items() if n in only}
     oracles = entrymod.oracle_sql()
     failed, no_oracle = [], []
     for name, fn in qs.items():
-        if only and name not in only:
-            continue
         t0 = time.time()
         try:
             sdf = fn(spark, sf_dir)
