@@ -127,3 +127,88 @@ def uint64_decimal_fidelity(spark, sf_dir):
     return c.filter(
         F.col("v") > F.lit("9223372036854776307").cast("decimal(20,0)")
     ).select("key", F.col("v").cast("string").alias("v_str"))
+
+
+@golden(
+    "patch_many",
+    oracle="""
+    SELECT CAST(event_id AS BIGINT) AS event_id,
+           CASE WHEN event_id % 2 = 0 THEN 'even' ELSE 'odd' END AS swamp,
+           CAST(CASE WHEN event_id % 2 = 0 THEN (user_id % 4) + 5
+                     WHEN user_id % 4 < 2 THEN (user_id % 4) + 7
+                     ELSE user_id % 4 END AS BIGINT) AS n_after,
+           CASE WHEN event_id % 2 = 0 OR user_id % 4 < 2 THEN 'PATCHED'
+                ELSE 'CONDITION_NOT_MET' END AS patch_status
+    FROM events
+    """,
+)
+def patch_many(spark, sf_dir):
+    """PatchTreasuresMany (proto:475-492): independent per-swamp patch
+    entries — each swamp gets its OWN op-list and condition, results fan
+    in tagged with the source swamp and per-row statuses. Here: 'even'
+    swamp INCs unconditionally by 5, 'odd' INCs by 7 only where n < 2
+    (condition failures re-inserted unchanged, CONDITION_NOT_MET)."""
+    from ..query import Cmp, Op
+
+    ev = t(spark, sf_dir, "events").select(
+        "event_id", F.struct((F.col("user_id") % 4).alias("n")).alias("body")
+    )
+    entries = [
+        ("even", ev.filter(F.col("event_id") % 2 == 0),
+         [M.PatchOp(M.PatchKind.INC, "n", 5)], None),
+        ("odd", ev.filter(F.col("event_id") % 2 == 1),
+         [M.PatchOp(M.PatchKind.INC, "n", 7)], Cmp("body.n", Op.LT, 2)),
+    ]
+    parts = [
+        M.patch_treasures(df, ops, condition=cond, key_col="event_id")
+        .withColumn("swamp", F.lit(name))
+        for name, df, ops, cond in entries
+    ]
+    out = parts[0].unionByName(parts[1])
+    return out.select(
+        big("event_id").alias("event_id"),
+        "swamp",
+        F.col("body.n").cast("bigint").alias("n_after"),
+        "patch_status",
+    )
+
+
+@golden(
+    "profile_pivot",
+    oracle="""
+    WITH long AS (
+      SELECT c_custkey AS k, 'name' AS field, c_name AS value FROM customer
+      UNION ALL
+      SELECT c_custkey, 'segment', c_mktsegment FROM customer
+      UNION ALL
+      SELECT c_custkey, 'balance', CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS VARCHAR)
+      FROM customer
+    )
+    SELECT CAST(k AS BIGINT) AS key,
+           MAX(CASE WHEN field = 'name' THEN value END) AS name,
+           MAX(CASE WHEN field = 'segment' THEN value END) AS segment,
+           MAX(CASE WHEN field = 'balance' THEN value END) AS balance
+    FROM long WHERE k <= 200 GROUP BY k
+    """,
+)
+def profile_pivot(spark, sf_dir):
+    """Profile composition from the reference's ACTUAL storage shape
+    (proto:2908-2954): one Treasure per field, keyed by field name —
+    i.e., a long (entity, field, value) table — pivoted to the wide
+    entity row (SURVEY §2.3 'if stored long: groupBy(entity).pivot').
+    Explicit pivot values keep the plan to one shuffle, no discovery
+    pass."""
+    cust = t(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 200)
+    long = cust.selectExpr(
+        "c_custkey AS k",
+        "stack(3, 'name', c_name, 'segment', c_mktsegment, "
+        "'balance', CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS STRING)) AS (field, value)",
+    )
+    wide = (
+        long.groupBy("k")
+        .pivot("field", ["name", "segment", "balance"])
+        .agg(F.first("value"))
+    )
+    return wide.select(
+        big("k").alias("key"), "name", "segment", "balance"
+    )
