@@ -53,6 +53,7 @@ HEADLINE = [
     "vector_filter",
     "ann_topk_exact",
     "ann_topk_lsh",
+    "ann_topk_ivf",
     "embedding_neardup",
     "uint32slice_ops",
     "set_upsert_status",

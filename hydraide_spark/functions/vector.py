@@ -116,6 +116,107 @@ def lsh_topk(
     )
 
 
+def train_ivf_centroids(
+    df: DataFrame,
+    n_centroids: int = 16,
+    sample_rows: int = 10_000,
+    iters: int = 10,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Spherical k-means-lite centroids for IVF, trained driver-side on
+    a BOUNDED deterministic sample (ordered by id, capped at
+    ``sample_rows``) — at 100 TB the sample is a constant-size draw, so
+    training cost does not grow with the corpus. numpy only, fixed seed,
+    fixed iteration count: the same inputs always give the same cells."""
+    import numpy as np
+
+    rows = df.orderBy(id_col).limit(sample_rows).select(vec_col).collect()
+    X = np.asarray([r[0] for r in rows], dtype=np.float64)
+    X = X / np.linalg.norm(X, axis=1, keepdims=True)
+    rng = np.random.RandomState(seed)
+    C = X[rng.choice(len(X), size=min(n_centroids, len(X)), replace=False)].copy()
+    for _ in range(iters):
+        assign = (X @ C.T).argmax(axis=1)
+        for j in range(len(C)):
+            members = X[assign == j]
+            if len(members):
+                c = members.mean(axis=0)
+                C[j] = c / np.linalg.norm(c)
+    return C.tolist()
+
+
+def _centroid_scores(vec_col: Column, centroids: Sequence[Sequence[float]]) -> Column:
+    """array<struct<s,j>>: dot(v, centroid_j) per centroid. argmax over j
+    is scale-invariant in v, so v need not be normalized."""
+    return F.array(
+        *[
+            F.struct(
+                dot_product(vec_col, _as_double_array(c)).alias("s"),
+                F.lit(j).alias("j"),
+            )
+            for j, c in enumerate(centroids)
+        ]
+    )
+
+
+def ivf_cell_expr(vec_col: Column, centroids: Sequence[Sequence[float]]) -> Column:
+    """Nearest-centroid cell id — pure column expression (the corpus is
+    assigned once at write time; the cell is a partition/bucket key)."""
+    scored = F.reverse(F.array_sort(_centroid_scores(vec_col, centroids)))
+    return F.element_at(scored, 1).getField("j")
+
+
+def ivf_topk(
+    df: DataFrame,
+    queries: DataFrame,
+    k: int,
+    centroids: Sequence[Sequence[float]],
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """IVF ANN: corpus rows live in their nearest-centroid cell; each
+    query probes its ``nprobe`` nearest cells; exact cosine re-rank
+    within the candidate union. Cells partition the corpus (disjoint,
+    unlike LSH bands), so candidates need no dedup and the scan prunes
+    to nprobe/n_centroids of the data. The 100 TB layout writes the
+    corpus partitioned by cell, making the probe a partition-pruned
+    read."""
+    corpus = df.withColumn("_cell", ivf_cell_expr(F.col(vec_col), centroids))
+    q = queries.select(
+        F.col(query_id_col), F.col(query_vec_col).cast("array<double>").alias("_qv")
+    )
+    probed = q.select(
+        F.col(query_id_col),
+        F.col("_qv"),
+        F.explode(
+            F.transform(
+                F.slice(
+                    F.reverse(F.array_sort(_centroid_scores(F.col("_qv"), centroids))),
+                    1,
+                    nprobe,
+                ),
+                lambda s: s.getField("j"),
+            )
+        ).alias("_cell"),
+    )
+    cand = corpus.join(F.broadcast(probed), "_cell").select(
+        F.col(query_id_col),
+        F.col(id_col),
+        cosine_similarity(F.col(vec_col), F.col("_qv")).alias("score"),
+    )
+    w = W.partitionBy(query_id_col).orderBy(F.col("score").desc(), F.col(id_col).asc())
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .drop("rank")
+    )
+
+
 def pandas_cosine_scores(query: Sequence[float]):
     """Arrow-batched numpy cosine scorer — the slow-path alternative for
     very high-dimensional vectors. Returns a pandas_udf usable as

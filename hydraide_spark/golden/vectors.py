@@ -7,7 +7,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from ..functions.vector import cosine_topk, lsh_topk
+from ..functions.vector import cosine_topk, ivf_topk, lsh_topk, train_ivf_centroids
 from ..functions.dedup import embedding_neardup_pairs
 from ..query import VectorSim, translate
 from ..query.filters import cosine_similarity
@@ -150,5 +150,26 @@ def embedding_neardup(spark, sf_dir):
     return out.select(
         big("id_a").alias("id_a"),
         big("id_b").alias("id_b"),
+        F.round("score", 4).alias("score"),
+    )
+
+
+@golden("ann_topk_ivf")  # approximate: rows-only check (recall < 1 by design)
+def ann_topk_ivf(spark, sf_dir):
+    """IVF-bucketed ANN (the partition-pruned 100 TB path): spherical
+    k-means cells trained driver-side on a bounded deterministic sample,
+    corpus assigned to its nearest cell (a write-time partition key at
+    scale), queries probe nprobe=2 cells, exact cosine re-rank within
+    candidates. Probabilistic recall — rows-only; the recall floor vs
+    exact top-k is asserted in tests/test_dedup.py."""
+    emb = t(spark, sf_dir, "embeddings")
+    centroids = train_ivf_centroids(emb, n_centroids=8)
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = ivf_topk(emb, queries, k=10, centroids=centroids, nprobe=2)
+    return out.select(
+        big("query_id").alias("query_id"),
+        big("vec_id").alias("vec_id"),
         F.round("score", 4).alias("score"),
     )

@@ -111,3 +111,26 @@ def test_lsh_ann_recall_vs_exact(spark):
     # bucket neighbor; assert sane overlap instead of exact equality
     recall = len(a & e) / len(e)
     assert recall >= 0.3, f"LSH-ANN recall {recall:.2f} suspiciously low"
+
+
+def test_ivf_ann_recall_vs_exact(spark):
+    from hydraide_spark.functions.vector import ivf_topk, train_ivf_centroids
+
+    emb = load_table(spark, SF, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    centroids = train_ivf_centroids(emb, n_centroids=8)
+    exact = cosine_topk(emb, queries, k=5)
+    approx = ivf_topk(emb, queries, k=5, centroids=centroids, nprobe=2)
+    e = {(r["query_id"], r["vec_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["vec_id"]) for r in approx.collect()}
+    # a query always probes its own cell, so it finds itself
+    self_hits = {(q, q) for q, _ in e if (q, q) in e}
+    assert self_hits <= a
+    # near neighbors cluster into the same/adjacent cells; nprobe=2 of 8
+    # cells scans ~25% of the corpus yet should recover most of top-5
+    recall = len(a & e) / len(e)
+    assert recall >= 0.6, f"IVF-ANN recall {recall:.2f} suspiciously low"
+    # determinism: same seed + same sample => identical centroids
+    assert centroids == train_ivf_centroids(emb, n_centroids=8)
