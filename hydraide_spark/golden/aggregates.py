@@ -329,3 +329,47 @@ def session_windows(spark, sf_dir):
             "total_value",
         )
     )
+
+
+@golden(
+    "multiway_join_volume",
+    oracle="""
+    SELECT n.n_name,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(28,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(28,2)))) AS DOUBLE) AS volume,
+           CAST(COUNT(*) AS BIGINT) AS n_items
+    FROM lineitem l
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation n   ON s.s_nationkey = n.n_nationkey
+      JOIN region r   ON n.n_regionkey = r.r_regionkey
+      JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    WHERE r.r_name = 'EUROPE'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+    GROUP BY n.n_name
+    """,
+)
+def multiway_join_volume(spark, sf_dir):
+    """TPC-H Q5 shape — the deepest join the star schema supports: one
+    fact⋈fact co-shuffle (lineitem⋈orders on the order key) and a
+    broadcast chain for the supplier->nation->region dimension spine
+    (each under the 64 MB threshold, so Catalyst plans zero extra
+    shuffles for them); region's filter prunes before the fact join."""
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderdate") >= F.lit("1996-01-01"))
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    dim = (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("s_suppkey", "n_name")
+    )
+    return (
+        li.join(o.select("o_orderkey"), li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(dim), li.l_suppkey == dim.s_suppkey)
+        .groupBy("n_name")
+        .agg(
+            dbl(F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount")))).alias("volume"),
+            big(F.count(F.lit(1))).alias("n_items"),
+        )
+    )

@@ -280,3 +280,56 @@ def test_ttl_claim_loop_drains_expired(spark, tmp_path):
     assert claimed_keys[:2] == ["a", "b"]  # oldest expiry first
     remaining = [r["key"] for r in store.current().collect()]
     assert remaining == ["c"]
+
+
+def test_streaming_session_window_over_events(spark, tmp_path):
+    """The batch session_windows golden runs the same expression under
+    Structured Streaming: append mode + watermark, sessions emit only
+    after the watermark passes their end (late data contract)."""
+    import os
+    from hydraide_spark.sources.store import CHANGE_SCHEMA
+
+    changes = str(tmp_path / "changes")
+    os.makedirs(changes)
+
+    def write_batch(fname, rows):
+        spark.createDataFrame(rows, CHANGE_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(changes)
+
+    t0 = datetime(2024, 1, 1, 12, 0, 0)
+    # key a: two events 1 min apart (one session); key b: one event
+    write_batch(
+        "b1",
+        [
+            (0, "NEW", "a", None, None, t0),
+            (0, "UPDATED", "a", None, None, t0 + timedelta(minutes=1)),
+            (0, "NEW", "b", None, None, t0),
+        ],
+    )
+    # watermark pusher: an event 1 hour later closes the sessions above
+    write_batch("b2", [(1, "NEW", "c", None, None, t0 + timedelta(hours=1))])
+
+    ev = (
+        spark.readStream.schema(CHANGE_SCHEMA)
+        .option("maxFilesPerTrigger", 1)  # two batches: advance, then emit
+        .parquet(changes)
+        .withWatermark("event_time", "10 seconds")
+    )
+    sess = ev.groupBy(
+        F.session_window("event_time", "5 minutes").alias("sw"), F.col("key")
+    ).count()
+    q = (
+        sess.writeStream.format("memory")
+        .queryName("sess_out")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = spark.sql("SELECT key, count FROM sess_out").collect()
+    finally:
+        q.stop()
+    finalized = {r["key"]: r["count"] for r in rows}
+    # a and b finalized by the hour-later watermark; c still open
+    assert finalized == {"a": 2, "b": 1}
