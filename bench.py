@@ -35,6 +35,7 @@ HEADLINE = [
     "count_matching",
     "tpch_q1_pricing_summary",
     "join_star_revenue",
+    "multiway_join_volume",
     "salted_skew_join",
     "semi_anti_join",
     "topk_per_group",

@@ -122,11 +122,18 @@ class NestedWhere:
 @dataclass(frozen=True)
 class Phrase:
     """All words present at consecutive positions in a word-position index
-    (``MAP<STRING, ARRAY<INT>>`` field)."""
+    (``MAP<STRING, ARRAY<INT>>`` field).
+
+    ``pandas_mode`` switches from the codegen'd higher-order-function
+    encoding to an Arrow-batched pandas UDF — the fallback SURVEY §7
+    keeps ready for corpora where the HOF check's O(first-word
+    positions × words) per row dominates (very long position lists);
+    semantics are identical (tested equivalent)."""
 
     field: str
     words: Sequence[str]
     negate: bool = False
+    pandas_mode: bool = False
 
 
 @dataclass(frozen=True)
@@ -324,6 +331,42 @@ def phrase_column(map_col: Column, words: Sequence[str]) -> Column:
     return F.coalesce(F.exists(first, consecutive), F.lit(False))
 
 
+def phrase_column_pandas(map_col: Column, words: Sequence[str]) -> Column:
+    """Arrow-batched pandas fallback for :func:`phrase_column` — same
+    consecutive-positions semantics, evaluated with Python sets per row.
+    Worth it only when position lists are long enough that the HOF
+    encoding's O(|positions(w0)| * k) array probes lose to set lookups;
+    batch transfer is Arrow, never row-at-a-time."""
+    words = list(words)
+    if not words:
+        return F.lit(True)
+
+    import pandas as pd  # noqa: F401 — resolves the UDF's string type hints
+    globals()["pd"] = pd
+    from pyspark.sql.functions import pandas_udf
+
+    rest = words[1:]
+
+    @pandas_udf("boolean")
+    def matcher(maps: pd.Series) -> pd.Series:
+        out = []
+        for m in maps:
+            if m is None:
+                out.append(False)
+                continue
+            first = m.get(words[0])
+            if first is None or any(m.get(w) is None for w in rest):
+                out.append(False)
+                continue
+            sets = [set(m[w]) for w in rest]
+            out.append(
+                any(all(p + i in s for i, s in enumerate(sets, start=1)) for p in first)
+            )
+        return pd.Series(out)
+
+    return matcher(map_col)
+
+
 def dot_product(a: Column, b: Column) -> Column:
     """Dot product of two float array columns, accumulated in double.
 
@@ -461,7 +504,8 @@ def _translate(pred: Pred, df: Optional[DataFrame], base: Optional[Column]) -> C
         col, wc = resolve(pred.field)
         if wc is not None:
             raise ValueError("phrase field cannot contain [*]")
-        hit = phrase_column(col, pred.words)
+        builder = phrase_column_pandas if pred.pandas_mode else phrase_column
+        hit = builder(col, pred.words)
         return ~hit if pred.negate else hit
 
     if isinstance(pred, VectorSim):

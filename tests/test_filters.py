@@ -300,3 +300,21 @@ def test_not_wrapper(fixture_df):
     # NOT follows the reference's negative-op convention: a missing
     # field never matches, in either polarity (k2's NULL price drops)
     assert keys(fixture_df, Not(Cmp("price", Op.GT, 1000))) == ["k4"]
+
+
+def test_phrase_pandas_mode_equivalent(spark):
+    from hydraide_spark.functions.text import word_index
+    from hydraide_spark.query import Phrase, translate
+    from hydraide_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    wi = docs.join(word_index(docs, "doc_id", "text"), "doc_id")
+    words = ["stream", "table", "hash"]
+    hof = wi.filter(translate(Phrase("word_index", words), wi))
+    pand = wi.filter(translate(Phrase("word_index", words, pandas_mode=True), wi))
+    a = sorted(r["doc_id"] for r in hof.select("doc_id").collect())
+    b = sorted(r["doc_id"] for r in pand.select("doc_id").collect())
+    assert a == b and len(a) > 0
+    # negation agrees too
+    neg = wi.filter(translate(Phrase("word_index", words, negate=True, pandas_mode=True), wi))
+    assert neg.count() == wi.count() - len(a)
