@@ -137,6 +137,47 @@ def get_by_index_stream_from_many(
     return out
 
 
+def get_by_index_stream_from_many_single_scan(
+    df: DataFrame,
+    swamps: Sequence[str],
+    index: Index,
+    filt: Optional[Pred] = None,
+    max_results: Optional[int] = None,
+    swamp_column: str = "swamp",
+    source_column: str = "source_swamp",
+) -> DataFrame:
+    """Single-scan FromMany for the common case where every swamp shares
+    the same query params and lives in one partitioned table: one scan
+    (partition-pruned by the swamp IN-list), per-swamp offset/limit via
+    a window partitioned by swamp, then the global cap. Replaces N scans
+    + N sorts of the union form with one scan + one shuffle — the shape
+    that wins when N is thousands of swamps at 100 TB.
+
+    Semantics match :func:`get_by_index_stream_from_many` over the same
+    data (asserted in tests/test_plans.py)."""
+    from pyspark.sql import Window as W
+
+    out = df.filter(F.col(swamp_column).isin(list(swamps)))
+    if filt is not None:
+        out = out.filter(translate(filt, out))
+    pred = index.bounds_predicate()
+    if pred is not None:
+        out = out.filter(pred)
+    if index.offset or index.limit is not None:
+        w = W.partitionBy(swamp_column).orderBy(*index.sort_columns())
+        out = out.withColumn("_rn", F.row_number().over(w))
+        lo = index.offset
+        hi = lo + index.limit if index.limit is not None else None
+        cond = F.col("_rn") > lo
+        if hi is not None:
+            cond = cond & (F.col("_rn") <= hi)
+        out = out.filter(cond).drop("_rn")
+    out = out.withColumn(source_column, F.col(swamp_column))
+    if max_results is not None:
+        out = out.orderBy(*index.sort_columns()).limit(max_results)
+    return out
+
+
 def profile_read(
     df: DataFrame,
     filt: Optional[Pred] = None,

@@ -127,3 +127,42 @@ def test_salted_join_rejects_outer(spark):
     o = load_table(spark, SF, "orders")
     with pytest.raises(ValueError):
         salted_join(li, o, ["l_orderkey"], how="full")
+
+
+def test_from_many_single_scan_equivalent_and_one_scan(spark):
+    from hydraide_spark.golden._util import orders_as_swamp
+    from hydraide_spark.operators.read import (
+        get_by_index_stream_from_many,
+        get_by_index_stream_from_many_single_scan,
+    )
+    from hydraide_spark.query import Cmp, Index, IndexOrder, IndexType, Op
+
+    swamp = orders_as_swamp(load_table(spark, SF, "orders")).withColumnRenamed(
+        "status", "swamp"
+    )
+    idx = Index(
+        index_type=IndexType.VALUE,
+        value_column="totalprice",
+        order=IndexOrder.DESC,
+        offset=2,
+        limit=5,
+    )
+    filt = Cmp("totalprice", Op.GT, 1000.0)
+    union_form = get_by_index_stream_from_many(
+        [(s, swamp.filter(F.col("swamp") == s).drop("swamp")) for s in ("O", "F")],
+        idx,
+        filt=filt,
+        max_results=8,
+    ).select("key", "totalprice", "source_swamp")
+    single_form = get_by_index_stream_from_many_single_scan(
+        swamp, ["O", "F"], idx, filt=filt, max_results=8
+    ).select("key", "totalprice", "source_swamp")
+    assert sorted(map(tuple, union_form.collect())) == sorted(
+        map(tuple, single_form.collect())
+    )
+    # the union form scans the table once per swamp; the rewrite scans
+    # once (AQE's formatted output reprints sections, so compare the two
+    # plans' scan counts relatively, measured identically)
+    assert physical_plan(single_form).count("Scan parquet") < physical_plan(
+        union_form
+    ).count("Scan parquet")
