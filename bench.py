@@ -31,6 +31,7 @@ HEADLINE = [
     "get_by_index_time_range",
     "stream_filtered_ordered",
     "stream_from_many",
+    "stream_from_many_single_scan",
     "count_per_swamp",
     "count_matching",
     "tpch_q1_pricing_summary",

@@ -219,3 +219,32 @@ def profile_read_q(spark, sf_dir):
     )
     filt = And([Cmp("c_acctbal", Op.GT, 9000.0), Cmp("c_mktsegment", Op.EQ, "BUILDING")])
     return R.profile_read(prof, filt=filt, fields=["c_name", "c_acctbal"])
+
+
+@golden(
+    "stream_from_many_single_scan",
+    oracle=f"""
+    WITH swamp AS ({ORDERS_SWAMP_SQL}),
+    tagged AS (
+      SELECT key, totalprice, status AS source_swamp FROM swamp
+      WHERE status IN ('O','F') AND totalprice > 100000
+    )
+    SELECT key, totalprice, source_swamp FROM tagged
+    ORDER BY totalprice DESC, key ASC
+    LIMIT 40
+    """,
+)
+def stream_from_many_single_scan(spark, sf_dir):
+    """The single-scan FromMany fast path under the SAME oracle as
+    stream_from_many: one partition-pruned scan + per-swamp windows
+    replaces N scans + N sorts, and the driver gate itself certifies
+    the rewrite is semantics-preserving (same trick as the reference's
+    bucket-vs-bypass byte-identical invariant, query-engine.md:86)."""
+    swamp = orders_as_swamp(t(spark, sf_dir, "orders")).withColumnRenamed(
+        "status", "swamp"
+    )
+    idx = Index(index_type=IndexType.VALUE, value_column="totalprice", order=IndexOrder.DESC)
+    out = R.get_by_index_stream_from_many_single_scan(
+        swamp, ["O", "F"], idx, filt=Cmp("totalprice", Op.GT, 100000.0), max_results=40
+    )
+    return out.select("key", "totalprice", "source_swamp")
