@@ -232,18 +232,22 @@ def simhash_bits(text_col: Column) -> Column:
 
 def simhash64(text_col: Column) -> Column:
     """Packed BIGINT form of :func:`simhash_bits` (bit i = array slot i;
-    the top bit contributes the sign via xor-fold, which is fine — the
-    value is an opaque fingerprint)."""
+    the top bit contributes the sign, which is fine — the value is an
+    opaque fingerprint). Built as ONE fold over the bit array so the
+    expensive bit-vote expression appears exactly once in the plan (a
+    per-bit term list would inline it 64 times)."""
     bits = simhash_bits(text_col)
-    terms = [
-        F.when(F.element_at(bits, i + 1) == 1, F.lit(1 << i if i < 63 else -(1 << 63)).cast("bigint"))
-        .otherwise(F.lit(0).cast("bigint"))
-        for i in range(SIMHASH_BITS)
-    ]
-    out = terms[0]
-    for t_ in terms[1:]:
-        out = out.bitwiseXOR(t_)
-    return out
+    powers = F.array(
+        *[
+            F.lit(1 << i if i < 63 else -(1 << 63)).cast("bigint")
+            for i in range(SIMHASH_BITS)
+        ]
+    )
+    return F.aggregate(
+        F.zip_with(bits, powers, lambda b, p: p * b.cast("bigint")),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
 
 
 def hamming_distance_bits(a: Column, b: Column) -> Column:
@@ -268,19 +272,21 @@ def simhash_neardup_pairs(
     heuristic otherwise) must agree on >= 1 chunk, so candidates come
     from chunk-equality equi-joins, then exact hamming verify."""
     bits_per = SIMHASH_BITS // n_blocks
-    # persist the (id, simbits) frame: the bit-vote aggregate is the
-    # expensive per-row expression; chunk extraction, the candidate join,
-    # and both verify sides all read the cached bits instead of
-    # recomputing the votes. The exploded chunk frame carries only
-    # (id, chunk_no, chunk) — bit arrays stay out of the bucket shuffle.
-    sims = df.select(F.col(id_col), simhash_bits(F.col(text_col)).alias("simbits")).persist()
+    # persist the (id, packed int64 simhash) frame: the bit-vote
+    # aggregate is the expensive per-row expression; chunk extraction,
+    # the candidate join, and both verify sides read the cached hash.
+    # Packed form: a chunk is shift+mask, hamming is ONE
+    # bit_count(a XOR b) instead of a 64-slot zip_with fold — the
+    # verify cost per candidate pair drops ~64x.
+    sims = df.select(F.col(id_col), simhash64(F.col(text_col)).alias("h")).persist()
+    mask = (1 << bits_per) - 1
     chunk_structs = F.array(
         *[
             F.struct(
                 F.lit(i).alias("chunk_no"),
-                F.concat_ws("", F.slice(F.col("simbits"), i * bits_per + 1, bits_per)).alias(
-                    "chunk"
-                ),
+                F.shiftrightunsigned(F.col("h"), i * bits_per)
+                .bitwiseAND(F.lit(mask))
+                .alias("chunk"),
             )
             for i in range(n_blocks)
         ]
@@ -299,12 +305,12 @@ def simhash_neardup_pairs(
         .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
         .distinct()
     )
-    ha = sims.select(F.col(id_col).alias("id_a"), F.col("simbits").alias("h_a"))
-    hb = sims.select(F.col(id_col).alias("id_b"), F.col("simbits").alias("h_b"))
+    ha = sims.select(F.col(id_col).alias("id_a"), F.col("h").alias("h_a"))
+    hb = sims.select(F.col(id_col).alias("id_b"), F.col("h").alias("h_b"))
     return (
         cand.join(ha, "id_a")
         .join(hb, "id_b")
-        .withColumn("hamming", hamming_distance_bits(F.col("h_a"), F.col("h_b")))
+        .withColumn("hamming", F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))))
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
