@@ -66,6 +66,7 @@ HEADLINE = [
     "patch_expired_lease",
     "dedup_exact",
     "ngram_jaccard_neardup",
+    "neardup_clusters",
     "minhash_lsh_neardup",
     "simhash_neardup",
     "text_quality_tokens",

@@ -7,8 +7,11 @@ Design rules for 100 TB:
   embedding block) so candidate generation is an equi-join;
 - Jaccard thresholds compare integers (2*inter >= tau_num*union style),
   never floats, so results are engine-exact;
-- MinHash uses md5 (stable across engines and runs) rather than
-  JVM-specific hashes; signatures are tiny (k strings) relative to docs.
+- MinHash hashes with seeded xxhash64 by default (JVM codegen);
+  engine_stable=True switches to md5 for cross-engine reproducibility;
+- expensive per-row expressions (shingles, simhash votes) materialize
+  exactly once behind an explicit cache boundary — Catalyst would
+  otherwise inline them into filters/band columns and recompute.
 """
 
 from __future__ import annotations
@@ -359,3 +362,62 @@ def embedding_neardup_pairs(
         .filter(F.col("score") >= tau)
         .select("id_a", "id_b", "score")
     )
+
+
+def neardup_clusters(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iterations: int = 25,
+) -> DataFrame:
+    """Connected components over near-dup pairs: every document that is
+    transitively linked shares a cluster, labeled by the minimum doc id
+    in the component (the canonical survivor). Returns
+    (doc_id, cluster_id) for every id appearing in ``pairs``.
+
+    Algorithm: min-label propagation — each round every node takes the
+    minimum label among itself and its neighbors; rounds are one
+    groupBy + one join each, and the loop stops when no label changed
+    (checked with a 1-row aggregate, no row collect). Round count is
+    bounded by the component diameter, which for duplicate graphs is
+    small (near-cliques); graphs with adversarially long chains would
+    want the alternating star-contraction variant (O(log n) rounds) —
+    same per-round shuffle shape, so the plan properties below hold
+    either way. Lineage is cut with localCheckpoint each round so the
+    plan does not grow with iterations.
+    """
+    a = pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+    edges = a.unionByName(
+        pairs.select(F.col(id_b).alias("u"), F.col(id_a).alias("v"))
+    ).localCheckpoint()
+
+    labels = (
+        edges.select(F.col("u").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iterations):
+        nbr = (
+            edges.join(labels, edges.v == labels.id)
+            .groupBy("u")
+            .agg(F.min("label").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(nbr, labels.id == nbr.u, "left")
+            .select(
+                F.col("id"),
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_min"), F.col("label"))
+                ).alias("label"),
+                (F.col("nbr_min") < F.col("label")).alias("_changed"),
+            )
+            .localCheckpoint()
+        )
+        changed = new_labels.agg(
+            F.coalesce(F.sum(F.col("_changed").cast("long")), F.lit(0))
+        ).collect()[0][0]
+        labels = new_labels.drop("_changed")
+        if changed == 0:
+            break
+    return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("cluster_id"))

@@ -247,3 +247,58 @@ def doc_fingerprint(spark, sf_dir):
     return docs.select(
         big("doc_id").alias("doc_id"), fingerprint(F.col("text"), 16).alias("fp")
     )
+
+
+@golden(
+    "neardup_clusters",
+    oracle=f"""
+    WITH RECURSIVE corpus AS ({_CORPUS_SQL}),
+    sh AS (
+      SELECT doc_id, list_distinct(list(array_to_string(w[i:i+2], ' '))) AS sh
+      FROM (
+        SELECT doc_id, w, unnest(range(1, len(w) - 1)) AS i
+        FROM (SELECT doc_id, string_split(text, ' ') AS w FROM corpus)
+        WHERE len(w) >= 3
+      )
+      GROUP BY doc_id
+    ),
+    inv AS (SELECT doc_id, unnest(sh) AS shingle FROM sh),
+    cand AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+      FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    sizes AS (SELECT doc_id, len(sh) AS n_sh FROM sh),
+    pairs AS (
+      SELECT id_a, id_b
+      FROM cand JOIN sizes sa ON cand.id_a = sa.doc_id
+                JOIN sizes sb ON cand.id_b = sb.doc_id
+      WHERE 5 * inter >= 3 * (sa.n_sh + sb.n_sh - inter)
+    ),
+    edges AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION ALL
+      SELECT id_b AS u, id_a AS v FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT u AS id FROM edges),
+    reach(src, dst) AS (
+      SELECT id, id FROM nodes
+      UNION
+      SELECT r.src, e.v FROM reach r JOIN edges e ON r.dst = e.u
+    )
+    SELECT CAST(src AS BIGINT) AS doc_id, CAST(MIN(dst) AS BIGINT) AS cluster_id
+    FROM reach GROUP BY src
+    """,
+)
+def neardup_clusters_q(spark, sf_dir):
+    """Duplicate CLUSTERS, not just pairs: connected components over the
+    exact n-gram-Jaccard pair graph, labeled by the component's minimum
+    doc id (the canonical survivor a dedup pipeline keeps). The oracle
+    computes the same components via a recursive-CTE transitive closure
+    — exact agreement pins the iterative Spark loop's convergence."""
+    from ..functions.dedup import neardup_clusters, ngram_jaccard_pairs
+
+    corpus = _augmented_corpus(spark, sf_dir)
+    pairs = ngram_jaccard_pairs(corpus, tau=0.6, n=3).persist()
+    out = neardup_clusters(pairs)
+    return out.select(big("doc_id").alias("doc_id"), big("cluster_id").alias("cluster_id"))

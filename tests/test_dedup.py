@@ -134,3 +134,19 @@ def test_ivf_ann_recall_vs_exact(spark):
     assert recall >= 0.6, f"IVF-ANN recall {recall:.2f} suspiciously low"
     # determinism: same seed + same sample => identical centroids
     assert centroids == train_ivf_centroids(emb, n_centroids=8)
+
+
+def test_neardup_clusters_chain_and_islands(spark):
+    from hydraide_spark.functions.dedup import neardup_clusters
+
+    # chain 1-2-3-4-5 (worst-case diameter), island {10,11}, pair {20,21}
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11), (20, 21), (21, 20)],
+        "id_a long, id_b long",
+    )
+    got = {
+        (r["doc_id"], r["cluster_id"])
+        for r in neardup_clusters(pairs).collect()
+    }
+    want = {(i, 1) for i in (1, 2, 3, 4, 5)} | {(10, 10), (11, 10), (20, 20), (21, 20)}
+    assert got == want
