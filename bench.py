@@ -70,6 +70,7 @@ HEADLINE = [
     "minhash_lsh_neardup",
     "simhash_neardup",
     "text_quality_tokens",
+    "corpus_quality_report",
     "lang_id_heuristic",
     "multimodal_features",
 ]

