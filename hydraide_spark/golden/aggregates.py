@@ -191,8 +191,16 @@ def topk_per_group(spark, sf_dir):
 def windowed_event_stats(spark, sf_dir):
     """Reference telemetry shape (proto:2393-2458: windowed call-rate /
     avg-duration): tumbling 1h windows over the event stream, batch
-    form. The streaming form (streaming.info) shares this plan."""
-    ev = t(spark, sf_dir, "events").filter(F.col("ts") < F.lit("2024-01-03"))
+    form. The time bound goes through load_table_time_bounded so it
+    reaches the parquet scan as a raw-nanos comparison (row-group
+    pruning) instead of stalling above the ns->us conversion."""
+    from datetime import datetime
+
+    from ..sources.tables import load_table_time_bounded
+
+    ev = load_table_time_bounded(
+        spark, sf_dir, "events", {"ts": (None, datetime(2024, 1, 3))}
+    )
     return (
         ev.groupBy(
             F.date_trunc("hour", F.col("ts")).alias("window_start"),

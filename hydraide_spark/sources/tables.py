@@ -65,5 +65,48 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def _ns_epoch(dt) -> int:
+    """Exact nanoseconds since epoch for a naive-UTC datetime — integer
+    arithmetic only (float epoch*1e9 exceeds 2^53 and rounds)."""
+    import calendar
+
+    return calendar.timegm(dt.timetuple()) * 10**9 + dt.microsecond * 1000
+
+
+def load_table_time_bounded(
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    bounds: dict,
+) -> DataFrame:
+    """`load_table` with time-range bounds applied BEFORE the ns→µs
+    conversion, as integer comparisons on the raw long column. A bound
+    on the converted column sits above a projection and cannot reach the
+    scan (only IsNotNull pushes); the raw-column form lands in
+    PushedFilters, so parquet row-group min/max stats prune the read —
+    the difference between scanning a day and scanning 100 TB.
+    ``bounds``: {column: (lo_inclusive | None, hi_exclusive | None)}
+    with naive-UTC datetimes."""
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if not os.path.exists(path):
+        path = os.path.join(sf_dir, name)
+    df = spark.read.parquet(path)
+    nanos_cols = set(_nanos_timestamp_columns(path))
+    for col, (lo, hi) in bounds.items():
+        if col in nanos_cols:
+            if lo is not None:
+                df = df.filter(F.col(col) >= F.lit(_ns_epoch(lo)))
+            if hi is not None:
+                df = df.filter(F.col(col) < F.lit(_ns_epoch(hi)))
+        else:
+            if lo is not None:
+                df = df.filter(F.col(col) >= F.lit(lo))
+            if hi is not None:
+                df = df.filter(F.col(col) < F.lit(hi))
+    for col in nanos_cols:
+        df = df.withColumn(col, F.expr(f"timestamp_micros({col} div 1000)"))
+    return df
+
+
 def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES) -> dict[str, DataFrame]:
     return {n: load_table(spark, sf_dir, n) for n in names}

@@ -166,3 +166,19 @@ def test_from_many_single_scan_equivalent_and_one_scan(spark):
     assert physical_plan(single_form).count("Scan parquet") < physical_plan(
         union_form
     ).count("Scan parquet")
+
+
+def test_time_bound_pushes_through_nanos_conversion(spark):
+    from datetime import datetime
+    from hydraide_spark.sources.tables import load_table, load_table_time_bounded
+
+    hi = datetime(2024, 1, 3)
+    bounded = load_table_time_bounded(spark, SF, "events", {"ts": (None, hi)})
+    naive = load_table(spark, SF, "events").filter(F.col("ts") < F.lit("2024-01-03"))
+    # identical rows...
+    assert bounded.count() == naive.count() > 0
+    # ...but only the bounded form reaches the scan with the range bound
+    # (the naive form pushes IsNotNull alone — the comparison is stuck
+    # above the ns->us conversion projection)
+    assert has_pushed_filters(bounded, "LessThan(ts")
+    assert not has_pushed_filters(naive, "LessThan(ts")
