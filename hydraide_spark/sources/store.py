@@ -214,6 +214,96 @@ class TreasureStore:
         deleted.unpersist()
         return out
 
+    def increment(
+        self,
+        keys: Sequence[str],
+        value_col: str,
+        delta: float,
+        condition: Optional[Pred] = None,
+    ) -> DataFrame:
+        """Reference ``Increment<T>`` (proto:420-455) as one serialized
+        transaction: conditional add on the CURRENT value for the listed
+        keys, per-key (old, new, applied), UPDATED events for applied
+        rows only (an unapplied increment changes nothing => no event,
+        like StatusSame)."""
+        base = self.current()
+        value_cols = [c for c in base.columns if c != self.key_col]
+        targeted = base.filter(F.col(self.key_col).isin(list(keys)))
+        results = mutate_ops.increment(
+            targeted, value_col, delta, condition, key_col=self.key_col
+        ).cache()
+        results.count()
+        applied = results.filter(F.col("applied"))
+        new_state = (
+            base.join(
+                applied.select(self.key_col, "new_value"), self.key_col, "left"
+            )
+            .withColumn(
+                value_col, F.coalesce(F.col("new_value"), F.col(value_col))
+            )
+            .drop("new_value")
+        )
+        batch = self._write_version(new_state)
+        updated = new_state.join(applied.select(self.key_col), self.key_col)
+        self._emit(
+            updated.select(
+                F.col(self.key_col),
+                F.lit("UPDATED").alias("op"),
+                self._payload(updated, value_cols).alias("new"),
+                F.lit(None).cast("string").alias("old"),
+            ),
+            batch,
+        )
+        return results
+
+    def uint32slice_push(self, keys: Sequence[str], values: Sequence[int], ids_col: str = "ids") -> DataFrame:
+        """Reference ``Uint32SlicePush`` (proto:378-396) as one
+        serialized transaction: set-union into the targeted cells,
+        UPDATED events only for rows whose set actually changed."""
+        return self._uint32slice_op(keys, values, ids_col, push=True)
+
+    def uint32slice_delete(self, keys: Sequence[str], values: Sequence[int], ids_col: str = "ids") -> DataFrame:
+        """Reference ``Uint32SliceDelete`` (proto:398-404): set-minus;
+        missing values ignored; no event when nothing changed."""
+        return self._uint32slice_op(keys, values, ids_col, push=False)
+
+    def _uint32slice_op(
+        self, keys: Sequence[str], values: Sequence[int], ids_col: str, push: bool
+    ) -> DataFrame:
+        base = self.current()
+        value_cols = [c for c in base.columns if c != self.key_col]
+        lits = F.array(*[F.lit(int(v)) for v in values]).cast("array<bigint>")
+        targeted = F.col(self.key_col).isin(list(keys))
+        new_ids = (
+            F.array_distinct(F.concat(F.col(ids_col), lits))
+            if push
+            else F.array_except(F.col(ids_col), lits)
+        )
+        # array_distinct keeps first-seen order, array_except preserves
+        # order too — a changed set always differs element-wise
+        merged = base.withColumn(
+            "_new_ids", F.when(targeted, new_ids).otherwise(F.col(ids_col))
+        ).withColumn("_changed", ~(F.col("_new_ids") == F.col(ids_col)))
+        new_state = merged.withColumn(ids_col, F.col("_new_ids")).drop(
+            "_new_ids", "_changed"
+        )
+        changed = merged.filter(F.col("_changed")).cache()
+        changed.count()
+        batch = self._write_version(new_state)
+        ev_rows = new_state.join(changed.select(self.key_col), self.key_col)
+        self._emit(
+            ev_rows.select(
+                F.col(self.key_col),
+                F.lit("UPDATED").alias("op"),
+                self._payload(ev_rows, value_cols).alias("new"),
+                F.lit(None).cast("string").alias("old"),
+            ),
+            batch,
+        )
+        out = changed.select(self.key_col).withColumn("changed", F.lit(True))
+        changed.unpersist()
+        return out
+
     def shift_expired(self, now: datetime, how_many: int) -> DataFrame:
         """TTL-queue pop as one serialized transaction: claim, persist
         state without claimed rows, emit DELETED events, return claimed."""

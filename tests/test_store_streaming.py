@@ -333,3 +333,42 @@ def test_streaming_session_window_over_events(spark, tmp_path):
     finalized = {r["key"]: r["count"] for r in rows}
     # a and b finalized by the hour-later watermark; c still open
     assert finalized == {"a": 2, "b": 1}
+
+
+def test_store_increment_transaction(spark, tmp_path):
+    store = make_store(spark, tmp_path, BASE)
+    res = {
+        r["key"]: (r["old_value"], r["new_value"], r["applied"])
+        for r in store.increment(
+            ["a", "b"], "val", 10, condition=Cmp("val", Op.LT, 2)
+        ).collect()
+    }
+    assert res["a"] == (1, 11, True)  # val 1 < 2 -> applied
+    assert res["b"] == (2, 2, False)  # val 2 not < 2 -> unapplied
+    state = {r["key"]: r["val"] for r in store.current().collect()}
+    assert state == {"a": 11, "b": 2, "c": 3}
+    ev = [r["key"] for r in store.changes().collect() if r["op"] == "UPDATED"]
+    assert ev == ["a"]  # no event for the unapplied increment
+
+
+def test_store_uint32slice_transactions(spark, tmp_path):
+    store = TreasureStore(spark, str(tmp_path / "store"))
+    store.init(
+        spark.createDataFrame(
+            [("k1", [1, 2]), ("k2", [3])], "key string, ids array<bigint>"
+        )
+    )
+    out = {r["key"] for r in store.uint32slice_push(["k1", "k2"], [2, 4]).collect()}
+    assert out == {"k1", "k2"}  # k1 gains 4 (2 deduped), k2 gains 2 and 4
+    state = {r["key"]: r["ids"] for r in store.current().collect()}
+    assert state == {"k1": [1, 2, 4], "k2": [3, 2, 4]}
+
+    # deleting a missing value changes nothing -> no event, no result row
+    out2 = {r["key"] for r in store.uint32slice_delete(["k1"], [99]).collect()}
+    assert out2 == set()
+    out3 = {r["key"] for r in store.uint32slice_delete(["k1", "k2"], [2]).collect()}
+    assert out3 == {"k1", "k2"}
+    state = {r["key"]: r["ids"] for r in store.current().collect()}
+    assert state == {"k1": [1, 4], "k2": [3, 4]}
+    n_events = store.changes().filter(F.col("op") == "UPDATED").count()
+    assert n_events == 4  # push: k1+k2; delete(2): k1+k2; delete(99): none
