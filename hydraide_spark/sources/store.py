@@ -54,10 +54,23 @@ CHANGE_SCHEMA = T.StructType(
 
 
 class TreasureStore:
-    def __init__(self, spark: SparkSession, root: str, key_col: str = "key"):
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        key_col: str = "key",
+        partition_by: Sequence[str] = (),
+    ):
+        """``partition_by``: namespace columns (e.g. sanctuary/realm/
+        swamp) that shard every snapshot on disk — per-swamp reads
+        partition-prune to one directory, and on a cluster (Delta
+        dynamic partition overwrite) a version bump rewrites only the
+        partitions a batch touches. Locally each version is still a
+        full write; the LAYOUT is what carries to 100 TB."""
         self.spark = spark
         self.root = root
         self.key_col = key_col
+        self.partition_by = list(partition_by)
         os.makedirs(self.changes_dir, exist_ok=True)
 
     # -- layout ------------------------------------------------------------
@@ -97,7 +110,11 @@ class TreasureStore:
 
     def init(self, df: DataFrame) -> None:
         """Create v=0 without emitting events (bulk load / migration)."""
-        df.write.mode("overwrite").parquet(self._snapshot_path(self.version + 1))
+        self._writer(df).parquet(self._snapshot_path(self.version + 1))
+
+    def _writer(self, df: DataFrame):
+        w = df.write.mode("overwrite")
+        return w.partitionBy(*self.partition_by) if self.partition_by else w
 
     def changes(self) -> DataFrame:
         return self.spark.read.schema(CHANGE_SCHEMA).parquet(self.changes_dir)
@@ -132,7 +149,7 @@ class TreasureStore:
 
     def _write_version(self, df: DataFrame) -> int:
         v = self.version + 1
-        df.write.mode("overwrite").parquet(self._snapshot_path(v))
+        self._writer(df).parquet(self._snapshot_path(v))
         return v
 
     def _emit(self, events: DataFrame, batch_id: int) -> None:

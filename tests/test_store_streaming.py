@@ -372,3 +372,29 @@ def test_store_uint32slice_transactions(spark, tmp_path):
     assert state == {"k1": [1, 4], "k2": [3, 4]}
     n_events = store.changes().filter(F.col("op") == "UPDATED").count()
     assert n_events == 4  # push: k1+k2; delete(2): k1+k2; delete(99): none
+
+
+def test_partitioned_store_layout(spark, tmp_path):
+    import os
+
+    store = TreasureStore(spark, str(tmp_path / "pstore"), partition_by=["swamp"])
+    store.init(
+        spark.createDataFrame(
+            [("s1", "a", 1), ("s1", "b", 2), ("s2", "c", 3)],
+            "swamp string, key string, val long",
+        )
+    )
+    # namespace sharding is visible on disk: one directory per swamp
+    v0 = os.path.join(store.root, "v=0")
+    assert sorted(d for d in os.listdir(v0) if d.startswith("swamp=")) == [
+        "swamp=s1",
+        "swamp=s2",
+    ]
+    # mutations keep the layout and full semantics
+    store.set(
+        spark.createDataFrame([("s2", "c", 30)], "swamp string, key string, val long")
+    )
+    v1 = os.path.join(store.root, "v=1")
+    assert "swamp=s2" in os.listdir(v1)
+    state = {r["key"]: r["val"] for r in store.current().collect()}
+    assert state == {"a": 1, "b": 2, "c": 30}
