@@ -149,3 +149,19 @@ def normalize_text(text: Column) -> Column:
     an engine-side normalizer, NOT per-row Python."""
     cleaned = F.regexp_replace(F.lower(text), r"[^a-z0-9\s]", " ")
     return F.trim(F.regexp_replace(cleaned, r"\s+", " "))
+
+
+def reverse_index(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Word -> sorted posting list of doc ids — the reference's flagship
+    production pattern (hydrex / Uint32Slice reverse indexes: one swamp
+    per word, set-of-ids value; README "2M+ websites indexed"). One
+    explode + one groupBy; the word is the shuffle/partition key, so at
+    100 TB the index builds in a single pass and each word's posting
+    list lands in one partition. Returns (word, doc_ids, df_count)."""
+    tokens = df.select(
+        F.col(id_col), F.explode(F.array_distinct(tokenize(F.col(text_col)))).alias("word")
+    )
+    return tokens.groupBy("word").agg(
+        F.array_sort(F.collect_list(id_col)).alias("doc_ids"),
+        F.count(F.lit(1)).alias("df_count"),
+    )

@@ -359,3 +359,79 @@ def corpus_quality_report(spark, sf_dir):
             big(F.max("ntok")).alias("max_tokens"),
         )
     )
+
+
+@golden(
+    "reverse_index_build",
+    oracle="""
+    SELECT word,
+           CAST(COUNT(*) AS BIGINT) AS df_count,
+           CAST(MIN(doc_id) AS BIGINT) AS min_doc,
+           CAST(MAX(doc_id) AS BIGINT) AS max_doc
+    FROM (
+      SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS word
+      FROM documents
+    )
+    GROUP BY word HAVING COUNT(*) >= 50
+    """,
+)
+def reverse_index_build(spark, sf_dir):
+    """Builds the word->posting-list reverse index (the reference's
+    Trendizz pattern: one Uint32Slice swamp per word) in one explode +
+    groupBy pass; checked via per-word document frequency and posting
+    extremes for words with df >= 50 (arrays themselves are checked by
+    reverse_index_search)."""
+    from ..functions.text import reverse_index
+
+    docs = t(spark, sf_dir, "documents")
+    idx = reverse_index(docs, "doc_id", "text")
+    return idx.filter(F.col("df_count") >= 50).select(
+        "word",
+        big("df_count").alias("df_count"),
+        big(F.element_at("doc_ids", 1)).alias("min_doc"),
+        big(F.element_at("doc_ids", -1)).alias("max_doc"),
+    )
+
+
+@golden(
+    "reverse_index_search",
+    oracle="""
+    SELECT CAST(doc_id AS BIGINT) AS doc_id
+    FROM documents
+    WHERE contains(' ' || text || ' ', ' stream ')
+      AND contains(' ' || text || ' ', ' data ')
+      AND contains(' ' || text || ' ', ' query ')
+    """,
+)
+def reverse_index_search(spark, sf_dir):
+    """Multi-word AND search THROUGH the reverse index: intersect the
+    words' posting lists (array_intersect over 3 one-row lists — the
+    reference's client-side hydrex flow collapsed into one plan) instead
+    of scanning the corpus. The oracle scans the corpus directly, so the
+    gate proves index-route == scan-route (the reference's bucket-vs-
+    bypass invariant, applied to its own flagship workload)."""
+    from ..functions.text import reverse_index
+
+    docs = t(spark, sf_dir, "documents")
+    idx = reverse_index(docs, "doc_id", "text")
+    words = ["stream", "data", "query"]
+    postings = idx.filter(F.col("word").isin(words)).select("word", "doc_ids")
+    merged = postings.agg(
+        F.aggregate(
+            F.collect_list("doc_ids"),
+            F.lit(None).cast("array<bigint>"),
+            lambda acc, x: F.when(acc.isNull(), x).otherwise(F.array_intersect(acc, x)),
+        ).alias("hits"),
+        F.count(F.lit(1)).alias("n_words"),
+    )
+    # every word must have a posting list, else the AND is empty
+    return (
+        merged.select(
+            F.explode(
+                F.when(F.col("n_words") == len(words), F.col("hits")).otherwise(
+                    F.array().cast("array<bigint>")
+                )
+            ).alias("doc_id")
+        )
+        .select(big("doc_id").alias("doc_id"))
+    )
