@@ -69,6 +69,9 @@ HEADLINE = [
     "neardup_clusters",
     "minhash_lsh_neardup",
     "simhash_neardup",
+    "reverse_index_search",
+    "bm25_ranked_search",
+    "phrase_search_via_index",
     "text_quality_tokens",
     "corpus_quality_report",
     "lang_id_heuristic",

@@ -165,3 +165,88 @@ def reverse_index(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.array_sort(F.collect_list(id_col)).alias("doc_ids"),
         F.count(F.lit(1)).alias("df_count"),
     )
+
+
+def postings(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Positional posting lists in long form: one row per (word, doc)
+    with the sorted 1-based position list and term frequency — the
+    scale-friendly physical layout of the reference's word swamps
+    (value = ``map[doc][]positions``, reference
+    ``app/server/gateway/filter.go:562-589`` consumes the per-doc side).
+
+    Long form on purpose: at 100 TB a single array-per-word row turns
+    hot words into multi-GB cells; (word, doc) rows hash-partition
+    evenly, and any posting-array view is one further groupBy away.
+    One explode + one shuffle on (word, doc)."""
+    toks = df.select(
+        F.col(id_col),
+        F.posexplode(tokenize(F.col(text_col))).alias("pos", "word"),
+    )
+    return toks.groupBy("word", id_col).agg(
+        F.sort_array(F.collect_list(F.col("pos") + 1)).alias("positions"),
+        F.count(F.lit(1)).alias("tf"),
+    )
+
+
+def bm25_terms(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    query_words: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Per-(doc, word) BM25 term scores for a bag-of-words query —
+    ranked retrieval through the posting-list index (the reference's
+    Trendizz search is AND-membership only; BM25 is the standard ranked
+    upgrade on the identical index layout).
+
+    Plan shape: one corpus scan fans into (a) tf postings filtered to
+    the query words, (b) per-doc lengths; corpus-level N/avgdl is a
+    1-row aggregate broadcast to every partition, and per-word document
+    frequencies are a tiny broadcast dim. The only wide shuffle is the
+    postings groupBy — identical to the index build, so scoring adds
+    zero extra wide stages at 100 TB.
+
+    Term scores are emitted as DECIMAL(28,6) so the final per-doc sum is
+    exact and order-independent (oracle-replicable); all double
+    arithmetic keeps a deterministic operand order.
+
+    The (id, dl) frame is persisted: three consumers read it (the corpus
+    stats aggregate, the per-doc join, and nothing else re-derives it),
+    so the corpus text is scanned exactly twice — once for postings,
+    once for lengths — instead of once per consumer. dl is two narrow
+    columns (~16 B/doc), so the cache is negligible next to the corpus."""
+    dl = df.select(F.col(id_col), token_count(F.col(text_col)).alias("dl")).persist()
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    # persist the query-word postings: both dfreq and the scoring join
+    # read them; without the boundary each branch re-runs the full
+    # explode+groupBy pipeline (a second corpus scan). Filtered postings
+    # are tiny (rows only for the query's words).
+    post = (
+        postings(df, id_col, text_col)
+        .filter(F.col("word").isin(query_words))
+        .select("word", id_col, "tf")
+        .persist()
+    )
+    dfreq = post.groupBy("word").agg(F.count(F.lit(1)).alias("dfreq"))
+    joined = (
+        post.join(F.broadcast(dfreq), "word")
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(stats))
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("dfreq") + F.lit(0.5)) / (F.col("dfreq") + F.lit(0.5))
+    )
+    tf_norm = (F.col("tf") * F.lit(k1 + 1.0)) / (
+        F.col("tf")
+        + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
+    )
+    return joined.select(
+        F.col(id_col),
+        F.col("word"),
+        F.round(idf * tf_norm, 6).cast("decimal(28,6)").alias("term_score"),
+    )

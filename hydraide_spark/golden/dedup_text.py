@@ -435,3 +435,98 @@ def reverse_index_search(spark, sf_dir):
         )
         .select(big("doc_id").alias("doc_id"))
     )
+
+
+@golden(
+    "bm25_ranked_search",
+    oracle="""
+    WITH dl AS (
+      SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+      FROM documents
+    ),
+    stats AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl),
+    tf AS (
+      SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+      WHERE word IN ('stream', 'data', 'query')
+      GROUP BY doc_id, word
+    ),
+    dfreq AS (SELECT word, COUNT(*) AS dfreq FROM tf GROUP BY word),
+    term AS (
+      SELECT tf.doc_id,
+             CAST(round(
+               ln(1.0::DOUBLE + (n_docs - dfreq + 0.5::DOUBLE) / (dfreq + 0.5::DOUBLE))
+               * (tf * 2.2::DOUBLE)
+               / (tf + 1.2::DOUBLE * (0.25::DOUBLE + 0.75::DOUBLE * dl / avgdl)),
+               6) AS DECIMAL(28,6)) AS term_score
+      FROM tf
+      JOIN dfreq USING (word)
+      JOIN dl USING (doc_id)
+      CROSS JOIN stats
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_terms,
+           CAST(SUM(term_score) AS DOUBLE) AS score
+    FROM term GROUP BY doc_id
+    """,
+)
+def bm25_ranked_search(spark, sf_dir):
+    """Ranked retrieval THROUGH the posting-list index: BM25
+    (k1=1.2, b=0.75) for the bag-of-words query {stream, data, query}
+    over the same tf postings the reverse index is built from — the
+    ranked upgrade of the reference's AND-only Trendizz search (same
+    index layout, reference README "2M+ websites indexed"). Term
+    scores round to 6 decimals then sum as exact DECIMAL, so parallel
+    summation order cannot drift the hash; the exact decimal sum is
+    emitted (a further double round() would re-expose half-boundary
+    semantics differences between engines)."""
+    from ..functions.text import bm25_terms
+
+    docs = t(spark, sf_dir, "documents")
+    terms = bm25_terms(docs, "doc_id", "text", ["stream", "data", "query"])
+    return terms.groupBy("doc_id").agg(
+        big(F.count(F.lit(1))).alias("n_terms"),
+        F.sum("term_score").cast("double").alias("score"),
+    ).select(big("doc_id").alias("doc_id"), "n_terms", "score")
+
+
+@golden(
+    "phrase_search_via_index",
+    oracle="""
+    SELECT CAST(doc_id AS BIGINT) AS doc_id
+    FROM documents
+    WHERE contains(' ' || text || ' ', ' data stream ')
+    """,
+)
+def phrase_search_via_index(spark, sf_dir):
+    """Consecutive-word phrase search routed through the POSITIONAL
+    reverse index instead of a corpus scan: filter postings to the
+    phrase words (the filter pushes through the index groupBy to the
+    scan), rebuild each candidate doc's word->positions map, and keep
+    docs where some position p has word_i at p+i — the reference's
+    PhraseFilter consecutive-position semantics (filter.go:562-589)
+    executed index-side (its hydrex flow runs it doc-side after an
+    index fetch). Oracle scans the corpus directly, so the gate proves
+    index-route == scan-route on the reference's own flagship workload.
+    One scan, one shuffle on (word, doc), one on doc."""
+    from ..functions.text import postings
+
+    phrase = ["data", "stream"]
+    docs = t(spark, sf_dir, "documents")
+    post = postings(docs, "doc_id", "text").filter(F.col("word").isin(phrase))
+    per_doc = post.groupBy("doc_id").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("word"), F.col("positions")))
+        ).alias("m")
+    )
+
+    def consecutive(p):
+        cond = F.lit(True)
+        for i, w in enumerate(phrase[1:], start=1):
+            cond = cond & F.array_contains(F.element_at(F.col("m"), F.lit(w)), p + i)
+        return cond
+
+    return (
+        per_doc.filter(F.exists(F.element_at(F.col("m"), F.lit(phrase[0])), consecutive))
+        .select(big("doc_id").alias("doc_id"))
+    )
