@@ -3,6 +3,8 @@ from .subscribe import (
     subscribe_snapshot_then_live,
     subscribe_to_info,
     run_ttl_claim_loop,
+    run_index_maintenance_loop,
+    streaming_exact_dedup,
     windowed_event_rates,
     stateful_key_activity,
 )
@@ -12,6 +14,8 @@ __all__ = [
     "subscribe_snapshot_then_live",
     "subscribe_to_info",
     "run_ttl_claim_loop",
+    "run_index_maintenance_loop",
+    "streaming_exact_dedup",
     "windowed_event_rates",
     "stateful_key_activity",
 ]

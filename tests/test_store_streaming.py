@@ -398,3 +398,91 @@ def test_partitioned_store_layout(spark, tmp_path):
     assert "swamp=s2" in os.listdir(v1)
     state = {r["key"]: r["val"] for r in store.current().collect()}
     assert state == {"a": 1, "b": 2, "c": 30}
+
+
+def test_streaming_exact_dedup_bounded_state(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: duplicate fingerprints arriving in
+    later micro-batches (within the watermark horizon) are suppressed;
+    each distinct key is emitted exactly once."""
+    from hydraide_spark.streaming import streaming_exact_dedup
+
+    src = tmp_path / "docs_in"
+    src.mkdir()
+    schema = "doc_id long, fp string, ts timestamp"
+    t0 = datetime(2024, 1, 1, 12, 0, 0)
+    # batch 1: two distinct docs; batch 2: one dup of fp=A + one new
+    spark.createDataFrame(
+        [(1, "A", t0), (2, "B", t0 + timedelta(seconds=10))], schema
+    ).coalesce(1).write.parquet(str(src / "b1"))
+    spark.createDataFrame(
+        [(3, "A", t0 + timedelta(seconds=20)), (4, "C", t0 + timedelta(seconds=30))],
+        schema,
+    ).coalesce(1).write.parquet(str(src / "b2"))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    deduped = streaming_exact_dedup(stream, ["fp"], "ts", "10 minutes")
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_out")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = spark.sql("SELECT fp FROM dedup_out").collect()
+    finally:
+        q.stop()
+    fps = sorted(r["fp"] for r in rows)
+    assert fps == ["A", "B", "C"]  # the second A was suppressed
+
+
+def test_index_maintenance_loop_incremental_postings(spark, tmp_path):
+    """Streaming reverse-index maintenance: per-batch merges converge to
+    the same posting lists a full batch build produces, with Uint32Slice
+    push semantics (NEW word -> NEW event, grown list -> UPDATED, re-add
+    of existing ids -> no event)."""
+    from hydraide_spark.streaming import run_index_maintenance_loop
+
+    store = TreasureStore(spark, str(tmp_path / "idx"))
+    store.init(
+        spark.createDataFrame([], "key string, ids array<bigint>")
+    )
+    src = tmp_path / "docs_in"
+    src.mkdir()
+    schema = "doc_id long, text string"
+    spark.createDataFrame(
+        [(1, "spark query engine"), (2, "query planner")], schema
+    ).coalesce(1).write.parquet(str(src / "b1"))
+    spark.createDataFrame(
+        [(3, "query engine rewrite"), (1, "spark query engine")], schema
+    ).coalesce(1).write.parquet(str(src / "b2"))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    q = run_index_maintenance_loop(store, stream)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {r["key"]: list(r["ids"]) for r in store.current().collect()}
+    assert got == {
+        "spark": [1],
+        "query": [1, 2, 3],
+        "engine": [1, 3],
+        "planner": [2],
+        "rewrite": [3],
+    }
+    # events: batch1 all NEW; batch2: engine/query UPDATED, rewrite NEW,
+    # and doc 1's re-push of (spark,1) etc. emits NOTHING (no event).
+    ev = [(r["op"], r["key"]) for r in store.changes().collect()]
+    assert ("NEW", "rewrite") in ev
+    assert ("UPDATED", "engine") in ev and ("UPDATED", "query") in ev
+    assert ("UPDATED", "spark") not in ev and ev.count(("NEW", "spark")) == 1
