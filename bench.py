@@ -39,6 +39,8 @@ HEADLINE = [
     "multiway_join_volume",
     "salted_skew_join",
     "semi_anti_join",
+    "asof_join_events",
+    "geo_radius_pairs",
     "topk_per_group",
     "windowed_event_stats",
     "session_windows",

@@ -381,3 +381,40 @@ def multiway_join_volume(spark, sf_dir):
             big(F.count(F.lit(1))).alias("n_items"),
         )
     )
+
+
+@golden(
+    "asof_join_events",
+    oracle="""
+    SELECT CAST(l.event_id AS BIGINT) AS event_id,
+           CAST(l.user_id AS BIGINT) AS user_id,
+           l.ts AS click_ts,
+           r.ts AS asof_ts,
+           r.value AS value_asof
+    FROM (SELECT * FROM events WHERE event_type = 'click') l
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
+      ON l.user_id = r.user_id AND l.ts >= r.ts
+    """,
+)
+def asof_join_events(spark, sf_dir):
+    """As-of join (operators/asof.py): for every click, the user's most
+    recent purchase value at-or-before the click. Union + ordered-window
+    formulation — ONE shuffle on user_id, no range-join candidate
+    explosion (docstring there argues the 100 TB case). Oracle is
+    DuckDB's native ASOF LEFT JOIN, so the gate certifies our
+    formulation against an independent as-of implementation."""
+    from ..operators.asof import asof_join
+
+    ev = t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    purchases = ev.filter(F.col("event_type") == "purchase").select("user_id", "ts", "value")
+    res = asof_join(
+        clicks, purchases, on="user_id", left_ts="ts", right_ts="ts", value_cols=["value"]
+    )
+    return res.select(
+        big("event_id").alias("event_id"),
+        big("user_id").alias("user_id"),
+        F.col("ts").alias("click_ts"),
+        F.col("asof_ts"),
+        F.col("value_asof"),
+    )

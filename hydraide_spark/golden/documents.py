@@ -181,3 +181,46 @@ def labeled_search_meta(spark, sf_dir):
         big("doc_id").alias("doc_id"),
         F.concat_ws("|", F.col("matched_labels")).alias("matched"),
     )
+
+
+_HAV_PAIR = """
+      2 * 6371.0088 * atan2(
+        sqrt(sin(radians(b.lat - a.lat) / 2) * sin(radians(b.lat - a.lat) / 2)
+             + cos(radians(a.lat)) * cos(radians(b.lat))
+               * sin(radians(b.lng - a.lng) / 2) * sin(radians(b.lng - a.lng) / 2)),
+        sqrt(1 - (sin(radians(b.lat - a.lat) / 2) * sin(radians(b.lat - a.lat) / 2)
+             + cos(radians(a.lat)) * cos(radians(b.lat))
+               * sin(radians(b.lng - a.lng) / 2) * sin(radians(b.lng - a.lng) / 2))))
+"""
+
+
+@golden(
+    "geo_radius_pairs",
+    oracle=f"""
+    WITH g AS ({_GEO_SQL}),
+    pts AS (SELECT doc_id, lat, lng FROM g WHERE NOT (lat = 0.0 AND lng = 0.0))
+    SELECT CAST(a.doc_id AS BIGINT) AS id_l,
+           CAST(b.doc_id AS BIGINT) AS id_r,
+           round({_HAV_PAIR}, 4) AS distance_km
+    FROM pts a JOIN pts b ON a.doc_id < b.doc_id
+    WHERE {_HAV_PAIR} <= 5.0
+    """,
+)
+def geo_radius_pairs(spark, sf_dir):
+    """Spatial radius self-join (operators/spatial.py): all point pairs
+    within 5 km — grid-cell blocking (3x3 neighbor equi-join, pairs
+    surface exactly once after id_l < id_r canonicalization), Haversine
+    verify with the reference's formula. The oracle is the O(n²)
+    cross-join definition, so the gate proves blocked-route ==
+    brute-force-route (the reference's bucket-vs-bypass invariant on a
+    spatial workload); the engine plan contains no cartesian product
+    (tests/test_asof_spatial.py asserts the plan shape)."""
+    from ..operators.spatial import radius_pairs
+
+    pts = _docs_with_geo(spark, sf_dir)
+    pairs = radius_pairs(pts, "doc_id", "lat", "lng", 5.0)
+    return pairs.select(
+        big("id_l").alias("id_l"),
+        big("id_r").alias("id_r"),
+        F.round("distance_km", 4).alias("distance_km"),
+    )
