@@ -77,6 +77,8 @@ HEADLINE = [
     "text_quality_tokens",
     "corpus_quality_report",
     "lang_id_heuristic",
+    "stratified_sample_docs",
+    "train_test_split_docs",
     "multimodal_features",
 ]
 

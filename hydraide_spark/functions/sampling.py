@@ -1,0 +1,100 @@
+"""Deterministic sampling for training-data pipelines: uniform hash
+sampling, stratified sampling, and train/test splits.
+
+Sampling at 100 TB has two hard requirements a naive ``df.sample()``
+misses:
+
+- **Reproducibility independent of partitioning.** Spark's ``sample``
+  draws per-partition from a seeded RNG — add one file to the input and
+  every row's draw changes. Hash sampling decides per ROW from a hash
+  of its key, so the same row is in the same split forever, across
+  reruns, repartitions, engines, and incremental loads (the property a
+  train/test split must have to avoid leakage when the corpus grows).
+- **No extra pass or shuffle.** The decision is a scalar expression on
+  the scan: it pushes into the columnar read, costs one hash per row,
+  and composes with any downstream operator.
+
+Two hash modes, same convention as dedup.py's MinHash:
+
+- ``method='xxhash64'`` (default): seeded JVM ``xxhash64`` — fastest,
+  whole-stage-codegen, the production path.
+- ``method='md5'`` (engine-stable): first 8 hex chars of md5 as a u32 —
+  bit-identical in any engine that has md5 (the oracle gate runs this
+  mode), ~a few× slower.
+"""
+
+from __future__ import annotations
+
+from typing import Mapping
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+_U32 = 1 << 32
+
+
+def sample_bucket(key: Column, salt: str = "", method: str = "md5") -> Column:
+    """Uniform bucket in [0, 2^32) derived from the row key — the
+    primitive every sampler here shares. md5 mode is engine-stable:
+    ``conv(substr(md5(key || '|' || salt), 1, 8), 16, 10)`` reproduces
+    in any SQL engine; xxhash64 mode hashes (key, salt) JVM-side."""
+    if method == "md5":
+        return F.conv(
+            F.substring(F.md5(F.concat_ws("|", key.cast("string"), F.lit(salt))), 1, 8),
+            16,
+            10,
+        ).cast("bigint")
+    if method == "xxhash64":
+        # map the signed i64 hash onto [0, 2^32) uniformly (pmod is
+        # overflow-free under ANSI arithmetic)
+        h = F.xxhash64(key, F.lit(salt))
+        return F.pmod(h, F.lit(_U32)).cast("bigint")
+    raise ValueError(f"method must be md5|xxhash64, got {method!r}")
+
+
+def hash_sample(
+    df: DataFrame, key_col: str, fraction: float, salt: str = "", method: str = "md5"
+) -> DataFrame:
+    """Keep ~``fraction`` of rows, decided per row by key hash —
+    reproducible under repartitioning and incremental appends."""
+    threshold = int(fraction * _U32)
+    return df.filter(sample_bucket(F.col(key_col), salt, method) < F.lit(threshold))
+
+
+def train_test_split(
+    df: DataFrame,
+    key_col: str,
+    test_fraction: float,
+    salt: str = "",
+    method: str = "md5",
+    split_col: str = "split",
+) -> DataFrame:
+    """Tag every row 'train' / 'test' — complementary by construction
+    (one hash, one comparison), so the split is exhaustive and disjoint
+    and a row never migrates when the corpus grows."""
+    threshold = int(test_fraction * _U32)
+    bucket = sample_bucket(F.col(key_col), salt, method)
+    return df.withColumn(
+        split_col, F.when(bucket < F.lit(threshold), F.lit("test")).otherwise(F.lit("train"))
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: Mapping[str, float],
+    key_col: str,
+    salt: str = "",
+    method: str = "md5",
+) -> DataFrame:
+    """Per-stratum hash sampling (e.g. per-language rates when
+    rebalancing a corpus). Strata absent from ``fractions`` are
+    dropped — the common rebalance contract (matches
+    ``DataFrame.sampleBy``). Still a single scalar predicate on the
+    scan: no shuffle, no per-stratum pass."""
+    bucket = sample_bucket(F.col(key_col), salt, method)
+    pred = F.lit(False)
+    for stratum, frac in fractions.items():
+        pred = pred | (
+            (F.col(strata_col) == F.lit(stratum)) & (bucket < F.lit(int(frac * _U32)))
+        )
+    return df.filter(pred)

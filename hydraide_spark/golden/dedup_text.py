@@ -530,3 +530,59 @@ def phrase_search_via_index(spark, sf_dir):
         per_doc.filter(F.exists(F.element_at(F.col("m"), F.lit(phrase[0])), consecutive))
         .select(big("doc_id").alias("doc_id"))
     )
+
+
+_SAMPLE_BUCKET_SQL = (
+    "('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|corpus_v1'), 1, 8))::UBIGINT"
+)
+
+
+@golden(
+    "stratified_sample_docs",
+    oracle=f"""
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, lang
+    FROM documents
+    WHERE (lang = 'en' AND {_SAMPLE_BUCKET_SQL} < 1073741824)
+       OR (lang = 'de' AND {_SAMPLE_BUCKET_SQL} < 3221225472)
+       OR (lang = 'zh' AND {_SAMPLE_BUCKET_SQL} < 4294967296)
+    """,
+)
+def stratified_sample_docs(spark, sf_dir):
+    """Stratified corpus rebalance (downsample the dominant language,
+    upweight the rare ones): per-stratum hash sampling decided row-wise
+    from md5(key) — reproducible under repartitioning, engine-stable
+    (the oracle recomputes the identical buckets), zero shuffles (the
+    predicate sits on the scan). fr/es absent from the fraction map are
+    dropped (sampleBy contract)."""
+    from ..functions.sampling import stratified_sample
+
+    docs = t(spark, sf_dir, "documents")
+    out = stratified_sample(
+        docs,
+        "lang",
+        {"en": 0.25, "de": 0.75, "zh": 1.0},
+        key_col="doc_id",
+        salt="corpus_v1",
+    )
+    return out.select(big("doc_id").alias("doc_id"), "lang")
+
+
+@golden(
+    "train_test_split_docs",
+    oracle=f"""
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CASE WHEN {_SAMPLE_BUCKET_SQL} < 429496729 THEN 'test' ELSE 'train' END AS split
+    FROM documents
+    """,
+)
+def train_test_split_docs(spark, sf_dir):
+    """Leakage-proof 90/10 split: one hash, one comparison, per-row —
+    a document keeps its split across reruns, repartitions, engines,
+    and corpus growth (appends never reshuffle existing assignments,
+    unlike seeded per-partition sampling). Exhaustive + disjoint by
+    construction; the oracle re-derives every assignment."""
+    from ..functions.sampling import train_test_split
+
+    docs = t(spark, sf_dir, "documents")
+    out = train_test_split(docs, "doc_id", 0.1, salt="corpus_v1")
+    return out.select(big("doc_id").alias("doc_id"), "split")

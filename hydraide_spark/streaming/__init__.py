@@ -1,3 +1,4 @@
+from .rollup import rollup_batch, run_rollup_maintenance_loop
 from .subscribe import (
     subscribe,
     subscribe_snapshot_then_live,
@@ -10,6 +11,8 @@ from .subscribe import (
 )
 
 __all__ = [
+    "rollup_batch",
+    "run_rollup_maintenance_loop",
     "subscribe",
     "subscribe_snapshot_then_live",
     "subscribe_to_info",

@@ -1,0 +1,102 @@
+"""Continuous aggregate (hypertable-style rollup) maintenance: a
+time-bucketed aggregate table kept incrementally up to date as events
+stream in.
+
+The reference keeps only a wall-clock rolling telemetry buffer
+(proto:2393-2458); a time-series store's continuous aggregate — the
+thing dashboards and training-data curricula read instead of raw
+events — is the standard scale upgrade. The design rule at 100 TB:
+NEVER recompute the rollup from the event history. Each micro-batch is
+partially aggregated (map-side combine inside the batch), then merged
+into the rollup store keyed by (window_start, group keys) — counts and
+decimal sums are associative, so batch-partial + stored-total is exact
+regardless of how events were batched. Per-batch work scales with the
+batch's distinct windows, not with history length; windows untouched by
+a batch are never read or rewritten, and subscribers get UPDATED change
+events only for the windows a batch actually moved (the store's
+no-op-suppression contract).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..sources.store import TreasureStore
+
+SUM_DECIMAL = "decimal(28,6)"
+
+
+def rollup_batch(
+    events: DataFrame,
+    ts_col: str = "ts",
+    window: str = "hour",
+    key_cols: Sequence[str] = ("event_type",),
+    value_col: str = "value",
+) -> DataFrame:
+    """One batch's partial rollup: (key, window_start, group keys,
+    n_events, total) with the store key `window_start|k1|k2...`.
+    ``window`` is a date_trunc unit (hour/day/week...)."""
+    win = F.date_trunc(window, F.col(ts_col)).alias("window_start")
+    out = events.groupBy(win, *[F.col(k) for k in key_cols]).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col(value_col).cast(SUM_DECIMAL)).alias("total"),
+    )
+    key = F.concat_ws(
+        "|", F.col("window_start").cast("string"), *[F.col(k) for k in key_cols]
+    )
+    return out.select(key.alias("key"), "window_start", *key_cols, "n_events", "total")
+
+
+def run_rollup_maintenance_loop(
+    store: TreasureStore,
+    events_stream: DataFrame,
+    ts_col: str = "ts",
+    window: str = "hour",
+    key_cols: Sequence[str] = ("event_type",),
+    value_col: str = "value",
+    queue_name: str = "rollup_maintenance",
+):
+    """Start the maintenance stream; returns the StreamingQuery.
+
+    foreachBatch merge: partial-aggregate the batch, left-join the
+    store's current rows ON THE BATCH'S KEYS ONLY, add counts/sums
+    (associative — exact under any batching), ``store.set`` the merged
+    rows. Crash between snapshot write and checkpoint commit replays
+    the batch; the store's versioned snapshots make the re-merge
+    idempotent per epoch at-least-once — production tables would use a
+    Delta MERGE keyed by (window, epoch) for exactly-once."""
+
+    def merge(batch_df: DataFrame, _epoch: int) -> None:
+        if batch_df.isEmpty():
+            return
+        part = rollup_batch(batch_df, ts_col, window, key_cols, value_col)
+        cur = store.current().select(
+            "key",
+            F.col("n_events").alias("_cur_n"),
+            F.col("total").alias("_cur_total"),
+        )
+        updates = (
+            part.join(cur, "key", "left")
+            .select(
+                "key",
+                "window_start",
+                *key_cols,
+                (F.coalesce(F.col("_cur_n"), F.lit(0)) + F.col("n_events")).alias(
+                    "n_events"
+                ),
+                (
+                    F.coalesce(F.col("_cur_total"), F.lit(0).cast(SUM_DECIMAL))
+                    + F.col("total")
+                ).cast(SUM_DECIMAL).alias("total"),
+            )
+        )
+        store.set(updates)
+
+    return (
+        events_stream.writeStream.outputMode("append")
+        .queryName(queue_name)
+        .foreachBatch(merge)
+        .start()
+    )

@@ -1,0 +1,73 @@
+"""Deterministic-sampling tests: partition-invariance (the property
+seeded ``df.sample`` lacks), split disjointness/exhaustiveness,
+per-stratum rates, and agreement between the md5 and xxhash64 modes'
+statistical behavior.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hydraide_spark.functions.sampling import (
+    hash_sample,
+    sample_bucket,
+    stratified_sample,
+    train_test_split,
+)
+
+
+def _ids(spark, n=2000, parts=4):
+    return spark.range(0, n, 1, parts).withColumnRenamed("id", "key")
+
+
+def test_sample_is_partition_invariant(spark):
+    a = {r["key"] for r in hash_sample(_ids(spark, parts=2), "key", 0.3).collect()}
+    b = {r["key"] for r in hash_sample(_ids(spark, parts=13), "key", 0.3).collect()}
+    assert a == b  # same rows regardless of physical layout
+
+
+def test_sample_fraction_and_nesting(spark):
+    df = _ids(spark)
+    s30 = hash_sample(df, "key", 0.3)
+    s10 = hash_sample(df, "key", 0.1)
+    n30, n10 = s30.count(), s10.count()
+    assert abs(n30 / 2000 - 0.3) < 0.05 and abs(n10 / 2000 - 0.1) < 0.05
+    # smaller fraction is a SUBSET of the larger (same hash, lower cut):
+    # shrinking a sample never rotates membership
+    assert {r["key"] for r in s10.collect()} <= {r["key"] for r in s30.collect()}
+
+
+def test_train_test_split_disjoint_exhaustive(spark):
+    df = _ids(spark)
+    out = train_test_split(df, "key", 0.2)
+    counts = {r["split"]: r["count"] for r in out.groupBy("split").count().collect()}
+    assert counts["test"] + counts["train"] == 2000
+    assert abs(counts["test"] / 2000 - 0.2) < 0.05
+    # append new rows: existing assignments unchanged
+    bigger = train_test_split(_ids(spark, 3000), "key", 0.2)
+    old = {r["key"]: r["split"] for r in out.collect()}
+    new = {r["key"]: r["split"] for r in bigger.collect() if r["key"] < 2000}
+    assert old == new
+
+
+def test_stratified_rates_and_drop(spark):
+    df = _ids(spark).withColumn(
+        "stratum", F.when(F.col("key") % 3 == 0, "a").when(F.col("key") % 3 == 1, "b").otherwise("c")
+    )
+    out = stratified_sample(df, "stratum", {"a": 1.0, "b": 0.25}, "key")
+    counts = {r["stratum"]: r["count"] for r in out.groupBy("stratum").count().collect()}
+    assert counts["a"] == df.filter("stratum = 'a'").count()  # rate 1.0 keeps all
+    assert abs(counts["b"] / df.filter("stratum = 'b'").count() - 0.25) < 0.07
+    assert "c" not in counts  # absent stratum dropped
+
+
+def test_xxhash_mode_uniform_and_deterministic(spark):
+    df = _ids(spark)
+    s = hash_sample(df, "key", 0.5, method="xxhash64")
+    n = s.count()
+    assert abs(n / 2000 - 0.5) < 0.05
+    assert {r["key"] for r in s.collect()} == {r["key"] for r in s.collect()}
+    # salt decorrelates
+    b1 = df.select(sample_bucket(F.col("key"), "s1", "xxhash64").alias("b")).collect()
+    b2 = df.select(sample_bucket(F.col("key"), "s2", "xxhash64").alias("b")).collect()
+    assert [r["b"] for r in b1] != [r["b"] for r in b2]

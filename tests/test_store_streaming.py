@@ -486,3 +486,57 @@ def test_index_maintenance_loop_incremental_postings(spark, tmp_path):
     assert ("NEW", "rewrite") in ev
     assert ("UPDATED", "engine") in ev and ("UPDATED", "query") in ev
     assert ("UPDATED", "spark") not in ev and ev.count(("NEW", "spark")) == 1
+
+
+def test_rollup_maintenance_converges_to_batch_recompute(spark, tmp_path):
+    """Continuous aggregate: per-batch partial-agg + associative merge
+    over the store equals a from-scratch rollup of all events; only
+    touched windows emit change events."""
+    from hydraide_spark.streaming import rollup_batch, run_rollup_maintenance_loop
+
+    store = TreasureStore(spark, str(tmp_path / "rollup"))
+    store.init(
+        spark.createDataFrame(
+            [],
+            "key string, window_start timestamp, event_type string,"
+            " n_events bigint, total decimal(28,6)",
+        )
+    )
+    src = tmp_path / "ev_in"
+    src.mkdir()
+    schema = "event_id long, ts timestamp, event_type string, value double"
+    h0 = datetime(2024, 3, 1, 10, 0, 0)
+    b1 = [(1, h0, "click", 1.5), (2, h0.replace(minute=30), "click", 2.5),
+          (3, h0.replace(hour=11), "view", 1.0)]
+    b2 = [(4, h0.replace(minute=45), "click", 4.0),  # grows the 10:00/click window
+          (5, h0.replace(hour=12), "view", 9.0)]     # new window
+    spark.createDataFrame(b1, schema).coalesce(1).write.parquet(str(src / "b1"))
+    spark.createDataFrame(b2, schema).coalesce(1).write.parquet(str(src / "b2"))
+
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(str(src / "*"))
+    )
+    q = run_rollup_maintenance_loop(store, stream)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {
+        r["key"]: (r["n_events"], float(r["total"]))
+        for r in store.current().collect()
+    }
+    full = spark.createDataFrame(b1 + b2, schema)
+    exp = {
+        r["key"]: (r["n_events"], float(r["total"]))
+        for r in rollup_batch(full).collect()
+    }
+    assert got == exp and len(got) == 3
+
+    # the second batch must NOT have rewritten/evented the 11:00 view
+    # window (untouched), but must have UPDATED 10:00/click.
+    ev = [(r["op"], r["key"], r["batch_id"]) for r in store.changes().collect()]
+    last_batch = max(b for _, _, b in ev)
+    touched_last = {k for op, k, b in ev if b == last_batch}
+    assert any(k.startswith("2024-03-01 10:00:00") and "click" in k for k in touched_last)
+    assert not any("view" in k and "11:00:00" in k for k in touched_last)
