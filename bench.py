@@ -77,6 +77,7 @@ HEADLINE = [
     "text_quality_tokens",
     "corpus_quality_report",
     "lang_id_heuristic",
+    "repetition_signals_docs",
     "stratified_sample_docs",
     "train_test_split_docs",
     "multimodal_features",

@@ -140,6 +140,94 @@ def shingles(text: Column, n: int = 3) -> Column:
     )
 
 
+def _run_length_stats(sorted_arr: Column) -> Column:
+    """Longest equal-run length and total duplicated-element count of a
+    SORTED array, as ``struct(top_n, dup_n)`` — one ``aggregate`` pass
+    with a struct accumulator (prev element, current run, best run,
+    duplicate total). Equal elements are adjacent after the sort, so a
+    single linear scan recovers every per-element frequency without a
+    groupBy: the whole computation is row-local."""
+    zero = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).cast("bigint").alias("run"),
+        F.lit(0).cast("bigint").alias("best"),
+        F.lit(0).cast("bigint").alias("dupn"),
+    )
+
+    def close_run(acc):
+        # fold the just-finished run into best/dup totals
+        return (
+            F.greatest(acc.getField("best"), acc.getField("run")),
+            acc.getField("dupn")
+            + F.when(acc.getField("run") > 1, acc.getField("run")).otherwise(
+                F.lit(0).cast("bigint")
+            ),
+        )
+
+    def merge(acc, x):
+        same = acc.getField("prev").isNotNull() & (x == acc.getField("prev"))
+        best, dupn = close_run(acc)
+        return F.struct(
+            x.alias("prev"),
+            F.when(same, acc.getField("run") + 1)
+            .otherwise(F.lit(1).cast("bigint"))
+            .alias("run"),
+            F.when(same, acc.getField("best")).otherwise(best).alias("best"),
+            F.when(same, acc.getField("dupn")).otherwise(dupn).alias("dupn"),
+        )
+
+    def finish(acc):
+        best, dupn = close_run(acc)
+        return F.struct(best.alias("top_n"), dupn.alias("dup_n"))
+
+    return F.aggregate(sorted_arr, zero, merge, finish)
+
+
+def repetition_signals(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Gopher-style per-document repetition signals: token count, most
+    frequent unigram/bigram count, total duplicated-token counts, and a
+    boolean ``repetitive`` filter flag.
+
+    Scale design: every statistic is a function of ONE document, so it
+    is computed row-locally (sort the token array, run-length scan via
+    ``aggregate``) — zero shuffles, zero explodes; the whole operator
+    rides the scan stage and parallelizes with input splits at 100 TB.
+    The naive explode + groupBy(doc, gram) formulation (which the DuckDB
+    oracle uses — an independent algorithm) would shuffle the entire
+    corpus's tokens.
+
+    Thresholds are integer cross-multiplications (no float division) so
+    any engine reproduces the flag exactly: repetitive ⇔ duplicated
+    unigram fraction > 0.8 OR some bigram repeats AND covers > 0.1 of
+    bigram slots (the >1 guard keeps short all-distinct docs clean —
+    a lone bigram always "covers" 1/(n-1))."""
+    toks = tokenize(F.col(text_col))
+    n = F.size(toks).cast("bigint")
+    bigrams = F.zip_with(
+        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    uni = _run_length_stats(F.array_sort(toks))
+    bi = _run_length_stats(F.array_sort(bigrams))
+    stats = df.select(
+        F.col(id_col),
+        n.alias("n_tokens"),
+        uni.getField("top_n").alias("top_unigram_n"),
+        uni.getField("dup_n").alias("dup_unigram_n"),
+        bi.getField("top_n").alias("top_bigram_n"),
+        bi.getField("dup_n").alias("dup_bigram_n"),
+    )
+    return stats.withColumn(
+        "repetitive",
+        (F.col("dup_unigram_n") * 10 > F.col("n_tokens") * 8)
+        | (
+            (F.col("top_bigram_n") > 1)
+            & (F.col("top_bigram_n") * 10 > (F.col("n_tokens") - 1) * 1)
+        ),
+    )
+
+
 def normalize_text(text: Column) -> Column:
     """Canonical text normalization for dedup/fingerprint keys: lowercase,
     strip non-alphanumerics to spaces, collapse whitespace runs, trim —

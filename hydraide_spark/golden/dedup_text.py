@@ -532,6 +532,68 @@ def phrase_search_via_index(spark, sf_dir):
     )
 
 
+@golden(
+    "repetition_signals_docs",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    uni AS (
+      SELECT doc_id, w, count(*) AS c
+      FROM toks, unnest(t) AS u(w) GROUP BY doc_id, w
+    ),
+    uni_doc AS (
+      SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+             CAST(max(c) AS BIGINT) AS top_unigram_n,
+             CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS dup_unigram_n
+      FROM uni GROUP BY doc_id
+    ),
+    bigs AS (
+      SELECT doc_id,
+             list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1]) AS g
+      FROM toks
+    ),
+    bi AS (
+      SELECT doc_id, w, count(*) AS c
+      FROM bigs, unnest(g) AS u(w) GROUP BY doc_id, w
+    ),
+    bi_doc AS (
+      SELECT doc_id, CAST(max(c) AS BIGINT) AS top_bigram_n,
+             CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS dup_bigram_n
+      FROM bi GROUP BY doc_id
+    )
+    SELECT u.doc_id, u.n_tokens, u.top_unigram_n, u.dup_unigram_n,
+           COALESCE(b.top_bigram_n, 0) AS top_bigram_n,
+           COALESCE(b.dup_bigram_n, 0) AS dup_bigram_n,
+           (u.dup_unigram_n * 10 > u.n_tokens * 8
+            OR (COALESCE(b.top_bigram_n, 0) > 1
+                AND COALESCE(b.top_bigram_n, 0) * 10 > (u.n_tokens - 1) * 1)
+           ) AS repetitive
+    FROM uni_doc u LEFT JOIN bi_doc b USING (doc_id)
+    """,
+)
+def repetition_signals_docs(spark, sf_dir):
+    """Gopher-style repetition quality signals, row-local (zero-shuffle
+    run-length scan over the sorted token array) vs the oracle's
+    independent explode + GROUP BY formulation — two different
+    algorithms must produce identical counts and flags. Thresholds are
+    integer cross-multiplications (CLAUDE.md oracle rule: no float
+    division in a hashed column)."""
+    from ..functions.text import repetition_signals
+
+    docs = t(spark, sf_dir, "documents")
+    out = repetition_signals(docs, "doc_id", "text")
+    return out.select(
+        big("doc_id").alias("doc_id"),
+        "n_tokens",
+        "top_unigram_n",
+        "dup_unigram_n",
+        "top_bigram_n",
+        "dup_bigram_n",
+        "repetitive",
+    )
+
+
 _SAMPLE_BUCKET_SQL = (
     "('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|corpus_v1'), 1, 8))::UBIGINT"
 )
