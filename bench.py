@@ -40,6 +40,7 @@ HEADLINE = [
     "salted_skew_join",
     "semi_anti_join",
     "asof_join_events",
+    "interval_join_incidents",
     "geo_radius_pairs",
     "topk_per_group",
     "windowed_event_stats",

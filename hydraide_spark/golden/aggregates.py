@@ -418,3 +418,49 @@ def asof_join_events(spark, sf_dir):
         F.col("asof_ts"),
         F.col("value_asof"),
     )
+
+
+@golden(
+    "interval_join_incidents",
+    oracle="""
+    WITH inc AS (
+      SELECT event_id AS incident_id, user_id,
+             ts AS lo, ts + INTERVAL 6 HOUR AS hi
+      FROM events WHERE event_type = 'error'
+    )
+    SELECT CAST(i.incident_id AS BIGINT) AS incident_id,
+           CAST(e.event_id AS BIGINT) AS event_id,
+           CAST(e.user_id AS BIGINT) AS user_id,
+           e.event_type
+    FROM events e JOIN inc i
+      ON e.user_id = i.user_id AND e.ts >= i.lo AND e.ts < i.hi
+    """,
+)
+def interval_join_incidents(spark, sf_dir):
+    """Range join (operators/range_join.py): attribute every event to
+    the same-user error-incident windows [error_ts, +6h) that contain
+    it. Grid-cell blocking (grain = the 6h window length, so each
+    interval explodes to <= 2 cells) turns the range predicate into an
+    equi-join on (user_id, cell) + exact verify — the naive ON-range
+    plan is a nested-loop join, O(events x incidents). Oracle is the
+    naive formulation in DuckDB: blocked ≡ nested-loop, exactly."""
+    from ..operators.range_join import interval_join
+
+    ev = t(spark, sf_dir, "events")
+    incidents = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("incident_id"),
+        "user_id",
+        F.col("ts").alias("lo"),
+        (F.col("ts") + F.expr("INTERVAL 6 HOURS")).alias("hi"),
+    )
+    points = ev.select("event_id", "user_id", "ts", "event_type")
+    res = interval_join(
+        points, incidents, ts_col="ts", lo_col="lo", hi_col="hi",
+        keys=["user_id"], grain_seconds=6 * 3600,
+    )
+    return res.select(
+        big("incident_id").alias("incident_id"),
+        big("event_id").alias("event_id"),
+        big("user_id").alias("user_id"),
+        "event_type",
+    )
