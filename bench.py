@@ -81,6 +81,7 @@ HEADLINE = [
     "repetition_signals_docs",
     "stratified_sample_docs",
     "train_test_split_docs",
+    "pack_token_shards_docs",
     "multimodal_features",
 ]
 

@@ -98,3 +98,65 @@ def stratified_sample(
             (F.col(strata_col) == F.lit(stratum)) & (bucket < F.lit(int(frac * _U32)))
         )
     return df.filter(pred)
+
+
+def pack_token_shards(
+    df: DataFrame,
+    id_col: str,
+    tokens_col: str,
+    budget_tokens: int,
+    bucket_size: int = 100_000,
+) -> DataFrame:
+    """Pack rows (in ``id_col`` order) into contiguous training shards
+    of ~``budget_tokens`` tokens: row -> ``shard_id`` via its exclusive
+    prefix-sum of ``tokens_col``, plus the inclusive ``cum_tokens``.
+
+    Scale design — the distributed prefix sum. The textbook
+    ``SUM() OVER (ORDER BY id)`` is a partitionBy-less window: Spark
+    moves the ENTIRE corpus to one partition to evaluate it, which is
+    the single worst plan shape at 100 TB. Instead:
+
+    1. rows get a deterministic range bucket ``id div bucket_size``;
+    2. the cumulative sum WITHIN each bucket is an ordinary partitioned
+       window — embarrassingly parallel;
+    3. per-bucket totals (one tiny row per bucket — corpus/bucket_size
+       rows, the only data that ever converges) get their own exclusive
+       prefix sum on a single partition, then broadcast back;
+    4. global prefix = bucket offset + local prefix.
+
+    All integer arithmetic (`div`, no doubles), so any engine derives
+    identical shard ids. Requires ``id_col`` to be non-negative;
+    ordering is total because ids are unique per row."""
+    from pyspark.sql.window import Window
+
+    base = df.withColumn("_bkt", F.floor(F.col(id_col) / F.lit(bucket_size)))
+    w_local = (
+        Window.partitionBy("_bkt")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    local = base.withColumn(
+        "_cum_local", F.sum(F.col(tokens_col).cast("bigint")).over(w_local)
+    )
+    totals = base.groupBy("_bkt").agg(
+        F.sum(F.col(tokens_col).cast("bigint")).alias("_tot")
+    )
+    # the offsets frame is corpus/bucket_size rows — tiny by
+    # construction, so its single-partition window and the broadcast
+    # back are both O(#buckets), never O(corpus)
+    w_off = Window.orderBy("_bkt").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.select(
+        "_bkt", F.coalesce(F.sum("_tot").over(w_off), F.lit(0)).alias("_off")
+    )
+    cum = F.col("_off") + F.col("_cum_local")
+    return (
+        local.join(F.broadcast(offsets), "_bkt")
+        .withColumn("cum_tokens", cum)
+        .withColumn(
+            "shard_id",
+            F.expr(
+                f"(cum_tokens - cast({tokens_col} as bigint)) div {int(budget_tokens)}"
+            ),
+        )
+        .drop("_bkt", "_cum_local", "_off")
+    )

@@ -648,3 +648,42 @@ def train_test_split_docs(spark, sf_dir):
     docs = t(spark, sf_dir, "documents")
     out = train_test_split(docs, "doc_id", 0.1, salt="corpus_v1")
     return out.select(big("doc_id").alias("doc_id"), "split")
+
+
+@golden(
+    "pack_token_shards_docs",
+    oracle="""
+    WITH tk AS (
+      SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, n_tok,
+             CAST(SUM(n_tok) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+                  AS BIGINT) AS cum
+      FROM tk
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, n_tok,
+           cum AS cum_tokens,
+           (cum - n_tok) // 2000 AS shard_id
+    FROM c
+    """,
+)
+def pack_token_shards_docs(spark, sf_dir):
+    """Token-budget shard packing (functions/sampling.py): contiguous
+    ~2000-token training shards in doc_id order via the DISTRIBUTED
+    prefix sum (per-bucket parallel cumsum + tiny bucket-offset
+    broadcast — the naive `SUM OVER (ORDER BY)` the oracle runs would
+    single-partition the whole corpus in Spark). bucket_size=64 forces
+    many buckets even at sf0.001, so the gate exercises the offset
+    merge, not the degenerate one-bucket case. Integer arithmetic only."""
+    from ..functions.sampling import pack_token_shards
+    from ..functions.text import token_count
+
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id", token_count(F.col("text")).cast("bigint").alias("n_tok")
+    )
+    out = pack_token_shards(docs, "doc_id", "n_tok", 2000, bucket_size=64)
+    return out.select(
+        big("doc_id").alias("doc_id"), "n_tok", "cum_tokens", "shard_id"
+    )

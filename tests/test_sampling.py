@@ -6,6 +6,8 @@ statistical behavior.
 
 from __future__ import annotations
 
+import random
+
 from pyspark.sql import functions as F
 
 from hydraide_spark.functions.sampling import (
@@ -71,3 +73,47 @@ def test_xxhash_mode_uniform_and_deterministic(spark):
     b1 = df.select(sample_bucket(F.col("key"), "s1", "xxhash64").alias("b")).collect()
     b2 = df.select(sample_bucket(F.col("key"), "s2", "xxhash64").alias("b")).collect()
     assert [r["b"] for r in b1] != [r["b"] for r in b2]
+
+
+def test_pack_token_shards_matches_naive_global_window(spark):
+    from pyspark.sql.window import Window
+    from hydraide_spark.functions.sampling import pack_token_shards
+
+    rng = random.Random(11)
+    rows = [(i, rng.randrange(1, 120)) for i in range(500)]
+    rng.shuffle(rows)  # arrival order and partitioning must not matter
+    df = spark.createDataFrame(rows, "id long, n_tok long").repartition(13)
+
+    got = {
+        r["id"]: (r["cum_tokens"], r["shard_id"])
+        for r in pack_token_shards(df, "id", "n_tok", 700, bucket_size=37).collect()
+    }
+    w = Window.orderBy("id").rowsBetween(Window.unboundedPreceding, 0)
+    naive = {
+        r["id"]: (r["cum"], (r["cum"] - r["n_tok"]) // 700)
+        for r in df.withColumn("cum", F.sum("n_tok").over(w)).collect()
+    }
+    assert got == naive
+
+
+def test_pack_token_shards_contiguous_and_bounded(spark):
+    from hydraide_spark.functions.sampling import pack_token_shards
+
+    rows = [(i, 10 + (i % 7)) for i in range(200)]
+    df = spark.createDataFrame(rows, "id long, n_tok long")
+    out = pack_token_shards(df, "id", "n_tok", 100, bucket_size=16).collect()
+    by_id = sorted(out, key=lambda r: r["id"])
+    shards = [r["shard_id"] for r in by_id]
+    # shard ids are non-decreasing in id order and start at 0
+    assert shards[0] == 0 and all(a <= b for a, b in zip(shards, shards[1:]))
+    # every shard except the last holds within one max-doc of the
+    # budget on both sides: a boundary-straddling doc can donate up to
+    # max_tok-1 tokens of a shard's budget to its predecessor
+    max_tok = max(r["n_tok"] for r in by_id)
+    totals = {}
+    for r in by_id:
+        totals[r["shard_id"]] = totals.get(r["shard_id"], 0) + r["n_tok"]
+    last = max(totals)
+    assert all(
+        100 - max_tok < v < 100 + max_tok for s, v in totals.items() if s != last
+    )
