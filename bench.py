@@ -60,6 +60,7 @@ HEADLINE = [
     "ann_topk_lsh",
     "ann_topk_ivf",
     "embedding_neardup",
+    "label_centroid_sums",
     "uint32slice_ops",
     "set_upsert_status",
     "increment_conditional",

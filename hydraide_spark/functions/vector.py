@@ -235,3 +235,43 @@ def pandas_cosine_scores(query: Sequence[float]):
         return pd.Series((M @ qv) / (norms * qn))
 
     return scorer
+
+
+def group_centroid_sums(df: DataFrame, group_col: str, vec_col: str) -> DataFrame:
+    """Per-group embedding centroid in exact long form: one row per
+    (group, dim) with the member count and the per-dimension sum as
+    DECIMAL — the aggregation primitive behind k-means/IVF re-centering
+    and per-source embedding profiles (mean = s / n, derived by the
+    consumer at whatever precision it wants).
+
+    Each component is cast to DECIMAL(28,9) BEFORE summing, so the sum
+    is exact and independent of partitioning/order (a double sum drifts
+    with reduction order — the CLAUDE.md oracle rule). Plan shape:
+    posexplode multiplies rows by dim, but hash aggregation collapses
+    each partition to its local groups x dim partials before the
+    shuffle, so the exchange carries O(groups x dim x partitions) rows
+    — never O(corpus x dim)."""
+    exploded = df.select(
+        F.col(group_col).alias("grp"),
+        F.posexplode(F.col(vec_col)).alias("pos", "val"),
+    )
+    return (
+        exploded.groupBy("grp", "pos")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            # widen float->double (exact) BEFORE the decimal cast: a
+            # float32 casts to decimal via its 9-sig-digit shortest
+            # repr, which rounds differently than an engine rounding
+            # the exact binary value; the double's 17-digit repr makes
+            # every engine quantize identically
+            F.sum(F.col("val").cast("double").cast("decimal(28,9)"))
+            .cast("decimal(28,9)")
+            .alias("s"),
+        )
+        .select(
+            F.col("grp").alias(group_col),
+            (F.col("pos") + 1).alias("dim"),  # 1-based like SQL arrays
+            "n",
+            "s",
+        )
+    )

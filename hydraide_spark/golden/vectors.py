@@ -173,3 +173,35 @@ def ann_topk_ivf(spark, sf_dir):
         big("vec_id").alias("vec_id"),
         F.round("score", 4).alias("score"),
     )
+
+
+@golden(
+    "label_centroid_sums",
+    oracle="""
+    SELECT CAST(label AS BIGINT) AS label,
+           CAST(i AS BIGINT) AS dim,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(28,9)))
+                AS DOUBLE) AS s
+    FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i)
+    GROUP BY label, i
+    """,
+)
+def label_centroid_sums(spark, sf_dir):
+    """Per-label embedding centroid sums (functions/vector.py::
+    group_centroid_sums) — exact long-form vector aggregation: each
+    component is cast to DECIMAL before summing so the result is
+    order/partitioning-independent; the final exact decimal converts to
+    double only for the comparison (both engines round the same exact
+    value). This is the k-means/IVF re-centering primitive; mean = s/n
+    downstream."""
+    from ..functions.vector import group_centroid_sums
+
+    emb = t(spark, sf_dir, "embeddings")
+    out = group_centroid_sums(emb, "label", "embedding")
+    return out.select(
+        big("label").alias("label"),
+        big("dim").alias("dim"),
+        big("n").alias("n"),
+        F.col("s").cast("double").alias("s"),
+    )

@@ -150,3 +150,25 @@ def test_neardup_clusters_chain_and_islands(spark):
     }
     want = {(i, 1) for i in (1, 2, 3, 4, 5)} | {(10, 10), (11, 10), (20, 20), (21, 20)}
     assert got == want
+
+
+def test_group_centroid_sums_partition_invariant(spark):
+    """The decimal path makes per-dimension sums exact: any
+    partitioning/reduction order yields bit-identical results (a double
+    sum would drift)."""
+    from hydraide_spark.functions.vector import group_centroid_sums
+
+    emb = load_table(spark, SF, "embeddings")
+    a = {
+        (r["label"], r["dim"]): (r["n"], r["s"])
+        for r in group_centroid_sums(emb, "label", "embedding").collect()
+    }
+    b = {
+        (r["label"], r["dim"]): (r["n"], r["s"])
+        for r in group_centroid_sums(
+            emb.repartition(17, "vec_id"), "label", "embedding"
+        ).collect()
+    }
+    assert a == b
+    dims = {d for _, d in a}
+    assert min(dims) == 1 and len(dims) == 64
