@@ -61,6 +61,7 @@ HEADLINE = [
     "ann_topk_ivf",
     "embedding_neardup",
     "label_centroid_sums",
+    "kmeans_assign_exact",
     "uint32slice_ops",
     "set_upsert_status",
     "increment_conditional",

@@ -275,3 +275,50 @@ def group_centroid_sums(df: DataFrame, group_col: str, vec_col: str) -> DataFram
             "s",
         )
     )
+
+
+def kmeans_assign(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroids: Sequence[tuple[int, Sequence[float]]],
+) -> DataFrame:
+    """One k-means assignment step: each vector -> the centroid with the
+    highest cosine score (ties -> smallest label). ``centroids`` is the
+    tiny (label, vector) list — at most k x dim doubles — inlined as
+    literals, so the assignment is a PURE per-row expression: no join,
+    no shuffle, no broadcast; it rides the scan stage and scales
+    map-only at any corpus size (the E-step cost is where k-means time
+    goes at 100 TB; the M-step is ``group_centroid_sums``).
+
+    Each cosine is evaluated once: scores pack into an array of
+    ``struct(score, -label)`` and ``array_max``'s lexicographic struct
+    ordering performs the argmax with the smallest-label tiebreak."""
+    entries = []
+    for label, vec in centroids:
+        c = F.array(*[F.lit(float(x)) for x in vec]).cast("array<double>")
+        entries.append(
+            F.struct(
+                cosine_similarity(F.col(vec_col), c).alias("score"),
+                F.lit(-int(label)).cast("long").alias("neg_label"),
+            )
+        )
+    top = F.array_max(F.array(*entries))
+    return df.select(
+        F.col(id_col),
+        (-top.getField("neg_label")).cast("long").alias("label"),
+        top.getField("score").alias("score"),
+    )
+
+
+def centroid_means(cent_sums_rows, group_col: str = "label") -> list[tuple[int, list[float]]]:
+    """Collapse collected ``group_centroid_sums`` rows (group, dim, n,
+    s) into the ordered (label, mean-vector) list ``kmeans_assign``
+    takes. float(Decimal)/n is the same nearest-double + IEEE division
+    any engine performs on the exact sums."""
+    acc: dict[int, dict[int, float]] = {}
+    for r in cent_sums_rows:
+        acc.setdefault(r[group_col], {})[r["dim"]] = float(r["s"]) / r["n"]
+    return [
+        (lab, [acc[lab][d] for d in sorted(acc[lab])]) for lab in sorted(acc)
+    ]

@@ -205,3 +205,52 @@ def label_centroid_sums(spark, sf_dir):
         big("n").alias("n"),
         F.col("s").cast("double").alias("s"),
     )
+
+
+@golden(
+    "kmeans_assign_exact",
+    oracle=f"""
+    WITH cent AS (
+      SELECT label, i AS dim,
+             CAST(sum(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(28,9)))
+                  AS DOUBLE) / count(*) AS m
+      FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i)
+      GROUP BY label, i
+    ),
+    cvec AS (SELECT label, list(m ORDER BY dim) AS cv FROM cent GROUP BY label),
+    scored AS (
+      SELECT e.vec_id, c.label, {_cos_sql('e.embedding::DOUBLE[]', 'c.cv')} AS score
+      FROM embeddings e CROSS JOIN cvec c
+    ),
+    ranked AS (
+      SELECT vec_id, label, score,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+                                ORDER BY score DESC, label ASC) AS rn
+      FROM scored
+    )
+    SELECT CAST(vec_id AS BIGINT) AS vec_id,
+           CAST(label AS BIGINT) AS label,
+           round(score, 4) AS score
+    FROM ranked WHERE rn = 1
+    """,
+)
+def kmeans_assign_exact(spark, sf_dir):
+    """One full k-means iteration, exactly checked: M-step =
+    group_centroid_sums (exact decimal sums -> double means, identical
+    in both engines), E-step = kmeans_assign (centroids inlined as
+    literals; assignment is a pure per-row argmax expression — zero
+    shuffle, zero joins; the plan is scan -> project). Best-vs-runner-up
+    cosine margins measured >= 2.7e-5 across sfs, far above
+    cross-engine float noise; score rounded to 4 like ann_topk_exact."""
+    from ..functions.vector import centroid_means, group_centroid_sums, kmeans_assign
+
+    emb = t(spark, sf_dir, "embeddings")
+    cents = centroid_means(
+        group_centroid_sums(emb, "label", "embedding").collect()
+    )
+    out = kmeans_assign(emb, "vec_id", "embedding", cents)
+    return out.select(
+        big("vec_id").alias("vec_id"),
+        big("label").alias("label"),
+        F.round("score", 4).alias("score"),
+    )

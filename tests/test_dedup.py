@@ -172,3 +172,34 @@ def test_group_centroid_sums_partition_invariant(spark):
     assert a == b
     dims = {d for _, d in a}
     assert min(dims) == 1 and len(dims) == 64
+
+
+def test_kmeans_assign_is_map_only_and_correct(spark):
+    """E-step must be a pure per-row expression (no Exchange) and agree
+    with a Python brute force on the same centroid literals."""
+    import math
+
+    from hydraide_spark.functions.vector import (
+        centroid_means,
+        group_centroid_sums,
+        kmeans_assign,
+    )
+    from hydraide_spark.plans import count_exchanges
+
+    emb = load_table(spark, SF, "embeddings")
+    cents = centroid_means(group_centroid_sums(emb, "label", "embedding").collect())
+    out = kmeans_assign(emb, "vec_id", "embedding", cents)
+    assert count_exchanges(out) == 0
+
+    got = {r["vec_id"]: r["label"] for r in out.collect()}
+
+    def cos(a, b):
+        dot = sum(x * y for x, y in zip(a, b))
+        return dot / (
+            math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(y * y for y in b))
+        )
+
+    for row in emb.select("vec_id", "embedding").collect():
+        v = [float(x) for x in row["embedding"]]
+        best = max(cents, key=lambda c: (cos(v, c[1]), -c[0]))
+        assert got[row["vec_id"]] == best[0]
