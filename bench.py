@@ -81,6 +81,7 @@ HEADLINE = [
     "corpus_quality_report",
     "lang_id_heuristic",
     "repetition_signals_docs",
+    "pii_scrub_docs",
     "stratified_sample_docs",
     "train_test_split_docs",
     "pack_token_shards_docs",

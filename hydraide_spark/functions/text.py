@@ -338,3 +338,29 @@ def bm25_terms(
         F.col("word"),
         F.round(idf * tf_norm, 6).cast("decimal(28,6)").alias("term_score"),
     )
+
+
+# PII patterns: ASCII-only, no lookarounds — RE2-safe, so Java regex
+# (Spark) and RE2 (DuckDB/production scanners) match identically.
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\b[0-9]{3}[-.][0-9]{3,4}[-.][0-9]{4}\b",
+    "ipv4": r"\b([0-9]{1,3}\.){3}[0-9]{1,3}\b",
+}
+PII_ORDER = ["email", "phone", "ipv4"]  # email first: emails contain dots
+
+
+def pii_count(text: Column, kind: str) -> Column:
+    return F.size(F.regexp_extract_all(text, F.lit(PII_PATTERNS[kind]), F.lit(0)))
+
+
+def scrub_pii(text: Column) -> Column:
+    """Redact emails, phone numbers, and IPv4 addresses to typed
+    placeholders. Fixed pattern order (email before ipv4: an email's
+    host part must not be half-eaten as a dotted quad). Pure
+    regexp_replace chain — one codegen pass per row, scales with the
+    scan like every other text op here."""
+    out = text
+    for kind in PII_ORDER:
+        out = F.regexp_replace(out, PII_PATTERNS[kind], f"<{kind.upper()}>")
+    return out

@@ -687,3 +687,71 @@ def pack_token_shards_docs(spark, sf_dir):
     return out.select(
         big("doc_id").alias("doc_id"), "n_tok", "cum_tokens", "shard_id"
     )
+
+
+_PII_INJECT_SQL = """
+      SELECT doc_id, text ||
+        CASE WHEN doc_id % 7 = 0
+             THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+             ELSE '' END ||
+        CASE WHEN doc_id % 11 = 0
+             THEN ' server 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.25'
+             ELSE '' END ||
+        CASE WHEN doc_id % 13 = 0 THEN ' call 555-123-4567' ELSE '' END AS t
+      FROM documents
+"""
+
+
+@golden(
+    "pii_scrub_docs",
+    oracle=f"""
+    WITH inj AS ({_PII_INJECT_SQL})
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(len(regexp_extract_all(t,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}')) AS BIGINT) AS n_email,
+           CAST(len(regexp_extract_all(t,
+             '\\b[0-9]{{3}}[-.][0-9]{{3,4}}[-.][0-9]{{4}}\\b')) AS BIGINT) AS n_phone,
+           CAST(len(regexp_extract_all(t,
+             '\\b([0-9]{{1,3}}\\.){{3}}[0-9]{{1,3}}\\b')) AS BIGINT) AS n_ipv4,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(t,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}', '<EMAIL>', 'g'),
+               '\\b[0-9]{{3}}[-.][0-9]{{3,4}}[-.][0-9]{{4}}\\b', '<PHONE>', 'g'),
+             '\\b([0-9]{{1,3}}\\.){{3}}[0-9]{{1,3}}\\b', '<IPV4>', 'g') AS clean
+    FROM inj
+    """,
+)
+def pii_scrub_docs(spark, sf_dir):
+    """PII scrubbing (functions/text.py::scrub_pii): emails, phone
+    numbers, IPv4s redacted to typed placeholders, with per-kind match
+    counts. The fixture corpus is PII-free, so both engines inject the
+    same deterministic PII first (docstring corpus-augmentation pattern,
+    like dedup). RE2-safe ASCII patterns — Java regex and RE2 agree —
+    and a fixed email-first replace order (an email's host must not be
+    half-eaten as a dotted quad). Pure regexp codegen; scales with the
+    scan."""
+    from ..functions.text import pii_count, scrub_pii
+
+    docs = t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    injected = F.concat(
+        F.col("text"),
+        F.when(
+            did % 7 == 0,
+            F.concat(F.lit(" contact user"), did.cast("string"), F.lit("@example.com")),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 11 == 0,
+            F.concat(F.lit(" server 10.0."), (did % 256).cast("string"), F.lit(".25")),
+        ).otherwise(F.lit("")),
+        F.when(did % 13 == 0, F.lit(" call 555-123-4567")).otherwise(F.lit("")),
+    )
+    base = docs.select("doc_id", injected.alias("t"))
+    return base.select(
+        big("doc_id").alias("doc_id"),
+        pii_count(F.col("t"), "email").cast("bigint").alias("n_email"),
+        pii_count(F.col("t"), "phone").cast("bigint").alias("n_phone"),
+        pii_count(F.col("t"), "ipv4").cast("bigint").alias("n_ipv4"),
+        scrub_pii(F.col("t")).alias("clean"),
+    )

@@ -64,3 +64,46 @@ def test_zero_shuffle_plan(spark):
     df = spark.createDataFrame([Row(doc_id=1, text="a b a")])
     out = repetition_signals(df, "doc_id", "text")
     assert count_exchanges(out) == 0
+
+
+def test_scrub_pii_handcrafted(spark):
+    from pyspark.sql import functions as F
+
+    from hydraide_spark.functions.text import pii_count, scrub_pii
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail a.b+c@sub.example.org now"),
+            (2, "call 555-123-4567 or 555.9912-0000, not 55-123-4567"),
+            (3, "host 192.168.0.1 and 10.0.0.255"),
+            (4, "plain text, no pii at all"),
+            (5, "x@y via 1.2.3.4"),
+        ],
+        "id long, t string",
+    )
+    rows = {
+        r["id"]: r
+        for r in df.select(
+            "id",
+            scrub_pii(F.col("t")).alias("clean"),
+            pii_count(F.col("t"), "email").alias("ne"),
+            pii_count(F.col("t"), "phone").alias("np"),
+            pii_count(F.col("t"), "ipv4").alias("ni"),
+        ).collect()
+    }
+    assert rows[1]["clean"] == "mail <EMAIL> now" and rows[1]["ne"] == 1
+    assert (
+        rows[2]["clean"] == "call <PHONE> or <PHONE>, not 55-123-4567"
+        and rows[2]["np"] == 2
+    )
+    assert rows[3]["clean"] == "host <IPV4> and <IPV4>" and rows[3]["ni"] == 2
+    assert rows[4]["clean"] == "plain text, no pii at all"
+    assert rows[5]["clean"] == "x@y via <IPV4>"  # no dotted TLD: not an email
+    # idempotent: placeholders contain nothing scrubbabble
+    again = {
+        r["id"]: r["c2"]
+        for r in df.select(
+            "id", scrub_pii(scrub_pii(F.col("t"))).alias("c2")
+        ).collect()
+    }
+    assert all(again[i] == rows[i]["clean"] for i in rows)
