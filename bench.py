@@ -82,6 +82,7 @@ HEADLINE = [
     "lang_id_heuristic",
     "repetition_signals_docs",
     "pii_scrub_docs",
+    "top_ngrams_corpus",
     "stratified_sample_docs",
     "train_test_split_docs",
     "pack_token_shards_docs",

@@ -125,19 +125,37 @@ def fingerprint(text: Column, k: int = 16) -> Column:
     return F.md5(prefix)
 
 
-def shingles(text: Column, n: int = 3) -> Column:
-    """Distinct word n-gram shingles as an array<string> — the input to
-    Jaccard / MinHash dedup. Built with transform over positions; stays
-    JVM-side."""
+def ngrams(text: Column, n: int) -> Column:
+    """All word n-grams (with repeats, in order) as array<string> —
+    transform over positions, stays JVM-side."""
     toks = tokenize(text)
     count = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0))
     grams = F.transform(
         F.sequence(F.lit(1), count),
         lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
     )
-    return F.when(count > 0, F.array_distinct(grams)).otherwise(
-        F.array().cast("array<string>")
-    )
+    return F.when(count > 0, grams).otherwise(F.array().cast("array<string>"))
+
+
+def shingles(text: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles as an array<string> — the input to
+    Jaccard / MinHash dedup."""
+    return F.array_distinct(ngrams(text, n))
+
+
+def top_ngrams(df: DataFrame, text_col: str, n: int, k: int) -> DataFrame:
+    """Global top-k most frequent word n-grams with exact counts — the
+    corpus statistic tokenizer/BPE training starts from. One explode +
+    one groupBy on the gram (hash partial aggregation collapses each
+    partition's repeats before the shuffle, so the exchange carries
+    distinct grams per partition, not tokens) + a TakeOrdered top-k
+    (never a global sort). Deterministic tiebreak: count DESC, gram
+    ASC."""
+    grams = df.select(F.explode(ngrams(F.col(text_col), n)).alias("gram"))
+    counts = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("n_occurrences"))
+    return counts.orderBy(
+        F.col("n_occurrences").desc(), F.col("gram").asc()
+    ).limit(k)
 
 
 def _run_length_stats(sorted_arr: Column) -> Column:

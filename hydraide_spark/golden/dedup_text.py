@@ -755,3 +755,31 @@ def pii_scrub_docs(spark, sf_dir):
         pii_count(F.col("t"), "ipv4").cast("bigint").alias("n_ipv4"),
         scrub_pii(F.col("t")).alias("clean"),
     )
+
+
+@golden(
+    "top_ngrams_corpus",
+    oracle="""
+    WITH toks AS (SELECT string_split(text, ' ') AS t FROM documents),
+    g AS (
+      SELECT unnest(list_transform(range(1, len(t) - 1),
+                                   i -> array_to_string(t[i:i+2], ' '))) AS gram
+      FROM toks WHERE len(t) >= 3
+    ),
+    c AS (SELECT gram, CAST(count(*) AS BIGINT) AS n_occurrences
+          FROM g GROUP BY gram)
+    SELECT gram, n_occurrences FROM c
+    ORDER BY n_occurrences DESC, gram ASC LIMIT 25
+    """,
+)
+def top_ngrams_corpus(spark, sf_dir):
+    """Global top-25 trigram frequencies (functions/text.py::top_ngrams,
+    n=3): the corpus statistic BPE/tokenizer training starts from.
+    Partial aggregation collapses repeats map-side, and the top-k is a
+    TakeOrdered (tested plan shape elsewhere), never a global sort.
+    Tiebreak count DESC, gram ASC makes the cut deterministic in both
+    engines."""
+    from ..functions.text import top_ngrams
+
+    docs = t(spark, sf_dir, "documents")
+    return top_ngrams(docs, "text", n=3, k=25).select("gram", "n_occurrences")

@@ -107,3 +107,29 @@ def test_scrub_pii_handcrafted(spark):
         ).collect()
     }
     assert all(again[i] == rows[i]["clean"] for i in rows)
+
+
+def test_top_ngrams_hand_counts_and_plan(spark):
+    from hydraide_spark.functions.text import top_ngrams
+    from hydraide_spark.plans import physical_plan
+
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=0, text="a b a b a b"),   # bigrams: "a b"x3, "b a"x2
+            Row(doc_id=1, text="a b c"),          # "a b", "b c"
+            Row(doc_id=2, text="solo"),           # too short: no bigrams
+        ]
+    )
+    out = top_ngrams(df, "text", n=2, k=3).collect()
+    assert [(r["gram"], r["n_occurrences"]) for r in out] == [
+        ("a b", 4),
+        ("b a", 2),
+        ("b c", 1),
+    ]
+    # scale shape: map-side partial agg, one exchange on the gram,
+    # distributed top-k (never a global sort)
+    topk = top_ngrams(df, "text", n=2, k=3)
+    plan = physical_plan(topk)
+    assert "TakeOrderedAndProject" in plan
+    assert "partial_count" in plan
+    assert count_exchanges(topk) == 1
