@@ -83,6 +83,8 @@ HEADLINE = [
     "repetition_signals_docs",
     "pii_scrub_docs",
     "top_ngrams_corpus",
+    "decontaminate_docs",
+    "boilerplate_stats_docs",
     "stratified_sample_docs",
     "train_test_split_docs",
     "pack_token_shards_docs",

@@ -421,3 +421,39 @@ def neardup_clusters(
         if changed == 0:
             break
     return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("cluster_id"))
+
+
+def decontaminate(
+    train: DataFrame,
+    eval_df: DataFrame,
+    n: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination: flag every training document sharing
+    at least one word n-gram with a held-out evaluation set (the
+    GPT-3/PaLM-style 'n-gram collision' rule).
+
+    Returns (id_col, n_hit_grams, contaminated) for EVERY training doc
+    (0/false for clean ones).
+
+    100 TB shape: the eval side is benchmarks — thousands of docs, not
+    terabytes — so its distinct-gram set broadcasts, the train-side
+    explode+join is map-side (the corpus never shuffles), and the only
+    exchanges carry colliding grams (tiny) and the per-doc hit counts.
+    If an eval set ever outgrows the broadcast threshold, AQE falls back
+    to a shuffle join with identical semantics.
+    """
+    gram = lambda c: F.explode(shingles(F.col(c), n)).alias("gram")  # noqa: E731
+    eval_grams = eval_df.select(gram(text_col)).distinct()
+    train_grams = train.select(F.col(id_col), gram(text_col))
+    hits = (
+        train_grams.join(F.broadcast(eval_grams), "gram")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_hit_grams"))
+    )
+    return train.select(id_col).join(F.broadcast(hits), id_col, "left").select(
+        F.col(id_col),
+        F.coalesce(F.col("n_hit_grams"), F.lit(0)).cast("bigint").alias("n_hit_grams"),
+        (F.coalesce(F.col("n_hit_grams"), F.lit(0)) > 0).alias("contaminated"),
+    )

@@ -382,3 +382,58 @@ def scrub_pii(text: Column) -> Column:
     for kind in PII_ORDER:
         out = F.regexp_replace(out, PII_PATTERNS[kind], f"<{kind.upper()}>")
     return out
+
+
+def boilerplate_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    min_df: int = 5,
+    frac_denominator: int = 10,
+) -> DataFrame:
+    """Boilerplate signal (C4/CCNet-style): per document, how many of
+    its distinct word n-grams are corpus-common (document frequency >=
+    ``min_df``), plus a flag when common grams are at least
+    ``1/frac_denominator`` of the doc's grams. The flag is an integer
+    comparison (``frac_denominator * n_common >= n_grams``) so any
+    engine computes it identically.
+
+    Returns (id_col, n_grams, n_common, boilerplate) for every doc with
+    at least one n-gram.
+
+    100 TB shape: per-doc distinct grams explode once; doc frequency is
+    one partial-agg groupBy on the gram; the common set (df >= min_df)
+    is a tiny fraction of the gram space and broadcasts back onto the
+    same exploded frame, so the corpus itself is never shuffled —
+    ``n_grams`` is computed row-locally with ``size()``.
+    """
+    # persist the (id, shingles) frame: the shingle pipeline is the
+    # expensive per-row expression and three legs need it (doc-frequency
+    # scan, common-gram join, per-doc totals) — without the boundary
+    # Catalyst re-inlines it into each leg (see functions/dedup.py).
+    sh = df.select(F.col(id_col), shingles(F.col(text_col), n).alias("sh")).persist()
+    grams = sh.select(F.col(id_col), F.explode("sh").alias("gram"))
+    common = (
+        grams.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("doc_freq"))
+        .filter(F.col("doc_freq") >= min_df)
+        .select("gram")
+    )
+    hits = (
+        grams.join(F.broadcast(common), "gram")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    totals = sh.select(F.col(id_col), F.size("sh").alias("n_grams")).filter(
+        F.col("n_grams") > 0
+    )
+    return totals.join(F.broadcast(hits), id_col, "left").select(
+        F.col(id_col),
+        F.col("n_grams").cast("bigint").alias("n_grams"),
+        F.coalesce(F.col("n_common"), F.lit(0)).cast("bigint").alias("n_common"),
+        (
+            F.lit(frac_denominator) * F.coalesce(F.col("n_common"), F.lit(0))
+            >= F.col("n_grams")
+        ).alias("boilerplate"),
+    )

@@ -783,3 +783,84 @@ def top_ngrams_corpus(spark, sf_dir):
 
     docs = t(spark, sf_dir, "documents")
     return top_ngrams(docs, "text", n=3, k=25).select("gram", "n_occurrences")
+
+
+@golden(
+    "decontaminate_docs",
+    oracle="""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    g AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(range(1, len(t) - 2),
+                                  i -> array_to_string(t[i:i+3], ' ')))) AS gram
+      FROM toks WHERE len(t) >= 4
+    ),
+    ev AS (SELECT DISTINCT gram FROM g WHERE doc_id % 41 = 0),
+    hits AS (
+      SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_hit_grams
+      FROM g JOIN ev USING (gram) WHERE g.doc_id % 41 <> 0
+      GROUP BY g.doc_id
+    )
+    SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+           coalesce(h.n_hit_grams, 0) AS n_hit_grams,
+           coalesce(h.n_hit_grams, 0) > 0 AS contaminated
+    FROM (SELECT doc_id FROM documents WHERE doc_id % 41 <> 0) d
+    LEFT JOIN hits h USING (doc_id)
+    """,
+)
+def decontaminate_docs(spark, sf_dir):
+    """Benchmark decontamination (functions/dedup.py::decontaminate):
+    docs with doc_id % 41 == 0 play the held-out eval set; every other
+    doc is flagged if it shares any 4-gram with them. The eval gram set
+    broadcasts (benchmarks are small at any corpus scale), so the
+    training corpus is never shuffled — the GPT-3-style n-gram
+    collision rule as one broadcast join."""
+    from ..functions.dedup import decontaminate
+
+    from ._util import parallelize_small
+
+    docs = parallelize_small(
+        t(spark, sf_dir, "documents").select(big("doc_id").alias("doc_id"), "text")
+    )
+    ev = docs.filter(F.col("doc_id") % 41 == 0)
+    train = docs.filter(F.col("doc_id") % 41 != 0)
+    return decontaminate(train, ev, n=4)
+
+
+@golden(
+    "boilerplate_stats_docs",
+    oracle="""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    g AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(range(1, len(t) - 1),
+                                  i -> array_to_string(t[i:i+2], ' ')))) AS gram
+      FROM toks WHERE len(t) >= 3
+    ),
+    dfreq AS (SELECT gram, count(*) AS doc_freq FROM g GROUP BY gram),
+    common AS (SELECT gram FROM dfreq WHERE doc_freq >= 5),
+    hits AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_common
+             FROM g JOIN common USING (gram) GROUP BY doc_id),
+    tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams
+            FROM g GROUP BY doc_id)
+    SELECT CAST(t.doc_id AS BIGINT) AS doc_id,
+           t.n_grams,
+           coalesce(h.n_common, 0) AS n_common,
+           10 * coalesce(h.n_common, 0) >= t.n_grams AS boilerplate
+    FROM tot t LEFT JOIN hits h USING (doc_id)
+    """,
+)
+def boilerplate_stats_docs(spark, sf_dir):
+    """Corpus-common-trigram boilerplate signal
+    (functions/text.py::boilerplate_stats): per doc, distinct trigrams
+    with doc-frequency >= 5 vs total distinct trigrams; flagged when
+    common grams are >= 10% (integer comparison, engine-exact). The
+    common-gram set broadcasts; the corpus never shuffles."""
+    from ..functions.text import boilerplate_stats
+
+    from ._util import parallelize_small
+
+    docs = parallelize_small(
+        t(spark, sf_dir, "documents").select(big("doc_id").alias("doc_id"), "text")
+    )
+    return boilerplate_stats(docs, n=3, min_df=5, frac_denominator=10)

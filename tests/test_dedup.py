@@ -203,3 +203,57 @@ def test_kmeans_assign_is_map_only_and_correct(spark):
         v = [float(x) for x in row["embedding"]]
         best = max(cents, key=lambda c: (cos(v, c[1]), -c[0]))
         assert got[row["vec_id"]] == best[0]
+
+
+def test_decontaminate_hand_crafted(spark):
+    from hydraide_spark.functions.dedup import decontaminate
+    from hydraide_spark.plans import physical_plan, uses_broadcast_join
+
+    ev = spark.createDataFrame(
+        [Row(doc_id=100, text="the secret answer is forty two exactly")]
+    )
+    train = spark.createDataFrame(
+        [
+            # shares the 4-gram "the secret answer is" (and 3 more)
+            Row(doc_id=1, text="we think the secret answer is forty two maybe"),
+            Row(doc_id=2, text="completely unrelated words about spark plans here"),
+            Row(doc_id=3, text="short doc"),  # < 4 tokens: no grams, clean
+        ]
+    )
+    out = {
+        r["doc_id"]: (r["n_hit_grams"], r["contaminated"])
+        for r in decontaminate(train, ev, n=4).collect()
+    }
+    assert out[1] == (3, True)   # "the secret answer is" + 2 more shifted grams
+    assert out[2] == (0, False)
+    assert out[3] == (0, False)
+    # scale shape: eval grams + hit counts broadcast; never a cross join
+    df = decontaminate(train, ev, n=4)
+    assert uses_broadcast_join(df)
+    assert "CartesianProduct" not in physical_plan(df)
+
+
+def test_boilerplate_stats_hand_crafted(spark):
+    from hydraide_spark.functions.text import boilerplate_stats
+
+    # bigrams, min_df=2: "a b" appears in docs 1,2,3 (common);
+    # every other bigram is unique to its doc.
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="a b"),            # 1 gram, 1 common -> flagged
+            Row(doc_id=2, text="a b x y"),        # 3 grams, 1 common
+            Row(doc_id=3, text="a b p q r s t"),  # 6 grams, 1 common
+            Row(doc_id=4, text="solo"),           # no bigrams: dropped
+        ]
+    )
+    out = {
+        r["doc_id"]: (r["n_grams"], r["n_common"], r["boilerplate"])
+        for r in boilerplate_stats(
+            df, n=2, min_df=2, frac_denominator=3
+        ).collect()
+    }
+    # flag: 3 * n_common >= n_grams
+    assert out[1] == (1, 1, True)
+    assert out[2] == (3, 1, True)
+    assert out[3] == (6, 1, False)
+    assert 4 not in out
