@@ -85,6 +85,8 @@ HEADLINE = [
     "top_ngrams_corpus",
     "decontaminate_docs",
     "boilerplate_stats_docs",
+    "repeated_span_dedup",
+    "tfidf_top_terms",
     "stratified_sample_docs",
     "train_test_split_docs",
     "pack_token_shards_docs",

@@ -457,3 +457,63 @@ def decontaminate(
         F.coalesce(F.col("n_hit_grams"), F.lit(0)).cast("bigint").alias("n_hit_grams"),
         (F.coalesce(F.col("n_hit_grams"), F.lit(0)) > 0).alias("contaminated"),
     )
+
+
+def repeated_span_coverage(
+    df: DataFrame,
+    k: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact-substring dedup signal (the suffix-array span dedup of
+    "Deduplicating Training Data Makes Language Models Better",
+    re-expressed relationally): for every document, how many of its
+    tokens are covered by some k-token span that occurs >= 2 times in
+    the corpus (anywhere — another doc or a repeat within the same
+    doc). Returns (id_col, n_tokens, n_covered, dup_flag); dup_flag is
+    the integer comparison 2*n_covered >= n_tokens (>= half the doc is
+    repeated material).
+
+    100 TB shape: the k-gram posexplode is the big frame and it is
+    touched exactly twice, both map-side — once feeding a partial-agg
+    groupBy on the gram (the only corpus-sized shuffle, carrying
+    per-partition distinct grams), once joining against the broadcast
+    repeated-gram set. Coverage merging (the interval union) runs on
+    the HIT positions only — repeated spans are a tiny fraction of any
+    healthy corpus — via one per-doc window; overlapping spans
+    contribute min(k, gap) so each token counts once.
+    """
+    from .text import ngrams, token_count
+
+    g = df.select(
+        F.col(id_col), F.posexplode(ngrams(F.col(text_col), k)).alias("start", "gram")
+    )
+    rep = (
+        g.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= 2)
+        .select("gram")
+    )
+    hits = g.join(F.broadcast(rep), "gram").select(F.col(id_col), F.col("start"))
+    w = W.partitionBy(id_col).orderBy("start")
+    cov = (
+        hits.withColumn("nxt", F.lead("start").over(w))
+        .select(
+            F.col(id_col),
+            F.least(
+                F.lit(k), F.coalesce(F.col("nxt") - F.col("start"), F.lit(k))
+            ).alias("c"),
+        )
+        .groupBy(id_col)
+        .agg(F.sum("c").alias("n_covered"))
+    )
+    tot = df.select(F.col(id_col), token_count(F.col(text_col)).alias("n_tokens"))
+    return tot.join(F.broadcast(cov), id_col, "left").select(
+        F.col(id_col),
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.coalesce(F.col("n_covered"), F.lit(0)).cast("bigint").alias("n_covered"),
+        (
+            F.lit(2) * F.coalesce(F.col("n_covered"), F.lit(0))
+            >= F.col("n_tokens")
+        ).alias("dup_flag"),
+    )

@@ -13,7 +13,7 @@ primitives.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window as W, functions as F
 
 # Tiny built-in marker vocabularies for the language-ID heuristic.
 # Deliberately deterministic + SQL-replicable (the oracle re-derives the
@@ -436,4 +436,46 @@ def boilerplate_stats(
             F.lit(frac_denominator) * F.coalesce(F.col("n_common"), F.lit(0))
             >= F.col("n_grams")
         ).alias("boilerplate"),
+    )
+
+
+def top_distinctive_terms(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+) -> DataFrame:
+    """Per-document top-k distinctive terms — the tf-idf keyword shape
+    with an engine-exact integer ranking: tf DESC (frequent in the doc),
+    then df ASC (rare in the corpus), then term ASC. Production systems
+    drop a real idf weight into the same plan; the integer triple keeps
+    the golden query hash-comparable across engines.
+
+    Returns (id_col, term, tf, df, rank), rank 1..k.
+
+    100 TB shape: one explode; tf = partial-agg groupBy (doc, term);
+    document frequency reuses the SAME frame (term groupBy over the
+    already-distinct (doc, term) pairs — no second pass over tokens) and
+    joins back on the term; the final per-doc top-k is a bounded window
+    over <= |doc vocab| rows per doc.
+    """
+    toks = df.select(
+        F.col(id_col), F.explode(tokenize(F.col(text_col))).alias("term")
+    )
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = tf.join(dfreq, "term")
+    w = W.partitionBy(id_col).orderBy(
+        F.col("tf").desc(), F.col("df").asc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col(id_col),
+            F.col("term"),
+            F.col("tf").cast("bigint").alias("tf"),
+            F.col("df").cast("bigint").alias("df"),
+            F.col("rank").cast("bigint").alias("rank"),
+        )
     )

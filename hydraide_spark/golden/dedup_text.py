@@ -864,3 +864,83 @@ def boilerplate_stats_docs(spark, sf_dir):
         t(spark, sf_dir, "documents").select(big("doc_id").alias("doc_id"), "text")
     )
     return boilerplate_stats(docs, n=3, min_df=5, frac_denominator=10)
+
+
+@golden(
+    "tfidf_top_terms",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+      FROM toks GROUP BY doc_id, term
+    ),
+    dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+    r AS (
+      SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+             row_number() OVER (
+               PARTITION BY tf.doc_id
+               ORDER BY tf.tf DESC, dfreq.df ASC, tf.term ASC
+             ) AS rank
+      FROM tf JOIN dfreq USING (term)
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, term, tf, df,
+           CAST(rank AS BIGINT) AS rank
+    FROM r WHERE rank <= 3
+    """,
+)
+def tfidf_top_terms(spark, sf_dir):
+    """Per-doc top-3 distinctive terms
+    (functions/text.py::top_distinctive_terms): the tf-idf keyword
+    extraction shape with an integer (tf DESC, df ASC, term ASC)
+    ranking so both engines agree exactly. Document frequency is
+    derived from the already-aggregated (doc, term) frame — one pass
+    over tokens total."""
+    from ..functions.text import top_distinctive_terms
+
+    docs = t(spark, sf_dir, "documents").select(big("doc_id").alias("doc_id"), "text")
+    return top_distinctive_terms(docs, k=3)
+
+
+@golden(
+    "repeated_span_dedup",
+    oracle=f"""
+    WITH corpus AS ({_CORPUS_SQL}),
+    toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM corpus),
+    g AS (
+      SELECT doc_id, i AS start, array_to_string(t[i:i+7], ' ') AS gram
+      FROM (SELECT doc_id, t, unnest(range(1, len(t) - 6)) AS i
+            FROM toks WHERE len(t) >= 8)
+    ),
+    rep AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
+    hits AS (SELECT g.doc_id, g.start FROM g JOIN rep USING (gram)),
+    cov AS (
+      SELECT doc_id,
+             CAST(sum(least(8, coalesce(nxt - start, 8))) AS BIGINT) AS n_covered
+      FROM (SELECT doc_id, start,
+                   lead(start) OVER (PARTITION BY doc_id ORDER BY start) AS nxt
+            FROM hits)
+      GROUP BY doc_id
+    )
+    SELECT CAST(c.doc_id AS BIGINT) AS doc_id,
+           CAST(len(string_split(c.text, ' ')) AS BIGINT) AS n_tokens,
+           coalesce(cov.n_covered, 0) AS n_covered,
+           2 * coalesce(cov.n_covered, 0) >= len(string_split(c.text, ' ')) AS dup_flag
+    FROM corpus c LEFT JOIN cov USING (doc_id)
+    """,
+)
+def repeated_span_dedup(spark, sf_dir):
+    """Exact-substring span dedup
+    (functions/dedup.py::repeated_span_coverage, k=8) over the
+    augmented corpus: per doc, tokens covered by 8-grams occurring >= 2
+    times anywhere. The exact/truncated copies surface as
+    fully-covered; overlap merging is min(k, gap) so coverage is an
+    exact interval union in both engines."""
+    from ..functions.dedup import repeated_span_coverage
+
+    # _augmented_corpus is already spread via parallelize_small
+    corpus = _augmented_corpus(spark, sf_dir).select(
+        big("doc_id").alias("doc_id"), "text"
+    )
+    return repeated_span_coverage(corpus, k=8)

@@ -257,3 +257,51 @@ def test_boilerplate_stats_hand_crafted(spark):
     assert out[2] == (3, 1, True)
     assert out[3] == (6, 1, False)
     assert 4 not in out
+
+
+def test_repeated_span_coverage_hand_crafted(spark):
+    from hydraide_spark.functions.dedup import repeated_span_coverage
+    from hydraide_spark.plans import physical_plan
+
+    df = spark.createDataFrame(
+        [
+            # docs 1 and 2 share the 4-token span "p q r s" once each
+            # -> both get exactly those 4 tokens covered
+            Row(doc_id=1, text="p q r s a b c d"),
+            Row(doc_id=2, text="x y p q r s z w"),
+            # doc 3: within-doc repeat "m n o t m n o t" -> the 4-gram
+            # "m n o t" occurs at starts 0 and 4 -> all 8 tokens covered
+            Row(doc_id=3, text="m n o t m n o t"),
+            Row(doc_id=4, text="entirely unique words only here now ok"),
+        ]
+    )
+    out = {
+        r["doc_id"]: (r["n_tokens"], r["n_covered"], r["dup_flag"])
+        for r in repeated_span_coverage(df, k=4).collect()
+    }
+    assert out[1] == (8, 4, True)   # exactly the shared span covered
+    assert out[2] == (8, 4, True)
+    assert out[3] == (8, 8, True)   # within-doc repeat fully covers
+    assert out[4] == (7, 0, False)
+    assert "CartesianProduct" not in physical_plan(repeated_span_coverage(df, k=4))
+
+
+def test_repeated_span_overlapping_spans_count_once(spark):
+    from hydraide_spark.functions.dedup import repeated_span_coverage
+
+    # "a b c d e" and "b c d e f" both repeat (docs 1&2 are near-copies
+    # shifted by one) -> hit starts 0 and 1 with k=5 overlap; covered
+    # tokens must merge to 6, not 10.
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="a b c d e f x1 y1"),
+            Row(doc_id=2, text="a b c d e f x2 y2"),
+        ]
+    )
+    out = {
+        r["doc_id"]: r["n_covered"]
+        for r in repeated_span_coverage(df, k=5).collect()
+    }
+    # repeated 5-grams: starts 0 ("a b c d e") and 1 ("b c d e f");
+    # merged coverage = min(5, 1-0) + 5 = 6
+    assert out[1] == 6 and out[2] == 6
