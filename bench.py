@@ -87,6 +87,7 @@ HEADLINE = [
     "boilerplate_stats_docs",
     "repeated_span_dedup",
     "tfidf_top_terms",
+    "vocab_encode_docs",
     "stratified_sample_docs",
     "train_test_split_docs",
     "pack_token_shards_docs",

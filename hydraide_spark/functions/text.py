@@ -479,3 +479,39 @@ def top_distinctive_terms(
             F.col("rank").cast("bigint").alias("rank"),
         )
     )
+
+
+def vocab_encode(
+    df: DataFrame,
+    vocab: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    oov_id: int = 0,
+) -> DataFrame:
+    """Tokenizer application: map every token through a (term ->
+    token_id) vocabulary, out-of-vocabulary tokens to ``oov_id``, and
+    rebuild the per-document id sequence in order. Returns
+    (id_col, token_ids array<bigint>, n_tokens, n_oov).
+
+    100 TB shape: the vocabulary is tokenizer-sized (10k-100k rows) and
+    broadcasts, so the token-level join is map-side; the only
+    corpus-sized shuffle carries (doc, pos, id) — ids, not text — and
+    the sequence is rebuilt with array_sort(collect_list(struct)) whose
+    per-group state is one document's length. No Python in the path.
+    """
+    toks = df.select(
+        F.col(id_col), F.posexplode(tokenize(F.col(text_col))).alias("pos", "term")
+    )
+    enc = toks.join(F.broadcast(vocab), "term", "left").select(
+        F.col(id_col),
+        F.col("pos"),
+        F.coalesce(F.col("token_id"), F.lit(oov_id)).cast("bigint").alias("tid"),
+    )
+    return enc.groupBy(id_col).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "tid"))),
+            lambda s: s["tid"],
+        ).alias("token_ids"),
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+        F.sum((F.col("tid") == oov_id).cast("bigint")).alias("n_oov"),
+    )

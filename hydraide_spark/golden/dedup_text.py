@@ -10,7 +10,7 @@ near-dup pairs are non-trivial and exactly checkable.
 
 from __future__ import annotations
 
-from pyspark.sql import functions as F
+from pyspark.sql import Window as W, functions as F
 
 from ..functions.dedup import (
     exact_dedup,
@@ -944,3 +944,56 @@ def repeated_span_dedup(spark, sf_dir):
         big("doc_id").alias("doc_id"), "text"
     )
     return repeated_span_coverage(corpus, k=8)
+
+
+@golden(
+    "vocab_encode_docs",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, i AS pos, t[i] AS term
+      FROM (SELECT doc_id, string_split(text, ' ') AS t,
+                   unnest(range(1, len(t) + 1)) AS i
+            FROM documents)
+    ),
+    counts AS (SELECT term, count(*) AS c FROM toks GROUP BY term),
+    vocab AS (
+      SELECT term, row_number() OVER (ORDER BY c DESC, term ASC) AS tid
+      FROM counts QUALIFY tid <= 100
+    ),
+    enc AS (
+      SELECT toks.doc_id, toks.pos, coalesce(v.tid, 0) AS tid
+      FROM toks LEFT JOIN vocab v USING (term)
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           string_agg(CAST(tid AS VARCHAR), ',' ORDER BY pos) AS ids_csv,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(CASE WHEN tid = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
+    FROM enc GROUP BY doc_id
+    """,
+)
+def vocab_encode_docs(spark, sf_dir):
+    """Tokenizer application (functions/text.py::vocab_encode): vocab =
+    top-100 corpus unigrams with ids by (count DESC, term ASC) —
+    deterministic in both engines — then every doc encoded to its id
+    sequence (OOV=0). The id array is emitted CSV-stringified so the
+    gate hash-compares sequences exactly."""
+    from ..functions.text import top_ngrams, vocab_encode
+    from ._util import parallelize_small
+
+    docs = parallelize_small(
+        t(spark, sf_dir, "documents").select(big("doc_id").alias("doc_id"), "text")
+    )
+    counts = top_ngrams(docs, "text", n=1, k=100)
+    w = W.orderBy(F.col("n_occurrences").desc(), F.col("gram").asc())
+    vocab = counts.select(
+        F.col("gram").alias("term"), F.row_number().over(w).alias("token_id")
+    )
+    out = vocab_encode(docs, vocab)
+    return out.select(
+        "doc_id",
+        F.concat_ws(",", F.transform(F.col("token_ids"), lambda x: x.cast("string"))).alias(
+            "ids_csv"
+        ),
+        "n_tokens",
+        "n_oov",
+    )
