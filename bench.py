@@ -46,6 +46,12 @@ HEADLINE = [
     "windowed_event_stats",
     "session_windows",
     "grouping_rollup",
+    "tpch_q6_revenue_delta",
+    "tpch_q18_large_orders",
+    "relational_set_ops",
+    "event_interarrival_stats",
+    "moving_window_sum",
+    "quality_percentile_band",
     "filter_scalar_tree",
     "filter_in_ops",
     "filter_has_key",

@@ -67,4 +67,6 @@ def _load_all() -> None:
     from . import dedup_text  # noqa: F401
     from . import vectors  # noqa: F401
     from . import multimodal  # noqa: F401
+    from . import windows  # noqa: F401
+    from . import relational  # noqa: F401
     _LOADED = True

@@ -1,0 +1,129 @@
+"""Golden queries: relational capability anchors — TPC-H Q6/Q18 shapes
+and result-set set operations (SURVEY.md §2.3/§2.4/§2.7).
+
+The reference composes everything client-side over KV reads; these
+queries pin the full relational surface a migrating user gains: pure
+scan-side filter+aggregate (Q6 — the pushdown showcase), join against a
+grouped-HAVING derived table (Q18 — semi-join on an aggregate), and
+INTERSECT/EXCEPT over result sets (the reference only has value-level
+set semantics, SURVEY §2.7).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from . import golden
+from ._util import big, dbl, dec, t
+
+
+@golden(
+    "tpch_q6_revenue_delta",
+    oracle="""
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,2))
+                    * CAST(l_discount AS DECIMAL(28,2))) AS DOUBLE) AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+      AND l_discount >= 0.05 AND l_discount <= 0.07
+      AND l_quantity < 24
+    """,
+)
+def tpch_q6_revenue_delta(spark, sf_dir):
+    """TPC-H Q6 shape: the whole predicate set (date range + discount
+    band + quantity cap) is scan-pushable — the plan must show every
+    conjunct in PushedFilters and read only the four referenced columns;
+    the aggregate is a single map-side partial + 1-row exchange. At
+    100 TB this query's cost is exactly the cost of the pruned scan."""
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            dbl(F.sum(dec("l_extendedprice") * dec("l_discount"))).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@golden(
+    "tpch_q18_large_orders",
+    oracle="""
+    SELECT c.c_name,
+           CAST(o.o_orderkey AS BIGINT) AS o_orderkey,
+           o.o_orderdate, o.o_totalprice,
+           CAST(SUM(CAST(l.l_quantity AS DECIMAL(28,2))) AS DOUBLE) AS total_qty
+    FROM customer c
+      JOIN orders o   ON c.c_custkey = o.o_custkey
+      JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderkey IN (
+      SELECT l_orderkey FROM lineitem
+      GROUP BY l_orderkey
+      HAVING SUM(CAST(l_quantity AS DECIMAL(28,2))) > 300
+    )
+    GROUP BY c.c_name, o.o_orderkey, o.o_orderdate, o.o_totalprice
+    """,
+)
+def tpch_q18_large_orders(spark, sf_dir):
+    """TPC-H Q18 shape: join the fact against a HAVING-filtered
+    aggregate of itself. The big-orders key set is tiny after the
+    HAVING (it broadcasts), so lineitem is scanned twice but shuffled
+    on l_orderkey only once for the final group; the alternative —
+    one scan + full-table window SUM — would shuffle the entire fact.
+    Left-semi join keeps the probe side duplicate-free."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    big_orders = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(dec("l_quantity")).alias("qty"))
+        .filter(F.col("qty") > 300)
+        .select("l_orderkey")
+    )
+    return (
+        li.join(F.broadcast(big_orders), "l_orderkey", "left_semi")
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_name", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(dbl(F.sum(dec("l_quantity"))).alias("total_qty"))
+        .select(
+            "c_name", big("o_orderkey").alias("o_orderkey"),
+            "o_orderdate", "o_totalprice", "total_qty",
+        )
+    )
+
+
+@golden(
+    "relational_set_ops",
+    oracle="""
+    WITH open_cust   AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O'),
+         closed_cust AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F')
+    SELECT 'both' AS op, CAST(o_custkey AS BIGINT) AS custkey
+      FROM (SELECT o_custkey FROM open_cust INTERSECT SELECT o_custkey FROM closed_cust)
+    UNION ALL
+    SELECT 'open_only' AS op, CAST(o_custkey AS BIGINT) AS custkey
+      FROM (SELECT o_custkey FROM open_cust EXCEPT SELECT o_custkey FROM closed_cust)
+    """,
+)
+def relational_set_ops(spark, sf_dir):
+    """Result-set INTERSECT/EXCEPT — the relational lift of the
+    reference's value-level set ops (`Uint32Slice*`, SURVEY §2.7).
+    Catalyst executes both as aggregate-free hash semi/anti joins after
+    a distinct; at scale each is one shuffle on the key, and the two
+    branches share the cached distinct inputs."""
+    o = t(spark, sf_dir, "orders")
+    open_cust = o.filter(F.col("o_orderstatus") == "O").select("o_custkey").distinct()
+    closed_cust = o.filter(F.col("o_orderstatus") == "F").select("o_custkey").distinct()
+    both = open_cust.intersect(closed_cust).select(
+        F.lit("both").alias("op"), big("o_custkey").alias("custkey")
+    )
+    open_only = open_cust.exceptAll(closed_cust).select(
+        F.lit("open_only").alias("op"), big("o_custkey").alias("custkey")
+    )
+    return both.unionByName(open_only)

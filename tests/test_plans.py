@@ -182,3 +182,29 @@ def test_time_bound_pushes_through_nanos_conversion(spark):
     # above the ns->us conversion projection)
     assert has_pushed_filters(bounded, "LessThan(ts")
     assert not has_pushed_filters(naive, "LessThan(ts")
+
+
+def test_q6_full_predicate_pushdown_and_pruning(spark, Q):
+    """TPC-H Q6 shape: every conjunct must reach PushedFilters and the
+    scan must read only the four referenced columns — at 100 TB the
+    query costs exactly the pruned scan, nothing more."""
+    df = Q["tpch_q6_revenue_delta"](spark, SF)
+    assert has_pushed_filters(
+        df,
+        "GreaterThanOrEqual(l_shipdate",
+        "LessThan(l_shipdate",
+        "GreaterThanOrEqual(l_discount,0.05)",
+        "LessThanOrEqual(l_discount,0.07)",
+        "LessThan(l_quantity,24.0)",
+    )
+    schemas = scan_read_schema(df)
+    assert schemas and all("l_orderkey" not in s for s in schemas)
+    plan = physical_plan(df)
+    assert "partial_sum" in plan  # map-side partial aggregate
+
+
+def test_window_is_single_shuffle(spark, Q):
+    """Analytic windows shuffle once on the partition key; the moving
+    frame must not introduce extra exchanges."""
+    df = Q["moving_window_sum"](spark, SF)
+    assert count_exchanges(df) == 1
