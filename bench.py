@@ -46,6 +46,7 @@ HEADLINE = [
     "windowed_event_stats",
     "session_windows",
     "grouping_rollup",
+    "hll_distinct_rollup",
     "tpch_q6_revenue_delta",
     "tpch_q18_large_orders",
     "relational_set_ops",

@@ -1,0 +1,58 @@
+"""Mergeable distinct-count sketches (Apache DataSketches HLL, built
+into Spark SQL as `hll_sketch_agg` / `hll_union_agg` /
+`hll_sketch_estimate`).
+
+Reference parity note: the reference's only distinct-ish surface is the
+set-valued `Uint32Slice` cell (proto/hydraide.proto:960-964 — exact,
+bounded) and per-swamp `Count` (gateway.go:1396-1480). At 100 TB an
+exact global distinct is a full shuffle of every key; the mergeable
+sketch replaces it with byte-sized per-partition state:
+
+- build once per fine-grained group (map-side partial aggregation — the
+  shuffle carries one ~2^lg_k-byte sketch per group, not the keys);
+- re-aggregate to ANY coarser grouping later by unioning the stored
+  sketches (`hll_union_agg`) — no second pass over raw data. This is
+  the pre-aggregated-cube pattern: daily sketches roll up to monthly
+  without rescanning the corpus.
+
+Determinism: HLL register updates are order- and partition-independent
+(register max), so estimates are stable across shuffles and retries —
+safe for the rows-only correctness gate. DataSketches HLL is EXACT
+below its sparse-mode threshold (couponed list), which the tests pin.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def hll_group_sketches(
+    df: DataFrame, group_cols: list[str], value_col: str, lg_k: int = 12
+) -> DataFrame:
+    """Per-group HLL sketch of ``value_col`` + its estimate.
+
+    Output: group_cols + ``sketch`` (binary, mergeable) + ``distinct_est``
+    (bigint). Store the sketch column; re-aggregate with
+    :func:`hll_rollup` instead of rescanning raw data.
+    """
+    sk = F.hll_sketch_agg(F.col(value_col), F.lit(lg_k)).alias("sketch")
+    out = df.groupBy(*group_cols).agg(sk)
+    return out.withColumn("distinct_est", F.hll_sketch_estimate("sketch"))
+
+
+def hll_rollup(df_sketches: DataFrame, rollup_cols: list[str]) -> DataFrame:
+    """Union-merge stored sketches to a coarser grouping (no raw-data
+    pass). Empty ``rollup_cols`` merges to a single global row."""
+    merged = F.hll_union_agg("sketch").alias("sketch")
+    if rollup_cols:
+        out = df_sketches.groupBy(*rollup_cols).agg(merged)
+    else:
+        out = df_sketches.agg(merged)
+    return out.withColumn("distinct_est", F.hll_sketch_estimate("sketch"))
+
+
+def exact_distinct(df: DataFrame, group_cols: list[str], value_col: str) -> DataFrame:
+    """Exact comparison baseline: countDistinct per group (full shuffle
+    of the distinct keys — the cost the sketch path avoids)."""
+    agg = F.countDistinct(value_col).alias("distinct_exact")
+    return df.groupBy(*group_cols).agg(agg) if group_cols else df.agg(agg)

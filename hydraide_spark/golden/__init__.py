@@ -69,4 +69,5 @@ def _load_all() -> None:
     from . import multimodal  # noqa: F401
     from . import windows  # noqa: F401
     from . import relational  # noqa: F401
+    from . import sketches  # noqa: F401
     _LOADED = True
