@@ -517,3 +517,43 @@ def repeated_span_coverage(
             >= F.col("n_tokens")
         ).alias("dup_flag"),
     )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    centroids,
+    tau: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023): assign
+    every embedding to its nearest centroid (pure per-row argmax over
+    inlined centroid literals — zero shuffle, the same E-step expression
+    as ``kmeans_assign``), generate candidate pairs ONLY within a
+    cluster (equi-join on the cluster id — never a cross join), and drop
+    every row that has a cosine-``tau`` near-duplicate with a smaller
+    id. The greedy earlier-id-wins rule is the standard SemDeDup keep
+    policy; it is deterministic and join-expressible, unlike an
+    iterative representative election.
+
+    At 100 TB the cluster id doubles as a write-time partition key, so
+    the pair join co-locates without a shuffle; within-cluster pair
+    count is bounded by the cluster-size distribution the centroid count
+    controls (k scales with corpus so clusters stay ~constant-sized).
+
+    Returns survivors ``(id_col, cluster)``.
+    """
+    from .vector import nearest_centroid_struct
+
+    with_cluster = df.select(
+        F.col(id_col),
+        F.col(vec_col),
+        (-nearest_centroid_struct(F.col(vec_col), centroids).getField("neg_label"))
+        .cast("long")
+        .alias("cluster"),
+    )
+    pairs = embedding_neardup_pairs(
+        with_cluster, tau=tau, id_col=id_col, vec_col=vec_col, block_col="cluster"
+    )
+    dupes = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return with_cluster.select(id_col, "cluster").join(dupes, id_col, "left_anti")

@@ -294,21 +294,30 @@ def kmeans_assign(
     Each cosine is evaluated once: scores pack into an array of
     ``struct(score, -label)`` and ``array_max``'s lexicographic struct
     ordering performs the argmax with the smallest-label tiebreak."""
-    entries = []
-    for label, vec in centroids:
-        c = F.array(*[F.lit(float(x)) for x in vec]).cast("array<double>")
-        entries.append(
-            F.struct(
-                cosine_similarity(F.col(vec_col), c).alias("score"),
-                F.lit(-int(label)).cast("long").alias("neg_label"),
-            )
-        )
-    top = F.array_max(F.array(*entries))
+    top = nearest_centroid_struct(F.col(vec_col), centroids)
     return df.select(
         F.col(id_col),
         (-top.getField("neg_label")).cast("long").alias("label"),
         top.getField("score").alias("score"),
     )
+
+
+def nearest_centroid_struct(
+    vec_col: Column, centroids: Sequence[tuple[int, Sequence[float]]]
+) -> Column:
+    """``struct(score, neg_label)`` of the argmax-cosine centroid — the
+    pure-expression E-step core shared by ``kmeans_assign`` and
+    ``semantic_dedup`` (label = ``-getField('neg_label')``)."""
+    entries = []
+    for label, vec in centroids:
+        c = F.array(*[F.lit(float(x)) for x in vec]).cast("array<double>")
+        entries.append(
+            F.struct(
+                cosine_similarity(vec_col, c).alias("score"),
+                F.lit(-int(label)).cast("long").alias("neg_label"),
+            )
+        )
+    return F.array_max(F.array(*entries))
 
 
 def centroid_means(cent_sums_rows, group_col: str = "label") -> list[tuple[int, list[float]]]:
