@@ -137,14 +137,67 @@ def main() -> None:
             print(f"bench error in {n}: {e}", file=sys.stderr)
 
     total = round(sum(v for v in timings.values() if v >= 0), 3)
+    errors = sorted(n for n, v in timings.items() if v < 0)
+
+    # Per-query regression ratios vs the committed round-1 baseline.
+    base_path = os.path.join(_HERE, "bench", "baseline_r1.json")
+    vs_r1: dict[str, float] = {}
+    vs_r1_total = None
+    if os.path.exists(base_path):
+        with open(base_path) as f:
+            base = json.load(f)
+        bq = base.get("queries", {})
+        vs_r1 = {
+            n: round(t / bq[n], 3)
+            for n, t in timings.items()
+            if t >= 0 and bq.get(n, 0) > 0
+        }
+        common = [n for n in timings if timings[n] >= 0 and bq.get(n, 0) > 0]
+        if common:
+            vs_r1_total = round(
+                sum(timings[n] for n in common) / sum(bq[n] for n in common), 3
+            )
+
+    full = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "vs_r1": vs_r1,
+        "vs_r1_total": vs_r1_total,
+        "sf": sf,
+        "errors": errors,
+    }
+    out_dir = os.path.join(_HERE, "bench")
+    os.makedirs(out_dir, exist_ok=True)
+    with open(os.path.join(out_dir, "latest_full.json"), "w") as f:
+        json.dump(full, f, indent=1, sort_keys=True)
+
+    # Full map first (human-readable / archival)...
+    print(json.dumps(full))
+    sys.stdout.flush()
+    # ...then a COMPACT machine-first summary as the FINAL stdout line.
+    # The driver keeps only the last ~2000 chars of stdout; round 1's
+    # single ~3 KB line came back `parsed: null`. This line is ~300 bytes
+    # so it always survives the tail window intact.
+    slowest = dict(
+        sorted(
+            ((n, v) for n, v in timings.items() if v >= 0),
+            key=lambda kv: -kv[1],
+        )[:5]
+    )
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total_wall",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
                 "sf": sf,
+                "n_queries": len(timings),
+                "n_errors": len(errors),
+                "vs_r1_total": vs_r1_total,
+                "slowest": slowest,
+                "queries_file": "bench/latest_full.json",
             }
         )
     )

@@ -40,14 +40,50 @@ def golden(name: str, oracle: Optional[str] = None):
     return deco
 
 
+# Names the round-1 driver gate already verified (CORRECTNESS_r01.json,
+# all green after the nanos-conf fix). The driver consumes the registry
+# in insertion order and may cap how many it checks, so queries with no
+# hard signal yet are ordered FIRST; these proven names go last.
+_R1_VERIFIED = frozenset(
+    {
+        "get_point_read", "get_all_scan", "get_by_keys_batch",
+        "get_by_keys_semijoin", "get_by_index_paged",
+        "get_by_index_time_range", "index_null_timestamp_excluded",
+        "stream_filtered_ordered", "stream_from_many", "profile_read",
+        "stream_from_many_single_scan", "count_per_swamp",
+        "count_matching", "tpch_q1_pricing_summary", "join_star_revenue",
+        "semi_anti_join", "topk_per_group", "windowed_event_stats",
+        "grouping_rollup", "approx_distinct_exact_oracle",
+        "salted_skew_join", "session_windows", "multiway_join_volume",
+        "asof_join_events", "interval_join_incidents",
+        "filter_scalar_tree", "filter_string_ops", "filter_in_ops",
+        "filter_is_empty", "filter_has_key", "filter_nested_path",
+        "filter_slice_ops", "filter_slice_substring",
+        "filter_len_and_wildcard", "nested_slice_quantifiers",
+        "phrase_match", "phrase_negated", "geo_inside", "geo_band",
+        "labeled_search_meta", "geo_radius_pairs", "uint32slice_ops",
+        "reverse_index_semijoin", "keys_exist", "set_upsert_status",
+        "set_insert_only_counts", "increment_conditional",
+        "patch_struct_ops", "shift_expired_claim", "shift_matching_cap",
+    }
+)
+
+
+def _ordered(d: dict) -> dict:
+    return {
+        k: d[k]
+        for k in sorted(d, key=lambda n: (n in _R1_VERIFIED,))
+    }
+
+
 def queries() -> dict[str, QueryFn]:
     _load_all()
-    return dict(_QUERIES)
+    return _ordered(_QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
     _load_all()
-    return dict(_ORACLES)
+    return {k: _ORACLES[k] for k in queries() if k in _ORACLES}
 
 
 _LOADED = False

@@ -22,6 +22,7 @@ from pyspark.sql import Window as W, functions as F
 
 from . import golden
 from ._util import big, dbl, dec, t
+from ..sources.tables import epoch_us
 
 
 @golden(
@@ -47,11 +48,12 @@ def event_interarrival_stats(spark, sf_dir):
     (`unix_micros`), so no float drift; users with a single event emit
     no row in both engines (the lag row is filtered before the group)."""
     ev = t(spark, sf_dir, "events")
+    ts_us = epoch_us(ev, "ts")
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
     gaps = (
         ev.select(
             "user_id",
-            (F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)).alias("gap_us"),
+            (ts_us - F.lag(ts_us).over(w)).alias("gap_us"),
         )
         .filter(F.col("gap_us").isNotNull())
     )

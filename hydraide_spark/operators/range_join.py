@@ -28,6 +28,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from ..sources.tables import epoch_us
+
 
 def interval_join(
     points: DataFrame,
@@ -47,7 +49,7 @@ def interval_join(
     g = int(grain_seconds) * 1_000_000
     keys = list(keys or [])
 
-    p = points.withColumn("_cell", F.floor(F.unix_micros(F.col(ts_col)) / g))
+    p = points.withColumn("_cell", F.floor(epoch_us(points, ts_col) / g))
     i = (
         intervals
         # half-open: an empty window covers no cell and matches no point
@@ -56,9 +58,9 @@ def interval_join(
             "_cell",
             F.explode(
                 F.sequence(
-                    F.floor(F.unix_micros(F.col(lo_col)) / g),
+                    F.floor(epoch_us(intervals, lo_col) / g),
                     # hi is exclusive: the last covered microsecond is hi-1
-                    F.floor((F.unix_micros(F.col(hi_col)) - 1) / g),
+                    F.floor((epoch_us(intervals, hi_col) - 1) / g),
                 )
             ),
         )

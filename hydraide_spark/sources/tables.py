@@ -31,11 +31,20 @@ TABLES = (
 )
 
 
-def _nanos_timestamp_columns(path: str) -> list[str]:
-    """Parquet TIMESTAMP(NANOS) columns — Spark has no nanosecond type,
-    so the session reads them as long (nanosAsLong) and we convert to
-    microsecond timestamps (integer div, no double round-trip: ns values
-    exceed 2^53)."""
+def _timestamp_columns(path: str) -> tuple[list[str], list[str]]:
+    """Classify parquet timestamp columns: (nanos, naive_non_nanos).
+
+    - TIMESTAMP(NANOS): Spark has no nanosecond type, so the session
+      reads them as long (nanosAsLong) and we convert to microsecond
+      timestamps (integer div, no double round-trip: ns values exceed
+      2^53).
+    - naive (no tz) µs/ms timestamps: Spark reads TIMESTAMP_NTZ. These
+      pass through unchanged (keeps filter pushdown on the raw column);
+      ``load_table_time_bounded`` uses the classification to type its
+      bound literals, and epoch arithmetic goes through
+      ``sources.tables.epoch_us`` which handles both TIMESTAMP and
+      TIMESTAMP_NTZ.
+    """
     try:
         import pyarrow.parquet as pq
         import pyarrow as pa
@@ -43,24 +52,57 @@ def _nanos_timestamp_columns(path: str) -> list[str]:
         if os.path.isdir(path):
             inner = [f for f in os.listdir(path) if f.endswith(".parquet")]
             if not inner:
-                return []
+                return [], []
             path = os.path.join(path, inner[0])
         schema = pq.read_schema(path)
-        return [
-            name
-            for name, typ in zip(schema.names, schema.types)
-            if pa.types.is_timestamp(typ) and typ.unit == "ns"
-        ]
+        nanos, naive = [], []
+        for name, typ in zip(schema.names, schema.types):
+            if not pa.types.is_timestamp(typ):
+                continue
+            if typ.unit == "ns":
+                nanos.append(name)
+            elif typ.tz is None:
+                naive.append(name)
+        return nanos, naive
     except Exception:
-        return []
+        return [], []
+
+
+def _nanos_timestamp_columns(path: str) -> list[str]:
+    return _timestamp_columns(path)[0]
+
+
+def epoch_us(df: DataFrame, col: str):
+    """Microseconds since epoch for a timestamp column of EITHER type.
+
+    ``unix_micros`` rejects TIMESTAMP_NTZ; for NTZ columns (naive-UTC by
+    the data contract) the wall clock is reinterpreted as UTC via
+    ``to_utc_timestamp(col, 'UTC')`` — session-timezone independent, so
+    the driver's session needs no tz conf. The testdata regenerated
+    between rounds (events.ts: TIMESTAMP(NANOS) → naive µs), so epoch
+    arithmetic must not assume one physical type.
+    """
+    if dict(df.dtypes).get(col) == "timestamp_ntz":
+        return F.unix_micros(F.to_utc_timestamp(F.col(col), "UTC"))
+    return F.unix_micros(F.col(col))
+
+
+def _ensure_nanos_conf(spark: SparkSession) -> None:
+    """The driver contract hands ``queries()`` a SparkSession the DRIVER
+    built — it does not carry this repo's session builder confs. The
+    nanos-timestamp read path must therefore be self-sufficient: the conf
+    is runtime-settable and idempotent, so set it at every load."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = os.path.join(sf_dir, f"{name}.parquet")
     if not os.path.exists(path):
         path = os.path.join(sf_dir, name)
+    _ensure_nanos_conf(spark)
     df = spark.read.parquet(path)
-    for col in _nanos_timestamp_columns(path):
+    nanos, _ = _timestamp_columns(path)
+    for col in nanos:
         df = df.withColumn(col, F.expr(f"timestamp_micros({col} div 1000)"))
     return df
 
@@ -90,14 +132,25 @@ def load_table_time_bounded(
     path = os.path.join(sf_dir, f"{name}.parquet")
     if not os.path.exists(path):
         path = os.path.join(sf_dir, name)
+    _ensure_nanos_conf(spark)
     df = spark.read.parquet(path)
-    nanos_cols = set(_nanos_timestamp_columns(path))
+    nanos, naive = _timestamp_columns(path)
+    nanos_cols, naive_cols = set(nanos), set(naive)
     for col, (lo, hi) in bounds.items():
         if col in nanos_cols:
+            # integer comparison on the raw long column → PushedFilters
             if lo is not None:
                 df = df.filter(F.col(col) >= F.lit(_ns_epoch(lo)))
             if hi is not None:
                 df = df.filter(F.col(col) < F.lit(_ns_epoch(hi)))
+        elif col in naive_cols:
+            # NTZ literal against the raw NTZ column — same type, so the
+            # bound reaches the scan; an LTZ literal would force a cast
+            # above the projection and lose row-group pruning.
+            if lo is not None:
+                df = df.filter(F.col(col) >= F.lit(lo).cast("timestamp_ntz"))
+            if hi is not None:
+                df = df.filter(F.col(col) < F.lit(hi).cast("timestamp_ntz"))
         else:
             if lo is not None:
                 df = df.filter(F.col(col) >= F.lit(lo))
