@@ -76,23 +76,39 @@ def epoch_us(df: DataFrame, col: str):
     """Microseconds since epoch for a timestamp column of EITHER type.
 
     ``unix_micros`` rejects TIMESTAMP_NTZ; for NTZ columns (naive-UTC by
-    the data contract) the wall clock is reinterpreted as UTC via
-    ``to_utc_timestamp(col, 'UTC')`` — session-timezone independent, so
-    the driver's session needs no tz conf. The testdata regenerated
-    between rounds (events.ts: TIMESTAMP(NANOS) → naive µs), so epoch
-    arithmetic must not assume one physical type.
+    the data contract) the implicit NTZ→TIMESTAMP cast interprets the
+    wall clock in ``spark.sql.session.timeZone``, and
+    ``from_utc_timestamp(col, current_timezone())`` shifts it back so
+    the result is the UTC-interpreted epoch REGARDLESS of the driver
+    session's timezone. (The previous ``to_utc_timestamp(col, 'UTC')``
+    form was an identity on the already-session-tz-cast value and
+    silently shifted all epoch arithmetic under non-UTC sessions.) The
+    testdata regenerated between rounds (events.ts: TIMESTAMP(NANOS) →
+    naive µs), so epoch arithmetic must not assume one physical type.
     """
     if dict(df.dtypes).get(col) == "timestamp_ntz":
-        return F.unix_micros(F.to_utc_timestamp(F.col(col), "UTC"))
+        return F.unix_micros(
+            F.from_utc_timestamp(F.col(col), F.expr("current_timezone()"))
+        )
     return F.unix_micros(F.col(col))
 
 
 def _ensure_nanos_conf(spark: SparkSession) -> None:
     """The driver contract hands ``queries()`` a SparkSession the DRIVER
     built — it does not carry this repo's session builder confs. The
-    nanos-timestamp read path must therefore be self-sufficient: the conf
-    is runtime-settable and idempotent, so set it at every load."""
+    parquet read path must therefore be self-sufficient: both confs are
+    runtime-settable and idempotent, so set them at every load.
+
+    - ``nanosAsLong``: TIMESTAMP(NANOS) columns read as raw longs
+      (Spark has no ns type) instead of failing with
+      PARQUET_TYPE_ILLEGAL.
+    - ``inferTimestampNTZ``: naive parquet timestamps read as
+      TIMESTAMP_NTZ; if a driver session disabled this, naive columns
+      would arrive session-tz-interpreted and ``epoch_us`` dispatch /
+      bound typing in ``load_table_time_bounded`` would silently shift.
+    """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "true")
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -146,11 +162,21 @@ def load_table_time_bounded(
         elif col in naive_cols:
             # NTZ literal against the raw NTZ column — same type, so the
             # bound reaches the scan; an LTZ literal would force a cast
-            # above the projection and lose row-group pruning.
+            # above the projection and lose row-group pruning. The
+            # literal is built FROM A STRING: lit(datetime) goes through
+            # a session-tz TIMESTAMP literal first, so the NTZ cast
+            # re-renders the wall clock and shifts the bound whenever
+            # the Python OS tz and the Spark session tz differ; a string
+            # cast is tz-independent and still foldable (reaches
+            # PushedFilters).
             if lo is not None:
-                df = df.filter(F.col(col) >= F.lit(lo).cast("timestamp_ntz"))
+                df = df.filter(
+                    F.col(col) >= F.lit(lo.isoformat(sep=" ")).cast("timestamp_ntz")
+                )
             if hi is not None:
-                df = df.filter(F.col(col) < F.lit(hi).cast("timestamp_ntz"))
+                df = df.filter(
+                    F.col(col) < F.lit(hi.isoformat(sep=" ")).cast("timestamp_ntz")
+                )
         else:
             if lo is not None:
                 df = df.filter(F.col(col) >= F.lit(lo))

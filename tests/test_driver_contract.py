@@ -13,6 +13,7 @@ and require the query path to re-establish everything it needs.
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from conftest import SF_SMOKE
 
@@ -52,6 +53,60 @@ def test_time_bounded_load_on_bare_session(bare_conf_spark):
         {"ts": (datetime(2024, 1, 1), None)},
     )
     assert df.count() > 0
+
+
+@pytest.fixture
+def nonutc_spark(spark):
+    """The session with a non-UTC timezone — a driver session whose host
+    isn't UTC. Epoch arithmetic and time bounds must not shift."""
+    old = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    yield spark
+    spark.conf.set("spark.sql.session.timeZone", old)
+
+
+def test_epoch_us_timezone_independent(nonutc_spark):
+    # ADVICE r2 (high): the NTZ branch of epoch_us used
+    # to_utc_timestamp(col,'UTC'), an identity on the session-tz-cast
+    # value — every epoch shifted by the tz offset under a non-UTC
+    # session. The from_utc_timestamp(col, current_timezone()) form must
+    # return the UTC-interpreted epoch under ANY session tz.
+    from hydraide_spark.sources.tables import epoch_us, load_table
+
+    df = load_table(nonutc_spark, SF_SMOKE, "events")
+    e_ny = df.select(epoch_us(df, "ts").alias("e")).agg(F.min("e")).collect()[0][0]
+    nonutc_spark.conf.set("spark.sql.session.timeZone", "UTC")
+    e_utc = df.select(epoch_us(df, "ts").alias("e")).agg(F.min("e")).collect()[0][0]
+    assert e_ny == e_utc
+
+
+def test_time_bounds_timezone_independent(nonutc_spark):
+    # ADVICE r2 (medium): lit(datetime).cast('timestamp_ntz') renders
+    # through a session-tz TIMESTAMP literal, shifting bounds by the
+    # OS-tz/session-tz delta. The string-literal form must select the
+    # same rows under any session tz.
+    from datetime import datetime
+
+    from hydraide_spark.sources.tables import load_table_time_bounded
+
+    bounds = {"ts": (datetime(2024, 1, 2), datetime(2024, 1, 5))}
+    n_ny = load_table_time_bounded(nonutc_spark, SF_SMOKE, "events", bounds).count()
+    nonutc_spark.conf.set("spark.sql.session.timeZone", "UTC")
+    n_utc = load_table_time_bounded(nonutc_spark, SF_SMOKE, "events", bounds).count()
+    assert n_ny == n_utc > 0
+
+
+def test_windowed_event_stats_nonutc_matches_utc(nonutc_spark):
+    # End-to-end: a time-arithmetic golden query must hash identically
+    # under a non-UTC driver session (the DuckDB oracle reads naive
+    # timestamps as-is, so any session-tz leakage diverges from it).
+    import __spark_entry__ as entry
+
+    fn = entry.queries()["event_interarrival_stats"]
+    rows_ny = sorted(map(tuple, fn(nonutc_spark, SF_SMOKE).collect()))
+    nonutc_spark.conf.set("spark.sql.session.timeZone", "UTC")
+    rows_utc = sorted(map(tuple, fn(nonutc_spark, SF_SMOKE).collect()))
+    assert rows_ny == rows_utc
 
 
 def test_registry_orders_unverified_first():
