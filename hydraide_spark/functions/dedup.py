@@ -442,7 +442,10 @@ def decontaminate(
     explode+join is map-side (the corpus never shuffles), and the only
     exchanges carry colliding grams (tiny) and the per-doc hit counts.
     If an eval set ever outgrows the broadcast threshold, AQE falls back
-    to a shuffle join with identical semantics.
+    to a shuffle join with identical semantics. The ``hits`` frame is
+    NOT hinted: it is per-contaminated-doc — unbounded in corpus size —
+    so the final join must stay a plain join (AQE broadcasts it when it
+    happens to be small).
     """
     gram = lambda c: F.explode(shingles(F.col(c), n)).alias("gram")  # noqa: E731
     eval_grams = eval_df.select(gram(text_col)).distinct()
@@ -452,7 +455,7 @@ def decontaminate(
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("n_hit_grams"))
     )
-    return train.select(id_col).join(F.broadcast(hits), id_col, "left").select(
+    return train.select(id_col).join(hits, id_col, "left").select(
         F.col(id_col),
         F.coalesce(F.col("n_hit_grams"), F.lit(0)).cast("bigint").alias("n_hit_grams"),
         (F.coalesce(F.col("n_hit_grams"), F.lit(0)) > 0).alias("contaminated"),
@@ -475,13 +478,17 @@ def repeated_span_coverage(
     repeated material).
 
     100 TB shape: the k-gram posexplode is the big frame and it is
-    touched exactly twice, both map-side — once feeding a partial-agg
-    groupBy on the gram (the only corpus-sized shuffle, carrying
-    per-partition distinct grams), once joining against the broadcast
-    repeated-gram set. Coverage merging (the interval union) runs on
-    the HIT positions only — repeated spans are a tiny fraction of any
-    healthy corpus — via one per-doc window; overlapping spans
-    contribute min(k, gap) so each token counts once.
+    touched exactly twice — once feeding a partial-agg groupBy on the
+    gram (a corpus-sized shuffle carrying per-partition distinct
+    grams), once joining against the repeated-gram set. Neither the
+    repeated-gram set nor the per-doc coverage frame carries a
+    broadcast hint: both scale with the corpus (a crawl snapshot can be
+    mostly boilerplate), so a pinned broadcast would OOM the driver at
+    100 TB — AQE broadcasts them only when they measure small. Coverage
+    merging (the interval union) runs on the HIT positions only —
+    repeated spans are a tiny fraction of any healthy corpus — via one
+    per-doc window; overlapping spans contribute min(k, gap) so each
+    token counts once.
     """
     from .text import ngrams, token_count
 
@@ -494,7 +501,7 @@ def repeated_span_coverage(
         .filter(F.col("cnt") >= 2)
         .select("gram")
     )
-    hits = g.join(F.broadcast(rep), "gram").select(F.col(id_col), F.col("start"))
+    hits = g.join(rep, "gram").select(F.col(id_col), F.col("start"))
     w = W.partitionBy(id_col).orderBy("start")
     cov = (
         hits.withColumn("nxt", F.lead("start").over(w))
@@ -508,7 +515,7 @@ def repeated_span_coverage(
         .agg(F.sum("c").alias("n_covered"))
     )
     tot = df.select(F.col(id_col), token_count(F.col(text_col)).alias("n_tokens"))
-    return tot.join(F.broadcast(cov), id_col, "left").select(
+    return tot.join(cov, id_col, "left").select(
         F.col(id_col),
         F.col("n_tokens").cast("bigint").alias("n_tokens"),
         F.coalesce(F.col("n_covered"), F.lit(0)).cast("bigint").alias("n_covered"),

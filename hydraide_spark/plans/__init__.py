@@ -4,6 +4,7 @@ from .inspect import (
     scan_read_schema,
     uses_broadcast_join,
     count_exchanges,
+    count_broadcast_hints,
     whole_stage_codegen_spans,
 )
 
@@ -13,5 +14,6 @@ __all__ = [
     "scan_read_schema",
     "uses_broadcast_join",
     "count_exchanges",
+    "count_broadcast_hints",
     "whole_stage_codegen_spans",
 ]

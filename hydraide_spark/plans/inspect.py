@@ -57,3 +57,15 @@ def count_exchanges(df: DataFrame) -> int:
 def whole_stage_codegen_spans(df: DataFrame) -> int:
     plan = physical_plan(df)
     return len(set(re.findall(r"WholeStageCodegen \((\d+)\)", plan)))
+
+
+def count_broadcast_hints(df: DataFrame) -> int:
+    """Number of explicit broadcast HINTS in the analyzed logical plan.
+
+    Distinct from :func:`uses_broadcast_join`: AQE choosing a broadcast
+    for a small side at runtime is healthy; a *hint* pins the choice
+    regardless of size and becomes a driver OOM when the hinted side
+    scales with the corpus. Tests cap the hint count on operators whose
+    join sides are corpus-sized."""
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    return len(re.findall(r"ResolvedHint \(strategy=broadcast\)", analyzed))

@@ -217,3 +217,24 @@ def test_window_is_single_shuffle(spark, Q):
     frame must not introduce extra exchanges."""
     df = Q["moving_window_sum"](spark, SF)
     assert count_exchanges(df) == 1
+
+
+def test_corpus_scale_joins_not_broadcast_pinned(spark):
+    """Joins whose build side scales with the corpus must NOT carry a
+    broadcast hint — a pinned broadcast of a corpus-sized frame is a
+    driver OOM at 100 TB. AQE still broadcasts genuinely small sides at
+    runtime; only the *hints* are capped here.
+
+    - repeated_span_coverage: the repeated-gram set and the per-doc
+      coverage frame both scale with the corpus -> zero hints allowed.
+    - decontaminate: the eval-gram set is bounded by contract (one
+      hint allowed); the per-doc hits frame is not -> exactly one.
+    """
+    from hydraide_spark.functions.dedup import decontaminate, repeated_span_coverage
+    from hydraide_spark.plans import count_broadcast_hints
+
+    docs = load_table(spark, SF, "documents")
+    assert count_broadcast_hints(repeated_span_coverage(docs, k=8)) == 0
+    eval_df = docs.filter(F.col("doc_id") % 10 == 0)
+    train = docs.filter(F.col("doc_id") % 10 != 0)
+    assert count_broadcast_hints(decontaminate(train, eval_df, n=4)) == 1
