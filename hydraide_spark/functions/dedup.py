@@ -47,17 +47,46 @@ def exact_dedup(
 
 
 def _pair_jaccard_candidates(
-    df: DataFrame, id_col: str, shingle_col: str
+    sizes: DataFrame, id_col: str, shingle_col: str, num: int, den: int
 ) -> DataFrame:
-    """Candidate pairs via shingle inverted index (blocking join): only
-    pairs sharing >= 1 shingle are materialized, with their intersection
-    size — never a cross join."""
-    inv = df.select(F.col(id_col), F.explode(F.col(shingle_col)).alias("shingle"))
-    a, b = inv.alias("a"), inv.alias("b")
+    """Candidate pairs via PREFIX-FILTERED shingle inverted index
+    (AllPairs/PPJoin, Bayardo et al. WWW'07): order every document's
+    shingles by ascending global document frequency and index only the
+    first ``n_sh - ceil(tau*n_sh) + 1`` of them. Any pair with
+    Jaccard >= tau = num/den shares >= ceil(tau*|A|) elements, so by
+    the prefix-filtering lemma the two prefixes must collide — the
+    filter is recall-lossless for the threshold.
+
+    Why not the full inverted index: one corpus-common shingle
+    (boilerplate, license headers) lands M documents on a single join
+    key and materializes M^2 candidate pairs — the classic similarity-
+    join skew bomb. Under the df-ascending prefix order those shingles
+    sort LAST and almost never enter a prefix, so candidate volume
+    tracks rare-shingle collisions (true near-dups), not corpus size
+    squared. ``tau`` as a rational (num/den) keeps the prefix length an
+    exact integer expression. Returns distinct (id_a, id_b).
+    """
+    inv = sizes.select(
+        F.col(id_col), F.col("n_sh"), F.explode(F.col(shingle_col)).alias("shingle")
+    )
+    dfreq = inv.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    ranked = inv.join(dfreq, "shingle").withColumn(
+        "rnk", F.row_number().over(W.partitionBy(id_col).orderBy("df", "shingle"))
+    )
+    # prefix_len = n_sh - ceil(tau*n_sh) + 1, integer arithmetic only
+    ceil_tau_n = F.expr(f"(n_sh * {num} + {den} - 1) div {den}")
+    prefix = ranked.filter(F.col("rnk") <= F.col("n_sh") - ceil_tau_n + 1).select(
+        F.col(id_col), F.col("shingle")
+    )
+    a, b = prefix.alias("a"), prefix.alias("b")
     return (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
-        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
-        .agg(F.count(F.lit(1)).alias("inter"))
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
     )
 
 
@@ -70,22 +99,31 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Near-duplicate pairs with shingle-set Jaccard >= tau.
 
-    Exact (no approximation): candidates from the inverted index, then
-    the integer test ``den * inter >= num * (|A| + |B| - inter)`` — a
-    rational comparison with no float anywhere, so Spark and any oracle
-    agree bit-for-bit. Returns (id_a, id_b, inter, union).
+    Exact (no approximation): candidates from the prefix-filtered
+    inverted index (recall-lossless for the threshold — see
+    :func:`_pair_jaccard_candidates`), then the exact intersection via
+    ``array_intersect`` and the integer test
+    ``den * inter >= num * (|A| + |B| - inter)`` — a rational
+    comparison with no float anywhere, so Spark and any oracle agree
+    bit-for-bit. Returns (id_a, id_b, inter, union).
     """
     frac = Fraction(tau).limit_denominator(10**6)
     num, den = frac.numerator, frac.denominator
     sh = df.select(F.col(id_col), shingles(F.col(text_col), n).alias("sh"))
-    # persist: the inverted-index self-join and the size lookups would
-    # otherwise recompute the shingle pipeline four times
+    # persist: the prefix index and both verification sides would
+    # otherwise recompute the shingle pipeline three times
     sizes = sh.select(F.col(id_col), F.col("sh"), F.size("sh").alias("n_sh")).persist()
-    cand = _pair_jaccard_candidates(sizes, id_col, "sh")
-    sz = sizes.select(F.col(id_col), F.col("n_sh"))
+    cand = _pair_jaccard_candidates(sizes, id_col, "sh", num, den)
+    pa = sizes.select(
+        F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"), F.col("n_sh").alias("n_a")
+    )
+    pb = sizes.select(
+        F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"), F.col("n_sh").alias("n_b")
+    )
     out = (
-        cand.join(sz.withColumnRenamed(id_col, "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
-        .join(sz.withColumnRenamed(id_col, "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
+        cand.join(pa, "id_a")
+        .join(pb, "id_b")
+        .withColumn("inter", F.size(F.array_intersect("sh_a", "sh_b")))
         .withColumn("union", F.col("n_a") + F.col("n_b") - F.col("inter"))
         .filter(F.lit(den) * F.col("inter") >= F.lit(num) * F.col("union"))
     )

@@ -62,6 +62,88 @@ def test_jaccard_pairs_find_truncated_copies(spark, corpus):
         assert 5 * p["inter"] >= 3 * p["union"]
 
 
+def test_jaccard_prefix_filter_matches_full_index(spark, corpus):
+    """The prefix-filtered blocking must be recall-lossless: pair set
+    identical to the naive full-inverted-index form (inter/union included)."""
+    got = {
+        (p["id_a"], p["id_b"], p["inter"], p["union"])
+        for p in ngram_jaccard_pairs(corpus, tau=0.6, n=3).collect()
+    }
+    sh = corpus.select("doc_id", F.col("text"))
+    from hydraide_spark.functions.text import shingles
+
+    sizes = sh.select(
+        "doc_id", shingles(F.col("text"), 3).alias("sh")
+    ).select("doc_id", "sh", F.size("sh").alias("n_sh"))
+    inv = sizes.select("doc_id", F.explode("sh").alias("shingle"))
+    a, b = inv.alias("a"), inv.alias("b")
+    naive_cand = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sz = sizes.select("doc_id", "n_sh")
+    naive = {
+        (p["id_a"], p["id_b"], p["inter"], p["union"])
+        for p in naive_cand.join(
+            sz.withColumnRenamed("doc_id", "id_a").withColumnRenamed("n_sh", "n_a"),
+            "id_a",
+        )
+        .join(
+            sz.withColumnRenamed("doc_id", "id_b").withColumnRenamed("n_sh", "n_b"),
+            "id_b",
+        )
+        .withColumn("union", F.col("n_a") + F.col("n_b") - F.col("inter"))
+        .filter(F.lit(5) * F.col("inter") >= F.lit(3) * F.col("union"))
+        .collect()
+    }
+    assert got == naive
+
+
+def test_jaccard_blocking_survives_hot_shingle(spark):
+    """The skew bomb: a shingle every document shares (boilerplate) must
+    NOT create O(n^2) candidate pairs — under the df-ascending prefix
+    order it sorts last and stays out of every prefix. True near-dup
+    pairs must still be found through their rare shared shingles."""
+    from fractions import Fraction
+
+    from hydraide_spark.functions.dedup import _pair_jaccard_candidates
+    from hydraide_spark.functions.text import shingles
+
+    n_docs = 200
+    rows = [
+        (i, f"u{i}a u{i}b u{i}c u{i}d u{i}e boiler plate common")
+        for i in range(n_docs)
+    ]
+    # one true near-dup pair: doc 9000/9001 differ by the last token
+    rows += [
+        (9000, "same words in this doc here boiler plate common"),
+        (9001, "same words in this doc here boiler plate shared"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    frac = Fraction(0.6).limit_denominator(10**6)
+    sizes = df.select(
+        "doc_id", shingles(F.col("text"), 3).alias("sh")
+    ).select("doc_id", "sh", F.size("sh").alias("n_sh"))
+    cand = _pair_jaccard_candidates(
+        sizes, "doc_id", "sh", frac.numerator, frac.denominator
+    )
+    n_cand = cand.count()
+    # full inverted index would emit >= C(200,2) = 19900 pairs off the
+    # hot shingle alone; the prefix filter must keep candidates near the
+    # true-duplicate count
+    assert n_cand < 50, f"hot shingle produced {n_cand} candidates"
+    pairs = {
+        (p["id_a"], p["id_b"])
+        for p in ngram_jaccard_pairs(df, tau=0.6, n=3).collect()
+    }
+    assert (9000, 9001) in pairs
+
+
 def test_minhash_lsh_recall(spark, corpus):
     exact = {
         (p["id_a"], p["id_b"])
