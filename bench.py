@@ -67,6 +67,7 @@ HEADLINE = [
     "ann_topk_lsh",
     "ann_topk_ivf",
     "embedding_neardup",
+    "semantic_dedup_docs",
     "label_centroid_sums",
     "kmeans_assign_exact",
     "uint32slice_ops",

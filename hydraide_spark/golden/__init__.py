@@ -40,40 +40,65 @@ def golden(name: str, oracle: Optional[str] = None):
     return deco
 
 
-# Names the round-1 driver gate already verified (CORRECTNESS_r01.json,
-# all green after the nanos-conf fix). The driver consumes the registry
-# in insertion order and may cap how many it checks, so queries with no
-# hard signal yet are ordered FIRST; these proven names go last.
-_R1_VERIFIED = frozenset(
+# The driver consumes the registry in insertion order and may cap how
+# many it checks (both rounds so far: exactly 50). Order by how much a
+# fresh driver row is worth: tier 0 = queries with NO green driver row
+# yet (new this round, or round-1 env-failures on the since-fixed nanos
+# conf: windowed_event_stats, session_windows, asof_join_events,
+# interval_join_incidents, filter_is_empty, filter_has_key,
+# filter_nested_path, patch_struct_ops); tier 1 = green in round 1 only
+# (checked before the nanos/timezone fixes); tier 2 = green in round 2
+# (CORRECTNESS_r02.json, current code) — these go last.
+_R2_VERIFIED = frozenset(
     {
-        "get_point_read", "get_all_scan", "get_by_keys_batch",
+        "patch_expired_lease", "shift_by_keys_claim", "delete_remaining_count", "patch_full_opset",
+        "uint64_decimal_fidelity", "patch_many", "profile_pivot", "dedup_exact",
+        "ngram_jaccard_neardup", "minhash_lsh_neardup", "simhash_neardup", "text_quality_tokens",
+        "lang_id_heuristic", "doc_fingerprint", "neardup_clusters", "text_normalize",
+        "corpus_quality_report", "reverse_index_build", "reverse_index_search", "bm25_ranked_search",
+        "phrase_search_via_index", "repetition_signals_docs", "stratified_sample_docs", "train_test_split_docs",
+        "pack_token_shards_docs", "pii_scrub_docs", "top_ngrams_corpus", "decontaminate_docs",
+        "boilerplate_stats_docs", "tfidf_top_terms", "repeated_span_dedup", "vocab_encode_docs",
+        "vector_filter", "ann_topk_exact", "ann_topk_lsh", "embedding_neardup",
+        "ann_topk_ivf", "label_centroid_sums", "kmeans_assign_exact", "multimodal_features",
+        "multimodal_frame_plan", "event_interarrival_stats", "moving_window_sum", "quality_percentile_band",
+        "tpch_q6_revenue_delta", "tpch_q18_large_orders", "relational_set_ops", "hll_distinct_rollup",
+        "get_point_read", "get_all_scan",
+    }
+)
+
+_R1_ONLY_VERIFIED = frozenset(
+    {
+        "get_by_keys_batch",
         "get_by_keys_semijoin", "get_by_index_paged",
         "get_by_index_time_range", "index_null_timestamp_excluded",
         "stream_filtered_ordered", "stream_from_many", "profile_read",
         "stream_from_many_single_scan", "count_per_swamp",
         "count_matching", "tpch_q1_pricing_summary", "join_star_revenue",
-        "semi_anti_join", "topk_per_group", "windowed_event_stats",
+        "semi_anti_join", "topk_per_group",
         "grouping_rollup", "approx_distinct_exact_oracle",
-        "salted_skew_join", "session_windows", "multiway_join_volume",
-        "asof_join_events", "interval_join_incidents",
+        "salted_skew_join", "multiway_join_volume",
         "filter_scalar_tree", "filter_string_ops", "filter_in_ops",
-        "filter_is_empty", "filter_has_key", "filter_nested_path",
         "filter_slice_ops", "filter_slice_substring",
         "filter_len_and_wildcard", "nested_slice_quantifiers",
         "phrase_match", "phrase_negated", "geo_inside", "geo_band",
         "labeled_search_meta", "geo_radius_pairs", "uint32slice_ops",
         "reverse_index_semijoin", "keys_exist", "set_upsert_status",
         "set_insert_only_counts", "increment_conditional",
-        "patch_struct_ops", "shift_expired_claim", "shift_matching_cap",
+        "shift_expired_claim", "shift_matching_cap",
     }
 )
 
 
 def _ordered(d: dict) -> dict:
-    return {
-        k: d[k]
-        for k in sorted(d, key=lambda n: (n in _R1_VERIFIED,))
-    }
+    def tier(n: str) -> int:
+        if n in _R2_VERIFIED:
+            return 2
+        if n in _R1_ONLY_VERIFIED:
+            return 1
+        return 0
+
+    return {k: d[k] for k in sorted(d, key=lambda n: (tier(n),))}
 
 
 def queries() -> dict[str, QueryFn]:

@@ -208,6 +208,71 @@ def label_centroid_sums(spark, sf_dir):
 
 
 @golden(
+    "semantic_dedup_docs",
+    oracle=f"""
+    WITH cent AS (
+      SELECT label, i AS dim,
+             CAST(sum(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(28,9)))
+                  AS DOUBLE) / count(*) AS m
+      FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i)
+      GROUP BY label, i
+    ),
+    cvec AS (SELECT label, list(m ORDER BY dim) AS cv FROM cent GROUP BY label),
+    scored AS (
+      SELECT e.vec_id, e.embedding::DOUBLE[] AS emb, c.label,
+             {_cos_sql('e.embedding::DOUBLE[]', 'c.cv')} AS score
+      FROM embeddings e CROSS JOIN cvec c
+    ),
+    assigned AS (
+      SELECT vec_id, emb, label AS cluster
+      FROM (SELECT vec_id, emb, label, score,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                                      ORDER BY score DESC, label ASC) AS rn
+            FROM scored)
+      WHERE rn = 1
+    ),
+    v AS (
+      SELECT vec_id, cluster,
+             list_transform(emb,
+               x -> x / sqrt(list_dot_product(emb, emb))) AS nv
+      FROM assigned
+    ),
+    dupes AS (
+      SELECT DISTINCT b.vec_id
+      FROM v a JOIN v b
+        ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+       AND list_dot_product(a.nv, b.nv) >= 0.40
+    )
+    SELECT CAST(a.vec_id AS BIGINT) AS vec_id,
+           CAST(a.cluster AS BIGINT) AS cluster
+    FROM assigned a
+    WHERE a.vec_id NOT IN (SELECT vec_id FROM dupes)
+    """,
+)
+def semantic_dedup_docs(spark, sf_dir):
+    """SemDeDup semantic deduplication (Abbas et al. 2023; generalizes
+    VectorFilter, /root/reference/proto/hydraide.proto:2660-2709):
+    cluster every embedding to its nearest centroid (pure per-row argmax
+    expression — zero shuffle), find cosine-0.40 near-duplicate pairs
+    ONLY within a cluster (equi-join on the cluster id, never a cross
+    join), keep the smallest id of each dup pair. Centroids are the
+    exact per-label means (decimal sums / n, identical in both engines);
+    assignment margins >= 2.7e-5 (kmeans_assign_exact) and pair-score
+    margins >= 1.2e-4 (embedding_neardup) put both decisions far above
+    cross-engine float noise."""
+    from ..functions.dedup import semantic_dedup
+    from ..functions.vector import centroid_means, group_centroid_sums
+    from ._util import parallelize_small
+
+    emb = parallelize_small(t(spark, sf_dir, "embeddings"))
+    cents = centroid_means(
+        group_centroid_sums(emb, "label", "embedding").collect()
+    )
+    out = semantic_dedup(emb, cents, tau=0.40, id_col="vec_id", vec_col="embedding")
+    return out.select(big("vec_id").alias("vec_id"), big("cluster").alias("cluster"))
+
+
+@golden(
     "kmeans_assign_exact",
     oracle=f"""
     WITH cent AS (

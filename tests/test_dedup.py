@@ -387,3 +387,31 @@ def test_repeated_span_overlapping_spans_count_once(spark):
     # repeated 5-grams: starts 0 ("a b c d e") and 1 ("b c d e f");
     # merged coverage = min(5, 1-0) + 5 = 6
     assert out[1] == 6 and out[2] == 6
+
+
+def test_semantic_dedup_keeps_min_id_per_neardup_group(spark):
+    """SemDeDup on a hand-built embedding set: two well-separated
+    centroid directions; within cluster 0 vectors 1/2/3 are cosine-near
+    copies (survivor = 1) and vector 4 is distinct (survives); cluster 1
+    has near-copies 10/11 (survivor = 10) and loner 12."""
+    from hydraide_spark.functions.dedup import semantic_dedup
+    from hydraide_spark.plans import physical_plan
+
+    rows = [
+        # cluster around +x
+        Row(vec_id=1, embedding=[1.0, 0.02, 0.0]),
+        Row(vec_id=2, embedding=[1.0, 0.03, 0.0]),
+        Row(vec_id=3, embedding=[0.99, 0.01, 0.0]),
+        Row(vec_id=4, embedding=[0.7, 0.0, 0.7]),   # same cluster, far in cosine
+        # cluster around +y
+        Row(vec_id=10, embedding=[0.0, 1.0, 0.02]),
+        Row(vec_id=11, embedding=[0.01, 1.0, 0.0]),
+        Row(vec_id=12, embedding=[0.0, 0.7, -0.7]),
+    ]
+    df = spark.createDataFrame(rows)
+    centroids = [(0, [1.0, 0.0, 0.1]), (1, [0.0, 1.0, -0.1])]
+    out = semantic_dedup(df, centroids, tau=0.95, id_col="vec_id", vec_col="embedding")
+    got = {r["vec_id"]: r["cluster"] for r in out.collect()}
+    assert got == {1: 0, 4: 0, 10: 1, 12: 1}
+    # scale shape: within-cluster equi-join only, never a cross join
+    assert "CartesianProduct" not in physical_plan(out)
