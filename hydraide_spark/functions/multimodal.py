@@ -3,11 +3,13 @@ typed metadata, processed through Arrow-batched ``mapInPandas``
 pipelines (decode / feature-extract / resize / frame-sample).
 
 The Spark-side plumbing — schema, partition-preserving batch iterator,
-deterministic output schema — is real and tested. The actual codec work
-is stubbed: the media libraries (PIL/torchaudio/av) are not in this
-container, so ``decode`` raises ``NotImplementedError`` unless a
-deterministic fake is requested. Swapping the fake for a real decoder
-changes ONE function body and nothing in the plan.
+deterministic output schema — is real and tested. Decoding is real for
+container formats whose headers are self-describing: BMP, PNG (image
+dimensions) and RIFF/WAVE (sample rate, channels, duration) parse from
+raw bytes with no codec library. Compressed codecs (JPEG entropy
+decode, MP4/H.264) need libraries not in this container and raise
+``NotImplementedError``; swapping in PIL/av changes ONE function body
+and nothing in the plan.
 
 At 100 TB: payloads stay columnar in parquet (binary column, never
 exploded through the driver); mapInPandas processes Arrow record
@@ -48,13 +50,107 @@ FEATURE_SCHEMA = (
 )
 
 
-def real_decode(payload: bytes, kind: str):  # pragma: no cover - container has no codecs
-    """The real decode hook. STUB: media codecs are not available in
-    this environment; a deployment plugs PIL/av/soundfile in here."""
+def real_decode(payload: bytes, kind: str) -> dict:
+    """Decode real media metadata from raw bytes — dependency-free
+    header parsers for the self-describing container formats:
+
+    - **BMP**: ``BM`` magic; width/height are int32-LE at offsets 18/22
+      (height may be negative for top-down rows — the magnitude is the
+      pixel height).
+    - **PNG**: 8-byte signature then the IHDR chunk; width/height are
+      uint32-BE at offsets 16/20.
+    - **WAV**: ``RIFF .... WAVE`` then a chunk walk ([id, size, data]
+      with word alignment); the ``fmt `` chunk carries channels /
+      sample_rate / bits-per-sample, the ``data`` chunk size gives
+      ``duration_ms = data_bytes * 1000 // byte_rate``.
+
+    Returns a dict matching MEDIA_META (format, width, height,
+    sample_rate, duration_ms). Compressed codecs (JPEG scan decode,
+    MP4) raise ``NotImplementedError`` — they need PIL/av, which a
+    deployment plugs in here without touching any plan."""
+    if len(payload) >= 26 and payload[:2] == b"BM":
+        width = int.from_bytes(payload[18:22], "little", signed=True)
+        height = int.from_bytes(payload[22:26], "little", signed=True)
+        return {
+            "format": "bmp",
+            "width": abs(width),
+            "height": abs(height),
+            "sample_rate": None,
+            "duration_ms": None,
+        }
+    if len(payload) >= 24 and payload[:8] == b"\x89PNG\r\n\x1a\n":
+        return {
+            "format": "png",
+            "width": int.from_bytes(payload[16:20], "big"),
+            "height": int.from_bytes(payload[20:24], "big"),
+            "sample_rate": None,
+            "duration_ms": None,
+        }
+    if len(payload) >= 12 and payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        channels = sample_rate = bits = None
+        n_data = 0
+        off = 12
+        while off + 8 <= len(payload):
+            cid = payload[off : off + 4]
+            size = int.from_bytes(payload[off + 4 : off + 8], "little")
+            body = payload[off + 8 : off + 8 + size]
+            if cid == b"fmt " and len(body) >= 16:
+                channels = int.from_bytes(body[2:4], "little")
+                sample_rate = int.from_bytes(body[4:8], "little")
+                bits = int.from_bytes(body[14:16], "little")
+            elif cid == b"data":
+                n_data = size
+            off += 8 + size + (size & 1)  # chunks are word-aligned
+        duration_ms = None
+        if channels and sample_rate and bits:
+            byte_rate = sample_rate * channels * (bits // 8)
+            if byte_rate:
+                duration_ms = n_data * 1000 // byte_rate
+        return {
+            "format": "wav",
+            "width": None,
+            "height": None,
+            "sample_rate": sample_rate,
+            "duration_ms": duration_ms,
+        }
     raise NotImplementedError(
-        "media decoding requires codec libraries not present in this build; "
+        "payload is not a self-describing header format (BMP/PNG/WAV); "
+        "compressed codecs need libraries not present in this build — "
         "use extract_features(..., fake=True) for the deterministic test path"
     )
+
+
+DECODED_META_SCHEMA = (
+    "media_id long, kind string, format string, width int, height int, "
+    "sample_rate int, duration_ms long"
+)
+
+
+def decode_media_meta(media: DataFrame) -> DataFrame:
+    """Real decode over Arrow batches: parse every payload's container
+    header into typed metadata (``real_decode``). Same 100 TB shape as
+    extract_features — partition-preserving mapInPandas, parallelism ==
+    partition count, payloads never leave the executors."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            metas = [
+                real_decode(bytes(p) if p is not None else b"", k)
+                for p, k in zip(pdf["payload"], pdf["kind"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "format": [m["format"] for m in metas],
+                    "width": [m["width"] for m in metas],
+                    "height": [m["height"] for m in metas],
+                    "sample_rate": [m["sample_rate"] for m in metas],
+                    "duration_ms": [m["duration_ms"] for m in metas],
+                }
+            )
+
+    return media.mapInPandas(run, DECODED_META_SCHEMA)
 
 
 def _fake_features(payload: bytes) -> tuple[int, int, int]:

@@ -11,9 +11,18 @@ value-checked end to end.
 
 from __future__ import annotations
 
-from pyspark.sql import functions as F
+from typing import Iterator
 
-from ..functions.multimodal import documents_as_media, extract_features, frame_sample_plan
+import pandas as pd
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..functions.multimodal import (
+    decode_media_meta,
+    documents_as_media,
+    extract_features,
+    frame_sample_plan,
+)
 from . import golden
 from ._util import big, t
 
@@ -41,6 +50,93 @@ def multimodal_features(spark, sf_dir):
         big("n_bytes").alias("n_bytes"),
         big("first_byte").alias("first_byte"),
         big("checksum").alias("checksum"),
+    )
+
+
+def _synth_media_payloads(docs: DataFrame) -> DataFrame:
+    """Deterministic REAL container bytes per document: even doc_id ->
+    a BMP header (width = n_chars % 97 + 1, height = doc_id % 41 + 1),
+    odd -> a RIFF/WAVE header (mono 16-bit, sample_rate = 8000 +
+    (doc_id % 8) * 1000, data chunk declaring n_chars * 10 frames).
+    Pixel/sample bodies are elided — the header is self-describing and
+    that is what the decoder parses — so payloads stay ~60 bytes."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+
+        def bmp(width: int, height: int) -> bytes:
+            row_bytes = (width * 3 + 3) & ~3
+            return (
+                struct.pack("<2sIHHI", b"BM", 54 + row_bytes * height, 0, 0, 54)
+                + struct.pack(
+                    "<IiiHHIIiiII",
+                    40, width, height, 1, 24, 0,
+                    row_bytes * height, 2835, 2835, 0, 0,
+                )
+            )
+
+        def wav(sample_rate: int, n_frames: int) -> bytes:
+            fmt = struct.pack(
+                "<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16
+            )
+            body = (
+                b"WAVE"
+                + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+                + b"data" + struct.pack("<I", n_frames * 2)
+            )
+            return b"RIFF" + struct.pack("<I", len(body) + n_frames * 2) + body
+
+        for pdf in batches:
+            payloads, kinds = [], []
+            for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
+                if doc_id % 2 == 0:
+                    payloads.append(bmp(int(n_chars) % 97 + 1, int(doc_id) % 41 + 1))
+                    kinds.append("image")
+                else:
+                    payloads.append(wav(8000 + int(doc_id) % 8 * 1000, int(n_chars) * 10))
+                    kinds.append("audio")
+            yield pd.DataFrame(
+                {"media_id": pdf["doc_id"], "kind": kinds, "payload": payloads}
+            )
+
+    return docs.select("doc_id", "n_chars").mapInPandas(
+        gen, "media_id long, kind string, payload binary"
+    )
+
+
+@golden(
+    "multimodal_real_decode",
+    oracle="""
+    SELECT CAST(doc_id AS BIGINT) AS media_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'bmp' ELSE 'wav' END AS format,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN n_chars % 97 + 1 END AS INT) AS width,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN doc_id % 41 + 1 END AS INT) AS height,
+           CAST(CASE WHEN doc_id % 2 = 1 THEN 8000 + (doc_id % 8) * 1000 END AS INT) AS sample_rate,
+           CAST(CASE WHEN doc_id % 2 = 1 THEN
+                  (CAST(n_chars AS BIGINT) * 10 * 2 * 1000)
+                  // ((8000 + (doc_id % 8) * 1000) * 2)
+                END AS BIGINT) AS duration_ms
+    FROM documents
+    """,
+)
+def multimodal_real_decode(spark, sf_dir):
+    """REAL media decode end to end: synthesize valid BMP/WAV container
+    bytes per document (mapInPandas), parse them back with the
+    dependency-free header decoder (functions.multimodal.real_decode via
+    decode_media_meta), and value-check width/height/sample_rate/
+    duration against the generating formulas in SQL. Proves the binary
+    column plumbing AND the decoder on real bytes — not the fake path."""
+    from ._util import parallelize_small
+
+    media = _synth_media_payloads(parallelize_small(t(spark, sf_dir, "documents"), cap=8))
+    out = decode_media_meta(media)
+    return out.select(
+        big("media_id").alias("media_id"),
+        F.col("format"),
+        F.col("width"),
+        F.col("height"),
+        F.col("sample_rate"),
+        big("duration_ms").alias("duration_ms"),
     )
 
 

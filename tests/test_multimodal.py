@@ -1,0 +1,133 @@
+"""Multimodal decode: real (dependency-free) container-header parsing
+for BMP/PNG/WAV through the Arrow mapInPandas plumbing, plus the
+NotImplementedError contract for compressed codecs.
+
+Reference anchor: the reference stores opaque binary treasures
+(/root/reference/proto/hydraide.proto Treasure bytes values); media
+decoding is a beyond-parity capability of the training-data pipeline.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import pytest
+from pyspark.sql import Row
+
+from hydraide_spark.functions.multimodal import (
+    decode_media_meta,
+    extract_features,
+    real_decode,
+)
+
+
+def make_bmp(width: int, height: int) -> bytes:
+    """Minimal but structurally valid 24-bit BMP (BITMAPINFOHEADER)."""
+    row_bytes = (width * 3 + 3) & ~3  # rows pad to 4 bytes
+    pixel_bytes = row_bytes * abs(height)
+    header = struct.pack(
+        "<2sIHHI", b"BM", 54 + pixel_bytes, 0, 0, 54
+    ) + struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, pixel_bytes, 2835, 2835, 0, 0
+    )
+    return header + b"\x00" * pixel_bytes
+
+
+def make_png(width: int, height: int) -> bytes:
+    """Valid PNG signature + IHDR chunk (CRC included), no image data."""
+    ihdr = struct.pack(">II5B", width, height, 8, 2, 0, 0, 0)
+    chunk = b"IHDR" + ihdr
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + struct.pack(">I", len(ihdr))
+        + chunk
+        + struct.pack(">I", zlib.crc32(chunk))
+    )
+
+
+def make_wav(sample_rate: int, channels: int, bits: int, n_frames: int) -> bytes:
+    """Canonical RIFF/WAVE: fmt chunk + data chunk of n_frames samples."""
+    data = b"\x00" * (n_frames * channels * (bits // 8))
+    fmt = struct.pack(
+        "<HHIIHH",
+        1,  # PCM
+        channels,
+        sample_rate,
+        sample_rate * channels * (bits // 8),
+        channels * (bits // 8),
+        bits,
+    )
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def test_real_decode_bmp_png_wav_headers():
+    assert real_decode(make_bmp(17, 9), "image") == {
+        "format": "bmp", "width": 17, "height": 9,
+        "sample_rate": None, "duration_ms": None,
+    }
+    # top-down BMP stores a negative height; magnitude is pixel height
+    assert real_decode(make_bmp(4, -6), "image")["height"] == 6
+    assert real_decode(make_png(640, 480), "image") == {
+        "format": "png", "width": 640, "height": 480,
+        "sample_rate": None, "duration_ms": None,
+    }
+    # 8000 Hz mono 16-bit, 4000 frames -> exactly 500 ms
+    wav = real_decode(make_wav(8000, 1, 16, 4000), "audio")
+    assert wav == {
+        "format": "wav", "width": None, "height": None,
+        "sample_rate": 8000, "duration_ms": 500,
+    }
+
+
+def test_real_decode_wav_odd_chunk_alignment():
+    """RIFF chunks are word-aligned: an odd-sized leading chunk must not
+    desync the walk that finds fmt/data."""
+    fmt = struct.pack("<HHIIHH", 1, 2, 44100, 44100 * 2 * 2, 4, 16)
+    data = b"\x00" * (44100 * 2 * 2)  # exactly 1 s stereo 16-bit
+    body = b"WAVE"
+    body += b"LIST" + struct.pack("<I", 3) + b"abc\x00"  # odd size + pad
+    body += b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    payload = b"RIFF" + struct.pack("<I", len(body)) + body
+    meta = real_decode(payload, "audio")
+    assert meta["sample_rate"] == 44100 and meta["duration_ms"] == 1000
+
+
+def test_real_decode_compressed_codec_raises():
+    with pytest.raises(NotImplementedError):
+        real_decode(b"\xff\xd8\xff\xe0" + b"\x00" * 64, "image")  # JPEG SOI
+    with pytest.raises(NotImplementedError):
+        real_decode(b"", "image")
+
+
+def test_decode_media_meta_through_mapinpandas(spark):
+    """End-to-end: generated files as binary payloads in a DataFrame,
+    decoded distributed via Arrow batches."""
+    rows = [
+        Row(media_id=1, kind="image", payload=bytearray(make_bmp(32, 8)), meta=None),
+        Row(media_id=2, kind="image", payload=bytearray(make_png(100, 50)), meta=None),
+        Row(media_id=3, kind="audio", payload=bytearray(make_wav(16000, 2, 16, 16000)), meta=None),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "media_id long, kind string, payload binary, "
+        "meta struct<format:string,width:int,height:int,sample_rate:int,duration_ms:bigint>",
+    ).repartition(3)
+    got = {r["media_id"]: r.asDict() for r in decode_media_meta(df).collect()}
+    assert got[1]["format"] == "bmp" and (got[1]["width"], got[1]["height"]) == (32, 8)
+    assert got[2]["format"] == "png" and (got[2]["width"], got[2]["height"]) == (100, 50)
+    assert got[3]["format"] == "wav" and got[3]["sample_rate"] == 16000
+    assert got[3]["duration_ms"] == 1000  # 16000 frames at 16 kHz
+
+
+def test_extract_features_fake_path_still_deterministic(spark):
+    df = spark.createDataFrame(
+        [Row(media_id=1, kind="image", payload=bytearray(b"abc"), meta=None)],
+        "media_id long, kind string, payload binary, "
+        "meta struct<format:string,width:int,height:int,sample_rate:int,duration_ms:bigint>",
+    )
+    r = extract_features(df, fake=True).collect()[0]
+    assert (r["n_bytes"], r["first_byte"], r["checksum"]) == (3, 97, (97 + 98 + 99) % 997)
