@@ -80,6 +80,7 @@ HEADLINE = [
     "dedup_exact",
     "ngram_jaccard_neardup",
     "neardup_clusters",
+    "neardup_clusters_star",
     "minhash_lsh_neardup",
     "simhash_neardup",
     "reverse_index_search",
@@ -100,6 +101,7 @@ HEADLINE = [
     "train_test_split_docs",
     "pack_token_shards_docs",
     "multimodal_features",
+    "multimodal_real_decode",
 ]
 
 

@@ -418,11 +418,12 @@ def neardup_clusters(
     groupBy + one join each, and the loop stops when no label changed
     (checked with a 1-row aggregate, no row collect). Round count is
     bounded by the component diameter, which for duplicate graphs is
-    small (near-cliques); graphs with adversarially long chains would
-    want the alternating star-contraction variant (O(log n) rounds) —
-    same per-round shuffle shape, so the plan properties below hold
-    either way. Lineage is cut with localCheckpoint each round so the
-    plan does not grow with iterations.
+    small (near-cliques). A graph whose diameter exceeds
+    ``max_iterations`` RAISES instead of silently returning
+    half-propagated labels; use :func:`star_contraction_clusters`
+    (O(log^2 n) rounds, same per-round shuffle shape) for graphs with
+    adversarially long chains. Lineage is cut with localCheckpoint each
+    round so the plan does not grow with iterations.
     """
     a = pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
     edges = a.unionByName(
@@ -435,6 +436,7 @@ def neardup_clusters(
         .withColumn("label", F.col("id"))
         .localCheckpoint()
     )
+    changed = 0
     for _ in range(max_iterations):
         nbr = (
             edges.join(labels, edges.v == labels.id)
@@ -458,7 +460,111 @@ def neardup_clusters(
         labels = new_labels.drop("_changed")
         if changed == 0:
             break
+    if changed != 0:
+        raise RuntimeError(
+            f"min-label propagation did not converge in {max_iterations} "
+            "rounds (component diameter exceeds the budget); use "
+            "star_contraction_clusters, which needs O(log^2 n) rounds"
+        )
     return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("cluster_id"))
+
+
+def star_contraction_clusters(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iterations: int = 30,
+    stats: dict | None = None,
+) -> DataFrame:
+    """Connected components via alternating large-star / small-star
+    contraction (Kiveris et al., "Connected Components in MapReduce and
+    Beyond", SoCC'14) — the O(log^2 n)-round variant of
+    :func:`neardup_clusters` for graphs with adversarially long chains,
+    where plain min-label propagation needs O(diameter) rounds.
+
+    Per round (each step is one groupBy-min + one join — the same
+    shuffle shape as a label-propagation round, never a collect_list
+    that could blow up on a high-degree node):
+
+    - **large-star**: every node u points its larger neighbors at
+      ``min(Gamma(u) + {u})`` — long chains fold toward small labels
+      from every node at once, which is what beats diameter;
+    - **small-star**: every node folds its smaller neighbors and itself
+      onto its minimum smaller neighbor, re-canonicalizing the edge set.
+
+    Convergence = edge-set fixpoint (stars rooted at each component
+    min), detected with a one-row signature aggregate
+    (count + two independently-seeded bit-xors of xxhash64(x, y) —
+    overflow-free under ANSI mode) — no row collect. If
+    ``stats`` is given, ``stats['rounds']`` records the rounds used.
+    Returns (doc_id, cluster_id), identical to ``neardup_clusters``.
+    """
+    # canonical undirected edges (x, y), x > y, no self-loops
+    edges = (
+        pairs.select(
+            F.greatest(F.col(id_a), F.col(id_b)).alias("x"),
+            F.least(F.col(id_a), F.col(id_b)).alias("y"),
+        )
+        .filter(F.col("x") != F.col("y"))
+        .distinct()
+        .localCheckpoint()
+    )
+    nodes = (
+        edges.select(F.col("x").alias("id"))
+        .union(edges.select(F.col("y").alias("id")))
+        .distinct()
+        .localCheckpoint()
+    )
+
+    def signature(e: DataFrame):
+        h1 = F.xxhash64(F.lit(1), F.col("x"), F.col("y"))
+        h2 = F.xxhash64(F.lit(2), F.col("x"), F.col("y"))
+        return e.agg(
+            F.count(F.lit(1)), F.bit_xor(h1), F.bit_xor(h2)
+        ).collect()[0]
+
+    sig = signature(edges)
+    rounds = 0
+    for _ in range(max_iterations):
+        rounds += 1
+        # large-star over the symmetric view
+        sym = edges.select("x", "y").unionByName(
+            edges.select(F.col("y").alias("x"), F.col("x").alias("y"))
+        )
+        mins = sym.groupBy("x").agg(F.min("y").alias("mn"))
+        large = (
+            sym.join(mins, "x")
+            .filter(F.col("y") > F.col("x"))
+            .select(
+                F.col("y").alias("x"),
+                F.least(F.col("x"), F.col("mn")).alias("y"),
+            )
+            .filter(F.col("x") != F.col("y"))
+            .distinct()
+        )
+        # small-star: the canonical (x > y) set IS the smaller-neighbor view
+        mins2 = large.groupBy("x").agg(F.min("y").alias("mn"))
+        small = (
+            large.join(mins2, "x")
+            .select(F.col("y").alias("x"), F.col("mn").alias("y"))
+            .filter(F.col("x") != F.col("y"))
+            .unionByName(mins2.select("x", F.col("mn").alias("y")))
+            .distinct()
+            .localCheckpoint()
+        )
+        new_sig = signature(small)
+        edges = small
+        if new_sig == sig:
+            break
+        sig = new_sig
+    if stats is not None:
+        stats["rounds"] = rounds
+    # fixpoint edges are (node -> component-min) stars; roots map to self
+    parents = edges.groupBy("x").agg(F.min("y").alias("label"))
+    return nodes.join(parents, nodes.id == parents.x, "left").select(
+        F.col("id").alias("doc_id"),
+        F.coalesce(F.col("label"), F.col("id")).alias("cluster_id"),
+    )
 
 
 def decontaminate(

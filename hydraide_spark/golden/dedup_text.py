@@ -249,9 +249,7 @@ def doc_fingerprint(spark, sf_dir):
     )
 
 
-@golden(
-    "neardup_clusters",
-    oracle=f"""
+_CLUSTERS_ORACLE = f"""
     WITH RECURSIVE corpus AS ({_CORPUS_SQL}),
     sh AS (
       SELECT doc_id, list_distinct(list(array_to_string(w[i:i+2], ' '))) AS sh
@@ -288,8 +286,10 @@ def doc_fingerprint(spark, sf_dir):
     )
     SELECT CAST(src AS BIGINT) AS doc_id, CAST(MIN(dst) AS BIGINT) AS cluster_id
     FROM reach GROUP BY src
-    """,
-)
+    """
+
+
+@golden("neardup_clusters", oracle=_CLUSTERS_ORACLE)
 def neardup_clusters_q(spark, sf_dir):
     """Duplicate CLUSTERS, not just pairs: connected components over the
     exact n-gram-Jaccard pair graph, labeled by the component's minimum
@@ -301,6 +301,21 @@ def neardup_clusters_q(spark, sf_dir):
     corpus = _augmented_corpus(spark, sf_dir)
     pairs = ngram_jaccard_pairs(corpus, tau=0.6, n=3).persist()
     out = neardup_clusters(pairs)
+    return out.select(big("doc_id").alias("doc_id"), big("cluster_id").alias("cluster_id"))
+
+
+@golden("neardup_clusters_star", oracle=_CLUSTERS_ORACLE)
+def neardup_clusters_star_q(spark, sf_dir):
+    """Same duplicate clusters through the alternating large-star /
+    small-star contraction (Kiveris et al. SoCC'14) — the O(log^2 n)-
+    round scale path for graphs whose diameter defeats plain label
+    propagation. Identical oracle: both algorithms must land on the
+    exact component-min labeling."""
+    from ..functions.dedup import ngram_jaccard_pairs, star_contraction_clusters
+
+    corpus = _augmented_corpus(spark, sf_dir)
+    pairs = ngram_jaccard_pairs(corpus, tau=0.6, n=3).persist()
+    out = star_contraction_clusters(pairs)
     return out.select(big("doc_id").alias("doc_id"), big("cluster_id").alias("cluster_id"))
 
 

@@ -415,3 +415,81 @@ def test_semantic_dedup_keeps_min_id_per_neardup_group(spark):
     assert got == {1: 0, 4: 0, 10: 1, 12: 1}
     # scale shape: within-cluster equi-join only, never a cross join
     assert "CartesianProduct" not in physical_plan(out)
+
+
+def test_star_contraction_path_graph_logarithmic_rounds(spark):
+    """The adversarial case for label propagation: a 1000-node path has
+    diameter 999, but alternating large-star/small-star must converge in
+    O(log^2 n) rounds — empirically ~11 — with every node labeled by the
+    global min."""
+    from hydraide_spark.functions.dedup import star_contraction_clusters
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(999)], "id_a long, id_b long"
+    )
+    stats = {}
+    out = star_contraction_clusters(pairs, stats=stats)
+    labels = {r["doc_id"]: r["cluster_id"] for r in out.collect()}
+    assert len(labels) == 1000
+    assert set(labels.values()) == {0}
+    assert stats["rounds"] <= 14, f"took {stats['rounds']} rounds"
+
+
+def test_star_contraction_matches_union_find_on_random_graphs(spark):
+    import random
+
+    from hydraide_spark.functions.dedup import star_contraction_clusters
+
+    for seed in (1, 2, 3, 4):
+        rnd = random.Random(seed)
+        n = 300
+        edges = [
+            (a, b)
+            for a, b in ((rnd.randrange(n), rnd.randrange(n)) for _ in range(200))
+            if a != b
+        ]
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            while parent.setdefault(x, x) != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        comp: dict[int, list[int]] = {}
+        for x in parent:
+            comp.setdefault(find(x), []).append(x)
+        truth = {x: min(comp[find(x)]) for x in parent}
+
+        df = spark.createDataFrame(edges, "id_a long, id_b long")
+        got = {
+            r["doc_id"]: r["cluster_id"]
+            for r in star_contraction_clusters(df).collect()
+        }
+        assert got == truth, f"seed {seed} mismatch"
+
+
+def test_label_propagation_raises_instead_of_silently_underconverging(spark):
+    """A diameter-60 path cannot converge in 5 rounds of min-label
+    propagation; returning half-propagated labels would be a silent
+    wrong answer, so the loop must raise (star contraction handles the
+    same graph in its round budget)."""
+    from hydraide_spark.functions.dedup import (
+        neardup_clusters,
+        star_contraction_clusters,
+    )
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(60)], "id_a long, id_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        neardup_clusters(pairs, max_iterations=5)
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in star_contraction_clusters(pairs, max_iterations=10).collect()
+    }
+    assert set(got.values()) == {0}
