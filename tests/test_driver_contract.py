@@ -111,20 +111,21 @@ def test_windowed_event_stats_nonutc_matches_utc(nonutc_spark):
 
 def test_registry_orders_unverified_first():
     # The driver consumes the registry in order and may cap how many
-    # queries it checks; names without a round-1 CORRECTNESS row must
-    # come before the 50 already-verified ones.
+    # queries it checks; tiers must be monotone: no-green-driver-row
+    # names first, round-1-only-verified next, round-2-verified last.
     from hydraide_spark import golden
 
+    def tier(n: str) -> int:
+        if n in golden._R2_VERIFIED:
+            return 2
+        if n in golden._R1_ONLY_VERIFIED:
+            return 1
+        return 0
+
     names = list(golden.queries())
-    seen_verified = False
-    for n in names:
-        if n in golden._R1_VERIFIED:
-            seen_verified = True
-        else:
-            assert not seen_verified, (
-                f"unverified query {n!r} ordered after verified ones"
-            )
-    assert seen_verified  # both groups present
+    tiers = [tier(n) for n in names]
+    assert tiers == sorted(tiers), "registry tiers out of order"
+    assert tiers[0] == 0 and tiers[-1] == 2  # all groups present
 
 
 def test_oracle_keys_subset_and_ordered():
