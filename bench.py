@@ -48,6 +48,8 @@ HEADLINE = [
     "grouping_rollup",
     "hll_distinct_rollup",
     "tpch_q6_revenue_delta",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier_volume",
     "tpch_q18_large_orders",
     "relational_set_ops",
     "event_interarrival_stats",
@@ -66,6 +68,8 @@ HEADLINE = [
     "ann_topk_exact",
     "ann_topk_lsh",
     "ann_topk_ivf",
+    "pq_encode_codes",
+    "pq_ann_topk",
     "embedding_neardup",
     "semantic_dedup_docs",
     "label_centroid_sums",

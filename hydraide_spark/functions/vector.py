@@ -217,6 +217,197 @@ def ivf_topk(
     )
 
 
+def train_pq_codebooks(
+    df: DataFrame,
+    m: int = 8,
+    k: int = 16,
+    sample_rows: int = 10_000,
+    iters: int = 10,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[tuple[int, list[float]]]]:
+    """Product-quantization codebooks (Jégou et al., "Product
+    Quantization for Nearest Neighbor Search", TPAMI'11): split the
+    vector into ``m`` subspaces and run plain L2 k-means per subspace,
+    driver-side on a BOUNDED deterministic sample (same contract as
+    ``train_ivf_centroids`` — constant-size draw, fixed seed/iters, so
+    training cost is corpus-independent and reproducible). Returns
+    ``codebooks[j]`` = [(code, centroid), ...] for subspace ``j``."""
+    import numpy as np
+
+    rows = df.orderBy(id_col).limit(sample_rows).select(vec_col).collect()
+    X = np.asarray([r[0] for r in rows], dtype=np.float64)
+    d0 = X.shape[1] // m
+    rng = np.random.RandomState(seed)
+    books: list[list[list[float]]] = []
+    for j in range(m):
+        S = X[:, j * d0 : (j + 1) * d0]
+        C = S[rng.choice(len(S), size=min(k, len(S)), replace=False)].copy()
+        for _ in range(iters):
+            d2 = ((S[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for c in range(len(C)):
+                members = S[assign == c]
+                if len(members):
+                    C[c] = members.mean(axis=0)
+        books.append(list(enumerate(C.tolist())))
+    return books
+
+
+def label_pq_codebooks(
+    df: DataFrame, label_col: str = "label", vec_col: str = "embedding", m: int = 8
+) -> list[list[tuple[int, list[float]]]]:
+    """Deterministic, SQL-replicable PQ codebooks: subspace ``j``'s
+    centroids are the per-label mean subvectors (exact decimal sums /
+    n — identical in any engine), code id == label. This is the
+    oracle-checkable variant used to pin ``pq_encode`` exactly; the
+    production path trains real codebooks with
+    :func:`train_pq_codebooks`."""
+    cents = centroid_means(group_centroid_sums(df, label_col, vec_col).collect())
+    dim = len(cents[0][1])
+    d0 = dim // m
+    return [
+        [(lab, vec[j * d0 : (j + 1) * d0]) for lab, vec in cents]
+        for j in range(m)
+    ]
+
+
+def _sub_sq_l2(sub_col: Column, centroid: Sequence[float]) -> Column:
+    """Squared L2 between a subvector column and a centroid literal:
+    left-to-right fold over the per-dimension squared diffs — the same
+    IEEE operation order as a SQL list_sum over the same list, so both
+    engines produce bit-identical doubles."""
+    diffs = F.zip_with(
+        sub_col, _as_double_array(centroid), lambda x, y: (x - y) * (x - y)
+    )
+    return F.aggregate(diffs, F.lit(0.0), lambda acc, v: acc + v)
+
+
+def pq_code_expr(
+    vec_col: Column, codebook: Sequence[tuple[int, Sequence[float]]], j: int, d0: int
+) -> Column:
+    """Code for subspace ``j``: argmin squared-L2 over the codebook,
+    smallest code on ties — array_min over struct(dist, code), a pure
+    per-row expression (the encode step is map-only at any scale)."""
+    sub = F.transform(
+        F.slice(vec_col, j * d0 + 1, d0), lambda x: x.cast("double")
+    )
+    entries = [
+        F.struct(_sub_sq_l2(sub, c).alias("d"), F.lit(int(code)).alias("code"))
+        for code, c in codebook
+    ]
+    return F.array_min(F.array(*entries)).getField("code")
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: Sequence[Sequence[tuple[int, Sequence[float]]]],
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ-encode the corpus: ``dim``-float vectors compress to
+    ``len(codebooks)`` small ints — the representation that lets a
+    100 TB corpus fit hot storage for ANN scans (64 floats -> 8 bytes
+    at m=8). Pure map-only projection; returns (id, codes array<int>)."""
+    m = len(codebooks)
+    d0 = dim // m
+    codes = F.array(
+        *[pq_code_expr(F.col(vec_col), codebooks[j], j, d0) for j in range(m)]
+    )
+    return df.select(F.col(id_col), codes.alias("codes"))
+
+
+def pq_adc_topk(
+    df: DataFrame,
+    queries: DataFrame,
+    codebooks: Sequence[Sequence[tuple[int, Sequence[float]]]],
+    dim: int,
+    k: int,
+    rerank_factor: int = 0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Asymmetric-distance (ADC) PQ top-k: the corpus is scanned as
+    codes only; each query precomputes a lookup table of
+    subspace-distance-to-each-centroid (an expression over the
+    broadcast query row — m*k folds), and a row's approximate distance
+    is m table lookups + adds. This is the PQ scale contract: the scan
+    touches 8-byte codes, never the raw vectors. Approximate by
+    construction (quantization error) — verify recall in tests, not
+    with a SQL oracle.
+
+    ``rerank_factor > 0`` adds the standard refine step (the ADC+R of
+    the PQ paper): shortlist ``rerank_factor * k`` by ADC, fetch raw
+    vectors for the shortlist ONLY (an equi-join on id — at 100 TB this
+    reads k*factor*queries rows, not the corpus), exact squared-L2
+    re-rank. Returns (query_id, id, adist) per top-k, ascending
+    distance (exact distance when re-ranking)."""
+    m = len(codebooks)
+    d0 = dim // m
+    enc = pq_encode(df, codebooks, dim, id_col=id_col, vec_col=vec_col)
+    qv = F.col(query_vec_col).cast("array<double>")
+    lut_cols = []
+    for j in range(m):
+        sub = F.slice(qv, j * d0 + 1, d0)
+        # dists ordered by position; codes are remapped to positions below
+        lut = F.array(*[_sub_sq_l2(sub, c) for _code, c in codebooks[j]])
+        lut_cols.append(lut.alias(f"_lut{j}"))
+    q = queries.select(F.col(query_id_col), *lut_cols)
+    # codes[j] is a code id; element_at needs its position in lut j —
+    # array_position over the code-id list keeps sparse ids correct.
+    adist = None
+    for j in range(m):
+        idx = F.array_position(
+            F.array(*[F.lit(int(code)) for code, _c in codebooks[j]]),
+            F.element_at(F.col("codes"), j + 1),
+        )
+        term = F.element_at(F.col(f"_lut{j}"), idx.cast("int"))
+        adist = term if adist is None else adist + term
+    scored = enc.join(F.broadcast(q)).select(
+        F.col(query_id_col), F.col(id_col), adist.alias("adist")
+    )
+    w = W.partitionBy(query_id_col).orderBy(F.col("adist").asc(), F.col(id_col).asc())
+    shortlist_k = k if rerank_factor <= 0 else rerank_factor * k
+    shortlist = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= shortlist_k)
+        .drop("rank")
+    )
+    if rerank_factor <= 0:
+        return shortlist
+    qv_map = queries.select(
+        F.col(query_id_col), F.col(query_vec_col).cast("array<double>").alias("_qv")
+    )
+    raw = df.select(F.col(id_col), F.col(vec_col).alias("_v"))
+    exact = (
+        shortlist.drop("adist")
+        .join(raw, id_col)
+        .join(F.broadcast(qv_map), query_id_col)
+        .select(
+            F.col(query_id_col),
+            F.col(id_col),
+            F.aggregate(
+                F.zip_with(
+                    F.transform(F.col("_v"), lambda x: x.cast("double")),
+                    F.col("_qv"),
+                    lambda x, y: (x - y) * (x - y),
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ).alias("adist"),
+        )
+    )
+    return (
+        exact.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .drop("rank")
+    )
+
+
 def pandas_cosine_scores(query: Sequence[float]):
     """Arrow-batched numpy cosine scorer — the slow-path alternative for
     very high-dimensional vectors. Returns a pandas_udf usable as

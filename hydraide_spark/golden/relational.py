@@ -100,6 +100,129 @@ def tpch_q18_large_orders(spark, sf_dir):
 
 
 @golden(
+    "tpch_q3_shipping_priority",
+    oracle="""
+    SELECT CAST(l.l_orderkey AS BIGINT) AS l_orderkey,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(28,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(28,2)))) AS DOUBLE) AS revenue,
+           o.o_orderdate, o.o_orderpriority
+    FROM customer c
+      JOIN orders o   ON c.c_custkey = o.o_custkey
+      JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      AND l.l_shipdate  > TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY SUM(CAST(l.l_extendedprice AS DECIMAL(28,2))
+                 * (1 - CAST(l.l_discount AS DECIMAL(28,2)))) DESC,
+             l.l_orderkey ASC
+    LIMIT 10
+    """,
+)
+def tpch_q3_shipping_priority(spark, sf_dir):
+    """TPC-H Q3 shape (o_orderpriority standing in for the generator's
+    missing o_shippriority): segment-filtered customers broadcast into
+    orders, date filters pushed to both scans, one shuffle on the join
+    key feeding the group, then a TakeOrdered top-10. Revenue aggregates
+    and SORTS on exact DECIMAL (cast to double only for output), so the
+    limit boundary cannot drift between engines; o_orderkey breaks
+    ties deterministically."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    rev = F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount")))
+    return (
+        li.filter(F.col("l_shipdate") > F.lit("1998-01-01"))
+        .join(
+            o.filter(F.col("o_orderdate") < F.lit("1998-01-01")),
+            li.l_orderkey == o.o_orderkey,
+        )
+        .join(
+            F.broadcast(c.filter(F.col("c_mktsegment") == "BUILDING")),
+            o.o_custkey == c.c_custkey,
+        )
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(rev.alias("_rev"))
+        .orderBy(F.col("_rev").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+        .select(
+            big("l_orderkey").alias("l_orderkey"),
+            dbl(F.col("_rev")).alias("revenue"),
+            "o_orderdate",
+            "o_orderpriority",
+        )
+    )
+
+
+@golden(
+    "tpch_q5_local_supplier_volume",
+    oracle="""
+    SELECT n.n_name,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(28,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(28,2)))) AS DOUBLE) AS revenue
+    FROM customer c
+      JOIN orders o   ON c.c_custkey = o.o_custkey
+      JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                     AND c.c_nationkey = s.s_nationkey
+      JOIN nation n   ON s.s_nationkey = n.n_nationkey
+      JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY n.n_name
+    """,
+)
+def tpch_q5_local_supplier_volume(spark, sf_dir):
+    """TPC-H Q5 shape: the classic 6-way star — fact (lineitem) joined
+    through orders to customer and through suppkey to supplier, with the
+    'local supplier' constraint c_nationkey = s_nationkey, then the
+    nation/region dimension chain. All four dimension sides broadcast
+    (region->nation prunes suppliers map-side before the fact sees
+    them); the only corpus-scale shuffles are lineitem x orders on the
+    order key and the final tiny per-nation aggregate."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region")
+    dims = (
+        s.join(
+            F.broadcast(
+                n.join(
+                    F.broadcast(r.filter(F.col("r_name") == "ASIA")),
+                    n.n_regionkey == r.r_regionkey,
+                )
+            ),
+            s.s_nationkey == n.n_nationkey,
+        )
+        .select("s_suppkey", "s_nationkey", "n_name")
+    )
+    return (
+        li.join(
+            o.filter(
+                (F.col("o_orderdate") >= F.lit("1996-01-01"))
+                & (F.col("o_orderdate") < F.lit("1997-01-01"))
+            ),
+            li.l_orderkey == o.o_orderkey,
+        )
+        .join(F.broadcast(dims), li.l_suppkey == dims.s_suppkey)
+        .join(
+            F.broadcast(c),
+            (o.o_custkey == c.c_custkey)
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .groupBy("n_name")
+        .agg(
+            dbl(
+                F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount")))
+            ).alias("revenue")
+        )
+    )
+
+
+@golden(
     "relational_set_ops",
     oracle="""
     WITH open_cust   AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O'),

@@ -208,6 +208,87 @@ def label_centroid_sums(spark, sf_dir):
 
 
 @golden(
+    "pq_encode_codes",
+    oracle="""
+    WITH cent AS (
+      SELECT label, i AS dim,
+             CAST(sum(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(28,9)))
+                  AS DOUBLE) / count(*) AS m
+      FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i)
+      GROUP BY label, i
+    ),
+    cvec AS (SELECT label, list(m ORDER BY dim) AS cv FROM cent GROUP BY label),
+    dists AS (
+      SELECT e.vec_id, s.j AS sub, c.label,
+             list_sum(list_transform(range(1, 9),
+               i -> (CAST(e.embedding[s.j * 8 + i] AS DOUBLE) - c.cv[s.j * 8 + i])
+                  * (CAST(e.embedding[s.j * 8 + i] AS DOUBLE) - c.cv[s.j * 8 + i]))) AS d
+      FROM embeddings e
+      CROSS JOIN unnest(range(0, 8)) AS s(j)
+      CROSS JOIN cvec c
+    ),
+    ranked AS (
+      SELECT vec_id, sub, label,
+             ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+                                ORDER BY d ASC, label ASC) AS rn
+      FROM dists
+    )
+    SELECT CAST(vec_id AS BIGINT) AS vec_id,
+           CAST(sub AS INT) AS sub,
+           CAST(label AS INT) AS code
+    FROM ranked WHERE rn = 1
+    """,
+)
+def pq_encode_codes(spark, sf_dir):
+    """Product-quantization encode (Jégou et al. TPAMI'11), exactly
+    checked: subspace codebooks are the per-label mean subvectors
+    (exact decimal sums / n — engine-identical, same construction as
+    kmeans_assign_exact), so each vector's m=8 codes are a pure per-row
+    argmin the oracle replays in SQL. Distances fold left-to-right over
+    the same per-dim squared diffs in both engines (F.aggregate vs
+    list_sum over the same list), so the doubles are bit-identical and
+    the argmin cannot drift; ties break on the smaller code both sides.
+    The encode is map-only: 64 floats -> 8 small ints, the compression
+    that lets a 100 TB corpus ANN-scan from hot storage."""
+    from ..functions.vector import label_pq_codebooks, pq_encode
+
+    emb = t(spark, sf_dir, "embeddings")
+    books = label_pq_codebooks(emb, m=8)
+    out = pq_encode(emb, books, dim=64)
+    return out.select(
+        big("vec_id").alias("vec_id"),
+        F.posexplode("codes").alias("sub", "code"),
+    ).select(
+        "vec_id", F.col("sub").cast("int").alias("sub"),
+        F.col("code").cast("int").alias("code"),
+    )
+
+
+@golden("pq_ann_topk")  # approximate: rows-only (quantization error by design)
+def pq_ann_topk(spark, sf_dir):
+    """PQ ANN with ADC + exact re-rank (the ADC+R refine of the PQ
+    paper): corpus scanned as 8-byte codes, per-query LUT of subspace
+    distances (m*k folds on the broadcast query row), shortlist
+    rerank_factor*k by approximate distance, then exact squared-L2 on
+    the shortlist ONLY (equi-join on id — never re-reads the corpus).
+    Probabilistic recall — rows-only; the recall floor vs exact L2
+    top-k is asserted in tests/test_dedup.py."""
+    from ..functions.vector import pq_adc_topk, train_pq_codebooks
+
+    emb = t(spark, sf_dir, "embeddings")
+    books = train_pq_codebooks(emb, m=8, k=16)
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = pq_adc_topk(emb, queries, books, dim=64, k=10, rerank_factor=10)
+    return out.select(
+        big("query_id").alias("query_id"),
+        big("vec_id").alias("vec_id"),
+        F.round("adist", 4).alias("adist"),
+    )
+
+
+@golden(
     "semantic_dedup_docs",
     oracle=f"""
     WITH cent AS (

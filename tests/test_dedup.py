@@ -493,3 +493,66 @@ def test_label_propagation_raises_instead_of_silently_underconverging(spark):
         for r in star_contraction_clusters(pairs, max_iterations=10).collect()
     }
     assert set(got.values()) == {0}
+
+
+def test_pq_encode_matches_numpy_argmin(spark):
+    """PQ codes equal a numpy per-subspace argmin over the same
+    codebooks (smallest code on ties)."""
+    import numpy as np
+
+    from hydraide_spark.functions.vector import label_pq_codebooks, pq_encode
+
+    emb = load_table(spark, SF, "embeddings")
+    books = label_pq_codebooks(emb, m=8)
+    got = {
+        (r["vec_id"], s): c
+        for r in pq_encode(emb, books, dim=64).collect()
+        for s, c in enumerate(r["codes"])
+    }
+    rows = emb.select("vec_id", "embedding").collect()
+    for r in rows:
+        v = np.asarray(r["embedding"], dtype=np.float64)
+        for j in range(8):
+            sub = v[j * 8 : (j + 1) * 8]
+            best = min(
+                (float(((sub - np.asarray(c)) ** 2).sum()), code)
+                for code, c in books[j]
+            )[1]
+            assert got[(r["vec_id"], j)] == best
+
+
+def test_pq_adc_rerank_recall_vs_exact_l2(spark):
+    """ADC-only shortlist recall is bounded by quantization error on
+    this (cluster-free synthetic) corpus; the ADC+R refine must recover
+    most of the exact top-k while reading raw vectors for the shortlist
+    only."""
+    import numpy as np
+
+    from hydraide_spark.functions.vector import pq_adc_topk, train_pq_codebooks
+
+    emb = load_table(spark, SF, "embeddings")
+    rows = emb.select("vec_id", "embedding").collect()
+    X = np.asarray([r["embedding"] for r in rows], dtype=np.float64)
+    ids = np.asarray([r["vec_id"] for r in rows])
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact = set()
+    for q in range(5):
+        qv = X[ids == q][0]
+        d = ((X - qv) ** 2).sum(axis=1)
+        for i in np.lexsort((ids, d))[:10]:
+            exact.add((q, int(ids[i])))
+    books = train_pq_codebooks(emb, m=8, k=16)
+    adc = {
+        (r["query_id"], r["vec_id"])
+        for r in pq_adc_topk(emb, queries, books, dim=64, k=10).collect()
+    }
+    refined = {
+        (r["query_id"], r["vec_id"])
+        for r in pq_adc_topk(
+            emb, queries, books, dim=64, k=10, rerank_factor=10
+        ).collect()
+    }
+    assert len(adc & exact) / len(exact) >= 0.2
+    assert len(refined & exact) / len(exact) >= 0.7
