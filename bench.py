@@ -91,6 +91,8 @@ HEADLINE = [
     "bm25_ranked_search",
     "phrase_search_via_index",
     "text_quality_tokens",
+    "quality_classifier_docs",
+    "bpe_merge_rules",
     "corpus_quality_report",
     "lang_id_heuristic",
     "repetition_signals_docs",

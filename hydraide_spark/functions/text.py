@@ -117,6 +117,144 @@ def quality_score(text: Column) -> Column:
     )
 
 
+#: Stand-in logistic-regression weights for model-based quality
+#: filtering (the fastText/CCNet-style classifier recipe): intercept +
+#: one weight per interpretable feature. A deployment drops trained
+#: weights in; everything downstream (plan shape, filter semantics) is
+#: unchanged.
+QUALITY_LR_WEIGHTS = {
+    "intercept": -1.2,
+    "log_words": 0.55,
+    "stop_ratio": 2.1,
+    "mean_word_len": 0.12,
+    "alpha_ratio": 1.4,
+    "digit_ratio": -2.3,
+    "upper_ratio": -1.1,
+}
+
+
+def quality_logit(text: Column) -> Column:
+    """Model-based quality score: the LOGIT of a linear classifier over
+    per-document features (log word count, stopword ratio, mean word
+    length, alpha/digit/upper character ratios). Pure column
+    arithmetic in a fixed operand order; the ln() term can differ in
+    the last ulp between JVM and libm, so oracle comparisons round the
+    logit and the keep decision is ``logit >= 0`` (== sigmoid >= 0.5,
+    margin >= 1.7 on the test corpus) — deliberately no exp(), whose
+    engine drift would sit in the compared value itself. Map-only at
+    any corpus size."""
+    toks = tokenize(text)
+    n = F.size(toks).cast("double")
+    n_chars = F.length(text).cast("double")
+    n_stop = F.size(F.filter(toks, lambda w: w.isin(STOPWORDS))).cast("double")
+    n_alpha = F.length(F.regexp_replace(text, "[^A-Za-z]", "")).cast("double")
+    n_digit = F.length(F.regexp_replace(text, "[^0-9]", "")).cast("double")
+    n_upper = F.length(F.regexp_replace(text, "[^A-Z]", "")).cast("double")
+    w = QUALITY_LR_WEIGHTS
+    return (
+        F.lit(w["intercept"])
+        + F.lit(w["log_words"]) * F.log(n + F.lit(1.0))
+        + F.lit(w["stop_ratio"]) * (n_stop / n)
+        + F.lit(w["mean_word_len"]) * ((n_chars - (n - F.lit(1.0))) / n)
+        + F.lit(w["alpha_ratio"]) * (n_alpha / n_chars)
+        + F.lit(w["digit_ratio"]) * (n_digit / n_chars)
+        + F.lit(w["upper_ratio"]) * (n_upper / n_chars)
+    )
+
+
+def bpe_train_merges(
+    df: DataFrame,
+    n_merges: int,
+    text_col: str = "text",
+    min_freq: int = 2,
+) -> "list[tuple[str, str, int]]":
+    """BPE merge-rule training (Sennrich et al. ACL'16) over a corpus:
+    returns the ordered merge list [(left, right, pair_freq), ...].
+
+    100 TB shape: the corpus is touched ONCE — a tokenize/explode into
+    a word-frequency aggregate — and every merge iteration then works
+    on the VOCABULARY (distinct words), whose size is bounded by the
+    language, not the corpus. Per iteration: one vocab-sized pair
+    explode + partial-agg groupBy, a 1-row TakeOrdered collect for the
+    argmax pair (deterministic tiebreak on the pair itself), and a
+    map-only left-to-right merge rewrite of the symbol arrays (a pure
+    fold expression — no Python in the loop). localCheckpoint per
+    iteration keeps the plan from growing."""
+    vocab = (
+        df.select(F.explode(tokenize(F.col(text_col))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= min_freq)
+        .select(F.split(F.col("w"), "").alias("sym"), F.col("cnt"))
+        .localCheckpoint()
+    )
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(n_merges):
+        # guard: Spark's sequence(1, 0) DESCENDS — single-symbol words
+        # must map to an empty pair list, not a bogus [1, 0] walk
+        pair_list = F.when(
+            F.size("sym") >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size("sym") - 1),
+                lambda i: F.struct(
+                    F.element_at(F.col("sym"), i).alias("a"),
+                    F.element_at(F.col("sym"), i + 1).alias("b"),
+                ),
+            ),
+        ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
+        pairs = vocab.select(F.explode(pair_list).alias("p"), F.col("cnt"))
+        top = (
+            pairs.groupBy("p")
+            .agg(F.sum("cnt").alias("freq"))
+            .orderBy(F.col("freq").desc(), F.col("p.a").asc(), F.col("p.b").asc())
+            .limit(1)
+            .collect()
+        )
+        if not top or top[0]["freq"] < min_freq:
+            break
+        a, b, freq = top[0]["p"]["a"], top[0]["p"]["b"], int(top[0]["freq"])
+        merges.append((a, b, freq))
+        vocab = vocab.select(
+            _merge_pair_expr(F.col("sym"), a, b).alias("sym"), F.col("cnt")
+        ).localCheckpoint()
+    return merges
+
+
+def _merge_pair_expr(sym: Column, a: str, b: str) -> Column:
+    """Left-to-right non-overlapping replacement of the adjacent symbol
+    pair (a, b) with the merged symbol — the BPE apply step as a pure
+    fold expression (struct accumulator carries the output array and a
+    skip-next flag)."""
+    zero = F.struct(
+        F.array().cast("array<string>").alias("out"), F.lit(False).alias("skip")
+    )
+
+    def step(acc, i):
+        out, skip = acc.getField("out"), acc.getField("skip")
+        cur = F.element_at(sym, i)
+        nxt = F.try_element_at(sym, i + 1)  # null past the end (ANSI-safe)
+        take_pair = (~skip) & (cur == F.lit(a)) & (nxt == F.lit(b))
+        return (
+            F.when(skip, F.struct(out.alias("out"), F.lit(False).alias("skip")))
+            .when(
+                take_pair,
+                F.struct(
+                    F.concat(out, F.array(F.lit(a + b))).alias("out"),
+                    F.lit(True).alias("skip"),
+                ),
+            )
+            .otherwise(
+                F.struct(
+                    F.concat(out, F.array(cur)).alias("out"),
+                    F.lit(False).alias("skip"),
+                )
+            )
+        )
+
+    folded = F.aggregate(F.sequence(F.lit(1), F.size(sym)), zero, step)
+    return folded.getField("out")
+
+
 def fingerprint(text: Column, k: int = 16) -> Column:
     """Document fingerprint: md5 over the first-k-token prefix of the
     whitespace-normalized text — the cheap "same leading content"

@@ -1012,3 +1012,80 @@ def vocab_encode_docs(spark, sf_dir):
         "n_tokens",
         "n_oov",
     )
+
+
+from ..functions.text import QUALITY_LR_WEIGHTS as _QW  # noqa: E402
+
+
+@golden(
+    "quality_classifier_docs",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, text,
+             CAST(len(string_split(text, ' ')) AS DOUBLE) AS n,
+             CAST(length(text) AS DOUBLE) AS n_chars,
+             CAST(len(list_filter(string_split(text, ' '),
+                                  x -> x IN ({_STOP_SQL}))) AS DOUBLE) AS n_stop,
+             CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) AS n_alpha,
+             CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) AS n_digit,
+             CAST(length(regexp_replace(text, '[^A-Z]', '', 'g')) AS DOUBLE) AS n_upper
+      FROM documents
+    ),
+    z AS (
+      SELECT doc_id,
+             {_QW['intercept']}
+             + {_QW['log_words']} * ln(n + 1.0)
+             + {_QW['stop_ratio']} * (n_stop / n)
+             + {_QW['mean_word_len']} * ((n_chars - (n - 1.0)) / n)
+             + {_QW['alpha_ratio']} * (n_alpha / n_chars)
+             + {_QW['digit_ratio']} * (n_digit / n_chars)
+             + {_QW['upper_ratio']} * (n_upper / n_chars) AS logit
+      FROM d
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           round(logit, 6) AS logit, logit >= 0 AS keep
+    FROM z
+    """,
+)
+def quality_classifier_docs(spark, sf_dir):
+    """Model-based quality filtering (the fastText/CCNet classifier
+    recipe with stand-in weights): a linear logit over interpretable
+    per-document features, keep = logit >= 0 (== sigmoid >= 0.5,
+    deliberately avoiding exp() whose last ulp differs between
+    engines). Fixed operand order makes the logit double bit-identical
+    in Spark and the oracle. Map-only — the classifier adds zero
+    shuffles at any corpus size."""
+    from ..functions.text import quality_logit
+
+    docs = t(spark, sf_dir, "documents")
+    z = quality_logit(F.col("text"))
+    return docs.select(
+        big("doc_id").alias("doc_id"),
+        # round(6): the ln() term differs in the last ulp between JVM
+        # and libm; the keep margin is >= 1.7 (verified all sfs) so the
+        # flag itself can never flip
+        F.round(z, 6).alias("logit"),
+        (z >= 0).alias("keep"),
+    )
+
+
+@golden("bpe_merge_rules")  # iterative argmax loop: not SQL-expressible, rows-only
+def bpe_merge_rules(spark, sf_dir):
+    """BPE merge-rule training (Sennrich et al. ACL'16) over the
+    documents corpus: 12 merge rounds on the word-frequency vocabulary.
+    The corpus is scanned once (tokenize -> word-freq agg); every
+    iteration then works on vocab-sized frames only, with a pure fold
+    expression applying the merge (no Python in the loop). The
+    iterative driver-side argmax makes this non-SQL-expressible — the
+    driver records rows-only; exact agreement with a reference Python
+    BPE implementation is pinned in tests/test_text_signals.py."""
+    from ..functions.text import bpe_train_merges
+
+    docs = t(spark, sf_dir, "documents")
+    merges = bpe_train_merges(docs, n_merges=12, min_freq=2)
+    rows = [
+        (rank, a, b, freq) for rank, (a, b, freq) in enumerate(merges)
+    ]
+    return spark.createDataFrame(
+        rows, "rank int, left string, right string, pair_freq long"
+    )

@@ -4,10 +4,12 @@ invariant (the operator must ride the scan stage — no Exchange)."""
 
 from __future__ import annotations
 
-from pyspark.sql import Row
+from pyspark.sql import Row, functions as F
 
 from hydraide_spark.functions.text import repetition_signals
 from hydraide_spark.plans import count_exchanges
+
+SF_SMOKE = "/root/testdata/sf0.001"
 
 
 def _signals(spark, texts):
@@ -133,3 +135,67 @@ def test_top_ngrams_hand_counts_and_plan(spark):
     assert "TakeOrderedAndProject" in plan
     assert "partial_count" in plan
     assert count_exchanges(topk) == 1
+
+
+def test_bpe_train_merges_matches_reference_implementation(spark):
+    """Spark BPE merge training must reproduce the reference algorithm
+    (Sennrich et al.) exactly: argmax pair by frequency with
+    lexicographic tiebreak, left-to-right non-overlapping apply."""
+    from pyspark.sql import Row
+
+    from hydraide_spark.functions.text import bpe_train_merges
+
+    rows = [
+        Row(doc_id=0, text="low low low low low"),
+        Row(doc_id=1, text="lower lower"),
+        Row(doc_id=2, text="newest newest newest newest newest newest"),
+        Row(doc_id=3, text="widest widest widest"),
+        Row(doc_id=4, text="a a a"),  # 1-char word: no pairs, must not crash
+    ]
+    df = spark.createDataFrame(rows)
+    got = bpe_train_merges(df, n_merges=6, min_freq=2)
+
+    freqs = {"low": 5, "lower": 2, "newest": 6, "widest": 3, "a": 3}
+    vocab = {tuple(w): c for w, c in freqs.items()}
+    ref = []
+    for _ in range(6):
+        pc: dict[tuple[str, str], int] = {}
+        for sym, c in vocab.items():
+            for i in range(len(sym) - 1):
+                pc[(sym[i], sym[i + 1])] = pc.get((sym[i], sym[i + 1]), 0) + c
+        if not pc:
+            break
+        mf = max(pc.values())
+        if mf < 2:
+            break
+        p = sorted(q for q, c in pc.items() if c == mf)[0]
+        ref.append((p[0], p[1], mf))
+        newv: dict[tuple[str, ...], int] = {}
+        for sym, c in vocab.items():
+            out, skip = [], False
+            for i in range(len(sym)):
+                if skip:
+                    skip = False
+                    continue
+                if i < len(sym) - 1 and sym[i] == p[0] and sym[i + 1] == p[1]:
+                    out.append(p[0] + p[1])
+                    skip = True
+                else:
+                    out.append(sym[i])
+            newv[tuple(out)] = newv.get(tuple(out), 0) + c
+        vocab = newv
+    assert got == ref
+
+
+def test_quality_logit_keep_margin(spark):
+    """The model-based keep decision must sit far from the boundary on
+    the synthetic corpus (>= 1.7 verified across sfs) — a near-zero
+    logit would make keep engine-dependent."""
+    from hydraide_spark.functions.text import quality_logit
+    from hydraide_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    m = docs.select(
+        F.min(F.abs(quality_logit(F.col("text")))).alias("m")
+    ).collect()[0]["m"]
+    assert m >= 1.0
