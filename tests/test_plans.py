@@ -238,3 +238,45 @@ def test_corpus_scale_joins_not_broadcast_pinned(spark):
     eval_df = docs.filter(F.col("doc_id") % 10 == 0)
     train = docs.filter(F.col("doc_id") % 10 != 0)
     assert count_broadcast_hints(decontaminate(train, eval_df, n=4)) == 1
+
+
+def test_pq_encode_is_map_only(spark):
+    """PQ encode must ride the scan stage: zero exchanges, no join —
+    the compression of a 100 TB corpus is embarrassingly parallel."""
+    from hydraide_spark.functions.vector import label_pq_codebooks, pq_encode
+
+    emb = load_table(spark, SF, "embeddings")
+    enc = pq_encode(emb, label_pq_codebooks(emb, m=8), dim=64)
+    assert count_exchanges(enc) == 0
+    plan = physical_plan(enc)
+    assert "Join" not in plan and "CartesianProduct" not in plan
+
+
+def test_quality_classifier_is_map_only(spark):
+    """Model-based quality scoring adds zero shuffles — pure per-row
+    column arithmetic on the scan."""
+    from hydraide_spark.functions.text import quality_logit
+
+    docs = load_table(spark, SF, "documents")
+    out = docs.select("doc_id", quality_logit(F.col("text")).alias("z"))
+    assert count_exchanges(out) == 0
+
+
+def test_pq_adc_scan_reads_codes_not_vectors(spark):
+    """The ADC scan side must not carry the raw embedding column past
+    the encode projection — the whole point of PQ is scanning 8-byte
+    codes. The only raw-vector reads are the broadcast query side and
+    (with rerank) the shortlist equi-join."""
+    from hydraide_spark.functions.vector import label_pq_codebooks, pq_adc_topk
+
+    emb = load_table(spark, SF, "embeddings")
+    books = label_pq_codebooks(emb, m=8)
+    queries_df = emb.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = pq_adc_topk(emb, queries_df, books, dim=64, k=5)
+    plan = physical_plan(out)
+    assert "CartesianProduct" not in plan
+    # keyless scan x tiny-broadcast-query join resolves to a broadcast
+    # nested loop with the QUERY side as build — the cosine_topk shape
+    assert "BroadcastNestedLoopJoin" in plan
