@@ -52,6 +52,7 @@ HEADLINE = [
     "tpch_q5_local_supplier_volume",
     "tpch_q18_large_orders",
     "relational_set_ops",
+    "zorder_layout_keys",
     "event_interarrival_stats",
     "moving_window_sum",
     "quality_percentile_band",

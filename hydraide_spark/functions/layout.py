@@ -1,0 +1,76 @@
+"""Data-layout operators: Z-order (Morton) clustering keys for
+multi-dimensional locality.
+
+A single-column sort gives perfect pruning on one predicate column and
+none on the others; interleaving the bits of several columns gives
+every interleaved column partial locality, so min/max zone maps (parquet
+row-group stats, file-level stats at 100 TB) prune on ANY of them. This
+is the layout trick behind Delta/Iceberg Z-ORDER — here as a pure
+integer column expression usable in ``repartitionByRange(zkey) +
+sortWithinPartitions(zkey)`` before a write.
+
+Everything is deterministic integer bit math (shiftleft/shiftright/
+bitwise AND/OR over longs), so the key is exactly reproducible in any
+engine — the golden query value-checks it bit-for-bit against SQL.
+
+Reference anchor: the reference stores one beacon sort order per swamp
+(app/core/beacon — single-dimension ordering); Z-order is the
+multi-dimension generalization its users ask for when filtering on
+(user, time) at once.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def rank_normalize(df: DataFrame, col: str, bits: int) -> DataFrame:
+    """Map an arbitrary numeric/orderable column onto [0, 2^bits) by
+    PERCENT rank — the standard Z-order pre-step when value domains are
+    skewed or unbounded (raw values waste interleave bits on empty
+    range). One window over the column; at scale this is done on a
+    sample to derive range boundaries instead (repartitionByRange does
+    exactly that internally), so the exact-window form here is the
+    small-dim/oracle-checkable variant."""
+    from pyspark.sql import Window as W
+
+    pr = F.percent_rank().over(W.orderBy(F.col(col)))
+    scaled = F.least(
+        (pr * F.lit(float(1 << bits))).cast("long"), F.lit((1 << bits) - 1)
+    )
+    return df.withColumn(f"{col}_zbin", scaled)
+
+
+def zorder_key(cols: Sequence[Column | str], bits: int = 16) -> Column:
+    """Morton/Z-order key: interleave the low ``bits`` bits of each
+    column round-robin (column 0 gets the least-significant position of
+    each group). Inputs must already be non-negative ints < 2^bits
+    (use :func:`rank_normalize` for arbitrary domains). Pure
+    shiftleft/and/or expression — map-only, engine-exact.
+
+    n columns x ``bits`` bits must fit a signed long: n*bits <= 62.
+    """
+    cs = [F.col(c) if isinstance(c, str) else c for c in cols]
+    n = len(cs)
+    if n * bits > 62:
+        raise ValueError(f"{n} cols x {bits} bits exceeds a signed long")
+    key = F.lit(0).cast("long")
+    for i in range(bits):
+        for j, c in enumerate(cs):
+            bit = F.shiftright(c.cast("long"), i).bitwiseAND(F.lit(1))
+            key = key.bitwiseOR(F.shiftleft(bit, i * n + j))
+    return key
+
+
+def zorder_key_sql(cols: Sequence[str], bits: int = 16) -> str:
+    """The identical Z-order key as ANSI SQL text (for oracles and for
+    engines without the column API): the same shift/and/or tree in the
+    same order."""
+    n = len(cols)
+    terms = []
+    for i in range(bits):
+        for j, c in enumerate(cols):
+            terms.append(f"((({c} >> {i}) & 1) << {i * n + j})")
+    return " | ".join(terms)

@@ -250,3 +250,36 @@ def relational_set_ops(spark, sf_dir):
         F.lit("open_only").alias("op"), big("o_custkey").alias("custkey")
     )
     return both.unionByName(open_only)
+
+
+from ..functions.layout import zorder_key_sql as _zsql  # noqa: E402
+
+_Z_SQL = _zsql(["l_partkey", "l_suppkey"], bits=11)
+
+
+@golden(
+    "zorder_layout_keys",
+    oracle=f"""
+    SELECT CAST(l_orderkey AS BIGINT) AS l_orderkey,
+           CAST(l_linenumber AS INT) AS l_linenumber,
+           CAST({_Z_SQL} AS BIGINT) AS zkey
+    FROM lineitem
+    """,
+)
+def zorder_layout_keys(spark, sf_dir):
+    """Z-order (Morton) clustering key over (l_partkey, l_suppkey) —
+    the multi-dimension generalization of the reference's single-beacon
+    sort orders (app/core/beacon): interleaving the bits gives BOTH
+    columns locality under one sort, so zone-map/row-group stats prune
+    on either predicate after `repartitionByRange(zkey) +
+    sortWithinPartitions(zkey)` at write time. Pure integer
+    shift/and/or expression — map-only and bit-exact in any engine
+    (the oracle runs the same bit tree in SQL)."""
+    from ..functions.layout import zorder_key
+
+    li = t(spark, sf_dir, "lineitem")
+    return li.select(
+        big("l_orderkey").alias("l_orderkey"),
+        F.col("l_linenumber").cast("int").alias("l_linenumber"),
+        zorder_key(["l_partkey", "l_suppkey"], bits=11).alias("zkey"),
+    )

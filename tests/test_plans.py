@@ -280,3 +280,57 @@ def test_pq_adc_scan_reads_codes_not_vectors(spark):
     # keyless scan x tiny-broadcast-query join resolves to a broadcast
     # nested loop with the QUERY side as build — the cosine_topk shape
     assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_zorder_key_matches_python_morton_and_localizes_both_dims(spark):
+    """Bit-exactness vs a reference Morton encode, plus the layout
+    property that justifies the op: bucketing rows by zkey quantiles
+    bounds the value spread of BOTH interleaved dimensions, where a
+    single-column sort leaves the other dimension unconstrained."""
+    import random
+
+    from pyspark.sql import Row, Window as W
+
+    from hydraide_spark.functions.layout import zorder_key
+
+    rnd = random.Random(7)
+    rows = [
+        Row(i=i, x=rnd.randrange(1 << 11), y=rnd.randrange(1 << 11))
+        for i in range(2000)
+    ]
+    df = spark.createDataFrame(rows)
+    out = df.withColumn("zkey", zorder_key(["x", "y"], bits=11))
+    got = {r["i"]: r["zkey"] for r in out.collect()}
+
+    def morton(x: int, y: int) -> int:
+        k = 0
+        for b in range(11):
+            k |= ((x >> b) & 1) << (2 * b)
+            k |= ((y >> b) & 1) << (2 * b + 1)
+        return k
+
+    for r in rows:
+        assert got[r.i] == morton(r.x, r.y)
+
+    # locality: 16 zkey-quantile buckets -> per-bucket span of x AND y
+    # must both be far below the full 2048 domain on average; an x-only
+    # sort leaves y's average span at ~the full domain.
+    def avg_spans(order_col):
+        b = out.withColumn(
+            "bucket", F.ntile(16).over(W.orderBy(F.col(order_col)))
+        )
+        spans = (
+            b.groupBy("bucket")
+            .agg(
+                (F.max("x") - F.min("x")).alias("sx"),
+                (F.max("y") - F.min("y")).alias("sy"),
+            )
+            .agg(F.avg("sx"), F.avg("sy"))
+            .collect()[0]
+        )
+        return spans[0], spans[1]
+
+    zx, zy = avg_spans("zkey")
+    _, xy_span_y = avg_spans("x")
+    assert zx < 1200 and zy < 1200, (zx, zy)
+    assert xy_span_y > 1700  # x-sort gives y no locality
