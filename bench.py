@@ -100,6 +100,7 @@ HEADLINE = [
     "pii_scrub_docs",
     "top_ngrams_corpus",
     "decontaminate_docs",
+    "curation_pipeline_docs",
     "boilerplate_stats_docs",
     "repeated_span_dedup",
     "tfidf_top_terms",

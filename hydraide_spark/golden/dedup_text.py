@@ -1089,3 +1089,109 @@ def bpe_merge_rules(spark, sf_dir):
     return spark.createDataFrame(
         rows, "rank int, left string, right string, pair_freq long"
     )
+
+
+@golden(
+    "curation_pipeline_docs",
+    oracle=f"""
+    WITH corpus AS ({_CORPUS_SQL}),
+    train AS (
+      SELECT doc_id, text FROM corpus
+      WHERE NOT (doc_id < 1000000 AND doc_id % 41 = 0)
+    ),
+    toks AS (SELECT doc_id, text, string_split(text, ' ') AS t FROM train),
+    dd AS (
+      SELECT doc_id,
+             MIN(doc_id) OVER (PARTITION BY md5(lower(trim(text)))) AS keep_id
+      FROM train
+    ),
+    feats AS (
+      SELECT doc_id,
+             0.4 * least(CAST(len(t) AS DOUBLE) / 64.0, 1.0)
+               + 0.3 * (1.0 - CAST(len(list_filter(t, x -> x IN ({_STOP_SQL}))) AS DOUBLE)
+                              / CAST(len(t) AS DOUBLE))
+               + 0.3 * (CASE WHEN (CAST(length(text) AS DOUBLE) - (CAST(len(t) AS DOUBLE) - 1.0))
+                                  / CAST(len(t) AS DOUBLE) >= 3.0
+                              AND (CAST(length(text) AS DOUBLE) - (CAST(len(t) AS DOUBLE) - 1.0))
+                                  / CAST(len(t) AS DOUBLE) <= 10.0
+                             THEN 1.0 ELSE 0.5 END) AS q,
+             len(list_filter(t, x -> x IN ({_MARKER_SQL['en']}))) AS s_en,
+             len(list_filter(t, x -> x IN ({_MARKER_SQL['de']}))) AS s_de,
+             len(list_filter(t, x -> x IN ({_MARKER_SQL['fr']}))) AS s_fr,
+             len(list_filter(t, x -> x IN ({_MARKER_SQL['es']}))) AS s_es,
+             len(list_filter(t, x -> x IN ({_MARKER_SQL['zh']}))) AS s_zh
+      FROM toks
+    ),
+    langs AS (
+      SELECT doc_id,
+             CASE WHEN greatest(s_en, s_de, s_fr, s_es, s_zh) = 0 THEN 'unknown'
+                  WHEN s_en = greatest(s_en, s_de, s_fr, s_es, s_zh) THEN 'en'
+                  WHEN s_de = greatest(s_en, s_de, s_fr, s_es, s_zh) THEN 'de'
+                  WHEN s_fr = greatest(s_en, s_de, s_fr, s_es, s_zh) THEN 'fr'
+                  WHEN s_es = greatest(s_en, s_de, s_fr, s_es, s_zh) THEN 'es'
+                  ELSE 'zh' END AS lang_pred,
+             q
+      FROM feats
+    ),
+    gtrain AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(range(1, len(t) - 2),
+                                  i -> array_to_string(t[i:i+3], ' ')))) AS gram
+      FROM toks WHERE len(t) >= 4
+    ),
+    gev AS (
+      SELECT DISTINCT
+             unnest(list_distinct(list_transform(range(1, len(t) - 2),
+                                  i -> array_to_string(t[i:i+3], ' ')))) AS gram
+      FROM (SELECT string_split(text, ' ') AS t FROM corpus
+            WHERE doc_id < 1000000 AND doc_id % 41 = 0)
+      WHERE len(t) >= 4
+    ),
+    hits AS (SELECT DISTINCT doc_id FROM gtrain JOIN gev USING (gram))
+    SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+           CASE WHEN d.doc_id <> d.keep_id THEN 'duplicate'
+                WHEN l.q < 0.75 THEN 'low_quality'
+                WHEN l.lang_pred <> 'en' THEN 'non_english'
+                WHEN h.doc_id IS NOT NULL THEN 'contaminated'
+                ELSE 'kept' END AS status
+    FROM dd d
+    JOIN langs l ON d.doc_id = l.doc_id
+    LEFT JOIN hits h ON d.doc_id = h.doc_id
+    """,
+)
+def curation_pipeline_docs(spark, sf_dir):
+    """The END-TO-END curation pipeline a training-data user actually
+    runs, as ONE query: exact dedup (content-hash min-id survivor) ->
+    model/heuristic quality gate (score >= 0.75, engine-exact
+    arithmetic) -> language filter (marker argmax == 'en') ->
+    benchmark decontamination (4-gram collision vs the held-out
+    doc_id%41 eval slice). Emits (doc_id, status) for every train doc
+    with first-failed-stage attribution. Scale shape: one hash window
+    for dup survivorship, map-only quality/lang expressions, and the
+    decontaminate broadcast join — the corpus text shuffles once (the
+    hash partition), everything else rides the scan or broadcasts."""
+    from ..functions.dedup import decontaminate
+    from ..functions.text import lang_id, quality_score
+
+    corpus = _augmented_corpus(spark, sf_dir)
+    is_eval = (F.col("doc_id") < 1000000) & (F.col("doc_id") % 41 == 0)
+    eval_df = corpus.filter(is_eval)
+    train = corpus.filter(~is_eval)
+
+    w = W.partitionBy(F.md5(F.lower(F.trim(F.col("text")))))
+    flags = train.select(
+        F.col("doc_id"),
+        F.min("doc_id").over(w).alias("keep_id"),
+        quality_score(F.col("text")).alias("q"),
+        lang_id(F.col("text")).alias("lang_pred"),
+    )
+    dec = decontaminate(train, eval_df, n=4)
+    joined = flags.join(dec, "doc_id")
+    status = (
+        F.when(F.col("doc_id") != F.col("keep_id"), F.lit("duplicate"))
+        .when(F.col("q") < 0.75, F.lit("low_quality"))
+        .when(F.col("lang_pred") != "en", F.lit("non_english"))
+        .when(F.col("contaminated"), F.lit("contaminated"))
+        .otherwise(F.lit("kept"))
+    )
+    return joined.select(big("doc_id").alias("doc_id"), status.alias("status"))
