@@ -106,6 +106,7 @@ HEADLINE = [
     "tfidf_top_terms",
     "vocab_encode_docs",
     "stratified_sample_docs",
+    "temperature_mix_sample_docs",
     "train_test_split_docs",
     "pack_token_shards_docs",
     "multimodal_features",

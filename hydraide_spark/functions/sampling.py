@@ -100,6 +100,54 @@ def stratified_sample(
     return df.filter(pred)
 
 
+def temperature_mix_fractions(
+    df: DataFrame, strata_col: str, target_fraction: float
+) -> "dict[str, float]":
+    """Square-root temperature rebalance (the multilingual-mixing
+    heuristic: sample stratum s proportionally to n_s^0.5, so dominant
+    sources are downweighted and rare ones upweighted): returns the
+    per-stratum keep fraction ``min(1, target * w_s / n_s)`` with
+    ``w_s = sqrt(n_s) / sum_t sqrt(n_t)``.
+
+    Computed driver-side from the per-stratum counts — one tiny
+    aggregate, O(#strata) rows at any corpus size. Determinism: sqrt,
+    *, / are IEEE correctly-rounded, and the weight denominator folds
+    strata in SORTED order, so any engine replaying the same integer
+    counts reproduces the fractions bit-for-bit (pow() would not — its
+    last ulp is implementation-defined; alpha is fixed at 0.5 for
+    exactly this reason)."""
+    import math
+
+    counts = {r[0]: r[1] for r in df.groupBy(strata_col).count().collect()}
+    strata = sorted(counts)
+    ssum = 0.0
+    for s in strata:
+        ssum += math.sqrt(counts[s])
+    target = target_fraction * sum(counts.values())
+    out: dict[str, float] = {}
+    for s in strata:
+        f = target * (math.sqrt(counts[s]) / ssum) / counts[s]
+        out[s] = f if f < 1.0 else 1.0
+    return out
+
+
+def temperature_mix_sample(
+    df: DataFrame,
+    strata_col: str,
+    key_col: str,
+    target_fraction: float,
+    salt: str = "",
+    method: str = "md5",
+) -> DataFrame:
+    """Temperature-rebalanced corpus sample: derive the per-stratum
+    rates (:func:`temperature_mix_fractions`) then hash-sample each
+    stratum — the whole mix is one scan-side predicate plus a tiny
+    counts aggregate; reproducible under repartitioning and appends
+    like every sampler here."""
+    fracs = temperature_mix_fractions(df, strata_col, target_fraction)
+    return stratified_sample(df, strata_col, fracs, key_col, salt, method)
+
+
 def pack_token_shards(
     df: DataFrame,
     id_col: str,

@@ -1195,3 +1195,45 @@ def curation_pipeline_docs(spark, sf_dir):
         .otherwise(F.lit("kept"))
     )
     return joined.select(big("doc_id").alias("doc_id"), status.alias("status"))
+
+
+@golden(
+    "temperature_mix_sample_docs",
+    oracle=f"""
+    WITH c AS (
+      SELECT lang AS s, count(*) AS ni FROM documents GROUP BY lang
+    ),
+    tot AS (
+      SELECT list_sum(list(sqrt(CAST(ni AS DOUBLE)) ORDER BY s)) AS ssum,
+             CAST(SUM(ni) AS DOUBLE) AS n_total
+      FROM c
+    ),
+    thr AS (
+      SELECT c.s,
+             CAST(floor(least(
+               (0.5 * n_total) * (sqrt(CAST(ni AS DOUBLE)) / ssum)
+                 / CAST(ni AS DOUBLE),
+               1.0) * 4294967296) AS BIGINT) AS threshold
+      FROM c, tot
+    )
+    SELECT CAST(d.doc_id AS BIGINT) AS doc_id, d.lang
+    FROM documents d JOIN thr ON d.lang = thr.s
+    WHERE {_SAMPLE_BUCKET_SQL} < thr.threshold
+    """,
+)
+def temperature_mix_sample_docs(spark, sf_dir):
+    """Square-root temperature data mixing (the multilingual rebalance
+    recipe): per-language keep rates min(1, target * sqrt(n_s)/sum /
+    n_s) at target_fraction=0.5, applied as deterministic md5 hash
+    sampling. Exactly oracle-checked: sqrt / * / / are IEEE
+    correctly-rounded (pow deliberately avoided) and the weight
+    denominator folds strata in sorted order in both engines, so the
+    thresholds are bit-identical and membership is exact. One counts
+    aggregate + one scan-side predicate — no shuffle of the corpus."""
+    from ..functions.sampling import temperature_mix_sample
+
+    docs = t(spark, sf_dir, "documents")
+    out = temperature_mix_sample(
+        docs, "lang", key_col="doc_id", target_fraction=0.5, salt="corpus_v1"
+    )
+    return out.select(big("doc_id").alias("doc_id"), "lang")

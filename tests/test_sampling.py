@@ -117,3 +117,35 @@ def test_pack_token_shards_contiguous_and_bounded(spark):
     assert all(
         100 - max_tok < v < 100 + max_tok for s, v in totals.items() if s != last
     )
+
+
+def test_temperature_mix_rates_and_balance(spark):
+    """sqrt-temperature fractions: rates follow min(1, target*w/n) with
+    w = sqrt(n)/sum(sqrt(n)); dominant strata are downweighted relative
+    to rare ones, and the realized sample tracks the expected per-
+    stratum sizes."""
+    import math
+
+    from hydraide_spark.functions.sampling import (
+        temperature_mix_fractions,
+        temperature_mix_sample,
+    )
+    from hydraide_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.01", "documents")
+    counts = {r["lang"]: r["count"] for r in docs.groupBy("lang").count().collect()}
+    fracs = temperature_mix_fractions(docs, "lang", target_fraction=0.5)
+    ssum = sum(math.sqrt(c) for c in sorted(counts.values()))  # order-free check
+    target = 0.5 * sum(counts.values())
+    for s, n in counts.items():
+        expected = min(1.0, target * (math.sqrt(n) / sum(math.sqrt(counts[t]) for t in sorted(counts))) / n)
+        assert abs(fracs[s] - expected) < 1e-12
+    # dominant language keeps a LOWER rate than rare ones
+    dom = max(counts, key=counts.get)
+    rare = min(counts, key=counts.get)
+    assert fracs[dom] < fracs[rare]
+    out = temperature_mix_sample(docs, "lang", key_col="doc_id", target_fraction=0.5, salt="corpus_v1")
+    got = {r["lang"]: r["count"] for r in out.groupBy("lang").count().collect()}
+    for s in counts:
+        exp = fracs[s] * counts[s]
+        assert abs(got.get(s, 0) - exp) < 0.15 * counts[s] + 10
