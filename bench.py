@@ -105,6 +105,7 @@ HEADLINE = [
     "repeated_span_dedup",
     "tfidf_top_terms",
     "vocab_encode_docs",
+    "chunk_documents_rag",
     "stratified_sample_docs",
     "temperature_mix_sample_docs",
     "train_test_split_docs",

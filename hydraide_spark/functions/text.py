@@ -255,6 +255,57 @@ def _merge_pair_expr(sym: Column, a: str, b: str) -> Column:
     return folded.getField("out")
 
 
+def chunk_documents(
+    df: DataFrame,
+    chunk_size: int,
+    overlap: int = 0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Split documents into overlapping token windows — the
+    embedding/RAG prep step: chunk i covers tokens
+    ``[i*stride, i*stride + chunk_size)`` with
+    ``stride = chunk_size - overlap``; the last window starts at the
+    final stride position that still begins inside the document, so
+    every token lands in >= 1 chunk and short docs yield exactly one.
+
+    Pure explode of a per-row sequence (map-only before the explode, no
+    shuffle): at 100 TB chunking rides the scan and multiplies rows by
+    ~n_tokens/stride, which the downstream embedding stage wants anyway.
+    Returns (id, chunk_id, chunk_text, n_chunk_tokens, start_token).
+    """
+    if not 0 <= overlap < chunk_size:
+        raise ValueError("need 0 <= overlap < chunk_size")
+    stride = chunk_size - overlap
+    toks = tokenize(F.col(text_col))
+    n = F.size(toks)
+    n_chunks = F.greatest(
+        (F.ceil((n - F.lit(overlap)).cast("double") / F.lit(stride))).cast("int"),
+        F.lit(1),
+    )
+    return (
+        df.select(F.col(id_col), toks.alias("_t"), n_chunks.alias("_nc"))
+        .select(
+            F.col(id_col),
+            F.posexplode(F.sequence(F.lit(0), F.col("_nc") - 1)).alias(
+                "chunk_id", "_i"
+            ),
+            F.col("_t"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("chunk_id"),
+            F.concat_ws(
+                " ", F.slice(F.col("_t"), F.col("_i") * stride + 1, chunk_size)
+            ).alias("chunk_text"),
+            F.size(
+                F.slice(F.col("_t"), F.col("_i") * stride + 1, chunk_size)
+            ).alias("n_chunk_tokens"),
+            (F.col("_i") * stride).alias("start_token"),
+        )
+    )
+
+
 def fingerprint(text: Column, k: int = 16) -> Column:
     """Document fingerprint: md5 over the first-k-token prefix of the
     whitespace-normalized text — the cheap "same leading content"

@@ -1237,3 +1237,39 @@ def temperature_mix_sample_docs(spark, sf_dir):
         docs, "lang", key_col="doc_id", target_fraction=0.5, salt="corpus_v1"
     )
     return out.select(big("doc_id").alias("doc_id"), "lang")
+
+
+@golden(
+    "chunk_documents_rag",
+    oracle="""
+    WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    nc AS (
+      SELECT doc_id, t,
+             greatest(CAST(ceil(CAST(len(t) - 2 AS DOUBLE) / 6) AS INT), 1) AS n
+      FROM d
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(i AS INT) AS chunk_id,
+           array_to_string(t[i*6+1 : i*6+8], ' ') AS chunk_text,
+           CAST(len(t[i*6+1 : i*6+8]) AS INT) AS n_chunk_tokens,
+           CAST(i * 6 AS BIGINT) AS start_token
+    FROM nc, unnest(range(0, n)) AS u(i)
+    """,
+)
+def chunk_documents_rag(spark, sf_dir):
+    """Document chunking for embedding/RAG pipelines: overlapping
+    8-token windows with stride 6 (overlap 2), every token covered,
+    short docs yield exactly one chunk. Map-only sequence explode — the
+    chunker rides the scan; the oracle replays the window arithmetic
+    with SQL list slices."""
+    from ..functions.text import chunk_documents
+
+    docs = t(spark, sf_dir, "documents")
+    out = chunk_documents(docs, chunk_size=8, overlap=2)
+    return out.select(
+        big("doc_id").alias("doc_id"),
+        F.col("chunk_id").cast("int").alias("chunk_id"),
+        F.col("chunk_text"),
+        F.col("n_chunk_tokens").cast("int").alias("n_chunk_tokens"),
+        big("start_token").alias("start_token"),
+    )

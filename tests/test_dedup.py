@@ -556,3 +556,53 @@ def test_pq_adc_rerank_recall_vs_exact_l2(spark):
     }
     assert len(adc & exact) / len(exact) >= 0.2
     assert len(refined & exact) / len(exact) >= 0.7
+
+
+def test_jaccard_prefix_filter_property_random_corpora(spark):
+    """Property check (hypothesis): on random small corpora the
+    prefix-filtered pair set equals the naive full-inverted-index pair
+    set for every threshold — the prefix-filtering lemma has no
+    corpus-shape escape hatch."""
+    from hypothesis import given, settings, strategies as st
+
+    word = st.sampled_from(["red", "blue", "dog", "cat", "runs", "sits", "fast", "slow"])
+
+    @settings(max_examples=5, deadline=None)
+    @given(
+        texts=st.lists(
+            st.lists(word, min_size=3, max_size=9).map(" ".join),
+            min_size=2,
+            max_size=8,
+        ),
+        tau=st.sampled_from([0.4, 0.6, 0.8]),
+    )
+    def check(texts, tau):
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+        )
+        got = {
+            (p["id_a"], p["id_b"])
+            for p in ngram_jaccard_pairs(df, tau=tau, n=2).collect()
+        }
+        # reference: python exact Jaccard over 2-gram shingle sets
+        from fractions import Fraction
+
+        frac = Fraction(tau).limit_denominator(10**6)
+        shs = {
+            i: set(
+                " ".join(t.split()[j : j + 2])
+                for j in range(len(t.split()) - 1)
+            )
+            for i, t in enumerate(texts)
+        }
+        want = set()
+        for a in shs:
+            for b in shs:
+                if a < b and shs[a] and shs[b]:
+                    inter = len(shs[a] & shs[b])
+                    union = len(shs[a] | shs[b])
+                    if frac.denominator * inter >= frac.numerator * union:
+                        want.add((a, b))
+        assert got == want
+
+    check()

@@ -199,3 +199,38 @@ def test_quality_logit_keep_margin(spark):
         F.min(F.abs(quality_logit(F.col("text")))).alias("m")
     ).collect()[0]["m"]
     assert m >= 1.0
+
+
+def test_chunk_documents_coverage_and_edges(spark):
+    """Every token covered, overlap respected, short/empty docs yield
+    exactly one chunk."""
+    from hydraide_spark.functions.text import chunk_documents
+
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text=" ".join(f"w{i}" for i in range(10))),
+            Row(doc_id=2, text="a b c"),        # shorter than one chunk
+            Row(doc_id=3, text="only"),          # single token
+        ]
+    )
+    out = chunk_documents(df, chunk_size=8, overlap=2)
+    rows = sorted(
+        (r["doc_id"], r["chunk_id"], r["chunk_text"], r["start_token"])
+        for r in out.collect()
+    )
+    # doc 1: 10 tokens, stride 6 -> chunks at 0 and 6
+    assert rows[0] == (1, 0, "w0 w1 w2 w3 w4 w5 w6 w7", 0)
+    assert rows[1] == (1, 1, "w6 w7 w8 w9", 6)
+    assert rows[2] == (2, 0, "a b c", 0)
+    assert rows[3] == (3, 0, "only", 0)
+    # coverage: union of [start, start+len) per doc == token count
+    covered = {}
+    for r in out.collect():
+        covered.setdefault(r["doc_id"], set()).update(
+            range(r["start_token"], r["start_token"] + r["n_chunk_tokens"])
+        )
+    assert covered[1] == set(range(10))
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        chunk_documents(df, chunk_size=4, overlap=4)
