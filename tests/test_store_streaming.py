@@ -540,3 +540,62 @@ def test_rollup_maintenance_converges_to_batch_recompute(spark, tmp_path):
     touched_last = {k for op, k, b in ev if b == last_batch}
     assert any(k.startswith("2024-03-01 10:00:00") and "click" in k for k in touched_last)
     assert not any("view" in k and "11:00:00" in k for k in touched_last)
+
+
+def test_streaming_curation_gates_are_stream_composable(spark, tmp_path):
+    """The batch curation gates (model-based quality logit + lang id +
+    content-hash fingerprint) are pure column expressions, so they
+    compose unchanged into a streaming ingest: per-micro-batch the
+    stream emits only kept docs with their fingerprint for downstream
+    watermark dedup. Verifies the streamed verdicts equal the batch
+    verdicts row-for-row."""
+    from pyspark.sql import functions as F
+
+    from hydraide_spark.functions.text import lang_id, quality_logit
+
+    src = tmp_path / "cur_in"
+    src.mkdir()
+    schema = "doc_id long, text string"
+    rows1 = [
+        (1, "the quick brown dog runs to the old stone bridge and waits"),
+        (2, "999 111 222 333 444 555 666 777 888"),  # digit-heavy: low quality
+    ]
+    rows2 = [
+        (3, "a calm river flows past the mill and the miller sleeps"),
+    ]
+    spark.createDataFrame(rows1, schema).coalesce(1).write.parquet(str(src / "b1"))
+    spark.createDataFrame(rows2, schema).coalesce(1).write.parquet(str(src / "b2"))
+
+    def gated(df):
+        return (
+            df.withColumn("z", quality_logit(F.col("text")))
+            .withColumn("lang_pred", lang_id(F.col("text")))
+            .withColumn("fp", F.md5(F.lower(F.trim(F.col("text")))))
+            .filter((F.col("z") >= 0) & (F.col("lang_pred") == "en"))
+            .select("doc_id", "fp")
+        )
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    q = (
+        gated(stream)
+        .writeStream.format("memory")
+        .queryName("curation_out")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        streamed = {
+            (r["doc_id"], r["fp"])
+            for r in spark.sql("SELECT * FROM curation_out").collect()
+        }
+    finally:
+        q.stop()
+    batch_df = spark.createDataFrame(rows1 + rows2, schema)
+    expected = {(r["doc_id"], r["fp"]) for r in gated(batch_df).collect()}
+    assert streamed == expected
+    assert 2 not in {d for d, _ in streamed}  # the digit wall was gated out
