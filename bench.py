@@ -71,6 +71,7 @@ HEADLINE = [
     "ann_topk_ivf",
     "pq_encode_codes",
     "pq_ann_topk",
+    "ivfadc_topk",
     "embedding_neardup",
     "semantic_dedup_docs",
     "label_centroid_sums",

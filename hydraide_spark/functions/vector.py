@@ -446,6 +446,113 @@ def pq_adc_topk(
     )
 
 
+def ivfadc_topk(
+    df: DataFrame,
+    queries: DataFrame,
+    cell_centroids: Sequence[Sequence[float]],
+    codebooks: Sequence[Sequence[tuple[int, Sequence[float]]]],
+    dim: int,
+    k: int,
+    nprobe: int = 2,
+    rerank_factor: int = 0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """IVF + PQ (the IVFADC architecture of the PQ paper — what FAISS
+    ships as its at-scale default): the corpus lives partitioned by its
+    nearest IVF cell AND compressed to PQ codes; a query probes its
+    ``nprobe`` nearest cells (partition-pruned read at 100 TB: the cell
+    is the write-time partition key) and scores ONLY those cells' codes
+    via the ADC lookup table; optional exact re-rank fetches raw
+    vectors for the shortlist alone. Combines the two scale levers —
+    scan 1/n_cells of the corpus, at 8 bytes/vector — with the same
+    blocking equi-join + broadcast-LUT shapes both pieces already use.
+    Approximate (cell routing + quantization): recall floor asserted in
+    tests, rows-only in the gate."""
+    m = len(codebooks)
+    d0 = dim // m
+    enc = df.select(
+        F.col(id_col),
+        ivf_cell_expr(F.col(vec_col), cell_centroids).alias("_cell"),
+        pq_codes_expr(F.col(vec_col), codebooks, dim).alias("codes"),
+    )
+    books_v, books_i = _book_literals(codebooks)
+    qv = F.col(query_vec_col).cast("array<double>")
+    lut = F.transform(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        lambda j: F.transform(
+            F.sequence(F.lit(1), F.size(F.element_at(books_v, j + 1))),
+            lambda c: _sq_l2_fold(
+                F.slice(qv, j * d0 + 1, d0),
+                F.element_at(F.element_at(books_v, j + 1), c),
+            ),
+        ),
+    )
+    probed = queries.select(
+        F.col(query_id_col),
+        lut.alias("_lut"),
+        F.explode(
+            F.transform(
+                F.slice(
+                    F.reverse(
+                        F.array_sort(_centroid_scores(qv, cell_centroids))
+                    ),
+                    1,
+                    nprobe,
+                ),
+                lambda s: s.getField("j"),
+            )
+        ).alias("_cell"),
+    )
+    adist = F.aggregate(
+        F.sequence(F.lit(1), F.lit(m)),
+        F.lit(0.0),
+        lambda acc, j: acc
+        + F.element_at(
+            F.element_at(F.col("_lut"), j),
+            F.array_position(
+                F.element_at(books_i, j), F.element_at(F.col("codes"), j)
+            ).cast("int"),
+        ),
+    )
+    scored = enc.join(F.broadcast(probed), "_cell").select(
+        F.col(query_id_col), F.col(id_col), adist.alias("adist")
+    )
+    w = W.partitionBy(query_id_col).orderBy(F.col("adist").asc(), F.col(id_col).asc())
+    shortlist_k = k if rerank_factor <= 0 else rerank_factor * k
+    shortlist = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= shortlist_k)
+        .drop("rank")
+    )
+    if rerank_factor <= 0:
+        return shortlist
+    qv_map = queries.select(
+        F.col(query_id_col), F.col(query_vec_col).cast("array<double>").alias("_qv")
+    )
+    raw = df.select(F.col(id_col), F.col(vec_col).alias("_v"))
+    exact = (
+        shortlist.drop("adist")
+        .join(raw, id_col)
+        .join(F.broadcast(qv_map), query_id_col)
+        .select(
+            F.col(query_id_col),
+            F.col(id_col),
+            _sq_l2_fold(
+                F.transform(F.col("_v"), lambda x: x.cast("double")),
+                F.col("_qv"),
+            ).alias("adist"),
+        )
+    )
+    return (
+        exact.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .drop("rank")
+    )
+
+
 def pandas_cosine_scores(query: Sequence[float]):
     """Arrow-batched numpy cosine scorer — the slow-path alternative for
     very high-dimensional vectors. Returns a pandas_udf usable as

@@ -400,3 +400,30 @@ def kmeans_assign_exact(spark, sf_dir):
         big("label").alias("label"),
         F.round("score", 4).alias("score"),
     )
+
+
+@golden("ivfadc_topk")  # approximate (cell routing + quantization): rows-only
+def ivfadc_topk_q(spark, sf_dir):
+    """IVF + PQ combined (IVFADC, the at-scale ANN default): queries
+    probe nprobe=4 nearest cells, candidates scored as 8-byte PQ codes
+    via the broadcast ADC lookup table, exact re-rank on the
+    rerank_factor*k shortlist only. At 100 TB the cell is the
+    write-time partition key (partition-pruned read) and the scan
+    touches codes, never raw vectors. Recall floor vs exact L2 top-k
+    asserted in tests/test_dedup.py."""
+    from ..functions.vector import ivfadc_topk, train_ivf_centroids, train_pq_codebooks
+
+    emb = t(spark, sf_dir, "embeddings")
+    cells = train_ivf_centroids(emb, n_centroids=8)
+    books = train_pq_codebooks(emb, m=8, k=16)
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = ivfadc_topk(
+        emb, queries, cells, books, dim=64, k=10, nprobe=4, rerank_factor=10
+    )
+    return out.select(
+        big("query_id").alias("query_id"),
+        big("vec_id").alias("vec_id"),
+        F.round("adist", 4).alias("adist"),
+    )

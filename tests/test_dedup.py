@@ -606,3 +606,46 @@ def test_jaccard_prefix_filter_property_random_corpora(spark):
         assert got == want
 
     check()
+
+
+def test_ivfadc_recall_vs_exact_l2(spark):
+    """IVFADC (cell probe + ADC + re-rank) must recover most of the
+    exact top-k while scanning only nprobe/n_cells of the corpus as
+    codes; probing ALL cells must match the pure-PQ refine recall."""
+    import numpy as np
+
+    from hydraide_spark.functions.vector import (
+        ivfadc_topk,
+        train_ivf_centroids,
+        train_pq_codebooks,
+    )
+
+    emb = load_table(spark, SF, "embeddings")
+    rows = emb.select("vec_id", "embedding").collect()
+    X = np.asarray([r["embedding"] for r in rows], dtype=np.float64)
+    ids = np.asarray([r["vec_id"] for r in rows])
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact = set()
+    for q in range(5):
+        qv = X[ids == q][0]
+        d = ((X - qv) ** 2).sum(axis=1)
+        for i in np.lexsort((ids, d))[:10]:
+            exact.add((q, int(ids[i])))
+    cells = train_ivf_centroids(emb, n_centroids=8)
+    books = train_pq_codebooks(emb, m=8, k=16)
+    probed = {
+        (r["query_id"], r["vec_id"])
+        for r in ivfadc_topk(
+            emb, queries, cells, books, dim=64, k=10, nprobe=4, rerank_factor=10
+        ).collect()
+    }
+    assert len(probed & exact) / len(exact) >= 0.5
+    all_cells = {
+        (r["query_id"], r["vec_id"])
+        for r in ivfadc_topk(
+            emb, queries, cells, books, dim=64, k=10, nprobe=8, rerank_factor=10
+        ).collect()
+    }
+    assert len(all_cells & exact) / len(exact) >= 0.7
