@@ -88,6 +88,7 @@ HEADLINE = [
     "neardup_clusters",
     "neardup_clusters_star",
     "minhash_lsh_neardup",
+    "minhash_lsh_neardup_stable",
     "simhash_neardup",
     "reverse_index_search",
     "bm25_ranked_search",

@@ -163,6 +163,7 @@ def minhash_neardup_pairs(
     bands: int = 4,
     id_col: str = "doc_id",
     text_col: str = "text",
+    engine_stable: bool = False,
 ) -> DataFrame:
     """MinHash + LSH near-dup: signature -> band buckets -> candidate
     pairs within a bucket -> exact Jaccard verify >= tau.
@@ -172,6 +173,12 @@ def minhash_neardup_pairs(
     density, not corpus size squared. Verification reuses the exact
     integer Jaccard, so the output has no false positives; recall is the
     standard LSH S-curve in (k, bands).
+
+    ``engine_stable=True`` switches the signature hashes to md5 hex
+    strings (lexicographic min), reproducible in ANY engine — the mode
+    that lets a SQL oracle replay the complete probabilistic pipeline
+    (signatures, band buckets, candidates, verify) value-for-value, at
+    ~10x the hash cost of the default seeded xxhash64.
     """
     assert k % bands == 0
     rows_per_band = k // bands
@@ -189,7 +196,10 @@ def minhash_neardup_pairs(
     # the (narrow) scan stage and again in the projection.
     sh = df.select(F.col(id_col), shingles(F.col(text_col), n).alias("sh")).persist()
     sh = sh.filter(F.size("sh") > 0)
-    sig = sh.select(F.col(id_col), *minhash_signature(F.col("sh"), k))
+    sig = sh.select(
+        F.col(id_col),
+        *minhash_signature(F.col("sh"), k, engine_stable=engine_stable),
+    )
 
     band_cols = [
         F.concat_ws(

@@ -1273,3 +1273,72 @@ def chunk_documents_rag(spark, sf_dir):
         F.col("n_chunk_tokens").cast("int").alias("n_chunk_tokens"),
         big("start_token").alias("start_token"),
     )
+
+
+_MH_COLS = ",\n             ".join(
+    f"list_aggregate(list_transform(sh, x -> md5('{i}:' || x)), 'min') AS mh{i}"
+    for i in range(16)
+)
+_BAND_ROWS = "\n      UNION ALL\n      ".join(
+    "SELECT doc_id, '{b}' || '|' || {parts} AS bucket FROM sig".format(
+        b=b, parts=" || '|' || ".join(f"mh{b * 4 + r}" for r in range(4))
+    )
+    for b in range(4)
+)
+
+
+@golden(
+    "minhash_lsh_neardup_stable",
+    oracle=f"""
+    WITH corpus AS ({_CORPUS_SQL}),
+    sh AS (
+      SELECT doc_id, list_distinct(list(array_to_string(w[i:i+2], ' '))) AS sh
+      FROM (
+        SELECT doc_id, w, unnest(range(1, len(w) - 1)) AS i
+        FROM (SELECT doc_id, string_split(text, ' ') AS w FROM corpus)
+        WHERE len(w) >= 3
+      )
+      GROUP BY doc_id
+    ),
+    sig AS (
+      SELECT doc_id, sh,
+             {_MH_COLS}
+      FROM sh
+    ),
+    banded AS (
+      {_BAND_ROWS}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM banded a JOIN banded b
+        ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, sh, len(sh) AS n_sh FROM sh)
+    SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+           CAST(len(list_intersect(sa.sh, sb.sh)) AS BIGINT) AS inter,
+           CAST(sa.n_sh + sb.n_sh - len(list_intersect(sa.sh, sb.sh)) AS BIGINT) AS "union"
+    FROM cand JOIN sizes sa ON cand.id_a = sa.doc_id
+              JOIN sizes sb ON cand.id_b = sb.doc_id
+    WHERE 5 * len(list_intersect(sa.sh, sb.sh))
+          >= 3 * (sa.n_sh + sb.n_sh - len(list_intersect(sa.sh, sb.sh)))
+    """,
+)
+def minhash_lsh_neardup_stable(spark, sf_dir):
+    """MinHash+LSH with the ENGINE-STABLE md5 signature mode — the
+    complete probabilistic pipeline (16 md5 min-hashes, 4 band buckets,
+    bucket-collision candidates, exact integer-Jaccard verify) replayed
+    value-for-value by the SQL oracle: signatures are lexicographic
+    mins over identical md5 hex strings, so both engines produce the
+    SAME candidate set, not just statistically similar ones. This is
+    the exactness upgrade over the rows-only xxhash64 fast path
+    (`minhash_lsh_neardup`) — same plan shapes, ~10x hash cost."""
+    corpus = _augmented_corpus(spark, sf_dir)
+    out = minhash_neardup_pairs(
+        corpus, tau=0.6, n=3, k=16, bands=4, engine_stable=True
+    )
+    return out.select(
+        big("id_a").alias("id_a"),
+        big("id_b").alias("id_b"),
+        big("inter").alias("inter"),
+        big("union").alias("union"),
+    )
