@@ -90,6 +90,7 @@ HEADLINE = [
     "minhash_lsh_neardup",
     "minhash_lsh_neardup_stable",
     "simhash_neardup",
+    "simhash_neardup_stable",
     "reverse_index_search",
     "bm25_ranked_search",
     "phrase_search_via_index",

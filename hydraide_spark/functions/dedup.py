@@ -249,11 +249,16 @@ def minhash_neardup_pairs(
 SIMHASH_BITS = 64
 
 
-def simhash_bits(text_col: Column) -> Column:
+def simhash_bits(text_col: Column, engine_stable: bool = False) -> Column:
     """SimHash of the token multiset as a 64-slot bit array
     (``array<int>`` of 0/1), computed as a pure column expression —
-    per-token xxhash64 bits, per-bit +/-1 votes folded over tokens in one
+    per-token hash bits, per-bit +/-1 votes folded over tokens in one
     ``aggregate``, sign threshold at the end. No UDF, no shuffle.
+
+    Default token hash is xxhash64 (JVM codegen); ``engine_stable=True``
+    derives the 64 bits from two 32-bit halves of md5 hex (bit i < 32
+    from the low half, else the high half) — reproducible in any SQL
+    engine, so an oracle can replay the whole pipeline exactly.
 
     The bit-array representation (vs a packed int64) keeps every
     operation — hamming distance, chunk extraction — in plain
@@ -263,6 +268,17 @@ def simhash_bits(text_col: Column) -> Column:
     toks = tokenize(text_col)
 
     def token_bits(w: Column) -> Column:
+        if engine_stable:
+            hi = F.conv(F.substring(F.md5(w), 1, 8), 16, 10).cast("bigint")
+            lo = F.conv(F.substring(F.md5(w), 9, 8), 16, 10).cast("bigint")
+            return F.array(
+                *[
+                    F.shiftright(lo if i < 32 else hi, i % 32)
+                    .bitwiseAND(F.lit(1))
+                    .cast("int")
+                    for i in range(SIMHASH_BITS)
+                ]
+            )
         h = F.xxhash64(w)
         return F.array(
             *[F.shiftright(h, i).bitwiseAND(F.lit(1)).cast("int") for i in range(SIMHASH_BITS)]
@@ -281,13 +297,13 @@ def simhash_bits(text_col: Column) -> Column:
     return F.transform(votes, lambda v: F.when(v > 0, F.lit(1)).otherwise(F.lit(0)))
 
 
-def simhash64(text_col: Column) -> Column:
+def simhash64(text_col: Column, engine_stable: bool = False) -> Column:
     """Packed BIGINT form of :func:`simhash_bits` (bit i = array slot i;
     the top bit contributes the sign, which is fine — the value is an
     opaque fingerprint). Built as ONE fold over the bit array so the
     expensive bit-vote expression appears exactly once in the plan (a
     per-bit term list would inline it 64 times)."""
-    bits = simhash_bits(text_col)
+    bits = simhash_bits(text_col, engine_stable=engine_stable)
     powers = F.array(
         *[
             F.lit(1 << i if i < 63 else -(1 << 63)).cast("bigint")
@@ -316,6 +332,7 @@ def simhash_neardup_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     n_blocks: int = 4,
+    engine_stable: bool = False,
 ) -> DataFrame:
     """SimHash near-dup with the standard block-rotation blocking: split
     the 64 bits into ``n_blocks`` chunks; any pair within ``max_hamming``
@@ -329,7 +346,10 @@ def simhash_neardup_pairs(
     # Packed form: a chunk is shift+mask, hamming is ONE
     # bit_count(a XOR b) instead of a 64-slot zip_with fold — the
     # verify cost per candidate pair drops ~64x.
-    sims = df.select(F.col(id_col), simhash64(F.col(text_col)).alias("h")).persist()
+    sims = df.select(
+        F.col(id_col),
+        simhash64(F.col(text_col), engine_stable=engine_stable).alias("h"),
+    ).persist()
     mask = (1 << bits_per) - 1
     chunk_structs = F.array(
         *[

@@ -1342,3 +1342,68 @@ def minhash_lsh_neardup_stable(spark, sf_dir):
         big("inter").alias("inter"),
         big("union").alias("union"),
     )
+
+
+@golden(
+    "simhash_neardup_stable",
+    oracle=f"""
+    WITH corpus AS ({_CORPUS_SQL}),
+    tokens AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM corpus
+    ),
+    tb AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(w), 1, 8))::UBIGINT AS hi,
+             ('0x' || substr(md5(w), 9, 8))::UBIGINT AS lo
+      FROM tokens
+    ),
+    votes AS (
+      SELECT doc_id, p,
+             SUM((CASE WHEN p < 32 THEN (lo >> p) & 1
+                       ELSE (hi >> (p - 32)) & 1 END) * 2 - 1) AS v
+      FROM tb, unnest(range(0, 64)) AS u(p)
+      GROUP BY doc_id, p
+    ),
+    bits AS (
+      SELECT doc_id, p, CASE WHEN v > 0 THEN 1 ELSE 0 END AS b FROM votes
+    ),
+    chunks AS (
+      SELECT doc_id, p // 16 AS chunk_no,
+             SUM(b * (1::BIGINT << (p % 16))) AS chunk
+      FROM bits GROUP BY doc_id, p // 16
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM chunks a JOIN chunks b
+        ON a.chunk_no = b.chunk_no AND a.chunk = b.chunk
+       AND a.doc_id < b.doc_id
+    ),
+    ham AS (
+      SELECT c.id_a, c.id_b,
+             SUM(CASE WHEN ba.b <> bb.b THEN 1 ELSE 0 END) AS hamming
+      FROM cand c
+      JOIN bits ba ON ba.doc_id = c.id_a
+      JOIN bits bb ON bb.doc_id = c.id_b AND bb.p = ba.p
+      GROUP BY c.id_a, c.id_b
+    )
+    SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+           CAST(hamming AS INT) AS hamming
+    FROM ham WHERE hamming <= 6
+    """,
+)
+def simhash_neardup_stable(spark, sf_dir):
+    """SimHash near-dup with the ENGINE-STABLE md5 bit source: the 64
+    per-token bits come from two 32-bit halves of md5 hex, so the
+    DuckDB oracle replays the complete pipeline — multiset bit votes,
+    sign threshold, 16-bit chunk blocking, candidate equi-join, exact
+    hamming verify — value-for-value (same candidates, same distances,
+    not just statistically similar). Exactness upgrade over the
+    rows-only xxhash64 fast path (`simhash_neardup`); identical plan
+    shapes."""
+    corpus = _augmented_corpus(spark, sf_dir)
+    out = simhash_neardup_pairs(corpus, max_hamming=6, engine_stable=True)
+    return out.select(
+        big("id_a").alias("id_a"),
+        big("id_b").alias("id_b"),
+        F.col("hamming").cast("int").alias("hamming"),
+    )
