@@ -50,6 +50,7 @@ HEADLINE = [
     "tpch_q6_revenue_delta",
     "tpch_q3_shipping_priority",
     "tpch_q5_local_supplier_volume",
+    "tpch_q7_nation_volume",
     "tpch_q18_large_orders",
     "relational_set_ops",
     "zorder_layout_keys",

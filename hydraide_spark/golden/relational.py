@@ -283,3 +283,71 @@ def zorder_layout_keys(spark, sf_dir):
         F.col("l_linenumber").cast("int").alias("l_linenumber"),
         zorder_key(["l_partkey", "l_suppkey"], bits=11).alias("zkey"),
     )
+
+
+@golden(
+    "tpch_q7_nation_volume",
+    oracle="""
+    SELECT n1.n_name AS supp_nation,
+           n2.n_name AS cust_nation,
+           CAST(year(l.l_shipdate) AS INT) AS l_year,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(28,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(28,2)))) AS DOUBLE) AS volume
+    FROM supplier s
+      JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+      JOIN orders o   ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n1  ON s.s_nationkey = n1.n_nationkey
+      JOIN nation n2  ON c.c_nationkey = n2.n_nationkey
+    WHERE ((n1.n_name = 'FRANCE' AND n2.n_name = 'GERMANY')
+        OR (n1.n_name = 'GERMANY' AND n2.n_name = 'FRANCE'))
+      AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY n1.n_name, n2.n_name, year(l.l_shipdate)
+    """,
+)
+def tpch_q7_nation_volume(spark, sf_dir):
+    """TPC-H Q7 shape (two-nation shipping volume by year): the fact
+    filtered by a pushed date range, supplier and customer sides each
+    carrying a broadcast nation dimension, the cross-nation predicate
+    applied as a pair disjunction AFTER both joins. Only corpus-scale
+    shuffle is lineitem x orders on the order key; the per-(nation,
+    nation, year) aggregate is tiny. Volume through exact DECIMAL."""
+    s = t(spark, sf_dir, "supplier")
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    n1 = n.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = n.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    pair_ok = (
+        (F.col("supp_nation") == "FRANCE") & (F.col("cust_nation") == "GERMANY")
+    ) | ((F.col("supp_nation") == "GERMANY") & (F.col("cust_nation") == "FRANCE"))
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01"))
+        )
+        .join(F.broadcast(s.join(F.broadcast(n1), s.s_nationkey == n1.n1_key)),
+              F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c.join(F.broadcast(n2), c.c_nationkey == n2.n2_key)),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .filter(pair_ok)
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+        )
+        .agg(
+            dbl(
+                F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount")))
+            ).alias("volume")
+        )
+        .select(
+            "supp_nation", "cust_nation",
+            F.col("l_year").cast("int").alias("l_year"), "volume",
+        )
+    )
