@@ -334,3 +334,15 @@ def test_zorder_key_matches_python_morton_and_localizes_both_dims(spark):
     _, xy_span_y = avg_spans("x")
     assert zx < 1200 and zy < 1200, (zx, zy)
     assert xy_span_y > 1700  # x-sort gives y no locality
+
+
+def test_curation_pipeline_plan_shapes(spark, Q):
+    """The end-to-end pipeline must keep its scale contract: no
+    cartesian product anywhere, the decontamination gram join
+    broadcast, and exactly one corpus-text shuffle class (the
+    content-hash window) plus the aggregation exchanges."""
+    df = Q["curation_pipeline_docs"](spark, SF)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan
+    assert uses_broadcast_join(df)
+    assert "Window" in plan  # hash-window dup survivorship present
