@@ -112,6 +112,7 @@ HEADLINE = [
     "chunk_documents_rag",
     "stratified_sample_docs",
     "temperature_mix_sample_docs",
+    "weighted_sample_docs",
     "train_test_split_docs",
     "pack_token_shards_docs",
     "multimodal_features",

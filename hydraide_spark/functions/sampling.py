@@ -148,6 +148,39 @@ def temperature_mix_sample(
     return stratified_sample(df, strata_col, fracs, key_col, salt, method)
 
 
+def weighted_sample_topk(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    k: int,
+    salt: str = "",
+    method: str = "md5",
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement (Efraimidis–Spirakis
+    A-ES): each row draws a deterministic uniform u from its key hash
+    and gets priority ``ln(u) / w``; the k LARGEST priorities are a
+    weighted sample without replacement with inclusion probability
+    increasing in weight. Deterministic (same corpus + salt => same
+    sample), reproducible under repartitioning, and the selection is a
+    TakeOrdered top-k — never a global sort. Use it to bias a training
+    mix toward high-quality documents while keeping the draw auditable.
+
+    Priorities are doubles through ln(), so the top-k BOUNDARY row
+    could differ across engines on a near-tie (last-ulp ln drift) —
+    the golden is rows-only for that reason; determinism and the
+    weight-monotone inclusion property are pinned in tests.
+    """
+    u = (sample_bucket(F.col(key_col), salt, method).cast("double") + 0.5) / float(
+        _U32
+    )
+    priority = F.log(u) / F.col(weight_col).cast("double")
+    return (
+        df.withColumn("_priority", priority)
+        .orderBy(F.col("_priority").desc(), F.col(key_col).asc())
+        .limit(k)
+    )
+
+
 def pack_token_shards(
     df: DataFrame,
     id_col: str,

@@ -1407,3 +1407,27 @@ def simhash_neardup_stable(spark, sf_dir):
         big("id_b").alias("id_b"),
         F.col("hamming").cast("int").alias("hamming"),
     )
+
+
+@golden("weighted_sample_docs")  # top-k boundary sits on ln() doubles: rows-only
+def weighted_sample_docs(spark, sf_dir):
+    """Weighted sampling without replacement (Efraimidis–Spirakis
+    A-ES): 200 documents drawn with inclusion probability increasing in
+    document length (the quality-biased mix draw of a curation
+    pipeline), priorities ln(u)/w from deterministic md5 uniforms —
+    same corpus + salt always yields the same auditable sample, and the
+    selection is a TakeOrdered top-k. Rows-only: the boundary row rides
+    on ln() doubles whose last ulp is engine-specific; determinism,
+    partition invariance and weight monotonicity are pinned in
+    tests/test_sampling.py."""
+    from ..functions.sampling import weighted_sample_topk
+
+    docs = t(spark, sf_dir, "documents")
+    out = weighted_sample_topk(
+        docs.select("doc_id", F.col("n_chars").cast("double").alias("w")),
+        "doc_id",
+        "w",
+        k=200,
+        salt="corpus_v1",
+    )
+    return out.select(big("doc_id").alias("doc_id"))

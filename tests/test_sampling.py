@@ -149,3 +149,38 @@ def test_temperature_mix_rates_and_balance(spark):
     for s in counts:
         exp = fracs[s] * counts[s]
         assert abs(got.get(s, 0) - exp) < 0.15 * counts[s] + 10
+
+
+def test_weighted_sample_topk_deterministic_and_weight_monotone(spark):
+    """A-ES weighted sampling: identical draw across runs and
+    partitionings; heavier rows get included materially more often
+    (inclusion probability monotone in weight); the plan is a
+    distributed top-k, not a global sort."""
+    from hydraide_spark.functions.sampling import weighted_sample_topk
+    from hydraide_spark.plans import physical_plan
+
+    n = 2000
+    df = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        # weights 1.0 for even ids, 10.0 for every 10th: heavy minority
+        F.when(F.col("id") % 10 == 0, F.lit(10.0)).otherwise(F.lit(1.0)).alias("w"),
+    )
+    a = {r["doc_id"] for r in weighted_sample_topk(df, "doc_id", "w", k=200, salt="s1").collect()}
+    b = {
+        r["doc_id"]
+        for r in weighted_sample_topk(
+            df.repartition(13), "doc_id", "w", k=200, salt="s1"
+        ).collect()
+    }
+    assert a == b and len(a) == 200
+    heavy = sum(1 for d in a if d % 10 == 0)
+    light = len(a) - heavy
+    # 200 heavy rows at weight 10 vs 1800 light at weight 1: the heavy
+    # class must be strongly over-represented relative to its 10% share
+    assert heavy > 80, f"only {heavy} heavy rows sampled"
+    assert heavy > light * 0.5
+    # different salt -> different draw (not a fixed top slice)
+    c = {r["doc_id"] for r in weighted_sample_topk(df, "doc_id", "w", k=200, salt="s2").collect()}
+    assert a != c
+    plan = physical_plan(weighted_sample_topk(df, "doc_id", "w", k=200, salt="s1"))
+    assert "TakeOrderedAndProject" in plan
