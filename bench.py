@@ -73,6 +73,10 @@ HEADLINE = [
     "pq_encode_codes",
     "pq_ann_topk",
     "ivfadc_topk",
+    "ann_topk_lsh_stable",
+    "ann_topk_ivf_stable",
+    "pq_ann_topk_stable",
+    "ivfadc_topk_stable",
     "embedding_neardup",
     "semantic_dedup_docs",
     "label_centroid_sums",

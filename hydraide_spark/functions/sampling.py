@@ -155,6 +155,7 @@ def weighted_sample_topk(
     k: int,
     salt: str = "",
     method: str = "md5",
+    priority_decimals: int | None = None,
 ) -> DataFrame:
     """Weighted sampling WITHOUT replacement (Efraimidis–Spirakis
     A-ES): each row draws a deterministic uniform u from its key hash
@@ -165,17 +166,30 @@ def weighted_sample_topk(
     TakeOrdered top-k — never a global sort. Use it to bias a training
     mix toward high-quality documents while keeping the draw auditable.
 
-    Priorities are doubles through ln(), so the top-k BOUNDARY row
-    could differ across engines on a near-tie (last-ulp ln drift) —
-    the golden is rows-only for that reason; determinism and the
-    weight-monotone inclusion property are pinned in tests.
-    """
+    Rows with ``w <= 0`` (or NULL) are dropped: A-ES is only defined
+    for positive weights — ``w = 0`` gives a -inf priority (never
+    sampled, silently) and ``w < 0`` FLIPS the priority sign so corrupt
+    rows would deterministically outrank every valid row.
+
+    ``priority_decimals`` is the cross-engine mode: ln() is the one
+    transcendental here and its last ulp is engine-specific (JVM vs
+    libm), so raw priorities can differ by ~1 ulp between engines.
+    Rounding the priority to a fixed decimal before ranking makes the
+    selected SET engine-stable whenever no priority sits within ln-ulp
+    of a rounding boundary — the margin is ~1e6 x the worst drift at
+    6 decimals on the documents corpus (pinned in tests); rank ties
+    introduced by the rounding stay deterministic via the key-asc
+    tiebreak. ``None`` keeps full-resolution priorities (single-engine
+    use)."""
     u = (sample_bucket(F.col(key_col), salt, method).cast("double") + 0.5) / float(
         _U32
     )
     priority = F.log(u) / F.col(weight_col).cast("double")
+    if priority_decimals is not None:
+        priority = F.round(priority, priority_decimals)
     return (
-        df.withColumn("_priority", priority)
+        df.filter(F.col(weight_col) > 0)
+        .withColumn("_priority", priority)
         .orderBy(F.col("_priority").desc(), F.col(key_col).asc())
         .limit(k)
     )

@@ -90,8 +90,28 @@ _R1_ONLY_VERIFIED = frozenset(
 )
 
 
+# Green (rows+schema+hash) in the round-3 driver sample
+# (CORRECTNESS_r03.json) — current code, most recently re-verified, so
+# they yield the least new information and sort last.
+_R3_VERIFIED = frozenset(
+    {
+        "windowed_event_stats", "session_windows", "asof_join_events",
+        "interval_join_incidents", "filter_is_empty", "filter_has_key",
+        "filter_nested_path", "patch_struct_ops", "neardup_clusters_star",
+        "quality_classifier_docs", "curation_pipeline_docs",
+        "temperature_mix_sample_docs", "chunk_documents_rag",
+        "minhash_lsh_neardup_stable", "simhash_neardup_stable",
+        "pq_encode_codes", "semantic_dedup_docs", "multimodal_real_decode",
+        "tpch_q3_shipping_priority", "tpch_q5_local_supplier_volume",
+        "zorder_layout_keys", "tpch_q7_nation_volume",
+    }
+)
+
+
 def _ordered(d: dict) -> dict:
     def tier(n: str) -> int:
+        if n in _R3_VERIFIED:
+            return 3
         if n in _R2_VERIFIED:
             return 2
         if n in _R1_ONLY_VERIFIED:
@@ -127,6 +147,7 @@ def _load_all() -> None:
     from . import mutations2  # noqa: F401
     from . import dedup_text  # noqa: F401
     from . import vectors  # noqa: F401
+    from . import vectors_stable  # noqa: F401
     from . import multimodal  # noqa: F401
     from . import windows  # noqa: F401
     from . import relational  # noqa: F401

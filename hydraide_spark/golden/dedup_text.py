@@ -1409,17 +1409,37 @@ def simhash_neardup_stable(spark, sf_dir):
     )
 
 
-@golden("weighted_sample_docs")  # top-k boundary sits on ln() doubles: rows-only
+@golden(
+    "weighted_sample_docs",
+    oracle=f"""
+    WITH p AS (
+      SELECT doc_id,
+             round(ln(({_SAMPLE_BUCKET_SQL}::DOUBLE + 0.5) / 4294967296::DOUBLE)
+                   / CAST(n_chars AS DOUBLE), 6) AS pr
+      FROM documents
+      WHERE n_chars > 0
+    ),
+    r AS (
+      SELECT doc_id,
+             ROW_NUMBER() OVER (ORDER BY pr DESC, doc_id ASC) AS rn
+      FROM p
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id FROM r WHERE rn <= 200
+    """,
+)
 def weighted_sample_docs(spark, sf_dir):
     """Weighted sampling without replacement (Efraimidis–Spirakis
     A-ES): 200 documents drawn with inclusion probability increasing in
     document length (the quality-biased mix draw of a curation
     pipeline), priorities ln(u)/w from deterministic md5 uniforms —
     same corpus + salt always yields the same auditable sample, and the
-    selection is a TakeOrdered top-k. Rows-only: the boundary row rides
-    on ln() doubles whose last ulp is engine-specific; determinism,
-    partition invariance and weight monotonicity are pinned in
-    tests/test_sampling.py."""
+    selection is a TakeOrdered top-k. Oracle-gated via the rounded-
+    priority mode (the quality_classifier logit precedent): priorities
+    round to 6 decimals before ranking, and the measured distance of
+    every priority from its nearest rounding boundary is >= 1.5e-10
+    across sfs — ~1e6 x the worst cross-engine ln() ulp drift — so
+    both engines rank the identical values (ties broken doc_id-asc on
+    both sides). Margin pinned in tests/test_sampling.py."""
     from ..functions.sampling import weighted_sample_topk
 
     docs = t(spark, sf_dir, "documents")
@@ -1429,5 +1449,6 @@ def weighted_sample_docs(spark, sf_dir):
         "w",
         k=200,
         salt="corpus_v1",
+        priority_decimals=6,
     )
     return out.select(big("doc_id").alias("doc_id"))

@@ -1,0 +1,394 @@
+"""Engine-stable golden queries for the approximate ANN top-k family
+(LSH / IVF / PQ-ADC / IVFADC), closing the round-3 evidence gap: every
+pipeline here is replayed value-for-value by a DuckDB oracle — the
+candidate set, the ADC distances, the shortlist, and the final ranked
+ids all match bit-for-bit, not just statistically.
+
+What makes exactness possible (all verified empirically, see
+tests/test_vectors_stable.py):
+
+- DuckDB's ``list_sum`` over a DOUBLE list is a plain LEFT FOLD —
+  bit-identical to Spark's ``F.aggregate(xs, 0.0, acc + x)`` at any
+  tested length (8 and 64). So every dot product, squared-L2 distance
+  and ADC lookup-table sum can be written with the same operand order
+  on both sides and compared unrounded.
+- Bare decimal literals in DuckDB parse as DECIMAL and lose bits when
+  cast to DOUBLE; string-cast literals (``'0.123…'::DOUBLE``) parse
+  with correctly-rounded strtod and round-trip Python ``repr`` exactly.
+  ``_dlist`` embeds the LSH hyperplanes that way.
+- The IVF/PQ model constants are the per-label exact-mean centroids
+  (DECIMAL sums / n — engine-identical), the same construction that
+  made ``pq_encode_codes`` and ``kmeans_assign_exact`` bit-exact in
+  round 3. Production paths keep their trained codebooks
+  (``train_ivf_centroids`` / ``train_pq_codebooks``); these goldens pin
+  the ENGINE, not the model.
+
+Reference semantics: cosine filter contract
+``/root/reference/proto/hydraide.proto:2660-2709``,
+``app/server/gateway/filter.go:594-608`` (score = dot/(|a||b|),
+dim-mismatch excluded). The approximate structures are public designs:
+random-hyperplane LSH (Charikar STOC'02), IVF/ADC/IVFADC (Jégou et al.
+TPAMI'11).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..functions.vector import (
+    centroid_means,
+    group_centroid_sums,
+    ivf_topk,
+    ivfadc_topk,
+    label_pq_codebooks,
+    lsh_topk,
+    make_planes,
+    pq_adc_topk,
+)
+from . import golden
+from ._util import big, t
+
+# ---------------------------------------------------------------- SQL
+
+
+def _dlist(vs) -> str:
+    """DOUBLE[] literal that round-trips Python floats exactly (bare
+    decimal literals would parse as DECIMAL and drop bits)."""
+    return "[" + ", ".join(f"'{float(v)!r}'::DOUBLE" for v in vs) + "]"
+
+
+def _dot(a: str, b: str, n: int = 64) -> str:
+    """Left-fold dot product — same operand order as
+    query.filters.dot_product (zip_with products, then aggregate)."""
+    return (
+        f"list_sum(list_transform(range(1, {n + 1}), "
+        f"i -> ({a})[i] * ({b})[i]))"
+    )
+
+
+def _cos(a: str, b: str) -> str:
+    """Same expression tree as query.filters.cosine_similarity:
+    dot(a,b) / (sqrt(dot(a,a)) * sqrt(dot(b,b))) — every step IEEE
+    correctly-rounded, so bit-equal given bit-equal inputs."""
+    return f"(({_dot(a, b)}) / (sqrt({_dot(a, a)}) * sqrt({_dot(b, b)})))"
+
+
+def _sqdist(a: str, b: str, off: str = "0", n: int = 64) -> str:
+    """Left-fold squared L2 over ``n`` components starting after
+    ``off`` — mirrors functions.vector._sq_l2_fold (zip_with diffs
+    squared, aggregate)."""
+    return (
+        f"list_sum(list_transform(range(1, {n + 1}), "
+        f"i -> (({a})[{off} + i] - ({b})[{off} + i])"
+        f" * (({a})[{off} + i] - ({b})[{off} + i])))"
+    )
+
+
+_E = "SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings"
+
+# Per-label exact-mean centroids: DECIMAL component sums -> DOUBLE / n,
+# identical in both engines (the kmeans_assign_exact construction).
+_CVEC = """
+    cent AS (
+      SELECT label, i AS dim,
+             CAST(sum(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(28,9)))
+                  AS DOUBLE) / count(*) AS m
+      FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i)
+      GROUP BY label, i
+    ),
+    cvec AS (SELECT label, list(m ORDER BY dim) AS cv FROM cent GROUP BY label)
+"""
+
+# Corpus IVF cell assignment + query probes. Spark's ivf_cell_expr
+# sorts struct(s, j) ascending and reverses => score DESC, j DESC with
+# the LARGEST j winning ties; the probe list is the first nprobe of the
+# same ordering.
+_CELLS = f"""
+    cs AS (
+      SELECT e.vec_id, e.v, c.label AS j, {_dot('e.v', 'c.cv')} AS s
+      FROM e CROSS JOIN cvec c
+    ),
+    cellr AS (
+      SELECT vec_id, v, j,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+                                ORDER BY s DESC, j DESC) AS rn
+      FROM cs
+    ),
+    cells AS (SELECT vec_id, v, j AS cell FROM cellr WHERE rn = 1)
+"""
+
+# PQ codes from the label codebooks (the pq_encode_codes construction):
+# per (vector, subspace) argmin squared-L2, ties -> smallest code.
+_CODES = f"""
+    sd AS (
+      SELECT e.vec_id, s.j AS sub, c.label,
+             {_sqdist('e.v', 'c.cv', off='s.j * 8', n=8)} AS d
+      FROM e
+      CROSS JOIN unnest(range(0, 8)) AS s(j)
+      CROSS JOIN cvec c
+    ),
+    coder AS (
+      SELECT vec_id, sub, label,
+             ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+                                ORDER BY d ASC, label ASC) AS rn
+      FROM sd
+    ),
+    codesl AS (
+      SELECT vec_id, list(label ORDER BY sub) AS codes
+      FROM coder WHERE rn = 1 GROUP BY vec_id
+    )
+"""
+
+# Per-query ADC lookup table: lut[j][label+1] = squared-L2 between the
+# query's j-th subvector and label's j-th centroid subvector, nested
+# lists ordered by (j, label) so the fold below indexes positionally.
+_LUT = f"""
+    lutd AS (
+      SELECT q.query_id, s.j, c.label,
+             {_sqdist('q.qv', 'c.cv', off='s.j * 8', n=8)} AS d
+      FROM q
+      CROSS JOIN unnest(range(0, 8)) AS s(j)
+      CROSS JOIN cvec c
+    ),
+    lutj AS (
+      SELECT query_id, j, list(d ORDER BY label) AS ds
+      FROM lutd GROUP BY query_id, j
+    ),
+    lutq AS (
+      SELECT query_id, list(ds ORDER BY j) AS lut
+      FROM lutj GROUP BY query_id
+    )
+"""
+
+# ADC distance: left fold over subspaces j=1..8 of lut[j][code_j + 1]
+# — same order as pq_adc_topk's F.aggregate over sequence(1, m); code
+# ids are the sorted contiguous labels so position = code + 1 exactly
+# like Spark's array_position over the code-id list.
+_ADIST = "list_sum(list_transform(range(1, 9), j -> l.lut[j][c.codes[j] + 1]))"
+
+_Q5 = "SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5"
+
+_RERANK = f"""
+    shortr AS (
+      SELECT query_id, vec_id,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY adist ASC, vec_id ASC) AS rn
+      FROM ad
+    ),
+    ex AS (
+      SELECT s.query_id, s.vec_id, {_sqdist('e.v', 'q.qv')} AS adist
+      FROM shortr s
+      JOIN e ON e.vec_id = s.vec_id
+      JOIN q ON q.query_id = s.query_id
+      WHERE s.rn <= 100
+    ),
+    rr AS (
+      SELECT query_id, vec_id, adist,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY adist ASC, vec_id ASC) AS rn
+      FROM ex
+    )
+    SELECT CAST(query_id AS BIGINT) AS query_id,
+           CAST(vec_id AS BIGINT) AS vec_id,
+           round(adist, 4) AS adist
+    FROM rr WHERE rn <= 10
+"""
+
+# ------------------------------------------------------------ helpers
+
+_LSH_BITS = 6
+_PLANES = make_planes(dim=64, n_bits=_LSH_BITS, seed=42)
+
+
+def _label_centroid_list(spark, sf_dir) -> list[list[float]]:
+    """Per-label mean centroids ordered so index j == label j (labels
+    are contiguous from 0 in the embeddings table; asserted)."""
+    emb = t(spark, sf_dir, "embeddings")
+    cents = centroid_means(group_centroid_sums(emb, "label", "embedding").collect())
+    assert [lab for lab, _ in cents] == list(range(len(cents)))
+    return [vec for _, vec in cents]
+
+
+def _queries_df(emb):
+    return emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+
+
+# ------------------------------------------------------------ goldens
+
+
+_LSH_BUCKET = "concat(" + ", ".join(
+    f"CASE WHEN {_dot('e.v', f'pl.p{i}')} >= 0 THEN '1' ELSE '0' END"
+    for i in range(_LSH_BITS)
+) + ")"
+
+_LSH_PLANES_CTE = "SELECT " + ", ".join(
+    f"{_dlist(p)} AS p{i}" for i, p in enumerate(_PLANES)
+)
+
+
+@golden(
+    "ann_topk_lsh_stable",
+    oracle=f"""
+    WITH e AS ({_E}),
+    pl AS ({_LSH_PLANES_CTE}),
+    b AS (
+      SELECT e.vec_id, e.v, {_LSH_BUCKET} AS bucket
+      FROM e CROSS JOIN pl
+    ),
+    q AS (SELECT vec_id AS query_id, v AS qv, bucket AS qb
+          FROM b WHERE vec_id < 5),
+    cand AS (
+      SELECT q.query_id, b.vec_id, {_cos('b.v', 'q.qv')} AS score
+      FROM b JOIN q ON b.bucket = q.qb
+    ),
+    ranked AS (
+      SELECT query_id, vec_id, score,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, vec_id ASC) AS rn
+      FROM cand
+    )
+    SELECT CAST(query_id AS BIGINT) AS query_id,
+           CAST(vec_id AS BIGINT) AS vec_id,
+           round(score, 4) AS score
+    FROM ranked WHERE rn <= 10
+    """,
+)
+def ann_topk_lsh_stable(spark, sf_dir):
+    """Random-hyperplane LSH ANN, ENGINE-STABLE: the fixed-seed
+    hyperplanes are embedded in the oracle as exact string-cast DOUBLE
+    literals, every sign-bit dot product is the same left fold in both
+    engines, so the bucket of every row — and therefore the candidate
+    set, the re-rank scores, and the final top-10 — is bit-identical,
+    zero margin required. Same plan as the rows-only `ann_topk_lsh`
+    (bucket equi-join, broadcast queries, per-query window): the bucket
+    is a write-time partition key at 100 TB."""
+    emb = t(spark, sf_dir, "embeddings")
+    out = lsh_topk(emb, _queries_df(emb), k=10, dim=64, n_bits=_LSH_BITS, seed=42)
+    return out.select(
+        big("query_id").alias("query_id"),
+        big("vec_id").alias("vec_id"),
+        F.round("score", 4).alias("score"),
+    )
+
+
+@golden(
+    "ann_topk_ivf_stable",
+    oracle=f"""
+    WITH e AS ({_E}),
+    {_CVEC.strip()},
+    {_CELLS.strip()},
+    probed AS (SELECT vec_id AS query_id, v AS qv, j AS cell
+               FROM cellr WHERE vec_id < 5 AND rn <= 2),
+    cand AS (
+      SELECT p.query_id, c.vec_id, {_cos('c.v', 'p.qv')} AS score
+      FROM cells c JOIN probed p ON c.cell = p.cell
+    ),
+    ranked AS (
+      SELECT query_id, vec_id, score,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, vec_id ASC) AS rn
+      FROM cand
+    )
+    SELECT CAST(query_id AS BIGINT) AS query_id,
+           CAST(vec_id AS BIGINT) AS vec_id,
+           round(score, 4) AS score
+    FROM ranked WHERE rn <= 10
+    """,
+)
+def ann_topk_ivf_stable(spark, sf_dir):
+    """IVF ANN, ENGINE-STABLE: cells are the per-label exact-mean
+    centroids (DECIMAL sums / n — engine-identical), assignment is
+    argmax dot with Spark's largest-j tiebreak replayed as ORDER BY
+    s DESC, j DESC, queries probe their 2 best cells, exact cosine
+    re-rank within candidates. Bit-identical cells -> bit-identical
+    candidates -> bit-identical top-10. Same partition-pruned scan
+    shape as the rows-only `ann_topk_ivf`."""
+    emb = t(spark, sf_dir, "embeddings")
+    cents = _label_centroid_list(spark, sf_dir)
+    out = ivf_topk(emb, _queries_df(emb), k=10, centroids=cents, nprobe=2)
+    return out.select(
+        big("query_id").alias("query_id"),
+        big("vec_id").alias("vec_id"),
+        F.round("score", 4).alias("score"),
+    )
+
+
+@golden(
+    "pq_ann_topk_stable",
+    oracle=f"""
+    WITH e AS ({_E}),
+    {_CVEC.strip()},
+    {_CODES.strip()},
+    q AS ({_Q5}),
+    {_LUT.strip()},
+    ad AS (
+      SELECT l.query_id, c.vec_id, {_ADIST} AS adist
+      FROM lutq l CROSS JOIN codesl c
+    ),
+    {_RERANK.strip()}
+    """,
+)
+def pq_ann_topk_stable(spark, sf_dir):
+    """PQ ADC+R ANN, ENGINE-STABLE: codebooks are the per-label mean
+    subvectors (the bit-exact `pq_encode_codes` construction), so the
+    oracle replays the ENTIRE pipeline — 8 codes per vector, the
+    per-query ADC lookup table, the left-fold approximate distances,
+    the 100-row shortlist, and the exact squared-L2 re-rank — value
+    for value. The corpus is still scanned as 8-byte codes with raw
+    vectors fetched only for the shortlist equi-join (the 100 TB
+    contract of `pq_adc_topk`); only the codebook SOURCE differs from
+    the trained rows-only variant."""
+    emb = t(spark, sf_dir, "embeddings")
+    books = label_pq_codebooks(emb, m=8)
+    out = pq_adc_topk(emb, _queries_df(emb), books, dim=64, k=10, rerank_factor=10)
+    return out.select(
+        big("query_id").alias("query_id"),
+        big("vec_id").alias("vec_id"),
+        F.round("adist", 4).alias("adist"),
+    )
+
+
+@golden(
+    "ivfadc_topk_stable",
+    oracle=f"""
+    WITH e AS ({_E}),
+    {_CVEC.strip()},
+    {_CELLS.strip()},
+    probed AS (SELECT vec_id AS query_id, j AS cell
+               FROM cellr WHERE vec_id < 5 AND rn <= 4),
+    {_CODES.strip()},
+    q AS ({_Q5}),
+    {_LUT.strip()},
+    enc AS (SELECT cells.vec_id, cells.cell, codesl.codes
+            FROM cells JOIN codesl USING (vec_id)),
+    ad AS (
+      SELECT p.query_id, c.vec_id, {_ADIST} AS adist
+      FROM probed p
+      JOIN enc c ON c.cell = p.cell
+      JOIN lutq l ON l.query_id = p.query_id
+    ),
+    {_RERANK.strip()}
+    """,
+)
+def ivfadc_topk_stable(spark, sf_dir):
+    """IVFADC, ENGINE-STABLE: the full at-scale architecture — IVF
+    cell routing (nprobe=4), ADC scoring over 8-byte codes, shortlist,
+    exact re-rank — with both model components pinned to the exact
+    per-label means so DuckDB replays every stage bit-for-bit. The
+    oracle proves the ENGINE: cell partition pruning, the LUT join,
+    the fold order of the approximate distances, and the shortlist
+    boundary all match exactly; recall properties of TRAINED models
+    stay asserted in tests for the rows-only `ivfadc_topk`."""
+    emb = t(spark, sf_dir, "embeddings")
+    cents = _label_centroid_list(spark, sf_dir)
+    books = label_pq_codebooks(emb, m=8)
+    out = ivfadc_topk(
+        emb, _queries_df(emb), cents, books, dim=64, k=10, nprobe=4, rerank_factor=10
+    )
+    return out.select(
+        big("query_id").alias("query_id"),
+        big("vec_id").alias("vec_id"),
+        F.round("adist", 4).alias("adist"),
+    )

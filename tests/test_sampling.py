@@ -184,3 +184,71 @@ def test_weighted_sample_topk_deterministic_and_weight_monotone(spark):
     assert a != c
     plan = physical_plan(weighted_sample_topk(df, "doc_id", "w", k=200, salt="s1"))
     assert "TakeOrderedAndProject" in plan
+
+
+def test_weighted_sample_guards_nonpositive_weights(spark):
+    """A-ES is only defined for positive weights: w=0 gives a -inf
+    priority (silently never sampled) and w<0 flips ln(u)/w positive so
+    corrupt rows would deterministically dominate the draw. Both are
+    dropped before ranking."""
+    from hydraide_spark.functions.sampling import weighted_sample_topk
+
+    df = spark.range(100).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < 5, F.lit(-3.0))
+        .when(F.col("id") < 10, F.lit(0.0))
+        .otherwise(F.lit(1.0))
+        .alias("w"),
+    )
+    got = {r["doc_id"] for r in weighted_sample_topk(df, "doc_id", "w", k=95).collect()}
+    # exactly the 90 valid rows survive; no corrupt row outranks them
+    assert got == set(range(10, 100))
+
+
+def test_weighted_sample_rounded_priority_margin(spark):
+    """The weighted_sample_docs oracle compares the selected id-set
+    after rounding priorities to 6 decimals; that is only sound if no
+    priority sits near a rounding boundary (cross-engine ln() drift is
+    ~1e-16 relative). Pin the measured margin at >= 1e-11 absolute for
+    every document at every sf — ~1e5 x the worst drift."""
+    import math
+
+    import duckdb
+
+    con = duckdb.connect()
+    for sf in ("0.001", "0.01", "0.1"):
+        rows = con.execute(
+            f"""
+            SELECT ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|corpus_v1'), 1, 8))::UBIGINT::DOUBLE + 0.5)
+                      / 4294967296::DOUBLE) / CAST(n_chars AS DOUBLE)
+            FROM '/root/testdata/sf{sf}/documents.parquet'
+            WHERE n_chars > 0
+            """
+        ).fetchall()
+        margin = min(abs(p * 1e6 - math.floor(p * 1e6) - 0.5) for (p,) in rows) * 1e-6
+        assert margin >= 1e-11, (sf, margin)
+
+
+def test_weighted_sample_rounded_mode_same_set_as_raw(spark):
+    """Rounding to 6 decimals is an engine-stability device, not a
+    semantic change: on the documents corpus it selects the same 200
+    ids as full-resolution priorities (boundary gaps far exceed the
+    rounding step's reordering reach only when no two rows straddle a
+    cell — verified by construction here)."""
+    from hydraide_spark.functions.sampling import weighted_sample_topk
+    from hydraide_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.01", "documents").select(
+        "doc_id", F.col("n_chars").cast("double").alias("w")
+    )
+    raw = {
+        r["doc_id"]
+        for r in weighted_sample_topk(docs, "doc_id", "w", k=200, salt="corpus_v1").collect()
+    }
+    rounded = {
+        r["doc_id"]
+        for r in weighted_sample_topk(
+            docs, "doc_id", "w", k=200, salt="corpus_v1", priority_decimals=6
+        ).collect()
+    }
+    assert raw == rounded

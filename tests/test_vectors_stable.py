@@ -1,0 +1,86 @@
+"""Pins the cross-engine exactness foundations of the engine-stable
+ANN goldens (golden/vectors_stable.py): DuckDB's list_sum fold order
+and double-literal parsing. If either assumption breaks in a future
+DuckDB, these fail before the oracle gate does — with a message that
+says why."""
+
+from __future__ import annotations
+
+import random
+import struct
+
+import duckdb
+import pytest
+
+from hydraide_spark import golden
+
+
+def _bits(x: float) -> bytes:
+    return struct.pack("d", x)
+
+
+def test_duckdb_list_sum_is_left_fold():
+    """The stable ANN oracles compare UNROUNDED dot products and
+    squared distances; that is only sound because DuckDB's list_sum is
+    the same left fold as Spark's F.aggregate(xs, 0.0, acc + x)."""
+    con = duckdb.connect()
+    rng = random.Random(7)
+    for n in (8, 64):
+        for _ in range(50):
+            xs = [rng.uniform(-1, 1) for _ in range(n)]
+            lit = "[" + ",".join(f"'{x!r}'::DOUBLE" for x in xs) + "]"
+            got = con.execute(f"SELECT list_sum({lit})").fetchone()[0]
+            acc = 0.0
+            for x in xs:
+                acc += x
+            assert _bits(got) == _bits(acc), (n, xs)
+
+
+def test_duckdb_string_cast_literal_roundtrips_exactly():
+    """Bare decimal literals parse as DECIMAL in DuckDB and lose bits
+    on the cast to DOUBLE; _dlist embeds the LSH hyperplanes as
+    string-cast literals because those strtod exactly."""
+    con = duckdb.connect()
+    rng = random.Random(11)
+    for _ in range(100):
+        v = rng.uniform(-3, 3)
+        got = con.execute(f"SELECT '{v!r}'::DOUBLE").fetchone()[0]
+        assert _bits(got) == _bits(v)
+    # and document the trap this guards against: at least one bare
+    # literal in 100 drops bits through the DECIMAL parse
+    lossy = 0
+    for _ in range(100):
+        v = rng.uniform(-1, 1)
+        got = con.execute(f"SELECT {v!r}::DOUBLE").fetchone()[0]
+        lossy += _bits(got) != _bits(v)
+    assert lossy > 0
+
+
+def test_stable_ann_family_is_oracle_gated():
+    """The round-3 gap: LSH/IVF/PQ-ADC/IVFADC had no oracle-gated
+    variant. Each now registers a golden WITH an oracle."""
+    oracles = golden.oracle_sql()
+    for name in (
+        "ann_topk_lsh_stable",
+        "ann_topk_ivf_stable",
+        "pq_ann_topk_stable",
+        "ivfadc_topk_stable",
+    ):
+        assert name in oracles and "ROW_NUMBER" in oracles[name]
+
+
+def test_label_centroids_are_contiguous():
+    """ivf_topk indexes centroids by position; the stable goldens rely
+    on embeddings labels being contiguous from 0 so position == label
+    == PQ code id (asserted again at run time in _label_centroid_list)."""
+    import os
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    con = duckdb.connect()
+    labs = [
+        r[0]
+        for r in con.execute(
+            f"SELECT DISTINCT label FROM '{sf_dir}/embeddings.parquet' ORDER BY label"
+        ).fetchall()
+    ]
+    assert labs == list(range(len(labs)))
