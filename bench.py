@@ -34,6 +34,7 @@ HEADLINE = [
     "stream_from_many_single_scan",
     "count_per_swamp",
     "count_matching",
+    "swamp_pattern_routing",
     "tpch_q1_pricing_summary",
     "join_star_revenue",
     "multiway_join_volume",

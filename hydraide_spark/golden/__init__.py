@@ -148,6 +148,7 @@ def _load_all() -> None:
     from . import dedup_text  # noqa: F401
     from . import vectors  # noqa: F401
     from . import vectors_stable  # noqa: F401
+    from . import registry_q  # noqa: F401
     from . import multimodal  # noqa: F401
     from . import windows  # noqa: F401
     from . import relational  # noqa: F401

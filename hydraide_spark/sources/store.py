@@ -60,17 +60,32 @@ class TreasureStore:
         root: str,
         key_col: str = "key",
         partition_by: Sequence[str] = (),
+        name: Optional[str] = None,
+        registry=None,
     ):
         """``partition_by``: namespace columns (e.g. sanctuary/realm/
         swamp) that shard every snapshot on disk — per-swamp reads
         partition-prune to one directory, and on a cluster (Delta
         dynamic partition overwrite) a version bump rewrites only the
         partitions a batch touches. Locally each version is still a
-        full write; the LAYOUT is what carries to 100 TB."""
+        full write; the LAYOUT is what carries to 100 TB.
+
+        ``name`` + ``registry`` (sources.registry.SwampRegistry) route
+        the store through the swamp-pattern registry — the reference's
+        ``RegisterSwamp`` surface: the resolved ``SwampSettings``
+        provide the partition layout (unless ``partition_by`` is given
+        explicitly), the in-memory/cache lifecycle honored by
+        ``current``/``close_if_idle``, and the write interval consumed
+        by ``streaming.subscribe.trigger_for``."""
         self.spark = spark
         self.root = root
         self.key_col = key_col
+        self.settings = registry.resolve(name) if registry and name else None
+        if self.settings is not None and not partition_by:
+            partition_by = self.settings.partition_by
         self.partition_by = list(partition_by)
+        self._cached: Optional[tuple[int, DataFrame]] = None
+        self._last_access: float = 0.0
         os.makedirs(self.changes_dir, exist_ok=True)
 
     # -- layout ------------------------------------------------------------
@@ -106,7 +121,37 @@ class TreasureStore:
         v = self.version
         if v < 0:
             raise FileNotFoundError(f"store {self.root} has no snapshot")
+        if self.settings is not None and self.settings.in_memory:
+            # IsInMemorySwamp: pin the live snapshot in executor memory;
+            # a version bump invalidates the pin (new snapshot, new
+            # cache), close_if_idle releases it (CloseAfterIdle).
+            import time
+
+            if self._cached is None or self._cached[0] != v:
+                if self._cached is not None:
+                    self._cached[1].unpersist()
+                self._cached = (v, self.spark.read.parquet(self._snapshot_path(v)).cache())
+            self._last_access = time.monotonic()
+            return self._cached[1]
         return self.spark.read.parquet(self._snapshot_path(v))
+
+    def close_if_idle(self, now: Optional[float] = None) -> bool:
+        """Reference CloseAfterIdle (proto:810-815): release the pinned
+        in-memory snapshot once idle for ``close_after_idle_sec``.
+        Call from a maintenance tick; ``now`` (time.monotonic clock)
+        is injectable for tests. Returns True if the pin was released.
+        Data is never lost — snapshots are already durable parquet, so
+        'close + flush' reduces to dropping the cache."""
+        import time
+
+        if self._cached is None or self.settings is None:
+            return False
+        now = time.monotonic() if now is None else now
+        if now - self._last_access < self.settings.close_after_idle_sec:
+            return False
+        self._cached[1].unpersist()
+        self._cached = None
+        return True
 
     def init(self, df: DataFrame) -> None:
         """Create v=0 without emitting events (bulk load / migration)."""

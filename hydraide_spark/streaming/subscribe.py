@@ -35,6 +35,16 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from ..sources.store import CHANGE_SCHEMA, TreasureStore
 
 
+def trigger_for(store: TreasureStore) -> dict:
+    """writeStream trigger kwargs from the store's registered swamp
+    settings: ``WriteInterval`` (proto:817-821) maps to the
+    processing-time trigger — how often buffered changes move to the
+    durable sink. Unregistered stores get the reference default (1 s,
+    settings.go:270)."""
+    sec = store.settings.write_interval_sec if store.settings is not None else 1
+    return {"processingTime": f"{int(sec)} seconds"}
+
+
 def subscribe(spark: SparkSession, store: TreasureStore) -> DataFrame:
     """Streaming DataFrame of change events (op, key, new, old,
     event_time, batch_id), FIFO in commit order."""
