@@ -4,12 +4,13 @@ pipelines (decode / feature-extract / resize / frame-sample).
 
 The Spark-side plumbing — schema, partition-preserving batch iterator,
 deterministic output schema — is real and tested. Decoding is real for
-container formats whose headers are self-describing: BMP, PNG (image
-dimensions) and RIFF/WAVE (sample rate, channels, duration) parse from
-raw bytes with no codec library. Compressed codecs (JPEG entropy
-decode, MP4/H.264) need libraries not in this container and raise
-``NotImplementedError``; swapping in PIL/av changes ONE function body
-and nothing in the plan.
+container formats whose headers are self-describing: BMP, PNG, JPEG
+(image dimensions — JPEG via a marker-segment walk to the SOF frame
+header) and RIFF/WAVE (sample rate, channels, duration) parse from raw
+bytes with no codec library. Pixel/sample DECODE of compressed streams
+(JPEG entropy scan, MP4/H.264) needs libraries not in this container
+and raises ``NotImplementedError``; swapping in PIL/av changes ONE
+function body and nothing in the plan.
 
 At 100 TB: payloads stay columnar in parquet (binary column, never
 exploded through the driver); mapInPandas processes Arrow record
@@ -59,15 +60,20 @@ def real_decode(payload: bytes, kind: str) -> dict:
       pixel height).
     - **PNG**: 8-byte signature then the IHDR chunk; width/height are
       uint32-BE at offsets 16/20.
+    - **JPEG**: SOI then a marker-segment walk to the first SOFn frame
+      header (C0-CF except C4/C8/CC — baseline AND progressive), whose
+      payload carries height/width as uint16-BE. This is a real parse
+      of the dominant image container; only the entropy-coded scan
+      needs a codec library.
     - **WAV**: ``RIFF .... WAVE`` then a chunk walk ([id, size, data]
       with word alignment); the ``fmt `` chunk carries channels /
       sample_rate / bits-per-sample, the ``data`` chunk size gives
       ``duration_ms = data_bytes * 1000 // byte_rate``.
 
     Returns a dict matching MEDIA_META (format, width, height,
-    sample_rate, duration_ms). Compressed codecs (JPEG scan decode,
-    MP4) raise ``NotImplementedError`` — they need PIL/av, which a
-    deployment plugs in here without touching any plan."""
+    sample_rate, duration_ms). Pixel/sample DECODE (JPEG entropy scan,
+    MP4/H.264) raises ``NotImplementedError`` — it needs PIL/av, which
+    a deployment plugs in here without touching any plan."""
     if len(payload) >= 26 and payload[:2] == b"BM":
         width = int.from_bytes(payload[18:22], "little", signed=True)
         height = int.from_bytes(payload[22:26], "little", signed=True)
@@ -86,6 +92,37 @@ def real_decode(payload: bytes, kind: str) -> dict:
             "sample_rate": None,
             "duration_ms": None,
         }
+    if len(payload) >= 4 and payload[:2] == b"\xff\xd8":
+        # JPEG: walk the marker segments from SOI to the first SOF
+        # frame header (SOF0 baseline / SOF2 progressive / any SOFn
+        # except DHT C4, JPG C8, DAC CC). Each non-standalone segment
+        # is FF <marker> <len:u16be including the len bytes>; the SOF
+        # payload is precision(1) height(2) width(2) n_components(1).
+        off = 2
+        while off + 4 <= len(payload):
+            if payload[off] != 0xFF:
+                break
+            marker = payload[off + 1]
+            if marker in (0xD9, 0xDA):  # EOI / SOS: entropy data follows
+                break
+            if marker == 0x01 or 0xD0 <= marker <= 0xD7:  # standalone
+                off += 2
+                continue
+            seglen = int.from_bytes(payload[off + 2 : off + 4], "big")
+            if seglen < 2:
+                break
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                if off + 9 > len(payload):
+                    break
+                return {
+                    "format": "jpeg",
+                    "width": int.from_bytes(payload[off + 7 : off + 9], "big"),
+                    "height": int.from_bytes(payload[off + 5 : off + 7], "big"),
+                    "sample_rate": None,
+                    "duration_ms": None,
+                }
+            off += 2 + seglen
+        raise NotImplementedError("JPEG stream has no SOF frame header")
     if len(payload) >= 12 and payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         channels = sample_rate = bits = None
         n_data = 0

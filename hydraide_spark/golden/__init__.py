@@ -101,7 +101,9 @@ _R3_VERIFIED = frozenset(
         "quality_classifier_docs", "curation_pipeline_docs",
         "temperature_mix_sample_docs", "chunk_documents_rag",
         "minhash_lsh_neardup_stable", "simhash_neardup_stable",
-        "pq_encode_codes", "semantic_dedup_docs", "multimodal_real_decode",
+        # multimodal_real_decode deliberately NOT listed: its payload
+        # mix changed in round 4 (JPEG added) and needs a fresh row
+        "pq_encode_codes", "semantic_dedup_docs",
         "tpch_q3_shipping_priority", "tpch_q5_local_supplier_volume",
         "zorder_layout_keys", "tpch_q7_nation_volume",
     }

@@ -54,15 +54,35 @@ def multimodal_features(spark, sf_dir):
 
 
 def _synth_media_payloads(docs: DataFrame) -> DataFrame:
-    """Deterministic REAL container bytes per document: even doc_id ->
-    a BMP header (width = n_chars % 97 + 1, height = doc_id % 41 + 1),
-    odd -> a RIFF/WAVE header (mono 16-bit, sample_rate = 8000 +
-    (doc_id % 8) * 1000, data chunk declaring n_chars * 10 frames).
+    """Deterministic REAL container bytes per document, cycling the
+    three parseable image/audio containers by doc_id % 3:
+
+    - 0 -> JPEG (JFIF APP0 + SOF0 frame header; width = n_chars % 509
+      + 1, height = doc_id % 367 + 1 — ranges past 255 exercise the
+      uint16-BE fields)
+    - 1 -> BMP (width = n_chars % 97 + 1, height = doc_id % 41 + 1)
+    - 2 -> RIFF/WAVE (mono 16-bit, sample_rate = 8000 + (doc_id % 8) *
+      1000, data chunk declaring n_chars * 10 frames)
+
     Pixel/sample bodies are elided — the header is self-describing and
     that is what the decoder parses — so payloads stay ~60 bytes."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import struct
+
+        def jpeg(width: int, height: int) -> bytes:
+            app0 = (
+                b"\xff\xe0"
+                + struct.pack(">H", 16)
+                + b"JFIF\x00\x01\x01\x00"
+                + struct.pack(">HHBB", 1, 1, 0, 0)
+            )
+            sof0 = (
+                b"\xff\xc0"
+                + struct.pack(">HBHHB", 17, 8, height, width, 3)
+                + bytes([1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1])
+            )
+            return b"\xff\xd8" + app0 + sof0 + b"\xff\xd9"
 
         def bmp(width: int, height: int) -> bytes:
             row_bytes = (width * 3 + 3) & ~3
@@ -89,7 +109,10 @@ def _synth_media_payloads(docs: DataFrame) -> DataFrame:
         for pdf in batches:
             payloads, kinds = [], []
             for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
-                if doc_id % 2 == 0:
+                if doc_id % 3 == 0:
+                    payloads.append(jpeg(int(n_chars) % 509 + 1, int(doc_id) % 367 + 1))
+                    kinds.append("image")
+                elif doc_id % 3 == 1:
                     payloads.append(bmp(int(n_chars) % 97 + 1, int(doc_id) % 41 + 1))
                     kinds.append("image")
                 else:
@@ -108,11 +131,13 @@ def _synth_media_payloads(docs: DataFrame) -> DataFrame:
     "multimodal_real_decode",
     oracle="""
     SELECT CAST(doc_id AS BIGINT) AS media_id,
-           CASE WHEN doc_id % 2 = 0 THEN 'bmp' ELSE 'wav' END AS format,
-           CAST(CASE WHEN doc_id % 2 = 0 THEN n_chars % 97 + 1 END AS INT) AS width,
-           CAST(CASE WHEN doc_id % 2 = 0 THEN doc_id % 41 + 1 END AS INT) AS height,
-           CAST(CASE WHEN doc_id % 2 = 1 THEN 8000 + (doc_id % 8) * 1000 END AS INT) AS sample_rate,
-           CAST(CASE WHEN doc_id % 2 = 1 THEN
+           CASE doc_id % 3 WHEN 0 THEN 'jpeg' WHEN 1 THEN 'bmp' ELSE 'wav' END AS format,
+           CAST(CASE doc_id % 3 WHEN 0 THEN n_chars % 509 + 1
+                                WHEN 1 THEN n_chars % 97 + 1 END AS INT) AS width,
+           CAST(CASE doc_id % 3 WHEN 0 THEN doc_id % 367 + 1
+                                WHEN 1 THEN doc_id % 41 + 1 END AS INT) AS height,
+           CAST(CASE WHEN doc_id % 3 = 2 THEN 8000 + (doc_id % 8) * 1000 END AS INT) AS sample_rate,
+           CAST(CASE WHEN doc_id % 3 = 2 THEN
                   (CAST(n_chars AS BIGINT) * 10 * 2 * 1000)
                   // ((8000 + (doc_id % 8) * 1000) * 2)
                 END AS BIGINT) AS duration_ms
@@ -120,12 +145,14 @@ def _synth_media_payloads(docs: DataFrame) -> DataFrame:
     """,
 )
 def multimodal_real_decode(spark, sf_dir):
-    """REAL media decode end to end: synthesize valid BMP/WAV container
-    bytes per document (mapInPandas), parse them back with the
+    """REAL media decode end to end: synthesize valid JPEG/BMP/WAV
+    container bytes per document (mapInPandas), parse them back with the
     dependency-free header decoder (functions.multimodal.real_decode via
-    decode_media_meta), and value-check width/height/sample_rate/
-    duration against the generating formulas in SQL. Proves the binary
-    column plumbing AND the decoder on real bytes — not the fake path."""
+    decode_media_meta — JPEG through the SOF marker walk), and
+    value-check format/width/height/sample_rate/duration against the
+    generating formulas in SQL. Proves the binary column plumbing AND
+    the decoder on real bytes of the dominant image container — not the
+    fake path."""
     from ._util import parallelize_small
 
     media = _synth_media_payloads(parallelize_small(t(spark, sf_dir, "documents"), cap=8))

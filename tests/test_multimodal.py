@@ -131,3 +131,41 @@ def test_extract_features_fake_path_still_deterministic(spark):
     )
     r = extract_features(df, fake=True).collect()[0]
     assert (r["n_bytes"], r["first_byte"], r["checksum"]) == (3, 97, (97 + 98 + 99) % 997)
+
+
+def make_jpeg(width, height, progressive=False, extra_segments=True):
+    """Minimal JPEG: SOI + optional APP0/DQT filler + SOFn + EOI."""
+    out = b"\xff\xd8"
+    if extra_segments:
+        app0 = b"JFIF\x00\x01\x01\x00" + struct.pack(">HHBB", 1, 1, 0, 0)
+        out += b"\xff\xe0" + struct.pack(">H", len(app0) + 2) + app0
+        dqt = bytes(65)  # precision/id byte + 64 quant entries
+        out += b"\xff\xdb" + struct.pack(">H", len(dqt) + 2) + dqt
+        out += b"\xff\x01"  # standalone TEM marker must not desync
+    marker = b"\xff\xc2" if progressive else b"\xff\xc0"
+    out += marker + struct.pack(">HBHHB", 17, 8, height, width, 3)
+    out += bytes([1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1])
+    return out + b"\xff\xd9"
+
+
+def test_real_decode_jpeg_sof_header():
+    """JPEG SOF walk: baseline and progressive frames, dimensions past
+    255 (uint16-BE fields), marker filler and standalone markers
+    skipped; DHT-class markers (C4) never mistaken for SOF."""
+    assert real_decode(make_jpeg(640, 480), "image") == {
+        "format": "jpeg", "width": 640, "height": 480,
+        "sample_rate": None, "duration_ms": None,
+    }
+    assert real_decode(make_jpeg(31, 1031, progressive=True), "image") == {
+        "format": "jpeg", "width": 31, "height": 1031,
+        "sample_rate": None, "duration_ms": None,
+    }
+    # a DHT (C4) segment before SOF must be walked over, not parsed
+    dht = b"\xff\xc4" + struct.pack(">H", 5) + bytes(3)
+    j = make_jpeg(12, 34, extra_segments=False)
+    with_dht = j[:2] + dht + j[2:]
+    got = real_decode(with_dht, "image")
+    assert (got["width"], got["height"]) == (12, 34)
+    # SOS before any SOF (corrupt stream) -> no silent garbage
+    with pytest.raises(NotImplementedError):
+        real_decode(b"\xff\xd8\xff\xda\x00\x04\x00\x00", "image")
