@@ -37,9 +37,30 @@ from typing import Optional, Sequence
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql import types as T
 
+import functools
+import threading
+
 from ..operators import claims as claims_ops
 from ..operators import mutate as mutate_ops
 from ..query.filters import Pred
+
+
+def _serialized(method):
+    """Per-store transaction guard: every mutation runs under the
+    store's lock, so concurrent callers interleave as a total order of
+    read-snapshot -> write-snapshot transactions — the reference's
+    per-swamp guarantee that two claimants never observe overlapping
+    sets (proto:194-196; swamp.go:2622-2684 takes the swamp write lock
+    for the whole shift). On a cluster the same role is played by
+    Delta's optimistic concurrency or a single foreachBatch owner; the
+    lock keeps the contract explicit and testable locally."""
+
+    @functools.wraps(method)
+    def wrapper(self, *args, **kwargs):
+        with self._txn:
+            return method(self, *args, **kwargs)
+
+    return wrapper
 
 CHANGE_SCHEMA = T.StructType(
     [
@@ -86,6 +107,7 @@ class TreasureStore:
         self.partition_by = list(partition_by)
         self._cached: Optional[tuple[int, DataFrame]] = None
         self._last_access: float = 0.0
+        self._txn = threading.RLock()
         os.makedirs(self.changes_dir, exist_ok=True)
 
     # -- layout ------------------------------------------------------------
@@ -218,6 +240,7 @@ class TreasureStore:
 
     # -- mutations (each is one serialized transaction) ---------------------
 
+    @_serialized
     def set(
         self,
         updates: DataFrame,
@@ -259,6 +282,7 @@ class TreasureStore:
         merged.unpersist()
         return statuses
 
+    @_serialized
     def delete(self, keys: Sequence[str]) -> DataFrame:
         base = self.current()
         value_cols = [c for c in base.columns if c != self.key_col]
@@ -276,6 +300,7 @@ class TreasureStore:
         deleted.unpersist()
         return out
 
+    @_serialized
     def increment(
         self,
         keys: Sequence[str],
@@ -329,6 +354,7 @@ class TreasureStore:
         missing values ignored; no event when nothing changed."""
         return self._uint32slice_op(keys, values, ids_col, push=False)
 
+    @_serialized
     def _uint32slice_op(
         self, keys: Sequence[str], values: Sequence[int], ids_col: str, push: bool
     ) -> DataFrame:
@@ -366,6 +392,7 @@ class TreasureStore:
         changed.unpersist()
         return out
 
+    @_serialized
     def shift_expired(self, now: datetime, how_many: int) -> DataFrame:
         """TTL-queue pop as one serialized transaction: claim, persist
         state without claimed rows, emit DELETED events, return claimed."""
@@ -388,6 +415,41 @@ class TreasureStore:
         )
         return claimed
 
+    @_serialized
+    def shift_matching(
+        self,
+        index,
+        filt: Optional[Pred],
+        how_many: int,
+        cap: Optional[claims_ops.Cap] = None,
+    ) -> DataFrame:
+        """Reference ``ShiftMatchingTreasures`` (proto:191-216) as one
+        serialized transaction: parametric claim (index + order +
+        FilterGroup + HowMany + Cap), rows removed from state, DELETED
+        events emitted, claimed rows returned. The _serialized guard is
+        what delivers proto:194-196 — two concurrent claimants never
+        observe overlapping sets (tested with interleaved threads in
+        test_store_streaming)."""
+        base = self.current()
+        value_cols = [c for c in base.columns if c != self.key_col]
+        claimed, remaining = claims_ops.shift_matching(
+            base, index, filt, how_many, cap, key_col=self.key_col
+        )
+        claimed = claimed.cache()
+        claimed.count()  # pin the claim set before the snapshot swaps
+        batch = self._write_version(remaining)
+        self._emit(
+            claimed.select(
+                F.col(self.key_col),
+                F.lit("DELETED").alias("op"),
+                F.lit(None).cast("string").alias("new"),
+                self._payload(claimed, value_cols).alias("old"),
+            ),
+            batch,
+        )
+        return claimed
+
+    @_serialized
     def patch_expired(
         self,
         now: datetime,

@@ -599,3 +599,55 @@ def test_streaming_curation_gates_are_stream_composable(spark, tmp_path):
     expected = {(r["doc_id"], r["fp"]) for r in gated(batch_df).collect()}
     assert streamed == expected
     assert 2 not in {d for d, _ in streamed}  # the digit wall was gated out
+
+
+def test_concurrent_shift_matching_claimants_disjoint(spark, tmp_path):
+    """The reference's hardest claim guarantee (proto:194-196;
+    swamp.go:2622-2684 holds the swamp write lock for the whole shift):
+    two CONCURRENT shift_matching claimants never observe overlapping
+    sets. Two threads race 5 claims of 7 rows each against one store;
+    the serialized-transaction guard must interleave them so every
+    claimed key appears exactly once and the union is claimed+remaining
+    == initial."""
+    import threading
+
+    from hydraide_spark.operators.claims import Cap  # noqa: F401 (API surface)
+    from hydraide_spark.query.index import Index, IndexOrder, IndexType
+
+    store = TreasureStore(spark, str(tmp_path / "claims"))
+    n = 70
+    store.init(
+        spark.range(n).select(
+            F.col("id").cast("string").alias("key"),
+            (F.col("id") % 10).alias("prio"),
+        )
+    )
+    idx = Index(index_type=IndexType.KEY, order=IndexOrder.ASC)
+    claims: dict[str, list[list[str]]] = {"a": [], "b": []}
+    errors: list[BaseException] = []
+
+    def claimant(tag: str):
+        try:
+            for _ in range(5):
+                got = store.shift_matching(
+                    idx, Cmp("prio", Op.GE, 0), how_many=7
+                )
+                claims[tag].append([r["key"] for r in got.collect()])
+                got.unpersist()
+        except BaseException as e:  # surface thread failures in the test
+            errors.append(e)
+
+    ta, tb = threading.Thread(target=claimant, args=("a",)), threading.Thread(
+        target=claimant, args=("b",)
+    )
+    ta.start(); tb.start(); ta.join(); tb.join()
+    assert not errors, errors
+
+    flat = [k for tag in ("a", "b") for batch in claims[tag] for k in batch]
+    # disjoint: no key claimed twice across ANY pair of batches/threads
+    assert len(flat) == len(set(flat)), "overlapping claim sets"
+    # exhaustive: 10 batches x 7 rows drained the whole store
+    assert len(flat) == n
+    assert store.current().count() == 0
+    # every claim observed a consistent snapshot: batches are full-sized
+    assert all(len(b) == 7 for tag in ("a", "b") for b in claims[tag])
