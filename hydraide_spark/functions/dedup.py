@@ -555,6 +555,7 @@ def star_contraction_clusters(
 
     sig = signature(edges)
     rounds = 0
+    converged = False
     for _ in range(max_iterations):
         rounds += 1
         # large-star over the symmetric view
@@ -585,8 +586,20 @@ def star_contraction_clusters(
         new_sig = signature(small)
         edges = small
         if new_sig == sig:
+            converged = True
             break
         sig = new_sig
+    if not converged:
+        # Same contract as neardup_clusters: on a non-fixpoint edge set
+        # the groupBy-min parents below can map nodes to NON-ROOT labels
+        # — silently half-merged clusters, the exact bug class the raise
+        # in neardup_clusters exists to prevent. O(log^2 n) rounds means
+        # max_iterations should never bind in practice; if it does, the
+        # caller must raise the budget, not receive wrong labels.
+        raise RuntimeError(
+            f"star contraction did not reach its edge fixpoint in "
+            f"{max_iterations} rounds; raise max_iterations"
+        )
     if stats is not None:
         stats["rounds"] = rounds
     # fixpoint edges are (node -> component-min) stars; roots map to self

@@ -43,11 +43,51 @@ def rank_normalize(df: DataFrame, col: str, bits: int) -> DataFrame:
     return df.withColumn(f"{col}_zbin", scaled)
 
 
+def minmax_normalize(df: DataFrame, col: str, bits: int) -> DataFrame:
+    """Map an integer column onto [0, 2^bits) by linear min-max
+    binning: ``(v - min) * 2^bits div (max - min + 1)`` — the layout
+    pre-step for DENSE/UNIFORM domains (surrogate keys). One tiny
+    min/max aggregate, then a pure integer expression: no window, no
+    shuffle, bit-exact in any engine. The result is always inside the
+    bin range by construction. Use :func:`rank_normalize` instead when
+    the domain is skewed (equi-POPULATED bins need ranks)."""
+    row = df.agg(F.min(col).alias("mn"), F.max(col).alias("mx")).collect()[0]
+    mn, mx = int(row["mn"]), int(row["mx"])
+    span = mx - mn + 1
+    return df.withColumn(
+        f"{col}_zbin",
+        F.expr(f"((CAST({col} AS BIGINT) - {mn}) * {1 << bits}) div {span}"),
+    )
+
+
+def assert_zorder_domain(df: DataFrame, cols: Sequence[str], bits: int) -> None:
+    """Enforce zorder_key's precondition (values in [0, 2^bits)) with
+    one tiny min/max aggregate — RAISES instead of letting out-of-range
+    values silently alias distant keys and degrade zone-map pruning
+    (ADVICE r3). Call once before a layout write; the key itself stays
+    a pure expression so the check cannot live inside it."""
+    aggs = []
+    for c in cols:
+        aggs += [F.min(c).alias(f"_mn_{c}"), F.max(c).alias(f"_mx_{c}")]
+    row = df.agg(*aggs).collect()[0]
+    hi = 1 << bits
+    for c in cols:
+        mn, mx = row[f"_mn_{c}"], row[f"_mx_{c}"]
+        if mn is not None and (int(mn) < 0 or int(mx) >= hi):
+            raise ValueError(
+                f"zorder column {c!r} spans [{mn}, {mx}], outside [0, {hi}) "
+                f"for bits={bits}; rank_normalize it (or raise bits)"
+            )
+
+
 def zorder_key(cols: Sequence[Column | str], bits: int = 16) -> Column:
     """Morton/Z-order key: interleave the low ``bits`` bits of each
     column round-robin (column 0 gets the least-significant position of
-    each group). Inputs must already be non-negative ints < 2^bits
-    (use :func:`rank_normalize` for arbitrary domains). Pure
+    each group). Inputs must already be non-negative ints < 2^bits —
+    use :func:`rank_normalize` for arbitrary domains and
+    :func:`assert_zorder_domain` to enforce the precondition before a
+    layout write (values past 2^bits would silently alias distant keys
+    and defeat the zone-map pruning this layout exists for). Pure
     shiftleft/and/or expression — map-only, engine-exact.
 
     n columns x ``bits`` bits must fit a signed long: n*bits <= 62.

@@ -144,8 +144,12 @@ def quality_logit(text: Column) -> Column:
     engine drift would sit in the compared value itself. Map-only at
     any corpus size."""
     toks = tokenize(text)
-    n = F.size(toks).cast("double")
-    n_chars = F.length(text).cast("double")
+    # denominators guard to >= 1: an empty document would otherwise
+    # produce 0/0 -> NaN, and NaN ordering/NULL handling differs across
+    # engines (ADVICE r3). For any non-empty doc greatest() is a no-op;
+    # for an empty one every ratio term becomes an exact 0/1.
+    n = F.greatest(F.size(toks).cast("double"), F.lit(1.0))
+    n_chars = F.greatest(F.length(text).cast("double"), F.lit(1.0))
     n_stop = F.size(F.filter(toks, lambda w: w.isin(STOPWORDS))).cast("double")
     n_alpha = F.length(F.regexp_replace(text, "[^A-Za-z]", "")).cast("double")
     n_digit = F.length(F.regexp_replace(text, "[^0-9]", "")).cast("double")

@@ -97,15 +97,18 @@ _R3_VERIFIED = frozenset(
     {
         "windowed_event_stats", "session_windows", "asof_join_events",
         "interval_join_incidents", "filter_is_empty", "filter_has_key",
+        # quality_classifier_docs / zorder_layout_keys deliberately NOT
+        # listed: both changed in round 4 (denominator guard; rank-
+        # normalized bins) and need fresh rows
         "filter_nested_path", "patch_struct_ops", "neardup_clusters_star",
-        "quality_classifier_docs", "curation_pipeline_docs",
+        "curation_pipeline_docs",
         "temperature_mix_sample_docs", "chunk_documents_rag",
         "minhash_lsh_neardup_stable", "simhash_neardup_stable",
         # multimodal_real_decode deliberately NOT listed: its payload
         # mix changed in round 4 (JPEG added) and needs a fresh row
         "pq_encode_codes", "semantic_dedup_docs",
         "tpch_q3_shipping_priority", "tpch_q5_local_supplier_volume",
-        "zorder_layout_keys", "tpch_q7_nation_volume",
+        "tpch_q7_nation_volume",
     }
 )
 

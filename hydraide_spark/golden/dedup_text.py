@@ -1022,8 +1022,8 @@ from ..functions.text import QUALITY_LR_WEIGHTS as _QW  # noqa: E402
     oracle=f"""
     WITH d AS (
       SELECT doc_id, text,
-             CAST(len(string_split(text, ' ')) AS DOUBLE) AS n,
-             CAST(length(text) AS DOUBLE) AS n_chars,
+             greatest(CAST(len(string_split(text, ' ')) AS DOUBLE), 1.0) AS n,
+             greatest(CAST(length(text) AS DOUBLE), 1.0) AS n_chars,
              CAST(len(list_filter(string_split(text, ' '),
                                   x -> x IN ({_STOP_SQL}))) AS DOUBLE) AS n_stop,
              CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) AS n_alpha,

@@ -254,16 +254,28 @@ def relational_set_ops(spark, sf_dir):
 
 from ..functions.layout import zorder_key_sql as _zsql  # noqa: E402
 
-_Z_SQL = _zsql(["l_partkey", "l_suppkey"], bits=11)
+_Z_BITS = 11
+_Z_SQL = _zsql(["pz", "sz"], bits=_Z_BITS)
 
 
 @golden(
     "zorder_layout_keys",
     oracle=f"""
+    WITH st AS (
+      SELECT min(l_partkey) AS pmn, max(l_partkey) AS pmx,
+             min(l_suppkey) AS smn, max(l_suppkey) AS smx
+      FROM lineitem
+    ),
+    b AS (
+      SELECT l_orderkey, l_linenumber,
+             ((l_partkey - pmn) * {1 << _Z_BITS}) // (pmx - pmn + 1) AS pz,
+             ((l_suppkey - smn) * {1 << _Z_BITS}) // (smx - smn + 1) AS sz
+      FROM lineitem, st
+    )
     SELECT CAST(l_orderkey AS BIGINT) AS l_orderkey,
            CAST(l_linenumber AS INT) AS l_linenumber,
            CAST({_Z_SQL} AS BIGINT) AS zkey
-    FROM lineitem
+    FROM b
     """,
 )
 def zorder_layout_keys(spark, sf_dir):
@@ -272,16 +284,26 @@ def zorder_layout_keys(spark, sf_dir):
     sort orders (app/core/beacon): interleaving the bits gives BOTH
     columns locality under one sort, so zone-map/row-group stats prune
     on either predicate after `repartitionByRange(zkey) +
-    sortWithinPartitions(zkey)` at write time. Pure integer
-    shift/and/or expression — map-only and bit-exact in any engine
-    (the oracle runs the same bit tree in SQL)."""
-    from ..functions.layout import zorder_key
+    sortWithinPartitions(zkey)` at write time.
+
+    Both dimensions are NORMALIZED onto [0, 2^bits) first so the
+    zorder_key precondition holds at every sf — previously raw
+    l_partkey exceeded 2^11 beyond sf0.02 and distant keys silently
+    aliased (ADVICE r3); ``assert_zorder_domain`` now enforces it.
+    Dense uniform keys take ``minmax_normalize`` (integer min-max
+    binning: one tiny aggregate + a pure integer expression — no
+    window, no shuffle, engine-exact by integer division);
+    ``rank_normalize`` remains the pre-step for skewed domains."""
+    from ..functions.layout import assert_zorder_domain, minmax_normalize, zorder_key
 
     li = t(spark, sf_dir, "lineitem")
+    li = minmax_normalize(li, "l_partkey", _Z_BITS)
+    li = minmax_normalize(li, "l_suppkey", _Z_BITS)
+    assert_zorder_domain(li, ["l_partkey_zbin", "l_suppkey_zbin"], _Z_BITS)
     return li.select(
         big("l_orderkey").alias("l_orderkey"),
         F.col("l_linenumber").cast("int").alias("l_linenumber"),
-        zorder_key(["l_partkey", "l_suppkey"], bits=11).alias("zkey"),
+        zorder_key(["l_partkey_zbin", "l_suppkey_zbin"], bits=_Z_BITS).alias("zkey"),
     )
 
 

@@ -75,20 +75,28 @@ def _nanos_timestamp_columns(path: str) -> list[str]:
 def epoch_us(df: DataFrame, col: str):
     """Microseconds since epoch for a timestamp column of EITHER type.
 
-    ``unix_micros`` rejects TIMESTAMP_NTZ; for NTZ columns (naive-UTC by
-    the data contract) the implicit NTZ→TIMESTAMP cast interprets the
-    wall clock in ``spark.sql.session.timeZone``, and
-    ``from_utc_timestamp(col, current_timezone())`` shifts it back so
-    the result is the UTC-interpreted epoch REGARDLESS of the driver
-    session's timezone. (The previous ``to_utc_timestamp(col, 'UTC')``
-    form was an identity on the already-session-tz-cast value and
-    silently shifted all epoch arithmetic under non-UTC sessions.) The
-    testdata regenerated between rounds (events.ts: TIMESTAMP(NANOS) →
-    naive µs), so epoch arithmetic must not assume one physical type.
-    """
+    ``unix_micros`` rejects TIMESTAMP_NTZ; for NTZ columns (naive-UTC
+    by the data contract) the epoch is computed by pure FIELD
+    ARITHMETIC — days-since-epoch from the date part plus
+    hour/minute/second(+fraction) — which never touches
+    ``spark.sql.session.timeZone``, so it is exact for every wall
+    clock including ones that fall in a session timezone's DST gap or
+    overlap. (The previous ``from_utc_timestamp(cast, tz)`` round-trip
+    resolved the implicit NTZ→LTZ cast at the local wall time but the
+    shift-back at the derived instant, so gap/overlap wall clocks
+    could move by up to an hour; ``timestampdiff`` over NTZ has the
+    same flaw — verified: Spark routes both through the session tz.)
+    The testdata regenerated between rounds (events.ts:
+    TIMESTAMP(NANOS) → naive µs), so epoch arithmetic must not assume
+    one physical type."""
     if dict(df.dtypes).get(col) == "timestamp_ntz":
-        return F.unix_micros(
-            F.from_utc_timestamp(F.col(col), F.expr("current_timezone()"))
+        c = F.col(col)
+        return (
+            F.unix_date(F.to_date(c)).cast("long") * F.lit(86_400_000_000)
+            + F.extract(F.lit("HOUR"), c).cast("long") * F.lit(3_600_000_000)
+            + F.extract(F.lit("MINUTE"), c).cast("long") * F.lit(60_000_000)
+            # SECOND extracts as DECIMAL(8,6) carrying the fraction
+            + (F.extract(F.lit("SECOND"), c) * F.lit(1_000_000)).cast("long")
         )
     return F.unix_micros(F.col(col))
 

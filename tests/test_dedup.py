@@ -649,3 +649,23 @@ def test_ivfadc_recall_vs_exact_l2(spark):
         ).collect()
     }
     assert len(all_cells & exact) / len(exact) >= 0.7
+
+
+def test_star_contraction_raises_on_iteration_exhaustion(spark):
+    """ADVICE r3: a non-fixpoint edge set can map nodes to NON-ROOT
+    labels through the final groupBy-min — the silent half-merged
+    cluster bug class. Exhausting max_iterations must therefore RAISE
+    (mirroring neardup_clusters), never return labels."""
+    import pytest as _pytest
+
+    from hydraide_spark.functions.dedup import star_contraction_clusters
+
+    n = 64
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
+    )
+    with _pytest.raises(RuntimeError, match="fixpoint"):
+        star_contraction_clusters(pairs, max_iterations=1)
+    # with budget, the same graph converges to one cluster
+    out = star_contraction_clusters(pairs)
+    assert {r["cluster_id"] for r in out.collect()} == {0}

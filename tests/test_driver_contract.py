@@ -80,6 +80,33 @@ def test_epoch_us_timezone_independent(nonutc_spark):
     assert e_ny == e_utc
 
 
+def test_epoch_us_exact_inside_dst_gap(nonutc_spark):
+    # ADVICE r3 (low): the from_utc_timestamp round-trip resolved the
+    # implicit NTZ cast at the local wall time but the shift-back at
+    # the derived instant, so a wall clock inside the session tz's DST
+    # gap moved by an hour. Field arithmetic must be exact there too:
+    # 2021-03-14 02:30 does not exist in America/New_York.
+    from datetime import datetime, timezone
+
+    from hydraide_spark.sources.tables import epoch_us
+
+    df = nonutc_spark.createDataFrame(
+        [("2021-03-14 02:30:00.123456",), ("2021-11-07 01:30:00.5",)], "s string"
+    ).select(F.to_timestamp_ntz("s").alias("ts"))
+    got = [r["e"] for r in df.select(epoch_us(df, "ts").alias("e")).collect()]
+    exp = [
+        int(
+            datetime(2021, 3, 14, 2, 30, 0, 123456, tzinfo=timezone.utc).timestamp()
+            * 1_000_000
+        ),
+        int(
+            datetime(2021, 11, 7, 1, 30, 0, 500000, tzinfo=timezone.utc).timestamp()
+            * 1_000_000
+        ),
+    ]
+    assert got == exp
+
+
 def test_time_bounds_timezone_independent(nonutc_spark):
     # ADVICE r2 (medium): lit(datetime).cast('timestamp_ntz') renders
     # through a session-tz TIMESTAMP literal, shifting bounds by the
@@ -112,10 +139,13 @@ def test_windowed_event_stats_nonutc_matches_utc(nonutc_spark):
 def test_registry_orders_unverified_first():
     # The driver consumes the registry in order and may cap how many
     # queries it checks; tiers must be monotone: no-green-driver-row
-    # names first, round-1-only-verified next, round-2-verified last.
+    # names first, then round-1-only, round-2, most-recently-verified
+    # (round 3) last.
     from hydraide_spark import golden
 
     def tier(n: str) -> int:
+        if n in golden._R3_VERIFIED:
+            return 3
         if n in golden._R2_VERIFIED:
             return 2
         if n in golden._R1_ONLY_VERIFIED:
@@ -125,7 +155,7 @@ def test_registry_orders_unverified_first():
     names = list(golden.queries())
     tiers = [tier(n) for n in names]
     assert tiers == sorted(tiers), "registry tiers out of order"
-    assert tiers[0] == 0 and tiers[-1] == 2  # all groups present
+    assert tiers[0] == 0 and tiers[-1] == 3  # all groups present
 
 
 def test_oracle_keys_subset_and_ordered():

@@ -346,3 +346,33 @@ def test_curation_pipeline_plan_shapes(spark, Q):
     assert "CartesianProduct" not in plan
     assert uses_broadcast_join(df)
     assert "Window" in plan  # hash-window dup survivorship present
+
+
+def test_zorder_domain_guard_and_minmax_normalize(spark):
+    """ADVICE r3: values >= 2^bits silently alias distant keys.
+    assert_zorder_domain raises on the violation; minmax_normalize
+    maps any dense integer domain into range with pure integer math
+    (no window, no shuffle in the plan)."""
+    import pytest as _pytest
+
+    from hydraide_spark.functions.layout import (
+        assert_zorder_domain,
+        minmax_normalize,
+        zorder_key,
+    )
+    from hydraide_spark.plans import physical_plan
+
+    df = spark.range(5000, 25000).select(F.col("id").alias("k"))
+    with _pytest.raises(ValueError, match="outside"):
+        assert_zorder_domain(df, ["k"], 11)
+    binned = minmax_normalize(df, "k", 11)
+    assert_zorder_domain(binned, ["k_zbin"], 11)  # in range now
+    lo, hi = binned.agg(F.min("k_zbin"), F.max("k_zbin")).collect()[0]
+    assert lo == 0 and hi == (1 << 11) - 1
+    # binning is order-preserving (layout keys must respect value order)
+    rows = binned.orderBy("k").select("k_zbin").collect()
+    bins = [r[0] for r in rows]
+    assert bins == sorted(bins)
+    # and the normalize step adds no exchange: scan -> project only
+    plan = physical_plan(binned.select(zorder_key(["k_zbin"], bits=11)))
+    assert "Exchange" not in plan

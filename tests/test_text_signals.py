@@ -234,3 +234,16 @@ def test_chunk_documents_coverage_and_edges(spark):
 
     with _pytest.raises(ValueError):
         chunk_documents(df, chunk_size=4, overlap=4)
+
+
+def test_quality_logit_empty_doc_is_finite(spark):
+    """ADVICE r3: 0/0 -> NaN on an empty document, whose ordering/NULL
+    behavior differs across engines. Denominators guard to 1, so the
+    logit is a plain finite double even for '' and whitespace."""
+    import math
+
+    from hydraide_spark.functions.text import quality_logit
+
+    df = spark.createDataFrame([("",), ("   ",), ("real text here",)], "text string")
+    vals = [r["z"] for r in df.select(quality_logit(F.col("text")).alias("z")).collect()]
+    assert all(v is not None and math.isfinite(v) for v in vals)
