@@ -116,6 +116,40 @@ def lsh_topk(
     )
 
 
+def _bounded_training_sample(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    sample_rows: int,
+    salt: str,
+    oversample: int = 4,
+):
+    """Deterministic bounded sample for driver-side model training,
+    with a scan-side prune: when the corpus is much larger than the
+    sample, rows are first filtered by a deterministic md5(id) hash to
+    ~``oversample * sample_rows`` survivors, and only THEN TakeOrdered
+    to the first ``sample_rows`` ids. Without the prune the TakeOrdered
+    heap walks every corpus row just to pick 10K (the round-3 audit
+    finding); with it the sort sees a constant-size set, and on a
+    100 TB layout bucketed by the same hash the read itself prunes.
+    The filter is a pure scalar predicate on the scan — no shuffle —
+    and the draw is identical under any partitioning. If the hash draw
+    ever undershoots (possible only with astronomically skewed ids),
+    the full-scan fallback keeps the contract; at test scales
+    (corpus <= oversample * sample_rows) the prune is a no-op and the
+    sample matches the historical first-ids draw exactly."""
+    from .sampling import hash_sample
+
+    n = df.count()
+    frame = df
+    if n > oversample * sample_rows:
+        frame = hash_sample(df, id_col, oversample * sample_rows / n, salt=salt)
+    rows = frame.orderBy(id_col).limit(sample_rows).select(vec_col).collect()
+    if len(rows) < min(sample_rows, n):
+        rows = df.orderBy(id_col).limit(sample_rows).select(vec_col).collect()
+    return rows
+
+
 def train_ivf_centroids(
     df: DataFrame,
     n_centroids: int = 16,
@@ -126,13 +160,15 @@ def train_ivf_centroids(
     vec_col: str = "embedding",
 ) -> list[list[float]]:
     """Spherical k-means-lite centroids for IVF, trained driver-side on
-    a BOUNDED deterministic sample (ordered by id, capped at
-    ``sample_rows``) — at 100 TB the sample is a constant-size draw, so
-    training cost does not grow with the corpus. numpy only, fixed seed,
-    fixed iteration count: the same inputs always give the same cells."""
+    a BOUNDED deterministic sample (hash-pruned then ordered by id,
+    capped at ``sample_rows`` — see _bounded_training_sample) — at
+    100 TB the sample is a constant-size draw AND a constant-size scan,
+    so training cost does not grow with the corpus. numpy only, fixed
+    seed, fixed iteration count: the same inputs always give the same
+    cells."""
     import numpy as np
 
-    rows = df.orderBy(id_col).limit(sample_rows).select(vec_col).collect()
+    rows = _bounded_training_sample(df, id_col, vec_col, sample_rows, "ivf_train")
     X = np.asarray([r[0] for r in rows], dtype=np.float64)
     X = X / np.linalg.norm(X, axis=1, keepdims=True)
     rng = np.random.RandomState(seed)
@@ -231,12 +267,13 @@ def train_pq_codebooks(
     Quantization for Nearest Neighbor Search", TPAMI'11): split the
     vector into ``m`` subspaces and run plain L2 k-means per subspace,
     driver-side on a BOUNDED deterministic sample (same contract as
-    ``train_ivf_centroids`` — constant-size draw, fixed seed/iters, so
-    training cost is corpus-independent and reproducible). Returns
-    ``codebooks[j]`` = [(code, centroid), ...] for subspace ``j``."""
+    ``train_ivf_centroids`` — constant-size hash-pruned draw, fixed
+    seed/iters, so training cost is corpus-independent and
+    reproducible). Returns ``codebooks[j]`` = [(code, centroid), ...]
+    for subspace ``j``."""
     import numpy as np
 
-    rows = df.orderBy(id_col).limit(sample_rows).select(vec_col).collect()
+    rows = _bounded_training_sample(df, id_col, vec_col, sample_rows, "pq_train")
     X = np.asarray([r[0] for r in rows], dtype=np.float64)
     d0 = X.shape[1] // m
     rng = np.random.RandomState(seed)

@@ -376,3 +376,45 @@ def test_zorder_domain_guard_and_minmax_normalize(spark):
     # and the normalize step adds no exchange: scan -> project only
     plan = physical_plan(binned.select(zorder_key(["k_zbin"], bits=11)))
     assert "Exchange" not in plan
+
+
+def test_training_sample_prunes_scan_and_stays_deterministic(spark):
+    """Round-3 audit: codebook/centroid training read the whole corpus
+    through a TakeOrdered heap to draw 10K rows. The bounded sample now
+    filters by a deterministic md5(id) hash BEFORE the TakeOrdered —
+    the filter sits in the scan stage of the plan, the heap sees a
+    constant-size set, and the draw is identical under any
+    partitioning."""
+    from hydraide_spark.functions.sampling import hash_sample
+    from hydraide_spark.functions.vector import (
+        _bounded_training_sample,
+        train_ivf_centroids,
+    )
+    from hydraide_spark.plans import physical_plan
+
+    df = spark.range(20_000).select(
+        F.col("id").alias("vec_id"),
+        F.array(
+            (F.col("id") % 7 + 1).cast("float"), (F.col("id") % 13 + 1).cast("float")
+        ).alias("embedding"),
+    )
+    # the pruned frame: filter (md5 conv comparison) below the sort
+    pruned = hash_sample(df, "vec_id", 4 * 50 / 20_000, salt="ivf_train")
+    plan = physical_plan(pruned.orderBy("vec_id").limit(50))
+    assert "TakeOrderedAndProject" in plan and "md5" in plan
+    # sample engages the prune (corpus >> oversample*sample_rows) and
+    # is partitioning-invariant
+    a = _bounded_training_sample(df, "vec_id", "embedding", 50, "ivf_train")
+    b = _bounded_training_sample(
+        df.repartition(17), "vec_id", "embedding", 50, "ivf_train"
+    )
+    assert [r[0] for r in a] == [r[0] for r in b] and len(a) == 50
+    # trained centroids identical under repartitioning too
+    ca = train_ivf_centroids(df, n_centroids=4, sample_rows=50)
+    cb = train_ivf_centroids(df.repartition(17), n_centroids=4, sample_rows=50)
+    assert ca == cb
+    # at small scale the prune is a no-op: matches the first-ids draw
+    small = df.limit(100)
+    s = _bounded_training_sample(small, "vec_id", "embedding", 50, "ivf_train")
+    exact = small.orderBy("vec_id").limit(50).select("embedding").collect()
+    assert [r[0] for r in s] == [r[0] for r in exact]
