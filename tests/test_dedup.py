@@ -669,3 +669,38 @@ def test_star_contraction_raises_on_iteration_exhaustion(spark):
     # with budget, the same graph converges to one cluster
     out = star_contraction_clusters(pairs)
     assert {r["cluster_id"] for r in out.collect()} == {0}
+
+
+def test_jaccard_prefix_index_survives_boilerplate_skew(spark):
+    """Adversarial skew for the AllPairs prefix index (Bayardo WWW'07,
+    _pair_jaccard_candidates): ONE boilerplate shingle shared by 50% of
+    the corpus would give a naive inverted index ~(D/2)^2 candidate
+    pairs — the similarity-join skew bomb. Under the df-ascending
+    prefix order that shingle sorts LAST and never enters any prefix,
+    so the candidate count must track true near-dups (linear), while
+    recall stays lossless for the threshold."""
+    from hydraide_spark.functions.dedup import _pair_jaccard_candidates
+
+    D, n_clones = 1000, 20
+    rows = []
+    for i in range(D):
+        sh = [f"u{i}_{j}" for j in range(9)]
+        if i % 2 == 0:
+            sh.append("BOILERPLATE")  # hits 500 docs
+        else:
+            sh.append(f"u{i}_9")
+        rows.append((i, sh, len(sh)))
+    # true near-dups: clone docs sharing all nine unique shingles
+    for c in range(n_clones):
+        src = rows[c * 2 + 1]
+        rows.append((D + c, src[1][:9] + [f"c{c}"], 10))
+    sizes = spark.createDataFrame(rows, "doc_id long, sh array<string>, n_sh int")
+    # tau = 0.6 -> prefix length 10 - 6 + 1 = 5 of 10
+    cand = _pair_jaccard_candidates(sizes, "doc_id", "sh", 3, 5).collect()
+    naive_bomb = (D // 2) * (D // 2 - 1) // 2
+    assert len(cand) < naive_bomb / 1000, f"{len(cand)} candidates: skew bomb"
+    # candidate volume is exactly the true near-dup pairs: linear in
+    # clones, zero contribution from the boilerplate key
+    got = {(r["id_a"], r["id_b"]) for r in cand}
+    expected = {(c * 2 + 1, D + c) for c in range(n_clones)}
+    assert got == expected
