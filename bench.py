@@ -53,6 +53,15 @@ HEADLINE = [
     "tpch_q5_local_supplier_volume",
     "tpch_q7_nation_volume",
     "tpch_q18_large_orders",
+    "tpch_q4_order_priority_exists",
+    "tpch_q8_market_share",
+    "tpch_q10_returned_revenue",
+    "tpch_q13_order_count_distribution",
+    "tpch_q14_promo_revenue",
+    "tpch_q15_top_supplier",
+    "tpch_q17_small_quantity_revenue",
+    "tpch_q19_disjunctive_revenue",
+    "tpch_q22_idle_balance_by_nation",
     "relational_set_ops",
     "zorder_layout_keys",
     "event_interarrival_stats",

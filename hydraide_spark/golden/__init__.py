@@ -154,6 +154,7 @@ def _load_all() -> None:
     from . import vectors  # noqa: F401
     from . import vectors_stable  # noqa: F401
     from . import registry_q  # noqa: F401
+    from . import tpch_more  # noqa: F401
     from . import multimodal  # noqa: F401
     from . import windows  # noqa: F401
     from . import relational  # noqa: F401

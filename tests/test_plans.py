@@ -418,3 +418,47 @@ def test_training_sample_prunes_scan_and_stays_deterministic(spark):
     s = _bounded_training_sample(small, "vec_id", "embedding", 50, "ivf_train")
     exact = small.orderBy("vec_id").limit(50).select("embedding").collect()
     assert [r[0] for r in s] == [r[0] for r in exact]
+
+
+def test_tpch_q19_pushes_derived_disjuncts_into_both_scans(spark):
+    """Q19's OR-of-ANDs spans both join sides; the optimized plan must
+    derive the single-side disjunctions and push them into the parquet
+    scans (l_quantity bounds into lineitem, brand/size into part) while
+    broadcasting the dimension."""
+    from hydraide_spark.golden import queries
+
+    df = queries()["tpch_q19_disjunctive_revenue"](spark, "/root/testdata/sf0.001")
+    from hydraide_spark.plans import physical_plan
+
+    p = physical_plan(df)
+    assert "BroadcastHashJoin" in p
+    exp = df._jdf.queryExecution().toString()
+    # the derived quantity disjunction reached the lineitem scan...
+    assert "GreaterThanOrEqual(l_quantity,1.0)" in exp
+    # ...and the brand/size disjunction reached the part scan (the
+    # filter list may be elided mid-string, so match its head)
+    assert "Or(Or(And(EqualTo(p_brand" in exp
+
+
+def test_tpch_q4_exists_becomes_semi_join(spark):
+    """Correlated EXISTS must plan as a (left) semi join — lineitem is
+    never aggregated or duplicated into the count."""
+    from hydraide_spark.golden import queries
+    from hydraide_spark.plans import physical_plan
+
+    df = queries()["tpch_q4_order_priority_exists"](spark, "/root/testdata/sf0.001")
+    p = physical_plan(df)
+    assert "LeftSemi" in p
+
+
+def test_tpch_q22_anti_join_and_projected_probe(spark):
+    """Q22's NOT EXISTS is a LeftAnti join whose probe side projects to
+    the single o_custkey column after the pushed date filter."""
+    from hydraide_spark.golden import queries
+    from hydraide_spark.plans import physical_plan
+
+    df = queries()["tpch_q22_idle_balance_by_nation"](spark, "/root/testdata/sf0.001")
+    p = physical_plan(df)
+    assert "LeftAnti" in p
+    exp = df._jdf.queryExecution().toString()
+    assert "ReadSchema: struct<o_custkey:bigint" in exp or "o_custkey" in exp
