@@ -65,6 +65,10 @@ def real_decode(payload: bytes, kind: str) -> dict:
       payload carries height/width as uint16-BE. This is a real parse
       of the dominant image container; only the entropy-coded scan
       needs a codec library.
+    - **MP4/MOV (ISO BMFF)**: box walk (u32-BE sizes, 64-bit extended
+      and to-EOF sizes handled) to moov/mvhd for timescale+duration
+      (version 0 and 1 layouts) and the first trak/tkhd for width/
+      height (16.16 fixed). Frame decode still needs av.
     - **WAV**: ``RIFF .... WAVE`` then a chunk walk ([id, size, data]
       with word alignment); the ``fmt `` chunk carries channels /
       sample_rate / bits-per-sample, the ``data`` chunk size gives
@@ -150,8 +154,64 @@ def real_decode(payload: bytes, kind: str) -> dict:
             "sample_rate": sample_rate,
             "duration_ms": duration_ms,
         }
+    if len(payload) >= 12 and payload[4:8] == b"ftyp":
+        # ISO BMFF (MP4/MOV): a box walk — [size:u32be][type:4cc][body],
+        # size==1 => u64 extended size follows the type. moov/mvhd gives
+        # timescale+duration (offsets differ between version 0 and 1);
+        # the first trak/tkhd carries width/height as 16.16 fixed at the
+        # end of its body. Frame DECODE (H.264 etc.) still needs av.
+        def boxes(buf, off, end):
+            while off + 8 <= end:
+                size = int.from_bytes(buf[off : off + 4], "big")
+                typ = buf[off + 4 : off + 8]
+                body = off + 8
+                if size == 1:
+                    if off + 16 > end:
+                        return
+                    size = int.from_bytes(buf[off + 8 : off + 16], "big")
+                    body = off + 16
+                elif size == 0:  # box extends to EOF
+                    size = end - off
+                if size < 8 or off + size > end:
+                    return
+                yield typ, body, off + size
+                off += size
+
+        duration_ms = width = height = None
+        for typ, body, bend in boxes(payload, 0, len(payload)):
+            if typ != b"moov":
+                continue
+            for t2, b2, e2 in boxes(payload, body, bend):
+                if t2 == b"mvhd" and duration_ms is None and b2 + 4 <= e2:
+                    ver = payload[b2]
+                    if ver == 1 and b2 + 32 <= e2:
+                        ts = int.from_bytes(payload[b2 + 20 : b2 + 24], "big")
+                        dur = int.from_bytes(payload[b2 + 24 : b2 + 32], "big")
+                    elif b2 + 20 <= e2:
+                        ts = int.from_bytes(payload[b2 + 12 : b2 + 16], "big")
+                        dur = int.from_bytes(payload[b2 + 16 : b2 + 20], "big")
+                    else:
+                        continue
+                    if ts:
+                        duration_ms = dur * 1000 // ts
+                elif t2 == b"trak" and width is None:
+                    for t3, b3, e3 in boxes(payload, b2, e2):
+                        if t3 == b"tkhd" and e3 - b3 >= 8:
+                            # width/height: last 8 bytes, 16.16 fixed
+                            width = int.from_bytes(payload[e3 - 8 : e3 - 6], "big")
+                            height = int.from_bytes(payload[e3 - 4 : e3 - 2], "big")
+                            break
+        if duration_ms is not None or width is not None:
+            return {
+                "format": "mp4",
+                "width": width or None,
+                "height": height or None,
+                "sample_rate": None,
+                "duration_ms": duration_ms,
+            }
+        raise NotImplementedError("ISO-BMFF stream has no moov/mvhd header")
     raise NotImplementedError(
-        "payload is not a self-describing header format (BMP/PNG/WAV); "
+        "payload is not a self-describing header format (JPEG/BMP/PNG/WAV/MP4); "
         "compressed codecs need libraries not present in this build — "
         "use extract_features(..., fake=True) for the deterministic test path"
     )

@@ -55,7 +55,7 @@ def multimodal_features(spark, sf_dir):
 
 def _synth_media_payloads(docs: DataFrame) -> DataFrame:
     """Deterministic REAL container bytes per document, cycling the
-    three parseable image/audio containers by doc_id % 3:
+    four parseable image/audio/video containers by doc_id % 4:
 
     - 0 -> JPEG (JFIF APP0 + SOF0 frame header; width = n_chars % 509
       + 1, height = doc_id % 367 + 1 — ranges past 255 exercise the
@@ -63,12 +63,31 @@ def _synth_media_payloads(docs: DataFrame) -> DataFrame:
     - 1 -> BMP (width = n_chars % 97 + 1, height = doc_id % 41 + 1)
     - 2 -> RIFF/WAVE (mono 16-bit, sample_rate = 8000 + (doc_id % 8) *
       1000, data chunk declaring n_chars * 10 frames)
+    - 3 -> MP4 (ftyp + moov[mvhd + trak[tkhd]]; timescale 600 with
+      duration n_chars * 3 ticks => duration_ms = n_chars * 5; width =
+      n_chars % 1021 + 1, height = doc_id % 509 + 1 as 16.16 fixed)
 
     Pixel/sample bodies are elided — the header is self-describing and
-    that is what the decoder parses — so payloads stay ~60 bytes."""
+    that is what the decoder parses — so payloads stay ~60-200 bytes."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import struct
+
+        def mp4box(typ: bytes, body: bytes) -> bytes:
+            return struct.pack(">I", 8 + len(body)) + typ + body
+
+        def mp4(width: int, height: int, timescale: int, duration: int) -> bytes:
+            ftyp = mp4box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2")
+            mvhd = mp4box(
+                b"mvhd",
+                bytes(4) + struct.pack(">IIII", 0, 0, timescale, duration) + bytes(80),
+            )
+            tkhd = mp4box(
+                b"tkhd",
+                bytes(4 + 20 + 8 + 8 + 36)
+                + struct.pack(">II", width << 16, height << 16),
+            )
+            return ftyp + mp4box(b"moov", mvhd + mp4box(b"trak", tkhd))
 
         def jpeg(width: int, height: int) -> bytes:
             app0 = (
@@ -109,15 +128,20 @@ def _synth_media_payloads(docs: DataFrame) -> DataFrame:
         for pdf in batches:
             payloads, kinds = [], []
             for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
-                if doc_id % 3 == 0:
+                if doc_id % 4 == 0:
                     payloads.append(jpeg(int(n_chars) % 509 + 1, int(doc_id) % 367 + 1))
                     kinds.append("image")
-                elif doc_id % 3 == 1:
+                elif doc_id % 4 == 1:
                     payloads.append(bmp(int(n_chars) % 97 + 1, int(doc_id) % 41 + 1))
                     kinds.append("image")
-                else:
+                elif doc_id % 4 == 2:
                     payloads.append(wav(8000 + int(doc_id) % 8 * 1000, int(n_chars) * 10))
                     kinds.append("audio")
+                else:
+                    payloads.append(
+                        mp4(int(n_chars) % 1021 + 1, int(doc_id) % 509 + 1, 600, int(n_chars) * 3)
+                    )
+                    kinds.append("video")
             yield pd.DataFrame(
                 {"media_id": pdf["doc_id"], "kind": kinds, "payload": payloads}
             )
@@ -131,28 +155,32 @@ def _synth_media_payloads(docs: DataFrame) -> DataFrame:
     "multimodal_real_decode",
     oracle="""
     SELECT CAST(doc_id AS BIGINT) AS media_id,
-           CASE doc_id % 3 WHEN 0 THEN 'jpeg' WHEN 1 THEN 'bmp' ELSE 'wav' END AS format,
-           CAST(CASE doc_id % 3 WHEN 0 THEN n_chars % 509 + 1
-                                WHEN 1 THEN n_chars % 97 + 1 END AS INT) AS width,
-           CAST(CASE doc_id % 3 WHEN 0 THEN doc_id % 367 + 1
-                                WHEN 1 THEN doc_id % 41 + 1 END AS INT) AS height,
-           CAST(CASE WHEN doc_id % 3 = 2 THEN 8000 + (doc_id % 8) * 1000 END AS INT) AS sample_rate,
-           CAST(CASE WHEN doc_id % 3 = 2 THEN
+           CASE doc_id % 4 WHEN 0 THEN 'jpeg' WHEN 1 THEN 'bmp'
+                           WHEN 2 THEN 'wav' ELSE 'mp4' END AS format,
+           CAST(CASE doc_id % 4 WHEN 0 THEN n_chars % 509 + 1
+                                WHEN 1 THEN n_chars % 97 + 1
+                                WHEN 3 THEN n_chars % 1021 + 1 END AS INT) AS width,
+           CAST(CASE doc_id % 4 WHEN 0 THEN doc_id % 367 + 1
+                                WHEN 1 THEN doc_id % 41 + 1
+                                WHEN 3 THEN doc_id % 509 + 1 END AS INT) AS height,
+           CAST(CASE WHEN doc_id % 4 = 2 THEN 8000 + (doc_id % 8) * 1000 END AS INT) AS sample_rate,
+           CAST(CASE WHEN doc_id % 4 = 2 THEN
                   (CAST(n_chars AS BIGINT) * 10 * 2 * 1000)
                   // ((8000 + (doc_id % 8) * 1000) * 2)
+                WHEN doc_id % 4 = 3 THEN CAST(n_chars AS BIGINT) * 5
                 END AS BIGINT) AS duration_ms
     FROM documents
     """,
 )
 def multimodal_real_decode(spark, sf_dir):
-    """REAL media decode end to end: synthesize valid JPEG/BMP/WAV
+    """REAL media decode end to end: synthesize valid JPEG/BMP/WAV/MP4
     container bytes per document (mapInPandas), parse them back with the
     dependency-free header decoder (functions.multimodal.real_decode via
-    decode_media_meta — JPEG through the SOF marker walk), and
-    value-check format/width/height/sample_rate/duration against the
-    generating formulas in SQL. Proves the binary column plumbing AND
-    the decoder on real bytes of the dominant image container — not the
-    fake path."""
+    decode_media_meta — JPEG through the SOF marker walk, MP4 through
+    the ISO-BMFF box walk to mvhd/tkhd), and value-check format/width/
+    height/sample_rate/duration against the generating formulas in SQL.
+    Proves the binary column plumbing AND the decoder on real bytes of
+    the dominant image and video containers — not the fake path."""
     from ._util import parallelize_small
 
     media = _synth_media_payloads(parallelize_small(t(spark, sf_dir, "documents"), cap=8))

@@ -169,3 +169,45 @@ def test_real_decode_jpeg_sof_header():
     # SOS before any SOF (corrupt stream) -> no silent garbage
     with pytest.raises(NotImplementedError):
         real_decode(b"\xff\xd8\xff\xda\x00\x04\x00\x00", "image")
+
+
+def make_mp4(width, height, timescale, duration, v1=False, big_box=False):
+    def box(typ, body):
+        return struct.pack(">I", 8 + len(body)) + typ + body
+
+    ftyp = box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2")
+    if v1:
+        mvhd_body = bytes([1, 0, 0, 0]) + struct.pack(
+            ">QQIQ", 0, 0, timescale, duration
+        ) + bytes(80)
+    else:
+        mvhd_body = bytes(4) + struct.pack(">IIII", 0, 0, timescale, duration) + bytes(80)
+    mvhd = box(b"mvhd", mvhd_body)
+    tkhd = box(
+        b"tkhd",
+        bytes(4 + 20 + 8 + 8 + 36) + struct.pack(">II", width << 16, height << 16),
+    )
+    moov_body = mvhd + box(b"trak", tkhd)
+    if big_box:
+        # size==1: 64-bit extended size field
+        moov = struct.pack(">I", 1) + b"moov" + struct.pack(">Q", 16 + len(moov_body)) + moov_body
+    else:
+        moov = box(b"moov", moov_body)
+    return ftyp + moov
+
+
+def test_real_decode_mp4_box_walk():
+    """ISO-BMFF: mvhd version 0 AND 1 layouts, 16.16 fixed tkhd dims,
+    and a 64-bit extended-size moov box must all parse; a stream
+    without moov raises instead of returning garbage."""
+    got = real_decode(make_mp4(1920, 1080, 600, 3000), "video")
+    assert got == {
+        "format": "mp4", "width": 1920, "height": 1080,
+        "sample_rate": None, "duration_ms": 5000,
+    }
+    v1 = real_decode(make_mp4(320, 240, 90000, 90000 * 7, v1=True), "video")
+    assert (v1["width"], v1["height"], v1["duration_ms"]) == (320, 240, 7000)
+    ext = real_decode(make_mp4(64, 48, 1000, 1500, big_box=True), "video")
+    assert (ext["width"], ext["height"], ext["duration_ms"]) == (64, 48, 1500)
+    with pytest.raises(NotImplementedError):
+        real_decode(struct.pack(">I", 16) + b"ftypisom" + bytes(4), "video")
