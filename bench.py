@@ -46,6 +46,8 @@ HEADLINE = [
     "topk_per_group",
     "windowed_event_stats",
     "session_windows",
+    "funnel_conversion_events",
+    "retention_cohorts_events",
     "grouping_rollup",
     "hll_distinct_rollup",
     "tpch_q6_revenue_delta",

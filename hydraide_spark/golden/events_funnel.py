@@ -1,0 +1,161 @@
+"""Golden queries: event-sequence analytics — ordered funnel
+conversion and weekly retention cohorts over the events table
+(beyond-parity capability: the reference's subscription model delivers
+raw event streams, SURVEY §2.9; these are the standard analyses a
+product team runs ON those events).
+
+Both are pure DataFrame compositions with engine-exact arithmetic:
+step ordering compares timestamps (µs-resolution testdata, identical
+in both engines), durations aggregate as INTEGER epoch-microsecond
+differences through DECIMAL, and cohort math is date_trunc + integer
+day arithmetic — no float anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from . import golden
+from ._util import big, t
+
+
+@golden(
+    "funnel_conversion_events",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, min(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, min(e.ts) AS t2
+      FROM events e JOIN v ON e.user_id = v.user_id AND e.ts > v.t1
+      WHERE e.event_type = 'click' GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, min(e.ts) AS t3
+      FROM events e JOIN c ON e.user_id = c.user_id AND e.ts > c.t2
+      WHERE e.event_type = 'purchase' GROUP BY e.user_id
+    ),
+    stages AS (
+      SELECT 'step1_view' AS stage, COUNT(*) AS users,
+             CAST(NULL AS BIGINT) AS total_latency_us FROM v
+      UNION ALL
+      SELECT 'step2_click', COUNT(*),
+             CAST(SUM(CAST(date_diff('microsecond', v.t1, c.t2) AS DECIMAL(28,0))) AS BIGINT)
+      FROM c JOIN v ON c.user_id = v.user_id
+      UNION ALL
+      SELECT 'step3_purchase', COUNT(*),
+             CAST(SUM(CAST(date_diff('microsecond', v.t1, p.t3) AS DECIMAL(28,0))) AS BIGINT)
+      FROM p JOIN v ON p.user_id = v.user_id
+    )
+    SELECT stage, CAST(users AS BIGINT) AS users, total_latency_us
+    FROM stages
+    """,
+)
+def funnel_conversion_events(spark, sf_dir):
+    """Ordered funnel view -> click -> purchase: a user advances a step
+    only with an event strictly AFTER their previous step's first
+    completion (the standard product-analytics funnel, not a bag-of-
+    events count). Each step is a filtered groupBy-min plus an
+    inequality join against the previous step's (tiny) per-user frame
+    — at 100 TB the fact is scanned once per step with the step filter
+    pushed down, and every join side after step 1 is user-level (not
+    event-level). Latency totals are exact integer epoch-µs sums."""
+    from ..sources.tables import epoch_us
+
+    ev = t(spark, sf_dir, "events")
+
+    def first_after(event_type, prev, prev_t):
+        e = ev.filter(F.col("event_type") == event_type).alias("e")
+        return (
+            e.join(
+                prev.alias("p"),
+                (F.col("e.user_id") == F.col("p.user_id"))
+                & (F.col("e.ts") > F.col(f"p.{prev_t}")),
+            )
+            .groupBy(F.col("e.user_id").alias("user_id"))
+            .agg(F.min("e.ts").alias("t"))
+        )
+
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = first_after("click", v, "t1").withColumnRenamed("t", "t2")
+    p = first_after("purchase", c, "t2").withColumnRenamed("t", "t3")
+
+    def stage(name, df, t_end):
+        if t_end is None:
+            return df.agg(
+                F.lit(name).alias("stage"),
+                big(F.count(F.lit(1))).alias("users"),
+                F.lit(None).cast("bigint").alias("total_latency_us"),
+            )
+        joined = df.join(v, "user_id")
+        lat = epoch_us(joined, t_end) - epoch_us(joined, "t1")
+        return joined.agg(
+            F.lit(name).alias("stage"),
+            big(F.count(F.lit(1))).alias("users"),
+            F.sum(lat.cast("decimal(28,0)")).cast("bigint").alias("total_latency_us"),
+        )
+
+    return (
+        stage("step1_view", v, None)
+        .unionByName(stage("step2_click", c, "t2"))
+        .unionByName(stage("step3_purchase", p, "t3"))
+    )
+
+
+@golden(
+    "retention_cohorts_events",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+      FROM events GROUP BY user_id
+    ),
+    activity AS (
+      SELECT DISTINCT e.user_id, f.cohort_week,
+             date_diff('day', f.cohort_week,
+                       date_trunc('week', e.ts)) // 7 AS week_offset
+      FROM events e JOIN firsts f ON e.user_id = f.user_id
+    )
+    SELECT CAST(cohort_week AS DATE) AS cohort_week,
+           CAST(week_offset AS BIGINT) AS week_offset,
+           CAST(COUNT(*) AS BIGINT) AS active_users
+    FROM activity
+    GROUP BY cohort_week, week_offset
+    """,
+)
+def retention_cohorts_events(spark, sf_dir):
+    """Weekly retention cohorts: users grouped by the week of their
+    first event; each later active week counts them at its integer
+    week offset — the retention matrix every growth dashboard draws.
+    One groupBy-min over the fact, a user-level join back (the firsts
+    frame is per-user — it broadcasts at any realistic user count),
+    a distinct on (cohort, offset, user), and a tiny final count.
+    date_trunc('week') is ISO-Monday in both engines; offsets are pure
+    integer day arithmetic."""
+    ev = t(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    activity = (
+        ev.join(F.broadcast(firsts), "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            (
+                F.datediff(F.date_trunc("week", F.col("ts")), F.col("cohort_week"))
+                / 7
+            ).cast("bigint").alias("week_offset"),
+        )
+        .distinct()
+    )
+    return activity.groupBy("cohort_week", "week_offset").agg(
+        big(F.count(F.lit(1))).alias("active_users")
+    ).select(
+        F.col("cohort_week").cast("date").alias("cohort_week"),
+        big("week_offset").alias("week_offset"),
+        "active_users",
+    )
