@@ -48,6 +48,8 @@ HEADLINE = [
     "session_windows",
     "funnel_conversion_events",
     "retention_cohorts_events",
+    "events_props_json_stats",
+    "error_burst_islands",
     "grouping_rollup",
     "hll_distinct_rollup",
     "tpch_q6_revenue_delta",

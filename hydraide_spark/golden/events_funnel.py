@@ -159,3 +159,107 @@ def retention_cohorts_events(spark, sf_dir):
         big("week_offset").alias("week_offset"),
         "active_users",
     )
+
+
+@golden(
+    "events_props_json_stats",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           CAST(MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
+           CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def events_props_json_stats(spark, sf_dir):
+    """Semi-structured props: the JSON payload column (the reference's
+    msgpack-typed treasure values, SURVEY §1.3, carried as JSON here)
+    is queried WITHOUT a parse-to-struct ETL step — get_json_object
+    extracts the field inside the scan projection and the aggregate is
+    ordinary integer arithmetic. At 100 TB the JSON decode rides the
+    columnar scan (one pass, no shuffle added); promoting hot fields to
+    real columns is a storage-layout decision, not a query rewrite."""
+    ev = t(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("bigint")
+    return ev.groupBy("event_type").agg(
+        big(F.count(F.lit(1))).alias("n"),
+        F.sum(k).alias("sum_k"),
+        F.min(k).alias("min_k"),
+        F.max(k).alias("max_k"),
+    ).select("event_type", "n", big("sum_k").alias("sum_k"),
+             big("min_k").alias("min_k"), big("max_k").alias("max_k"))
+
+
+@golden(
+    "error_burst_islands",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       > INTERVAL 30 MINUTE
+                   OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  THEN 1 ELSE 0 END AS new_island
+      FROM events WHERE event_type = 'error'
+    ),
+    islands AS (
+      SELECT user_id, ts,
+             SUM(new_island) OVER (PARTITION BY user_id ORDER BY ts
+                                   ROWS UNBOUNDED PRECEDING) AS island_id
+      FROM e
+    )
+    SELECT CAST(user_id AS BIGINT) AS user_id,
+           CAST(island_id AS BIGINT) AS burst_no,
+           CAST(COUNT(*) AS BIGINT) AS n_errors,
+           MIN(ts) AS burst_start,
+           MAX(ts) AS burst_end
+    FROM islands
+    GROUP BY user_id, island_id
+    HAVING COUNT(*) >= 3
+    """,
+)
+def error_burst_islands(spark, sf_dir):
+    """Error-burst detection — the gaps-and-islands pattern (the batch
+    analogue of MATCH_RECOGNIZE / CEP sequence matching): consecutive
+    'error' events per user belong to one burst while gaps stay under
+    30 minutes; bursts of >= 3 errors surface with their bounds. Two
+    per-user windows (lag, running sum) over the error-filtered scan —
+    the filter prunes the fact before any shuffle, and the window
+    partitions by user so no global sort exists. All decisions are
+    timestamp comparisons and integer counts: engine-exact."""
+    from pyspark.sql import Window as W
+
+    from ..sources.tables import epoch_us
+
+    ev = t(spark, sf_dir, "events").filter(F.col("event_type") == "error")
+    w = W.partitionBy("user_id").orderBy("ts")
+    # epoch µs as a long column first (ts may be TIMESTAMP_NTZ, which
+    # does not cast to long); the 30-min gap is 1.8e9 µs exactly
+    evu = ev.select("user_id", "ts", epoch_us(ev, "ts").alias("_tus"))
+    lagged = evu.select(
+        "user_id", "ts",
+        F.when(
+            F.lag("_tus").over(w).isNull()
+            | (F.col("_tus") - F.lag("_tus").over(w) > 30 * 60 * 1_000_000),
+            1,
+        ).otherwise(0).alias("new_island"),
+    )
+    islands = lagged.withColumn(
+        "island_id",
+        F.sum("new_island").over(w.rowsBetween(W.unboundedPreceding, 0)),
+    )
+    return (
+        islands.groupBy("user_id", "island_id")
+        .agg(
+            big(F.count(F.lit(1))).alias("n_errors"),
+            F.min("ts").alias("burst_start"),
+            F.max("ts").alias("burst_end"),
+        )
+        .filter(F.col("n_errors") >= 3)
+        .select(
+            big("user_id").alias("user_id"),
+            big("island_id").alias("burst_no"),
+            "n_errors", "burst_start", "burst_end",
+        )
+    )
