@@ -222,6 +222,9 @@ def run_index_maintenance_loop(
     return (
         docs_stream.writeStream.outputMode("append")
         .queryName(queue_name)
+        # WriteInterval from the store's registered swamp pattern
+        # governs how often postings move to the durable index
+        .trigger(**trigger_for(store))
         .foreachBatch(merge)
         .start()
     )
@@ -232,12 +235,14 @@ def run_ttl_claim_loop(
     store: TreasureStore,
     how_many: int,
     on_claim: Optional[Callable[[DataFrame, int], None]] = None,
-    tick_seconds: int = 1,
+    tick_seconds: Optional[int] = None,
     queue_name: str = "ttl_claims",
 ):
     """Continuous TTL-queue worker: every tick runs ONE serialized
     shift-expired transaction against the store and hands the claimed
     rows to ``on_claim``. Returns the StreamingQuery (caller stops it).
+    ``tick_seconds`` defaults to the store's registered WriteInterval
+    (``trigger_for``).
 
     foreachBatch gives exactly-once per tick against the store's applier;
     two loops on the same store still claim disjoint sets because each
@@ -249,9 +254,14 @@ def run_ttl_claim_loop(
         if on_claim is not None:
             on_claim(claimed, epoch)
 
+    trig = (
+        {"processingTime": f"{int(tick_seconds)} seconds"}
+        if tick_seconds is not None
+        else trigger_for(store)
+    )
     rate = spark.readStream.format("rate").option("rowsPerSecond", 1).load()
     return (
-        rate.writeStream.trigger(processingTime=f"{tick_seconds} seconds")
+        rate.writeStream.trigger(**trig)
         .outputMode("append")
         .queryName(queue_name)
         .foreachBatch(tick)
