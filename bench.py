@@ -67,6 +67,9 @@ HEADLINE = [
     "tpch_q19_disjunctive_revenue",
     "tpch_q22_idle_balance_by_nation",
     "relational_set_ops",
+    "cube_pricing_matrix",
+    "unpivot_lineitem_measures",
+    "exact_quantiles_by_flag",
     "zorder_layout_keys",
     "event_interarrival_stats",
     "moving_window_sum",

@@ -377,3 +377,93 @@ def tpch_q7_nation_volume(spark, sf_dir):
             F.col("l_year").cast("int").alias("l_year"), "volume",
         )
     )
+
+
+@golden(
+    "cube_pricing_matrix",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT)
+             AS gid,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def cube_pricing_matrix(spark, sf_dir):
+    """CUBE over (returnflag, linestatus): all four grouping-set levels
+    in ONE pass — Spark expands the sets map-side and still shuffles
+    only O(groups x levels) partial states, never the fact twice.
+    grouping_id disambiguates aggregated-out dimensions from natural
+    NULLs (none here, but the column contract matters); quantities sum
+    through exact DECIMAL."""
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            big(F.grouping_id()).alias("gid"),
+            big(F.count(F.lit(1))).alias("n"),
+            dbl(F.sum(dec("l_quantity"))).alias("sum_qty"),
+        )
+        .select("l_returnflag", "l_linestatus", "gid", "n", "sum_qty")
+    )
+
+
+@golden(
+    "unpivot_lineitem_measures",
+    oracle="""
+    SELECT CAST(l_orderkey AS BIGINT) AS l_orderkey,
+           CAST(l_linenumber AS INT) AS l_linenumber,
+           m.measure, m.val
+    FROM lineitem, LATERAL (VALUES
+      ('l_quantity', l_quantity),
+      ('l_extendedprice', l_extendedprice),
+      ('l_discount', l_discount)
+    ) AS m(measure, val)
+    """,
+)
+def unpivot_lineitem_measures(spark, sf_dir):
+    """UNPIVOT/melt: wide measures to long (measure, value) rows — the
+    inverse of the profile pivot (operators/read.py::profile_read).
+    Spark's unpivot is a zero-shuffle Expand node (each input row emits
+    one output row per measure in the scan stage); values pass through
+    bit-unchanged so the oracle is a plain lateral VALUES expansion."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.unpivot(
+        ids=["l_orderkey", "l_linenumber"],
+        values=["l_quantity", "l_extendedprice", "l_discount"],
+        variableColumnName="measure",
+        valueColumnName="val",
+    ).select(
+        big("l_orderkey").alias("l_orderkey"),
+        F.col("l_linenumber").cast("int").alias("l_linenumber"),
+        "measure", "val",
+    )
+
+
+@golden(
+    "exact_quantiles_by_flag",
+    oracle="""
+    SELECT l_returnflag,
+           quantile_cont(l_quantity, 0.25) AS q25,
+           quantile_cont(l_quantity, 0.5)  AS q50,
+           quantile_cont(l_quantity, 0.75) AS q75
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def exact_quantiles_by_flag(spark, sf_dir):
+    """EXACT linear-interpolated quantiles per group (Spark
+    `percentile` == DuckDB `quantile_cont`: rank = (n-1)*p, value =
+    lo + (hi-lo)*frac). Quartile fractions are DYADIC (exact in
+    binary), and l_quantity is integral, so the interpolation
+    arithmetic is bit-identical across engines — non-dyadic p (0.9,
+    0.99) would put a last-ulp product into the compared value and is
+    deliberately avoided; approx paths use the sketch family
+    (hll_distinct_rollup etc.)."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile("l_quantity", 0.25).alias("q25"),
+        F.percentile("l_quantity", 0.5).alias("q50"),
+        F.percentile("l_quantity", 0.75).alias("q75"),
+    )
