@@ -107,8 +107,9 @@ _R3_VERIFIED = frozenset(
         # multimodal_real_decode deliberately NOT listed: its payload
         # mix changed in round 4 (JPEG added) and needs a fresh row
         "pq_encode_codes", "semantic_dedup_docs",
+        # tpch_q7_nation_volume deliberately NOT listed: its nation
+        # constants changed in round 4 (non-empty result) — fresh row
         "tpch_q3_shipping_priority", "tpch_q5_local_supplier_volume",
-        "tpch_q7_nation_volume",
     }
 )
 
