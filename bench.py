@@ -70,6 +70,7 @@ HEADLINE = [
     "cube_pricing_matrix",
     "unpivot_lineitem_measures",
     "exact_quantiles_by_flag",
+    "validation_report_lineitem",
     "zorder_layout_keys",
     "event_interarrival_stats",
     "moving_window_sum",

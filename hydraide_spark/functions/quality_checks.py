@@ -1,0 +1,150 @@
+"""Declarative data-quality validation: a rule set compiles to a
+violation report — the Deequ / dbt-tests capability a training-data
+pipeline runs before promoting a snapshot (public concepts: Schelter
+et al., "Automating Large-Scale Data Quality Verification", VLDB'18).
+
+Rule kinds and their execution shape:
+
+- **Row-local** (``not_null``, ``in_range``, ``in_set``, ``matches``):
+  ALL such rules evaluate in ONE aggregate pass over the scan — each
+  rule is a conditional count expression, so 20 rules cost the same
+  single scan + 1-row aggregate as one rule. At 100 TB this is the
+  difference between a validation suite that runs nightly and one that
+  doesn't.
+- **``unique``**: one grouped aggregate on the projected key column —
+  violations = rows in keys with count > 1 (counts every row of a
+  duplicated key beyond the first, i.e. rows that would be dropped by
+  a dedup).
+- **``foreign_key``**: a LEFT ANTI join against the referenced table's
+  projected key column — the FK check never moves more than the two
+  key columns.
+
+The report is one row per rule (rule, violations, total, passed) —
+tiny at any corpus size, and exactly reproducible in SQL (the
+validation_report golden replays every rule)."""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Optional, Sequence
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+@dataclass(frozen=True)
+class Rule:
+    """One expectation. ``kind`` ∈ {not_null, in_range, in_set,
+    matches, unique, foreign_key}."""
+
+    name: str
+    kind: str
+    column: str
+    lo: Optional[float] = None  # in_range (inclusive)
+    hi: Optional[float] = None  # in_range (inclusive)
+    values: tuple = field(default_factory=tuple)  # in_set
+    pattern: Optional[str] = None  # matches (RE2-compatible regex)
+    ref: Optional[DataFrame] = None  # foreign_key target
+    ref_column: Optional[str] = None
+
+
+def not_null(name: str, column: str) -> Rule:
+    return Rule(name, "not_null", column)
+
+
+def in_range(name: str, column: str, lo: float, hi: float) -> Rule:
+    return Rule(name, "in_range", column, lo=lo, hi=hi)
+
+
+def in_set(name: str, column: str, values: Sequence) -> Rule:
+    return Rule(name, "in_set", column, values=tuple(values))
+
+
+def matches(name: str, column: str, pattern: str) -> Rule:
+    return Rule(name, "matches", column, pattern=pattern)
+
+
+def unique(name: str, column: str) -> Rule:
+    return Rule(name, "unique", column)
+
+
+def foreign_key(name: str, column: str, ref: DataFrame, ref_column: str) -> Rule:
+    return Rule(name, "foreign_key", column, ref=ref, ref_column=ref_column)
+
+
+def _violation_expr(r: Rule) -> Column:
+    c = F.col(r.column)
+    if r.kind == "not_null":
+        ok = c.isNotNull()
+    elif r.kind == "in_range":
+        ok = c.isNotNull() & (c >= F.lit(r.lo)) & (c <= F.lit(r.hi))
+    elif r.kind == "in_set":
+        # isin(NULL) is NULL, which a bare WHEN would silently treat as
+        # passing — a NULL is OUTSIDE the domain, so coalesce to False
+        ok = F.coalesce(c.isin(list(r.values)), F.lit(False))
+    elif r.kind == "matches":
+        ok = c.isNotNull() & c.rlike(r.pattern)
+    else:
+        raise ValueError(f"{r.kind} is not a row-local rule")
+    return F.sum(F.when(~ok, 1).otherwise(0)).cast("bigint")
+
+
+def validate(df: DataFrame, rules: Sequence[Rule]) -> DataFrame:
+    """Violation report: one row per rule with (rule, violations,
+    total, passed). Row-local rules share a single scan/aggregate;
+    unique and foreign_key rules add one narrow aggregate/anti-join
+    each over just their key column."""
+    row_local = [r for r in rules if r.kind in ("not_null", "in_range", "in_set", "matches")]
+    reports: list[DataFrame] = []
+    if row_local:
+        aggs = [F.count(F.lit(1)).cast("bigint").alias("_total")]
+        aggs += [_violation_expr(r).alias(f"_v{i}") for i, r in enumerate(row_local)]
+        wide = df.agg(*aggs)
+        # one 1-row frame unpivots to one report row per rule
+        pairs = []
+        for i, r in enumerate(row_local):
+            pairs.append(
+                F.struct(
+                    F.lit(r.name).alias("rule"),
+                    F.col(f"_v{i}").alias("violations"),
+                    F.col("_total").alias("total"),
+                )
+            )
+        reports.append(
+            wide.select(F.explode(F.array(*pairs)).alias("s")).select(
+                "s.rule", "s.violations", "s.total"
+            )
+        )
+    for r in rules:
+        if r.kind == "unique":
+            dup = (
+                df.groupBy(r.column)
+                .agg(F.count(F.lit(1)).alias("_n"))
+                .agg(
+                    F.sum(F.when(F.col("_n") > 1, F.col("_n") - 1).otherwise(0))
+                    .cast("bigint")
+                    .alias("violations"),
+                    F.sum("_n").cast("bigint").alias("total"),
+                )
+            )
+            reports.append(dup.select(F.lit(r.name).alias("rule"), "violations", "total"))
+        elif r.kind == "foreign_key":
+            assert r.ref is not None and r.ref_column is not None
+            total = df.agg(F.count(F.lit(1)).cast("bigint").alias("total"))
+            orphans = (
+                df.select(F.col(r.column))
+                .join(
+                    r.ref.select(F.col(r.ref_column).alias(r.column)).distinct(),
+                    r.column,
+                    "left_anti",
+                )
+                .agg(F.count(F.lit(1)).cast("bigint").alias("violations"))
+            )
+            reports.append(
+                orphans.crossJoin(F.broadcast(total)).select(
+                    F.lit(r.name).alias("rule"), "violations", "total"
+                )
+            )
+    out = reports[0]
+    for rep in reports[1:]:
+        out = out.unionByName(rep)
+    return out.withColumn("passed", F.col("violations") == 0)

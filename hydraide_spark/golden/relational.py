@@ -467,3 +467,74 @@ def exact_quantiles_by_flag(spark, sf_dir):
         F.percentile("l_quantity", 0.5).alias("q50"),
         F.percentile("l_quantity", 0.75).alias("q75"),
     )
+
+
+@golden(
+    "validation_report_lineitem",
+    oracle="""
+    SELECT 'quantity_not_null' AS rule,
+           CAST(SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS violations,
+           CAST(COUNT(*) AS BIGINT) AS total,
+           SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) = 0 AS passed
+    FROM lineitem
+    UNION ALL
+    SELECT 'discount_band',
+           CAST(SUM(CASE WHEN NOT (l_discount IS NOT NULL AND l_discount >= 0.0
+                                   AND l_discount <= 0.05) THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(COUNT(*) AS BIGINT),
+           SUM(CASE WHEN NOT (l_discount IS NOT NULL AND l_discount >= 0.0
+                              AND l_discount <= 0.05) THEN 1 ELSE 0 END) = 0
+    FROM lineitem
+    UNION ALL
+    SELECT 'returnflag_domain',
+           CAST(SUM(CASE WHEN l_returnflag NOT IN ('A','N','R')
+                         OR l_returnflag IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(COUNT(*) AS BIGINT),
+           SUM(CASE WHEN l_returnflag NOT IN ('A','N','R')
+                    OR l_returnflag IS NULL THEN 1 ELSE 0 END) = 0
+    FROM lineitem
+    UNION ALL
+    SELECT 'orderkey_unique',
+           CAST(SUM(n - 1) AS BIGINT), CAST(SUM(n) AS BIGINT), SUM(n - 1) = 0
+    FROM (SELECT COUNT(*) AS n FROM lineitem GROUP BY l_orderkey)
+    UNION ALL
+    SELECT 'orderkey_fk',
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_orderkey = l.l_orderkey)),
+           CAST(COUNT(*) AS BIGINT),
+           (SELECT COUNT(*) FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_orderkey = l.l_orderkey)) = 0
+    FROM lineitem
+    """,
+)
+def validation_report_lineitem(spark, sf_dir):
+    """Deequ/dbt-style declarative validation (Schelter et al.
+    VLDB'18): five expectations over lineitem — three ROW-LOCAL rules
+    (not-null, range band, value domain) that share ONE scan/aggregate
+    pass no matter how many rules, a uniqueness rule (grouped count on
+    the projected key), and a foreign-key rule (LeftAnti against
+    orders' projected key). The discount band is deliberately tight
+    (<= 0.05) and orderkey uniqueness deliberately fails (one order
+    has many lines), so the report proves violation COUNTING, not just
+    all-green paths."""
+    from ..functions.quality_checks import (
+        foreign_key,
+        in_range,
+        in_set,
+        not_null,
+        unique,
+        validate,
+    )
+
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    rules = [
+        not_null("quantity_not_null", "l_quantity"),
+        in_range("discount_band", "l_discount", 0.0, 0.05),
+        in_set("returnflag_domain", "l_returnflag", ["A", "N", "R"]),
+        unique("orderkey_unique", "l_orderkey"),
+        foreign_key("orderkey_fk", "l_orderkey", o, "o_orderkey"),
+    ]
+    return validate(li, rules)
