@@ -71,6 +71,7 @@ HEADLINE = [
     "unpivot_lineitem_measures",
     "exact_quantiles_by_flag",
     "validation_report_lineitem",
+    "profile_documents_table",
     "zorder_layout_keys",
     "event_interarrival_stats",
     "moving_window_sum",

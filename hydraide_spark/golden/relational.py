@@ -538,3 +538,37 @@ def validation_report_lineitem(spark, sf_dir):
         foreign_key("orderkey_fk", "l_orderkey", o, "o_orderkey"),
     ]
     return validate(li, rules)
+
+
+def _profile_col_sql(col: str, dtype: str) -> str:
+    return f"""
+    SELECT '{col}' AS column, '{dtype}' AS dtype,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(*) - COUNT({col}) AS BIGINT) AS n_null,
+           CAST(COUNT(DISTINCT {col}) AS BIGINT) AS n_distinct,
+           CAST(MIN({col}) AS VARCHAR) AS min_str,
+           CAST(MAX({col}) AS VARCHAR) AS max_str
+    FROM documents"""
+
+
+@golden(
+    "profile_documents_table",
+    oracle=" UNION ALL ".join(
+        _profile_col_sql(c, d)
+        for c, d in [
+            ("doc_id", "bigint"), ("text", "string"), ("lang", "string"),
+            ("source", "string"), ("n_chars", "bigint"),
+        ]
+    ),
+)
+def profile_documents_table(spark, sf_dir):
+    """ANALYZE-style table profile: every column's null count, exact
+    distinct count and native-typed min/max fold into ONE wide
+    aggregate over ONE scan (profiling 50 columns costs the same pass
+    as one — the explode of a 1-row frame makes the report). Strings
+    compare in binary collation in both engines; the documents table
+    has no double column, so string-rendered min/max are engine-exact
+    (double rendering differs across engines — the CLAUDE.md rule)."""
+    from ..functions.profiling import profile_table
+
+    return profile_table(t(spark, sf_dir, "documents"))

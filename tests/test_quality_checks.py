@@ -83,3 +83,23 @@ def test_row_local_rules_share_one_scan(spark, tmp_path):
     )
     plan = rep._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Scan parquet") == 1
+
+
+def test_profile_table_single_scan_and_values(spark, tmp_path):
+    from hydraide_spark.functions.profiling import profile_table
+
+    p = str(tmp_path / "t.parquet")
+    spark.createDataFrame(
+        [(1, "a"), (2, None), (2, "c")], "k long, s string"
+    ).write.parquet(p)
+    df = spark.read.parquet(p)
+    rep = {r["column"]: r.asDict() for r in profile_table(df).collect()}
+    assert rep["k"]["n"] == 3 and rep["k"]["n_null"] == 0
+    assert rep["k"]["n_distinct"] == 2
+    assert (rep["k"]["min_str"], rep["k"]["max_str"]) == ("1", "2")
+    assert rep["s"]["n_null"] == 1 and rep["s"]["n_distinct"] == 2
+    plan = profile_table(df)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 1
+    # approx mode keeps the same single-pass shape
+    plan2 = profile_table(df, approx=True)._jdf.queryExecution().executedPlan().toString()
+    assert plan2.count("Scan parquet") == 1
