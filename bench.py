@@ -113,6 +113,7 @@ HEADLINE = [
     "neardup_clusters_star",
     "minhash_lsh_neardup",
     "minhash_lsh_neardup_stable",
+    "minhash_incremental_neardup",
     "simhash_neardup",
     "simhash_neardup_stable",
     "reverse_index_search",

@@ -252,6 +252,92 @@ def minhash_neardup_pairs(
     return verified.select("id_a", "id_b", "inter", "union")
 
 
+def minhash_incremental_pairs(
+    df: DataFrame,
+    new_pred: Column,
+    tau: float,
+    n: int = 3,
+    k: int = 16,
+    bands: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    engine_stable: bool = False,
+) -> DataFrame:
+    """Incremental MinHash+LSH near-dup: only pairs TOUCHING the new
+    batch (``new_pred`` marks new rows) are generated and verified —
+    the shape of a dedup that runs per ingest instead of per corpus.
+
+    The candidate join probes the full banded index with the NEW side
+    only: left = bands of the delta, right = bands of everything, so
+    join work is O(delta x collision density), never O(corpus^2), and
+    historical pairs (both sides old) are never re-materialized — they
+    were found when THEIR batch arrived. In production the right side
+    and the shingle-size frame are the PERSISTED index tables this
+    module's batch pipeline writes (sig/bands are pure functions of the
+    row, so an index built incrementally equals one built from scratch
+    — the same route-equivalence invariant as everything else here);
+    locally both derive from the corpus frame.
+
+    Same signature/band/verify machinery as
+    :func:`minhash_neardup_pairs`, including ``engine_stable`` md5 mode
+    for SQL-oracle replay. Returns (id_a, id_b, inter, union) with
+    id_a < id_b and at least one side new."""
+    assert k % bands == 0
+    rows_per_band = k // bands
+    frac = Fraction(tau).limit_denominator(10**6)
+    num, den = frac.numerator, frac.denominator
+
+    sh = df.select(
+        F.col(id_col), new_pred.alias("_new"), shingles(F.col(text_col), n).alias("sh")
+    ).persist()
+    sh = sh.filter(F.size("sh") > 0)
+    sig = sh.select(
+        F.col(id_col),
+        F.col("_new"),
+        *minhash_signature(F.col("sh"), k, engine_stable=engine_stable),
+    )
+    band_cols = [
+        F.concat_ws(
+            "|",
+            F.lit(str(b)),
+            *[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)],
+        ).alias(f"band{b}")
+        for b in range(bands)
+    ]
+    banded = sig.select(
+        F.col(id_col), F.col("_new"), F.explode(F.array(*band_cols)).alias("bucket")
+    )
+    new_banded = banded.filter(F.col("_new")).select(F.col(id_col), F.col("bucket"))
+    a, b_ = new_banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b_,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") != F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.least(F.col(f"a.{id_col}"), F.col(f"b.{id_col}")).alias("id_a"),
+            F.greatest(F.col(f"a.{id_col}"), F.col(f"b.{id_col}")).alias("id_b"),
+        )
+        .distinct()
+    )
+    sizes = sh.select(F.col(id_col), F.col("sh"), F.size("sh").alias("n_sh"))
+    pa = sizes.select(
+        F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"), F.col("n_sh").alias("n_a")
+    )
+    pb = sizes.select(
+        F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"), F.col("n_sh").alias("n_b")
+    )
+    verified = (
+        cand.join(pa, "id_a")
+        .join(pb, "id_b")
+        .withColumn("inter", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn("union", F.col("n_a") + F.col("n_b") - F.col("inter"))
+        .filter(F.lit(den) * F.col("inter") >= F.lit(num) * F.col("union"))
+    )
+    return verified.select("id_a", "id_b", "inter", "union")
+
+
 SIMHASH_BITS = 64
 
 

@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import Window as W, functions as F
 
 from ..functions.dedup import (
+    minhash_incremental_pairs,
     exact_dedup,
     minhash_neardup_pairs,
     ngram_jaccard_pairs,
@@ -1452,3 +1453,64 @@ def weighted_sample_docs(spark, sf_dir):
         priority_decimals=6,
     )
     return out.select(big("doc_id").alias("doc_id"))
+
+
+@golden(
+    "minhash_incremental_neardup",
+    oracle=f"""
+    WITH corpus AS ({_CORPUS_SQL}),
+    sh AS (
+      SELECT doc_id, list_distinct(list(array_to_string(w[i:i+2], ' '))) AS sh
+      FROM (
+        SELECT doc_id, w, unnest(range(1, len(w) - 1)) AS i
+        FROM (SELECT doc_id, string_split(text, ' ') AS w FROM corpus)
+        WHERE len(w) >= 3
+      )
+      GROUP BY doc_id
+    ),
+    sig AS (
+      SELECT doc_id, sh,
+             {_MH_COLS}
+      FROM sh
+    ),
+    banded AS (
+      {_BAND_ROWS}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM banded a JOIN banded b
+        ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+      WHERE a.doc_id >= 1000000 OR b.doc_id >= 1000000
+    ),
+    sizes AS (SELECT doc_id, sh, len(sh) AS n_sh FROM sh)
+    SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+           CAST(len(list_intersect(sa.sh, sb.sh)) AS BIGINT) AS inter,
+           CAST(sa.n_sh + sb.n_sh - len(list_intersect(sa.sh, sb.sh)) AS BIGINT) AS "union"
+    FROM cand JOIN sizes sa ON cand.id_a = sa.doc_id
+              JOIN sizes sb ON cand.id_b = sb.doc_id
+    WHERE 5 * len(list_intersect(sa.sh, sb.sh))
+          >= 3 * (sa.n_sh + sb.n_sh - len(list_intersect(sa.sh, sb.sh)))
+    """,
+)
+def minhash_incremental_neardup(spark, sf_dir):
+    """INCREMENTAL near-dup: the augmented copies (ids >= 1e6) arrive
+    as a new batch and only pairs touching that batch are generated —
+    the per-ingest dedup shape where the candidate join probes the full
+    banded index with the DELTA side only (O(delta), and old x old
+    pairs never re-materialize). Engine-stable md5 mode; the oracle
+    replays the full-corpus pipeline and restricts candidates to
+    new-touching pairs — equal by construction since sig/bands are pure
+    per-row functions (the incremental-equals-batch route invariant,
+    pinned engine-side in tests/test_dedup.py)."""
+    corpus = _augmented_corpus(spark, sf_dir)
+    out = minhash_incremental_pairs(
+        corpus,
+        F.col("doc_id") >= 1_000_000,
+        tau=0.6, n=3, k=16, bands=4, engine_stable=True,
+    )
+    return out.select(
+        big("id_a").alias("id_a"),
+        big("id_b").alias("id_b"),
+        big("inter").alias("inter"),
+        big("union").alias("union"),
+    )

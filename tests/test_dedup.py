@@ -704,3 +704,35 @@ def test_jaccard_prefix_index_survives_boilerplate_skew(spark):
     got = {(r["id_a"], r["id_b"]) for r in cand}
     expected = {(c * 2 + 1, D + c) for c in range(n_clones)}
     assert got == expected
+
+
+def test_incremental_minhash_equals_batch_restriction(spark):
+    """Route equivalence: incrementally deduping a new batch against
+    the index must find EXACTLY the full-corpus pairs that touch the
+    batch (sig/bands are pure per-row functions, so an index built
+    incrementally equals one built from scratch). Fast xxhash mode."""
+    from hydraide_spark.functions.dedup import (
+        minhash_incremental_pairs,
+        minhash_neardup_pairs,
+    )
+    from hydraide_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
+    copies = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 500_000).alias("doc_id"), "text"
+    )
+    corpus = docs.unionByName(copies)
+    full = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_neardup_pairs(corpus, tau=0.6).collect()
+    }
+    expected = {p for p in full if p[0] >= 500_000 or p[1] >= 500_000}
+    inc = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_incremental_pairs(
+            corpus, F.col("doc_id") >= 500_000, tau=0.6
+        ).collect()
+    }
+    assert inc == expected and len(inc) > 0
