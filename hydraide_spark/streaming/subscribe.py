@@ -145,6 +145,54 @@ def stateful_key_activity(spark: SparkSession, store: TreasureStore) -> DataFram
     )
 
 
+def streaming_funnel_progress(events: DataFrame, steps: Sequence[str]) -> DataFrame:
+    """Stateful streaming funnel (the live form of
+    golden/events_funnel.funnel_conversion_events): per user, track the
+    furthest ORDERED step reached — a step only counts once all earlier
+    steps completed, and completion times must strictly increase. Emits
+    one update row per user per batch: (user_id, stage, stage_ts).
+
+    State is one (stage, last_ts) tuple per user (applyInPandasWithState
+    — O(live users / executor)); within a batch events sort by time, so
+    cross-batch order only matters at the watermark granularity the
+    caller configures upstream. The built-in aggregates cannot express
+    this: advancement depends on the ORDER of event types, not their
+    multiset."""
+    import pandas as pd  # local import: worker-side dependency
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    step_ix = {s: i for i, s in enumerate(steps)}
+
+    def update(key, pdfs, state: GroupState):
+        stage, last_us = (state.get if state.exists else (-1, -1))
+        for pdf in pdfs:
+            pdf = pdf.sort_values("ts")
+            for _, row in pdf.iterrows():
+                nxt = step_ix.get(row["event_type"])
+                t_us = int(row["ts"].value // 1_000)
+                if nxt == stage + 1 and t_us > last_us:
+                    stage, last_us = nxt, t_us
+        state.update((int(stage), int(last_us)))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "stage": [int(stage)],
+                "stage_ts_us": [int(last_us)],
+            }
+        )
+
+    return (
+        events.groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType="user_id bigint, stage int, stage_ts_us bigint",
+            stateStructType="stage int, last_us bigint",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def streaming_exact_dedup(
     stream: DataFrame,
     dedup_cols: Sequence[str],

@@ -651,3 +651,72 @@ def test_concurrent_shift_matching_claimants_disjoint(spark, tmp_path):
     assert store.current().count() == 0
     # every claim observed a consistent snapshot: batches are full-sized
     assert all(len(b) == 7 for tag in ("a", "b") for b in claims[tag])
+
+
+def test_streaming_funnel_tracks_ordered_stages(spark, tmp_path):
+    """Stateful streaming funnel: a step advances a user only in order
+    and only with strictly increasing timestamps, across micro-batch
+    boundaries (state survives between files)."""
+    import os
+
+    from hydraide_spark.streaming.subscribe import streaming_funnel_progress
+
+    evdir = str(tmp_path / "ev")
+    os.makedirs(evdir)
+    schema = "user_id long, event_type string, ts timestamp"
+    t0 = datetime(2024, 1, 1, 12, 0, 0)
+
+    def write_batch(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(evdir)
+
+    # batch 1: u1 views then clicks; u2 clicks FIRST (must not advance),
+    # then views; u3 views
+    write_batch(
+        [
+            (1, "view", t0),
+            (1, "click", t0 + timedelta(minutes=1)),
+            (2, "click", t0),
+            (2, "view", t0 + timedelta(minutes=1)),
+            (3, "view", t0),
+        ]
+    )
+    # batch 2 (state must carry over): u1 purchases; u2 clicks (now in
+    # order); u3 re-views (no advance — 'view' is not the next step)
+    write_batch(
+        [
+            (1, "purchase", t0 + timedelta(minutes=5)),
+            (2, "click", t0 + timedelta(minutes=6)),
+            (3, "view", t0 + timedelta(minutes=7)),
+        ]
+    )
+
+    ev = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(evdir)
+    )
+    out = streaming_funnel_progress(ev, ["view", "click", "purchase"])
+    q = (
+        out.writeStream.format("memory")
+        .queryName("funnel_out")
+        .outputMode("update")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # last update per user wins
+        rows = spark.sql(
+            """SELECT user_id, stage FROM (
+                 SELECT user_id, stage,
+                        ROW_NUMBER() OVER (PARTITION BY user_id
+                                           ORDER BY stage DESC) rn
+                 FROM funnel_out) WHERE rn = 1"""
+        ).collect()
+        got = {r["user_id"]: r["stage"] for r in rows}
+    finally:
+        q.stop()
+    # u1 completed all three steps (stage 2), u2 reached click (1)
+    # only after the ordered view, u3 never left view (0)
+    assert got == {1: 2, 2: 1, 3: 0}
