@@ -111,6 +111,7 @@ HEADLINE = [
     "ngram_jaccard_neardup",
     "neardup_clusters",
     "neardup_clusters_star",
+    "pagerank_citation_graph",
     "minhash_lsh_neardup",
     "minhash_lsh_neardup_stable",
     "minhash_incremental_neardup",

@@ -157,6 +157,7 @@ def _load_all() -> None:
     from . import registry_q  # noqa: F401
     from . import tpch_more  # noqa: F401
     from . import events_funnel  # noqa: F401
+    from . import graph_q  # noqa: F401
     from . import multimodal  # noqa: F401
     from . import windows  # noqa: F401
     from . import relational  # noqa: F401

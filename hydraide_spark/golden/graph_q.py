@@ -1,0 +1,101 @@
+"""Golden query: PageRank over a deterministic citation graph, with a
+fixed-iteration oracle that unrolls the power iteration in SQL —
+every rank bit-matches because contribution sums go through
+DECIMAL(38,18) (partition-invariant) and every double step (base
+share, dangling share, damping multiply) has the same operand order in
+both engines."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..functions.graph import pagerank
+from . import golden
+from ._util import t
+
+_D = "'0.85'::DOUBLE"  # string-cast: exact strtod, same double as Python 0.85
+_ITERS = 4
+
+
+def _pagerank_sql(iters: int) -> str:
+    parts = [
+"""ndocs AS (SELECT CAST(COUNT(*) AS BIGINT) AS cnt FROM documents),
+    edges AS (
+      SELECT DISTINCT src, dst FROM (
+        SELECT doc_id AS src, (doc_id * 31 + 7) % (SELECT cnt FROM ndocs) AS dst
+        FROM documents
+        UNION ALL
+        SELECT doc_id, (doc_id * 17 + 3) % (SELECT cnt FROM ndocs) FROM documents
+      ) WHERE src <> dst
+    ),
+    nodes AS (
+      SELECT src AS node FROM edges UNION SELECT dst FROM edges
+    ),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS cnt FROM nodes),
+    od AS (SELECT src, COUNT(*) AS out_deg FROM edges GROUP BY src),
+    r0 AS (
+      SELECT node, 1.0::DOUBLE / (SELECT CAST(cnt AS DOUBLE) FROM nn) AS rank
+      FROM nodes
+    )"""
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"""wd{i} AS (
+      SELECT r.node, r.rank, od.out_deg
+      FROM r{i - 1} r LEFT JOIN od ON od.src = r.node
+    ),
+    d{i} AS (
+      SELECT COALESCE(SUM(CAST(rank AS DECIMAL(38,18))),
+                      CAST(0 AS DECIMAL(38,18))) AS dm
+      FROM wd{i} WHERE out_deg IS NULL
+    ),
+    c{i} AS (
+      SELECT e.dst AS node,
+             SUM(CAST(r.rank / r.out_deg AS DECIMAL(38,18))) AS csum
+      FROM wd{i} r JOIN edges e ON e.src = r.node
+      WHERE r.out_deg IS NOT NULL
+      GROUP BY e.dst
+    ),
+    r{i} AS (
+      SELECT n.node,
+             (((1.0::DOUBLE - {_D}) / (SELECT CAST(cnt AS DOUBLE) FROM nn))
+              + ((SELECT CAST(dm AS DOUBLE) FROM d{i}) * {_D})
+                / (SELECT CAST(cnt AS DOUBLE) FROM nn))
+             + {_D} * COALESCE(CAST(cs.csum AS DOUBLE), 0.0::DOUBLE) AS rank
+      FROM nodes n LEFT JOIN c{i} cs ON cs.node = n.node
+    )"""
+        )
+    body = ",\n    ".join(parts)
+    return f"""
+    WITH {body}
+    SELECT CAST(node AS BIGINT) AS node, rank FROM r{iters}
+    """
+
+
+@golden("pagerank_citation_graph", oracle=_pagerank_sql(_ITERS))
+def pagerank_citation_graph(spark, sf_dir):
+    """PageRank (Brin & Page WWW'98), ORACLE-EXACT: 4 power iterations
+    over a deterministic 2-out-link citation graph on the documents
+    table (dst = id*31+7 and id*17+3 mod N, self-links removed —
+    modular arithmetic both engines replay). The oracle unrolls the
+    iteration in SQL; ranks bit-match UNROUNDED because per-node
+    contribution sums aggregate in DECIMAL(38,18) (partition-order-
+    independent — the reason distributed PageRank is usually
+    nondeterministic and here is not) and the scalar steps (base
+    share, dangling redistribution, damping) keep one fixed operand
+    order. Per-iteration cost: one equi-join + one grouped sum — no
+    collect_list fan-in, dangling mass as a broadcast 1-row
+    aggregate."""
+    docs = t(spark, sf_dir, "documents").select("doc_id")
+    n_docs = docs.count()
+    e1 = docs.select(
+        F.col("doc_id").alias("src"),
+        ((F.col("doc_id") * 31 + 7) % n_docs).alias("dst"),
+    )
+    e2 = docs.select(
+        F.col("doc_id").alias("src"),
+        ((F.col("doc_id") * 17 + 3) % n_docs).alias("dst"),
+    )
+    edges = e1.unionByName(e2).filter(F.col("src") != F.col("dst"))
+    out = pagerank(edges, damping=0.85, iterations=_ITERS)
+    return out.select(F.col("node").cast("bigint").alias("node"), "rank")
