@@ -115,6 +115,7 @@ HEADLINE = [
     "minhash_lsh_neardup",
     "minhash_lsh_neardup_stable",
     "minhash_incremental_neardup",
+    "fuzzy_record_linkage",
     "simhash_neardup",
     "simhash_neardup_stable",
     "reverse_index_search",

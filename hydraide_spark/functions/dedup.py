@@ -252,6 +252,67 @@ def minhash_neardup_pairs(
     return verified.select("id_a", "id_b", "inter", "union")
 
 
+def edit_distance_link_pairs(
+    df: DataFrame,
+    max_edit: int,
+    n_blocks: int = 2,
+    id_col: str = "rec_id",
+    text_col: str = "rec",
+) -> DataFrame:
+    """Fuzzy record linkage / entity resolution: pairs with
+    ``levenshtein <= max_edit``, candidates from CONTIGUOUS-SLICE
+    blocking — split every record into ``n_blocks`` equal slices and
+    equi-join on (slice_no, slice text). By pigeonhole, two records
+    differing in at most ``n_blocks - 1`` SUBSTITUTIONS agree exactly
+    on at least one slice, so blocking is recall-lossless for the
+    typo-linkage case (pure substitutions, equal lengths) whenever
+    ``max_edit < n_blocks``; insert/delete edits shift slice
+    boundaries and get the standard blocking recall instead (raise
+    n_blocks or add a length-band pass). Verification is exact
+    integer levenshtein — same DP definition in every engine, so the
+    pair set is engine-exact.
+
+    Scale: the blocking key co-groups candidates like every other
+    near-dup path here (never a cross join); slice blocks of ~L/n
+    chars keep bucket sizes tracking true-duplicate density."""
+    L = F.length(F.col(text_col))
+    per = F.expr(f"(length({text_col}) + {n_blocks} - 1) div {n_blocks}")
+    sliced = df.select(
+        F.col(id_col),
+        F.col(text_col),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_blocks - 1)),
+                lambda b: F.struct(
+                    b.alias("block_no"),
+                    F.substring(F.col(text_col), b * per + 1, per).alias("piece"),
+                ),
+            )
+        ).alias("s"),
+    ).select(id_col, text_col, "s.block_no", "s.piece")
+    a, b_ = sliced.alias("a"), sliced.alias("b")
+    cand = (
+        a.join(
+            b_,
+            (F.col("a.block_no") == F.col("b.block_no"))
+            & (F.col("a.piece") == F.col("b.piece"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col(f"a.{text_col}").alias("_ta"),
+            F.col(f"b.{text_col}").alias("_tb"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn("edit_dist", F.levenshtein("_ta", "_tb"))
+        .filter(F.col("edit_dist") <= max_edit)
+        .select("id_a", "id_b", "edit_dist")
+    )
+
+
 def minhash_incremental_pairs(
     df: DataFrame,
     new_pred: Column,

@@ -1514,3 +1514,68 @@ def minhash_incremental_neardup(spark, sf_dir):
         big("inter").alias("inter"),
         big("union").alias("union"),
     )
+
+
+_REC_SQL = """
+      SELECT c_custkey AS rec_id,
+             'cust-' || CAST(c_custkey AS VARCHAR) AS rec
+      FROM customer
+      UNION ALL
+      SELECT c_custkey + 1000000,
+             substr('cust-' || CAST(c_custkey AS VARCHAR), 1,
+                    length('cust-' || CAST(c_custkey AS VARCHAR)) - 1) || 'X'
+      FROM customer WHERE c_custkey % 5 = 0
+"""
+
+
+@golden(
+    "fuzzy_record_linkage",
+    oracle=f"""
+    WITH recs AS ({_REC_SQL}),
+    sl AS (
+      SELECT rec_id, rec, u.b AS block_no,
+             substr(rec, u.b * ((length(rec) + 1) // 2) + 1,
+                    (length(rec) + 1) // 2) AS piece
+      FROM recs, unnest([0, 1]) AS u(b)
+    ),
+    cand AS (
+      SELECT DISTINCT a.rec_id AS id_a, b.rec_id AS id_b,
+                      a.rec AS ra, b.rec AS rb
+      FROM sl a JOIN sl b
+        ON a.block_no = b.block_no AND a.piece = b.piece
+       AND a.rec_id < b.rec_id
+    )
+    SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+           CAST(levenshtein(ra, rb) AS INT) AS edit_dist
+    FROM cand WHERE levenshtein(ra, rb) <= 1
+    """,
+)
+def fuzzy_record_linkage(spark, sf_dir):
+    """Fuzzy record linkage (entity resolution): customer keys carried
+    as text records plus single-substitution corruptions (last char ->
+    'X' for every 5th customer); contiguous-slice blocking (2 slices —
+    by pigeonhole a 1-substitution pair agrees exactly on one slice,
+    recall-lossless) generates candidates as an equi-join, exact
+    integer levenshtein verifies. The same DP definition in both
+    engines makes the pair set engine-exact; no cross join anywhere —
+    the near-dup family invariant."""
+    from ..functions.dedup import edit_distance_link_pairs
+
+    c = t(spark, sf_dir, "customer")
+    base = c.select(
+        F.col("c_custkey").alias("rec_id"),
+        F.concat(F.lit("cust-"), F.col("c_custkey").cast("string")).alias("rec"),
+    )
+    corrupted = base.filter(F.col("rec_id") % 5 == 0).select(
+        (F.col("rec_id") + 1_000_000).alias("rec_id"),
+        F.concat(
+            F.expr("substr(rec, 1, length(rec) - 1)"), F.lit("X")
+        ).alias("rec"),
+    )
+    recs = base.unionByName(corrupted)
+    out = edit_distance_link_pairs(recs, max_edit=1, n_blocks=2)
+    return out.select(
+        big("id_a").alias("id_a"),
+        big("id_b").alias("id_b"),
+        F.col("edit_dist").cast("int").alias("edit_dist"),
+    )

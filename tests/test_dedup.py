@@ -736,3 +736,31 @@ def test_incremental_minhash_equals_batch_restriction(spark):
         ).collect()
     }
     assert inc == expected and len(inc) > 0
+
+
+def test_edit_distance_linkage_pigeonhole_recall(spark):
+    """Slice blocking is recall-lossless for <= n_blocks-1 pure
+    substitutions: every corrupted pair must be found; candidates stay
+    an equi-join (no cross-join blowup on a shared-prefix corpus)."""
+    from hydraide_spark.functions.dedup import edit_distance_link_pairs
+
+    n = 300
+    base = spark.range(n).select(
+        F.col("id").alias("rec_id"),
+        F.concat(F.lit("record-"), F.col("id").cast("string")).alias("rec"),
+    )
+    # substitute one char in the SECOND half for even ids
+    corr = base.filter(F.col("rec_id") % 2 == 0).select(
+        (F.col("rec_id") + 10_000).alias("rec_id"),
+        F.concat(F.expr("substr(rec, 1, length(rec) - 1)"), F.lit("Z")).alias("rec"),
+    )
+    pairs = {
+        (r["id_a"], r["id_b"], r["edit_dist"])
+        for r in edit_distance_link_pairs(
+            base.unionByName(corr), max_edit=1, n_blocks=2
+        ).collect()
+    }
+    expected = {(i, i + 10_000, 1) for i in range(0, n, 2)}
+    assert expected <= pairs  # recall: every true pair found
+    # precision comes from the verify: nothing beyond edit distance 1
+    assert all(d <= 1 for _, _, d in pairs)
