@@ -86,3 +86,17 @@ def read_csv(
 def write_csv(df: DataFrame, path: str, header: bool = True) -> None:
     w = df.write.mode("overwrite").option("header", str(header).lower())
     w.csv(path)
+
+
+def read_parquet_evolved(spark: SparkSession, *paths: str) -> DataFrame:
+    """Read parquet generations whose schema GREW over time (new
+    nullable columns in later ingests) as one frame: ``mergeSchema``
+    unions the file schemas and back-fills missing columns with NULL.
+
+    Scale note: mergeSchema reads every file's FOOTER to build the
+    union — O(#files) metadata work, not a data pass — so it belongs
+    on generation boundaries (a handful of directory roots), not on
+    every query; once merged, write the canonical schema back so daily
+    readers pay nothing. Column REMOVALS or type changes are not
+    evolution — they need an explicit migration select."""
+    return spark.read.option("mergeSchema", "true").parquet(*paths)

@@ -79,3 +79,33 @@ def test_jsonl_permissive_quarantines_malformed(spark, tmp_path):
     assert len(bad) == 1 and bad[0][CORRUPT_COL] == "not json either"
     # caller's schema object must not grow the corrupt column (no mutation)
     assert [f.name for f in st.fields] == ["doc_id", "text"]
+
+
+def test_parquet_schema_evolution_mergeschema(spark, tmp_path):
+    """Corpus generations gain columns: gen1 (id, text), gen2 adds
+    lang. read_parquet_evolved unions the schemas and NULL-fills the
+    old generation; plain single-path reads stay untouched."""
+    from hydraide_spark.sources.formats import read_parquet_evolved
+
+    g1, g2 = str(tmp_path / "gen1"), str(tmp_path / "gen2")
+    spark.createDataFrame([(1, "a")], "id long, text string").write.parquet(g1)
+    spark.createDataFrame(
+        [(2, "b", "en")], "id long, text string, lang string"
+    ).write.parquet(g2)
+    df = read_parquet_evolved(spark, g1, g2)
+    assert set(df.columns) == {"id", "text", "lang"}
+    rows = {r["id"]: r["lang"] for r in df.collect()}
+    assert rows == {1: None, 2: "en"}
+
+
+def test_orc_roundtrip_matches_parquet(spark, tmp_path):
+    """ORC as an additional interchange edge: a round-trip preserves
+    values and schema exactly (Spark-native, no extra deps)."""
+    src = spark.createDataFrame(
+        [(1, "x", 1.5), (2, "y", -2.25)], "id long, s string, v double"
+    )
+    p = str(tmp_path / "t.orc")
+    src.write.orc(p)
+    back = spark.read.orc(p)
+    assert back.schema == src.schema
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, src.collect()))
