@@ -738,10 +738,12 @@ def test_incremental_minhash_equals_batch_restriction(spark):
     assert inc == expected and len(inc) > 0
 
 
-def test_edit_distance_linkage_pigeonhole_recall(spark):
-    """Slice blocking is recall-lossless for <= n_blocks-1 pure
-    substitutions: every corrupted pair must be found; candidates stay
-    an equi-join (no cross-join blowup on a shared-prefix corpus)."""
+def test_edit_distance_linkage_pigeonhole_recall_and_purge(spark):
+    """Slice blocking finds every pair that agrees on a NON-purged
+    slice; the shared 'record-' prefix slice is a purged hot block
+    (the M^2 bomb the purge exists for), so corruption goes in the
+    FIRST half and true pairs collide on the high-entropy digit
+    slice."""
     from hydraide_spark.functions.dedup import edit_distance_link_pairs
 
     n = 300
@@ -749,18 +751,21 @@ def test_edit_distance_linkage_pigeonhole_recall(spark):
         F.col("id").alias("rec_id"),
         F.concat(F.lit("record-"), F.col("id").cast("string")).alias("rec"),
     )
-    # substitute one char in the SECOND half for even ids
     corr = base.filter(F.col("rec_id") % 2 == 0).select(
         (F.col("rec_id") + 10_000).alias("rec_id"),
-        F.concat(F.expr("substr(rec, 1, length(rec) - 1)"), F.lit("Z")).alias("rec"),
+        F.concat(F.lit("rZcord-"), F.col("rec_id").cast("string")).alias("rec"),
     )
+    recs = base.unionByName(corr)
     pairs = {
         (r["id_a"], r["id_b"], r["edit_dist"])
         for r in edit_distance_link_pairs(
-            base.unionByName(corr), max_edit=1, n_blocks=2
+            recs, max_edit=1, n_blocks=2, max_block_size=50
         ).collect()
     }
     expected = {(i, i + 10_000, 1) for i in range(0, n, 2)}
-    assert expected <= pairs  # recall: every true pair found
-    # precision comes from the verify: nothing beyond edit distance 1
+    assert expected <= pairs  # recall through the digit slice
     assert all(d <= 1 for _, _, d in pairs)
+    # without purging, the shared-prefix slice makes candidates ~M^2;
+    # with it, candidate volume tracks true pairs (ceiling well under
+    # the 450*449/2 cross-pair count)
+    assert len(pairs) <= 3 * len(expected)
