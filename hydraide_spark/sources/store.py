@@ -175,6 +175,41 @@ class TreasureStore:
         self._cached = None
         return True
 
+    def snapshot(self, v: int) -> DataFrame:
+        """Time travel: read snapshot version ``v`` exactly as written
+        (versions are immutable directories, so historical reads cost
+        the same as current ones and need no log replay). Raises
+        FileNotFoundError for a compacted/never-written version."""
+        if v not in self._versions():
+            raise FileNotFoundError(f"store {self.root} has no snapshot v={v}")
+        return self.spark.read.parquet(self._snapshot_path(v))
+
+    def history(self) -> DataFrame:
+        """SCD2 history from the change log: one row per key VERSION
+        with (key, value JSON, valid_from_batch, valid_to_batch, op).
+        ``valid_to_batch`` is NULL while the version is current;
+        DELETED events close the previous interval and carry no value.
+        Built with one per-key lead() window over the append-only log —
+        O(events) work, no snapshot reads — and consistent with the
+        snapshots by construction (each batch id IS a snapshot
+        version; equivalence asserted in tests, the reference's
+        chronicle-replay property)."""
+        from pyspark.sql import Window as W
+
+        ev = self.changes()
+        w = W.partitionBy("key").orderBy("batch_id")
+        return (
+            ev.withColumn("valid_to_batch", F.lead("batch_id").over(w))
+            .select(
+                "key",
+                F.col("new").alias("value"),
+                F.col("batch_id").alias("valid_from_batch"),
+                "valid_to_batch",
+                "op",
+                "event_time",
+            )
+        )
+
     def init(self, df: DataFrame) -> None:
         """Create v=0 without emitting events (bulk load / migration)."""
         self._writer(df).parquet(self._snapshot_path(self.version + 1))
