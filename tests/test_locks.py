@@ -89,3 +89,48 @@ def test_independent_keys_do_not_contend():
     assert a and b
     lm.unlock("a", a)
     lm.unlock("b", b)
+
+
+def test_lock_stress_mutual_exclusion_and_liveness():
+    """Stress (the reference ships lock_stress_test.go): many threads
+    over few keys with random hold times; at most one holder per key
+    at any instant, no lost wakeups (every acquire eventually
+    succeeds), and all queues drain clean."""
+    import random
+
+    lm = LockManager()
+    keys = ["k0", "k1", "k2"]
+    holders = {k: 0 for k in keys}
+    max_seen = {k: 0 for k in keys}
+    acquired = []
+    guard = threading.Lock()
+    errors = []
+
+    def worker(seed):
+        rng = random.Random(seed)
+        try:
+            for _ in range(8):
+                k = rng.choice(keys)
+                lid = lm.lock(k, ttl_sec=30, timeout=20)
+                assert lid is not None, "liveness: acquire timed out"
+                with guard:
+                    holders[k] += 1
+                    max_seen[k] = max(max_seen[k], holders[k])
+                time.sleep(rng.uniform(0, 0.004))
+                with guard:
+                    holders[k] -= 1
+                lm.unlock(k, lid)
+                with guard:
+                    acquired.append((seed, k))
+        except BaseException as e:
+            errors.append(e)
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(12)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=60)
+    assert not errors, errors
+    assert all(m == 1 for m in max_seen.values()), max_seen  # mutual exclusion
+    assert len(acquired) == 12 * 8  # every acquire succeeded
+    assert all(lm.holder(k) is None for k in keys)  # queues drained
