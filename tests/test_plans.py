@@ -462,3 +462,21 @@ def test_tpch_q22_anti_join_and_projected_probe(spark):
     assert "LeftAnti" in p
     exp = df._jdf.queryExecution().toString()
     assert "ReadSchema: struct<o_custkey:bigint" in exp or "o_custkey" in exp
+
+
+def test_no_cartesian_product_in_any_golden_plan(spark):
+    """Global anti-pattern sweep: EVERY registered golden query's
+    physical plan is free of CartesianProduct — the one join strategy
+    that cannot survive scale. (1-row broadcast stat joins plan as
+    BroadcastNestedLoopJoin with a bounded build side and are fine.)
+    Builds all ~140 plans at sf0.001; ~1 min, the price of making the
+    invariant structural instead of per-query."""
+    from hydraide_spark.golden import queries
+    from hydraide_spark.plans import physical_plan
+
+    offenders = []
+    for name, fn in queries().items():
+        df = fn(spark, "/root/testdata/sf0.001")
+        if "CartesianProduct" in physical_plan(df):
+            offenders.append(name)
+    assert not offenders, offenders
