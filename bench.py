@@ -96,6 +96,7 @@ HEADLINE = [
     "ann_topk_ivf_stable",
     "pq_ann_topk_stable",
     "ivfadc_topk_stable",
+    "knn_self_join_stable",
     "embedding_neardup",
     "semantic_dedup_docs",
     "label_centroid_sums",

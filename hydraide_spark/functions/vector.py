@@ -162,6 +162,55 @@ def _bounded_training_sample(
     return rows
 
 
+def lsh_knn_self_join(
+    df: DataFrame,
+    k: int,
+    dim: int,
+    n_bits: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """kNN SELF-join: every row's top-k cosine neighbors among its LSH
+    bucket-mates — the all-rows form of :func:`lsh_topk` (per-query
+    ANN asks "neighbors of these few"; corpus curation asks "neighbors
+    of EVERY row": near-dup graphs, diversity sampling, kNN-graph
+    construction). The bucket equi-join keeps candidate volume at
+    sum(bucket²) ≈ corpus × bucket-size — never corpus² — and the
+    per-row window is a partial TopK per id. Rows alone in their
+    bucket emit nothing (no candidates — the recall/coverage trade of
+    single-probe LSH; lower n_bits or multi-probe to raise coverage).
+    Returns (id_a, id_b, score, rank), rank 1..k by score desc with
+    id tiebreak."""
+    planes = make_planes(dim, n_bits, seed)
+    b = df.select(
+        F.col(id_col),
+        F.col(vec_col),
+        lsh_bucket_expr(F.col(vec_col), planes).alias("_bucket"),
+    )
+    left = b.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"), F.col("_bucket")
+    )
+    right = b.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"), F.col("_bucket")
+    )
+    cand = left.join(
+        right, (left._bucket == right._bucket) & (F.col("id_a") != F.col("id_b"))
+    ).select(
+        "id_a",
+        "id_b",
+        cosine_similarity(
+            F.transform(F.col("_va"), lambda x: x.cast("double")),
+            F.transform(F.col("_vb"), lambda x: x.cast("double")),
+        ).alias("score"),
+    )
+    w = W.partitionBy("id_a").orderBy(F.col("score").desc(), F.col("id_b").asc())
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def train_ivf_centroids(
     df: DataFrame,
     n_centroids: int = 16,

@@ -37,6 +37,7 @@ from pyspark.sql import functions as F
 
 from ..functions.vector import (
     centroid_means,
+    lsh_knn_self_join,
     group_centroid_sums,
     ivf_topk,
     ivfadc_topk,
@@ -391,4 +392,49 @@ def ivfadc_topk_stable(spark, sf_dir):
         big("query_id").alias("query_id"),
         big("vec_id").alias("vec_id"),
         F.round("adist", 4).alias("adist"),
+    )
+
+
+@golden(
+    "knn_self_join_stable",
+    oracle=f"""
+    WITH e AS ({_E}),
+    pl AS ({_LSH_PLANES_CTE}),
+    b AS (
+      SELECT e.vec_id, e.v, {_LSH_BUCKET} AS bucket
+      FROM e CROSS JOIN pl
+    ),
+    cand AS (
+      SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+             {_cos('a.v', 'c.v')} AS score
+      FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id <> c.vec_id
+    ),
+    ranked AS (
+      SELECT id_a, id_b, score,
+             ROW_NUMBER() OVER (PARTITION BY id_a
+                                ORDER BY score DESC, id_b ASC) AS rn
+      FROM cand
+    )
+    SELECT CAST(id_a AS BIGINT) AS id_a,
+           CAST(id_b AS BIGINT) AS id_b,
+           round(score, 4) AS score,
+           CAST(rn AS INT) AS rank
+    FROM ranked WHERE rn <= 5
+    """,
+)
+def knn_self_join_stable(spark, sf_dir):
+    """kNN-graph construction, ENGINE-STABLE: every embedding's top-5
+    cosine neighbors among its LSH bucket-mates, candidate volume
+    bounded by the bucket equi-join (sum of bucket sizes squared —
+    never corpus²) and the final graph bit-identical in SQL (exact
+    plane literals, left-fold dots, deterministic rank tiebreaks).
+    The all-rows companion of `ann_topk_lsh_stable`; coverage/recall
+    of single-probe bucketing is the documented LSH trade."""
+    emb = t(spark, sf_dir, "embeddings")
+    out = lsh_knn_self_join(emb, k=5, dim=64, n_bits=_LSH_BITS, seed=42)
+    return out.select(
+        big("id_a").alias("id_a"),
+        big("id_b").alias("id_b"),
+        F.round("score", 4).alias("score"),
+        F.col("rank").cast("int").alias("rank"),
     )
