@@ -45,6 +45,7 @@ HEADLINE = [
     "geo_radius_pairs",
     "topk_per_group",
     "windowed_event_stats",
+    "sliding_window_event_stats",
     "session_windows",
     "funnel_conversion_events",
     "retention_cohorts_events",

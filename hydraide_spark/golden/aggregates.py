@@ -464,3 +464,54 @@ def interval_join_incidents(spark, sf_dir):
         big("user_id").alias("user_id"),
         "event_type",
     )
+
+
+@golden(
+    "sliding_window_event_stats",
+    oracle="""
+    WITH ev AS (
+      SELECT event_type, value, epoch_us(ts) AS eus FROM events
+    ),
+    exploded AS (
+      SELECT event_type, value,
+             ((eus // 900000000) * 900000000 - u.k * 900000000) AS ws_us
+      FROM ev, unnest(range(0, 4)) AS u(k)
+    )
+    SELECT CAST(ws_us // 1000000 AS BIGINT) AS window_start_s,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total_value
+    FROM exploded
+    GROUP BY ws_us, event_type
+    """,
+)
+def sliding_window_event_stats(spark, sf_dir):
+    """SLIDING (hopping) event-time windows — 1 h windows every 15 min,
+    so each event lands in exactly 4 overlapping windows (window =
+    4 x slide): the dashboard shape tumbling windows can't give
+    (smooth rates without 1 h quantization). Spark's window() expands
+    each row to its windows BEFORE the grouped aggregate — same
+    partial-agg shuffle as tumbling, x4 rows; the oracle replays the
+    epoch-aligned window starts with integer µs arithmetic and the
+    output keys are integer epoch seconds, so no timestamp rendering
+    is compared. Value sums through DECIMAL as ever."""
+    from ..sources.tables import epoch_us, load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    win = F.window("ts", "1 hour", "15 minutes")
+    grouped = (
+        ev.groupBy(win.alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dbl(F.sum(dec("value", scale=6))).alias("total_value"),
+        )
+        .withColumn("ws", F.col("w.start"))
+    )
+    return grouped.select(
+        (epoch_us(grouped, "ws") / F.lit(1_000_000))
+        .cast("bigint")
+        .alias("window_start_s"),
+        "event_type",
+        big("n_events").alias("n_events"),
+        "total_value",
+    )
