@@ -145,6 +145,46 @@ def stateful_key_activity(spark: SparkSession, store: TreasureStore) -> DataFram
     )
 
 
+def stream_stream_attribution_join(
+    views: DataFrame,
+    clicks: DataFrame,
+    within: str = "10 minutes",
+    watermark: str = "30 seconds",
+) -> DataFrame:
+    """Stream-STREAM interval join (click attribution): each click
+    joins the SAME user's view that happened at most ``within`` before
+    it — two live streams, neither side static. Both sides carry
+    watermarks and the join condition bounds event-time distance, so
+    Spark can expire buffered state: view-side state is held only for
+    ``within`` + watermark, click-side only for the watermark — the
+    contract that makes a stream-stream join runnable forever
+    (unbounded-state joins are rejected by the engine outright).
+
+    Inputs need (user_id, ts[, ...]) each; output is one row per
+    attributed (view, click) pair with the attribution latency."""
+    v = views.select(
+        F.col("user_id"),
+        F.col("ts").alias("view_ts"),
+    ).withWatermark("view_ts", watermark)
+    c = clicks.select(
+        F.col("user_id").alias("c_user_id"),
+        F.col("ts").alias("click_ts"),
+    ).withWatermark("click_ts", watermark)
+    return v.join(
+        c,
+        (F.col("user_id") == F.col("c_user_id"))
+        & (F.col("click_ts") >= F.col("view_ts"))
+        & (F.col("click_ts") <= F.col("view_ts") + F.expr(f"INTERVAL {within}")),
+    ).select(
+        "user_id",
+        "view_ts",
+        "click_ts",
+        (
+            F.col("click_ts").cast("double") - F.col("view_ts").cast("double")
+        ).alias("latency_s"),
+    )
+
+
 def streaming_funnel_progress(events: DataFrame, steps: Sequence[str]) -> DataFrame:
     """Stateful streaming funnel (the live form of
     golden/events_funnel.funnel_conversion_events): per user, track the

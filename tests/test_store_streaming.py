@@ -772,3 +772,46 @@ def test_time_travel_and_scd2_history_consistent_with_snapshots(spark, tmp_path)
     # current versions are open intervals
     open_rows = [r for r in hist if r["valid_to_batch"] is None and r["op"] != "DELETED"]
     assert {r["key"] for r in open_rows} == {"a", "c"}
+
+
+def test_stream_stream_attribution_join(spark, tmp_path):
+    """Stream-STREAM interval join: clicks attribute to the same user's
+    view within 10 minutes; out-of-window and cross-user clicks drop.
+    Both sides are live file streams with watermarks (the bounded-state
+    contract — Spark rejects unbounded stream-stream joins)."""
+    import os
+
+    from hydraide_spark.streaming.subscribe import stream_stream_attribution_join
+
+    vdir, cdir = str(tmp_path / "views"), str(tmp_path / "clicks")
+    os.makedirs(vdir), os.makedirs(cdir)
+    schema = "user_id long, ts timestamp"
+    t0 = datetime(2024, 1, 1, 12, 0, 0)
+
+    spark.createDataFrame(
+        [(1, t0), (2, t0), (3, t0)], schema
+    ).coalesce(1).write.mode("append").parquet(vdir)
+    spark.createDataFrame(
+        [
+            (1, t0 + timedelta(minutes=5)),   # attributed
+            (2, t0 + timedelta(minutes=30)),  # outside the 10-min window
+            (4, t0 + timedelta(minutes=1)),   # no matching view user
+        ],
+        schema,
+    ).coalesce(1).write.mode("append").parquet(cdir)
+
+    v = spark.readStream.schema(schema).parquet(vdir)
+    c = spark.readStream.schema(schema).parquet(cdir)
+    out = stream_stream_attribution_join(v, c, within="10 minutes")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("attr_out")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = spark.sql("SELECT user_id, latency_s FROM attr_out").collect()
+    finally:
+        q.stop()
+    assert [(r["user_id"], r["latency_s"]) for r in rows] == [(1, 300.0)]
