@@ -35,7 +35,11 @@ def pagerank(
     """Fixed-iteration PageRank on a directed edge list. Returns
     (node, rank) with ranks summing to ~1 (dangling mass
     redistributed uniformly). Deterministic and partition-invariant:
-    same edges => bit-identical ranks, any layout."""
+    same edges => bit-identical ranks, any layout.
+
+    The node universe is DERIVED from the edges — a node appearing in
+    no edge at all is absent from the result (union a zero-degree
+    node frame first if isolated entities must score (1-d)/n)."""
     spark = edges.sparkSession
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
     nodes = (

@@ -93,6 +93,14 @@ def validate(df: DataFrame, rules: Sequence[Rule]) -> DataFrame:
     total, passed). Row-local rules share a single scan/aggregate;
     unique and foreign_key rules add one narrow aggregate/anti-join
     each over just their key column."""
+    if not rules:
+        raise ValueError("validate() needs at least one rule")
+    known = {"not_null", "in_range", "in_set", "matches", "unique", "foreign_key"}
+    unknown = [r.name for r in rules if r.kind not in known]
+    if unknown:
+        # a typo'd kind must fail loudly — silently dropping a rule is
+        # exactly the false-green a validation suite exists to prevent
+        raise ValueError(f"unknown rule kind for: {unknown}")
     row_local = [r for r in rules if r.kind in ("not_null", "in_range", "in_set", "matches")]
     reports: list[DataFrame] = []
     if row_local:

@@ -75,6 +75,12 @@ class SwampSettings:
             # reference ComparePattern (app/name/name.go:162-173):
             # sanctuary always compares exactly; only realm/swamp wildcard
             raise ValueError("sanctuary segment cannot be a wildcard")
+        if self.close_after_idle_sec < 0 or self.write_interval_sec <= 0:
+            # negative idle would evict the cache on every tick; a
+            # non-positive trigger interval is not a valid stream cadence
+            raise ValueError(
+                "close_after_idle_sec must be >= 0 and write_interval_sec > 0"
+            )
 
     # -- matching ----------------------------------------------------------
 

@@ -103,3 +103,18 @@ def test_profile_table_single_scan_and_values(spark, tmp_path):
     # approx mode keeps the same single-pass shape
     plan2 = profile_table(df, approx=True)._jdf.queryExecution().executedPlan().toString()
     assert plan2.count("Scan parquet") == 1
+
+
+def test_validate_rejects_unknown_kind_and_empty_rules(spark):
+    """A typo'd rule kind must fail loudly, not silently vanish from
+    the report (the false-green a validation suite exists to prevent);
+    an empty rule set is a caller bug."""
+    import pytest as _pytest
+
+    from hydraide_spark.functions.quality_checks import Rule, validate
+
+    df = _df(spark)
+    with _pytest.raises(ValueError, match="unknown rule kind"):
+        validate(df, [Rule("typo", "not_nul", "v")])
+    with _pytest.raises(ValueError, match="at least one"):
+        validate(df, [])

@@ -136,3 +136,10 @@ def test_trigger_for_uses_registered_write_interval(spark, tmp_path):
     plain = TreasureStore(spark, str(tmp_path / "s2"))
     assert trigger_for(configured) == {"processingTime": "42 seconds"}
     assert trigger_for(plain) == {"processingTime": "1 seconds"}
+
+
+def test_settings_reject_nonsense_intervals():
+    with pytest.raises(ValueError):
+        SwampSettings("a/b/c", close_after_idle_sec=-1)
+    with pytest.raises(ValueError):
+        SwampSettings("a/b/c", write_interval_sec=0)
