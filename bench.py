@@ -98,6 +98,7 @@ HEADLINE = [
     "pq_ann_topk_stable",
     "ivfadc_topk_stable",
     "knn_self_join_stable",
+    "ann_topk_multiprobe_stable",
     "embedding_neardup",
     "semantic_dedup_docs",
     "label_centroid_sums",

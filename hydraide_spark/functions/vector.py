@@ -162,6 +162,87 @@ def _bounded_training_sample(
     return rows
 
 
+def lsh_multiprobe_topk(
+    df: DataFrame,
+    queries: DataFrame,
+    k: int,
+    dim: int,
+    n_bits: int = 8,
+    n_probes: int = 3,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Multi-probe LSH ANN (Lv et al., "Multi-Probe LSH", VLDB'07):
+    each query probes its own bucket PLUS the buckets reached by
+    flipping its ``n_probes - 1`` least-confident sign bits (the
+    hyperplanes with the smallest |dot| — the ones a true neighbor
+    most plausibly landed on the other side of). Recall rises toward
+    multi-table LSH levels without any extra index: the corpus is
+    still bucketed ONCE and the probe set is a per-query expression,
+    so at 100 TB this is n_probes partition-pruned lookups instead of
+    L independent hash tables. Exact cosine re-rank within candidates;
+    a corpus row matches at most one probe string (buckets partition
+    the corpus), so no dedup is needed."""
+    planes = make_planes(dim, n_bits, seed)
+    corpus = df.withColumn("_bucket", lsh_bucket_expr(F.col(vec_col), planes))
+    qv = F.col(query_vec_col).cast("array<double>")
+    base_bucket = lsh_bucket_expr(qv, planes)
+    # per-plane |dot| with the plane index; ascending sort puts the
+    # least-confident planes first (ties break on the plane index)
+    conf = F.array_sort(
+        F.array(
+            *[
+                F.struct(
+                    F.abs(dot_product(qv, _as_double_array(p))).alias("a"),
+                    F.lit(i).alias("p"),
+                )
+                for i, p in enumerate(planes)
+            ]
+        )
+    )
+    flip_positions = F.slice(
+        F.transform(conf, lambda s: s.getField("p")), 1, n_probes - 1
+    )
+
+    def flipped(pos: Column) -> Column:
+        ch = F.substring(F.col("_b"), pos + 1, 1)
+        return F.concat(
+            F.substring(F.col("_b"), 1, pos),
+            F.when(ch == "1", F.lit("0")).otherwise(F.lit("1")),
+            F.substring(F.col("_b"), pos + 2, n_bits),
+        )
+
+    q = (
+        queries.select(
+            F.col(query_id_col),
+            qv.alias("_qv"),
+            base_bucket.alias("_b"),
+            flip_positions.alias("_flips"),
+        )
+        .withColumn(
+            "_bucket",
+            F.explode(
+                F.concat(F.array(F.col("_b")), F.transform(F.col("_flips"), flipped))
+            ),
+        )
+        .select(query_id_col, "_qv", "_bucket")
+    )
+    cand = corpus.join(F.broadcast(q), "_bucket").select(
+        F.col(query_id_col),
+        F.col(id_col),
+        cosine_similarity(F.col(vec_col), F.col("_qv")).alias("score"),
+    )
+    w = W.partitionBy(query_id_col).orderBy(F.col("score").desc(), F.col(id_col).asc())
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .drop("rank")
+    )
+
+
 def lsh_knn_self_join(
     df: DataFrame,
     k: int,

@@ -38,6 +38,7 @@ from pyspark.sql import functions as F
 from ..functions.vector import (
     centroid_means,
     lsh_knn_self_join,
+    lsh_multiprobe_topk,
     group_centroid_sums,
     ivf_topk,
     ivfadc_topk,
@@ -437,4 +438,79 @@ def knn_self_join_stable(spark, sf_dir):
         big("id_b").alias("id_b"),
         F.round("score", 4).alias("score"),
         F.col("rank").cast("int").alias("rank"),
+    )
+
+
+_PLANE_ROWS = ", ".join(
+    f"({i}, {_dlist(p)})" for i, p in enumerate(_PLANES)
+)
+
+
+@golden(
+    "ann_topk_multiprobe_stable",
+    oracle=f"""
+    WITH e AS ({_E}),
+    pl AS ({_LSH_PLANES_CTE}),
+    plr AS (SELECT * FROM (VALUES {_PLANE_ROWS}) AS t(p, pv)),
+    b AS (
+      SELECT e.vec_id, e.v, {_LSH_BUCKET} AS bucket
+      FROM e CROSS JOIN pl
+    ),
+    q AS (SELECT vec_id AS query_id, v AS qv, bucket AS qb
+          FROM b WHERE vec_id < 5),
+    conf AS (
+      SELECT q.query_id, plr.p,
+             ROW_NUMBER() OVER (
+               PARTITION BY q.query_id
+               ORDER BY abs({_dot('q.qv', 'plr.pv')}) ASC, plr.p ASC
+             ) AS rn
+      FROM q CROSS JOIN plr
+    ),
+    probes AS (
+      SELECT query_id, qb AS pb FROM q
+      UNION ALL
+      SELECT c.query_id,
+             substr(q.qb, 1, c.p)
+             || (CASE WHEN substr(q.qb, c.p + 1, 1) = '1'
+                      THEN '0' ELSE '1' END)
+             || substr(q.qb, c.p + 2, {_LSH_BITS}) AS pb
+      FROM conf c JOIN q ON q.query_id = c.query_id
+      WHERE c.rn <= 3
+    ),
+    cand AS (
+      SELECT p.query_id, b.vec_id, {_cos('b.v', 'q.qv')} AS score
+      FROM probes p
+      JOIN b ON b.bucket = p.pb
+      JOIN q ON q.query_id = p.query_id
+    ),
+    ranked AS (
+      SELECT query_id, vec_id, score,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, vec_id ASC) AS rn
+      FROM cand
+    )
+    SELECT CAST(query_id AS BIGINT) AS query_id,
+           CAST(vec_id AS BIGINT) AS vec_id,
+           round(score, 4) AS score
+    FROM ranked WHERE rn <= 10
+    """,
+)
+def ann_topk_multiprobe_stable(spark, sf_dir):
+    """Multi-probe LSH (Lv et al. VLDB'07), ENGINE-STABLE: each query
+    probes its bucket plus the 3 buckets from flipping its
+    least-confident sign bits — probe SELECTION (sort by exact |dot|
+    with plane-index tiebreak), the flipped bucket strings, the
+    candidate set and the re-ranked top-10 all replay bit-for-bit in
+    SQL. Recall rises toward multi-table levels while the corpus stays
+    bucketed once (n_probes partition-pruned lookups at scale, not L
+    hash tables); the recall lift itself is pinned in
+    tests/test_vectors_stable.py."""
+    emb = t(spark, sf_dir, "embeddings")
+    out = lsh_multiprobe_topk(
+        emb, _queries_df(emb), k=10, dim=64, n_bits=_LSH_BITS, n_probes=4, seed=42
+    )
+    return out.select(
+        big("query_id").alias("query_id"),
+        big("vec_id").alias("vec_id"),
+        F.round("score", 4).alias("score"),
     )

@@ -84,3 +84,38 @@ def test_label_centroids_are_contiguous():
         ).fetchall()
     ]
     assert labs == list(range(len(labs)))
+
+
+def test_multiprobe_lifts_recall_over_single_probe():
+    """Multi-probe LSH must dominate single-probe recall at the same
+    bit count (the flipped least-confident buckets only ADD candidates)
+    while probing n_probes buckets instead of building n_probes
+    tables."""
+    from pyspark.sql import functions as F
+
+    from hydraide_spark.functions.vector import (
+        cosine_topk,
+        lsh_multiprobe_topk,
+    )
+    from hydraide_spark.session import get_spark
+    from hydraide_spark.sources.tables import load_table
+
+    spark = get_spark("t")
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact = {(r["query_id"], r["vec_id"]) for r in cosine_topk(emb, queries, k=10).collect()}
+
+    def recall(n_probes):
+        got = {
+            (r["query_id"], r["vec_id"])
+            for r in lsh_multiprobe_topk(
+                emb, queries, k=10, dim=64, n_bits=4, n_probes=n_probes
+            ).collect()
+        }
+        return len(got & exact) / len(exact)
+
+    r1, r5 = recall(1), recall(5)
+    assert r5 > r1, (r1, r5)
+    assert r5 >= 0.4  # measured 0.485 on this corpus; floor with margin
