@@ -21,7 +21,7 @@ multi-dimension generalization its users ask for when filtering on
 
 from __future__ import annotations
 
-from typing import Sequence
+from typing import Optional, Sequence
 
 from pyspark.sql import Column, DataFrame, functions as F
 
@@ -102,6 +102,39 @@ def zorder_key(cols: Sequence[Column | str], bits: int = 16) -> Column:
             bit = F.shiftright(c.cast("long"), i).bitwiseAND(F.lit(1))
             key = key.bitwiseOR(F.shiftleft(bit, i * n + j))
     return key
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    cols: Sequence[str],
+    bits: int = 16,
+    num_files: Optional[int] = None,
+) -> None:
+    """Write ``df`` as parquet clustered by the Z-order of ``cols``:
+    min-max-normalize each dimension, interleave, range-partition on
+    the key (one output file per range) and sort within partitions —
+    after which EVERY interleaved column's per-file min/max footprint
+    is narrow, so row-group/file zone maps prune reads filtered on ANY
+    of them (a single-column sort gives this for one column and
+    nothing for the rest; proven empirically from the parquet footers
+    in tests/test_plans.py). The key columns are written as-is; the
+    key itself is dropped (it is derivable and would bloat the
+    schema)."""
+    out = df
+    for c in cols:
+        out = minmax_normalize(out, c, bits)
+    zbins = [f"{c}_zbin" for c in cols]
+    assert_zorder_domain(out, zbins, bits)
+    out = out.withColumn("_zkey", zorder_key(zbins, bits))
+    n = num_files or out.sparkSession.sparkContext.defaultParallelism
+    (
+        out.repartitionByRange(n, "_zkey")
+        .sortWithinPartitions("_zkey")
+        .drop("_zkey", *zbins)
+        .write.mode("overwrite")
+        .parquet(path)
+    )
 
 
 def zorder_key_sql(cols: Sequence[str], bits: int = 16) -> str:

@@ -480,3 +480,57 @@ def test_no_cartesian_product_in_any_golden_plan(spark):
         if "CartesianProduct" in physical_plan(df):
             offenders.append(name)
     assert not offenders, offenders
+
+
+def test_write_zordered_narrows_zone_maps_on_both_dimensions(spark, tmp_path):
+    """The empirical layout claim: after write_zordered on (partkey,
+    suppkey), EVERY file's parquet-footer min/max footprint is narrow
+    on BOTH columns, so zone maps prune filters on either — while a
+    plain single-column sort leaves the second column's footprint at
+    ~the full domain (no pruning possible)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from hydraide_spark.functions.layout import write_zordered
+    from hydraide_spark.sources.tables import load_table
+
+    li = load_table(spark, "/root/testdata/sf0.01", "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey"
+    )
+    zpath = str(tmp_path / "zordered")
+    write_zordered(li, zpath, ["l_partkey", "l_suppkey"], bits=10, num_files=8)
+    spath = str(tmp_path / "single_sorted")
+    (
+        li.repartitionByRange(8, "l_partkey")
+        .sortWithinPartitions("l_partkey")
+        .write.parquet(spath)
+    )
+
+    def avg_footprint(path, col):
+        lo = min(r[col] for r in li.agg(F.min(col).alias(col)).collect())
+        hi = max(r[col] for r in li.agg(F.max(col).alias(col)).collect())
+        domain = hi - lo + 1
+        fracs = []
+        for f in glob.glob(path + "/*.parquet"):
+            md = pq.ParquetFile(f)
+            ix = md.schema_arrow.get_field_index(col)
+            stats = [
+                md.metadata.row_group(i).column(ix).statistics
+                for i in range(md.metadata.num_row_groups)
+            ]
+            mn = min(st.min for st in stats)
+            mx = max(st.max for st in stats)
+            fracs.append((mx - mn + 1) / domain)
+        return sum(fracs) / len(fracs)
+
+    # single-column sort: perfect on the sort column, useless on the other
+    assert avg_footprint(spath, "l_partkey") < 0.35
+    assert avg_footprint(spath, "l_suppkey") > 0.8
+    # z-order: BOTH columns substantially narrower than the full domain
+    zp, zs = avg_footprint(zpath, "l_partkey"), avg_footprint(zpath, "l_suppkey")
+    assert zp < 0.7 and zs < 0.7, (zp, zs)
+    # and the second dimension strictly beats the single-sort layout
+    assert zs < avg_footprint(spath, "l_suppkey")
+    # round trip: clustering reorders rows, loses none
+    assert spark.read.parquet(zpath).count() == li.count()
