@@ -51,6 +51,7 @@ HEADLINE = [
     "retention_cohorts_events",
     "events_props_json_stats",
     "error_burst_islands",
+    "anomaly_outlier_events",
     "grouping_rollup",
     "hll_distinct_rollup",
     "tpch_q6_revenue_delta",

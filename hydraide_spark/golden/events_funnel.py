@@ -263,3 +263,64 @@ def error_burst_islands(spark, sf_dir):
             "n_errors", "burst_start", "burst_end",
         )
     )
+
+
+@golden(
+    "anomaly_outlier_events",
+    oracle="""
+    WITH m AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS s,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))
+                      * CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS s2
+      FROM events GROUP BY event_type
+    ),
+    stats AS (
+      SELECT event_type, n,
+             s / n AS mean,
+             sqrt(greatest(s2 / n - (s / n) * (s / n), 0.0)) AS std
+      FROM m
+    )
+    SELECT CAST(e.event_id AS BIGINT) AS event_id,
+           e.event_type, e.value,
+           round((e.value - st.mean) / st.std, 4) AS zscore
+    FROM events e JOIN stats st ON e.event_type = st.event_type
+    WHERE abs(e.value - st.mean) > 3.0 * st.std
+    """,
+)
+def anomaly_outlier_events(spark, sf_dir):
+    """Z-score anomaly detection per event type: moments from EXACT
+    DECIMAL sums (value and value² at scale 6 — engine-identical), so
+    mean/std and the 3-sigma boundary are the same IEEE doubles in
+    both engines (variance floored at 0 before sqrt: a near-constant
+    group's tiny negative rounding residue would otherwise go NaN,
+    whose comparison semantics DIFFER between engines — Spark treats
+    NaN > x as false, DuckDB sorts NaN greatest). One grouped
+    aggregate + a broadcast stats join back to the scan: two passes,
+    no shuffle of the fact beyond the tiny per-type partials."""
+    ev = t(spark, sf_dir, "events")
+    v = F.col("value").cast("decimal(18,6)")
+    m = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(v).cast("double").alias("s"),
+        F.sum(v * v).cast("double").alias("s2"),
+    )
+    mean = F.col("s") / F.col("n")
+    stats = m.select(
+        "event_type",
+        mean.alias("mean"),
+        F.sqrt(
+            F.greatest(F.col("s2") / F.col("n") - mean * mean, F.lit(0.0))
+        ).alias("std"),
+    )
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .filter(F.abs(F.col("value") - F.col("mean")) > F.lit(3.0) * F.col("std"))
+        .select(
+            big("event_id").alias("event_id"),
+            "event_type",
+            "value",
+            F.round((F.col("value") - F.col("mean")) / F.col("std"), 4).alias("zscore"),
+        )
+    )
