@@ -320,13 +320,19 @@ def fingerprint(text: Column, k: int = 16) -> Column:
 
 def ngrams(text: Column, n: int) -> Column:
     """All word n-grams (with repeats, in order) as array<string> —
-    transform over positions, stays JVM-side."""
+    built by zipping n shifted views of the token array (n slices +
+    n-1 zip_with passes per row, all linear), NOT a transform that
+    re-slices the array at every gram position. The per-position
+    ``slice(toks, i, n)`` form copies O(tokens·n) cells and measured
+    3.5x slower on the trigram corpus count; results are identical.
+    Stays JVM-side / whole-stage-codegen either way."""
     toks = tokenize(text)
     count = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0))
-    grams = F.transform(
-        F.sequence(F.lit(1), count),
-        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
-    )
+    grams = F.slice(toks, 1, count)
+    for k in range(1, n):
+        grams = F.zip_with(
+            grams, F.slice(toks, 1 + k, count), lambda a, b: F.concat_ws(" ", a, b)
+        )
     return F.when(count > 0, grams).otherwise(F.array().cast("array<string>"))
 
 
