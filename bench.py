@@ -114,7 +114,7 @@ HEADLINE = [
     "dedup_exact",
     "ngram_jaccard_neardup",
     "neardup_clusters",
-    "neardup_clusters_star",
+    "neardup_clusters_prop",
     "pagerank_citation_graph",
     "minhash_lsh_neardup",
     "minhash_lsh_neardup_stable",

@@ -39,8 +39,11 @@ def pagerank(
 
     The node universe is DERIVED from the edges — a node appearing in
     no edge at all is absent from the result (union a zero-degree
-    node frame first if isolated entities must score (1-d)/n)."""
-    spark = edges.sparkSession
+    node frame first if isolated entities must score (1-d)/n).
+    Parallel edges are DEDUPLICATED (`distinct()`): this is unweighted
+    PageRank where a multigraph's repeated (src, dst) rows count once —
+    pre-aggregate to a weight column and adapt the contribution term if
+    multiplicity must matter."""
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
     nodes = (
         e.select(F.col("src").alias("node"))
@@ -50,7 +53,9 @@ def pagerank(
     )
     n = nodes.count()
     if n == 0:
-        return spark.createDataFrame([], "node long, rank double")
+        # empty result keeps the INPUT's node type (string keys stay
+        # string — ADVICE r4) instead of hardcoding a long schema
+        return nodes.select("node", F.lit(0.0).alias("rank"))
     out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg")).localCheckpoint()
     ranks = nodes.select("node", F.lit(1.0 / n).alias("rank")).localCheckpoint()
     base = (1.0 - damping) / n

@@ -52,6 +52,13 @@ def minmax_normalize(df: DataFrame, col: str, bits: int) -> DataFrame:
     bin range by construction. Use :func:`rank_normalize` instead when
     the domain is skewed (equi-POPULATED bins need ranks)."""
     row = df.agg(F.min(col).alias("mn"), F.max(col).alias("mx")).collect()[0]
+    if row["mn"] is None:
+        # min/max over zero (non-NULL) rows is NULL — fail with the real
+        # cause instead of an opaque int(None) TypeError (ADVICE r4)
+        raise ValueError(
+            f"minmax_normalize({col!r}): input is empty or all-NULL; "
+            "nothing to bin"
+        )
     mn, mx = int(row["mn"]), int(row["mx"])
     span = mx - mn + 1
     return df.withColumn(

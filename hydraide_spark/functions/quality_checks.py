@@ -85,7 +85,9 @@ def _violation_expr(r: Rule) -> Column:
         ok = c.isNotNull() & c.rlike(r.pattern)
     else:
         raise ValueError(f"{r.kind} is not a row-local rule")
-    return F.sum(F.when(~ok, 1).otherwise(0)).cast("bigint")
+    # SUM over zero rows is NULL — an empty promotion candidate must
+    # report 0 violations / passed=true, not a NULL verdict (ADVICE r4)
+    return F.coalesce(F.sum(F.when(~ok, 1).otherwise(0)), F.lit(0)).cast("bigint")
 
 
 def validate(df: DataFrame, rules: Sequence[Rule]) -> DataFrame:
@@ -128,10 +130,14 @@ def validate(df: DataFrame, rules: Sequence[Rule]) -> DataFrame:
                 df.groupBy(r.column)
                 .agg(F.count(F.lit(1)).alias("_n"))
                 .agg(
-                    F.sum(F.when(F.col("_n") > 1, F.col("_n") - 1).otherwise(0))
+                    # empty input -> zero groups -> SUM is NULL; report 0
+                    F.coalesce(
+                        F.sum(F.when(F.col("_n") > 1, F.col("_n") - 1).otherwise(0)),
+                        F.lit(0),
+                    )
                     .cast("bigint")
                     .alias("violations"),
-                    F.sum("_n").cast("bigint").alias("total"),
+                    F.coalesce(F.sum("_n"), F.lit(0)).cast("bigint").alias("total"),
                 )
             )
             reports.append(dup.select(F.lit(r.name).alias("rule"), "violations", "total"))

@@ -275,8 +275,13 @@ def lsh_knn_self_join(
     right = b.select(
         F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"), F.col("_bucket")
     )
-    cand = left.join(
-        right, (left._bucket == right._bucket) & (F.col("id_a") != F.col("id_b"))
+    # join on the SHARED column name: `left._bucket == right._bucket`
+    # resolves both sides to the same parent attribute (Spark warns
+    # "trivially true equals predicate" and only disambiguates via the
+    # dataset-id heuristic — fragile across versions; ADVICE r4)
+    cand = (
+        left.join(right, on="_bucket")
+        .filter(F.col("id_a") != F.col("id_b"))
     ).select(
         "id_a",
         "id_b",

@@ -100,7 +100,7 @@ _R3_VERIFIED = frozenset(
         # quality_classifier_docs / zorder_layout_keys deliberately NOT
         # listed: both changed in round 4 (denominator guard; rank-
         # normalized bins) and need fresh rows
-        "filter_nested_path", "patch_struct_ops", "neardup_clusters_star",
+        "filter_nested_path", "patch_struct_ops", "neardup_clusters_prop",
         "curation_pipeline_docs",
         "temperature_mix_sample_docs", "chunk_documents_rag",
         "minhash_lsh_neardup_stable", "simhash_neardup_stable",

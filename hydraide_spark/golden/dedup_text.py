@@ -294,29 +294,33 @@ _CLUSTERS_ORACLE = f"""
 def neardup_clusters_q(spark, sf_dir):
     """Duplicate CLUSTERS, not just pairs: connected components over the
     exact n-gram-Jaccard pair graph, labeled by the component's minimum
-    doc id (the canonical survivor a dedup pipeline keeps). The oracle
-    computes the same components via a recursive-CTE transitive closure
-    — exact agreement pins the iterative Spark loop's convergence."""
-    from ..functions.dedup import neardup_clusters, ngram_jaccard_pairs
-
-    corpus = _augmented_corpus(spark, sf_dir)
-    pairs = ngram_jaccard_pairs(corpus, tau=0.6, n=3).persist()
-    out = neardup_clusters(pairs)
-    return out.select(big("doc_id").alias("doc_id"), big("cluster_id").alias("cluster_id"))
-
-
-@golden("neardup_clusters_star", oracle=_CLUSTERS_ORACLE)
-def neardup_clusters_star_q(spark, sf_dir):
-    """Same duplicate clusters through the alternating large-star /
-    small-star contraction (Kiveris et al. SoCC'14) — the O(log^2 n)-
-    round scale path for graphs whose diameter defeats plain label
-    propagation. Identical oracle: both algorithms must land on the
-    exact component-min labeling."""
+    doc id (the canonical survivor a dedup pipeline keeps). The DEFAULT
+    path is alternating large-star / small-star contraction (Kiveris et
+    al. SoCC'14): O(log^2 n) rounds regardless of component diameter —
+    the only safe default at 100 TB, where one adversarial chain would
+    stall O(diameter) label propagation. The oracle computes the same
+    components via a recursive-CTE transitive closure — exact agreement
+    pins the iterative Spark loop's convergence."""
     from ..functions.dedup import ngram_jaccard_pairs, star_contraction_clusters
 
     corpus = _augmented_corpus(spark, sf_dir)
     pairs = ngram_jaccard_pairs(corpus, tau=0.6, n=3).persist()
     out = star_contraction_clusters(pairs)
+    return out.select(big("doc_id").alias("doc_id"), big("cluster_id").alias("cluster_id"))
+
+
+@golden("neardup_clusters_prop", oracle=_CLUSTERS_ORACLE)
+def neardup_clusters_prop_q(spark, sf_dir):
+    """Same duplicate clusters via plain min-label propagation — the
+    simple O(diameter)-round alternative for near-clique duplicate
+    graphs (it RAISES rather than under-converge on long chains).
+    Identical oracle: both algorithms must land on the exact
+    component-min labeling."""
+    from ..functions.dedup import neardup_clusters, ngram_jaccard_pairs
+
+    corpus = _augmented_corpus(spark, sf_dir)
+    pairs = ngram_jaccard_pairs(corpus, tau=0.6, n=3).persist()
+    out = neardup_clusters(pairs)
     return out.select(big("doc_id").alias("doc_id"), big("cluster_id").alias("cluster_id"))
 
 

@@ -33,9 +33,13 @@ def swamp_pattern_routing(spark, sf_dir):
     from its MOST SPECIFIC match (deterministic, unlike the reference's
     map-iteration pick, settings.go:252-263). The oracle replays the
     routing as literals — proving exact beats swamp-wildcard beats
-    full-wildcard — against the same grouped count. Resolution is
-    driver-side over O(#swamps) names; the data path stays one grouped
-    aggregate."""
+    full-wildcard — against the same grouped count. The swamp list is
+    DECLARED (the registered namespace is the routing input, exactly as
+    the reference's RegisterSwamp client declares its swamps up front) —
+    registry resolution never scans the data to discover its keys, so at
+    100 TB the data path stays one grouped aggregate with no prior
+    discovery pass; unknown statuses would surface as NULL-settings rows
+    rather than silently widening the route table."""
     reg = SwampRegistry()
     reg.register(
         SwampSettings(
@@ -53,9 +57,9 @@ def swamp_pattern_routing(spark, sf_dir):
     )
 
     orders = t(spark, sf_dir, "orders")
-    statuses = sorted(
-        r[0] for r in orders.select("o_orderstatus").distinct().collect()
-    )
+    # Declared swamp list (the TPC-H order-status domain) — NOT discovered
+    # by scanning the table; see docstring.
+    statuses = ["F", "O", "P"]
     resolved = {s: reg.resolve(f"tpch/orders/{s}") for s in statuses}
 
     def case(attr, cast=None):

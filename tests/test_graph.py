@@ -58,3 +58,25 @@ def test_two_cycle_converges_to_uniform(spark):
     e = spark.createDataFrame([(0, 1), (1, 0)], "src long, dst long")
     r = _ranks(pagerank(e, iterations=8))
     assert abs(r[0] - 0.5) < 1e-12 and abs(r[1] - 0.5) < 1e-12
+
+
+def test_pagerank_empty_edges_preserves_node_key_type(spark):
+    """The empty-graph early return must inherit the edge key type —
+    a string-keyed graph used to get a hardcoded long-typed empty
+    frame, breaking downstream unions (ADVICE r4)."""
+    e = spark.createDataFrame([], "src string, dst string")
+    out = pagerank(e, iterations=3)
+    assert out.count() == 0
+    assert dict(out.dtypes) == {"node": "string", "rank": "double"}
+
+
+def test_pagerank_parallel_edges_collapse_to_simple_graph(spark):
+    """Documented multigraph contract: repeated (src, dst) rows count
+    once (unweighted PageRank over the simple graph)."""
+    simple = spark.createDataFrame([(0, 1), (1, 0), (0, 2)], "src long, dst long")
+    multi = simple.union(simple).union(simple)
+    a = _ranks(pagerank(simple, iterations=6))
+    b = _ranks(pagerank(multi, iterations=6))
+    assert a.keys() == b.keys()
+    for k in a:
+        assert struct.pack("d", a[k]) == struct.pack("d", b[k]), k

@@ -534,3 +534,18 @@ def test_write_zordered_narrows_zone_maps_on_both_dimensions(spark, tmp_path):
     assert zs < avg_footprint(spath, "l_suppkey")
     # round trip: clustering reorders rows, loses none
     assert spark.read.parquet(zpath).count() == li.count()
+
+
+def test_minmax_normalize_empty_or_all_null_raises_clearly(spark):
+    """min/max over zero non-NULL rows is NULL — the guard must raise a
+    named ValueError, not an opaque int(None) TypeError (ADVICE r4)."""
+    import pytest as _pytest
+
+    from hydraide_spark.functions.layout import minmax_normalize
+
+    empty = spark.createDataFrame([], "k long")
+    with _pytest.raises(ValueError, match="empty or all-NULL"):
+        minmax_normalize(empty, "k", 8)
+    nulls = spark.createDataFrame([(None,), (None,)], "k long")
+    with _pytest.raises(ValueError, match="empty or all-NULL"):
+        minmax_normalize(nulls, "k", 8)

@@ -118,3 +118,27 @@ def test_validate_rejects_unknown_kind_and_empty_rules(spark):
         validate(df, [Rule("typo", "not_nul", "v")])
     with _pytest.raises(ValueError, match="at least one"):
         validate(df, [])
+
+
+def test_validate_on_empty_input_reports_zero_violations_and_passes(spark):
+    """SUM over zero rows is NULL: without the coalesce an empty
+    promotion candidate reported NULL violations and a NULL (neither
+    pass nor fail) verdict (ADVICE r4)."""
+    from hydraide_spark.functions.quality_checks import (
+        in_range,
+        not_null,
+        unique,
+        validate,
+    )
+
+    df = spark.createDataFrame([], "k long, v double")
+    rep = {
+        r["rule"]: r.asDict()
+        for r in validate(
+            df, [not_null("k_nn", "k"), in_range("v_rng", "v", 0, 1), unique("k_uq", "k")]
+        ).collect()
+    }
+    for name in ("k_nn", "v_rng", "k_uq"):
+        assert rep[name]["violations"] == 0, name
+        assert rep[name]["total"] == 0, name
+        assert rep[name]["passed"] is True, name
