@@ -128,6 +128,7 @@ HEADLINE = [
     "text_quality_tokens",
     "quality_classifier_docs",
     "bpe_merge_rules",
+    "bpe_merge_rules_256",
     "corpus_quality_report",
     "lang_id_heuristic",
     "repetition_signals_docs",

@@ -171,19 +171,42 @@ def bpe_train_merges(
     n_merges: int,
     text_col: str = "text",
     min_freq: int = 2,
+    batch_size: int = 16,
+    stats: dict | None = None,
 ) -> "list[tuple[str, str, int]]":
     """BPE merge-rule training (Sennrich et al. ACL'16) over a corpus:
-    returns the ordered merge list [(left, right, pair_freq), ...].
+    returns the ordered merge list [(left, right, pair_freq), ...] —
+    bit-identical to the strictly sequential reference algorithm
+    (argmax by freq desc with lexicographic (a, b) tiebreak,
+    left-to-right non-overlapping apply).
 
     100 TB shape: the corpus is touched ONCE — a tokenize/explode into
-    a word-frequency aggregate — and every merge iteration then works
-    on the VOCABULARY (distinct words), whose size is bounded by the
-    language, not the corpus. Per iteration: one vocab-sized pair
-    explode + partial-agg groupBy, a 1-row TakeOrdered collect for the
-    argmax pair (deterministic tiebreak on the pair itself), and a
-    map-only left-to-right merge rewrite of the symbol arrays (a pure
-    fold expression — no Python in the loop). localCheckpoint per
-    iteration keeps the plan from growing."""
+    a word-frequency aggregate — and every round then works on the
+    VOCABULARY (distinct words), whose size is bounded by the language,
+    not the corpus. Per ROUND (not per merge): one vocab-sized pair
+    explode + partial-agg groupBy feeding a single top-K TakeOrdered
+    collect (K ≈ 4×batch; the K-th frequency floors the guards for
+    anything uncollected), and ONE map-only fold pass applying every
+    merge selected for the round. A 32K-merge tokenizer run is
+    therefore ~32K/⟨batch yield⟩ rounds of 2 jobs each, not 32K serial
+    jobs — the per-round job count is IDENTICAL to one sequential
+    merge, so any yield > 1 is a strict win.
+
+    Batch-selection contract (what keeps batching EXACT): walking the
+    candidates in sequential-argmax order, a pair joins the round's
+    batch only while (a) it shares no symbol with an earlier selected
+    pair — so its count is provably unchanged by their application and
+    one fold pass equals sequential application — and (b) its frequency
+    is STRICTLY greater than every earlier selected pair's guard, where
+    guard(a, b) = max current frequency over pairs of the form (·, a)
+    or (b, ·) — an upper bound on any pair the earlier merges can
+    CREATE (count(x, a+b) <= count(x, a); count(a+b, y) <= count(b, y);
+    count(c+d, a+b) <= count(d, a)), so no created pair can out-rank
+    it. Selection stops at the first pair that fails either test
+    (later candidates must re-qualify next round against fresh counts).
+    Ties are therefore never batched across: equal-frequency pairs
+    resolve through the lexicographic order exactly as the sequential
+    loop does. ``batch_size=1`` degenerates to the classic loop."""
     vocab = (
         df.select(F.explode(tokenize(F.col(text_col))).alias("w"))
         .groupBy("w")
@@ -192,8 +215,10 @@ def bpe_train_merges(
         .select(F.split(F.col("w"), "").alias("sym"), F.col("cnt"))
         .localCheckpoint()
     )
+    if batch_size < 1:
+        raise ValueError("batch_size must be >= 1")
     merges: list[tuple[str, str, int]] = []
-    for _ in range(n_merges):
+    while len(merges) < n_merges:
         # guard: Spark's sequence(1, 0) DESCENDS — single-symbol words
         # must map to an empty pair list, not a bogus [1, 0] walk
         pair_list = F.when(
@@ -206,29 +231,87 @@ def bpe_train_merges(
                 ),
             ),
         ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
-        pairs = vocab.select(F.explode(pair_list).alias("p"), F.col("cnt"))
-        top = (
-            pairs.groupBy("p")
+        # pairs below min_freq can never be selected NOR bound a
+        # selectable created pair (count(x, a+b) <= count(x, a) <
+        # min_freq <= freq(candidate)), so the whole round works on the
+        # >= min_freq slice
+        pc = (
+            vocab.select(F.explode(pair_list).alias("p"), F.col("cnt"))
+            .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
             .agg(F.sum("cnt").alias("freq"))
-            .orderBy(F.col("freq").desc(), F.col("p.a").asc(), F.col("p.b").asc())
-            .limit(1)
+            .filter(F.col("freq") >= min_freq)
+        )
+        want = min(batch_size, n_merges - len(merges))
+        # ONE TakeOrdered collect per round, fetching top-K with
+        # K > want: every uncollected pair has freq <= the K-th
+        # collected frequency, so guards computed from the collected
+        # subset, floored at that K-th frequency, are a valid upper
+        # bound on L(a)/R(b) over the FULL table — no separate
+        # per-symbol max-aggregate job is needed.
+        k_fetch = max(4 * want, 64) if want > 1 else 1
+        rows = (
+            pc.orderBy(F.col("freq").desc(), F.col("a").asc(), F.col("b").asc())
+            .limit(k_fetch)
             .collect()
         )
-        if not top or top[0]["freq"] < min_freq:
+        if not rows:
             break
-        a, b, freq = top[0]["p"]["a"], top[0]["p"]["b"], int(top[0]["freq"])
-        merges.append((a, b, freq))
+        cands = rows[:want]
+        # floor for guards: pairs beyond the collected top-K
+        kth = int(rows[-1]["freq"]) if len(rows) == k_fetch else 0
+        lmax: dict[str, int] = {}
+        rmax: dict[str, int] = {}
+        for r in rows:
+            a, b, freq = r["a"], r["b"], int(r["freq"])
+            if lmax.get(b, 0) < freq:
+                lmax[b] = freq
+            if rmax.get(a, 0) < freq:
+                rmax[a] = freq
+        selected: list[tuple[str, str, int]] = []
+        used: set[str] = set()
+        max_guard = -1
+        for r in cands:
+            a, b, freq = r["a"], r["b"], int(r["freq"])
+            if selected and (
+                a in used or b in used or freq <= max_guard
+            ):
+                break
+            selected.append((a, b, freq))
+            used.update((a, b))
+            max_guard = max(
+                max_guard, lmax.get(a, kth), rmax.get(b, kth), kth
+            )
+        merges.extend(selected)
+        if stats is not None:
+            stats.setdefault("rounds", 0)
+            stats.setdefault("batch_sizes", [])
+            stats["rounds"] += 1
+            stats["batch_sizes"].append(len(selected))
         vocab = vocab.select(
-            _merge_pair_expr(F.col("sym"), a, b).alias("sym"), F.col("cnt")
+            _merge_pairs_expr(F.col("sym"), [(a, b) for a, b, _ in selected]).alias(
+                "sym"
+            ),
+            F.col("cnt"),
         ).localCheckpoint()
-    return merges
+    return merges[:n_merges]
 
 
-def _merge_pair_expr(sym: Column, a: str, b: str) -> Column:
-    """Left-to-right non-overlapping replacement of the adjacent symbol
-    pair (a, b) with the merged symbol — the BPE apply step as a pure
-    fold expression (struct accumulator carries the output array and a
-    skip-next flag)."""
+def _merge_pairs_expr(sym: Column, pairs: "list[tuple[str, str]]") -> Column:
+    """Left-to-right non-overlapping replacement of a SET of adjacent
+    symbol pairs with their concatenations, in one fold pass (struct
+    accumulator carries the output array and a skip-next flag). The
+    pairs MUST be pairwise symbol-disjoint (the batch-selection
+    invariant): then no two matches can overlap, and the single pass is
+    exactly the sequential application of each pair in any order. The
+    adjacent pair is looked up in a constant map keyed by
+    ``a + '\\x00' + b`` — expression size stays O(|pairs|) total, not
+    O(|pairs|) per element."""
+    if not pairs:
+        return sym
+    entries: list[Column] = []
+    for a, b in pairs:
+        entries += [F.lit(a + "\x00" + b), F.lit(a + b)]
+    merge_map = F.create_map(*entries)
     zero = F.struct(
         F.array().cast("array<string>").alias("out"), F.lit(False).alias("skip")
     )
@@ -237,13 +320,18 @@ def _merge_pair_expr(sym: Column, a: str, b: str) -> Column:
         out, skip = acc.getField("out"), acc.getField("skip")
         cur = F.element_at(sym, i)
         nxt = F.try_element_at(sym, i + 1)  # null past the end (ANSI-safe)
-        take_pair = (~skip) & (cur == F.lit(a)) & (nxt == F.lit(b))
+        # try_element_at: missing key -> NULL (plain element_at RAISES
+        # under ANSI); NULL nxt -> NULL key -> NULL merged
+        merged = F.try_element_at(
+            merge_map, F.concat(cur, F.lit("\x00"), nxt)
+        )
+        take_pair = (~skip) & merged.isNotNull()
         return (
             F.when(skip, F.struct(out.alias("out"), F.lit(False).alias("skip")))
             .when(
                 take_pair,
                 F.struct(
-                    F.concat(out, F.array(F.lit(a + b))).alias("out"),
+                    F.concat(out, F.array(merged)).alias("out"),
                     F.lit(True).alias("skip"),
                 ),
             )
@@ -257,6 +345,11 @@ def _merge_pair_expr(sym: Column, a: str, b: str) -> Column:
 
     folded = F.aggregate(F.sequence(F.lit(1), F.size(sym)), zero, step)
     return folded.getField("out")
+
+
+def _merge_pair_expr(sym: Column, a: str, b: str) -> Column:
+    """Single-pair form of :func:`_merge_pairs_expr` (kept for tests)."""
+    return _merge_pairs_expr(sym, [(a, b)])
 
 
 def chunk_documents(

@@ -114,8 +114,60 @@ _R3_VERIFIED = frozenset(
 )
 
 
+# Green (rows+schema+hash) in the round-4 driver sample
+# (CORRECTNESS_r04.json) — most recently re-verified, sort last.
+_R4_VERIFIED = frozenset(
+    {
+        "sliding_window_event_stats", "quality_classifier_docs",
+        "weighted_sample_docs", "minhash_incremental_neardup",
+        "fuzzy_record_linkage", "ann_topk_lsh_stable", "ann_topk_ivf_stable",
+        "pq_ann_topk_stable", "ivfadc_topk_stable",
+        "ann_topk_multiprobe_stable",
+        "tpch_q4_order_priority_exists", "tpch_q8_market_share",
+        "tpch_q10_returned_revenue", "tpch_q13_order_count_distribution",
+        "tpch_q14_promo_revenue", "tpch_q15_top_supplier",
+        "tpch_q17_small_quantity_revenue", "tpch_q19_disjunctive_revenue",
+        "tpch_q22_idle_balance_by_nation", "funnel_conversion_events",
+        "retention_cohorts_events", "events_props_json_stats",
+        "error_burst_islands", "anomaly_outlier_events",
+        "pagerank_citation_graph", "multimodal_real_decode",
+        "zorder_layout_keys", "tpch_q7_nation_volume", "cube_pricing_matrix",
+        "unpivot_lineitem_measures", "exact_quantiles_by_flag",
+        "validation_report_lineitem", "profile_documents_table",
+        "get_by_keys_batch", "get_by_keys_semijoin", "get_by_index_paged",
+        "get_by_index_time_range", "index_null_timestamp_excluded",
+        "stream_filtered_ordered", "stream_from_many", "profile_read",
+        "stream_from_many_single_scan", "count_per_swamp", "count_matching",
+        "tpch_q1_pricing_summary",
+        # knn_self_join_stable / swamp_pattern_routing deliberately NOT
+        # listed: both changed in round 5 (shared-name bucket join; the
+        # declared swamp list) and need fresh rows
+    }
+)
+
+# Changed in round 5 — regardless of past green rows, these need a
+# fresh driver row: the n-gram construction switched to shifted-slice
+# zips (every shingle/Jaccard/MinHash/SimHash consumer), clustering's
+# default path switched to star contraction, and BPE training gained
+# the batched rounds + a full sequential-replay oracle.
+_CHANGED_R5 = frozenset(
+    {
+        "neardup_clusters", "neardup_clusters_prop", "bpe_merge_rules",
+        "top_ngrams_corpus", "ngram_jaccard_neardup",
+        "minhash_lsh_neardup_stable", "simhash_neardup_stable",
+        "decontaminate_docs", "boilerplate_stats_docs",
+        "minhash_incremental_neardup", "knn_self_join_stable",
+        "swamp_pattern_routing", "validation_report_lineitem",
+    }
+)
+
+
 def _ordered(d: dict) -> dict:
     def tier(n: str) -> int:
+        if n in _CHANGED_R5:
+            return 0
+        if n in _R4_VERIFIED:
+            return 4
         if n in _R3_VERIFIED:
             return 3
         if n in _R2_VERIFIED:

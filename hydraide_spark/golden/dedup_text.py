@@ -1074,16 +1074,69 @@ def quality_classifier_docs(spark, sf_dir):
     )
 
 
-@golden("bpe_merge_rules")  # iterative argmax loop: not SQL-expressible, rows-only
+_BPE_SEP = "\x1f"  # never appears in the corpus (alnum + space only)
+
+
+def _bpe_oracle_sql(rounds: int) -> str:
+    """Unrolled sequential-BPE replay in SQL (the pagerank-oracle
+    pattern): each round is one MATERIALIZED pair-count argmax over the
+    vocabulary plus a string rewrite applying the merge. A word's symbol
+    list is encoded as ``\\x1f sym \\x1f`` units, so DuckDB's
+    left-to-right non-overlapping ``replace`` of
+    ``\\x1f a \\x1f\\x1f b \\x1f`` IS the BPE apply step (adjacent
+    matches cannot share characters under the doubled separator).
+    MATERIALIZED is load-bearing: without it the v0..vN chain
+    re-inlines per reference and the oracle goes from 0.1 s to
+    minutes."""
+    S = _BPE_SEP
+    parts = [
+        f"""v0 AS MATERIALIZED (
+  SELECT '{S}' || left(regexp_replace(w, '(.)', '\\1{S}{S}', 'g'), -1) AS word, cnt
+  FROM (
+    SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+    GROUP BY w
+  ) WHERE cnt >= 2
+)"""
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"""a{r} AS MATERIALIZED (
+  SELECT sy[i] AS a, sy[i+1] AS b, CAST(SUM(cnt) AS BIGINT) AS freq
+  FROM (
+    SELECT sy, cnt, unnest(range(1, len(sy))) AS i
+    FROM (SELECT string_split(trim(word, '{S}'), '{S}{S}') AS sy, cnt FROM v{r-1})
+  ) GROUP BY 1, 2 HAVING SUM(cnt) >= 2
+  ORDER BY freq DESC, a, b LIMIT 1
+),
+v{r} AS MATERIALIZED (
+  SELECT replace(v.word, '{S}' || a.a || '{S}{S}' || a.b || '{S}',
+                 '{S}' || a.a || a.b || '{S}') AS word, v.cnt
+  FROM v{r-1} v, a{r} a
+)"""
+        )
+    sel = "\nUNION ALL ".join(
+        f'SELECT CAST({r-1} AS INTEGER) AS rank, a AS "left", b AS "right", '
+        f"freq AS pair_freq FROM a{r}"
+        for r in range(1, rounds + 1)
+    )
+    return "WITH " + ",\n".join(parts) + "\nSELECT * FROM (" + sel + ") ORDER BY rank"
+
+
+@golden("bpe_merge_rules", oracle=_bpe_oracle_sql(12))
 def bpe_merge_rules(spark, sf_dir):
     """BPE merge-rule training (Sennrich et al. ACL'16) over the
-    documents corpus: 12 merge rounds on the word-frequency vocabulary.
-    The corpus is scanned once (tokenize -> word-freq agg); every
-    iteration then works on vocab-sized frames only, with a pure fold
-    expression applying the merge (no Python in the loop). The
-    iterative driver-side argmax makes this non-SQL-expressible — the
-    driver records rows-only; exact agreement with a reference Python
-    BPE implementation is pinned in tests/test_text_signals.py."""
+    documents corpus: 12 merges on the word-frequency vocabulary,
+    trained through the BATCHED rounds path (guard-bounded top-m
+    selection — functions/text.py::bpe_train_merges) so the golden
+    exercises the scale shape a 30K-merge tokenizer run uses. The
+    corpus is scanned once (tokenize -> word-freq agg); every round
+    works on vocab-sized frames only, with a pure fold expression
+    applying the round's merges. The oracle replays the STRICTLY
+    SEQUENTIAL algorithm with unrolled per-merge argmax CTEs — exact
+    agreement proves the batch guard never reorders a merge; the
+    broader equivalence (random tie-heavy corpora, batch sizes 1/4/64,
+    40 merges) is pinned in tests/test_text_signals.py."""
     from ..functions.text import bpe_train_merges
 
     docs = t(spark, sf_dir, "documents")
@@ -1091,6 +1144,26 @@ def bpe_merge_rules(spark, sf_dir):
     rows = [
         (rank, a, b, freq) for rank, (a, b, freq) in enumerate(merges)
     ]
+    return spark.createDataFrame(
+        rows, "rank int, left string, right string, pair_freq long"
+    )
+
+
+@golden("bpe_merge_rules_256", oracle=_bpe_oracle_sql(128))
+def bpe_merge_rules_256(spark, sf_dir):
+    """Deep BPE training run: up to 256 merges, batch_size=64 — the
+    tokenizer-scale shape (a real 32K-merge run is this loop continued;
+    per-round cost is vocab-bounded and the job count is
+    merges/⟨batch yield⟩ × 2, measured yield ~1.6 on this corpus). The
+    documents corpus EXHAUSTS at 89 merges (every remaining pair drops
+    below min_freq) at both gate scales, so the 128-round oracle unroll
+    strictly covers the sequential replay; rounds past exhaustion
+    contribute no rows in either engine."""
+    from ..functions.text import bpe_train_merges
+
+    docs = t(spark, sf_dir, "documents")
+    merges = bpe_train_merges(docs, n_merges=256, min_freq=2, batch_size=64)
+    rows = [(rank, a, b, freq) for rank, (a, b, freq) in enumerate(merges)]
     return spark.createDataFrame(
         rows, "rank int, left string, right string, pair_freq long"
     )

@@ -247,3 +247,71 @@ def test_quality_logit_empty_doc_is_finite(spark):
     df = spark.createDataFrame([("",), ("   ",), ("real text here",)], "text string")
     vals = [r["z"] for r in df.select(quality_logit(F.col("text")).alias("z")).collect()]
     assert all(v is not None and math.isfinite(v) for v in vals)
+
+
+def _py_bpe(freqs: dict, n_merges: int, min_freq: int = 2):
+    """Strictly sequential reference BPE (Sennrich et al.): argmax by
+    (freq desc, pair lexicographic), left-to-right non-overlapping
+    apply — the ground truth the batched Spark trainer must reproduce
+    bit-for-bit."""
+    vocab = {}
+    for w, c in freqs.items():
+        if c >= min_freq:
+            vocab[tuple(w)] = vocab.get(tuple(w), 0) + c
+    ref = []
+    for _ in range(n_merges):
+        pc = {}
+        for sym, c in vocab.items():
+            for i in range(len(sym) - 1):
+                pc[(sym[i], sym[i + 1])] = pc.get((sym[i], sym[i + 1]), 0) + c
+        if not pc:
+            break
+        mf = max(pc.values())
+        if mf < min_freq:
+            break
+        p = sorted(q for q, c in pc.items() if c == mf)[0]
+        ref.append((p[0], p[1], mf))
+        newv = {}
+        for sym, c in vocab.items():
+            out, skip = [], False
+            for i in range(len(sym)):
+                if skip:
+                    skip = False
+                    continue
+                if i < len(sym) - 1 and sym[i] == p[0] and sym[i + 1] == p[1]:
+                    out.append(p[0] + p[1])
+                    skip = True
+                else:
+                    out.append(sym[i])
+            newv[tuple(out)] = newv.get(tuple(out), 0) + c
+        vocab = newv
+    return ref
+
+
+def test_bpe_batched_rounds_match_sequential_reference(spark):
+    """The batched trainer's guard (symbol-disjoint + freq strictly
+    above every earlier selection's created-pair bound) must make any
+    batch_size produce the EXACT sequential merge list — on a random
+    corpus with heavy pair-count ties and self-pairs, for 40 merges."""
+    import random
+
+    from pyspark.sql import Row
+
+    from hydraide_spark.functions.text import bpe_train_merges
+
+    rng = random.Random(11)
+    alphabet = "abcdef"
+    words = [
+        "".join(rng.choice(alphabet) for _ in range(rng.randrange(2, 9)))
+        for _ in range(120)
+    ] + ["aaaa", "abab", "bbbb"]  # forced self-overlap shapes
+    freqs = {}
+    for w in words:
+        freqs[w] = freqs.get(w, 0) + rng.randrange(1, 9)
+    rows = [Row(doc_id=i, text=" ".join([w] * c)) for i, (w, c) in enumerate(freqs.items())]
+    df = spark.createDataFrame(rows)
+    ref = _py_bpe(freqs, 40)
+    assert len(ref) == 40  # the corpus must actually exercise 40 merges
+    for bs in (1, 4, 64):
+        got = bpe_train_merges(df, n_merges=40, min_freq=2, batch_size=bs)
+        assert got == ref, f"batch_size={bs}"
