@@ -130,3 +130,188 @@ class LockManager:
         with self._mu:
             q = self._queues.get(key)
             return q[0].lock_id if q else None
+
+
+# ---------------------------------------------------------------------------
+# Cross-process backend
+
+
+class FileLeaseLockManager:
+    """Cross-PROCESS business locks behind the same interface as
+    :class:`LockManager` — the reference contract is cross-client
+    (``proto/hydraide.proto:14-31``, docs/features/built-in-business-
+    lock.md), so the driver-local manager alone under-delivers on
+    multi-driver deployments. This backend keeps every state
+    transition on a shared filesystem:
+
+    - a per-key **meta file** serializes transitions via ``flock`` —
+      advisory, cross-process, and released by the KERNEL if a holder
+      dies mid-section (no stuck mutex from a crash);
+    - a per-key **lease file** holds ``{lock_id, expires_at}``; expiry
+      is enforced LAZILY by wall clock at acquire/unlock, so a crashed
+      holder's lease is simply overtaken once stale (the watchdog
+      semantics without a watchdog process) and a post-expiry
+      ``unlock`` raises exactly like the in-process TTL path;
+    - a per-key **ticket directory** provides FIFO fairness: waiters
+      enqueue ``<time_ns>-<uuid>`` tickets and only the lexicographic
+      head may take the lease. Waiters touch their ticket every poll;
+      tickets not refreshed for ``stale_sec`` (a dead waiter) are
+      skipped and garbage-collected so a crash cannot head-block the
+      queue.
+
+    Single-writer NFS-style caveats apply as with any file lease; on
+    object stores front it with a conditional-put (the interface is
+    the contract, exactly as the module docstring says).
+    """
+
+    def __init__(self, root: str, poll_sec: float = 0.02, stale_sec: float = 2.0):
+        import os
+
+        self._root = root
+        self._poll = poll_sec
+        self._stale = stale_sec
+        os.makedirs(root, exist_ok=True)
+
+    # -- internals ---------------------------------------------------------
+
+    def _paths(self, key: str):
+        import hashlib
+        import os
+
+        h = hashlib.sha256(key.encode()).hexdigest()[:24]
+        return (
+            os.path.join(self._root, f"{h}.mu"),
+            os.path.join(self._root, f"{h}.lease"),
+            os.path.join(self._root, f"{h}.q"),
+        )
+
+    class _Flock:
+        def __init__(self, path: str):
+            self._path = path
+
+        def __enter__(self):
+            import fcntl
+            import os
+
+            self._fd = os.open(self._path, os.O_CREAT | os.O_RDWR, 0o644)
+            fcntl.flock(self._fd, fcntl.LOCK_EX)
+            return self
+
+        def __exit__(self, *exc):
+            import fcntl
+            import os
+
+            fcntl.flock(self._fd, fcntl.LOCK_UN)
+            os.close(self._fd)
+            return False
+
+    @staticmethod
+    def _read_lease(path: str):
+        import json
+
+        try:
+            with open(path) as f:
+                return json.load(f)
+        except (FileNotFoundError, ValueError):
+            return None
+
+    def _live_head(self, qdir: str, now: float) -> Optional[str]:
+        """Oldest ticket refreshed within stale_sec; reaps dead ones."""
+        import os
+
+        try:
+            names = sorted(os.listdir(qdir))
+        except FileNotFoundError:
+            return None
+        for name in names:
+            p = os.path.join(qdir, name)
+            try:
+                if now - os.stat(p).st_mtime > self._stale:
+                    os.unlink(p)  # dead waiter: never head-block the queue
+                    continue
+            except FileNotFoundError:
+                continue
+            return name
+        return None
+
+    # -- API (reference Lock/Unlock) ---------------------------------------
+
+    def lock(
+        self, key: str, ttl_sec: float, timeout: Optional[float] = None
+    ) -> Optional[str]:
+        """Blocking FIFO acquire across processes. Returns the LockID,
+        or None if ``timeout`` elapsed first (ticket withdrawn)."""
+        import json
+        import os
+        import time
+
+        mu, lease, qdir = self._paths(key)
+        os.makedirs(qdir, exist_ok=True)
+        lock_id = uuid.uuid4().hex
+        ticket = f"{time.time_ns():020d}-{lock_id}"
+        tpath = os.path.join(qdir, ticket)
+        with open(tpath, "w"):
+            pass
+        deadline = None if timeout is None else time.monotonic() + timeout
+        try:
+            while True:
+                with self._Flock(mu):
+                    now = time.time()
+                    os.utime(tpath)  # heartbeat: we are a live waiter
+                    if self._live_head(qdir, now) == ticket:
+                        cur = self._read_lease(lease)
+                        if cur is None or cur["expires_at"] <= now:
+                            with open(lease, "w") as f:
+                                json.dump(
+                                    {"lock_id": lock_id, "expires_at": now + ttl_sec},
+                                    f,
+                                )
+                            os.unlink(tpath)
+                            return lock_id
+                if deadline is not None and time.monotonic() >= deadline:
+                    with self._Flock(mu):
+                        try:
+                            os.unlink(tpath)
+                        except FileNotFoundError:
+                            pass
+                    return None
+                time.sleep(self._poll)
+        except BaseException:
+            try:
+                os.unlink(tpath)
+            except FileNotFoundError:
+                pass
+            raise
+
+    def unlock(self, key: str, lock_id: str) -> None:
+        """Release; the (key, LockID) pair must name the CURRENT,
+        UNEXPIRED holder or the call fails (proto:26-27) — a lease past
+        its TTL is already logically released even before a successor
+        overtakes it."""
+        import os
+        import time
+
+        mu, lease, _ = self._paths(key)
+        with self._Flock(mu):
+            cur = self._read_lease(lease)
+            if (
+                cur is None
+                or cur["lock_id"] != lock_id
+                or cur["expires_at"] <= time.time()
+            ):
+                raise KeyError(
+                    f"no active lock for key={key!r} with that LockID "
+                    f"(wrong id, or TTL already released it)"
+                )
+            os.unlink(lease)
+
+    def holder(self, key: str) -> Optional[str]:
+        """Current unexpired holder's LockID (observability)."""
+        import time
+
+        mu, lease, _ = self._paths(key)
+        with self._Flock(mu):
+            cur = self._read_lease(lease)
+            if cur is None or cur["expires_at"] <= time.time():
+                return None
+            return cur["lock_id"]

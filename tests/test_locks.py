@@ -134,3 +134,130 @@ def test_lock_stress_mutual_exclusion_and_liveness():
     assert all(m == 1 for m in max_seen.values()), max_seen  # mutual exclusion
     assert len(acquired) == 12 * 8  # every acquire succeeded
     assert all(lm.holder(k) is None for k in keys)  # queues drained
+
+
+# ---------------------------------------------------------------------------
+# Cross-process file-lease backend (the reference's cross-CLIENT scope)
+
+_WORKER = r"""
+import sys, time
+from hydraide_spark.operators.locks import FileLeaseLockManager
+
+root, log, n = sys.argv[1], sys.argv[2], int(sys.argv[3])
+lm = FileLeaseLockManager(root)
+for _ in range(n):
+    lid = lm.lock("shared", ttl_sec=10, timeout=30)
+    assert lid is not None
+    with open(log, "a") as f:
+        f.write(f"enter {lid}\n")
+        f.flush()
+    time.sleep(0.002)
+    with open(log, "a") as f:
+        f.write(f"exit {lid}\n")
+        f.flush()
+    lm.unlock("shared", lid)
+"""
+
+
+def test_file_lease_two_process_mutual_exclusion(tmp_path):
+    """TWO OS PROCESSES contending on the same key must strictly
+    alternate enter/exit in a shared log — the cross-client mutual
+    exclusion the reference lock promises (proto:14-31), which the
+    in-process manager cannot provide."""
+    import subprocess
+    import sys
+
+    root, log = str(tmp_path / "locks"), str(tmp_path / "log.txt")
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", _WORKER, root, log, "15"],
+            cwd="/root/repo",
+        )
+        for _ in range(2)
+    ]
+    for p in procs:
+        assert p.wait(timeout=120) == 0
+    lines = open(log).read().splitlines()
+    assert len(lines) == 2 * 2 * 15
+    for i in range(0, len(lines), 2):
+        op_a, id_a = lines[i].split()
+        op_b, id_b = lines[i + 1].split()
+        assert (op_a, op_b) == ("enter", "exit"), lines[i : i + 2]
+        assert id_a == id_b  # the exit belongs to the same holder
+
+
+def test_file_lease_ttl_takeover_and_stale_unlock(tmp_path):
+    """A holder that dies without unlocking (simulated crash in a
+    CHILD PROCESS) must be overtaken once its lease expires; its saved
+    LockID must then fail to unlock — the reference's auto-unlock
+    watchdog semantics (proto:30) across processes."""
+    import subprocess
+    import sys
+
+    from hydraide_spark.operators.locks import FileLeaseLockManager
+
+    root = str(tmp_path / "locks")
+    out = subprocess.run(
+        [
+            sys.executable,
+            "-c",
+            "import sys\n"
+            "from hydraide_spark.operators.locks import FileLeaseLockManager\n"
+            "lm = FileLeaseLockManager(sys.argv[1])\n"
+            "print(lm.lock('k', ttl_sec=0.6, timeout=5))\n",
+            root,
+        ],
+        cwd="/root/repo",
+        capture_output=True,
+        text=True,
+        timeout=60,
+    )
+    assert out.returncode == 0
+    dead_id = out.stdout.strip()
+    assert dead_id and dead_id != "None"
+
+    lm = FileLeaseLockManager(root)
+    t0 = time.monotonic()
+    lid = lm.lock("k", ttl_sec=5, timeout=10)
+    waited = time.monotonic() - t0
+    assert lid is not None and lid != dead_id
+    assert waited >= 0.3  # had to outwait the dead holder's lease
+    with pytest.raises(KeyError):
+        lm.unlock("k", dead_id)  # TTL already released it
+    lm.unlock("k", lid)
+    assert lm.holder("k") is None
+
+
+def test_file_lease_fifo_order_and_timeout(tmp_path):
+    from hydraide_spark.operators.locks import FileLeaseLockManager
+
+    lm = FileLeaseLockManager(str(tmp_path / "locks"))
+    first = lm.lock("k", ttl_sec=30)
+    assert lm.holder("k") == first
+    # a bounded wait behind a held lock gives up and withdraws
+    t0 = time.monotonic()
+    assert lm.lock("k", ttl_sec=30, timeout=0.2) is None
+    assert time.monotonic() - t0 < 2.0
+    order: list[int] = []
+    started: list[int] = []
+
+    def worker(i):
+        started.append(i)
+        lid = lm.lock("k", ttl_sec=30, timeout=30)
+        order.append(i)
+        lm.unlock("k", lid)
+
+    threads = []
+    for i in range(3):
+        t = threading.Thread(target=worker, args=(i,))
+        threads.append(t)
+        t.start()
+        while i not in started:
+            time.sleep(0.001)
+        time.sleep(0.08)  # let the ticket land so FIFO order is defined
+    with pytest.raises(KeyError):
+        lm.unlock("k", "bogus-id")
+    lm.unlock("k", first)
+    for t in threads:
+        t.join(timeout=60)
+    assert order == [0, 1, 2]
