@@ -1,0 +1,96 @@
+"""Telemetry (reference app/server/telemetry/telemetry.go;
+proto:2393-2458 — rolling call/error rates, top swamps, history): a
+QueryExecutionListener-fed stats table plus the 4 rollup surfaces."""
+
+from __future__ import annotations
+
+import time
+
+import pytest
+
+from hydraide_spark.operators.telemetry import (
+    QueryStatsCollector,
+    history,
+    rolling_rates,
+    slow_queries,
+    top_swamps,
+)
+
+
+@pytest.fixture()
+def collector(spark):
+    c = QueryStatsCollector(spark)
+    yield c
+    c.unregister()
+
+
+def _drain(collector, min_rows, timeout=15.0):
+    """Listener callbacks are async (JVM event queue) — wait for them."""
+    t0 = time.monotonic()
+    while time.monotonic() - t0 < timeout:
+        if len(collector.stats().collect()) >= min_rows:
+            return
+        time.sleep(0.2)
+    raise AssertionError(f"telemetry rows never reached {min_rows}")
+
+
+def test_listener_records_success_failure_and_scanned_tables(spark, collector):
+    from hydraide_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    load_table(spark, sf, "orders").count()
+    load_table(spark, sf, "lineitem").groupBy("l_returnflag").count().collect()
+    with pytest.raises(Exception):
+        spark.sql("SELECT assert_true(false, 'boom')").collect()
+    _drain(collector, 3)
+    rows = collector.stats().collect()
+    oks = [r for r in rows if r["ok"]]
+    fails = [r for r in rows if not r["ok"]]
+    assert len(oks) >= 2 and len(fails) >= 1
+    scanned = {t for r in oks for t in r["tables"]}
+    assert any("orders" in t for t in scanned), scanned
+    assert any("lineitem" in t for t in scanned), scanned
+    assert all(r["wall_ms"] >= 0 for r in oks)
+
+
+def test_rollups_mirror_the_four_rpcs(spark, collector):
+    from hydraide_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    for _ in range(3):
+        load_table(spark, sf, "nation").count()
+    load_table(spark, sf, "region").count()
+    with pytest.raises(Exception):
+        spark.sql("SELECT assert_true(false, 'boom')").collect()
+    _drain(collector, 5)
+    stats = collector.stats()
+
+    rates = rolling_rates(stats, window_sec=3600).collect()
+    assert sum(r["n_calls"] for r in rates) >= 5
+    assert sum(r["n_errors"] for r in rates) >= 1
+    assert all(0.0 <= r["error_rate"] <= 1.0 for r in rates)
+
+    tops = top_swamps(stats, k=5).collect()
+    by_table = {r["table"]: r["n_scans"] for r in tops}
+    n_nation = next(v for t, v in by_table.items() if "nation" in t)
+    n_region = next(v for t, v in by_table.items() if "region" in t)
+    assert n_nation >= 3 and n_region >= 1 and n_nation > n_region
+
+    slow = slow_queries(stats, k=3).collect()
+    assert 1 <= len(slow) <= 3
+    assert all(r["wall_ms"] >= 0 for r in slow)
+
+    hist = history(stats, window_sec=3600).collect()
+    assert all(r["min_wall_ms"] <= r["p50_wall_ms"] <= r["max_wall_ms"] for r in hist)
+
+
+def test_unregister_stops_recording(spark):
+    c = QueryStatsCollector(spark)
+    spark.range(10).count()
+    _drain(c, 1)
+    c.unregister()
+    time.sleep(2.0)  # let in-flight listener events (incl. the drain's
+    c.clear()        # own collects) land before clearing
+    spark.range(10).count()
+    time.sleep(2.0)
+    assert len(c.stats().collect()) == 0
