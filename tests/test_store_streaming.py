@@ -815,3 +815,50 @@ def test_stream_stream_attribution_join(spark, tmp_path):
     finally:
         q.stop()
     assert [(r["user_id"], r["latency_s"]) for r in rows] == [(1, 300.0)]
+
+
+def test_subscribe_events_fifo_per_key_and_commit_order(spark, tmp_path):
+    """The reference guarantees FIFO event delivery per swamp (README;
+    hydra.go:950-1019); the engine's documented statement is per-
+    partition == commit order (subscribe docstring). Drive many small
+    commits, consume one change file per micro-batch, and assert the
+    ARRIVAL order: store batch_ids are globally non-decreasing across
+    micro-batches, and every key's event sequence is strictly
+    increasing — the tested form of the per-swamp FIFO promise."""
+    from hydraide_spark.sources.store import CHANGE_SCHEMA
+
+    store = make_store(spark, tmp_path, BASE)
+    # 9 sequential commits touching two "swamps" (keys) alternately
+    for i in range(1, 10):
+        key = "a" if i % 2 else "b"
+        store.set(
+            spark.createDataFrame(
+                [(key, i * 10, None)], "key string, val long, expired_at timestamp"
+            )
+        )
+    arrivals: list[tuple[int, int, str]] = []  # (micro_batch, store_batch, key)
+
+    def sink(df, epoch_id):
+        for r in df.select("batch_id", "key").collect():
+            arrivals.append((epoch_id, r["batch_id"], r["key"]))
+
+    q = (
+        spark.readStream.schema(CHANGE_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(store.changes_dir)
+        .writeStream.foreachBatch(sink)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert len(arrivals) == 9
+    arrivals.sort(key=lambda t: t[0])  # micro-batch arrival order
+    got_batches = [b for _, b, _ in arrivals]
+    assert got_batches == sorted(got_batches)  # global commit order
+    per_key: dict[str, list[int]] = {}
+    for _, b, k in arrivals:
+        per_key.setdefault(k, []).append(b)
+    for k, seq in per_key.items():
+        assert seq == sorted(seq) and len(set(seq)) == len(seq), (k, seq)
