@@ -28,6 +28,12 @@ ENGINE_CONF: dict[str, str] = {
     # At 100 TB the default 128MB split is fine; local tests read small files.
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
     "spark.ui.enabled": "false",
+    # Local mode runs driver AND executors in one JVM; the 1g default
+    # heap is sized for neither (the 10x scale stress OOM'd an
+    # AQE-chosen broadcast build inside it while the machine had 100+
+    # GiB free). Only effective before the JVM starts; clusters size
+    # driver/executor memory in deploy conf instead.
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"),
 }
 
 

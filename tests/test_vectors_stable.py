@@ -119,3 +119,35 @@ def test_multiprobe_lifts_recall_over_single_probe():
     r1, r5 = recall(1), recall(5)
     assert r5 > r1, (r1, r5)
     assert r5 >= 0.4  # measured 0.485 on this corpus; floor with margin
+
+
+def test_auto_lsh_bits_pins_bucket_occupancy(spark):
+    """Fixed n_bits makes the kNN self-join quadratic (10x scale
+    stress: growth exponent 1.59) — auto-sizing must scale bucket
+    count with the corpus so expected occupancy stays ~target."""
+    from hydraide_spark.functions.vector import auto_lsh_bits, lsh_knn_self_join
+
+    assert auto_lsh_bits(10) == 4
+    assert auto_lsh_bits(1_000, target_bucket=32) == 5
+    assert auto_lsh_bits(10_000, target_bucket=32) == 9
+    assert auto_lsh_bits(100_000, target_bucket=32) == 12
+    assert auto_lsh_bits(10**12) == 24  # clamp: multi-probe past here
+    # occupancy n/2^bits stays within [target/2, 2*target] off clamps
+    for n in (10**3, 10**5, 10**7, 10**9):
+        occ = n / (1 << auto_lsh_bits(n, 32))
+        assert 16 <= occ <= 64, (n, occ)
+
+    # the auto-sized join still runs end-to-end and respects k
+    import random
+
+    rng = random.Random(3)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = lsh_knn_self_join(df, k=3, dim=8).collect()
+    assert out and max(r["rank"] for r in out) <= 3
+    per_a = {}
+    for r in out:
+        per_a.setdefault(r["id_a"], []).append(r["rank"])
+    assert all(sorted(v) == list(range(1, len(v) + 1)) for v in per_a.values())
