@@ -138,12 +138,16 @@ def test_windowed_event_stats_nonutc_matches_utc(nonutc_spark):
 
 def test_registry_orders_unverified_first():
     # The driver consumes the registry in order and may cap how many
-    # queries it checks; tiers must be monotone: no-green-driver-row
-    # names first, then round-1-only, round-2, most-recently-verified
-    # (round 3) last.
+    # queries it checks; tiers must be monotone: changed-this-round /
+    # no-green-driver-row names first, then round-1-only, round-2,
+    # round-3, most-recently-verified (round 4) last.
     from hydraide_spark import golden
 
     def tier(n: str) -> int:
+        if n in golden._CHANGED_R5:
+            return 0
+        if n in golden._R4_VERIFIED:
+            return 4
         if n in golden._R3_VERIFIED:
             return 3
         if n in golden._R2_VERIFIED:
@@ -155,7 +159,7 @@ def test_registry_orders_unverified_first():
     names = list(golden.queries())
     tiers = [tier(n) for n in names]
     assert tiers == sorted(tiers), "registry tiers out of order"
-    assert tiers[0] == 0 and tiers[-1] == 3  # all groups present
+    assert tiers[0] == 0 and tiers[-1] == 4  # all groups present
 
 
 def test_oracle_keys_subset_and_ordered():
