@@ -129,6 +129,7 @@ HEADLINE = [
     "quality_classifier_docs",
     "bpe_merge_rules",
     "bpe_merge_rules_256",
+    "bpe_token_frequencies",
     "corpus_quality_report",
     "lang_id_heuristic",
     "repetition_signals_docs",

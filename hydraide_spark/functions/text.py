@@ -352,6 +352,59 @@ def _merge_pair_expr(sym: Column, a: str, b: str) -> Column:
     return _merge_pairs_expr(sym, [(a, b)])
 
 
+def bpe_encode_token_counts(
+    df: DataFrame,
+    merges: "list[tuple[str, str, int]] | list[tuple[str, str]]",
+    text_col: str = "text",
+) -> DataFrame:
+    """BPE ENCODE: apply a trained merge list to the corpus and return
+    the resulting token frequency table (token, n_occurrences) — the
+    tokenizer's output distribution, the artifact vocab files are built
+    from. Classic merge-list encoding: merges apply strictly in rank
+    order, each as a left-to-right non-overlapping pass.
+
+    100 TB shape: the corpus is touched once (word-frequency
+    aggregate); merges then apply to the DISTINCT-WORD vocabulary only,
+    with consecutive merges grouped into dependency-safe batches — a
+    merge joins the current batch only while its symbols are disjoint
+    from every earlier batch member's symbols AND from their created
+    tokens (then one simultaneous fold pass == the sequential passes).
+    Token counts come from one explode + partial-agg groupBy weighted
+    by word count — the corpus itself never reshuffles."""
+    vocab = (
+        df.select(F.explode(tokenize(F.col(text_col))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(F.split(F.col("w"), "").alias("sym"), F.col("cnt"))
+        .localCheckpoint()
+    )
+    pairs = [(m[0], m[1]) for m in merges]
+    batches: list[list[tuple[str, str]]] = []
+    cur: list[tuple[str, str]] = []
+    used: set[str] = set()
+    created: set[str] = set()
+    for a, b in pairs:
+        if cur and (
+            a in used or b in used or a in created or b in created
+        ):
+            batches.append(cur)
+            cur, used, created = [], set(), set()
+        cur.append((a, b))
+        used.update((a, b))
+        created.add(a + b)
+    if cur:
+        batches.append(cur)
+    for batch in batches:
+        vocab = vocab.select(
+            _merge_pairs_expr(F.col("sym"), batch).alias("sym"), F.col("cnt")
+        ).localCheckpoint()
+    return (
+        vocab.select(F.explode("sym").alias("token"), F.col("cnt"))
+        .groupBy("token")
+        .agg(F.sum("cnt").alias("n_occurrences"))
+    )
+
+
 def chunk_documents(
     df: DataFrame,
     chunk_size: int,

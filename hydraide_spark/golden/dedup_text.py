@@ -1123,6 +1123,68 @@ v{r} AS MATERIALIZED (
     return "WITH " + ",\n".join(parts) + "\nSELECT * FROM (" + sel + ") ORDER BY rank"
 
 
+def _bpe_encode_oracle_sql(rounds: int) -> str:
+    """Training replay (see :func:`_bpe_oracle_sql`) extended with an
+    UNPRUNED vocabulary chain: ``w{r}`` applies round r's merge to ALL
+    words (training's ``v{r}`` only tracks the min_freq-pruned slice
+    that argmaxes are computed on), via LEFT JOIN so exhaustion rounds
+    pass words through unchanged. The final select explodes ``w{N}``
+    into the corpus token-frequency table."""
+    S = _BPE_SEP
+    base = _bpe_oracle_sql(rounds)
+    # keep everything up to (and excluding) the final SELECT
+    with_part = base[: base.rindex("\nSELECT * FROM (")]
+    extra = [
+        f"""w0 AS MATERIALIZED (
+  SELECT '{S}' || left(regexp_replace(w, '(.)', '\\1{S}{S}', 'g'), -1) AS word, cnt
+  FROM (
+    SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+    GROUP BY w
+  )
+)"""
+    ]
+    for r in range(1, rounds + 1):
+        extra.append(
+            f"""w{r} AS MATERIALIZED (
+  SELECT CASE WHEN a.a IS NULL THEN w.word
+              ELSE replace(w.word, '{S}' || a.a || '{S}{S}' || a.b || '{S}',
+                           '{S}' || a.a || a.b || '{S}') END AS word, w.cnt
+  FROM w{r-1} w LEFT JOIN a{r} a ON TRUE
+)"""
+        )
+    return (
+        with_part
+        + ",\n"
+        + ",\n".join(extra)
+        + f"""
+SELECT sy AS token, CAST(SUM(cnt) AS BIGINT) AS n_occurrences
+FROM (
+  SELECT unnest(string_split(trim(word, '{S}'), '{S}{S}')) AS sy, cnt
+  FROM w{rounds}
+) GROUP BY sy"""
+    )
+
+
+@golden("bpe_token_frequencies", oracle=_bpe_encode_oracle_sql(12))
+def bpe_token_frequencies(spark, sf_dir):
+    """Tokenizer ENCODE: train 12 BPE merges on the corpus, apply them
+    in rank order to the full (unpruned) vocabulary, and emit the
+    corpus token-frequency table — the distribution a tokenizer's
+    vocab file is built from. Engine: dependency-safe batched fold
+    passes over distinct words only (functions/text.py::
+    bpe_encode_token_counts); the corpus itself never reshuffles.
+    Oracle: the unrolled training replay carries a second, unpruned
+    vocabulary chain through the same merges and explodes the final
+    state."""
+    from ..functions.text import bpe_encode_token_counts, bpe_train_merges
+
+    docs = t(spark, sf_dir, "documents")
+    merges = bpe_train_merges(docs, n_merges=12, min_freq=2)
+    out = bpe_encode_token_counts(docs, merges)
+    return out.select(F.col("token"), big("n_occurrences").alias("n_occurrences"))
+
+
 @golden("bpe_merge_rules", oracle=_bpe_oracle_sql(12))
 def bpe_merge_rules(spark, sf_dir):
     """BPE merge-rule training (Sennrich et al. ACL'16) over the

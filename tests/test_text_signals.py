@@ -315,3 +315,50 @@ def test_bpe_batched_rounds_match_sequential_reference(spark):
     for bs in (1, 4, 64):
         got = bpe_train_merges(df, n_merges=40, min_freq=2, batch_size=bs)
         assert got == ref, f"batch_size={bs}"
+
+
+def test_bpe_encode_matches_sequential_python_apply(spark):
+    """Encode applies merges in rank order; the dependency-safe batch
+    grouping (symbols disjoint AND not created by an earlier batch
+    member) must equal strict sequential application even on chained
+    merges like (e,r) -> (er,s) — and must cover min_freq-pruned words
+    the trainer never saw."""
+    from pyspark.sql import Row
+
+    from hydraide_spark.functions.text import bpe_encode_token_counts
+
+    rows = [
+        Row(doc_id=0, text="rers rers rers"),
+        Row(doc_id=1, text="zq"),  # cnt=1: pruned in training, still encoded
+        Row(doc_id=2, text="ers ser"),
+    ]
+    df = spark.createDataFrame(rows)
+    merges = [("e", "r"), ("er", "s"), ("z", "q")]  # chained + independent
+
+    def encode(word):
+        sym = list(word)
+        for a, b in merges:
+            out, skip = [], False
+            for i in range(len(sym)):
+                if skip:
+                    skip = False
+                    continue
+                if i < len(sym) - 1 and sym[i] == a and sym[i + 1] == b:
+                    out.append(a + b)
+                    skip = True
+                else:
+                    out.append(sym[i])
+            sym = out
+        return sym
+
+    ref: dict[str, int] = {}
+    for r in rows:
+        for w in r.text.split():
+            for tok in encode(w):
+                ref[tok] = ref.get(tok, 0) + 1
+    got = {
+        r["token"]: r["n_occurrences"]
+        for r in bpe_encode_token_counts(df, merges).collect()
+    }
+    assert got == ref
+    assert "ers" in got and "zq" in got  # chain applied; pruned word encoded
