@@ -130,6 +130,7 @@ HEADLINE = [
     "bpe_merge_rules",
     "bpe_merge_rules_256",
     "bpe_token_frequencies",
+    "lm_logprob_quality_docs",
     "corpus_quality_report",
     "lang_id_heuristic",
     "repetition_signals_docs",

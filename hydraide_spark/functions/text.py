@@ -166,6 +166,58 @@ def quality_logit(text: Column) -> Column:
     )
 
 
+def unigram_logprob_scores(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """CCNet-style language-model quality signal: per-document average
+    token log-probability under an add-one-smoothed unigram LM trained
+    on the corpus itself. Gibberish / boilerplate-free oddities sit in
+    the low tail; the score feeds the same filter/threshold machinery
+    as :func:`quality_logit`. Returns
+    (id, n_tokens, sum_ln_smoothed, avg_logprob).
+
+    avg_logprob = [Σ_w ln(c_w + 1)] / n  −  ln(N + V)   (c = corpus
+    count of the token, N = corpus tokens, V = vocabulary size).
+
+    100 TB shape: ONE corpus pass builds the count table (vocabulary-
+    sized, language-bounded — broadcastable; AQE decides), the token-
+    level probability lookup is an equi-join on the token, and the
+    per-document reduction is a sorted left-fold so the float sum is
+    order-deterministic under any partitioning (ln values are sorted
+    ascending before summing; DuckDB's list_sum over list_sort replays
+    it bit-for-bit). ln itself can differ in the last ulp across
+    engines, so compared values must round (the quality_logit rule)."""
+    toks = df.select(
+        F.col(id_col), F.explode(tokenize(F.col(text_col))).alias("w")
+    )
+    counts = toks.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    totals = counts.agg(
+        F.sum("c").alias("n_corpus"), F.count(F.lit(1)).alias("v_vocab")
+    )
+    per_tok = toks.join(counts, "w").select(
+        F.col(id_col), F.log((F.col("c") + F.lit(1)).cast("double")).alias("lv")
+    )
+    per_doc = per_tok.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.aggregate(
+            F.array_sort(F.collect_list("lv")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("sum_ln_smoothed"),
+    )
+    return per_doc.crossJoin(F.broadcast(totals)).select(
+        F.col(id_col),
+        F.col("n_tokens"),
+        F.col("sum_ln_smoothed"),
+        (
+            F.col("sum_ln_smoothed") / F.col("n_tokens")
+            - F.log((F.col("n_corpus") + F.col("v_vocab")).cast("double"))
+        ).alias("avg_logprob"),
+    )
+
+
 def bpe_train_merges(
     df: DataFrame,
     n_merges: int,

@@ -1123,6 +1123,57 @@ v{r} AS MATERIALIZED (
     return "WITH " + ",\n".join(parts) + "\nSELECT * FROM (" + sel + ") ORDER BY rank"
 
 
+@golden(
+    "lm_logprob_quality_docs",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+    ),
+    cnt AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM toks GROUP BY w),
+    tot AS (
+      SELECT CAST(SUM(c) AS BIGINT) AS n_corpus,
+             CAST(COUNT(*) AS BIGINT) AS v_vocab
+      FROM cnt
+    ),
+    per AS (
+      SELECT t.doc_id, ln(CAST(c + 1 AS DOUBLE)) AS lv
+      FROM toks t JOIN cnt USING (w)
+    ),
+    agg AS (
+      SELECT doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_tokens,
+             list_sum(list_sort(list(lv))) AS s
+      FROM per GROUP BY doc_id
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           n_tokens,
+           round(s / n_tokens
+                 - ln(CAST((SELECT n_corpus + v_vocab FROM tot) AS DOUBLE)),
+                 6) AS avg_logprob
+    FROM agg
+    """,
+)
+def lm_logprob_quality_docs(spark, sf_dir):
+    """Unigram-LM quality scores (functions/text.py::
+    unigram_logprob_scores): add-one-smoothed average token
+    log-probability per document — the CCNet perplexity-filter signal.
+    The per-document float sum left-folds over ASCENDING-sorted ln
+    values (DuckDB list_sum over list_sort is the bit-identical
+    replay), and the compared score rounds to 6 decimals because ln
+    differs in the last ulp between JVM and libm (the quality_logit
+    rule); the drift bound is ~1e-13, nine orders below the rounding
+    bin."""
+    from ..functions.text import unigram_logprob_scores
+
+    docs = t(spark, sf_dir, "documents")
+    out = unigram_logprob_scores(docs, "doc_id", "text")
+    return out.select(
+        big("doc_id").alias("doc_id"),
+        big("n_tokens").alias("n_tokens"),
+        F.round(F.col("avg_logprob"), 6).alias("avg_logprob"),
+    )
+
+
 def _bpe_encode_oracle_sql(rounds: int) -> str:
     """Training replay (see :func:`_bpe_oracle_sql`) extended with an
     UNPRUNED vocabulary chain: ``w{r}`` applies round r's merge to ALL

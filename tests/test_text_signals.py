@@ -362,3 +362,46 @@ def test_bpe_encode_matches_sequential_python_apply(spark):
     }
     assert got == ref
     assert "ers" in got and "zq" in got  # chain applied; pruned word encoded
+
+
+def test_unigram_logprob_hand_computed_and_partition_invariant(spark):
+    """avg_logprob = mean ln(c_w+1) - ln(N+V) against hand counts, and
+    the sorted left-fold must make the float sum bit-identical under
+    any partitioning (the pagerank determinism rule for float folds)."""
+    import math
+    import struct as _struct
+
+    from pyspark.sql import Row
+
+    from hydraide_spark.functions.text import unigram_logprob_scores
+
+    rows = [Row(doc_id=0, text="a a b"), Row(doc_id=1, text="b c")]
+    df = spark.createDataFrame(rows)
+    # counts: a=2 b=2 c=1; N=5 V=3
+    got = {r["doc_id"]: r for r in unigram_logprob_scores(df).collect()}
+    exp0 = (sorted_sum([math.log(3), math.log(3), math.log(3)]) / 3) - math.log(8)
+    exp1 = (sorted_sum([math.log(3), math.log(2)]) / 2) - math.log(8)
+    assert abs(got[0]["avg_logprob"] - exp0) < 1e-12
+    assert abs(got[1]["avg_logprob"] - exp1) < 1e-12
+    assert got[0]["n_tokens"] == 3 and got[1]["n_tokens"] == 2
+
+    big_rows = [
+        Row(doc_id=i, text=" ".join(f"w{(i * 7 + j) % 23}" for j in range(30)))
+        for i in range(200)
+    ]
+    bdf = spark.createDataFrame(big_rows)
+    a = {r["doc_id"]: r["sum_ln_smoothed"] for r in unigram_logprob_scores(bdf).collect()}
+    b = {
+        r["doc_id"]: r["sum_ln_smoothed"]
+        for r in unigram_logprob_scores(bdf.repartition(17)).collect()
+    }
+    assert a.keys() == b.keys()
+    for k in a:
+        assert _struct.pack("d", a[k]) == _struct.pack("d", b[k]), k
+
+
+def sorted_sum(xs):
+    s = 0.0
+    for x in sorted(xs):
+        s += x
+    return s
