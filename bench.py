@@ -131,6 +131,8 @@ HEADLINE = [
     "bpe_merge_rules_256",
     "bpe_token_frequencies",
     "lm_logprob_quality_docs",
+    "telemetry_rolling_rates",
+    "telemetry_top_swamps",
     "corpus_quality_report",
     "lang_id_heuristic",
     "repetition_signals_docs",

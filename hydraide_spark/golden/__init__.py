@@ -214,4 +214,5 @@ def _load_all() -> None:
     from . import windows  # noqa: F401
     from . import relational  # noqa: F401
     from . import sketches  # noqa: F401
+    from . import telemetry_q  # noqa: F401
     _LOADED = True

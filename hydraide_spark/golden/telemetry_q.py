@@ -1,0 +1,90 @@
+"""Golden queries for the telemetry rollup surfaces (reference
+telemetry.go / proto:2393-2458): the rollups are plain aggregates over
+a stats table, so the gate drives them with a DETERMINISTIC pseudo-
+stats frame derived from the events table (runtime listener rows can't
+be oracle-compared; the listener itself is covered by
+tests/test_telemetry.py). This proves the rollup arithmetic — windowed
+call/error rates, hottest-table counts — exactly."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..operators.telemetry import rolling_rates, top_swamps
+from ..sources.tables import epoch_us, load_table
+from . import golden
+from ._util import big
+
+
+def _pseudo_stats(spark, sf_dir):
+    """events → the stats-table shape: one 'query' per event; the op is
+    the event type, wall = value, every 17th call failed, and each
+    query 'scanned' its op's table plus one of three user-sharded
+    tables."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        epoch_us(ev, "ts").alias("ts_us"),
+        F.col("event_type").alias("op"),
+        F.col("value").alias("wall_ms"),
+        (F.col("event_id") % 17 != 0).alias("ok"),
+        F.array(
+            F.col("event_type"),
+            F.concat(F.lit("tbl_"), (F.col("user_id") % 3).cast("string")),
+        ).alias("tables"),
+    )
+
+
+_STATS_SQL = """
+    SELECT epoch_us(ts) AS ts_us,
+           event_type AS op,
+           value AS wall_ms,
+           event_id % 17 <> 0 AS ok,
+           [event_type, 'tbl_' || CAST(user_id % 3 AS VARCHAR)] AS tables
+    FROM events
+"""
+
+
+@golden(
+    "telemetry_rolling_rates",
+    oracle=f"""
+    WITH stats AS ({_STATS_SQL})
+    SELECT CAST((ts_us // 3600000000) * 3600000000 AS BIGINT)
+             AS window_start_us,
+           CAST(COUNT(*) AS BIGINT) AS n_calls,
+           CAST(SUM(CASE WHEN ok THEN 0 ELSE 1 END) AS BIGINT) AS n_errors,
+           CAST(SUM(CASE WHEN ok THEN 0 ELSE 1 END) AS DOUBLE) / COUNT(*)
+             AS error_rate
+    FROM stats GROUP BY 1
+    """,
+)
+def telemetry_rolling_rates(spark, sf_dir):
+    """The call-rate/error-rate RPC pair over hourly windows
+    (operators/telemetry.py::rolling_rates). error_rate is one exact
+    integer division — cross-engine safe without rounding."""
+    stats = _pseudo_stats(spark, sf_dir)
+    out = rolling_rates(stats, window_sec=3600)
+    return out.select(
+        big("window_start_us").alias("window_start_us"),
+        big("n_calls").alias("n_calls"),
+        big("n_errors").alias("n_errors"),
+        F.col("error_rate"),
+    )
+
+
+@golden(
+    "telemetry_top_swamps",
+    oracle=f"""
+    WITH stats AS ({_STATS_SQL})
+    SELECT "table", n_scans FROM (
+      SELECT t AS "table", CAST(COUNT(*) AS BIGINT) AS n_scans
+      FROM (SELECT unnest(tables) AS t FROM stats)
+      GROUP BY t
+    ) ORDER BY n_scans DESC, "table" ASC LIMIT 5
+    """,
+)
+def telemetry_top_swamps(spark, sf_dir):
+    """The hottest-swamp view (operators/telemetry.py::top_swamps):
+    most-scanned tables with a deterministic name tiebreak."""
+    stats = _pseudo_stats(spark, sf_dir)
+    out = top_swamps(stats, k=5)
+    return out.select(F.col("table"), big("n_scans").alias("n_scans"))
