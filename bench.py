@@ -133,6 +133,7 @@ HEADLINE = [
     "lm_logprob_quality_docs",
     "telemetry_rolling_rates",
     "telemetry_top_swamps",
+    "cms_user_frequencies",
     "corpus_quality_report",
     "lang_id_heuristic",
     "repetition_signals_docs",

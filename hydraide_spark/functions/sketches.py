@@ -56,3 +56,99 @@ def exact_distinct(df: DataFrame, group_cols: list[str], value_col: str) -> Data
     of the distinct keys — the cost the sketch path avoids)."""
     agg = F.countDistinct(value_col).alias("distinct_exact")
     return df.groupBy(*group_cols).agg(agg) if group_cols else df.agg(agg)
+
+
+# ---------------------------------------------------------------------------
+# Count-Min Sketch (Cormode & Muthukrishnan '05): mergeable frequency
+# estimates with bounded over-count, the companion to HLL for "how
+# often" instead of "how many distinct".
+
+
+def cms_build(
+    df: DataFrame, value_col: str, depth: int = 4
+) -> DataFrame:
+    """Sparse Count-Min sketch of ``value_col`` as a (d, bucket, cnt)
+    cell frame — width fixed at 256 per row by construction (the bucket
+    key is the first TWO HEX CHARS of ``md5(d ':' value)``, so both the
+    hashing and the bucket id are bit-identical in any engine: no
+    seeded-native-hash divergence, no hex→int conversion).
+
+    100 TB shape: one explode to depth cells + one partial-agg groupBy;
+    the shuffle carries at most depth×256 cells PER PARTITION no matter
+    the keyspace — frequency estimation without ever shuffling the keys
+    (the exact-count alternative shuffles every distinct key). Sketches
+    are mergeable: union cell frames and re-sum (:func:`cms_merge`) —
+    the same pre-aggregated-cube pattern as the HLL rollup.
+
+    Estimates over-count only (min over depth rows of a sum that
+    includes every true occurrence); error ≤ 2e/width × total with
+    probability 1−(1/2)^depth."""
+    cells = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("d"),
+                        F.substring(
+                            F.md5(
+                                F.concat(
+                                    F.lit(f"{d}:"),
+                                    F.col(value_col).cast("string"),
+                                )
+                            ),
+                            1,
+                            2,
+                        ).alias("bucket"),
+                    )
+                    for d in range(depth)
+                ]
+            )
+        ).alias("c")
+    )
+    return cells.groupBy(
+        F.col("c.d").alias("d"), F.col("c.bucket").alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def cms_merge(*cms_frames: DataFrame) -> DataFrame:
+    """Merge sketches built with the same depth: union + re-sum."""
+    out = cms_frames[0]
+    for f in cms_frames[1:]:
+        out = out.unionByName(f)
+    return out.groupBy("d", "bucket").agg(F.sum("cnt").alias("cnt"))
+
+
+def cms_estimate(
+    cms: DataFrame, probes: DataFrame, value_col: str, depth: int = 4
+) -> DataFrame:
+    """Point-frequency estimates for each probe value: min over the
+    depth cells the value hashes to (missing cell ⇒ the value never
+    occurred ⇒ 0). Returns (value_col, est). The cell frame is
+    depth×256 rows — always broadcastable, so probing is map-side."""
+    pb = probes.select(
+        F.col(value_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("d"),
+                        F.substring(
+                            F.md5(
+                                F.concat(
+                                    F.lit(f"{d}:"),
+                                    F.col(value_col).cast("string"),
+                                )
+                            ),
+                            1,
+                            2,
+                        ).alias("bucket"),
+                    )
+                    for d in range(depth)
+                ]
+            )
+        ).alias("c"),
+    ).select(value_col, F.col("c.d").alias("d"), F.col("c.bucket").alias("bucket"))
+    joined = pb.join(F.broadcast(cms), ["d", "bucket"], "left")
+    return joined.groupBy(value_col).agg(
+        F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est")
+    )

@@ -60,3 +60,45 @@ def test_rollup_to_intermediate_grouping(spark):
     r = {x["event_type"]: x["distinct_est"] for x in rolled.collect()}
     e = {x["event_type"]: x["distinct_exact"] for x in exact.collect()}
     assert r == e
+
+
+def test_cms_overcounts_only_and_merge_equals_whole(spark):
+    """The CMS contract: estimates never under-count (min over depth
+    rows each of which includes every true occurrence), and building
+    over partitions then merging equals building over the whole —
+    the mergeability that makes it a 100 TB pre-aggregation."""
+    import random
+
+    from hydraide_spark.functions.sketches import (
+        cms_build,
+        cms_estimate,
+        cms_merge,
+    )
+
+    rng = random.Random(7)
+    # 80 keys over width 256: P(a row is collision-free for a key)
+    # ~ e^(-80/256) ~ 0.73, so P(all 4 rows collide) ~ 0.5% — nearly
+    # every estimate should be exact (at load 2.0 it drops to ~45%)
+    vals = [rng.randrange(80) for _ in range(4000)]
+    truth: dict[int, int] = {}
+    for v in vals:
+        truth[v] = truth.get(v, 0) + 1
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    cms = cms_build(df, "v")
+    probe_vals = sorted(truth)[:60] + [10_001, 10_002]  # incl. absent values
+    probes = spark.createDataFrame([(v,) for v in probe_vals], "v long")
+    est = {r["v"]: r["est"] for r in cms_estimate(cms, probes, "v").collect()}
+    for v in probe_vals:
+        assert est[v] >= truth.get(v, 0), (v, est[v], truth.get(v, 0))
+    # with 500 keys over 4*256 cells the min-row is rarely collided;
+    # most estimates should be exact
+    exact = sum(1 for v in probe_vals if est[v] == truth.get(v, 0))
+    assert exact >= len(probe_vals) * 0.8
+
+    half_a = cms_build(df.filter(F.col("v") % 2 == 0), "v")
+    half_b = cms_build(df.filter(F.col("v") % 2 == 1), "v")
+    merged = {
+        (r["d"], r["bucket"]): r["cnt"] for r in cms_merge(half_a, half_b).collect()
+    }
+    whole = {(r["d"], r["bucket"]): r["cnt"] for r in cms.collect()}
+    assert merged == whole
