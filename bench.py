@@ -134,6 +134,7 @@ HEADLINE = [
     "telemetry_rolling_rates",
     "telemetry_top_swamps",
     "cms_user_frequencies",
+    "telemetry_history",
     "corpus_quality_report",
     "lang_id_heuristic",
     "repetition_signals_docs",

@@ -88,3 +88,37 @@ def telemetry_top_swamps(spark, sf_dir):
     stats = _pseudo_stats(spark, sf_dir)
     out = top_swamps(stats, k=5)
     return out.select(F.col("table"), big("n_scans").alias("n_scans"))
+
+
+@golden(
+    "telemetry_history",
+    oracle=f"""
+    WITH stats AS ({_STATS_SQL})
+    SELECT CAST((ts_us // 86400000000) * 86400000000 AS BIGINT)
+             AS window_start_us,
+           CAST(COUNT(*) AS BIGINT) AS n_calls,
+           CAST(SUM(CASE WHEN ok THEN 0 ELSE 1 END) AS BIGINT) AS n_errors,
+           MIN(wall_ms) AS min_wall_ms,
+           quantile_cont(wall_ms, 0.5) AS p50_wall_ms,
+           MAX(wall_ms) AS max_wall_ms
+    FROM stats GROUP BY 1
+    """,
+)
+def telemetry_history(spark, sf_dir):
+    """The GetHistory RPC analogue (operators/telemetry.py::history):
+    per-day calls, errors, and wall-time min/median/max. Spark
+    `percentile` and DuckDB `quantile_cont` share the exact
+    interpolation definition (rank = (n-1)p), so the median compares
+    without rounding — the exact_quantiles_by_flag precedent."""
+    from ..operators.telemetry import history
+
+    stats = _pseudo_stats(spark, sf_dir)
+    out = history(stats, window_sec=86400)
+    return out.select(
+        big("window_start_us").alias("window_start_us"),
+        big("n_calls").alias("n_calls"),
+        big("n_errors").alias("n_errors"),
+        F.col("min_wall_ms"),
+        F.col("p50_wall_ms"),
+        F.col("max_wall_ms"),
+    )

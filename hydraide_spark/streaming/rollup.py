@@ -100,3 +100,47 @@ def run_rollup_maintenance_loop(
         .foreachBatch(merge)
         .start()
     )
+
+
+def run_cms_maintenance_loop(
+    store: TreasureStore,
+    events_stream: DataFrame,
+    value_col: str,
+    depth: int = 4,
+    queue_name: str = "cms_maintenance",
+):
+    """Continuously maintained Count-Min sketch: each micro-batch is
+    sketched (``functions.sketches.cms_build`` — ≤ depth×256 cells
+    however large the batch) and its cells ADD into the stored sketch.
+    CMS cells are plain associative counters, so batch-partial +
+    stored-total equals the sketch of the full history under any
+    batching — the rollup-maintenance argument applied to a
+    probabilistic summary. The stored sketch answers frequency probes
+    at any moment without touching event history; state is bounded at
+    depth×256 rows FOREVER, the reason to sketch the stream at all."""
+    from ..functions.sketches import cms_build
+
+    def merge(batch_df: DataFrame, _epoch: int) -> None:
+        if batch_df.isEmpty():
+            return
+        part = cms_build(batch_df, value_col, depth).select(
+            F.concat_ws("|", F.col("d").cast("string"), F.col("bucket")).alias("key"),
+            "d",
+            "bucket",
+            "cnt",
+        )
+        cur = store.current().select("key", F.col("cnt").alias("_cur"))
+        updates = part.join(cur, "key", "left").select(
+            "key",
+            "d",
+            "bucket",
+            (F.coalesce(F.col("_cur"), F.lit(0)) + F.col("cnt")).alias("cnt"),
+        )
+        store.set(updates)
+
+    return (
+        events_stream.writeStream.outputMode("append")
+        .queryName(queue_name)
+        .foreachBatch(merge)
+        .start()
+    )

@@ -862,3 +862,54 @@ def test_subscribe_events_fifo_per_key_and_commit_order(spark, tmp_path):
         per_key.setdefault(k, []).append(b)
     for k, seq in per_key.items():
         assert seq == sorted(seq) and len(set(seq)) == len(seq), (k, seq)
+
+
+def test_streaming_cms_converges_to_batch_sketch(spark, tmp_path):
+    """Continuously maintained Count-Min sketch: per-batch cell sketch
+    + associative merge equals cms_build over the full history under
+    any batching, state stays bounded at depth x 256 rows, and probes
+    answer from the store without touching event history."""
+    from hydraide_spark.functions.sketches import cms_build, cms_estimate
+    from hydraide_spark.streaming.rollup import run_cms_maintenance_loop
+
+    store = TreasureStore(spark, str(tmp_path / "cms"))
+    store.init(
+        spark.createDataFrame([], "key string, d int, bucket string, cnt bigint")
+    )
+    src = tmp_path / "cms_in"
+    src.mkdir()
+    schema = "event_id long, user_id long"
+    b1 = [(i, i % 7) for i in range(40)]
+    b2 = [(100 + i, i % 11) for i in range(60)]
+    spark.createDataFrame(b1, schema).coalesce(1).write.parquet(str(src / "b1"))
+    spark.createDataFrame(b2, schema).coalesce(1).write.parquet(str(src / "b2"))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    q = run_cms_maintenance_loop(store, stream, "user_id")
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {(r["d"], r["bucket"]): r["cnt"] for r in store.current().collect()}
+    full = spark.createDataFrame(b1 + b2, schema)
+    exp = {(r["d"], r["bucket"]): r["cnt"] for r in cms_build(full, "user_id").collect()}
+    assert got == exp
+    assert len(got) <= 4 * 256  # bounded state
+
+    # probe THROUGH the store (no event history involved)
+    cells = store.current().select("d", "bucket", "cnt")
+    probes = spark.createDataFrame([(u,) for u in range(12)], "user_id long")
+    est = {
+        r["user_id"]: r["est"]
+        for r in cms_estimate(cells, probes, "user_id").collect()
+    }
+    truth: dict[int, int] = {}
+    for _, u in b1 + b2:
+        truth[u] = truth.get(u, 0) + 1
+    for u in range(12):
+        assert est[u] >= truth.get(u, 0)
