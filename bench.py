@@ -135,6 +135,7 @@ HEADLINE = [
     "telemetry_top_swamps",
     "cms_user_frequencies",
     "telemetry_history",
+    "triangle_counts_graph",
     "corpus_quality_report",
     "lang_id_heuristic",
     "repetition_signals_docs",

@@ -99,3 +99,72 @@ def pagerank(
             .localCheckpoint()
         )
     return ranks
+
+
+def triangle_count(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Global triangle count over an undirected simple graph (parallel
+    edges and self-loops dropped), with the per-node breakdown.
+    Returns one row per node participating in >= 1 triangle:
+    (node, n_triangles); the global count is sum/3.
+
+    Scale shape — the node-iterator bound, not the naive one: edges are
+    ORIENTED from lower-(degree, id) to higher-(degree, id) endpoint
+    first, so every node's out-degree is O(sqrt(m)) and the wedge
+    self-join (the only quadratic-risk step) generates
+    sum(out_deg^2) = O(m^1.5) candidates on ANY graph — a star graph's
+    hub keeps out-degree ~0 instead of fanning n^2 wedges. Wedge
+    closure is an equi-join against the oriented edge list: three
+    shuffles total (degree agg, wedge build, closure join), no
+    cartesian anywhere. Cf. Suri & Vassilvitskii WWW'11 (MapReduce
+    triangle counting with degree-based orientation)."""
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("a").alias("n")).unionAll(e.select(F.col("b").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    # orient: u -> v iff (deg(u), u) < (deg(v), v)
+    da = deg.select(F.col("n").alias("a"), F.col("deg").alias("deg_a"))
+    db = deg.select(F.col("n").alias("b"), F.col("deg").alias("deg_b"))
+    keep_ab = (F.col("deg_a") < F.col("deg_b")) | (
+        (F.col("deg_a") == F.col("deg_b")) & (F.col("a") < F.col("b"))
+    )
+    oriented = (
+        e.join(da, "a")
+        .join(db, "b")
+        .select(
+            F.when(keep_ab, F.col("a")).otherwise(F.col("b")).alias("u"),
+            F.when(keep_ab, F.col("b")).otherwise(F.col("a")).alias("v"),
+        )
+    ).localCheckpoint()
+    # wedges around u: (v, w) both out-neighbors of u, v < w
+    o1 = oriented.select(F.col("u"), F.col("v").alias("x"))
+    o2 = oriented.select(F.col("u"), F.col("v").alias("y"))
+    wedges = (
+        o1.join(o2, "u")
+        .filter(F.col("x") < F.col("y"))
+        .select("u", "x", "y")
+    )
+    # closure: the wedge pair is already canonical (x < y), so it
+    # closes iff it appears in the canonical a<b edge list. Each
+    # triangle closes EXACTLY one wedge — the one rooted at its
+    # (deg, id)-minimal node, which alone points at both others.
+    closing = e.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    tri = wedges.join(closing, ["x", "y"]).select("u", "x", "y")
+    per_node = (
+        tri.select(F.explode(F.array("u", "x", "y")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    return per_node

@@ -9,9 +9,9 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from ..functions.graph import pagerank
+from ..functions.graph import pagerank, triangle_count
 from . import golden
-from ._util import t
+from ._util import big, t
 
 _D = "'0.85'::DOUBLE"  # string-cast: exact strtod, same double as Python 0.85
 _ITERS = 4
@@ -99,3 +99,53 @@ def pagerank_citation_graph(spark, sf_dir):
     edges = e1.unionByName(e2).filter(F.col("src") != F.col("dst"))
     out = pagerank(edges, damping=0.85, iterations=_ITERS)
     return out.select(F.col("node").cast("bigint").alias("node"), "rank")
+
+
+@golden(
+    "triangle_counts_graph",
+    oracle="""
+    WITH nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS cnt FROM documents),
+    e AS (
+      SELECT doc_id AS a, doc_id + 50 AS b FROM documents
+      WHERE doc_id + 50 < (SELECT cnt FROM nd)
+      UNION ALL
+      SELECT doc_id, doc_id + 100 FROM documents
+      WHERE doc_id + 100 < (SELECT cnt FROM nd)
+    ),
+    tri AS (
+      SELECT e1.a AS x, e1.b AS y, e2.b AS z
+      FROM e e1
+      JOIN e e2 ON e2.a = e1.a AND e1.b < e2.b
+      JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b
+    ),
+    members AS (
+      SELECT x AS node FROM tri
+      UNION ALL SELECT y FROM tri
+      UNION ALL SELECT z FROM tri
+    )
+    SELECT CAST(node AS BIGINT) AS node,
+           CAST(COUNT(*) AS BIGINT) AS n_triangles
+    FROM members GROUP BY node
+    """,
+)
+def triangle_counts_graph(spark, sf_dir):
+    """Per-node triangle participation over a deterministic chord graph
+    on the documents ids (i—i+50, i—i+100: every i with i+100 in range
+    closes a triangle). Engine: degree-ordered edge orientation +
+    wedge equi-join (functions/graph.py::triangle_count — O(m^1.5)
+    candidates on any graph, no cartesian); oracle: an INDEPENDENT
+    algorithm — the canonical a<b<c triple self-join — so agreement
+    certifies the orientation argument, not just the arithmetic."""
+    ndocs = t(spark, sf_dir, "documents").count()
+    base = t(spark, sf_dir, "documents").select(F.col("doc_id"))
+    edges = (
+        base.filter(F.col("doc_id") + 50 < ndocs)
+        .select(F.col("doc_id").alias("src"), (F.col("doc_id") + 50).alias("dst"))
+        .unionAll(
+            base.filter(F.col("doc_id") + 100 < ndocs).select(
+                F.col("doc_id").alias("src"), (F.col("doc_id") + 100).alias("dst")
+            )
+        )
+    )
+    out = triangle_count(edges)
+    return out.select(big("node").alias("node"), big("n_triangles").alias("n_triangles"))

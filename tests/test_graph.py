@@ -80,3 +80,49 @@ def test_pagerank_parallel_edges_collapse_to_simple_graph(spark):
     assert a.keys() == b.keys()
     for k in a:
         assert struct.pack("d", a[k]) == struct.pack("d", b[k]), k
+
+
+def test_triangle_count_hand_and_random_brute_force(spark):
+    from itertools import combinations
+
+    from hydraide_spark.functions.graph import triangle_count
+
+    # K4 has 4 triangles; every node sits in 3 of them. Parallel edges,
+    # self-loops and reversed duplicates must not change counts.
+    k4 = [(a, b) for a in range(4) for b in range(4) if a != b] + [(2, 2), (0, 1)]
+    e = spark.createDataFrame(k4, "src long, dst long")
+    got = {r["node"]: r["n_triangles"] for r in triangle_count(e).collect()}
+    assert got == {0: 3, 1: 3, 2: 3, 3: 3}
+
+    import random
+
+    rng = random.Random(13)
+    edges = list({tuple(sorted((rng.randrange(40), rng.randrange(40))))
+                  for _ in range(200) })
+    edges = [(a, b) for a, b in edges if a != b]
+    eset = set(edges)
+    brute: dict[int, int] = {}
+    for x, y, z in combinations(range(40), 3):
+        if ((x, y) in eset) and ((x, z) in eset) and ((y, z) in eset):
+            for n in (x, y, z):
+                brute[n] = brute.get(n, 0) + 1
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["n_triangles"] for r in triangle_count(df).collect()}
+    assert got == brute and sum(brute.values()) % 3 == 0
+
+
+def test_triangle_orientation_defuses_star_hub(spark):
+    """A star graph (hub connected to every leaf) has zero triangles;
+    the degree orientation must keep the hub's OUT-degree at zero so
+    the wedge self-join generates nothing — the naive per-node
+    neighborhood join would fan n^2 wedges from the hub."""
+    from hydraide_spark.functions.graph import triangle_count
+
+    n = 400
+    star = spark.createDataFrame([(n, i) for i in range(n)], "src long, dst long")
+    out = triangle_count(star)
+    assert out.count() == 0
+    # plan sanity: equi-joins only (the global no-cartesian sweep also
+    # covers the golden form)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
