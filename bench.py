@@ -136,6 +136,7 @@ HEADLINE = [
     "cms_user_frequencies",
     "telemetry_history",
     "triangle_counts_graph",
+    "histogram_quantiles_events",
     "corpus_quality_report",
     "lang_id_heuristic",
     "repetition_signals_docs",

@@ -23,6 +23,8 @@ below its sparse-mode threshold (couponed list), which the tests pin.
 
 from __future__ import annotations
 
+from typing import Sequence
+
 from pyspark.sql import Column, DataFrame, functions as F
 
 
@@ -152,3 +154,79 @@ def cms_estimate(
     return joined.groupBy(value_col).agg(
         F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est")
     )
+
+
+# ---------------------------------------------------------------------------
+# Equi-width histogram quantiles: the mergeable quantile summary whose
+# error bound is explicit ((max-min)/bins) and whose arithmetic is
+# deterministic enough to replay bit-for-bit in another engine —
+# unlike t-digest/KLL whose internals are engine-specific.
+
+
+def histogram_bins(df: DataFrame, value_col: str, bins: int = 128) -> DataFrame:
+    """Equi-width histogram of ``value_col``: (bin, cnt) with
+    ``bins`` rows at most. One tiny min/max aggregate broadcast into
+    the binning expression (no driver collect), then one groupBy whose
+    shuffle carries ≤ ``bins`` cells per partition — corpus-size-
+    independent state, mergeable by summing counts (same domain).
+    The top edge folds into the last bin (least())."""
+    mm = df.agg(
+        F.min(F.col(value_col).cast("double")).alias("mn"),
+        F.max(F.col(value_col).cast("double")).alias("mx"),
+    )
+    binned = df.crossJoin(F.broadcast(mm)).select(
+        # constant column: zero width would divide by zero (an ERROR
+        # under ANSI) — every value lands in bin 0 and the quantile
+        # extractor short-circuits to mn
+        F.when(F.col("mx") == F.col("mn"), F.lit(0).cast("long"))
+        .otherwise(
+            F.least(
+                F.floor(
+                    (F.col(value_col).cast("double") - F.col("mn"))
+                    / ((F.col("mx") - F.col("mn")) / F.lit(float(bins)))
+                ).cast("long"),
+                F.lit(bins - 1),
+            )
+        )
+        .alias("bin"),
+        "mn",
+        "mx",
+    )
+    return binned.groupBy("bin", "mn", "mx").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def histogram_quantiles(
+    df: DataFrame, value_col: str, qs: Sequence[float], bins: int = 128
+) -> "list[tuple[float, float]]":
+    """Quantile estimates [(q, est), ...] from the equi-width
+    histogram: walk the ≤``bins`` collected cells (bounded driver
+    work), linear-interpolate inside the bin where the cumulative
+    count crosses q·N. Error ≤ one bin width. The arithmetic is a
+    fixed operand order over IEEE doubles (+, *, / are correctly
+    rounded), so an oracle replaying the same order matches
+    bit-for-bit — no rounding needed in comparisons."""
+    rows = sorted(
+        histogram_bins(df, value_col, bins).collect(), key=lambda r: r["bin"]
+    )
+    if not rows:
+        return [(q, float("nan")) for q in qs]
+    mn, mx = rows[0]["mn"], rows[0]["mx"]
+    if mn == mx:
+        # constant column: zero bin width would divide by zero upstream
+        # (the bin expression yields NULL bins); every quantile IS mn
+        return [(q, mn) for q in qs]
+    width = (mx - mn) / float(bins)
+    n = sum(r["cnt"] for r in rows)
+    out = []
+    for q in qs:
+        t = q * n
+        cum = 0.0
+        est = mx
+        for r in rows:
+            if cum + r["cnt"] >= t:
+                frac = (t - cum) / r["cnt"]
+                est = mn + (r["bin"] + frac) * width
+                break
+            cum += r["cnt"]
+        out.append((q, est))
+    return out

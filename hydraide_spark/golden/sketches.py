@@ -88,3 +88,54 @@ def cms_user_frequencies(spark, sf_dir):
     probes = spark.range(0, 40).select(F.col("id").alias("user_id"))
     out = cms_estimate(cms, probes, "user_id", depth=4)
     return out.select(big("user_id").alias("user_id"), big("est").alias("est"))
+
+
+@golden(
+    "histogram_quantiles_events",
+    oracle="""
+    WITH mm AS (
+      SELECT MIN(CAST(value AS DOUBLE)) AS mn, MAX(CAST(value AS DOUBLE)) AS mx
+      FROM events
+    ),
+    b AS (
+      SELECT LEAST(CAST(FLOOR((CAST(value AS DOUBLE) - mn)
+                               / ((mx - mn) / 128.0)) AS BIGINT), 127) AS bin
+      FROM events, mm
+    ),
+    h AS (SELECT bin, CAST(COUNT(*) AS BIGINT) AS cnt FROM b GROUP BY bin),
+    c AS (
+      SELECT bin, cnt,
+             CAST(COALESCE(SUM(cnt) OVER (ORDER BY bin
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS DOUBLE)
+               AS cum
+      FROM h
+    ),
+    nn AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS n FROM h),
+    qs AS (SELECT unnest(['0.1'::DOUBLE, '0.5'::DOUBLE,
+                          '0.9'::DOUBLE, '0.99'::DOUBLE]) AS q),
+    pick AS (
+      SELECT q, bin, cnt, cum, q * (SELECT n FROM nn) AS t
+      FROM qs, c
+      WHERE cum + CAST(cnt AS DOUBLE) >= q * (SELECT n FROM nn)
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY q ORDER BY bin) = 1
+    )
+    SELECT q,
+           mn + (CAST(bin AS DOUBLE) + (t - cum) / CAST(cnt AS DOUBLE))
+               * ((mx - mn) / 128.0) AS est
+    FROM pick, mm
+    """,
+)
+def histogram_quantiles_events(spark, sf_dir):
+    """Mergeable equi-width histogram quantiles over events.value
+    (functions/sketches.py::histogram_quantiles): 128 bins, error ≤ one
+    bin width, state ≤ 128 cells per partition in the shuffle. Every
+    arithmetic step (bin width, q·N target, exact-integer cumulative
+    adds, in-bin interpolation) is a FIXED operand order over IEEE
+    doubles, so the SQL replay matches bit-for-bit UNROUNDED — the
+    t-digest/KLL alternative has engine-private internals no oracle
+    could check."""
+    from ..functions.sketches import histogram_quantiles
+
+    ev = t(spark, sf_dir, "events")
+    pairs = histogram_quantiles(ev, "value", qs=[0.1, 0.5, 0.9, 0.99], bins=128)
+    return spark.createDataFrame(pairs, "q double, est double")

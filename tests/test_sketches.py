@@ -102,3 +102,26 @@ def test_cms_overcounts_only_and_merge_equals_whole(spark):
     }
     whole = {(r["d"], r["bucket"]): r["cnt"] for r in cms.collect()}
     assert merged == whole
+
+
+def test_histogram_quantiles_error_bound_and_constant_column(spark):
+    """Estimates must sit within one bin width of the exact quantile
+    (the explicit error bound), and a constant column short-circuits
+    instead of dividing by zero bin width."""
+    from hydraide_spark.functions.sketches import histogram_quantiles
+
+    import random
+
+    rng = random.Random(21)
+    vals = [rng.uniform(0.0, 1000.0) for _ in range(5000)]
+    df = spark.createDataFrame([(v,) for v in vals], "value double")
+    bins = 128
+    width = (max(vals) - min(vals)) / bins
+    sv = sorted(vals)
+    for q, est in histogram_quantiles(df, "value", [0.1, 0.5, 0.9, 0.99], bins):
+        exact = sv[min(int(q * len(sv)), len(sv) - 1)]
+        assert abs(est - exact) <= width + 1e-9, (q, est, exact)
+
+    const = spark.createDataFrame([(7.5,)] * 10, "value double")
+    got = histogram_quantiles(const, "value", [0.1, 0.9])
+    assert got == [(0.1, 7.5), (0.9, 7.5)]
