@@ -186,12 +186,21 @@ def main() -> None:
                 pass
 
     timings: dict[str, float] = {}
-    for n in names:
+    for i, n in enumerate(names):
         try:
             timings[n] = round(run_query(qs[n], spark, sf_dir), 3)
         except Exception as e:  # a broken query must not hide the rest
             timings[n] = -1.0
             print(f"bench error in {n}: {e}", file=sys.stderr)
+        if i % 10 == 9:
+            # iterative queries (BPE rounds, clustering, CMS loops)
+            # localCheckpoint per round; those blocks are only freed
+            # when the JVM GCs the RDD handles. Left alone they pile
+            # up across 131 queries and late memory-hungry shuffles hit
+            # eviction/spill (one observed run: a 3 s query at 36 s).
+            # A periodic driver-side GC keeps storage memory honest for
+            # ~100 ms per nudge.
+            spark.sparkContext._jvm.System.gc()
 
     total = round(sum(v for v in timings.values() if v >= 0), 3)
     errors = sorted(n for n, v in timings.items() if v < 0)
