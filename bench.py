@@ -137,6 +137,7 @@ HEADLINE = [
     "telemetry_history",
     "triangle_counts_graph",
     "histogram_quantiles_events",
+    "personalized_pagerank_seeds",
     "corpus_quality_report",
     "lang_id_heuristic",
     "repetition_signals_docs",

@@ -22,6 +22,8 @@ dedup.neardup_clusters):
 
 from __future__ import annotations
 
+from typing import Sequence
+
 from pyspark.sql import DataFrame, functions as F
 
 
@@ -168,3 +170,81 @@ def triangle_count(
         .agg(F.count(F.lit(1)).alias("n_triangles"))
     )
     return per_node
+
+
+def personalized_pagerank(
+    edges: DataFrame,
+    seeds: Sequence,
+    damping: float = 0.85,
+    iterations: int = 20,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Personalized PageRank (teleport restricted to a SEED set) — the
+    targeted-curation variant: ranks measure proximity to the seeds
+    (e.g. "score every document by its link neighborhood around known
+    high-quality pages"), with mass (1-d)·p(v) + d·(walk), where p is
+    uniform over the seeds and zero elsewhere; dangling mass also
+    teleports to the seeds. Nodes unreachable from any seed score
+    exactly 0 (tested) — the property plain PageRank cannot offer.
+
+    Same per-iteration shuffle shape, DECIMAL(38,18) partition-
+    invariant sums, and localCheckpoint lineage cuts as
+    :func:`pagerank`. Seeds enter as a broadcast literal membership
+    (fine into the tens of thousands; switch to a seed-frame join
+    beyond that). Seeds need not appear in any edge — they are added
+    to the node universe so an isolated seed still holds its teleport
+    share."""
+    if not seeds:
+        raise ValueError("personalized_pagerank needs at least one seed")
+    spark = edges.sparkSession
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    seed_df = spark.createDataFrame([(s,) for s in seeds], ["node"]).distinct()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .union(seed_df)
+        .distinct()
+        .localCheckpoint()
+    )
+    share = 1.0 / len(set(seeds))
+    p = F.when(F.col("node").isin(list(seeds)), F.lit(share)).otherwise(F.lit(0.0))
+    out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg")).localCheckpoint()
+    ranks = nodes.select("node", p.alias("rank")).localCheckpoint()
+    for _ in range(iterations):
+        with_deg = ranks.join(out_deg, ranks.node == out_deg.src, "left").select(
+            "node", "rank", "out_deg"
+        )
+        dang = with_deg.filter(F.col("out_deg").isNull()).agg(
+            F.coalesce(
+                F.sum(F.col("rank").cast("decimal(38,18)")),
+                F.lit(0).cast("decimal(38,18)"),
+            ).alias("dm")
+        )
+        contribs = (
+            with_deg.filter(F.col("out_deg").isNotNull())
+            .join(e, with_deg.node == e.src)
+            .select(
+                F.col("dst").alias("node"),
+                (F.col("rank") / F.col("out_deg")).cast("decimal(38,18)").alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("csum"))
+        )
+        ranks = (
+            nodes.join(contribs, "node", "left")
+            .crossJoin(F.broadcast(dang))
+            .select(
+                "node",
+                (
+                    (
+                        F.lit(1.0 - damping) * p
+                        + (F.col("dm").cast("double") * F.lit(damping)) * p
+                    )
+                    + F.lit(damping)
+                    * F.coalesce(F.col("csum").cast("double"), F.lit(0.0))
+                ).alias("rank"),
+            )
+            .localCheckpoint()
+        )
+    return ranks

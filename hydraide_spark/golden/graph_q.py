@@ -149,3 +149,102 @@ def triangle_counts_graph(spark, sf_dir):
     )
     out = triangle_count(edges)
     return out.select(big("node").alias("node"), big("n_triangles").alias("n_triangles"))
+
+
+def _ppr_sql(iters: int) -> str:
+    """Unrolled personalized-PageRank replay: same citation graph as
+    :func:`_pagerank_sql`, teleport vector uniform over the seed set
+    (doc ids divisible by 97) and zero elsewhere; dangling mass also
+    teleports to the seeds. Operand order mirrors
+    functions/graph.py::personalized_pagerank exactly:
+    ((1-d)·p + (dm·d)·p) + d·csum."""
+    parts = [
+        """ndocs AS (SELECT CAST(COUNT(*) AS BIGINT) AS cnt FROM documents),
+    edges AS (
+      SELECT DISTINCT src, dst FROM (
+        SELECT doc_id AS src, (doc_id * 31 + 7) % (SELECT cnt FROM ndocs) AS dst
+        FROM documents
+        UNION ALL
+        SELECT doc_id, (doc_id * 17 + 3) % (SELECT cnt FROM ndocs) FROM documents
+      ) WHERE src <> dst
+    ),
+    nodes AS (
+      SELECT src AS node FROM edges UNION SELECT dst FROM edges
+    ),
+    ns AS (SELECT CAST(COUNT(*) AS BIGINT) AS cnt FROM nodes WHERE node % 97 = 0),
+    pvec AS (
+      SELECT node,
+             CASE WHEN node % 97 = 0
+                  THEN 1.0::DOUBLE / (SELECT CAST(cnt AS DOUBLE) FROM ns)
+                  ELSE 0.0::DOUBLE END AS p
+      FROM nodes
+    ),
+    od AS (SELECT src, COUNT(*) AS out_deg FROM edges GROUP BY src),
+    r0 AS (SELECT node, p AS rank FROM pvec)"""
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"""wd{i} AS (
+      SELECT r.node, r.rank, od.out_deg
+      FROM r{i - 1} r LEFT JOIN od ON od.src = r.node
+    ),
+    d{i} AS (
+      SELECT COALESCE(SUM(CAST(rank AS DECIMAL(38,18))),
+                      CAST(0 AS DECIMAL(38,18))) AS dm
+      FROM wd{i} WHERE out_deg IS NULL
+    ),
+    c{i} AS (
+      SELECT e.dst AS node,
+             SUM(CAST(r.rank / r.out_deg AS DECIMAL(38,18))) AS csum
+      FROM wd{i} r JOIN edges e ON e.src = r.node
+      WHERE r.out_deg IS NOT NULL
+      GROUP BY e.dst
+    ),
+    r{i} AS (
+      SELECT n.node,
+             (((1.0::DOUBLE - '0.85'::DOUBLE) * pv.p)
+              + ((SELECT CAST(dm AS DOUBLE) FROM d{i}) * {_D}) * pv.p)
+             + {_D} * COALESCE(CAST(cs.csum AS DOUBLE), 0.0::DOUBLE) AS rank
+      FROM nodes n
+      JOIN pvec pv ON pv.node = n.node
+      LEFT JOIN c{i} cs ON cs.node = n.node
+    )"""
+        )
+    body = ",\n    ".join(parts)
+    return f"""
+    WITH {body}
+    SELECT CAST(node AS BIGINT) AS node, round(rank, 10) AS rank FROM r{iters}
+    """
+
+
+@golden("personalized_pagerank_seeds", oracle=_ppr_sql(_ITERS))
+def personalized_pagerank_seeds(spark, sf_dir):
+    """Personalized PageRank over the citation graph with teleport
+    restricted to the doc-id-multiple-of-97 seed set — the
+    seed-proximity score a curation pipeline uses to expand a trusted
+    corpus. Oracle: the unrolled-iteration replay with an identical
+    operand order (DECIMAL contribution sums, fixed scalar ordering);
+    compared ranks round to 10 decimals — see the cast note below."""
+    from ..functions.graph import personalized_pagerank
+
+    docs = t(spark, sf_dir, "documents").select("doc_id")
+    n_docs = docs.count()
+    e1 = docs.select(
+        F.col("doc_id").alias("src"),
+        ((F.col("doc_id") * 31 + 7) % n_docs).alias("dst"),
+    )
+    e2 = docs.select(
+        F.col("doc_id").alias("src"),
+        ((F.col("doc_id") * 17 + 3) % n_docs).alias("dst"),
+    )
+    edges = e1.unionByName(e2).filter(F.col("src") != F.col("dst"))
+    seeds = list(range(0, n_docs, 97))
+    out = personalized_pagerank(edges, seeds, damping=0.85, iterations=_ITERS)
+    # DECIMAL(38,18) -> DOUBLE casts round differently in the last ulp
+    # between Spark and DuckDB for SOME values (observed: 1 row in 500;
+    # the plain-pagerank golden happens to avoid such values) — compared
+    # ranks round to 10 decimals, nine orders above the ~1e-15 relative
+    # drift and eight below the smallest rank gap.
+    return out.select(
+        F.col("node").cast("bigint").alias("node"), F.round("rank", 10).alias("rank")
+    )

@@ -126,3 +126,33 @@ def test_triangle_orientation_defuses_star_hub(spark):
     # covers the golden form)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
+
+
+def test_personalized_pagerank_seed_locality_and_invariance(spark):
+    from hydraide_spark.functions.graph import personalized_pagerank
+
+    # two disconnected components; seeds only in the first — the second
+    # must score EXACTLY zero everywhere (the property plain PageRank
+    # cannot offer), and total mass stays ~1
+    edges = [(0, 1), (1, 2), (2, 0)] + [(10, 11), (11, 12), (12, 10)]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    r = _ranks(personalized_pagerank(e, seeds=[0], iterations=12))
+    assert abs(sum(r.values()) - 1.0) < 1e-9
+    assert all(r[n] == 0.0 for n in (10, 11, 12))
+    assert r[0] > r[1] and r[0] > r[2]  # the seed holds the most mass
+
+    # an isolated seed (no edges at all) still holds its teleport share
+    r2 = _ranks(personalized_pagerank(e, seeds=[0, 99], iterations=6))
+    assert r2[99] > 0.0
+
+    # partition-invariant bit-exactness, like plain pagerank
+    a = _ranks(personalized_pagerank(e, seeds=[0, 10], iterations=8))
+    b = _ranks(personalized_pagerank(e.repartition(13), seeds=[0, 10], iterations=8))
+    assert a.keys() == b.keys()
+    for k in a:
+        assert struct.pack("d", a[k]) == struct.pack("d", b[k]), k
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="at least one seed"):
+        personalized_pagerank(e, seeds=[])
