@@ -181,8 +181,8 @@ def ann_topk_ivf(spark, sf_dir):
     SELECT CAST(label AS BIGINT) AS label,
            CAST(i AS BIGINT) AS dim,
            CAST(count(*) AS BIGINT) AS n,
-           CAST(sum(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(28,9)))
-                AS DOUBLE) AS s
+           round(CAST(sum(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(28,9)))
+                AS DOUBLE), 6) AS s
     FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i)
     GROUP BY label, i
     """,
@@ -191,10 +191,13 @@ def label_centroid_sums(spark, sf_dir):
     """Per-label embedding centroid sums (functions/vector.py::
     group_centroid_sums) — exact long-form vector aggregation: each
     component is cast to DECIMAL before summing so the result is
-    order/partitioning-independent; the final exact decimal converts to
-    double only for the comparison (both engines round the same exact
-    value). This is the k-means/IVF re-centering primitive; mean = s/n
-    downstream."""
+    order/partitioning-independent. The compared sum rounds to 6
+    decimals: the DOUBLE→DECIMAL(28,9) summand conversion itself can
+    round a half-way float differently between engines (hit once in
+    128K components at sf0.1 — the decimal-cast last-ulp rule in
+    CLAUDE.md), so 'convert to double at the end' alone is not
+    boundary-proof. This is the k-means/IVF re-centering primitive;
+    mean = s/n downstream."""
     from ..functions.vector import group_centroid_sums
 
     emb = t(spark, sf_dir, "embeddings")
@@ -203,7 +206,7 @@ def label_centroid_sums(spark, sf_dir):
         big("label").alias("label"),
         big("dim").alias("dim"),
         big("n").alias("n"),
-        F.col("s").cast("double").alias("s"),
+        F.round(F.col("s").cast("double"), 6).alias("s"),
     )
 
 
