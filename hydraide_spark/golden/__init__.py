@@ -158,6 +158,7 @@ _CHANGED_R5 = frozenset(
         "decontaminate_docs", "boilerplate_stats_docs",
         "minhash_incremental_neardup", "knn_self_join_stable",
         "swamp_pattern_routing", "validation_report_lineitem",
+        "label_centroid_sums",
     }
 )
 
