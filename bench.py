@@ -138,6 +138,7 @@ HEADLINE = [
     "triangle_counts_graph",
     "histogram_quantiles_events",
     "personalized_pagerank_seeds",
+    "weighted_pagerank_graph",
     "corpus_quality_report",
     "lang_id_heuristic",
     "repetition_signals_docs",

@@ -172,6 +172,101 @@ def triangle_count(
     return per_node
 
 
+def weighted_pagerank(
+    edges: DataFrame,
+    weight_col: str,
+    damping: float = 0.85,
+    iterations: int = 20,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """PageRank over a WEIGHTED edge list: each node splits its rank
+    over out-edges proportionally to weight (contribution =
+    rank · w / strength(u), strength = Σ outgoing w) — the multigraph
+    answer the unweighted docstring delegates to callers: pre-aggregate
+    repeated (src, dst) rows into a weight and multiplicity matters.
+    Duplicate (src, dst) rows here are SUMMED into one weighted edge;
+    non-positive total weights raise (they would put negative/zero mass
+    into the walk).
+
+    Same determinism machinery as :func:`pagerank`: the per-edge ratio
+    w/strength is computed once (fixed operand order), contributions
+    aggregate in DECIMAL(38,18) so ranks are byte-identical under any
+    partitioning, dangling mass is a broadcast 1-row aggregate, and
+    lineage cuts per round."""
+    e = (
+        edges.select(
+            F.col(src).alias("src"),
+            F.col(dst).alias("dst"),
+            F.col(weight_col).cast("double").alias("w"),
+        )
+        .groupBy("src", "dst")
+        .agg(F.sum("w").alias("w"))
+        .localCheckpoint()
+    )
+    bad = e.filter(F.col("w") <= 0).count()
+    if bad:
+        raise ValueError(
+            f"weighted_pagerank: {bad} edge(s) with non-positive total "
+            "weight; drop or re-weight them first"
+        )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    n = nodes.count()
+    if n == 0:
+        return nodes.select("node", F.lit(0.0).alias("rank"))
+    strength = e.groupBy("src").agg(F.sum("w").alias("s_out")).localCheckpoint()
+    # per-edge share, computed once: w / strength(src)
+    share = (
+        e.join(strength, "src")
+        .select("src", "dst", (F.col("w") / F.col("s_out")).alias("frac"))
+        .localCheckpoint()
+    )
+    ranks = nodes.select("node", F.lit(1.0 / n).alias("rank")).localCheckpoint()
+    base = (1.0 - damping) / n
+    for _ in range(iterations):
+        with_out = ranks.join(
+            strength, ranks.node == strength.src, "left"
+        ).select("node", "rank", "s_out")
+        dang = with_out.filter(F.col("s_out").isNull()).agg(
+            F.coalesce(
+                F.sum(F.col("rank").cast("decimal(38,18)")),
+                F.lit(0).cast("decimal(38,18)"),
+            ).alias("dm")
+        )
+        contribs = (
+            with_out.filter(F.col("s_out").isNotNull())
+            .join(share, with_out.node == share.src)
+            .select(
+                F.col("dst").alias("node"),
+                (F.col("rank") * F.col("frac")).cast("decimal(38,18)").alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("csum"))
+        )
+        ranks = (
+            nodes.join(contribs, "node", "left")
+            .crossJoin(F.broadcast(dang))
+            .select(
+                "node",
+                (
+                    (
+                        F.lit(base)
+                        + (F.col("dm").cast("double") * F.lit(damping)) / F.lit(float(n))
+                    )
+                    + F.lit(damping)
+                    * F.coalesce(F.col("csum").cast("double"), F.lit(0.0))
+                ).alias("rank"),
+            )
+            .localCheckpoint()
+        )
+    return ranks
+
+
 def personalized_pagerank(
     edges: DataFrame,
     seeds: Sequence,

@@ -248,3 +248,98 @@ def personalized_pagerank_seeds(spark, sf_dir):
     return out.select(
         F.col("node").cast("bigint").alias("node"), F.round("rank", 10).alias("rank")
     )
+
+
+def _wpr_sql(iters: int) -> str:
+    """Unrolled weighted-PageRank replay: the citation graph with
+    deterministic edge weights w = 1 + (src+dst) % 5, duplicate
+    (src, dst) rows summed, per-edge share frac = w / strength(src)
+    computed once — operand order mirrors
+    functions/graph.py::weighted_pagerank exactly."""
+    parts = [
+        """ndocs AS (SELECT CAST(COUNT(*) AS BIGINT) AS cnt FROM documents),
+    raw AS (
+      SELECT src, dst, CAST(1 + (src + dst) % 5 AS DOUBLE) AS w FROM (
+        SELECT doc_id AS src, (doc_id * 31 + 7) % (SELECT cnt FROM ndocs) AS dst
+        FROM documents
+        UNION ALL
+        SELECT doc_id, (doc_id * 17 + 3) % (SELECT cnt FROM ndocs) FROM documents
+      ) WHERE src <> dst
+    ),
+    edges AS (SELECT src, dst, SUM(w) AS w FROM raw GROUP BY src, dst),
+    nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS cnt FROM nodes),
+    st AS (SELECT src, SUM(w) AS s_out FROM edges GROUP BY src),
+    sh AS (
+      SELECT e.src, e.dst, e.w / st.s_out AS frac
+      FROM edges e JOIN st ON st.src = e.src
+    ),
+    r0 AS (
+      SELECT node, 1.0::DOUBLE / (SELECT CAST(cnt AS DOUBLE) FROM nn) AS rank
+      FROM nodes
+    )"""
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"""wd{i} AS (
+      SELECT r.node, r.rank, st.s_out
+      FROM r{i - 1} r LEFT JOIN st ON st.src = r.node
+    ),
+    d{i} AS (
+      SELECT COALESCE(SUM(CAST(rank AS DECIMAL(38,18))),
+                      CAST(0 AS DECIMAL(38,18))) AS dm
+      FROM wd{i} WHERE s_out IS NULL
+    ),
+    c{i} AS (
+      SELECT s.dst AS node,
+             SUM(CAST(r.rank * s.frac AS DECIMAL(38,18))) AS csum
+      FROM wd{i} r JOIN sh s ON s.src = r.node
+      WHERE r.s_out IS NOT NULL
+      GROUP BY s.dst
+    ),
+    r{i} AS (
+      SELECT n.node,
+             ((({1.0}::DOUBLE - {_D}) / (SELECT CAST(cnt AS DOUBLE) FROM nn))
+              + ((SELECT CAST(dm AS DOUBLE) FROM d{i}) * {_D})
+                / (SELECT CAST(cnt AS DOUBLE) FROM nn))
+             + {_D} * COALESCE(CAST(cs.csum AS DOUBLE), 0.0::DOUBLE) AS rank
+      FROM nodes n LEFT JOIN c{i} cs ON cs.node = n.node
+    )"""
+        )
+    body = ",\n    ".join(parts)
+    return f"""
+    WITH {body}
+    SELECT CAST(node AS BIGINT) AS node, round(rank, 10) AS rank FROM r{iters}
+    """
+
+
+@golden("weighted_pagerank_graph", oracle=_wpr_sql(_ITERS))
+def weighted_pagerank_graph(spark, sf_dir):
+    """Weighted PageRank over the citation graph with deterministic
+    integer-derived weights (w = 1 + (src+dst) % 5) — rank splits over
+    out-edges proportionally to weight, the multigraph semantics the
+    unweighted operator's dedup contract delegates to a weight column.
+    Oracle: unrolled-iteration replay with identical operand order;
+    compared ranks round to 10 decimals (the decimal-cast last-ulp
+    rule)."""
+    from ..functions.graph import weighted_pagerank
+
+    docs = t(spark, sf_dir, "documents").select("doc_id")
+    n_docs = docs.count()
+    e1 = docs.select(
+        F.col("doc_id").alias("src"),
+        ((F.col("doc_id") * 31 + 7) % n_docs).alias("dst"),
+    )
+    e2 = docs.select(
+        F.col("doc_id").alias("src"),
+        ((F.col("doc_id") * 17 + 3) % n_docs).alias("dst"),
+    )
+    edges = (
+        e1.unionByName(e2)
+        .filter(F.col("src") != F.col("dst"))
+        .withColumn("w", (F.lit(1) + (F.col("src") + F.col("dst")) % 5).cast("double"))
+    )
+    out = weighted_pagerank(edges, "w", damping=0.85, iterations=_ITERS)
+    return out.select(
+        F.col("node").cast("bigint").alias("node"), F.round("rank", 10).alias("rank")
+    )

@@ -156,3 +156,40 @@ def test_personalized_pagerank_seed_locality_and_invariance(spark):
 
     with _pytest.raises(ValueError, match="at least one seed"):
         personalized_pagerank(e, seeds=[])
+
+
+def test_weighted_pagerank_weights_matter_and_multiplicity_sums(spark):
+    from hydraide_spark.functions.graph import pagerank, weighted_pagerank
+
+    # 0 splits its rank 9:1 between 1 and 2; both sink back to 0
+    e = spark.createDataFrame(
+        [(0, 1, 9.0), (0, 2, 1.0), (1, 0, 1.0), (2, 0, 1.0)],
+        "src long, dst long, w double",
+    )
+    r = _ranks(weighted_pagerank(e, "w", iterations=20))
+    assert abs(sum(r.values()) - 1.0) < 1e-9
+    assert r[1] > r[2]  # the heavy edge carries more rank
+    # uniform weights must reproduce the unweighted operator exactly
+    u = spark.createDataFrame(
+        [(0, 1, 3.0), (0, 2, 3.0), (1, 0, 3.0), (2, 0, 3.0)],
+        "src long, dst long, w double",
+    )
+    a = _ranks(weighted_pagerank(u, "w", iterations=10))
+    b = _ranks(pagerank(u.drop("w"), iterations=10))
+    for k in a:
+        assert struct.pack("d", a[k]) == struct.pack("d", b[k]), k
+    # duplicate (src, dst) rows SUM into one edge: 0->1 twice at w=4.5
+    # equals one edge at w=9
+    dup = spark.createDataFrame(
+        [(0, 1, 4.5), (0, 1, 4.5), (0, 2, 1.0), (1, 0, 1.0), (2, 0, 1.0)],
+        "src long, dst long, w double",
+    )
+    c = _ranks(weighted_pagerank(dup, "w", iterations=20))
+    for k in r:
+        assert struct.pack("d", r[k]) == struct.pack("d", c[k]), k
+
+    import pytest as _pytest
+
+    bad = spark.createDataFrame([(0, 1, 0.0)], "src long, dst long, w double")
+    with _pytest.raises(ValueError, match="non-positive"):
+        weighted_pagerank(bad, "w")
