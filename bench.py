@@ -135,6 +135,7 @@ HEADLINE = [
     "telemetry_top_swamps",
     "cms_user_frequencies",
     "telemetry_history",
+    "telemetry_slow_queries",
     "triangle_counts_graph",
     "histogram_quantiles_events",
     "personalized_pagerank_seeds",

@@ -230,3 +230,30 @@ def histogram_quantiles(
             cum += r["cnt"]
         out.append((q, est))
     return out
+
+
+def histogram_bins_fixed(
+    df: DataFrame, value_col: str, lo: float, hi: float, bins: int = 128
+) -> DataFrame:
+    """Equi-width histogram over a DECLARED domain [lo, hi): the
+    mergeable/streaming form — :func:`histogram_bins` derives min/max
+    from the data, so two sketches built on different batches bin on
+    different domains and their cells cannot be summed; fixing the
+    domain up front makes cells associative counters exactly like CMS
+    cells. Out-of-domain values clamp into the edge bins (count never
+    silently drops). Returns (bin, cnt)."""
+    if not hi > lo:
+        raise ValueError("need hi > lo")
+    width = (hi - lo) / float(bins)
+    b = F.least(
+        F.greatest(
+            F.floor((F.col(value_col).cast("double") - F.lit(lo)) / F.lit(width)).cast(
+                "long"
+            ),
+            F.lit(0),
+        ),
+        F.lit(bins - 1),
+    )
+    return df.select(b.alias("bin")).groupBy("bin").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )

@@ -122,3 +122,32 @@ def telemetry_history(spark, sf_dir):
         F.col("p50_wall_ms"),
         F.col("max_wall_ms"),
     )
+
+
+@golden(
+    "telemetry_slow_queries",
+    oracle=f"""
+    WITH stats AS ({_STATS_SQL})
+    SELECT ts_us, op, wall_ms,
+           array_to_string(tables, ',') AS scanned
+    FROM stats WHERE ok
+    ORDER BY wall_ms DESC, ts_us ASC LIMIT 10
+    """,
+)
+def telemetry_slow_queries(spark, sf_dir):
+    """The slowest-operations drill-down (operators/telemetry.py::
+    slow_queries) — the 4th and last rollup surface, completing the
+    oracle-gated set. Deterministic: wall desc with a timestamp
+    tiebreak."""
+    from ..operators.telemetry import slow_queries
+
+    stats = _pseudo_stats(spark, sf_dir)
+    out = slow_queries(stats, k=10)
+    # the gate's value-hash compare cannot factorize array cells —
+    # emit the scanned-table list as a joined string
+    return out.select(
+        big("ts_us").alias("ts_us"),
+        F.col("op"),
+        F.col("wall_ms"),
+        F.concat_ws(",", F.col("tables")).alias("scanned"),
+    )

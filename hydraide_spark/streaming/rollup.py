@@ -144,3 +144,42 @@ def run_cms_maintenance_loop(
         .foreachBatch(merge)
         .start()
     )
+
+
+def run_histogram_maintenance_loop(
+    store: TreasureStore,
+    events_stream: DataFrame,
+    value_col: str,
+    lo: float,
+    hi: float,
+    bins: int = 128,
+    queue_name: str = "hist_maintenance",
+):
+    """Continuously maintained fixed-domain histogram: each micro-batch
+    bins into ≤ ``bins`` cells (functions.sketches.histogram_bins_fixed
+    — the domain is DECLARED, so cells are associative counters) and
+    adds into the stored sketch; any batching converges to the
+    full-history histogram, state is bounded at ``bins`` rows forever,
+    and quantile reads walk the stored cells without touching events."""
+    from ..functions.sketches import histogram_bins_fixed
+
+    def merge(batch_df: DataFrame, _epoch: int) -> None:
+        if batch_df.isEmpty():
+            return
+        part = histogram_bins_fixed(batch_df, value_col, lo, hi, bins).select(
+            F.col("bin").cast("string").alias("key"), "bin", "cnt"
+        )
+        cur = store.current().select("key", F.col("cnt").alias("_cur"))
+        updates = part.join(cur, "key", "left").select(
+            "key",
+            "bin",
+            (F.coalesce(F.col("_cur"), F.lit(0)) + F.col("cnt")).alias("cnt"),
+        )
+        store.set(updates)
+
+    return (
+        events_stream.writeStream.outputMode("append")
+        .queryName(queue_name)
+        .foreachBatch(merge)
+        .start()
+    )

@@ -913,3 +913,42 @@ def test_streaming_cms_converges_to_batch_sketch(spark, tmp_path):
         truth[u] = truth.get(u, 0) + 1
     for u in range(12):
         assert est[u] >= truth.get(u, 0)
+
+
+def test_streaming_histogram_converges_to_batch_bins(spark, tmp_path):
+    """Fixed-domain histogram maintenance: per-batch cells + associative
+    merge equals histogram_bins_fixed over the full history; state is
+    bounded at `bins` rows; out-of-domain values clamp, never drop."""
+    from hydraide_spark.functions.sketches import histogram_bins_fixed
+    from hydraide_spark.streaming.rollup import run_histogram_maintenance_loop
+
+    store = TreasureStore(spark, str(tmp_path / "hist"))
+    store.init(spark.createDataFrame([], "key string, bin long, cnt bigint"))
+    src = tmp_path / "hist_in"
+    src.mkdir()
+    schema = "event_id long, value double"
+    b1 = [(i, float(i % 90)) for i in range(50)]
+    b2 = [(100 + i, float(i % 70) + 40.0) for i in range(50)] + [(999, 1e9)]
+    spark.createDataFrame(b1, schema).coalesce(1).write.parquet(str(src / "b1"))
+    spark.createDataFrame(b2, schema).coalesce(1).write.parquet(str(src / "b2"))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    q = run_histogram_maintenance_loop(store, stream, "value", lo=0.0, hi=100.0, bins=20)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {r["bin"]: r["cnt"] for r in store.current().collect()}
+    full = spark.createDataFrame(b1 + b2, schema)
+    exp = {
+        r["bin"]: r["cnt"]
+        for r in histogram_bins_fixed(full, "value", 0.0, 100.0, 20).collect()
+    }
+    assert got == exp
+    assert len(got) <= 20
+    assert sum(got.values()) == 101  # the out-of-domain row clamped, not dropped
