@@ -204,11 +204,14 @@ def weighted_pagerank(
         .agg(F.sum("w").alias("w"))
         .localCheckpoint()
     )
-    bad = e.filter(F.col("w") <= 0).count()
+    # NULL weights must trip the guard too: a NULL survives the sum
+    # (or nulls it), slips past `w <= 0`, and then silently drops rank
+    # mass as a NULL frac instead of raising as promised
+    bad = e.filter((F.col("w") <= 0) | F.col("w").isNull()).count()
     if bad:
         raise ValueError(
-            f"weighted_pagerank: {bad} edge(s) with non-positive total "
-            "weight; drop or re-weight them first"
+            f"weighted_pagerank: {bad} edge(s) with non-positive or NULL "
+            "total weight; drop or re-weight them first"
         )
     nodes = (
         e.select(F.col("src").alias("node"))

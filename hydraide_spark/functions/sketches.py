@@ -169,7 +169,11 @@ def histogram_bins(df: DataFrame, value_col: str, bins: int = 128) -> DataFrame:
     the binning expression (no driver collect), then one groupBy whose
     shuffle carries ≤ ``bins`` cells per partition — corpus-size-
     independent state, mergeable by summing counts (same domain).
-    The top edge folds into the last bin (least())."""
+    The top edge folds into the last bin (least()). NULL values are
+    excluded up front — min/max already ignore them, and a NULL bin
+    row would poison the driver-side sort in
+    :func:`histogram_quantiles` (None is not orderable against int)."""
+    df = df.filter(F.col(value_col).isNotNull())
     mm = df.agg(
         F.min(F.col(value_col).cast("double")).alias("mn"),
         F.max(F.col(value_col).cast("double")).alias("mx"),
@@ -241,9 +245,12 @@ def histogram_bins_fixed(
     different domains and their cells cannot be summed; fixing the
     domain up front makes cells associative counters exactly like CMS
     cells. Out-of-domain values clamp into the edge bins (count never
-    silently drops). Returns (bin, cnt)."""
+    silently drops); NULLs are excluded like in :func:`histogram_bins`
+    (a NULL would otherwise survive the clamp as a NULL bin).
+    Returns (bin, cnt)."""
     if not hi > lo:
         raise ValueError("need hi > lo")
+    df = df.filter(F.col(value_col).isNotNull())
     width = (hi - lo) / float(bins)
     b = F.least(
         F.greatest(

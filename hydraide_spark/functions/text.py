@@ -258,7 +258,30 @@ def bpe_train_merges(
     (later candidates must re-qualify next round against fresh counts).
     Ties are therefore never batched across: equal-frequency pairs
     resolve through the lexicographic order exactly as the sequential
-    loop does. ``batch_size=1`` degenerates to the classic loop."""
+    loop does. ``batch_size=1`` degenerates to the classic loop.
+
+    Symbol-CREATION collisions (the subtle exactness hole): the guard
+    bound above assumes every pair an earlier merge creates starts
+    from count zero. Three collision shapes break that assumption, and
+    each ends (or trims) the batch:
+
+    - a candidate whose ``a`` or ``b`` was CREATED by an earlier
+      selected pair this batch — its count changes under sequential
+      application, and the one fold pass would miss newly created
+      occurrences;
+    - a candidate whose concatenation ``a+b`` equals an earlier batch
+      member's concatenation — created-pair counts would SUM across
+      the two creators, while the guard is a max bound;
+    - a selected pair whose concatenation equals a symbol that may
+      ALREADY exist in the vocabulary (every multi-char symbol is some
+      prior round's concatenation, so the driver knows this set
+      exactly) — pre-existing (·, a+b)/(a+b, ·) pairs gain count ON
+      TOP of their current frequency, invalidating the guard for
+      anything selected after it, so the batch ends with that pair.
+
+    The pair triggering one of the first two shapes is left for the
+    next round; in the worst (adversarial) case selection degenerates
+    to single-merge rounds, which is the sequential loop itself."""
     vocab = (
         df.select(F.explode(tokenize(F.col(text_col))).alias("w"))
         .groupBy("w")
@@ -319,20 +342,9 @@ def bpe_train_merges(
                 lmax[b] = freq
             if rmax.get(a, 0) < freq:
                 rmax[a] = freq
-        selected: list[tuple[str, str, int]] = []
-        used: set[str] = set()
-        max_guard = -1
-        for r in cands:
-            a, b, freq = r["a"], r["b"], int(r["freq"])
-            if selected and (
-                a in used or b in used or freq <= max_guard
-            ):
-                break
-            selected.append((a, b, freq))
-            used.update((a, b))
-            max_guard = max(
-                max_guard, lmax.get(a, kth), rmax.get(b, kth), kth
-            )
+        selected = _select_round_batch(
+            cands, kth, lmax, rmax, {a + b for a, b, _ in merges}, stats
+        )
         merges.extend(selected)
         if stats is not None:
             stats.setdefault("rounds", 0)
@@ -346,6 +358,168 @@ def bpe_train_merges(
             F.col("cnt"),
         ).localCheckpoint()
     return merges[:n_merges]
+
+
+def _select_round_batch(
+    cands: "list",
+    kth: int,
+    lmax: "dict[str, int]",
+    rmax: "dict[str, int]",
+    prior_created: "set[str]",
+    stats: dict | None = None,
+) -> "list[tuple[str, str, int]]":
+    """One round's batch selection for :func:`bpe_train_merges` —
+    walks the collected candidates in sequential-argmax order and
+    returns the prefix that is provably safe to apply in one fold pass
+    (see the trainer docstring for the full contract). ``cands`` are
+    rows/tuples with fields a, b, freq; ``kth`` floors the guards for
+    uncollected pairs; ``lmax``/``rmax`` are the per-symbol max pair
+    frequencies over the collected top-K; ``prior_created`` is the set
+    of concatenations minted by earlier ROUNDS (exactly the multi-char
+    symbols that can pre-exist in the vocabulary — initial symbols are
+    single characters). Factored out so the creation-collision guards,
+    unreachable from ordinary corpora, are directly unit-testable."""
+    selected: "list[tuple[str, str, int]]" = []
+    used: set[str] = set()
+    created_batch: set[str] = set()
+    max_guard = -1
+    for r in cands:
+        a, b, freq = r[0], r[1], int(r[2])
+        if selected and (a in used or b in used or freq <= max_guard):
+            break
+        # creation-collision guards (trainer docstring): a candidate
+        # built from — or re-creating — a token minted earlier this
+        # batch has counts the current table cannot certify
+        if a in created_batch or b in created_batch or (a + b) in created_batch:
+            if stats is not None:
+                stats["collision_stops"] = stats.get("collision_stops", 0) + 1
+            break
+        selected.append((a, b, freq))
+        used.update((a, b))
+        created_batch.add(a + b)
+        max_guard = max(max_guard, lmax.get(a, kth), rmax.get(b, kth), kth)
+        # the minted token may already exist as a vocab symbol:
+        # pre-existing pairs around it gain count on top of their
+        # current frequency, so no later selection is guard-safe
+        if (a + b) in prior_created:
+            if stats is not None:
+                stats["collision_stops"] = stats.get("collision_stops", 0) + 1
+            break
+    return selected
+
+
+def bpe_train_merges_local(
+    df: DataFrame,
+    n_merges: int,
+    text_col: str = "text",
+    min_freq: int = 2,
+    max_vocab: int = 2_000_000,
+    stats: dict | None = None,
+) -> "list[tuple[str, str, int]]":
+    """Driver-side BPE trainer — same contract and bit-identical output
+    as :func:`bpe_train_merges` (argmax by freq desc, lexicographic
+    (a, b) tiebreak, left-to-right non-overlapping apply), but after
+    the ONE corpus aggregate the merge loop runs in driver memory.
+
+    Why this is the scale-honest default: the corpus is touched once
+    (tokenize → word-frequency aggregate — the only part that scales
+    with data volume); everything after operates on the DISTINCT-WORD
+    vocabulary, which is bounded by the language (~10⁵–10⁶ rows), not
+    the corpus. Driving ~n_merges/⟨yield⟩ serialized 2-job Spark rounds
+    over a table that small pays per-round scheduler latency thousands
+    of times for no parallelism win — a 32K-merge tokenizer run becomes
+    hours of driver-sequential job turnarounds. Collecting the bounded
+    vocab (the repo already treats model constants as driver data) and
+    looping locally makes the same run seconds. The Spark-round path
+    (:func:`bpe_train_merges`) remains the fallback for adversarially
+    huge vocabularies and the shape the SQL oracle replays.
+
+    The loop is the classic pair-statistics algorithm (Sennrich et al.
+    ACL'16 reference implementation shape): incremental pair counts
+    (only words containing the merged pair are touched), a lazy
+    max-heap keyed (-freq, a, b) — Python tuple comparison over str is
+    code-point order, which equals Spark's UTF-8 binary sort, so ties
+    resolve identically — with stale entries discarded on pop (an
+    entry is live iff its freq equals the pair's current count; every
+    count change pushes a fresh entry, so the true argmax always has a
+    live entry at the top of the heap or above).
+
+    ``max_vocab`` is a loud guard, not a silent cap: if the >=min_freq
+    vocabulary exceeds it, the collect would no longer be "bounded
+    model state" and the call raises, pointing at the Spark path."""
+    import heapq
+    from collections import Counter
+
+    rows = (
+        df.select(F.explode(tokenize(F.col(text_col))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= min_freq)
+        .limit(max_vocab + 1)
+        .collect()
+    )
+    if len(rows) > max_vocab:
+        raise ValueError(
+            f"bpe_train_merges_local: >= {max_vocab + 1} distinct words at "
+            f"min_freq={min_freq}; vocabulary is not driver-bounded — use "
+            "bpe_train_merges (the Spark-round path) instead"
+        )
+    words: "list[list[str]]" = [list(r["w"]) for r in rows]
+    cnts: "list[int]" = [int(r["cnt"]) for r in rows]
+
+    pair_freq: "dict[tuple[str, str], int]" = {}
+    pair_words: "dict[tuple[str, str], set[int]]" = {}
+    for i, (sym, c) in enumerate(zip(words, cnts)):
+        for p in zip(sym, sym[1:]):
+            pair_freq[p] = pair_freq.get(p, 0) + c
+            pair_words.setdefault(p, set()).add(i)
+    heap = [(-f, a, b) for (a, b), f in pair_freq.items() if f >= min_freq]
+    heapq.heapify(heap)
+
+    merges: "list[tuple[str, str, int]]" = []
+    while len(merges) < n_merges and heap:
+        nf, a, b = heapq.heappop(heap)
+        f = -nf
+        if pair_freq.get((a, b), 0) != f:
+            continue  # stale entry (count changed since push)
+        merges.append((a, b, f))
+        new_sym = a + b
+        changed: "set[tuple[str, str]]" = set()
+        for i in sorted(pair_words.get((a, b), ())):
+            sym, c = words[i], cnts[i]
+            old_counts = Counter(zip(sym, sym[1:]))
+            out: "list[str]" = []
+            j, n = 0, len(sym)
+            while j < n:  # left-to-right non-overlapping apply
+                if j + 1 < n and sym[j] == a and sym[j + 1] == b:
+                    out.append(new_sym)
+                    j += 2
+                else:
+                    out.append(sym[j])
+                    j += 1
+            words[i] = out
+            new_counts = Counter(zip(out, out[1:]))
+            for p in old_counts.keys() | new_counts.keys():
+                d = new_counts.get(p, 0) - old_counts.get(p, 0)
+                if d:
+                    pair_freq[p] = pair_freq.get(p, 0) + d * c
+                    changed.add(p)
+                if new_counts.get(p, 0) == 0:
+                    s = pair_words.get(p)
+                    if s is not None:
+                        s.discard(i)
+                else:
+                    pair_words.setdefault(p, set()).add(i)
+        for p in changed:
+            f2 = pair_freq.get(p, 0)
+            if f2 <= 0:
+                pair_freq.pop(p, None)
+                pair_words.pop(p, None)
+            elif f2 >= min_freq:
+                heapq.heappush(heap, (-f2, p[0], p[1]))
+        if stats is not None:
+            stats["rounds"] = stats.get("rounds", 0) + 1
+    return merges
 
 
 def _merge_pairs_expr(sym: Column, pairs: "list[tuple[str, str]]") -> Column:

@@ -1227,11 +1227,13 @@ def bpe_token_frequencies(spark, sf_dir):
     bpe_encode_token_counts); the corpus itself never reshuffles.
     Oracle: the unrolled training replay carries a second, unpruned
     vocabulary chain through the same merges and explodes the final
-    state."""
-    from ..functions.text import bpe_encode_token_counts, bpe_train_merges
+    state. Training runs the driver-side loop over the collected
+    bounded vocab (bit-identical to the Spark rounds — pinned in
+    tests/test_text_signals.py)."""
+    from ..functions.text import bpe_encode_token_counts, bpe_train_merges_local
 
     docs = t(spark, sf_dir, "documents")
-    merges = bpe_train_merges(docs, n_merges=12, min_freq=2)
+    merges = bpe_train_merges_local(docs, n_merges=12, min_freq=2)
     out = bpe_encode_token_counts(docs, merges)
     return out.select(F.col("token"), big("n_occurrences").alias("n_occurrences"))
 
@@ -1264,18 +1266,23 @@ def bpe_merge_rules(spark, sf_dir):
 
 @golden("bpe_merge_rules_256", oracle=_bpe_oracle_sql(128))
 def bpe_merge_rules_256(spark, sf_dir):
-    """Deep BPE training run: up to 256 merges, batch_size=64 — the
-    tokenizer-scale shape (a real 32K-merge run is this loop continued;
-    per-round cost is vocab-bounded and the job count is
-    merges/⟨batch yield⟩ × 2, measured yield ~1.6 on this corpus). The
-    documents corpus EXHAUSTS at 89 merges (every remaining pair drops
-    below min_freq) at both gate scales, so the 128-round oracle unroll
-    strictly covers the sequential replay; rounds past exhaustion
-    contribute no rows in either engine."""
-    from ..functions.text import bpe_train_merges
+    """Deep BPE training run: up to 256 merges through the DRIVER-SIDE
+    trainer (functions/text.py::bpe_train_merges_local) — one corpus
+    scan builds the language-bounded word-frequency vocab, then the
+    sequential merge loop runs in driver memory (incremental pair
+    counts + lazy max-heap), which is the scale-honest shape for a
+    32K-merge tokenizer run (the Spark-round path would serialize
+    ~merges/yield 2-job rounds over a tiny table). Output is
+    bit-identical to the batched Spark rounds (pinned in
+    tests/test_text_signals.py). The documents corpus EXHAUSTS at 89
+    merges (every remaining pair drops below min_freq) at both gate
+    scales, so the 128-round oracle unroll strictly covers the
+    sequential replay; rounds past exhaustion contribute no rows in
+    either engine."""
+    from ..functions.text import bpe_train_merges_local
 
     docs = t(spark, sf_dir, "documents")
-    merges = bpe_train_merges(docs, n_merges=256, min_freq=2, batch_size=64)
+    merges = bpe_train_merges_local(docs, n_merges=256, min_freq=2)
     rows = [(rank, a, b, freq) for rank, (a, b, freq) in enumerate(merges)]
     return spark.createDataFrame(
         rows, "rank int, left string, right string, pair_freq long"

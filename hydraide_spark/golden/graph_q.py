@@ -238,7 +238,20 @@ def personalized_pagerank_seeds(spark, sf_dir):
         ((F.col("doc_id") * 17 + 3) % n_docs).alias("dst"),
     )
     edges = e1.unionByName(e2).filter(F.col("src") != F.col("dst"))
-    seeds = list(range(0, n_docs, 97))
+    # seeds come from the same node universe the oracle's pvec uses —
+    # DISTINCT EDGE ENDPOINTS divisible by 97, not all multiples of 97
+    # in [0, n_docs): if a multiple of 97 ever drops out of the graph
+    # (both its hash edges are self-loops at some scale factor), a
+    # range-derived list would add it as an isolated seed and the two
+    # sides would disagree on the seed count
+    seeds = [
+        r["node"]
+        for r in edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .filter(F.col("node") % 97 == 0)
+        .distinct()
+        .collect()
+    ]
     out = personalized_pagerank(edges, seeds, damping=0.85, iterations=_ITERS)
     # DECIMAL(38,18) -> DOUBLE casts round differently in the last ulp
     # between Spark and DuckDB for SOME values (observed: 1 row in 500;

@@ -257,7 +257,18 @@ class FileLeaseLockManager:
             while True:
                 with self._Flock(mu):
                     now = time.time()
-                    os.utime(tpath)  # heartbeat: we are a live waiter
+                    try:
+                        os.utime(tpath)  # heartbeat: we are a live waiter
+                    except FileNotFoundError:
+                        # a peer reaped our ticket (we were starved of
+                        # the flock past stale_sec — heavy contention,
+                        # slow FS, or a clock jump): re-enqueue at the
+                        # tail instead of crashing; FIFO position is
+                        # lost, liveness is kept
+                        ticket = f"{time.time_ns():020d}-{lock_id}"
+                        tpath = os.path.join(qdir, ticket)
+                        with open(tpath, "w"):
+                            pass
                     if self._live_head(qdir, now) == ticket:
                         cur = self._read_lease(lease)
                         if cur is None or cur["expires_at"] <= now:

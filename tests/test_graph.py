@@ -193,3 +193,18 @@ def test_weighted_pagerank_weights_matter_and_multiplicity_sums(spark):
     bad = spark.createDataFrame([(0, 1, 0.0)], "src long, dst long, w double")
     with _pytest.raises(ValueError, match="non-positive"):
         weighted_pagerank(bad, "w")
+
+
+def test_weighted_pagerank_null_weight_raises(spark):
+    """A NULL weight must trip the non-positive guard, not silently
+    drop rank mass as a NULL share (the guard's filter previously
+    excluded NULL rows because NULL <= 0 is NULL)."""
+    import pytest as _pytest
+
+    from hydraide_spark.functions.graph import weighted_pagerank
+
+    bad = spark.createDataFrame(
+        [(0, 1, 2.0), (1, 0, None)], "src long, dst long, w double"
+    )
+    with _pytest.raises(ValueError, match="NULL"):
+        weighted_pagerank(bad, "w")

@@ -261,3 +261,43 @@ def test_file_lease_fifo_order_and_timeout(tmp_path):
     for t in threads:
         t.join(timeout=60)
     assert order == [0, 1, 2]
+
+
+def test_file_lease_reaped_ticket_requeues_instead_of_crashing(tmp_path):
+    """A waiter whose ticket was reaped by a peer (starved past
+    stale_sec) must re-enqueue at the tail, not crash: before the fix
+    the next heartbeat os.utime raised FileNotFoundError out of
+    lock()."""
+    import glob
+    import os
+
+    from hydraide_spark.operators.locks import FileLeaseLockManager
+
+    root = str(tmp_path / "locks")
+    lm = FileLeaseLockManager(root, poll_sec=0.02)
+    holder = lm.lock("k", ttl_sec=30)
+    got: list = []
+
+    def waiter():
+        got.append(lm.lock("k", ttl_sec=30, timeout=20))
+
+    t = threading.Thread(target=waiter)
+    t.start()
+    # wait until the waiter's ticket exists, then simulate a peer's reap
+    qdir = None
+    deadline = time.monotonic() + 5
+    while time.monotonic() < deadline:
+        qs = glob.glob(os.path.join(root, "*.q"))
+        if qs and os.listdir(qs[0]):
+            qdir = qs[0]
+            break
+        time.sleep(0.005)
+    assert qdir is not None
+    for name in os.listdir(qdir):
+        os.unlink(os.path.join(qdir, name))
+    time.sleep(0.2)  # several heartbeats over the missing ticket
+    lm.unlock("k", holder)
+    t.join(timeout=20)
+    assert not t.is_alive()
+    assert got and got[0] is not None  # acquired after re-enqueueing
+    lm.unlock("k", got[0])

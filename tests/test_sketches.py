@@ -125,3 +125,30 @@ def test_histogram_quantiles_error_bound_and_constant_column(spark):
     const = spark.createDataFrame([(7.5,)] * 10, "value double")
     got = histogram_quantiles(const, "value", [0.1, 0.9])
     assert got == [(0.1, 7.5), (0.9, 7.5)]
+
+
+def test_histogram_null_values_excluded_not_crashing(spark):
+    """NULL values must be excluded up front: before the fix a NULL bin
+    row crashed histogram_quantiles' driver sort (None vs int), and
+    histogram_bins_fixed emitted a phantom NULL-bin cell."""
+    from hydraide_spark.functions.sketches import (
+        histogram_bins,
+        histogram_bins_fixed,
+        histogram_quantiles,
+    )
+
+    df = spark.createDataFrame(
+        [(1.0,), (None,), (2.0,), (None,), (3.0,), (4.0,)], "value double"
+    )
+    got = histogram_quantiles(df, "value", [0.5], bins=4)
+    assert len(got) == 1 and 1.0 <= got[0][1] <= 4.0
+    bins = histogram_bins(df, "value", bins=4).collect()
+    assert all(r["bin"] is not None for r in bins)
+    assert sum(r["cnt"] for r in bins) == 4  # NULLs not counted anywhere
+    fixed = histogram_bins_fixed(df, "value", 0.0, 5.0, bins=4).collect()
+    assert all(r["bin"] is not None for r in fixed)
+    assert sum(r["cnt"] for r in fixed) == 4
+
+    all_null = spark.createDataFrame([(None,), (None,)], "value double")
+    got = histogram_quantiles(all_null, "value", [0.5])
+    assert len(got) == 1 and got[0][1] != got[0][1]  # NaN (empty input)

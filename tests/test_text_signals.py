@@ -405,3 +405,140 @@ def sorted_sum(xs):
     for x in sorted(xs):
         s += x
     return s
+
+
+def test_bpe_batch_selection_collision_guards():
+    """Symbol-CREATION collisions break the guard-bound argument
+    (created-pair counts can stack on a pre-existing symbol's pairs,
+    or sum across two creators), so the selection must trim the batch
+    at each collision shape. No ordinary corpus reaches these branches
+    (30K randomized corpora produced zero duplicate concatenations),
+    so the factored-out selection helper is exercised directly with
+    synthetic top-K candidate rows."""
+    from hydraide_spark.functions.text import _select_round_batch
+
+    # shape 1: candidate's symbol was minted earlier THIS batch
+    # (('x','y') mints 'xy'; ('xy','z') must not join the batch)
+    cands = [("x", "y", 100), ("xy", "z", 90), ("p", "q", 80)]
+    stats: dict = {}
+    got = _select_round_batch(cands, 0, {}, {}, set(), stats)
+    assert got == [("x", "y", 100)]
+    assert stats["collision_stops"] == 1
+
+    # shape 2: two candidates minting the SAME token — created-pair
+    # counts would sum across creators, breaking the max-based guard
+    cands = [("x", "yz", 100), ("xy", "z", 90)]
+    stats = {}
+    got = _select_round_batch(cands, 0, {}, {}, set(), stats)
+    assert got == [("x", "yz", 100)]
+    assert stats["collision_stops"] == 1
+
+    # shape 3: the minted token equals a symbol from an earlier ROUND —
+    # pre-existing pairs around it gain count on top of their current
+    # frequency, so the batch ends WITH the colliding pair
+    cands = [("a", "bc", 100), ("p", "q", 90)]
+    stats = {}
+    got = _select_round_batch(cands, 0, {}, {}, {"abc"}, stats)
+    assert got == [("a", "bc", 100)]
+    assert stats["collision_stops"] == 1
+
+    # control: none of the shapes -> both disjoint candidates batch
+    got = _select_round_batch(
+        [("x", "y", 100), ("p", "q", 90)], 0, {}, {}, set(), None
+    )
+    assert got == [("x", "y", 100), ("p", "q", 90)]
+
+
+def test_bpe_batched_rounds_exact_on_tiny_alphabet(spark):
+    """Tie-heavy 2-letter corpora (constant symbol sharing, self-pairs,
+    chained creations) must keep every batch size exact vs the
+    sequential reference."""
+    import random
+
+    from pyspark.sql import Row
+
+    from hydraide_spark.functions.text import bpe_train_merges
+
+    for seed in (3, 7, 19):
+        rng = random.Random(seed)
+        words = [
+            "".join(rng.choice("ab") for _ in range(rng.randrange(2, 11)))
+            for _ in range(80)
+        ]
+        freqs: dict = {}
+        for w in words:
+            freqs[w] = freqs.get(w, 0) + rng.randrange(1, 7)
+        rows = [
+            Row(doc_id=i, text=" ".join([w] * c))
+            for i, (w, c) in enumerate(freqs.items())
+        ]
+        df = spark.createDataFrame(rows)
+        ref = _py_bpe(freqs, 30)
+        got = bpe_train_merges(df, n_merges=30, min_freq=2, batch_size=64)
+        assert got == ref, f"seed={seed}"
+
+
+def test_bpe_local_trainer_matches_spark_and_reference(spark):
+    """The driver-side trainer must be bit-identical to both the pure
+    sequential reference and the batched Spark rounds — same corpus
+    family as the batching test (tie-heavy, self-pairs), plus the
+    tiny-alphabet collision corpus."""
+    import random
+
+    from pyspark.sql import Row
+
+    from hydraide_spark.functions.text import (
+        bpe_train_merges,
+        bpe_train_merges_local,
+    )
+
+    for seed, alphabet in ((11, "abcdef"), (7, "ab")):
+        rng = random.Random(seed)
+        words = [
+            "".join(rng.choice(alphabet) for _ in range(rng.randrange(2, 9)))
+            for _ in range(120)
+        ] + ["aaaa", "abab", "bbbb"]
+        freqs: dict = {}
+        for w in words:
+            freqs[w] = freqs.get(w, 0) + rng.randrange(1, 9)
+        rows = [
+            Row(doc_id=i, text=" ".join([w] * c))
+            for i, (w, c) in enumerate(freqs.items())
+        ]
+        df = spark.createDataFrame(rows)
+        ref = _py_bpe(freqs, 40)
+        got_local = bpe_train_merges_local(df, n_merges=40, min_freq=2)
+        assert got_local == ref, f"seed={seed} local-vs-reference"
+        got_spark = bpe_train_merges(df, n_merges=40, min_freq=2, batch_size=64)
+        assert got_local == got_spark, f"seed={seed} local-vs-spark"
+
+
+def test_bpe_local_trainer_matches_spark_on_documents(spark):
+    """End-to-end on the real corpus: the driver-side trainer and the
+    Spark-round trainer must produce the identical merge list the
+    sequential-replay SQL oracle certifies."""
+    from hydraide_spark.functions.text import (
+        bpe_train_merges,
+        bpe_train_merges_local,
+    )
+    from hydraide_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    local = bpe_train_merges_local(docs, n_merges=24, min_freq=2)
+    dist = bpe_train_merges(docs, n_merges=24, min_freq=2, batch_size=16)
+    assert local == dist
+    assert len(local) > 0
+
+
+def test_bpe_local_trainer_vocab_guard(spark):
+    """max_vocab is a loud guard: an over-bounded vocabulary must raise
+    and name the Spark path, never silently truncate."""
+    import pytest
+    from pyspark.sql import Row
+
+    from hydraide_spark.functions.text import bpe_train_merges_local
+
+    rows = [Row(doc_id=i, text=f"w{i}a w{i}a") for i in range(40)]
+    df = spark.createDataFrame(rows)
+    with pytest.raises(ValueError, match="bpe_train_merges"):
+        bpe_train_merges_local(df, n_merges=4, min_freq=2, max_vocab=10)
