@@ -101,7 +101,10 @@ def stratified_sample(
 
 
 def temperature_mix_fractions(
-    df: DataFrame, strata_col: str, target_fraction: float
+    df: DataFrame,
+    strata_col: str,
+    target_fraction: float,
+    max_strata: int = 100_000,
 ) -> "dict[str, float]":
     """Square-root temperature rebalance (the multilingual-mixing
     heuristic: sample stratum s proportionally to n_s^0.5, so dominant
@@ -118,7 +121,18 @@ def temperature_mix_fractions(
     exactly this reason)."""
     import math
 
-    counts = {r[0]: r[1] for r in df.groupBy(strata_col).count().collect()}
+    rows = df.groupBy(strata_col).count().limit(max_strata + 1).collect()
+    if len(rows) > max_strata:
+        # the per-stratum counts are only "one tiny aggregate" while
+        # strata means language/domain/source; a high-cardinality
+        # stratification (user id, URL) would silently pull an
+        # unbounded map onto the driver — refuse loudly instead
+        raise ValueError(
+            f"temperature_mix_fractions: > {max_strata} distinct strata in "
+            f"{strata_col!r}; this operator is for language/domain-sized "
+            "strata — stratify on a bounded key or raise max_strata"
+        )
+    counts = {r[0]: r[1] for r in rows}
     strata = sorted(counts)
     ssum = 0.0
     for s in strata:

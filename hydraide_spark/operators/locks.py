@@ -205,6 +205,14 @@ class FileLeaseLockManager:
             os.close(self._fd)
             return False
 
+    def _critical(self, path: str):
+        """Context manager serializing this key's state transitions.
+        The base backend uses ``flock`` (kernel-released on crash);
+        :class:`CasLeaseLockManager` overrides this with an atomic
+        create-excl marker for filesystems/stores where flock does not
+        coordinate across hosts."""
+        return self._Flock(path)
+
     @staticmethod
     def _read_lease(path: str):
         import json
@@ -255,7 +263,7 @@ class FileLeaseLockManager:
         deadline = None if timeout is None else time.monotonic() + timeout
         try:
             while True:
-                with self._Flock(mu):
+                with self._critical(mu):
                     now = time.time()
                     try:
                         os.utime(tpath)  # heartbeat: we are a live waiter
@@ -280,7 +288,7 @@ class FileLeaseLockManager:
                             os.unlink(tpath)
                             return lock_id
                 if deadline is not None and time.monotonic() >= deadline:
-                    with self._Flock(mu):
+                    with self._critical(mu):
                         try:
                             os.unlink(tpath)
                         except FileNotFoundError:
@@ -303,7 +311,7 @@ class FileLeaseLockManager:
         import time
 
         mu, lease, _ = self._paths(key)
-        with self._Flock(mu):
+        with self._critical(mu):
             cur = self._read_lease(lease)
             if (
                 cur is None
@@ -321,8 +329,96 @@ class FileLeaseLockManager:
         import time
 
         mu, lease, _ = self._paths(key)
-        with self._Flock(mu):
+        with self._critical(mu):
             cur = self._read_lease(lease)
             if cur is None or cur["expires_at"] <= time.time():
                 return None
             return cur["lock_id"]
+
+
+class CasLeaseLockManager(FileLeaseLockManager):
+    """Cross-HOST business locks: the same lease/ticket state machine
+    as :class:`FileLeaseLockManager`, with the per-key critical section
+    serialized by an atomic CREATE-EXCL marker file instead of
+    ``flock``. flock coordinates only through one kernel and is
+    advisory-broken on many NFS deployments; the primitives used here —
+    exclusive create, rename, unlink — are atomic on NFS v3+ and map
+    1:1 onto conditional writes elsewhere (object-store conditional put
+    / If-None-Match, DynamoDB conditional expressions, a store-versioned
+    CAS row), so the identical state machine runs anywhere the path is
+    shared, which is the reference's cross-client contract
+    (``proto/hydraide.proto:14-31``).
+
+    Crash recovery: a process dying inside the (milliseconds-long)
+    critical section leaves the marker file; any waiter breaks it after
+    ``mutex_stale_sec`` via a single-winner atomic rename-steal — the
+    lazy analogue of the kernel releasing a dead holder's flock. The
+    marker carries its owner's nonce, and release only unlinks a marker
+    it still owns, so a stolen marker cannot take the thief's section
+    down with it. Do not mix flock and CAS managers on one root: they
+    would serialize against different primitives.
+    """
+
+    def __init__(
+        self,
+        root: str,
+        poll_sec: float = 0.02,
+        stale_sec: float = 2.0,
+        mutex_stale_sec: float = 10.0,
+    ):
+        super().__init__(root, poll_sec=poll_sec, stale_sec=stale_sec)
+        self._mutex_stale = mutex_stale_sec
+
+    class _CasMutex:
+        def __init__(self, path: str, stale_sec: float, poll_sec: float = 0.002):
+            self._path = path
+            self._stale = stale_sec
+            self._poll = poll_sec
+            self._nonce = uuid.uuid4().hex
+
+        def __enter__(self):
+            import os
+            import time
+
+            while True:
+                try:
+                    fd = os.open(
+                        self._path, os.O_CREAT | os.O_EXCL | os.O_WRONLY, 0o644
+                    )
+                    try:
+                        os.write(fd, self._nonce.encode())
+                    finally:
+                        os.close(fd)
+                    return self
+                except FileExistsError:
+                    try:
+                        age = time.time() - os.stat(self._path).st_mtime
+                    except FileNotFoundError:
+                        continue  # freed between open and stat: retry now
+                    if age > self._stale:
+                        # dead owner: single-winner steal — rename is
+                        # atomic, the losers' rename raises ENOENT
+                        stale = f"{self._path}.stale-{uuid.uuid4().hex}"
+                        try:
+                            os.rename(self._path, stale)
+                            os.unlink(stale)
+                        except FileNotFoundError:
+                            pass
+                        continue
+                    time.sleep(self._poll)
+
+        def __exit__(self, *exc):
+            import os
+
+            try:
+                with open(self._path) as f:
+                    if f.read() == self._nonce:
+                        os.unlink(self._path)
+                # else: we were (wrongly presumed dead and) stolen —
+                # the marker now belongs to the thief, leave it
+            except FileNotFoundError:
+                pass
+            return False
+
+    def _critical(self, path: str):
+        return self._CasMutex(path + ".cas", self._mutex_stale)

@@ -36,18 +36,40 @@ class QueryStatsCollector:
     """Registers as a JVM ``QueryExecutionListener`` and records one
     row per completed action. Driver-side and lock-protected (py4j
     callbacks arrive on their own threads); the per-query cost is one
-    plan ``toString`` — no extra Spark jobs."""
+    plan ``toString`` — no extra Spark jobs.
+
+    The buffer is BOUNDED like the reference's rolling 30-minute
+    telemetry window (``proto/hydraide.proto:568-576``): rows older
+    than ``window_sec`` are evicted on every record, and ``max_rows``
+    hard-caps the buffer even under burst rates — a long-lived driver
+    can never leak. For retention beyond the window, :meth:`flush`
+    appends the buffer to a parquet stats table (``table_path``) as an
+    immutable batch directory; the 4 rollup queries run unchanged over
+    either :meth:`stats` (the live buffer) or :meth:`persisted_stats`
+    (the table), and :meth:`prune` enforces the same rolling window on
+    the table by dropping whole expired batch directories (on object
+    stores, a lifecycle rule on the batch prefix does the same job)."""
 
     SCHEMA = (
         "ts_us long, op string, wall_ms double, ok boolean, tables array<string>"
     )
 
-    def __init__(self, spark: SparkSession):
+    def __init__(
+        self,
+        spark: SparkSession,
+        window_sec: int = 1800,
+        max_rows: int = 100_000,
+        table_path: Optional[str] = None,
+    ):
         from pyspark.java_gateway import ensure_callback_server_started
 
         self._spark = spark
         self._mu = threading.Lock()
         self._rows: list[tuple] = []
+        self._window_us = int(window_sec) * 1_000_000
+        self._max_rows = int(max_rows)
+        self._table_path = table_path
+        self._suspended = False  # don't record our own flush writes
         ensure_callback_server_started(spark.sparkContext._gateway)
         self._active = True
         spark._jsparkSession.listenerManager().register(self)
@@ -55,11 +77,11 @@ class QueryStatsCollector:
     # -- JVM callback interface -------------------------------------------
 
     def onSuccess(self, funcName, qe, durationNs):  # noqa: N802 (JVM name)
-        if self._active:
+        if self._active and not self._suspended:
             self._record(funcName, qe, durationNs / 1e6, True)
 
     def onFailure(self, funcName, qe, exception):  # noqa: N802 (JVM name)
-        if self._active:
+        if self._active and not self._suspended:
             self._record(funcName, qe, 0.0, False)
 
     class Java:
@@ -78,11 +100,26 @@ class QueryStatsCollector:
                         tables.append(path.rsplit("/", 1)[-1])
         except Exception:
             pass  # a failed query may have no executable plan
+        self._append(
+            (time.time_ns() // 1_000, str(op), float(wall_ms), bool(ok),
+             sorted(set(tables)))
+        )
+
+    def _append(self, row: tuple) -> None:
+        """Buffer one stats row, then enforce the rolling bound: evict
+        rows older than the window (appends arrive in wall-clock order,
+        so eviction pops from the front) and hard-cap the row count."""
         with self._mu:
-            self._rows.append(
-                (time.time_ns() // 1_000, str(op), float(wall_ms), bool(ok),
-                 sorted(set(tables)))
-            )
+            self._rows.append(row)
+            cutoff = row[0] - self._window_us
+            drop = 0
+            n = len(self._rows)
+            while drop < n and self._rows[drop][0] < cutoff:
+                drop += 1
+            if n - drop > self._max_rows:
+                drop = n - self._max_rows
+            if drop:
+                del self._rows[:drop]
 
     # -- API ----------------------------------------------------------------
 
@@ -95,8 +132,8 @@ class QueryStatsCollector:
         self._active = False
 
     def stats(self) -> DataFrame:
-        """The recorded stats as a DataFrame (driver-buffer snapshot;
-        at scale, append these rows to a store table instead)."""
+        """The recorded stats as a DataFrame (bounded driver-buffer
+        snapshot — the reference's rolling-window view)."""
         with self._mu:
             rows = list(self._rows)
         return self._spark.createDataFrame(rows, self.SCHEMA)
@@ -104,6 +141,79 @@ class QueryStatsCollector:
     def clear(self) -> None:
         with self._mu:
             self._rows.clear()
+
+    def flush(self) -> int:
+        """Append the buffered rows to the parquet stats table as one
+        immutable batch directory (named by the newest ts so pruning
+        can drop whole batches without reading them), then clear the
+        buffer. Returns the number of rows flushed. The write runs with
+        recording suspended so the flush doesn't record itself."""
+        import os
+
+        if self._table_path is None:
+            raise ValueError("QueryStatsCollector: no table_path configured")
+        with self._mu:
+            rows, self._rows = self._rows, []
+        if not rows:
+            return 0
+        batch_dir = os.path.join(self._table_path, f"batch-{rows[-1][0]:020d}")
+        self._suspended = True
+        try:
+            (
+                self._spark.createDataFrame(rows, self.SCHEMA)
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(batch_dir)
+            )
+        except BaseException:
+            # failed write: put the rows back (front — they're the
+            # oldest) so a retry or the rolling buffer still sees them
+            with self._mu:
+                self._rows[:0] = rows
+            raise
+        finally:
+            self._suspended = False
+        return len(rows)
+
+    def persisted_stats(self) -> DataFrame:
+        """The flushed stats table as a DataFrame — same schema as
+        :meth:`stats`, so every rollup runs unchanged over it."""
+        import os
+
+        if self._table_path is None:
+            raise ValueError("QueryStatsCollector: no table_path configured")
+        return self._spark.read.schema(self.SCHEMA).parquet(
+            os.path.join(self._table_path, "batch-*")
+        )
+
+    def prune(self, now_us: Optional[int] = None) -> int:
+        """Enforce the rolling window on the PERSISTED table: drop
+        batch directories whose newest row (encoded in the directory
+        name) is older than the window. Returns batches dropped.
+        Local-FS implementation; on object stores the same contract is
+        a lifecycle rule on the ``batch-`` prefix."""
+        import os
+        import shutil
+
+        if self._table_path is None:
+            raise ValueError("QueryStatsCollector: no table_path configured")
+        cutoff = (now_us or time.time_ns() // 1_000) - self._window_us
+        dropped = 0
+        try:
+            names = sorted(os.listdir(self._table_path))
+        except FileNotFoundError:
+            return 0
+        for name in names:
+            if not name.startswith("batch-"):
+                continue
+            try:
+                newest = int(name.split("-", 1)[1])
+            except ValueError:
+                continue
+            if newest < cutoff:
+                shutil.rmtree(os.path.join(self._table_path, name))
+                dropped += 1
+        return dropped
 
 
 # -- the 4 RPC analogues (proto:2393-2458), as rollups over the stats -------

@@ -141,10 +141,10 @@ def test_lock_stress_mutual_exclusion_and_liveness():
 
 _WORKER = r"""
 import sys, time
-from hydraide_spark.operators.locks import FileLeaseLockManager
+from hydraide_spark.operators import locks
 
-root, log, n = sys.argv[1], sys.argv[2], int(sys.argv[3])
-lm = FileLeaseLockManager(root)
+root, log, n, cls = sys.argv[1], sys.argv[2], int(sys.argv[3]), sys.argv[4]
+lm = getattr(locks, cls)(root)
 for _ in range(n):
     lid = lm.lock("shared", ttl_sec=10, timeout=30)
     assert lid is not None
@@ -159,18 +159,20 @@ for _ in range(n):
 """
 
 
-def test_file_lease_two_process_mutual_exclusion(tmp_path):
+@pytest.mark.parametrize("backend", ["FileLeaseLockManager", "CasLeaseLockManager"])
+def test_file_lease_two_process_mutual_exclusion(tmp_path, backend):
     """TWO OS PROCESSES contending on the same key must strictly
     alternate enter/exit in a shared log — the cross-client mutual
     exclusion the reference lock promises (proto:14-31), which the
-    in-process manager cannot provide."""
+    in-process manager cannot provide. Parametrized over the flock
+    backend and the CAS (create-excl) cross-host backend."""
     import subprocess
     import sys
 
     root, log = str(tmp_path / "locks"), str(tmp_path / "log.txt")
     procs = [
         subprocess.Popen(
-            [sys.executable, "-c", _WORKER, root, log, "15"],
+            [sys.executable, "-c", _WORKER, root, log, "15", backend],
             cwd="/root/repo",
         )
         for _ in range(2)
@@ -186,7 +188,8 @@ def test_file_lease_two_process_mutual_exclusion(tmp_path):
         assert id_a == id_b  # the exit belongs to the same holder
 
 
-def test_file_lease_ttl_takeover_and_stale_unlock(tmp_path):
+@pytest.mark.parametrize("backend", ["FileLeaseLockManager", "CasLeaseLockManager"])
+def test_file_lease_ttl_takeover_and_stale_unlock(tmp_path, backend):
     """A holder that dies without unlocking (simulated crash in a
     CHILD PROCESS) must be overtaken once its lease expires; its saved
     LockID must then fail to unlock — the reference's auto-unlock
@@ -194,7 +197,7 @@ def test_file_lease_ttl_takeover_and_stale_unlock(tmp_path):
     import subprocess
     import sys
 
-    from hydraide_spark.operators.locks import FileLeaseLockManager
+    from hydraide_spark.operators import locks
 
     root = str(tmp_path / "locks")
     out = subprocess.run(
@@ -202,10 +205,11 @@ def test_file_lease_ttl_takeover_and_stale_unlock(tmp_path):
             sys.executable,
             "-c",
             "import sys\n"
-            "from hydraide_spark.operators.locks import FileLeaseLockManager\n"
-            "lm = FileLeaseLockManager(sys.argv[1])\n"
+            "from hydraide_spark.operators import locks\n"
+            "lm = getattr(locks, sys.argv[2])(sys.argv[1])\n"
             "print(lm.lock('k', ttl_sec=0.6, timeout=5))\n",
             root,
+            backend,
         ],
         cwd="/root/repo",
         capture_output=True,
@@ -216,7 +220,7 @@ def test_file_lease_ttl_takeover_and_stale_unlock(tmp_path):
     dead_id = out.stdout.strip()
     assert dead_id and dead_id != "None"
 
-    lm = FileLeaseLockManager(root)
+    lm = getattr(locks, backend)(root)
     t0 = time.monotonic()
     lid = lm.lock("k", ttl_sec=5, timeout=10)
     waited = time.monotonic() - t0
@@ -228,10 +232,11 @@ def test_file_lease_ttl_takeover_and_stale_unlock(tmp_path):
     assert lm.holder("k") is None
 
 
-def test_file_lease_fifo_order_and_timeout(tmp_path):
-    from hydraide_spark.operators.locks import FileLeaseLockManager
+@pytest.mark.parametrize("backend", ["FileLeaseLockManager", "CasLeaseLockManager"])
+def test_file_lease_fifo_order_and_timeout(tmp_path, backend):
+    from hydraide_spark.operators import locks
 
-    lm = FileLeaseLockManager(str(tmp_path / "locks"))
+    lm = getattr(locks, backend)(str(tmp_path / "locks"))
     first = lm.lock("k", ttl_sec=30)
     assert lm.holder("k") == first
     # a bounded wait behind a held lock gives up and withdraws
@@ -263,7 +268,8 @@ def test_file_lease_fifo_order_and_timeout(tmp_path):
     assert order == [0, 1, 2]
 
 
-def test_file_lease_reaped_ticket_requeues_instead_of_crashing(tmp_path):
+@pytest.mark.parametrize("backend", ["FileLeaseLockManager", "CasLeaseLockManager"])
+def test_file_lease_reaped_ticket_requeues_instead_of_crashing(tmp_path, backend):
     """A waiter whose ticket was reaped by a peer (starved past
     stale_sec) must re-enqueue at the tail, not crash: before the fix
     the next heartbeat os.utime raised FileNotFoundError out of
@@ -271,10 +277,10 @@ def test_file_lease_reaped_ticket_requeues_instead_of_crashing(tmp_path):
     import glob
     import os
 
-    from hydraide_spark.operators.locks import FileLeaseLockManager
+    from hydraide_spark.operators import locks
 
     root = str(tmp_path / "locks")
-    lm = FileLeaseLockManager(root, poll_sec=0.02)
+    lm = getattr(locks, backend)(root, poll_sec=0.02)
     holder = lm.lock("k", ttl_sec=30)
     got: list = []
 
@@ -301,3 +307,36 @@ def test_file_lease_reaped_ticket_requeues_instead_of_crashing(tmp_path):
     assert not t.is_alive()
     assert got and got[0] is not None  # acquired after re-enqueueing
     lm.unlock("k", got[0])
+
+
+def test_cas_mutex_steal_after_crash(tmp_path):
+    """A marker left by a crashed process must be broken after
+    mutex_stale_sec (single-winner rename-steal), and a stolen owner's
+    exit must NOT unlink the thief's marker (nonce check)."""
+    import os
+
+    from hydraide_spark.operators.locks import CasLeaseLockManager
+
+    root = str(tmp_path / "locks")
+    lm = CasLeaseLockManager(root, mutex_stale_sec=0.3)
+    mu, _, _ = lm._paths("k")
+    marker = mu + ".cas"
+    # simulate a crash: a marker nobody will ever release, backdated
+    with open(marker, "w") as f:
+        f.write("dead-owner-nonce")
+    past = time.time() - 5
+    os.utime(marker, (past, past))
+    # acquire must succeed by breaking the stale marker
+    lid = lm.lock("k", ttl_sec=30, timeout=10)
+    assert lid is not None
+    lm.unlock("k", lid)
+    # stolen-owner exit: the dead owner's context exiting later must
+    # leave a marker it no longer owns untouched
+    m = lm._CasMutex(marker, stale_sec=0.3)
+    m._nonce = "dead-owner-nonce"
+    with open(marker, "w") as f:
+        f.write("current-owner-nonce")
+    m.__exit__(None, None, None)
+    assert os.path.exists(marker)
+    assert open(marker).read() == "current-owner-nonce"
+    os.unlink(marker)

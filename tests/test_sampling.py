@@ -252,3 +252,20 @@ def test_weighted_sample_rounded_mode_same_set_as_raw(spark):
         ).collect()
     }
     assert raw == rounded
+
+
+def test_temperature_mix_strata_cardinality_guard(spark):
+    """Stratifying on a high-cardinality key must raise loudly instead
+    of silently collecting an unbounded per-stratum map to the
+    driver."""
+    import pytest as _pytest
+
+    from hydraide_spark.functions.sampling import temperature_mix_fractions
+
+    df = spark.range(500).selectExpr("CAST(id AS STRING) AS stratum")
+    with _pytest.raises(ValueError, match="distinct strata"):
+        temperature_mix_fractions(df, "stratum", 0.5, max_strata=100)
+    # bounded strata still work under the same cap
+    ok = spark.range(500).selectExpr("CAST(id % 5 AS STRING) AS stratum")
+    fr = temperature_mix_fractions(ok, "stratum", 0.5, max_strata=100)
+    assert len(fr) == 5 and all(0 < v <= 1.0 for v in fr.values())

@@ -94,3 +94,83 @@ def test_unregister_stops_recording(spark):
     spark.range(10).count()
     time.sleep(2.0)
     assert len(c.stats().collect()) == 0
+
+
+def test_buffer_is_bounded_by_window_and_cap(spark):
+    """The reference keeps a rolling 30-min telemetry window
+    (proto:568-576): rows past the window evict, and max_rows hard-caps
+    bursts — a long-lived driver can never leak."""
+    c = QueryStatsCollector(spark, window_sec=60, max_rows=50)
+    c.unregister()  # exercise the buffer directly, no listener noise
+    base = 10_000_000_000_000  # arbitrary epoch µs
+    for i in range(200):
+        c._append((base + i * 1_000_000, "op", 1.0, True, []))
+    with c._mu:
+        rows = list(c._rows)
+    assert len(rows) <= 50  # hard cap
+    newest = rows[-1][0]
+    assert all(r[0] >= newest - 60 * 1_000_000 for r in rows)  # window
+    # sparse traffic: only the window evicts, cap untouched
+    c.clear()
+    for i in range(10):
+        c._append((base + i * 120 * 1_000_000, "op", 1.0, True, []))
+    with c._mu:
+        rows = list(c._rows)
+    assert len(rows) == 1  # each row 2 min apart, 1-min window
+
+
+def test_flush_persists_and_rollups_match_buffer(spark, tmp_path):
+    """Buffer-rollups must equal table-rollups after a flush: the 4
+    RPC surfaces are the same queries over either frame."""
+    from hydraide_spark.sources.tables import load_table
+
+    c = QueryStatsCollector(spark, table_path=str(tmp_path / "stats"))
+    try:
+        sf = "/root/testdata/sf0.001"
+        for _ in range(3):
+            load_table(spark, sf, "nation").count()
+        load_table(spark, sf, "region").count()
+        _drain(c, 4)
+        c.unregister()  # freeze the buffer so both sides see the same rows
+        buffered = c.stats()
+        n_buffered = len(buffered.collect())
+        buf_rollups = {
+            "rates": rolling_rates(buffered, window_sec=3600).collect(),
+            "tops": top_swamps(buffered, k=5).collect(),
+            "slow": slow_queries(buffered, k=5).collect(),
+            "hist": history(buffered, window_sec=3600).collect(),
+        }
+        assert c.flush() == n_buffered
+        assert len(c.stats().collect()) == 0  # buffer cleared by flush
+        persisted = c.persisted_stats()
+        assert persisted.schema == buffered.schema
+        got = {
+            "rates": rolling_rates(persisted, window_sec=3600).collect(),
+            "tops": top_swamps(persisted, k=5).collect(),
+            "slow": slow_queries(persisted, k=5).collect(),
+            "hist": history(persisted, window_sec=3600).collect(),
+        }
+        assert got == buf_rollups
+        # a second flush appends a new batch; the union view sees both
+        c._append((time.time_ns() // 1_000, "extra", 1.0, True, []))
+        assert c.flush() == 1
+        assert len(c.persisted_stats().collect()) == n_buffered + 1
+    finally:
+        c.unregister()
+
+
+def test_prune_drops_expired_batches(spark, tmp_path):
+    c = QueryStatsCollector(
+        spark, window_sec=60, table_path=str(tmp_path / "stats")
+    )
+    c.unregister()
+    now = time.time_ns() // 1_000
+    old = now - 3600 * 1_000_000
+    c._append((old, "old-op", 1.0, True, []))
+    assert c.flush() == 1
+    c._append((now, "new-op", 1.0, True, []))
+    assert c.flush() == 1
+    assert len(c.persisted_stats().collect()) == 2
+    assert c.prune(now_us=now) == 1  # the hour-old batch expires
+    rows = c.persisted_stats().collect()
+    assert [r["op"] for r in rows] == ["new-op"]
