@@ -569,12 +569,40 @@ def embedding_neardup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     block_col: str | None = None,
+    auto_bucket_target: int | None = None,
+    dim: int | None = None,
+    seed: int = 42,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs. With ``block_col`` the join is an
     equi-join on the block (cluster id / LSH bucket) — the scalable form;
     without it, a full self-join (only for small corpora / verification).
-    """
+
+    ``auto_bucket_target`` is the 100 TB guard the 30× scale stress
+    made necessary: a FIXED-cardinality block (a label column, a fixed
+    centroid set) has occupancy ∝ corpus, so candidate pairs grow
+    ∝ n²/|blocks| — measured b = 1.21 at 30× on label blocking, the
+    same quadratic shape the fixed-bit kNN had before ``auto_lsh_bits``.
+    Setting it composes the block with a random-hyperplane LSH
+    sub-bucket whose bit count derives from the corpus size (one cheap
+    count), pinning expected occupancy at ~``auto_bucket_target`` rows
+    regardless of scale; candidate volume returns to ~n·target. The
+    recall trade is single-probe LSH's: a true pair is compared only
+    when all sub-bucket bits agree — for near-dup thresholds (cosine
+    close to 1) per-bit collision probability 1 − θ/π is near 1, and
+    the recall floor is asserted in tests, not assumed."""
     from ..query.filters import dot_product, l2_norm
+    from .vector import auto_lsh_bits, lsh_bucket_expr, make_planes
+
+    blocks: list = [F.col(block_col).alias("_blk")] if block_col else []
+    if auto_bucket_target is not None:
+        if dim is None:
+            dim = df.select(F.size(F.col(vec_col))).first()[0]
+        n_bits = auto_lsh_bits(df.count(), target_bucket=auto_bucket_target)
+        planes = make_planes(dim, n_bits, seed)
+        blocks.append(lsh_bucket_expr(F.col(vec_col), planes).alias("_sub"))
+    blk_names = ["_blk"] if block_col else []
+    if auto_bucket_target is not None:
+        blk_names.append("_sub")
 
     # normalize BEFORE the pair join: one norm per row instead of two
     # norms per pair — the pair-side work drops to a single dot product.
@@ -582,25 +610,25 @@ def embedding_neardup_pairs(
     # row-scalar slot (an aggregate inside the lambda would be O(d²)).
     with_norm = df.select(
         F.col(id_col),
-        *([F.col(block_col).alias("_blk")] if block_col else []),
+        *blocks,
         F.col(vec_col),
         l2_norm(F.col(vec_col)).alias("_n"),
     )
     normed = with_norm.select(
         F.col(id_col),
-        *([F.col("_blk")] if block_col else []),
+        *[F.col(c) for c in blk_names],
         F.transform(F.col(vec_col), lambda x: x.cast("double") / F.col("_n")).alias("_vn"),
     )
     a = normed.select(
         F.col(id_col).alias("id_a"), F.col("_vn").alias("v_a"),
-        *([F.col("_blk")] if block_col else []),
+        *[F.col(c) for c in blk_names],
     )
     b = normed.select(
         F.col(id_col).alias("id_b"), F.col("_vn").alias("v_b"),
-        *([F.col("_blk")] if block_col else []),
+        *[F.col(c) for c in blk_names],
     )
     cond = F.col("id_a") < F.col("id_b")
-    joined = a.join(b, ["_blk"]).filter(cond) if block_col else a.join(b, cond)
+    joined = a.join(b, blk_names).filter(cond) if blk_names else a.join(b, cond)
     return (
         joined.withColumn("score", dot_product(F.col("v_a"), F.col("v_b")))
         .filter(F.col("score") >= tau)

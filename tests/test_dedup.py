@@ -769,3 +769,45 @@ def test_edit_distance_linkage_pigeonhole_recall_and_purge(spark):
     # with it, candidate volume tracks true pairs (ceiling well under
     # the 450*449/2 cross-pair count)
     assert len(pairs) <= 3 * len(expected)
+
+
+def test_embedding_neardup_auto_bucket_blocking(spark):
+    """auto_bucket_target composes the block with a corpus-scaled LSH
+    sub-bucket (the fixed-cardinality-block quadratic found by the 30x
+    scale stress): found pairs must be a SUBSET of the exact pairs
+    (scores are exact — blocking only prunes candidates), recall at
+    near-dup cosine must clear the single-probe floor, and the pair
+    join must stay an equi-join."""
+    import math
+    import random
+
+    from pyspark.sql import Row
+
+    from hydraide_spark.functions.dedup import embedding_neardup_pairs
+    from hydraide_spark.plans import physical_plan
+
+    rng = random.Random(5)
+    dim = 16
+    rows = []
+    vid = 0
+    for _ in range(200):
+        v = [rng.gauss(0, 1) for _ in range(dim)]
+        rows.append(Row(vec_id=vid, embedding=[float(x) for x in v]))
+        vid += 1
+        if vid % 4 == 0:  # every 4th base vector gets a jittered twin
+            w = [x + rng.gauss(0, 0.02) for x in v]
+            rows.append(Row(vec_id=vid, embedding=[float(x) for x in w]))
+            vid += 1
+    df = spark.createDataFrame(rows)
+    tau = 0.95
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_neardup_pairs(df, tau=tau).collect()
+    }
+    assert len(exact) >= 40  # the twins are real near-dups
+    auto = embedding_neardup_pairs(df, tau=tau, auto_bucket_target=64)
+    got = {(r["id_a"], r["id_b"]) for r in auto.collect()}
+    assert got <= exact  # never a false pair
+    assert len(got) / len(exact) >= 0.6  # single-probe recall floor
+    plan = physical_plan(auto)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan

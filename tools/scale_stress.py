@@ -13,8 +13,16 @@ super-linear b names a real scale bug.
 
 Usage:
     python tools/scale_stress.py [mult ...]      # default 1 3 10
+    python tools/scale_stress.py 1 30 --queries knn_self_join_stable,... \
+        --warm                                   # first-touch-excluded
 
-Writes BENCH_scale10.json at the repo root and prints a table.
+Writes BENCH_scale<max-mult>.json at the repo root and prints a table.
+
+``--warm`` runs every (query, size) twice and records the SECOND run:
+the round-5 ADC exponent (fitted 1.15 vs warm-remeasured 0.65) showed
+that first-touch JIT/codegen/page-cache costs sit in the small-x
+denominator and inflate fitted exponents; excluding the first touch
+fits the steady-state growth the 100 TB argument is actually about.
 """
 
 from __future__ import annotations
@@ -174,10 +182,24 @@ def run_query(fn, spark, sf_dir: str) -> float:
 
 
 def main() -> None:
-    mults = [int(a) for a in sys.argv[1:]] or [1, 3, 10]
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("mults", nargs="*", type=int, default=None)
+    ap.add_argument(
+        "--queries", default=None, help="comma-separated subset (default: all)"
+    )
+    ap.add_argument(
+        "--warm",
+        action="store_true",
+        help="run each (query, size) twice, record the second (first-touch-excluded)",
+    )
+    args = ap.parse_args()
+    mults = args.mults or [1, 3, 10]
     spark = get_spark("scale_stress")
     qs = golden.queries()
-    names = [n for n in QUERIES if n in qs]
+    wanted = args.queries.split(",") if args.queries else QUERIES
+    names = [n for n in wanted if n in qs]
 
     dirs = {}
     for m in mults:
@@ -204,6 +226,10 @@ def main() -> None:
             spark.catalog.clearCache()
             try:
                 t = round(run_query(qs[n], spark, dirs[m]), 3)
+                if args.warm:
+                    # first-touch excluded: the timed run is the second
+                    spark.catalog.clearCache()
+                    t = round(run_query(qs[n], spark, dirs[m]), 3)
             except Exception as e:
                 print(f"error {n} x{m}: {e}", file=sys.stderr)
                 t = -1.0
@@ -225,6 +251,7 @@ def main() -> None:
         "metric": "scale_stress",
         "src_sf": SRC_SF,
         "multipliers": mults,
+        "warm_protocol": bool(args.warm),
         "queries": table,
         "note": (
             "growth_exponent b fits t = a*n^b between the smallest and "
@@ -232,9 +259,16 @@ def main() -> None:
             "is expected where a fixed-size output/top-k dominates; "
             "replicated content is rotated/perturbed so duplicate "
             "structure does not explode combinatorially."
+            + (
+                " warm_protocol: each (query, size) ran twice and the "
+                "second run is recorded (first-touch JIT/codegen/page-"
+                "cache excluded)."
+                if args.warm
+                else ""
+            )
         ),
     }
-    with open(os.path.join(_REPO, "BENCH_scale10.json"), "w") as f:
+    with open(os.path.join(_REPO, f"BENCH_scale{mults[-1]}.json"), "w") as f:
         json.dump(out, f, indent=1, sort_keys=True)
     print(json.dumps({n: v for n, v in table.items()}, sort_keys=True))
 
