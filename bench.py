@@ -115,6 +115,7 @@ HEADLINE = [
     "knn_self_join_stable",
     "ann_topk_multiprobe_stable",
     "embedding_neardup",
+    "embedding_neardup_auto_stable",
     "semantic_dedup_docs",
     "label_centroid_sums",
     "kmeans_assign_exact",

@@ -514,3 +514,121 @@ def ann_topk_multiprobe_stable(spark, sf_dir):
         big("vec_id").alias("vec_id"),
         F.round("score", 4).alias("score"),
     )
+
+
+# 12 planes cover auto_lsh_bits up to n = 64 * 2^12 = 262K embeddings —
+# far beyond any gate scale factor; make_planes draws row-major from one
+# seeded stream, so the first k rows ARE make_planes(dim, k, seed)
+# (prefix property, asserted in tests/test_vectors_stable.py).
+_AUTO_MAX_BITS = 12
+_PLANES12 = make_planes(dim=64, n_bits=_AUTO_MAX_BITS, seed=42)
+
+_AUTO_PLANES_CTE = "SELECT " + ", ".join(
+    f"{_dlist(p)} AS p{i}" for i, p in enumerate(_PLANES12)
+)
+
+# bits = max(4, min(24, ceil(log2(n / target)))) — auto_lsh_bits
+# replicated; log2 is exact when n/target is a power of two and has
+# >> 1-ulp slack from integers otherwise, so ceil agrees cross-engine.
+_AUTO_BITS_CTE = (
+    "SELECT GREATEST(4, LEAST(24, CAST(CEIL(LOG2("
+    "CAST((SELECT COUNT(*) FROM embeddings) AS DOUBLE) / 64.0)) AS INT))) AS bits"
+)
+
+_AUTO_BUCKET = "concat(" + ", ".join(
+    f"CASE WHEN {i} < nb.bits THEN "
+    f"(CASE WHEN {_dot('e.v', f'pl.p{i}')} >= 0 THEN '1' ELSE '0' END) "
+    f"ELSE '' END"
+    for i in range(_AUTO_MAX_BITS)
+) + ")"
+
+# engine normalization order: one l2 norm per row (left fold of
+# squares), then per-element division, then a left-fold dot of the
+# normalized arrays — each step IEEE correctly-rounded, replayed here
+# with the identical operand order.
+_SUMSQ = "list_sum(list_transform(e.v, x -> x * x))"
+
+
+# The raw embeddings table has NO same-label pairs above near-dup
+# cosine at any gate sf (tau 0.95 or even 0.7 yields zero rows — a
+# vacuous gate), so the golden builds a near-dup-RICH corpus
+# deterministically: every vector gets a jittered twin (per-component
+# scale 1 + ((vec_id + i) % 7 - 3)/1000, id offset 10M) — pure
+# correctly-rounded arithmetic both engines replay bit-for-bit.
+_AUTO_CORPUS = """
+      SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+      UNION ALL
+      SELECT vec_id + 10000000, label,
+             list_transform(range(1, 65),
+               i -> (embedding::DOUBLE[])[i]
+                    * ('1.0'::DOUBLE
+                       + CAST((vec_id + (i - 1)) % 7 - 3 AS DOUBLE)
+                         * '0.001'::DOUBLE))
+      FROM embeddings
+"""
+
+
+@golden(
+    "embedding_neardup_auto_stable",
+    oracle=f"""
+    WITH c AS ({_AUTO_CORPUS}),
+    pl AS ({_AUTO_PLANES_CTE}),
+    nb AS (
+      SELECT GREATEST(4, LEAST(24, CAST(CEIL(LOG2(
+        CAST((SELECT COUNT(*) FROM c) AS DOUBLE) / 64.0)) AS INT))) AS bits
+    ),
+    b AS (
+      SELECT e.vec_id, e.label,
+             {_AUTO_BUCKET} AS bucket,
+             list_transform(e.v, x -> x / sqrt({_SUMSQ})) AS vn
+      FROM c e CROSS JOIN pl CROSS JOIN nb
+    ),
+    cand AS (
+      SELECT a.vec_id AS id_a, c2.vec_id AS id_b,
+             list_sum(list_transform(range(1, 65),
+                                     i -> a.vn[i] * c2.vn[i])) AS score
+      FROM b a JOIN b c2
+        ON a.label = c2.label AND a.bucket = c2.bucket AND a.vec_id < c2.vec_id
+    )
+    SELECT CAST(id_a AS BIGINT) AS id_a,
+           CAST(id_b AS BIGINT) AS id_b,
+           round(score, 4) AS score
+    FROM cand WHERE score >= '0.95'::DOUBLE
+    """,
+)
+def embedding_neardup_auto_stable(spark, sf_dir):
+    """Embedding near-dup with the CORPUS-SCALED blocking the 30x scale
+    stress made necessary (fixed-cardinality label blocking measured
+    b=1.21; composing it with an auto-bit LSH sub-bucket returns
+    b=0.27): block = (label, sign-bit bucket) where the bit count
+    derives from one corpus COUNT via auto_lsh_bits, pinning expected
+    occupancy as the corpus grows. ENGINE-STABLE: the oracle replays
+    the jittered-twin corpus construction, the bit-count formula, the
+    bucket strings, the normalize-then-dot operand order, and the tau
+    comparison on bit-identical doubles — the full pipeline, not a
+    statistic. Single-probe recall (a true pair must agree on every
+    sub-bucket bit) is the documented trade; near-identical twins agree
+    on ~all bits, so the pair set here is dense, not vacuous."""
+    from ..functions.dedup import embedding_neardup_pairs
+
+    emb = t(spark, sf_dir, "embeddings")
+    base = emb.select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    jit = emb.select(
+        (F.col("vec_id") + F.lit(10_000_000)).alias("vec_id"),
+        F.col("label"),
+        F.expr(
+            "transform(CAST(embedding AS ARRAY<DOUBLE>), (x, i) -> "
+            "x * (1.0D + CAST((vec_id + i) % 7 - 3 AS DOUBLE) * 0.001D))"
+        ).alias("embedding"),
+    )
+    corpus = base.unionByName(jit)
+    out = embedding_neardup_pairs(
+        corpus, tau=0.95, block_col="label", auto_bucket_target=64, dim=64, seed=42
+    )
+    return out.select(
+        big("id_a").alias("id_a"),
+        big("id_b").alias("id_b"),
+        F.round("score", 4).alias("score"),
+    )

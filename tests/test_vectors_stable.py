@@ -14,6 +14,8 @@ import pytest
 
 from hydraide_spark import golden
 
+SF_SMOKE = "/root/testdata/sf0.001"
+
 
 def _bits(x: float) -> bytes:
     return struct.pack("d", x)
@@ -151,3 +153,26 @@ def test_auto_lsh_bits_pins_bucket_occupancy(spark):
     for r in out:
         per_a.setdefault(r["id_a"], []).append(r["rank"])
     assert all(sorted(v) == list(range(1, len(v) + 1)) for v in per_a.values())
+
+
+def test_make_planes_prefix_property():
+    """The auto-stable oracle inlines 12 planes and uses the first
+    `bits` of them; the engine generates exactly `bits` planes. Both
+    must be the same planes: make_planes draws row-major from one
+    seeded stream, so shorter calls are prefixes of longer ones."""
+    from hydraide_spark.functions.vector import make_planes
+
+    full = make_planes(dim=64, n_bits=12, seed=42)
+    for k in (4, 5, 6, 8):
+        assert make_planes(dim=64, n_bits=k, seed=42) == full[:k]
+
+
+def test_embedding_neardup_auto_stable_pair_density(spark):
+    """The auto-stable golden must gate a DENSE pair set (every
+    jittered twin is a near-dup; single-probe loses only the rare
+    flipped-bit twin), not a vacuous empty result."""
+    from hydraide_spark.golden.vectors_stable import embedding_neardup_auto_stable
+
+    n = len(embedding_neardup_auto_stable(spark, SF_SMOKE).collect())
+    base = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet").count()
+    assert n >= int(base * 0.9)  # >= 90% of twins survive blocking
