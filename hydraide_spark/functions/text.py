@@ -447,9 +447,6 @@ def bpe_train_merges_local(
     ``max_vocab`` is a loud guard, not a silent cap: if the >=min_freq
     vocabulary exceeds it, the collect would no longer be "bounded
     model state" and the call raises, pointing at the Spark path."""
-    import heapq
-    from collections import Counter
-
     rows = (
         df.select(F.explode(tokenize(F.col(text_col))).alias("w"))
         .groupBy("w")
@@ -466,6 +463,22 @@ def bpe_train_merges_local(
         )
     words: "list[list[str]]" = [list(r["w"]) for r in rows]
     cnts: "list[int]" = [int(r["cnt"]) for r in rows]
+    return _bpe_merge_loop(words, cnts, n_merges, min_freq, stats)
+
+
+def _bpe_merge_loop(
+    words: "list[list[str]]",
+    cnts: "list[int]",
+    n_merges: int,
+    min_freq: int,
+    stats: dict | None = None,
+) -> "list[tuple[str, str, int]]":
+    """The pure sequential merge loop of :func:`bpe_train_merges_local`
+    (see there for the heap/staleness argument). Factored out so the
+    hypothesis property test can drive it against the naive reference
+    without a SparkSession. Mutates ``words`` in place."""
+    import heapq
+    from collections import Counter
 
     pair_freq: "dict[tuple[str, str], int]" = {}
     pair_words: "dict[tuple[str, str], set[int]]" = {}

@@ -542,3 +542,28 @@ def test_bpe_local_trainer_vocab_guard(spark):
     df = spark.createDataFrame(rows)
     with pytest.raises(ValueError, match="bpe_train_merges"):
         bpe_train_merges_local(df, n_merges=4, min_freq=2, max_vocab=10)
+
+
+def test_bpe_merge_loop_hypothesis_vs_naive_reference():
+    """Property: the incremental-pair-count + lazy-heap merge loop is
+    bit-identical to the naive recount-everything reference on
+    arbitrary corpora (tiny alphabets force ties, self-pairs, chained
+    creations). Pure Python — no SparkSession, so hypothesis can churn
+    through examples."""
+    from hypothesis import given, settings, strategies as st
+
+    from hydraide_spark.functions.text import _bpe_merge_loop
+
+    word = st.text(alphabet="ab", min_size=1, max_size=10)
+    corpus = st.dictionaries(word, st.integers(1, 9), min_size=1, max_size=40)
+
+    @settings(max_examples=200, deadline=None)
+    @given(corpus=corpus, n_merges=st.integers(0, 25), min_freq=st.integers(1, 3))
+    def check(corpus, n_merges, min_freq):
+        eligible = {w: c for w, c in corpus.items() if c >= min_freq}
+        got = _bpe_merge_loop(
+            [list(w) for w in eligible], list(eligible.values()), n_merges, min_freq
+        )
+        assert got == _py_bpe(eligible, n_merges, min_freq)
+
+    check()
