@@ -186,6 +186,30 @@ class QueryStatsCollector:
             os.path.join(self._table_path, "batch-*")
         )
 
+    def start_flush_loop(self, interval_sec: float = 60.0) -> "threading.Event":
+        """Background flush-and-prune: a daemon thread appends the
+        buffer to the stats table every ``interval_sec`` and enforces
+        the rolling window on the persisted batches — the continuous
+        form of the reference's telemetry collector. Returns a stop
+        Event; set it to end the loop (the final flush is the caller's
+        call — state is never lost either way, rows are either in the
+        bounded buffer or in the table)."""
+        if self._table_path is None:
+            raise ValueError("QueryStatsCollector: no table_path configured")
+        stop = threading.Event()
+
+        def loop():
+            while not stop.wait(interval_sec):
+                try:
+                    self.flush()
+                    self.prune()
+                except Exception:
+                    pass  # keep the loop alive; rows stay buffered
+
+        t = threading.Thread(target=loop, daemon=True, name="telemetry-flush")
+        t.start()
+        return stop
+
     def prune(self, now_us: Optional[int] = None) -> int:
         """Enforce the rolling window on the PERSISTED table: drop
         batch directories whose newest row (encoded in the directory

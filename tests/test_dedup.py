@@ -811,3 +811,12 @@ def test_embedding_neardup_auto_bucket_blocking(spark):
     assert len(got) / len(exact) >= 0.6  # single-probe recall floor
     plan = physical_plan(auto)
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_auto_ivf_k_scales_with_corpus():
+    from hydraide_spark.functions.vector import auto_ivf_k
+
+    assert auto_ivf_k(100) == 4  # tiny corpus: floor
+    assert auto_ivf_k(256_000, target_cell=256) == 1000
+    assert auto_ivf_k(10 * 256_000, target_cell=256) == 10_000  # k grows with n
+    assert auto_ivf_k(10**12) == 65536  # clamped; re-shard beyond

@@ -174,3 +174,25 @@ def test_prune_drops_expired_batches(spark, tmp_path):
     assert c.prune(now_us=now) == 1  # the hour-old batch expires
     rows = c.persisted_stats().collect()
     assert [r["op"] for r in rows] == ["new-op"]
+
+
+def test_flush_loop_persists_periodically(spark, tmp_path):
+    c = QueryStatsCollector(spark, table_path=str(tmp_path / "stats"))
+    c.unregister()
+    now = time.time_ns() // 1_000
+    c._append((now, "op-a", 1.0, True, []))
+    stop = c.start_flush_loop(interval_sec=0.2)
+    try:
+        deadline = time.monotonic() + 15
+        while time.monotonic() < deadline:
+            try:
+                if len(c.persisted_stats().collect()) >= 1:
+                    break
+            except Exception:
+                pass  # table not created yet
+            time.sleep(0.1)
+        assert len(c.persisted_stats().collect()) == 1
+        with c._mu:
+            assert len(c._rows) == 0  # flushed out of the buffer
+    finally:
+        stop.set()
