@@ -247,6 +247,14 @@ def main() -> None:
         )
         table[n] = {**r, "growth_exponent": b}
 
+    # merge into an existing same-multiplier file (subset runs add
+    # families without clobbering earlier ones)
+    out_path = os.path.join(_REPO, f"BENCH_scale{mults[-1]}.json")
+    if os.path.exists(out_path):
+        with open(out_path) as f:
+            prev = json.load(f).get("queries", {})
+        prev.update(table)
+        table = prev
     out = {
         "metric": "scale_stress",
         "src_sf": SRC_SF,
@@ -268,7 +276,7 @@ def main() -> None:
             )
         ),
     }
-    with open(os.path.join(_REPO, f"BENCH_scale{mults[-1]}.json"), "w") as f:
+    with open(out_path, "w") as f:
         json.dump(out, f, indent=1, sort_keys=True)
     print(json.dumps({n: v for n, v in table.items()}, sort_keys=True))
 
