@@ -596,7 +596,13 @@ def embedding_neardup_pairs(
     blocks: list = [F.col(block_col).alias("_blk")] if block_col else []
     if auto_bucket_target is not None:
         if dim is None:
-            dim = df.select(F.size(F.col(vec_col))).first()[0]
+            row = df.select(F.size(F.col(vec_col))).first()
+            if row is None:  # empty corpus: no pairs — keep the id type
+                idt = df.schema[id_col].dataType.simpleString()
+                return df.sparkSession.createDataFrame(
+                    [], f"id_a {idt}, id_b {idt}, score double"
+                )
+            dim = row[0]
         n_bits = auto_lsh_bits(df.count(), target_bucket=auto_bucket_target)
         planes = make_planes(dim, n_bits, seed)
         blocks.append(lsh_bucket_expr(F.col(vec_col), planes).alias("_sub"))

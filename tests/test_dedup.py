@@ -820,3 +820,14 @@ def test_auto_ivf_k_scales_with_corpus():
     assert auto_ivf_k(256_000, target_cell=256) == 1000
     assert auto_ivf_k(10 * 256_000, target_cell=256) == 10_000  # k grows with n
     assert auto_ivf_k(10**12) == 65536  # clamped; re-shard beyond
+
+
+def test_embedding_neardup_auto_empty_corpus(spark):
+    """dim inference must not crash on an empty corpus — typed empty
+    pairs come back (the graph.py type-inheriting-empty rule)."""
+    from hydraide_spark.functions.dedup import embedding_neardup_pairs
+
+    empty = spark.createDataFrame([], "vec_id int, embedding array<float>")
+    out = embedding_neardup_pairs(empty, tau=0.9, auto_bucket_target=64)
+    assert out.collect() == []
+    assert dict(out.dtypes)["id_a"] == "int"
