@@ -113,6 +113,7 @@ HEADLINE = [
     "pq_ann_topk_stable",
     "ivfadc_topk_stable",
     "knn_self_join_stable",
+    "knn_self_join_auto_stable",
     "ann_topk_multiprobe_stable",
     "embedding_neardup",
     "embedding_neardup_auto_stable",

@@ -632,3 +632,54 @@ def embedding_neardup_auto_stable(spark, sf_dir):
         big("id_b").alias("id_b"),
         F.round("score", 4).alias("score"),
     )
+
+
+@golden(
+    "knn_self_join_auto_stable",
+    oracle=f"""
+    WITH e AS ({_E}),
+    pl AS ({_AUTO_PLANES_CTE}),
+    nb AS (
+      SELECT GREATEST(4, LEAST(24, CAST(CEIL(LOG2(
+        CAST((SELECT COUNT(*) FROM embeddings) AS DOUBLE) / 32.0)) AS INT))) AS bits
+    ),
+    b AS (
+      SELECT e.vec_id, e.v, {_AUTO_BUCKET} AS bucket
+      FROM e CROSS JOIN pl CROSS JOIN nb
+    ),
+    cand AS (
+      SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+             {_cos('a.v', 'c.v')} AS score
+      FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id <> c.vec_id
+    ),
+    ranked AS (
+      SELECT id_a, id_b, score,
+             ROW_NUMBER() OVER (PARTITION BY id_a
+                                ORDER BY score DESC, id_b ASC) AS rn
+      FROM cand
+    )
+    SELECT CAST(id_a AS BIGINT) AS id_a,
+           CAST(id_b AS BIGINT) AS id_b,
+           round(score, 4) AS score,
+           CAST(rn AS INT) AS rank
+    FROM ranked WHERE rn <= 5
+    """,
+)
+def knn_self_join_auto_stable(spark, sf_dir):
+    """kNN-graph via the PRODUCTION auto-sized path (n_bits=None →
+    auto_lsh_bits, target occupancy 32): the bucket-bit count the
+    engine derives from one corpus COUNT is replayed by the oracle's
+    bits CTE over the same 12 inlined planes (prefix property), so the
+    whole pipeline — bit formula, bucket strings, cosine, rank
+    tiebreaks — is certified, not just the pinned-bits oracle twin.
+    With `knn_self_join_stable` (pinned bits) this closes the gap the
+    30× stress highlighted: the quadratic-prone pinned form exists
+    only for the oracle, and now the auto form IS oracle-gated too."""
+    emb = t(spark, sf_dir, "embeddings")
+    out = lsh_knn_self_join(emb, k=5, dim=64, seed=42)
+    return out.select(
+        big("id_a").alias("id_a"),
+        big("id_b").alias("id_b"),
+        F.round("score", 4).alias("score"),
+        F.col("rank").cast("int").alias("rank"),
+    )
