@@ -572,6 +572,7 @@ def embedding_neardup_pairs(
     auto_bucket_target: int | None = None,
     dim: int | None = None,
     seed: int = 42,
+    n_probes: int = 1,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs. With ``block_col`` the join is an
     equi-join on the block (cluster id / LSH bucket) — the scalable form;
@@ -589,11 +590,25 @@ def embedding_neardup_pairs(
     recall trade is single-probe LSH's: a true pair is compared only
     when all sub-bucket bits agree — for near-dup thresholds (cosine
     close to 1) per-bit collision probability 1 − θ/π is near 1, and
-    the recall floor is asserted in tests, not assumed."""
-    from ..query.filters import dot_product, l2_norm
-    from .vector import auto_lsh_bits, lsh_bucket_expr, make_planes
+    the recall floor is asserted in tests, not assumed.
 
+    ``n_probes > 1`` (multi-probe, Lv et al. VLDB'07; needs the auto
+    sub-bucket) raises that recall: the LEFT side of the pair join also
+    probes the buckets reached by flipping its ``n_probes - 1``
+    least-confident sign bits. A near-dup pair split by one bucket bit
+    sits near that hyperplane on BOTH sides, so the differing bit is
+    almost always among the left row's least-confident ones — the pair
+    is recovered at ~n_probes× candidate volume, still never all-pairs.
+    Each (id_a, id_b) pair can match at most once (the right side keeps
+    one bucket; probe strings are distinct), so no dedup join follows."""
+    from ..query.filters import dot_product, l2_norm
+    from .vector import _as_double_array, auto_lsh_bits, lsh_bucket_expr, make_planes
+
+    if n_probes > 1 and auto_bucket_target is None:
+        raise ValueError("n_probes > 1 requires auto_bucket_target")
     blocks: list = [F.col(block_col).alias("_blk")] if block_col else []
+    planes = None
+    n_bits = 0
     if auto_bucket_target is not None:
         if dim is None:
             row = df.select(F.size(F.col(vec_col))).first()
@@ -609,6 +624,26 @@ def embedding_neardup_pairs(
     blk_names = ["_blk"] if block_col else []
     if auto_bucket_target is not None:
         blk_names.append("_sub")
+    if planes is not None and n_probes > 1:
+        # per-plane |dot| ascending: the least-confident planes first
+        conf = F.array_sort(
+            F.array(
+                *[
+                    F.struct(
+                        F.abs(
+                            dot_product(F.col(vec_col), _as_double_array(p))
+                        ).alias("a"),
+                        F.lit(i).alias("p"),
+                    )
+                    for i, p in enumerate(planes)
+                ]
+            )
+        )
+        blocks.append(
+            F.slice(
+                F.transform(conf, lambda s: s.getField("p")), 1, n_probes - 1
+            ).alias("_flips")
+        )
 
     # normalize BEFORE the pair join: one norm per row instead of two
     # norms per pair — the pair-side work drops to a single dot product.
@@ -620,15 +655,38 @@ def embedding_neardup_pairs(
         F.col(vec_col),
         l2_norm(F.col(vec_col)).alias("_n"),
     )
+    carry = list(blk_names) + (["_flips"] if planes is not None and n_probes > 1 else [])
     normed = with_norm.select(
         F.col(id_col),
-        *[F.col(c) for c in blk_names],
+        *[F.col(c) for c in carry],
         F.transform(F.col(vec_col), lambda x: x.cast("double") / F.col("_n")).alias("_vn"),
     )
     a = normed.select(
         F.col(id_col).alias("id_a"), F.col("_vn").alias("v_a"),
-        *[F.col(c) for c in blk_names],
+        *[F.col(c) for c in carry],
     )
+    if planes is not None and n_probes > 1:
+        def flipped(pos):
+            ch = F.substring(F.col("_sub"), pos + 1, 1)
+            return F.concat(
+                F.substring(F.col("_sub"), 1, pos),
+                F.when(ch == "1", F.lit("0")).otherwise(F.lit("1")),
+                F.substring(F.col("_sub"), pos + 2, n_bits),
+            )
+
+        a = (
+            a.withColumn(
+                "_probe",
+                F.explode(
+                    F.concat(
+                        F.array(F.col("_sub")),
+                        F.transform(F.col("_flips"), flipped),
+                    )
+                ),
+            )
+            .drop("_sub", "_flips")
+            .withColumnRenamed("_probe", "_sub")
+        )
     b = normed.select(
         F.col(id_col).alias("id_b"), F.col("_vn").alias("v_b"),
         *[F.col(c) for c in blk_names],

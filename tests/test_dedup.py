@@ -831,3 +831,58 @@ def test_embedding_neardup_auto_empty_corpus(spark):
     out = embedding_neardup_pairs(empty, tau=0.9, auto_bucket_target=64)
     assert out.collect() == []
     assert dict(out.dtypes)["id_a"] == "int"
+
+
+def test_embedding_neardup_multiprobe_recall_boost(spark):
+    """Multi-probe on the auto sub-bucket must recover pairs that
+    single-probe loses (a near-dup split by one low-confidence bit),
+    while staying a subset of the exact pairs and a blocked equi-join
+    (no cartesian, no duplicate pairs)."""
+    import random
+
+    from pyspark.sql import Row
+
+    from hydraide_spark.functions.dedup import embedding_neardup_pairs
+    from hydraide_spark.plans import physical_plan
+
+    rng = random.Random(13)
+    dim = 16
+    rows, vid = [], 0
+    for _ in range(300):
+        v = [rng.gauss(0, 1) for _ in range(dim)]
+        rows.append(Row(vec_id=vid, embedding=[float(x) for x in v]))
+        vid += 1
+        if vid % 3 == 0:
+            w = [x + rng.gauss(0, 0.03) for x in v]
+            rows.append(Row(vec_id=vid, embedding=[float(x) for x in w]))
+            vid += 1
+    df = spark.createDataFrame(rows)
+    tau = 0.95
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_neardup_pairs(df, tau=tau).collect()
+    }
+    assert len(exact) >= 50
+    single = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_neardup_pairs(
+            df, tau=tau, auto_bucket_target=32
+        ).collect()
+    }
+    multi_rows = embedding_neardup_pairs(
+        df, tau=tau, auto_bucket_target=32, n_probes=4
+    ).collect()
+    multi = {(r["id_a"], r["id_b"]) for r in multi_rows}
+    assert len(multi_rows) == len(multi)  # no duplicate pairs
+    assert single <= exact and multi <= exact
+    assert len(multi) >= len(single)  # probes only ADD recall
+    assert len(multi) / len(exact) >= 0.85  # and reach a high floor
+    plan = physical_plan(
+        embedding_neardup_pairs(df, tau=tau, auto_bucket_target=32, n_probes=4)
+    )
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="auto_bucket_target"):
+        embedding_neardup_pairs(df, tau=tau, n_probes=2)
