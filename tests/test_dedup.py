@@ -886,3 +886,23 @@ def test_embedding_neardup_multiprobe_recall_boost(spark):
 
     with _pytest.raises(ValueError, match="auto_bucket_target"):
         embedding_neardup_pairs(df, tau=tau, n_probes=2)
+
+
+def test_auto_shingle_n_formula_and_auto_mode(spark):
+    """auto_shingle_n keeps shingle-space occupancy pinned: the fixed
+    floor for diverse corpora, longer shingles when token volume
+    outgrows the vocabulary (the 30x stress corpus picked n=4 and cut
+    the candidate explosion 10x)."""
+    from pyspark.sql import Row
+
+    from hydraide_spark.functions.dedup import auto_shingle_n, ngram_jaccard_pairs
+
+    assert auto_shingle_n(10_000, 5_000) == 3          # diverse: floor
+    assert auto_shingle_n(19_000_000, 100) == 4        # the 30x corpus shape
+    assert auto_shingle_n(10**12, 10) == 8             # clamped at hi
+    assert auto_shingle_n(3, 1) == 3                   # degenerate inputs
+
+    rows = [Row(doc_id=i, text="a b c d e f g h i j") for i in range(4)]
+    df = spark.createDataFrame(rows)
+    out = ngram_jaccard_pairs(df, tau=0.8, n="auto")   # identical docs match
+    assert out.count() == 6
