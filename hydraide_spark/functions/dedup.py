@@ -555,12 +555,29 @@ def simhash_neardup_pairs(
     text_col: str = "text",
     n_blocks: int = 4,
     engine_stable: bool = False,
+    collapse_identical: bool = False,
 ) -> DataFrame:
     """SimHash near-dup with the standard block-rotation blocking: split
     the 64 bits into ``n_blocks`` chunks; any pair within ``max_hamming``
     (< n_blocks per pigeonhole when max_hamming < n_blocks; a recall
     heuristic otherwise) must agree on >= 1 chunk, so candidates come
-    from chunk-equality equi-joins, then exact hamming verify."""
+    from chunk-equality equi-joins, then exact hamming verify.
+
+    ``collapse_identical`` is the scale guard the 30× stress made
+    necessary: SimHash is order-insensitive over unigram features, so
+    whole FAMILIES of documents share one hash value (the stress corpus
+    held 150K docs over 4,960 distinct hashes), and pairwise
+    enumeration is then quadratic in family size (measured 221M
+    candidates, b = 1.06). With the flag on, identical hashes collapse
+    to a min-id representative first, the banding join runs over
+    DISTINCT hash values only, and the result is a
+    CONNECTIVITY-EQUIVALENT sparsification of the full pair set:
+    within-family star edges (rep→member, hamming 0) plus verified
+    representative cross edges — linear in corpus + near-dup structure,
+    and :func:`neardup_clusters` over it yields EXACTLY the clusters
+    the full pair set yields (same components, same min-id labels;
+    tested). Use it whenever pairs feed clustering rather than being
+    the deliverable themselves."""
     bits_per = SIMHASH_BITS // n_blocks
     # persist the (id, packed int64 simhash) frame: the bit-vote
     # aggregate is the expensive per-row expression; chunk extraction,
@@ -572,6 +589,21 @@ def simhash_neardup_pairs(
         F.col(id_col),
         simhash64(F.col(text_col), engine_stable=engine_stable).alias("h"),
     ).persist()
+    star = None
+    if collapse_identical:
+        fam = sims.groupBy("h").agg(F.min(F.col(id_col)).alias("_rep"))
+        # within-family star edges: rep -> every other member, hamming 0
+        star = (
+            sims.join(fam, "h")
+            .filter(F.col(id_col) != F.col("_rep"))
+            .select(
+                F.col("_rep").alias("id_a"),
+                F.col(id_col).alias("id_b"),
+                F.lit(0).alias("hamming"),
+            )
+        )
+        # the banding join now runs over DISTINCT hash values only
+        sims = fam.select(F.col("_rep").alias(id_col), F.col("h")).persist()
     mask = (1 << bits_per) - 1
     chunk_structs = F.array(
         *[
@@ -600,13 +632,16 @@ def simhash_neardup_pairs(
     )
     ha = sims.select(F.col(id_col).alias("id_a"), F.col("h").alias("h_a"))
     hb = sims.select(F.col(id_col).alias("id_b"), F.col("h").alias("h_b"))
-    return (
+    out = (
         cand.join(ha, "id_a")
         .join(hb, "id_b")
         .withColumn("hamming", F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))))
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+    if star is not None:
+        out = out.unionByName(star)
+    return out
 
 
 def embedding_neardup_pairs(

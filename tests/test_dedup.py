@@ -906,3 +906,45 @@ def test_auto_shingle_n_formula_and_auto_mode(spark):
     df = spark.createDataFrame(rows)
     out = ngram_jaccard_pairs(df, tau=0.8, n="auto")   # identical docs match
     assert out.count() == 6
+
+
+def test_simhash_collapse_identical_cluster_equivalence(spark):
+    """collapse_identical must yield EXACTLY the clusters of the full
+    pair enumeration (connectivity-equivalent sparsification): families
+    of identical texts collapse to star edges, cross-family near-dups
+    ride representative edges."""
+    from pyspark.sql import Row
+
+    from hydraide_spark.functions.dedup import (
+        neardup_clusters,
+        simhash_neardup_pairs,
+    )
+
+    texts = {
+        # family A: 4 identical docs (plus a permuted copy — simhash is
+        # order-insensitive, so it shares the family hash)
+        0: "alpha beta gamma delta epsilon zeta",
+        1: "alpha beta gamma delta epsilon zeta",
+        2: "alpha beta gamma delta epsilon zeta",
+        3: "zeta epsilon delta gamma beta alpha",
+        # near-dup of family A (one token swapped)
+        4: "alpha beta gamma delta epsilon eta",
+        # family B: unrelated
+        5: "one two three four five six seven eight",
+        6: "one two three four five six seven eight",
+        # isolated
+        7: "completely different content words entirely distinct",
+    }
+    df = spark.createDataFrame([Row(doc_id=i, text=t) for i, t in texts.items()])
+    full = simhash_neardup_pairs(df, max_hamming=6)
+    sparse = simhash_neardup_pairs(df, max_hamming=6, collapse_identical=True)
+    cl_full = {
+        r["doc_id"]: r["cluster_id"] for r in neardup_clusters(full).collect()
+    }
+    cl_sparse = {
+        r["doc_id"]: r["cluster_id"] for r in neardup_clusters(sparse).collect()
+    }
+    assert cl_full == cl_sparse
+    assert cl_full[0] == cl_full[1] == cl_full[2] == cl_full[3]
+    # sparsification: full enumerates all family pairs, sparse the star
+    assert len(sparse.collect()) <= len(full.collect())
