@@ -138,6 +138,7 @@ HEADLINE = [
     "fuzzy_record_linkage",
     "simhash_neardup",
     "simhash_neardup_stable",
+    "simhash_collapsed_stable",
     "reverse_index_search",
     "bm25_ranked_search",
     "phrase_search_via_index",

@@ -1782,3 +1782,88 @@ def fuzzy_record_linkage(spark, sf_dir):
         big("id_b").alias("id_b"),
         F.col("edit_dist").cast("int").alias("edit_dist"),
     )
+
+
+@golden(
+    "simhash_collapsed_stable",
+    oracle=f"""
+    WITH corpus AS ({_CORPUS_SQL}),
+    tokens AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM corpus
+    ),
+    tb AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(w), 1, 8))::UBIGINT AS hi,
+             ('0x' || substr(md5(w), 9, 8))::UBIGINT AS lo
+      FROM tokens
+    ),
+    votes AS (
+      SELECT doc_id, p,
+             SUM((CASE WHEN p < 32 THEN (lo >> p) & 1
+                       ELSE (hi >> (p - 32)) & 1 END) * 2 - 1) AS v
+      FROM tb, unnest(range(0, 64)) AS u(p)
+      GROUP BY doc_id, p
+    ),
+    bits AS (
+      SELECT doc_id, p, CASE WHEN v > 0 THEN 1 ELSE 0 END AS b FROM votes
+    ),
+    chunks AS (
+      SELECT doc_id, p // 16 AS chunk_no,
+             SUM(b * (1::BIGINT << (p % 16))) AS chunk
+      FROM bits GROUP BY doc_id, p // 16
+    ),
+    hv AS (
+      SELECT doc_id, list(chunk ORDER BY chunk_no) AS hw
+      FROM chunks GROUP BY doc_id
+    ),
+    fam AS (SELECT hw, MIN(doc_id) AS rep FROM hv GROUP BY hw),
+    star AS (
+      SELECT f.rep AS id_a, h.doc_id AS id_b, 0 AS hamming
+      FROM hv h JOIN fam f ON f.hw = h.hw
+      WHERE h.doc_id <> f.rep
+    ),
+    rch AS (
+      SELECT f.rep AS doc_id, u.i AS chunk_no, f.hw[u.i + 1] AS chunk
+      FROM fam f, unnest(range(0, 4)) AS u(i)
+    ),
+    rcand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM rch a JOIN rch b
+        ON a.chunk_no = b.chunk_no AND a.chunk = b.chunk
+       AND a.doc_id < b.doc_id
+    ),
+    rham AS (
+      SELECT c.id_a, c.id_b,
+             SUM(CASE WHEN ba.b <> bb.b THEN 1 ELSE 0 END) AS hamming
+      FROM rcand c
+      JOIN bits ba ON ba.doc_id = c.id_a
+      JOIN bits bb ON bb.doc_id = c.id_b AND bb.p = ba.p
+      GROUP BY c.id_a, c.id_b
+    )
+    SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+           CAST(hamming AS INT) AS hamming
+    FROM rham WHERE hamming <= 6
+    UNION ALL
+    SELECT CAST(id_a AS BIGINT), CAST(id_b AS BIGINT), CAST(hamming AS INT)
+    FROM star
+    """,
+)
+def simhash_collapsed_stable(spark, sf_dir):
+    """The family-collapsed SimHash pipeline (r6 scale fix) under the
+    ENGINE-STABLE md5 bit source, replayed end-to-end in SQL: identical
+    bit vectors group into families keyed by the chunk list (identical
+    packed hash ⟺ identical chunk list), star edges rep→member at
+    hamming 0, banding + exact-hamming verify over DISTINCT hash
+    representatives only. Certifies the connectivity-equivalent
+    sparsification value-for-value — the 30× stress showed the full
+    enumeration is quadratic in duplicate-family size (221M candidates,
+    150K docs over 4,960 hashes); this is the shape that survives."""
+    corpus = _augmented_corpus(spark, sf_dir)
+    out = simhash_neardup_pairs(
+        corpus, max_hamming=6, engine_stable=True, collapse_identical=True
+    )
+    return out.select(
+        big("id_a").alias("id_a"),
+        big("id_b").alias("id_b"),
+        F.col("hamming").cast("int").alias("hamming"),
+    )
