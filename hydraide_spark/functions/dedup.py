@@ -143,6 +143,7 @@ def ngram_jaccard_pairs(
     n: "int | str" = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    collapse_exact: bool = False,
 ) -> DataFrame:
     """Near-duplicate pairs with shingle-set Jaccard >= tau.
 
@@ -175,6 +176,29 @@ def ngram_jaccard_pairs(
     # persist: the prefix index and both verification sides would
     # otherwise recompute the shingle pipeline three times
     sizes = sh.select(F.col(id_col), F.col("sh"), F.size("sh").alias("n_sh")).persist()
+    star = None
+    if collapse_exact:
+        # identical shingle sets (Jaccard 1) collapse to a min-id rep —
+        # same guard as minhash_neardup_pairs(collapse_exact=True); the
+        # prefix index and verification run over DISTINCT sets only
+        keyed = sizes.select(
+            F.col(id_col), F.array_sort(F.col("sh")).alias("sh"),
+            F.col("n_sh"),
+        ).persist()
+        fam = keyed.groupBy("sh").agg(F.min(F.col(id_col)).alias("_rep"))
+        star = (
+            keyed.join(fam, "sh")
+            .filter(F.col(id_col) != F.col("_rep"))
+            .select(
+                F.col("_rep").alias("id_a"),
+                F.col(id_col).alias("id_b"),
+                F.col("n_sh").alias("inter"),
+                F.col("n_sh").alias("union"),
+            )
+        )
+        sizes = fam.select(
+            F.col("_rep").alias(id_col), F.col("sh"), F.size("sh").alias("n_sh")
+        )
     cand = _pair_jaccard_candidates(sizes, id_col, "sh", num, den)
     pa = sizes.select(
         F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"), F.col("n_sh").alias("n_a")
@@ -189,7 +213,10 @@ def ngram_jaccard_pairs(
         .withColumn("union", F.col("n_a") + F.col("n_b") - F.col("inter"))
         .filter(F.lit(den) * F.col("inter") >= F.lit(num) * F.col("union"))
     )
-    return out.select("id_a", "id_b", "inter", "union")
+    out = out.select("id_a", "id_b", "inter", "union")
+    if star is not None:
+        out = out.unionByName(star)
+    return out
 
 
 def _perm_hash(perm: int, engine_stable: bool):
@@ -226,6 +253,7 @@ def minhash_neardup_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     engine_stable: bool = False,
+    collapse_exact: bool = False,
 ) -> DataFrame:
     """MinHash + LSH near-dup: signature -> band buckets -> candidate
     pairs within a bucket -> exact Jaccard verify >= tau.
@@ -241,7 +269,18 @@ def minhash_neardup_pairs(
     that lets a SQL oracle replay the complete probabilistic pipeline
     (signatures, band buckets, candidates, verify) value-for-value, at
     ~10x the hash cost of the default seeded xxhash64.
-    """
+
+    ``collapse_exact`` is the exact-duplicate scale guard (the SimHash
+    ``collapse_identical`` lesson applied at the shingle-SET level —
+    sound here because identical sets have Jaccard 1, unlike identical
+    signatures): docs with the same shingle set collapse to a min-id
+    representative, the signature/banding/verify pipeline runs over
+    DISTINCT sets only, and the output is within-family star edges
+    (inter = union = |set|) plus representative cross pairs — a
+    connectivity-equivalent sparsification whose
+    :func:`neardup_clusters` output is identical (tested). On
+    web-crawl-shaped corpora where exact duplicates dominate, full
+    enumeration is quadratic in copy-family size; this is linear."""
     assert k % bands == 0
     rows_per_band = k // bands
     frac = Fraction(tau).limit_denominator(10**6)
@@ -258,6 +297,26 @@ def minhash_neardup_pairs(
     # the (narrow) scan stage and again in the projection.
     sh = df.select(F.col(id_col), shingles(F.col(text_col), n).alias("sh")).persist()
     sh = sh.filter(F.size("sh") > 0)
+    star = None
+    if collapse_exact:
+        # canonical set key: sorted array (shingles() preserves
+        # first-occurrence order; min-hash and array_intersect are both
+        # order-blind, so downstream runs on the sorted form unchanged)
+        keyed = sh.select(
+            F.col(id_col), F.array_sort(F.col("sh")).alias("sh")
+        ).persist()
+        fam = keyed.groupBy("sh").agg(F.min(F.col(id_col)).alias("_rep"))
+        star = (
+            keyed.join(fam, "sh")
+            .filter(F.col(id_col) != F.col("_rep"))
+            .select(
+                F.col("_rep").alias("id_a"),
+                F.col(id_col).alias("id_b"),
+                F.size("sh").alias("inter"),
+                F.size("sh").alias("union"),
+            )
+        )
+        sh = fam.select(F.col("_rep").alias(id_col), F.col("sh"))
     sig = sh.select(
         F.col(id_col),
         *minhash_signature(F.col("sh"), k, engine_stable=engine_stable),
@@ -305,7 +364,10 @@ def minhash_neardup_pairs(
         .withColumn("union", F.col("n_a") + F.col("n_b") - F.col("inter"))
         .filter(F.lit(den) * F.col("inter") >= F.lit(num) * F.col("union"))
     )
-    return verified.select("id_a", "id_b", "inter", "union")
+    out = verified.select("id_a", "id_b", "inter", "union")
+    if star is not None:
+        out = out.unionByName(star)
+    return out
 
 
 def edit_distance_link_pairs(

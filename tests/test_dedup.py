@@ -948,3 +948,49 @@ def test_simhash_collapse_identical_cluster_equivalence(spark):
     assert cl_full[0] == cl_full[1] == cl_full[2] == cl_full[3]
     # sparsification: full enumerates all family pairs, sparse the star
     assert len(sparse.collect()) <= len(full.collect())
+
+
+def test_collapse_exact_cluster_equivalence_minhash_and_jaccard(spark):
+    """Exact-duplicate families (the web-crawl norm) collapse to
+    shingle-SET representatives; the sparsified pair set must cluster
+    identically to full enumeration for BOTH minhash and exact-Jaccard,
+    and star edges must carry inter == union == |set| (Jaccard 1)."""
+    from pyspark.sql import Row
+
+    from hydraide_spark.functions.dedup import (
+        minhash_neardup_pairs,
+        neardup_clusters,
+        ngram_jaccard_pairs,
+    )
+
+    texts = {}
+    base_a = "the quick brown fox jumps over the lazy dog again and again"
+    base_b = "completely different words live in this other document body"
+    for i in range(6):
+        texts[i] = base_a                       # family A: 6 exact copies
+    # near-dup of family A (suffix drift) — linked through the reps
+    texts[6] = base_a + " ok"
+    for i in range(7, 10):
+        texts[i] = base_b                       # family B: 3 exact copies
+    texts[10] = "an isolated singleton document with unique content here"
+    df = spark.createDataFrame([Row(doc_id=i, text=t) for i, t in texts.items()])
+
+    for fn, kw in (
+        (minhash_neardup_pairs, dict(tau=0.6, n=3, k=16, bands=4)),
+        (ngram_jaccard_pairs, dict(tau=0.6, n=3)),
+    ):
+        full = fn(df, **kw)
+        sparse = fn(df, collapse_exact=True, **kw)
+        cl_full = {
+            r["doc_id"]: r["cluster_id"] for r in neardup_clusters(full).collect()
+        }
+        cl_sparse = {
+            r["doc_id"]: r["cluster_id"]
+            for r in neardup_clusters(sparse).collect()
+        }
+        assert cl_full == cl_sparse, fn.__name__
+        assert cl_full[0] == cl_full[5]  # family A one cluster
+        rows = sparse.collect()
+        assert len(rows) < len(full.collect()), fn.__name__  # sparsified
+        stars = [r for r in rows if r["inter"] == r["union"]]
+        assert len(stars) >= 5 + 2, fn.__name__  # family star edges present
