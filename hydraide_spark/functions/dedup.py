@@ -179,15 +179,17 @@ def ngram_jaccard_pairs(
     star = None
     if collapse_exact:
         # identical shingle sets (Jaccard 1) collapse to a min-id rep —
-        # same guard as minhash_neardup_pairs(collapse_exact=True); the
-        # prefix index and verification run over DISTINCT sets only
+        # same guard as minhash_neardup_pairs(collapse_exact=True):
+        # narrow md5 set-digest family shuffle, star edges, prefix
+        # index + verification over DISTINCT sets only
         keyed = sizes.select(
-            F.col(id_col), F.array_sort(F.col("sh")).alias("sh"),
+            F.col(id_col),
+            F.md5(F.concat_ws("\x00", F.array_sort(F.col("sh")))).alias("_sk"),
             F.col("n_sh"),
         ).persist()
-        fam = keyed.groupBy("sh").agg(F.min(F.col(id_col)).alias("_rep"))
+        fam = keyed.groupBy("_sk").agg(F.min(F.col(id_col)).alias("_rep"))
         star = (
-            keyed.join(fam, "sh")
+            keyed.join(fam, "_sk")
             .filter(F.col(id_col) != F.col("_rep"))
             .select(
                 F.col("_rep").alias("id_a"),
@@ -196,8 +198,8 @@ def ngram_jaccard_pairs(
                 F.col("n_sh").alias("union"),
             )
         )
-        sizes = fam.select(
-            F.col("_rep").alias(id_col), F.col("sh"), F.size("sh").alias("n_sh")
+        sizes = sizes.join(
+            fam.select(F.col("_rep").alias(id_col)), id_col, "left_semi"
         )
     cand = _pair_jaccard_candidates(sizes, id_col, "sh", num, den)
     pa = sizes.select(
@@ -299,24 +301,34 @@ def minhash_neardup_pairs(
     sh = sh.filter(F.size("sh") > 0)
     star = None
     if collapse_exact:
-        # canonical set key: sorted array (shingles() preserves
-        # first-occurrence order; min-hash and array_intersect are both
-        # order-blind, so downstream runs on the sorted form unchanged)
+        # canonical set key: md5 over the sorted set with a NUL
+        # separator (shingles contain spaces; NUL keeps the encoding
+        # prefix-free). Grouping by the 128-bit digest instead of the
+        # array keeps the family shuffle NARROW — (digest, id) rows,
+        # no shingle arrays — and a collision needs ~2^64 distinct
+        # sets (birthday) to appear once, far beyond any corpus.
         keyed = sh.select(
-            F.col(id_col), F.array_sort(F.col("sh")).alias("sh")
+            F.col(id_col),
+            F.md5(F.concat_ws("\x00", F.array_sort(F.col("sh")))).alias("_sk"),
+            F.size("sh").alias("_nsh"),
         ).persist()
-        fam = keyed.groupBy("sh").agg(F.min(F.col(id_col)).alias("_rep"))
+        fam = keyed.groupBy("_sk").agg(F.min(F.col(id_col)).alias("_rep"))
         star = (
-            keyed.join(fam, "sh")
+            keyed.join(fam, "_sk")
             .filter(F.col(id_col) != F.col("_rep"))
             .select(
                 F.col("_rep").alias("id_a"),
                 F.col(id_col).alias("id_b"),
-                F.size("sh").alias("inter"),
-                F.size("sh").alias("union"),
+                F.col("_nsh").alias("inter"),
+                F.col("_nsh").alias("union"),
             )
         )
-        sh = fam.select(F.col("_rep").alias(id_col), F.col("sh"))
+        # representatives keep their (unsorted) shingle arrays via a
+        # narrow id semi-join — min-hash and array_intersect are
+        # order-blind, so the original order is fine downstream
+        sh = sh.join(
+            fam.select(F.col("_rep").alias(id_col)), id_col, "left_semi"
+        )
     sig = sh.select(
         F.col(id_col),
         *minhash_signature(F.col("sh"), k, engine_stable=engine_stable),
