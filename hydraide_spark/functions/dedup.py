@@ -181,8 +181,12 @@ def ngram_jaccard_pairs(
         # identical shingle sets (Jaccard 1) collapse to a min-id rep —
         # same guard as minhash_neardup_pairs(collapse_exact=True):
         # narrow md5 set-digest family shuffle, star edges, prefix
-        # index + verification over DISTINCT sets only
-        keyed = sizes.select(
+        # index + verification over DISTINCT sets only. Docs with NO
+        # shingles (shorter than n tokens) are excluded: they can never
+        # pair in the non-collapsed path (no shingle to join on), and
+        # collapsing them would put every short doc in one md5('')
+        # family and emit inter=union=0 star edges for unrelated docs.
+        keyed = sizes.filter(F.col("n_sh") > 0).select(
             F.col(id_col),
             F.md5(F.concat_ws("\x00", F.array_sort(F.col("sh")))).alias("_sk"),
             F.col("n_sh"),

@@ -973,6 +973,12 @@ def test_collapse_exact_cluster_equivalence_minhash_and_jaccard(spark):
     for i in range(7, 10):
         texts[i] = base_b                       # family B: 3 exact copies
     texts[10] = "an isolated singleton document with unique content here"
+    # UNRELATED short docs (< n tokens → empty shingle set): collapse
+    # must NOT family them together via the empty-set digest (ADVICE r6
+    # — md5('') made every short doc an exact duplicate of every other)
+    texts[11] = "hi"
+    texts[12] = "yo there"
+    texts[13] = "ok"
     df = spark.createDataFrame([Row(doc_id=i, text=t) for i, t in texts.items()])
 
     for fn, kw in (
@@ -994,3 +1000,10 @@ def test_collapse_exact_cluster_equivalence_minhash_and_jaccard(spark):
         assert len(rows) < len(full.collect()), fn.__name__  # sparsified
         stars = [r for r in rows if r["inter"] == r["union"]]
         assert len(stars) >= 5 + 2, fn.__name__  # family star edges present
+        # short docs (11,12,13) stay singletons — no pair touches them
+        short = {11, 12, 13}
+        assert not any(
+            r["id_a"] in short or r["id_b"] in short for r in rows
+        ), fn.__name__
+        # edge-derived clustering ⇒ edge-less docs absent from output
+        assert not (short & set(cl_sparse)), fn.__name__
