@@ -153,6 +153,7 @@ HEADLINE = [
     "cms_user_frequencies",
     "telemetry_history",
     "telemetry_slow_queries",
+    "telemetry_top_errors",
     "triangle_counts_graph",
     "histogram_quantiles_events",
     "personalized_pagerank_seeds",
@@ -238,6 +239,9 @@ def main() -> None:
             try:
                 samples[n].append(run_query(qs[n], spark, sf_dir))
             except Exception as e:  # a broken query must not hide the rest
+                # no more attempts, but samples already collected in
+                # earlier passes stay valid — a transient failure on a
+                # late rep must not erase good measurements
                 failed.add(n)
                 print(f"bench error in {n}: {e}", file=sys.stderr)
             if i % 4 == 3:
@@ -253,7 +257,7 @@ def main() -> None:
     timings: dict[str, float] = {}
     spreads: dict[str, float] = {}
     for n in names:
-        if n in failed or not samples[n]:
+        if not samples[n]:  # -1 reserved for ZERO successful samples
             timings[n] = -1.0
             continue
         med, spread = aggregate_samples(samples[n])
@@ -293,6 +297,7 @@ def main() -> None:
         "vs_r1_total": vs_r1_total,
         "sf": sf,
         "errors": errors,
+        "transient_errors": sorted(n for n in failed if samples[n]),
     }
     out_dir = os.path.join(_HERE, "bench")
     os.makedirs(out_dir, exist_ok=True)

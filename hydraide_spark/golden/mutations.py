@@ -124,6 +124,74 @@ def increment_conditional(spark, sf_dir):
 
 
 @golden(
+    "increment_stamped",
+    oracle="""
+    WITH k AS (
+      SELECT * FROM (VALUES ('1'), ('2'), ('xk-1'), ('xk-2')) t(key)
+    ),
+    base AS (
+      SELECT CAST(c_custkey AS VARCHAR) AS key, c_acctbal AS bal
+      FROM customer
+    ),
+    j AS (
+      SELECT k.key,
+             COALESCE(b.bal, 0) AS old_value,
+             (b.key IS NULL) AS created
+      FROM k LEFT JOIN base b ON k.key = b.key
+    )
+    SELECT key,
+           old_value,
+           CASE WHEN old_value < 5000.005 THEN old_value + 100.0
+                ELSE old_value END AS new_value,
+           (old_value < 5000.005) AS applied,
+           created,
+           CAST(CASE WHEN created THEN 1700000000000000 END AS BIGINT)
+             AS created_at_us,
+           CASE WHEN created THEN 'loader' END AS created_by,
+           CAST(CASE WHEN NOT created THEN 1700000000000000 END AS BIGINT)
+             AS updated_at_us,
+           CASE WHEN NOT created THEN 'incr' END AS updated_by,
+           CAST(CASE WHEN created THEN 9999999999000000 END AS BIGINT)
+             AS expired_at_us
+    FROM j
+    """,
+)
+def increment_stamped(spark, sf_dir):
+    """Increment in get-or-create mode with metadata stamping
+    (proto:1591 IncrementRequestMetadata; swamp.go:1219
+    setMetaForIncrement; swamp.go:1277-1280 get-or-create): missing
+    keys are created at 0 and stamped with the SetIfNotExist metadata
+    (created_at/created_by/expired_at); existing keys take SetIfExist
+    (updated_at/updated_by). The stamp clock is pinned for the oracle."""
+    base = _customer_kv(spark, sf_dir)
+    out = M.increment(
+        base,
+        "bal",
+        100.0,
+        condition=Cmp("bal", Op.LT, 5000.005),
+        keys=["1", "2", "xk-1", "xk-2"],
+        meta_if_not_exist=M.IncrementMeta(
+            created_at=True, created_by="loader",
+            expired_at=9_999_999_999_000_000,
+        ),
+        meta_if_exist=M.IncrementMeta(updated_at=True, updated_by="incr"),
+        now_us=1_700_000_000_000_000,
+    )
+    return out.select(
+        "key",
+        "old_value",
+        "new_value",
+        "applied",
+        "created",
+        big("created_at_us").alias("created_at_us"),
+        F.col("created_by"),
+        big("updated_at_us").alias("updated_at_us"),
+        F.col("updated_by"),
+        big("expired_at_us").alias("expired_at_us"),
+    )
+
+
+@golden(
     "patch_struct_ops",
     oracle="""
     WITH e AS (

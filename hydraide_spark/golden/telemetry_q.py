@@ -44,6 +44,110 @@ _STATS_SQL = """
 """
 
 
+def _pseudo_err_stats(spark, sf_dir):
+    """events → error-carrying stats rows for the top_errors rollup.
+    Pseudo timestamps are the (unique) event_ids so first/last-
+    occurrence picks are deterministic cross-engine; every 17th event
+    fails with a rotating error kind, and the message is a 50-char
+    padded stem (shared per kind × op — the grouping key) plus a
+    per-event tail (exercises both the 50-char key truncation and the
+    100-char display truncation)."""
+    ev = load_table(spark, sf_dir, "events")
+    err = F.col("event_id") % 17 == 0
+    kind = F.element_at(
+        F.array(
+            F.lit("CompressionError"),
+            F.lit("ValidationError"),
+            F.lit("PermissionError"),
+        ),
+        (F.expr("event_id div 17") % 3 + 1).cast("int"),
+    )
+    msg = F.concat(
+        F.rpad(
+            F.concat(kind, F.lit(" while scanning "), F.col("event_type")),
+            50,
+            ".",
+        ),
+        F.lit(" id="),
+        F.col("event_id").cast("string"),
+    )
+    return ev.select(
+        F.col("event_id").alias("ts_us"),
+        F.col("event_type").alias("op"),
+        F.lit(0.0).alias("wall_ms"),
+        (~err).alias("ok"),
+        F.array(
+            F.col("event_type"),
+            F.concat(F.lit("tbl_"), (F.col("user_id") % 3).cast("string")),
+        ).alias("tables"),
+        F.when(err, kind).alias("err_kind"),
+        F.when(err, msg).alias("err_msg"),
+    )
+
+
+_ERR_STATS_SQL = """
+    SELECT event_id AS ts_us,
+           event_type AS op,
+           0.0 AS wall_ms,
+           event_id % 17 <> 0 AS ok,
+           [event_type, 'tbl_' || CAST(user_id % 3 AS VARCHAR)] AS tables,
+           CASE WHEN event_id % 17 = 0 THEN
+             ['CompressionError', 'ValidationError', 'PermissionError']
+               [CAST((event_id // 17) % 3 AS INTEGER) + 1]
+           END AS err_kind,
+           CASE WHEN event_id % 17 = 0 THEN
+             rpad(['CompressionError', 'ValidationError', 'PermissionError']
+                    [CAST((event_id // 17) % 3 AS INTEGER) + 1]
+                  || ' while scanning ' || event_type, 50, '.')
+             || ' id=' || CAST(event_id AS VARCHAR)
+           END AS err_msg
+    FROM events
+"""
+
+
+@golden(
+    "telemetry_top_errors",
+    oracle=f"""
+    WITH stats AS ({_ERR_STATS_SQL}),
+    keyed AS (
+      SELECT err_kind,
+             substring(err_msg, 1, 50) AS _key,
+             substring(err_msg, 1, 100) AS _disp,
+             ts_us,
+             array_to_string(tables, ',') AS _scanned
+      FROM stats WHERE NOT ok
+    )
+    SELECT err_kind,
+           min_by(_disp, ts_us) AS err_msg,
+           CAST(COUNT(*) AS BIGINT) AS n_errors,
+           CAST(MAX(ts_us) AS BIGINT) AS last_ts_us,
+           max_by(_scanned, ts_us) AS last_scanned
+    FROM keyed
+    GROUP BY err_kind, _key
+    ORDER BY n_errors DESC, err_kind ASC, _key ASC
+    LIMIT 5
+    """,
+)
+def telemetry_top_errors(spark, sf_dir):
+    """The most-frequent-errors view (operators/telemetry.py::
+    top_errors; reference GetErrorDetails / TelemetryStats TopErrors,
+    telemetry.go:311-326,367): group by kind + 50-char message prefix,
+    first-occurrence display message (min_by), last-occurrence
+    timestamp and scanned tables (max_by), top-5 by count with a
+    deterministic (kind, key) tiebreak."""
+    from ..operators.telemetry import top_errors
+
+    stats = _pseudo_err_stats(spark, sf_dir)
+    out = top_errors(stats, k=5)
+    return out.select(
+        F.col("err_kind"),
+        F.col("err_msg"),
+        big("n_errors").alias("n_errors"),
+        big("last_ts_us").alias("last_ts_us"),
+        F.col("last_scanned"),
+    )
+
+
 @golden(
     "telemetry_rolling_rates",
     oracle=f"""

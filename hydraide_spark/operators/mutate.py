@@ -109,14 +109,52 @@ def shift_by_keys(
     return claimed, remaining
 
 
+@dataclass(frozen=True)
+class IncrementMeta:
+    """``IncrementRequestMetadata`` (proto:1591-1597): what to stamp on
+    the treasure when the increment targets it — one instance for
+    newly-created keys (``SetIfNotExist``), one for pre-existing keys
+    (``SetIfExist``). ``created_at``/``updated_at`` are stamp-now
+    booleans; the *_by fields are identity strings; ``expired_at`` is an
+    absolute epoch-µs TTL."""
+
+    created_at: bool = False
+    created_by: Optional[str] = None
+    updated_at: bool = False
+    updated_by: Optional[str] = None
+    expired_at: Optional[int] = None  # epoch µs
+
+
+_META_FIELDS = (
+    ("created_at_us", "created_at", True),
+    ("created_by", "created_by", False),
+    ("updated_at_us", "updated_at", True),
+    ("updated_by", "updated_by", False),
+    ("expired_at_us", "expired_at", False),
+)
+
+
+def _meta_value(meta: Optional[IncrementMeta], attr: str, is_now: bool, now_us: int):
+    if meta is None:
+        return F.lit(None).cast("long" if is_now or attr == "expired_at" else "string")
+    v = getattr(meta, attr)
+    if is_now:
+        return F.lit(now_us if v else None).cast("long")
+    if attr == "expired_at":
+        return F.lit(v).cast("long")
+    return F.lit(v).cast("string")
+
+
 def increment(
     base: DataFrame,
     value_col: str,
     delta: float,
     condition: Optional[Pred] = None,
     key_col: str = "key",
-    create_if_not_exist: bool = False,
-    init: Any = None,
+    keys: Optional[Sequence[str]] = None,
+    meta_if_not_exist: Optional[IncrementMeta] = None,
+    meta_if_exist: Optional[IncrementMeta] = None,
+    now_us: Optional[int] = None,
 ) -> DataFrame:
     """The 10 ``Increment<T>`` RPCs as ONE generic conditional add
     (reference burns ~900 LoC on per-type copies, swamp.go:1274-2017;
@@ -124,16 +162,77 @@ def increment(
 
     Returns key, old_value, new_value, applied — applied=False rows keep
     their value (condition failed), matching the reference's
-    returns-new-value + applied flag contract (proto:420-455)."""
-    cond = translate(condition, base) if condition is not None else F.lit(True)
+    returns-new-value + applied flag contract (proto:420-455).
+
+    ``keys`` switches to the reference's get-or-create mode
+    (swamp.go:1277-1280: ``beaconKey.Get`` → ``CreateTreasure``):
+    missing keys are created with value 0 before the conditional add,
+    and the output gains a ``created`` flag.
+
+    ``meta_if_not_exist`` / ``meta_if_exist`` stamp per-key metadata
+    (proto:1591; swamp.go:1219 ``setMetaForIncrement``) — created keys
+    take the first, pre-existing keys the second, and the stamp happens
+    whether or not the condition passes (the reference stamps inside
+    the guard BEFORE the condition check). When either is given the
+    output gains created_at_us/created_by/updated_at_us/updated_by/
+    expired_at_us (the ``IncrementResponseMetadata`` analogue,
+    proto:1599). ``now_us`` pins the stamp clock (deterministic
+    replays); defaults to wall-clock."""
+    work = base
+    created = F.lit(False)
+    if keys is not None:
+        kdf = base.sparkSession.createDataFrame(
+            [(k,) for k in keys], f"{key_col} string"
+        )
+        # Scale shape: the key list is a driver-side argument (small by
+        # contract), so BOTH joins broadcast it and the base scans ONCE
+        # with no shuffle — a keys-left outer join would instead shuffle
+        # the full base on the key. Membership (not value-nullness)
+        # decides `created`: an existing key whose value is NULL is not
+        # created, it just can't be incremented (applied=False).
+        dtype = dict(base.dtypes)[value_col]
+        hits = (
+            base.join(F.broadcast(kdf), key_col, "inner")
+            .select(key_col, value_col)
+            .persist()
+        )
+        miss = kdf.join(
+            F.broadcast(hits.select(key_col)), key_col, "left_anti"
+        )
+        work = (
+            hits.withColumn("_created", F.lit(False))
+            .unionByName(
+                miss.select(
+                    F.col(key_col),
+                    F.lit(0).cast(dtype).alias(value_col),
+                    F.lit(True).alias("_created"),
+                )
+            )
+        )
+        created = F.col("_created")
+    cond = translate(condition, work) if condition is not None else F.lit(True)
     old = F.col(value_col)
     new = F.when(cond, old + F.lit(delta)).otherwise(old)
-    return base.select(
+    cols = [
         F.col(key_col),
         old.alias("old_value"),
         new.alias("new_value"),
         (cond & old.isNotNull()).alias("applied"),
-    )
+        created.alias("created"),
+    ]
+    if meta_if_not_exist is not None or meta_if_exist is not None:
+        import time as _time
+
+        now = int(now_us if now_us is not None else _time.time_ns() // 1_000)
+        for out_name, attr, is_now in _META_FIELDS:
+            cols.append(
+                F.when(
+                    created, _meta_value(meta_if_not_exist, attr, is_now, now)
+                )
+                .otherwise(_meta_value(meta_if_exist, attr, is_now, now))
+                .alias(out_name)
+            )
+    return work.select(*cols)
 
 
 # ---------------------------------------------------------------------------

@@ -13,7 +13,7 @@ list is the swamp analogue — parsed from the executed plan's FileScan
 locations, so "top swamps" means "most-scanned tables", exactly the
 reference's hottest-data view.
 
-Analysis surfaces mirror the 4 RPCs, each a plain DataFrame rollup over
+Analysis surfaces mirror the telemetry RPCs, each a plain DataFrame rollup over
 the recorded stats (windowed call/error rates, top-k scanned tables,
 full history) — at scale the stats table is appended to storage and the
 rollups are the same queries over the persisted table.
@@ -32,6 +32,21 @@ _SCAN_RE = re.compile(r"FileScan \w+ \S*\[?([^\[\]\n ]*)")
 _LOCATION_RE = re.compile(r"Location: \w+\([0-9]* paths\)?\[([^\]]*)\]")
 
 
+def _exception_details(exception) -> tuple[str, str]:
+    """Error kind + message from the JVM throwable the listener hands
+    ``onFailure`` (reference: every telemetry event carries ErrorCode /
+    ErrorMsg, ``telemetry.go:22-23``). Kind is the exception's simple
+    class name (the gRPC-code analogue); the message is capped at 200
+    chars — the rollup truncates further, matching the reference's
+    truncate(msg, 50) grouping key / truncate(msg, 100) display."""
+    try:
+        kind = str(exception.getClass().getName()).rsplit(".", 1)[-1]
+        msg = exception.getMessage()
+        return kind, ("" if msg is None else str(msg))[:200]
+    except Exception:
+        return "UnknownError", ""
+
+
 class QueryStatsCollector:
     """Registers as a JVM ``QueryExecutionListener`` and records one
     row per completed action. Driver-side and lock-protected (py4j
@@ -44,14 +59,15 @@ class QueryStatsCollector:
     hard-caps the buffer even under burst rates — a long-lived driver
     can never leak. For retention beyond the window, :meth:`flush`
     appends the buffer to a parquet stats table (``table_path``) as an
-    immutable batch directory; the 4 rollup queries run unchanged over
+    immutable batch directory; the rollup queries run unchanged over
     either :meth:`stats` (the live buffer) or :meth:`persisted_stats`
     (the table), and :meth:`prune` enforces the same rolling window on
     the table by dropping whole expired batch directories (on object
     stores, a lifecycle rule on the batch prefix does the same job)."""
 
     SCHEMA = (
-        "ts_us long, op string, wall_ms double, ok boolean, tables array<string>"
+        "ts_us long, op string, wall_ms double, ok boolean, tables array<string>,"
+        " err_kind string, err_msg string"
     )
 
     def __init__(
@@ -69,7 +85,6 @@ class QueryStatsCollector:
         self._window_us = int(window_sec) * 1_000_000
         self._max_rows = int(max_rows)
         self._table_path = table_path
-        self._suspended = False  # don't record our own flush writes
         ensure_callback_server_started(spark.sparkContext._gateway)
         self._active = True
         spark._jsparkSession.listenerManager().register(self)
@@ -77,20 +92,30 @@ class QueryStatsCollector:
     # -- JVM callback interface -------------------------------------------
 
     def onSuccess(self, funcName, qe, durationNs):  # noqa: N802 (JVM name)
-        if self._active and not self._suspended:
+        if self._active:
             self._record(funcName, qe, durationNs / 1e6, True)
 
     def onFailure(self, funcName, qe, exception):  # noqa: N802 (JVM name)
-        if self._active and not self._suspended:
-            self._record(funcName, qe, 0.0, False)
+        if self._active:
+            kind, msg = _exception_details(exception)
+            self._record(funcName, qe, 0.0, False, kind, msg)
 
     class Java:
         implements = ["org.apache.spark.sql.util.QueryExecutionListener"]
 
     # -- internals ---------------------------------------------------------
 
-    def _record(self, op: str, qe, wall_ms: float, ok: bool) -> None:
+    def _record(
+        self,
+        op: str,
+        qe,
+        wall_ms: float,
+        ok: bool,
+        err_kind: Optional[str] = None,
+        err_msg: Optional[str] = None,
+    ) -> None:
         tables: list[str] = []
+        plan = ""
         try:
             plan = qe.executedPlan().toString()
             for m in _LOCATION_RE.finditer(plan):
@@ -100,9 +125,16 @@ class QueryStatsCollector:
                         tables.append(path.rsplit("/", 1)[-1])
         except Exception:
             pass  # a failed query may have no executable plan
+        # Self-traffic marker: listener callbacks arrive asynchronously
+        # on py4j threads, so a timing flag cannot reliably exclude the
+        # flush's own write (its onSuccess may land after any reset).
+        # The stats-table path in the executed plan IS a reliable
+        # marker — skip anything that reads or writes our own table.
+        if self._table_path is not None and self._table_path in plan:
+            return
         self._append(
             (time.time_ns() // 1_000, str(op), float(wall_ms), bool(ok),
-             sorted(set(tables)))
+             sorted(set(tables)), err_kind, err_msg)
         )
 
     def _append(self, row: tuple) -> None:
@@ -146,8 +178,7 @@ class QueryStatsCollector:
         """Append the buffered rows to the parquet stats table as one
         immutable batch directory (named by the newest ts so pruning
         can drop whole batches without reading them), then clear the
-        buffer. Returns the number of rows flushed. The write runs with
-        recording suspended so the flush doesn't record itself."""
+        buffer. Returns the number of rows flushed."""
         import os
 
         if self._table_path is None:
@@ -157,8 +188,9 @@ class QueryStatsCollector:
         if not rows:
             return 0
         batch_dir = os.path.join(self._table_path, f"batch-{rows[-1][0]:020d}")
-        self._suspended = True
         try:
+            # the write doesn't record itself: _record drops any event
+            # whose plan touches table_path (the async-safe marker)
             (
                 self._spark.createDataFrame(rows, self.SCHEMA)
                 .coalesce(1)
@@ -171,8 +203,6 @@ class QueryStatsCollector:
             with self._mu:
                 self._rows[:0] = rows
             raise
-        finally:
-            self._suspended = False
         return len(rows)
 
     def persisted_stats(self) -> DataFrame:
@@ -184,6 +214,25 @@ class QueryStatsCollector:
             raise ValueError("QueryStatsCollector: no table_path configured")
         return self._spark.read.schema(self.SCHEMA).parquet(
             os.path.join(self._table_path, "batch-*")
+        )
+
+    def stats_stream(self) -> DataFrame:
+        """STREAMING view of the persisted stats table — the
+        ``SubscribeToTelemetry`` analogue (proto:566): the reference
+        pushes telemetry events continuously over a gRPC stream; here
+        ``flush`` (or the flush loop) appends immutable batch
+        directories and ``readStream`` picks each batch up as it lands,
+        so a live dashboard is ``stats_stream() → rollup →
+        writeStream``. Same schema as :meth:`stats`; bounded per
+        micro-batch via maxFilesPerTrigger."""
+        import os
+
+        if self._table_path is None:
+            raise ValueError("QueryStatsCollector: no table_path configured")
+        return (
+            self._spark.readStream.schema(self.SCHEMA)
+            .option("maxFilesPerTrigger", 32)
+            .parquet(os.path.join(self._table_path, "batch-*"))
         )
 
     def start_flush_loop(self, interval_sec: float = 60.0) -> "threading.Event":
@@ -240,7 +289,7 @@ class QueryStatsCollector:
         return dropped
 
 
-# -- the 4 RPC analogues (proto:2393-2458), as rollups over the stats -------
+# -- the RPC analogues (proto:2393-2458 + GetErrorDetails), as rollups ------
 
 
 def rolling_rates(stats: DataFrame, window_sec: int = 60) -> DataFrame:
@@ -258,6 +307,64 @@ def rolling_rates(stats: DataFrame, window_sec: int = 60) -> DataFrame:
             "error_rate", F.col("n_errors") / F.col("n_calls")
         )
         .orderBy("window_start_us")
+    )
+
+
+def streaming_rolling_rates(
+    stats_stream: DataFrame,
+    window_duration: str = "1 minute",
+    watermark_delay: str = "30 seconds",
+) -> DataFrame:
+    """The rolling call/error-rate rollup as a STRUCTURED STREAM over
+    :meth:`QueryStatsCollector.stats_stream` — the continuous form of
+    :func:`rolling_rates` (reference ``SubscribeToTelemetry``,
+    proto:566). Event-time tumbling windows on the recorded ``ts_us``;
+    the watermark bounds aggregation state (late flushes beyond the
+    delay are dropped), so driver state stays O(open windows) no matter
+    how long the stream runs."""
+    ev = stats_stream.withColumn(
+        "event_time", F.timestamp_micros(F.col("ts_us"))
+    ).withWatermark("event_time", watermark_delay)
+    return (
+        ev.groupBy(F.window("event_time", window_duration).alias("win"))
+        .agg(
+            F.count(F.lit(1)).alias("n_calls"),
+            F.sum((~F.col("ok")).cast("long")).alias("n_errors"),
+        )
+        .withColumn("error_rate", F.col("n_errors") / F.col("n_calls"))
+    )
+
+
+def top_errors(stats: DataFrame, k: int = 5) -> DataFrame:
+    """Most frequent errors — the GetErrorDetails / TelemetryStats
+    "TopErrors" view (reference ``telemetry.go:311-326,367``:
+    errors group by ``code + ':' + truncate(msg, 50)``; each group
+    reports the FIRST occurrence's message truncated to 100, the count,
+    and the swamp + timestamp of the LAST occurrence; top-5 by count).
+
+    Returns (err_kind, err_msg, n_errors, last_ts_us, last_scanned),
+    ordered by count desc with a (kind, key) tiebreak. min_by/max_by
+    over ts_us pick the first/last occurrence — deterministic whenever
+    timestamps are unique within a group (they are for real listener
+    rows: the recorder stamps monotonic wall-clock µs)."""
+    errs = stats.filter(~F.col("ok")).select(
+        F.coalesce(F.col("err_kind"), F.lit("UnknownError")).alias("err_kind"),
+        F.substring(F.coalesce(F.col("err_msg"), F.lit("")), 1, 50).alias("_key"),
+        F.substring(F.coalesce(F.col("err_msg"), F.lit("")), 1, 100).alias("_disp"),
+        F.col("ts_us"),
+        F.concat_ws(",", F.col("tables")).alias("_scanned"),
+    )
+    return (
+        errs.groupBy("err_kind", "_key")
+        .agg(
+            F.min_by(F.col("_disp"), F.col("ts_us")).alias("err_msg"),
+            F.count(F.lit(1)).alias("n_errors"),
+            F.max("ts_us").alias("last_ts_us"),
+            F.max_by(F.col("_scanned"), F.col("ts_us")).alias("last_scanned"),
+        )
+        .orderBy(F.col("n_errors").desc(), F.col("err_kind").asc(), F.col("_key").asc())
+        .limit(k)
+        .select("err_kind", "err_msg", "n_errors", "last_ts_us", "last_scanned")
     )
 
 

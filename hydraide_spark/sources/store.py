@@ -342,40 +342,107 @@ class TreasureStore:
         value_col: str,
         delta: float,
         condition: Optional[Pred] = None,
+        create_if_not_exist: bool = False,
+        meta_if_not_exist: Optional["mutate_ops.IncrementMeta"] = None,
+        meta_if_exist: Optional["mutate_ops.IncrementMeta"] = None,
+        now_us: Optional[int] = None,
     ) -> DataFrame:
         """Reference ``Increment<T>`` (proto:420-455) as one serialized
         transaction: conditional add on the CURRENT value for the listed
-        keys, per-key (old, new, applied), UPDATED events for applied
-        rows only (an unapplied increment changes nothing => no event,
-        like StatusSame)."""
+        keys, per-key (old, new, applied, created), UPDATED events for
+        applied rows only (an unapplied increment changes nothing => no
+        event, like StatusSame).
+
+        ``create_if_not_exist`` enables the reference's get-or-create
+        (swamp.go:1277-1280): missing keys are created at value 0 (then
+        the conditional add applies), persisted, and emit NEW events —
+        even when the condition fails, matching the reference (the
+        created treasure exists in the beacon regardless).
+
+        ``meta_if_not_exist``/``meta_if_exist`` (proto:1591,
+        swamp.go:1219) stamp created_at_us/created_by/updated_at_us/
+        updated_by/expired_at_us. Stamps persist into the store state
+        for rows that are WRITTEN (created rows, and existing rows whose
+        increment applied); the returned results always carry the
+        response-metadata columns."""
         base = self.current()
         value_cols = [c for c in base.columns if c != self.key_col]
-        targeted = base.filter(F.col(self.key_col).isin(list(keys)))
+        has_meta = meta_if_not_exist is not None or meta_if_exist is not None
         results = mutate_ops.increment(
-            targeted, value_col, delta, condition, key_col=self.key_col
+            base,
+            value_col,
+            delta,
+            condition,
+            key_col=self.key_col,
+            keys=list(keys),
+            meta_if_not_exist=meta_if_not_exist,
+            meta_if_exist=meta_if_exist,
+            now_us=now_us,
         ).cache()
         results.count()
-        applied = results.filter(F.col("applied"))
+        meta_cols = [f[0] for f in mutate_ops._META_FIELDS] if has_meta else []
+
+        applied_existing = results.filter(F.col("applied") & ~F.col("created"))
+        upd = applied_existing.select(
+            self.key_col,
+            "new_value",
+            *[F.col(m).alias(f"_{m}_stamp") for m in meta_cols],
+        )
         new_state = (
-            base.join(
-                applied.select(self.key_col, "new_value"), self.key_col, "left"
-            )
+            base.join(upd, self.key_col, "left")
             .withColumn(
                 value_col, F.coalesce(F.col("new_value"), F.col(value_col))
             )
             .drop("new_value")
         )
-        batch = self._write_version(new_state)
-        updated = new_state.join(applied.select(self.key_col), self.key_col)
-        self._emit(
-            updated.select(
+        for m in meta_cols:
+            stamped = F.col(f"_{m}_stamp")
+            new_state = new_state.withColumn(
+                m,
+                F.coalesce(stamped, F.col(m)) if m in base.columns else stamped,
+            ).drop(f"_{m}_stamp")
+
+        created_rows = None
+        if create_if_not_exist:
+            created = results.filter(F.col("created"))
+            state_types = dict(new_state.dtypes)
+            created_rows = created.select(
                 F.col(self.key_col),
-                F.lit("UPDATED").alias("op"),
-                self._payload(updated, value_cols).alias("new"),
-                F.lit(None).cast("string").alias("old"),
-            ),
-            batch,
+                *[
+                    F.col("new_value").cast(state_types[c]).alias(c)
+                    if c == value_col
+                    else (
+                        F.col(c).alias(c)
+                        if c in meta_cols
+                        else F.lit(None).cast(state_types[c]).alias(c)
+                    )
+                    for c in new_state.columns
+                    if c != self.key_col
+                ],
+            )
+            new_state = new_state.unionByName(created_rows)
+
+        batch = self._write_version(new_state)
+        applied_keys = applied_existing.select(self.key_col)
+        updated = new_state.join(applied_keys, self.key_col)
+        events = updated.select(
+            F.col(self.key_col),
+            F.lit("UPDATED").alias("op"),
+            self._payload(updated, value_cols).alias("new"),
+            F.lit(None).cast("string").alias("old"),
         )
+        if created_rows is not None:
+            events = events.unionByName(
+                created_rows.select(
+                    F.col(self.key_col),
+                    F.lit("NEW").alias("op"),
+                    self._payload(created_rows, value_cols).alias("new"),
+                    F.lit(None).cast("string").alias("old"),
+                )
+            )
+        self._emit(events, batch)
+        if not create_if_not_exist:
+            return results.filter(~F.col("created"))
         return results
 
     def uint32slice_push(self, keys: Sequence[str], values: Sequence[int], ids_col: str = "ids") -> DataFrame:

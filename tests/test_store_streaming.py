@@ -351,6 +351,49 @@ def test_store_increment_transaction(spark, tmp_path):
     assert ev == ["a"]  # no event for the unapplied increment
 
 
+def test_store_increment_create_and_stamp(spark, tmp_path):
+    """Get-or-create increment with metadata stamping (proto:1591,
+    swamp.go:1219,1277-1280): missing key 'x' is created at 0, stamped
+    with SetIfNotExist; existing applied key 'a' is stamped with
+    SetIfExist; unapplied existing 'b' keeps its state unstamped."""
+    from hydraide_spark.operators.mutate import IncrementMeta
+
+    store = make_store(spark, tmp_path, BASE)
+    now = 1_700_000_000_000_000
+    res = {
+        r["key"]: r
+        for r in store.increment(
+            ["a", "b", "x"],
+            "val",
+            10,
+            condition=Cmp("val", Op.LT, 2),
+            create_if_not_exist=True,
+            meta_if_not_exist=IncrementMeta(created_at=True, created_by="mk"),
+            meta_if_exist=IncrementMeta(updated_at=True, updated_by="up"),
+            now_us=now,
+        ).collect()
+    }
+    assert (res["a"]["old_value"], res["a"]["new_value"], res["a"]["applied"]) == (1, 11, True)
+    assert (res["b"]["old_value"], res["b"]["applied"]) == (2, False)
+    # created key: starts at 0, 0 < 2 -> applied, created flag set
+    assert (res["x"]["old_value"], res["x"]["new_value"], res["x"]["created"]) == (0, 10, True)
+    # response metadata: created keys take SetIfNotExist, existing SetIfExist
+    assert (res["x"]["created_at_us"], res["x"]["created_by"]) == (now, "mk")
+    assert (res["a"]["updated_at_us"], res["a"]["updated_by"]) == (now, "up")
+    assert res["a"]["created_at_us"] is None and res["x"]["updated_by"] is None
+
+    state = {r["key"]: r for r in store.current().collect()}
+    assert state["a"]["val"] == 11 and state["b"]["val"] == 2
+    assert state["x"]["val"] == 10 and state["x"]["expired_at"] is None
+    # persisted stamps: written rows only (created + applied-existing)
+    assert state["x"]["created_by"] == "mk" and state["a"]["updated_by"] == "up"
+    assert state["b"]["updated_by"] is None and state["b"]["updated_at_us"] is None
+    # events: UPDATED for the applied existing row, NEW for the created
+    ev = {(r["key"], r["op"]) for r in store.changes().collect() if r["op"] != "NEW" or r["key"] == "x"}
+    assert ("a", "UPDATED") in ev and ("x", "NEW") in ev
+    assert not any(k == "b" for k, _ in ev if _ == "UPDATED")
+
+
 def test_store_uint32slice_transactions(spark, tmp_path):
     store = TreasureStore(spark, str(tmp_path / "store"))
     store.init(

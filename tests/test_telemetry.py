@@ -47,6 +47,12 @@ def test_listener_records_success_failure_and_scanned_tables(spark, collector):
     oks = [r for r in rows if r["ok"]]
     fails = [r for r in rows if not r["ok"]]
     assert len(oks) >= 2 and len(fails) >= 1
+    # the failure row carries the exception kind + message (reference
+    # telemetry events have ErrorCode/ErrorMsg, telemetry.go:22-23)
+    assert any(
+        r["err_kind"] and "boom" in (r["err_msg"] or "") for r in fails
+    ), [(r["err_kind"], r["err_msg"]) for r in fails]
+    assert all(r["err_kind"] is None and r["err_msg"] is None for r in oks)
     scanned = {t for r in oks for t in r["tables"]}
     assert any("orders" in t for t in scanned), scanned
     assert any("lineitem" in t for t in scanned), scanned
@@ -84,6 +90,55 @@ def test_rollups_mirror_the_four_rpcs(spark, collector):
     assert all(r["min_wall_ms"] <= r["p50_wall_ms"] <= r["max_wall_ms"] for r in hist)
 
 
+def test_top_errors_rollup(spark, collector):
+    """top_errors mirrors telemetry.go:311-326,367: group by
+    kind + 50-char message prefix, first-occurrence display message,
+    last-occurrence timestamp/swamp, top-k by count."""
+    from hydraide_spark.operators.telemetry import top_errors
+
+    for i in range(3):
+        with pytest.raises(Exception):
+            spark.sql(f"SELECT assert_true(false, 'boom {i}')").collect()
+    with pytest.raises(Exception):
+        spark.sql("SELECT raise_error('other failure')").collect()
+    _drain(collector, 4)
+    collector.unregister()
+    out = top_errors(collector.stats(), k=5).collect()
+    assert len(out) >= 1
+    by_count = {r["err_msg"]: r["n_errors"] for r in out}
+    # the three assert_true failures differ within the first 50 chars
+    # ('boom 0/1/2'), so they are distinct error groups of count 1 each
+    assert sum(1 for m in by_count if "boom" in m) == 3
+    assert all(r["last_ts_us"] > 0 for r in out)
+    assert out == sorted(
+        out, key=lambda r: (-r["n_errors"], r["err_kind"], r["err_msg"])
+    )
+
+
+def test_top_errors_groups_by_truncated_key(spark):
+    """Messages identical in their first 50 chars group together; the
+    display message is the FIRST occurrence's 100-char prefix and
+    last_scanned tracks the LAST occurrence (reference semantics)."""
+    from hydraide_spark.operators.telemetry import top_errors
+
+    c = QueryStatsCollector(spark)
+    c.unregister()  # drive the buffer directly
+    base = 10_000_000_000_000
+    long_a = "X" * 50 + " tail one ........................................"
+    long_b = "X" * 50 + " tail two (same 50-char key, different display)"
+    c._append((base + 1, "q", 0.0, False, ["t1"], "SparkException", long_a))
+    c._append((base + 2, "q", 0.0, False, ["t2"], "SparkException", long_b))
+    c._append((base + 3, "q", 0.0, False, ["t3"], "AnalysisException", "nope"))
+    rows = top_errors(c.stats(), k=5).collect()
+    assert len(rows) == 2
+    top = rows[0]
+    assert top["err_kind"] == "SparkException" and top["n_errors"] == 2
+    assert top["err_msg"] == long_a[:100]      # first occurrence, 100-cap
+    assert top["last_ts_us"] == base + 2       # last occurrence
+    assert top["last_scanned"] == "t2"
+    assert rows[1]["err_kind"] == "AnalysisException"
+
+
 def test_unregister_stops_recording(spark):
     c = QueryStatsCollector(spark)
     spark.range(10).count()
@@ -104,7 +159,7 @@ def test_buffer_is_bounded_by_window_and_cap(spark):
     c.unregister()  # exercise the buffer directly, no listener noise
     base = 10_000_000_000_000  # arbitrary epoch µs
     for i in range(200):
-        c._append((base + i * 1_000_000, "op", 1.0, True, []))
+        c._append((base + i * 1_000_000, "op", 1.0, True, [], None, None))
     with c._mu:
         rows = list(c._rows)
     assert len(rows) <= 50  # hard cap
@@ -113,7 +168,7 @@ def test_buffer_is_bounded_by_window_and_cap(spark):
     # sparse traffic: only the window evicts, cap untouched
     c.clear()
     for i in range(10):
-        c._append((base + i * 120 * 1_000_000, "op", 1.0, True, []))
+        c._append((base + i * 120 * 1_000_000, "op", 1.0, True, [], None, None))
     with c._mu:
         rows = list(c._rows)
     assert len(rows) == 1  # each row 2 min apart, 1-min window
@@ -152,11 +207,47 @@ def test_flush_persists_and_rollups_match_buffer(spark, tmp_path):
         }
         assert got == buf_rollups
         # a second flush appends a new batch; the union view sees both
-        c._append((time.time_ns() // 1_000, "extra", 1.0, True, []))
+        c._append((time.time_ns() // 1_000, "extra", 1.0, True, [], None, None))
         assert c.flush() == 1
         assert len(c.persisted_stats().collect()) == n_buffered + 1
     finally:
         c.unregister()
+
+
+def test_streaming_rolling_rates_over_flushed_batches(spark, tmp_path):
+    """SubscribeToTelemetry analogue (proto:566): flushed batch dirs
+    arrive through readStream; the windowed call/error rollup runs as a
+    structured stream and sees batches flushed BEFORE and AFTER the
+    stream starts."""
+    from hydraide_spark.operators.telemetry import streaming_rolling_rates
+
+    c = QueryStatsCollector(spark, table_path=str(tmp_path / "stats"))
+    c.unregister()
+    base = 1_700_000_000_000_000  # stable epoch µs
+    c._append((base + 1_000_000, "op-a", 1.0, True, [], None, None))
+    c._append((base + 2_000_000, "op-b", 0.0, False, [], "SparkException", "x"))
+    assert c.flush() == 2
+    rates = streaming_rolling_rates(c.stats_stream(), window_duration="1 minute")
+    q = (
+        rates.writeStream.format("memory")
+        .queryName("telemetry_rates_out")
+        .outputMode("update")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # a second batch lands while the stream is live
+        c._append((base + 30_000_000, "op-c", 2.0, False, [], "Boom", "y"))
+        assert c.flush() == 1
+        q.processAllAvailable()
+        rows = spark.sql(
+            "SELECT n_calls, n_errors, error_rate FROM telemetry_rates_out"
+        ).collect()
+    finally:
+        q.stop()
+    # update mode re-emits the window as it grows: latest row wins
+    assert any(r["n_calls"] == 3 and r["n_errors"] == 2 for r in rows)
+    assert all(0.0 <= r["error_rate"] <= 1.0 for r in rows)
 
 
 def test_prune_drops_expired_batches(spark, tmp_path):
@@ -166,9 +257,9 @@ def test_prune_drops_expired_batches(spark, tmp_path):
     c.unregister()
     now = time.time_ns() // 1_000
     old = now - 3600 * 1_000_000
-    c._append((old, "old-op", 1.0, True, []))
+    c._append((old, "old-op", 1.0, True, [], None, None))
     assert c.flush() == 1
-    c._append((now, "new-op", 1.0, True, []))
+    c._append((now, "new-op", 1.0, True, [], None, None))
     assert c.flush() == 1
     assert len(c.persisted_stats().collect()) == 2
     assert c.prune(now_us=now) == 1  # the hour-old batch expires
@@ -180,7 +271,7 @@ def test_flush_loop_persists_periodically(spark, tmp_path):
     c = QueryStatsCollector(spark, table_path=str(tmp_path / "stats"))
     c.unregister()
     now = time.time_ns() // 1_000
-    c._append((now, "op-a", 1.0, True, []))
+    c._append((now, "op-a", 1.0, True, [], None, None))
     stop = c.start_flush_loop(interval_sec=0.2)
     try:
         deadline = time.monotonic() + 15
