@@ -397,25 +397,77 @@ class CasLeaseLockManager(FileLeaseLockManager):
                         continue  # freed between open and stat: retry now
                     if age > self._stale:
                         # dead owner: single-winner steal — rename is
-                        # atomic, the losers' rename raises ENOENT
+                        # atomic, the losers' rename raises ENOENT.
+                        # Post-rename age re-check: between our stat and
+                        # rename the dead marker can be released and a
+                        # FRESH owner's marker created; stealing that
+                        # would strip a live owner — put it back if the
+                        # path is still free (create-excl, never a
+                        # clobbering rename-back).
                         stale = f"{self._path}.stale-{uuid.uuid4().hex}"
                         try:
                             os.rename(self._path, stale)
-                            os.unlink(stale)
+                            if time.time() - os.stat(stale).st_mtime > self._stale:
+                                os.unlink(stale)
+                            else:
+                                self._restore(stale)
                         except FileNotFoundError:
                             pass
                         continue
                     time.sleep(self._poll)
 
-        def __exit__(self, *exc):
+        def _restore(self, private_path: str) -> None:
+            """Undo a mistaken rename-away: re-create the shared marker
+            with the displaced owner's content IF the path is still
+            free. If a third process claimed the path meanwhile, the
+            displaced owner is treated as stolen (its release will see
+            a nonce mismatch and leave the thief's marker alone) — the
+            same outcome a legitimate staleness steal produces."""
             import os
 
             try:
+                with open(private_path, "rb") as f:
+                    content = f.read()
+                fd = os.open(
+                    self._path, os.O_CREAT | os.O_EXCL | os.O_WRONLY, 0o644
+                )
+                try:
+                    os.write(fd, content)
+                finally:
+                    os.close(fd)
+            except (FileExistsError, FileNotFoundError):
+                pass
+            finally:
+                try:
+                    os.unlink(private_path)
+                except FileNotFoundError:
+                    pass
+
+        def __exit__(self, *exc):
+            import os
+
+            # Single-winner release (mirrors the steal): read-then-
+            # unlink on the SHARED path is not atomic — between reading
+            # our own nonce and unlinking, a peer can stale-steal the
+            # marker and a new owner can create a fresh one; the unlink
+            # would then delete the NEW owner's marker and let a third
+            # process into the critical section. Instead: check
+            # ownership, then rename to a private name (atomic; raises
+            # ENOENT if already stolen), re-verify the nonce on the
+            # renamed file, and only then unlink. A mismatch after the
+            # rename (we displaced a brand-new owner in the microsecond
+            # window) is undone via create-excl restore.
+            try:
                 with open(self._path) as f:
+                    if f.read() != self._nonce:
+                        return False  # stolen: the thief owns the marker
+                rel = f"{self._path}.rel-{self._nonce}"
+                os.rename(self._path, rel)
+                with open(rel) as f:
                     if f.read() == self._nonce:
-                        os.unlink(self._path)
-                # else: we were (wrongly presumed dead and) stolen —
-                # the marker now belongs to the thief, leave it
+                        os.unlink(rel)
+                    else:
+                        self._restore(rel)
             except FileNotFoundError:
                 pass
             return False

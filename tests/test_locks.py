@@ -340,3 +340,39 @@ def test_cas_mutex_steal_after_crash(tmp_path):
     assert os.path.exists(marker)
     assert open(marker).read() == "current-owner-nonce"
     os.unlink(marker)
+
+
+def test_cas_mutex_restore_undoes_mistaken_displacement(tmp_path):
+    """Release is single-winner: if the rename-away displaced a marker
+    that turned out to belong to someone else (the microsecond
+    steal+reacquire race), _restore puts it back via create-excl — and
+    never clobbers a third process's marker that appeared meanwhile."""
+    import os
+
+    from hydraide_spark.operators.locks import CasLeaseLockManager
+
+    root = str(tmp_path / "locks")
+    os.makedirs(root, exist_ok=True)
+    lm = CasLeaseLockManager(root, mutex_stale_sec=0.3)
+    mu, _, _ = lm._paths("k")
+    marker = mu + ".cas"
+    m = lm._CasMutex(marker, stale_sec=0.3)
+
+    # path free: displaced owner's content is restored to the shared path
+    private = marker + ".rel-test"
+    with open(private, "w") as f:
+        f.write("displaced-owner-nonce")
+    m._restore(private)
+    assert open(marker).read() == "displaced-owner-nonce"
+    assert not os.path.exists(private)
+    os.unlink(marker)
+
+    # path taken by a third process: restore must NOT clobber it
+    with open(marker, "w") as f:
+        f.write("third-proc-nonce")
+    with open(private, "w") as f:
+        f.write("displaced-owner-nonce")
+    m._restore(private)
+    assert open(marker).read() == "third-proc-nonce"
+    assert not os.path.exists(private)  # private file cleaned up
+    os.unlink(marker)

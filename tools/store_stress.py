@@ -43,7 +43,11 @@ sys.path.insert(0, _REPO)
 from pyspark.sql import functions as F  # noqa: E402
 
 from hydraide_spark.operators.claims import Cap  # noqa: E402
-from hydraide_spark.operators.mutate import IncrementMeta, PatchKind, PatchOp  # noqa: E402
+from hydraide_spark.operators.mutate import (  # noqa: E402
+    IncrementMeta,
+    PatchKind,
+    PatchOp,
+)
 from hydraide_spark.query import Cmp, Op  # noqa: E402
 from hydraide_spark.query.index import Index, IndexOrder, IndexType  # noqa: E402
 from hydraide_spark.session import get_spark  # noqa: E402
@@ -63,6 +67,7 @@ def base_frame(spark, n: int):
             F.col("id") % 2 == 0,
             F.timestamp_seconds(F.lit(1_700_000_000) + F.col("id") % 3600),
         ).alias("expired_at"),
+        F.struct((F.col("id") % 100).alias("n")).alias("body"),
     )
 
 
@@ -93,12 +98,14 @@ def run_ops(spark, store: TreasureStore, n: int) -> dict[str, float]:
         (F.col("id") % 997).alias("val"),
         (F.col("id") % 10).alias("prio"),
         F.lit(None).cast("timestamp").alias("expired_at"),
+        F.struct((F.col("id") % 100).alias("n")).alias("body"),
     ).unionByName(
         spark.range(n // 100).select(
             F.format_string("new%012d", F.col("id")).alias("key"),
             F.lit(0).cast("long").alias("val"),
             F.lit(0).cast("long").alias("prio"),
             F.lit(None).cast("timestamp").alias("expired_at"),
+            F.struct((F.col("id") % 100).alias("n")).alias("body"),
         )
     )
     t["store_set_bulk10pct"] = timed(lambda: store.set(updates))
@@ -121,7 +128,10 @@ def run_ops(spark, store: TreasureStore, n: int) -> dict[str, float]:
     idx = Index(index_type=IndexType.KEY, order=IndexOrder.ASC)
     t["store_shift_matching_1k"] = timed(
         lambda: store.shift_matching(
-            idx, Cmp("prio", Op.GE, 5), how_many=1000, cap=Cap(10_000)
+            idx,
+            Cmp("prio", Op.GE, 5),
+            how_many=1000,
+            cap=Cap(Cmp("prio", Op.GE, 0), 10_000_000),
         )
     )
     t["store_patch_expired_1k"] = timed(
@@ -129,7 +139,7 @@ def run_ops(spark, store: TreasureStore, n: int) -> dict[str, float]:
             datetime(2023, 11, 15),
             1000,
             lease=timedelta(minutes=15),
-            ops=[PatchOp(PatchKind.INC, "val", 1)],
+            ops=[PatchOp(PatchKind.INC, "n", 1)],
         )
     )
     t["store_compact"] = timed(lambda: store.compact())
