@@ -440,3 +440,124 @@ def tpch_q22_idle_balance_by_nation(spark, sf_dir):
             "numcust", "totacctbal",
         )
     )
+
+
+@golden(
+    "tpch_q12_priority_shipment_classes",
+    oracle="""
+    SELECT l.l_returnflag,
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+    FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1996-01-01 00:00:00'
+    GROUP BY l.l_returnflag
+    """,
+)
+def tpch_q12_priority_shipment_classes(spark, sf_dir):
+    """TPC-H Q12 shape — shipping-mode priority split: one
+    orders ⋈ lineitem equi-join feeding two CONDITIONAL counts per
+    group (the CASE-in-SUM pattern). The schema lacks l_shipmode /
+    l_commitdate / l_receiptdate, so the group key is l_returnflag and
+    the year window sits on l_shipdate; the operator payload — a
+    map-side-combinable conditional aggregate over a join, no second
+    pass per class — is unchanged. The date window pushes into the
+    lineitem scan; the join shuffles on orderkey with partial
+    aggregation above it."""
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1995-01-01"))
+        & (F.col("l_shipdate") < F.lit("1996-01-01"))
+    )
+    o = t(spark, sf_dir, "orders")
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            big(F.sum(F.when(hi, 1).otherwise(0))).alias("high_line_count"),
+            big(F.sum(F.when(hi, 0).otherwise(1))).alias("low_line_count"),
+        )
+    )
+
+
+@golden(
+    "tpch_q21_waiting_supplier_blame",
+    oracle="""
+    SELECT s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM supplier s
+      JOIN nation n ON n.n_nationkey = s.s_nationkey AND n.n_name = 'NATION_3'
+      JOIN orders o ON o.o_orderstatus = 'F'
+      JOIN lineitem l1 ON l1.l_orderkey = o.o_orderkey
+                      AND l1.l_suppkey = s.s_suppkey
+                      AND l1.l_shipdate > o.o_orderdate
+    WHERE EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey
+          AND l2.l_suppkey <> l1.l_suppkey
+      )
+      AND NOT EXISTS (
+        SELECT 1 FROM lineitem l3
+        WHERE l3.l_orderkey = l1.l_orderkey
+          AND l3.l_suppkey <> l1.l_suppkey
+          AND l3.l_shipdate > o.o_orderdate
+      )
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s.s_name ASC
+    LIMIT 10
+    """,
+)
+def tpch_q21_waiting_supplier_blame(spark, sf_dir):
+    """TPC-H Q21 shape — suppliers who kept orders waiting: the
+    hardest relational shape in the suite, a SEMI join AND an ANTI
+    join of lineitem against ITSELF per candidate line ("another
+    supplier participated" / "no other supplier was late"). Late-ness
+    is re-anchored on l_shipdate > o_orderdate (no l_receiptdate /
+    l_commitdate in this schema), exactly like tpch_q4. Plan shape:
+    the candidate side (one nation's suppliers' late lines on
+    finished orders) is narrow; both self-joins are equi-joins on
+    l_orderkey with the inequality as residual — lineitem never
+    cross-joins and is scanned once per side with orderkey shuffle
+    reuse."""
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    li = t(spark, sf_dir, "lineitem")
+
+    l1 = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .filter(F.col("l_shipdate") > F.col("o_orderdate"))
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(n, s.s_nationkey == n.n_nationkey)
+        .select("l_orderkey", "l_suppkey", "o_orderdate", "s_name")
+    )
+    l2 = li.select(
+        F.col("l_orderkey").alias("o2"), F.col("l_suppkey").alias("sp2")
+    )
+    l3 = li.select(
+        F.col("l_orderkey").alias("o3"),
+        F.col("l_suppkey").alias("sp3"),
+        F.col("l_shipdate").alias("ship3"),
+    )
+    waited = (
+        l1.join(
+            l2,
+            (F.col("l_orderkey") == F.col("o2"))
+            & (F.col("l_suppkey") != F.col("sp2")),
+            "left_semi",
+        )
+        .join(
+            l3,
+            (F.col("l_orderkey") == F.col("o3"))
+            & (F.col("l_suppkey") != F.col("sp3"))
+            & (F.col("ship3") > F.col("o_orderdate")),
+            "left_anti",
+        )
+    )
+    return (
+        waited.groupBy("s_name")
+        .agg(big(F.count(F.lit(1))).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_name").asc())
+        .limit(10)
+    )

