@@ -464,6 +464,22 @@ def test_tpch_q22_anti_join_and_projected_probe(spark):
     assert "ReadSchema: struct<o_custkey:bigint" in exp or "o_custkey" in exp
 
 
+def test_tpch_q21_double_self_correlation_joins(spark):
+    """Q21's EXISTS and NOT EXISTS against lineitem itself must plan
+    as one LeftSemi and one LeftAnti equi-join on the order key (the
+    inequality rides as a residual condition) — never a cartesian or a
+    re-aggregation of lineitem."""
+    from hydraide_spark.golden import queries
+    from hydraide_spark.plans import physical_plan
+
+    df = queries()["tpch_q21_waiting_supplier_blame"](
+        spark, "/root/testdata/sf0.001"
+    )
+    p = physical_plan(df)
+    assert "LeftSemi" in p and "LeftAnti" in p
+    assert "CartesianProduct" not in p
+
+
 def test_no_cartesian_product_in_any_golden_plan(spark):
     """Global anti-pattern sweep: EVERY registered golden query's
     physical plan is free of CartesianProduct — the one join strategy

@@ -270,6 +270,30 @@ def test_streaming_rolling_rates_over_flushed_batches(spark, tmp_path):
     assert all(0.0 <= r["error_rate"] <= 1.0 for r in rows)
 
 
+def test_stats_stream_errors_only_flag(spark, tmp_path):
+    """ErrorsOnly subscription (telemetry.go:54): the stream surfaces
+    only failed-query rows."""
+    c = QueryStatsCollector(spark, table_path=str(tmp_path / "stats"))
+    c.unregister()
+    base = 1_700_000_000_000_000
+    c._append((base + 1, "ok-op", 1.0, True, [], None, None))
+    c._append((base + 2, "bad-op", 0.0, False, [], "Boom", "x"))
+    assert c.flush() == 2
+    q = (
+        c.stats_stream(errors_only=True)
+        .writeStream.format("memory")
+        .queryName("errs_only_out")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = spark.sql("SELECT op, err_kind FROM errs_only_out").collect()
+    finally:
+        q.stop()
+    assert [(r["op"], r["err_kind"]) for r in rows] == [("bad-op", "Boom")]
+
+
 def test_prune_drops_expired_batches(spark, tmp_path):
     c = QueryStatsCollector(
         spark, window_sec=60, table_path=str(tmp_path / "stats")
