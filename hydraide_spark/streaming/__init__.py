@@ -1,3 +1,4 @@
+from .dedup_stream import ingested_pairs, run_neardup_ingest_loop
 from .rollup import rollup_batch, run_rollup_maintenance_loop
 from .subscribe import (
     subscribe,
@@ -11,6 +12,8 @@ from .subscribe import (
 )
 
 __all__ = [
+    "ingested_pairs",
+    "run_neardup_ingest_loop",
     "rollup_batch",
     "run_rollup_maintenance_loop",
     "subscribe",

@@ -483,6 +483,61 @@ def test_streaming_exact_dedup_bounded_state(spark, tmp_path):
     assert fps == ["A", "B", "C"]  # the second A was suppressed
 
 
+def test_neardup_ingest_loop_converges_to_batch(spark, tmp_path):
+    """The streaming per-ingest near-dup (persisted banded index +
+    shingle table, delta-probes-index per micro-batch) must produce
+    EXACTLY the batch pipeline's pair set once all docs have streamed —
+    the incremental ≡ batch route-equivalence, now across the persisted
+    state boundary. Docs arrive in 3 micro-batches with near-dup pairs
+    WITHIN a batch, ACROSS adjacent batches, and across the full span."""
+    from hydraide_spark.functions.dedup import minhash_neardup_pairs
+    from hydraide_spark.streaming import ingested_pairs, run_neardup_ingest_loop
+
+    base_a = "the quick brown fox jumps over the lazy dog again and again"
+    base_b = "completely different words live in this other document body"
+    batches = [
+        [(1, base_a), (2, base_a + " ok"), (3, "unique one two three four")],
+        [(4, base_a), (5, base_b), (6, "another singleton text here now")],
+        [(7, base_b + " extra"), (8, base_a + " ok"), (9, base_b)],
+    ]
+    src = tmp_path / "docs_in"
+    src.mkdir()
+    schema = "doc_id long, text string"
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            str(src / f"b{i}")
+        )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    state = str(tmp_path / "neardup_state")
+    q = run_neardup_ingest_loop(spark, stream, state, tau=0.6)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    streamed = {
+        (r["id_a"], r["id_b"], r["inter"], r["union"])
+        for r in ingested_pairs(spark, state).collect()
+    }
+    full = spark.createDataFrame(
+        [r for b in batches for r in b], schema
+    )
+    batch_pairs = {
+        (r["id_a"], r["id_b"], r["inter"], r["union"])
+        for r in minhash_neardup_pairs(full, tau=0.6, n=3, k=16, bands=4).collect()
+    }
+    assert streamed == batch_pairs
+    # sanity: cross-batch pairs were actually exercised
+    cross = {(a, b) for a, b, _, _ in streamed if (a <= 3) != (b <= 3)}
+    assert cross, "test corpus produced no cross-batch pair"
+    # no duplicate discoveries across batches
+    rows = ingested_pairs(spark, state).collect()
+    assert len(rows) == len({(r["id_a"], r["id_b"]) for r in rows})
+
+
 def test_index_maintenance_loop_incremental_postings(spark, tmp_path):
     """Streaming reverse-index maintenance: per-batch merges converge to
     the same posting lists a full batch build produces, with Uint32Slice
