@@ -129,6 +129,7 @@ HEADLINE = [
     "patch_expired_lease",
     "dedup_exact",
     "ngram_jaccard_neardup",
+    "ngram_jaccard_collapsed",
     "neardup_clusters",
     "neardup_clusters_prop",
     "pagerank_citation_graph",

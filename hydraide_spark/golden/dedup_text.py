@@ -130,6 +130,70 @@ def ngram_jaccard_neardup(spark, sf_dir):
     )
 
 
+@golden(
+    "ngram_jaccard_collapsed",
+    oracle=f"""
+    WITH corpus AS ({_CORPUS_SQL}),
+    sh AS (
+      SELECT doc_id, list_distinct(list(array_to_string(w[i:i+2], ' '))) AS sh
+      FROM (
+        SELECT doc_id, w, unnest(range(1, len(w) - 1)) AS i
+        FROM (SELECT doc_id, string_split(text, ' ') AS w FROM corpus)
+        WHERE len(w) >= 3
+      )
+      GROUP BY doc_id
+    ),
+    keyed AS (
+      SELECT doc_id, sh, len(sh) AS n_sh, list_sort(sh) AS skey
+      FROM sh WHERE len(sh) > 0
+    ),
+    reps AS (SELECT skey, MIN(doc_id) AS rep FROM keyed GROUP BY skey),
+    star AS (
+      SELECT CAST(r.rep AS BIGINT) AS id_a, CAST(k.doc_id AS BIGINT) AS id_b,
+             CAST(k.n_sh AS BIGINT) AS inter, CAST(k.n_sh AS BIGINT) AS "union"
+      FROM keyed k JOIN reps r ON k.skey = r.skey
+      WHERE k.doc_id <> r.rep
+    ),
+    dist AS (SELECT k.* FROM keyed k JOIN reps r ON k.doc_id = r.rep),
+    inv AS (SELECT doc_id, unnest(sh) AS shingle FROM dist),
+    cand AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+      FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT CAST(cand.id_a AS BIGINT) AS id_a, CAST(cand.id_b AS BIGINT) AS id_b,
+             CAST(inter AS BIGINT) AS inter,
+             CAST(sa.n_sh + sb.n_sh - inter AS BIGINT) AS "union"
+      FROM cand JOIN dist sa ON cand.id_a = sa.doc_id
+                JOIN dist sb ON cand.id_b = sb.doc_id
+      WHERE 5 * inter >= 3 * (sa.n_sh + sb.n_sh - inter)
+    )
+    SELECT * FROM pairs UNION ALL SELECT * FROM star
+    """,
+)
+def ngram_jaccard_collapsed(spark, sf_dir):
+    """The PRODUCTION collapse path of ngram Jaccard near-dup
+    (functions/dedup.py::ngram_jaccard_pairs collapse_exact=True, the
+    r6 web-crawl scale fix): identical shingle SETS collapse to a
+    min-id representative BEFORE the prefix index — exact-dup families
+    become star edges (inter=union=|set|), the quadratic within-family
+    enumeration never happens, and empty sets are excluded (the r7
+    short-doc fix). The oracle replays the whole pipeline, grouping
+    families by the sorted shingle LIST itself — digest-free, so the
+    engine's md5 family key is checked by its semantics (same
+    equivalence classes), not its bytes. Augmented corpus: same
+    exact-copy + truncated + re-copy mix as ngram_jaccard_neardup."""
+    corpus = _augmented_corpus(spark, sf_dir)
+    out = ngram_jaccard_pairs(corpus, tau=0.6, n=3, collapse_exact=True)
+    return out.select(
+        big("id_a").alias("id_a"),
+        big("id_b").alias("id_b"),
+        big("inter").alias("inter"),
+        big("union").alias("union"),
+    )
+
+
 @golden("minhash_lsh_neardup")  # LSH recall is probabilistic -> rows-only
 def minhash_lsh_neardup(spark, sf_dir):
     """MinHash+LSH near-dup (k=16, 4 bands, tau=0.6): band-bucket
