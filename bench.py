@@ -135,6 +135,7 @@ HEADLINE = [
     "pagerank_citation_graph",
     "minhash_lsh_neardup",
     "minhash_lsh_neardup_stable",
+    "minhash_collapsed_stable",
     "minhash_incremental_neardup",
     "fuzzy_record_linkage",
     "simhash_neardup",

@@ -1607,6 +1607,81 @@ def minhash_lsh_neardup_stable(spark, sf_dir):
 
 
 @golden(
+    "minhash_collapsed_stable",
+    oracle=f"""
+    WITH corpus AS ({_CORPUS_SQL}),
+    sh0 AS (
+      SELECT doc_id, list_distinct(list(array_to_string(w[i:i+2], ' '))) AS sh
+      FROM (
+        SELECT doc_id, w, unnest(range(1, len(w) - 1)) AS i
+        FROM (SELECT doc_id, string_split(text, ' ') AS w FROM corpus)
+        WHERE len(w) >= 3
+      )
+      GROUP BY doc_id
+    ),
+    keyed AS (
+      SELECT doc_id, sh, len(sh) AS n_sh, list_sort(sh) AS skey
+      FROM sh0 WHERE len(sh) > 0
+    ),
+    reps AS (SELECT skey, MIN(doc_id) AS rep FROM keyed GROUP BY skey),
+    star AS (
+      SELECT CAST(r.rep AS BIGINT) AS id_a, CAST(k.doc_id AS BIGINT) AS id_b,
+             CAST(k.n_sh AS BIGINT) AS inter, CAST(k.n_sh AS BIGINT) AS "union"
+      FROM keyed k JOIN reps r ON k.skey = r.skey
+      WHERE k.doc_id <> r.rep
+    ),
+    sh AS (SELECT k.doc_id, k.sh FROM keyed k JOIN reps r ON k.doc_id = r.rep),
+    sig AS (
+      SELECT doc_id, sh,
+             {_MH_COLS}
+      FROM sh
+    ),
+    banded AS (
+      {_BAND_ROWS}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM banded a JOIN banded b
+        ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, sh, len(sh) AS n_sh FROM sh),
+    pairs AS (
+      SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+             CAST(len(list_intersect(sa.sh, sb.sh)) AS BIGINT) AS inter,
+             CAST(sa.n_sh + sb.n_sh - len(list_intersect(sa.sh, sb.sh)) AS BIGINT)
+               AS "union"
+      FROM cand JOIN sizes sa ON cand.id_a = sa.doc_id
+                JOIN sizes sb ON cand.id_b = sb.doc_id
+      WHERE 5 * len(list_intersect(sa.sh, sb.sh))
+            >= 3 * (sa.n_sh + sb.n_sh - len(list_intersect(sa.sh, sb.sh)))
+    )
+    SELECT * FROM pairs UNION ALL SELECT * FROM star
+    """,
+)
+def minhash_collapsed_stable(spark, sf_dir):
+    """The PRODUCTION collapse path of MinHash+LSH (collapse_exact at
+    the shingle-SET level — sound where signature-level collapse would
+    not be) in engine-stable md5 mode, fully SQL-replayed: families
+    grouped by the sorted shingle LIST (digest-free — the engine's
+    narrow md5 set-digest shuffle is checked by its semantics), min-id
+    reps, star edges, then the complete 16-hash/4-band/verify pipeline
+    over DISTINCT sets only. Completes the oracle coverage of every
+    r6/r7 collapse fix: ngram (ngram_jaccard_collapsed), SimHash
+    (simhash_collapsed_stable), and now MinHash."""
+    corpus = _augmented_corpus(spark, sf_dir)
+    out = minhash_neardup_pairs(
+        corpus, tau=0.6, n=3, k=16, bands=4,
+        engine_stable=True, collapse_exact=True,
+    )
+    return out.select(
+        big("id_a").alias("id_a"),
+        big("id_b").alias("id_b"),
+        big("inter").alias("inter"),
+        big("union").alias("union"),
+    )
+
+
+@golden(
     "simhash_neardup_stable",
     oracle=f"""
     WITH corpus AS ({_CORPUS_SQL}),
