@@ -202,9 +202,14 @@ def ngram_jaccard_pairs(
                 F.col("n_sh").alias("union"),
             )
         )
+        # persist the REP-ONLY frame: the prefix index needs it for the
+        # df aggregate, the ranked window, BOTH self-join sides, and
+        # both verification sides — without a cache boundary each leg
+        # re-runs the family semi-join (measured: 6.0 s vs 0.4 s for
+        # the non-collapsed path at sf0.1, all of it recompute)
         sizes = sizes.join(
             fam.select(F.col("_rep").alias(id_col)), id_col, "left_semi"
-        )
+        ).persist()
     cand = _pair_jaccard_candidates(sizes, id_col, "sh", num, den)
     pa = sizes.select(
         F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"), F.col("n_sh").alias("n_a")
@@ -329,10 +334,13 @@ def minhash_neardup_pairs(
         )
         # representatives keep their (unsorted) shingle arrays via a
         # narrow id semi-join — min-hash and array_intersect are
-        # order-blind, so the original order is fine downstream
+        # order-blind, so the original order is fine downstream.
+        # Persisted: the signature pass and both verify sides each
+        # re-run the semi-join otherwise (same recompute trap as the
+        # ngram collapse path)
         sh = sh.join(
             fam.select(F.col("_rep").alias(id_col)), id_col, "left_semi"
-        )
+        ).persist()
     sig = sh.select(
         F.col(id_col),
         *minhash_signature(F.col("sh"), k, engine_stable=engine_stable),
