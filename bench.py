@@ -130,6 +130,7 @@ HEADLINE = [
     "dedup_exact",
     "ngram_jaccard_neardup",
     "ngram_jaccard_collapsed",
+    "ngram_jaccard_auto",
     "neardup_clusters",
     "neardup_clusters_prop",
     "pagerank_citation_graph",

@@ -1607,6 +1607,70 @@ def minhash_lsh_neardup_stable(spark, sf_dir):
 
 
 @golden(
+    "ngram_jaccard_auto",
+    oracle=f"""
+    WITH corpus AS ({_CORPUS_SQL}),
+    params AS (
+      SELECT CASE WHEN vocab < 2 OR total <= 4 THEN 3
+             ELSE GREATEST(3, LEAST(8,
+               CAST(CEIL(LN(CAST(total AS DOUBLE) / 4)
+                         / LN(CAST(vocab AS DOUBLE))) AS INTEGER)))
+             END AS n
+      FROM (SELECT COUNT(*) AS total, COUNT(DISTINCT t) AS vocab
+            FROM (SELECT unnest(string_split(text, ' ')) AS t FROM corpus))
+    ),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(list(
+               array_to_string(w[i:i + (SELECT n FROM params) - 1], ' ')
+             )) AS sh
+      FROM (
+        SELECT doc_id, w,
+               unnest(range(1, len(w) - (SELECT n FROM params) + 2)) AS i
+        FROM (SELECT doc_id, string_split(text, ' ') AS w FROM corpus)
+        WHERE len(w) >= (SELECT n FROM params)
+      )
+      GROUP BY doc_id
+    ),
+    inv AS (SELECT doc_id, unnest(sh) AS shingle FROM sh),
+    cand AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+      FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    sizes AS (SELECT doc_id, len(sh) AS n_sh FROM sh)
+    SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+           CAST(inter AS BIGINT) AS inter,
+           CAST(sa.n_sh + sb.n_sh - inter AS BIGINT) AS "union"
+    FROM cand JOIN sizes sa ON cand.id_a = sa.doc_id
+              JOIN sizes sb ON cand.id_b = sb.doc_id
+    WHERE 5 * inter >= 3 * (sa.n_sh + sb.n_sh - inter)
+    """,
+)
+def ngram_jaccard_auto(spark, sf_dir):
+    """The corpus-scaled AUTO shingle length in the exact-Jaccard
+    pipeline (functions/dedup.py::auto_shingle_n — the r6 scale fix
+    for low-diversity corpora where fixed n lets shingle document
+    frequency grow with the corpus): one token-statistics aggregate
+    picks n = clamp(ceil(ln(total/4)/ln(vocab)), 3, 8), and the oracle
+    REPLAYS the formula (same libm ln/ceil on this container; cross-
+    engine agreement asserted at all three sf — the synthetic corpus'
+    31-word vocabulary selects n=3 at sf0.001/0.01 and n=4 at sf0.1,
+    so the sf0.1 gate genuinely exercises a non-default n) and then
+    builds n-length shingles with a dynamic slice. Completes oracle
+    coverage of the auto paths: auto-bits kNN, auto-k IVF, auto-block
+    embedding (r6) and now auto-n text."""
+    corpus = _augmented_corpus(spark, sf_dir)
+    out = ngram_jaccard_pairs(corpus, tau=0.6, n="auto")
+    return out.select(
+        big("id_a").alias("id_a"),
+        big("id_b").alias("id_b"),
+        big("inter").alias("inter"),
+        big("union").alias("union"),
+    )
+
+
+@golden(
     "minhash_collapsed_stable",
     oracle=f"""
     WITH corpus AS ({_CORPUS_SQL}),
