@@ -82,6 +82,8 @@ HEADLINE = [
     "tpch_q17_small_quantity_revenue",
     "tpch_q19_disjunctive_revenue",
     "tpch_q22_idle_balance_by_nation",
+    "tpch_q12_priority_shipment_classes",
+    "tpch_q21_waiting_supplier_blame",
     "relational_set_ops",
     "cube_pricing_matrix",
     "unpivot_lineitem_measures",
@@ -131,6 +133,7 @@ HEADLINE = [
     "ngram_jaccard_neardup",
     "ngram_jaccard_collapsed",
     "ngram_jaccard_auto",
+    "ngram_jaccard_auto_collapsed",
     "neardup_clusters",
     "neardup_clusters_prop",
     "pagerank_citation_graph",

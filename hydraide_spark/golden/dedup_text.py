@@ -1671,6 +1671,80 @@ def ngram_jaccard_auto(spark, sf_dir):
 
 
 @golden(
+    "ngram_jaccard_auto_collapsed",
+    oracle=f"""
+    WITH corpus AS ({_CORPUS_SQL}),
+    params AS (
+      SELECT CASE WHEN vocab < 2 OR total <= 4 THEN 3
+             ELSE GREATEST(3, LEAST(8,
+               CAST(CEIL(LN(CAST(total AS DOUBLE) / 4)
+                         / LN(CAST(vocab AS DOUBLE))) AS INTEGER)))
+             END AS n
+      FROM (SELECT COUNT(*) AS total, COUNT(DISTINCT t) AS vocab
+            FROM (SELECT unnest(string_split(text, ' ')) AS t FROM corpus))
+    ),
+    sh0 AS (
+      SELECT doc_id,
+             list_distinct(list(
+               array_to_string(w[i:i + (SELECT n FROM params) - 1], ' ')
+             )) AS sh
+      FROM (
+        SELECT doc_id, w,
+               unnest(range(1, len(w) - (SELECT n FROM params) + 2)) AS i
+        FROM (SELECT doc_id, string_split(text, ' ') AS w FROM corpus)
+        WHERE len(w) >= (SELECT n FROM params)
+      )
+      GROUP BY doc_id
+    ),
+    keyed AS (
+      SELECT doc_id, sh, len(sh) AS n_sh, list_sort(sh) AS skey
+      FROM sh0 WHERE len(sh) > 0
+    ),
+    reps AS (SELECT skey, MIN(doc_id) AS rep FROM keyed GROUP BY skey),
+    star AS (
+      SELECT CAST(r.rep AS BIGINT) AS id_a, CAST(k.doc_id AS BIGINT) AS id_b,
+             CAST(k.n_sh AS BIGINT) AS inter, CAST(k.n_sh AS BIGINT) AS "union"
+      FROM keyed k JOIN reps r ON k.skey = r.skey
+      WHERE k.doc_id <> r.rep
+    ),
+    dist AS (SELECT k.* FROM keyed k JOIN reps r ON k.doc_id = r.rep),
+    inv AS (SELECT doc_id, unnest(sh) AS shingle FROM dist),
+    cand AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+      FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT CAST(cand.id_a AS BIGINT) AS id_a, CAST(cand.id_b AS BIGINT) AS id_b,
+             CAST(inter AS BIGINT) AS inter,
+             CAST(sa.n_sh + sb.n_sh - inter AS BIGINT) AS "union"
+      FROM cand JOIN dist sa ON cand.id_a = sa.doc_id
+                JOIN dist sb ON cand.id_b = sb.doc_id
+      WHERE 5 * inter >= 3 * (sa.n_sh + sb.n_sh - inter)
+    )
+    SELECT * FROM pairs UNION ALL SELECT * FROM star
+    """,
+)
+def ngram_jaccard_auto_collapsed(spark, sf_dir):
+    """The FULL production call of text near-dup — corpus-scaled auto
+    shingle length AND exact-duplicate family collapse together (the
+    exact pipeline the x100 scale stress measures,
+    tools/text_stress100.py): one oracle replays auto_shingle_n's
+    formula, dynamic-length shingles, digest-free family grouping,
+    star edges, and the rep-only pair pipeline end-to-end. The two
+    pieces are also separately oracle-gated (ngram_jaccard_auto,
+    ngram_jaccard_collapsed); this pins their COMPOSITION."""
+    corpus = _augmented_corpus(spark, sf_dir)
+    out = ngram_jaccard_pairs(corpus, tau=0.6, n="auto", collapse_exact=True)
+    return out.select(
+        big("id_a").alias("id_a"),
+        big("id_b").alias("id_b"),
+        big("inter").alias("inter"),
+        big("union").alias("union"),
+    )
+
+
+@golden(
     "minhash_collapsed_stable",
     oracle=f"""
     WITH corpus AS ({_CORPUS_SQL}),
