@@ -403,7 +403,16 @@ class CasLeaseLockManager(FileLeaseLockManager):
                         # FRESH owner's marker created; stealing that
                         # would strip a live owner — put it back if the
                         # path is still free (create-excl, never a
-                        # clobbering rename-back).
+                        # clobbering rename-back). Residual window, by
+                        # design: if a third waiter creates its marker
+                        # between our rename and the restore, the
+                        # displaced fresh owner stays displaced (same
+                        # outcome as a legitimate staleness steal — its
+                        # release sees the mismatch and leaves the new
+                        # marker alone). File primitives can narrow but
+                        # not close this; closing it needs a compare-
+                        # and-swap store (the CasLeaseLockManager
+                        # docstring's conditional-put mapping).
                         stale = f"{self._path}.stale-{uuid.uuid4().hex}"
                         try:
                             os.rename(self._path, stale)

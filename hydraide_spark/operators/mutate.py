@@ -181,33 +181,41 @@ def increment(
     work = base
     created = F.lit(False)
     if keys is not None:
-        kdf = base.sparkSession.createDataFrame(
-            [(k,) for k in keys], f"{key_col} string"
-        )
+        # requested keys are a SET (duplicates would double result rows
+        # and, through the store path, duplicate persisted key rows)
+        keys = list(dict.fromkeys(keys))
+        spark = base.sparkSession
+        kdf = spark.createDataFrame([(k,) for k in keys], f"{key_col} string")
         # Scale shape: the key list is a driver-side argument (small by
-        # contract), so BOTH joins broadcast it and the base scans ONCE
-        # with no shuffle — a keys-left outer join would instead shuffle
-        # the full base on the key. Membership (not value-nullness)
-        # decides `created`: an existing key whose value is NULL is not
-        # created, it just can't be incremented (applied=False).
-        dtype = dict(base.dtypes)[value_col]
-        hits = (
-            base.join(F.broadcast(kdf), key_col, "inner")
-            .select(key_col, value_col)
-            .persist()
+        # contract), so the probe is a broadcast semi-join and the
+        # created-key set is resolved with ONE bounded collect
+        # (<= len(keys) rows) — a keys-left outer join would instead
+        # shuffle the full base on the key, and caching the hit frame
+        # would pin an entry in the CacheManager for the driver's
+        # lifetime. Cost: the key column is scanned twice (probe +
+        # action), both times with the key filter pushed down.
+        hits = base.join(F.broadcast(kdf), key_col, "left_semi")
+        hit_keys = {
+            r[0] for r in hits.select(key_col).collect()
+        }  # bounded by len(keys)
+        created_keys = [k for k in keys if k not in hit_keys]
+        # created rows carry the FULL base schema (typed nulls except
+        # the value, which starts at 0 — swamp.go:1292 Void -> 0), so
+        # conditions referencing any base column still resolve.
+        # Membership (not value-nullness) decides `created`: an
+        # existing key whose value is NULL is not created, it just
+        # can't be incremented (applied=False).
+        miss = spark.createDataFrame(
+            [(k,) for k in created_keys], f"{key_col} string"
         )
-        miss = kdf.join(
-            F.broadcast(hits.select(key_col)), key_col, "left_anti"
-        )
-        work = (
-            hits.withColumn("_created", F.lit(False))
-            .unionByName(
-                miss.select(
-                    F.col(key_col),
-                    F.lit(0).cast(dtype).alias(value_col),
-                    F.lit(True).alias("_created"),
+        for c, t in base.dtypes:
+            if c != key_col:
+                miss = miss.withColumn(
+                    c,
+                    F.lit(0).cast(t) if c == value_col else F.lit(None).cast(t),
                 )
-            )
+        work = hits.withColumn("_created", F.lit(False)).unionByName(
+            miss.withColumn("_created", F.lit(True))
         )
         created = F.col("_created")
     cond = translate(condition, work) if condition is not None else F.lit(True)

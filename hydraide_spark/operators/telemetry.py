@@ -32,6 +32,19 @@ _SCAN_RE = re.compile(r"FileScan \w+ \S*\[?([^\[\]\n ]*)")
 _LOCATION_RE = re.compile(r"Location: \w+\([0-9]* paths\)?\[([^\]]*)\]")
 
 
+def _path_marker(path: str) -> str:
+    """The form of ``path`` that executed-plan strings render: scheme
+    URIs pass through; local paths become ``file:`` + abspath. The
+    trailing separator makes the substring test match only the table's
+    own children (batch dirs), never sibling directories that share the
+    prefix."""
+    if "://" in path:
+        return path.rstrip("/") + "/"
+    import os
+
+    return "file:" + os.path.abspath(path) + "/"
+
+
 def _exception_details(exception) -> tuple[str, str]:
     """Error kind + message from the JVM throwable the listener hands
     ``onFailure`` (reference: every telemetry event carries ErrorCode /
@@ -85,6 +98,7 @@ class QueryStatsCollector:
         self._window_us = int(window_sec) * 1_000_000
         self._max_rows = int(max_rows)
         self._table_path = table_path
+        self._table_marker = _path_marker(table_path) if table_path else None
         ensure_callback_server_started(spark.sparkContext._gateway)
         self._active = True
         spark._jsparkSession.listenerManager().register(self)
@@ -130,7 +144,11 @@ class QueryStatsCollector:
         # flush's own write (its onSuccess may land after any reset).
         # The stats-table path in the executed plan IS a reliable
         # marker — skip anything that reads or writes our own table.
-        if self._table_path is not None and self._table_path in plan:
+        # The marker is the URI form plans actually render
+        # ("file:" + abspath + "/"), so a relative table_path still
+        # matches, and the trailing separator keeps sibling paths
+        # (".../stats_archive") recordable.
+        if self._table_marker is not None and self._table_marker in plan:
             return
         self._append(
             (time.time_ns() // 1_000, str(op), float(wall_ms), bool(ok),

@@ -364,7 +364,13 @@ class TreasureStore:
         updated_by/expired_at_us. Stamps persist into the store state
         for rows that are WRITTEN (created rows, and existing rows whose
         increment applied); the returned results always carry the
-        response-metadata columns."""
+        response-metadata columns. This split IS the reference's: the
+        stamp happens inside the guard before the condition check and
+        the response metadata is read from the in-memory treasure, but
+        ``Save(guardID)`` is skipped when the condition fails
+        (swamp.go:1345-1349) — so an unapplied existing key's stamp is
+        visible in the response yet absent from subsequent reads, there
+        as here."""
         base = self.current()
         value_cols = [c for c in base.columns if c != self.key_col]
         has_meta = meta_if_not_exist is not None or meta_if_exist is not None

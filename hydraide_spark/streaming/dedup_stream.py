@@ -164,7 +164,11 @@ def run_neardup_ingest_loop(
 
 
 def ingested_pairs(spark: SparkSession, state_dir: str) -> DataFrame:
-    """The accumulated pair table the loop has discovered so far."""
-    return spark.read.schema(
-        "id_a long, id_b long, inter int, union int"
-    ).parquet(os.path.join(state_dir, "pairs"))
+    """The accumulated pair table the loop has discovered so far —
+    empty (not an error) before the first non-empty micro-batch has
+    created the table."""
+    schema = "id_a long, id_b long, inter int, union int"
+    path = os.path.join(state_dir, "pairs")
+    if not os.path.exists(path):
+        return spark.createDataFrame([], schema)
+    return spark.read.schema(schema).parquet(path)

@@ -394,6 +394,29 @@ def test_store_increment_create_and_stamp(spark, tmp_path):
     assert not any(k == "b" for k, _ in ev if _ == "UPDATED")
 
 
+def test_store_increment_condition_on_other_column_and_dup_keys(spark, tmp_path):
+    """Two regressions caught in review: (1) keys-mode increment must
+    keep the FULL base width so conditions can reference any column
+    (here: expired_at, not the value); (2) duplicate entries in the
+    key list must not double result rows or duplicate persisted keys."""
+    store = make_store(spark, tmp_path, BASE)
+    res = store.increment(
+        ["a", "a", "c", "c"],  # duplicates on an applied and a filtered key
+        "val",
+        5,
+        condition=Cmp("expired_at", Op.LT, datetime(2021, 1, 1)),  # non-value col
+    ).collect()
+    assert len(res) == 2  # deduped: one row per distinct key
+    by_key = {r["key"]: r for r in res}
+    # a: expired_at 2020-01-01 < 2021 -> applied; c: NULL -> not applied
+    assert by_key["a"]["applied"] and by_key["a"]["new_value"] == 6
+    assert not by_key["c"]["applied"] and by_key["c"]["new_value"] == 3
+    state = store.current().collect()
+    assert len(state) == 3  # no duplicated key rows persisted
+    vals = {r["key"]: r["val"] for r in state}
+    assert vals == {"a": 6, "b": 2, "c": 3}
+
+
 def test_store_uint32slice_transactions(spark, tmp_path):
     store = TreasureStore(spark, str(tmp_path / "store"))
     store.init(
