@@ -355,6 +355,33 @@ def streaming_rolling_rates(
     )
 
 
+def streaming_top_errors(stats_stream: DataFrame, k: int = 5) -> DataFrame:
+    """The most-frequent-errors view as a STRUCTURED STREAM (the
+    ErrorsOnly live-dashboard form of :func:`top_errors`): group by
+    kind + 50-char message prefix, count, track the last occurrence.
+    Run with ``outputMode("complete")`` — the result is a top-k
+    ranking, so every trigger re-emits the full (k-bounded) table;
+    state is O(distinct error groups), bounded in practice by the
+    grouping key's truncation."""
+    errs = stats_stream.filter(~F.col("ok")).select(
+        F.coalesce(F.col("err_kind"), F.lit("UnknownError")).alias("err_kind"),
+        F.substring(F.coalesce(F.col("err_msg"), F.lit("")), 1, 50).alias("_key"),
+        F.col("ts_us"),
+    )
+    return (
+        errs.groupBy("err_kind", "_key")
+        .agg(
+            F.count(F.lit(1)).alias("n_errors"),
+            F.max("ts_us").alias("last_ts_us"),
+        )
+        .orderBy(F.col("n_errors").desc(), F.col("err_kind").asc(), F.col("_key").asc())
+        .limit(k)
+        .select(
+            "err_kind", F.col("_key").alias("err_msg"), "n_errors", "last_ts_us"
+        )
+    )
+
+
 def top_errors(stats: DataFrame, k: int = 5) -> DataFrame:
     """Most frequent errors — the GetErrorDetails / TelemetryStats
     "TopErrors" view (reference ``telemetry.go:311-326,367``:

@@ -270,6 +270,40 @@ def test_streaming_rolling_rates_over_flushed_batches(spark, tmp_path):
     assert all(0.0 <= r["error_rate"] <= 1.0 for r in rows)
 
 
+def test_streaming_top_errors_complete_mode(spark, tmp_path):
+    """The top-errors ranking as a live stream: counts accumulate
+    across flushed batches and the complete-mode output re-ranks."""
+    from hydraide_spark.operators.telemetry import streaming_top_errors
+
+    c = QueryStatsCollector(spark, table_path=str(tmp_path / "stats"))
+    c.unregister()
+    base = 1_700_000_000_000_000
+    c._append((base + 1, "q", 0.0, False, [], "Boom", "a"))
+    c._append((base + 2, "q", 0.0, False, [], "Boom", "a"))
+    c._append((base + 3, "q", 0.0, False, [], "Crash", "b"))
+    assert c.flush() == 3
+    ranked = streaming_top_errors(c.stats_stream(), k=5)
+    q = (
+        ranked.writeStream.format("memory")
+        .queryName("top_errs_out")
+        .outputMode("complete")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # a later batch flips the ranking
+        for i in range(3):
+            c._append((base + 10 + i, "q", 0.0, False, [], "Crash", "b"))
+        assert c.flush() == 3
+        q.processAllAvailable()
+        rows = spark.sql(
+            "SELECT err_kind, n_errors FROM top_errs_out ORDER BY n_errors DESC"
+        ).collect()
+    finally:
+        q.stop()
+    assert [(r["err_kind"], r["n_errors"]) for r in rows] == [("Crash", 4), ("Boom", 2)]
+
+
 def test_stats_stream_errors_only_flag(spark, tmp_path):
     """ErrorsOnly subscription (telemetry.go:54): the stream surfaces
     only failed-query rows."""
