@@ -160,6 +160,7 @@ HEADLINE = [
     "telemetry_history",
     "telemetry_slow_queries",
     "telemetry_top_errors",
+    "telemetry_stats_summary",
     "triangle_counts_graph",
     "histogram_quantiles_events",
     "personalized_pagerank_seeds",

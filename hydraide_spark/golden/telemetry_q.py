@@ -149,6 +149,38 @@ def telemetry_top_errors(spark, sf_dir):
 
 
 @golden(
+    "telemetry_stats_summary",
+    oracle=f"""
+    WITH stats AS ({_STATS_SQL})
+    SELECT CAST(COUNT(*) AS BIGINT) AS total_calls,
+           CAST(SUM(CASE WHEN ok THEN 0 ELSE 1 END) AS BIGINT) AS error_count,
+           CAST(SUM(CASE WHEN ok THEN 0 ELSE 1 END) * 100 AS DOUBLE) / COUNT(*)
+             AS error_rate_pct,
+           CAST(SUM(CAST(wall_ms AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*)
+             AS avg_wall_ms,
+           CAST(COUNT(DISTINCT op) AS BIGINT) AS n_distinct_ops
+    FROM stats
+    """,
+)
+def telemetry_stats_summary(spark, sf_dir):
+    """The GetTelemetryStats one-row summary (proto:599,
+    telemetry.go:284-369; operators/telemetry.py::stats_summary):
+    error rate ×100 as the reference computes it, average wall time
+    summed through DECIMAL so parallel order can't drift the double."""
+    from ..operators.telemetry import stats_summary
+
+    stats = _pseudo_stats(spark, sf_dir)
+    out = stats_summary(stats)
+    return out.select(
+        big("total_calls").alias("total_calls"),
+        big("error_count").alias("error_count"),
+        F.col("error_rate_pct").cast("double").alias("error_rate_pct"),
+        F.col("avg_wall_ms"),
+        big("n_distinct_ops").alias("n_distinct_ops"),
+    )
+
+
+@golden(
     "telemetry_rolling_rates",
     oracle=f"""
     WITH stats AS ({_STATS_SQL})

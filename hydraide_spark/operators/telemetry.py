@@ -312,6 +312,35 @@ class QueryStatsCollector:
 # -- the RPC analogues (proto:2393-2458 + GetErrorDetails), as rollups ------
 
 
+def stats_summary(stats: DataFrame, window_sec: Optional[int] = None) -> DataFrame:
+    """The ``GetTelemetryStats`` one-row summary (proto:599 block;
+    telemetry.go:284-369 GetStats): total calls, error count, error
+    rate as a PERCENTAGE (the reference multiplies by 100,
+    telemetry.go:358), and average duration over the window. The
+    reference's ActiveClients counts distinct gRPC client IPs — the
+    engine has no client dimension, so the nearest analogue
+    n_distinct_ops is reported instead (documented divergence).
+    ``window_sec`` bounds the window ending at the newest row; None
+    summarizes everything (the buffer/table is already
+    rolling-window-bounded)."""
+    if window_sec is not None:
+        newest = stats.agg(F.max("ts_us").alias("m"))
+        stats = stats.join(F.broadcast(newest)).filter(
+            F.col("ts_us") >= F.col("m") - F.lit(int(window_sec) * 1_000_000)
+        )
+    n_err = F.sum((~F.col("ok")).cast("long"))
+    return stats.agg(
+        F.count(F.lit(1)).alias("total_calls"),
+        n_err.alias("error_count"),
+        (n_err * 100 / F.count(F.lit(1))).alias("error_rate_pct"),
+        (
+            F.sum(F.col("wall_ms").cast("decimal(28,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avg_wall_ms"),
+        F.count_distinct(F.col("op")).alias("n_distinct_ops"),
+    )
+
+
 def rolling_rates(stats: DataFrame, window_sec: int = 60) -> DataFrame:
     """Rolling call + error counts per tumbling window — the
     call-rate/error-rate pair (telemetry.go's per-minute counters).

@@ -90,6 +90,27 @@ def test_rollups_mirror_the_four_rpcs(spark, collector):
     assert all(r["min_wall_ms"] <= r["p50_wall_ms"] <= r["max_wall_ms"] for r in hist)
 
 
+def test_stats_summary_windowed(spark):
+    """GetTelemetryStats summary: the optional window bounds the
+    aggregate to the newest window_sec; error rate is the reference's
+    x100 percentage."""
+    from hydraide_spark.operators.telemetry import stats_summary
+
+    c = QueryStatsCollector(spark)
+    c.unregister()
+    base = 1_700_000_000_000_000
+    c._append((base, "old", 100.0, False, [], "Boom", "x"))          # outside
+    c._append((base + 120_000_000, "a", 2.0, True, [], None, None))  # inside
+    c._append((base + 150_000_000, "b", 4.0, False, [], "Boom", "y"))
+    full = stats_summary(c.stats()).collect()[0]
+    assert (full["total_calls"], full["error_count"]) == (3, 2)
+    win = stats_summary(c.stats(), window_sec=60).collect()[0]
+    assert (win["total_calls"], win["error_count"]) == (2, 1)
+    assert win["error_rate_pct"] == 50.0
+    assert win["avg_wall_ms"] == 3.0
+    assert win["n_distinct_ops"] == 2
+
+
 def test_top_errors_rollup(spark, collector):
     """top_errors mirrors telemetry.go:311-326,367: group by
     kind + 50-char message prefix, first-occurrence display message,
