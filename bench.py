@@ -126,6 +126,7 @@ HEADLINE = [
     "set_upsert_status",
     "increment_conditional",
     "patch_struct_ops",
+    "patch_meta_stamped",
     "shift_expired_claim",
     "shift_matching_cap",
     "patch_expired_lease",

@@ -236,6 +236,60 @@ def patch_struct_ops(spark, sf_dir):
     )
 
 
+@golden(
+    "patch_meta_stamped",
+    oracle="""
+    WITH e AS (
+      SELECT event_id, value, user_id % 5 AS retry FROM events
+    )
+    SELECT CAST(event_id AS BIGINT) AS event_id,
+           CASE WHEN retry < 3 THEN value + 1.0 ELSE value END AS amount_after,
+           CASE WHEN retry < 3 THEN 'PATCHED' ELSE 'CONDITION_NOT_MET' END
+             AS patch_status,
+           CAST(CASE WHEN retry < 3 THEN 1700000000000000 END AS BIGINT)
+             AS updated_at_us,
+           CASE WHEN retry < 3 THEN 'patcher' END AS updated_by,
+           CAST(CASE WHEN retry < 3 THEN 1900000000000000 END AS BIGINT)
+             AS expired_at_us
+    FROM e
+    """,
+)
+def patch_meta_stamped(spark, sf_dir):
+    """PatchTreasures with PatchMeta (proto:3140-3165): PATCHED rows
+    are stamped UpdatedAt/UpdatedBy and their TTL slides to the given
+    ExpiredAt — the same expired_at column the claims operators read —
+    while CONDITION_NOT_MET rows keep their (absent) metadata. The
+    stamp clock is pinned; the TTL comes back as unix_micros so the
+    comparison is exact integers on both engines."""
+    ev = t(spark, sf_dir, "events").select(
+        "event_id",
+        F.struct(
+            F.col("value").alias("amount"),
+            (F.col("user_id") % 5).alias("retry"),
+        ).alias("body"),
+    )
+    out = M.patch_treasures(
+        ev,
+        [M.PatchOp(M.PatchKind.INC, "amount", 1.0)],
+        condition=Cmp("body.retry", Op.LT, 3),
+        key_col="event_id",
+        meta=M.PatchMeta(
+            updated_at=True,
+            updated_by="patcher",
+            set_expired_at=1_900_000_000_000_000,
+        ),
+        now_us=1_700_000_000_000_000,
+    )
+    return out.select(
+        big("event_id").alias("event_id"),
+        F.col("body.amount").alias("amount_after"),
+        "patch_status",
+        big("updated_at_us").alias("updated_at_us"),
+        F.col("updated_by"),
+        F.unix_micros(F.col("expired_at")).alias("expired_at_us"),
+    )
+
+
 _NOW = datetime(1996, 1, 1)
 
 

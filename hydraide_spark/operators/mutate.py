@@ -316,18 +316,45 @@ def _get_path(body: Column, path: str) -> Column:
     return out
 
 
+@dataclass(frozen=True)
+class PatchMeta:
+    """``PatchMeta`` (proto:3140-3165): timestamp/identity metadata
+    stamped on PATCHED rows. ``clear_expired_at`` takes precedence over
+    ``set_expired_at`` (proto:3163). The proto's SetCreatedAt/
+    SetCreatedBy fire only on treasures CREATED in the call and are
+    "ignored on existing treasures" (proto:3159-3161) — this operator
+    patches existing rows, so they are a reference-faithful no-op and
+    deliberately absent (creation is ``set_treasures``' job)."""
+
+    updated_at: bool = False
+    updated_by: Optional[str] = None
+    set_expired_at: Optional[int] = None  # epoch µs TTL
+    clear_expired_at: bool = False
+
+
 def patch_treasures(
     base: DataFrame,
     ops: Sequence[PatchOp],
     condition: Optional[Pred] = None,
     key_col: str = "key",
     body_col: str = "body",
+    meta: Optional[PatchMeta] = None,
+    expired_col: str = "expired_at",
+    now_us: Optional[int] = None,
 ) -> DataFrame:
     """Reference ``PatchTreasures`` (proto:2988-3177, msgpackpatch pkg):
     an ordered op-list applied atomically per row, gated by an optional
     per-row PatchCondition. Untouched fields stay identical (the
     reference's core invariant, property_test.go) — here structurally
     guaranteed by withField.
+
+    ``meta`` stamps PATCHED rows (proto:3140-3165): updated_at_us /
+    updated_by top-level columns (added as typed nulls if absent), and
+    the TTL column ``expired_col`` slid to ``set_expired_at`` or
+    cleared — the same timestamp column the claims operators
+    (shift/patch-expired) read, so a patch-time TTL slide immediately
+    affects claimability. Unpatched rows keep their existing values.
+    ``now_us`` pins the stamp clock for deterministic replays.
 
     Returns all rows with the (possibly) patched body and
     ``patch_status`` ∈ PATCHED / CONDITION_NOT_MET."""
@@ -346,7 +373,36 @@ def patch_treasures(
     # chaining withColumn would re-resolve the condition against the
     # already-patched body and misreport rows the patch pushed across
     # the condition boundary
-    return base.withColumns({body_col: new_body, "patch_status": status})
+    cols = {body_col: new_body, "patch_status": status}
+    if meta is not None:
+        import time as _time
+
+        now = int(now_us if now_us is not None else _time.time_ns() // 1_000)
+
+        def keep(col_name: str, dtype: str):
+            return (
+                F.col(col_name)
+                if col_name in base.columns
+                else F.lit(None).cast(dtype)
+            )
+
+        if meta.updated_at:
+            cols["updated_at_us"] = F.when(cond, F.lit(now)).otherwise(
+                keep("updated_at_us", "long")
+            )
+        if meta.updated_by is not None:
+            cols["updated_by"] = F.when(cond, F.lit(meta.updated_by)).otherwise(
+                keep("updated_by", "string")
+            )
+        if meta.clear_expired_at:  # precedence over set (proto:3163)
+            cols[expired_col] = F.when(
+                cond, F.lit(None).cast("timestamp")
+            ).otherwise(keep(expired_col, "timestamp"))
+        elif meta.set_expired_at is not None:
+            cols[expired_col] = F.when(
+                cond, F.timestamp_micros(F.lit(int(meta.set_expired_at)))
+            ).otherwise(keep(expired_col, "timestamp"))
+    return base.withColumns(cols)
 
 
 # ---------------------------------------------------------------------------

@@ -176,3 +176,51 @@ def test_property_untouched_and_reparse(spark, base, ops):
         assert rows[key]["nested"] == orig[key]["nested"]
     # input blob never mutated
     assert {r["key"]: r["body"] for r in base.collect()} == orig
+
+
+def test_patch_meta_clear_precedence_and_claims_interop(spark):
+    """PatchMeta (proto:3140-3165): clear_expired_at wins over
+    set_expired_at; the TTL column a patch slides/clears is the SAME
+    column the claims operators read, so a cleared row is immediately
+    unclaimable (§1.4 null-timestamp rule)."""
+    from hydraide_spark.operators.claims import shift_expired
+    from hydraide_spark.operators.mutate import PatchMeta, patch_treasures
+
+    base = spark.createDataFrame(
+        [
+            ("k1", (1,), datetime(2020, 1, 1)),
+            ("k2", (2,), datetime(2020, 1, 2)),
+        ],
+        T.StructType(
+            [
+                T.StructField("key", T.StringType(), False),
+                T.StructField(
+                    "body",
+                    T.StructType([T.StructField("n", T.LongType(), True)]),
+                    True,
+                ),
+                T.StructField("expired_at", T.TimestampType(), True),
+            ]
+        ),
+    )
+    out = patch_treasures(
+        base,
+        [PatchOp(PatchKind.INC, "n", 1)],
+        condition=Cmp("key", Op.EQ, "k1"),
+        meta=PatchMeta(
+            updated_at=True,
+            set_expired_at=1_900_000_000_000_000,
+            clear_expired_at=True,  # must win (proto:3163)
+        ),
+        now_us=1_700_000_000_000_000,
+    )
+    rows = {r["key"]: r for r in out.collect()}
+    assert rows["k1"]["expired_at"] is None          # cleared, not slid
+    assert rows["k1"]["updated_at_us"] == 1_700_000_000_000_000
+    assert rows["k2"]["expired_at"] == datetime(2020, 1, 2)  # untouched
+    assert rows["k2"]["updated_at_us"] is None
+    # claims interop: the cleared row is no longer claimable
+    claimed, _rem = shift_expired(
+        out.drop("patch_status"), datetime(2024, 1, 1), how_many=10
+    )
+    assert [r["key"] for r in claimed.collect()] == ["k2"]
