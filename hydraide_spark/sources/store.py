@@ -558,6 +558,122 @@ class TreasureStore:
         return claimed
 
     @_serialized
+    def patch(
+        self,
+        keys: Sequence[str],
+        ops: Sequence["mutate_ops.PatchOp"],
+        condition: Optional[Pred] = None,
+        body_col: str = "body",
+        create_if_not_exist: bool = False,
+        seed_body=None,
+        meta: Optional["mutate_ops.PatchMeta"] = None,
+        now_us: Optional[int] = None,
+    ) -> DataFrame:
+        """Reference ``PatchTreasures`` (proto:2988-3177) as one
+        serialized transaction: apply the op-list to the targeted keys
+        (gated by the per-row PatchCondition), optionally CREATE
+        missing keys from ``seed_body`` first (CreateIfNotExist —
+        created rows are persisted with the seed, then the ops/
+        condition run over them like any row), stamp ``PatchMeta``,
+        persist, and emit UPDATED events for patched rows / NEW for
+        created ones.
+
+        Returns per-key statuses using the proto's PatchResult codes
+        (proto:3192-3249): PATCHED, CREATED (created and patched),
+        CONDITION_NOT_MET, KEY_NOT_FOUND (missing and
+        create_if_not_exist=False). The type-error codes
+        (TYPE_MISMATCH, PATH_INVALID, …) cannot occur relationally —
+        Catalyst rejects them at plan time."""
+        from pyspark.sql import types as T
+
+        base = self.current()
+        spark = self.spark
+        keys = list(dict.fromkeys(keys))
+        kdf = spark.createDataFrame(
+            [(k,) for k in keys], f"{self.key_col} string"
+        )
+        targeted = base.join(F.broadcast(kdf), self.key_col, "left_semi")
+        hit_keys = {
+            r[0] for r in targeted.select(self.key_col).collect()
+        }  # bounded by len(keys)
+        missing = [k for k in keys if k not in hit_keys]
+
+        work = targeted.withColumn("_created", F.lit(False))
+        if create_if_not_exist and missing:
+            body_type = base.schema[body_col].dataType
+            created_raw = spark.createDataFrame(
+                [(k, seed_body) for k in missing],
+                T.StructType(
+                    [
+                        T.StructField(self.key_col, T.StringType(), False),
+                        T.StructField(body_col, body_type, True),
+                    ]
+                ),
+            )
+            for c, t in base.dtypes:
+                if c not in (self.key_col, body_col):
+                    created_raw = created_raw.withColumn(c, F.lit(None).cast(t))
+            work = work.unionByName(
+                created_raw.withColumn("_created", F.lit(True))
+            )
+
+        patched = mutate_ops.patch_treasures(
+            work,
+            ops,
+            condition=condition,
+            key_col=self.key_col,
+            body_col=body_col,
+            meta=meta,
+            now_us=now_us,
+        ).cache()
+        patched.count()
+
+        # statuses: created rows report CREATED when the ops applied
+        status = (
+            F.when(
+                (F.col("patch_status") == mutate_ops.STATUS_PATCHED)
+                & F.col("_created"),
+                F.lit("CREATED"),
+            )
+            .otherwise(F.col("patch_status"))
+        )
+        results = patched.select(self.key_col, status.alias("patch_status"))
+        if missing and not create_if_not_exist:
+            results = results.unionByName(
+                spark.createDataFrame(
+                    [(k, "KEY_NOT_FOUND") for k in missing],
+                    f"{self.key_col} string, patch_status string",
+                )
+            )
+
+        # new state: untargeted rows pass through; meta stamping may
+        # have added columns — align the untargeted side with nulls
+        new_rows = patched.drop("patch_status", "_created")
+        untargeted = base.join(F.broadcast(kdf), self.key_col, "left_anti")
+        for c in new_rows.columns:
+            if c not in untargeted.columns:
+                new_rows_types = dict(new_rows.dtypes)
+                untargeted = untargeted.withColumn(
+                    c, F.lit(None).cast(new_rows_types[c])
+                )
+        new_state = untargeted.unionByName(new_rows)
+        batch = self._write_version(new_state)
+
+        value_cols = [c for c in new_rows.columns if c != self.key_col]
+        changed = patched.filter(
+            F.col("patch_status") == mutate_ops.STATUS_PATCHED
+        )
+        events = changed.select(
+            F.col(self.key_col),
+            F.when(F.col("_created"), "NEW").otherwise("UPDATED").alias("op"),
+            self._payload(changed, value_cols).alias("new"),
+            F.lit(None).cast("string").alias("old"),
+        )
+        self._emit(events, batch)
+        patched.unpersist()
+        return results
+
+    @_serialized
     def patch_expired(
         self,
         now: datetime,

@@ -417,6 +417,55 @@ def test_store_increment_condition_on_other_column_and_dup_keys(spark, tmp_path)
     assert vals == {"a": 6, "b": 2, "c": 3}
 
 
+def test_store_patch_transaction_create_seed_meta(spark, tmp_path):
+    """TreasureStore.patch — the PatchTreasures RPC as a transaction:
+    per-key PatchResult codes (proto:3192-3249), CreateIfNotExist +
+    seed body, PatchMeta stamping, UPDATED/NEW events."""
+    from hydraide_spark.operators.mutate import PatchKind, PatchMeta, PatchOp
+
+    store = TreasureStore(spark, str(tmp_path / "patchstore"))
+    store.init(
+        spark.createDataFrame(
+            [("a", (1, "x")), ("b", (9, "y"))],
+            "key string, body struct<n:bigint,tag:string>",
+        )
+    )
+    res = store.patch(
+        ["a", "b", "new1", "ghost"],
+        [PatchOp(PatchKind.INC, "n", 10)],
+        condition=Cmp("body.n", Op.LT, 5),
+        create_if_not_exist=False,
+        meta=PatchMeta(updated_at=True, updated_by="p"),
+        now_us=1_700_000_000_000_000,
+    )
+    st = {r["key"]: r["patch_status"] for r in res.collect()}
+    assert st == {
+        "a": "PATCHED",            # n=1 < 5
+        "b": "CONDITION_NOT_MET",  # n=9
+        "new1": "KEY_NOT_FOUND",
+        "ghost": "KEY_NOT_FOUND",
+    }
+    state = {r["key"]: r for r in store.current().collect()}
+    assert state["a"]["body"]["n"] == 11 and state["a"]["updated_by"] == "p"
+    assert state["b"]["body"]["n"] == 9 and state["b"]["updated_by"] is None
+
+    # second call: create with seed; seed n=0 passes the condition
+    res2 = store.patch(
+        ["new1"],
+        [PatchOp(PatchKind.INC, "n", 10)],
+        condition=Cmp("body.n", Op.LT, 5),
+        create_if_not_exist=True,
+        seed_body=(0, "seeded"),
+    )
+    assert [r["patch_status"] for r in res2.collect()] == ["CREATED"]
+    state = {r["key"]: r for r in store.current().collect()}
+    assert state["new1"]["body"]["n"] == 10
+    assert state["new1"]["body"]["tag"] == "seeded"
+    ev = [(r["key"], r["op"]) for r in store.changes().collect()]
+    assert ("a", "UPDATED") in ev and ("new1", "NEW") in ev
+    assert not any(k == "b" for k, op in ev if op == "UPDATED")
+
+
 def test_store_uint32slice_transactions(spark, tmp_path):
     store = TreasureStore(spark, str(tmp_path / "store"))
     store.init(
