@@ -568,6 +568,7 @@ class TreasureStore:
         seed_body=None,
         meta: Optional["mutate_ops.PatchMeta"] = None,
         now_us: Optional[int] = None,
+        cap: Optional[claims_ops.Cap] = None,
     ) -> DataFrame:
         """Reference ``PatchTreasures`` (proto:2988-3177) as one
         serialized transaction: apply the op-list to the targeted keys
@@ -578,10 +579,16 @@ class TreasureStore:
         persist, and emit UPDATED events for patched rows / NEW for
         created ones.
 
+        ``cap`` is the patch quota (proto:3233-3238 CAP_EXCEEDED): if
+        the POST-OP state would have more than ``cap.max_matching``
+        rows matching ``cap.filter``, no mutation happens and every
+        targeted key reports CAP_EXCEEDED — the request can be retried
+        after the matching count drops.
+
         Returns per-key statuses using the proto's PatchResult codes
         (proto:3192-3249): PATCHED, CREATED (created and patched),
         CONDITION_NOT_MET, KEY_NOT_FOUND (missing and
-        create_if_not_exist=False). The type-error codes
+        create_if_not_exist=False), CAP_EXCEEDED. The type-error codes
         (TYPE_MISMATCH, PATH_INVALID, …) cannot occur relationally —
         Catalyst rejects them at plan time."""
         from pyspark.sql import types as T
@@ -657,6 +664,28 @@ class TreasureStore:
                     c, F.lit(None).cast(new_rows_types[c])
                 )
         new_state = untargeted.unionByName(new_rows)
+
+        if cap is not None:
+            from ..query.filters import translate
+
+            n_matching = new_state.filter(
+                translate(cap.filter, new_state)
+            ).count()
+            if n_matching > cap.max_matching:
+                # no mutation (proto:3233-3238): report CAP_EXCEEDED for
+                # every targeted key; missing keys still KEY_NOT_FOUND
+                patched.unpersist()
+                out = spark.createDataFrame(
+                    [(k, "CAP_EXCEEDED") for k in keys if k in hit_keys]
+                    + (
+                        [(k, "CAP_EXCEEDED") for k in missing]
+                        if create_if_not_exist
+                        else [(k, "KEY_NOT_FOUND") for k in missing]
+                    ),
+                    f"{self.key_col} string, patch_status string",
+                )
+                return out
+
         batch = self._write_version(new_state)
 
         value_cols = [c for c in new_rows.columns if c != self.key_col]

@@ -465,6 +465,23 @@ def test_store_patch_transaction_create_seed_meta(spark, tmp_path):
     assert ("a", "UPDATED") in ev and ("new1", "NEW") in ev
     assert not any(k == "b" for k, op in ev if op == "UPDATED")
 
+    # Cap quota (proto:3233-3238): the patch would push n >= 10 rows
+    # above the budget -> whole request rejected, state untouched
+    from hydraide_spark.operators.claims import Cap
+
+    v_before = store.version
+    res3 = store.patch(
+        ["a", "b", "nope"],
+        [PatchOp(PatchKind.SET, "n", 99)],
+        cap=Cap(Cmp("body.n", Op.GE, 10), 2),  # a(11), new1(10) already match
+    )
+    st3 = {r["key"]: r["patch_status"] for r in res3.collect()}
+    assert st3 == {"a": "CAP_EXCEEDED", "b": "CAP_EXCEEDED", "nope": "KEY_NOT_FOUND"}
+    assert store.version == v_before  # no mutation happened
+    assert {r["key"]: r["body"]["n"] for r in store.current().collect()} == {
+        "a": 11, "b": 9, "new1": 10,
+    }
+
 
 def test_store_uint32slice_transactions(spark, tmp_path):
     store = TreasureStore(spark, str(tmp_path / "store"))
