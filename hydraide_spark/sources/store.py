@@ -703,6 +703,124 @@ class TreasureStore:
         return results
 
     @_serialized
+    def patch_each(
+        self,
+        patches: Sequence[tuple],
+        body_col: str = "body",
+        meta: Optional["mutate_ops.PatchMeta"] = None,
+        now_us: Optional[int] = None,
+    ) -> DataFrame:
+        """The ``PatchTreasures`` request's EXACT shape (proto:2996-3010
+        ``TreasurePatch``): every key carries its OWN op-list and
+        optional condition — ``patches`` is a sequence of
+        ``(key, ops, condition)`` — applied in ONE serialized
+        transaction and one version write.
+
+        Plan shape: keys group by identical (ops, condition) and the
+        whole request compiles into a single chained-CASE projection
+        over one state scan — no join anywhere (key membership is a
+        request-bounded ``isin``), so a thousand per-key patches cost
+        one pass. Conditions bind to the ORIGINAL body (a patch cannot
+        push a row across another patch's condition boundary).
+
+        Statuses: PATCHED / CONDITION_NOT_MET / KEY_NOT_FOUND per key
+        (creation belongs to :meth:`patch`'s CreateIfNotExist). A
+        request-level ``meta`` stamps all PATCHED rows."""
+        from ..query.filters import translate
+
+        base = self.current()
+        spark = self.spark
+        seen: dict[str, tuple] = {}
+        for k, ops, cond in patches:
+            if k in seen:
+                raise ValueError(f"patch_each: duplicate key {k!r}")
+            seen[k] = (tuple(ops), cond)
+        # group keys sharing an identical (ops, condition) spec into one
+        # CASE branch; unhashable op values (e.g. list payloads) fall
+        # back to repr-based grouping (same projection, just keyed by
+        # the spec's printed form)
+        grouped: dict = {}
+        for k, spec in seen.items():
+            try:
+                grouped.setdefault(spec, (spec, []))[1].append(k)
+            except TypeError:
+                grouped.setdefault(repr(spec), (spec, []))[1].append(k)
+        groups = list(grouped.values())
+
+        key_c = F.col(self.key_col)
+        body_expr = F.col(body_col)
+        status_expr = F.lit(None).cast("string")
+        any_patched = F.lit(False)
+        for (ops, cond), ks in groups:
+            member = key_c.isin(ks)
+            patched = F.col(body_col)
+            for op in ops:
+                # row-gated: schema must stay uniform across rows
+                patched = mutate_ops._apply_patch_op(
+                    patched, op, structural=False
+                )
+            c = translate(cond, base) if cond is not None else F.lit(True)
+            body_expr = F.when(member & c, patched).otherwise(body_expr)
+            status_expr = F.when(
+                member,
+                F.when(c, F.lit(mutate_ops.STATUS_PATCHED)).otherwise(
+                    F.lit(mutate_ops.STATUS_CONDITION_NOT_MET)
+                ),
+            ).otherwise(status_expr)
+            any_patched = any_patched | (member & c)
+
+        cols = {body_col: body_expr, "_status": status_expr, "_hit": any_patched}
+        if meta is not None:
+            import time as _time
+
+            now = int(now_us if now_us is not None else _time.time_ns() // 1_000)
+            if meta.updated_at:
+                cols["updated_at_us"] = F.when(any_patched, F.lit(now)).otherwise(
+                    F.col("updated_at_us")
+                    if "updated_at_us" in base.columns
+                    else F.lit(None).cast("long")
+                )
+            if meta.updated_by is not None:
+                cols["updated_by"] = F.when(
+                    any_patched, F.lit(meta.updated_by)
+                ).otherwise(
+                    F.col("updated_by")
+                    if "updated_by" in base.columns
+                    else F.lit(None).cast("string")
+                )
+        out = base.withColumns(cols).cache()
+        out.count()
+
+        results = out.filter(F.col("_status").isNotNull()).select(
+            self.key_col, F.col("_status").alias("patch_status")
+        )
+        found = {r[0] for r in results.select(self.key_col).collect()}
+        missing = [k for k in seen if k not in found]
+        if missing:
+            results = results.unionByName(
+                spark.createDataFrame(
+                    [(k, "KEY_NOT_FOUND") for k in missing],
+                    f"{self.key_col} string, patch_status string",
+                )
+            )
+
+        new_state = out.drop("_status", "_hit")
+        batch = self._write_version(new_state)
+        value_cols = [c for c in new_state.columns if c != self.key_col]
+        changed = out.filter(F.col("_hit"))
+        self._emit(
+            changed.select(
+                F.col(self.key_col),
+                F.lit("UPDATED").alias("op"),
+                self._payload(changed, value_cols).alias("new"),
+                F.lit(None).cast("string").alias("old"),
+            ),
+            batch,
+        )
+        out.unpersist()
+        return results
+
+    @_serialized
     def patch_expired(
         self,
         now: datetime,

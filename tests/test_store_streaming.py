@@ -81,6 +81,38 @@ def test_insert_only_and_update_only(spark, tmp_path):
     assert "y" not in {r["key"] for r in store.current().collect()}
 
 
+def test_set_carries_per_key_metadata_columns(spark, tmp_path):
+    """SetRequest's KeyValuePair carries optional per-key metadata
+    (CreatedAt/CreatedBy/UpdatedAt/UpdatedBy/ExpiredAt, proto:983-999):
+    in the engine these are ordinary columns in the update frame — Set
+    persists them like any value, and the TTL lands in the same
+    expired_at column the claims operators read."""
+    from hydraide_spark.operators.claims import shift_expired
+
+    store = TreasureStore(spark, str(tmp_path / "metastore"))
+    schema = (
+        "key string, val long, created_by string, updated_by string,"
+        " expired_at timestamp"
+    )
+    store.init(spark.createDataFrame([], schema))
+    st = store.set(
+        spark.createDataFrame(
+            [
+                ("a", 1, "loader", None, datetime(2020, 1, 1)),
+                ("b", 2, "loader", None, None),
+            ],
+            schema,
+        )
+    )
+    assert {r["set_status"] for r in st.collect()} == {"NEW"}
+    state = {r["key"]: r for r in store.current().collect()}
+    assert state["a"]["created_by"] == "loader"
+    assert state["a"]["expired_at"] == datetime(2020, 1, 1)
+    # the Set-supplied TTL drives claimability directly
+    claimed, _ = shift_expired(store.current(), datetime(2021, 1, 1), 10)
+    assert [r["key"] for r in claimed.collect()] == ["a"]
+
+
 def test_delete_emits_tombstones(spark, tmp_path):
     store = make_store(spark, tmp_path, BASE)
     store.delete(["a", "nope"])
@@ -481,6 +513,57 @@ def test_store_patch_transaction_create_seed_meta(spark, tmp_path):
     assert {r["key"]: r["body"]["n"] for r in store.current().collect()} == {
         "a": 11, "b": 9, "new1": 10,
     }
+
+
+def test_store_patch_each_per_key_oplists(spark, tmp_path):
+    """patch_each: the RPC's exact per-key TreasurePatch shape — every
+    key with its own op-list + condition, one transaction, one version
+    write, conditions bound to the ORIGINAL body."""
+    from hydraide_spark.operators.mutate import PatchKind, PatchMeta, PatchOp
+
+    store = TreasureStore(spark, str(tmp_path / "eachstore"))
+    store.init(
+        spark.createDataFrame(
+            [("a", (1, "x")), ("b", (2, "y")), ("c", (9, "z"))],
+            "key string, body struct<n:bigint,tag:string>",
+        )
+    )
+    v0 = store.version
+    res = store.patch_each(
+        [
+            ("a", [PatchOp(PatchKind.INC, "n", 100)], None),
+            ("b", [PatchOp(PatchKind.SET, "tag", "bee")], Cmp("body.n", Op.LT, 5)),
+            ("c", [PatchOp(PatchKind.SET, "tag", "sea")], Cmp("body.n", Op.LT, 5)),
+            ("nope", [PatchOp(PatchKind.INC, "n", 1)], None),
+        ],
+        meta=PatchMeta(updated_at=True),
+        now_us=1_700_000_000_000_000,
+    )
+    st = {r["key"]: r["patch_status"] for r in res.collect()}
+    assert st == {
+        "a": "PATCHED",
+        "b": "PATCHED",            # n=2 < 5
+        "c": "CONDITION_NOT_MET",  # n=9
+        "nope": "KEY_NOT_FOUND",
+    }
+    assert store.version == v0 + 1  # ONE version write for the batch
+    state = {r["key"]: r for r in store.current().collect()}
+    assert state["a"]["body"]["n"] == 101
+    assert state["b"]["body"]["tag"] == "bee"
+    assert state["c"]["body"]["tag"] == "z"  # untouched
+    assert state["a"]["updated_at_us"] == 1_700_000_000_000_000
+    assert state["c"]["updated_at_us"] is None
+    ev = [(r["key"], r["op"]) for r in store.changes().collect()]
+    assert ("a", "UPDATED") in ev and ("b", "UPDATED") in ev
+    assert not any(k == "c" for k, _ in ev)
+    # duplicate keys are a request error
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        store.patch_each(
+            [("a", [PatchOp(PatchKind.INC, "n", 1)], None),
+             ("a", [PatchOp(PatchKind.INC, "n", 2)], None)]
+        )
 
 
 def test_store_uint32slice_transactions(spark, tmp_path):
