@@ -849,3 +849,72 @@ class TreasureStore:
             batch,
         )
         return results
+
+
+# ---------------------------------------------------------------------------
+# *Many fan-outs (proto: ShiftExpiredTreasuresMany /
+# ShiftMatchingTreasuresMany / PatchExpiredTreasuresMany): the reference
+# request is a repeated per-swamp spec; here each store runs its op
+# under ITS OWN serialized transaction (per-swamp locking, exactly the
+# reference's isolation) and the results union with a swamp tag —
+# the mutation-side mirror of the read-side stream_from_many fan-in.
+# Stores with differing schemas union by name with missing columns
+# null-filled. how_many/caps apply PER SWAMP, as in the proto.
+
+
+def _union_tagged(frames: "list[DataFrame]") -> DataFrame:
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f, allowMissingColumns=True)
+    return out
+
+
+def shift_expired_many(
+    stores: "dict[str, TreasureStore]", now: datetime, how_many: int
+) -> DataFrame:
+    """``ShiftExpiredTreasuresMany``: per-store TTL-queue pop; claimed
+    rows tagged with their swamp name."""
+    return _union_tagged(
+        [
+            store.shift_expired(now, how_many).withColumn("swamp", F.lit(name))
+            for name, store in stores.items()
+        ]
+    )
+
+
+def shift_matching_many(
+    stores: "dict[str, TreasureStore]",
+    index,
+    filt: Optional[Pred],
+    how_many: int,
+    cap: Optional[claims_ops.Cap] = None,
+) -> DataFrame:
+    """``ShiftMatchingTreasuresMany``: per-store parametric claim."""
+    return _union_tagged(
+        [
+            store.shift_matching(index, filt, how_many, cap).withColumn(
+                "swamp", F.lit(name)
+            )
+            for name, store in stores.items()
+        ]
+    )
+
+
+def patch_expired_many(
+    stores: "dict[str, TreasureStore]",
+    now: datetime,
+    how_many: int,
+    lease,
+    ops: Sequence["mutate_ops.PatchOp"] = (),
+    condition: Optional[Pred] = None,
+    cap: Optional[claims_ops.Cap] = None,
+) -> DataFrame:
+    """``PatchExpiredTreasuresMany``: per-store lease-claim + patch."""
+    return _union_tagged(
+        [
+            store.patch_expired(
+                now, how_many, lease, ops, condition, cap
+            ).withColumn("swamp", F.lit(name))
+            for name, store in stores.items()
+        ]
+    )

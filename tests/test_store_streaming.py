@@ -566,6 +566,35 @@ def test_store_patch_each_per_key_oplists(spark, tmp_path):
         )
 
 
+def test_many_fanout_claims_tagged_per_swamp(spark, tmp_path):
+    """*Many RPCs (ShiftExpiredTreasuresMany etc.): per-store loop —
+    each swamp claims under ITS OWN transaction; results union with a
+    swamp tag; how_many applies per swamp."""
+    from hydraide_spark.sources.store import shift_expired_many
+
+    s1 = TreasureStore(spark, str(tmp_path / "s1"))
+    s1.init(
+        spark.createDataFrame(
+            [("a", 1, datetime(2020, 1, 1)), ("b", 2, datetime(2020, 1, 2))],
+            "key string, val long, expired_at timestamp",
+        )
+    )
+    s2 = TreasureStore(spark, str(tmp_path / "s2"))
+    s2.init(
+        spark.createDataFrame(
+            [("x", 7, datetime(2020, 6, 1)), ("y", 8, None)],
+            "key string, val long, expired_at timestamp",
+        )
+    )
+    out = shift_expired_many(
+        {"sw1": s1, "sw2": s2}, datetime(2021, 1, 1), how_many=1
+    )
+    got = {(r["swamp"], r["key"]) for r in out.collect()}
+    # one claim PER swamp, oldest-expired-first, NULL never claimable
+    assert got == {("sw1", "a"), ("sw2", "x")}
+    assert s1.current().count() == 1 and s2.current().count() == 1
+
+
 def test_store_uint32slice_transactions(spark, tmp_path):
     store = TreasureStore(spark, str(tmp_path / "store"))
     store.init(
