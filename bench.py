@@ -84,6 +84,11 @@ HEADLINE = [
     "tpch_q22_idle_balance_by_nation",
     "tpch_q12_priority_shipment_classes",
     "tpch_q21_waiting_supplier_blame",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q9_product_profit",
+    "tpch_q11_important_stock",
+    "tpch_q16_supplier_relation",
+    "tpch_q20_excess_stock_suppliers",
     "relational_set_ops",
     "cube_pricing_matrix",
     "unpivot_lineitem_measures",

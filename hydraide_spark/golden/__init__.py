@@ -240,6 +240,7 @@ def _load_all() -> None:
     from . import vectors_stable  # noqa: F401
     from . import registry_q  # noqa: F401
     from . import tpch_more  # noqa: F401
+    from . import tpch_partsupp  # noqa: F401
     from . import events_funnel  # noqa: F401
     from . import graph_q  # noqa: F401
     from . import multimodal  # noqa: F401
