@@ -132,6 +132,7 @@ HEADLINE = [
     "increment_conditional",
     "patch_struct_ops",
     "patch_meta_stamped",
+    "patch_cap_budget",
     "shift_expired_claim",
     "shift_matching_cap",
     "patch_expired_lease",
@@ -153,6 +154,7 @@ HEADLINE = [
     "simhash_collapsed_stable",
     "reverse_index_search",
     "bm25_ranked_search",
+    "hybrid_search_rrf",
     "phrase_search_via_index",
     "text_quality_tokens",
     "quality_classifier_docs",

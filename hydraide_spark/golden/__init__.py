@@ -248,4 +248,5 @@ def _load_all() -> None:
     from . import relational  # noqa: F401
     from . import sketches  # noqa: F401
     from . import telemetry_q  # noqa: F401
+    from . import retrieval_q  # noqa: F401
     _LOADED = True

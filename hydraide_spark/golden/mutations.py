@@ -402,3 +402,86 @@ def patch_expired_lease(spark, sf_dir):
         F.col("body.retry").cast("bigint").alias("retry_after"),
         "patch_status",
     )
+
+
+@golden(
+    "patch_cap_budget",
+    oracle="""
+    WITH base AS (
+      SELECT CAST(c_custkey AS VARCHAR) AS key, c_acctbal AS bal
+      FROM customer
+    ),
+    req(key, idx) AS (
+      VALUES ('1',0),('2',1),('3',2),('4',3),('5',4),('6',5),('7',6),
+             ('8',7),('9',8),('10',9),('xk-1',10),('xk-2',11)
+    ),
+    tgt AS (
+      SELECT r.key, r.idx,
+             (b.key IS NULL) AS created,
+             COALESCE(b.bal, 8000.0) AS bal0
+      FROM req r LEFT JOIN base b ON r.key = b.key
+    ),
+    ev AS (
+      SELECT key, idx, created, bal0,
+             (bal0 < 9500.0) AS cond_met,
+             (NOT created AND bal0 >= 9000.0) AS pre_match,
+             (bal0 + 1500.0) AS bal1
+      FROM tgt
+    ),
+    ranked AS (
+      SELECT *,
+             (cond_met AND NOT pre_match AND bal1 >= 9000.0) AS trans,
+             SUM(CASE WHEN cond_met AND NOT pre_match AND bal1 >= 9000.0
+                      THEN 1 ELSE 0 END)
+               OVER (ORDER BY idx ROWS UNBOUNDED PRECEDING) AS run
+      FROM ev
+    )
+    SELECT key,
+           CASE WHEN trans AND run > 2 THEN 'CAP_EXCEEDED'
+                WHEN NOT cond_met THEN 'CONDITION_NOT_MET'
+                WHEN created THEN 'CREATED'
+                ELSE 'PATCHED' END AS patch_status,
+           CASE WHEN created AND (NOT cond_met OR (trans AND run > 2))
+                  THEN NULL                       -- rolled-back create
+                WHEN NOT cond_met OR (trans AND run > 2) THEN bal0
+                ELSE bal1 END AS bal_after
+    FROM ranked
+    """,
+)
+def patch_cap_budget(spark, sf_dir):
+    """The PatchTreasures Cap quota, reference-exact (proto:3023-3040;
+    gateway_patch.go capPreCount + swamp_patch.go PatchFields:247-261):
+    the (no→yes) budget is ``max_matching - currently_matching``
+    counted ONCE over the whole swamp, consumed in request order; only
+    non-matching→matching patches spend it, over-budget keys report
+    CAP_EXCEEDED with their row un-mutated, and everything accepted
+    still commits. Created rows (CreateIfNotExist) never pre-match, so
+    a matching created row is itself a budget-consuming transition; a
+    created row that loses the race (or fails the condition) is rolled
+    back out of the state entirely. ``max_matching = pre_count + 2``
+    pins the budget to exactly 2 at every sf, so the oracle replays
+    the running-sum allocation with a literal."""
+    cust = t(spark, sf_dir, "customer")
+    base = cust.select(
+        F.col("c_custkey").cast("string").alias("key"),
+        F.struct(F.col("c_acctbal").alias("bal")).alias("body"),
+    )
+    pre = base.filter(F.col("body.bal") >= 9000.0).count()
+    out = M.patch_treasures_batch(
+        spark,
+        base,
+        [str(i) for i in range(1, 11)] + ["xk-1", "xk-2"],
+        [M.PatchOp(M.PatchKind.INC, "bal", 1500.0)],
+        condition=Cmp("body.bal", Op.LT, 9500.0),
+        create_if_not_exist=True,
+        seed_body=(8000.0,),
+        cap=C.Cap(Cmp("body.bal", Op.GE, 9000.0), pre + 2),
+    )
+    state = out.new_state.select(
+        "key", F.col("body.bal").alias("bal_after")
+    )
+    res = out.results.join(state, "key", "left").select(
+        "key", "patch_status", "bal_after"
+    )
+    out.unpersist()
+    return res

@@ -405,6 +405,194 @@ def patch_treasures(
     return base.withColumns(cols)
 
 
+@dataclass
+class PatchBatch:
+    """Result of :func:`patch_treasures_batch`: per-key status rows,
+    the full new state, and the accepted (patched/created) rows for
+    event emission. ``unpersist()`` releases the internal cache once
+    the caller has consumed all three frames."""
+
+    results: DataFrame
+    new_state: DataFrame
+    applied: DataFrame
+    _cached: DataFrame
+
+    def unpersist(self) -> None:
+        self._cached.unpersist()
+
+
+def patch_treasures_batch(
+    spark,
+    base: DataFrame,
+    keys: Sequence[str],
+    ops: Sequence[PatchOp],
+    condition: Optional[Pred] = None,
+    key_col: str = "key",
+    body_col: str = "body",
+    create_if_not_exist: bool = False,
+    seed_body=None,
+    meta: Optional[PatchMeta] = None,
+    now_us: Optional[int] = None,
+    cap=None,
+) -> PatchBatch:
+    """The ``PatchTreasuresRequest`` batch as a pure transformation
+    (proto:2988-3060): apply the op-list to the targeted keys (gated
+    by the per-row PatchCondition), optionally creating missing keys
+    from ``seed_body`` (CreateIfNotExist), with the reference's Cap
+    quota semantics (proto:3023-3040, gateway_patch.go capPreCount +
+    swamp_patch.go PatchFields):
+
+    - the rows of ``base`` currently matching ``cap.filter`` are
+      counted ONCE, giving a (no→yes) budget
+      ``max_matching - current`` (floored at 0);
+    - per key, IN REQUEST ORDER, only a patch that moves its row from
+      non-matching to matching consumes budget — (yes→yes), (yes→no)
+      and (no→no) patches always proceed;
+    - an over-budget (no→yes) key reports CAP_EXCEEDED and its row is
+      NOT mutated, while every accepted key still commits (per-key,
+      not whole-request, rejection);
+    - created rows never pre-match (swamp_patch.go:250-252 evaluates
+      preMatched only when !isCreate), so a matching created row is a
+      budget-consuming transition.
+
+    A created row whose condition fails — or that loses the cap race —
+    is rolled back out of ``new_state`` entirely, mirroring
+    swamp_patch.go's deferred ``creatingTreasures.Delete`` on the
+    unsaved path.
+
+    Scale: targeted rows are bounded by ``len(keys)`` (a request-sized
+    broadcast join against state), so the single-partition
+    request-order window and the bounded collect are both O(request),
+    never O(state); the cap pre-count is one scan-side aggregate.
+    """
+    from pyspark.sql import types as T
+    from pyspark.sql.window import Window
+
+    keys = list(dict.fromkeys(keys))
+    if cap is not None and cap.max_matching <= 0:
+        raise ValueError("Cap.max_matching must be > 0 (proto:3040)")
+    kdf = spark.createDataFrame(
+        [(k, i) for i, k in enumerate(keys)],
+        f"{key_col} string, _req_idx int",
+    )
+    targeted = base.join(F.broadcast(kdf), key_col, "inner")
+    hit_keys = {
+        r[0] for r in targeted.select(key_col).collect()
+    }  # bounded by len(keys)
+    missing = [k for k in keys if k not in hit_keys]
+
+    work = targeted.withColumn("_created", F.lit(False))
+    if create_if_not_exist and missing:
+        body_type = base.schema[body_col].dataType
+        created_raw = spark.createDataFrame(
+            [(k, keys.index(k), seed_body) for k in missing],
+            T.StructType(
+                [
+                    T.StructField(key_col, T.StringType(), False),
+                    T.StructField("_req_idx", T.IntegerType(), False),
+                    T.StructField(body_col, body_type, True),
+                ]
+            ),
+        )
+        for c, t in base.dtypes:
+            if c not in (key_col, body_col):
+                created_raw = created_raw.withColumn(c, F.lit(None).cast(t))
+        work = work.unionByName(created_raw.withColumn("_created", F.lit(True)))
+
+    # stash the pre-patch row (for CAP_EXCEEDED revert) and the
+    # pre-patch cap membership
+    orig_cols = [c for c in base.columns if c != key_col]
+    work = work.withColumn("_orig", F.struct(*[F.col(c) for c in orig_cols]))
+    if cap is not None:
+        work = work.withColumn(
+            "_pre_match",
+            F.when(F.col("_created"), F.lit(False)).otherwise(
+                F.coalesce(translate(cap.filter, work), F.lit(False))
+            ),
+        )
+
+    patched = patch_treasures(
+        work,
+        ops,
+        condition=condition,
+        key_col=key_col,
+        body_col=body_col,
+        meta=meta,
+        now_us=now_us,
+    )
+
+    if cap is not None:
+        pre_count = base.filter(
+            translate(cap.filter, base)
+        ).count()  # capPreCount: whole-swamp, once, pre-mutation
+        budget = max(0, cap.max_matching - pre_count)
+        is_patched = F.col("patch_status") == STATUS_PATCHED
+        post_match = F.coalesce(translate(cap.filter, patched), F.lit(False))
+        trans = is_patched & ~F.col("_pre_match") & post_match
+        # running (no→yes) count in request order; the window is
+        # request-bounded (≤ len(keys) rows), so the single partition
+        # it implies is the same boundedness as the hit_keys collect
+        running = F.sum(F.when(trans, 1).otherwise(0)).over(
+            Window.orderBy("_req_idx").rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+        )
+        patched = patched.withColumn("_capped", trans & (running > F.lit(budget)))
+    else:
+        patched = patched.withColumn("_capped", F.lit(False))
+    patched = patched.cache()
+    patched.count()
+
+    status = (
+        F.when(F.col("_capped"), F.lit("CAP_EXCEEDED"))
+        .when(
+            (F.col("patch_status") == STATUS_PATCHED) & F.col("_created"),
+            F.lit("CREATED"),
+        )
+        .otherwise(F.col("patch_status"))
+    )
+    results = patched.select(key_col, status.alias("patch_status"))
+    if missing and not create_if_not_exist:
+        results = results.unionByName(
+            spark.createDataFrame(
+                [(k, "KEY_NOT_FOUND") for k in missing],
+                f"{key_col} string, patch_status string",
+            )
+        )
+
+    # new state: untargeted rows pass through; capped rows revert to
+    # their stashed original; unsaved created rows (condition failed
+    # or capped) are rolled back entirely
+    applied_pred = (
+        (F.col("patch_status") == STATUS_PATCHED) & ~F.col("_capped")
+    )
+    keep_row = ~F.col("_created") | applied_pred
+    out_types = dict(patched.dtypes)
+    aux = {key_col, "patch_status", "_created", "_orig", "_pre_match", "_capped", "_req_idx"}
+    value_exprs = []
+    for c in patched.columns:
+        if c in aux:
+            continue
+        orig_val = (
+            F.col("_orig")[c] if c in orig_cols else F.lit(None).cast(out_types[c])
+        )
+        value_exprs.append(
+            F.when(F.col("_capped"), orig_val).otherwise(F.col(c)).alias(c)
+        )
+    new_rows = patched.filter(keep_row).select(F.col(key_col), *value_exprs)
+    untargeted = base.join(
+        F.broadcast(kdf.select(key_col)), key_col, "left_anti"
+    )
+    new_rows_types = dict(new_rows.dtypes)
+    for c in new_rows.columns:
+        if c not in untargeted.columns:
+            untargeted = untargeted.withColumn(c, F.lit(None).cast(new_rows_types[c]))
+    new_state = untargeted.unionByName(new_rows)
+
+    applied = patched.filter(applied_pred)
+    return PatchBatch(results, new_state, applied, patched)
+
+
 # ---------------------------------------------------------------------------
 # Uint32Slice set-valued cell ops (proto:378-418)
 

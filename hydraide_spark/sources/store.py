@@ -579,119 +579,49 @@ class TreasureStore:
         persist, and emit UPDATED events for patched rows / NEW for
         created ones.
 
-        ``cap`` is the patch quota (proto:3233-3238 CAP_EXCEEDED): if
-        the POST-OP state would have more than ``cap.max_matching``
-        rows matching ``cap.filter``, no mutation happens and every
-        targeted key reports CAP_EXCEEDED — the request can be retried
-        after the matching count drops.
+        ``cap`` is the patch quota (proto:3023-3040, gateway_patch.go
+        capPreCount + swamp_patch.go PatchFields): the rows of ``base``
+        currently matching ``cap.filter`` are counted ONCE, giving a
+        (no→yes) budget ``max_matching - current``; then per key, in
+        request order, only a patch that moves its row from
+        non-matching to matching consumes budget — (yes→yes),
+        (yes→no) and (no→no) patches always proceed. An over-budget
+        (no→yes) key reports CAP_EXCEEDED and its row is NOT mutated,
+        while every accepted key still commits (per-key, not
+        whole-request, rejection).
 
         Returns per-key statuses using the proto's PatchResult codes
         (proto:3192-3249): PATCHED, CREATED (created and patched),
         CONDITION_NOT_MET, KEY_NOT_FOUND (missing and
-        create_if_not_exist=False), CAP_EXCEEDED. The type-error codes
-        (TYPE_MISMATCH, PATH_INVALID, …) cannot occur relationally —
-        Catalyst rejects them at plan time."""
-        from pyspark.sql import types as T
+        create_if_not_exist=False), CAP_EXCEEDED. A created row whose
+        condition fails (or that loses the cap race) is ROLLED BACK —
+        not persisted, no event — mirroring swamp_patch.go's deferred
+        creatingTreasures.Delete on the unsaved path. The type-error
+        codes (TYPE_MISMATCH, PATH_INVALID, …) cannot occur
+        relationally — Catalyst rejects them at plan time.
 
-        base = self.current()
-        spark = self.spark
-        keys = list(dict.fromkeys(keys))
-        kdf = spark.createDataFrame(
-            [(k,) for k in keys], f"{self.key_col} string"
-        )
-        targeted = base.join(F.broadcast(kdf), self.key_col, "left_semi")
-        hit_keys = {
-            r[0] for r in targeted.select(self.key_col).collect()
-        }  # bounded by len(keys)
-        missing = [k for k in keys if k not in hit_keys]
-
-        work = targeted.withColumn("_created", F.lit(False))
-        if create_if_not_exist and missing:
-            body_type = base.schema[body_col].dataType
-            created_raw = spark.createDataFrame(
-                [(k, seed_body) for k in missing],
-                T.StructType(
-                    [
-                        T.StructField(self.key_col, T.StringType(), False),
-                        T.StructField(body_col, body_type, True),
-                    ]
-                ),
-            )
-            for c, t in base.dtypes:
-                if c not in (self.key_col, body_col):
-                    created_raw = created_raw.withColumn(c, F.lit(None).cast(t))
-            work = work.unionByName(
-                created_raw.withColumn("_created", F.lit(True))
-            )
-
-        patched = mutate_ops.patch_treasures(
-            work,
+        The pure transformation lives in
+        :func:`operators.mutate.patch_treasures_batch` (oracle-gated by
+        the ``patch_cap_budget`` golden query); this wrapper adds the
+        serialized persist + event emission."""
+        batch_out = mutate_ops.patch_treasures_batch(
+            self.spark,
+            self.current(),
+            keys,
             ops,
             condition=condition,
             key_col=self.key_col,
             body_col=body_col,
+            create_if_not_exist=create_if_not_exist,
+            seed_body=seed_body,
             meta=meta,
             now_us=now_us,
-        ).cache()
-        patched.count()
-
-        # statuses: created rows report CREATED when the ops applied
-        status = (
-            F.when(
-                (F.col("patch_status") == mutate_ops.STATUS_PATCHED)
-                & F.col("_created"),
-                F.lit("CREATED"),
-            )
-            .otherwise(F.col("patch_status"))
+            cap=cap,
         )
-        results = patched.select(self.key_col, status.alias("patch_status"))
-        if missing and not create_if_not_exist:
-            results = results.unionByName(
-                spark.createDataFrame(
-                    [(k, "KEY_NOT_FOUND") for k in missing],
-                    f"{self.key_col} string, patch_status string",
-                )
-            )
+        batch = self._write_version(batch_out.new_state)
 
-        # new state: untargeted rows pass through; meta stamping may
-        # have added columns — align the untargeted side with nulls
-        new_rows = patched.drop("patch_status", "_created")
-        untargeted = base.join(F.broadcast(kdf), self.key_col, "left_anti")
-        for c in new_rows.columns:
-            if c not in untargeted.columns:
-                new_rows_types = dict(new_rows.dtypes)
-                untargeted = untargeted.withColumn(
-                    c, F.lit(None).cast(new_rows_types[c])
-                )
-        new_state = untargeted.unionByName(new_rows)
-
-        if cap is not None:
-            from ..query.filters import translate
-
-            n_matching = new_state.filter(
-                translate(cap.filter, new_state)
-            ).count()
-            if n_matching > cap.max_matching:
-                # no mutation (proto:3233-3238): report CAP_EXCEEDED for
-                # every targeted key; missing keys still KEY_NOT_FOUND
-                patched.unpersist()
-                out = spark.createDataFrame(
-                    [(k, "CAP_EXCEEDED") for k in keys if k in hit_keys]
-                    + (
-                        [(k, "CAP_EXCEEDED") for k in missing]
-                        if create_if_not_exist
-                        else [(k, "KEY_NOT_FOUND") for k in missing]
-                    ),
-                    f"{self.key_col} string, patch_status string",
-                )
-                return out
-
-        batch = self._write_version(new_state)
-
-        value_cols = [c for c in new_rows.columns if c != self.key_col]
-        changed = patched.filter(
-            F.col("patch_status") == mutate_ops.STATUS_PATCHED
-        )
+        value_cols = [c for c in batch_out.new_state.columns if c != self.key_col]
+        changed = batch_out.applied
         events = changed.select(
             F.col(self.key_col),
             F.when(F.col("_created"), "NEW").otherwise("UPDATED").alias("op"),
@@ -699,8 +629,8 @@ class TreasureStore:
             F.lit(None).cast("string").alias("old"),
         )
         self._emit(events, batch)
-        patched.unpersist()
-        return results
+        batch_out.unpersist()
+        return batch_out.results
 
     @_serialized
     def patch_each(
@@ -709,105 +639,183 @@ class TreasureStore:
         body_col: str = "body",
         meta: Optional["mutate_ops.PatchMeta"] = None,
         now_us: Optional[int] = None,
+        expired_col: str = "expired_at",
     ) -> DataFrame:
         """The ``PatchTreasures`` request's EXACT shape (proto:2996-3010
-        ``TreasurePatch``): every key carries its OWN op-list and
-        optional condition — ``patches`` is a sequence of
-        ``(key, ops, condition)`` — applied in ONE serialized
+        ``TreasurePatch``): every patch entry carries its own key,
+        op-list, optional condition and optional per-patch meta —
+        ``patches`` is a sequence of ``(key, ops, condition)`` or
+        ``(key, ops, condition, meta)`` — applied in ONE serialized
         transaction and one version write.
 
-        Plan shape: keys group by identical (ops, condition) and the
-        whole request compiles into a single chained-CASE projection
-        over one state scan — no join anywhere (key membership is a
-        request-bounded ``isin``), so a thousand per-key patches cost
-        one pass. Conditions bind to the ORIGINAL body (a patch cannot
-        push a row across another patch's condition boundary).
+        Duplicate keys are allowed and run sequentially in declaration
+        order (proto:2995-3001): a later patch on the same key observes
+        the earlier patch's mutated body, so per-key conditions can
+        implement the proto's partial-accept-counter pattern (five
+        Inc(+1) under ``n < 3`` cleanly stop at the cap). A per-patch
+        meta FULLY REPLACES the request-level ``meta`` for that patch
+        (proto:3063-3070, no merging).
 
-        Statuses: PATCHED / CONDITION_NOT_MET / KEY_NOT_FOUND per key
-        (creation belongs to :meth:`patch`'s CreateIfNotExist). A
-        request-level ``meta`` stamps all PATCHED rows."""
+        Plan shape: entries split into rounds (round r = every key's
+        r-th patch — one round unless keys repeat); within a round,
+        keys sharing an identical (ops, condition, meta) spec compile
+        into one chained-CASE branch, and each round is a single
+        projection over the running frame — no join anywhere (key
+        membership is a request-bounded ``isin``), so a thousand
+        per-key patches still cost one scan.
+
+        Returns one row PER PATCH ENTRY: ``(patch_index, key,
+        patch_status)`` with patch_index the entry's position in
+        ``patches`` (the proto preserves request order in the
+        response); statuses PATCHED / CONDITION_NOT_MET /
+        KEY_NOT_FOUND (creation belongs to :meth:`patch`'s
+        CreateIfNotExist)."""
+        import time as _time
+
         from ..query.filters import translate
 
         base = self.current()
         spark = self.spark
-        seen: dict[str, tuple] = {}
-        for k, ops, cond in patches:
-            if k in seen:
-                raise ValueError(f"patch_each: duplicate key {k!r}")
-            seen[k] = (tuple(ops), cond)
-        # group keys sharing an identical (ops, condition) spec into one
-        # CASE branch; unhashable op values (e.g. list payloads) fall
-        # back to repr-based grouping (same projection, just keyed by
-        # the spec's printed form)
-        grouped: dict = {}
-        for k, spec in seen.items():
-            try:
-                grouped.setdefault(spec, (spec, []))[1].append(k)
-            except TypeError:
-                grouped.setdefault(repr(spec), (spec, []))[1].append(k)
-        groups = list(grouped.values())
+        now = int(now_us if now_us is not None else _time.time_ns() // 1_000)
+
+        # split entries into rounds: round r holds each key's r-th patch
+        rounds: list[list[tuple]] = []  # [(idx, key, ops, cond, meta)]
+        occurrence: dict[str, int] = {}
+        all_keys: list[str] = []
+        for idx, entry in enumerate(patches):
+            k, ops, cond = entry[0], entry[1], entry[2]
+            per_meta = entry[3] if len(entry) > 3 else None
+            eff_meta = per_meta if per_meta is not None else meta
+            r = occurrence.get(k, 0)
+            occurrence[k] = r + 1
+            if r == len(rounds):
+                rounds.append([])
+            rounds[r].append((idx, k, tuple(ops), cond, eff_meta))
+            if r == 0:
+                all_keys.append(k)
+
+        def _keep(df, col_name: str, dtype: str):
+            return (
+                F.col(col_name)
+                if col_name in df.columns
+                else F.lit(None).cast(dtype)
+            )
 
         key_c = F.col(self.key_col)
-        body_expr = F.col(body_col)
-        status_expr = F.lit(None).cast("string")
-        any_patched = F.lit(False)
-        for (ops, cond), ks in groups:
-            member = key_c.isin(ks)
-            patched = F.col(body_col)
-            for op in ops:
-                # row-gated: schema must stay uniform across rows
-                patched = mutate_ops._apply_patch_op(
-                    patched, op, structural=False
-                )
-            c = translate(cond, base) if cond is not None else F.lit(True)
-            body_expr = F.when(member & c, patched).otherwise(body_expr)
-            status_expr = F.when(
-                member,
-                F.when(c, F.lit(mutate_ops.STATUS_PATCHED)).otherwise(
-                    F.lit(mutate_ops.STATUS_CONDITION_NOT_MET)
-                ),
-            ).otherwise(status_expr)
-            any_patched = any_patched | (member & c)
+        out = base
+        any_patched_cols = []
+        for r, entries in enumerate(rounds):
+            # group keys sharing an identical (ops, cond, meta) spec
+            # into one CASE branch; unhashable op values fall back to
+            # repr-based grouping (same projection, keyed by the
+            # spec's printed form)
+            grouped: dict = {}
+            for idx, k, ops, cond, m in entries:
+                spec = (ops, cond, m)
+                try:
+                    grouped.setdefault(spec, (spec, []))[1].append(k)
+                except TypeError:
+                    grouped.setdefault(repr(spec), (spec, []))[1].append(k)
+            groups = list(grouped.values())
 
-        cols = {body_col: body_expr, "_status": status_expr, "_hit": any_patched}
-        if meta is not None:
-            import time as _time
+            body_expr = F.col(body_col)
+            status_expr = F.lit(None).cast("string")
+            hit = F.lit(False)
+            ua = _keep(out, "updated_at_us", "long")
+            ub = _keep(out, "updated_by", "string")
+            ex = _keep(out, expired_col, "timestamp")
+            stamps_meta = False
+            for (ops, cond, m), ks in groups:
+                member = key_c.isin(ks)
+                patched = F.col(body_col)
+                for op in ops:
+                    # row-gated: schema must stay uniform across rows
+                    patched = mutate_ops._apply_patch_op(
+                        patched, op, structural=False
+                    )
+                # conditions bind to the ROUND INPUT frame — i.e. the
+                # prior patch's output for a repeated key (proto's
+                # sequential-observation rule)
+                c = translate(cond, out) if cond is not None else F.lit(True)
+                applies = member & c
+                body_expr = F.when(applies, patched).otherwise(body_expr)
+                status_expr = F.when(
+                    member,
+                    F.when(c, F.lit(mutate_ops.STATUS_PATCHED)).otherwise(
+                        F.lit(mutate_ops.STATUS_CONDITION_NOT_MET)
+                    ),
+                ).otherwise(status_expr)
+                hit = hit | applies
+                if m is not None:
+                    stamps_meta = True
+                    if m.updated_at:
+                        ua = F.when(applies, F.lit(now)).otherwise(ua)
+                    if m.updated_by is not None:
+                        ub = F.when(applies, F.lit(m.updated_by)).otherwise(ub)
+                    if m.clear_expired_at:  # precedence (proto:3163)
+                        ex = F.when(
+                            applies, F.lit(None).cast("timestamp")
+                        ).otherwise(ex)
+                    elif m.set_expired_at is not None:
+                        ex = F.when(
+                            applies,
+                            F.timestamp_micros(F.lit(int(m.set_expired_at))),
+                        ).otherwise(ex)
 
-            now = int(now_us if now_us is not None else _time.time_ns() // 1_000)
-            if meta.updated_at:
-                cols["updated_at_us"] = F.when(any_patched, F.lit(now)).otherwise(
-                    F.col("updated_at_us")
-                    if "updated_at_us" in base.columns
-                    else F.lit(None).cast("long")
-                )
-            if meta.updated_by is not None:
-                cols["updated_by"] = F.when(
-                    any_patched, F.lit(meta.updated_by)
-                ).otherwise(
-                    F.col("updated_by")
-                    if "updated_by" in base.columns
-                    else F.lit(None).cast("string")
-                )
-        out = base.withColumns(cols).cache()
+            # entry index per key for this round's response rows
+            idx_pairs = []
+            for idx, k, _, _, _ in entries:
+                idx_pairs += [F.lit(k), F.lit(idx)]
+            cols = {
+                body_col: body_expr,
+                f"_status_{r}": status_expr,
+                f"_idx_{r}": F.create_map(*idx_pairs)[key_c],
+                f"_hit_{r}": hit,
+            }
+            if stamps_meta:
+                cols["updated_at_us"] = ua
+                cols["updated_by"] = ub
+                cols[expired_col] = ex
+            out = out.withColumns(cols)
+            any_patched_cols.append(f"_hit_{r}")
+
+        aux = [c for r in range(len(rounds)) for c in (f"_status_{r}", f"_idx_{r}", f"_hit_{r}")]
+        out = out.cache()
         out.count()
 
-        results = out.filter(F.col("_status").isNotNull()).select(
-            self.key_col, F.col("_status").alias("patch_status")
-        )
-        found = {r[0] for r in results.select(self.key_col).collect()}
-        missing = [k for k in seen if k not in found]
-        if missing:
+        per_round = [
+            out.filter(F.col(f"_status_{r}").isNotNull()).select(
+                F.col(f"_idx_{r}").alias("patch_index"),
+                key_c,
+                F.col(f"_status_{r}").alias("patch_status"),
+            )
+            for r in range(len(rounds))
+        ]
+        results = per_round[0]
+        for p in per_round[1:]:
+            results = results.unionByName(p)
+        found = {r[0] for r in out.filter(key_c.isin(all_keys)).select(self.key_col).collect()}
+        nf = [
+            (idx, k)
+            for r_entries in rounds
+            for idx, k, _, _, _ in r_entries
+            if k not in found
+        ]
+        if nf:
             results = results.unionByName(
                 spark.createDataFrame(
-                    [(k, "KEY_NOT_FOUND") for k in missing],
-                    f"{self.key_col} string, patch_status string",
+                    [(idx, k, "KEY_NOT_FOUND") for idx, k in nf],
+                    f"patch_index int, {self.key_col} string, patch_status string",
                 )
             )
 
-        new_state = out.drop("_status", "_hit")
+        new_state = out.drop(*aux)
         batch = self._write_version(new_state)
         value_cols = [c for c in new_state.columns if c != self.key_col]
-        changed = out.filter(F.col("_hit"))
+        hit_any = F.lit(False)
+        for c in any_patched_cols:
+            hit_any = hit_any | F.col(c)
+        changed = out.filter(hit_any)
         self._emit(
             changed.select(
                 F.col(self.key_col),

@@ -21,6 +21,15 @@ incrementally equals one built from scratch — streamed pairs converge
 to the batch pipeline's exact output
 (test_store_streaming::test_neardup_ingest_loop_converges_to_batch).
 
+**Exactly-once across retries**: each of the three tables is written
+under an epoch-keyed subdirectory (``pairs/epoch=N/``, overwrite mode),
+so a micro-batch that fails partway and is retried overwrites its own
+partial output instead of appending duplicates; the probe explicitly
+excludes the current epoch's partitions from the persisted index so a
+retry after the bands write still sees the same "old" index. Epoch ids
+are stable across restarts only with a checkpoint — the loop sets
+``checkpointLocation`` to ``state_dir/_checkpoint`` by default.
+
 Scale: per-batch work is bounded by the delta; the index grows by the
 delta; the bucket join is an equi-join whose key cardinality scales
 with the corpus (the same no-fixed-blocking rule as everything in
@@ -52,9 +61,8 @@ def _read_or_none(spark: SparkSession, path: str, schema: str):
         return None
 
 
-def run_neardup_ingest_loop(
+def make_ingest(
     spark: SparkSession,
-    docs_stream: DataFrame,
     state_dir: str,
     tau: float,
     n: int = 3,
@@ -63,11 +71,10 @@ def run_neardup_ingest_loop(
     id_col: str = "doc_id",
     text_col: str = "text",
     engine_stable: bool = False,
-    queue_name: str = "neardup_ingest",
 ):
-    """Start the per-ingest near-dup stream; returns the
-    StreamingQuery. ``docs_stream`` must deliver each doc_id once
-    (re-ingested ids would re-pair against themselves)."""
+    """Build the per-micro-batch ingest function (exposed so tests can
+    replay an epoch and assert the overwrite-idempotence contract
+    directly)."""
     assert k % bands == 0
     rows_per_band = k // bands
     frac = Fraction(tau).limit_denominator(10**6)
@@ -78,7 +85,7 @@ def run_neardup_ingest_loop(
     bands_schema = f"{id_col} long, bucket string"
     sh_schema = f"{id_col} long, sh array<string>, n_sh int"
 
-    def ingest(batch_df: DataFrame, _epoch: int) -> None:
+    def ingest(batch_df: DataFrame, epoch: int) -> None:
         if batch_df.isEmpty():
             return
         sh_new = (
@@ -106,7 +113,16 @@ def run_neardup_ingest_loop(
             F.col(id_col), F.explode(F.array(*band_cols)).alias("bucket")
         ).persist()
 
-        old_banded = _read_or_none(spark, bands_dir, bands_schema)
+        # exclude the CURRENT epoch's partition from the persisted
+        # index: a retried epoch that already wrote its bands must
+        # probe the same "old" index the first attempt saw
+        old_banded = _read_or_none(
+            spark, bands_dir, bands_schema + ", epoch long"
+        )
+        if old_banded is not None:
+            old_banded = old_banded.filter(
+                F.col("epoch") != F.lit(int(epoch))
+            ).drop("epoch")
         all_banded = (
             new_banded
             if old_banded is None
@@ -125,7 +141,11 @@ def run_neardup_ingest_loop(
             )
             .distinct()
         )
-        old_sizes = _read_or_none(spark, sh_dir, sh_schema)
+        old_sizes = _read_or_none(spark, sh_dir, sh_schema + ", epoch long")
+        if old_sizes is not None:
+            old_sizes = old_sizes.filter(
+                F.col("epoch") != F.lit(int(epoch))
+            ).drop("epoch")
         all_sizes = (
             sh_new if old_sizes is None else sh_new.unionByName(old_sizes)
         )
@@ -147,17 +167,60 @@ def run_neardup_ingest_loop(
             .filter(F.lit(den) * F.col("inter") >= F.lit(num) * F.col("union"))
             .select("id_a", "id_b", "inter", "union")
         )
-        verified.write.mode("append").parquet(pairs_dir)
-        # index append AFTER the probe: the new docs must not pair
-        # against their own just-written bands twice
-        new_banded.write.mode("append").parquet(bands_dir)
-        sh_new.select(id_col, "sh", "n_sh").write.mode("append").parquet(sh_dir)
+        # epoch-keyed overwrite = idempotent per epoch: a retried
+        # micro-batch replaces its own partial output, never appends a
+        # second copy (advice r7: three independent appends were not
+        # retry-safe)
+        ep = f"epoch={int(epoch)}"
+        verified.write.mode("overwrite").parquet(os.path.join(pairs_dir, ep))
+        new_banded.write.mode("overwrite").parquet(os.path.join(bands_dir, ep))
+        sh_new.select(id_col, "sh", "n_sh").write.mode("overwrite").parquet(
+            os.path.join(sh_dir, ep)
+        )
         sh_new.unpersist()
         new_banded.unpersist()
 
+    return ingest
+
+
+def run_neardup_ingest_loop(
+    spark: SparkSession,
+    docs_stream: DataFrame,
+    state_dir: str,
+    tau: float,
+    n: int = 3,
+    k: int = 16,
+    bands: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    engine_stable: bool = False,
+    queue_name: str = "neardup_ingest",
+    checkpoint_dir: Optional[str] = None,
+):
+    """Start the per-ingest near-dup stream; returns the
+    StreamingQuery. ``docs_stream`` must deliver each doc_id once
+    (re-ingested ids would re-pair against themselves).
+    ``checkpoint_dir`` defaults to ``state_dir/_checkpoint`` — pass
+    the same one across restarts so retried epochs keep their ids and
+    the epoch-keyed overwrites stay idempotent."""
+    ingest = make_ingest(
+        spark,
+        state_dir,
+        tau,
+        n=n,
+        k=k,
+        bands=bands,
+        id_col=id_col,
+        text_col=text_col,
+        engine_stable=engine_stable,
+    )
     return (
         docs_stream.writeStream.outputMode("append")
         .queryName(queue_name)
+        .option(
+            "checkpointLocation",
+            checkpoint_dir or os.path.join(state_dir, "_checkpoint"),
+        )
         .foreachBatch(ingest)
         .start()
     )
@@ -171,4 +234,8 @@ def ingested_pairs(spark: SparkSession, state_dir: str) -> DataFrame:
     path = os.path.join(state_dir, "pairs")
     if not os.path.exists(path):
         return spark.createDataFrame([], schema)
-    return spark.read.schema(schema).parquet(path)
+    return (
+        spark.read.schema(schema + ", epoch long")
+        .parquet(path)
+        .drop("epoch")
+    )

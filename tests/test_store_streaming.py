@@ -497,8 +497,12 @@ def test_store_patch_transaction_create_seed_meta(spark, tmp_path):
     assert ("a", "UPDATED") in ev and ("new1", "NEW") in ev
     assert not any(k == "b" for k, op in ev if op == "UPDATED")
 
-    # Cap quota (proto:3233-3238): the patch would push n >= 10 rows
-    # above the budget -> whole request rejected, state untouched
+    # Cap quota (proto:3023-3040, swamp_patch.go PatchFields): budget =
+    # max_matching - currently-matching, and only (no→yes) transitions
+    # consume it. a(11) and new1(10) already match n>=10 -> budget 0;
+    # a is a (yes→yes) idempotent patch and PROCEEDS, b would be the
+    # (no→yes) transition and is the only CAP_EXCEEDED; accepted keys
+    # commit (per-key rejection, not whole-request).
     from hydraide_spark.operators.claims import Cap
 
     v_before = store.version
@@ -508,11 +512,89 @@ def test_store_patch_transaction_create_seed_meta(spark, tmp_path):
         cap=Cap(Cmp("body.n", Op.GE, 10), 2),  # a(11), new1(10) already match
     )
     st3 = {r["key"]: r["patch_status"] for r in res3.collect()}
-    assert st3 == {"a": "CAP_EXCEEDED", "b": "CAP_EXCEEDED", "nope": "KEY_NOT_FOUND"}
-    assert store.version == v_before  # no mutation happened
+    assert st3 == {"a": "PATCHED", "b": "CAP_EXCEEDED", "nope": "KEY_NOT_FOUND"}
+    assert store.version == v_before + 1  # accepted keys committed
     assert {r["key"]: r["body"]["n"] for r in store.current().collect()} == {
-        "a": 11, "b": 9, "new1": 10,
+        "a": 99, "b": 9, "new1": 10,
     }
+
+
+def test_store_patch_cap_budget_order_and_create_rollback(spark, tmp_path):
+    """The two reference behaviors from the round-7 advice: (1) the
+    (no→yes) budget is consumed in REQUEST ORDER with per-key
+    rejection (gateway_patch.go capPreCount + swamp_patch.go
+    PatchFields); (2) a created row whose condition fails — or that
+    loses the cap race — is rolled back, never persisted, no event
+    (swamp_patch.go deferred creatingTreasures.Delete)."""
+    from hydraide_spark.operators.claims import Cap
+    from hydraide_spark.operators.mutate import PatchKind, PatchOp
+
+    store = TreasureStore(spark, str(tmp_path / "capstore"))
+    store.init(
+        spark.createDataFrame(
+            [("m1", (50, "m")), ("u1", (1, "u")), ("u2", (2, "u")),
+             ("u3", (3, "u")), ("shrink", (60, "s"))],
+            "key string, body struct<n:bigint,tag:string>",
+        )
+    )
+    # currently matching n>=10: m1, shrink -> pre=2, max=4 -> budget 2.
+    # Request order: u1, u2, u3 all try no→yes; shrink goes yes→no.
+    res = store.patch(
+        ["u1", "u2", "u3", "shrink"],
+        [PatchOp(PatchKind.INC, "n", 40)],  # u*: n -> 41..43; shrink -> 100
+        cap=Cap(Cmp("body.n", Op.GE, 10), 4),
+    )
+    st = {r["key"]: r["patch_status"] for r in res.collect()}
+    # first two transitions in request order win the budget
+    assert st == {
+        "u1": "PATCHED", "u2": "PATCHED", "u3": "CAP_EXCEEDED",
+        "shrink": "PATCHED",  # yes→yes (100>=10): no budget consumed
+    }
+    vals = {r["key"]: r["body"]["n"] for r in store.current().collect()}
+    assert vals == {"m1": 50, "u1": 41, "u2": 42, "u3": 3, "shrink": 100}
+    # u3's row reverted entirely (no meta stamp, no event)
+    ev_keys = {r["key"] for r in store.changes().collect()}
+    assert "u3" not in ev_keys and {"u1", "u2", "shrink"} <= ev_keys
+
+    # (2) create_if_not_exist + failing condition -> rollback
+    res2 = store.patch(
+        ["cnew", "cgood"],
+        [PatchOp(PatchKind.INC, "n", 1)],
+        condition=Cmp("body.n", Op.GE, 100),  # seed n=0 fails
+        create_if_not_exist=True,
+        seed_body=(0, "seed"),
+    )
+    st2 = {r["key"]: r["patch_status"] for r in res2.collect()}
+    assert st2 == {"cnew": "CONDITION_NOT_MET", "cgood": "CONDITION_NOT_MET"}
+    keys_now = {r["key"] for r in store.current().collect()}
+    assert "cnew" not in keys_now and "cgood" not in keys_now
+    assert not any(r["key"] in ("cnew", "cgood") for r in store.changes().collect())
+
+    # created rows that PASS the condition consume budget as (no→yes)
+    # when they match the cap filter post-op (isCreate => preMatched
+    # false, swamp_patch.go:250-252)
+    res3 = store.patch(
+        ["cbig1", "cbig2"],
+        [PatchOp(PatchKind.INC, "n", 100)],
+        create_if_not_exist=True,
+        seed_body=(0, "c"),
+        cap=Cap(Cmp("body.n", Op.GE, 10), 6),
+    )
+    st3 = {r["key"]: r["patch_status"] for r in res3.collect()}
+    # pre-count: m1(50), shrink(100), u1(41), u2(42) = 4 -> budget 2,
+    # both creates fit
+    assert st3 == {"cbig1": "CREATED", "cbig2": "CREATED"}
+    res4 = store.patch(
+        ["cbig3", "cbig4"],
+        [PatchOp(PatchKind.INC, "n", 100)],
+        create_if_not_exist=True,
+        seed_body=(0, "c"),
+        cap=Cap(Cmp("body.n", Op.GE, 10), 7),  # pre=6 -> budget 1
+    )
+    st4 = {r["key"]: r["patch_status"] for r in res4.collect()}
+    assert st4 == {"cbig3": "CREATED", "cbig4": "CAP_EXCEEDED"}
+    keys_now = {r["key"] for r in store.current().collect()}
+    assert "cbig3" in keys_now and "cbig4" not in keys_now  # capped create rolled back
 
 
 def test_store_patch_each_per_key_oplists(spark, tmp_path):
@@ -556,14 +638,90 @@ def test_store_patch_each_per_key_oplists(spark, tmp_path):
     ev = [(r["key"], r["op"]) for r in store.changes().collect()]
     assert ("a", "UPDATED") in ev and ("b", "UPDATED") in ev
     assert not any(k == "c" for k, _ in ev)
-    # duplicate keys are a request error
-    import pytest as _pytest
 
-    with _pytest.raises(ValueError):
-        store.patch_each(
-            [("a", [PatchOp(PatchKind.INC, "n", 1)], None),
-             ("a", [PatchOp(PatchKind.INC, "n", 2)], None)]
+
+def test_store_patch_each_duplicate_keys_sequential(spark, tmp_path):
+    """proto:2995-3001: duplicate keys run sequentially in declaration
+    order, each patch observing the prior patch's mutated body — the
+    documented partial-accept-counter pattern (five Inc(+1) under
+    'n < 3' stop cleanly at the cap). Response has one row PER PATCH
+    ENTRY in request order."""
+    from hydraide_spark.operators.mutate import PatchKind, PatchMeta, PatchOp
+
+    store = TreasureStore(spark, str(tmp_path / "dupstore"))
+    store.init(
+        spark.createDataFrame(
+            [("ctr", (0, "x")), ("other", (7, "y"))],
+            "key string, body struct<n:bigint,tag:string>",
         )
+    )
+    v0 = store.version
+    inc = [PatchOp(PatchKind.INC, "n", 1)]
+    under3 = Cmp("body.n", Op.LT, 3)
+    res = store.patch_each(
+        [("ctr", inc, under3)] * 5 + [("other", inc, None)]
+    )
+    rows = sorted(res.collect(), key=lambda r: r["patch_index"])
+    assert [r["patch_status"] for r in rows] == [
+        "PATCHED", "PATCHED", "PATCHED",          # n: 0→1→2→3
+        "CONDITION_NOT_MET", "CONDITION_NOT_MET",  # 3 < 3 fails
+        "PATCHED",                                 # other
+    ]
+    assert [r["patch_index"] for r in rows] == [0, 1, 2, 3, 4, 5]
+    assert store.version == v0 + 1  # still ONE version write
+    state = {r["key"]: r["body"]["n"] for r in store.current().collect()}
+    assert state == {"ctr": 3, "other": 8}
+
+
+def test_store_patch_each_per_patch_meta_overrides(spark, tmp_path):
+    """proto:3063-3070: a per-patch Meta fully REPLACES the
+    request-level Meta for that patch (no merging); per-key ExpiredAt
+    slides are the proto's stated use case."""
+    from datetime import timezone
+
+    from hydraide_spark.operators.mutate import PatchKind, PatchMeta, PatchOp
+
+    store = TreasureStore(spark, str(tmp_path / "metastore"))
+    store.init(
+        spark.createDataFrame(
+            [("d1", (1, "a"), datetime(2020, 1, 1)),
+             ("d2", (2, "b"), datetime(2020, 1, 1)),
+             ("d3", (3, "c"), datetime(2020, 1, 1))],
+            "key string, body struct<n:bigint,tag:string>, expired_at timestamp",
+        )
+    )
+    t1 = 1_800_000_000_000_000
+    t2 = 1_900_000_000_000_000
+    inc = [PatchOp(PatchKind.INC, "n", 1)]
+    res = store.patch_each(
+        [
+            ("d1", inc, None),  # request-level meta applies
+            ("d2", inc, None, PatchMeta(set_expired_at=t2)),  # REPLACES: no updated_by
+            ("d3", inc, None, PatchMeta(clear_expired_at=True, updated_by="p3")),
+        ],
+        meta=PatchMeta(updated_at=True, updated_by="req", set_expired_at=t1),
+        now_us=1_700_000_000_000_000,
+    )
+    assert {r["key"]: r["patch_status"] for r in res.collect()} == {
+        "d1": "PATCHED", "d2": "PATCHED", "d3": "PATCHED",
+    }
+    state = {r["key"]: r for r in store.current().collect()}
+
+    def us(ts):
+        return None if ts is None else int(
+            ts.replace(tzinfo=timezone.utc).timestamp() * 1_000_000
+        )
+
+    assert state["d1"]["updated_by"] == "req"
+    assert state["d1"]["updated_at_us"] == 1_700_000_000_000_000
+    assert us(state["d1"]["expired_at"]) == t1
+    # d2: per-patch meta replaced the request meta entirely
+    assert state["d2"]["updated_by"] is None
+    assert state["d2"]["updated_at_us"] is None
+    assert us(state["d2"]["expired_at"]) == t2
+    # d3: clear precedence + own updated_by
+    assert state["d3"]["updated_by"] == "p3"
+    assert state["d3"]["expired_at"] is None
 
 
 def test_many_fanout_claims_tagged_per_swamp(spark, tmp_path):
@@ -737,6 +895,55 @@ def test_neardup_ingest_loop_converges_to_batch(spark, tmp_path):
     # no duplicate discoveries across batches
     rows = ingested_pairs(spark, state).collect()
     assert len(rows) == len({(r["id_a"], r["id_b"]) for r in rows})
+
+
+def test_neardup_ingest_retried_epoch_is_idempotent(spark, tmp_path):
+    """r7 advice: a retried micro-batch must not duplicate rows in
+    pairs/bands/shingles. The ingest writes are epoch-keyed overwrites,
+    so replaying an epoch — including after its index writes landed —
+    leaves every table exactly as a single clean run would."""
+    from hydraide_spark.functions.dedup import minhash_neardup_pairs
+    from hydraide_spark.streaming import ingested_pairs
+    from hydraide_spark.streaming.dedup_stream import make_ingest
+
+    schema = "doc_id long, text string"
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    b0 = spark.createDataFrame([(1, base), (2, base + " ok")], schema)
+    b1 = spark.createDataFrame([(3, base), (4, "unrelated words here")], schema)
+    state = str(tmp_path / "retry_state")
+    ingest = make_ingest(spark, state, tau=0.6)
+
+    ingest(b0, 0)
+    # epoch 1 runs fully, then is RETRIED (driver restart after all
+    # writes landed but before the offset commit — the worst case: its
+    # own bands are already in the index when the retry probes)
+    ingest(b1, 1)
+    clean = sorted(
+        (r["id_a"], r["id_b"], r["inter"], r["union"])
+        for r in ingested_pairs(spark, state).collect()
+    )
+    ingest(b1, 1)  # retry
+    retried = sorted(
+        (r["id_a"], r["id_b"], r["inter"], r["union"])
+        for r in ingested_pairs(spark, state).collect()
+    )
+    assert retried == clean and len(clean) == len(set(clean))
+    # index tables also deduplicated: a fresh epoch still pairs
+    # correctly against an index containing exactly one copy of 1..4
+    ingest(spark.createDataFrame([(5, base + " ok")], schema), 2)
+    final = {
+        (r["id_a"], r["id_b"]) for r in ingested_pairs(spark, state).collect()
+    }
+    full = spark.createDataFrame(
+        [(1, base), (2, base + " ok"), (3, base), (4, "unrelated words here"),
+         (5, base + " ok")],
+        schema,
+    )
+    expect = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_neardup_pairs(full, tau=0.6, n=3, k=16, bands=4).collect()
+    }
+    assert final == expect
 
 
 def test_index_maintenance_loop_incremental_postings(spark, tmp_path):

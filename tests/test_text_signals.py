@@ -567,3 +567,38 @@ def test_bpe_merge_loop_hypothesis_vs_naive_reference():
         assert got == _py_bpe(eligible, n_merges, min_freq)
 
     check()
+
+
+def test_rrf_fuse_hand_computed(spark):
+    """RRF fusion arithmetic (Cormack et al. '09): 1/(k0+rank) summed
+    in list order; docs missing from a list contribute 0 there; topk
+    cuts with a deterministic id tiebreak."""
+    from hydraide_spark.functions.retrieval import ranked_list, rrf_fuse
+
+    lex = spark.createDataFrame(
+        [(1, 1), (2, 2), (3, 3)], "doc_id long, rank int"
+    )
+    dense = spark.createDataFrame(
+        [(2, 1), (4, 2)], "doc_id long, rank int"
+    )
+    out = {r["doc_id"]: r for r in rrf_fuse([lex, dense], k0=60).collect()}
+    assert out[2]["rrf"] == 1.0 / 62 + 1.0 / 61  # both lists
+    assert out[1]["rrf"] == 1.0 / 61             # lexical only
+    assert out[4]["rrf"] == 1.0 / 62             # dense only
+    assert out[1]["rank_1"] is None and out[4]["rank_0"] is None
+
+    # topk + tiebreak: docs 1 and 4 tie at rank-sum symmetry? no —
+    # construct an exact tie: both appear in exactly one list at the
+    # same rank -> equal rrf, lower doc_id wins the cut
+    lex2 = spark.createDataFrame([(9, 1)], "doc_id long, rank int")
+    dense2 = spark.createDataFrame([(5, 1)], "doc_id long, rank int")
+    kept = rrf_fuse([lex2, dense2], k0=60, topk=1).collect()
+    assert [r["doc_id"] for r in kept] == [5]
+
+    # ranked_list: deterministic dense-rank ordering with id tiebreak
+    scored = spark.createDataFrame(
+        [(10, 0.5), (11, 0.9), (12, 0.9), (13, 0.1)],
+        "doc_id long, score double",
+    )
+    rl = {r["doc_id"]: r["rank"] for r in ranked_list(scored, "doc_id", "score", topk=3).collect()}
+    assert rl == {11: 1, 12: 2, 10: 3}
