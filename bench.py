@@ -155,6 +155,7 @@ HEADLINE = [
     "reverse_index_search",
     "bm25_ranked_search",
     "hybrid_search_rrf",
+    "mmr_diversified_rerank",
     "phrase_search_via_index",
     "text_quality_tokens",
     "quality_classifier_docs",

@@ -39,17 +39,22 @@ def ranked_list(
     ascending: bool = False,
 ) -> DataFrame:
     """(id, score) -> (id, rank) with rank 1..topk, deterministic
-    tiebreak on id ASC. One window over the scored frame — at scale
-    this is per-query top-k (use a partitionBy variant upstream for
-    multi-query batches)."""
-    order = (
-        F.col(score_col).asc() if ascending else F.col(score_col).desc()
-    )
-    w = W.orderBy(order, F.col(id_col).asc())
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= topk)
-        .select(id_col, "rank")
+    tiebreak on id ASC.
+
+    Scale shape: ``orderBy().limit(k)`` compiles to
+    ``TakeOrderedAndProject`` — per-partition top-k then a k·P merge on
+    the driver-side reduce, NEVER a global sort or a single-partition
+    window over the corpus (tests/test_plans.py pins this). The
+    row_number window then runs over ≤ k rows, so its single partition
+    is bounded by the request, not the data."""
+    order = [
+        (F.col(score_col).asc() if ascending else F.col(score_col).desc()),
+        F.col(id_col).asc(),
+    ]
+    top = scored.orderBy(*order).limit(topk)
+    w = W.orderBy(*order)
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        id_col, "rank"
     )
 
 
@@ -91,3 +96,96 @@ def rrf_fuse(
             .drop("_rn")
         )
     return out
+
+
+def _mmr_greedy(
+    ids: Sequence[int],
+    rels: dict,
+    sims: dict,
+    k: int,
+    lam: float,
+) -> list[int]:
+    """Pure greedy MMR (Carbonell & Goldstein, SIGIR'98) over a bounded
+    candidate set: repeatedly pick
+    ``argmax lam*rel(c) - (1-lam)*max_{s∈S} sim(c, s)`` (second term 0
+    while S is empty), tiebreak on id ASC. ``sims`` maps (ia, ib) →
+    similarity for ia ≠ ib; missing pairs count as similarity 0.
+    Deterministic, side-effect free — hypothesis-tested against a
+    brute-force reference without Spark."""
+    remaining = sorted(ids)
+    selected: list[int] = []
+    for _ in range(min(k, len(remaining) + len(selected))):
+        if not remaining:
+            break
+        best = None
+        best_score = None
+        for c in remaining:
+            if selected:
+                penalty = max(sims.get((c, s), 0.0) for s in selected)
+            else:
+                penalty = 0.0
+            score = lam * rels[c] - (1.0 - lam) * penalty
+            if best_score is None or score > best_score:
+                best, best_score = c, score
+        selected.append(best)
+        remaining.remove(best)
+    return selected
+
+
+def mmr_rerank(
+    candidates: DataFrame,
+    k: int,
+    lam: float = 0.5,
+    id_col: str = "doc_id",
+    rel_col: str = "rel",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal-marginal-relevance rerank of a BOUNDED candidate list
+    (the retrieval stack's last stage: diversify the top-k a RAG
+    context window actually receives).
+
+    ``candidates`` must already be a top-N cut (use
+    :func:`ranked_list`-style TakeOrdered upstream) — N is request-
+    sized, never corpus-sized. The pairwise similarity matrix is an
+    N×N broadcast self-join computed BY SPARK (so the doubles match
+    the engine-stable cosine fold bit-for-bit), then the inherently
+    sequential greedy loop runs driver-side over the collected N + N²
+    rows — the same documented bounded-collect pattern as the
+    driver-side BPE trainer (functions/text.py). At 100 TB nothing
+    here touches the corpus: candidate generation upstream carries
+    the scale plan.
+
+    Returns (id_col, mmr_rank) — rank-only output: the selection
+    SEQUENCE is the semantic result, and emitting no recomputed floats
+    keeps the DuckDB oracle comparison exact.
+    """
+    from ..query.filters import cosine_similarity
+
+    spark = candidates.sparkSession
+    c = candidates.select(
+        F.col(id_col), F.col(rel_col).cast("double"), F.col(vec_col)
+    ).persist()
+    a = c.alias("a")
+    b = c.alias("b")
+    sims_df = (
+        a.join(
+            F.broadcast(b), F.col(f"a.{id_col}") != F.col(f"b.{id_col}")
+        ).select(
+            F.col(f"a.{id_col}").alias("ia"),
+            F.col(f"b.{id_col}").alias("ib"),
+            cosine_similarity(
+                F.col(f"a.{vec_col}").cast("array<double>"),
+                F.col(f"b.{vec_col}").cast("array<double>"),
+            ).alias("s"),
+        )
+    )
+    rel_rows = c.select(id_col, rel_col).collect()  # bounded: N candidates
+    sim_rows = sims_df.collect()  # bounded: N*(N-1)
+    c.unpersist()
+    rels = {r[0]: float(r[1]) for r in rel_rows}
+    sims = {(r["ia"], r["ib"]): float(r["s"]) for r in sim_rows}
+    order = _mmr_greedy(sorted(rels), rels, sims, k, lam)
+    return spark.createDataFrame(
+        [(i, rank + 1) for rank, i in enumerate(order)],
+        f"{id_col} long, mmr_rank long",
+    )

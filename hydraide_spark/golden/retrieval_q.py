@@ -127,3 +127,76 @@ def hybrid_search_rrf(spark, sf_dir):
     return fused.select(
         big("doc_id").alias("doc_id"), "rank_0", "rank_1", "rrf"
     )
+
+
+def _dot64(a: str, b: str) -> str:
+    # same left-fold operand order as query.filters.dot_product
+    # (pinned bit-exact cross-engine by tests/test_vectors_stable.py)
+    return f"list_sum(list_transform(range(1, 65), i -> ({a})[i] * ({b})[i]))"
+
+
+def _cos64(a: str, b: str) -> str:
+    return f"(({_dot64(a, b)}) / (sqrt({_dot64(a, a)}) * sqrt({_dot64(b, b)})))"
+
+
+@golden(
+    "mmr_diversified_rerank",
+    oracle=f"""
+    WITH RECURSIVE e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+    scored AS (SELECT e.vec_id, {_cos64('e.v', 'q.qv')} AS rel FROM e, q),
+    cand AS (SELECT vec_id, rel FROM scored ORDER BY rel DESC, vec_id ASC LIMIT 20),
+    cv AS (SELECT c.vec_id, c.rel, e.v FROM cand c JOIN e USING (vec_id)),
+    sims AS (
+      SELECT a.vec_id AS ia, b.vec_id AS ib, {_cos64('a.v', 'b.v')} AS s
+      FROM cv a JOIN cv b ON a.vec_id <> b.vec_id
+    ),
+    pick(step, sel) AS (
+      SELECT 1, [(SELECT vec_id FROM cand ORDER BY rel DESC, vec_id ASC LIMIT 1)]
+      UNION ALL
+      SELECT p.step + 1,
+             list_append(p.sel, (
+               SELECT c.vec_id FROM cand c
+               WHERE NOT list_contains(p.sel, c.vec_id)
+               ORDER BY ('0.5'::DOUBLE * c.rel - '0.5'::DOUBLE * (
+                          SELECT MAX(s.s) FROM sims s
+                          WHERE s.ia = c.vec_id AND list_contains(p.sel, s.ib))) DESC,
+                        c.vec_id ASC
+               LIMIT 1))
+      FROM pick p WHERE p.step < 8
+    )
+    SELECT CAST(f.sel[i] AS BIGINT) AS vec_id, CAST(i AS BIGINT) AS mmr_rank
+    FROM (SELECT sel FROM pick WHERE step = 8) f,
+         unnest(range(1, 9)) AS t(i)
+    """,
+)
+def mmr_diversified_rerank(spark, sf_dir):
+    """Maximal-marginal-relevance rerank (Carbonell & Goldstein '98) of
+    the top-20 cosine candidates for query vec 0: greedy
+    ``argmax 0.5*rel - 0.5*max_sim_to_selected``, 8 picks, tiebreak
+    id ASC. Candidate generation is a TakeOrdered cut; the N×N sim
+    matrix is a broadcast self-join; the sequential greedy runs
+    driver-side over the bounded collect (functions/retrieval.py::
+    mmr_rerank). The oracle replays the full greedy as a recursive CTE
+    accumulating the selected list — every float op (left-fold cosine,
+    exact 0.5 scaling, one subtraction) is bit-identical cross-engine,
+    so the selection SEQUENCE matches exactly; rank-only output keeps
+    the comparison integer-exact."""
+    from ..functions.retrieval import mmr_rerank
+    from ..query.filters import cosine_similarity
+
+    emb = t(spark, sf_dir, "embeddings")
+    qv = _query_vec(spark, sf_dir, 0)
+    scored = emb.select(
+        "vec_id",
+        "embedding",
+        cosine_similarity(
+            F.col("embedding").cast("array<double>"),
+            F.array(*[F.lit(x) for x in qv]).cast("array<double>"),
+        ).alias("rel"),
+    )
+    cand = scored.orderBy(F.col("rel").desc(), F.col("vec_id").asc()).limit(20)
+    out = mmr_rerank(
+        cand, k=8, lam=0.5, id_col="vec_id", rel_col="rel", vec_col="embedding"
+    )
+    return out.select(big("vec_id").alias("vec_id"), big("mmr_rank").alias("mmr_rank"))

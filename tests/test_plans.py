@@ -103,6 +103,16 @@ def test_claim_selection_is_top_k(spark, Q):
     assert "TakeOrderedAndProject" in plan
 
 
+def test_hybrid_search_candidate_lists_are_take_ordered(spark, Q):
+    """Both RRF candidate generators must cut to top-k via the
+    distributed TakeOrderedAndProject heap — a global window over the
+    full scored corpus would funnel everything through one partition
+    at 100 TB."""
+    df = Q["hybrid_search_rrf"](spark, SF)
+    plan = physical_plan(df)
+    assert plan.count("TakeOrderedAndProject") >= 2  # lex + dense cuts
+
+
 def test_salted_join_matches_plain_join(spark):
     from hydraide_spark.operators.skew import salted_join
     from pyspark.sql import functions as F

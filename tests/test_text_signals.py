@@ -602,3 +602,72 @@ def test_rrf_fuse_hand_computed(spark):
     )
     rl = {r["doc_id"]: r["rank"] for r in ranked_list(scored, "doc_id", "score", topk=3).collect()}
     assert rl == {11: 1, 12: 2, 10: 3}
+
+
+def test_mmr_greedy_hypothesis_vs_bruteforce():
+    """_mmr_greedy must equal a transparently-written reference
+    implementation on random bounded instances (ids, rels, sims)."""
+    from hypothesis import given, settings, strategies as st
+
+    from hydraide_spark.functions.retrieval import _mmr_greedy
+
+    def ref_mmr(ids, rels, sims, k, lam):
+        sel, rem = [], sorted(ids)
+        while rem and len(sel) < k:
+            scored = []
+            for c in rem:
+                pen = max((sims.get((c, s), 0.0) for s in sel), default=0.0)
+                scored.append((-(lam * rels[c] - (1 - lam) * pen), c))
+            scored.sort()
+            sel.append(scored[0][1])
+            rem.remove(scored[0][1])
+        return sel
+
+    # draw rels/sims from a SMALL grid so ties actually occur and the
+    # id tiebreak is exercised
+    grid = st.sampled_from([0.0, 0.25, 0.5, 0.75, 1.0])
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        n=st.integers(2, 8),
+        k=st.integers(1, 8),
+        lam=st.sampled_from([0.0, 0.3, 0.5, 1.0]),
+        data=st.data(),
+    )
+    def check(n, k, lam, data):
+        ids = list(range(n))
+        rels = {i: data.draw(grid) for i in ids}
+        sims = {}
+        for i in ids:
+            for j in ids:
+                if i < j:
+                    s = data.draw(grid)
+                    sims[(i, j)] = s
+                    sims[(j, i)] = s
+        assert _mmr_greedy(ids, rels, sims, k, lam) == ref_mmr(
+            ids, rels, sims, k, lam
+        )
+
+    check()
+
+
+def test_mmr_rerank_diversifies(spark):
+    """End-to-end: with two tight clusters and lam=0.5, MMR must not
+    fill the top ranks from one cluster the way pure relevance would."""
+    from hydraide_spark.functions.retrieval import mmr_rerank
+
+    # cluster A: near-identical high-rel vectors; cluster B: orthogonal,
+    # slightly lower rel
+    rows = [
+        (1, 0.99, [1.0, 0.0, 0.01]),
+        (2, 0.98, [1.0, 0.0, 0.02]),
+        (3, 0.97, [1.0, 0.0, 0.03]),
+        (4, 0.80, [0.0, 1.0, 0.0]),
+    ]
+    cand = spark.createDataFrame(
+        rows, "doc_id long, rel double, embedding array<double>"
+    )
+    out = {r["mmr_rank"]: r["doc_id"] for r in mmr_rerank(cand, k=3).collect()}
+    assert out[1] == 1           # best rel first
+    assert out[2] == 4           # orthogonal doc beats near-dup 2
+    assert out[3] in (2, 3)

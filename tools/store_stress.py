@@ -142,6 +142,19 @@ def run_ops(spark, store: TreasureStore, n: int) -> dict[str, float]:
             ops=[PatchOp(PatchKind.INC, "n", 1)],
         )
     )
+    # r8: PatchTreasures with the reference-exact Cap budget — the
+    # pre-count is one scan-side aggregate, the request-order window is
+    # bounded by the 1000-key batch; b should match the other fixed-
+    # batch ops (the version rewrite dominates)
+    keys_mid = [f"k{(n // 2) + i:012d}" for i in range(1000)]
+    t["store_patch_cap_1k"] = timed(
+        lambda: store.patch(
+            keys_mid,
+            [PatchOp(PatchKind.INC, "n", 1)],
+            condition=Cmp("body.n", Op.GE, 0),
+            cap=Cap(Cmp("body.n", Op.GE, 50), 10_000_000),
+        )
+    )
     t["store_compact"] = timed(lambda: store.compact())
     t["store_snapshot_read"] = timed(lambda: store.current().count())
     return t
