@@ -1,3 +1,8 @@
+from .ann_stream import (
+    ivf_query_persisted,
+    persisted_cells,
+    run_ivf_ingest_loop,
+)
 from .dedup_stream import ingested_pairs, run_neardup_ingest_loop
 from .rollup import rollup_batch, run_rollup_maintenance_loop
 from .subscribe import (
@@ -12,6 +17,9 @@ from .subscribe import (
 )
 
 __all__ = [
+    "ivf_query_persisted",
+    "persisted_cells",
+    "run_ivf_ingest_loop",
     "ingested_pairs",
     "run_neardup_ingest_loop",
     "rollup_batch",

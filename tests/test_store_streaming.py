@@ -1458,3 +1458,84 @@ def test_streaming_histogram_converges_to_batch_bins(spark, tmp_path):
     assert got == exp
     assert len(got) <= 20
     assert sum(got.values()) == 101  # the out-of-domain row clamped, not dropped
+
+
+def test_ivf_ingest_loop_converges_to_batch(spark, tmp_path):
+    """Streaming IVF index maintenance: per-batch nearest-centroid cell
+    assignment into a cell-partitioned persisted index must answer
+    queries EXACTLY like the batch ivf_topk over the full corpus with
+    the same model — incremental ≡ batch across the persisted-state
+    boundary, and the probe must partition-prune the index read."""
+    from hydraide_spark.functions.vector import ivf_topk, train_ivf_centroids
+    from hydraide_spark.plans.inspect import physical_plan
+    from hydraide_spark.sources.tables import load_table
+    from hydraide_spark.streaming.ann_stream import (
+        ivf_query_persisted,
+        run_ivf_ingest_loop,
+    )
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings").select(
+        "vec_id", "embedding"
+    )
+    cents = train_ivf_centroids(emb, n_centroids=8)
+
+    src = tmp_path / "vecs_in"
+    src.mkdir()
+    for i in range(3):
+        emb.filter(F.col("vec_id") % 3 == i).coalesce(1).write.parquet(
+            str(src / f"b{i}")
+        )
+    stream = (
+        spark.readStream.schema("vec_id long, embedding array<float>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    state = str(tmp_path / "ivf_state")
+    q = run_ivf_ingest_loop(spark, stream, state, cents)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    got_df = ivf_query_persisted(
+        spark, state, queries, k=5, centroids=cents, nprobe=2
+    )
+    got = {(r["query_id"], r["vec_id"]): r["score"] for r in got_df.collect()}
+    want = {
+        (r["query_id"], r["vec_id"]): r["score"]
+        for r in ivf_topk(emb, queries, k=5, centroids=cents, nprobe=2).collect()
+    }
+    assert set(got) == set(want)
+    for key in want:
+        assert abs(got[key] - want[key]) < 1e-12
+
+    # the index scan must carry a literal partition filter on cell
+    plan = physical_plan(got_df)
+    assert "PartitionFilters" in plan and "cell" in plan.split("PartitionFilters", 1)[1][:200]
+
+
+def test_ivf_ingest_retried_epoch_is_idempotent(spark, tmp_path):
+    """Replaying an epoch (foreachBatch retry) must leave the persisted
+    index with exactly one copy of its vectors — epoch-keyed overwrite,
+    same contract as the near-dup ingest."""
+    from hydraide_spark.functions.vector import train_ivf_centroids
+    from hydraide_spark.sources.tables import load_table
+    from hydraide_spark.streaming.ann_stream import make_ivf_ingest, persisted_cells
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings").select(
+        "vec_id", "embedding"
+    )
+    cents = train_ivf_centroids(emb, n_centroids=8)
+    state = str(tmp_path / "ivf_retry")
+    ingest = make_ivf_ingest(spark, state, cents)
+    b0 = emb.filter(F.col("vec_id") < 100)
+    b1 = emb.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 200))
+    ingest(b0, 0)
+    ingest(b1, 1)
+    ingest(b1, 1)  # retry after full write
+    idx = persisted_cells(spark, state)
+    assert idx.count() == 200
+    assert idx.select("vec_id").distinct().count() == 200
