@@ -156,6 +156,7 @@ HEADLINE = [
     "bm25_ranked_search",
     "hybrid_search_rrf",
     "mmr_diversified_rerank",
+    "hybrid_search_rrf_batch",
     "phrase_search_via_index",
     "text_quality_tokens",
     "quality_classifier_docs",

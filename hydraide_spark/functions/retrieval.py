@@ -58,24 +58,48 @@ def ranked_list(
     )
 
 
+def ranked_list_grouped(
+    scored: DataFrame,
+    id_col: str,
+    score_col: str,
+    topk: int,
+    group_col: str,
+) -> DataFrame:
+    """Per-group (id, rank): row_number window PARTITIONED on the group
+    key — the grouped-top-k shape (parallel across groups, same plan as
+    the `topk_per_group` golden). For a single global list prefer
+    :func:`ranked_list` (TakeOrderedAndProject)."""
+    w = W.partitionBy(group_col).orderBy(
+        F.col(score_col).desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= topk)
+        .select(group_col, id_col, "rank")
+    )
+
+
 def rrf_fuse(
     ranked: Sequence[DataFrame],
     id_col: str = "doc_id",
     k0: int = 60,
     topk: Optional[int] = None,
+    group_col: Optional[str] = None,
 ) -> DataFrame:
     """Fuse ranked lists — each a frame with (id_col, rank) where rank
-    is 1-based — into ``(id_col, rank_0..rank_{n-1}, rrf)``. A doc
-    missing from a list contributes 0 for that list. ``topk`` keeps the
-    best fused rows (tiebreak id ASC)."""
+    is 1-based, plus ``group_col`` when fusing a query BATCH — into
+    ``(…, rank_0..rank_{n-1}, rrf)``. A doc missing from a list
+    contributes 0 for that list. ``topk`` keeps the best fused rows
+    per group (tiebreak id ASC)."""
     if not ranked:
         raise ValueError("rrf_fuse: need at least one ranked list")
+    keys = ([group_col] if group_col else []) + [id_col]
     out = None
     for i, r in enumerate(ranked):
         ri = r.select(
-            F.col(id_col), F.col("rank").cast("long").alias(f"rank_{i}")
+            *keys, F.col("rank").cast("long").alias(f"rank_{i}")
         )
-        out = ri if out is None else out.join(ri, id_col, "full_outer")
+        out = ri if out is None else out.join(ri, keys, "full_outer")
     score = None
     for i in range(len(ranked)):
         contrib = F.when(
@@ -84,18 +108,81 @@ def rrf_fuse(
         ).otherwise(F.lit(0.0))
         score = contrib if score is None else score + contrib
     out = out.select(
-        id_col,
+        *keys,
         *[F.col(f"rank_{i}") for i in range(len(ranked))],
         score.alias("rrf"),
     )
     if topk is not None:
-        w = W.orderBy(F.col("rrf").desc(), F.col(id_col).asc())
+        w = (W.partitionBy(group_col) if group_col else W).orderBy(
+            F.col("rrf").desc(), F.col(id_col).asc()
+        )
         out = (
             out.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") <= topk)
             .drop("_rn")
         )
     return out
+
+
+def bm25_terms_multi(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    query_terms: Sequence[tuple],
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Per-(query_id, doc, word) BM25 term scores for a BATCH of
+    bag-of-words queries — the multi-tenant form of
+    :func:`..functions.text.bm25_terms` (same formula, same
+    DECIMAL(28,6) exactness contract). ``query_terms`` is
+    ``[(query_id, [word, ...]), ...]``.
+
+    Plan shape: postings are built ONCE, filtered to the union of all
+    query words; the (query_id, word) map joins in as a broadcast dim,
+    so a batch of B queries costs one corpus scan + one tiny broadcast
+    more than a single query — never B scans. idf is per-word
+    (query-independent), shared across queries."""
+    from .text import postings, token_count
+
+    spark = df.sparkSession
+    all_words = sorted({w for _, ws in query_terms for w in ws})
+    dl = df.select(
+        F.col(id_col), token_count(F.col(text_col)).alias("dl")
+    ).persist()
+    stats = dl.agg(F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl"))
+    post = (
+        postings(df, id_col, text_col)
+        .filter(F.col("word").isin(all_words))
+        .select("word", id_col, "tf")
+        .persist()
+    )
+    dfreq = post.groupBy("word").agg(F.count(F.lit(1)).alias("dfreq"))
+    qt = spark.createDataFrame(
+        [(int(qid), w) for qid, ws in query_terms for w in ws],
+        "query_id long, word string",
+    )
+    joined = (
+        post.join(F.broadcast(qt), "word")
+        .join(F.broadcast(dfreq), "word")
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(stats))
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("dfreq") + F.lit(0.5))
+        / (F.col("dfreq") + F.lit(0.5))
+    )
+    tf_norm = (F.col("tf") * F.lit(k1 + 1.0)) / (
+        F.col("tf")
+        + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
+    )
+    return joined.select(
+        F.col("query_id"),
+        F.col(id_col),
+        F.col("word"),
+        F.round(idf * tf_norm, 6).cast("decimal(28,6)").alias("term_score"),
+    )
 
 
 def _mmr_greedy(

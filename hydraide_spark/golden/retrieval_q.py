@@ -200,3 +200,137 @@ def mmr_diversified_rerank(spark, sf_dir):
         cand, k=8, lam=0.5, id_col="vec_id", rel_col="rel", vec_col="embedding"
     )
     return out.select(big("vec_id").alias("vec_id"), big("mmr_rank").alias("mmr_rank"))
+
+
+@golden(
+    "hybrid_search_rrf_batch",
+    oracle=f"""
+    WITH dl AS (
+      SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+      FROM documents
+    ),
+    stats AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl),
+    qt(query_id, word) AS (
+      VALUES (0,'stream'),(0,'data'),(0,'query'),
+             (1,'join'),(1,'hash'),(1,'scan'),
+             (2,'vector'),(2,'window'),(2,'sort')
+    ),
+    tf AS (
+      SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+      WHERE word IN ('stream','data','query','join','hash','scan',
+                     'vector','window','sort')
+      GROUP BY doc_id, word
+    ),
+    dfreq AS (SELECT word, COUNT(*) AS dfreq FROM tf GROUP BY word),
+    term AS (
+      SELECT q.query_id, tf.doc_id,
+             CAST(round(
+               ln(1.0::DOUBLE + (n_docs - dfreq + 0.5::DOUBLE) / (dfreq + 0.5::DOUBLE))
+               * (tf * 2.2::DOUBLE)
+               / (tf + 1.2::DOUBLE * (0.25::DOUBLE + 0.75::DOUBLE * dl / avgdl)),
+               6) AS DECIMAL(28,6)) AS term_score
+      FROM tf
+      JOIN qt q USING (word)
+      JOIN dfreq USING (word)
+      JOIN dl USING (doc_id)
+      CROSS JOIN stats
+    ),
+    lex_scored AS (
+      SELECT query_id, doc_id, SUM(term_score) AS score
+      FROM term GROUP BY query_id, doc_id
+    ),
+    lex AS (
+      SELECT query_id, doc_id, rn AS rank FROM (
+        SELECT query_id, doc_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY score DESC, doc_id ASC) AS rn
+        FROM lex_scored
+      ) WHERE rn <= 50
+    ),
+    q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+          FROM embeddings WHERE vec_id < 3),
+    dense_scored AS (
+      SELECT q.query_id, e.vec_id AS doc_id,
+             {{COS}} AS score
+      FROM embeddings e, q
+    ),
+    dense AS (
+      SELECT query_id, doc_id, rn AS rank FROM (
+        SELECT query_id, doc_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY score DESC, doc_id ASC) AS rn
+        FROM dense_scored
+      ) WHERE rn <= 50
+    ),
+    fused AS (
+      SELECT COALESCE(l.query_id, d.query_id) AS query_id,
+             COALESCE(l.doc_id, d.doc_id) AS doc_id,
+             CAST(l.rank AS BIGINT) AS rank_0,
+             CAST(d.rank AS BIGINT) AS rank_1,
+             (CASE WHEN l.rank IS NOT NULL
+                   THEN 1.0::DOUBLE / (60.0::DOUBLE + l.rank) ELSE 0.0::DOUBLE END)
+             + (CASE WHEN d.rank IS NOT NULL
+                     THEN 1.0::DOUBLE / (60.0::DOUBLE + d.rank) ELSE 0.0::DOUBLE END)
+               AS rrf
+      FROM lex l FULL OUTER JOIN dense d
+        ON l.query_id = d.query_id AND l.doc_id = d.doc_id
+    )
+    SELECT CAST(query_id AS BIGINT) AS query_id,
+           CAST(doc_id AS BIGINT) AS doc_id, rank_0, rank_1, rrf FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY rrf DESC, doc_id ASC) AS rn
+      FROM fused
+    ) WHERE rn <= 10
+    """.replace("{COS}", _cos_sql("e.embedding::DOUBLE[]", "q.qv")),
+)
+def hybrid_search_rrf_batch(spark, sf_dir):
+    """The multi-tenant production shape of hybrid search: a BATCH of
+    3 queries (each a bag of words + a query vector) retrieved in ONE
+    pass — postings built once with the (query_id, word) map joined as
+    a broadcast dim (B queries cost one corpus scan, not B), dense side
+    via the broadcast-query cosine_topk, per-query rank windows
+    PARTITIONED on query_id (parallel across queries; at 100 TB the
+    dense generator swaps in the partition-pruned IVF probe), RRF
+    fused per query, top-10 each. Same float-exactness contract as
+    hybrid_search_rrf."""
+    from ..functions.retrieval import (
+        bm25_terms_multi,
+        ranked_list_grouped,
+        rrf_fuse,
+    )
+    from ..functions.vector import cosine_topk
+
+    bags = [
+        (0, ["stream", "data", "query"]),
+        (1, ["join", "hash", "scan"]),
+        (2, ["vector", "window", "sort"]),
+    ]
+    docs = t(spark, sf_dir, "documents")
+    emb = t(spark, sf_dir, "embeddings")
+
+    lex_scored = (
+        bm25_terms_multi(docs, "doc_id", "text", bags)
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("term_score").alias("score"))
+    )
+    lex = ranked_list_grouped(lex_scored, "doc_id", "score", 50, "query_id")
+
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    dense_scored = cosine_topk(emb, queries, k=50).select(
+        "query_id", F.col("vec_id").alias("doc_id"), "score"
+    )
+    dense = ranked_list_grouped(dense_scored, "doc_id", "score", 50, "query_id")
+
+    fused = rrf_fuse(
+        [lex, dense], id_col="doc_id", k0=60, topk=10, group_col="query_id"
+    )
+    return fused.select(
+        big("query_id").alias("query_id"),
+        big("doc_id").alias("doc_id"),
+        "rank_0",
+        "rank_1",
+        "rrf",
+    )
