@@ -126,6 +126,7 @@ HEADLINE = [
     "embedding_neardup_auto_stable",
     "semantic_dedup_docs",
     "label_centroid_sums",
+    "embedding_drift_report",
     "kmeans_assign_exact",
     "uint32slice_ops",
     "set_upsert_status",

@@ -837,12 +837,18 @@ def group_centroid_sums(df: DataFrame, group_col: str, vec_col: str) -> DataFram
         exploded.groupBy("grp", "pos")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            # widen float->double (exact) BEFORE the decimal cast: a
-            # float32 casts to decimal via its 9-sig-digit shortest
-            # repr, which rounds differently than an engine rounding
-            # the exact binary value; the double's 17-digit repr makes
-            # every engine quantize identically
-            F.sum(F.col("val").cast("double").cast("decimal(28,9)"))
+            # widen float->double (exact), then quantize HALF-EVEN via
+            # bround BEFORE the decimal cast: Spark's plain
+            # double->DECIMAL cast rounds HALF_UP, DuckDB's rounds
+            # HALF_EVEN on the double's shortest repr — a coarse
+            # dyadic float like 0.1494140625 ties exactly at the 1e-9
+            # quantum and the two modes split (observed at sf0.1,
+            # label 8 dim 59). bround = shortest-repr HALF_EVEN, which
+            # is bit-for-bit what DuckDB's cast does; the follow-up
+            # decimal cast of the already-quantized double is exact.
+            F.sum(
+                F.bround(F.col("val").cast("double"), 9).cast("decimal(28,9)")
+            )
             .cast("decimal(28,9)")
             .alias("s"),
         )
@@ -909,3 +915,52 @@ def centroid_means(cent_sums_rows, group_col: str = "label") -> list[tuple[int, 
     return [
         (lab, [acc[lab][d] for d in sorted(acc[lab])]) for lab in sorted(acc)
     ]
+
+
+def centroid_drift(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    group_col: str,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding drift report between two corpus snapshots (dataset QA
+    for a training pipeline: did yesterday's crawl shift the embedding
+    distribution of any source/label?): per group, member counts and
+    the cosine between the two snapshots' EXACT-mean centroids.
+
+    Exactness: per-dimension sums go through DECIMAL(28,9)
+    (:func:`group_centroid_sums` — partition-order independent), means
+    are one decimal→double cast + one division per component, and the
+    centroid cosine is the standard left-fold over components in dim
+    order (arrays assembled with array_sort on (dim, m) structs). The
+    emitted cosine rounds to 10 decimals — the decimal→double cast can
+    drift 1 ulp between engines (CLAUDE.md rule), nine orders below
+    the rounding.
+
+    Scale: two grouped aggregations whose exchanges carry
+    O(groups × dim × partitions) partials, one tiny join on the group
+    key, and a per-row fold — no corpus-sized shuffle, no collect.
+    Groups present in only one snapshot are dropped (inner join);
+    surface them upstream with a count-only diff if needed."""
+
+    def _centroids(df: DataFrame, n_alias: str, c_alias: str) -> DataFrame:
+        sums = group_centroid_sums(df, group_col, vec_col)
+        m = (F.col("s").cast("double") / F.col("n")).alias("m")
+        return sums.groupBy(group_col).agg(
+            F.max("n").alias(n_alias),
+            F.transform(
+                F.array_sort(F.collect_list(F.struct(F.col("dim"), m))),
+                lambda x: x.getField("m"),
+            ).alias(c_alias),
+        )
+
+    a = _centroids(df_a, "n_a", "c_a")
+    b = _centroids(df_b, "n_b", "c_b")
+    return a.join(b, group_col).select(
+        F.col(group_col),
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.round(
+            cosine_similarity(F.col("c_a"), F.col("c_b")), 10
+        ).alias("centroid_cos"),
+    )

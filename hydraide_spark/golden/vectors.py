@@ -192,11 +192,11 @@ def label_centroid_sums(spark, sf_dir):
     group_centroid_sums) — exact long-form vector aggregation: each
     component is cast to DECIMAL before summing so the result is
     order/partitioning-independent. The compared sum rounds to 6
-    decimals: the DOUBLE→DECIMAL(28,9) summand conversion itself can
-    round a half-way float differently between engines (hit once in
-    128K components at sf0.1 — the decimal-cast last-ulp rule in
-    CLAUDE.md), so 'convert to double at the end' alone is not
-    boundary-proof. This is the k-means/IVF re-centering primitive;
+    decimals as a second belt: the summand quantization itself is now
+    boundary-proof — r8 switched group_centroid_sums to bround
+    (shortest-repr HALF_EVEN, bit-for-bit DuckDB's native
+    double→DECIMAL cast) after a coarse-dyadic tie (0.1494140625)
+    split Spark's HALF_UP from DuckDB at sf0.1 (CLAUDE.md rule). This is the k-means/IVF re-centering primitive;
     mean = s/n downstream."""
     from ..functions.vector import group_centroid_sums
 
@@ -430,3 +430,64 @@ def ivfadc_topk_q(spark, sf_dir):
         big("vec_id").alias("vec_id"),
         F.round("adist", 4).alias("adist"),
     )
+
+
+def _fold_dot(a: str, b: str) -> str:
+    # explicit left fold in dim order (same operand order as
+    # query.filters.dot_product) -- NOT list_dot_product, whose
+    # summation order is unspecified
+    return f"list_sum(list_transform(range(1, 65), i -> ({a})[i] * ({b})[i]))"
+
+
+def _fold_cos(a: str, b: str) -> str:
+    return f"(({_fold_dot(a, b)}) / (sqrt({_fold_dot(a, a)}) * sqrt({_fold_dot(b, b)})))"
+
+
+_DRIFT_SUMS = """
+      SELECT label, i AS dim, COUNT(*) AS n,
+             CAST(SUM(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(28,9)))
+                  AS DECIMAL(28,9)) AS s
+      FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i)
+      WHERE vec_id % 2 = {par}
+      GROUP BY label, i
+"""
+
+
+@golden(
+    "embedding_drift_report",
+    oracle=f"""
+    WITH sa AS ({_DRIFT_SUMS.format(par=0)}),
+    sb AS ({_DRIFT_SUMS.format(par=1)}),
+    ca AS (
+      SELECT label, MAX(n) AS n_a,
+             list(CAST(s AS DOUBLE) / n ORDER BY dim) AS c
+      FROM sa GROUP BY label
+    ),
+    cb AS (
+      SELECT label, MAX(n) AS n_b,
+             list(CAST(s AS DOUBLE) / n ORDER BY dim) AS c
+      FROM sb GROUP BY label
+    )
+    SELECT CAST(ca.label AS BIGINT) AS label,
+           CAST(n_a AS BIGINT) AS n_a,
+           CAST(n_b AS BIGINT) AS n_b,
+           round({_fold_cos('ca.c', 'cb.c')}, 10) AS centroid_cos
+    FROM ca JOIN cb ON ca.label = cb.label
+    """,
+)
+def embedding_drift_report(spark, sf_dir):
+    """Dataset drift QA: split the corpus into two synthetic snapshots
+    (even/odd vec_id = "yesterday vs today") and report, per label,
+    member counts and the cosine between the snapshots' exact-mean
+    centroids (functions/vector.py::centroid_drift). DECIMAL component
+    sums make the centroids partition-order exact; the cosine is the
+    pinned left fold; output rounds to 10 (decimal→double ulp rule).
+    A healthy split shows cos ≈ 1; a drifted source shows the drop."""
+    from ..functions.vector import centroid_drift
+
+    emb = t(spark, sf_dir, "embeddings")
+    return centroid_drift(
+        emb.filter(F.col("vec_id") % 2 == 0),
+        emb.filter(F.col("vec_id") % 2 == 1),
+        "label",
+    ).select(big("label").alias("label"), "n_a", "n_b", "centroid_cos")

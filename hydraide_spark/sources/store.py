@@ -247,6 +247,45 @@ class TreasureStore:
             shutil.rmtree(self._snapshot_path(v), ignore_errors=True)
         return len(drop)
 
+    @_serialized
+    def prune_changes(self, before_batch: int) -> int:
+        """Chronicle compaction for the EVENT LOG (the other half of
+        reference ``CompactSwamp`` — compactor.go rewrites the
+        append-only chronicle without superseded entries;
+        :meth:`compact` already handles the snapshot side). Drops every
+        change event with ``batch_id < before_batch`` by rewriting the
+        log once (O(live events)), and returns the number of events
+        dropped.
+
+        Contract: ``history()`` afterwards reconstructs key versions
+        from ``before_batch`` onward only — callers keeping SCD2
+        history must archive the log first (a plain parquet copy).
+        Like the reference's compactor (it runs on swamp close/idle,
+        swamp.go:2243 ForceCompaction), run this while no subscriber
+        streams the log: a streaming file source that already
+        processed the old files would see the rewritten file as new
+        input and re-deliver. At 100 TB the log is time-partitioned
+        and this is a partition-range delete."""
+        import shutil
+
+        ev = self.changes().cache()
+        total = ev.count()
+        keep = ev.filter(F.col("batch_id") >= int(before_batch))
+        n_keep = keep.count()
+        if n_keep == total:
+            ev.unpersist()
+            return 0
+        tmp = self.changes_dir + ".compacting"
+        shutil.rmtree(tmp, ignore_errors=True)
+        keep.coalesce(1).write.parquet(tmp)
+        ev.unpersist()
+        old = self.changes_dir + ".old"
+        shutil.rmtree(old, ignore_errors=True)
+        os.rename(self.changes_dir, old)
+        os.rename(tmp, self.changes_dir)
+        shutil.rmtree(old, ignore_errors=True)
+        return total - n_keep
+
     # -- internals ---------------------------------------------------------
 
     def _write_version(self, df: DataFrame) -> int:

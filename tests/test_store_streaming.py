@@ -1539,3 +1539,33 @@ def test_ivf_ingest_retried_epoch_is_idempotent(spark, tmp_path):
     idx = persisted_cells(spark, state)
     assert idx.count() == 200
     assert idx.select("vec_id").distinct().count() == 200
+
+
+def test_store_prune_changes_chronicle_compaction(spark, tmp_path):
+    """prune_changes = the chronicle half of CompactSwamp: drop events
+    below a batch cutoff in one rewrite; later events and new appends
+    keep working, and history() reconstructs from the cutoff onward."""
+    store = TreasureStore(spark, str(tmp_path / "prunestore"))
+    store.init(spark.createDataFrame([("a", 1), ("b", 2)], "key string, val long"))
+    store.set(spark.createDataFrame([("a", 10)], "key string, val long"))   # batch 2
+    store.set(spark.createDataFrame([("b", 20)], "key string, val long"))   # batch 3
+    store.set(spark.createDataFrame([("c", 30)], "key string, val long"))   # batch 4
+    before = store.changes().count()
+    assert before == 3
+    cutoff = store.version  # keep only the latest batch's events
+    dropped = store.prune_changes(cutoff)
+    assert dropped == 2
+    ev = store.changes().collect()
+    assert {r["batch_id"] for r in ev} == {cutoff}
+    assert {r["key"] for r in ev} == {"c"}
+    # appends continue with increasing batch ids after the prune
+    store.set(spark.createDataFrame([("d", 40)], "key string, val long"))
+    ev2 = store.changes().collect()
+    assert {r["key"] for r in ev2} == {"c", "d"}
+    assert max(r["batch_id"] for r in ev2) == cutoff + 1
+    # history reconstructs the post-cutoff versions
+    hist = store.history().collect()
+    assert {r["key"] for r in hist} == {"c", "d"}
+    # no-op prune returns 0 and leaves the log alone
+    assert store.prune_changes(0) == 0
+    assert store.changes().count() == 2
