@@ -177,6 +177,45 @@ _R6_VERIFIED = frozenset(
 # are tier 0 automatically by not appearing in any verified set.)
 _CHANGED_R7 = frozenset()
 
+# Green (rows+schema+hash) in the round-7 driver sample
+# (CORRECTNESS_r07.json, 50/50) — most recently re-verified, sort last.
+_R7_VERIFIED = frozenset(
+    {
+        "bm25_ranked_search", "corpus_quality_report", "dedup_exact",
+        "delete_remaining_count", "doc_fingerprint", "geo_radius_pairs",
+        "get_all_scan", "get_point_read", "increment_conditional",
+        "increment_stamped", "keys_exist", "lang_id_heuristic",
+        "minhash_collapsed_stable", "ngram_jaccard_auto",
+        "ngram_jaccard_auto_collapsed", "ngram_jaccard_collapsed",
+        "pack_token_shards_docs", "patch_expired_lease", "patch_full_opset",
+        "patch_many", "patch_meta_stamped", "phrase_search_via_index",
+        "pii_scrub_docs", "profile_pivot", "repeated_span_dedup",
+        "repetition_signals_docs", "reverse_index_build",
+        "reverse_index_search", "reverse_index_semijoin",
+        "set_insert_only_counts", "set_upsert_status", "shift_by_keys_claim",
+        "shift_expired_claim", "shift_matching_cap", "stratified_sample_docs",
+        "telemetry_stats_summary", "telemetry_top_errors", "text_normalize",
+        "text_quality_tokens", "tfidf_top_terms", "tpch_q11_important_stock",
+        "tpch_q12_priority_shipment_classes", "tpch_q16_supplier_relation",
+        "tpch_q20_excess_stock_suppliers", "tpch_q21_waiting_supplier_blame",
+        "tpch_q2_min_cost_supplier", "tpch_q9_product_profit",
+        "train_test_split_docs", "uint32slice_ops", "uint64_decimal_fidelity",
+    }
+)
+
+# Changed in round 8 — the bround half-even quantization in
+# group_centroid_sums shifts tie components in every query that
+# consumes centroid sums (directly or via inlined centroid literals),
+# so these need fresh driver rows regardless of past greens.
+_CHANGED_R8 = frozenset(
+    {
+        "label_centroid_sums", "kmeans_assign_exact", "semantic_dedup_docs",
+        "ann_topk_ivf_stable", "ivfadc_topk_stable",
+        "ann_topk_multiprobe_stable", "embedding_neardup_auto_stable",
+        "knn_self_join_auto_stable",
+    }
+)
+
 
 def _ordered(d: dict) -> dict:
     """Driver-sample ordering.
@@ -191,8 +230,10 @@ def _ordered(d: dict) -> dict:
     """
 
     def tier(n: str) -> int:
-        if n in _CHANGED_R7:
+        if n in _CHANGED_R8 or n in _CHANGED_R7:
             return 0
+        if n in _R7_VERIFIED:
+            return 7
         if n in _R6_VERIFIED:
             return 6
         if n in _R4_VERIFIED:
