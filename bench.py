@@ -143,6 +143,7 @@ HEADLINE = [
     "ngram_jaccard_auto",
     "ngram_jaccard_auto_collapsed",
     "neardup_clusters",
+    "neardup_keep_best",
     "neardup_clusters_prop",
     "pagerank_citation_graph",
     "minhash_lsh_neardup",

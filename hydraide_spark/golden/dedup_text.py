@@ -2144,3 +2144,69 @@ def simhash_collapsed_stable(spark, sf_dir):
         big("id_b").alias("id_b"),
         F.col("hamming").cast("int").alias("hamming"),
     )
+
+
+_KEEP_BEST_CORE = _CLUSTERS_ORACLE.replace("WITH RECURSIVE", "", 1).rsplit(
+    "SELECT CAST(src", 1
+)[0]
+
+
+@golden(
+    "neardup_keep_best",
+    oracle=f"""
+    WITH RECURSIVE {_KEEP_BEST_CORE},
+    clusters AS (
+      SELECT src AS doc_id, MIN(dst) AS cluster_id FROM reach GROUP BY src
+    ),
+    dl AS (
+      SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+      FROM corpus
+    ),
+    ranked AS (
+      SELECT c.cluster_id, c.doc_id, dl.n_tok,
+             ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+                                ORDER BY dl.n_tok DESC, c.doc_id ASC) AS rn,
+             COUNT(*) OVER (PARTITION BY c.cluster_id) AS n_members
+      FROM clusters c JOIN dl USING (doc_id)
+    )
+    SELECT CAST(cluster_id AS BIGINT) AS cluster_id,
+           CAST(doc_id AS BIGINT) AS keep_id,
+           CAST(n_tok AS BIGINT) AS keep_tokens,
+           CAST(n_members AS BIGINT) AS n_members
+    FROM ranked WHERE rn = 1
+    """,
+)
+def neardup_keep_best(spark, sf_dir):
+    """Near-dup survivor SELECTION, keep-best not keep-first: the
+    curation decision after clustering — per duplicate cluster keep
+    the LONGEST member (truncated near-copies lose to their source; a
+    min-id rule would keep whichever crawled first), tiebreak min
+    doc_id. Pure integer comparisons, so the oracle (transitive-
+    closure clusters + token counts + one partitioned argmax window)
+    is exact with no float anywhere. Scale shape: the cluster frame is
+    O(duplicates) ≪ corpus, the token counts ride the same corpus scan
+    the shingling used, and the argmax window partitions by cluster —
+    bounded groups, parallel across clusters."""
+    from ..functions.dedup import ngram_jaccard_pairs, star_contraction_clusters
+    from ..functions.text import token_count
+
+    corpus = _augmented_corpus(spark, sf_dir)
+    pairs = ngram_jaccard_pairs(corpus, tau=0.6, n=3).persist()
+    clusters = star_contraction_clusters(pairs)
+    dl = corpus.select("doc_id", token_count(F.col("text")).alias("n_tok"))
+    joined = clusters.join(dl, "doc_id")
+    w = W.partitionBy("cluster_id").orderBy(
+        F.col("n_tok").desc(), F.col("doc_id").asc()
+    )
+    wc = W.partitionBy("cluster_id")
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .withColumn("n_members", F.count(F.lit(1)).over(wc))
+        .filter(F.col("rn") == 1)
+        .select(
+            big("cluster_id").alias("cluster_id"),
+            big("doc_id").alias("keep_id"),
+            big("n_tok").alias("keep_tokens"),
+            big("n_members").alias("n_members"),
+        )
+    )
