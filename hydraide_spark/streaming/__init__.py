@@ -4,6 +4,7 @@ from .ann_stream import (
     run_ivf_ingest_loop,
 )
 from .dedup_stream import ingested_pairs, run_neardup_ingest_loop
+from .state_compact import compact_epochs, compact_ivf_state, compact_neardup_state
 from .rollup import rollup_batch, run_rollup_maintenance_loop
 from .subscribe import (
     subscribe,
@@ -21,6 +22,9 @@ __all__ = [
     "persisted_cells",
     "run_ivf_ingest_loop",
     "ingested_pairs",
+    "compact_epochs",
+    "compact_ivf_state",
+    "compact_neardup_state",
     "run_neardup_ingest_loop",
     "rollup_batch",
     "run_rollup_maintenance_loop",

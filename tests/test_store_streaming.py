@@ -1569,3 +1569,91 @@ def test_store_prune_changes_chronicle_compaction(spark, tmp_path):
     # no-op prune returns 0 and leaves the log alone
     assert store.prune_changes(0) == 0
     assert store.changes().count() == 2
+
+
+def test_streaming_state_epoch_compaction(spark, tmp_path):
+    """compact_epochs folds committed epochs into the epoch=-1 base:
+    query results identical, directory count collapses, the newest
+    (retry-able) epoch is left alone so a late retry stays idempotent,
+    and the IVF base keeps its cell partitioning (pruning intact)."""
+    import os
+
+    from hydraide_spark.functions.dedup import minhash_neardup_pairs
+    from hydraide_spark.functions.vector import ivf_topk, train_ivf_centroids
+    from hydraide_spark.plans.inspect import physical_plan
+    from hydraide_spark.sources.tables import load_table
+    from hydraide_spark.streaming import ingested_pairs, ivf_query_persisted
+    from hydraide_spark.streaming.ann_stream import make_ivf_ingest
+    from hydraide_spark.streaming.dedup_stream import make_ingest
+    from hydraide_spark.streaming.state_compact import (
+        compact_ivf_state,
+        compact_neardup_state,
+    )
+
+    # --- near-dup state ---
+    schema = "doc_id long, text string"
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    state = str(tmp_path / "nd")
+    ingest = make_ingest(spark, state, tau=0.6)
+    ingest(spark.createDataFrame([(1, base), (2, base + " ok")], schema), 0)
+    ingest(spark.createDataFrame([(3, base)], schema), 1)
+    ingest(spark.createDataFrame([(4, base + " ok")], schema), 2)
+    before = sorted(
+        (r["id_a"], r["id_b"]) for r in ingested_pairs(spark, state).collect()
+    )
+    folded = compact_neardup_state(spark, state)
+    assert folded["pairs"] == 2 and folded["bands"] == 2  # epochs 0,1 folded
+    assert sorted(
+        (r["id_a"], r["id_b"]) for r in ingested_pairs(spark, state).collect()
+    ) == before
+    dirs = sorted(os.listdir(os.path.join(state, "bands")))
+    assert dirs == ["epoch=-1", "epoch=2"]
+    # the un-folded newest epoch can still be retried safely
+    ingest(spark.createDataFrame([(4, base + " ok")], schema), 2)
+    assert sorted(
+        (r["id_a"], r["id_b"]) for r in ingested_pairs(spark, state).collect()
+    ) == before
+    # and new epochs keep pairing against the folded base
+    ingest(spark.createDataFrame([(5, base)], schema), 3)
+    after = {
+        (r["id_a"], r["id_b"]) for r in ingested_pairs(spark, state).collect()
+    }
+    full = spark.createDataFrame(
+        [(1, base), (2, base + " ok"), (3, base), (4, base + " ok"), (5, base)],
+        schema,
+    )
+    expect = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_neardup_pairs(full, tau=0.6, n=3, k=16, bands=4).collect()
+    }
+    assert after == expect
+
+    # --- IVF state ---
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings").select(
+        "vec_id", "embedding"
+    )
+    cents = train_ivf_centroids(emb, n_centroids=8)
+    ivf_state = str(tmp_path / "ivf")
+    iv_ingest = make_ivf_ingest(spark, ivf_state, cents)
+    iv_ingest(emb.filter(F.col("vec_id") % 3 == 0), 0)
+    iv_ingest(emb.filter(F.col("vec_id") % 3 == 1), 1)
+    iv_ingest(emb.filter(F.col("vec_id") % 3 == 2), 2)
+    compact_ivf_state(spark, ivf_state)
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    got_df = ivf_query_persisted(spark, ivf_state, queries, k=5, centroids=cents, nprobe=2)
+    got = {(r["query_id"], r["vec_id"]) for r in got_df.collect()}
+    want = {
+        (r["query_id"], r["vec_id"])
+        for r in ivf_topk(emb, queries, k=5, centroids=cents, nprobe=2).collect()
+    }
+    assert got == want
+    # pruning still literal on the compacted base
+    plan = physical_plan(got_df)
+    assert "PartitionFilters" in plan
+    # base keeps cell= subdirs
+    assert any(
+        d.startswith("cell=")
+        for d in os.listdir(os.path.join(ivf_state, "cells", "epoch=-1"))
+    )
