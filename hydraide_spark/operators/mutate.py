@@ -522,10 +522,18 @@ def patch_treasures_batch(
     )
 
     if cap is not None:
-        pre_count = base.filter(
-            translate(cap.filter, base)
-        ).count()  # capPreCount: whole-swamp, once, pre-mutation
-        budget = max(0, cap.max_matching - pre_count)
+        # capPreCount: whole-swamp, once, pre-mutation — as a broadcast
+        # 1-row aggregate folded into the same evaluation (the shift
+        # Cap design; no separate driver-side count job)
+        budget_df = base.agg(
+            F.greatest(
+                F.lit(0),
+                F.lit(int(cap.max_matching))
+                - F.count_if(
+                    F.coalesce(translate(cap.filter, base), F.lit(False))
+                ),
+            ).alias("_budget")
+        )
         is_patched = F.col("patch_status") == STATUS_PATCHED
         post_match = F.coalesce(translate(cap.filter, patched), F.lit(False))
         trans = is_patched & ~F.col("_pre_match") & post_match
@@ -537,7 +545,9 @@ def patch_treasures_batch(
                 Window.unboundedPreceding, Window.currentRow
             )
         )
-        patched = patched.withColumn("_capped", trans & (running > F.lit(budget)))
+        patched = patched.crossJoin(F.broadcast(budget_df)).withColumn(
+            "_capped", trans & (running > F.col("_budget"))
+        )
     else:
         patched = patched.withColumn("_capped", F.lit(False))
     patched = patched.cache()
@@ -568,7 +578,7 @@ def patch_treasures_batch(
     )
     keep_row = ~F.col("_created") | applied_pred
     out_types = dict(patched.dtypes)
-    aux = {key_col, "patch_status", "_created", "_orig", "_pre_match", "_capped", "_req_idx"}
+    aux = {key_col, "patch_status", "_created", "_orig", "_pre_match", "_capped", "_req_idx", "_budget"}
     value_exprs = []
     for c in patched.columns:
         if c in aux:
