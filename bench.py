@@ -158,6 +158,7 @@ HEADLINE = [
     "bm25_ranked_search",
     "hybrid_search_rrf",
     "mmr_diversified_rerank",
+    "mmr_diversified_rerank_batch",
     "hybrid_search_rrf_batch",
     "phrase_search_via_index",
     "text_quality_tokens",

@@ -276,3 +276,61 @@ def mmr_rerank(
         [(i, rank + 1) for rank, i in enumerate(order)],
         f"{id_col} long, mmr_rank long",
     )
+
+
+def mmr_rerank_batch(
+    candidates: DataFrame,
+    k: int,
+    lam: float = 0.5,
+    id_col: str = "doc_id",
+    rel_col: str = "rel",
+    vec_col: str = "embedding",
+    group_col: str = "query_id",
+) -> DataFrame:
+    """Batched :func:`mmr_rerank`: one greedy per query over a frame of
+    per-query bounded candidate lists (``group_col`` keys the query).
+    The pairwise similarity matrix is a WITHIN-GROUP broadcast
+    self-join (B·N² rows total for B queries of N candidates — still
+    request-sized), collected once; the per-query greedies run
+    driver-side over their own slices. Returns
+    ``(group_col, id_col, mmr_rank)``."""
+    from ..query.filters import cosine_similarity
+
+    spark = candidates.sparkSession
+    c = candidates.select(
+        F.col(group_col), F.col(id_col), F.col(rel_col).cast("double"),
+        F.col(vec_col),
+    ).persist()
+    a = c.alias("a")
+    b = c.alias("b")
+    sims_df = (
+        a.join(
+            F.broadcast(b),
+            (F.col(f"a.{group_col}") == F.col(f"b.{group_col}"))
+            & (F.col(f"a.{id_col}") != F.col(f"b.{id_col}")),
+        ).select(
+            F.col(f"a.{group_col}").alias("g"),
+            F.col(f"a.{id_col}").alias("ia"),
+            F.col(f"b.{id_col}").alias("ib"),
+            cosine_similarity(
+                F.col(f"a.{vec_col}").cast("array<double>"),
+                F.col(f"b.{vec_col}").cast("array<double>"),
+            ).alias("s"),
+        )
+    )
+    rel_rows = c.select(group_col, id_col, rel_col).collect()  # bounded
+    sim_rows = sims_df.collect()  # bounded: B * N * (N-1)
+    c.unpersist()
+    rels: dict = {}
+    for r in rel_rows:
+        rels.setdefault(r[0], {})[r[1]] = float(r[2])
+    sims: dict = {}
+    for r in sim_rows:
+        sims.setdefault(r["g"], {})[(r["ia"], r["ib"])] = float(r["s"])
+    out_rows = []
+    for g in sorted(rels):
+        order = _mmr_greedy(sorted(rels[g]), rels[g], sims.get(g, {}), k, lam)
+        out_rows += [(g, i, rank + 1) for rank, i in enumerate(order)]
+    return spark.createDataFrame(
+        out_rows, f"{group_col} long, {id_col} long, mmr_rank long"
+    )

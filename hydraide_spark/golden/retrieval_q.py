@@ -334,3 +334,81 @@ def hybrid_search_rrf_batch(spark, sf_dir):
         "rank_1",
         "rrf",
     )
+
+
+@golden(
+    "mmr_diversified_rerank_batch",
+    oracle=f"""
+    WITH RECURSIVE e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 3),
+    scored AS (
+      SELECT q.qid, e.vec_id, {_cos64('e.v', 'q.qv')} AS rel
+      FROM e, q
+    ),
+    cand AS (
+      SELECT qid, vec_id, rel FROM (
+        SELECT qid, vec_id, rel,
+               ROW_NUMBER() OVER (PARTITION BY qid
+                                  ORDER BY rel DESC, vec_id ASC) AS rn
+        FROM scored
+      ) WHERE rn <= 12
+    ),
+    cv AS (SELECT c.qid, c.vec_id, c.rel, e.v FROM cand c JOIN e USING (vec_id)),
+    sims AS (
+      SELECT a.qid, a.vec_id AS ia, b.vec_id AS ib, {_cos64('a.v', 'b.v')} AS s
+      FROM cv a JOIN cv b ON a.qid = b.qid AND a.vec_id <> b.vec_id
+    ),
+    pick(step, qid, sel) AS (
+      SELECT 1, g.qid, [(
+        SELECT c.vec_id FROM cand c WHERE c.qid = g.qid
+        ORDER BY c.rel DESC, c.vec_id ASC LIMIT 1)]
+      FROM (SELECT DISTINCT qid FROM cand) g
+      UNION ALL
+      SELECT p.step + 1, p.qid,
+             list_append(p.sel, (
+               SELECT c.vec_id FROM cand c
+               WHERE c.qid = p.qid AND NOT list_contains(p.sel, c.vec_id)
+               ORDER BY ('0.5'::DOUBLE * c.rel - '0.5'::DOUBLE * (
+                          SELECT MAX(s.s) FROM sims s
+                          WHERE s.qid = p.qid AND s.ia = c.vec_id
+                            AND list_contains(p.sel, s.ib))) DESC,
+                        c.vec_id ASC
+               LIMIT 1))
+      FROM pick p WHERE p.step < 6
+    )
+    SELECT CAST(f.qid AS BIGINT) AS query_id,
+           CAST(f.sel[i] AS BIGINT) AS vec_id,
+           CAST(i AS BIGINT) AS mmr_rank
+    FROM (SELECT qid, sel FROM pick WHERE step = 6) f,
+         unnest(range(1, 7)) AS t(i)
+    """,
+)
+def mmr_diversified_rerank_batch(spark, sf_dir):
+    """Batched MMR: 3 queries, each with its top-12 cosine candidate
+    list, diversified independently (k=6, lam=0.5) in one driver pass
+    (functions/retrieval.py::mmr_rerank_batch — within-group broadcast
+    sim matrix, per-query greedy over the bounded collect). The oracle
+    advances ALL queries' greedies in lockstep inside one recursive CTE
+    (one row per query per step, each accumulating its own selected
+    list) — the multi-tenant form of the mmr_diversified_rerank
+    replay; rank-only output, integer-exact."""
+    from ..functions.retrieval import mmr_rerank_batch
+    from ..functions.vector import cosine_topk
+
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    cand = cosine_topk(emb, queries, k=12).withColumnRenamed("score", "rel")
+    cand = cand.join(
+        emb.select("vec_id", "embedding"), "vec_id"
+    )
+    out = mmr_rerank_batch(
+        cand, k=6, lam=0.5, id_col="vec_id", rel_col="rel",
+        vec_col="embedding", group_col="query_id",
+    )
+    return out.select(
+        big("query_id").alias("query_id"),
+        big("vec_id").alias("vec_id"),
+        big("mmr_rank").alias("mmr_rank"),
+    )
