@@ -4,6 +4,12 @@ from .ann_stream import (
     run_ivf_ingest_loop,
 )
 from .dedup_stream import ingested_pairs, run_neardup_ingest_loop
+from .search_stream import (
+    bm25_from_state,
+    persisted_doclen,
+    persisted_postings,
+    run_postings_ingest_loop,
+)
 from .state_compact import compact_epochs, compact_ivf_state, compact_neardup_state
 from .rollup import rollup_batch, run_rollup_maintenance_loop
 from .subscribe import (
@@ -22,6 +28,10 @@ __all__ = [
     "persisted_cells",
     "run_ivf_ingest_loop",
     "ingested_pairs",
+    "bm25_from_state",
+    "persisted_doclen",
+    "persisted_postings",
+    "run_postings_ingest_loop",
     "compact_epochs",
     "compact_ivf_state",
     "compact_neardup_state",

@@ -1657,3 +1657,98 @@ def test_streaming_state_epoch_compaction(spark, tmp_path):
         d.startswith("cell=")
         for d in os.listdir(os.path.join(ivf_state, "cells", "epoch=-1"))
     )
+
+
+def test_streaming_postings_bm25_converges_to_batch(spark, tmp_path):
+    """Incremental tf-bearing postings: after streaming all docs in 3
+    micro-batches, BM25 served from the persisted index must equal the
+    batch bm25_terms bit-for-bit (same expression tree, stats from the
+    doclen table), and the full persisted-state HYBRID (BM25 + IVF
+    dense + RRF) must equal the same composition over batch operators.
+    Retried epochs stay idempotent."""
+    from hydraide_spark.functions.retrieval import ranked_list, rrf_fuse
+    from hydraide_spark.functions.text import bm25_terms
+    from hydraide_spark.functions.vector import ivf_topk, train_ivf_centroids
+    from hydraide_spark.sources.tables import load_table
+    from hydraide_spark.streaming.ann_stream import make_ivf_ingest, ivf_query_persisted
+    from hydraide_spark.streaming.search_stream import (
+        bm25_from_state,
+        make_postings_ingest,
+        run_postings_ingest_loop,
+    )
+
+    SF = "/root/testdata/sf0.001"
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    src = tmp_path / "docs_in"
+    src.mkdir()
+    for i in range(3):
+        docs.filter(F.col("doc_id") % 3 == i).coalesce(1).write.parquet(
+            str(src / f"b{i}")
+        )
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    state = str(tmp_path / "search_state")
+    q = run_postings_ingest_loop(spark, stream, state)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    words = ["stream", "data", "query"]
+    got = {
+        (r["doc_id"], r["word"]): r["term_score"]
+        for r in bm25_from_state(spark, state, words).collect()
+    }
+    want = {
+        (r["doc_id"], r["word"]): r["term_score"]
+        for r in bm25_terms(docs, "doc_id", "text", words).collect()
+    }
+    assert got == want  # DECIMAL equality — bit-for-bit
+
+    # retried epoch (last one) keeps the index exactly the same
+    ingest = make_postings_ingest(spark, state)
+    last_batch = spark.read.parquet(str(src / "b2"))
+    ingest(last_batch, 2)
+    got2 = {
+        (r["doc_id"], r["word"]): r["term_score"]
+        for r in bm25_from_state(spark, state, words).collect()
+    }
+    assert got2 == got
+
+    # full persisted-state hybrid == batch-operator hybrid
+    emb = load_table(spark, SF, "embeddings").select("vec_id", "embedding")
+    cents = train_ivf_centroids(emb, n_centroids=8)
+    ivf_state = str(tmp_path / "ivf_state")
+    iv = make_ivf_ingest(spark, ivf_state, cents)
+    for i in range(3):
+        iv(emb.filter(F.col("vec_id") % 3 == i), i)
+    queries = emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+
+    def fuse(lex_terms, dense_topk):
+        lex_scored = lex_terms.groupBy("doc_id").agg(
+            F.sum("term_score").alias("score")
+        )
+        lex = ranked_list(lex_scored, "doc_id", "score", topk=30)
+        dense = ranked_list(
+            dense_topk.select(F.col("vec_id").alias("doc_id"), "score"),
+            "doc_id", "score", topk=30,
+        )
+        return {
+            (r["doc_id"], r["rank_0"], r["rank_1"])
+            for r in rrf_fuse([lex, dense], topk=15).collect()
+        }
+
+    inc = fuse(
+        bm25_from_state(spark, state, words),
+        ivf_query_persisted(spark, ivf_state, queries, k=30, centroids=cents, nprobe=2),
+    )
+    bat = fuse(
+        bm25_terms(docs, "doc_id", "text", words),
+        ivf_topk(emb, queries, k=30, centroids=cents, nprobe=2),
+    )
+    assert inc == bat
