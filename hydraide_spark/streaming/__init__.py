@@ -6,11 +6,12 @@ from .ann_stream import (
 from .dedup_stream import ingested_pairs, run_neardup_ingest_loop
 from .search_stream import (
     bm25_from_state,
+    hybrid_search_from_state,
     persisted_doclen,
     persisted_postings,
     run_postings_ingest_loop,
 )
-from .state_compact import compact_epochs, compact_ivf_state, compact_neardup_state
+from .state_compact import compact_epochs, compact_ivf_state, compact_neardup_state, compact_search_state
 from .rollup import rollup_batch, run_rollup_maintenance_loop
 from .subscribe import (
     subscribe,
@@ -29,6 +30,8 @@ __all__ = [
     "run_ivf_ingest_loop",
     "ingested_pairs",
     "bm25_from_state",
+    "hybrid_search_from_state",
+    "compact_search_state",
     "persisted_doclen",
     "persisted_postings",
     "run_postings_ingest_loop",

@@ -163,3 +163,48 @@ def bm25_from_state(
         F.col("word"),
         F.round(idf * tf_norm, 6).cast("decimal(28,6)").alias("term_score"),
     )
+
+
+def hybrid_search_from_state(
+    spark: SparkSession,
+    search_state_dir: str,
+    ivf_state_dir: str,
+    query_words: Sequence[str],
+    queries: DataFrame,
+    centroids: Sequence[Sequence[float]],
+    topk_per_side: int = 50,
+    nprobe: int = 2,
+    k0: int = 60,
+    topk: int = 20,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """One-call hybrid retrieval over PERSISTED incremental state: BM25
+    from the postings index, dense from the IVF cell index (single
+    query — ``queries`` must carry one row with (query_id, query_vec)),
+    fused by RRF. Equals the batch-operator composition once every
+    document/vector has been ingested (convergence pinned in
+    test_store_streaming::test_streaming_postings_bm25_converges_to_batch)."""
+    from ..functions.retrieval import ranked_list, rrf_fuse
+    from .ann_stream import ivf_query_persisted
+
+    lex_scored = (
+        bm25_from_state(spark, search_state_dir, query_words, id_col=id_col)
+        .groupBy(id_col)
+        .agg(F.sum("term_score").alias("score"))
+    )
+    lex = ranked_list(lex_scored, id_col, "score", topk=topk_per_side)
+    dense_topk = ivf_query_persisted(
+        spark,
+        ivf_state_dir,
+        queries,
+        k=topk_per_side,
+        centroids=centroids,
+        nprobe=nprobe,
+    )
+    dense = ranked_list(
+        dense_topk.select(F.col("vec_id").alias(id_col), "score"),
+        id_col,
+        "score",
+        topk=topk_per_side,
+    )
+    return rrf_fuse([lex, dense], id_col=id_col, k0=k0, topk=topk)

@@ -106,3 +106,12 @@ def compact_ivf_state(spark: SparkSession, state_dir: str) -> dict:
             spark, os.path.join(state_dir, "cells"), partition_by=["cell"]
         )
     }
+
+
+def compact_search_state(spark: SparkSession, state_dir: str) -> dict:
+    """Compact the incremental search index's tables (tf-bearing
+    postings + doc lengths, streaming/search_stream.py)."""
+    return {
+        t: compact_epochs(spark, os.path.join(state_dir, t))
+        for t in ("postings", "doclen")
+    }

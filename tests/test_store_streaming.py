@@ -1718,6 +1718,17 @@ def test_streaming_postings_bm25_converges_to_batch(spark, tmp_path):
     }
     assert got2 == got
 
+    # epoch compaction preserves the index exactly
+    from hydraide_spark.streaming.state_compact import compact_search_state
+
+    folded = compact_search_state(spark, state)
+    assert folded == {"postings": 2, "doclen": 2}
+    got3 = {
+        (r["doc_id"], r["word"]): r["term_score"]
+        for r in bm25_from_state(spark, state, words).collect()
+    }
+    assert got3 == got
+
     # full persisted-state hybrid == batch-operator hybrid
     emb = load_table(spark, SF, "embeddings").select("vec_id", "embedding")
     cents = train_ivf_centroids(emb, n_centroids=8)
@@ -1752,3 +1763,15 @@ def test_streaming_postings_bm25_converges_to_batch(spark, tmp_path):
         ivf_topk(emb, queries, k=30, centroids=cents, nprobe=2),
     )
     assert inc == bat
+
+    # and the one-call wrapper agrees (topk_per_side/topk aligned)
+    from hydraide_spark.streaming.search_stream import hybrid_search_from_state
+
+    wrapped = {
+        (r["doc_id"], r["rank_0"], r["rank_1"])
+        for r in hybrid_search_from_state(
+            spark, state, ivf_state, words, queries, cents,
+            topk_per_side=30, nprobe=2, topk=15,
+        ).collect()
+    }
+    assert wrapped == bat
