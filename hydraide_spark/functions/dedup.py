@@ -21,6 +21,7 @@ from fractions import Fraction
 from pyspark.sql import Column, DataFrame, Window as W, functions as F
 
 from ..query.filters import cosine_similarity
+from ._cache import pin_latest
 from .text import shingles, tokenize
 
 
@@ -174,8 +175,11 @@ def ngram_jaccard_pairs(
     num, den = frac.numerator, frac.denominator
     sh = df.select(F.col(id_col), shingles(F.col(text_col), n).alias("sh"))
     # persist: the prefix index and both verification sides would
-    # otherwise recompute the shingle pipeline three times
+    # otherwise recompute the shingle pipeline three times; generation-
+    # evicted per call site (functions/_cache) so repeat calls don't
+    # accumulate pinned storage
     sizes = sh.select(F.col(id_col), F.col("sh"), F.size("sh").alias("n_sh")).persist()
+    pinned = [sizes]
     star = None
     if collapse_exact:
         # identical shingle sets (Jaccard 1) collapse to a min-id rep —
@@ -210,6 +214,8 @@ def ngram_jaccard_pairs(
         sizes = sizes.join(
             fam.select(F.col("_rep").alias(id_col)), id_col, "left_semi"
         ).persist()
+        pinned += [keyed, sizes]
+    pin_latest("dedup.ngram_jaccard_pairs", *pinned)
     cand = _pair_jaccard_candidates(sizes, id_col, "sh", num, den)
     pa = sizes.select(
         F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"), F.col("n_sh").alias("n_a")
@@ -307,6 +313,7 @@ def minhash_neardup_pairs(
     # it under the input's repartition — evaluating it once per row in
     # the (narrow) scan stage and again in the projection.
     sh = df.select(F.col(id_col), shingles(F.col(text_col), n).alias("sh")).persist()
+    pinned = [sh]
     sh = sh.filter(F.size("sh") > 0)
     star = None
     if collapse_exact:
@@ -341,6 +348,8 @@ def minhash_neardup_pairs(
         sh = sh.join(
             fam.select(F.col("_rep").alias(id_col)), id_col, "left_semi"
         ).persist()
+        pinned += [keyed, sh]
+    pin_latest("dedup.minhash_neardup_pairs", *pinned)
     sig = sh.select(
         F.col(id_col),
         *minhash_signature(F.col("sh"), k, engine_stable=engine_stable),
@@ -506,6 +515,7 @@ def minhash_incremental_pairs(
     sh = df.select(
         F.col(id_col), new_pred.alias("_new"), shingles(F.col(text_col), n).alias("sh")
     ).persist()
+    pin_latest("dedup.minhash_incremental_pairs", sh)
     sh = sh.filter(F.size("sh") > 0)
     sig = sh.select(
         F.col(id_col),
@@ -675,6 +685,7 @@ def simhash_neardup_pairs(
         F.col(id_col),
         simhash64(F.col(text_col), engine_stable=engine_stable).alias("h"),
     ).persist()
+    pinned = [sims]
     star = None
     if collapse_identical:
         fam = sims.groupBy("h").agg(F.min(F.col(id_col)).alias("_rep"))
@@ -690,6 +701,8 @@ def simhash_neardup_pairs(
         )
         # the banding join now runs over DISTINCT hash values only
         sims = fam.select(F.col("_rep").alias(id_col), F.col("h")).persist()
+        pinned.append(sims)
+    pin_latest("dedup.simhash_neardup_pairs", *pinned)
     mask = (1 << bits_per) - 1
     chunk_structs = F.array(
         *[

@@ -30,6 +30,8 @@ from typing import Optional, Sequence
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.window import Window as W
 
+from ._cache import pin_latest
+
 
 def ranked_list(
     scored: DataFrame,
@@ -157,6 +159,7 @@ def bm25_terms_multi(
         .select("word", id_col, "tf")
         .persist()
     )
+    pin_latest("retrieval.bm25_terms_multi", dl, post)
     dfreq = post.groupBy("word").agg(F.count(F.lit(1)).alias("dfreq"))
     qt = spark.createDataFrame(
         [(int(qid), w) for qid, ws in query_terms for w in ws],

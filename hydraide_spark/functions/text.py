@@ -906,7 +906,13 @@ def bm25_terms(
     stats aggregate, the per-doc join, and nothing else re-derives it),
     so the corpus text is scanned exactly twice — once for postings,
     once for lengths — instead of once per consumer. dl is two narrow
-    columns (~16 B/doc), so the cache is negligible next to the corpus."""
+    columns (~16 B/doc), so the cache is negligible next to the corpus.
+    Caches are generation-evicted per call site (see functions/_cache):
+    a repeat call releases the previous call's pins, so a long-lived
+    session holds at most one generation; ``release_pinned``/
+    ``release_all_pinned`` free them deterministically."""
+    from ._cache import pin_latest
+
     dl = df.select(F.col(id_col), token_count(F.col(text_col)).alias("dl")).persist()
     stats = dl.agg(
         F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
@@ -921,6 +927,7 @@ def bm25_terms(
         .select("word", id_col, "tf")
         .persist()
     )
+    pin_latest("text.bm25_terms", dl, post)
     dfreq = post.groupBy("word").agg(F.count(F.lit(1)).alias("dfreq"))
     joined = (
         post.join(F.broadcast(dfreq), "word")
@@ -996,7 +1003,10 @@ def boilerplate_stats(
     # expensive per-row expression and three legs need it (doc-frequency
     # scan, common-gram join, per-doc totals) — without the boundary
     # Catalyst re-inlines it into each leg (see functions/dedup.py).
+    from ._cache import pin_latest
+
     sh = df.select(F.col(id_col), shingles(F.col(text_col), n).alias("sh")).persist()
+    pin_latest("text.boilerplate_stats", sh)
     grams = sh.select(F.col(id_col), F.explode("sh").alias("gram"))
     common = (
         grams.groupBy("gram")

@@ -370,6 +370,9 @@ def neardup_clusters_q(spark, sf_dir):
     corpus = _augmented_corpus(spark, sf_dir)
     pairs = ngram_jaccard_pairs(corpus, tau=0.6, n=3).persist()
     out = star_contraction_clusters(pairs)
+    # the contraction localCheckpoints every round (lineage cut), so
+    # pairs is fully consumed by the time it returns — release the pin
+    pairs.unpersist(False)
     return out.select(big("doc_id").alias("doc_id"), big("cluster_id").alias("cluster_id"))
 
 
@@ -385,6 +388,7 @@ def neardup_clusters_prop_q(spark, sf_dir):
     corpus = _augmented_corpus(spark, sf_dir)
     pairs = ngram_jaccard_pairs(corpus, tau=0.6, n=3).persist()
     out = neardup_clusters(pairs)
+    pairs.unpersist(False)  # propagation localCheckpoints each round
     return out.select(big("doc_id").alias("doc_id"), big("cluster_id").alias("cluster_id"))
 
 
@@ -2193,6 +2197,7 @@ def neardup_keep_best(spark, sf_dir):
     corpus = _augmented_corpus(spark, sf_dir)
     pairs = ngram_jaccard_pairs(corpus, tau=0.6, n=3).persist()
     clusters = star_contraction_clusters(pairs)
+    pairs.unpersist(False)  # contraction localCheckpoints each round
     dl = corpus.select("doc_id", token_count(F.col("text")).alias("n_tok"))
     joined = clusters.join(dl, "doc_id")
     w = W.partitionBy("cluster_id").orderBy(

@@ -150,6 +150,22 @@ class QueryStatsCollector:
         # (".../stats_archive") recordable.
         if self._table_marker is not None and self._table_marker in plan:
             return
+        # Second self-traffic class (r8 VERDICT): rollup READS of the
+        # in-memory buffered frame (stats() → createDataFrame). Those
+        # plans scan only driver-local relations — no Location: entry,
+        # a LocalTableScan/ExistingRDD leaf — and recording them makes
+        # flush counts nondeterministic (their async onSuccess can land
+        # between a caller's snapshot and flush). Real engine traffic
+        # always scans a source (the swamp analogue), so a SUCCESSFUL
+        # zero-table local-only plan is self-traffic by construction;
+        # failures are always recorded (error telemetry must not drop).
+        if (
+            ok
+            and not tables
+            and "FileScan" not in plan
+            and ("LocalTableScan" in plan or "Scan ExistingRDD" in plan)
+        ):
+            return
         self._append(
             (time.time_ns() // 1_000, str(op), float(wall_ms), bool(ok),
              sorted(set(tables)), err_kind, err_msg)

@@ -108,6 +108,7 @@ class TreasureStore:
         self._cached: Optional[tuple[int, DataFrame]] = None
         self._last_access: float = 0.0
         self._txn = threading.RLock()
+        self._recover_changes()
         os.makedirs(self.changes_dir, exist_ok=True)
 
     # -- layout ------------------------------------------------------------
@@ -115,6 +116,30 @@ class TreasureStore:
     @property
     def changes_dir(self) -> str:
         return os.path.join(self.root, "changes")
+
+    def _recover_changes(self) -> None:
+        """Finish or roll back an interrupted :meth:`prune_changes`
+        swap. A crash between the two renames would otherwise leave NO
+        live change log — the next ``_emit`` silently recreates an
+        empty one and strands all history in the ``.old`` dir. Run at
+        store init and at prune entry; idempotent.
+
+        - log missing, complete ``.compacting`` (has ``_SUCCESS``)
+          present → finish the swap (promote the compacted log).
+        - log missing, ``.old`` present → roll back (restore it).
+        - leftovers after the log exists are stale; discard them.
+        """
+        import shutil
+
+        tmp = self.changes_dir + ".compacting"
+        old = self.changes_dir + ".old"
+        if not os.path.exists(self.changes_dir):
+            if os.path.exists(tmp) and os.path.isfile(os.path.join(tmp, "_SUCCESS")):
+                os.rename(tmp, self.changes_dir)
+            elif os.path.exists(old):
+                os.rename(old, self.changes_dir)
+        shutil.rmtree(tmp, ignore_errors=True)
+        shutil.rmtree(old, ignore_errors=True)
 
     def _versions(self) -> list[int]:
         if not os.path.isdir(self.root):
@@ -268,6 +293,7 @@ class TreasureStore:
         and this is a partition-range delete."""
         import shutil
 
+        self._recover_changes()
         ev = self.changes().cache()
         total = ev.count()
         keep = ev.filter(F.col("batch_id") >= int(before_batch))
@@ -275,12 +301,14 @@ class TreasureStore:
         if n_keep == total:
             ev.unpersist()
             return 0
+        # crash-safe swap: the live dir is only moved aside once the
+        # replacement is fully written (_SUCCESS landed); at every
+        # instant either the live log or a recoverable copy exists, and
+        # _recover_changes completes/rolls back an interrupted swap
         tmp = self.changes_dir + ".compacting"
-        shutil.rmtree(tmp, ignore_errors=True)
         keep.coalesce(1).write.parquet(tmp)
         ev.unpersist()
         old = self.changes_dir + ".old"
-        shutil.rmtree(old, ignore_errors=True)
         os.rename(self.changes_dir, old)
         os.rename(tmp, self.changes_dir)
         shutil.rmtree(old, ignore_errors=True)
@@ -716,6 +744,13 @@ class TreasureStore:
         base = self.current()
         spark = self.spark
         now = int(now_us if now_us is not None else _time.time_ns() // 1_000)
+
+        # the proto shape allows an empty Patches list — no-op: no new
+        # version, no events, an empty result frame
+        if not patches:
+            return spark.createDataFrame(
+                [], f"patch_index int, {self.key_col} string, patch_status string"
+            )
 
         # split entries into rounds: round r holds each key's r-th patch
         rounds: list[list[tuple]] = []  # [(idx, key, ops, cond, meta)]

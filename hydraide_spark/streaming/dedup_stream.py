@@ -50,6 +50,7 @@ from typing import Optional
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..functions.dedup import minhash_signature, shingles
+from .state_compact import migrate_flat_state
 
 
 def _read_or_none(spark: SparkSession, path: str, schema: str):
@@ -84,10 +85,16 @@ def make_ingest(
     pairs_dir = os.path.join(state_dir, "pairs")
     bands_schema = f"{id_col} long, bucket string"
     sh_schema = f"{id_col} long, sh array<string>, n_sh int"
-
     def ingest(batch_df: DataFrame, epoch: int) -> None:
         if batch_df.isEmpty():
             return
+        # pre-r8 state dirs are flat (append mode): fold their root-
+        # level files into the epoch=-1 base BEFORE this epoch's subdir
+        # lands — Spark partition discovery silently drops root files
+        # in a mixed layout, which would vanish the whole legacy index
+        # from probes. Per-batch cost is one listdir per table.
+        for d in (bands_dir, sh_dir, pairs_dir):
+            migrate_flat_state(d)
         sh_new = (
             batch_df.select(
                 F.col(id_col).cast("long").alias(id_col),
@@ -116,12 +123,17 @@ def make_ingest(
         # exclude the CURRENT epoch's partition from the persisted
         # index: a retried epoch that already wrote its bands must
         # probe the same "old" index the first attempt saw
+        # coalesce(epoch, -1): a pre-r8 flat (append-mode) state dir has
+        # no epoch partition, so the column reads NULL — a bare != would
+        # evaluate NULL and silently drop the entire legacy index from
+        # pairing. -1 is the compaction base id, never a live epoch, so
+        # legacy rows survive the own-epoch exclusion like base rows do.
         old_banded = _read_or_none(
             spark, bands_dir, bands_schema + ", epoch long"
         )
         if old_banded is not None:
             old_banded = old_banded.filter(
-                F.col("epoch") != F.lit(int(epoch))
+                F.coalesce(F.col("epoch"), F.lit(-1)) != F.lit(int(epoch))
             ).drop("epoch")
         all_banded = (
             new_banded
@@ -144,7 +156,7 @@ def make_ingest(
         old_sizes = _read_or_none(spark, sh_dir, sh_schema + ", epoch long")
         if old_sizes is not None:
             old_sizes = old_sizes.filter(
-                F.col("epoch") != F.lit(int(epoch))
+                F.coalesce(F.col("epoch"), F.lit(-1)) != F.lit(int(epoch))
             ).drop("epoch")
         all_sizes = (
             sh_new if old_sizes is None else sh_new.unionByName(old_sizes)
@@ -234,6 +246,7 @@ def ingested_pairs(spark: SparkSession, state_dir: str) -> DataFrame:
     path = os.path.join(state_dir, "pairs")
     if not os.path.exists(path):
         return spark.createDataFrame([], schema)
+    migrate_flat_state(path)  # pre-r8 flat layout → epoch=-1 base
     return (
         spark.read.schema(schema + ", epoch long")
         .parquet(path)

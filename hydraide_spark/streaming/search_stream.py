@@ -134,6 +134,8 @@ def bm25_from_state(
     (N, avgdl) from the doclen table. Once the stream has delivered
     every document, the output equals the batch operator bit-for-bit.
     Sum per doc downstream exactly like the batch path."""
+    from ..functions._cache import pin_latest
+
     dl = persisted_doclen(spark, state_dir, id_col=id_col).persist()
     stats = dl.agg(
         F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
@@ -143,6 +145,7 @@ def bm25_from_state(
         .filter(F.col("word").isin(list(query_words)))
         .persist()
     )
+    pin_latest("search_stream.bm25_from_state", dl, post)
     dfreq = post.groupBy("word").agg(F.count(F.lit(1)).alias("dfreq"))
     joined = (
         post.join(F.broadcast(dfreq), "word")

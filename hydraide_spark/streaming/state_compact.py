@@ -22,6 +22,15 @@ base partition ``epoch=-1``:
   Run it from the maintenance owner while the stream is stopped or
   between batches (single-writer, same contract as the reference's
   compactor running on swamp close — compactor.go).
+- **Crash safety**: both the temp dir (``_compacting``) and the
+  displaced old base (``_old_base``) are underscore-prefixed, so Spark
+  partition discovery ignores them if a crash leaves them behind (a
+  bare ``epoch=-1.old`` dir would mis-parse as a partition value).
+  ``compact_epochs`` self-recovers on entry: a complete ``_compacting``
+  (has ``_SUCCESS``) with no live base is swapped into place; an
+  incomplete one is rolled back to ``_old_base``. The swap order is
+  write-tmp → move-base-aside → promote-tmp, so at every instant either
+  the base or a recoverable copy exists.
 
 Readers (``ingested_pairs``, ``persisted_cells``, the ingest probes)
 are unchanged: they read the root with partition discovery and treat
@@ -37,6 +46,102 @@ from pyspark.sql import SparkSession, functions as F
 
 BASE_EPOCH = -1
 
+_TMP_NAME = "_compacting"
+_OLD_NAME = "_old_base"
+_MANIFEST = "_FOLDED"
+
+
+def _is_complete(d: str) -> bool:
+    """The tmp rewrite is complete iff the fold manifest landed — it is
+    written AFTER Spark's own ``_SUCCESS``, so its presence implies the
+    parquet commit finished too."""
+    return os.path.isfile(os.path.join(d, _MANIFEST))
+
+
+def _finish_swap(table_dir: str, base: str) -> None:
+    """Post-promote cleanup, replayable: delete the epoch dirs listed
+    in the base's fold manifest, drop the displaced old base, then
+    remove the manifest (last — its presence is what marks the cleanup
+    as still pending)."""
+    manifest = os.path.join(base, _MANIFEST)
+    with open(manifest) as fh:
+        folded = [int(line) for line in fh.read().split() if line]
+    for e in folded:
+        if e != BASE_EPOCH:
+            shutil.rmtree(os.path.join(table_dir, f"epoch={e}"), ignore_errors=True)
+    shutil.rmtree(os.path.join(table_dir, _OLD_NAME), ignore_errors=True)
+    os.remove(manifest)
+
+
+def _recover(table_dir: str) -> None:
+    """Finish or roll back an interrupted swap so the table is always
+    in a readable, compactable state on entry. Idempotent.
+
+    Crash windows of the swap (write tmp → manifest → move base aside
+    → promote tmp → cleanup):
+    - base present, manifest in base → crash during cleanup: replay it
+      (delete the folded epoch dirs it lists, drop old).
+    - base absent, tmp complete → crash between move-aside and promote:
+      promote tmp, then replay cleanup from its manifest.
+    - base absent, tmp incomplete/missing → roll back (restore the
+      displaced old base, or the legacy ``epoch=-1.old`` a pre-fix
+      version may have left).
+    - any other leftover tmp/old is stale and discarded.
+    """
+    tmp = os.path.join(table_dir, _TMP_NAME)
+    old = os.path.join(table_dir, _OLD_NAME)
+    legacy_old = os.path.join(table_dir, f"epoch={BASE_EPOCH}.old")
+    base = os.path.join(table_dir, f"epoch={BASE_EPOCH}")
+    if not os.path.exists(base):
+        if os.path.exists(tmp) and _is_complete(tmp):
+            os.rename(tmp, base)
+        elif os.path.exists(old):
+            os.rename(old, base)
+        elif os.path.exists(legacy_old):
+            os.rename(legacy_old, base)
+    if os.path.isfile(os.path.join(base, _MANIFEST)):
+        _finish_swap(table_dir, base)
+    # whatever remains is stale state from a finished or abandoned swap
+    shutil.rmtree(tmp, ignore_errors=True)
+    shutil.rmtree(old, ignore_errors=True)
+    shutil.rmtree(legacy_old, ignore_errors=True)
+
+
+def migrate_flat_state(table_dir: str) -> int:
+    """One-time layout migration for pre-epoch (append-mode) state
+    tables. Legacy dirs hold their part files at the table ROOT; the
+    moment a new ingest writes an ``epoch=N`` subdir next to them,
+    Spark's partition discovery silently ignores the root-level files —
+    the whole legacy index vanishes from reads with no error. (A
+    schema-supplied ``epoch`` column reads NULL on a purely-flat dir,
+    which ``coalesce(epoch, -1)`` probes handle, but the MIXED layout
+    is unreadable, so migration on entry is the only safe upgrade.)
+
+    Moves every root-level data file into the compaction base partition
+    ``epoch=-1``, where all readers (partition discovery, the
+    own-epoch probe exclusion, :func:`compact_epochs`) treat the rows
+    exactly like compacted history. Pure renames, idempotent,
+    single-writer (same contract as compaction). Returns the number of
+    files moved."""
+    if not os.path.isdir(table_dir):
+        return 0
+    flat = [
+        n
+        for n in os.listdir(table_dir)
+        if os.path.isfile(os.path.join(table_dir, n))
+        and not n.startswith(("_", "."))
+        and not n.endswith(".crc")
+    ]
+    if not flat:
+        return 0
+    base = os.path.join(table_dir, f"epoch={BASE_EPOCH}")
+    os.makedirs(base, exist_ok=True)
+    for n in flat:
+        # "legacy-" prefix: cannot collide with a part file an earlier
+        # compaction already placed in the base
+        os.rename(os.path.join(table_dir, n), os.path.join(base, f"legacy-{n}"))
+    return len(flat)
+
 
 def compact_epochs(
     spark: SparkSession,
@@ -46,13 +151,16 @@ def compact_epochs(
     """Fold all committed epochs of one state table into the
     ``epoch=-1`` base partition. Returns the number of epoch
     directories folded (0 = nothing to do). ``partition_by`` preserves
-    an inner partitioning (e.g. ``["cell"]`` for the IVF index)."""
+    an inner partitioning (e.g. ``["cell"]`` for the IVF index).
+    Self-recovers from a crash mid-swap (see ``_recover``)."""
     if not os.path.exists(table_dir):
         return 0
+    _recover(table_dir)
+    migrate_flat_state(table_dir)
     epochs = sorted(
         int(d.split("=", 1)[1])
         for d in os.listdir(table_dir)
-        if d.startswith("epoch=")
+        if d.startswith("epoch=") and d.split("=", 1)[1].lstrip("-").isdigit()
     )
     if not epochs:
         return 0
@@ -69,23 +177,20 @@ def compact_epochs(
         .parquet(*[os.path.join(table_dir, f"epoch={e}") for e in fold])
         .drop("epoch")
     )
-    tmp = os.path.join(table_dir, "_compacting")
-    shutil.rmtree(tmp, ignore_errors=True)
+    tmp = os.path.join(table_dir, _TMP_NAME)
     writer = src.coalesce(max(1, len(fold) // 8)).write.mode("overwrite")
     if partition_by:
         writer = src.write.mode("overwrite").partitionBy(*partition_by)
     writer.parquet(tmp)
+    with open(os.path.join(tmp, _MANIFEST), "w") as fh:
+        fh.write("\n".join(str(e) for e in fold))
 
     base = os.path.join(table_dir, f"epoch={BASE_EPOCH}")
-    old = base + ".old"
-    shutil.rmtree(old, ignore_errors=True)
+    old = os.path.join(table_dir, _OLD_NAME)
     if os.path.exists(base):
         os.rename(base, old)
     os.rename(tmp, base)
-    shutil.rmtree(old, ignore_errors=True)
-    for e in fold:
-        if e != BASE_EPOCH:
-            shutil.rmtree(os.path.join(table_dir, f"epoch={e}"), ignore_errors=True)
+    _finish_swap(table_dir, base)
     return len(fold)
 
 
