@@ -206,7 +206,9 @@ _R7_VERIFIED = frozenset(
 # Changed in round 8 — the bround half-even quantization in
 # group_centroid_sums shifts tie components in every query that
 # consumes centroid sums (directly or via inlined centroid literals),
-# so these need fresh driver rows regardless of past greens.
+# so these need fresh driver rows regardless of past greens. (All 8
+# were sampled in round 8 and are green — now in _R8_VERIFIED; kept
+# for the record.)
 _CHANGED_R8 = frozenset(
     {
         "label_centroid_sums", "kmeans_assign_exact", "semantic_dedup_docs",
@@ -215,6 +217,41 @@ _CHANGED_R8 = frozenset(
         "knn_self_join_auto_stable",
     }
 )
+
+# Green (rows+schema+hash) in the round-8 driver sample
+# (CORRECTNESS_r08.json, 50/50) — most recently re-verified, sort last.
+_R8_VERIFIED = frozenset(
+    {
+        "ann_topk_exact", "ann_topk_ivf_stable", "ann_topk_multiprobe_stable",
+        "asof_join_events", "chunk_documents_rag", "curation_pipeline_docs",
+        "embedding_drift_report", "embedding_neardup",
+        "embedding_neardup_auto_stable", "event_interarrival_stats",
+        "filter_has_key", "filter_is_empty", "filter_nested_path",
+        "get_by_index_paged", "get_by_index_time_range", "get_by_keys_batch",
+        "get_by_keys_semijoin", "hll_distinct_rollup", "hybrid_search_rrf",
+        "hybrid_search_rrf_batch", "index_null_timestamp_excluded",
+        "interval_join_incidents", "ivfadc_topk_stable", "kmeans_assign_exact",
+        "knn_self_join_auto_stable", "label_centroid_sums",
+        "mmr_diversified_rerank", "mmr_diversified_rerank_batch",
+        "moving_window_sum", "multimodal_features", "multimodal_frame_plan",
+        "neardup_keep_best", "patch_cap_budget", "patch_struct_ops",
+        "pq_encode_codes", "profile_read", "quality_percentile_band",
+        "relational_set_ops", "semantic_dedup_docs", "session_windows",
+        "stream_filtered_ordered", "stream_from_many",
+        "temperature_mix_sample_docs", "tpch_q18_large_orders",
+        "tpch_q3_shipping_priority", "tpch_q5_local_supplier_volume",
+        "tpch_q6_revenue_delta", "vector_filter", "vocab_encode_docs",
+        "windowed_event_stats",
+    }
+)
+
+# Changed in round 9 — the r9 crash-recovery / cache-lifetime work
+# (functions/_cache pinning, state-swap hardening, telemetry self-
+# traffic filter) alters plan LIFETIMES only, never values; the full
+# 183-query local gate re-verified green after those changes, so no
+# golden needs a forced fresh driver row. New r9 queries are tier 0
+# automatically by not appearing in any verified set.
+_CHANGED_R9 = frozenset()
 
 
 def _ordered(d: dict) -> dict:
@@ -230,8 +267,10 @@ def _ordered(d: dict) -> dict:
     """
 
     def tier(n: str) -> int:
-        if n in _CHANGED_R8 or n in _CHANGED_R7:
+        if n in _CHANGED_R9:
             return 0
+        if n in _R8_VERIFIED:
+            return 8
         if n in _R7_VERIFIED:
             return 7
         if n in _R6_VERIFIED:
