@@ -485,3 +485,141 @@ def patch_cap_budget(spark, sf_dir):
     )
     out.unpersist()
     return res
+
+
+@golden(
+    "patch_each_cap",
+    oracle="""
+    WITH b0 AS (
+      SELECT
+        (SELECT c_acctbal FROM customer WHERE c_custkey = 1) AS bal1,
+        (SELECT c_acctbal FROM customer WHERE c_custkey = 2) AS bal2,
+        (SELECT c_acctbal FROM customer WHERE c_custkey = 3) AS bal3,
+        2 AS bud
+    ),
+    -- e0: key 1, +1500, cond bal<9500
+    s1 AS (
+      SELECT
+        CASE WHEN NOT (bal1 < 9500.0) THEN 'CONDITION_NOT_MET'
+             WHEN NOT (bal1 >= 9000.0) AND (bal1 + 1500.0 >= 9000.0)
+                  AND bud <= 0 THEN 'CAP_EXCEEDED'
+             ELSE 'PATCHED' END AS st0,
+        CASE WHEN (bal1 < 9500.0) AND NOT (NOT (bal1 >= 9000.0)
+                  AND (bal1 + 1500.0 >= 9000.0) AND bud <= 0)
+             THEN bal1 + 1500.0 ELSE bal1 END AS bal1,
+        bal2, bal3,
+        bud - CASE WHEN (bal1 < 9500.0) AND NOT (bal1 >= 9000.0)
+                        AND (bal1 + 1500.0 >= 9000.0) AND bud > 0
+                   THEN 1 ELSE 0 END AS bud
+      FROM b0
+    ),
+    -- e1: key 1 again, +100, cond bal<9500 — observes s1's bal1
+    s2 AS (
+      SELECT st0,
+        CASE WHEN NOT (bal1 < 9500.0) THEN 'CONDITION_NOT_MET'
+             WHEN NOT (bal1 >= 9000.0) AND (bal1 + 100.0 >= 9000.0)
+                  AND bud <= 0 THEN 'CAP_EXCEEDED'
+             ELSE 'PATCHED' END AS st1,
+        CASE WHEN (bal1 < 9500.0) AND NOT (NOT (bal1 >= 9000.0)
+                  AND (bal1 + 100.0 >= 9000.0) AND bud <= 0)
+             THEN bal1 + 100.0 ELSE bal1 END AS bal1,
+        bal2, bal3,
+        bud - CASE WHEN (bal1 < 9500.0) AND NOT (bal1 >= 9000.0)
+                        AND (bal1 + 100.0 >= 9000.0) AND bud > 0
+                   THEN 1 ELSE 0 END AS bud
+      FROM s1
+    ),
+    -- e2: key 2, +1500, no condition
+    s3 AS (
+      SELECT st0, st1,
+        CASE WHEN NOT (bal2 >= 9000.0) AND (bal2 + 1500.0 >= 9000.0)
+                  AND bud <= 0 THEN 'CAP_EXCEEDED'
+             ELSE 'PATCHED' END AS st2,
+        bal1,
+        CASE WHEN NOT (NOT (bal2 >= 9000.0) AND (bal2 + 1500.0 >= 9000.0)
+                  AND bud <= 0)
+             THEN bal2 + 1500.0 ELSE bal2 END AS bal2,
+        bal3,
+        bud - CASE WHEN NOT (bal2 >= 9000.0) AND (bal2 + 1500.0 >= 9000.0)
+                        AND bud > 0
+                   THEN 1 ELSE 0 END AS bud
+      FROM s2
+    ),
+    -- e3: key xk → KEY_NOT_FOUND (no state change, no budget check)
+    -- e4: key 3, +3000, no condition
+    s4 AS (
+      SELECT st0, st1, st2,
+        CASE WHEN NOT (bal3 >= 9000.0) AND (bal3 + 3000.0 >= 9000.0)
+                  AND bud <= 0 THEN 'CAP_EXCEEDED'
+             ELSE 'PATCHED' END AS st4,
+        bal1, bal2,
+        CASE WHEN NOT (NOT (bal3 >= 9000.0) AND (bal3 + 3000.0 >= 9000.0)
+                  AND bud <= 0)
+             THEN bal3 + 3000.0 ELSE bal3 END AS bal3,
+        bud - CASE WHEN NOT (bal3 >= 9000.0) AND (bal3 + 3000.0 >= 9000.0)
+                        AND bud > 0
+                   THEN 1 ELSE 0 END AS bud
+      FROM s3
+    ),
+    -- e5: key 2 again, -5000 — observes s3's bal2; (yes→no) never refunds
+    s5 AS (
+      SELECT st0, st1, st2, st4,
+        CASE WHEN NOT (bal2 >= 9000.0) AND (bal2 - 5000.0 >= 9000.0)
+                  AND bud <= 0 THEN 'CAP_EXCEEDED'
+             ELSE 'PATCHED' END AS st5,
+        bal1,
+        CASE WHEN NOT (NOT (bal2 >= 9000.0) AND (bal2 - 5000.0 >= 9000.0)
+                  AND bud <= 0)
+             THEN bal2 - 5000.0 ELSE bal2 END AS bal2,
+        bal3
+      FROM s4
+    )
+    SELECT 0 AS patch_index, '1' AS key, st0 AS patch_status, bal1 AS bal_after FROM s5
+    UNION ALL SELECT 1, '1', st1, bal1 FROM s5
+    UNION ALL SELECT 2, '2', st2, bal2 FROM s5
+    UNION ALL SELECT 3, 'xk', 'KEY_NOT_FOUND', CAST(NULL AS DOUBLE) FROM s5
+    UNION ALL SELECT 4, '3', st4, bal3 FROM s5
+    UNION ALL SELECT 5, '2', st5, bal2 FROM s5
+    """,
+)
+def patch_each_cap(spark, sf_dir):
+    """Request-level Cap over the sequential duplicate-key patch path
+    (proto:3020-3040 on PatchTreasuresRequest; TreasurePatch itself has
+    NO Cap field, proto:3045-3067 — adjudicated r9): ONE budget threads
+    through the entries in declaration order (gateway_patch.go:78-105 →
+    swamp_patch.go:244-261), only accepted (no→yes) transitions spend
+    it, a capped entry mutates nothing (its key's LATER entries observe
+    the unchanged body), and (yes→no) never refunds. ``max_matching =
+    pre_count + 2`` pins the budget to exactly 2 at every sf; the
+    oracle replays the six-entry walk as chained CTEs — the sequential
+    semantics ARE the compared values."""
+    cust = t(spark, sf_dir, "customer")
+    base = cust.select(
+        F.col("c_custkey").cast("string").alias("key"),
+        F.struct(F.col("c_acctbal").alias("bal")).alias("body"),
+    )
+    pre = base.filter(F.col("body.bal") >= 9000.0).count()
+    cond = Cmp("body.bal", Op.LT, 9500.0)
+    inc = lambda d: [M.PatchOp(M.PatchKind.INC, "bal", d)]  # noqa: E731
+    out = M.patch_each_batch(
+        spark,
+        base,
+        [
+            ("1", inc(1500.0), cond),
+            ("1", inc(100.0), cond),
+            ("2", inc(1500.0), None),
+            ("xk", inc(1.0), None),
+            ("3", inc(3000.0), None),
+            ("2", inc(-5000.0), None),
+        ],
+        cap=C.Cap(Cmp("body.bal", Op.GE, 9000.0), pre + 2),
+    )
+    state = out.new_state.filter(F.col("key").isin(["1", "2", "3"])).select(
+        "key", F.col("body.bal").alias("bal_after")
+    )
+    res = (
+        out.results.join(state, "key", "left")
+        .select("patch_index", "key", "patch_status", "bal_after")
+    )
+    out.unpersist()  # capped keys are plan literals — recompute is exact
+    return res

@@ -603,6 +603,339 @@ def patch_treasures_batch(
     return PatchBatch(results, new_state, applied, patched)
 
 
+@dataclass
+class PatchEachBatch:
+    """Result of :func:`patch_each_batch`: one status row per patch
+    ENTRY, the full new state, and the mutated rows for event emission.
+    ``unpersist()`` releases the internal cache once all three frames
+    are consumed."""
+
+    results: DataFrame
+    new_state: DataFrame
+    changed: DataFrame
+    _cached: DataFrame
+
+    def unpersist(self) -> None:
+        self._cached.unpersist()
+
+
+def patch_each_batch(
+    spark,
+    base: DataFrame,
+    patches: Sequence[tuple],
+    key_col: str = "key",
+    body_col: str = "body",
+    meta: Optional[PatchMeta] = None,
+    now_us: Optional[int] = None,
+    expired_col: str = "expired_at",
+    cap=None,
+) -> PatchEachBatch:
+    """The ``PatchTreasures`` request's EXACT shape (proto:2996-3010
+    ``TreasurePatch``) as a pure transformation: every patch entry
+    carries its own key, op-list, optional condition and optional
+    per-patch meta — ``patches`` is a sequence of ``(key, ops,
+    condition)`` or ``(key, ops, condition, meta)``.
+
+    Duplicate keys are allowed and run sequentially in declaration
+    order (proto:2995-3001): a later patch on the same key observes
+    the earlier patch's mutated body, so per-key conditions can
+    implement the proto's partial-accept-counter pattern. A per-patch
+    meta FULLY REPLACES the request-level ``meta`` for that patch
+    (proto:3063-3070, no merging).
+
+    ``cap`` is the REQUEST-LEVEL quota (proto:3020-3040). Adjudicated
+    against the reference this round: ``TreasurePatch`` has NO per-patch
+    Cap field (proto:3045-3067 — Key/Ops/Condition/Meta only); the one
+    Cap on ``PatchTreasuresRequest`` spans the whole batch, and
+    gateway_patch.go:78-105 pre-counts matching records ONCE, then
+    threads one running ``budgetLeft`` through every sequential
+    ``PatchFields`` call (swamp_patch.go:244-261):
+
+    - only an accepted (non-matching → matching) patch decrements the
+      budget; (yes→yes), (yes→no) and (no→no) always proceed, and a
+      (yes→no) patch does NOT refund budget (the reference's only
+      budget write is the decrement);
+    - a (no→yes) patch with no budget left reports CAP_EXCEEDED and its
+      entry mutates nothing — a LATER entry on the same key then
+      observes the unchanged body (sequential feedback, which is why
+      the duplicate-key path cannot reuse the request-order window of
+      :func:`patch_treasures_batch`);
+    - pre/post matching is evaluated on the key's LIVE body at that
+      entry's turn — i.e. after every earlier accepted entry.
+
+    Plan shape: entries split into rounds (round r = every key's r-th
+    patch); within a round, keys sharing an identical (ops, condition,
+    meta) spec compile into one chained-CASE branch, and each round is
+    a single projection over the running frame — no join anywhere (key
+    membership is a request-bounded ``isin``). With ``cap`` set, each
+    round additionally runs ONE bounded probe (the round's keys only —
+    a scan-side isin filter, output ≤ len(entries) rows) to collect the
+    (cond, pre-match, post-match) bits, and the budget walk happens
+    driver-side in entry order — O(request) work, never O(state); the
+    pre-count is one scan-side aggregate, exactly like
+    :func:`patch_treasures_batch`.
+
+    Returns one result row PER PATCH ENTRY: ``(patch_index, key,
+    patch_status)`` with statuses PATCHED / CONDITION_NOT_MET /
+    CAP_EXCEEDED / KEY_NOT_FOUND (creation belongs to
+    :func:`patch_treasures_batch`'s CreateIfNotExist)."""
+    import time as _time
+
+    if cap is not None and cap.max_matching <= 0:
+        raise ValueError("Cap.max_matching must be > 0 (proto:3040)")
+
+    now = int(now_us if now_us is not None else _time.time_ns() // 1_000)
+
+    if not patches:
+        empty = spark.createDataFrame(
+            [], f"patch_index int, {key_col} string, patch_status string"
+        )
+        return PatchEachBatch(empty, base, base.limit(0), base.limit(0))
+
+    # split entries into rounds: round r holds each key's r-th patch
+    rounds: list[list[tuple]] = []  # [(idx, key, ops, cond, meta)]
+    occurrence: dict[str, int] = {}
+    all_keys: list[str] = []
+    for idx, entry in enumerate(patches):
+        k, ops, cond = entry[0], entry[1], entry[2]
+        per_meta = entry[3] if len(entry) > 3 else None
+        eff_meta = per_meta if per_meta is not None else meta
+        r = occurrence.get(k, 0)
+        occurrence[k] = r + 1
+        if r == len(rounds):
+            rounds.append([])
+        rounds[r].append((idx, k, tuple(ops), cond, eff_meta))
+        if r == 0:
+            all_keys.append(k)
+
+    def _keep(df, col_name: str, dtype: str):
+        return (
+            F.col(col_name) if col_name in df.columns else F.lit(None).cast(dtype)
+        )
+
+    key_c = F.col(key_col)
+
+    def _group(entries):
+        # keys sharing an identical (ops, cond, meta) spec compile into
+        # one CASE branch; unhashable op values fall back to repr-based
+        # grouping (same projection, keyed by the spec's printed form)
+        grouped: dict = {}
+        for idx, k, ops, cond, m in entries:
+            spec = (ops, cond, m)
+            try:
+                grouped.setdefault(spec, (spec, []))[1].append(k)
+            except TypeError:
+                grouped.setdefault(repr(spec), (spec, []))[1].append(k)
+        return list(grouped.values())
+
+    groups_by_round = [_group(entries) for entries in rounds]
+
+    def _round_exprs(out, r, capped_keys):
+        """This round's chained-CASE expressions bound to ``out`` (the
+        running frame = the prior round's output, so a repeated key's
+        condition and pre-match observe the earlier patch — the proto's
+        sequential-observation rule)."""
+        capped_c = key_c.isin(list(capped_keys)) if capped_keys else F.lit(False)
+        body_expr = F.col(body_col)
+        status_expr = F.lit(None).cast("string")
+        hit = F.lit(False)
+        ua = _keep(out, "updated_at_us", "long")
+        ub = _keep(out, "updated_by", "string")
+        ex = _keep(out, expired_col, "timestamp")
+        stamps_meta = False
+        for (ops, cond, m), ks in groups_by_round[r]:
+            member = key_c.isin(ks)
+            patched = F.col(body_col)
+            for op in ops:
+                # row-gated: schema must stay uniform across rows
+                patched = _apply_patch_op(patched, op, structural=False)
+            c = translate(cond, out) if cond is not None else F.lit(True)
+            applies = member & c & ~capped_c
+            body_expr = F.when(applies, patched).otherwise(body_expr)
+            status_expr = F.when(
+                member,
+                F.when(~c, F.lit(STATUS_CONDITION_NOT_MET))
+                .when(capped_c, F.lit("CAP_EXCEEDED"))
+                .otherwise(F.lit(STATUS_PATCHED)),
+            ).otherwise(status_expr)
+            hit = hit | applies
+            if m is not None:
+                stamps_meta = True
+                if m.updated_at:
+                    ua = F.when(applies, F.lit(now)).otherwise(ua)
+                if m.updated_by is not None:
+                    ub = F.when(applies, F.lit(m.updated_by)).otherwise(ub)
+                if m.clear_expired_at:  # precedence (proto:3163)
+                    ex = F.when(
+                        applies, F.lit(None).cast("timestamp")
+                    ).otherwise(ex)
+                elif m.set_expired_at is not None:
+                    ex = F.when(
+                        applies,
+                        F.timestamp_micros(F.lit(int(m.set_expired_at))),
+                    ).otherwise(ex)
+        return body_expr, status_expr, hit, ua, ub, ex, stamps_meta
+
+    def _apply_round(out, r, capped_keys):
+        body_expr, status_expr, hit, ua, ub, ex, stamps_meta = _round_exprs(
+            out, r, capped_keys
+        )
+        idx_pairs = []
+        for idx, k, _, _, _ in rounds[r]:
+            idx_pairs += [F.lit(k), F.lit(idx)]
+        cols = {
+            body_col: body_expr,
+            f"_status_{r}": status_expr,
+            f"_idx_{r}": F.create_map(*idx_pairs)[key_c],
+            f"_hit_{r}": hit,
+        }
+        if stamps_meta:
+            cols["updated_at_us"] = ua
+            cols["updated_by"] = ub
+            cols[expired_col] = ex
+        return out.withColumns(cols)
+
+    capped: list[set] = [set() for _ in rounds]
+
+    if cap is not None:
+        # capPreCount (gateway_patch.go:98-105): whole-swamp, once,
+        # pre-mutation; one scan-side aggregate, O(1) result
+        budget = int(
+            base.agg(
+                F.greatest(
+                    F.lit(0),
+                    F.lit(int(cap.max_matching))
+                    - F.count_if(
+                        F.coalesce(translate(cap.filter, base), F.lit(False))
+                    ),
+                ).alias("b")
+            ).collect()[0][0]
+        )
+
+        def _chain(upto):
+            out = base
+            for rr in range(upto):
+                out = _apply_round(out, rr, capped[rr])
+            return out
+
+        def _probe(r):
+            """One bounded job: the (cond, pre, post) bits of round r's
+            keys, post-match on the candidate-patched row (meta stamps
+            included, matching patch_treasures_batch). The isin filter
+            rides the untouched key column down to the scan; output is
+            <= len(rounds[r]) rows."""
+            out_r = _chain(r)
+            body_expr, status_expr, _, ua, ub, ex, stamps_meta = _round_exprs(
+                out_r, r, ()
+            )
+            round_keys = [k for _, k, _, _, _ in rounds[r]]
+            probe_cols = {
+                "_cond_ok": F.coalesce(
+                    status_expr == F.lit(STATUS_PATCHED), F.lit(False)
+                ),
+                "_pre": F.coalesce(translate(cap.filter, out_r), F.lit(False)),
+                body_col: body_expr,
+            }
+            if stamps_meta:
+                probe_cols["updated_at_us"] = ua
+                probe_cols["updated_by"] = ub
+                probe_cols[expired_col] = ex
+            probe = out_r.filter(key_c.isin(round_keys)).withColumns(probe_cols)
+            return {
+                row[0]: (row[1], row[2], row[3])
+                for row in probe.select(
+                    key_c,
+                    "_cond_ok",
+                    "_pre",
+                    F.coalesce(
+                        translate(cap.filter, probe), F.lit(False)
+                    ).alias("_post"),
+                ).collect()
+            }
+
+        # Budget walk in GLOBAL entry order (gateway_patch.go threads
+        # one budgetLeft through the patches loop) — NOT round order:
+        # round r of one key can precede round r-1 entries of another
+        # key in the request. An entry's bits depend only on its OWN
+        # key's earlier decisions (always at smaller indices), so a
+        # round's probe stays valid for a key until one of that key's
+        # earlier entries gets capped — then just that round re-probes
+        # (re-probes are bounded by the number of cap rejections that
+        # precede same-key later entries; typically zero).
+        flat = sorted(
+            (idx, k, r)
+            for r, ents in enumerate(rounds)
+            for idx, k, _, _, _ in ents
+        )
+        probes: dict[int, dict] = {}
+        stale: dict[int, set] = {}
+        for idx, k, r in flat:
+            if r not in probes or k in stale[r]:
+                probes[r] = _probe(r)
+                stale[r] = set()
+            bits = probes[r].get(k)
+            if bits is None:
+                continue  # missing key -> KEY_NOT_FOUND, no cap check
+            cond_ok, pre, post = bits
+            if cond_ok and not pre and post:
+                if budget > 0:
+                    budget -= 1  # accepted (no->yes) spends; never refunded
+                else:
+                    capped[r].add(k)
+                    for r2 in stale:
+                        if r2 > r:
+                            stale[r2].add(k)
+
+    out = base
+    for r in range(len(rounds)):
+        out = _apply_round(out, r, capped[r])
+    any_patched_cols = [f"_hit_{r}" for r in range(len(rounds))]
+
+    aux = [
+        c
+        for r in range(len(rounds))
+        for c in (f"_status_{r}", f"_idx_{r}", f"_hit_{r}")
+    ]
+    out = out.cache()
+    out.count()
+
+    per_round = [
+        out.filter(F.col(f"_status_{r}").isNotNull()).select(
+            F.col(f"_idx_{r}").alias("patch_index"),
+            key_c,
+            F.col(f"_status_{r}").alias("patch_status"),
+        )
+        for r in range(len(rounds))
+    ]
+    results = per_round[0]
+    for p in per_round[1:]:
+        results = results.unionByName(p)
+    found = {
+        row[0]
+        for row in out.filter(key_c.isin(all_keys)).select(key_col).collect()
+    }  # bounded by len(patches)
+    nf = [
+        (idx, k)
+        for r_entries in rounds
+        for idx, k, _, _, _ in r_entries
+        if k not in found
+    ]
+    if nf:
+        results = results.unionByName(
+            spark.createDataFrame(
+                [(idx, k, "KEY_NOT_FOUND") for idx, k in nf],
+                f"patch_index int, {key_col} string, patch_status string",
+            )
+        )
+
+    new_state = out.drop(*aux)
+    hit_any = F.lit(False)
+    for c in any_patched_cols:
+        hit_any = hit_any | F.col(c)
+    changed = out.filter(hit_any)
+    return PatchEachBatch(results, new_state, changed, out)
+
+
 # ---------------------------------------------------------------------------
 # Uint32Slice set-valued cell ops (proto:378-418)
 

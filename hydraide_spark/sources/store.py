@@ -707,6 +707,7 @@ class TreasureStore:
         meta: Optional["mutate_ops.PatchMeta"] = None,
         now_us: Optional[int] = None,
         expired_col: str = "expired_at",
+        cap: Optional[claims_ops.Cap] = None,
     ) -> DataFrame:
         """The ``PatchTreasures`` request's EXACT shape (proto:2996-3010
         ``TreasurePatch``): every patch entry carries its own key,
@@ -716,180 +717,49 @@ class TreasureStore:
         transaction and one version write.
 
         Duplicate keys are allowed and run sequentially in declaration
-        order (proto:2995-3001): a later patch on the same key observes
-        the earlier patch's mutated body, so per-key conditions can
-        implement the proto's partial-accept-counter pattern (five
-        Inc(+1) under ``n < 3`` cleanly stop at the cap). A per-patch
-        meta FULLY REPLACES the request-level ``meta`` for that patch
-        (proto:3063-3070, no merging).
-
-        Plan shape: entries split into rounds (round r = every key's
-        r-th patch — one round unless keys repeat); within a round,
-        keys sharing an identical (ops, condition, meta) spec compile
-        into one chained-CASE branch, and each round is a single
-        projection over the running frame — no join anywhere (key
-        membership is a request-bounded ``isin``), so a thousand
-        per-key patches still cost one scan.
+        order (proto:2995-3001); a per-patch meta FULLY REPLACES the
+        request-level ``meta`` for that patch (proto:3063-3070).
+        ``cap`` is the REQUEST-LEVEL quota of proto:3020-3040 — the
+        reference has NO per-patch Cap (``TreasurePatch`` carries only
+        Key/Ops/Condition/Meta, proto:3045-3067); one budget threads
+        through the whole batch in entry order, and a capped entry
+        leaves its key's body unchanged for any LATER entry on the same
+        key to observe (gateway_patch.go:78-105 +
+        swamp_patch.go:244-261).
 
         Returns one row PER PATCH ENTRY: ``(patch_index, key,
         patch_status)`` with patch_index the entry's position in
         ``patches`` (the proto preserves request order in the
-        response); statuses PATCHED / CONDITION_NOT_MET /
-        KEY_NOT_FOUND (creation belongs to :meth:`patch`'s
-        CreateIfNotExist)."""
-        import time as _time
+        response); statuses PATCHED / CONDITION_NOT_MET / CAP_EXCEEDED
+        / KEY_NOT_FOUND (creation belongs to :meth:`patch`'s
+        CreateIfNotExist).
 
-        from ..query.filters import translate
-
+        The pure transformation (plan shape, cap probes, scale notes)
+        lives in :func:`operators.mutate.patch_each_batch`; this
+        wrapper adds the serialized persist + event emission."""
         base = self.current()
-        spark = self.spark
-        now = int(now_us if now_us is not None else _time.time_ns() // 1_000)
 
         # the proto shape allows an empty Patches list — no-op: no new
         # version, no events, an empty result frame
         if not patches:
-            return spark.createDataFrame(
+            return self.spark.createDataFrame(
                 [], f"patch_index int, {self.key_col} string, patch_status string"
             )
 
-        # split entries into rounds: round r holds each key's r-th patch
-        rounds: list[list[tuple]] = []  # [(idx, key, ops, cond, meta)]
-        occurrence: dict[str, int] = {}
-        all_keys: list[str] = []
-        for idx, entry in enumerate(patches):
-            k, ops, cond = entry[0], entry[1], entry[2]
-            per_meta = entry[3] if len(entry) > 3 else None
-            eff_meta = per_meta if per_meta is not None else meta
-            r = occurrence.get(k, 0)
-            occurrence[k] = r + 1
-            if r == len(rounds):
-                rounds.append([])
-            rounds[r].append((idx, k, tuple(ops), cond, eff_meta))
-            if r == 0:
-                all_keys.append(k)
-
-        def _keep(df, col_name: str, dtype: str):
-            return (
-                F.col(col_name)
-                if col_name in df.columns
-                else F.lit(None).cast(dtype)
-            )
-
-        key_c = F.col(self.key_col)
-        out = base
-        any_patched_cols = []
-        for r, entries in enumerate(rounds):
-            # group keys sharing an identical (ops, cond, meta) spec
-            # into one CASE branch; unhashable op values fall back to
-            # repr-based grouping (same projection, keyed by the
-            # spec's printed form)
-            grouped: dict = {}
-            for idx, k, ops, cond, m in entries:
-                spec = (ops, cond, m)
-                try:
-                    grouped.setdefault(spec, (spec, []))[1].append(k)
-                except TypeError:
-                    grouped.setdefault(repr(spec), (spec, []))[1].append(k)
-            groups = list(grouped.values())
-
-            body_expr = F.col(body_col)
-            status_expr = F.lit(None).cast("string")
-            hit = F.lit(False)
-            ua = _keep(out, "updated_at_us", "long")
-            ub = _keep(out, "updated_by", "string")
-            ex = _keep(out, expired_col, "timestamp")
-            stamps_meta = False
-            for (ops, cond, m), ks in groups:
-                member = key_c.isin(ks)
-                patched = F.col(body_col)
-                for op in ops:
-                    # row-gated: schema must stay uniform across rows
-                    patched = mutate_ops._apply_patch_op(
-                        patched, op, structural=False
-                    )
-                # conditions bind to the ROUND INPUT frame — i.e. the
-                # prior patch's output for a repeated key (proto's
-                # sequential-observation rule)
-                c = translate(cond, out) if cond is not None else F.lit(True)
-                applies = member & c
-                body_expr = F.when(applies, patched).otherwise(body_expr)
-                status_expr = F.when(
-                    member,
-                    F.when(c, F.lit(mutate_ops.STATUS_PATCHED)).otherwise(
-                        F.lit(mutate_ops.STATUS_CONDITION_NOT_MET)
-                    ),
-                ).otherwise(status_expr)
-                hit = hit | applies
-                if m is not None:
-                    stamps_meta = True
-                    if m.updated_at:
-                        ua = F.when(applies, F.lit(now)).otherwise(ua)
-                    if m.updated_by is not None:
-                        ub = F.when(applies, F.lit(m.updated_by)).otherwise(ub)
-                    if m.clear_expired_at:  # precedence (proto:3163)
-                        ex = F.when(
-                            applies, F.lit(None).cast("timestamp")
-                        ).otherwise(ex)
-                    elif m.set_expired_at is not None:
-                        ex = F.when(
-                            applies,
-                            F.timestamp_micros(F.lit(int(m.set_expired_at))),
-                        ).otherwise(ex)
-
-            # entry index per key for this round's response rows
-            idx_pairs = []
-            for idx, k, _, _, _ in entries:
-                idx_pairs += [F.lit(k), F.lit(idx)]
-            cols = {
-                body_col: body_expr,
-                f"_status_{r}": status_expr,
-                f"_idx_{r}": F.create_map(*idx_pairs)[key_c],
-                f"_hit_{r}": hit,
-            }
-            if stamps_meta:
-                cols["updated_at_us"] = ua
-                cols["updated_by"] = ub
-                cols[expired_col] = ex
-            out = out.withColumns(cols)
-            any_patched_cols.append(f"_hit_{r}")
-
-        aux = [c for r in range(len(rounds)) for c in (f"_status_{r}", f"_idx_{r}", f"_hit_{r}")]
-        out = out.cache()
-        out.count()
-
-        per_round = [
-            out.filter(F.col(f"_status_{r}").isNotNull()).select(
-                F.col(f"_idx_{r}").alias("patch_index"),
-                key_c,
-                F.col(f"_status_{r}").alias("patch_status"),
-            )
-            for r in range(len(rounds))
-        ]
-        results = per_round[0]
-        for p in per_round[1:]:
-            results = results.unionByName(p)
-        found = {r[0] for r in out.filter(key_c.isin(all_keys)).select(self.key_col).collect()}
-        nf = [
-            (idx, k)
-            for r_entries in rounds
-            for idx, k, _, _, _ in r_entries
-            if k not in found
-        ]
-        if nf:
-            results = results.unionByName(
-                spark.createDataFrame(
-                    [(idx, k, "KEY_NOT_FOUND") for idx, k in nf],
-                    f"patch_index int, {self.key_col} string, patch_status string",
-                )
-            )
-
-        new_state = out.drop(*aux)
-        batch = self._write_version(new_state)
-        value_cols = [c for c in new_state.columns if c != self.key_col]
-        hit_any = F.lit(False)
-        for c in any_patched_cols:
-            hit_any = hit_any | F.col(c)
-        changed = out.filter(hit_any)
+        batch_out = mutate_ops.patch_each_batch(
+            self.spark,
+            base,
+            patches,
+            key_col=self.key_col,
+            body_col=body_col,
+            meta=meta,
+            now_us=now_us,
+            expired_col=expired_col,
+            cap=cap,
+        )
+        batch = self._write_version(batch_out.new_state)
+        value_cols = [c for c in batch_out.new_state.columns if c != self.key_col]
+        changed = batch_out.changed
         self._emit(
             changed.select(
                 F.col(self.key_col),
@@ -899,8 +769,9 @@ class TreasureStore:
             ),
             batch,
         )
-        out.unpersist()
-        return results
+        batch_out.unpersist()
+        return batch_out.results
+
 
     @_serialized
     def patch_expired(
