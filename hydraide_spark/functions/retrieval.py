@@ -337,3 +337,137 @@ def mmr_rerank_batch(
     return spark.createDataFrame(
         out_rows, f"{group_col} long, {id_col} long, mmr_rank long"
     )
+
+
+def dcg_denominators(k: int) -> list[str]:
+    """The DCG position discounts ``1/log2(rank+1)`` for rank 1..k,
+    quantized to 12 decimals and rendered as exact decimal strings.
+
+    log2 differs in the last ulp between JVM and libm (CLAUDE.md), so
+    the discounts must never be recomputed engine-side: both the Spark
+    plan and any SQL oracle inject THESE literal strings, which parse
+    to identical DECIMAL(14,12) values everywhere. 12 decimals is nine
+    orders above the float drift and far below any rank-separation a
+    metric could care about."""
+    import math
+    from decimal import ROUND_HALF_EVEN, Decimal
+
+    q = Decimal("0.000000000000")
+    return [
+        str(
+            Decimal(1.0 / math.log2(r + 1)).quantize(q, rounding=ROUND_HALF_EVEN)
+        )
+        for r in range(1, k + 1)
+    ]
+
+
+def retrieval_eval(
+    ranked: DataFrame,
+    labels: DataFrame,
+    k: int = 10,
+    query_col: str = "query_id",
+    doc_col: str = "doc_id",
+    rank_col: str = "rank",
+    grade_col: str = "grade",
+) -> DataFrame:
+    """Offline retrieval-quality metrics over a labeled run: per query,
+    recall@k, MRR@k, DCG@k, IDCG@k and NDCG@k — the evaluation half of
+    the retrieval stack (rrf_fuse / mmr rerank tune k0 and λ against
+    exactly these numbers).
+
+    ``ranked``: (query, doc, rank) with rank 1-based — a run file.
+    ``labels``: (query, doc, grade) integer grades ≥ 0 (0 = judged
+    irrelevant); relevant means grade ≥ 1; gains are 2^grade − 1
+    (grades are expected small, ≤ 30). Queries with no relevant label
+    are dropped (recall/NDCG undefined — standard IR-eval convention);
+    ranked-only docs without a label count as irrelevant.
+
+    Cross-engine exactness: gains are integers; the position discounts
+    come from :func:`dcg_denominators` as DECIMAL literals, so DCG/IDCG
+    are exact DECIMAL sums (parallel order cannot drift them); recall
+    and MRR are single IEEE divisions of integers (identical in any
+    engine); NDCG alone passes through a DECIMAL→double cast, so it is
+    rounded to 10 decimals (the repo's decimal-cast rule).
+
+    Scale shape: one groupBy per frame (map-side partial counts/sums
+    keyed by the query id), one top-k window over LABELS partitioned by
+    query (bounded by judgments per query, not corpus size), and the
+    final assembly joins per-query 1-row aggregates — broadcast-sized
+    at any corpus scale. The expensive parts of an evaluation (scoring
+    the corpus, cutting top-k runs) happen upstream in ranked_list,
+    which keeps its TakeOrdered plan."""
+    denoms = dcg_denominators(k)
+    pairs = []
+    for r, s in enumerate(denoms, 1):
+        pairs += [F.lit(r).cast("int"), F.expr(f"CAST({s} AS DECIMAL(14,12))")]
+    denom_of = F.create_map(*pairs)
+
+    def gain(col):
+        # 2^grade − 1 as INTEGER arithmetic (shiftleft via SQL text —
+        # the Python wrapper only takes a literal bit count); pow()
+        # would be a double and the last-ulp cross-engine trap
+        return F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST({col} AS INT)) - 1").cast(
+            "decimal(12,0)"
+        )
+
+    rel = labels.filter(F.col(grade_col) >= 1).select(
+        query_col, doc_col, grade_col
+    )
+    n_rel = rel.groupBy(query_col).agg(F.count(F.lit(1)).alias("n_rel"))
+
+    topk = ranked.filter(F.col(rank_col) <= k).select(
+        query_col, doc_col, F.col(rank_col).cast("int").alias(rank_col)
+    )
+    hits = topk.join(rel, [query_col, doc_col], "inner")
+    per_q = hits.groupBy(query_col).agg(
+        F.count(F.lit(1)).alias("hits_at_k"),
+        F.min(rank_col).alias("_first_rank"),
+        F.sum(
+            (gain(grade_col) * denom_of[F.col(rank_col)]).cast("decimal(28,12)")
+        ).alias("_dcg"),
+    )
+
+    # ideal ranking: grades desc over the judged-relevant set (equal
+    # grades are interchangeable — same gain — so the doc tie-break
+    # only pins determinism, not the value); window is per-query and
+    # bounded by judgments, not corpus
+    w = W.partitionBy(query_col).orderBy(F.col(grade_col).desc(), F.col(doc_col))
+    ideal = rel.withColumn("_ir", F.row_number().over(w)).filter(F.col("_ir") <= k)
+    idcg = ideal.groupBy(query_col).agg(
+        F.sum(
+            (gain(grade_col) * denom_of[F.col("_ir")]).cast("decimal(28,12)")
+        ).alias("_idcg")
+    )
+
+    zero = F.lit(0).cast("decimal(28,12)")
+    dcg_c = F.coalesce(F.col("_dcg"), zero)
+    return (
+        n_rel.join(per_q, query_col, "left")
+        .join(idcg, query_col, "left")
+        .select(
+            query_col,
+            "n_rel",
+            F.coalesce(F.col("hits_at_k"), F.lit(0)).cast("long").alias("hits_at_k"),
+            (
+                F.coalesce(F.col("hits_at_k"), F.lit(0)).cast("double")
+                / F.col("n_rel").cast("double")
+            ).alias("recall_at_k"),
+            F.when(
+                F.col("_first_rank").isNotNull(),
+                F.lit(1.0) / F.col("_first_rank").cast("double"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("mrr_at_k"),
+            dcg_c.alias("dcg_at_k"),
+            F.coalesce(F.col("_idcg"), zero).alias("idcg_at_k"),
+            F.when(
+                F.col("_idcg").isNull(), F.lit(0.0)
+            )
+            .otherwise(
+                F.round(
+                    dcg_c.cast("double") / F.col("_idcg").cast("double"), 10
+                )
+            )
+            .alias("ndcg_at_k"),
+        )
+    )

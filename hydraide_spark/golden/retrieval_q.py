@@ -412,3 +412,159 @@ def mmr_diversified_rerank_batch(spark, sf_dir):
         big("vec_id").alias("vec_id"),
         big("mmr_rank").alias("mmr_rank"),
     )
+
+
+# --- retrieval evaluation (recall@k / MRR@k / NDCG@k) ----------------------
+
+# (query_id, ranking word, relevance word): the run ranks docs by the
+# tf of one word, the judgments grade docs by the tf of ANOTHER — a
+# deliberately imperfect run, so every metric is strictly inside (0,1)
+# and actually exercises the arithmetic.
+_EVAL_QUERIES = [
+    (1, "stream", "batch"),
+    (2, "vector", "hash"),
+    (3, "join", "merge"),
+    (4, "filter", "scan"),
+]
+_EVAL_K = 10
+
+
+def _denom_values_sql() -> str:
+    from ..functions.retrieval import dcg_denominators
+
+    return ", ".join(
+        f"({r}, CAST({s} AS DECIMAL(14,12)))"
+        for r, s in enumerate(dcg_denominators(_EVAL_K), 1)
+    )
+
+
+def _eval_queries_sql(word_ix: int) -> str:
+    return ", ".join(f"({q}, '{ws[word_ix - 1]}')" for q, *ws in _EVAL_QUERIES)
+
+
+@golden(
+    "retrieval_eval_metrics",
+    oracle=f"""
+    WITH words AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+    ),
+    qrank(query_id, word) AS (VALUES {_eval_queries_sql(1)}),
+    qgrade(query_id, word) AS (VALUES {_eval_queries_sql(2)}),
+    denom(rank, d) AS (VALUES {_denom_values_sql()}),
+    tf_rank AS (
+      SELECT query_id, doc_id, COUNT(*) AS tf
+      FROM words JOIN qrank USING (word) GROUP BY query_id, doc_id
+    ),
+    run AS (
+      SELECT query_id, doc_id,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY query_id ORDER BY tf DESC, doc_id ASC
+             ) AS INTEGER) AS rank
+      FROM tf_rank
+    ),
+    labels AS (
+      SELECT query_id, doc_id,
+             CAST(LEAST(COUNT(*), 3) AS INTEGER) AS grade
+      FROM words JOIN qgrade USING (word) GROUP BY query_id, doc_id
+    ),
+    n_rel AS (
+      SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_rel
+      FROM labels WHERE grade >= 1 GROUP BY query_id
+    ),
+    hits AS (
+      SELECT r.query_id, r.rank, l.grade
+      FROM run r JOIN labels l
+        ON r.query_id = l.query_id AND r.doc_id = l.doc_id
+      WHERE r.rank <= {_EVAL_K} AND l.grade >= 1
+    ),
+    per_q AS (
+      SELECT query_id,
+             CAST(COUNT(*) AS BIGINT) AS hits_at_k,
+             MIN(rank) AS first_rank,
+             CAST(SUM(CAST((2 ** grade - 1) AS DECIMAL(12,0)) * d)
+                  AS DECIMAL(28,12)) AS dcg
+      FROM hits JOIN denom USING (rank) GROUP BY query_id
+    ),
+    ideal AS (
+      SELECT query_id, grade,
+             ROW_NUMBER() OVER (
+               PARTITION BY query_id ORDER BY grade DESC, doc_id ASC
+             ) AS ir
+      FROM labels WHERE grade >= 1
+    ),
+    idcg AS (
+      SELECT query_id,
+             CAST(SUM(CAST((2 ** grade - 1) AS DECIMAL(12,0)) * d)
+                  AS DECIMAL(28,12)) AS idcg
+      FROM ideal JOIN denom ON denom.rank = ideal.ir
+      WHERE ir <= {_EVAL_K}
+      GROUP BY query_id
+    )
+    SELECT n_rel.query_id AS query_id,
+           n_rel,
+           COALESCE(hits_at_k, 0) AS hits_at_k,
+           CAST(COALESCE(hits_at_k, 0) AS DOUBLE)
+             / CAST(n_rel AS DOUBLE) AS recall_at_k,
+           CASE WHEN first_rank IS NULL THEN 0.0::DOUBLE
+                ELSE 1.0::DOUBLE / CAST(first_rank AS DOUBLE) END AS mrr_at_k,
+           ROUND(CAST(COALESCE(dcg, 0) AS DOUBLE), 10) AS dcg_at_k,
+           ROUND(CAST(COALESCE(idcg, 0) AS DOUBLE), 10) AS idcg_at_k,
+           CASE WHEN idcg IS NULL THEN 0.0::DOUBLE
+                ELSE ROUND(CAST(COALESCE(dcg, 0) AS DOUBLE)
+                           / CAST(idcg AS DOUBLE), 10) END AS ndcg_at_k
+    FROM n_rel
+    LEFT JOIN per_q USING (query_id)
+    LEFT JOIN idcg USING (query_id)
+    """,
+)
+def retrieval_eval_metrics(spark, sf_dir):
+    """Offline retrieval evaluation (recall@10 / MRR@10 / NDCG@10) of a
+    deliberately imperfect run: docs ranked by the tf of one word,
+    judged by the tf of another (grades = min(tf,3)). This is the
+    operator that lets the hybrid/MMR knobs (k0, λ) be tuned on
+    evidence rather than folklore — the missing evaluation half of the
+    r8 retrieval layer. All rank arithmetic is integer; DCG discounts
+    are injected DECIMAL literals (functions.retrieval.dcg_denominators
+    — log2 is never recomputed engine-side), DCG/IDCG are exact DECIMAL
+    sums, and NDCG (the one decimal→double value) rounds to 10
+    decimals per the repo's decimal-cast rule."""
+    from ..functions.retrieval import ranked_list_grouped, retrieval_eval
+    from ..functions.text import tokenize
+
+    docs = t(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id", F.explode(tokenize(F.col("text"))).alias("word")
+    )
+    qrank = spark.createDataFrame(
+        [(q, wr) for q, wr, _ in _EVAL_QUERIES], "query_id int, word string"
+    )
+    qgrade = spark.createDataFrame(
+        [(q, wg) for q, _, wg in _EVAL_QUERIES], "query_id int, word string"
+    )
+    tf_rank = (
+        words.join(F.broadcast(qrank), "word")
+        .groupBy("query_id", "doc_id")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    run = ranked_list_grouped(
+        tf_rank, "doc_id", "tf", topk=_EVAL_K, group_col="query_id"
+    )
+    labels = (
+        words.join(F.broadcast(qgrade), "word")
+        .groupBy("query_id", "doc_id")
+        .agg(F.least(F.count(F.lit(1)), F.lit(3)).cast("int").alias("grade"))
+    )
+    out = retrieval_eval(run, labels, k=_EVAL_K)
+    return out.select(
+        "query_id",
+        big("n_rel").alias("n_rel"),
+        big("hits_at_k").alias("hits_at_k"),
+        "recall_at_k",
+        "mrr_at_k",
+        # exact DECIMAL sums inside retrieval_eval; the output casts to
+        # double (rounded 10 per the decimal-cast rule) because DuckDB's
+        # pandas bridge renders DECIMAL(28,12) as float64 anyway
+        F.round(F.col("dcg_at_k").cast("double"), 10).alias("dcg_at_k"),
+        F.round(F.col("idcg_at_k").cast("double"), 10).alias("idcg_at_k"),
+        "ndcg_at_k",
+    )
