@@ -107,14 +107,21 @@ def persisted_cells(
     state_dir: str,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    epochs=None,
 ) -> DataFrame:
     """The accumulated (id, vector, cell) index — empty before the
-    first non-empty micro-batch has created it."""
+    first non-empty micro-batch has created it. ``epochs`` (a literal
+    list) restricts the read to a committed-epoch frontier via
+    directory-level partition pruning (see
+    search_stream.committed_epochs)."""
     schema = f"{id_col} long, {vec_col} array<float>, epoch long, cell int"
     path = os.path.join(state_dir, "cells")
     if not os.path.exists(path):
         return spark.createDataFrame([], schema).drop("epoch")
-    return spark.read.schema(schema).parquet(path).drop("epoch")
+    df = spark.read.schema(schema).parquet(path)
+    if epochs is not None:
+        df = df.filter(F.col("epoch").isin([int(e) for e in epochs]))
+    return df.drop("epoch")
 
 
 def ivf_query_persisted(
@@ -128,6 +135,7 @@ def ivf_query_persisted(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
+    epochs=None,
 ) -> DataFrame:
     """Probe the persisted index: nearest ``nprobe`` cells per query
     computed DRIVER-SIDE from the bounded query set (so the index scan
@@ -163,7 +171,9 @@ def ivf_query_persisted(
     probe_pairs = [(r[query_id_col], int(r["cell"])) for r in probe_rows]
     all_cells = sorted({c for _, c in probe_pairs})
 
-    idx = persisted_cells(spark, state_dir, id_col=id_col, vec_col=vec_col)
+    idx = persisted_cells(
+        spark, state_dir, id_col=id_col, vec_col=vec_col, epochs=epochs
+    )
     pruned = idx.filter(F.col("cell").isin(all_cells))
 
     probed = spark.createDataFrame(

@@ -100,24 +100,36 @@ def run_postings_ingest_loop(
     )
 
 
+def _epoch_filtered(df: DataFrame, epochs) -> DataFrame:
+    """Restrict a state read to a committed-epoch frontier. ``epochs``
+    is a literal list, so the filter is a partition-directory prune
+    (PartitionFilters on ``epoch``), not a row scan. ``None`` keeps the
+    old read-everything behavior."""
+    if epochs is None:
+        return df.drop("epoch")
+    return df.filter(
+        F.col("epoch").isin([int(e) for e in epochs])
+    ).drop("epoch")
+
+
 def persisted_postings(
-    spark: SparkSession, state_dir: str, id_col: str = "doc_id"
+    spark: SparkSession, state_dir: str, id_col: str = "doc_id", epochs=None
 ) -> DataFrame:
     schema = f"word string, {id_col} long, tf long, epoch long"
     path = os.path.join(state_dir, "postings")
     if not os.path.exists(path):
         return spark.createDataFrame([], schema).drop("epoch")
-    return spark.read.schema(schema).parquet(path).drop("epoch")
+    return _epoch_filtered(spark.read.schema(schema).parquet(path), epochs)
 
 
 def persisted_doclen(
-    spark: SparkSession, state_dir: str, id_col: str = "doc_id"
+    spark: SparkSession, state_dir: str, id_col: str = "doc_id", epochs=None
 ) -> DataFrame:
     schema = f"{id_col} long, dl int, epoch long"
     path = os.path.join(state_dir, "doclen")
     if not os.path.exists(path):
         return spark.createDataFrame([], schema).drop("epoch")
-    return spark.read.schema(schema).parquet(path).drop("epoch")
+    return _epoch_filtered(spark.read.schema(schema).parquet(path), epochs)
 
 
 def bm25_from_state(
@@ -127,6 +139,7 @@ def bm25_from_state(
     k1: float = 1.2,
     b: float = 0.75,
     id_col: str = "doc_id",
+    epochs=None,
 ) -> DataFrame:
     """Per-(doc, word) BM25 term scores for a bag-of-words query over
     the PERSISTED index — the same expression tree and DECIMAL(28,6)
@@ -136,12 +149,12 @@ def bm25_from_state(
     Sum per doc downstream exactly like the batch path."""
     from ..functions._cache import pin_latest
 
-    dl = persisted_doclen(spark, state_dir, id_col=id_col).persist()
+    dl = persisted_doclen(spark, state_dir, id_col=id_col, epochs=epochs).persist()
     stats = dl.agg(
         F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
     )
     post = (
-        persisted_postings(spark, state_dir, id_col=id_col)
+        persisted_postings(spark, state_dir, id_col=id_col, epochs=epochs)
         .filter(F.col("word").isin(list(query_words)))
         .persist()
     )
@@ -211,3 +224,186 @@ def hybrid_search_from_state(
         topk=topk_per_side,
     )
     return rrf_fuse([lex, dense], id_col=id_col, k0=k0, topk=topk)
+
+
+# --- unified one-epoch search state (r9) ------------------------------------
+#
+# The r8 design ran run_postings_ingest_loop and run_ivf_ingest_loop as
+# two independent streams, so hybrid_search_from_state could fuse a BM25
+# ranking and a dense ranking reflecting DIFFERENT ingest frontiers
+# (RRF degrades gracefully, but the semantics were unstated — r8 VERDICT
+# "what's missing" #1). The unified loop below maintains postings, doc
+# lengths AND IVF cells in ONE foreachBatch under ONE epoch sequence,
+# and publishes each epoch with a commit marker written AFTER all three
+# tables' writes: readers take the marker set as the frontier, so a
+# crash mid-batch (some tables written, marker absent) leaves the
+# partial epoch invisible until the retry overwrites and re-marks it —
+# every query sees one consistent frontier (the reference analogue:
+# per-swamp FIFO commit order, hydra.go:950-1019).
+#
+# The r6 id-list run_index_maintenance_loop (streaming/subscribe.py)
+# remains the Uint32SlicePush-parity path (membership/AND-search only);
+# this tf-bearing loop subsumes it for ranked search.
+
+
+def committed_epochs(state_dir: str) -> list[int]:
+    """The readable frontier: the compaction base (-1) plus every epoch
+    whose commit marker landed. One listdir — O(live epochs), and
+    compaction keeps that bounded."""
+    commits = os.path.join(state_dir, "_commits")
+    eps = [-1]
+    if os.path.isdir(commits):
+        for n in os.listdir(commits):
+            if n.startswith("epoch="):
+                eps.append(int(n.split("=", 1)[1]))
+    return sorted(eps)
+
+
+def make_search_ingest(
+    spark: SparkSession,
+    state_dir: str,
+    centroids,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vec_col: str = "embedding",
+):
+    """Per-micro-batch ingest for the UNIFIED search state: postings +
+    doclen (lexical) and IVF cells (dense) written under the same
+    epoch, then the commit marker. Each table write is the r8
+    epoch-keyed overwrite (retry-idempotent); the marker is the atomic
+    publish point. Exposed for tests to replay an epoch."""
+    from .ann_stream import make_ivf_ingest
+
+    lex_ingest = make_postings_ingest(
+        spark, state_dir, id_col=id_col, text_col=text_col
+    )
+    ivf_ingest = make_ivf_ingest(
+        spark, state_dir, centroids, id_col=id_col, vec_col=vec_col
+    )
+    commits_dir = os.path.join(state_dir, "_commits")
+
+    def ingest(batch_df: DataFrame, epoch: int) -> None:
+        if batch_df.isEmpty():
+            return
+        batch = batch_df.persist()
+        lex_ingest(batch, epoch)
+        ivf_ingest(batch, epoch)
+        batch.unpersist()
+        os.makedirs(commits_dir, exist_ok=True)
+        # marker LAST: one O_CREAT is the publish — readers never see
+        # an epoch some of whose tables are missing
+        with open(os.path.join(commits_dir, f"epoch={int(epoch)}"), "w"):
+            pass
+
+    return ingest
+
+
+def run_search_ingest_loop(
+    spark: SparkSession,
+    docs_stream: DataFrame,
+    state_dir: str,
+    centroids,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vec_col: str = "embedding",
+    queue_name: str = "search_ingest",
+    checkpoint_dir: Optional[str] = None,
+):
+    """Start the unified search-index stream (lexical + dense under one
+    epoch). ``docs_stream`` rows carry (id, text, embedding); keep
+    ``checkpoint_dir`` stable across restarts so retried epochs keep
+    their ids and the overwrites stay idempotent."""
+    ingest = make_search_ingest(
+        spark,
+        state_dir,
+        centroids,
+        id_col=id_col,
+        text_col=text_col,
+        vec_col=vec_col,
+    )
+    return (
+        docs_stream.writeStream.outputMode("append")
+        .queryName(queue_name)
+        .option(
+            "checkpointLocation",
+            checkpoint_dir or os.path.join(state_dir, "_checkpoint"),
+        )
+        .foreachBatch(ingest)
+        .start()
+    )
+
+
+def hybrid_search_from_unified_state(
+    spark: SparkSession,
+    state_dir: str,
+    query_words: Sequence[str],
+    queries: DataFrame,
+    centroids,
+    topk_per_side: int = 50,
+    nprobe: int = 2,
+    k0: int = 60,
+    topk: int = 20,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Hybrid retrieval over ONE consistent frontier of the unified
+    state: the committed-epoch set is resolved ONCE and both the BM25
+    read and the IVF probe filter to it (literal epoch IN (...) —
+    directory-pruned), so the lexical and dense rankings always reflect
+    the same ingested document set."""
+    from ..functions.retrieval import ranked_list, rrf_fuse
+    from .ann_stream import ivf_query_persisted
+
+    eps = committed_epochs(state_dir)
+    lex_scored = (
+        bm25_from_state(spark, state_dir, query_words, id_col=id_col, epochs=eps)
+        .groupBy(id_col)
+        .agg(F.sum("term_score").alias("score"))
+    )
+    lex = ranked_list(lex_scored, id_col, "score", topk=topk_per_side)
+    dense_topk = ivf_query_persisted(
+        spark,
+        state_dir,
+        queries,
+        k=topk_per_side,
+        centroids=centroids,
+        nprobe=nprobe,
+        id_col=id_col,
+        epochs=eps,
+    )
+    dense = ranked_list(
+        dense_topk.select(F.col(id_col), "score"),
+        id_col,
+        "score",
+        topk=topk_per_side,
+    )
+    return rrf_fuse([lex, dense], id_col=id_col, k0=k0, topk=topk)
+
+
+def compact_unified_search_state(spark: SparkSession, state_dir: str) -> dict:
+    """Compact all three unified-state tables (each folds its committed
+    epochs into the epoch=-1 base, newest left for retries), then prune
+    commit markers for epochs no table holds anymore — the folded rows
+    are covered by the always-committed base. Single-writer, same
+    contract as compact_epochs."""
+    from .state_compact import compact_epochs
+
+    folded = {
+        "postings": compact_epochs(spark, os.path.join(state_dir, "postings")),
+        "doclen": compact_epochs(spark, os.path.join(state_dir, "doclen")),
+        "cells": compact_epochs(
+            spark, os.path.join(state_dir, "cells"), partition_by=["cell"]
+        ),
+    }
+    live: set[int] = set()
+    for t in ("postings", "doclen", "cells"):
+        d = os.path.join(state_dir, t)
+        if os.path.isdir(d):
+            for n in os.listdir(d):
+                if n.startswith("epoch=") and n.split("=", 1)[1].lstrip("-").isdigit():
+                    live.add(int(n.split("=", 1)[1]))
+    commits = os.path.join(state_dir, "_commits")
+    if os.path.isdir(commits):
+        for n in os.listdir(commits):
+            if n.startswith("epoch=") and int(n.split("=", 1)[1]) not in live:
+                os.remove(os.path.join(commits, n))
+    return folded

@@ -1,0 +1,207 @@
+"""The r9 unified one-epoch search state: postings + doc lengths + IVF
+cells maintained by ONE foreachBatch under ONE epoch sequence, published
+per epoch by a commit marker written after all three tables — so
+hybrid_search_from_unified_state always fuses a lexical and a dense
+ranking of the SAME ingested document set (the r8 two-loop design could
+fuse different frontiers; reference analogue: per-swamp FIFO commit
+order, hydra.go:950-1019).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from hydraide_spark.functions.retrieval import ranked_list, rrf_fuse
+from hydraide_spark.functions.text import bm25_terms
+from hydraide_spark.functions.vector import ivf_topk, train_ivf_centroids
+from hydraide_spark.sources.tables import load_table
+from hydraide_spark.streaming.search_stream import (
+    committed_epochs,
+    compact_unified_search_state,
+    hybrid_search_from_unified_state,
+    make_search_ingest,
+    run_search_ingest_loop,
+)
+
+SF = "/root/testdata/sf0.001"
+WORDS = ["stream", "data", "query"]
+
+
+def _corpus(spark):
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    emb = load_table(spark, SF, "embeddings").select(
+        F.col("vec_id").alias("doc_id"), "embedding"
+    )
+    return docs.join(emb, "doc_id").select("doc_id", "text", "embedding")
+
+
+def _queries(spark, corpus):
+    row = corpus.filter(F.col("doc_id") == 0).head()
+    return spark.createDataFrame(
+        [(0, [float(x) for x in row["embedding"]])],
+        "query_id long, query_vec array<double>",
+    )
+
+
+def _batch_hybrid(corpus_subset, queries, cents, topk_per_side=20, topk=10):
+    """The batch-operator composition the persisted path must equal."""
+    lex_scored = (
+        bm25_terms(corpus_subset, "doc_id", "text", WORDS)
+        .groupBy("doc_id")
+        .agg(F.sum("term_score").alias("score"))
+    )
+    lex = ranked_list(lex_scored, "doc_id", "score", topk=topk_per_side)
+    dense_topk = ivf_topk(
+        corpus_subset.select(
+            F.col("doc_id").alias("vec_id"), "embedding"
+        ),
+        queries,
+        k=topk_per_side,
+        centroids=cents,
+        nprobe=2,
+    )
+    dense = ranked_list(
+        dense_topk.select(F.col("vec_id").alias("doc_id"), "score"),
+        "doc_id",
+        "score",
+        topk=topk_per_side,
+    )
+    return rrf_fuse([lex, dense], id_col="doc_id", k0=60, topk=topk)
+
+
+def _rows(df):
+    return sorted(
+        (r["doc_id"], r["rank_0"], r["rank_1"], r["rrf"]) for r in df.collect()
+    )
+
+
+def test_every_epoch_serves_one_consistent_frontier(spark, tmp_path):
+    """Ingest 3 epochs through the unified ingest; AFTER EVERY epoch the
+    persisted hybrid must equal the batch composition over exactly the
+    documents delivered so far — the VERDICT item's done-criterion."""
+    corpus = _corpus(spark).persist()
+    cents = train_ivf_centroids(
+        corpus.select(F.col("doc_id").alias("vec_id"), "embedding"),
+        n_centroids=8,
+    )
+    queries = _queries(spark, corpus)
+    state = str(tmp_path / "ustate")
+    ingest = make_search_ingest(spark, state, cents)
+
+    delivered = None
+    for epoch in range(3):
+        batch = corpus.filter(F.col("doc_id") % 3 == epoch)
+        ingest(batch, epoch)
+        delivered = batch if delivered is None else delivered.unionByName(batch)
+        got = hybrid_search_from_unified_state(
+            spark, state, WORDS, queries, cents,
+            topk_per_side=20, nprobe=2, topk=10,
+        )
+        want = _batch_hybrid(delivered, queries, cents)
+        assert _rows(got) == _rows(want), f"frontier diverged at epoch {epoch}"
+    corpus.unpersist()
+
+
+def test_uncommitted_partial_epoch_is_invisible_then_published(spark, tmp_path):
+    """Crash mid-batch: one table written, marker absent — the partial
+    epoch must be invisible to BOTH sides of the hybrid; the retried
+    (complete) epoch then overwrites and publishes it."""
+    from hydraide_spark.streaming.ann_stream import make_ivf_ingest
+
+    corpus = _corpus(spark).persist()
+    cents = train_ivf_centroids(
+        corpus.select(F.col("doc_id").alias("vec_id"), "embedding"),
+        n_centroids=8,
+    )
+    queries = _queries(spark, corpus)
+    state = str(tmp_path / "ustate")
+    ingest = make_search_ingest(spark, state, cents)
+
+    b0 = corpus.filter(F.col("doc_id") % 2 == 0)
+    b1 = corpus.filter(F.col("doc_id") % 2 == 1)
+    ingest(b0, 0)
+
+    # simulate the crash: epoch 1's CELLS land, postings/doclen/marker don't
+    make_ivf_ingest(spark, state, cents, id_col="doc_id")(b1, 1)
+    assert committed_epochs(state) == [-1, 0]
+    got_partial = hybrid_search_from_unified_state(
+        spark, state, WORDS, queries, cents, topk_per_side=20, topk=10
+    )
+    assert _rows(got_partial) == _rows(_batch_hybrid(b0, queries, cents))
+
+    # the retry re-runs the WHOLE epoch (overwrite) and publishes it
+    ingest(b1, 1)
+    assert committed_epochs(state) == [-1, 0, 1]
+    got_full = hybrid_search_from_unified_state(
+        spark, state, WORDS, queries, cents, topk_per_side=20, topk=10
+    )
+    assert _rows(got_full) == _rows(_batch_hybrid(corpus, queries, cents))
+    corpus.unpersist()
+
+
+def test_compaction_preserves_frontier_and_prunes_markers(spark, tmp_path):
+    corpus = _corpus(spark).persist()
+    cents = train_ivf_centroids(
+        corpus.select(F.col("doc_id").alias("vec_id"), "embedding"),
+        n_centroids=8,
+    )
+    queries = _queries(spark, corpus)
+    state = str(tmp_path / "ustate")
+    ingest = make_search_ingest(spark, state, cents)
+    for epoch in range(3):
+        ingest(corpus.filter(F.col("doc_id") % 3 == epoch), epoch)
+
+    before = _rows(
+        hybrid_search_from_unified_state(
+            spark, state, WORDS, queries, cents, topk_per_side=20, topk=10
+        )
+    )
+    folded = compact_unified_search_state(spark, state)
+    assert all(n >= 1 for n in folded.values())
+    # folded epochs' markers pruned; the newest (left for retries) keeps its
+    assert committed_epochs(state) == [-1, 2]
+    after = _rows(
+        hybrid_search_from_unified_state(
+            spark, state, WORDS, queries, cents, topk_per_side=20, topk=10
+        )
+    )
+    assert before == after
+    corpus.unpersist()
+
+
+def test_run_search_ingest_loop_end_to_end(spark, tmp_path):
+    """The streaming plumbing: one readStream → unified foreachBatch →
+    all three tables + markers advance together."""
+    corpus = _corpus(spark).persist()
+    cents = train_ivf_centroids(
+        corpus.select(F.col("doc_id").alias("vec_id"), "embedding"),
+        n_centroids=8,
+    )
+    queries = _queries(spark, corpus)
+    src = tmp_path / "docs_in"
+    src.mkdir()
+    for i in range(2):
+        corpus.filter(F.col("doc_id") % 2 == i).coalesce(1).write.parquet(
+            str(src / f"b{i}")
+        )
+    stream = (
+        spark.readStream.schema("doc_id long, text string, embedding array<float>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    state = str(tmp_path / "ustate")
+    q = run_search_ingest_loop(spark, stream, state, cents)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert len(committed_epochs(state)) >= 2  # base + >=1 published epoch
+    for t in ("postings", "doclen", "cells"):
+        assert os.path.isdir(os.path.join(state, t))
+    got = hybrid_search_from_unified_state(
+        spark, state, WORDS, queries, cents, topk_per_side=20, topk=10
+    )
+    assert _rows(got) == _rows(_batch_hybrid(corpus, queries, cents))
+    corpus.unpersist()
