@@ -491,3 +491,69 @@ def embedding_drift_report(spark, sf_dir):
         emb.filter(F.col("vec_id") % 2 == 1),
         "label",
     ).select(big("label").alias("label"), "n_a", "n_b", "centroid_cos")
+
+
+@golden(
+    "ann_topk_int8",
+    oracle="""
+    WITH codes AS (
+      SELECT vec_id,
+             CASE WHEN m = 0 THEN list_transform(v, x -> CAST(0 AS BIGINT))
+                  ELSE list_transform(v, x -> CAST(GREATEST(-127, LEAST(127,
+                         FLOOR(x * 127.0 / m + 0.5))) AS BIGINT)) END AS q
+      FROM (
+        SELECT vec_id,
+               embedding::DOUBLE[] AS v,
+               list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) AS m
+        FROM embeddings
+      )
+    ),
+    qs AS (SELECT vec_id AS query_id, q AS qq FROM codes WHERE vec_id < 5),
+    scored AS (
+      SELECT query_id, c.vec_id,
+             CAST(list_dot_product(qq, c.q) AS BIGINT) AS qdot,
+             sqrt(CAST(list_dot_product(c.q, c.q) AS BIGINT))
+               * sqrt(CAST(list_dot_product(qq, qq) AS BIGINT)) AS nn
+      FROM qs, codes c
+    ),
+    ranked AS (
+      SELECT query_id, vec_id, qdot,
+             CASE WHEN nn = 0 THEN 0.0::DOUBLE
+                  ELSE CAST(qdot AS DOUBLE) / nn END AS est_cos_raw,
+             CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY CASE WHEN nn = 0 THEN 0.0::DOUBLE
+                                  ELSE CAST(qdot AS DOUBLE) / nn END DESC,
+                             vec_id ASC) AS INTEGER) AS rank
+      FROM scored
+    )
+    SELECT CAST(query_id AS BIGINT) AS query_id,
+           CAST(vec_id AS BIGINT) AS vec_id,
+           qdot, ROUND(est_cos_raw, 10) AS est_cos, rank
+    FROM ranked WHERE rank <= 10
+    """,
+)
+def ann_topk_int8(spark, sf_dir):
+    """Int8-quantized brute-force top-k (r9): symmetric per-vector
+    max-abs quantization (q = clamp(floor(x·127/maxabs + 0.5))) and the
+    ranking by the RAW INTEGER code dot product — 4× less scan IO than
+    float32 and, uniquely among the ANN family, an EXACTLY
+    SQL-replayable ranking (scores are integers; the only floats,
+    est_cos's sqrt and divide, are IEEE correctly-rounded over exact
+    integer operands and rounded to 10). Unlike ann_topk_lsh/ivf this
+    needs no *_stable twin — the production path IS the oracle-exact
+    path. Recall vs the float-cosine exact top-k is asserted in
+    tests/test_int8_ann.py."""
+    from ..functions.vector import int8_topk
+
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = int8_topk(emb, queries, k=10)
+    return out.select(
+        big("query_id").alias("query_id"),
+        big("vec_id").alias("vec_id"),
+        F.col("qdot"),
+        F.round("est_cos", 10).alias("est_cos"),
+        F.col("rank").cast("int").alias("rank"),
+    )
