@@ -110,6 +110,7 @@ HEADLINE = [
     "labeled_search_meta",
     "vector_filter",
     "ann_topk_exact",
+    "ann_topk_int8",
     "ann_topk_lsh",
     "ann_topk_ivf",
     "pq_encode_codes",
@@ -134,6 +135,7 @@ HEADLINE = [
     "patch_struct_ops",
     "patch_meta_stamped",
     "patch_cap_budget",
+    "patch_each_cap",
     "shift_expired_claim",
     "shift_matching_cap",
     "patch_expired_lease",
@@ -157,6 +159,7 @@ HEADLINE = [
     "reverse_index_search",
     "bm25_ranked_search",
     "hybrid_search_rrf",
+    "retrieval_eval_metrics",
     "mmr_diversified_rerank",
     "mmr_diversified_rerank_batch",
     "hybrid_search_rrf_batch",
