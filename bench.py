@@ -111,6 +111,7 @@ HEADLINE = [
     "vector_filter",
     "ann_topk_exact",
     "ann_topk_int8",
+    "ann_topk_int8_ivf_stable",
     "ann_topk_lsh",
     "ann_topk_ivf",
     "pq_encode_codes",

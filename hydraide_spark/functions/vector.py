@@ -1097,3 +1097,79 @@ def int8_topk(
         out.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def _int8_cos(q_a: Column, q_b: Column) -> Column:
+    """Normalized code cosine: exact-integer dot and norms through sqrt
+    and one divide (both IEEE correctly-rounded → bit-identical across
+    engines). 0.0 when either code vector is all-zero."""
+    def sq(c):
+        return F.aggregate(
+            F.transform(c, lambda x: x.cast("long") * x.cast("long")),
+            F.lit(0).cast("long"),
+            lambda a, x: a + x,
+        ).cast("double")
+
+    nn = F.sqrt(sq(q_a)) * F.sqrt(sq(q_b))
+    return F.when(nn == 0, F.lit(0.0)).otherwise(
+        int8_dot(q_a, q_b).cast("double") / nn
+    )
+
+
+def ivf_int8_topk(
+    df: DataFrame,
+    queries: DataFrame,
+    k: int,
+    centroids: Sequence[Sequence[float]],
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """IVF cells × int8 codes — the two scan cuts composed, which is
+    the actual 100 TB serving shape: the probe prunes to
+    nprobe/n_centroids of the corpus (cell is the write-time partition
+    key) AND each surviving row is a 4×-smaller int8 code instead of a
+    float32 vector. Candidates re-rank by the normalized code cosine
+    (:func:`_int8_cos` — integer-exact, so with a stable centroid model
+    the FULL pipeline is SQL-replayable: golden
+    ``ann_topk_int8_ivf_stable``). Cell assignment is the exact batch
+    ``ivf_cell_expr``; query probes are the same driver-side
+    bounded-collect-free transform as :func:`ivf_topk`."""
+    corpus = df.select(
+        F.col(id_col),
+        ivf_cell_expr(F.col(vec_col), centroids).alias("_cell"),
+        int8_quantize_expr(F.col(vec_col)).getField("q").alias("q"),
+    )
+    q = queries.select(
+        F.col(query_id_col),
+        F.col(query_vec_col).cast("array<double>").alias("_qv"),
+    )
+    probed = q.select(
+        F.col(query_id_col),
+        int8_quantize_expr(F.col("_qv")).getField("q").alias("_qq"),
+        F.explode(
+            F.transform(
+                F.slice(
+                    F.reverse(F.array_sort(_centroid_scores(F.col("_qv"), centroids))),
+                    1,
+                    nprobe,
+                ),
+                lambda s: s.getField("j"),
+            )
+        ).alias("_cell"),
+    )
+    cand = corpus.join(F.broadcast(probed), "_cell").select(
+        F.col(query_id_col),
+        F.col(id_col),
+        int8_dot(F.col("q"), F.col("_qq")).alias("qdot"),
+        _int8_cos(F.col("q"), F.col("_qq")).alias("est_cos"),
+    )
+    w = W.partitionBy(query_id_col).orderBy(
+        F.col("est_cos").desc(), F.col(id_col).asc()
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

@@ -683,3 +683,77 @@ def knn_self_join_auto_stable(spark, sf_dir):
         F.round("score", 4).alias("score"),
         F.col("rank").cast("int").alias("rank"),
     )
+
+
+_INT8_CODES = """
+    codes AS (
+      SELECT vec_id, cell,
+             CASE WHEN m = 0 THEN list_transform(v, x -> CAST(0 AS BIGINT))
+                  ELSE list_transform(v, x -> CAST(GREATEST(-127, LEAST(127,
+                         FLOOR(x * 127.0 / m + 0.5))) AS BIGINT)) END AS q
+      FROM (
+        SELECT vec_id, v, cell,
+               list_max(list_transform(v, x -> abs(x))) AS m
+        FROM cells
+      )
+    )
+"""
+
+
+@golden(
+    "ann_topk_int8_ivf_stable",
+    oracle=f"""
+    WITH e AS ({_E}),
+    {_CVEC.strip()},
+    {_CELLS.strip()},
+    {_INT8_CODES.strip()},
+    probed AS (SELECT vec_id AS query_id, j AS cell
+               FROM cellr WHERE vec_id < 5 AND rn <= 2),
+    qcodes AS (SELECT vec_id AS query_id, q AS qq FROM codes WHERE vec_id < 5),
+    cand AS (
+      SELECT p.query_id, c.vec_id,
+             CAST(list_dot_product(qc.qq, c.q) AS BIGINT) AS qdot,
+             sqrt(CAST(list_dot_product(c.q, c.q) AS BIGINT))
+               * sqrt(CAST(list_dot_product(qc.qq, qc.qq) AS BIGINT)) AS nn
+      FROM codes c
+      JOIN probed p ON c.cell = p.cell
+      JOIN qcodes qc ON qc.query_id = p.query_id
+    ),
+    ranked AS (
+      SELECT query_id, vec_id, qdot,
+             CASE WHEN nn = 0 THEN 0.0::DOUBLE
+                  ELSE CAST(qdot AS DOUBLE) / nn END AS est,
+             CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY CASE WHEN nn = 0 THEN 0.0::DOUBLE
+                                  ELSE CAST(qdot AS DOUBLE) / nn END DESC,
+                             vec_id ASC) AS INTEGER) AS rank
+      FROM cand
+    )
+    SELECT CAST(query_id AS BIGINT) AS query_id,
+           CAST(vec_id AS BIGINT) AS vec_id,
+           qdot, ROUND(est, 10) AS est_cos, rank
+    FROM ranked WHERE rank <= 10
+    """,
+)
+def ann_topk_int8_ivf_stable(spark, sf_dir):
+    """IVF × int8 composed, ENGINE-STABLE end to end: cells from the
+    per-label exact-mean centroids (bit-identical assignment, the
+    ann_topk_ivf_stable construction), candidates from each query's 2
+    probed cells, re-rank by the normalized int8 code cosine — codes
+    are floor(x·127/maxabs + 0.5) exact integers and the cosine is
+    exact-int operands through sqrt+divide, so the WHOLE pipeline
+    (cells, probes, codes, dots, ranking) replays in SQL with zero
+    margin. This is the composed 100 TB serving shape: partition-pruned
+    probe AND 4× smaller candidate rows."""
+    from ..functions.vector import ivf_int8_topk
+
+    emb = t(spark, sf_dir, "embeddings")
+    cents = _label_centroid_list(spark, sf_dir)
+    out = ivf_int8_topk(emb, _queries_df(emb), k=10, centroids=cents, nprobe=2)
+    return out.select(
+        big("query_id").alias("query_id"),
+        big("vec_id").alias("vec_id"),
+        F.col("qdot"),
+        F.round("est_cos", 10).alias("est_cos"),
+        F.col("rank").cast("int").alias("rank"),
+    )

@@ -71,3 +71,26 @@ def test_est_cos_tracks_float_cosine(spark):
     joined = {r["vec_id"]: r for r in got.join(true, "vec_id").collect()}
     for r in joined.values():
         assert abs(r["est_cos"] - r["cos"]) < 0.02  # quantization error bound
+
+
+def test_ivf_int8_recall_vs_exact_cosine(spark):
+    from hydraide_spark.functions.vector import ivf_int8_topk, train_ivf_centroids
+
+    emb = load_table(spark, SF, "embeddings")
+    cents = train_ivf_centroids(emb, n_centroids=8)
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    k = 10
+    exact_sets: dict = {}
+    for r in cosine_topk(emb, queries, k=k).collect():
+        exact_sets.setdefault(r["query_id"], set()).add(r["vec_id"])
+    got_sets: dict = {}
+    for r in ivf_int8_topk(emb, queries, k=k, centroids=cents, nprobe=2).collect():
+        got_sets.setdefault(r["query_id"], set()).add(r["vec_id"])
+    recalls = [
+        len(exact_sets[q] & got_sets.get(q, set())) / k for q in exact_sets
+    ]
+    # two stacked approximations (2/8-cell probe + int8) — floor is the
+    # IVF recall floor, quantization barely moves it
+    assert sum(recalls) / len(recalls) >= 0.5, recalls
