@@ -82,14 +82,41 @@ def test_release_pinned_is_per_site(spark):
     assert not _PINNED
 
 
-def test_pin_latest_evicts_only_previous_generation(spark):
+def test_pin_latest_evicts_beyond_generation_budget(spark):
+    # LRU of generations: the site keeps the newest N (r9: one-
+    # generation eviction made interleaved query-variant families evict
+    # each other every bench pass — whole family cold); beyond the
+    # budget the OLDEST is released, newer ones stay warm.
+    release_all_pinned()
+    gens = []
+    for i in range(8):
+        g = _docs(spark).filter(F.col("doc_id") > i).persist()
+        g.count()
+        pin_latest("site", g, max_generations=6)
+        gens.append(g)
+    assert not gens[0].storageLevel.useMemory  # beyond budget: evicted
+    assert not gens[1].storageLevel.useMemory
+    for g in gens[2:]:
+        assert g.storageLevel.useMemory  # the newest 6 stay warm
+    release_all_pinned()
+    for g in gens:
+        assert not g.storageLevel.useMemory
+
+
+def test_pin_latest_never_evicts_plan_shared_entries(spark):
+    # a repeat call re-persists the SAME CacheManager entry (dedup by
+    # plan); evicting the old generation must not evict the warm one
     release_all_pinned()
     g1 = _docs(spark).persist()
     g1.count()
-    pin_latest("site", g1)
-    g2 = _docs(spark).persist()
+    pin_latest("site", g1, max_generations=1)
+    g2 = _docs(spark).persist()  # same plan -> same cache entry
     g2.count()
-    pin_latest("site", g2)
-    assert not g1.storageLevel.useMemory  # evicted
-    assert g2.storageLevel.useMemory  # current generation kept
+    pin_latest("site", g2, max_generations=1)
+    assert g2.storageLevel.useMemory  # survived its twin's eviction
+    g3 = _docs(spark).filter(F.col("doc_id") > 5).persist()
+    g3.count()
+    pin_latest("site", g3, max_generations=1)
+    assert not g2.storageLevel.useMemory  # different plan: evicted
+    assert g3.storageLevel.useMemory
     release_all_pinned()
