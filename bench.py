@@ -161,6 +161,7 @@ HEADLINE = [
     "bm25_ranked_search",
     "hybrid_search_rrf",
     "retrieval_eval_metrics",
+    "retrieval_run_compare",
     "mmr_diversified_rerank",
     "mmr_diversified_rerank_batch",
     "hybrid_search_rrf_batch",

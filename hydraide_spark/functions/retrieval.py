@@ -471,3 +471,59 @@ def retrieval_eval(
             .alias("ndcg_at_k"),
         )
     )
+
+
+def compare_retrieval_runs(
+    run_a: DataFrame,
+    run_b: DataFrame,
+    labels: DataFrame,
+    k: int = 10,
+    query_col: str = "query_id",
+    doc_col: str = "doc_id",
+    rank_col: str = "rank",
+    grade_col: str = "grade",
+) -> DataFrame:
+    """Paired A/B evaluation of two runs over the SAME judgments — the
+    sign-test view that answers "which configuration wins, per query":
+    for each of recall@k / MRR@k / NDCG@k, both runs' values plus an
+    outcome ∈ WIN_A / WIN_B / TIE. Aggregate the outcomes downstream
+    for the sign-test counts; per-query rows are kept so regressions
+    can be localized to specific queries.
+
+    Determinism: each side is a :func:`retrieval_eval` frame (exact
+    DECIMAL sums, NDCG rounded to 10), so the comparisons are between
+    values that are bit-identical across engines — outcomes replay in
+    SQL exactly. Cost: two O(run+judgments) evals and a per-query join
+    of 1-row-per-query aggregates (broadcast-sized)."""
+    ea = retrieval_eval(
+        run_a, labels, k, query_col=query_col, doc_col=doc_col,
+        rank_col=rank_col, grade_col=grade_col,
+    ).select(
+        query_col,
+        F.col("recall_at_k").alias("recall_a"),
+        F.col("mrr_at_k").alias("mrr_a"),
+        F.col("ndcg_at_k").alias("ndcg_a"),
+    )
+    eb = retrieval_eval(
+        run_b, labels, k, query_col=query_col, doc_col=doc_col,
+        rank_col=rank_col, grade_col=grade_col,
+    ).select(
+        query_col,
+        F.col("recall_at_k").alias("recall_b"),
+        F.col("mrr_at_k").alias("mrr_b"),
+        F.col("ndcg_at_k").alias("ndcg_b"),
+    )
+
+    def outcome(a, b):
+        return (
+            F.when(F.col(a) > F.col(b), F.lit("WIN_A"))
+            .when(F.col(a) < F.col(b), F.lit("WIN_B"))
+            .otherwise(F.lit("TIE"))
+        )
+
+    return ea.join(eb, query_col).select(
+        query_col,
+        "recall_a", "recall_b", outcome("recall_a", "recall_b").alias("recall_outcome"),
+        "mrr_a", "mrr_b", outcome("mrr_a", "mrr_b").alias("mrr_outcome"),
+        "ndcg_a", "ndcg_b", outcome("ndcg_a", "ndcg_b").alias("ndcg_outcome"),
+    )

@@ -568,3 +568,145 @@ def retrieval_eval_metrics(spark, sf_dir):
         F.round(F.col("idcg_at_k").cast("double"), 10).alias("idcg_at_k"),
         "ndcg_at_k",
     )
+
+
+def _metrics_block(s: str, qcte: str) -> str:
+    """Per-query metric CTEs for one run (suffix ``s``): the run ranks
+    docs by tf of the words in ``qcte``; judgments are always the
+    shared ``labels`` CTE. Mirrors the retrieval_eval arithmetic."""
+    return f"""
+    tf_{s} AS (
+      SELECT query_id, doc_id, COUNT(*) AS tf
+      FROM words JOIN {qcte} USING (word) GROUP BY query_id, doc_id
+    ),
+    run_{s} AS (
+      SELECT query_id, doc_id,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY query_id ORDER BY tf DESC, doc_id ASC
+             ) AS INTEGER) AS rank
+      FROM tf_{s}
+    ),
+    hits_{s} AS (
+      SELECT r.query_id, r.rank, l.grade
+      FROM run_{s} r JOIN labels l
+        ON r.query_id = l.query_id AND r.doc_id = l.doc_id
+      WHERE r.rank <= {_EVAL_K} AND l.grade >= 1
+    ),
+    per_q_{s} AS (
+      SELECT query_id,
+             CAST(COUNT(*) AS BIGINT) AS hits_at_k,
+             MIN(rank) AS first_rank,
+             CAST(SUM(CAST((2 ** grade - 1) AS DECIMAL(12,0)) * d)
+                  AS DECIMAL(28,12)) AS dcg
+      FROM hits_{s} JOIN denom USING (rank) GROUP BY query_id
+    ),
+    m_{s} AS (
+      SELECT n_rel.query_id,
+             CAST(COALESCE(hits_at_k, 0) AS DOUBLE)
+               / CAST(n_rel AS DOUBLE) AS recall_{s},
+             CASE WHEN first_rank IS NULL THEN 0.0::DOUBLE
+                  ELSE 1.0::DOUBLE / CAST(first_rank AS DOUBLE)
+                  END AS mrr_{s},
+             CASE WHEN idcg.idcg IS NULL THEN 0.0::DOUBLE
+                  ELSE ROUND(CAST(COALESCE(dcg, 0) AS DOUBLE)
+                             / CAST(idcg.idcg AS DOUBLE), 10)
+                  END AS ndcg_{s}
+      FROM n_rel
+      LEFT JOIN per_q_{s} USING (query_id)
+      LEFT JOIN idcg USING (query_id)
+    )"""
+
+
+@golden(
+    "retrieval_run_compare",
+    oracle=f"""
+    WITH words AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+    ),
+    qrank(query_id, word) AS (VALUES {_eval_queries_sql(1)}),
+    qgrade(query_id, word) AS (VALUES {_eval_queries_sql(2)}),
+    denom(rank, d) AS (VALUES {_denom_values_sql()}),
+    labels AS (
+      SELECT query_id, doc_id,
+             CAST(LEAST(COUNT(*), 3) AS INTEGER) AS grade
+      FROM words JOIN qgrade USING (word) GROUP BY query_id, doc_id
+    ),
+    n_rel AS (
+      SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_rel
+      FROM labels WHERE grade >= 1 GROUP BY query_id
+    ),
+    ideal AS (
+      SELECT query_id, grade,
+             ROW_NUMBER() OVER (
+               PARTITION BY query_id ORDER BY grade DESC, doc_id ASC
+             ) AS ir
+      FROM labels WHERE grade >= 1
+    ),
+    idcg AS (
+      SELECT query_id,
+             CAST(SUM(CAST((2 ** grade - 1) AS DECIMAL(12,0)) * d)
+                  AS DECIMAL(28,12)) AS idcg
+      FROM ideal JOIN denom ON denom.rank = ideal.ir
+      WHERE ir <= {_EVAL_K}
+      GROUP BY query_id
+    ),{_metrics_block('a', 'qrank')},{_metrics_block('b', 'qgrade')}
+    SELECT m_a.query_id AS query_id,
+           recall_a, recall_b,
+           CASE WHEN recall_a > recall_b THEN 'WIN_A'
+                WHEN recall_a < recall_b THEN 'WIN_B'
+                ELSE 'TIE' END AS recall_outcome,
+           mrr_a, mrr_b,
+           CASE WHEN mrr_a > mrr_b THEN 'WIN_A'
+                WHEN mrr_a < mrr_b THEN 'WIN_B'
+                ELSE 'TIE' END AS mrr_outcome,
+           ndcg_a, ndcg_b,
+           CASE WHEN ndcg_a > ndcg_b THEN 'WIN_A'
+                WHEN ndcg_a < ndcg_b THEN 'WIN_B'
+                ELSE 'TIE' END AS ndcg_outcome
+    FROM m_a JOIN m_b USING (query_id)
+    """,
+)
+def retrieval_run_compare(spark, sf_dir):
+    """Paired A/B run comparison (the sign-test view): run A ranks by
+    the rank-word tf (the deliberately imperfect run of
+    retrieval_eval_metrics), run B ranks by the GRADE-word tf — a run
+    that knows the relevance signal, so B should win nearly every
+    query. Both runs evaluate over the same judgments through
+    compare_retrieval_runs; outcomes are comparisons of values that
+    are bit-identical across engines (exact DECIMAL sums; round-10
+    NDCG), so WIN/LOSS/TIE replays in SQL exactly."""
+    from ..functions.retrieval import (
+        compare_retrieval_runs,
+        ranked_list_grouped,
+    )
+    from ..functions.text import tokenize
+
+    docs = t(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id", F.explode(tokenize(F.col("text"))).alias("word")
+    )
+    qrank = spark.createDataFrame(
+        [(q, wr) for q, wr, _ in _EVAL_QUERIES], "query_id int, word string"
+    )
+    qgrade = spark.createDataFrame(
+        [(q, wg) for q, _, wg in _EVAL_QUERIES], "query_id int, word string"
+    )
+
+    def run_of(qdim):
+        tf = (
+            words.join(F.broadcast(qdim), "word")
+            .groupBy("query_id", "doc_id")
+            .agg(F.count(F.lit(1)).alias("tf"))
+        )
+        return ranked_list_grouped(
+            tf, "doc_id", "tf", topk=_EVAL_K, group_col="query_id"
+        )
+
+    labels = (
+        words.join(F.broadcast(qgrade), "word")
+        .groupBy("query_id", "doc_id")
+        .agg(F.least(F.count(F.lit(1)), F.lit(3)).cast("int").alias("grade"))
+    )
+    return compare_retrieval_runs(
+        run_of(qrank), run_of(qgrade), labels, k=_EVAL_K
+    )

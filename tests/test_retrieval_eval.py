@@ -73,3 +73,35 @@ def test_rank_beyond_k_excluded_and_grade_zero_is_irrelevant(spark):
     assert row["hits_at_k"] == 0 and row["mrr_at_k"] == 0.0
     assert row["dcg_at_k"] == Decimal(0)
     assert row["idcg_at_k"] == Decimal(7)
+
+
+def test_compare_runs_outcomes(spark):
+    from hydraide_spark.functions.retrieval import compare_retrieval_runs
+
+    labels = spark.createDataFrame(
+        [(1, 1, 3), (1, 2, 1), (2, 5, 2)],
+        "query_id int, doc_id int, grade int",
+    )
+    # run A finds q1's best doc at rank 1; run B finds it at rank 2.
+    # On q2 both miss everything -> TIE at zero.
+    run_a = spark.createDataFrame(
+        [(1, 1, 1), (1, 9, 2), (2, 8, 1)],
+        "query_id int, doc_id int, rank int",
+    )
+    run_b = spark.createDataFrame(
+        [(1, 9, 1), (1, 1, 2), (2, 8, 1)],
+        "query_id int, doc_id int, rank int",
+    )
+    rows = {
+        r["query_id"]: r
+        for r in compare_retrieval_runs(run_a, run_b, labels, k=3).collect()
+    }
+    q1 = rows[1]
+    assert q1["recall_outcome"] == "TIE"  # same hit set
+    assert q1["mrr_outcome"] == "WIN_A" and q1["mrr_a"] == 1.0 and q1["mrr_b"] == 0.5
+    assert q1["ndcg_outcome"] == "WIN_A"  # rank-1 beats rank-2 discount
+    q2 = rows[2]
+    assert (
+        q2["recall_outcome"] == q2["mrr_outcome"] == q2["ndcg_outcome"] == "TIE"
+    )
+    assert q2["ndcg_a"] == q2["ndcg_b"] == 0.0
