@@ -268,10 +268,13 @@ def make_search_ingest(
     vec_col: str = "embedding",
 ):
     """Per-micro-batch ingest for the UNIFIED search state: postings +
-    doclen (lexical) and IVF cells (dense) written under the same
-    epoch, then the commit marker. Each table write is the r8
-    epoch-keyed overwrite (retry-idempotent); the marker is the atomic
-    publish point. Exposed for tests to replay an epoch."""
+    doclen (lexical), IVF cells (dense float), and cell-partitioned
+    int8 codes (the 4×-smaller quantized serving form,
+    functions/vector.py::int8_quantize) written under the same epoch,
+    then the commit marker. Each table write is the r8 epoch-keyed
+    overwrite (retry-idempotent); the marker is the atomic publish
+    point. Exposed for tests to replay an epoch."""
+    from ..functions.vector import int8_quantize_expr, ivf_cell_expr
     from .ann_stream import make_ivf_ingest
 
     lex_ingest = make_postings_ingest(
@@ -281,6 +284,7 @@ def make_search_ingest(
         spark, state_dir, centroids, id_col=id_col, vec_col=vec_col
     )
     commits_dir = os.path.join(state_dir, "_commits")
+    codes_dir = os.path.join(state_dir, "codes")
 
     def ingest(batch_df: DataFrame, epoch: int) -> None:
         if batch_df.isEmpty():
@@ -288,6 +292,16 @@ def make_search_ingest(
         batch = batch_df.persist()
         lex_ingest(batch, epoch)
         ivf_ingest(batch, epoch)
+        codes = batch.select(
+            F.col(id_col).cast("long").alias(id_col),
+            ivf_cell_expr(
+                F.col(vec_col).cast("array<double>"), centroids
+            ).alias("cell"),
+            int8_quantize_expr(F.col(vec_col)).getField("q").alias("q"),
+        )
+        codes.write.mode("overwrite").partitionBy("cell").parquet(
+            os.path.join(codes_dir, f"epoch={int(epoch)}")
+        )
         batch.unpersist()
         os.makedirs(commits_dir, exist_ok=True)
         # marker LAST: one O_CREAT is the publish — readers never see
@@ -393,9 +407,12 @@ def compact_unified_search_state(spark: SparkSession, state_dir: str) -> dict:
         "cells": compact_epochs(
             spark, os.path.join(state_dir, "cells"), partition_by=["cell"]
         ),
+        "codes": compact_epochs(
+            spark, os.path.join(state_dir, "codes"), partition_by=["cell"]
+        ),
     }
     live: set[int] = set()
-    for t in ("postings", "doclen", "cells"):
+    for t in ("postings", "doclen", "cells", "codes"):
         d = os.path.join(state_dir, t)
         if os.path.isdir(d):
             for n in os.listdir(d):
@@ -407,3 +424,83 @@ def compact_unified_search_state(spark: SparkSession, state_dir: str) -> dict:
             if n.startswith("epoch=") and int(n.split("=", 1)[1]) not in live:
                 os.remove(os.path.join(commits, n))
     return folded
+
+
+def persisted_int8_codes(
+    spark: SparkSession, state_dir: str, id_col: str = "doc_id", epochs=None
+) -> DataFrame:
+    """The accumulated cell-partitioned int8 code index (id, cell, q)."""
+    schema = f"{id_col} long, q array<int>, epoch long, cell int"
+    path = os.path.join(state_dir, "codes")
+    if not os.path.exists(path):
+        return spark.createDataFrame([], schema).drop("epoch")
+    return _epoch_filtered(spark.read.schema(schema).parquet(path), epochs)
+
+
+def ivf_int8_from_state(
+    spark: SparkSession,
+    state_dir: str,
+    queries: DataFrame,
+    k: int,
+    centroids,
+    nprobe: int = 2,
+    id_col: str = "doc_id",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    epochs=None,
+) -> DataFrame:
+    """Quantized ANN over the PERSISTED unified state: the probe prunes
+    to the queries' ``nprobe`` cells (literal cell IN (...) over the
+    cell-partitioned codes table — directory-level pruning) and the
+    candidates are 4×-smaller int8 codes, re-ranked by the normalized
+    code cosine. Frontier defaults to :func:`committed_epochs`, so the
+    result always reflects a consistent ingested set; once every vector
+    is ingested it equals the batch ``ivf_int8_topk`` exactly (cell
+    assignment and codes are the same pure expressions)."""
+    from ..functions.vector import (
+        _centroid_scores,
+        _int8_cos,
+        int8_dot,
+        int8_quantize_expr,
+    )
+    from pyspark.sql.window import Window as W
+
+    if epochs is None:
+        epochs = committed_epochs(state_dir)
+    q = queries.select(
+        F.col(query_id_col),
+        F.col(query_vec_col).cast("array<double>").alias("_qv"),
+    )
+    probed = q.select(
+        F.col(query_id_col),
+        int8_quantize_expr(F.col("_qv")).getField("q").alias("_qq"),
+        F.explode(
+            F.transform(
+                F.slice(
+                    F.reverse(F.array_sort(_centroid_scores(F.col("_qv"), centroids))),
+                    1,
+                    nprobe,
+                ),
+                lambda s: s.getField("j"),
+            )
+        ).alias("cell"),
+    )
+    probe_cells = sorted(
+        {int(r["cell"]) for r in probed.select("cell").collect()}
+    )  # bounded: n_queries * nprobe
+    idx = persisted_int8_codes(
+        spark, state_dir, id_col=id_col, epochs=epochs
+    ).filter(F.col("cell").isin(probe_cells))
+    cand = idx.join(F.broadcast(probed), "cell").select(
+        F.col(query_id_col),
+        F.col(id_col),
+        int8_dot(F.col("q"), F.col("_qq")).alias("qdot"),
+        _int8_cos(F.col("q"), F.col("_qq")).alias("est_cos"),
+    )
+    w = W.partitionBy(query_id_col).orderBy(
+        F.col("est_cos").desc(), F.col(id_col).asc()
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

@@ -205,3 +205,53 @@ def test_run_search_ingest_loop_end_to_end(spark, tmp_path):
     )
     assert _rows(got) == _rows(_batch_hybrid(corpus, queries, cents))
     corpus.unpersist()
+
+
+def test_int8_serve_from_state_converges_to_batch(spark, tmp_path):
+    """The 4th unified table: cell-partitioned int8 codes written in the
+    same epoch commit; the quantized serve path over persisted state
+    equals the batch ivf_int8_topk once everything is ingested, and a
+    partial epoch (codes written, marker absent) stays invisible."""
+    from hydraide_spark.functions.vector import ivf_int8_topk
+    from hydraide_spark.streaming.search_stream import ivf_int8_from_state
+
+    corpus = _corpus(spark).persist()
+    cents = train_ivf_centroids(
+        corpus.select(F.col("doc_id").alias("vec_id"), "embedding"),
+        n_centroids=8,
+    )
+    queries = _queries(spark, corpus)
+    state = str(tmp_path / "ustate")
+    ingest = make_search_ingest(spark, state, cents)
+    b0 = corpus.filter(F.col("doc_id") % 2 == 0)
+    b1 = corpus.filter(F.col("doc_id") % 2 == 1)
+    ingest(b0, 0)
+    ingest(b1, 1)
+    assert os.path.isdir(os.path.join(state, "codes"))
+
+    got = ivf_int8_from_state(spark, state, queries, k=10, centroids=cents, nprobe=2)
+    want = ivf_int8_topk(
+        corpus.select(F.col("doc_id").alias("vec_id"), "embedding"),
+        queries, k=10, centroids=cents, nprobe=2,
+    )
+    g = sorted((r["doc_id"], r["rank"], r["qdot"]) for r in got.collect())
+    w = sorted((r["vec_id"], r["rank"], r["qdot"]) for r in want.collect())
+    assert g == w
+
+    # partial epoch 2: codes land but no marker -> serve path unchanged
+    from hydraide_spark.functions.vector import int8_quantize_expr, ivf_cell_expr
+    extra = corpus.limit(0)  # schema source
+    fake = spark.createDataFrame(
+        [(999_999, "zzz", [0.5] * 64)], "doc_id long, text string, embedding array<float>"
+    )
+    fake_codes = fake.select(
+        F.col("doc_id"),
+        ivf_cell_expr(F.col("embedding").cast("array<double>"), cents).alias("cell"),
+        int8_quantize_expr(F.col("embedding")).getField("q").alias("q"),
+    )
+    fake_codes.write.mode("overwrite").partitionBy("cell").parquet(
+        os.path.join(state, "codes", "epoch=2")
+    )
+    got2 = ivf_int8_from_state(spark, state, queries, k=10, centroids=cents, nprobe=2)
+    assert sorted((r["doc_id"], r["rank"], r["qdot"]) for r in got2.collect()) == g
+    corpus.unpersist()
