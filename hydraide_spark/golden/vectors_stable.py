@@ -743,8 +743,13 @@ def ann_topk_int8_ivf_stable(spark, sf_dir):
     are floor(x·127/maxabs + 0.5) exact integers and the cosine is
     exact-int operands through sqrt+divide, so the WHOLE pipeline
     (cells, probes, codes, dots, ranking) replays in SQL with zero
-    margin. This is the composed 100 TB serving shape: partition-pruned
-    probe AND 4× smaller candidate rows."""
+    margin. The candidate plan is the composed 100 TB serving shape
+    (partition-pruned probe, 4× smaller rows); the ×30 wall of THIS
+    golden is dominated by the in-query per-label centroid FIT that
+    oracle-stability requires (one DECIMAL agg over corpus×dim) —
+    production serves with fixed trained centroids through
+    ``ivf_int8_topk``/``ivf_int8_from_state`` and never refits per
+    query."""
     from ..functions.vector import ivf_int8_topk
 
     emb = t(spark, sf_dir, "embeddings")
