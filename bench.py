@@ -141,6 +141,8 @@ HEADLINE = [
     "shift_matching_cap",
     "patch_expired_lease",
     "dedup_exact",
+    "dedup_report_by_source",
+    "dedup_cluster_histogram",
     "ngram_jaccard_neardup",
     "ngram_jaccard_collapsed",
     "ngram_jaccard_auto",

@@ -1199,3 +1199,59 @@ def semantic_dedup(
     )
     dupes = pairs.select(F.col("id_b").alias(id_col)).distinct()
     return with_cluster.select(id_col, "cluster").join(dupes, id_col, "left_anti")
+
+
+def dedup_report(
+    df: DataFrame,
+    clusters: DataFrame,
+    id_col: str = "doc_id",
+    group_col: str = "source",
+) -> DataFrame:
+    """Pipeline observability for a near-dup pass: per-group doc
+    counts, survivors, dropped rows and the duplicate rate, given the
+    (id, cluster_id) frame any of the clustering operators emit. A doc
+    absent from ``clusters`` is a singleton (its own survivor); the
+    survivor of a cluster is its min-id member (the clustering
+    operators' canonical-label convention), attributed to the
+    survivor's own group when a cluster spans groups.
+
+    Exactness: counts are integers; ``dup_rate`` is one IEEE division
+    of two integers — identical in any engine. Shape: one left join on
+    the id (clusters is usually far smaller than the corpus — only
+    paired docs appear) and one groupBy on the group key; O(corpus)
+    with map-side partial counts."""
+    lab = (
+        df.select(F.col(id_col), F.col(group_col))
+        .join(clusters.select(id_col, "cluster_id"), id_col, "left")
+        .withColumn("_cid", F.coalesce(F.col("cluster_id"), F.col(id_col)))
+    )
+    return (
+        lab.groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count_if(F.col(id_col) == F.col("_cid")).alias("n_survivors"),
+        )
+        .select(
+            group_col,
+            "n_docs",
+            "n_survivors",
+            (F.col("n_docs") - F.col("n_survivors")).alias("n_dropped"),
+            (
+                (F.col("n_docs") - F.col("n_survivors")).cast("double")
+                / F.col("n_docs").cast("double")
+            ).alias("dup_rate"),
+        )
+    )
+
+
+def cluster_size_histogram(clusters: DataFrame) -> DataFrame:
+    """(cluster_size, n_clusters) over the CLUSTERED docs (singletons
+    never enter the clusters frame — join the corpus through
+    :func:`dedup_report` for totals). Two integer groupBys; the first
+    shuffles on cluster_id, the second on the bounded size domain."""
+    return (
+        clusters.groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).alias("cluster_size"))
+        .groupBy("cluster_size")
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+    )

@@ -314,7 +314,9 @@ def doc_fingerprint(spark, sf_dir):
     )
 
 
-_CLUSTERS_ORACLE = f"""
+# shared by the clusters golden and the r9 dedup-report goldens: the
+# exact-Jaccard pair graph + recursive transitive closure
+_CLUSTERS_CTES = f"""
     WITH RECURSIVE corpus AS ({_CORPUS_SQL}),
     sh AS (
       SELECT doc_id, list_distinct(list(array_to_string(w[i:i+2], ' '))) AS sh
@@ -348,10 +350,20 @@ _CLUSTERS_ORACLE = f"""
       SELECT id, id FROM nodes
       UNION
       SELECT r.src, e.v FROM reach r JOIN edges e ON r.dst = e.u
+    ),
+    clusters AS (
+      SELECT src AS doc_id, MIN(dst) AS cluster_id FROM reach GROUP BY src
     )
-    SELECT CAST(src AS BIGINT) AS doc_id, CAST(MIN(dst) AS BIGINT) AS cluster_id
-    FROM reach GROUP BY src
     """
+
+_CLUSTERS_ORACLE = (
+    _CLUSTERS_CTES
+    + """
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(cluster_id AS BIGINT) AS cluster_id
+    FROM clusters
+    """
+)
 
 
 @golden("neardup_clusters", oracle=_CLUSTERS_ORACLE)
@@ -2219,4 +2231,79 @@ def neardup_keep_best(spark, sf_dir):
             big("n_tok").alias("keep_tokens"),
             big("n_members").alias("n_members"),
         )
+    )
+
+
+@golden(
+    "dedup_report_by_source",
+    oracle=_CLUSTERS_CTES
+    + """,
+    lab AS (
+      SELECT c.doc_id, s.source,
+             COALESCE(cl.cluster_id, c.doc_id) AS cid
+      FROM corpus c
+      JOIN (SELECT doc_id, source FROM documents) s
+        ON (c.doc_id % 1000000) = s.doc_id
+      LEFT JOIN clusters cl ON cl.doc_id = c.doc_id
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) FILTER (WHERE doc_id = cid) AS BIGINT) AS n_survivors,
+           CAST(COUNT(*) FILTER (WHERE doc_id <> cid) AS BIGINT) AS n_dropped,
+           CAST(COUNT(*) FILTER (WHERE doc_id <> cid) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS dup_rate
+    FROM lab GROUP BY source
+    """,
+)
+def dedup_report_by_source(spark, sf_dir):
+    """The observability row every dedup pipeline ends with: per-source
+    doc counts, survivors (cluster min-id convention; singletons are
+    their own survivor) and duplicate rate after the exact-Jaccard
+    near-dup clustering. Counts are integers and dup_rate one integer
+    division, so the report replays exactly on top of the shared
+    transitive-closure oracle. Source comes from the ORIGINAL document
+    (augmented ids map back via % 1000000)."""
+    from ..functions._cache import pin_latest
+    from ..functions.dedup import dedup_report, star_contraction_clusters
+
+    corpus = _augmented_corpus(spark, sf_dir)
+    pairs = ngram_jaccard_pairs(corpus, tau=0.6, n=3).persist()
+    clusters = star_contraction_clusters(pairs)
+    pin_latest("golden.dedup_report_by_source.pairs", pairs)
+    src = t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("orig_id"), "source"
+    )
+    meta = corpus.select(
+        "doc_id", (F.col("doc_id") % 1000000).alias("orig_id")
+    ).join(src, "orig_id")
+    return dedup_report(meta, clusters, id_col="doc_id", group_col="source")
+
+
+@golden(
+    "dedup_cluster_histogram",
+    oracle=_CLUSTERS_CTES
+    + """
+    SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+           CAST(COUNT(*) AS BIGINT) AS n_clusters
+    FROM (
+      SELECT cluster_id, COUNT(*) AS cluster_size
+      FROM clusters GROUP BY cluster_id
+    ) GROUP BY cluster_size
+    """,
+)
+def dedup_cluster_histogram(spark, sf_dir):
+    """Cluster-size distribution of the near-dup graph (clustered docs
+    only — singletons never enter the clusters frame; totals live in
+    dedup_report_by_source). Integer-only output over the shared
+    closure oracle."""
+    from ..functions._cache import pin_latest
+    from ..functions.dedup import cluster_size_histogram, star_contraction_clusters
+
+    corpus = _augmented_corpus(spark, sf_dir)
+    pairs = ngram_jaccard_pairs(corpus, tau=0.6, n=3).persist()
+    clusters = star_contraction_clusters(pairs)
+    pin_latest("golden.dedup_cluster_histogram.pairs", pairs)
+    return cluster_size_histogram(clusters).select(
+        big("cluster_size").alias("cluster_size"),
+        big("n_clusters").alias("n_clusters"),
     )

@@ -1007,3 +1007,29 @@ def test_collapse_exact_cluster_equivalence_minhash_and_jaccard(spark):
         ), fn.__name__
         # edge-derived clustering ⇒ edge-less docs absent from output
         assert not (short & set(cl_sparse)), fn.__name__
+
+
+def test_dedup_report_and_histogram_by_hand(spark):
+    from hydraide_spark.functions.dedup import cluster_size_histogram, dedup_report
+
+    docs = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "a"), (4, "b"), (5, "b")],
+        "doc_id long, source string",
+    )
+    # cluster {1,2,3} labeled 1; doc 4 clustered with... nothing; 5 singleton
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1)], "doc_id long, cluster_id long"
+    )
+    rep = {r["source"]: r for r in dedup_report(docs, clusters).collect()}
+    a = rep["a"]
+    assert (a["n_docs"], a["n_survivors"], a["n_dropped"]) == (3, 1, 2)
+    assert a["dup_rate"] == 2.0 / 3.0
+    b = rep["b"]
+    assert (b["n_docs"], b["n_survivors"], b["n_dropped"]) == (2, 2, 0)
+    assert b["dup_rate"] == 0.0
+
+    hist = {
+        r["cluster_size"]: r["n_clusters"]
+        for r in cluster_size_histogram(clusters).collect()
+    }
+    assert hist == {3: 1}
