@@ -199,6 +199,7 @@ HEADLINE = [
     "chunk_documents_rag",
     "stratified_sample_docs",
     "temperature_mix_sample_docs",
+    "data_mixing_plan",
     "weighted_sample_docs",
     "train_test_split_docs",
     "pack_token_shards_docs",

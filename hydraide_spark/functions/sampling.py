@@ -269,3 +269,64 @@ def pack_token_shards(
         )
         .drop("_bkt", "_cum_local", "_off")
     )
+
+
+def mixing_plan(
+    df: DataFrame,
+    strata_col: str,
+    tokens_col,
+    targets: "dict[str, float]",
+    token_budget: int,
+) -> DataFrame:
+    """Data-mixing plan with explicit TARGET SHARES and a total token
+    budget (the recipe form of Pile/Dolma-style mixes — where
+    :func:`temperature_mix_fractions` derives shares from counts, this
+    takes them as policy): per stratum, the available tokens, the
+    planned allocation ``floor(budget · share)``, the sample fraction
+    ``min(1, planned/available)``, and the DEFICIT when the stratum
+    cannot fill its allocation (upsampling/repetition is an epochs
+    decision for the caller, never silent here).
+
+    Exactness: token counts are integer sums; planned tokens use
+    floor() (CAST-to-int rounds in DuckDB but truncates in Spark —
+    floor is the portable form); fraction/deficit are single IEEE
+    ops over exact integers — the whole plan replays in SQL.
+    Shape: one groupBy(strata) sum, then a broadcast join against the
+    request-sized target dim; O(corpus) scan, O(#strata) everything
+    else. Strata absent from ``targets`` get share 0 (reported, not
+    dropped); targets without data report available 0."""
+    spark = df.sparkSession
+    avail = df.groupBy(strata_col).agg(
+        F.sum(F.col(tokens_col) if isinstance(tokens_col, str) else tokens_col)
+        .cast("long")
+        .alias("available_tokens")
+    )
+    tdim = spark.createDataFrame(
+        [(k, float(v)) for k, v in sorted(targets.items())],
+        f"{strata_col} string, target_share double",
+    )
+    j = avail.join(F.broadcast(tdim), strata_col, "full_outer").select(
+        strata_col,
+        F.coalesce("available_tokens", F.lit(0)).alias("available_tokens"),
+        F.coalesce("target_share", F.lit(0.0)).alias("target_share"),
+    )
+    planned = F.floor(F.lit(int(token_budget)) * F.col("target_share")).cast(
+        "long"
+    )
+    return j.select(
+        strata_col,
+        "available_tokens",
+        "target_share",
+        planned.alias("planned_tokens"),
+        F.when(F.col("available_tokens") == 0, F.lit(0.0))
+        .otherwise(
+            F.least(
+                F.lit(1.0),
+                planned.cast("double") / F.col("available_tokens").cast("double"),
+            )
+        )
+        .alias("sample_fraction"),
+        F.greatest(
+            F.lit(0).cast("long"), planned - F.col("available_tokens")
+        ).alias("deficit_tokens"),
+    )

@@ -2307,3 +2307,54 @@ def dedup_cluster_histogram(spark, sf_dir):
         big("cluster_size").alias("cluster_size"),
         big("n_clusters").alias("n_clusters"),
     )
+
+
+@golden(
+    "data_mixing_plan",
+    oracle="""
+    WITH avail AS (
+      SELECT source,
+             CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS available_tokens
+      FROM documents GROUP BY source
+    ),
+    tgt(source, target_share) AS (
+      VALUES ('src0', 0.5), ('src1', 0.3), ('src2', 0.15), ('src99', 0.05)
+    ),
+    j AS (
+      SELECT COALESCE(a.source, t.source) AS source,
+             COALESCE(available_tokens, 0) AS available_tokens,
+             COALESCE(target_share, 0.0) AS target_share
+      FROM avail a FULL OUTER JOIN tgt t ON a.source = t.source
+    )
+    SELECT source, available_tokens, target_share,
+           CAST(FLOOR(20000 * target_share) AS BIGINT) AS planned_tokens,
+           CASE WHEN available_tokens = 0 THEN 0.0::DOUBLE
+                ELSE LEAST(1.0::DOUBLE,
+                           CAST(FLOOR(20000 * target_share) AS DOUBLE)
+                             / CAST(available_tokens AS DOUBLE)) END
+             AS sample_fraction,
+           GREATEST(CAST(0 AS BIGINT),
+                    CAST(FLOOR(20000 * target_share) AS BIGINT)
+                      - available_tokens) AS deficit_tokens
+    FROM j
+    """,
+)
+def data_mixing_plan(spark, sf_dir):
+    """The recipe form of dataset mixing (Pile/Dolma-style): explicit
+    per-source target shares + a total token budget → per-source
+    allocation, sample fraction, and DEFICIT where a source cannot fill
+    its share (upsampling is an explicit epochs decision, never
+    silent). 'src99' exercises a target with no data; the 17 untargeted
+    sources report share 0. floor() (not CAST — rounding modes differ)
+    keeps planned tokens integer-exact; fraction and deficit are single
+    IEEE ops over exact integers, so the plan replays in SQL."""
+    from ..functions.sampling import mixing_plan
+
+    docs = t(spark, sf_dir, "documents")
+    return mixing_plan(
+        docs.select("source", token_count(F.col("text")).alias("n_tok")),
+        "source",
+        "n_tok",
+        {"src0": 0.5, "src1": 0.3, "src2": 0.15, "src99": 0.05},
+        token_budget=20000,
+    )

@@ -269,3 +269,26 @@ def test_temperature_mix_strata_cardinality_guard(spark):
     ok = spark.range(500).selectExpr("CAST(id % 5 AS STRING) AS stratum")
     fr = temperature_mix_fractions(ok, "stratum", 0.5, max_strata=100)
     assert len(fr) == 5 and all(0 < v <= 1.0 for v in fr.values())
+
+
+def test_mixing_plan_by_hand(spark):
+    from hydraide_spark.functions.sampling import mixing_plan
+
+    df = spark.createDataFrame(
+        [("a", 100), ("a", 50), ("b", 10)], "source string, n_tok int"
+    )
+    rows = {
+        r["source"]: r
+        for r in mixing_plan(
+            df, "source", "n_tok", {"a": 0.5, "b": 0.4, "c": 0.1}, 100
+        ).collect()
+    }
+    a = rows["a"]
+    assert (a["available_tokens"], a["planned_tokens"]) == (150, 50)
+    assert a["sample_fraction"] == 50 / 150 and a["deficit_tokens"] == 0
+    b = rows["b"]
+    assert (b["available_tokens"], b["planned_tokens"]) == (10, 40)
+    assert b["sample_fraction"] == 1.0 and b["deficit_tokens"] == 30
+    c = rows["c"]  # target with no data
+    assert (c["available_tokens"], c["planned_tokens"]) == (0, 10)
+    assert c["sample_fraction"] == 0.0 and c["deficit_tokens"] == 10
