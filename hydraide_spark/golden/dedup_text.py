@@ -2166,18 +2166,10 @@ def simhash_collapsed_stable(spark, sf_dir):
     )
 
 
-_KEEP_BEST_CORE = _CLUSTERS_ORACLE.replace("WITH RECURSIVE", "", 1).rsplit(
-    "SELECT CAST(src", 1
-)[0]
-
-
 @golden(
     "neardup_keep_best",
-    oracle=f"""
-    WITH RECURSIVE {_KEEP_BEST_CORE},
-    clusters AS (
-      SELECT src AS doc_id, MIN(dst) AS cluster_id FROM reach GROUP BY src
-    ),
+    oracle=_CLUSTERS_CTES
+    + """,
     dl AS (
       SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
       FROM corpus
