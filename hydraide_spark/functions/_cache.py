@@ -37,6 +37,7 @@ tests asserting no cached RDDs remain.
 
 from __future__ import annotations
 
+import threading
 from typing import Dict, List, Tuple
 
 from pyspark.sql import DataFrame
@@ -47,6 +48,12 @@ from pyspark.sql import DataFrame
 _MAX_GENERATIONS = 6
 
 _PINNED: Dict[str, List[Tuple[DataFrame, ...]]] = {}
+#: the target of this module is a long-lived serving session whose
+#: driver threads call library functions concurrently — unguarded
+#: append/pop interleavings can leak a generation past the budget or
+#: unpersist a dep a sibling still needs (same reason sources/store.py
+#: uses an RLock)
+_LOCK = threading.Lock()
 
 
 def _unpersist_all(deps: Tuple[DataFrame, ...]) -> None:
@@ -81,24 +88,31 @@ def pin_latest(site: str, *deps: DataFrame, max_generations: int | None = None) 
     re-persists the SAME entry — unpersisting the old generation would
     evict the new one's (warm) cache with it."""
     cap = _MAX_GENERATIONS if max_generations is None else int(max_generations)
-    gens = _PINNED.setdefault(site, [])
-    gens.append(tuple(deps))
-    while len(gens) > max(1, cap):
-        oldest = gens.pop(0)
-        live = [d for g in gens for d in g]
-        stale = tuple(
-            d for d in oldest if not any(_same_plan(d, l) for l in live)
-        )
-        _unpersist_all(stale)
+    with _LOCK:
+        gens = _PINNED.setdefault(site, [])
+        gens.append(tuple(deps))
+        while len(gens) > max(1, cap):
+            oldest = gens.pop(0)
+            live = [d for g in gens for d in g]
+            stale = tuple(
+                d for d in oldest if not any(_same_plan(d, l) for l in live)
+            )
+            _unpersist_all(stale)
 
 
 def release_pinned(site: str) -> None:
     """Explicitly release one call site's pinned generations."""
-    for gen in _PINNED.pop(site, []):
+    with _LOCK:
+        gens = _PINNED.pop(site, [])
+    for gen in gens:
         _unpersist_all(gen)
 
 
 def release_all_pinned() -> None:
     """Release every pinned cache generation (end-of-request hook)."""
-    for site in list(_PINNED):
-        release_pinned(site)
+    with _LOCK:
+        drained = list(_PINNED.items())
+        _PINNED.clear()
+    for _site, gens in drained:
+        for gen in gens:
+            _unpersist_all(gen)

@@ -291,10 +291,13 @@ def mixing_plan(
     floor() (CAST-to-int rounds in DuckDB but truncates in Spark —
     floor is the portable form); fraction/deficit are single IEEE
     ops over exact integers — the whole plan replays in SQL.
-    Shape: one groupBy(strata) sum, then a broadcast join against the
-    request-sized target dim; O(corpus) scan, O(#strata) everything
-    else. Strata absent from ``targets`` get share 0 (reported, not
-    dropped); targets without data report available 0."""
+    Shape: one groupBy(strata) sum, then a full-outer join against the
+    request-sized target dim. Spark cannot broadcast a full-outer join
+    (both sides can emit unmatched rows), so no hint is given — but
+    both sides are already O(#strata)/O(#targets) post-aggregate rows,
+    so the exchange moves a handful of rows; the corpus is touched by
+    exactly one scan. Strata absent from ``targets`` get share 0
+    (reported, not dropped); targets without data report available 0."""
     spark = df.sparkSession
     avail = df.groupBy(strata_col).agg(
         F.sum(F.col(tokens_col) if isinstance(tokens_col, str) else tokens_col)
@@ -305,7 +308,7 @@ def mixing_plan(
         [(k, float(v)) for k, v in sorted(targets.items())],
         f"{strata_col} string, target_share double",
     )
-    j = avail.join(F.broadcast(tdim), strata_col, "full_outer").select(
+    j = avail.join(tdim, strata_col, "full_outer").select(
         strata_col,
         F.coalesce("available_tokens", F.lit(0)).alias("available_tokens"),
         F.coalesce("target_share", F.lit(0.0)).alias("target_share"),

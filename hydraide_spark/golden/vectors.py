@@ -535,11 +535,12 @@ def embedding_drift_report(spark, sf_dir):
 def ann_topk_int8(spark, sf_dir):
     """Int8-quantized brute-force top-k (r9): symmetric per-vector
     max-abs quantization (q = clamp(floor(x·127/maxabs + 0.5))) and the
-    ranking by the RAW INTEGER code dot product — 4× less scan IO than
-    float32 and, uniquely among the ANN family, an EXACTLY
-    SQL-replayable ranking (scores are integers; the only floats,
-    est_cos's sqrt and divide, are IEEE correctly-rounded over exact
-    integer operands and rounded to 10). Unlike ann_topk_lsh/ivf this
+    ranking by the NORMALIZED code cosine qdot/(‖qa‖·‖qb‖) — 4× less
+    scan IO than float32 and, uniquely among the ANN family, an EXACTLY
+    SQL-replayable ranking (est_cos is built from exact integer
+    operands through sqrt and one divide, both IEEE correctly-rounded;
+    raw qdot is emitted as a column but never ranks — it is norm-
+    biased, recall 0.74 vs 0.96 normalized). Unlike ann_topk_lsh/ivf this
     needs no *_stable twin — the production path IS the oracle-exact
     path. Recall vs the float-cosine exact top-k is asserted in
     tests/test_int8_ann.py."""

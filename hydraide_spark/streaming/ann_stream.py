@@ -113,15 +113,17 @@ def persisted_cells(
     first non-empty micro-batch has created it. ``epochs`` (a literal
     list) restricts the read to a committed-epoch frontier via
     directory-level partition pruning (see
-    search_stream.committed_epochs)."""
+    search_stream.committed_epochs). Epochs a crashed compaction
+    already folded into the base are excluded either way
+    (state_compact.pending_folded — read-only self-healing against
+    the duplicate-rows window between promote and cleanup)."""
+    from .search_stream import _epoch_filtered
+
     schema = f"{id_col} long, {vec_col} array<float>, epoch long, cell int"
     path = os.path.join(state_dir, "cells")
     if not os.path.exists(path):
         return spark.createDataFrame([], schema).drop("epoch")
-    df = spark.read.schema(schema).parquet(path)
-    if epochs is not None:
-        df = df.filter(F.col("epoch").isin([int(e) for e in epochs]))
-    return df.drop("epoch")
+    return _epoch_filtered(spark.read.schema(schema).parquet(path), epochs, path)
 
 
 def ivf_query_persisted(

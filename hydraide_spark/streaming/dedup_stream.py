@@ -50,7 +50,23 @@ from typing import Optional
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..functions.dedup import minhash_signature, shingles
-from .state_compact import migrate_flat_state
+from .state_compact import migrate_flat_state, pending_folded
+
+
+def _probe_epoch_cond(path: str, epoch: int):
+    """The persisted-index probe filter: exclude the CURRENT epoch's
+    partition (a retried epoch must probe the same "old" index the
+    first attempt saw) AND any epochs a crashed compaction already
+    folded into the base but did not clean up (their rows exist twice —
+    base + epoch dir — until the next compaction replays the cleanup;
+    see state_compact.pending_folded). coalesce(epoch, -1) keeps
+    pre-r8 flat legacy rows (NULL epoch) in the probe."""
+    e = F.coalesce(F.col("epoch"), F.lit(-1))
+    cond = e != F.lit(int(epoch))
+    pend = sorted(pending_folded(path))
+    if pend:
+        cond = cond & ~e.isin(pend)
+    return cond
 
 
 def _read_or_none(spark: SparkSession, path: str, schema: str):
@@ -120,20 +136,17 @@ def make_ingest(
             F.col(id_col), F.explode(F.array(*band_cols)).alias("bucket")
         ).persist()
 
-        # exclude the CURRENT epoch's partition from the persisted
-        # index: a retried epoch that already wrote its bands must
-        # probe the same "old" index the first attempt saw
-        # coalesce(epoch, -1): a pre-r8 flat (append-mode) state dir has
-        # no epoch partition, so the column reads NULL — a bare != would
-        # evaluate NULL and silently drop the entire legacy index from
-        # pairing. -1 is the compaction base id, never a live epoch, so
-        # legacy rows survive the own-epoch exclusion like base rows do.
+        # probe filter (_probe_epoch_cond): own-epoch exclusion for
+        # retry idempotence + folded-but-uncleaned epoch exclusion for
+        # crashed-compaction consistency; coalesce(epoch, -1) keeps
+        # pre-r8 flat legacy rows (NULL epoch) in the probe — -1 is the
+        # compaction base id, never a live epoch.
         old_banded = _read_or_none(
             spark, bands_dir, bands_schema + ", epoch long"
         )
         if old_banded is not None:
             old_banded = old_banded.filter(
-                F.coalesce(F.col("epoch"), F.lit(-1)) != F.lit(int(epoch))
+                _probe_epoch_cond(bands_dir, epoch)
             ).drop("epoch")
         all_banded = (
             new_banded
@@ -156,7 +169,7 @@ def make_ingest(
         old_sizes = _read_or_none(spark, sh_dir, sh_schema + ", epoch long")
         if old_sizes is not None:
             old_sizes = old_sizes.filter(
-                F.coalesce(F.col("epoch"), F.lit(-1)) != F.lit(int(epoch))
+                _probe_epoch_cond(sh_dir, epoch)
             ).drop("epoch")
         all_sizes = (
             sh_new if old_sizes is None else sh_new.unionByName(old_sizes)
@@ -247,8 +260,8 @@ def ingested_pairs(spark: SparkSession, state_dir: str) -> DataFrame:
     if not os.path.exists(path):
         return spark.createDataFrame([], schema)
     migrate_flat_state(path)  # pre-r8 flat layout → epoch=-1 base
-    return (
-        spark.read.schema(schema + ", epoch long")
-        .parquet(path)
-        .drop("epoch")
+    from .search_stream import _epoch_filtered
+
+    return _epoch_filtered(
+        spark.read.schema(schema + ", epoch long").parquet(path), None, path
     )

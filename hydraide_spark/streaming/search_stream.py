@@ -100,16 +100,28 @@ def run_postings_ingest_loop(
     )
 
 
-def _epoch_filtered(df: DataFrame, epochs) -> DataFrame:
+def _epoch_filtered(df: DataFrame, epochs, table_dir: str) -> DataFrame:
     """Restrict a state read to a committed-epoch frontier. ``epochs``
     is a literal list, so the filter is a partition-directory prune
     (PartitionFilters on ``epoch``), not a row scan. ``None`` keeps the
-    old read-everything behavior."""
+    old read-everything behavior.
+
+    Either way, epochs a crashed compaction already folded into the
+    base but did not clean up (``state_compact.pending_folded``) are
+    EXCLUDED: their rows live in the base too, and reading both sides
+    of the interrupted swap would double-count them. Read-only
+    self-healing — the next compaction replays the cleanup."""
+    from .state_compact import pending_folded
+
+    pend = pending_folded(table_dir)
     if epochs is None:
+        if pend:
+            df = df.filter(
+                ~F.coalesce(F.col("epoch"), F.lit(-1)).isin(sorted(pend))
+            )
         return df.drop("epoch")
-    return df.filter(
-        F.col("epoch").isin([int(e) for e in epochs])
-    ).drop("epoch")
+    keep = [int(e) for e in epochs if int(e) not in pend]
+    return df.filter(F.col("epoch").isin(keep)).drop("epoch")
 
 
 def persisted_postings(
@@ -119,7 +131,7 @@ def persisted_postings(
     path = os.path.join(state_dir, "postings")
     if not os.path.exists(path):
         return spark.createDataFrame([], schema).drop("epoch")
-    return _epoch_filtered(spark.read.schema(schema).parquet(path), epochs)
+    return _epoch_filtered(spark.read.schema(schema).parquet(path), epochs, path)
 
 
 def persisted_doclen(
@@ -129,7 +141,7 @@ def persisted_doclen(
     path = os.path.join(state_dir, "doclen")
     if not os.path.exists(path):
         return spark.createDataFrame([], schema).drop("epoch")
-    return _epoch_filtered(spark.read.schema(schema).parquet(path), epochs)
+    return _epoch_filtered(spark.read.schema(schema).parquet(path), epochs, path)
 
 
 def bm25_from_state(
@@ -434,7 +446,7 @@ def persisted_int8_codes(
     path = os.path.join(state_dir, "codes")
     if not os.path.exists(path):
         return spark.createDataFrame([], schema).drop("epoch")
-    return _epoch_filtered(spark.read.schema(schema).parquet(path), epochs)
+    return _epoch_filtered(spark.read.schema(schema).parquet(path), epochs, path)
 
 
 def ivf_int8_from_state(

@@ -73,6 +73,31 @@ def _finish_swap(table_dir: str, base: str) -> None:
     os.remove(manifest)
 
 
+def pending_folded(table_dir: str) -> "set[int]":
+    """Epochs a crashed compaction already FOLDED into the base but did
+    not finish cleaning up: the fold manifest is still sitting in the
+    base, so the folded rows exist TWICE — in the new base AND in the
+    still-present epoch dirs (whose commit markers also still exist).
+    Until the next ``compact_epochs`` replays the cleanup, any reader
+    that unions base + epoch dirs would double-count them (inflated
+    BM25 tf/dfreq, duplicate ANN candidates).
+
+    Readers therefore subtract this set from their epoch view (the
+    base, ``-1``, is never in the returned set — it IS the surviving
+    copy). This is the read-only half of crash recovery: no writes, no
+    race with a concurrently-running compactor, and per-table — a crash
+    between two tables' compactions leaves each table individually
+    consistent under its own pending set."""
+    manifest = os.path.join(table_dir, f"epoch={BASE_EPOCH}", _MANIFEST)
+    try:
+        with open(manifest) as fh:
+            folded = {int(x) for x in fh.read().split() if x}
+    except (OSError, ValueError):
+        return set()
+    folded.discard(BASE_EPOCH)
+    return folded
+
+
 def _recover(table_dir: str) -> None:
     """Finish or roll back an interrupted swap so the table is always
     in a readable, compactable state on entry. Idempotent.

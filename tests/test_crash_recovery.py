@@ -255,3 +255,59 @@ def test_streaming_neardup_legacy_flat_state_still_pairs(spark, tmp_path):
         (r["id_a"], r["id_b"]) for r in ingested_pairs(spark, state).collect()
     }
     assert (1, 3) in pairs and (2, 3) in pairs
+
+
+def test_readers_exclude_pending_folded_epochs(spark, tmp_path):
+    """r9-ADVICE crash window: promote landed (base holds the folded
+    rows + the _FOLDED manifest) but cleanup did not — the folded
+    epoch dirs AND their commit markers still exist. Readers never run
+    _recover; they must self-heal read-only by excluding the
+    manifest-listed epochs from their view, else every folded row is
+    counted twice (inflated BM25 tf/dfreq, duplicate ANN candidates)."""
+    from hydraide_spark.streaming.search_stream import (
+        committed_epochs,
+        persisted_doclen,
+    )
+    from hydraide_spark.streaming.state_compact import pending_folded
+
+    state = str(tmp_path / "s")
+    dl_dir = os.path.join(state, "doclen")
+    commits = os.path.join(state, "_commits")
+    os.makedirs(commits)
+    for e in range(3):
+        spark.createDataFrame(
+            [(e * 10 + i, 5) for i in range(2)], "doc_id long, dl int"
+        ).coalesce(1).write.parquet(os.path.join(dl_dir, f"epoch={e}"))
+        open(os.path.join(commits, f"epoch={e}"), "w").close()
+
+    # hand-arrange the interrupted swap: base = folded epochs 0+1,
+    # manifest still present, epoch dirs 0/1 NOT cleaned up
+    base = os.path.join(dl_dir, f"epoch={BASE_EPOCH}")
+    spark.read.option("basePath", dl_dir).parquet(
+        os.path.join(dl_dir, "epoch=0"), os.path.join(dl_dir, "epoch=1")
+    ).drop("epoch").coalesce(1).write.parquet(base)
+    with open(os.path.join(base, "_FOLDED"), "w") as fh:
+        fh.write("-1\n0\n1")
+
+    assert pending_folded(dl_dir) == {0, 1}  # never the base itself
+
+    # frontier read: each doc exactly once (base copy wins)
+    eps = committed_epochs(state)
+    ids = [
+        r["doc_id"]
+        for r in persisted_doclen(spark, state, epochs=eps).collect()
+    ]
+    assert sorted(ids) == sorted(set(ids)) == [0, 1, 10, 11, 20, 21]
+
+    # read-everything (epochs=None) path must dedupe too
+    ids = [r["doc_id"] for r in persisted_doclen(spark, state).collect()]
+    assert sorted(ids) == [0, 1, 10, 11, 20, 21]
+
+    # after a real compaction replays the cleanup, nothing is pending
+    compact_epochs(spark, os.path.join(state, "doclen"))
+    assert pending_folded(dl_dir) == set()
+    ids = [
+        r["doc_id"]
+        for r in persisted_doclen(spark, state, epochs=committed_epochs(state)).collect()
+    ]
+    assert sorted(ids) == [0, 1, 10, 11, 20, 21]
