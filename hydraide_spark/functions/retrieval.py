@@ -527,3 +527,125 @@ def compare_retrieval_runs(
         "mrr_a", "mrr_b", outcome("mrr_a", "mrr_b").alias("mrr_outcome"),
         "ndcg_a", "ndcg_b", outcome("ndcg_a", "ndcg_b").alias("ndcg_outcome"),
     )
+
+
+def sign_test_p_table(max_n: int = 100) -> "dict[tuple[int, int], str]":
+    """Exact two-sided sign-test p-values ``p(n, m) = min(1,
+    2·P(Bin(n, 1/2) ≤ m))`` for every 0 ≤ m ≤ n ≤ max_n, computed
+    driver-side in exact rational arithmetic and quantized to 12
+    decimals HALF_EVEN — the :func:`dcg_denominators` pattern: an
+    engine never computes the constant itself, both engines consume
+    the SAME injected DECIMAL literal, so the p-values (and any
+    comparison against α) replay bit-identically in SQL. Denominators
+    are powers of two, so the quantization is of a finite decimal —
+    no double ever touches the value before the final output cast."""
+    import math
+    from decimal import Decimal
+    from fractions import Fraction
+
+    def q12(fr: Fraction) -> str:
+        s = fr * 10**12
+        fl, rem = divmod(s.numerator, s.denominator)
+        half = Fraction(rem, s.denominator)
+        if half > Fraction(1, 2) or (half == Fraction(1, 2) and fl % 2 == 1):
+            fl += 1
+        return format(Decimal(fl).scaleb(-12), "f")
+
+    out: dict[tuple[int, int], str] = {}
+    for n in range(0, max_n + 1):
+        cum = 0
+        for m in range(0, n + 1):
+            cum += math.comb(n, m)
+            p = Fraction(2 * cum, 2**n) if n else Fraction(1)
+            out[(n, m)] = q12(min(p, Fraction(1)))
+    return out
+
+
+def retrieval_sign_test(
+    run_a: DataFrame,
+    run_b: DataFrame,
+    labels: DataFrame,
+    k: int = 10,
+    alpha: str = "0.05",
+    max_n: int = 100,
+    query_col: str = "query_id",
+    doc_col: str = "doc_id",
+    rank_col: str = "rank",
+    grade_col: str = "grade",
+) -> DataFrame:
+    """The MACRO verdict over a paired A/B comparison — the row a real
+    A/B consumer reads first: per metric (recall@k / MRR@k / NDCG@k),
+    the win/loss/tie counts, the effective n (ties dropped, the exact
+    sign-test convention), the two-sided exact binomial p-value, and
+    the significant winner at ``alpha`` ('A' / 'B' / 'NONE', or
+    'UNDECIDED' when n exceeds the injected table — use a larger
+    ``max_n`` or a normal approximation downstream).
+
+    Exactness: counts are integers; p-values come from
+    :func:`sign_test_p_table` as ONE injected DECIMAL map literal
+    (single F.expr parse — the big-literal-model rule), keyed by
+    n·(max_n+2)+m, so the engine only ever does an integer map lookup;
+    the α comparison is DECIMAL-exact. The only double is the emitted
+    p_value (rounded 10 per the decimal-cast rule).
+
+    Scale: everything below the two :func:`retrieval_eval` passes is a
+    3-row aggregate — cost is entirely in the upstream run scoring."""
+    cmp = compare_retrieval_runs(
+        run_a, run_b, labels, k,
+        query_col=query_col, doc_col=doc_col,
+        rank_col=rank_col, grade_col=grade_col,
+    )
+    longf = cmp.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(mname).alias("metric"),
+                        F.col(f"{mname}_outcome").alias("o"),
+                    )
+                    for mname in ("recall", "mrr", "ndcg")
+                ]
+            )
+        ).alias("x")
+    ).select("x.metric", "x.o")
+
+    def n_of(label):
+        return F.sum(F.when(F.col("o") == label, 1).otherwise(0)).cast("long")
+
+    counts = longf.groupBy("metric").agg(
+        n_of("WIN_A").alias("wins_a"),
+        n_of("WIN_B").alias("wins_b"),
+        n_of("TIE").alias("ties"),
+    )
+
+    table = sign_test_p_table(max_n)
+    stride = max_n + 2
+    entries = ",".join(
+        f"{n * stride + m},CAST('{p}' AS DECIMAL(14,12))"
+        for (n, m), p in table.items()
+    )
+    pmap = F.expr(f"map({entries})")
+
+    n_eff = (F.col("wins_a") + F.col("wins_b")).cast("long")
+    key = (n_eff * stride + F.least("wins_a", "wins_b")).cast("int")
+    p_dec = F.when(n_eff <= max_n, pmap[key])
+    a_dec = F.expr(f"CAST('{alpha}' AS DECIMAL(14,12))")
+    winner = (
+        F.when(p_dec.isNull(), F.lit("UNDECIDED"))
+        .when(
+            (p_dec < a_dec) & (F.col("wins_a") > F.col("wins_b")), F.lit("A")
+        )
+        .when(
+            (p_dec < a_dec) & (F.col("wins_b") > F.col("wins_a")), F.lit("B")
+        )
+        .otherwise(F.lit("NONE"))
+    )
+    return counts.select(
+        "metric",
+        "wins_a",
+        "wins_b",
+        "ties",
+        n_eff.alias("n_effective"),
+        F.round(p_dec.cast("double"), 10).alias("p_value"),
+        winner.alias("significant_winner"),
+    )

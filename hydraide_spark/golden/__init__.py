@@ -253,6 +253,43 @@ _R8_VERIFIED = frozenset(
 # automatically by not appearing in any verified set.
 _CHANGED_R9 = frozenset()
 
+# Green (rows+schema+hash) in the round-9 driver window
+# (CORRECTNESS_r09.json, 50/50) — most recently re-verified, sort last.
+_R9_VERIFIED = frozenset(
+    {
+        "ann_topk_int8", "ann_topk_int8_ivf_stable", "ann_topk_lsh_stable",
+        "anomaly_outlier_events", "approx_distinct_exact_oracle",
+        "count_matching", "count_per_swamp", "cube_pricing_matrix",
+        "data_mixing_plan", "dedup_cluster_histogram",
+        "dedup_report_by_source", "error_burst_islands",
+        "events_props_json_stats", "exact_quantiles_by_flag",
+        "filter_in_ops", "filter_scalar_tree", "filter_string_ops",
+        "funnel_conversion_events", "fuzzy_record_linkage",
+        "grouping_rollup", "join_star_revenue", "multimodal_real_decode",
+        "multiway_join_volume", "pagerank_citation_graph", "patch_each_cap",
+        "pq_ann_topk_stable", "profile_documents_table",
+        "quality_classifier_docs", "retention_cohorts_events",
+        "retrieval_eval_metrics", "retrieval_run_compare",
+        "salted_skew_join", "semi_anti_join", "sliding_window_event_stats",
+        "stream_from_many_single_scan", "topk_per_group",
+        "tpch_q10_returned_revenue", "tpch_q13_order_count_distribution",
+        "tpch_q14_promo_revenue", "tpch_q15_top_supplier",
+        "tpch_q17_small_quantity_revenue", "tpch_q19_disjunctive_revenue",
+        "tpch_q1_pricing_summary", "tpch_q22_idle_balance_by_nation",
+        "tpch_q4_order_priority_exists", "tpch_q7_nation_volume",
+        "tpch_q8_market_share", "unpivot_lineitem_measures",
+        "weighted_sample_docs", "zorder_layout_keys",
+    }
+)
+
+# Changed in round 10 — the two-stage top-k rewrite (cosine_topk /
+# int8_topk) and the band-index probe/compaction layout change plan
+# SHAPES only, never values (exact per-query top-k is order-invariant;
+# the probe reads the same rows through pruned directories); the full
+# local gate re-verified green after both. New r10 queries are tier 0
+# automatically by not appearing in any verified set.
+_CHANGED_R10 = frozenset()
+
 
 def _ordered(d: dict) -> dict:
     """Driver-sample ordering.
@@ -267,8 +304,10 @@ def _ordered(d: dict) -> dict:
     """
 
     def tier(n: str) -> int:
-        if n in _CHANGED_R9:
+        if n in _CHANGED_R10 or n in _CHANGED_R9:
             return 0
+        if n in _R9_VERIFIED:
+            return 9
         if n in _R8_VERIFIED:
             return 8
         if n in _R7_VERIFIED:

@@ -617,9 +617,11 @@ def _metrics_block(s: str, qcte: str) -> str:
     )"""
 
 
-@golden(
-    "retrieval_run_compare",
-    oracle=f"""
+# the shared A/B-comparison CTE chain: retrieval_run_compare emits its
+# per-query rows directly; retrieval_run_sign_test aggregates the same
+# cmp relation (compose on these constants, never string-surgery on a
+# finished oracle — the r9 keep_best lesson)
+_COMPARE_WITH = f"""
     WITH words AS (
       SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
     ),
@@ -649,7 +651,8 @@ def _metrics_block(s: str, qcte: str) -> str:
       FROM ideal JOIN denom ON denom.rank = ideal.ir
       WHERE ir <= {_EVAL_K}
       GROUP BY query_id
-    ),{_metrics_block('a', 'qrank')},{_metrics_block('b', 'qgrade')}
+    ),{_metrics_block('a', 'qrank')},{_metrics_block('b', 'qgrade')},
+    cmp AS (
     SELECT m_a.query_id AS query_id,
            recall_a, recall_b,
            CASE WHEN recall_a > recall_b THEN 'WIN_A'
@@ -664,6 +667,13 @@ def _metrics_block(s: str, qcte: str) -> str:
                 WHEN ndcg_a < ndcg_b THEN 'WIN_B'
                 ELSE 'TIE' END AS ndcg_outcome
     FROM m_a JOIN m_b USING (query_id)
+    )"""
+
+
+@golden(
+    "retrieval_run_compare",
+    oracle=f"""{_COMPARE_WITH}
+    SELECT * FROM cmp
     """,
 )
 def retrieval_run_compare(spark, sf_dir):
@@ -709,4 +719,97 @@ def retrieval_run_compare(spark, sf_dir):
     )
     return compare_retrieval_runs(
         run_of(qrank), run_of(qgrade), labels, k=_EVAL_K
+    )
+
+
+def _sign_p_values_sql() -> str:
+    """Exact sign-test p-values for every (n, m) that can occur with
+    len(_EVAL_QUERIES) paired queries — the SAME driver-quantized
+    DECIMAL literals retrieval_sign_test injects into the Spark plan,
+    so the p-values (and the α comparison) replay bit-identically."""
+    from ..functions.retrieval import sign_test_p_table
+
+    return ", ".join(
+        f"({n}, {m}, CAST('{p}' AS DECIMAL(14,12)))"
+        for (n, m), p in sign_test_p_table(len(_EVAL_QUERIES)).items()
+    )
+
+
+@golden(
+    "retrieval_run_sign_test",
+    oracle=f"""{_COMPARE_WITH},
+    outc AS (
+      SELECT 'recall' AS metric, recall_outcome AS o FROM cmp
+      UNION ALL SELECT 'mrr', mrr_outcome FROM cmp
+      UNION ALL SELECT 'ndcg', ndcg_outcome FROM cmp
+    ),
+    counts AS (
+      SELECT metric,
+             CAST(SUM(CASE WHEN o = 'WIN_A' THEN 1 ELSE 0 END) AS BIGINT)
+               AS wins_a,
+             CAST(SUM(CASE WHEN o = 'WIN_B' THEN 1 ELSE 0 END) AS BIGINT)
+               AS wins_b,
+             CAST(SUM(CASE WHEN o = 'TIE' THEN 1 ELSE 0 END) AS BIGINT)
+               AS ties
+      FROM outc GROUP BY metric
+    ),
+    ptab(n, m, p) AS (VALUES {_sign_p_values_sql()})
+    SELECT metric, wins_a, wins_b, ties,
+           wins_a + wins_b AS n_effective,
+           ROUND(CAST(p AS DOUBLE), 10) AS p_value,
+           CASE WHEN p < CAST('0.05' AS DECIMAL(14,12)) AND wins_a > wins_b
+                  THEN 'A'
+                WHEN p < CAST('0.05' AS DECIMAL(14,12)) AND wins_b > wins_a
+                  THEN 'B'
+                ELSE 'NONE' END AS significant_winner
+    FROM counts
+    JOIN ptab ON n = wins_a + wins_b AND m = LEAST(wins_a, wins_b)
+    """,
+)
+def retrieval_run_sign_test(spark, sf_dir):
+    """The MACRO A/B verdict over retrieval_run_compare's per-query
+    outcomes (r9-VERDICT #3): per metric, win/loss/tie counts, the
+    effective n (ties dropped — the exact sign-test convention), the
+    two-sided exact binomial p-value and the significant winner at
+    α=0.05. Counts are exact integers; p-values are driver-computed
+    in rational arithmetic, quantized to 12 decimals HALF_EVEN and
+    injected as the SAME DECIMAL literals into the Spark plan (one
+    F.expr map parse) and the oracle's VALUES table — no engine ever
+    computes a binomial tail itself (the dcg_denominators pattern),
+    so the α comparison is DECIMAL-exact in both engines."""
+    from ..functions.retrieval import (
+        ranked_list_grouped,
+        retrieval_sign_test,
+    )
+    from ..functions.text import tokenize
+
+    docs = t(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id", F.explode(tokenize(F.col("text"))).alias("word")
+    )
+    qrank = spark.createDataFrame(
+        [(q, wr) for q, wr, _ in _EVAL_QUERIES], "query_id int, word string"
+    )
+    qgrade = spark.createDataFrame(
+        [(q, wg) for q, _, wg in _EVAL_QUERIES], "query_id int, word string"
+    )
+
+    def run_of(qdim):
+        tf = (
+            words.join(F.broadcast(qdim), "word")
+            .groupBy("query_id", "doc_id")
+            .agg(F.count(F.lit(1)).alias("tf"))
+        )
+        return ranked_list_grouped(
+            tf, "doc_id", "tf", topk=_EVAL_K, group_col="query_id"
+        )
+
+    labels = (
+        words.join(F.broadcast(qgrade), "word")
+        .groupBy("query_id", "doc_id")
+        .agg(F.least(F.count(F.lit(1)), F.lit(3)).cast("int").alias("grade"))
+    )
+    return retrieval_sign_test(
+        run_of(qrank), run_of(qgrade), labels, k=_EVAL_K,
+        max_n=len(_EVAL_QUERIES),
     )

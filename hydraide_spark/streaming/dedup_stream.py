@@ -50,7 +50,13 @@ from typing import Optional
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..functions.dedup import minhash_signature, shingles
-from .state_compact import migrate_flat_state, pending_folded
+from .state_compact import (
+    BASE_EPOCH,
+    band_bucket_expr,
+    migrate_flat_state,
+    pending_folded,
+    read_nbuckets,
+)
 
 
 def _probe_epoch_cond(path: str, epoch: int):
@@ -78,6 +84,127 @@ def _read_or_none(spark: SparkSession, path: str, schema: str):
         return None
 
 
+def band_buckets(
+    df: DataFrame,
+    n: int = 3,
+    k: int = 16,
+    bands: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    engine_stable: bool = False,
+) -> DataFrame:
+    """(id, bucket) LSH band rows for a document frame — the pure
+    per-row banding the ingest writes to the index, exposed so probes
+    and harnesses can band a delta exactly the way the index was
+    built (same shingles → signature → concat_ws bucket strings)."""
+    assert k % bands == 0
+    sh = df.select(
+        F.col(id_col).cast("long").alias(id_col),
+        shingles(F.col(text_col), n).alias("sh"),
+    ).filter(F.size("sh") > 0)
+    return _bands_from_shingled(sh, k, bands, id_col, engine_stable)
+
+
+def _bands_from_shingled(
+    sh_df: DataFrame, k: int, bands: int, id_col: str, engine_stable: bool
+) -> DataFrame:
+    """Signature + band bucket strings over an already-shingled frame
+    (column ``sh``) — the single definition both the ingest and
+    :func:`band_buckets` use, so a probe's banding can never drift from
+    the index's."""
+    rows_per_band = k // bands
+    sig = sh_df.select(
+        F.col(id_col),
+        *minhash_signature(F.col("sh"), k, engine_stable=engine_stable),
+    )
+    band_cols = [
+        F.concat_ws(
+            "|",
+            F.lit(str(b)),
+            *[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)],
+        ).alias(f"band{b}")
+        for b in range(bands)
+    ]
+    return sig.select(
+        F.col(id_col), F.explode(F.array(*band_cols)).alias("bucket")
+    )
+
+
+def bands_probe_frame(
+    spark: SparkSession,
+    bands_dir: str,
+    delta_banded: DataFrame,
+    epoch: int,
+    id_col: str = "doc_id",
+):
+    """The persisted band index restricted to what a delta probe can
+    possibly match — the read side of the sorted-by-bucket layout
+    (state_compact.compact_band_epochs):
+
+    - Flat delta epoch dirs (everything the last compaction left live)
+      are read in full — their total size is bounded by the deltas
+      since that compaction, not the corpus.
+    - The bucket-partitioned base is PRUNED to the directories the
+      delta's own buckets hash into (``bkt IN (touched)``, a literal
+      list collected from the delta — directory-level pruning, never a
+      row scan of the base). The pruned fraction is
+      ~min(1, delta_buckets / n_buckets), and compaction scales
+      n_buckets with the corpus, so probe IO stays O(delta) as the
+      index grows — the fix for the O(index) band scan (r9 VERDICT,
+      BENCH_stream_scale minhash ingest b=0.10).
+
+    A pre-bucketing flat base (no ``_NBUCKETS`` manifest) is read in
+    full like a delta dir — legacy behavior until the next compaction
+    rewrites it. Returns None when no index exists yet. Own-epoch and
+    folded-but-uncleaned epochs are excluded (``_probe_epoch_cond``)."""
+    if not os.path.isdir(bands_dir):
+        return None
+    schema = f"{id_col} long, bucket string"
+    nb = read_nbuckets(bands_dir)
+    base_name = f"epoch={BASE_EPOCH}"
+    flat_dirs = [
+        os.path.join(bands_dir, d)
+        for d in sorted(os.listdir(bands_dir))
+        if d.startswith("epoch=")
+        and d.split("=", 1)[1].lstrip("-").isdigit()
+        and not (nb is not None and d == base_name)
+    ]
+    frames = []
+    if flat_dirs:
+        df = (
+            spark.read.schema(schema + ", epoch long")
+            .option("basePath", bands_dir)
+            .parquet(*flat_dirs)
+            .filter(_probe_epoch_cond(bands_dir, epoch))
+            .drop("epoch")
+        )
+        frames.append(df)
+    base = os.path.join(bands_dir, base_name)
+    if nb is not None and os.path.isdir(base):
+        touched = sorted(
+            r["b"]
+            for r in delta_banded.select(
+                band_bucket_expr(F.col("bucket"), nb).alias("b")
+            )
+            .distinct()
+            .collect()
+        )
+        bdf = (
+            spark.read.schema(schema + ", bkt int")
+            .option("basePath", base)
+            .parquet(base)
+            .filter(F.col("bkt").isin(touched))
+            .drop("bkt")
+        )
+        frames.append(bdf)
+    if not frames:
+        return None
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out
+
+
 def make_ingest(
     spark: SparkSession,
     state_dir: str,
@@ -93,13 +220,11 @@ def make_ingest(
     replay an epoch and assert the overwrite-idempotence contract
     directly)."""
     assert k % bands == 0
-    rows_per_band = k // bands
     frac = Fraction(tau).limit_denominator(10**6)
     num, den = frac.numerator, frac.denominator
     bands_dir = os.path.join(state_dir, "bands")
     sh_dir = os.path.join(state_dir, "shingles")
     pairs_dir = os.path.join(state_dir, "pairs")
-    bands_schema = f"{id_col} long, bucket string"
     sh_schema = f"{id_col} long, sh array<string>, n_sh int"
     def ingest(batch_df: DataFrame, epoch: int) -> None:
         if batch_df.isEmpty():
@@ -120,34 +245,18 @@ def make_ingest(
             .filter(F.col("n_sh") > 0)
             .persist()
         )
-        sig = sh_new.select(
-            F.col(id_col),
-            *minhash_signature(F.col("sh"), k, engine_stable=engine_stable),
-        )
-        band_cols = [
-            F.concat_ws(
-                "|",
-                F.lit(str(b)),
-                *[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)],
-            ).alias(f"band{b}")
-            for b in range(bands)
-        ]
-        new_banded = sig.select(
-            F.col(id_col), F.explode(F.array(*band_cols)).alias("bucket")
+        new_banded = _bands_from_shingled(
+            sh_new, k, bands, id_col, engine_stable
         ).persist()
 
-        # probe filter (_probe_epoch_cond): own-epoch exclusion for
-        # retry idempotence + folded-but-uncleaned epoch exclusion for
-        # crashed-compaction consistency; coalesce(epoch, -1) keeps
-        # pre-r8 flat legacy rows (NULL epoch) in the probe — -1 is the
-        # compaction base id, never a live epoch.
-        old_banded = _read_or_none(
-            spark, bands_dir, bands_schema + ", epoch long"
+        # pruned persisted-index probe: flat delta epochs in full (size
+        # bounded by deltas since last compaction), the bucket-
+        # partitioned base only where this delta's buckets hash
+        # (directory pruning — see bands_probe_frame). Own-epoch and
+        # folded-but-uncleaned epochs excluded inside.
+        old_banded = bands_probe_frame(
+            spark, bands_dir, new_banded, epoch, id_col=id_col
         )
-        if old_banded is not None:
-            old_banded = old_banded.filter(
-                _probe_epoch_cond(bands_dir, epoch)
-            ).drop("epoch")
         all_banded = (
             new_banded
             if old_banded is None

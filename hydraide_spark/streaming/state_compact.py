@@ -172,12 +172,20 @@ def compact_epochs(
     spark: SparkSession,
     table_dir: str,
     partition_by: list[str] | None = None,
+    augment=None,
+    extra_manifest: "dict[str, str] | None" = None,
 ) -> int:
     """Fold all committed epochs of one state table into the
     ``epoch=-1`` base partition. Returns the number of epoch
     directories folded (0 = nothing to do). ``partition_by`` preserves
     an inner partitioning (e.g. ``["cell"]`` for the IVF index).
-    Self-recovers from a crash mid-swap (see ``_recover``)."""
+    ``augment`` (df → df) lets a caller derive layout columns before
+    the rewrite (e.g. the band index's bucket-hash partition key);
+    ``extra_manifest`` files are written into the new base alongside
+    the fold manifest (underscore-prefixed names only — Spark reads
+    skip them) so layout metadata travels with the base through the
+    atomic swap. Self-recovers from a crash mid-swap (see
+    ``_recover``)."""
     if not os.path.exists(table_dir):
         return 0
     _recover(table_dir)
@@ -194,19 +202,39 @@ def compact_epochs(
     if not fold:
         return 0
 
-    # basePath keeps inner partition dirs (e.g. cell=C) resolving as
-    # columns when several epoch dirs are read together; the epoch
-    # value itself is dropped — the base partition re-assigns it
-    src = (
-        spark.read.option("basePath", table_dir)
-        .parquet(*[os.path.join(table_dir, f"epoch={e}") for e in fold])
-        .drop("epoch")
-    )
+    # per-dir reads unioned by name, NOT one multi-path read: the base
+    # may carry a layout partition the delta epochs lack (the band
+    # index's bkt= subdirs) and Spark rejects mixed-depth partition
+    # discovery. Reading each epoch dir alone keeps its own inner
+    # partition cols (cell=, bkt=) resolving; missing ones fill NULL
+    # and the augment/partition_by recomputes them. epoch itself is
+    # dropped — the base partition re-assigns it.
+    frames = []
+    for e in fold:
+        f = spark.read.parquet(os.path.join(table_dir, f"epoch={e}"))
+        frames.append(f.drop("epoch"))
+    src = frames[0]
+    for f in frames[1:]:
+        src = src.unionByName(f, allowMissingColumns=True)
+    if augment is not None:
+        src = augment(src)
     tmp = os.path.join(table_dir, _TMP_NAME)
     writer = src.coalesce(max(1, len(fold) // 8)).write.mode("overwrite")
     if partition_by:
-        writer = src.write.mode("overwrite").partitionBy(*partition_by)
+        # repartition on the partition key first: otherwise every input
+        # task writes one file into every partition dir it holds rows
+        # for — tasks × dirs tiny files (measured: a 40k-row band base
+        # compacted into 2,560 16-row files). One shuffle, one file per
+        # dir.
+        writer = (
+            src.repartition(*[F.col(c) for c in partition_by])
+            .write.mode("overwrite")
+            .partitionBy(*partition_by)
+        )
     writer.parquet(tmp)
+    for name, body in (extra_manifest or {}).items():
+        with open(os.path.join(tmp, name), "w") as fh:
+            fh.write(body)
     with open(os.path.join(tmp, _MANIFEST), "w") as fh:
         fh.write("\n".join(str(e) for e in fold))
 
@@ -219,12 +247,95 @@ def compact_epochs(
     return len(fold)
 
 
+_NBUCKETS_MANIFEST = "_NBUCKETS"
+
+#: target rows per bucket dir in the compacted band index — the knob
+#: that makes the bucket count GROW with the corpus (the auto_lsh_bits
+#: rule: any blocking key whose cardinality doesn't grow with the
+#: corpus is a quadratic in waiting — here, a probe that stops pruning)
+_BAND_ROWS_PER_BUCKET = 4096
+_BAND_MIN_BUCKETS = 16
+_BAND_MAX_BUCKETS = 65536
+
+
+def band_bucket_expr(bucket_col, n_buckets: int):
+    """The band index's layout partition key: a stable hash of the LSH
+    bucket string into ``n_buckets`` directories. Pure function of the
+    row — the probe recomputes it on the delta side to get the touched
+    directory set."""
+    return F.pmod(F.xxhash64(bucket_col), F.lit(int(n_buckets))).cast("int")
+
+
+def read_nbuckets(table_dir: str) -> "int | None":
+    """The bucket count of the table's compacted base, or None when the
+    base is absent / pre-bucketing flat (probes then full-scan it, the
+    legacy behavior)."""
+    try:
+        with open(
+            os.path.join(table_dir, f"epoch={BASE_EPOCH}", _NBUCKETS_MANIFEST)
+        ) as fh:
+            return int(fh.read().strip())
+    except (OSError, ValueError):
+        return None
+
+
+def compact_band_epochs(
+    spark: SparkSession, table_dir: str, n_buckets: "int | None" = None
+) -> int:
+    """Compact the LSH band index with the SORTED-BY-BUCKET base layout:
+    the folded rows are written partitioned by ``bkt =
+    hash(bucket) % n_buckets``, so an ingest probe reads only the
+    directories its delta's buckets hash into (literal ``bkt IN``
+    → directory-level pruning) instead of scanning the whole index.
+    ``n_buckets`` defaults to rows/4096 clamped to [16, 65536] — it
+    grows with the corpus, keeping the pruned fraction ∝ delta/corpus
+    (the LSM shape: small flat delta epochs, one bucket-indexed base).
+    The count is recorded in the base's ``_NBUCKETS`` manifest (travels
+    through the atomic swap; re-compaction recomputes it for the grown
+    corpus). Mirrors the reference's bucket-index routing
+    (app/server/gateway/bucket_planner.go:55-123) applied to the band
+    table."""
+    if n_buckets is None:
+        live = [
+            os.path.join(table_dir, d)
+            for d in (os.listdir(table_dir) if os.path.isdir(table_dir) else [])
+            if d.startswith("epoch=")
+        ]
+        if not live:
+            return 0
+        # per-dir counts: a bkt-partitioned base next to flat delta
+        # epochs cannot share one partition-discovery pass
+        rows = sum(
+            spark.read.schema("bucket string").parquet(d).count() for d in live
+        )
+        n_buckets = min(
+            _BAND_MAX_BUCKETS,
+            max(_BAND_MIN_BUCKETS, 1 << max(0, rows // _BAND_ROWS_PER_BUCKET).bit_length()),
+        )
+
+    def aug(df):
+        return df.drop("bkt").withColumn(
+            "bkt", band_bucket_expr(F.col("bucket"), n_buckets)
+        )
+
+    return compact_epochs(
+        spark,
+        table_dir,
+        partition_by=["bkt"],
+        augment=aug,
+        extra_manifest={_NBUCKETS_MANIFEST: str(int(n_buckets))},
+    )
+
+
 def compact_neardup_state(spark: SparkSession, state_dir: str) -> dict:
     """Compact all three near-dup ingest tables (pairs, bands,
-    shingles). Returns {table: folded_epochs}."""
+    shingles); the band index gets the bucket-partitioned base layout
+    so subsequent probes directory-prune. Returns
+    {table: folded_epochs}."""
     return {
-        t: compact_epochs(spark, os.path.join(state_dir, t))
-        for t in ("pairs", "bands", "shingles")
+        "pairs": compact_epochs(spark, os.path.join(state_dir, "pairs")),
+        "bands": compact_band_epochs(spark, os.path.join(state_dir, "bands")),
+        "shingles": compact_epochs(spark, os.path.join(state_dir, "shingles")),
     }
 
 

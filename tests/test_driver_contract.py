@@ -146,8 +146,10 @@ def test_registry_orders_unverified_first():
     from hydraide_spark import golden
 
     def tier(n: str) -> int:
-        if n in golden._CHANGED_R9:
+        if n in golden._CHANGED_R10 or n in golden._CHANGED_R9:
             return 0
+        if n in golden._R9_VERIFIED:
+            return 9
         if n in golden._R8_VERIFIED:
             return 8
         if n in golden._R7_VERIFIED:

@@ -105,3 +105,55 @@ def test_compare_runs_outcomes(spark):
         q2["recall_outcome"] == q2["mrr_outcome"] == q2["ndcg_outcome"] == "TIE"
     )
     assert q2["ndcg_a"] == q2["ndcg_b"] == 0.0
+
+
+def test_sign_test_table_exact_values():
+    """Exact two-sided binomial sign-test values, pinned against
+    hand-computed fractions (denominator 2^n — finite decimals)."""
+    from hydraide_spark.functions.retrieval import sign_test_p_table
+
+    t = sign_test_p_table(10)
+    assert t[(8, 0)] == "0.007812500000"  # 2*1/256
+    assert t[(8, 1)] == "0.070312500000"  # 2*9/256
+    assert t[(10, 1)] == "0.021484375000"  # 2*11/1024
+    assert t[(5, 2)] == "1.000000000000"  # clamped at 1
+    assert t[(0, 0)] == "1.000000000000"  # all-ties degenerate case
+
+
+def test_retrieval_sign_test_macro_verdict(spark):
+    """8 paired queries where B wins every non-tied comparison: MRR
+    has n_eff=8, m=0 -> p=0.0078 < 0.05 -> winner B; recall is all
+    ties -> n_eff=0, p=1, NONE. Counts/n are exact integers and the
+    p-values are the injected driver-quantized literals."""
+    from hydraide_spark.functions.retrieval import retrieval_sign_test
+
+    # one relevant doc (id q) per query; A ranks it 2nd, B ranks it 1st
+    labels = spark.createDataFrame(
+        [(q, q, 1) for q in range(8)], "query_id int, doc_id int, grade int"
+    )
+    run_a = spark.createDataFrame(
+        [(q, 100 + q, 1) for q in range(8)]
+        + [(q, q, 2) for q in range(8)],
+        "query_id int, doc_id int, rank int",
+    )
+    run_b = spark.createDataFrame(
+        [(q, q, 1) for q in range(8)]
+        + [(q, 100 + q, 2) for q in range(8)],
+        "query_id int, doc_id int, rank int",
+    )
+    rows = {
+        r["metric"]: r
+        for r in retrieval_sign_test(run_a, run_b, labels, k=3).collect()
+    }
+    mrr = rows["mrr"]
+    assert (mrr["wins_a"], mrr["wins_b"], mrr["ties"]) == (0, 8, 0)
+    assert mrr["n_effective"] == 8
+    assert mrr["p_value"] == 0.0078125
+    assert mrr["significant_winner"] == "B"
+    # both runs retrieve the one relevant doc within k -> recall ties
+    rec = rows["recall"]
+    assert (rec["wins_a"], rec["wins_b"], rec["ties"]) == (0, 0, 8)
+    assert rec["n_effective"] == 0
+    assert rec["p_value"] == 1.0 and rec["significant_winner"] == "NONE"
+    # NDCG follows MRR here (rank-1 discount beats rank-2)
+    assert rows["ndcg"]["significant_winner"] == "B"

@@ -158,16 +158,102 @@ def main() -> None:
     }
 
     # --- near-dup (MinHash LSH) ingest -----------------------------------
+    # realistic ops shape: periodic compaction (maintenance, timed
+    # separately) rewrites the base bucket-partitioned, so probes
+    # directory-prune it (state_compact.compact_band_epochs)
+    from hydraide_spark.streaming.dedup_stream import (
+        band_buckets,
+        bands_probe_frame,
+    )
+    from hydraide_spark.streaming.state_compact import (
+        compact_neardup_state,
+        read_nbuckets,
+    )
+
     dstate = os.path.join(WORK, "dstate")
+    bands_dir = os.path.join(dstate, "bands")
     shutil.rmtree(dstate, ignore_errors=True)
     ingest_d = make_dedup(spark, dstate, tau=0.8)
-    ts_d = []
+    trickle = (
+        batched.filter(F.col("_b") == 0)
+        .limit(2)
+        .select((F.col("doc_id") + F.lit(10**9)).alias("doc_id"), "text")
+    ).persist()
+    trickle.count()
+    ts_d, ts_compact, prune_points, trickle_walls = [], [], [], []
+
+    def _prune_point(tag: str, epoch_id: int) -> None:
+        """Fraction of the compacted base the probe of a FIXED 2-doc
+        trickle delta actually reads (file-level, via input_file_name)
+        + the wall of a full trickle ingest epoch. The design claim is
+        fraction ∝ delta_buckets/n_buckets with n_buckets growing with
+        the corpus, so both stay flat-to-falling as the index grows."""
+        nb = read_nbuckets(bands_dir)
+        # unique ids per call — the loop contract is each doc_id once
+        delta = trickle.select(
+            (F.col("doc_id") + F.lit(epoch_id * 10**6)).alias("doc_id"),
+            "text",
+        )
+        delta_banded = band_buckets(delta)
+        probe = bands_probe_frame(spark, bands_dir, delta_banded, epoch_id)
+        read_files = {
+            r[0]
+            for r in probe.select(F.input_file_name()).distinct().collect()
+            if "epoch=-1" in r[0]
+        }
+        total = sum(
+            1
+            for _root, _d, fs in os.walk(os.path.join(bands_dir, "epoch=-1"))
+            for f in fs
+            if f.endswith(".parquet")
+        )
+        t0 = time.monotonic()
+        ingest_d(delta, epoch_id)
+        wall = time.monotonic() - t0
+        trickle_walls.append(round(wall, 3))
+        prune_points.append(
+            {
+                "at": tag,
+                "n_buckets": nb,
+                "base_files_total": total,
+                "base_files_read": len(read_files),
+                "read_fraction": round(len(read_files) / max(total, 1), 3),
+                "trickle_ingest_sec": round(wall, 3),
+            }
+        )
+
     for e in range(n_batches):
         b = batched.filter(F.col("_b") == e).select("doc_id", "text")
         t0 = time.monotonic()
         ingest_d(b, e)
         ts_d.append(time.monotonic() - t0)
+        if e in (n_batches // 2 - 1, n_batches - 1):
+            t0 = time.monotonic()
+            compact_neardup_state(spark, dstate)
+            ts_compact.append(round(time.monotonic() - t0, 3))
+            _prune_point(
+                "mid" if e == n_batches // 2 - 1 else "final", 1000 + e
+            )
+    trickle.unpersist()
     results["minhash_neardup_ingest"] = _fit(ts_d, ns)
+    results["minhash_neardup_ingest"]["compaction_sec"] = ts_compact
+    results["minhash_probe_prune"] = {
+        "points": prune_points,
+        "trickle_wall_ratio": round(
+            trickle_walls[-1] / trickle_walls[0], 2
+        )
+        if len(trickle_walls) >= 2
+        else None,
+        "note": (
+            "fixed 2-doc delta probed against the compacted bucket-"
+            "partitioned base at mid vs final index size: read_fraction "
+            "~ delta_buckets/n_buckets and n_buckets grows with the "
+            "corpus, so trickle-probe IO is O(delta), not O(index). "
+            "Large batch deltas still touch every bucket dir by design "
+            "(their buckets hash everywhere) — the prune targets the "
+            "streaming/serving regime."
+        ),
+    }
 
     batched.unpersist()
     out = {
