@@ -294,42 +294,13 @@ def mmr_rerank_batch(
     per-query bounded candidate lists (``group_col`` keys the query).
     The pairwise similarity matrix is a WITHIN-GROUP broadcast
     self-join (B·N² rows total for B queries of N candidates — still
-    request-sized), collected once; the per-query greedies run
-    driver-side over their own slices. Returns
+    request-sized), collected once (:func:`_collect_mmr_batch`); the
+    per-query greedies run driver-side over their own slices. Returns
     ``(group_col, id_col, mmr_rank)``."""
-    from ..query.filters import cosine_similarity
-
     spark = candidates.sparkSession
-    c = candidates.select(
-        F.col(group_col), F.col(id_col), F.col(rel_col).cast("double"),
-        F.col(vec_col),
-    ).persist()
-    a = c.alias("a")
-    b = c.alias("b")
-    sims_df = (
-        a.join(
-            F.broadcast(b),
-            (F.col(f"a.{group_col}") == F.col(f"b.{group_col}"))
-            & (F.col(f"a.{id_col}") != F.col(f"b.{id_col}")),
-        ).select(
-            F.col(f"a.{group_col}").alias("g"),
-            F.col(f"a.{id_col}").alias("ia"),
-            F.col(f"b.{id_col}").alias("ib"),
-            cosine_similarity(
-                F.col(f"a.{vec_col}").cast("array<double>"),
-                F.col(f"b.{vec_col}").cast("array<double>"),
-            ).alias("s"),
-        )
+    rels, sims = _collect_mmr_batch(
+        candidates, id_col, rel_col, vec_col, group_col
     )
-    rel_rows = c.select(group_col, id_col, rel_col).collect()  # bounded
-    sim_rows = sims_df.collect()  # bounded: B * N * (N-1)
-    c.unpersist()
-    rels: dict = {}
-    for r in rel_rows:
-        rels.setdefault(r[0], {})[r[1]] = float(r[2])
-    sims: dict = {}
-    for r in sim_rows:
-        sims.setdefault(r["g"], {})[(r["ia"], r["ib"])] = float(r["s"])
     out_rows = []
     for g in sorted(rels):
         order = _mmr_greedy(sorted(rels[g]), rels[g], sims.get(g, {}), k, lam)
@@ -648,4 +619,201 @@ def retrieval_sign_test(
         n_eff.alias("n_effective"),
         F.round(p_dec.cast("double"), 10).alias("p_value"),
         winner.alias("significant_winner"),
+    )
+
+
+def rrf_param_sweep(
+    lists: Sequence[DataFrame],
+    labels: DataFrame,
+    k0_grid: Sequence[int],
+    k: int = 10,
+    query_col: str = "query_id",
+    id_col: str = "doc_id",
+    grade_col: str = "grade",
+) -> DataFrame:
+    """Tune RRF's k0 on evidence (r9-VERDICT #4): one fused-candidate
+    pass, every grid point evaluated, the best selected engine-stably.
+
+    ``lists`` are per-query bounded rank lists (computed ONCE upstream
+    — the corpus is scanned exactly once per list, never per grid
+    point). They are full-outer-joined into one rank-columns frame;
+    the k0 grid is a LITERAL broadcast dimension crossed against that
+    bounded frame, so each grid point is a different score expression
+    over the same rows: ``Σ 1/(k0 + rank_i)`` with k0 a column —
+    integer-valued doubles through one correctly-rounded division,
+    bit-identical cross-engine like fixed-k0 RRF.
+
+    Per grid point: top-k cut per query (windows over bounded
+    candidate rows), :func:`retrieval_eval` against ``labels`` (keyed
+    by a composite k0#query id so the whole sweep is ONE eval pass),
+    then per-k0 aggregation. Metric sums go through
+    ``bround(·,12).cast(decimal)`` (the HALF_EVEN quantization that
+    mirrors DuckDB's double→DECIMAL cast) so parallel order cannot
+    drift them and the best-row selection — max NDCG sum, tiebreak
+    smaller k0 — is exact in both engines. Means are emitted round-10.
+
+    Returns (k0, n_queries, sum_recall/sum_mrr/sum_ndcg [DECIMAL],
+    mean_recall/mean_mrr/mean_ndcg [round-10], is_best)."""
+    if not lists or not k0_grid:
+        raise ValueError("rrf_param_sweep: need lists and a k0 grid")
+    spark = lists[0].sparkSession
+    keys = [query_col, id_col]
+    joined = None
+    for i, r in enumerate(lists):
+        ri = r.select(*keys, F.col("rank").cast("long").alias(f"rank_{i}"))
+        joined = ri if joined is None else joined.join(ri, keys, "full_outer")
+    joined = joined.persist()
+    pin_latest("retrieval.rrf_param_sweep", joined)
+
+    grid = spark.createDataFrame(
+        [(int(v),) for v in sorted(set(int(v) for v in k0_grid))], "k0 int"
+    )
+    score = None
+    for i in range(len(lists)):
+        contrib = F.when(
+            F.col(f"rank_{i}").isNotNull(),
+            F.lit(1.0) / (F.col("k0").cast("double") + F.col(f"rank_{i}")),
+        ).otherwise(F.lit(0.0))
+        score = contrib if score is None else score + contrib
+    fused = joined.crossJoin(F.broadcast(grid)).select(
+        "k0", *keys, score.alias("rrf")
+    )
+    w = W.partitionBy("k0", query_col).orderBy(
+        F.col("rrf").desc(), F.col(id_col).asc()
+    )
+    run = (
+        fused.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .withColumn(
+            "_qk", F.concat_ws("#", F.col("k0"), F.col(query_col))
+        )
+        .select("_qk", id_col, "rank")
+    )
+    labels_g = (
+        labels.crossJoin(F.broadcast(grid))
+        .withColumn("_qk", F.concat_ws("#", F.col("k0"), F.col(query_col)))
+        .select("_qk", id_col, grade_col)
+    )
+    ev = retrieval_eval(
+        run, labels_g, k=k, query_col="_qk", doc_col=id_col,
+        grade_col=grade_col,
+    )
+
+    def dsum(col):
+        return F.sum(F.bround(F.col(col), 12).cast("decimal(28,12)"))
+
+    agg = ev.groupBy(
+        F.split(F.col("_qk"), "#").getItem(0).cast("int").alias("k0")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_queries"),
+        dsum("recall_at_k").alias("_sr"),
+        dsum("mrr_at_k").alias("_sm"),
+        dsum("ndcg_at_k").alias("_sn"),
+    )
+    wb = W.orderBy(F.col("_sn").desc(), F.col("k0").asc())
+    mean = lambda s: F.round(  # noqa: E731
+        F.col(s).cast("double") / F.col("n_queries").cast("double"), 10
+    )
+    return agg.withColumn("_b", F.row_number().over(wb)).select(
+        "k0",
+        "n_queries",
+        F.round(F.col("_sr").cast("double"), 10).alias("sum_recall"),
+        F.round(F.col("_sm").cast("double"), 10).alias("sum_mrr"),
+        F.round(F.col("_sn").cast("double"), 10).alias("sum_ndcg"),
+        mean("_sr").alias("mean_recall"),
+        mean("_sm").alias("mean_mrr"),
+        mean("_sn").alias("mean_ndcg"),
+        (F.col("_b") == 1).alias("is_best"),
+    )
+
+
+def _collect_mmr_batch(
+    candidates: DataFrame,
+    id_col: str,
+    rel_col: str,
+    vec_col: str,
+    group_col: str,
+):
+    """One collect of the bounded candidate rels + within-group pairwise
+    sims (the expensive half of batched MMR) — shared by
+    :func:`mmr_rerank_batch` and the λ sweep so a parameter grid costs
+    ONE candidate pass, not one per grid point."""
+    from ..query.filters import cosine_similarity
+
+    c = candidates.select(
+        F.col(group_col), F.col(id_col), F.col(rel_col).cast("double"),
+        F.col(vec_col),
+    ).persist()
+    a = c.alias("a")
+    b = c.alias("b")
+    sims_df = (
+        a.join(
+            F.broadcast(b),
+            (F.col(f"a.{group_col}") == F.col(f"b.{group_col}"))
+            & (F.col(f"a.{id_col}") != F.col(f"b.{id_col}")),
+        ).select(
+            F.col(f"a.{group_col}").alias("g"),
+            F.col(f"a.{id_col}").alias("ia"),
+            F.col(f"b.{id_col}").alias("ib"),
+            cosine_similarity(
+                F.col(f"a.{vec_col}").cast("array<double>"),
+                F.col(f"b.{vec_col}").cast("array<double>"),
+            ).alias("s"),
+        )
+    )
+    rel_rows = c.select(group_col, id_col, rel_col).collect()  # bounded
+    sim_rows = sims_df.collect()  # bounded: B * N * (N-1)
+    c.unpersist()
+    rels: dict = {}
+    for r in rel_rows:
+        rels.setdefault(r[0], {})[r[1]] = float(r[2])
+    sims: dict = {}
+    for r in sim_rows:
+        sims.setdefault(r["g"], {})[(r["ia"], r["ib"])] = float(r["s"])
+    return rels, sims
+
+
+def mmr_lambda_sweep(
+    candidates: DataFrame,
+    k: int,
+    lam_grid: Sequence[float],
+    id_col: str = "doc_id",
+    rel_col: str = "rel",
+    vec_col: str = "embedding",
+    group_col: str = "query_id",
+) -> DataFrame:
+    """λ sweep for batched MMR over ONE candidate pass: rels and the
+    pairwise sim matrix are collected once (:func:`_collect_mmr_batch`)
+    and every λ replays the driver-side greedy over the same dicts —
+    grid cost is O(grid · N²·k) driver arithmetic, zero extra Spark
+    jobs. λ values must be DYADIC (exactly representable: quarters,
+    eighths…) so ``λ·rel − (1−λ)·maxsim`` stays one exact multiply per
+    term and the selection sequence replays bit-identically in a SQL
+    oracle (the 0.5-scaling rule generalized). Returns
+    (lam_num [λ·8 as int — integer output keeps comparisons exact],
+    group_col, id_col, mmr_rank)."""
+    spark = candidates.sparkSession
+    lams = sorted(set(float(v) for v in lam_grid))
+    for lam in lams:
+        if (lam * 8) != int(lam * 8):
+            raise ValueError(
+                f"mmr_lambda_sweep: λ={lam} is not dyadic (n/8) — "
+                "non-dyadic λ breaks cross-engine float exactness"
+            )
+    rels, sims = _collect_mmr_batch(
+        candidates, id_col, rel_col, vec_col, group_col
+    )
+    out_rows = []
+    for lam in lams:
+        for g in sorted(rels):
+            order = _mmr_greedy(
+                sorted(rels[g]), rels[g], sims.get(g, {}), k, lam
+            )
+            out_rows += [
+                (int(lam * 8), g, i, rank + 1)
+                for rank, i in enumerate(order)
+            ]
+    return spark.createDataFrame(
+        out_rows,
+        f"lam_num int, {group_col} long, {id_col} long, mmr_rank long",
     )

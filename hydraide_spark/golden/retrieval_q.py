@@ -813,3 +813,266 @@ def retrieval_run_sign_test(spark, sf_dir):
         run_of(qrank), run_of(qgrade), labels, k=_EVAL_K,
         max_n=len(_EVAL_QUERIES),
     )
+
+
+_SWEEP_K0S = [5, 20, 60, 240]
+
+
+@golden(
+    "retrieval_param_sweep",
+    oracle=f"""
+    WITH words AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+    ),
+    qrank(query_id, word) AS (VALUES {_eval_queries_sql(1)}),
+    qgrade(query_id, word) AS (VALUES {_eval_queries_sql(2)}),
+    denom(rank, d) AS (VALUES {_denom_values_sql()}),
+    grid(k0) AS (VALUES {', '.join(f'({v})' for v in _SWEEP_K0S)}),
+    labels AS (
+      SELECT query_id, doc_id,
+             CAST(LEAST(COUNT(*), 3) AS INTEGER) AS grade
+      FROM words JOIN qgrade USING (word) GROUP BY query_id, doc_id
+    ),
+    n_rel AS (
+      SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_rel
+      FROM labels WHERE grade >= 1 GROUP BY query_id
+    ),
+    ideal AS (
+      SELECT query_id, grade,
+             ROW_NUMBER() OVER (
+               PARTITION BY query_id ORDER BY grade DESC, doc_id ASC
+             ) AS ir
+      FROM labels WHERE grade >= 1
+    ),
+    idcg AS (
+      SELECT query_id,
+             CAST(SUM(CAST((2 ** grade - 1) AS DECIMAL(12,0)) * d)
+                  AS DECIMAL(28,12)) AS idcg
+      FROM ideal JOIN denom ON denom.rank = ideal.ir
+      WHERE ir <= {_EVAL_K}
+      GROUP BY query_id
+    ),
+    tf_a AS (
+      SELECT query_id, doc_id, COUNT(*) AS tf
+      FROM words JOIN qrank USING (word) GROUP BY query_id, doc_id
+    ),
+    la AS (
+      SELECT query_id, doc_id, rn AS rank FROM (
+        SELECT query_id, doc_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY query_id ORDER BY tf DESC, doc_id ASC
+               ) AS rn
+        FROM tf_a
+      ) WHERE rn <= {_EVAL_K}
+    ),
+    tf_b AS (
+      SELECT query_id, doc_id, COUNT(*) AS tf
+      FROM words JOIN qgrade USING (word) GROUP BY query_id, doc_id
+    ),
+    lb AS (
+      SELECT query_id, doc_id, rn AS rank FROM (
+        SELECT query_id, doc_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY query_id ORDER BY tf DESC, doc_id ASC
+               ) AS rn
+        FROM tf_b
+      ) WHERE rn <= {_EVAL_K}
+    ),
+    joined AS (
+      SELECT query_id, doc_id, a.rank AS r0, b.rank AS r1
+      FROM la a FULL OUTER JOIN lb b USING (query_id, doc_id)
+    ),
+    fused AS (
+      SELECT g.k0, j.query_id, j.doc_id,
+             (CASE WHEN r0 IS NOT NULL
+                   THEN 1.0::DOUBLE / (CAST(g.k0 AS DOUBLE) + r0)
+                   ELSE 0.0::DOUBLE END)
+           + (CASE WHEN r1 IS NOT NULL
+                   THEN 1.0::DOUBLE / (CAST(g.k0 AS DOUBLE) + r1)
+                   ELSE 0.0::DOUBLE END) AS rrf
+      FROM joined j CROSS JOIN grid g
+    ),
+    run AS (
+      SELECT k0, query_id, doc_id, rn AS rank FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY k0, query_id ORDER BY rrf DESC, doc_id ASC
+        ) AS rn FROM fused
+      ) WHERE rn <= {_EVAL_K}
+    ),
+    hits AS (
+      SELECT r.k0, r.query_id, r.rank, l.grade
+      FROM run r JOIN labels l
+        ON r.query_id = l.query_id AND r.doc_id = l.doc_id
+      WHERE l.grade >= 1
+    ),
+    per_q AS (
+      SELECT k0, query_id,
+             CAST(COUNT(*) AS BIGINT) AS hits_at_k,
+             MIN(rank) AS first_rank,
+             CAST(SUM(CAST((2 ** grade - 1) AS DECIMAL(12,0)) * d)
+                  AS DECIMAL(28,12)) AS dcg
+      FROM hits JOIN denom USING (rank) GROUP BY k0, query_id
+    ),
+    m AS (
+      SELECT g.k0, n_rel.query_id,
+             CAST(COALESCE(hits_at_k, 0) AS DOUBLE)
+               / CAST(n_rel AS DOUBLE) AS recall,
+             CASE WHEN first_rank IS NULL THEN 0.0::DOUBLE
+                  ELSE 1.0::DOUBLE / CAST(first_rank AS DOUBLE)
+                  END AS mrr,
+             CASE WHEN idcg.idcg IS NULL THEN 0.0::DOUBLE
+                  ELSE ROUND(CAST(COALESCE(dcg, 0) AS DOUBLE)
+                             / CAST(idcg.idcg AS DOUBLE), 10)
+                  END AS ndcg
+      FROM n_rel CROSS JOIN grid g
+      LEFT JOIN per_q ON per_q.k0 = g.k0
+                     AND per_q.query_id = n_rel.query_id
+      LEFT JOIN idcg ON idcg.query_id = n_rel.query_id
+    ),
+    agg AS (
+      SELECT k0, CAST(COUNT(*) AS BIGINT) AS n_queries,
+             SUM(CAST(recall AS DECIMAL(28,12))) AS sr,
+             SUM(CAST(mrr AS DECIMAL(28,12))) AS sm,
+             SUM(CAST(ndcg AS DECIMAL(28,12))) AS sn
+      FROM m GROUP BY k0
+    )
+    SELECT k0, n_queries,
+           ROUND(CAST(sr AS DOUBLE), 10) AS sum_recall,
+           ROUND(CAST(sm AS DOUBLE), 10) AS sum_mrr,
+           ROUND(CAST(sn AS DOUBLE), 10) AS sum_ndcg,
+           ROUND(CAST(sr AS DOUBLE) / CAST(n_queries AS DOUBLE), 10)
+             AS mean_recall,
+           ROUND(CAST(sm AS DOUBLE) / CAST(n_queries AS DOUBLE), 10)
+             AS mean_mrr,
+           ROUND(CAST(sn AS DOUBLE) / CAST(n_queries AS DOUBLE), 10)
+             AS mean_ndcg,
+           (ROW_NUMBER() OVER (ORDER BY sn DESC, k0 ASC) = 1) AS is_best
+    FROM agg
+    """,
+)
+def retrieval_param_sweep(spark, sf_dir):
+    """RRF k0 sweep tuned via retrieval_eval (r9-VERDICT #4): the two
+    candidate lists (rank-word / grade-word tf runs, top-10 each) are
+    generated ONCE; the k0 grid {5,20,60,240} is a literal broadcast
+    dimension crossed against the joined (bounded) rank frame, each
+    grid point re-fused, cut, and evaluated in a single composite-key
+    eval pass. Metric sums are HALF_EVEN-quantized DECIMAL (exact in
+    parallel), the best row (max NDCG sum, tiebreak smaller k0) is an
+    integer-exact window pick — best-k0 selection is engine-stable by
+    construction."""
+    from ..functions.retrieval import ranked_list_grouped, rrf_param_sweep
+    from ..functions.text import tokenize
+
+    docs = t(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id", F.explode(tokenize(F.col("text"))).alias("word")
+    )
+    qrank = spark.createDataFrame(
+        [(q, wr) for q, wr, _ in _EVAL_QUERIES], "query_id int, word string"
+    )
+    qgrade = spark.createDataFrame(
+        [(q, wg) for q, _, wg in _EVAL_QUERIES], "query_id int, word string"
+    )
+
+    def run_of(qdim):
+        tf = (
+            words.join(F.broadcast(qdim), "word")
+            .groupBy("query_id", "doc_id")
+            .agg(F.count(F.lit(1)).alias("tf"))
+        )
+        return ranked_list_grouped(
+            tf, "doc_id", "tf", topk=_EVAL_K, group_col="query_id"
+        )
+
+    labels = (
+        words.join(F.broadcast(qgrade), "word")
+        .groupBy("query_id", "doc_id")
+        .agg(F.least(F.count(F.lit(1)), F.lit(3)).cast("int").alias("grade"))
+    )
+    return rrf_param_sweep(
+        [run_of(qrank), run_of(qgrade)], labels, _SWEEP_K0S, k=_EVAL_K
+    )
+
+
+def _mmr_pick_cte(tag: str, lam_sql: str, one_minus_sql: str) -> str:
+    """One recursive greedy CTE per λ — same shape as the fixed-λ MMR
+    oracle, the λ literals swapped in (dyadic, so '0.25'::DOUBLE etc.
+    is the exact double the driver-side greedy multiplies by)."""
+    return f"""
+    pick_{tag}(step, sel) AS (
+      SELECT 1, [(SELECT vec_id FROM cand ORDER BY rel DESC, vec_id ASC LIMIT 1)]
+      UNION ALL
+      SELECT p.step + 1,
+             list_append(p.sel, (
+               SELECT c.vec_id FROM cand c
+               WHERE NOT list_contains(p.sel, c.vec_id)
+               ORDER BY ({lam_sql}::DOUBLE * c.rel - {one_minus_sql}::DOUBLE * (
+                          SELECT MAX(s.s) FROM sims s
+                          WHERE s.ia = c.vec_id AND list_contains(p.sel, s.ib))) DESC,
+                        c.vec_id ASC
+               LIMIT 1))
+      FROM pick_{tag} p WHERE p.step < 8
+    )"""
+
+
+_MMR_LAMS = [(2, "'0.25'", "'0.75'"), (4, "'0.5'", "'0.5'"), (6, "'0.75'", "'0.25'")]
+
+
+@golden(
+    "mmr_lambda_sweep",
+    oracle=f"""
+    WITH RECURSIVE e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+    scored AS (SELECT e.vec_id, {_cos64('e.v', 'q.qv')} AS rel FROM e, q),
+    cand AS (SELECT vec_id, rel FROM scored ORDER BY rel DESC, vec_id ASC LIMIT 20),
+    cv AS (SELECT c.vec_id, c.rel, e.v FROM cand c JOIN e USING (vec_id)),
+    sims AS (
+      SELECT a.vec_id AS ia, b.vec_id AS ib, {_cos64('a.v', 'b.v')} AS s
+      FROM cv a JOIN cv b ON a.vec_id <> b.vec_id
+    ),{','.join(_mmr_pick_cte(str(ln), ls, oms) for ln, ls, oms in _MMR_LAMS)}
+    {' UNION ALL '.join(
+        f'''SELECT {ln} AS lam_num, CAST(f.sel[i] AS BIGINT) AS vec_id,
+               CAST(i AS BIGINT) AS mmr_rank
+        FROM (SELECT sel FROM pick_{ln} WHERE step = 8) f,
+             unnest(range(1, 9)) AS t{ln}(i)'''
+        for ln, _, _ in _MMR_LAMS
+    )}
+    """,
+)
+def mmr_lambda_sweep(spark, sf_dir):
+    """MMR λ sweep over ONE candidate pass (r9-VERDICT #4, the λ half):
+    the top-20 cosine candidates and their pairwise sim matrix are
+    computed and collected ONCE; λ ∈ {0.25, 0.5, 0.75} (dyadic — every
+    λ·rel and (1−λ)·sim is one exact IEEE multiply) each replay the
+    driver-side greedy over the same dicts. The oracle unrolls one
+    recursive-CTE greedy per λ with the same exact literals; rank-only
+    output keeps the comparison integer-exact, so best-λ selection
+    downstream is engine-stable."""
+    from ..functions.retrieval import mmr_lambda_sweep as sweep
+    from ..query.filters import cosine_similarity
+
+    emb = t(spark, sf_dir, "embeddings")
+    qv = _query_vec(spark, sf_dir, 0)
+    scored = emb.select(
+        "vec_id",
+        "embedding",
+        cosine_similarity(
+            F.col("embedding").cast("array<double>"),
+            F.array(*[F.lit(x) for x in qv]).cast("array<double>"),
+        ).alias("rel"),
+    )
+    cand = (
+        scored.orderBy(F.col("rel").desc(), F.col("vec_id").asc())
+        .limit(20)
+        .withColumn("query_id", F.lit(0).cast("long"))
+    )
+    out = sweep(
+        cand, k=8, lam_grid=[0.25, 0.5, 0.75],
+        id_col="vec_id", rel_col="rel", vec_col="embedding",
+        group_col="query_id",
+    )
+    return out.select(
+        F.col("lam_num").cast("int").alias("lam_num"),
+        big("vec_id").alias("vec_id"),
+        big("mmr_rank").alias("mmr_rank"),
+    )

@@ -157,3 +157,71 @@ def test_retrieval_sign_test_macro_verdict(spark):
     assert rec["p_value"] == 1.0 and rec["significant_winner"] == "NONE"
     # NDCG follows MRR here (rank-1 discount beats rank-2)
     assert rows["ndcg"]["significant_winner"] == "B"
+
+
+def test_param_sweep_best_selection_and_one_pass(spark):
+    """rrf_param_sweep: exactly one is_best row (max NDCG sum, ties to
+    the smaller k0); per-k0 rows cover the literal grid; and the joined
+    candidate frame appears ONCE in the plan as a cached reuse (the
+    one-candidate-pass claim — grid points must not re-scan)."""
+    from hydraide_spark.functions.retrieval import rrf_param_sweep
+
+    labels = spark.createDataFrame(
+        [(q, q, 1) for q in range(4)], "query_id int, doc_id int, grade int"
+    )
+    la = spark.createDataFrame(
+        [(q, q, 2) for q in range(4)] + [(q, 50 + q, 1) for q in range(4)],
+        "query_id int, doc_id int, rank int",
+    )
+    lb = spark.createDataFrame(
+        [(q, q, 1) for q in range(4)] + [(q, 50 + q, 2) for q in range(4)],
+        "query_id int, doc_id int, rank int",
+    )
+    out = rrf_param_sweep([la, lb], labels, [5, 60], k=2)
+    rows = {r["k0"]: r for r in out.collect()}
+    assert sorted(rows) == [5, 60]
+    assert sum(1 for r in rows.values() if r["is_best"]) == 1
+    # identical metrics across k0 here (same fused order) -> tiebreak
+    # must pick the smaller k0
+    if rows[5]["sum_ndcg"] == rows[60]["sum_ndcg"]:
+        assert rows[5]["is_best"] and not rows[60]["is_best"]
+    for r in rows.values():
+        assert r["n_queries"] == 4
+
+
+def test_mmr_lambda_sweep_rejects_non_dyadic(spark):
+    import pytest as _pytest
+
+    from hydraide_spark.functions.retrieval import mmr_lambda_sweep
+
+    cand = spark.createDataFrame(
+        [(0, 1, 1.0, [1.0, 0.0])],
+        "query_id long, doc_id long, rel double, embedding array<double>",
+    )
+    with _pytest.raises(ValueError, match="dyadic"):
+        mmr_lambda_sweep(cand, k=1, lam_grid=[0.3])
+
+
+def test_mmr_lambda_sweep_extremes(spark):
+    """λ=1 ranks purely by relevance (ties id-asc); λ-variation can
+    only reorder AFTER the first pick (first pick is always the max-rel
+    candidate)."""
+    from hydraide_spark.functions.retrieval import mmr_lambda_sweep
+
+    # two near-identical top docs + one diverse lower-rel doc
+    rows = [
+        (0, 1, 0.99, [1.0, 0.0]),
+        (0, 2, 0.98, [1.0, 0.001]),
+        (0, 3, 0.50, [0.0, 1.0]),
+    ]
+    cand = spark.createDataFrame(
+        rows,
+        "query_id long, doc_id long, rel double, embedding array<double>",
+    )
+    out = mmr_lambda_sweep(cand, k=3, lam_grid=[0.125, 1.0]).collect()
+    by_lam = {}
+    for r in out:
+        by_lam.setdefault(r["lam_num"], {})[r["mmr_rank"]] = r["doc_id"]
+    assert by_lam[8] == {1: 1, 2: 2, 3: 3}  # pure relevance order
+    # heavy diversity weight: the diverse doc 3 jumps ahead of near-dup 2
+    assert by_lam[1] == {1: 1, 2: 3, 3: 2}
