@@ -880,6 +880,90 @@ def embedding_neardup_pairs(
     )
 
 
+def embedding_neardup_pairs_int8(
+    df: DataFrame,
+    tau: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str | None = None,
+    auto_bucket_target: int | None = None,
+    dim: int | None = None,
+    seed: int = 42,
+) -> DataFrame:
+    """:func:`embedding_neardup_pairs` with int8 codes as the VERIFY
+    representation (r9-VERDICT #5): the blocking is IDENTICAL (same
+    label block, same auto-bit LSH sub-bucket computed from the float
+    vector before it is dropped — blocking decisions never change), but
+    the pair join carries a 64-byte ``array<tinyint>`` code plus one
+    precomputed code norm instead of 64 normalized doubles — 8× less
+    candidate-join shuffle payload — and verification is the integer
+    code dot + one multiply + one divide (the :func:`~.vector.int8_topk`
+    arithmetic: exact-integer operands through sqrt and divide, both
+    IEEE correctly-rounded), so unlike the float verify the WHOLE
+    pipeline replays bit-identically in a SQL oracle.
+
+    The emitted ``est_cos`` is the cosine of the CODES — a
+    direction-preserving estimate of the float cosine (symmetric
+    max-abs quantization keeps direction); thresholding at ``tau`` on
+    it is the documented approximation, and its agreement with the
+    float pair set is asserted in tests, not assumed."""
+    from .vector import (
+        auto_lsh_bits,
+        int8_dot,
+        int8_quantize_expr,
+        lsh_bucket_expr,
+        make_planes,
+    )
+
+    blocks: list = [F.col(block_col).alias("_blk")] if block_col else []
+    if auto_bucket_target is not None:
+        if dim is None:
+            row = df.select(F.size(F.col(vec_col))).first()
+            if row is None:
+                idt = df.schema[id_col].dataType.simpleString()
+                return df.sparkSession.createDataFrame(
+                    [], f"id_a {idt}, id_b {idt}, est_cos double"
+                )
+            dim = row[0]
+        n_bits = auto_lsh_bits(df.count(), target_bucket=auto_bucket_target)
+        planes = make_planes(dim, n_bits, seed)
+        blocks.append(lsh_bucket_expr(F.col(vec_col), planes).alias("_sub"))
+    blk_names = ["_blk"] if block_col else []
+    if auto_bucket_target is not None:
+        blk_names.append("_sub")
+
+    q = int8_quantize_expr(F.col(vec_col)).getField("q").cast("array<tinyint>")
+    coded = df.select(F.col(id_col), *blocks, q.alias("_q")).withColumn(
+        "_n",
+        F.sqrt(
+            F.aggregate(
+                F.transform("_q", lambda x: x.cast("long") * x.cast("long")),
+                F.lit(0).cast("long"),
+                lambda a, x: a + x,
+            ).cast("double")
+        ),
+    )
+    a = coded.select(
+        F.col(id_col).alias("id_a"), F.col("_q").alias("q_a"),
+        F.col("_n").alias("n_a"), *[F.col(c) for c in blk_names],
+    )
+    b = coded.select(
+        F.col(id_col).alias("id_b"), F.col("_q").alias("q_b"),
+        F.col("_n").alias("n_b"), *[F.col(c) for c in blk_names],
+    )
+    cond = F.col("id_a") < F.col("id_b")
+    joined = a.join(b, blk_names).filter(cond) if blk_names else a.join(b, cond)
+    nn = F.col("n_a") * F.col("n_b")
+    est = F.when(nn == 0, F.lit(0.0)).otherwise(
+        int8_dot(F.col("q_a"), F.col("q_b")).cast("double") / nn
+    )
+    return (
+        joined.withColumn("est_cos", est)
+        .filter(F.col("est_cos") >= F.lit(float(tau)))
+        .select("id_a", "id_b", "est_cos")
+    )
+
+
 def neardup_clusters(
     pairs: DataFrame,
     id_a: str = "id_a",

@@ -635,6 +635,84 @@ def embedding_neardup_auto_stable(spark, sf_dir):
 
 
 @golden(
+    "embedding_neardup_int8",
+    oracle=f"""
+    WITH c AS ({_AUTO_CORPUS}),
+    pl AS ({_AUTO_PLANES_CTE}),
+    nb AS (
+      SELECT GREATEST(4, LEAST(24, CAST(CEIL(LOG2(
+        CAST((SELECT COUNT(*) FROM c) AS DOUBLE) / 64.0)) AS INT))) AS bits
+    ),
+    b AS (
+      SELECT e.vec_id, e.label,
+             {_AUTO_BUCKET} AS bucket,
+             CASE WHEN e.m = 0
+                  THEN list_transform(e.v, x -> CAST(0 AS BIGINT))
+                  ELSE list_transform(e.v, x -> CAST(GREATEST(-127, LEAST(127,
+                         FLOOR(x * 127.0 / e.m + 0.5))) AS BIGINT)) END AS q
+      FROM (
+        SELECT vec_id, label, v,
+               list_max(list_transform(v, x -> abs(x))) AS m
+        FROM c
+      ) e CROSS JOIN pl CROSS JOIN nb
+    ),
+    cand AS (
+      SELECT a.vec_id AS id_a, c2.vec_id AS id_b,
+             CASE WHEN sqrt(CAST(list_dot_product(a.q, a.q) AS BIGINT))
+                       * sqrt(CAST(list_dot_product(c2.q, c2.q) AS BIGINT)) = 0
+                  THEN 0.0::DOUBLE
+                  ELSE CAST(CAST(list_dot_product(a.q, c2.q) AS BIGINT) AS DOUBLE)
+                       / (sqrt(CAST(list_dot_product(a.q, a.q) AS BIGINT))
+                          * sqrt(CAST(list_dot_product(c2.q, c2.q) AS BIGINT)))
+                  END AS est
+      FROM b a JOIN b c2
+        ON a.label = c2.label AND a.bucket = c2.bucket AND a.vec_id < c2.vec_id
+    )
+    SELECT CAST(id_a AS BIGINT) AS id_a,
+           CAST(id_b AS BIGINT) AS id_b,
+           ROUND(est, 10) AS est_cos
+    FROM cand WHERE est >= '0.95'::DOUBLE
+    """,
+)
+def embedding_neardup_int8(spark, sf_dir):
+    """Embedding near-dup with int8 codes as the VERIFY representation
+    (r10): blocking identical to embedding_neardup_auto_stable (label ×
+    auto-bit LSH sub-bucket on the float vector), but the candidate
+    join carries 64-byte tinyint codes + one precomputed code norm
+    instead of 64 normalized doubles (8× less verify shuffle payload)
+    and the score is the normalized CODE cosine — exact integers
+    through sqrt and one divide, so the full pipeline including the tau
+    comparison replays bit-identically in SQL with the PRODUCTION
+    blocking (no *_stable md5 twin needed — same property as
+    ann_topk_int8). Agreement with the float verify is asserted in
+    tests/test_int8_ann.py."""
+    from ..functions.dedup import embedding_neardup_pairs_int8
+
+    emb = t(spark, sf_dir, "embeddings")
+    base = emb.select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    jit = emb.select(
+        (F.col("vec_id") + F.lit(10_000_000)).alias("vec_id"),
+        F.col("label"),
+        F.expr(
+            "transform(CAST(embedding AS ARRAY<DOUBLE>), (x, i) -> "
+            "x * (1.0D + CAST((vec_id + i) % 7 - 3 AS DOUBLE) * 0.001D))"
+        ).alias("embedding"),
+    )
+    corpus = base.unionByName(jit)
+    out = embedding_neardup_pairs_int8(
+        corpus, tau=0.95, block_col="label", auto_bucket_target=64,
+        dim=64, seed=42,
+    )
+    return out.select(
+        big("id_a").alias("id_a"),
+        big("id_b").alias("id_b"),
+        F.round("est_cos", 10).alias("est_cos"),
+    )
+
+
+@golden(
     "knn_self_join_auto_stable",
     oracle=f"""
     WITH e AS ({_E}),

@@ -66,6 +66,58 @@ def subscribe_snapshot_then_live(
     return store.current(), subscribe(spark, store)
 
 
+def subscribe_strict_fifo(
+    spark: SparkSession,
+    store: TreasureStore,
+    on_events: Callable[[list, int], None],
+    queue_name: str = "strict_subscriber",
+    max_files_per_trigger: int = 32,
+):
+    """Opt-in STRICT per-swamp FIFO delivery — the reference's full
+    subscriber guarantee (README "insert/update/delete events in FIFO
+    order"; fan-out hydra.go:950-1019 invokes a swamp's callbacks
+    serially in commit order). The default :func:`subscribe` stream
+    guarantees commit order only per partition (SURVEY §7): a
+    micro-batch spanning several commit files is a multi-partition
+    DataFrame whose rows a consumer observes interleaved across
+    commits, and any repartition downstream loses file order entirely.
+
+    Strict mode funnels the swamp's change stream through ONE ordered
+    delivery point: each micro-batch is sorted by (batch_id, key) and
+    handed to ``on_events(rows, epoch)`` as a single in-order list;
+    micro-batches themselves are sequential, so the concatenation of
+    calls is the swamp's total commit order. (Within one batch_id the
+    events belong to ONE store transaction — the reference iterates
+    them in unspecified map order; key ASC pins determinism.)
+
+    Throughput tradeoff, explicitly: delivery parallelism is 1 per
+    swamp and each batch is collected to the driver (bounded by
+    ``max_files_per_trigger`` commit files), which is EXACTLY the
+    reference's per-swamp serial-callback cost model — use it for
+    consumers that need total order (audit logs, ordered replication);
+    keep the default partition-parallel stream for throughput.
+    Returns the StreamingQuery."""
+
+    def deliver(batch_df: DataFrame, epoch: int) -> None:
+        rows = batch_df.orderBy(
+            F.col("batch_id").asc(), F.col("key").asc()
+        ).collect()
+        if rows:
+            on_events(rows, int(epoch))
+
+    stream = (
+        spark.readStream.schema(CHANGE_SCHEMA)
+        .option("maxFilesPerTrigger", int(max_files_per_trigger))
+        .parquet(store.changes_dir)
+    )
+    return (
+        stream.writeStream.outputMode("append")
+        .queryName(queue_name)
+        .foreachBatch(deliver)
+        .start()
+    )
+
+
 def subscribe_to_info(
     spark: SparkSession, store: TreasureStore
 ) -> DataFrame:

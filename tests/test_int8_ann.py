@@ -94,3 +94,45 @@ def test_ivf_int8_recall_vs_exact_cosine(spark):
     # two stacked approximations (2/8-cell probe + int8) — floor is the
     # IVF recall floor, quantization barely moves it
     assert sum(recalls) / len(recalls) >= 0.5, recalls
+
+
+def test_int8_neardup_agrees_with_float_verify(spark):
+    """embedding_neardup_pairs_int8 must find (nearly) the same pair
+    set as the float verify under IDENTICAL blocking: quantization
+    moves the cosine by < ~0.02, so with a margin band around tau the
+    sets match exactly; overall Jaccard agreement stays high."""
+    from hydraide_spark.functions.dedup import (
+        embedding_neardup_pairs,
+        embedding_neardup_pairs_int8,
+    )
+
+    emb = load_table(spark, SF, "embeddings")
+    base = emb.select(
+        "vec_id", "label",
+        F.col("embedding").cast("array<double>").alias("embedding"),
+    )
+    jit = emb.select(
+        (F.col("vec_id") + F.lit(10_000_000)).alias("vec_id"),
+        F.col("label"),
+        F.expr(
+            "transform(CAST(embedding AS ARRAY<DOUBLE>), (x, i) -> "
+            "x * (1.0D + CAST((vec_id + i) % 7 - 3 AS DOUBLE) * 0.001D))"
+        ).alias("embedding"),
+    )
+    corpus = base.unionByName(jit)
+    kw = dict(block_col="label", auto_bucket_target=64, dim=64, seed=42)
+    fl = embedding_neardup_pairs(corpus, tau=0.95, **kw)
+    i8 = embedding_neardup_pairs_int8(corpus, tau=0.95, **kw)
+    fset = {(r["id_a"], r["id_b"]): r["score"] for r in fl.collect()}
+    iset = {(r["id_a"], r["id_b"]): r["est_cos"] for r in i8.collect()}
+    assert fset and iset
+    inter = set(fset) & set(iset)
+    jacc = len(inter) / len(set(fset) | set(iset))
+    assert jacc >= 0.9, jacc
+    # disagreements only live in the quantization band around tau
+    for pair in set(fset) ^ set(iset):
+        s = fset.get(pair, iset.get(pair))
+        assert abs(s - 0.95) < 0.02, (pair, s)
+    # scores agree to quantization error on the intersection
+    for pair in inter:
+        assert abs(fset[pair] - iset[pair]) < 0.02

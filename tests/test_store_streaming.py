@@ -1842,3 +1842,58 @@ def test_band_probe_prunes_bucketed_base(spark, tmp_path):
     assert touched == {f"bkt={expect_bkt}"}  # ONLY the hashed dir was read
     # and the pruned read still surfaces the matching index row
     assert probe.filter(F.col("bucket") == sample).count() >= 1
+
+
+def test_subscribe_strict_fifo_total_order(spark, tmp_path):
+    """r9-VERDICT #6: the strict subscriber delivers a swamp's events
+    in TOTAL commit order even when one micro-batch spans many commit
+    files (a multi-partition frame whose raw row order interleaves
+    commits). Several interleaved mutations -> one trigger covering all
+    files -> the callback list must be batch_id-ascending and complete;
+    a later commit arrives in a later callback."""
+    from hydraide_spark.streaming.subscribe import subscribe_strict_fifo
+
+    store = make_store(spark, tmp_path, BASE)
+    # five commits -> five change files (one per batch by construction)
+    for i in range(3):
+        store.set(
+            spark.createDataFrame(
+                [(f"k{i}", i, None)],
+                "key string, val long, expired_at timestamp",
+            )
+        )
+    store.delete(["k0"])
+    store.set(
+        spark.createDataFrame(
+            [("k1", 99, None), ("zz", 1, None)],
+            "key string, val long, expired_at timestamp",
+        )
+    )
+
+    got: list = []
+
+    def on_events(rows, epoch):
+        got.append([(r["batch_id"], r["op"], r["key"]) for r in rows])
+
+    q = subscribe_strict_fifo(
+        spark, store, on_events, queue_name="strict_t",
+        max_files_per_trigger=32,
+    )
+    try:
+        q.processAllAvailable()
+        # a post-subscription commit lands in a LATER callback
+        store.delete(["zz"])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    flat = [e for batch in got for e in batch]
+    bids = [b for b, _, _ in flat]
+    assert bids == sorted(bids)  # total commit order across the swamp
+    # all seven events present exactly once, in commit order
+    assert [(op, k) for _, op, k in flat] == [
+        ("NEW", "k0"), ("NEW", "k1"), ("NEW", "k2"), ("DELETED", "k0"),
+        ("UPDATED", "k1"), ("NEW", "zz"), ("DELETED", "zz"),
+    ]
+    # the live commit was delivered after (not merged into) the catch-up
+    assert len(got) >= 2 and got[-1][-1][1:] == ("DELETED", "zz")
