@@ -75,15 +75,6 @@ def _probe_epoch_cond(path: str, epoch: int):
     return cond
 
 
-def _read_or_none(spark: SparkSession, path: str, schema: str):
-    try:
-        if not os.path.exists(path):
-            return None
-        return spark.read.schema(schema).parquet(path)
-    except Exception:
-        return None
-
-
 def band_buckets(
     df: DataFrame,
     n: int = 3,
@@ -130,41 +121,43 @@ def _bands_from_shingled(
     )
 
 
-def bands_probe_frame(
+def hashed_probe_frame(
     spark: SparkSession,
-    bands_dir: str,
-    delta_banded: DataFrame,
+    table_dir: str,
+    schema: str,
+    keys_df: DataFrame,
+    key_col: str,
     epoch: int,
-    id_col: str = "doc_id",
 ):
-    """The persisted band index restricted to what a delta probe can
-    possibly match — the read side of the sorted-by-bucket layout
-    (state_compact.compact_band_epochs):
+    """A hash-bucketed state table restricted to what a delta probe can
+    possibly match — the read side of the bucketed-base layout
+    (state_compact.compact_hashed_epochs):
 
     - Flat delta epoch dirs (everything the last compaction left live)
       are read in full — their total size is bounded by the deltas
       since that compaction, not the corpus.
     - The bucket-partitioned base is PRUNED to the directories the
-      delta's own buckets hash into (``bkt IN (touched)``, a literal
-      list collected from the delta — directory-level pruning, never a
-      row scan of the base). The pruned fraction is
-      ~min(1, delta_buckets / n_buckets), and compaction scales
-      n_buckets with the corpus, so probe IO stays O(delta) as the
-      index grows — the fix for the O(index) band scan (r9 VERDICT,
+      probe's own keys (``keys_df[key_col]``) hash into (``bkt IN
+      (touched)``, a literal list — directory-level pruning, never a
+      row scan of the base; the collect is bounded by n_buckets
+      ≤ 65536, never by the corpus). The pruned fraction is
+      ~min(1, probe_keys / n_buckets), and compaction scales n_buckets
+      with the corpus, so probe IO stays O(delta) as the index grows —
+      the fix for the O(index) band/shingle scans (r9 VERDICT,
       BENCH_stream_scale minhash ingest b=0.10).
 
     A pre-bucketing flat base (no ``_NBUCKETS`` manifest) is read in
     full like a delta dir — legacy behavior until the next compaction
     rewrites it. Returns None when no index exists yet. Own-epoch and
-    folded-but-uncleaned epochs are excluded (``_probe_epoch_cond``)."""
-    if not os.path.isdir(bands_dir):
+    folded-but-uncleaned epochs are excluded (``_probe_epoch_cond``).
+    ``schema`` is the table's DATA schema (no epoch/bkt columns)."""
+    if not os.path.isdir(table_dir):
         return None
-    schema = f"{id_col} long, bucket string"
-    nb = read_nbuckets(bands_dir)
+    nb = read_nbuckets(table_dir)
     base_name = f"epoch={BASE_EPOCH}"
     flat_dirs = [
-        os.path.join(bands_dir, d)
-        for d in sorted(os.listdir(bands_dir))
+        os.path.join(table_dir, d)
+        for d in sorted(os.listdir(table_dir))
         if d.startswith("epoch=")
         and d.split("=", 1)[1].lstrip("-").isdigit()
         and not (nb is not None and d == base_name)
@@ -173,18 +166,18 @@ def bands_probe_frame(
     if flat_dirs:
         df = (
             spark.read.schema(schema + ", epoch long")
-            .option("basePath", bands_dir)
+            .option("basePath", table_dir)
             .parquet(*flat_dirs)
-            .filter(_probe_epoch_cond(bands_dir, epoch))
+            .filter(_probe_epoch_cond(table_dir, epoch))
             .drop("epoch")
         )
         frames.append(df)
-    base = os.path.join(bands_dir, base_name)
+    base = os.path.join(table_dir, base_name)
     if nb is not None and os.path.isdir(base):
         touched = sorted(
             r["b"]
-            for r in delta_banded.select(
-                band_bucket_expr(F.col("bucket"), nb).alias("b")
+            for r in keys_df.select(
+                band_bucket_expr(F.col(key_col), nb).alias("b")
             )
             .distinct()
             .collect()
@@ -203,6 +196,25 @@ def bands_probe_frame(
     for f in frames[1:]:
         out = out.unionByName(f)
     return out
+
+
+def bands_probe_frame(
+    spark: SparkSession,
+    bands_dir: str,
+    delta_banded: DataFrame,
+    epoch: int,
+    id_col: str = "doc_id",
+):
+    """The band index's :func:`hashed_probe_frame`: pruned to the
+    directories the delta's own bucket strings hash into."""
+    return hashed_probe_frame(
+        spark,
+        bands_dir,
+        f"{id_col} long, bucket string",
+        delta_banded,
+        "bucket",
+        epoch,
+    )
 
 
 def make_ingest(
@@ -274,12 +286,19 @@ def make_ingest(
                 F.greatest(F.col(f"a.{id_col}"), F.col(f"b.{id_col}")).alias("id_b"),
             )
             .distinct()
+            .persist()
         )
-        old_sizes = _read_or_none(spark, sh_dir, sh_schema + ", epoch long")
-        if old_sizes is not None:
-            old_sizes = old_sizes.filter(
-                _probe_epoch_cond(sh_dir, epoch)
-            ).drop("epoch")
+        # the shingle (verify) table prunes to the CANDIDATE ids'
+        # buckets — the verify join only ever needs rows for pair
+        # members, and the touched-bucket collect (bounded by
+        # n_buckets) forces cand once, which the persisted frame
+        # then serves to the verify join below
+        partners = cand.select(
+            F.explode(F.array("id_a", "id_b")).alias(id_col)
+        )
+        old_sizes = hashed_probe_frame(
+            spark, sh_dir, sh_schema, partners, id_col, epoch
+        )
         all_sizes = (
             sh_new if old_sizes is None else sh_new.unionByName(old_sizes)
         )
@@ -313,6 +332,7 @@ def make_ingest(
         )
         sh_new.unpersist()
         new_banded.unpersist()
+        cand.unpersist()
 
     return ingest
 

@@ -279,22 +279,24 @@ def read_nbuckets(table_dir: str) -> "int | None":
         return None
 
 
-def compact_band_epochs(
-    spark: SparkSession, table_dir: str, n_buckets: "int | None" = None
+def compact_hashed_epochs(
+    spark: SparkSession,
+    table_dir: str,
+    key_col: str,
+    n_buckets: "int | None" = None,
 ) -> int:
-    """Compact the LSH band index with the SORTED-BY-BUCKET base layout:
-    the folded rows are written partitioned by ``bkt =
-    hash(bucket) % n_buckets``, so an ingest probe reads only the
-    directories its delta's buckets hash into (literal ``bkt IN``
-    → directory-level pruning) instead of scanning the whole index.
-    ``n_buckets`` defaults to rows/4096 clamped to [16, 65536] — it
-    grows with the corpus, keeping the pruned fraction ∝ delta/corpus
-    (the LSM shape: small flat delta epochs, one bucket-indexed base).
-    The count is recorded in the base's ``_NBUCKETS`` manifest (travels
-    through the atomic swap; re-compaction recomputes it for the grown
-    corpus). Mirrors the reference's bucket-index routing
-    (app/server/gateway/bucket_planner.go:55-123) applied to the band
-    table."""
+    """Compact a state table with the HASH-BUCKETED base layout: the
+    folded rows are written partitioned by ``bkt = hash(key_col) %
+    n_buckets``, so a probe reads only the directories its delta's
+    keys hash into (literal ``bkt IN`` → directory-level pruning)
+    instead of scanning the whole index. ``n_buckets`` defaults to
+    rows/4096 clamped to [16, 65536] — it grows with the corpus,
+    keeping the pruned fraction ∝ delta/corpus (the LSM shape: small
+    flat delta epochs, one bucket-indexed base). The count is recorded
+    in the base's ``_NBUCKETS`` manifest (travels through the atomic
+    swap; re-compaction recomputes it for the grown corpus). Mirrors
+    the reference's bucket-index routing
+    (app/server/gateway/bucket_planner.go:55-123)."""
     if n_buckets is None:
         live = [
             os.path.join(table_dir, d)
@@ -305,9 +307,7 @@ def compact_band_epochs(
             return 0
         # per-dir counts: a bkt-partitioned base next to flat delta
         # epochs cannot share one partition-discovery pass
-        rows = sum(
-            spark.read.schema("bucket string").parquet(d).count() for d in live
-        )
+        rows = sum(spark.read.parquet(d).count() for d in live)
         n_buckets = min(
             _BAND_MAX_BUCKETS,
             max(_BAND_MIN_BUCKETS, 1 << max(0, rows // _BAND_ROWS_PER_BUCKET).bit_length()),
@@ -315,7 +315,7 @@ def compact_band_epochs(
 
     def aug(df):
         return df.drop("bkt").withColumn(
-            "bkt", band_bucket_expr(F.col("bucket"), n_buckets)
+            "bkt", band_bucket_expr(F.col(key_col), n_buckets)
         )
 
     return compact_epochs(
@@ -327,15 +327,29 @@ def compact_band_epochs(
     )
 
 
-def compact_neardup_state(spark: SparkSession, state_dir: str) -> dict:
-    """Compact all three near-dup ingest tables (pairs, bands,
-    shingles); the band index gets the bucket-partitioned base layout
-    so subsequent probes directory-prune. Returns
+def compact_band_epochs(
+    spark: SparkSession, table_dir: str, n_buckets: "int | None" = None
+) -> int:
+    """The LSH band index's :func:`compact_hashed_epochs` (keyed by the
+    band bucket string — probes prune to the delta's buckets)."""
+    return compact_hashed_epochs(spark, table_dir, "bucket", n_buckets)
+
+
+def compact_neardup_state(
+    spark: SparkSession, state_dir: str, id_col: str = "doc_id"
+) -> dict:
+    """Compact all three near-dup ingest tables. The band index is
+    bucketed by the LSH bucket string (probes prune to the delta's
+    buckets); the shingle table is bucketed by doc id (the verify join
+    prunes to the candidate partner ids' buckets — the OTHER O(index)
+    read the r9 stream stress surfaced). Returns
     {table: folded_epochs}."""
     return {
         "pairs": compact_epochs(spark, os.path.join(state_dir, "pairs")),
         "bands": compact_band_epochs(spark, os.path.join(state_dir, "bands")),
-        "shingles": compact_epochs(spark, os.path.join(state_dir, "shingles")),
+        "shingles": compact_hashed_epochs(
+            spark, os.path.join(state_dir, "shingles"), id_col
+        ),
     }
 
 

@@ -1897,3 +1897,78 @@ def test_subscribe_strict_fifo_total_order(spark, tmp_path):
     ]
     # the live commit was delivered after (not merged into) the catch-up
     assert len(got) >= 2 and got[-1][-1][1:] == ("DELETED", "zz")
+
+
+def test_shingle_probe_prunes_bucketed_base(spark, tmp_path):
+    """The verify join's shingle read prunes the compacted id-bucketed
+    base to the candidate partner ids' buckets (hashed_probe_frame with
+    the doc id as the hash key) — and an ingest against the pruned
+    state still pairs correctly with docs whose shingles live only in
+    the base."""
+    import os
+
+    from hydraide_spark.functions.dedup import minhash_neardup_pairs
+    from hydraide_spark.streaming import ingested_pairs
+    from hydraide_spark.streaming.dedup_stream import (
+        hashed_probe_frame,
+        make_ingest,
+    )
+    from hydraide_spark.streaming.state_compact import (
+        band_bucket_expr,
+        compact_neardup_state,
+        read_nbuckets,
+    )
+
+    schema = "doc_id long, text string"
+    base_txt = "the quick brown fox jumps over the lazy dog again and again"
+    state = str(tmp_path / "nd")
+    sh_dir = os.path.join(state, "shingles")
+    ingest = make_ingest(spark, state, tau=0.6)
+    rows = [(i, f"{base_txt} variant {i} tail words {i % 5}") for i in range(40)]
+    ingest(spark.createDataFrame(rows[:20], schema), 0)
+    ingest(spark.createDataFrame(rows[20:], schema), 1)
+    ingest(spark.createDataFrame([(999, "unrelated filler")], schema), 2)
+    compact_neardup_state(spark, state)
+    nb = read_nbuckets(sh_dir)
+    assert nb is not None and nb >= 16
+
+    # direct probe: one partner id -> only its hashed dir read from base
+    keys = spark.createDataFrame([(7,)], "doc_id long")
+    probe = hashed_probe_frame(
+        spark, sh_dir, "doc_id long, sh array<string>, n_sh int",
+        keys, "doc_id", epoch=50,
+    )
+    files = {
+        r[0]
+        for r in probe.select(F.input_file_name().alias("f")).distinct().collect()
+    }
+    touched = {
+        f.split("epoch=-1/", 1)[1].split("/", 1)[0]
+        for f in files
+        if "epoch=-1/" in f
+    }
+    expect = keys.select(band_bucket_expr(F.col("doc_id"), nb).alias("b")).first()["b"]
+    assert touched == {f"bkt={expect}"}
+    assert probe.filter(F.col("doc_id") == 7).count() == 1
+
+    # end-to-end: a new near-dup of doc 7 pairs through the PRUNED base
+    ingest(
+        spark.createDataFrame(
+            [(1007, f"{base_txt} variant 7 tail words 2 ok")], schema
+        ),
+        3,
+    )
+    pairs = {
+        (r["id_a"], r["id_b"]) for r in ingested_pairs(spark, state).collect()
+    }
+    assert (7, 1007) in pairs
+    # and the incremental result still equals the batch pipeline
+    full = spark.createDataFrame(
+        rows + [(999, "unrelated filler"),
+                (1007, f"{base_txt} variant 7 tail words 2 ok")], schema
+    )
+    expect_pairs = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_neardup_pairs(full, tau=0.6, n=3, k=16, bands=4).collect()
+    }
+    assert pairs == expect_pairs
