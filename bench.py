@@ -126,6 +126,7 @@ HEADLINE = [
     "ann_topk_multiprobe_stable",
     "embedding_neardup",
     "embedding_neardup_auto_stable",
+    "embedding_neardup_int8",
     "semantic_dedup_docs",
     "label_centroid_sums",
     "embedding_drift_report",
@@ -164,8 +165,11 @@ HEADLINE = [
     "hybrid_search_rrf",
     "retrieval_eval_metrics",
     "retrieval_run_compare",
+    "retrieval_run_sign_test",
+    "retrieval_param_sweep",
     "mmr_diversified_rerank",
     "mmr_diversified_rerank_batch",
+    "mmr_lambda_sweep",
     "hybrid_search_rrf_batch",
     "phrase_search_via_index",
     "text_quality_tokens",

@@ -11,11 +11,21 @@ from .search_stream import (
     persisted_postings,
     run_postings_ingest_loop,
 )
-from .state_compact import compact_epochs, compact_ivf_state, compact_neardup_state, compact_search_state
+from .state_compact import (
+    compact_band_epochs,
+    compact_epochs,
+    compact_hashed_epochs,
+    compact_ivf_state,
+    compact_neardup_state,
+    compact_search_state,
+    pending_folded,
+    read_nbuckets,
+)
 from .rollup import rollup_batch, run_rollup_maintenance_loop
 from .subscribe import (
     subscribe,
     subscribe_snapshot_then_live,
+    subscribe_strict_fifo,
     subscribe_to_info,
     run_ttl_claim_loop,
     run_index_maintenance_loop,
@@ -35,13 +45,18 @@ __all__ = [
     "persisted_doclen",
     "persisted_postings",
     "run_postings_ingest_loop",
+    "compact_band_epochs",
     "compact_epochs",
+    "compact_hashed_epochs",
+    "pending_folded",
+    "read_nbuckets",
     "compact_ivf_state",
     "compact_neardup_state",
     "run_neardup_ingest_loop",
     "rollup_batch",
     "run_rollup_maintenance_loop",
     "subscribe",
+    "subscribe_strict_fifo",
     "subscribe_snapshot_then_live",
     "subscribe_to_info",
     "run_ttl_claim_loop",
