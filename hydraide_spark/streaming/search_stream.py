@@ -125,13 +125,87 @@ def _epoch_filtered(df: DataFrame, epochs, table_dir: str) -> DataFrame:
 
 
 def persisted_postings(
-    spark: SparkSession, state_dir: str, id_col: str = "doc_id", epochs=None
+    spark: SparkSession,
+    state_dir: str,
+    id_col: str = "doc_id",
+    epochs=None,
+    words=None,
 ) -> DataFrame:
-    schema = f"word string, {id_col} long, tf long, epoch long"
+    """The accumulated tf-bearing postings. With the r10 word-bucketed
+    base layout (``compact_search_state`` folds the base partitioned by
+    ``bkt = hash(word) % n_buckets``), passing ``words`` prunes the
+    base read to the query words' bucket DIRECTORIES — a serving read
+    touches O(query words) dirs of the big base instead of scanning
+    the whole index, while flat delta epochs (bounded by deltas since
+    the last compaction) are read in full. Callers still apply their
+    row-level ``word IN`` filter — the buckets contain other words.
+    Without ``words`` (or on a pre-bucketing base) the base is read in
+    full. Frontier (``epochs``) and crashed-compaction
+    (``pending_folded``) exclusions apply to the delta epochs either
+    way; the base partition (-1) is part of every frontier."""
+    from .state_compact import BASE_EPOCH, band_bucket_expr, read_nbuckets
+
+    schema = f"word string, {id_col} long, tf long"
     path = os.path.join(state_dir, "postings")
+    empty = spark.createDataFrame([], schema)
     if not os.path.exists(path):
-        return spark.createDataFrame([], schema).drop("epoch")
-    return _epoch_filtered(spark.read.schema(schema).parquet(path), epochs, path)
+        return empty
+    nb = read_nbuckets(path)
+    if nb is None:
+        return _epoch_filtered(
+            spark.read.schema(schema + ", epoch long").parquet(path),
+            epochs,
+            path,
+        )
+    # bucketed base: the tree is mixed-depth (flat epoch dirs next to
+    # bkt= subdirs in the base), so the two halves read separately
+    base_name = f"epoch={BASE_EPOCH}"
+    flat_dirs = [
+        os.path.join(path, d)
+        for d in sorted(os.listdir(path))
+        if d.startswith("epoch=")
+        and d.split("=", 1)[1].lstrip("-").isdigit()
+        and d != base_name
+    ]
+    frames = []
+    if flat_dirs:
+        frames.append(
+            _epoch_filtered(
+                spark.read.schema(schema + ", epoch long")
+                .option("basePath", path)
+                .parquet(*flat_dirs),
+                epochs,
+                path,
+            )
+        )
+    base = os.path.join(path, base_name)
+    want_base = epochs is None or BASE_EPOCH in {int(e) for e in epochs}
+    if want_base and os.path.isdir(base):
+        bdf = (
+            spark.read.schema(schema + ", bkt int")
+            .option("basePath", base)
+            .parquet(base)
+        )
+        if words is not None:
+            wdf = spark.createDataFrame(
+                [(str(w),) for w in words], "w string"
+            )
+            touched = sorted(
+                r["b"]
+                for r in wdf.select(
+                    band_bucket_expr(F.col("w"), nb).alias("b")
+                )
+                .distinct()
+                .collect()
+            )
+            bdf = bdf.filter(F.col("bkt").isin(touched))
+        frames.append(bdf.drop("bkt"))
+    if not frames:
+        return empty
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out
 
 
 def persisted_doclen(
@@ -166,7 +240,10 @@ def bm25_from_state(
         F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
     )
     post = (
-        persisted_postings(spark, state_dir, id_col=id_col, epochs=epochs)
+        persisted_postings(
+            spark, state_dir, id_col=id_col, epochs=epochs,
+            words=list(query_words),
+        )
         .filter(F.col("word").isin(list(query_words)))
         .persist()
     )
@@ -411,10 +488,14 @@ def compact_unified_search_state(spark: SparkSession, state_dir: str) -> dict:
     commit markers for epochs no table holds anymore — the folded rows
     are covered by the always-committed base. Single-writer, same
     contract as compact_epochs."""
-    from .state_compact import compact_epochs
+    from .state_compact import compact_epochs, compact_hashed_epochs
 
     folded = {
-        "postings": compact_epochs(spark, os.path.join(state_dir, "postings")),
+        # word-bucketed base: BM25 serving reads prune to the query
+        # words' directories (persisted_postings words=)
+        "postings": compact_hashed_epochs(
+            spark, os.path.join(state_dir, "postings"), "word"
+        ),
         "doclen": compact_epochs(spark, os.path.join(state_dir, "doclen")),
         "cells": compact_epochs(
             spark, os.path.join(state_dir, "cells"), partition_by=["cell"]

@@ -365,8 +365,13 @@ def compact_ivf_state(spark: SparkSession, state_dir: str) -> dict:
 
 def compact_search_state(spark: SparkSession, state_dir: str) -> dict:
     """Compact the incremental search index's tables (tf-bearing
-    postings + doc lengths, streaming/search_stream.py)."""
+    postings + doc lengths, streaming/search_stream.py). The postings
+    base is WORD-hash-bucketed so a BM25 serving read prunes to the
+    query words' directories (persisted_postings ``words=``); doclen
+    stays flat — corpus stats (N, avgdl) need every row anyway."""
     return {
-        t: compact_epochs(spark, os.path.join(state_dir, t))
-        for t in ("postings", "doclen")
+        "postings": compact_hashed_epochs(
+            spark, os.path.join(state_dir, "postings"), "word"
+        ),
+        "doclen": compact_epochs(spark, os.path.join(state_dir, "doclen")),
     }

@@ -136,3 +136,50 @@ def test_int8_neardup_agrees_with_float_verify(spark):
     # scores agree to quantization error on the intersection
     for pair in inter:
         assert abs(fset[pair] - iset[pair]) < 0.02
+
+
+def test_two_stage_topk_equals_single_window(spark):
+    """two_stage_topk is EXACT: for any scored frame with a total
+    order (tiebreak id), the two-stage result equals the naive single
+    per-query window — including duplicate scores and k larger than a
+    group. Randomized inputs over a fixed seed grid."""
+    import random
+
+    from pyspark.sql.window import Window as W
+
+    from hydraide_spark.functions.vector import two_stage_topk
+
+    rng = random.Random(42)
+    for trial in range(3):
+        n_q, n_rows = 3, 200
+        rows = [
+            (q, i, rng.choice([0.1, 0.5, 0.5, 0.9, rng.random()]))
+            for q in range(n_q)
+            for i in range(n_rows)
+        ]
+        # drop some rows so one query has fewer than k
+        rows = [r for r in rows if not (r[0] == 2 and r[1] >= 5)]
+        df = spark.createDataFrame(
+            rows, "query_id int, vec_id long, score double"
+        ).repartition(8)
+        k = [3, 10, 500][trial]
+        order = [F.col("score").desc(), F.col("vec_id").asc()]
+        got = sorted(
+            map(
+                tuple,
+                two_stage_topk(df, k, "query_id", order)
+                .select("query_id", "vec_id", "rank")
+                .collect(),
+            )
+        )
+        w = W.partitionBy("query_id").orderBy(*order)
+        want = sorted(
+            map(
+                tuple,
+                df.withColumn("rank", F.row_number().over(w))
+                .filter(F.col("rank") <= k)
+                .select("query_id", "vec_id", "rank")
+                .collect(),
+            )
+        )
+        assert got == want, f"trial {trial} k={k}"

@@ -255,3 +255,78 @@ def test_int8_serve_from_state_converges_to_batch(spark, tmp_path):
     got2 = ivf_int8_from_state(spark, state, queries, k=10, centroids=cents, nprobe=2)
     assert sorted((r["doc_id"], r["rank"], r["qdot"]) for r in got2.collect()) == g
     corpus.unpersist()
+
+
+def test_bm25_serve_prunes_word_bucketed_base(spark, tmp_path):
+    """r10: after compaction the postings base is word-hash-bucketed
+    and a BM25 serving read touches ONLY the query words' bucket dirs
+    (input_file_name proves the prune); scores equal the unpruned
+    read's exactly."""
+    from hydraide_spark.streaming.search_stream import (
+        bm25_from_state,
+        make_postings_ingest,
+        persisted_postings,
+    )
+    from hydraide_spark.streaming.state_compact import (
+        band_bucket_expr,
+        compact_search_state,
+        read_nbuckets,
+    )
+
+    corpus = _corpus(spark).persist()
+    state = str(tmp_path / "sstate")
+    ingest = make_postings_ingest(spark, state)
+    for epoch in range(3):
+        ingest(corpus.filter(F.col("doc_id") % 3 == epoch), epoch)
+    compact_search_state(spark, state)
+    post_dir = os.path.join(state, "postings")
+    nb = read_nbuckets(post_dir)
+    assert nb is not None and nb >= 16
+
+    pruned = persisted_postings(spark, state, words=WORDS).filter(
+        F.col("word").isin(WORDS)
+    )
+    files = {
+        r[0]
+        for r in pruned.select(F.input_file_name().alias("f"))
+        .distinct()
+        .collect()
+    }
+    touched = {
+        f.split("epoch=-1/", 1)[1].split("/", 1)[0]
+        for f in files
+        if "epoch=-1/" in f
+    }
+    expect = {
+        r["b"]
+        for r in spark.createDataFrame([(w,) for w in WORDS], "w string")
+        .select(band_bucket_expr(F.col("w"), nb).alias("b"))
+        .collect()
+    }
+    assert touched == {f"bkt={b}" for b in expect}
+    assert len(touched) < nb  # a real prune, not all dirs
+
+    # pruned scores == unpruned scores, bit for bit
+    def scores(words_arg):
+        return sorted(
+            map(
+                tuple,
+                bm25_from_state(spark, state, WORDS)
+                .groupBy("doc_id")
+                .agg(F.sum("term_score").alias("s"))
+                .collect(),
+            )
+        )
+
+    full = sorted(
+        map(
+            tuple,
+            persisted_postings(spark, state)
+            .filter(F.col("word").isin(WORDS))
+            .collect(),
+        )
+    )
+    pr = sorted(map(tuple, pruned.collect()))
+    assert pr == full  # same rows through the pruned directories
+    assert scores(WORDS)  # and the serving path still produces scores
+    corpus.unpersist()

@@ -90,6 +90,7 @@ def main() -> None:
     from hydraide_spark.streaming.search_stream import (
         bm25_from_state,
         committed_epochs,
+        compact_unified_search_state,
         hybrid_search_from_unified_state,
         make_search_ingest,
     )
@@ -121,6 +122,10 @@ def main() -> None:
         acc += sizes.get(e, 0)
         ns.append(acc)
         if e in (3, n_batches - 1):
+            if e == n_batches - 1:
+                # realistic ops: compacted state (postings base is
+                # word-bucketed since r10, so the serve read prunes)
+                compact_unified_search_state(spark, ustate)
             eps = committed_epochs(ustate)
             t0 = time.monotonic()
             bm25_from_state(spark, ustate, WORDS, epochs=eps).groupBy(
