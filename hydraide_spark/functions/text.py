@@ -1109,3 +1109,68 @@ def vocab_encode(
         F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
         F.sum((F.col("tid") == oov_id).cast("bigint")).alias("n_oov"),
     )
+
+
+def calibration_report(
+    df: DataFrame,
+    score_col,
+    label_col,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Reliability table + expected calibration error (ECE) for a
+    [0,1]-scored, binary-labeled frame — the QA operator behind any
+    learned quality/filter classifier (Guo et al. ICML'17: bin the
+    scores, compare each bin's mean confidence against its empirical
+    positive rate; ECE is the n-weighted mean absolute gap). A pipeline
+    that thresholds a quality model should look at THIS table before
+    trusting the threshold.
+
+    Returns one row per non-empty bin: (bin, n, mean_score, frac_pos,
+    gap, ece) — ``ece`` is the same scalar on every row (total-row
+    cross join; bins are ≤ n_bins rows, broadcast-sized always).
+
+    Cross-engine exactness: the bin id is
+    ``least(n_bins−1, floor(score·n_bins))`` — one correctly-rounded
+    multiply + floor, identical in any IEEE engine; per-bin score sums
+    go through bround-12 DECIMAL (HALF_EVEN — mirrors DuckDB's
+    double→DECIMAL cast) so parallel order cannot drift them;
+    mean_score / frac_pos are single divisions of bit-identical
+    operands rounded to 10; gap subtracts the ROUNDED values (the
+    oracle replays the same order); ECE sums dec(n·gap) and divides
+    once by N. Shape: one map + one ≤n_bins-group aggregate + one
+    1-row total — O(corpus) scan, O(bins) everything else."""
+    s = F.col(score_col).cast("double") if isinstance(score_col, str) else score_col
+    y = F.col(label_col).cast("int") if isinstance(label_col, str) else label_col.cast("int")
+    per = df.select(
+        F.least(F.lit(int(n_bins) - 1), F.floor(s * F.lit(float(n_bins))))
+        .cast("int")
+        .alias("bin"),
+        s.alias("_s"),
+        y.alias("_y"),
+    )
+    g = per.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.bround(F.col("_s"), 12).cast("decimal(28,12)")).alias("_ss"),
+        F.sum("_y").cast("long").alias("n_pos"),
+    )
+    mean_score = F.round(F.col("_ss").cast("double") / F.col("n"), 10)
+    frac_pos = F.round(F.col("n_pos").cast("double") / F.col("n"), 10)
+    binned = g.select(
+        "bin",
+        "n",
+        "n_pos",
+        mean_score.alias("mean_score"),
+        frac_pos.alias("frac_pos"),
+        F.round(F.abs(mean_score - frac_pos), 10).alias("gap"),
+    )
+    totals = binned.agg(
+        F.sum("n").alias("_N"),
+        F.sum(
+            F.bround(F.col("gap") * F.col("n").cast("double"), 12).cast(
+                "decimal(28,12)"
+            )
+        ).alias("_wg"),
+    ).select(
+        F.round(F.col("_wg").cast("double") / F.col("_N"), 10).alias("ece")
+    )
+    return binned.crossJoin(F.broadcast(totals))

@@ -2350,3 +2350,78 @@ def data_mixing_plan(spark, sf_dir):
         {"src0": 0.5, "src1": 0.3, "src2": 0.15, "src99": 0.05},
         token_budget=20000,
     )
+
+
+@golden(
+    "quality_calibration_report",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, text, string_split(text, ' ') AS toks,
+             CAST(len(string_split(text, ' ')) AS DOUBLE) AS n
+      FROM documents
+    ),
+    scored AS (
+      SELECT doc_id,
+             0.4 * least(n / 64.0, 1.0)
+               + 0.3 * (1.0 - CAST(len(list_filter(toks, x -> x IN ({_STOP_SQL}))) AS DOUBLE) / n)
+               + 0.3 * (CASE WHEN (CAST(length(text) AS DOUBLE) - (n - 1.0)) / n >= 3.0
+                              AND (CAST(length(text) AS DOUBLE) - (n - 1.0)) / n <= 10.0
+                             THEN 1.0 ELSE 0.5 END) AS s,
+             CASE WHEN list_contains(toks, 'data') THEN 1 ELSE 0 END AS y
+      FROM d
+    ),
+    per AS (
+      SELECT LEAST(9, CAST(FLOOR(s * 10.0) AS INT)) AS bin, s, y FROM scored
+    ),
+    g AS (
+      SELECT bin,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(CAST(s AS DECIMAL(28,12))) AS ss,
+             CAST(SUM(y) AS BIGINT) AS n_pos
+      FROM per GROUP BY bin
+    ),
+    binned AS (
+      SELECT bin, n, n_pos,
+             ROUND(CAST(ss AS DOUBLE) / n, 10) AS mean_score,
+             ROUND(CAST(n_pos AS DOUBLE) / n, 10) AS frac_pos,
+             ROUND(ABS(ROUND(CAST(ss AS DOUBLE) / n, 10)
+                       - ROUND(CAST(n_pos AS DOUBLE) / n, 10)), 10) AS gap
+      FROM g
+    ),
+    tot AS (
+      SELECT ROUND(CAST(SUM(CAST(gap * CAST(n AS DOUBLE) AS DECIMAL(28,12)))
+                        AS DOUBLE) / SUM(n), 10) AS ece
+      FROM binned
+    )
+    SELECT bin, n, n_pos, mean_score, frac_pos, gap, ece
+    FROM binned CROSS JOIN tot
+    """,
+)
+def quality_calibration_report(spark, sf_dir):
+    """Reliability table + ECE (r10) for the composite quality score
+    against a deterministic binary signal (doc contains the token
+    'data') — the calibration QA any learned quality filter needs
+    before its threshold is trusted. Bin ids are one correctly-rounded
+    multiply + floor; per-bin score sums are HALF_EVEN-quantized
+    DECIMAL; gaps subtract the round-10 values in both engines; ECE
+    weights the gaps by bin mass through a DECIMAL sum — the whole
+    table replays in SQL exactly."""
+    from ..functions.text import calibration_report, quality_score, tokenize
+
+    docs = t(spark, sf_dir, "documents").filter(
+        F.size(F.split(F.col("text"), " ")) > 0
+    )
+    scored = docs.select(
+        quality_score(F.col("text")).alias("s"),
+        F.array_contains(tokenize(F.col("text")), "data").cast("int").alias("y"),
+    )
+    out = calibration_report(scored, "s", "y", n_bins=10)
+    return out.select(
+        F.col("bin").cast("int").alias("bin"),
+        big("n").alias("n"),
+        big("n_pos").alias("n_pos"),
+        "mean_score",
+        "frac_pos",
+        "gap",
+        "ece",
+    )

@@ -59,16 +59,17 @@ from .state_compact import (
 )
 
 
-def _probe_epoch_cond(path: str, epoch: int):
+def _probe_epoch_cond(path: str, epoch):
     """The persisted-index probe filter: exclude the CURRENT epoch's
     partition (a retried epoch must probe the same "old" index the
-    first attempt saw) AND any epochs a crashed compaction already
-    folded into the base but did not clean up (their rows exist twice —
-    base + epoch dir — until the next compaction replays the cleanup;
-    see state_compact.pending_folded). coalesce(epoch, -1) keeps
-    pre-r8 flat legacy rows (NULL epoch) in the probe."""
+    first attempt saw; ``epoch=None`` = read-only caller, nothing to
+    exclude) AND any epochs a crashed compaction already folded into
+    the base but did not clean up (their rows exist twice — base +
+    epoch dir — until the next compaction replays the cleanup; see
+    state_compact.pending_folded). coalesce(epoch, -1) keeps pre-r8
+    flat legacy rows (NULL epoch) in the probe."""
     e = F.coalesce(F.col("epoch"), F.lit(-1))
-    cond = e != F.lit(int(epoch))
+    cond = F.lit(True) if epoch is None else e != F.lit(int(epoch))
     pend = sorted(pending_folded(path))
     if pend:
         cond = cond & ~e.isin(pend)
@@ -394,3 +395,112 @@ def ingested_pairs(spark: SparkSession, state_dir: str) -> DataFrame:
     return _epoch_filtered(
         spark.read.schema(schema + ", epoch long").parquet(path), None, path
     )
+
+
+def neardup_lookup(
+    spark: SparkSession,
+    state_dir: str,
+    query_docs: DataFrame,
+    tau: float,
+    n: int = 3,
+    k: int = 16,
+    bands: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    engine_stable: bool = False,
+) -> DataFrame:
+    """Read-only near-dup POINT LOOKUP against the persisted index —
+    the serving question "is this document a near-dup of anything we
+    already have?" without ingesting it (the crawl-dedup admission
+    check; the write path is :func:`make_ingest`).
+
+    Same arithmetic as the ingest, so a doc that WOULD pair on ingest
+    pairs here: identical shingles → signature → banding
+    (:func:`_bands_from_shingled`), identical integer-exact Jaccard
+    (den·inter ≥ num·union). Same pruned reads, so the cost is
+    O(query + matching index rows), not O(index): the band probe
+    touches only the query docs' bucket directories of the bucketed
+    base, and the shingle read only the candidate partner ids'
+    directories. Nothing is written, no epoch is excluded
+    (``epoch=None`` — a reader has no own-epoch), and crashed-
+    compaction duplicates stay excluded like every other reader.
+
+    Returns (query id under ``id_col``, match_id, inter, union) — one
+    row per (query doc, persisted near-dup). Query ids never pair with
+    themselves, so looking up an already-ingested doc returns its
+    OTHER near-dups. The result is MATERIALIZED (a lookup's output is
+    request-sized by construction) so the internal persists release
+    deterministically before returning."""
+    assert k % bands == 0
+    frac = Fraction(tau).limit_denominator(10**6)
+    num, den = frac.numerator, frac.denominator
+    bands_dir = os.path.join(state_dir, "bands")
+    sh_dir = os.path.join(state_dir, "shingles")
+
+    sh_q = (
+        query_docs.select(
+            F.col(id_col).cast("long").alias(id_col),
+            shingles(F.col(text_col), n).alias("sh"),
+        )
+        .withColumn("n_sh", F.size("sh"))
+        .filter(F.col("n_sh") > 0)
+        .persist()
+    )
+    banded_q = _bands_from_shingled(sh_q, k, bands, id_col, engine_stable)
+    idx = bands_probe_frame(spark, bands_dir, banded_q, epoch=None, id_col=id_col)
+    empty = spark.createDataFrame(
+        [], f"{id_col} long, match_id long, inter int, union int"
+    )
+    if idx is None:
+        sh_q.unpersist()
+        return empty
+    cand = (
+        banded_q.alias("q")
+        .join(
+            idx.alias("i"),
+            (F.col("q.bucket") == F.col("i.bucket"))
+            & (F.col(f"q.{id_col}") != F.col(f"i.{id_col}")),
+        )
+        .select(
+            F.col(f"q.{id_col}").alias(id_col),
+            F.col(f"i.{id_col}").alias("match_id"),
+        )
+        .distinct()
+        .persist()
+    )
+    old_sizes = hashed_probe_frame(
+        spark,
+        sh_dir,
+        f"{id_col} long, sh array<string>, n_sh int",
+        cand.select(F.col("match_id").alias(id_col)),
+        id_col,
+        epoch=None,
+    )
+    if old_sizes is None:
+        sh_q.unpersist()
+        cand.unpersist()
+        return empty
+    out = (
+        cand.join(
+            sh_q.select(id_col, F.col("sh").alias("sh_q"), F.col("n_sh").alias("n_q")),
+            id_col,
+        )
+        .join(
+            old_sizes.select(
+                F.col(id_col).alias("match_id"),
+                F.col("sh").alias("sh_m"),
+                F.col("n_sh").alias("n_m"),
+            ),
+            "match_id",
+        )
+        .withColumn("inter", F.size(F.array_intersect("sh_q", "sh_m")))
+        .withColumn("union", F.col("n_q") + F.col("n_m") - F.col("inter"))
+        .filter(F.lit(den) * F.col("inter") >= F.lit(num) * F.col("union"))
+        .select(id_col, "match_id", "inter", "union")
+    )
+    rows = out.collect()
+    sh_q.unpersist()
+    cand.unpersist()
+    if not rows:
+        return empty
+    return spark.createDataFrame(rows, out.schema)

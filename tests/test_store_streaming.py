@@ -1972,3 +1972,61 @@ def test_shingle_probe_prunes_bucketed_base(spark, tmp_path):
         for r in minhash_neardup_pairs(full, tau=0.6, n=3, k=16, bands=4).collect()
     }
     assert pairs == expect_pairs
+
+
+def test_neardup_lookup_read_only_point_probe(spark, tmp_path):
+    """r10 serving op: neardup_lookup answers "is this doc a near-dup
+    of anything persisted?" with the ingest's exact arithmetic, through
+    the PRUNED reads, writing nothing — state dirs are byte-identical
+    before and after, a known near-dup matches, a novel doc doesn't,
+    and an already-ingested id returns its other near-dups (never
+    itself). Works against the compacted (bucketed) layout too."""
+    import os
+
+    from hydraide_spark.streaming.dedup_stream import make_ingest, neardup_lookup
+    from hydraide_spark.streaming.state_compact import compact_neardup_state
+
+    schema = "doc_id long, text string"
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    state = str(tmp_path / "nd")
+    ingest = make_ingest(spark, state, tau=0.6)
+    ingest(
+        spark.createDataFrame([(1, base), (2, base + " ok")], schema), 0
+    )
+    ingest(spark.createDataFrame([(3, "completely unrelated words here")], schema), 1)
+    ingest(spark.createDataFrame([(4, base + " yes")], schema), 2)
+    compact_neardup_state(spark, state)
+
+    def tree(d):
+        out = []
+        for root, _dirs, files in os.walk(d):
+            for f in sorted(files):
+                p = os.path.join(root, f)
+                out.append((os.path.relpath(p, d), os.path.getsize(p)))
+        return sorted(out)
+
+    before = tree(state)
+    hits = neardup_lookup(
+        spark,
+        state,
+        spark.createDataFrame([(100, base + " no")], schema),
+        tau=0.6,
+    )
+    got = {(r["doc_id"], r["match_id"]) for r in hits.collect()}
+    assert {(100, 1), (100, 2), (100, 4)} <= got
+    # novel text: no matches
+    none = neardup_lookup(
+        spark,
+        state,
+        spark.createDataFrame([(101, "zebra xylophone quantum")], schema),
+        tau=0.6,
+    )
+    assert none.count() == 0
+    # an already-ingested id returns its other near-dups, never itself
+    selfq = neardup_lookup(
+        spark, state, spark.createDataFrame([(1, base)], schema), tau=0.6
+    )
+    m = {r["match_id"] for r in selfq.collect()}
+    assert 1 not in m and {2, 4} <= m
+    # read-only: nothing on disk changed
+    assert tree(state) == before
