@@ -174,6 +174,7 @@ HEADLINE = [
     "phrase_search_via_index",
     "text_quality_tokens",
     "quality_classifier_docs",
+    "quality_calibration_report",
     "bpe_merge_rules",
     "bpe_merge_rules_256",
     "bpe_token_frequencies",

@@ -351,7 +351,7 @@ def committed_epochs(state_dir: str) -> list[int]:
 def make_search_ingest(
     spark: SparkSession,
     state_dir: str,
-    centroids,
+    centroids=None,
     id_col: str = "doc_id",
     text_col: str = "text",
     vec_col: str = "embedding",
@@ -366,6 +366,7 @@ def make_search_ingest(
     from ..functions.vector import int8_quantize_expr, ivf_cell_expr
     from .ann_stream import make_ivf_ingest
 
+    centroids = _resolve_centroids(state_dir, centroids)
     lex_ingest = make_postings_ingest(
         spark, state_dir, id_col=id_col, text_col=text_col
     )
@@ -405,7 +406,7 @@ def run_search_ingest_loop(
     spark: SparkSession,
     docs_stream: DataFrame,
     state_dir: str,
-    centroids,
+    centroids=None,
     id_col: str = "doc_id",
     text_col: str = "text",
     vec_col: str = "embedding",
@@ -441,7 +442,7 @@ def hybrid_search_from_unified_state(
     state_dir: str,
     query_words: Sequence[str],
     queries: DataFrame,
-    centroids,
+    centroids=None,
     topk_per_side: int = 50,
     nprobe: int = 2,
     k0: int = 60,
@@ -456,6 +457,7 @@ def hybrid_search_from_unified_state(
     from ..functions.retrieval import ranked_list, rrf_fuse
     from .ann_stream import ivf_query_persisted
 
+    centroids = _resolve_centroids(state_dir, centroids)
     eps = committed_epochs(state_dir)
     lex_scored = (
         bm25_from_state(spark, state_dir, query_words, id_col=id_col, epochs=eps)
@@ -535,7 +537,7 @@ def ivf_int8_from_state(
     state_dir: str,
     queries: DataFrame,
     k: int,
-    centroids,
+    centroids=None,
     nprobe: int = 2,
     id_col: str = "doc_id",
     query_id_col: str = "query_id",
@@ -558,6 +560,7 @@ def ivf_int8_from_state(
     )
     from pyspark.sql.window import Window as W
 
+    centroids = _resolve_centroids(state_dir, centroids)
     if epochs is None:
         epochs = committed_epochs(state_dir)
     q = queries.select(
@@ -596,4 +599,156 @@ def ivf_int8_from_state(
     return (
         cand.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
+    )
+
+
+# --- IVF model lifecycle (r10) ----------------------------------------------
+#
+# The unified state's centroids were fixed at stream start; a drifting
+# corpus slowly degrades cell balance and probe recall.
+# embedding_drift_report (functions/vector.py) tells you WHEN; the two
+# functions below are the HOW: persist the model next to the state, and
+# rebuild the cell-assigned tables under a freshly trained model.
+
+_MODEL_FILE = "_MODEL"
+
+
+def store_ivf_model(state_dir: str, centroids) -> None:
+    """Atomically persist the IVF centroid model the state's cells/codes
+    are assigned under (tmp + rename; underscore name — invisible to
+    every parquet read)."""
+    import json
+
+    path = os.path.join(state_dir, _MODEL_FILE)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump([[float(x) for x in c] for c in centroids], fh)
+    os.replace(tmp, path)
+
+
+def stored_ivf_model(state_dir: str):
+    """The persisted centroid model, or None before the first
+    :func:`store_ivf_model` / :func:`refresh_ivf_model`."""
+    import json
+
+    try:
+        with open(os.path.join(state_dir, _MODEL_FILE)) as fh:
+            return json.load(fh)
+    except (OSError, ValueError):
+        return None
+
+
+def _resolve_centroids(state_dir: str, centroids):
+    if centroids is not None:
+        return centroids
+    model = stored_ivf_model(state_dir)
+    if model is None:
+        raise ValueError(
+            f"no centroids given and no stored model at "
+            f"{state_dir}/{_MODEL_FILE} — pass centroids or run "
+            "store_ivf_model/refresh_ivf_model first"
+        )
+    return model
+
+
+def refresh_ivf_model(
+    spark: SparkSession,
+    state_dir: str,
+    n_centroids: "int | None" = None,
+    id_col: str = "doc_id",
+    vec_col: str = "embedding",
+):
+    """Retrain the IVF centroids from the PERSISTED vectors and rebuild
+    the ``cells/`` and ``codes/`` tables re-assigned under the new
+    model — the maintenance half of the drift loop
+    (``embedding_drift_report`` says when; this rebuilds).
+
+    Contract: SINGLE-WRITER with the STREAM STOPPED — every epoch is
+    then committed, so the rebuild folds ALL epochs (``fold_all``) into
+    a fresh cell-partitioned base through the compactor's crash-safe
+    tmp/manifest swap; an interrupted rebuild self-recovers on the next
+    maintenance entry exactly like an interrupted compaction.
+    ``n_centroids`` defaults to ``auto_ivf_k`` of the persisted count
+    (cell occupancy stays pinned as the corpus grows). The new model is
+    persisted LAST (atomic ``_MODEL`` rename) and becomes the default
+    wherever ``centroids=None`` (ingest and serving) — a reader racing
+    the swap can probe old-model cells briefly (recall dip, never wrong
+    rows); run it in the maintenance window. Returns the new centroids.
+
+    Commit markers are left alone: the lexical tables still hold their
+    epochs, and the rebuilt tables' only partition (-1) is in every
+    frontier, so mixed frontiers keep working."""
+    from ..functions.vector import (
+        auto_ivf_k,
+        int8_quantize_expr,
+        ivf_cell_expr,
+        train_ivf_centroids,
+    )
+    from .state_compact import compact_epochs
+
+    vecs = persisted_cells_all(spark, state_dir, id_col=id_col, vec_col=vec_col)
+    n = vecs.count()
+    if n == 0:
+        raise ValueError(f"refresh_ivf_model: no persisted vectors under {state_dir}")
+    k = int(n_centroids) if n_centroids is not None else auto_ivf_k(n)
+    cents = train_ivf_centroids(
+        vecs.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding")),
+        n_centroids=k,
+    )
+
+    def assign_frame():
+        return persisted_cells_all(
+            spark, state_dir, id_col=id_col, vec_col=vec_col
+        ).select(
+            F.col(id_col),
+            ivf_cell_expr(F.col(vec_col).cast("array<double>"), cents).alias(
+                "_newcell"
+            ),
+        )
+
+    def aug_cells(df):
+        return df.drop("cell").withColumn(
+            "cell", ivf_cell_expr(F.col(vec_col).cast("array<double>"), cents)
+        )
+
+    compact_epochs(
+        spark,
+        os.path.join(state_dir, "cells"),
+        partition_by=["cell"],
+        augment=aug_cells,
+        fold_all=True,
+    )
+
+    # codes rows carry no vector: re-derive their cell by joining the
+    # REBUILT cells table's (id, new cell) assignment
+    def aug_codes(df):
+        return (
+            df.drop("cell")
+            .join(assign_frame(), id_col)
+            .withColumnRenamed("_newcell", "cell")
+        )
+
+    compact_epochs(
+        spark,
+        os.path.join(state_dir, "codes"),
+        partition_by=["cell"],
+        augment=aug_codes,
+        fold_all=True,
+    )
+    store_ivf_model(state_dir, cents)
+    return cents
+
+
+def persisted_cells_all(
+    spark: SparkSession,
+    state_dir: str,
+    id_col: str = "doc_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Every persisted (id, vector, cell) row regardless of frontier —
+    the rebuild's source (stream stopped ⇒ every epoch committed)."""
+    from .ann_stream import persisted_cells
+
+    return persisted_cells(
+        spark, state_dir, id_col=id_col, vec_col=vec_col, epochs=None
     )

@@ -174,6 +174,7 @@ def compact_epochs(
     partition_by: list[str] | None = None,
     augment=None,
     extra_manifest: "dict[str, str] | None" = None,
+    fold_all: bool = False,
 ) -> int:
     """Fold all committed epochs of one state table into the
     ``epoch=-1`` base partition. Returns the number of epoch
@@ -197,8 +198,13 @@ def compact_epochs(
     )
     if not epochs:
         return 0
+    # the newest epoch is normally left alone — it may still be retried
+    # by the stream, and a retry overwrites its own epoch dir.
+    # ``fold_all`` folds it too: for maintenance that runs with the
+    # STREAM STOPPED (every epoch committed), e.g. an index rebuild
+    # that must re-derive layout columns for every row.
     newest = max(epochs)
-    fold = [e for e in epochs if e != newest]
+    fold = epochs if fold_all else [e for e in epochs if e != newest]
     if not fold:
         return 0
 

@@ -330,3 +330,83 @@ def test_bm25_serve_prunes_word_bucketed_base(spark, tmp_path):
     assert pr == full  # same rows through the pruned directories
     assert scores(WORDS)  # and the serving path still produces scores
     corpus.unpersist()
+
+
+def test_refresh_ivf_model_rebuilds_and_serves(spark, tmp_path):
+    """r10 drift loop: refresh_ivf_model retrains centroids from the
+    persisted vectors, rebuilds cells/ and codes/ under the new model
+    (ALL epochs folded — stream stopped), persists the model, and
+    serving with centroids=None uses it: every cell value matches the
+    new model's assignment, ANN results equal the batch operator under
+    the new centroids, and a post-refresh ingest with centroids=None
+    keeps converging."""
+    from hydraide_spark.functions.vector import (
+        ivf_cell_expr,
+        ivf_int8_topk,
+    )
+    from hydraide_spark.streaming.ann_stream import persisted_cells
+    from hydraide_spark.streaming.search_stream import (
+        ivf_int8_from_state,
+        refresh_ivf_model,
+        stored_ivf_model,
+    )
+
+    corpus = _corpus(spark).persist()
+    cents0 = train_ivf_centroids(
+        corpus.select(F.col("doc_id").alias("vec_id"), "embedding"),
+        n_centroids=4,
+    )
+    state = str(tmp_path / "ustate")
+    ingest = make_search_ingest(spark, state, cents0)
+    for epoch in range(3):
+        ingest(corpus.filter(F.col("doc_id") % 3 == epoch), epoch)
+
+    cents1 = refresh_ivf_model(spark, state, n_centroids=8)
+    assert len(cents1) == 8
+    assert stored_ivf_model(state) == [[float(x) for x in c] for c in cents1]
+    # single rebuilt base per table
+    for t in ("cells", "codes"):
+        dirs = [d for d in os.listdir(os.path.join(state, t)) if d.startswith("epoch=")]
+        assert dirs == ["epoch=-1"], (t, dirs)
+    # every persisted cell matches the NEW model's assignment
+    mism = (
+        persisted_cells(spark, state, id_col="doc_id")
+        .withColumn(
+            "_expect",
+            ivf_cell_expr(F.col("embedding").cast("array<double>"), cents1),
+        )
+        .filter(F.col("cell") != F.col("_expect"))
+        .count()
+    )
+    assert mism == 0
+
+    # serving with centroids=None == batch ivf_int8_topk on cents1
+    queries = _queries(spark, corpus)
+
+    def tuples(df):
+        return sorted(map(tuple, df.collect()))
+
+    got = tuples(
+        ivf_int8_from_state(spark, state, queries, k=10, nprobe=2).select(
+            "query_id", "doc_id", "qdot", "est_cos", "rank"
+        )
+    )
+    want = tuples(
+        ivf_int8_topk(
+            corpus.select(F.col("doc_id").alias("vec_id"), "embedding"),
+            queries,
+            k=10,
+            centroids=cents1,
+            nprobe=2,
+        ).select(
+            F.col("query_id"), F.col("vec_id").alias("doc_id"),
+            "qdot", "est_cos", "rank",
+        )
+    )
+    assert got == want
+
+    # post-refresh ingest picks the stored model up (centroids=None)
+    extra = corpus.limit(0)  # no-op batch: just proves the resolve path
+    ingest2 = make_search_ingest(spark, state)
+    ingest2(extra, 3)
+    corpus.unpersist()
