@@ -205,6 +205,7 @@ HEADLINE = [
     "stratified_sample_docs",
     "temperature_mix_sample_docs",
     "data_mixing_plan",
+    "mixing_plan_applied",
     "weighted_sample_docs",
     "train_test_split_docs",
     "pack_token_shards_docs",

@@ -333,3 +333,46 @@ def mixing_plan(
             F.lit(0).cast("long"), planned - F.col("available_tokens")
         ).alias("deficit_tokens"),
     )
+
+
+def apply_mixing_plan(
+    df: DataFrame,
+    strata_col: str,
+    tokens_col,
+    targets: "dict[str, float]",
+    token_budget: int,
+    key_col: str,
+    salt: str = "",
+    method: str = "md5",
+) -> DataFrame:
+    """MATERIALIZE a data-mixing plan: derive :func:`mixing_plan` and
+    hash-sample each stratum at its plan ``sample_fraction`` — the step
+    that turns the recipe into the actual training corpus. The plan is
+    a broadcast dimension joined back onto the rows (one aggregate
+    pass + one filter scan, no collect, no per-stratum predicates), and
+    the keep decision is a single integer comparison per row:
+    ``sample_bucket(key) < floor(fraction · 2^32)``.
+
+    Semantics follow the plan exactly: strata absent from ``targets``
+    (share 0) drop entirely; deficit strata (fraction 1) keep every
+    row — floor(1.0·2^32) = 2^32 exceeds every u32 bucket, and
+    repeating them (epochs) stays the caller's explicit decision,
+    never a silent upsample here.
+
+    Exactness: the fraction is the plan's exactly-derived double, the
+    threshold one correctly-rounded multiply + floor, and the bucket
+    the engine-stable md5 u32 by default — the whole materialization
+    replays in SQL (golden ``mixing_plan_applied``)."""
+    plan = mixing_plan(df, strata_col, tokens_col, targets, token_budget)
+    dim = plan.select(
+        strata_col,
+        F.floor(F.col("sample_fraction") * F.lit(float(_U32)))
+        .cast("long")
+        .alias("_thr"),
+    )
+    bucket = sample_bucket(F.col(key_col), salt, method)
+    return (
+        df.join(F.broadcast(dim), strata_col)
+        .filter(bucket < F.col("_thr"))
+        .drop("_thr")
+    )

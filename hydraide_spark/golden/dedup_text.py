@@ -2425,3 +2425,76 @@ def quality_calibration_report(spark, sf_dir):
         "gap",
         "ece",
     )
+
+
+@golden(
+    "mixing_plan_applied",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, source,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+      FROM documents
+    ),
+    avail AS (
+      SELECT source, CAST(SUM(n_tok) AS BIGINT) AS available_tokens
+      FROM tok GROUP BY source
+    ),
+    tgt(source, target_share) AS (
+      VALUES ('src0', 0.5), ('src1', 0.3), ('src2', 0.15), ('src99', 0.05)
+    ),
+    j AS (
+      SELECT COALESCE(a.source, t.source) AS source,
+             COALESCE(available_tokens, 0) AS available_tokens,
+             COALESCE(target_share, 0.0) AS target_share
+      FROM avail a FULL OUTER JOIN tgt t ON a.source = t.source
+    ),
+    dim AS (
+      SELECT source,
+             CAST(FLOOR(
+               (CASE WHEN available_tokens = 0 THEN 0.0::DOUBLE
+                     ELSE LEAST(1.0::DOUBLE,
+                                CAST(FLOOR(20000 * target_share) AS DOUBLE)
+                                  / CAST(available_tokens AS DOUBLE)) END)
+               * 4294967296.0) AS BIGINT) AS thr
+      FROM j
+    ),
+    kept AS (
+      SELECT t.source, t.n_tok
+      FROM tok t JOIN dim d ON t.source = d.source
+      WHERE ('0x' || substr(md5(CAST(t.doc_id AS VARCHAR) || '|'), 1, 8))::UBIGINT
+            < d.thr
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS realized_tokens
+    FROM kept GROUP BY source
+    """,
+)
+def mixing_plan_applied(spark, sf_dir):
+    """The mixing plan MATERIALIZED (r10): apply_mixing_plan derives
+    the same plan as data_mixing_plan and hash-samples each source at
+    its plan fraction — plan as a broadcast dimension, keep decision
+    one integer comparison per row (bucket < floor(fraction·2^32)).
+    Emitted as per-source realized doc/token counts; the oracle
+    re-derives the plan, the thresholds, and every per-row bucket, so
+    the materialization replays end to end. Sources with share 0 drop;
+    a deficit source keeps all rows (fraction 1 ⇒ threshold 2^32 >
+    every u32 bucket) — repetition stays an explicit epochs decision."""
+    from ..functions.sampling import apply_mixing_plan
+
+    docs = t(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id", "source", token_count(F.col("text")).alias("n_tok")
+    )
+    sampled = apply_mixing_plan(
+        base,
+        "source",
+        "n_tok",
+        {"src0": 0.5, "src1": 0.3, "src2": 0.15, "src99": 0.05},
+        token_budget=20000,
+        key_col="doc_id",
+    )
+    return sampled.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("realized_tokens"),
+    )
