@@ -143,6 +143,7 @@ HEADLINE = [
     "patch_expired_lease",
     "dedup_exact",
     "dedup_report_by_source",
+    "corpus_snapshot_diff",
     "dedup_cluster_histogram",
     "ngram_jaccard_neardup",
     "ngram_jaccard_collapsed",

@@ -1339,3 +1339,47 @@ def cluster_size_histogram(clusters: DataFrame) -> DataFrame:
         .groupBy("cluster_size")
         .agg(F.count(F.lit(1)).alias("n_clusters"))
     )
+
+
+def snapshot_diff(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    key_col: str,
+    content_cols: "Sequence[str]",
+) -> DataFrame:
+    """Row-level diff between two corpus snapshots — the dataset-
+    versioning QA that answers "what actually changed between v1 and
+    v2" before a retrain: per key, status ∈ ADDED (only in B), REMOVED
+    (only in A), CHANGED (content hash differs), UNCHANGED. Returns
+    (key, status, hash_a, hash_b).
+
+    Content identity is md5 over the content columns joined with a
+    0x1f separator (engine-stable, column-order fixed by the caller);
+    NULL columns hash as empty — concat_ws skips NULLs identically in
+    both engines. Shape: two map-side hash projections and ONE
+    full-outer equi-join on the key — no window, no collect; at 100 TB
+    this is a co-partitionable join on the snapshot key (bucket both
+    snapshots by key to make it exchange-free). Aggregate downstream
+    for the summary (count per status / per source)."""
+    sep = "\x1f"
+
+    def hashed(df, alias):
+        return df.select(
+            F.col(key_col),
+            F.md5(
+                F.concat_ws(sep, *[F.col(c).cast("string") for c in content_cols])
+            ).alias(alias),
+        )
+
+    a = hashed(df_a, "hash_a")
+    b = hashed(df_b, "hash_b")
+    return a.join(b, key_col, "full_outer").select(
+        key_col,
+        F.when(F.col("hash_a").isNull(), F.lit("ADDED"))
+        .when(F.col("hash_b").isNull(), F.lit("REMOVED"))
+        .when(F.col("hash_a") != F.col("hash_b"), F.lit("CHANGED"))
+        .otherwise(F.lit("UNCHANGED"))
+        .alias("status"),
+        "hash_a",
+        "hash_b",
+    )

@@ -2498,3 +2498,76 @@ def mixing_plan_applied(spark, sf_dir):
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
         F.sum("n_tok").cast("bigint").alias("realized_tokens"),
     )
+
+
+@golden(
+    "corpus_snapshot_diff",
+    oracle="""
+    WITH a AS (
+      SELECT doc_id, md5(concat_ws(chr(31), text, lang)) AS h FROM documents
+    ),
+    bsrc AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 7 = 1 THEN text || ' v2' ELSE text END AS text,
+             lang
+      FROM documents WHERE doc_id % 7 <> 0
+      UNION ALL
+      SELECT doc_id + 10000000, 'brand new doc ' || CAST(doc_id AS VARCHAR), 'en'
+      FROM documents WHERE doc_id % 7 = 2
+    ),
+    b AS (SELECT doc_id, md5(concat_ws(chr(31), text, lang)) AS h FROM bsrc),
+    d AS (
+      SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+             CASE WHEN a.h IS NULL THEN 'ADDED'
+                  WHEN b.h IS NULL THEN 'REMOVED'
+                  WHEN a.h <> b.h THEN 'CHANGED'
+                  ELSE 'UNCHANGED' END AS status
+      FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
+    )
+    SELECT status, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MIN(doc_id) AS BIGINT) AS min_key,
+           CAST(MAX(doc_id) AS BIGINT) AS max_key
+    FROM d GROUP BY status
+    """,
+)
+def corpus_snapshot_diff(spark, sf_dir):
+    """Dataset-versioning QA (r10): row-level diff between two corpus
+    snapshots via content hashes — ADDED/REMOVED/CHANGED/UNCHANGED per
+    key from ONE full-outer equi-join (functions/dedup.py::
+    snapshot_diff; bucket both snapshots by key at scale and the join
+    is exchange-free). Snapshot v2 is derived deterministically (every
+    7th doc removed, another 7th edited, a third 7th's ids re-added as
+    new docs), so both engines replay the same diff; the md5 content
+    identity is engine-stable. Emitted as the per-status summary with
+    key ranges."""
+    from ..functions.dedup import snapshot_diff
+
+    docs = t(spark, sf_dir, "documents")
+    a = docs.select("doc_id", "text", "lang")
+    b = (
+        a.filter(F.col("doc_id") % 7 != 0)
+        .select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") % 7 == 1, F.concat(F.col("text"), F.lit(" v2"))
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+            "lang",
+        )
+        .unionByName(
+            a.filter(F.col("doc_id") % 7 == 2).select(
+                (F.col("doc_id") + F.lit(10_000_000)).alias("doc_id"),
+                F.concat(
+                    F.lit("brand new doc "), F.col("doc_id").cast("string")
+                ).alias("text"),
+                F.lit("en").alias("lang"),
+            )
+        )
+    )
+    d = snapshot_diff(a, b, "doc_id", ["text", "lang"])
+    return d.groupBy("status").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.min("doc_id").cast("bigint").alias("min_key"),
+        F.max("doc_id").cast("bigint").alias("max_key"),
+    )
