@@ -225,3 +225,60 @@ def test_mmr_lambda_sweep_extremes(spark):
     assert by_lam[8] == {1: 1, 2: 2, 3: 3}  # pure relevance order
     # heavy diversity weight: the diverse doc 3 jumps ahead of near-dup 2
     assert by_lam[1] == {1: 1, 2: 3, 3: 2}
+
+
+def test_closed_loop_tuning_sweep_then_sign_test(spark):
+    """The r10 tuning loop end to end: sweep k0 over one candidate
+    pass, pick the engine-stable best, then A/B-validate the chosen
+    configuration against a baseline with the exact sign test — the
+    workflow a retrieval stack actually runs. Construction: list A is
+    informative (relevant doc first for every query), list B is
+    anti-informative; small k0 weights rank-1 agreement more, so the
+    sweep must prefer the smallest k0, and fusing with the chosen k0
+    must significantly beat a B-only run under the sign test."""
+    from hydraide_spark.functions.retrieval import (
+        retrieval_sign_test,
+        rrf_fuse,
+        rrf_param_sweep,
+    )
+
+    n_q = 8
+    labels = spark.createDataFrame(
+        [(q, q, 1) for q in range(n_q)], "query_id int, doc_id int, grade int"
+    )
+    la = spark.createDataFrame(
+        [(q, q, 1) for q in range(n_q)] + [(q, 100 + q, 2) for q in range(n_q)],
+        "query_id int, doc_id int, rank int",
+    )
+    lb = spark.createDataFrame(
+        [(q, 100 + q, 1) for q in range(n_q)] + [(q, q, 2) for q in range(n_q)],
+        "query_id int, doc_id int, rank int",
+    )
+    sweep = rrf_param_sweep([la, lb], labels, [5, 60, 240], k=1)
+    best = [r for r in sweep.collect() if r["is_best"]]
+    assert len(best) == 1
+    best_k0 = best[0]["k0"]
+    # k=1 cut: only the fused rank-1 doc counts; smaller k0 sharpens
+    # the rank-1-vs-rank-2 contrast but every k0 ranks A's doc first
+    # here, so NDCG ties across the grid — the tiebreak contract picks
+    # the SMALLEST k0 deterministically
+    assert best_k0 == 5
+
+    fused = rrf_fuse(
+        [la, lb], id_col="doc_id", k0=best_k0, topk=1, group_col="query_id"
+    )
+    from pyspark.sql import functions as F
+
+    run_best = fused.select(
+        "query_id", "doc_id", F.lit(1).cast("int").alias("rank")
+    )
+    verdict = {
+        r["metric"]: r
+        for r in retrieval_sign_test(run_best, lb, labels, k=1).collect()
+    }
+    # the tuned fusion finds the relevant doc at rank 1 for all 8
+    # queries; the anti-informative baseline never does -> A wins 8/8,
+    # p = 2/256 < 0.05
+    m = verdict["mrr"]
+    assert (m["wins_a"], m["wins_b"]) == (8, 0)
+    assert m["significant_winner"] == "A"
