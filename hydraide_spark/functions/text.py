@@ -1141,8 +1141,13 @@ def calibration_report(
     1-row total — O(corpus) scan, O(bins) everything else."""
     s = F.col(score_col).cast("double") if isinstance(score_col, str) else score_col
     y = F.col(label_col).cast("int") if isinstance(label_col, str) else label_col.cast("int")
+    # scores outside [0,1] clamp into the edge bins (a mis-scaled
+    # model still produces a readable table instead of negative bins)
     per = df.select(
-        F.least(F.lit(int(n_bins) - 1), F.floor(s * F.lit(float(n_bins))))
+        F.greatest(
+            F.lit(0),
+            F.least(F.lit(int(n_bins) - 1), F.floor(s * F.lit(float(n_bins)))),
+        )
         .cast("int")
         .alias("bin"),
         s.alias("_s"),

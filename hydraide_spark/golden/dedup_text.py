@@ -2371,7 +2371,7 @@ def data_mixing_plan(spark, sf_dir):
       FROM d
     ),
     per AS (
-      SELECT LEAST(9, CAST(FLOOR(s * 10.0) AS INT)) AS bin, s, y FROM scored
+      SELECT GREATEST(0, LEAST(9, CAST(FLOOR(s * 10.0) AS INT))) AS bin, s, y FROM scored
     ),
     g AS (
       SELECT bin,

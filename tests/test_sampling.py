@@ -292,3 +292,33 @@ def test_mixing_plan_by_hand(spark):
     c = rows["c"]  # target with no data
     assert (c["available_tokens"], c["planned_tokens"]) == (0, 10)
     assert c["sample_fraction"] == 0.0 and c["deficit_tokens"] == 10
+
+
+def test_apply_mixing_plan_deficit_and_share_zero(spark):
+    """Deficit strata (fraction 1 -> threshold 2^32 > every bucket)
+    keep EVERY row; strata absent from targets (share 0) drop
+    entirely; a budget-constrained stratum keeps a strict subset."""
+    from hydraide_spark.functions.sampling import apply_mixing_plan
+
+    rows = [(i, "a", 10) for i in range(40)] + [
+        (100 + i, "b", 10) for i in range(5)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_tok long")
+
+    # huge budget: both targeted strata in deficit -> all rows kept
+    out = apply_mixing_plan(
+        df, "source", "n_tok", {"a": 0.5, "b": 0.5},
+        token_budget=10**6, key_col="doc_id",
+    )
+    m = {r["source"]: r["count"] for r in out.groupBy("source").count().collect()}
+    assert m == {"a": 40, "b": 5}
+
+    # half budget on 'a' only: 'b' (share 0) drops; 'a' downsamples
+    # (fraction 0.5 -> threshold 2^31; with 40 keys the kept count is
+    # concentrated well inside (0, 40))
+    out2 = apply_mixing_plan(
+        df, "source", "n_tok", {"a": 1.0}, token_budget=200, key_col="doc_id"
+    )
+    m2 = {r["source"]: r["count"] for r in out2.groupBy("source").count().collect()}
+    assert "b" not in m2
+    assert 0 < m2.get("a", 0) < 40
