@@ -384,7 +384,14 @@ def run_neardup_ingest_loop(
 def ingested_pairs(spark: SparkSession, state_dir: str) -> DataFrame:
     """The accumulated pair table the loop has discovered so far —
     empty (not an error) before the first non-empty micro-batch has
-    created the table."""
+    created the table. DISTINCT on read: the loop's contract is each
+    doc_id delivered once, but an at-least-once upstream that
+    re-delivers a doc re-pairs it against its own earlier bands and
+    lands the same (id_a, id_b, inter, union) row in a second epoch —
+    the integer Jaccard stats of a duplicate pair are identical, so
+    the distinct collapses re-delivery artifacts without touching real
+    pairs (cost: one aggregate over the pair table, which is
+    output-sized, not corpus-sized)."""
     schema = "id_a long, id_b long, inter int, union int"
     path = os.path.join(state_dir, "pairs")
     if not os.path.exists(path):
@@ -394,7 +401,7 @@ def ingested_pairs(spark: SparkSession, state_dir: str) -> DataFrame:
 
     return _epoch_filtered(
         spark.read.schema(schema + ", epoch long").parquet(path), None, path
-    )
+    ).distinct()
 
 
 def neardup_lookup(

@@ -2030,3 +2030,23 @@ def test_neardup_lookup_read_only_point_probe(spark, tmp_path):
     assert 1 not in m and {2, 4} <= m
     # read-only: nothing on disk changed
     assert tree(state) == before
+
+
+def test_neardup_ingest_tolerates_redelivered_doc(spark, tmp_path):
+    """At-least-once hardening: a doc re-delivered in a LATER epoch
+    re-pairs against its own earlier bands, landing duplicate pair
+    rows in a second epoch dir — ingested_pairs must collapse them
+    (identical integer Jaccard stats) and never emit a self-pair."""
+    from hydraide_spark.streaming import ingested_pairs
+    from hydraide_spark.streaming.dedup_stream import make_ingest
+
+    schema = "doc_id long, text string"
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    state = str(tmp_path / "nd")
+    ingest = make_ingest(spark, state, tau=0.6)
+    ingest(spark.createDataFrame([(1, base), (2, base + " ok")], schema), 0)
+    # doc 2 re-delivered verbatim in a new epoch
+    ingest(spark.createDataFrame([(2, base + " ok")], schema), 1)
+    rows = ingested_pairs(spark, state).collect()
+    pairs = [(r["id_a"], r["id_b"]) for r in rows]
+    assert pairs == [(1, 2)]  # exactly once, no self-pair, no dup row
