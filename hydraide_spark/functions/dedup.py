@@ -1355,8 +1355,11 @@ def snapshot_diff(
 
     Content identity is md5 over the content columns joined with a
     0x1f separator (engine-stable, column-order fixed by the caller);
-    NULL columns hash as empty — concat_ws skips NULLs identically in
-    both engines. Shape: two map-side hash projections and ONE
+    NULL columns hash as EMPTY WITH THE SEPARATOR KEPT (each column is
+    coalesced to '' before the join — bare concat_ws drops NULLs and
+    their separator, so content shifted between columns would collide
+    and a real change would report UNCHANGED). Shape: two map-side
+    hash projections and ONE
     full-outer equi-join on the key — no window, no collect; at 100 TB
     this is a co-partitionable join on the snapshot key (bucket both
     snapshots by key to make it exchange-free). Aggregate downstream
@@ -1367,7 +1370,13 @@ def snapshot_diff(
         return df.select(
             F.col(key_col),
             F.md5(
-                F.concat_ws(sep, *[F.col(c).cast("string") for c in content_cols])
+                F.concat_ws(
+                    sep,
+                    *[
+                        F.coalesce(F.col(c).cast("string"), F.lit(""))
+                        for c in content_cols
+                    ],
+                )
             ).alias(alias),
         )
 

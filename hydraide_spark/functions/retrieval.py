@@ -188,6 +188,21 @@ def bm25_terms_multi(
     )
 
 
+def _mmr_schema(candidates: DataFrame, cols, extra_int_first: "str | None" = None):
+    """Output schema for the MMR rerankers derived from the CANDIDATES
+    frame's own column types — hardcoding long ids crashed on string
+    query/doc ids (the standard IR run-file shape)."""
+    from pyspark.sql.types import IntegerType, LongType, StructField, StructType
+
+    fields = []
+    if extra_int_first:
+        fields.append(StructField(extra_int_first, IntegerType()))
+    for c in cols:
+        fields.append(StructField(c, candidates.schema[c].dataType))
+    fields.append(StructField("mmr_rank", LongType()))
+    return StructType(fields)
+
+
 def _mmr_greedy(
     ids: Sequence[int],
     rels: dict,
@@ -277,7 +292,7 @@ def mmr_rerank(
     order = _mmr_greedy(sorted(rels), rels, sims, k, lam)
     return spark.createDataFrame(
         [(i, rank + 1) for rank, i in enumerate(order)],
-        f"{id_col} long, mmr_rank long",
+        _mmr_schema(candidates, [id_col]),
     )
 
 
@@ -306,7 +321,7 @@ def mmr_rerank_batch(
         order = _mmr_greedy(sorted(rels[g]), rels[g], sims.get(g, {}), k, lam)
         out_rows += [(g, i, rank + 1) for rank, i in enumerate(order)]
     return spark.createDataFrame(
-        out_rows, f"{group_col} long, {id_col} long, mmr_rank long"
+        out_rows, _mmr_schema(candidates, [group_col, id_col])
     )
 
 
@@ -814,6 +829,5 @@ def mmr_lambda_sweep(
                 for rank, i in enumerate(order)
             ]
     return spark.createDataFrame(
-        out_rows,
-        f"lam_num int, {group_col} long, {id_col} long, mmr_rank long",
+        out_rows, _mmr_schema(candidates, [group_col, id_col], "lam_num")
     )

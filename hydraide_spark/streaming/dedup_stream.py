@@ -51,11 +51,9 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..functions.dedup import minhash_signature, shingles
 from .state_compact import (
-    BASE_EPOCH,
     band_bucket_expr,
     migrate_flat_state,
     pending_folded,
-    read_nbuckets,
 )
 
 
@@ -152,29 +150,15 @@ def hashed_probe_frame(
     rewrites it. Returns None when no index exists yet. Own-epoch and
     folded-but-uncleaned epochs are excluded (``_probe_epoch_cond``).
     ``schema`` is the table's DATA schema (no epoch/bkt columns)."""
-    if not os.path.isdir(table_dir):
-        return None
-    nb = read_nbuckets(table_dir)
-    base_name = f"epoch={BASE_EPOCH}"
-    flat_dirs = [
-        os.path.join(table_dir, d)
-        for d in sorted(os.listdir(table_dir))
-        if d.startswith("epoch=")
-        and d.split("=", 1)[1].lstrip("-").isdigit()
-        and not (nb is not None and d == base_name)
-    ]
+    from .state_compact import split_bucketed_table
+
+    nb, flat, base = split_bucketed_table(spark, table_dir, schema)
     frames = []
-    if flat_dirs:
-        df = (
-            spark.read.schema(schema + ", epoch long")
-            .option("basePath", table_dir)
-            .parquet(*flat_dirs)
-            .filter(_probe_epoch_cond(table_dir, epoch))
-            .drop("epoch")
+    if flat is not None:
+        frames.append(
+            flat.filter(_probe_epoch_cond(table_dir, epoch)).drop("epoch")
         )
-        frames.append(df)
-    base = os.path.join(table_dir, base_name)
-    if nb is not None and os.path.isdir(base):
+    if base is not None:
         touched = sorted(
             r["b"]
             for r in keys_df.select(
@@ -183,14 +167,7 @@ def hashed_probe_frame(
             .distinct()
             .collect()
         )
-        bdf = (
-            spark.read.schema(schema + ", bkt int")
-            .option("basePath", base)
-            .parquet(base)
-            .filter(F.col("bkt").isin(touched))
-            .drop("bkt")
-        )
-        frames.append(bdf)
+        frames.append(base.filter(F.col("bkt").isin(touched)).drop("bkt"))
     if not frames:
         return None
     out = frames[0]

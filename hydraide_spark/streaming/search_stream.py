@@ -143,49 +143,27 @@ def persisted_postings(
     full. Frontier (``epochs``) and crashed-compaction
     (``pending_folded``) exclusions apply to the delta epochs either
     way; the base partition (-1) is part of every frontier."""
-    from .state_compact import BASE_EPOCH, band_bucket_expr, read_nbuckets
+    from .state_compact import (
+        BASE_EPOCH,
+        band_bucket_expr,
+        split_bucketed_table,
+    )
 
     schema = f"word string, {id_col} long, tf long"
     path = os.path.join(state_dir, "postings")
     empty = spark.createDataFrame([], schema)
-    if not os.path.exists(path):
-        return empty
-    nb = read_nbuckets(path)
+    nb, flat, base = split_bucketed_table(spark, path, schema)
     if nb is None:
-        return _epoch_filtered(
-            spark.read.schema(schema + ", epoch long").parquet(path),
-            epochs,
-            path,
-        )
-    # bucketed base: the tree is mixed-depth (flat epoch dirs next to
-    # bkt= subdirs in the base), so the two halves read separately
-    base_name = f"epoch={BASE_EPOCH}"
-    flat_dirs = [
-        os.path.join(path, d)
-        for d in sorted(os.listdir(path))
-        if d.startswith("epoch=")
-        and d.split("=", 1)[1].lstrip("-").isdigit()
-        and d != base_name
-    ]
+        # no bucketed base: flat covers every epoch dir (or is None
+        # for a not-yet-created table)
+        if flat is None:
+            return empty
+        return _epoch_filtered(flat, epochs, path)
     frames = []
-    if flat_dirs:
-        frames.append(
-            _epoch_filtered(
-                spark.read.schema(schema + ", epoch long")
-                .option("basePath", path)
-                .parquet(*flat_dirs),
-                epochs,
-                path,
-            )
-        )
-    base = os.path.join(path, base_name)
+    if flat is not None:
+        frames.append(_epoch_filtered(flat, epochs, path))
     want_base = epochs is None or BASE_EPOCH in {int(e) for e in epochs}
-    if want_base and os.path.isdir(base):
-        bdf = (
-            spark.read.schema(schema + ", bkt int")
-            .option("basePath", base)
-            .parquet(base)
-        )
+    if base is not None and want_base:
         if words is not None:
             wdf = spark.createDataFrame(
                 [(str(w),) for w in words], "w string"
@@ -198,8 +176,8 @@ def persisted_postings(
                 .distinct()
                 .collect()
             )
-            bdf = bdf.filter(F.col("bkt").isin(touched))
-        frames.append(bdf.drop("bkt"))
+            base = base.filter(F.col("bkt").isin(touched))
+        frames.append(base.drop("bkt"))
     if not frames:
         return empty
     out = frames[0]
@@ -611,6 +589,7 @@ def ivf_int8_from_state(
 # rebuild the cell-assigned tables under a freshly trained model.
 
 _MODEL_FILE = "_MODEL"
+_REBUILD_FILE = "_REBUILDING"
 
 
 def store_ivf_model(state_dir: str, centroids) -> None:
@@ -639,6 +618,16 @@ def stored_ivf_model(state_dir: str):
 
 
 def _resolve_centroids(state_dir: str, centroids):
+    # an interrupted model rebuild leaves the cell-assigned tables in
+    # an indeterminate mix of old- and new-model assignments; probing
+    # them under EITHER model silently collapses recall, so serving
+    # and ingest refuse LOUDLY until the rebuild is finished
+    if os.path.exists(os.path.join(state_dir, _REBUILD_FILE)):
+        raise RuntimeError(
+            f"IVF model rebuild at {state_dir} was interrupted "
+            f"({_REBUILD_FILE} present) — run refresh_ivf_model to "
+            "finish it before ingesting or serving"
+        )
     if centroids is not None:
         return centroids
     model = stored_ivf_model(state_dir)
@@ -666,14 +655,16 @@ def refresh_ivf_model(
     Contract: SINGLE-WRITER with the STREAM STOPPED — every epoch is
     then committed, so the rebuild folds ALL epochs (``fold_all``) into
     a fresh cell-partitioned base through the compactor's crash-safe
-    tmp/manifest swap; an interrupted rebuild self-recovers on the next
-    maintenance entry exactly like an interrupted compaction.
-    ``n_centroids`` defaults to ``auto_ivf_k`` of the persisted count
-    (cell occupancy stays pinned as the corpus grows). The new model is
-    persisted LAST (atomic ``_MODEL`` rename) and becomes the default
-    wherever ``centroids=None`` (ingest and serving) — a reader racing
-    the swap can probe old-model cells briefly (recall dip, never wrong
-    rows); run it in the maintenance window. Returns the new centroids.
+    tmp/manifest swap. Crash safety ACROSS the steps: the new centroids
+    are journaled to ``_REBUILDING`` BEFORE any table is touched; while
+    that marker exists, ingest and serving REFUSE loudly
+    (``_resolve_centroids`` — a half-rebuilt index probed under either
+    model silently collapses recall, and loud beats silent), and
+    re-running ``refresh_ivf_model`` RESUMES from the journaled
+    centroids (each per-table swap is idempotent), finishes, persists
+    ``_MODEL`` and clears the marker. ``n_centroids`` defaults to
+    ``auto_ivf_k`` of the persisted count (cell occupancy stays pinned
+    as the corpus grows). Returns the centroids in effect.
 
     Commit markers are left alone: the lexical tables still hold their
     epochs, and the rebuilt tables' only partition (-1) is in every
@@ -686,15 +677,35 @@ def refresh_ivf_model(
     )
     from .state_compact import compact_epochs
 
-    vecs = persisted_cells_all(spark, state_dir, id_col=id_col, vec_col=vec_col)
-    n = vecs.count()
-    if n == 0:
-        raise ValueError(f"refresh_ivf_model: no persisted vectors under {state_dir}")
-    k = int(n_centroids) if n_centroids is not None else auto_ivf_k(n)
-    cents = train_ivf_centroids(
-        vecs.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding")),
-        n_centroids=k,
-    )
+    import json
+
+    marker = os.path.join(state_dir, _REBUILD_FILE)
+    if os.path.exists(marker):
+        # resume an interrupted rebuild under ITS journaled model —
+        # retraining could pick different centroids and re-split the
+        # half-swapped tables a second way
+        with open(marker) as fh:
+            cents = json.load(fh)
+    else:
+        vecs = persisted_cells_all(
+            spark, state_dir, id_col=id_col, vec_col=vec_col
+        )
+        n = vecs.count()
+        if n == 0:
+            raise ValueError(
+                f"refresh_ivf_model: no persisted vectors under {state_dir}"
+            )
+        k = int(n_centroids) if n_centroids is not None else auto_ivf_k(n)
+        cents = train_ivf_centroids(
+            vecs.select(
+                F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding")
+            ),
+            n_centroids=k,
+        )
+        tmp = marker + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump([[float(x) for x in c] for c in cents], fh)
+        os.replace(tmp, marker)
 
     def assign_frame():
         return persisted_cells_all(
@@ -736,6 +747,7 @@ def refresh_ivf_model(
         fold_all=True,
     )
     store_ivf_model(state_dir, cents)
+    os.remove(marker)
     return cents
 
 

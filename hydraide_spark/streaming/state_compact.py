@@ -285,6 +285,53 @@ def read_nbuckets(table_dir: str) -> "int | None":
         return None
 
 
+def split_bucketed_table(spark: SparkSession, table_dir: str, schema: str):
+    """The ONE reader decomposition of a (possibly) hash-bucketed state
+    table — shared by every probe/serve path so layout fixes land once:
+    returns ``(n_buckets, flat_df, base_df)`` where
+
+    - ``flat_df`` reads the flat epoch dirs with the ``epoch``
+      partition column attached (``None`` when there are none). With no
+      bucketed base it covers EVERY epoch dir including ``epoch=-1``
+      (uniform depth — one partition-discovery pass).
+    - ``base_df`` reads the bucketed base with the ``bkt`` partition
+      column attached (``None`` unless an ``_NBUCKETS`` manifest marks
+      the base as bucketed). The mixed-depth tree (flat siblings next
+      to ``bkt=`` subdirs) is exactly why the halves cannot share one
+      read.
+
+    Callers apply their own epoch filters (frontier list vs own-epoch
+    exclusion) to ``flat_df`` and their own ``bkt IN`` prune to
+    ``base_df``. ``schema`` is the DATA schema (no epoch/bkt)."""
+    if not os.path.isdir(table_dir):
+        return None, None, None
+    nb = read_nbuckets(table_dir)
+    base_name = f"epoch={BASE_EPOCH}"
+    flat_dirs = [
+        os.path.join(table_dir, d)
+        for d in sorted(os.listdir(table_dir))
+        if d.startswith("epoch=")
+        and d.split("=", 1)[1].lstrip("-").isdigit()
+        and not (nb is not None and d == base_name)
+    ]
+    flat = None
+    if flat_dirs:
+        flat = (
+            spark.read.schema(schema + ", epoch long")
+            .option("basePath", table_dir)
+            .parquet(*flat_dirs)
+        )
+    base = None
+    base_dir = os.path.join(table_dir, base_name)
+    if nb is not None and os.path.isdir(base_dir):
+        base = (
+            spark.read.schema(schema + ", bkt int")
+            .option("basePath", base_dir)
+            .parquet(base_dir)
+        )
+    return nb, flat, base
+
+
 def compact_hashed_epochs(
     spark: SparkSession,
     table_dir: str,
@@ -311,9 +358,18 @@ def compact_hashed_epochs(
         ]
         if not live:
             return 0
-        # per-dir counts: a bkt-partitioned base next to flat delta
-        # epochs cannot share one partition-discovery pass
-        rows = sum(spark.read.parquet(d).count() for d in live)
+        # TWO count jobs, not one per epoch dir (a 500-batch backlog
+        # would run 500 sequential jobs before folding starts): all
+        # flat dirs share one partition-discovery pass; only the
+        # bkt-partitioned base needs its own (mixed depth)
+        base_dir = os.path.join(table_dir, f"epoch={BASE_EPOCH}")
+        has_bucketed_base = read_nbuckets(table_dir) is not None
+        flat = [d for d in live if not (has_bucketed_base and d == base_dir)]
+        rows = 0
+        if flat:
+            rows += spark.read.option("basePath", table_dir).parquet(*flat).count()
+        if has_bucketed_base and base_dir in live:
+            rows += spark.read.parquet(base_dir).count()
         n_buckets = min(
             _BAND_MAX_BUCKETS,
             max(_BAND_MIN_BUCKETS, 1 << max(0, rows // _BAND_ROWS_PER_BUCKET).bit_length()),

@@ -72,6 +72,7 @@ def subscribe_strict_fifo(
     on_events: Callable[[list, int], None],
     queue_name: str = "strict_subscriber",
     max_files_per_trigger: int = 32,
+    gap_patience: int = 3,
 ):
     """Opt-in STRICT per-swamp FIFO delivery — the reference's full
     subscriber guarantee (README "insert/update/delete events in FIFO
@@ -90,6 +91,15 @@ def subscribe_strict_fifo(
     events belong to ONE store transaction — the reference iterates
     them in unspecified map order; key ASC pins determinism.)
 
+    Cross-TRIGGER order is enforced too: Spark's file source orders
+    candidate files by millisecond-resolution mtime, so two commits
+    landing in the same millisecond can be SPLIT across triggers out
+    of batch order. Store batch ids are consecutive versions, so the
+    deliverer buffers arrivals and flushes the contiguous prefix from
+    the lowest id seen; a gap that persists for ``gap_patience``
+    triggers (a pruned change file — ``prune_changes``) is skipped
+    forward with the order of everything delivered still monotone.
+
     Throughput tradeoff, explicitly: delivery parallelism is 1 per
     swamp and each batch is collected to the driver (bounded by
     ``max_files_per_trigger`` commit files), which is EXACTLY the
@@ -97,13 +107,49 @@ def subscribe_strict_fifo(
     consumers that need total order (audit logs, ordered replication);
     keep the default partition-parallel stream for throughput.
     Returns the StreamingQuery."""
+    # seed the flush frontier from the change log's oldest retained
+    # batch id — first-arrival order is exactly what mtime ties make
+    # unreliable, so the initial expectation cannot come from it
+    first = store.changes().agg(F.min("batch_id")).first()[0]
+    state = {
+        "expected": int(first) if first is not None else None,
+        "buffer": {},
+        "stall": 0,
+    }
 
     def deliver(batch_df: DataFrame, epoch: int) -> None:
         rows = batch_df.orderBy(
             F.col("batch_id").asc(), F.col("key").asc()
         ).collect()
-        if rows:
-            on_events(rows, int(epoch))
+        if not rows:
+            return
+        buf = state["buffer"]
+        for r in rows:
+            buf.setdefault(int(r["batch_id"]), []).append(r)
+        if state["expected"] is None:
+            state["expected"] = min(buf)
+        out: list = []
+        # a commit below the flush frontier can only appear after a
+        # pruned-log start guess — deliver it first, best effort
+        for b in sorted(k for k in buf if k < state["expected"]):
+            out.extend(buf.pop(b))
+        progressed = False
+        while state["expected"] in buf:
+            out.extend(buf.pop(state["expected"]))
+            state["expected"] += 1
+            progressed = True
+        if buf and not progressed and not out:
+            state["stall"] += 1
+            if state["stall"] >= int(gap_patience):
+                state["expected"] = min(buf)
+                while state["expected"] in buf:
+                    out.extend(buf.pop(state["expected"]))
+                    state["expected"] += 1
+                state["stall"] = 0
+        else:
+            state["stall"] = 0
+        if out:
+            on_events(out, int(epoch))
 
     stream = (
         spark.readStream.schema(CHANGE_SCHEMA)

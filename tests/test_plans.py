@@ -585,14 +585,21 @@ def test_brute_force_ann_rankers_have_no_per_query_window_funnel(spark, Q):
     window partitioned by query_id alone over the full scored corpus
     (the old shape) funnels every corpus row for a query through one
     reducer at 100 TB."""
+    import re
+
     for name in ("ann_topk_exact", "ann_topk_int8"):
         df = Q[name](spark, SF)
         plan = physical_plan(df)
         assert "SPARK_PARTITION_ID" in plan, name  # stage-1 local top-k
-        # two window stages: local (query, partition) then global query
-        assert plan.count("Window") >= 2, name
-        # the global window must sit ABOVE the local-rank filter: the
-        # first Window in the plan text (outermost) partitions by the
-        # query id alone, the inner one by (query id, partition id)
-        first_w = plan.index("Window")
-        assert "SPARK_PARTITION_ID" in plan[first_w:], name
+        # structural pin on the formatted plan's Window nodes: node ids
+        # ascend toward the root, the stage-1 window partitions by TWO
+        # keys (query id, partition id) and must sit BELOW the stage-2
+        # window that partitions by the query id alone
+        wins = re.findall(
+            r"\((\d+)\) Window\n.*?\], \[([^\]]*)\], \[", plan, re.S
+        )
+        two_key = [int(i) for i, spec in wins if spec.count(",") == 1]
+        one_key = [int(i) for i, spec in wins if "," not in spec]
+        assert two_key, (name, wins)  # the local (query, partition) cut exists
+        assert one_key, (name, wins)  # the global per-query rank exists
+        assert max(two_key) < min(one_key), (name, wins)

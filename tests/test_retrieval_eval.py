@@ -282,3 +282,32 @@ def test_closed_loop_tuning_sweep_then_sign_test(spark):
     m = verdict["mrr"]
     assert (m["wins_a"], m["wins_b"]) == (8, 0)
     assert m["significant_winner"] == "A"
+
+
+def test_mmr_rerankers_accept_string_ids(spark):
+    """Output schemas derive from the candidates frame's own types —
+    string query/doc ids (the standard IR run-file shape) must work."""
+    from hydraide_spark.functions.retrieval import (
+        mmr_lambda_sweep,
+        mmr_rerank,
+        mmr_rerank_batch,
+    )
+
+    cand = spark.createDataFrame(
+        [
+            ("q1", "docA", 0.9, [1.0, 0.0]),
+            ("q1", "docB", 0.8, [0.0, 1.0]),
+            ("q2", "docC", 0.7, [1.0, 0.0]),
+        ],
+        "query_id string, doc_id string, rel double, embedding array<double>",
+    )
+    single = mmr_rerank(
+        cand.filter("query_id = 'q1'").drop("query_id"), k=2
+    ).collect()
+    assert {r["doc_id"] for r in single} == {"docA", "docB"}
+    batch = mmr_rerank_batch(cand, k=2).collect()
+    assert {(r["query_id"], r["doc_id"]) for r in batch} == {
+        ("q1", "docA"), ("q1", "docB"), ("q2", "docC"),
+    }
+    sweep = mmr_lambda_sweep(cand, k=2, lam_grid=[0.5]).collect()
+    assert all(isinstance(r["doc_id"], str) for r in sweep)

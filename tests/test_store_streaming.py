@@ -2050,3 +2050,55 @@ def test_neardup_ingest_tolerates_redelivered_doc(spark, tmp_path):
     rows = ingested_pairs(spark, state).collect()
     pairs = [(r["id_a"], r["id_b"]) for r in rows]
     assert pairs == [(1, 2)]  # exactly once, no self-pair, no dup row
+
+
+def test_subscribe_strict_fifo_survives_mtime_inversion(spark, tmp_path):
+    """File-source ordering is mtime-based (ms resolution): commits in
+    the same millisecond can arrive across triggers OUT of batch
+    order. With commit-file mtimes deliberately INVERTED and one file
+    per trigger, the strict subscriber must still deliver every event
+    in batch order — the contiguous-flush buffer holds early arrivals
+    until their predecessors land."""
+    import os
+    import time
+
+    from hydraide_spark.streaming.subscribe import subscribe_strict_fifo
+
+    store = make_store(spark, tmp_path, BASE)
+    for i in range(3):
+        store.set(
+            spark.createDataFrame(
+                [(f"k{i}", i, None)],
+                "key string, val long, expired_at timestamp",
+            )
+        )
+    # invert mtimes: newest commit file gets the OLDEST timestamp
+    files = sorted(
+        (
+            os.path.join(store.changes_dir, f)
+            for f in os.listdir(store.changes_dir)
+            if f.endswith(".parquet") and not f.startswith(".")
+        ),
+        key=os.path.getmtime,
+    )
+    now = time.time()
+    for rank, f in enumerate(files):
+        ts = now - 1000 - rank * 10  # later commits -> older mtimes
+        os.utime(f, (ts, ts))
+
+    got: list = []
+
+    def on_events(rows, epoch):
+        got.append([(r["batch_id"], r["key"]) for r in rows])
+
+    q = subscribe_strict_fifo(
+        spark, store, on_events, queue_name="strict_inv",
+        max_files_per_trigger=1,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    flat = [e for batch in got for e in batch]
+    assert [b for b, _ in flat] == sorted(b for b, _ in flat)
+    assert [(b, k) for b, k in flat] == [(1, "k0"), (2, "k1"), (3, "k2")]

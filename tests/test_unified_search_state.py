@@ -410,3 +410,55 @@ def test_refresh_ivf_model_rebuilds_and_serves(spark, tmp_path):
     ingest2 = make_search_ingest(spark, state)
     ingest2(extra, 3)
     corpus.unpersist()
+
+
+def test_interrupted_refresh_refuses_then_resumes(spark, tmp_path):
+    """Crash window between the table rebuilds and the model persist:
+    the _REBUILDING journal makes serving/ingest REFUSE loudly (a
+    half-rebuilt index under either model silently collapses recall)
+    and a refresh re-run RESUMES under the journaled centroids,
+    finishes the swap, persists the model and clears the marker."""
+    import json
+
+    import pytest as _pytest
+
+    from hydraide_spark.streaming.search_stream import (
+        hybrid_search_from_unified_state,
+        refresh_ivf_model,
+        stored_ivf_model,
+    )
+
+    corpus = _corpus(spark).persist()
+    cents0 = train_ivf_centroids(
+        corpus.select(F.col("doc_id").alias("vec_id"), "embedding"),
+        n_centroids=4,
+    )
+    state = str(tmp_path / "ustate")
+    ingest = make_search_ingest(spark, state, cents0)
+    for epoch in range(2):
+        ingest(corpus.filter(F.col("doc_id") % 2 == epoch), epoch)
+
+    cents1 = refresh_ivf_model(spark, state, n_centroids=8)
+
+    # hand-arrange the crash: journal present again (as if the process
+    # died between the rebuilds and the _MODEL persist)
+    with open(os.path.join(state, "_REBUILDING"), "w") as fh:
+        json.dump(cents1, fh)
+    queries = _queries(spark, corpus)
+    with _pytest.raises(RuntimeError, match="interrupted"):
+        hybrid_search_from_unified_state(
+            spark, state, WORDS, queries, None, topk_per_side=10, topk=5
+        )
+    with _pytest.raises(RuntimeError, match="interrupted"):
+        make_search_ingest(spark, state)  # centroids=None resolve path
+
+    # resume: uses the JOURNALED centroids, clears the marker, serves
+    cents2 = refresh_ivf_model(spark, state)
+    assert cents2 == cents1
+    assert not os.path.exists(os.path.join(state, "_REBUILDING"))
+    assert stored_ivf_model(state) == [[float(x) for x in c] for c in cents1]
+    got = hybrid_search_from_unified_state(
+        spark, state, WORDS, queries, None, topk_per_side=10, topk=5
+    )
+    assert got.count() > 0
+    corpus.unpersist()
