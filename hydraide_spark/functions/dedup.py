@@ -1354,29 +1354,30 @@ def snapshot_diff(
     (key, status, hash_a, hash_b).
 
     Content identity is md5 over the content columns joined with a
-    0x1f separator (engine-stable, column-order fixed by the caller);
-    NULL columns hash as EMPTY WITH THE SEPARATOR KEPT (each column is
-    coalesced to '' before the join — bare concat_ws drops NULLs and
-    their separator, so content shifted between columns would collide
-    and a real change would report UNCHANGED). Shape: two map-side
-    hash projections and ONE
+    0x1f separator (engine-stable, column-order fixed by the caller).
+    Each column hashes with a one-byte presence prefix — 0x00 for
+    NULL, 0x01 ++ value otherwise — so neither of the two classic
+    collisions can mis-report UNCHANGED: bare concat_ws would drop a
+    NULL column AND its separator (content shifted between columns
+    collides), and a plain coalesce-to-'' would make NULL collide
+    with the empty string. Shape: two map-side hash projections and
+    ONE
     full-outer equi-join on the key — no window, no collect; at 100 TB
     this is a co-partitionable join on the snapshot key (bucket both
     snapshots by key to make it exchange-free). Aggregate downstream
     for the summary (count per status / per source)."""
     sep = "\x1f"
 
+    def tagged(c):
+        return F.when(F.col(c).isNull(), F.lit("\x00")).otherwise(
+            F.concat(F.lit("\x01"), F.col(c).cast("string"))
+        )
+
     def hashed(df, alias):
         return df.select(
             F.col(key_col),
             F.md5(
-                F.concat_ws(
-                    sep,
-                    *[
-                        F.coalesce(F.col(c).cast("string"), F.lit(""))
-                        for c in content_cols
-                    ],
-                )
+                F.concat_ws(sep, *[tagged(c) for c in content_cols])
             ).alias(alias),
         )
 

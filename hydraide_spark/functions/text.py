@@ -1141,11 +1141,12 @@ def calibration_report(
     1-row total — O(corpus) scan, O(bins) everything else."""
     s = F.col(score_col).cast("double") if isinstance(score_col, str) else score_col
     y = F.col(label_col).cast("int") if isinstance(label_col, str) else label_col.cast("int")
-    # NULL-scored / NULL-labeled rows are EXCLUDED, not folded into a
-    # bin: Spark's least()/greatest() skip NULLs, so a NULL score would
-    # otherwise land silently in the top bin with its score missing
-    # from the sum — corrupting that bin's mean, gap and the ECE.
-    df = df.filter(s.isNotNull() & y.isNotNull())
+    # NULL- or NaN-scored / NULL-labeled rows are EXCLUDED, not folded
+    # into a bin: Spark's least()/greatest() skip NULLs (a NULL score
+    # would land silently in the top bin with its score missing from
+    # the sum), and a NaN (0/0 in a mis-scaled model) would poison the
+    # bin-0 sums and the table-wide ECE.
+    df = df.filter(s.isNotNull() & ~F.isnan(s) & y.isNotNull())
     # scores outside [0,1] clamp into the edge bins (a mis-scaled
     # model still produces a readable table instead of negative bins)
     per = df.select(

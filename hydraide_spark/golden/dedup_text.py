@@ -2504,7 +2504,7 @@ def mixing_plan_applied(spark, sf_dir):
     "corpus_snapshot_diff",
     oracle="""
     WITH a AS (
-      SELECT doc_id, md5(concat_ws(chr(31), COALESCE(text, ''), COALESCE(lang, ''))) AS h FROM documents
+      SELECT doc_id, md5(concat_ws(chr(31), CASE WHEN text IS NULL THEN chr(0) ELSE chr(1) || CAST(text AS VARCHAR) END, CASE WHEN lang IS NULL THEN chr(0) ELSE chr(1) || CAST(lang AS VARCHAR) END)) AS h FROM documents
     ),
     bsrc AS (
       SELECT doc_id,
@@ -2515,7 +2515,7 @@ def mixing_plan_applied(spark, sf_dir):
       SELECT doc_id + 10000000, 'brand new doc ' || CAST(doc_id AS VARCHAR), 'en'
       FROM documents WHERE doc_id % 7 = 2
     ),
-    b AS (SELECT doc_id, md5(concat_ws(chr(31), COALESCE(text, ''), COALESCE(lang, ''))) AS h FROM bsrc),
+    b AS (SELECT doc_id, md5(concat_ws(chr(31), CASE WHEN text IS NULL THEN chr(0) ELSE chr(1) || CAST(text AS VARCHAR) END, CASE WHEN lang IS NULL THEN chr(0) ELSE chr(1) || CAST(lang AS VARCHAR) END)) AS h FROM bsrc),
     d AS (
       SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
              CASE WHEN a.h IS NULL THEN 'ADDED'

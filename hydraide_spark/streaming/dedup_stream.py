@@ -464,6 +464,10 @@ def neardup_lookup(
         sh_q.unpersist()
         cand.unpersist()
         return empty
+    # an at-least-once upstream that re-delivered a doc left its
+    # identical shingle row in several epochs — keep one per id so the
+    # verify join cannot fan a match out into duplicate result rows
+    old_sizes = old_sizes.dropDuplicates([id_col])
     out = (
         cand.join(
             sh_q.select(id_col, F.col("sh").alias("sh_q"), F.col("n_sh").alias("n_q")),

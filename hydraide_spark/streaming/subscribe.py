@@ -95,10 +95,19 @@ def subscribe_strict_fifo(
     candidate files by millisecond-resolution mtime, so two commits
     landing in the same millisecond can be SPLIT across triggers out
     of batch order. Store batch ids are consecutive versions, so the
-    deliverer buffers arrivals and flushes the contiguous prefix from
-    the lowest id seen; a gap that persists for ``gap_patience``
-    triggers (a pruned change file — ``prune_changes``) is skipped
-    forward with the order of everything delivered still monotone.
+    deliverer buffers arrivals and flushes the contiguous prefix of a
+    frontier seeded from the change log's oldest retained id (or, on
+    an empty log, the store's next version — first-arrival order is
+    exactly what mtime ties make unreliable); a gap that persists for
+    ``gap_patience`` data-bearing triggers (a pruned change file —
+    ``prune_changes``) is skipped forward, and everything delivered
+    stays strictly monotone: arrivals BELOW the frontier are DROPPED
+    as duplicates (the one producer of them is a ``prune_changes``
+    rewrite re-surfacing already-delivered batches as a new file).
+    Because empty triggers never invoke the sink, a gap followed by a
+    quiet producer can strand buffered events; after stopping the
+    query call its ``strict_drain()`` attribute to flush the tail in
+    order.
 
     Throughput tradeoff, explicitly: delivery parallelism is 1 per
     swamp and each batch is collected to the driver (bounded by
@@ -109,10 +118,14 @@ def subscribe_strict_fifo(
     Returns the StreamingQuery."""
     # seed the flush frontier from the change log's oldest retained
     # batch id — first-arrival order is exactly what mtime ties make
-    # unreliable, so the initial expectation cannot come from it
+    # unreliable, so the initial expectation cannot come from it; an
+    # EMPTY log seeds from the store's next version (batch ids ARE
+    # snapshot versions), closing the same hole for a brand-new store
     first = store.changes().agg(F.min("batch_id")).first()[0]
     state = {
-        "expected": int(first) if first is not None else None,
+        "expected": int(first)
+        if first is not None
+        else max(0, store.version + 1),
         "buffer": {},
         "stall": 0,
     }
@@ -126,13 +139,13 @@ def subscribe_strict_fifo(
         buf = state["buffer"]
         for r in rows:
             buf.setdefault(int(r["batch_id"]), []).append(r)
-        if state["expected"] is None:
-            state["expected"] = min(buf)
         out: list = []
-        # a commit below the flush frontier can only appear after a
-        # pruned-log start guess — deliver it first, best effort
-        for b in sorted(k for k in buf if k < state["expected"]):
-            out.extend(buf.pop(b))
+        # commits below the flush frontier are DUPLICATES (a
+        # prune_changes rewrite re-surfaces delivered batches as one
+        # new file) or were skipped over a pruned gap — either way
+        # delivering them now would break monotonicity; drop them
+        for b in [k for k in buf if k < state["expected"]]:
+            buf.pop(b)
         progressed = False
         while state["expected"] in buf:
             out.extend(buf.pop(state["expected"]))
@@ -151,17 +164,32 @@ def subscribe_strict_fifo(
         if out:
             on_events(out, int(epoch))
 
+    def strict_drain() -> None:
+        """Flush any gap-stranded buffered events in sorted order —
+        call AFTER stopping the query (empty triggers never reach the
+        sink, so a gap followed by a quiet producer cannot drain
+        itself)."""
+        buf = state["buffer"]
+        out = []
+        for b in sorted(buf):
+            out.extend(buf.pop(b))
+            state["expected"] = b + 1
+        if out:
+            on_events(out, -1)
+
     stream = (
         spark.readStream.schema(CHANGE_SCHEMA)
         .option("maxFilesPerTrigger", int(max_files_per_trigger))
         .parquet(store.changes_dir)
     )
-    return (
+    q = (
         stream.writeStream.outputMode("append")
         .queryName(queue_name)
         .foreachBatch(deliver)
         .start()
     )
+    q.strict_drain = strict_drain
+    return q
 
 
 def subscribe_to_info(

@@ -2050,6 +2050,17 @@ def test_neardup_ingest_tolerates_redelivered_doc(spark, tmp_path):
     rows = ingested_pairs(spark, state).collect()
     pairs = [(r["id_a"], r["id_b"]) for r in rows]
     assert pairs == [(1, 2)]  # exactly once, no self-pair, no dup row
+    # the read-only lookup over the same re-delivered state must not
+    # fan its matches out over the duplicated shingle rows either
+    from hydraide_spark.streaming.dedup_stream import neardup_lookup
+
+    hits = neardup_lookup(
+        spark, state,
+        spark.createDataFrame([(50, base + " okay")], schema), tau=0.6,
+    ).collect()
+    match_rows = [(r["doc_id"], r["match_id"]) for r in hits]
+    assert sorted(match_rows) == sorted(set(match_rows))  # no dup rows
+    assert (50, 2) in match_rows
 
 
 def test_subscribe_strict_fifo_survives_mtime_inversion(spark, tmp_path):
@@ -2102,3 +2113,41 @@ def test_subscribe_strict_fifo_survives_mtime_inversion(spark, tmp_path):
     flat = [e for batch in got for e in batch]
     assert [b for b, _ in flat] == sorted(b for b, _ in flat)
     assert [(b, k) for b, k in flat] == [(1, "k0"), (2, "k1"), (3, "k2")]
+
+
+def test_subscribe_strict_fifo_empty_log_seed_and_drain(spark, tmp_path):
+    """Subscribing BEFORE any commit seeds the flush frontier from the
+    store's next version (the change log is empty — first-arrival
+    order is exactly what mtime ties make unreliable), live commits
+    arrive in order, and strict_drain() after stop is a no-op when
+    nothing is stranded."""
+    from hydraide_spark.streaming.subscribe import subscribe_strict_fifo
+
+    store = make_store(spark, tmp_path, BASE)  # init only: empty log
+    got: list = []
+
+    def on_events(rows, epoch):
+        got.append([(r["batch_id"], r["key"]) for r in rows])
+
+    q = subscribe_strict_fifo(
+        spark, store, on_events, queue_name="strict_empty"
+    )
+    try:
+        store.set(
+            spark.createDataFrame(
+                [("k0", 1, None)], "key string, val long, expired_at timestamp"
+            )
+        )
+        store.set(
+            spark.createDataFrame(
+                [("k1", 2, None)], "key string, val long, expired_at timestamp"
+            )
+        )
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    n_calls = len(got)
+    q.strict_drain()
+    assert len(got) == n_calls  # nothing stranded
+    flat = [e for batch in got for e in batch]
+    assert flat == [(1, "k0"), (2, "k1")]
