@@ -1174,6 +1174,11 @@ def calibration_report(
         frac_pos.alias("frac_pos"),
         F.round(F.abs(mean_score - frac_pos), 10).alias("gap"),
     )
+    # binned feeds BOTH the output rows and the ECE total — persist the
+    # ≤n_bins frame so the O(corpus) scan+aggregate underneath runs
+    # once, not once per consumer (the recompute-above-and-below trap;
+    # CLAUDE.md dedup.py lesson)
+    binned = binned.persist()
     totals = binned.agg(
         F.sum("n").alias("_N"),
         F.sum(

@@ -67,7 +67,16 @@ def two_stage_topk(
     Exact, not approximate: ``order`` must be a TOTAL order (tiebreak
     on id); any row in the global top-k beats all but < k rows overall,
     hence ranks ≤ k within its own input partition and survives stage 1.
-    Emits ``rank`` 1..k per query."""
+    Emits ``rank`` 1..k per query — a pre-existing ``rank`` column would
+    be silently REPLACED, and the two stage-internal temp columns would
+    shadow caller data, so all three names are rejected loudly."""
+    clash = {"_p", "_lr", "rank"}.intersection(scored.columns)
+    if clash:
+        raise ValueError(
+            f"two_stage_topk: input columns {sorted(clash)} collide with "
+            "the operator's internal/output columns ('_p', '_lr' are "
+            "temps; 'rank' is the emitted rank) — rename them first"
+        )
     w1 = W.partitionBy(F.col(query_id_col), F.col("_p")).orderBy(*order)
     w2 = W.partitionBy(query_id_col).orderBy(*order)
     return (

@@ -205,10 +205,26 @@ def make_ingest(
     id_col: str = "doc_id",
     text_col: str = "text",
     engine_stable: bool = False,
+    timings: Optional[list] = None,
 ):
     """Build the per-micro-batch ingest function (exposed so tests can
     replay an epoch and assert the overwrite-idempotence contract
-    directly)."""
+    directly).
+
+    ``timings``: pass a list and every ingest call appends
+    ``{"epoch", "probe_bands", "candidates", "verify_write",
+    "band_write", "shingle_write", "total"}`` wall seconds — the
+    per-phase split along the batch's ACTION boundaries (r10 VERDICT
+    #1: an aggregate per-epoch wall can't say whether drift is the
+    probe, the verify join, or the index writes). probe_bands covers
+    shingling+banding+persist of the delta plus the band-index probe
+    setup (its touched-bucket collect is the first job); candidates
+    covers the band self-join (forced by the shingle probe's
+    touched-bucket collect); with no bucketed base yet, those collects
+    don't run and the work shifts into verify_write — phase zeros
+    before the first compaction are expected."""
+    import time as _time
+
     assert k % bands == 0
     frac = Fraction(tau).limit_denominator(10**6)
     num, den = frac.numerator, frac.denominator
@@ -226,6 +242,8 @@ def make_ingest(
         # from probes. Per-batch cost is one listdir per table.
         for d in (bands_dir, sh_dir, pairs_dir):
             migrate_flat_state(d)
+        _t0 = _time.perf_counter()
+        _rec = {"epoch": int(epoch)}
         sh_new = (
             batch_df.select(
                 F.col(id_col).cast("long").alias(id_col),
@@ -247,6 +265,8 @@ def make_ingest(
         old_banded = bands_probe_frame(
             spark, bands_dir, new_banded, epoch, id_col=id_col
         )
+        _t1 = _time.perf_counter()
+        _rec["probe_bands"] = _t1 - _t0
         all_banded = (
             new_banded
             if old_banded is None
@@ -277,6 +297,8 @@ def make_ingest(
         old_sizes = hashed_probe_frame(
             spark, sh_dir, sh_schema, partners, id_col, epoch
         )
+        _t2 = _time.perf_counter()
+        _rec["candidates"] = _t2 - _t1
         all_sizes = (
             sh_new if old_sizes is None else sh_new.unionByName(old_sizes)
         )
@@ -304,10 +326,20 @@ def make_ingest(
         # retry-safe)
         ep = f"epoch={int(epoch)}"
         verified.write.mode("overwrite").parquet(os.path.join(pairs_dir, ep))
+        _t3 = _time.perf_counter()
+        _rec["verify_write"] = _t3 - _t2
         new_banded.write.mode("overwrite").parquet(os.path.join(bands_dir, ep))
+        _t4 = _time.perf_counter()
+        _rec["band_write"] = _t4 - _t3
         sh_new.select(id_col, "sh", "n_sh").write.mode("overwrite").parquet(
             os.path.join(sh_dir, ep)
         )
+        _t5 = _time.perf_counter()
+        _rec["shingle_write"] = _t5 - _t4
+        _rec["total"] = _t5 - _t0
+        if timings is not None:
+            timings.append({k_: round(v, 4) if isinstance(v, float) else v
+                            for k_, v in _rec.items()})
         sh_new.unpersist()
         new_banded.unpersist()
         cand.unpersist()

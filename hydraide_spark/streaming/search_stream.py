@@ -106,22 +106,32 @@ def _epoch_filtered(df: DataFrame, epochs, table_dir: str) -> DataFrame:
     (PartitionFilters on ``epoch``), not a row scan. ``None`` keeps the
     old read-everything behavior.
 
-    Either way, epochs a crashed compaction already folded into the
-    base but did not clean up (``state_compact.pending_folded``) are
-    EXCLUDED: their rows live in the base too, and reading both sides
-    of the interrupted swap would double-count them. Read-only
-    self-healing — the next compaction replays the cleanup."""
+    NEGATIVE epochs — the compaction base (-1) and L1 run dirs
+    (-2, -3, …; ``state_compact.fold_to_l1``) — are always-committed
+    folds of committed epochs and are kept in EVERY frontier, so a
+    frontier recorded before a minor fold keeps resolving after it.
+
+    Either way, epochs a crashed compaction already folded into a
+    surviving target but did not clean up
+    (``state_compact.pending_folded``) are EXCLUDED: their rows live in
+    the target too, and reading both sides of the interrupted swap
+    would double-count them. Read-only self-healing — the next
+    compaction replays the cleanup."""
     from .state_compact import pending_folded
 
-    pend = pending_folded(table_dir)
+    pend = sorted(pending_folded(table_dir))
+    e = F.coalesce(F.col("epoch"), F.lit(-1))
     if epochs is None:
         if pend:
-            df = df.filter(
-                ~F.coalesce(F.col("epoch"), F.lit(-1)).isin(sorted(pend))
-            )
+            df = df.filter(~e.isin(pend))
         return df.drop("epoch")
-    keep = [int(e) for e in epochs if int(e) not in pend]
-    return df.filter(F.col("epoch").isin(keep)).drop("epoch")
+    keep = [int(x) for x in epochs if int(x) >= 0 and int(x) not in pend]
+    cond = e < 0
+    if pend:
+        cond = cond & ~e.isin(pend)
+    if keep:
+        cond = cond | F.col("epoch").isin(keep)
+    return df.filter(cond).drop("epoch")
 
 
 def persisted_postings(
@@ -462,28 +472,55 @@ def hybrid_search_from_unified_state(
     return rrf_fuse([lex, dense], id_col=id_col, k0=k0, topk=topk)
 
 
-def compact_unified_search_state(spark: SparkSession, state_dir: str) -> dict:
-    """Compact all three unified-state tables (each folds its committed
+def compact_unified_search_state(
+    spark: SparkSession, state_dir: str, tiered: bool = False
+) -> dict:
+    """Compact all four unified-state tables (each folds its committed
     epochs into the epoch=-1 base, newest left for retries), then prune
     commit markers for epochs no table holds anymore — the folded rows
     are covered by the always-committed base. Single-writer, same
-    contract as compact_epochs."""
-    from .state_compact import compact_epochs, compact_hashed_epochs
+    contract as compact_epochs.
 
-    folded = {
-        # word-bucketed base: BM25 serving reads prune to the query
-        # words' directories (persisted_postings words=)
-        "postings": compact_hashed_epochs(
-            spark, os.path.join(state_dir, "postings"), "word"
-        ),
-        "doclen": compact_epochs(spark, os.path.join(state_dir, "doclen")),
-        "cells": compact_epochs(
-            spark, os.path.join(state_dir, "cells"), partition_by=["cell"]
-        ),
-        "codes": compact_epochs(
-            spark, os.path.join(state_dir, "codes"), partition_by=["cell"]
-        ),
-    }
+    ``tiered=True``: the O(delta) leveled maintenance tick — committed
+    epochs fold into an L1 run; the full base rewrite happens only when
+    L1 pressure crosses the fraction threshold
+    (state_compact.compact_epochs_tiered; r10 VERDICT #2)."""
+    from .state_compact import (
+        compact_epochs,
+        compact_epochs_tiered,
+        compact_hashed_epochs,
+    )
+
+    if tiered:
+        folded = {
+            "postings": compact_epochs_tiered(
+                spark, os.path.join(state_dir, "postings"), key_col="word"
+            ),
+            "doclen": compact_epochs_tiered(
+                spark, os.path.join(state_dir, "doclen")
+            ),
+            "cells": compact_epochs_tiered(
+                spark, os.path.join(state_dir, "cells"), partition_by=["cell"]
+            ),
+            "codes": compact_epochs_tiered(
+                spark, os.path.join(state_dir, "codes"), partition_by=["cell"]
+            ),
+        }
+    else:
+        folded = {
+            # word-bucketed base: BM25 serving reads prune to the query
+            # words' directories (persisted_postings words=)
+            "postings": compact_hashed_epochs(
+                spark, os.path.join(state_dir, "postings"), "word"
+            ),
+            "doclen": compact_epochs(spark, os.path.join(state_dir, "doclen")),
+            "cells": compact_epochs(
+                spark, os.path.join(state_dir, "cells"), partition_by=["cell"]
+            ),
+            "codes": compact_epochs(
+                spark, os.path.join(state_dir, "codes"), partition_by=["cell"]
+            ),
+        }
     live: set[int] = set()
     for t in ("postings", "doclen", "cells", "codes"):
         d = os.path.join(state_dir, t)

@@ -35,6 +35,24 @@ base partition ``epoch=-1``:
 Readers (``ingested_pairs``, ``persisted_cells``, the ingest probes)
 are unchanged: they read the root with partition discovery and treat
 ``epoch`` as opaque except for the ≠ current-epoch exclusion.
+
+**Tiered (leveled) compaction — r10 VERDICT #2.** ``compact_epochs``
+rewrites the ENTIRE base every fold; at 100 TB that is an O(full
+index) write per maintenance tick. :func:`fold_to_l1` is the minor
+fold: committed delta epochs (L0) fold into ONE new L1 *run*
+directory — ``epoch=-2, -3, …`` (ids descend; a major fold deletes
+them and the counter restarts) — WITHOUT touching the base or earlier
+runs, so minor cost ∝ folded-delta size. :func:`compact_epochs_tiered`
+runs a minor fold every call and triggers the full (major) fold only
+when accumulated L1 bytes exceed ``l1_fraction`` of the base —
+the classic leveled-LSM write-amplification bound (the reference's
+write-buffer/compaction split, docs/features/v2-storage-engine.md).
+Negative epoch ids are always-committed compaction artifacts: every
+reader keeps them in every frontier (they are folds OF committed
+epochs), the ingest's own-epoch exclusion never matches them (stream
+epochs are non-negative), and L1 runs stay UNBUCKETED at the delta
+dirs' directory depth — probes scan them like deltas, bounded by
+``l1_fraction`` of the base.
 """
 
 from __future__ import annotations
@@ -47,6 +65,7 @@ from pyspark.sql import SparkSession, functions as F
 BASE_EPOCH = -1
 
 _TMP_NAME = "_compacting"
+_TMP_L1 = "_compacting_l1"
 _OLD_NAME = "_old_base"
 _MANIFEST = "_FOLDED"
 
@@ -73,29 +92,50 @@ def _finish_swap(table_dir: str, base: str) -> None:
     os.remove(manifest)
 
 
-def pending_folded(table_dir: str) -> "set[int]":
-    """Epochs a crashed compaction already FOLDED into the base but did
-    not finish cleaning up: the fold manifest is still sitting in the
-    base, so the folded rows exist TWICE — in the new base AND in the
-    still-present epoch dirs (whose commit markers also still exist).
-    Until the next ``compact_epochs`` replays the cleanup, any reader
-    that unions base + epoch dirs would double-count them (inflated
-    BM25 tf/dfreq, duplicate ANN candidates).
+def _special_dirs(table_dir: str) -> "list[tuple[int, str]]":
+    """(epoch, path) of every NEGATIVE epoch dir — the base (-1) plus
+    the L1 run dirs (-2, -3, …), the only places fold manifests live."""
+    out = []
+    if not os.path.isdir(table_dir):
+        return out
+    for d in os.listdir(table_dir):
+        if not d.startswith("epoch="):
+            continue
+        v = d.split("=", 1)[1]
+        if v.lstrip("-").isdigit() and int(v) < 0:
+            out.append((int(v), os.path.join(table_dir, d)))
+    return out
 
-    Readers therefore subtract this set from their epoch view (the
-    base, ``-1``, is never in the returned set — it IS the surviving
-    copy). This is the read-only half of crash recovery: no writes, no
-    race with a concurrently-running compactor, and per-table — a crash
-    between two tables' compactions leaves each table individually
-    consistent under its own pending set."""
-    manifest = os.path.join(table_dir, f"epoch={BASE_EPOCH}", _MANIFEST)
-    try:
-        with open(manifest) as fh:
-            folded = {int(x) for x in fh.read().split() if x}
-    except (OSError, ValueError):
-        return set()
-    folded.discard(BASE_EPOCH)
-    return folded
+
+def pending_folded(table_dir: str) -> "set[int]":
+    """Epochs a crashed compaction already FOLDED into a surviving
+    target (the base, or an L1 run) but did not finish cleaning up: the
+    fold manifest is still sitting in the target, so the folded rows
+    exist TWICE — in the target AND in the still-present source dirs
+    (whose commit markers also still exist). Until the next compaction
+    replays the cleanup, any reader that unions target + source dirs
+    would double-count them (inflated BM25 tf/dfreq, duplicate ANN
+    candidates).
+
+    Readers therefore subtract this set from their epoch view (a
+    target's OWN id is never in the returned set — it IS the surviving
+    copy; a major fold's manifest CAN list L1 run ids, which then are
+    excluded like any other folded source). This is the read-only half
+    of crash recovery: no writes, no race with a concurrently-running
+    compactor, and per-table — a crash between two tables' compactions
+    leaves each table individually consistent under its own pending
+    set."""
+    out: set[int] = set()
+    for e, d in _special_dirs(table_dir):
+        try:
+            with open(os.path.join(d, _MANIFEST)) as fh:
+                folded = {int(x) for x in fh.read().split() if x}
+        except (OSError, ValueError):
+            continue
+        folded.discard(e)
+        out |= folded
+    out.discard(BASE_EPOCH)
+    return out
 
 
 def _recover(table_dir: str) -> None:
@@ -130,6 +170,40 @@ def _recover(table_dir: str) -> None:
     shutil.rmtree(tmp, ignore_errors=True)
     shutil.rmtree(old, ignore_errors=True)
     shutil.rmtree(legacy_old, ignore_errors=True)
+    _recover_l1(table_dir)
+
+
+def _next_run_id(table_dir: str) -> int:
+    """The next free L1 run id: one below the most negative special
+    epoch present (the base, -1, is always occupied conceptually, so
+    the first run is -2). Restarts after a major fold deletes the
+    runs."""
+    ids = [e for e, _ in _special_dirs(table_dir)]
+    return min(ids + [BASE_EPOCH]) - 1
+
+
+def _recover_l1(table_dir: str) -> None:
+    """Finish or discard an interrupted MINOR (L0→L1) fold. The minor
+    swap is simpler than the base swap — the target run dir is a fresh
+    name, so promotion is one rename and nothing is moved aside:
+    write tmp → manifest → rename tmp to ``epoch=-K`` → cleanup.
+
+    - tmp complete (manifest landed) → promote to the next free run id
+      and replay its cleanup (the folded L0 dirs still exist).
+    - tmp incomplete → discard (the L0 sources are untouched; the next
+      fold redoes the work).
+    - a promoted run still carrying its manifest → crash during
+      cleanup: replay it (delete the folded L0 dirs it lists).
+    Idempotent; single-writer like every compaction entry."""
+    tmp = os.path.join(table_dir, _TMP_L1)
+    if os.path.exists(tmp):
+        if _is_complete(tmp):
+            os.rename(tmp, os.path.join(table_dir, f"epoch={_next_run_id(table_dir)}"))
+        else:
+            shutil.rmtree(tmp, ignore_errors=True)
+    for e, d in _special_dirs(table_dir):
+        if e != BASE_EPOCH and os.path.isfile(os.path.join(d, _MANIFEST)):
+            _finish_swap(table_dir, d)
 
 
 def migrate_flat_state(table_dir: str) -> int:
@@ -198,27 +272,41 @@ def compact_epochs(
     )
     if not epochs:
         return 0
-    # the newest epoch is normally left alone — it may still be retried
-    # by the stream, and a retry overwrites its own epoch dir.
-    # ``fold_all`` folds it too: for maintenance that runs with the
-    # STREAM STOPPED (every epoch committed), e.g. an index rebuild
+    # the newest STREAM epoch is normally left alone — it may still be
+    # retried by the stream, and a retry overwrites its own epoch dir.
+    # Special epochs (the base -1, L1 runs -2…) are compaction
+    # artifacts, never retried, so they never count as "newest".
+    # ``fold_all`` folds the newest too: for maintenance that runs with
+    # the STREAM STOPPED (every epoch committed), e.g. an index rebuild
     # that must re-derive layout columns for every row.
-    newest = max(epochs)
+    newest = max([e for e in epochs if e >= 0], default=None)
     fold = epochs if fold_all else [e for e in epochs if e != newest]
-    if not fold:
+    if not fold or fold == [BASE_EPOCH]:
+        # nothing, or only the base itself — rewriting it alone is a
+        # full-index write for zero consolidation
         return 0
 
-    # per-dir reads unioned by name, NOT one multi-path read: the base
-    # may carry a layout partition the delta epochs lack (the band
-    # index's bkt= subdirs) and Spark rejects mixed-depth partition
-    # discovery. Reading each epoch dir alone keeps its own inner
-    # partition cols (cell=, bkt=) resolving; missing ones fill NULL
-    # and the augment/partition_by recomputes them. epoch itself is
-    # dropped — the base partition re-assigns it.
+    # ONE multi-path read for every flat delta epoch (they share a
+    # writer, hence a uniform directory depth — one partition-discovery
+    # pass covers a 500-batch backlog instead of 500 sequential reads
+    # and an O(backlog)-deep union chain); ONLY the base is read
+    # separately, because a compacted base may carry a layout partition
+    # the deltas lack (the band index's bkt= subdirs) and Spark rejects
+    # mixed-depth partition discovery. epoch is dropped — the base
+    # partition re-assigns it; a base-only bkt fills NULL through
+    # allowMissingColumns and the augment/partition_by recomputes it.
+    flat_fold = [e for e in fold if e != BASE_EPOCH]
     frames = []
-    for e in fold:
-        f = spark.read.parquet(os.path.join(table_dir, f"epoch={e}"))
-        frames.append(f.drop("epoch"))
+    if flat_fold:
+        frames.append(
+            spark.read.option("basePath", table_dir)
+            .parquet(*[os.path.join(table_dir, f"epoch={e}") for e in flat_fold])
+            .drop("epoch")
+        )
+    if BASE_EPOCH in fold:
+        frames.append(
+            spark.read.parquet(os.path.join(table_dir, f"epoch={BASE_EPOCH}"))
+        )
     src = frames[0]
     for f in frames[1:]:
         src = src.unionByName(f, allowMissingColumns=True)
@@ -251,6 +339,135 @@ def compact_epochs(
     os.rename(tmp, base)
     _finish_swap(table_dir, base)
     return len(fold)
+
+
+def fold_to_l1(
+    spark: SparkSession,
+    table_dir: str,
+    partition_by: list[str] | None = None,
+    min_epochs: int = 2,
+) -> int:
+    """MINOR fold: consolidate the committed delta epochs (L0) into ONE
+    new L1 run directory (``epoch=-K``) without touching the base or
+    earlier runs — cost ∝ the folded deltas, never the index. This is
+    what keeps a long-running ingest's maintenance tick O(delta): the
+    small-files problem is solved per tick, and the O(full base)
+    rewrite is deferred until L1 actually amounts to something
+    (:func:`compact_epochs_tiered`).
+
+    ``partition_by`` must match the DELTA dirs' layout (e.g.
+    ``["cell"]`` for the IVF tables, whose stream writes
+    partitionBy(cell)): runs sit at the deltas' directory depth so
+    every flat-side reader keeps working unchanged. ``min_epochs``
+    skips the fold (and its read/write) when fewer committed deltas
+    than that are waiting — a run per micro-batch would just rename
+    the small-files problem. Crash-safe: write tmp → manifest →
+    one rename → cleanup (see ``_recover_l1``). Returns the number of
+    L0 epochs folded."""
+    if not os.path.exists(table_dir):
+        return 0
+    _recover(table_dir)
+    migrate_flat_state(table_dir)
+    l0 = sorted(
+        int(d.split("=", 1)[1])
+        for d in os.listdir(table_dir)
+        if d.startswith("epoch=")
+        and d.split("=", 1)[1].isdigit()  # non-negative only
+    )
+    if not l0:
+        return 0
+    fold = l0[:-1]  # newest stays — it may still be retried
+    if len(fold) < int(min_epochs):
+        return 0
+    src = (
+        spark.read.option("basePath", table_dir)
+        .parquet(*[os.path.join(table_dir, f"epoch={e}") for e in fold])
+        .drop("epoch")
+    )
+    tmp = os.path.join(table_dir, _TMP_L1)
+    if partition_by:
+        (
+            src.repartition(*[F.col(c) for c in partition_by])
+            .write.mode("overwrite")
+            .partitionBy(*partition_by)
+            .parquet(tmp)
+        )
+    else:
+        src.coalesce(max(1, len(fold) // 8)).write.mode("overwrite").parquet(tmp)
+    with open(os.path.join(tmp, _MANIFEST), "w") as fh:
+        fh.write("\n".join(str(e) for e in fold))
+    run = os.path.join(table_dir, f"epoch={_next_run_id(table_dir)}")
+    os.rename(tmp, run)
+    _finish_swap(table_dir, run)
+    return len(fold)
+
+
+def _dir_bytes(d: str) -> int:
+    """Total data bytes under a directory (local-FS walk; on a real
+    cluster this is one FileSystem.getContentSummary call). Underscore
+    manifests are noise-level and included."""
+    total = 0
+    for root, _dirs, files in os.walk(d):
+        for f in files:
+            try:
+                total += os.path.getsize(os.path.join(root, f))
+            except OSError:
+                pass
+    return total
+
+
+def l1_pressure(table_dir: str) -> "tuple[int, int]":
+    """(l1_bytes, base_bytes) — the major-fold trigger inputs."""
+    l1 = 0
+    base = 0
+    for e, d in _special_dirs(table_dir):
+        if e == BASE_EPOCH:
+            base = _dir_bytes(d)
+        else:
+            l1 += _dir_bytes(d)
+    return l1, base
+
+
+def compact_epochs_tiered(
+    spark: SparkSession,
+    table_dir: str,
+    key_col: "str | None" = None,
+    partition_by: list[str] | None = None,
+    l1_fraction: float = 0.25,
+    min_epochs: int = 2,
+) -> dict:
+    """Leveled compaction tick — the maintenance entry a long-running
+    ingest should call instead of the full fold:
+
+    1. MINOR: committed L0 epochs → one new L1 run (cost ∝ delta).
+    2. MAJOR: only when accumulated L1 bytes ≥ ``l1_fraction`` × base
+       bytes (or there is no base yet), rewrite base + runs + remaining
+       committed L0 via the full fold — ``key_col`` routes hash-bucketed
+       tables through :func:`compact_hashed_epochs` (bucket count
+       recomputed for the grown corpus), ``partition_by`` preserves an
+       inner layout (IVF ``cell``).
+
+    Write amplification per ingested byte is 1 (its minor fold) +
+    1/l1_fraction-amortized major rewrites — the leveled-LSM bound —
+    instead of one full-base rewrite per tick. Returns
+    ``{"minor": n_l0_folded, "major": n_dirs_folded, "l1_bytes": …,
+    "base_bytes": …}``."""
+    minor = fold_to_l1(
+        spark, table_dir, partition_by=partition_by, min_epochs=min_epochs
+    )
+    l1_b, base_b = l1_pressure(table_dir)
+    major = 0
+    if l1_b > 0 and (base_b == 0 or l1_b >= float(l1_fraction) * base_b):
+        if key_col is not None:
+            major = compact_hashed_epochs(spark, table_dir, key_col)
+        else:
+            major = compact_epochs(spark, table_dir, partition_by=partition_by)
+    return {
+        "minor": minor,
+        "major": major,
+        "l1_bytes": l1_b,
+        "base_bytes": base_b,
+    }
 
 
 _NBUCKETS_MANIFEST = "_NBUCKETS"
@@ -398,14 +615,30 @@ def compact_band_epochs(
 
 
 def compact_neardup_state(
-    spark: SparkSession, state_dir: str, id_col: str = "doc_id"
+    spark: SparkSession, state_dir: str, id_col: str = "doc_id", tiered: bool = False
 ) -> dict:
     """Compact all three near-dup ingest tables. The band index is
     bucketed by the LSH bucket string (probes prune to the delta's
     buckets); the shingle table is bucketed by doc id (the verify join
     prunes to the candidate partner ids' buckets — the OTHER O(index)
     read the r9 stream stress surfaced). Returns
-    {table: folded_epochs}."""
+    {table: folded_epochs}.
+
+    ``tiered=True`` routes every table through
+    :func:`compact_epochs_tiered` — the maintenance tick for a
+    long-running ingest: minor folds cost O(delta), and the full base
+    rewrite runs only when L1 pressure warrants it. Returns the tiered
+    per-table dicts instead of fold counts."""
+    if tiered:
+        return {
+            "pairs": compact_epochs_tiered(spark, os.path.join(state_dir, "pairs")),
+            "bands": compact_epochs_tiered(
+                spark, os.path.join(state_dir, "bands"), key_col="bucket"
+            ),
+            "shingles": compact_epochs_tiered(
+                spark, os.path.join(state_dir, "shingles"), key_col=id_col
+            ),
+        }
     return {
         "pairs": compact_epochs(spark, os.path.join(state_dir, "pairs")),
         "bands": compact_band_epochs(spark, os.path.join(state_dir, "bands")),
@@ -415,9 +648,18 @@ def compact_neardup_state(
     }
 
 
-def compact_ivf_state(spark: SparkSession, state_dir: str) -> dict:
+def compact_ivf_state(
+    spark: SparkSession, state_dir: str, tiered: bool = False
+) -> dict:
     """Compact the IVF cell index, preserving the cell partitioning
-    (the probe's partition pruning must keep working on the base)."""
+    (the probe's partition pruning must keep working on the base —
+    and, tiered, on the L1 runs, which carry the same cell= layout)."""
+    if tiered:
+        return {
+            "cells": compact_epochs_tiered(
+                spark, os.path.join(state_dir, "cells"), partition_by=["cell"]
+            )
+        }
     return {
         "cells": compact_epochs(
             spark, os.path.join(state_dir, "cells"), partition_by=["cell"]
@@ -425,12 +667,23 @@ def compact_ivf_state(spark: SparkSession, state_dir: str) -> dict:
     }
 
 
-def compact_search_state(spark: SparkSession, state_dir: str) -> dict:
+def compact_search_state(
+    spark: SparkSession, state_dir: str, tiered: bool = False
+) -> dict:
     """Compact the incremental search index's tables (tf-bearing
     postings + doc lengths, streaming/search_stream.py). The postings
     base is WORD-hash-bucketed so a BM25 serving read prunes to the
     query words' directories (persisted_postings ``words=``); doclen
-    stays flat — corpus stats (N, avgdl) need every row anyway."""
+    stays flat — corpus stats (N, avgdl) need every row anyway.
+    ``tiered=True``: the O(delta) leveled maintenance tick
+    (:func:`compact_epochs_tiered`)."""
+    if tiered:
+        return {
+            "postings": compact_epochs_tiered(
+                spark, os.path.join(state_dir, "postings"), key_col="word"
+            ),
+            "doclen": compact_epochs_tiered(spark, os.path.join(state_dir, "doclen")),
+        }
     return {
         "postings": compact_hashed_epochs(
             spark, os.path.join(state_dir, "postings"), "word"

@@ -99,8 +99,11 @@ def subscribe_strict_fifo(
     frontier seeded from the change log's oldest retained id (or, on
     an empty log, the store's next version — first-arrival order is
     exactly what mtime ties make unreliable); a gap that persists for
-    ``gap_patience`` data-bearing triggers (a pruned change file —
-    ``prune_changes``) is skipped forward, and everything delivered
+    ``gap_patience`` data-bearing triggers is skipped forward ONLY
+    after re-checking the change log shows the missing ids are gone (a
+    ``prune_changes`` rewrite removed them) — a gap whose ids are still
+    logged is a late-but-real commit in flight and is waited on
+    indefinitely, never dropped — and everything delivered
     stays strictly monotone: arrivals BELOW the frontier are DROPPED
     as duplicates (the one producer of them is a ``prune_changes``
     rewrite re-surfacing already-delivered batches as a new file).
@@ -154,11 +157,34 @@ def subscribe_strict_fifo(
         if buf and not progressed and not out:
             state["stall"] += 1
             if state["stall"] >= int(gap_patience):
-                state["expected"] = min(buf)
-                while state["expected"] in buf:
-                    out.extend(buf.pop(state["expected"]))
-                    state["expected"] += 1
-                state["stall"] = 0
+                # before skipping, verify the gap really is PRUNED: a
+                # late-but-real commit (mtime tie/inversion splitting a
+                # span across many triggers) still sits in the change
+                # log and WILL be delivered — skipping past it here
+                # would later drop it as a below-frontier "duplicate",
+                # silent event loss in a total-order subscriber. Only a
+                # batch id absent from the log (a prune_changes rewrite
+                # removed it) can never arrive and is safe to skip.
+                gap_hi = min(buf)
+                still_logged = (
+                    store.changes()
+                    .filter(
+                        (F.col("batch_id") >= state["expected"])
+                        & (F.col("batch_id") < gap_hi)
+                    )
+                    .limit(1)
+                    .count()
+                )
+                if still_logged:
+                    # real commit in flight — keep waiting (re-verify
+                    # after every further gap_patience stalled triggers)
+                    state["stall"] = 0
+                else:
+                    state["expected"] = gap_hi
+                    while state["expected"] in buf:
+                        out.extend(buf.pop(state["expected"]))
+                        state["expected"] += 1
+                    state["stall"] = 0
         else:
             state["stall"] = 0
         if out:

@@ -183,3 +183,23 @@ def test_two_stage_topk_equals_single_window(spark):
             )
         )
         assert got == want, f"trial {trial} k={k}"
+
+
+def test_two_stage_topk_rejects_column_collisions(spark):
+    """ADVICE r10: an input frame already carrying 'rank' (common in
+    run files) or the stage-internal '_p'/'_lr' temps must be rejected
+    loudly — silent overwrite/drop corrupted caller data before."""
+    import pytest
+
+    from hydraide_spark.functions.vector import two_stage_topk
+
+    order_cols = lambda: [F.col("score").desc(), F.col("vec_id").asc()]
+    base = spark.createDataFrame(
+        [(1, 10, 0.5)], "query_id int, vec_id long, score double"
+    )
+    for bad in ("rank", "_p", "_lr"):
+        df = base.withColumn(bad, F.lit(1))
+        with pytest.raises(ValueError, match=bad):
+            two_stage_topk(df, 3, "query_id", order_cols())
+    # clean frame still works
+    assert two_stage_topk(base, 3, "query_id", order_cols()).count() == 1

@@ -2115,6 +2115,137 @@ def test_subscribe_strict_fifo_survives_mtime_inversion(spark, tmp_path):
     assert [(b, k) for b, k in flat] == [(1, "k0"), (2, "k1"), (3, "k2")]
 
 
+def test_subscribe_strict_fifo_waits_out_long_inversion(spark, tmp_path):
+    """ADVICE r10 (medium): a gap that outlives gap_patience but whose
+    batch ids are STILL IN THE CHANGE LOG is a late-but-real commit in
+    flight — the subscriber must keep waiting, not skip ahead and then
+    drop the arrival as a below-frontier duplicate. Six commits with
+    fully inverted mtimes and one file per trigger stall the frontier
+    for 5 data-bearing triggers (>> patience=2): every event must
+    still be delivered exactly once, in batch order."""
+    import os
+    import time
+
+    from hydraide_spark.streaming.subscribe import subscribe_strict_fifo
+
+    store = make_store(spark, tmp_path, BASE)
+    for i in range(6):
+        store.set(
+            spark.createDataFrame(
+                [(f"k{i}", i, None)],
+                "key string, val long, expired_at timestamp",
+            )
+        )
+    files = sorted(
+        (
+            os.path.join(store.changes_dir, f)
+            for f in os.listdir(store.changes_dir)
+            if f.endswith(".parquet") and not f.startswith(".")
+        ),
+        key=os.path.getmtime,
+    )
+    now = time.time()
+    for rank, f in enumerate(files):
+        ts = now - 1000 - rank * 10  # later commits -> older mtimes
+        os.utime(f, (ts, ts))
+
+    got: list = []
+
+    def on_events(rows, epoch):
+        got.append([(r["batch_id"], r["key"]) for r in rows])
+
+    q = subscribe_strict_fifo(
+        spark, store, on_events, queue_name="strict_long_inv",
+        max_files_per_trigger=1, gap_patience=2,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    flat = [e for batch in got for e in batch]
+    # exactly once each, strictly ascending — zero loss through 5
+    # stalled triggers
+    assert [(b, k) for b, k in flat] == [
+        (i + 1, f"k{i}") for i in range(6)
+    ]
+
+
+def test_subscribe_strict_fifo_skips_genuinely_pruned_gap(spark, tmp_path):
+    """The counterpart: a gap whose batch id is ABSENT from the change
+    log (pruned/lost commit file) can never arrive — after
+    gap_patience stalled triggers the subscriber verifies against the
+    log and skips forward, delivering everything that still exists."""
+    import os
+    import time
+
+    from hydraide_spark.streaming.subscribe import subscribe_strict_fifo
+
+    store = make_store(spark, tmp_path, BASE)
+    for i in range(4):
+        store.set(
+            spark.createDataFrame(
+                [(f"k{i}", i, None)],
+                "key string, val long, expired_at timestamp",
+            )
+        )
+    # physically remove batch 2's commit file BEFORE subscribing —
+    # the log genuinely no longer contains it
+    by_file = {
+        r["f"]: r["batch_id"]
+        for r in store.changes()
+        .select(F.input_file_name().alias("f"), "batch_id")
+        .distinct()
+        .collect()
+    }
+    victim = [f for f, b in by_file.items() if b == 2]
+    assert len(victim) == 1
+    os.remove(victim[0].replace("file:", ""))
+    # age the survivors so arrival order is deterministic (1, 3, 4)
+    files = sorted(
+        (
+            os.path.join(store.changes_dir, f)
+            for f in os.listdir(store.changes_dir)
+            if f.endswith(".parquet") and not f.startswith(".")
+        ),
+        key=os.path.getmtime,
+    )
+    now = time.time()
+    for rank, f in enumerate(files):
+        os.utime(f, (now - 1000 + rank, now - 1000 + rank))
+
+    got: list = []
+
+    def on_events(rows, epoch):
+        got.append([(r["batch_id"], r["key"]) for r in rows])
+
+    q = subscribe_strict_fifo(
+        spark, store, on_events, queue_name="strict_pruned",
+        max_files_per_trigger=1, gap_patience=2,
+    )
+    try:
+        q.processAllAvailable()
+        # the stream may need extra empty-then-data triggers to hit
+        # patience; push two more commits to generate data-bearing
+        # triggers if the skip hasn't fired yet
+        for j in range(2):
+            store.set(
+                spark.createDataFrame(
+                    [(f"x{j}", j, None)],
+                    "key string, val long, expired_at timestamp",
+                )
+            )
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    q.strict_drain()
+    flat = [e for batch in got for e in batch]
+    bids = [b for b, _ in flat]
+    assert bids == sorted(bids)  # monotone
+    assert 2 not in bids  # the pruned batch is gone, not re-delivered
+    # everything that still exists was delivered exactly once
+    assert [b for b in bids if b <= 4] == [1, 3, 4]
+
+
 def test_subscribe_strict_fifo_empty_log_seed_and_drain(spark, tmp_path):
     """Subscribing BEFORE any commit seeds the flush frontier from the
     store's next version (the change log is empty — first-arrival

@@ -110,10 +110,14 @@ def main() -> None:
     acc = 0
 
     # --- unified search ingest (postings + doclen + IVF cells) ----------
+    # maintenance is the TIERED tick every 6 epochs (r10 VERDICT #2):
+    # committed epochs fold into an L1 run (cost ∝ delta), the full
+    # base rewrite only on L1 pressure — tick walls are recorded so
+    # the fold-cost-∝-delta claim is measured, not asserted
     ustate = os.path.join(WORK, "ustate")
     shutil.rmtree(ustate, ignore_errors=True)
     ingest_u = make_search_ingest(spark, ustate, cents)
-    ts_u, q_early, q_late = [], None, None
+    ts_u, q_early, q_late, u_ticks = [], None, None, []
     for e in range(n_batches):
         b = batched.filter(F.col("_b") == e).drop("_b")
         t0 = time.monotonic()
@@ -121,11 +125,31 @@ def main() -> None:
         ts_u.append(time.monotonic() - t0)
         acc += sizes.get(e, 0)
         ns.append(acc)
+        if e % 6 == 5 and e != n_batches - 1:
+            t0 = time.monotonic()
+            tick = compact_unified_search_state(spark, ustate, tiered=True)
+            u_ticks.append(
+                {
+                    "after_epoch": e,
+                    "sec": round(time.monotonic() - t0, 3),
+                    "postings": tick["postings"],
+                    "index_rows": acc,
+                }
+            )
         if e in (3, n_batches - 1):
             if e == n_batches - 1:
                 # realistic ops: compacted state (postings base is
                 # word-bucketed since r10, so the serve read prunes)
-                compact_unified_search_state(spark, ustate)
+                t0 = time.monotonic()
+                tick = compact_unified_search_state(spark, ustate, tiered=True)
+                u_ticks.append(
+                    {
+                        "after_epoch": e,
+                        "sec": round(time.monotonic() - t0, 3),
+                        "postings": tick["postings"],
+                        "index_rows": acc,
+                    }
+                )
             eps = committed_epochs(ustate)
             t0 = time.monotonic()
             bm25_from_state(spark, ustate, WORDS, epochs=eps).groupBy(
@@ -142,6 +166,7 @@ def main() -> None:
             else:
                 q_late = (t_bm, t_hy)
     results["unified_search_ingest"] = _fit(ts_u, ns)
+    results["unified_search_ingest"]["tiered_ticks"] = u_ticks
     n_e, n_l = ns[3], ns[-1]
     results["bm25_from_state_query"] = {
         "growth_exponent": round(
@@ -178,7 +203,8 @@ def main() -> None:
     dstate = os.path.join(WORK, "dstate")
     bands_dir = os.path.join(dstate, "bands")
     shutil.rmtree(dstate, ignore_errors=True)
-    ingest_d = make_dedup(spark, dstate, tau=0.8)
+    phase_rows: list = []  # per-epoch per-phase walls (r10 VERDICT #1)
+    ingest_d = make_dedup(spark, dstate, tau=0.8, timings=phase_rows)
     trickle = (
         batched.filter(F.col("_b") == 0)
         .limit(2)
@@ -232,16 +258,31 @@ def main() -> None:
         t0 = time.monotonic()
         ingest_d(b, e)
         ts_d.append(time.monotonic() - t0)
-        if e in (n_batches // 2 - 1, n_batches - 1):
+        # tiered maintenance tick every 3 epochs: minor folds cost
+        # ∝ folded delta (their walls should stay FLAT as the index
+        # grows — the VERDICT #2 "fold cost ∝ delta" measurement);
+        # the first tick majors (no base yet), later majors only on
+        # L1 pressure
+        if e % 3 == 2:
             t0 = time.monotonic()
-            compact_neardup_state(spark, dstate)
-            ts_compact.append(round(time.monotonic() - t0, 3))
+            tick = compact_neardup_state(spark, dstate, tiered=True)
+            ts_compact.append(
+                {
+                    "after_epoch": e,
+                    "sec": round(time.monotonic() - t0, 3),
+                    "bands": tick["bands"],
+                    "shingles": tick["shingles"],
+                    "index_rows": ns[e],
+                }
+            )
+        if e in (n_batches // 2 - 1, n_batches - 1):
             _prune_point(
                 "mid" if e == n_batches // 2 - 1 else "final", 1000 + e
             )
     trickle.unpersist()
     results["minhash_neardup_ingest"] = _fit(ts_d, ns)
-    results["minhash_neardup_ingest"]["compaction_sec"] = ts_compact
+    results["minhash_neardup_ingest"]["tiered_ticks"] = ts_compact
+    results["minhash_neardup_ingest"]["phase_per_epoch"] = phase_rows
     results["minhash_probe_prune"] = {
         "points": prune_points,
         "trickle_wall_ratio": round(
