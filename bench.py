@@ -212,6 +212,35 @@ HEADLINE = [
     "pack_token_shards_docs",
     "multimodal_features",
     "multimodal_real_decode",
+    # r11: headline == full registry (r10 VERDICT #6 — 26 cheap parity
+    # reads had silently stayed out; tests/test_driver_contract.py now
+    # pins set equality so the headline can never shrink again)
+    "ann_topk_auto",
+    "approx_distinct_exact_oracle",
+    "delete_remaining_count",
+    "doc_fingerprint",
+    "filter_is_empty",
+    "filter_nested_path",
+    "filter_slice_substring",
+    "filter_string_ops",
+    "geo_band",
+    "get_all_scan",
+    "get_by_keys_batch",
+    "increment_stamped",
+    "index_null_timestamp_excluded",
+    "keys_exist",
+    "multimodal_frame_plan",
+    "patch_full_opset",
+    "patch_many",
+    "phrase_negated",
+    "profile_pivot",
+    "profile_read",
+    "reverse_index_build",
+    "reverse_index_semijoin",
+    "set_insert_only_counts",
+    "shift_by_keys_claim",
+    "text_normalize",
+    "uint64_decimal_fidelity",
 ]
 
 

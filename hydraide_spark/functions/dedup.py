@@ -138,6 +138,55 @@ def auto_shingle_n(
     return max(lo, min(hi, n))
 
 
+def _verify_pair_join(
+    cand: DataFrame,
+    sizes: DataFrame,
+    id_col: str,
+    num: int,
+    den: int,
+    n_salts: int = 0,
+) -> DataFrame:
+    """The exact-Jaccard verification join shared by the n-gram and
+    MinHash near-dup paths: fetch both members' shingle sets by id
+    equi-join, test ``den·inter ≥ num·union`` integer-exactly. Returns
+    (id_a, id_b, inter, union).
+
+    Skew (r10 VERDICT #5): when ONE boilerplate document near-dups a
+    large slice of the corpus, its id is a hot key on the candidate
+    side — every pair it belongs to lands on one reducer. Two guards:
+    AQE's skew-join split handles it at runtime (sort-merge plans; the
+    session enables it), pinned engaging on this exact join shape in
+    tests/test_skew_hardening.py; ``n_salts > 0`` is the PLAN-level
+    guard (operators/skew.py::salted_join — candidates spread over
+    n_salts sub-keys, the one-row-per-id shingle side replicated
+    n_salts×), for clusters where AQE is off or the join resolves to a
+    shuffled-hash join (which AQE's skew handling does not split).
+    Semantics are identical either way (inner equi-join)."""
+    pa = sizes.select(
+        F.col(id_col).alias("id_a"),
+        F.col("sh").alias("sh_a"),
+        F.col("n_sh").alias("n_a"),
+    )
+    pb = sizes.select(
+        F.col(id_col).alias("id_b"),
+        F.col("sh").alias("sh_b"),
+        F.col("n_sh").alias("n_b"),
+    )
+    if n_salts and int(n_salts) > 1:
+        from ..operators.skew import salted_join
+
+        j = salted_join(cand, pa, ["id_a"], n_salts=int(n_salts))
+        j = salted_join(j, pb, ["id_b"], n_salts=int(n_salts))
+    else:
+        j = cand.join(pa, "id_a").join(pb, "id_b")
+    return (
+        j.withColumn("inter", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn("union", F.col("n_a") + F.col("n_b") - F.col("inter"))
+        .filter(F.lit(den) * F.col("inter") >= F.lit(num) * F.col("union"))
+        .select("id_a", "id_b", "inter", "union")
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     tau: float,
@@ -145,6 +194,7 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     collapse_exact: bool = False,
+    n_salts: int = 0,
 ) -> DataFrame:
     """Near-duplicate pairs with shingle-set Jaccard >= tau.
 
@@ -217,20 +267,7 @@ def ngram_jaccard_pairs(
         pinned += [keyed, sizes]
     pin_latest("dedup.ngram_jaccard_pairs", *pinned)
     cand = _pair_jaccard_candidates(sizes, id_col, "sh", num, den)
-    pa = sizes.select(
-        F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"), F.col("n_sh").alias("n_a")
-    )
-    pb = sizes.select(
-        F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"), F.col("n_sh").alias("n_b")
-    )
-    out = (
-        cand.join(pa, "id_a")
-        .join(pb, "id_b")
-        .withColumn("inter", F.size(F.array_intersect("sh_a", "sh_b")))
-        .withColumn("union", F.col("n_a") + F.col("n_b") - F.col("inter"))
-        .filter(F.lit(den) * F.col("inter") >= F.lit(num) * F.col("union"))
-    )
-    out = out.select("id_a", "id_b", "inter", "union")
+    out = _verify_pair_join(cand, sizes, id_col, num, den, n_salts=n_salts)
     if star is not None:
         out = out.unionByName(star)
     return out
@@ -271,6 +308,7 @@ def minhash_neardup_pairs(
     text_col: str = "text",
     engine_stable: bool = False,
     collapse_exact: bool = False,
+    n_salts: int = 0,
 ) -> DataFrame:
     """MinHash + LSH near-dup: signature -> band buckets -> candidate
     pairs within a bucket -> exact Jaccard verify >= tau.
@@ -384,20 +422,7 @@ def minhash_neardup_pairs(
     )
 
     sizes = sh.select(F.col(id_col), F.col("sh"), F.size("sh").alias("n_sh"))
-    pa = sizes.select(
-        F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"), F.col("n_sh").alias("n_a")
-    )
-    pb = sizes.select(
-        F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"), F.col("n_sh").alias("n_b")
-    )
-    verified = (
-        cand.join(pa, "id_a")
-        .join(pb, "id_b")
-        .withColumn("inter", F.size(F.array_intersect("sh_a", "sh_b")))
-        .withColumn("union", F.col("n_a") + F.col("n_b") - F.col("inter"))
-        .filter(F.lit(den) * F.col("inter") >= F.lit(num) * F.col("union"))
-    )
-    out = verified.select("id_a", "id_b", "inter", "union")
+    out = _verify_pair_join(cand, sizes, id_col, num, den, n_salts=n_salts)
     if star is not None:
         out = out.unionByName(star)
     return out

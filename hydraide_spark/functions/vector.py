@@ -753,13 +753,54 @@ def ivfadc_topk(
     blocking equi-join + broadcast-LUT shapes both pieces already use.
     Approximate (cell routing + quantization): recall floor asserted in
     tests, rows-only in the gate."""
-    m = len(codebooks)
-    d0 = dim // m
     enc = df.select(
         F.col(id_col),
         ivf_cell_expr(F.col(vec_col), cell_centroids).alias("_cell"),
         pq_codes_expr(F.col(vec_col), codebooks, dim).alias("codes"),
     )
+    raw = df.select(F.col(id_col), F.col(vec_col).alias("_v"))
+    return ivfadc_rank_codes(
+        enc,
+        queries,
+        cell_centroids,
+        codebooks,
+        dim,
+        k,
+        nprobe=nprobe,
+        rerank_factor=rerank_factor,
+        raw=raw,
+        id_col=id_col,
+        query_id_col=query_id_col,
+        query_vec_col=query_vec_col,
+    )
+
+
+def ivfadc_rank_codes(
+    enc: DataFrame,
+    queries: DataFrame,
+    cell_centroids: Sequence[Sequence[float]],
+    codebooks: Sequence[Sequence[tuple[int, Sequence[float]]]],
+    dim: int,
+    k: int,
+    nprobe: int = 2,
+    rerank_factor: int = 0,
+    raw: "DataFrame | None" = None,
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """The IVFADC scoring core over an ALREADY-ENCODED corpus frame
+    ``enc`` = (id_col, ``_cell``, ``codes``) — shared verbatim by
+    :func:`ivfadc_topk` (encodes raw vectors on the fly) and the
+    persisted-state serving path
+    (streaming/search_stream.py::ivfadc_from_state, which reads enc
+    from the cell-partitioned ``pqcodes`` table so serving scans
+    8-byte codes, never raw vectors — and a refreshed codebook is
+    provably equivalent to the batch path because both run THIS
+    function). ``raw`` = (id_col, ``_v``) supplies vectors for the
+    re-rank shortlist fetch; required when ``rerank_factor > 0``."""
+    m = len(codebooks)
+    d0 = dim // m
     books_v, books_i = _book_literals(codebooks)
     qv = F.col(query_vec_col).cast("array<double>")
     lut = F.transform(
@@ -811,10 +852,14 @@ def ivfadc_topk(
     )
     if rerank_factor <= 0:
         return shortlist
+    if raw is None:
+        raise ValueError(
+            "ivfadc_rank_codes: rerank_factor > 0 needs the raw-vector "
+            "frame (id, _v) for the shortlist fetch"
+        )
     qv_map = queries.select(
         F.col(query_id_col), F.col(query_vec_col).cast("array<double>").alias("_qv")
     )
-    raw = df.select(F.col(id_col), F.col(vec_col).alias("_v"))
     exact = (
         shortlist.drop("adist")
         .join(raw, id_col)
@@ -1209,4 +1254,150 @@ def ivf_int8_topk(
     return (
         cand.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
+    )
+
+
+# --- ANN route planner (r11) -------------------------------------------------
+
+#: brute-force float scan is fine up to here — the whole corpus fits a
+#: handful of scan tasks and exactness is free
+ANN_EXACT_MAX_ROWS = 100_000
+#: flat int8 scan (4x less IO, integer-exact ranking) up to here;
+#: beyond it a full-corpus scan per query batch is the bottleneck and
+#: cell pruning must cut the scanned fraction
+ANN_FLAT_INT8_MAX_ROWS = 5_000_000
+#: at high dimension the scan payload dominates even int8 (dim bytes
+#: per row); PQ codes are m bytes regardless of dim, so the IVFADC
+#: route wins the scan-IO trade above this width
+ANN_PQ_MIN_DIM = 256
+
+
+def ann_route(n_rows: int, dim: int) -> str:
+    """The ANN route decision, as a pure function of corpus stats —
+    the reference's bucket-planner idea lifted to ANN
+    (app/server/gateway/bucket_planner.go:55-123: first indexable leg
+    wins, residual applied; here: cheapest route whose accuracy
+    envelope covers the regime wins, exactness is the residual).
+    Thresholds are documented and justified in SCALE.md §ann-router.
+
+    - ``exact``     n ≤ 100K: brute-force float cosine (two-stage
+      top-k) — exactness costs nothing at this size.
+    - ``int8``      n ≤ 5M: flat int8 scan — 4× less IO, ranking still
+      deterministic (integer-exact est_cos).
+    - ``ivf_int8``  n > 5M, dim < 256: cell-pruned int8 — scan
+      nprobe/k_cells of the corpus at 1 byte/component.
+    - ``ivfadc``    n > 5M, dim ≥ 256: cell-pruned PQ codes — scan
+      payload m bytes/vector regardless of dimension."""
+    n = int(n_rows)
+    if n <= ANN_EXACT_MAX_ROWS:
+        return "exact"
+    if n <= ANN_FLAT_INT8_MAX_ROWS:
+        return "int8"
+    return "ivfadc" if int(dim) >= ANN_PQ_MIN_DIM else "ivf_int8"
+
+
+def ann_topk_auto(
+    df: DataFrame,
+    queries: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    n_rows: "int | None" = None,
+    dim: "int | None" = None,
+    centroids: "Sequence[Sequence[float]] | None" = None,
+    codebooks=None,
+    nprobe: int = 2,
+    rerank_factor: int = 0,
+    route: "str | None" = None,
+) -> DataFrame:
+    """Auto-routed per-query top-k over the five batch ANN paths —
+    one entry point a user can call at ANY corpus size, with the
+    planner (:func:`ann_route`) picking the physical strategy from
+    corpus stats, exactly like the reference's bucket planner picks
+    the first indexable leg (bucket_planner.go:55-123). The
+    bucket-route invariant carries over: at gate scale the router
+    selects ``exact``, so the routed result IS the exact result (the
+    golden's oracle); the approximate regimes' recall floors and plan
+    shapes are pinned in tests/test_ann_router.py.
+
+    ``n_rows``/``dim`` default to one count job / one head row — pass
+    them when known (a catalog lookup at 100 TB, never a count).
+    ``route`` forces a specific path (tests; operational override).
+    Models are trained on bounded deterministic samples when not
+    supplied (``train_ivf_centroids`` / ``train_pq_codebooks`` —
+    corpus-independent cost). Returns (query_id, id, rank, route);
+    rank is 1..k per query under each route's own ranking order."""
+    if n_rows is None:
+        n_rows = df.count()
+    if dim is None:
+        dim = len(df.select(vec_col).head()[0])
+    chosen = route if route is not None else ann_route(n_rows, dim)
+    if chosen == "exact":
+        out = cosine_topk(
+            df, queries, k,
+            id_col=id_col, vec_col=vec_col,
+            query_id_col=query_id_col, query_vec_col=query_vec_col,
+        )
+        # the survivors are ≤ k·|queries| rows — ranking them with one
+        # window is driver-scale work, not a corpus funnel
+        w = W.partitionBy(query_id_col).orderBy(
+            F.col("score").desc(), F.col(id_col).asc()
+        )
+        ranked = out.withColumn("rank", F.row_number().over(w))
+    elif chosen == "int8":
+        ranked = int8_topk(
+            df, queries, k,
+            id_col=id_col, vec_col=vec_col,
+            query_id_col=query_id_col, query_vec_col=query_vec_col,
+        )
+    elif chosen == "ivf_int8":
+        cents = (
+            centroids
+            if centroids is not None
+            else train_ivf_centroids(
+                df.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding")),
+                n_centroids=auto_ivf_k(n_rows),
+            )
+        )
+        ranked = ivf_int8_topk(
+            df, queries, k, centroids=cents, nprobe=nprobe,
+            id_col=id_col, vec_col=vec_col,
+            query_id_col=query_id_col, query_vec_col=query_vec_col,
+        )
+    elif chosen == "ivfadc":
+        cents = (
+            centroids
+            if centroids is not None
+            else train_ivf_centroids(
+                df.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding")),
+                n_centroids=auto_ivf_k(n_rows),
+            )
+        )
+        books = (
+            codebooks
+            if codebooks is not None
+            else train_pq_codebooks(
+                df, id_col=id_col, vec_col=vec_col,
+                m=8 if int(dim) % 8 == 0 else 4,
+            )
+        )
+        out = ivfadc_topk(
+            df, queries, cents, books, int(dim), k, nprobe=nprobe,
+            rerank_factor=rerank_factor,
+            id_col=id_col, vec_col=vec_col,
+            query_id_col=query_id_col, query_vec_col=query_vec_col,
+        )
+        w = W.partitionBy(query_id_col).orderBy(
+            F.col("adist").asc(), F.col(id_col).asc()
+        )
+        ranked = out.withColumn("rank", F.row_number().over(w))
+    else:
+        raise ValueError(f"ann_topk_auto: unknown route {chosen!r}")
+    return ranked.select(
+        F.col(query_id_col),
+        F.col(id_col),
+        F.col("rank").cast("int").alias("rank"),
+        F.lit(chosen).alias("route"),
     )

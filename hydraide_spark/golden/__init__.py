@@ -290,6 +290,38 @@ _R9_VERIFIED = frozenset(
 # automatically by not appearing in any verified set.
 _CHANGED_R10 = frozenset()
 
+# Green (rows+schema+hash) in the round-10 driver window
+# (CORRECTNESS_r10.json, 50/50) — most recently re-verified, sort last.
+_R10_VERIFIED = frozenset(
+    {
+        "boilerplate_stats_docs", "bpe_merge_rules", "bpe_merge_rules_256",
+        "bpe_token_frequencies", "cms_user_frequencies", "corpus_snapshot_diff",
+        "decontaminate_docs", "embedding_neardup_int8", "filter_len_and_wildcard",
+        "filter_slice_ops", "filter_slice_substring", "geo_band", "geo_inside",
+        "geo_radius_pairs", "get_all_scan", "get_point_read",
+        "histogram_quantiles_events", "keys_exist", "knn_self_join_stable",
+        "labeled_search_meta", "lm_logprob_quality_docs",
+        "minhash_incremental_neardup", "minhash_lsh_neardup_stable",
+        "mixing_plan_applied", "mmr_lambda_sweep", "neardup_clusters",
+        "neardup_clusters_prop", "nested_slice_quantifiers",
+        "ngram_jaccard_neardup", "personalized_pagerank_seeds", "phrase_match",
+        "phrase_negated", "quality_calibration_report", "retrieval_param_sweep",
+        "retrieval_run_sign_test", "reverse_index_semijoin",
+        "set_insert_only_counts", "set_upsert_status", "simhash_collapsed_stable",
+        "simhash_neardup_stable", "swamp_pattern_routing", "telemetry_history",
+        "telemetry_rolling_rates", "telemetry_slow_queries",
+        "telemetry_top_swamps", "top_ngrams_corpus", "triangle_counts_graph",
+        "uint32slice_ops", "validation_report_lineitem", "weighted_pagerank_graph",
+    }
+)
+
+# Changed in round 11 — the tiered-compaction / PQ-refresh / router work
+# touches streaming state and adds NEW queries only; calibration gained
+# a persist (plan lifetime, not values) and the two-stage guard is a
+# pure precondition. The full local gate re-verified green. New r11
+# queries are tier 0 automatically by not appearing in any verified set.
+_CHANGED_R11 = frozenset()
+
 
 def _ordered(d: dict) -> dict:
     """Driver-sample ordering.
@@ -304,8 +336,10 @@ def _ordered(d: dict) -> dict:
     """
 
     def tier(n: str) -> int:
-        if n in _CHANGED_R10 or n in _CHANGED_R9:
+        if n in _CHANGED_R11 or n in _CHANGED_R10 or n in _CHANGED_R9:
             return 0
+        if n in _R10_VERIFIED:
+            return 10
         if n in _R9_VERIFIED:
             return 9
         if n in _R8_VERIFIED:

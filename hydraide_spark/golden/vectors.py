@@ -100,6 +100,54 @@ def ann_topk_exact(spark, sf_dir):
     )
 
 
+@golden(
+    "ann_topk_auto",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+               FROM embeddings WHERE vec_id < 5),
+    scored AS (
+      SELECT q.query_id, e.vec_id,
+             {_cos_sql('e.embedding::DOUBLE[]', 'q.qv')} AS score
+      FROM embeddings e, q
+    ),
+    ranked AS (
+      SELECT query_id, vec_id,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, vec_id ASC) AS rn
+      FROM scored
+    )
+    SELECT CAST(query_id AS BIGINT) AS query_id,
+           CAST(vec_id AS BIGINT) AS vec_id,
+           CAST(rn AS INT) AS rank,
+           'exact' AS route
+    FROM ranked WHERE rn <= 10
+    """,
+)
+def ann_topk_auto(spark, sf_dir):
+    """r11: the auto-routed ANN entry point (functions/vector.py::
+    ann_topk_auto — the reference's bucket-planner idea,
+    bucket_planner.go:55-123, lifted to ANN: cheapest route whose
+    accuracy envelope covers the corpus size wins). At every gate sf
+    the corpus is under ANN_EXACT_MAX_ROWS, so the router must select
+    the exact brute-force path — the oracle IS the exact ranking plus
+    the route decision itself ('exact'), making a silent mis-route a
+    gate failure. The approximate regimes' plan shapes and recall
+    floors are pinned in tests/test_ann_router.py."""
+    from ..functions.vector import ann_topk_auto as _auto
+
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = _auto(emb, queries, k=10)
+    return out.select(
+        big("query_id").alias("query_id"),
+        big("vec_id").alias("vec_id"),
+        F.col("rank"),
+        F.col("route"),
+    )
+
+
 @golden("ann_topk_lsh")  # approximate: rows-only check (recall < 1 by design)
 def ann_topk_lsh(spark, sf_dir):
     """LSH-bucketed ANN (the 100 TB path): candidates share the query's

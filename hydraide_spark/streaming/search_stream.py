@@ -343,18 +343,34 @@ def make_search_ingest(
     id_col: str = "doc_id",
     text_col: str = "text",
     vec_col: str = "embedding",
+    pq_codebooks=None,
 ):
     """Per-micro-batch ingest for the UNIFIED search state: postings +
-    doclen (lexical), IVF cells (dense float), and cell-partitioned
+    doclen (lexical), IVF cells (dense float), cell-partitioned
     int8 codes (the 4×-smaller quantized serving form,
-    functions/vector.py::int8_quantize) written under the same epoch,
-    then the commit marker. Each table write is the r8 epoch-keyed
-    overwrite (retry-idempotent); the marker is the atomic publish
-    point. Exposed for tests to replay an epoch."""
-    from ..functions.vector import int8_quantize_expr, ivf_cell_expr
+    functions/vector.py::int8_quantize) — and, when a PQ model is
+    active, cell-partitioned PQ codes (8 bytes/vector at m=8, the
+    IVFADC serving form) — all written under the same epoch, then the
+    commit marker. Each table write is the r8 epoch-keyed overwrite
+    (retry-idempotent); the marker is the atomic publish point.
+    Exposed for tests to replay an epoch.
+
+    ``pq_codebooks``: explicit codebooks, else the stored ``_PQMODEL``
+    (``store_pq_model``/``refresh_pq_model``); with neither, the
+    ``pqcodes`` table is simply not maintained (the pre-PQ layout).
+    An interrupted PQ rebuild (``_PQREBUILDING``) refuses loudly —
+    new epochs encoded under either codebook would corrupt the
+    half-rebuilt table."""
+    from ..functions.vector import (
+        int8_quantize_expr,
+        ivf_cell_expr,
+        pq_codes_expr,
+    )
     from .ann_stream import make_ivf_ingest
 
     centroids = _resolve_centroids(state_dir, centroids)
+    if pq_codebooks is not None or stored_pq_model(state_dir) is not None:
+        pq_codebooks = _resolve_pq_books(state_dir, pq_codebooks)
     lex_ingest = make_postings_ingest(
         spark, state_dir, id_col=id_col, text_col=text_col
     )
@@ -363,6 +379,12 @@ def make_search_ingest(
     )
     commits_dir = os.path.join(state_dir, "_commits")
     codes_dir = os.path.join(state_dir, "codes")
+    pq_dir = os.path.join(state_dir, "pqcodes")
+    pq_dim = (
+        len(pq_codebooks) * len(pq_codebooks[0][0][1])
+        if pq_codebooks is not None
+        else None
+    )
 
     def ingest(batch_df: DataFrame, epoch: int) -> None:
         if batch_df.isEmpty():
@@ -370,16 +392,26 @@ def make_search_ingest(
         batch = batch_df.persist()
         lex_ingest(batch, epoch)
         ivf_ingest(batch, epoch)
+        cell = ivf_cell_expr(F.col(vec_col).cast("array<double>"), centroids)
         codes = batch.select(
             F.col(id_col).cast("long").alias(id_col),
-            ivf_cell_expr(
-                F.col(vec_col).cast("array<double>"), centroids
-            ).alias("cell"),
+            cell.alias("cell"),
             int8_quantize_expr(F.col(vec_col)).getField("q").alias("q"),
         )
         codes.write.mode("overwrite").partitionBy("cell").parquet(
             os.path.join(codes_dir, f"epoch={int(epoch)}")
         )
+        if pq_codebooks is not None:
+            pq = batch.select(
+                F.col(id_col).cast("long").alias(id_col),
+                cell.alias("cell"),
+                pq_codes_expr(F.col(vec_col), pq_codebooks, pq_dim).alias(
+                    "codes"
+                ),
+            )
+            pq.write.mode("overwrite").partitionBy("cell").parquet(
+                os.path.join(pq_dir, f"epoch={int(epoch)}")
+            )
         batch.unpersist()
         os.makedirs(commits_dir, exist_ok=True)
         # marker LAST: one O_CREAT is the publish — readers never see
@@ -505,6 +537,9 @@ def compact_unified_search_state(
             "codes": compact_epochs_tiered(
                 spark, os.path.join(state_dir, "codes"), partition_by=["cell"]
             ),
+            "pqcodes": compact_epochs_tiered(
+                spark, os.path.join(state_dir, "pqcodes"), partition_by=["cell"]
+            ),
         }
     else:
         folded = {
@@ -520,9 +555,12 @@ def compact_unified_search_state(
             "codes": compact_epochs(
                 spark, os.path.join(state_dir, "codes"), partition_by=["cell"]
             ),
+            "pqcodes": compact_epochs(
+                spark, os.path.join(state_dir, "pqcodes"), partition_by=["cell"]
+            ),
         }
     live: set[int] = set()
-    for t in ("postings", "doclen", "cells", "codes"):
+    for t in ("postings", "doclen", "cells", "codes", "pqcodes"):
         d = os.path.join(state_dir, t)
         if os.path.isdir(d):
             for n in os.listdir(d):
@@ -534,6 +572,77 @@ def compact_unified_search_state(
             if n.startswith("epoch=") and int(n.split("=", 1)[1]) not in live:
                 os.remove(os.path.join(commits, n))
     return folded
+
+
+def persisted_pqcodes(
+    spark: SparkSession, state_dir: str, id_col: str = "doc_id", epochs=None
+) -> DataFrame:
+    """The accumulated cell-partitioned PQ code index (id, cell,
+    codes) — the 8-byte/vector IVFADC serving form."""
+    schema = f"{id_col} long, codes array<int>, epoch long, cell int"
+    path = os.path.join(state_dir, "pqcodes")
+    if not os.path.exists(path):
+        return spark.createDataFrame([], schema).drop("epoch")
+    return _epoch_filtered(spark.read.schema(schema).parquet(path), epochs, path)
+
+
+def ivfadc_from_state(
+    spark: SparkSession,
+    state_dir: str,
+    queries: DataFrame,
+    k: int,
+    centroids=None,
+    codebooks=None,
+    nprobe: int = 2,
+    rerank_factor: int = 0,
+    id_col: str = "doc_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    epochs=None,
+) -> DataFrame:
+    """IVFADC over the PERSISTED unified state: the query probes its
+    ``nprobe`` cells (directory-pruned read of the cell-partitioned
+    ``pqcodes`` table) and scores ONLY their 8-byte-per-vector PQ
+    codes through :func:`~hydraide_spark.functions.vector.
+    ivfadc_rank_codes` — the IDENTICAL core the batch ``ivfadc_topk``
+    runs, which is what makes a codebook refresh provably equivalent
+    to re-running the batch path (test_unified_search_state pins it).
+    ``rerank_factor > 0`` fetches raw vectors for the shortlist only,
+    from the persisted cells table under the SAME frontier. Model and
+    codebooks default to the stored ``_MODEL``/``_PQMODEL``; an
+    interrupted rebuild of either refuses loudly."""
+    from ..functions.vector import ivfadc_rank_codes
+
+    cents = _resolve_centroids(state_dir, centroids)
+    books = _resolve_pq_books(state_dir, codebooks)
+    if epochs is None:
+        epochs = committed_epochs(state_dir)
+    dim = len(books) * len(books[0][0][1])
+    enc = persisted_pqcodes(
+        spark, state_dir, id_col=id_col, epochs=epochs
+    ).withColumnRenamed("cell", "_cell")
+    raw = None
+    if rerank_factor > 0:
+        from .ann_stream import persisted_cells
+
+        raw = persisted_cells(
+            spark, state_dir, id_col=id_col, vec_col=vec_col, epochs=epochs
+        ).select(F.col(id_col), F.col(vec_col).alias("_v"))
+    return ivfadc_rank_codes(
+        enc,
+        queries,
+        cents,
+        books,
+        dim,
+        k,
+        nprobe=nprobe,
+        rerank_factor=rerank_factor,
+        raw=raw,
+        id_col=id_col,
+        query_id_col=query_id_col,
+        query_vec_col=query_vec_col,
+    )
 
 
 def persisted_int8_codes(
@@ -627,6 +736,8 @@ def ivf_int8_from_state(
 
 _MODEL_FILE = "_MODEL"
 _REBUILD_FILE = "_REBUILDING"
+_PQMODEL_FILE = "_PQMODEL"
+_PQREBUILD_FILE = "_PQREBUILDING"
 
 
 def store_ivf_model(state_dir: str, centroids) -> None:
@@ -652,6 +763,61 @@ def stored_ivf_model(state_dir: str):
             return json.load(fh)
     except (OSError, ValueError):
         return None
+
+
+def store_pq_model(state_dir: str, codebooks) -> None:
+    """Atomically persist the PQ codebooks the state's ``pqcodes``
+    table is encoded under (same contract as :func:`store_ivf_model`).
+    Stored as ``[[ [code, [floats…]], …] per subspace]``."""
+    import json
+
+    path = os.path.join(state_dir, _PQMODEL_FILE)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(
+            [
+                [[int(code), [float(x) for x in vec]] for code, vec in book]
+                for book in codebooks
+            ],
+            fh,
+        )
+    os.replace(tmp, path)
+
+
+def stored_pq_model(state_dir: str):
+    """The persisted PQ codebooks, or None before the first
+    :func:`store_pq_model` / :func:`refresh_pq_model`. JSON round-trip
+    yields ``[(code, vec), …]`` pairs as 2-lists — every consumer
+    unpacks them positionally, so the shapes are interchangeable."""
+    import json
+
+    try:
+        with open(os.path.join(state_dir, _PQMODEL_FILE)) as fh:
+            return json.load(fh)
+    except (OSError, ValueError):
+        return None
+
+
+def _resolve_pq_books(state_dir: str, codebooks):
+    """Same loud-refusal contract as :func:`_resolve_centroids`, for
+    the PQ layer: a half-rebuilt pqcodes table probed under either
+    codebook silently collapses recall."""
+    if os.path.exists(os.path.join(state_dir, _PQREBUILD_FILE)):
+        raise RuntimeError(
+            f"PQ codebook rebuild at {state_dir} was interrupted "
+            f"({_PQREBUILD_FILE} present) — run refresh_pq_model to "
+            "finish it before encoding or serving"
+        )
+    if codebooks is not None:
+        return codebooks
+    books = stored_pq_model(state_dir)
+    if books is None:
+        raise ValueError(
+            f"no codebooks given and no stored PQ model at "
+            f"{state_dir}/{_PQMODEL_FILE} — pass codebooks or run "
+            "store_pq_model/refresh_pq_model first"
+        )
+    return books
 
 
 def _resolve_centroids(state_dir: str, centroids):
@@ -783,9 +949,117 @@ def refresh_ivf_model(
         augment=aug_codes,
         fold_all=True,
     )
+    # the PQ layer's codes are centroid-independent, but their CELL
+    # routing key is not — re-cell them under the new model the same
+    # join-the-rebuilt-assignment way (PQ codes themselves unchanged)
+    pq_dir = os.path.join(state_dir, "pqcodes")
+    if os.path.isdir(pq_dir):
+        compact_epochs(
+            spark,
+            pq_dir,
+            partition_by=["cell"],
+            augment=aug_codes,
+            fold_all=True,
+        )
     store_ivf_model(state_dir, cents)
     os.remove(marker)
     return cents
+
+
+def refresh_pq_model(
+    spark: SparkSession,
+    state_dir: str,
+    m: int = 8,
+    k: int = 16,
+    centroids=None,
+    id_col: str = "doc_id",
+    vec_col: str = "embedding",
+    sample_rows: int = 10_000,
+    iters: int = 10,
+    seed: int = 42,
+):
+    """Retrain the per-subspace PQ codebooks from the PERSISTED vectors
+    and rebuild the ``pqcodes`` table re-encoded under the new books —
+    the IVFADC half of the drift loop (r10 VERDICT #3; the cell
+    centroids' analogue is :func:`refresh_ivf_model`). Also the
+    BOOTSTRAP: run it once on a pre-PQ state to bring the ``pqcodes``
+    layer up from the persisted vectors.
+
+    Contract: SINGLE-WRITER with the STREAM STOPPED (rebuild sources
+    every persisted vector). Crash safety mirrors the IVF refresh: the
+    new codebooks are journaled to ``_PQREBUILDING`` BEFORE any table
+    is touched; while the marker exists, PQ serving and PQ-encoding
+    ingest REFUSE loudly (``_resolve_pq_books``) and a re-run RESUMES
+    from the journaled books (the table swap is idempotent —
+    ``state_compact.replace_table`` is the same tmp/manifest/promote
+    dance, and a crash inside it heals on the next entry with readers
+    excluding the pending window). On success the books persist to
+    ``_PQMODEL`` (atomic) and the marker clears. Returns the codebooks
+    in effect.
+
+    Cell routing comes from the CURRENT IVF model (``centroids`` or
+    the stored ``_MODEL``) — a PQ refresh never moves rows between
+    cells, so probe routing is unchanged and only code payloads are
+    rewritten."""
+    import json
+
+    from ..functions.vector import (
+        ivf_cell_expr,
+        pq_codes_expr,
+        train_pq_codebooks,
+    )
+    from .state_compact import replace_table
+
+    cents = _resolve_centroids(state_dir, centroids)
+    marker = os.path.join(state_dir, _PQREBUILD_FILE)
+    if os.path.exists(marker):
+        with open(marker) as fh:
+            books = json.load(fh)
+    else:
+        vecs = persisted_cells_all(
+            spark, state_dir, id_col=id_col, vec_col=vec_col
+        )
+        if vecs.isEmpty():
+            raise ValueError(
+                f"refresh_pq_model: no persisted vectors under {state_dir}"
+            )
+        books = train_pq_codebooks(
+            vecs.select(
+                F.col(id_col).alias("vec_id"),
+                F.col(vec_col).alias("embedding"),
+            ),
+            m=m,
+            k=k,
+            sample_rows=sample_rows,
+            iters=iters,
+            seed=seed,
+        )
+        tmp = marker + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(
+                [
+                    [[int(c), [float(x) for x in v]] for c, v in book]
+                    for book in books
+                ],
+                fh,
+            )
+        os.replace(tmp, marker)
+    dim = len(books) * len(books[0][0][1])
+    src = persisted_cells_all(
+        spark, state_dir, id_col=id_col, vec_col=vec_col
+    ).select(
+        F.col(id_col),
+        ivf_cell_expr(F.col(vec_col).cast("array<double>"), cents).alias(
+            "cell"
+        ),
+        pq_codes_expr(F.col(vec_col), books, dim).alias("codes"),
+    )
+    replace_table(
+        spark, os.path.join(state_dir, "pqcodes"), src, partition_by=["cell"]
+    )
+    store_pq_model(state_dir, books)
+    os.remove(marker)
+    return books
 
 
 def persisted_cells_all(

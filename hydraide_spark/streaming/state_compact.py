@@ -281,9 +281,12 @@ def compact_epochs(
     # that must re-derive layout columns for every row.
     newest = max([e for e in epochs if e >= 0], default=None)
     fold = epochs if fold_all else [e for e in epochs if e != newest]
-    if not fold or fold == [BASE_EPOCH]:
+    if not fold or (fold == [BASE_EPOCH] and not fold_all):
         # nothing, or only the base itself — rewriting it alone is a
-        # full-index write for zero consolidation
+        # full-index write for zero consolidation. EXCEPT under
+        # fold_all: model rebuilds exist precisely to rewrite the base
+        # under a new augment (refresh_ivf_model/refresh_pq_model on an
+        # already-compacted table).
         return 0
 
     # ONE multi-path read for every flat delta epoch (they share a
@@ -400,6 +403,49 @@ def fold_to_l1(
     os.rename(tmp, run)
     _finish_swap(table_dir, run)
     return len(fold)
+
+
+def replace_table(
+    spark: SparkSession,
+    table_dir: str,
+    src: "DataFrame",
+    partition_by: list[str] | None = None,
+) -> None:
+    """Atomically replace a state table's ENTIRE contents with a fresh
+    derivation — the model-rebuild write (refresh_pq_model re-encodes
+    every persisted vector under new codebooks; the old rows are not
+    folded, they are superseded). Same crash-safe swap as
+    ``compact_epochs``: write tmp → manifest (listing every live epoch
+    dir, so the replayable cleanup deletes them) → move base aside →
+    promote → cleanup; a crash at any point is healed by ``_recover``
+    on the next entry, and ``pending_folded`` keeps readers from
+    double-counting during the promote-to-cleanup window."""
+    os.makedirs(table_dir, exist_ok=True)
+    _recover(table_dir)
+    migrate_flat_state(table_dir)
+    live = sorted(
+        int(d.split("=", 1)[1])
+        for d in os.listdir(table_dir)
+        if d.startswith("epoch=") and d.split("=", 1)[1].lstrip("-").isdigit()
+    )
+    tmp = os.path.join(table_dir, _TMP_NAME)
+    if partition_by:
+        (
+            src.repartition(*[F.col(c) for c in partition_by])
+            .write.mode("overwrite")
+            .partitionBy(*partition_by)
+            .parquet(tmp)
+        )
+    else:
+        src.write.mode("overwrite").parquet(tmp)
+    with open(os.path.join(tmp, _MANIFEST), "w") as fh:
+        fh.write("\n".join(str(e) for e in live))
+    base = os.path.join(table_dir, f"epoch={BASE_EPOCH}")
+    old = os.path.join(table_dir, _OLD_NAME)
+    if os.path.exists(base):
+        os.rename(base, old)
+    os.rename(tmp, base)
+    _finish_swap(table_dir, base)
 
 
 def _dir_bytes(d: str) -> int:

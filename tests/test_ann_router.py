@@ -1,0 +1,145 @@
+"""ann_topk_auto — the ANN route planner (r10 VERDICT #4): the
+reference's bucket-planner idea (bucket_planner.go:55-123, "first
+indexable leg wins") lifted to ANN. Pins:
+
+- the pure route decision per regime (thresholds in SCALE.md),
+- the bucket-route invariant: the auto result at gate scale IS the
+  exact path's result (also oracle-gated via golden ann_topk_auto),
+- each forced route's physical plan shape (exact/int8 use the
+  two-stage top-k, cell routes use a broadcast cell equi-join and
+  never a full-corpus per-query window funnel),
+- recall floors of the approximate regimes against the exact path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hydraide_spark.functions.vector import (
+    ANN_EXACT_MAX_ROWS,
+    ANN_FLAT_INT8_MAX_ROWS,
+    ANN_PQ_MIN_DIM,
+    ann_route,
+    ann_topk_auto,
+    cosine_topk,
+)
+from hydraide_spark.sources.tables import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_route_decision_regimes():
+    assert ann_route(1_000, 64) == "exact"
+    assert ann_route(ANN_EXACT_MAX_ROWS, 64) == "exact"
+    assert ann_route(ANN_EXACT_MAX_ROWS + 1, 64) == "int8"
+    assert ann_route(ANN_FLAT_INT8_MAX_ROWS, 64) == "int8"
+    assert ann_route(ANN_FLAT_INT8_MAX_ROWS + 1, 64) == "ivf_int8"
+    assert ann_route(ANN_FLAT_INT8_MAX_ROWS + 1, ANN_PQ_MIN_DIM) == "ivfadc"
+    assert ann_route(10**9, 128) == "ivf_int8"
+    assert ann_route(10**9, 1024) == "ivfadc"
+
+
+def _emb_queries(spark):
+    emb = load_table(spark, SF, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return emb, queries
+
+
+def test_auto_picks_exact_and_equals_exact_path(spark):
+    """The bucket-route invariant at gate scale: the planner selects
+    'exact' and the routed ranks equal the brute-force ranking."""
+    emb, queries = _emb_queries(spark)
+    out = ann_topk_auto(emb, queries, k=10)
+    rows = out.collect()
+    assert {r["route"] for r in rows} == {"exact"}
+    got = sorted((r["query_id"], r["rank"], r["vec_id"]) for r in rows)
+    exact = cosine_topk(emb, queries, k=10).collect()
+    by_q: dict = {}
+    for r in exact:
+        by_q.setdefault(r["query_id"], []).append((r["score"], r["vec_id"]))
+    want = sorted(
+        (q, i + 1, vid)
+        for q, scored in by_q.items()
+        for i, (_, vid) in enumerate(
+            sorted(scored, key=lambda t: (-t[0], t[1]))
+        )
+    )
+    assert got == want
+
+
+def test_forced_routes_plan_shapes_and_recall(spark):
+    """Each forced route runs its own physical strategy (n_rows
+    overrides let a small frame exercise every regime):
+
+    - exact/int8: two-stage top-k (SPARK_PARTITION_ID in the plan, the
+      no-funnel shape) and NO cell join;
+    - ivf_int8/ivfadc: a broadcast equi-join on the probed cells —
+      candidate generation by blocking, never a full-corpus funnel.
+
+    And every approximate route keeps a top-10 overlap with the exact
+    ranking on real embeddings."""
+    emb, queries = _emb_queries(spark)
+    exact_sets: dict = {}
+    for r in cosine_topk(emb, queries, k=10).collect():
+        exact_sets.setdefault(r["query_id"], set()).add(r["vec_id"])
+
+    from hydraide_spark.functions.vector import train_ivf_centroids
+
+    # forcing big-corpus routes onto a small frame: supply models sized
+    # for the ACTUAL corpus (auto_ivf_k of the override would train 65K
+    # cells on 2K rows — every point its own cell, recall collapse)
+    cents = train_ivf_centroids(
+        emb.select(F.col("vec_id"), "embedding"), n_centroids=8
+    )
+    floors = {"int8": 0.8, "ivf_int8": 0.5, "ivfadc": 0.3}
+    for route, floor in floors.items():
+        out = ann_topk_auto(
+            emb, queries, k=10, route=route, n_rows=2**30, dim=64, nprobe=2,
+            centroids=cents,
+        )
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        if route == "int8":
+            assert "SPARK_PARTITION_ID" in plan, route
+            assert "_cell" not in plan, route
+        else:
+            assert "_cell" in plan, route
+            assert "BroadcastHashJoin" in plan, route
+        got_sets: dict = {}
+        for r in out.collect():
+            assert r["route"] == route
+            got_sets.setdefault(r["query_id"], set()).add(r["vec_id"])
+        recalls = [
+            len(exact_sets[q] & got_sets.get(q, set())) / 10
+            for q in exact_sets
+        ]
+        assert sum(recalls) / len(recalls) >= floor, (route, recalls)
+
+    # the IVFADC refine step (rerank_factor) lifts recall — the
+    # production setting for that route
+    out = ann_topk_auto(
+        emb, queries, k=10, route="ivfadc", n_rows=2**30, dim=64,
+        nprobe=2, rerank_factor=4, centroids=cents,
+    )
+    got_sets = {}
+    for r in out.collect():
+        got_sets.setdefault(r["query_id"], set()).add(r["vec_id"])
+    recalls = [
+        len(exact_sets[q] & got_sets.get(q, set())) / 10 for q in exact_sets
+    ]
+    assert sum(recalls) / len(recalls) >= 0.5, recalls
+
+    # the exact route's plan: two-stage, no cell join
+    out = ann_topk_auto(emb, queries, k=10, route="exact", n_rows=10, dim=64)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "SPARK_PARTITION_ID" in plan
+    assert "_cell" not in plan
+
+
+def test_auto_rejects_unknown_route(spark):
+    import pytest
+
+    emb, queries = _emb_queries(spark)
+    with pytest.raises(ValueError, match="unknown route"):
+        ann_topk_auto(emb, queries, k=5, route="warp", n_rows=10, dim=64)

@@ -146,8 +146,14 @@ def test_registry_orders_unverified_first():
     from hydraide_spark import golden
 
     def tier(n: str) -> int:
-        if n in golden._CHANGED_R10 or n in golden._CHANGED_R9:
+        if (
+            n in golden._CHANGED_R11
+            or n in golden._CHANGED_R10
+            or n in golden._CHANGED_R9
+        ):
             return 0
+        if n in golden._R10_VERIFIED:
+            return 10
         if n in golden._R9_VERIFIED:
             return 9
         if n in golden._R8_VERIFIED:
@@ -217,3 +223,16 @@ def test_doc_counts_match_registry():
         # fails here
         assert stated <= {n_q, n_o}, f"{doc} states stale counts {stated - {n_q, n_o}}"
         assert n_q in stated, f"{doc} no longer states the registry size"
+
+
+def test_bench_headline_covers_full_registry():
+    """r10 VERDICT #6: the bench headline set equals the golden
+    registry EXACTLY — a new golden without a bench entry (or a
+    silently dropped headline) fails here, so coverage of the
+    measured surface can never shrink unnoticed."""
+    import bench
+    from hydraide_spark import golden
+
+    head = list(bench.HEADLINE)
+    assert len(head) == len(set(head)), "duplicate bench headline entries"
+    assert sorted(head) == sorted(golden.queries())

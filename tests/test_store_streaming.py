@@ -2282,3 +2282,62 @@ def test_subscribe_strict_fifo_empty_log_seed_and_drain(spark, tmp_path):
     assert len(got) == n_calls  # nothing stranded
     flat = [e for batch in got for e in batch]
     assert flat == [(1, "k0"), (2, "k1")]
+
+
+def test_strict_fifo_cross_swamp_parallelism(spark, tmp_path):
+    """r10 VERDICT #7: strict FIFO serializes PER SWAMP only — two
+    stores' strict subscribers run concurrently without serializing
+    each other (the reference's cost model: serial per swamp, parallel
+    across swamps, hydra.go:950-1019). Subscriber A's callback BLOCKS
+    (slow consumer); subscriber B must drain its whole backlog while A
+    is still mid-backlog — if the two delivery points shared a lock,
+    B would finish only after A."""
+    import time
+
+    from hydraide_spark.streaming.subscribe import subscribe_strict_fifo
+
+    store_a = make_store(spark, tmp_path / "a", BASE)
+    store_b = make_store(spark, tmp_path / "b", BASE)
+    for i in range(4):
+        for s in (store_a, store_b):
+            s.set(
+                spark.createDataFrame(
+                    [(f"k{i}", i, None)],
+                    "key string, val long, expired_at timestamp",
+                )
+            )
+
+    a_events, b_events = [], []
+    b_done_at = {}
+
+    def on_a(rows, epoch):
+        time.sleep(1.5)  # slow consumer on swamp A
+        a_events.extend((r["batch_id"], r["key"]) for r in rows)
+
+    def on_b(rows, epoch):
+        b_events.extend((r["batch_id"], r["key"]) for r in rows)
+        b_done_at["t"] = time.monotonic()
+
+    t0 = time.monotonic()
+    qa = subscribe_strict_fifo(
+        spark, store_a, on_a, queue_name="strict_a", max_files_per_trigger=1
+    )
+    qb = subscribe_strict_fifo(
+        spark, store_b, on_b, queue_name="strict_b", max_files_per_trigger=32
+    )
+    try:
+        qb.processAllAvailable()
+        b_wall = b_done_at["t"] - t0
+        qa.processAllAvailable()
+        a_wall = time.monotonic() - t0
+    finally:
+        qa.stop()
+        qb.stop()
+    # both drained completely, each in its own total order
+    assert [k for _, k in a_events] == ["k0", "k1", "k2", "k3"]
+    assert [k for _, k in b_events] == ["k0", "k1", "k2", "k3"]
+    assert [b for b, _ in a_events] == sorted(b for b, _ in a_events)
+    # B finished while A (4 x 1.5 s serial sleeps) was still draining —
+    # cross-swamp parallelism, not global serialization
+    assert a_wall >= 6.0
+    assert b_wall < a_wall - 3.0

@@ -159,6 +159,9 @@ def test_compaction_preserves_frontier_and_prunes_markers(spark, tmp_path):
         )
     )
     folded = compact_unified_search_state(spark, state)
+    # every maintained table folded; pqcodes is absent in a pre-PQ
+    # state (refresh_pq_model bootstraps it) so its fold is a no-op
+    assert folded.pop("pqcodes") == 0
     assert all(n >= 1 for n in folded.values())
     # folded epochs' markers pruned; the newest (left for retries) keeps its
     assert committed_epochs(state) == [-1, 2]
@@ -461,4 +464,221 @@ def test_interrupted_refresh_refuses_then_resumes(spark, tmp_path):
         spark, state, WORDS, queries, None, topk_per_side=10, topk=5
     )
     assert got.count() > 0
+    corpus.unpersist()
+
+
+def _pq_serve_tuples(df):
+    return sorted(
+        (r["query_id"], r["doc_id"], round(r["adist"], 9)) for r in df.collect()
+    )
+
+
+def _pq_batch_tuples(df):
+    return sorted(
+        (r["query_id"], r["vec_id"], round(r["adist"], 9)) for r in df.collect()
+    )
+
+
+def test_refresh_pq_model_bootstraps_and_serves_ivfadc(spark, tmp_path):
+    """r10 VERDICT #3: refresh_pq_model trains per-subspace codebooks
+    from the persisted vectors, (re)builds the pqcodes table under the
+    crash-safe swap, persists _PQMODEL — and ivfadc_from_state under
+    the refreshed books equals the batch ivfadc_topk under the same
+    books, with and without the exact re-rank. A post-refresh ingest
+    picks the stored books up and keeps the equality as the corpus
+    grows."""
+    from hydraide_spark.functions.vector import ivfadc_topk
+    from hydraide_spark.streaming.search_stream import (
+        ivfadc_from_state,
+        refresh_pq_model,
+        stored_pq_model,
+    )
+
+    corpus = _corpus(spark).persist()
+    dim = len(corpus.head()["embedding"])
+    cents0 = train_ivf_centroids(
+        corpus.select(F.col("doc_id").alias("vec_id"), "embedding"),
+        n_centroids=4,
+    )
+    state = str(tmp_path / "ustate")
+    from hydraide_spark.streaming.search_stream import store_ivf_model
+
+    os.makedirs(state, exist_ok=True)
+    store_ivf_model(state, cents0)  # PQ cell routing reads the stored model
+    ingest = make_search_ingest(spark, state, cents0)
+    first = corpus.filter(F.col("doc_id") % 3 != 2)
+    for epoch in range(2):
+        ingest(first.filter(F.col("doc_id") % 3 == epoch), epoch)
+
+    # bootstrap: pre-PQ state -> pqcodes layer up from persisted vectors
+    books = refresh_pq_model(spark, state, m=8, k=8)
+    assert stored_pq_model(state) is not None
+    dirs = [
+        d
+        for d in os.listdir(os.path.join(state, "pqcodes"))
+        if d.startswith("epoch=")
+    ]
+    assert dirs == ["epoch=-1"]
+
+    queries = _queries(spark, corpus)
+    for rf in (0, 3):
+        got = _pq_serve_tuples(
+            ivfadc_from_state(
+                spark, state, queries, k=10, nprobe=2, rerank_factor=rf
+            )
+        )
+        want = _pq_batch_tuples(
+            ivfadc_topk(
+                first.select(F.col("doc_id").alias("vec_id"), "embedding"),
+                queries,
+                cents0,
+                books,
+                dim,
+                k=10,
+                nprobe=2,
+                rerank_factor=rf,
+            )
+        )
+        assert got == want, f"rerank_factor={rf}"
+
+    # post-refresh ingest (stored books) extends pqcodes per epoch
+    ingest2 = make_search_ingest(spark, state)
+    ingest2(corpus.filter(F.col("doc_id") % 3 == 2), 2)
+    got = _pq_serve_tuples(
+        ivfadc_from_state(spark, state, queries, k=10, nprobe=2)
+    )
+    want = _pq_batch_tuples(
+        ivfadc_topk(
+            corpus.select(F.col("doc_id").alias("vec_id"), "embedding"),
+            queries,
+            cents0,
+            books,
+            dim,
+            k=10,
+            nprobe=2,
+        )
+    )
+    assert got == want
+    corpus.unpersist()
+
+
+def test_interrupted_pq_refresh_refuses_then_resumes(spark, tmp_path):
+    """Crash window between the pqcodes rebuild and the _PQMODEL
+    persist: the _PQREBUILDING journal makes PQ serving AND a
+    PQ-encoding ingest refuse loudly; a re-run RESUMES under the
+    journaled books, clears the marker, and serving equals the batch
+    path under those books."""
+    import json
+
+    import pytest as _pytest
+
+    from hydraide_spark.functions.vector import ivfadc_topk
+    from hydraide_spark.streaming.search_stream import (
+        ivfadc_from_state,
+        refresh_pq_model,
+        stored_pq_model,
+    )
+
+    corpus = _corpus(spark).persist()
+    dim = len(corpus.head()["embedding"])
+    cents0 = train_ivf_centroids(
+        corpus.select(F.col("doc_id").alias("vec_id"), "embedding"),
+        n_centroids=4,
+    )
+    state = str(tmp_path / "ustate")
+    from hydraide_spark.streaming.search_stream import store_ivf_model
+
+    os.makedirs(state, exist_ok=True)
+    store_ivf_model(state, cents0)  # PQ cell routing reads the stored model
+    ingest = make_search_ingest(spark, state, cents0)
+    for epoch in range(2):
+        ingest(corpus.filter(F.col("doc_id") % 2 == epoch), epoch)
+    books = refresh_pq_model(spark, state, m=8, k=8)
+
+    # hand-arrange the crash: journal present again
+    with open(os.path.join(state, "_PQREBUILDING"), "w") as fh:
+        json.dump(
+            [[[int(c), [float(x) for x in v]] for c, v in b] for b in books],
+            fh,
+        )
+    queries = _queries(spark, corpus)
+    with _pytest.raises(RuntimeError, match="interrupted"):
+        ivfadc_from_state(spark, state, queries, k=5)
+    with _pytest.raises(RuntimeError, match="interrupted"):
+        make_search_ingest(spark, state)  # PQ layer active -> refuses
+
+    books2 = refresh_pq_model(spark, state)
+    assert not os.path.exists(os.path.join(state, "_PQREBUILDING"))
+    assert stored_pq_model(state) == [
+        [[int(c), [float(x) for x in v]] for c, v in b] for b in books2
+    ]
+    got = _pq_serve_tuples(
+        ivfadc_from_state(spark, state, queries, k=10, nprobe=2)
+    )
+    want = _pq_batch_tuples(
+        ivfadc_topk(
+            corpus.select(F.col("doc_id").alias("vec_id"), "embedding"),
+            queries,
+            cents0,
+            books2,
+            dim,
+            k=10,
+            nprobe=2,
+        )
+    )
+    assert got == want
+    corpus.unpersist()
+
+
+def test_refresh_ivf_model_recells_pqcodes(spark, tmp_path):
+    """An IVF centroid refresh re-routes the PQ layer too: pqcodes'
+    cell keys are rebuilt under the new model (codes unchanged), so
+    IVFADC serving equals the batch path under (new centroids, same
+    books)."""
+    from hydraide_spark.functions.vector import ivfadc_topk
+    from hydraide_spark.streaming.search_stream import (
+        ivfadc_from_state,
+        refresh_ivf_model,
+        refresh_pq_model,
+    )
+
+    corpus = _corpus(spark).persist()
+    dim = len(corpus.head()["embedding"])
+    cents0 = train_ivf_centroids(
+        corpus.select(F.col("doc_id").alias("vec_id"), "embedding"),
+        n_centroids=4,
+    )
+    state = str(tmp_path / "ustate")
+    from hydraide_spark.streaming.search_stream import store_ivf_model
+
+    os.makedirs(state, exist_ok=True)
+    store_ivf_model(state, cents0)  # PQ cell routing reads the stored model
+    ingest = make_search_ingest(spark, state, cents0)
+    for epoch in range(2):
+        ingest(corpus.filter(F.col("doc_id") % 2 == epoch), epoch)
+    books = refresh_pq_model(spark, state, m=8, k=8)
+
+    cents1 = refresh_ivf_model(spark, state, n_centroids=8)
+    dirs = [
+        d
+        for d in os.listdir(os.path.join(state, "pqcodes"))
+        if d.startswith("epoch=")
+    ]
+    assert dirs == ["epoch=-1"]
+    queries = _queries(spark, corpus)
+    got = _pq_serve_tuples(
+        ivfadc_from_state(spark, state, queries, k=10, nprobe=2)
+    )
+    want = _pq_batch_tuples(
+        ivfadc_topk(
+            corpus.select(F.col("doc_id").alias("vec_id"), "embedding"),
+            queries,
+            cents1,
+            books,
+            dim,
+            k=10,
+            nprobe=2,
+        )
+    )
+    assert got == want
     corpus.unpersist()
