@@ -24,6 +24,26 @@ Maps the reference's per-swamp storage + reactivity model (SURVEY.md
 Scale note: snapshots are partitioned parquet — at 100 TB a version
 bump rewrites only the partitions a batch touches (partitionBy on the
 namespace columns); the change log is append-only and time-partitioned.
+
+**Bucketed manifest layout (r11, opt-in ``n_buckets=``)** — the
+partitioned-merge upgrade for the KEYED mutation hot path (the ×100
+stress's worst entry: store_set_bulk10pct rewrote the ENTIRE snapshot
+per commit, b=0.73). State is hash-bucketed by key
+(``b = xxhash64(key) % n_buckets``); version ``v=N`` holds parquet
+ONLY for the buckets the batch touched plus a ``_BUCKETS`` manifest
+mapping every live bucket to the version dir that owns its current
+copy — untouched buckets are REFERENCED, never rewritten (the
+Iceberg/Delta snapshot idiom, and the reference's v2 storage split of
+write-buffer vs settled chunks). Keyed mutations (set/delete/
+increment/patch/patch_each/uint32slice) scope BOTH the read and the
+write to the touched buckets, so a 10%-of-keys batch reads and writes
+~10% of the store; whole-store scans (shift/patch-expired claims, a
+capped patch's whole-swamp pre-count) read everything by semantics
+but still write only the buckets their mutated keys live in. The
+manifest is the atomic publish point (tmp + rename, written AFTER the
+parquet): a crashed write leaves an unpublished dir that ``_versions``
+never counts and the next commit overwrites. ``compact`` keeps every
+version dir a kept manifest still references.
 """
 
 from __future__ import annotations
@@ -58,6 +78,7 @@ def _serialized(method):
     @functools.wraps(method)
     def wrapper(self, *args, **kwargs):
         with self._txn:
+            self._scope = None  # never inherit a failed txn's scope
             return method(self, *args, **kwargs)
 
     return wrapper
@@ -83,6 +104,7 @@ class TreasureStore:
         partition_by: Sequence[str] = (),
         name: Optional[str] = None,
         registry=None,
+        n_buckets: Optional[int] = None,
     ):
         """``partition_by``: namespace columns (e.g. sanctuary/realm/
         swamp) that shard every snapshot on disk — per-swamp reads
@@ -105,6 +127,22 @@ class TreasureStore:
         if self.settings is not None and not partition_by:
             partition_by = self.settings.partition_by
         self.partition_by = list(partition_by)
+        # bucketed manifest layout: the arg wins; otherwise adopt the
+        # persisted _LAYOUT marker so reopening an existing bucketed
+        # store needs no constructor knowledge
+        if n_buckets is None:
+            try:
+                with open(os.path.join(root, "_LAYOUT")) as fh:
+                    n_buckets = int(json.load(fh).get("n_buckets") or 0) or None
+            except (OSError, ValueError):
+                n_buckets = None
+        if n_buckets is not None and self.partition_by:
+            raise ValueError(
+                "n_buckets (bucketed manifest layout) and partition_by "
+                "(namespace layout) are mutually exclusive"
+            )
+        self.n_buckets = int(n_buckets) if n_buckets else None
+        self._scope: Optional[list[int]] = None  # touched-bucket ids
         self._cached: Optional[tuple[int, DataFrame]] = None
         self._last_access: float = 0.0
         self._txn = threading.RLock()
@@ -148,8 +186,93 @@ class TreasureStore:
         for name in os.listdir(self.root):
             m = re.fullmatch(r"v=(\d+)", name)
             if m:
-                out.append(int(m.group(1)))
+                v = int(m.group(1))
+                # bucketed layout: a version exists only once its
+                # manifest landed (the atomic publish point) — a
+                # crashed write's dir is invisible and gets
+                # overwritten by the next commit
+                if self.n_buckets is not None and not os.path.isfile(
+                    self._manifest_path(v)
+                ):
+                    continue
+                out.append(v)
         return sorted(out)
+
+    # -- bucketed manifest layout (r11) -------------------------------------
+
+    _MANIFEST_NAME = "_BUCKETS"
+
+    def _manifest_path(self, v: int) -> str:
+        return os.path.join(self._snapshot_path(v), self._MANIFEST_NAME)
+
+    def _bucket_expr(self) -> F.Column:
+        return F.pmod(
+            F.xxhash64(F.col(self.key_col).cast("string")),
+            F.lit(self.n_buckets),
+        ).cast("int")
+
+    def _read_manifest(self, v: int) -> "dict[int, int]":
+        with open(self._manifest_path(v)) as fh:
+            return {int(k): int(x) for k, x in json.load(fh).items()}
+
+    def _publish_manifest(self, v: int, mapping: "dict[int, int]") -> None:
+        path = self._manifest_path(v)
+        tmp = path + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump({str(k): x for k, x in sorted(mapping.items())}, fh)
+        os.replace(tmp, path)
+
+    def _bucket_paths(self, mapping: "dict[int, int]", buckets=None) -> list[str]:
+        want = mapping if buckets is None else {
+            b: mapping[b] for b in buckets if b in mapping
+        }
+        return [
+            os.path.join(self._snapshot_path(x), f"b={b}")
+            for b, x in sorted(want.items())
+        ]
+
+    def _bucketed_read(self, v: int, buckets=None) -> DataFrame:
+        """Resolve version ``v``'s manifest and read the referenced
+        bucket dirs (optionally only ``buckets``) in ONE multi-path
+        read — uniform leaf depth, no partition column (``b`` is
+        layout, derivable from the key)."""
+        mapping = self._read_manifest(v)
+        paths = self._bucket_paths(mapping, buckets)
+        if not paths:
+            # fully-empty store (every bucket empty): reconstruct the
+            # schema from the layout-seed parquet written at init
+            return self.spark.read.parquet(
+                os.path.join(self.root, "_schema")
+            ).limit(0)
+        return self.spark.read.parquet(*paths)
+
+    def _touched_buckets(self, keys) -> list[int]:
+        """Bucket ids a key set hashes into. ``keys`` is a python
+        sequence or a DataFrame carrying ``key_col``; the collect is
+        bounded by min(|keys|, n_buckets)."""
+        if not isinstance(keys, DataFrame):
+            keys = self.spark.createDataFrame(
+                [(str(k),) for k in keys], f"{self.key_col} string"
+            )
+        rows = (
+            keys.select(self._bucket_expr().alias("_b")).distinct().collect()
+        )
+        return sorted(r["_b"] for r in rows)
+
+    def _scope_to(self, keys) -> None:
+        """Scope the CURRENT transaction to the buckets ``keys`` hash
+        into: ``current()`` then reads only those buckets' dirs and
+        ``_write_version`` rewrites only them (manifest-referencing the
+        rest). No-op on the plain layout. Set by keyed mutations before
+        their base read — or, on whole-store claim paths, AFTER the
+        claim set materializes (read is full by semantics, the write
+        still prunes). ``_write_version`` consumes and clears it; the
+        transaction guard clears any stale scope a failed txn left.
+        DataFrames built from a scoped ``current()`` keep their
+        resolved paths, so post-write event projections stay valid
+        after the scope clears."""
+        if self.n_buckets is not None:
+            self._scope = self._touched_buckets(keys)
 
     @property
     def version(self) -> int:
@@ -168,6 +291,8 @@ class TreasureStore:
         v = self.version
         if v < 0:
             raise FileNotFoundError(f"store {self.root} has no snapshot")
+        if self.n_buckets is not None:
+            return self._bucketed_read(v, buckets=self._scope)
         if self.settings is not None and self.settings.in_memory:
             # IsInMemorySwamp: pin the live snapshot in executor memory;
             # a version bump invalidates the pin (new snapshot, new
@@ -207,6 +332,8 @@ class TreasureStore:
         FileNotFoundError for a compacted/never-written version."""
         if v not in self._versions():
             raise FileNotFoundError(f"store {self.root} has no snapshot v={v}")
+        if self.n_buckets is not None:
+            return self._bucketed_read(v)
         return self.spark.read.parquet(self._snapshot_path(v))
 
     def history(self) -> DataFrame:
@@ -237,11 +364,62 @@ class TreasureStore:
 
     def init(self, df: DataFrame) -> None:
         """Create v=0 without emitting events (bulk load / migration)."""
+        if self.n_buckets is not None:
+            # layout marker (reopen without constructor args) + schema
+            # seed (the read fallback when every bucket is empty)
+            os.makedirs(self.root, exist_ok=True)
+            with open(os.path.join(self.root, "_LAYOUT"), "w") as fh:
+                json.dump({"n_buckets": self.n_buckets}, fh)
+            df.limit(0).write.mode("overwrite").parquet(
+                os.path.join(self.root, "_schema")
+            )
+            self._write_bucketed(df, self.version + 1, base_mapping={})
+            return
         self._writer(df).parquet(self._snapshot_path(self.version + 1))
 
     def _writer(self, df: DataFrame):
         w = df.write.mode("overwrite")
         return w.partitionBy(*self.partition_by) if self.partition_by else w
+
+    def _write_bucketed(
+        self, df: DataFrame, v: int, base_mapping: "dict[int, int]"
+    ) -> None:
+        """One bucketed version commit: write ``df``'s rows partitioned
+        by bucket under ``v=N`` (mode overwrite clears any unpublished
+        crash leftover), then publish the manifest — buckets present in
+        the new dir point at N, scoped-out buckets keep their previous
+        owner, and a touched bucket that came back EMPTY (every row
+        deleted) drops out of the mapping. The manifest rename is the
+        atomic publish."""
+        path = self._snapshot_path(v)
+        if self._scope is not None:
+            # keyed paths already produce only scoped rows (their base
+            # read was scoped); claim paths hand the FULL new state and
+            # rely on this filter to prune the write to the buckets
+            # their mutated keys live in
+            df = df.filter(
+                self._bucket_expr().isin([int(b) for b in self._scope])
+            )
+        (
+            df.withColumn("b", self._bucket_expr())
+            .repartition(F.col("b"))
+            .write.mode("overwrite")
+            .partitionBy("b")
+            .parquet(path)
+        )
+        written = {
+            int(d.split("=", 1)[1])
+            for d in os.listdir(path)
+            if d.startswith("b=")
+        }
+        mapping = dict(base_mapping)
+        if self._scope is not None:
+            for b in self._scope:
+                mapping.pop(b, None)
+        else:
+            mapping = {}
+        mapping.update({b: v for b in written})
+        self._publish_manifest(v, mapping)
 
     def changes(self) -> DataFrame:
         return self.spark.read.schema(CHANGE_SCHEMA).parquet(self.changes_dir)
@@ -263,11 +441,24 @@ class TreasureStore:
         version holds live rows only — so compaction reduces to dropping
         superseded version directories (the analogue of rewriting the
         append-only file without tombstones). Keeps the newest
-        ``keep_versions``; returns the number of versions removed."""
+        ``keep_versions``; returns the number of versions removed.
+
+        Bucketed layout: a kept version's manifest may REFERENCE bucket
+        dirs living in older version dirs (that's the point of the
+        layout) — those dirs stay until no kept manifest needs them, so
+        time travel over the kept window and the current read never
+        break. Reclaim is per-version-dir, like Iceberg snapshot
+        expiry."""
         import shutil
 
         vs = self._versions()
         drop = vs[:-keep_versions] if keep_versions > 0 else vs
+        if self.n_buckets is not None:
+            kept = vs[-keep_versions:] if keep_versions > 0 else []
+            referenced: set[int] = set(kept)
+            for v in kept:
+                referenced.update(self._read_manifest(v).values())
+            drop = [v for v in drop if v not in referenced]
         for v in drop:
             shutil.rmtree(self._snapshot_path(v), ignore_errors=True)
         return len(drop)
@@ -318,6 +509,11 @@ class TreasureStore:
 
     def _write_version(self, df: DataFrame) -> int:
         v = self.version + 1
+        if self.n_buckets is not None:
+            base_mapping = self._read_manifest(v - 1) if v > 0 else {}
+            self._write_bucketed(df, v, base_mapping)
+            self._scope = None
+            return v
         self._writer(df).parquet(self._snapshot_path(v))
         return v
 
@@ -350,7 +546,16 @@ class TreasureStore:
         overwrite: bool = True,
     ) -> DataFrame:
         """Reference ``Set``: merge + per-key statuses + change events
-        (NEW/UPDATED; NOTHING_CHANGED emits nothing)."""
+        (NEW/UPDATED; NOTHING_CHANGED emits nothing).
+
+        Returned statuses cover every key of the TRANSACTION'S READ
+        SCOPE: the whole store on the plain layout, the touched
+        buckets on the bucketed layout — always a superset of the
+        request keys (at scale, enumerating a NOTHING_CHANGED row for
+        every untouched key in a billion-row store is neither useful
+        nor possible; the reference returns per-request statuses
+        too)."""
+        self._scope_to(updates)
         base = self.current()
         value_cols = [c for c in updates.columns if c != self.key_col]
         merged = mutate_ops.set_treasures(
@@ -386,6 +591,7 @@ class TreasureStore:
 
     @_serialized
     def delete(self, keys: Sequence[str]) -> DataFrame:
+        self._scope_to(keys)
         base = self.current()
         value_cols = [c for c in base.columns if c != self.key_col]
         remaining, deleted = mutate_ops.delete_treasures(base, keys, self.key_col)
@@ -438,6 +644,7 @@ class TreasureStore:
         (swamp.go:1345-1349) — so an unapplied existing key's stamp is
         visible in the response yet absent from subsequent reads, there
         as here."""
+        self._scope_to(keys)
         base = self.current()
         value_cols = [c for c in base.columns if c != self.key_col]
         has_meta = meta_if_not_exist is not None or meta_if_exist is not None
@@ -533,6 +740,7 @@ class TreasureStore:
     def _uint32slice_op(
         self, keys: Sequence[str], values: Sequence[int], ids_col: str, push: bool
     ) -> DataFrame:
+        self._scope_to(keys)
         base = self.current()
         value_cols = [c for c in base.columns if c != self.key_col]
         lits = F.array(*[F.lit(int(v)) for v in values]).cast("array<bigint>")
@@ -578,6 +786,7 @@ class TreasureStore:
         )
         claimed = claimed.cache()
         claimed.count()  # pin the claim set before the snapshot swaps
+        self._scope_to(claimed)  # write-prune: only claimed buckets
         batch = self._write_version(remaining)
         self._emit(
             claimed.select(
@@ -612,6 +821,7 @@ class TreasureStore:
         )
         claimed = claimed.cache()
         claimed.count()  # pin the claim set before the snapshot swaps
+        self._scope_to(claimed)  # write-prune: only claimed buckets
         batch = self._write_version(remaining)
         self._emit(
             claimed.select(
@@ -671,6 +881,11 @@ class TreasureStore:
         :func:`operators.mutate.patch_treasures_batch` (oracle-gated by
         the ``patch_cap_budget`` golden query); this wrapper adds the
         serialized persist + event emission."""
+        if cap is None:
+            # a capped patch pre-counts the WHOLE swamp (proto:3023) —
+            # its base read must stay unscoped; without a cap the
+            # transaction touches only the listed keys' buckets
+            self._scope_to(keys)
         batch_out = mutate_ops.patch_treasures_batch(
             self.spark,
             self.current(),
@@ -790,8 +1005,9 @@ class TreasureStore:
         )
         results = results.cache()
         results.count()
-        batch = self._write_version(new_state)
         patched = results.filter(F.col("patch_status") == mutate_ops.STATUS_PATCHED)
+        self._scope_to(patched)  # write-prune: only re-leased buckets
+        batch = self._write_version(new_state)
         self._emit(
             patched.select(
                 F.col(self.key_col),

@@ -1,0 +1,167 @@
+"""Bucketed manifest store layout (r11): keyed mutations read AND
+write only the hash-buckets their keys live in; every version's
+``_BUCKETS`` manifest references untouched buckets' dirs in older
+versions (the Iceberg snapshot idiom). Pins: result equivalence with
+the plain layout over a whole mutation script, write pruning on disk,
+manifest-gated crash invisibility, reference-aware compaction, claim
+write-pruning, and empty-bucket retirement.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from hydraide_spark.sources.store import TreasureStore
+
+SCHEMA = "key string, val long, expired_at timestamp"
+
+
+def _mk(spark, path, n_buckets=None, rows=None):
+    store = TreasureStore(spark, str(path), n_buckets=n_buckets)
+    data = rows if rows is not None else [(f"k{i}", i, None) for i in range(40)]
+    store.init(spark.createDataFrame(data, SCHEMA))
+    return store
+
+
+def _state(store):
+    return sorted(
+        (r["key"], r["val"]) for r in store.current().select("key", "val").collect()
+    )
+
+
+def _events(store):
+    return sorted(
+        (r["batch_id"], r["op"], r["key"]) for r in store.changes().collect()
+    )
+
+
+def test_bucketed_equals_plain_over_mutation_script(spark, tmp_path):
+    plain = _mk(spark, tmp_path / "plain")
+    buck = _mk(spark, tmp_path / "buck", n_buckets=8)
+
+    req = {"k3", "zz", "k5"}
+
+    def script(store):
+        out = []
+        # statuses compare on the REQUEST keys: the plain layout also
+        # enumerates NOTHING_CHANGED for every untouched store key,
+        # the bucketed layout only for keys sharing a touched bucket
+        # (documented; at scale the full enumeration cannot exist)
+        out.append(
+            sorted(
+                (r["key"], r["set_status"])
+                for r in store.set(
+                    spark.createDataFrame(
+                        [("k3", 300, None), ("zz", 1, None), ("k5", 5, None)],
+                        SCHEMA,
+                    )
+                ).collect()
+                if r["key"] in req
+            )
+        )
+        out.append(sorted(map(tuple, store.delete(["k7", "nope"]).collect())))
+        out.append(
+            sorted(
+                map(
+                    tuple,
+                    store.increment(["k1", "new1"], "val", 10, create_if_not_exist=True)
+                    .select("key", "new_value", "applied", "created")
+                    .collect(),
+                )
+            )
+        )
+        return out
+
+    assert script(plain) == script(buck)
+    assert _state(plain) == _state(buck)
+    assert _events(plain) == _events(buck)
+    # reopening without constructor args adopts the persisted layout
+    reopened = TreasureStore(spark, str(tmp_path / "buck"))
+    assert reopened.n_buckets == 8
+    assert _state(reopened) == _state(plain)
+
+
+def test_bucketed_set_writes_only_touched_buckets(spark, tmp_path):
+    store = _mk(spark, tmp_path / "s", n_buckets=16, rows=[(f"k{i}", i, None) for i in range(400)])
+    v0 = store.version
+    m0 = store._read_manifest(v0)
+    assert len(m0) > 8  # 400 keys cover most of 16 buckets
+    store.set(spark.createDataFrame([("k3", 999, None)], SCHEMA))
+    v1 = store.version
+    dirs = [
+        d for d in os.listdir(store._snapshot_path(v1)) if d.startswith("b=")
+    ]
+    assert len(dirs) == 1  # ONE key -> one bucket rewritten
+    m1 = store._read_manifest(v1)
+    touched = int(dirs[0].split("=", 1)[1])
+    assert m1[touched] == v1
+    # every other bucket still points at v0 (referenced, not rewritten)
+    assert all(v == v0 for b, v in m1.items() if b != touched)
+    # reads: current sees the update, time travel sees the original
+    assert (store.current().filter(F.col("key") == "k3").head()["val"]) == 999
+    assert (store.snapshot(v0).filter(F.col("key") == "k3").head()["val"]) == 3
+    assert store.current().count() == 400
+
+
+def test_bucketed_unpublished_version_is_invisible(spark, tmp_path):
+    store = _mk(spark, tmp_path / "s", n_buckets=8)
+    v = store.version
+    # a crashed write: parquet landed, manifest did not
+    ghost = store._snapshot_path(v + 1)
+    os.makedirs(os.path.join(ghost, "b=0"), exist_ok=True)
+    assert store.version == v  # invisible
+    store.set(spark.createDataFrame([("k1", 111, None)], SCHEMA))
+    assert store.version == v + 1  # overwrote and published
+    assert store.current().filter(F.col("key") == "k1").head()["val"] == 111
+
+
+def test_bucketed_compact_keeps_referenced_dirs(spark, tmp_path):
+    store = _mk(spark, tmp_path / "s", n_buckets=8, rows=[(f"k{i}", i, None) for i in range(100)])
+    for i in range(4):
+        store.set(spark.createDataFrame([(f"k{i}", 1000 + i, None)], SCHEMA))
+    before = _state(store)
+    vs = store._versions()
+    removed = store.compact(keep_versions=1)
+    # v0 holds the untouched buckets — it MUST survive; some
+    # intermediate single-bucket versions are unreferenced and go
+    assert removed >= 1
+    assert 0 in store._versions() or os.path.isdir(store._snapshot_path(0))
+    assert _state(store) == before
+    assert store.current().count() == 100
+    # an expired intermediate version is gone for time travel
+    gone = [v for v in vs[:-1] if not os.path.isdir(store._snapshot_path(v))]
+    assert gone, "expected at least one reclaimed version dir"
+
+
+def test_bucketed_claim_write_prunes(spark, tmp_path):
+    from datetime import datetime
+
+    rows = [(f"k{i}", i, datetime(2020, 1, 1 + (i % 5))) for i in range(50)]
+    store = _mk(spark, tmp_path / "s", n_buckets=16, rows=rows)
+    claimed = store.shift_expired(datetime(2020, 1, 2), how_many=2)
+    keys = sorted(r["key"] for r in claimed.collect())
+    assert len(keys) == 2
+    v = store.version
+    dirs = [d for d in os.listdir(store._snapshot_path(v)) if d.startswith("b=")]
+    assert len(dirs) <= 2  # only the claimed keys' buckets rewritten
+    assert store.current().count() == 48
+    assert not [
+        r for r in store.current().collect() if r["key"] in set(keys)
+    ]
+
+
+def test_bucketed_delete_retires_empty_bucket(spark, tmp_path):
+    rows = [(f"k{i}", i, None) for i in range(30)]
+    store = _mk(spark, tmp_path / "s", n_buckets=4, rows=rows)
+    # find all keys of one bucket and delete them all
+    by_bucket = store.current().select(
+        "key", store._bucket_expr().alias("b")
+    ).collect()
+    target = by_bucket[0]["b"]
+    doomed = [r["key"] for r in by_bucket if r["b"] == target]
+    store.delete(doomed)
+    m = store._read_manifest(store.version)
+    assert target not in m  # empty bucket dropped from the manifest
+    assert store.current().count() == 30 - len(doomed)

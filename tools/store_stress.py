@@ -71,12 +71,20 @@ def base_frame(spark, n: int):
     )
 
 
-def build_store(spark, path: str, n: int) -> TreasureStore:
+def build_store(spark, path: str, n: int, n_buckets=None) -> TreasureStore:
     if os.path.exists(path):
         shutil.rmtree(path)
-    store = TreasureStore(spark, path)
+    store = TreasureStore(spark, path, n_buckets=n_buckets)
     store.init(base_frame(spark, n))
     return store
+
+
+def auto_store_buckets(n: int) -> int:
+    """Bucket count ∝ store size (bucket ≈ 4096 rows, like the LSM
+    state bases): the write prune for a fixed-size key batch is
+    min(batch, n_buckets) × bucket_rows — CONSTANT as the store grows,
+    which is the whole point of the r11 manifest layout."""
+    return 1 << max(4, (n // 4096).bit_length())
 
 
 def timed(fn) -> float:
@@ -109,6 +117,23 @@ def run_ops(spark, store: TreasureStore, n: int) -> dict[str, float]:
         )
     )
     t["store_set_bulk10pct"] = timed(lambda: store.set(updates))
+
+    # fixed SMALL batch (100 keys): the point-write regime where the
+    # bucketed manifest layout's O(batch) claim is measurable — a
+    # random 10%-of-n bulk touches every hash bucket by construction
+    # (no layout can prune it), but 100 keys touch ≤100 bucket dirs
+    # whose total rows stay constant as the store grows
+    keys_100 = [f"k{i * (n // 100):012d}" for i in range(100)]
+    upd_100 = spark.createDataFrame(
+        [(k,) for k in keys_100], "key string"
+    ).select(
+        "key",
+        F.lit(1).cast("long").alias("val"),
+        F.lit(1).cast("long").alias("prio"),
+        F.lit(None).cast("timestamp").alias("expired_at"),
+        F.struct(F.lit(1).cast("long").alias("n")).alias("body"),
+    )
+    t["store_set_100"] = timed(lambda: store.set(upd_100))
 
     # point writes: fixed-size key list (state-size dependence only)
     t["store_increment_1k"] = timed(
@@ -178,6 +203,16 @@ def main() -> None:
         for name, sec in run_ops(spark, store, n).items():
             results.setdefault(name, {})[f"x{m}"] = sec
             print(f"  x{m} {name}: {sec}s", file=sys.stderr)
+        store.destroy()
+        # the same op surface on the r11 bucketed manifest layout
+        nb = auto_store_buckets(n)
+        print(f"building x{m} bucketed store (n={n}, b={nb}) ...", file=sys.stderr)
+        store = build_store(
+            spark, os.path.join(WORK, f"x{m}b"), n, n_buckets=nb
+        )
+        for name, sec in run_ops(spark, store, n).items():
+            results.setdefault(name + "_bucketed", {})[f"x{m}"] = sec
+            print(f"  x{m} {name}_bucketed: {sec}s", file=sys.stderr)
         store.destroy()
 
     table = {}
