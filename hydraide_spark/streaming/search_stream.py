@@ -574,6 +574,122 @@ def compact_unified_search_state(
     return folded
 
 
+def ann_topk_auto_from_state(
+    spark: SparkSession,
+    state_dir: str,
+    queries: DataFrame,
+    k: int,
+    centroids=None,
+    codebooks=None,
+    nprobe: int = 2,
+    rerank_factor: int = 0,
+    id_col: str = "doc_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    epochs=None,
+    n_rows: "int | None" = None,
+    route: "str | None" = None,
+) -> DataFrame:
+    """:func:`~hydraide_spark.functions.vector.ann_topk_auto` over the
+    PERSISTED unified state — the router's third input, persisted-state
+    availability, made concrete (the batch router's docstring promises
+    it; the reference's planner analogy is bucket_planner.go:55-123).
+    The regime thresholds are the same `ann_route`; what changes is the
+    DATA SOURCE each route reads:
+
+    - ``exact``    — brute-force float cosine over the persisted cells
+      table's vectors (the state keeps raw vectors for re-ranks and
+      rebuilds, so exactness is available).
+    - ``int8``     — the persisted int8 code index, ALL cells probed
+      (a flat quantized scan; identical ranking to the batch
+      ``int8_topk`` because ingest and query quantize with the same
+      expressions).
+    - ``ivf_int8`` — :func:`ivf_int8_from_state` (cell-pruned codes).
+    - ``ivfadc``   — :func:`ivfadc_from_state` (cell-pruned PQ codes);
+      FALLS BACK to ``ivf_int8`` when no PQ model is bootstrapped
+      (``refresh_pq_model`` brings it up) — availability routing, not
+      an error.
+
+    ``n_rows`` defaults to one count of the persisted doclen-free
+    cells frontier — pass a catalog figure at scale. Emits
+    (query_id, id, rank, route)."""
+    from ..functions.vector import ann_route, cosine_topk
+    from .ann_stream import persisted_cells
+    from pyspark.sql.window import Window as W
+
+    if epochs is None:
+        epochs = committed_epochs(state_dir)
+    cells = persisted_cells(
+        spark, state_dir, id_col=id_col, vec_col=vec_col, epochs=epochs
+    )
+    if n_rows is None:
+        n_rows = cells.count()
+    dim = len(queries.select(query_vec_col).head()[0])
+    chosen = route if route is not None else ann_route(n_rows, dim)
+    if chosen == "ivfadc" and stored_pq_model(state_dir) is None and codebooks is None:
+        chosen = "ivf_int8"  # PQ layer not bootstrapped — nearest route
+    if chosen == "exact":
+        out = cosine_topk(
+            cells.select(F.col(id_col), F.col(vec_col)),
+            queries,
+            k,
+            id_col=id_col,
+            vec_col=vec_col,
+            query_id_col=query_id_col,
+            query_vec_col=query_vec_col,
+        )
+        w = W.partitionBy(query_id_col).orderBy(
+            F.col("score").desc(), F.col(id_col).asc()
+        )
+        ranked = out.withColumn("rank", F.row_number().over(w))
+    elif chosen in ("int8", "ivf_int8"):
+        cents = _resolve_centroids(state_dir, centroids)
+        ranked = ivf_int8_from_state(
+            spark,
+            state_dir,
+            queries,
+            k,
+            centroids=cents,
+            # the flat-int8 regime is "probe every cell": same index,
+            # same ranking, no cell pruning — the routed difference is
+            # only how much of the corpus the probe may skip
+            nprobe=len(cents) if chosen == "int8" else nprobe,
+            id_col=id_col,
+            query_id_col=query_id_col,
+            query_vec_col=query_vec_col,
+            epochs=epochs,
+        )
+    elif chosen == "ivfadc":
+        out = ivfadc_from_state(
+            spark,
+            state_dir,
+            queries,
+            k,
+            centroids=centroids,
+            codebooks=codebooks,
+            nprobe=nprobe,
+            rerank_factor=rerank_factor,
+            id_col=id_col,
+            vec_col=vec_col,
+            query_id_col=query_id_col,
+            query_vec_col=query_vec_col,
+            epochs=epochs,
+        )
+        w = W.partitionBy(query_id_col).orderBy(
+            F.col("adist").asc(), F.col(id_col).asc()
+        )
+        ranked = out.withColumn("rank", F.row_number().over(w))
+    else:
+        raise ValueError(f"ann_topk_auto_from_state: unknown route {chosen!r}")
+    return ranked.select(
+        F.col(query_id_col),
+        F.col(id_col),
+        F.col("rank").cast("int").alias("rank"),
+        F.lit(chosen).alias("route"),
+    )
+
+
 def persisted_pqcodes(
     spark: SparkSession, state_dir: str, id_col: str = "doc_id", epochs=None
 ) -> DataFrame:

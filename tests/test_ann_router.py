@@ -143,3 +143,69 @@ def test_auto_rejects_unknown_route(spark):
     emb, queries = _emb_queries(spark)
     with pytest.raises(ValueError, match="unknown route"):
         ann_topk_auto(emb, queries, k=5, route="warp", n_rows=10, dim=64)
+
+
+def test_auto_from_state_routes_and_matches_batch(spark, tmp_path):
+    """The router's persisted-state leg: same regime thresholds, data
+    read from the unified state. Pins per-route equivalence with the
+    batch router where the representations coincide (exact route reads
+    the persisted raw vectors; int8/ivf_int8 read the persisted codes
+    built by the same quantization expressions) and the
+    availability fallback (no PQ model -> ivfadc falls to ivf_int8)."""
+    from hydraide_spark.functions.vector import train_ivf_centroids
+    from hydraide_spark.sources.tables import load_table
+    from hydraide_spark.streaming.search_stream import (
+        ann_topk_auto_from_state,
+        make_search_ingest,
+        store_ivf_model,
+    )
+    import os
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    emb = load_table(spark, SF, "embeddings").select(
+        F.col("vec_id").alias("doc_id"), "embedding"
+    )
+    corpus = docs.join(emb, "doc_id").select("doc_id", "text", "embedding").persist()
+    cents = train_ivf_centroids(
+        corpus.select(F.col("doc_id").alias("vec_id"), "embedding"), n_centroids=8
+    )
+    state = str(tmp_path / "ustate")
+    os.makedirs(state, exist_ok=True)
+    store_ivf_model(state, cents)
+    ingest = make_search_ingest(spark, state, cents)
+    for e in range(2):
+        ingest(corpus.filter(F.col("doc_id") % 2 == e), e)
+
+    queries = corpus.filter(F.col("doc_id") < 5).select(
+        F.col("doc_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    emb_batch = corpus.select(F.col("doc_id").alias("vec_id"), "embedding")
+
+    def rows(df, idc):
+        return sorted((r["query_id"], r["rank"], r[idc]) for r in df.collect())
+
+    # auto at gate scale -> exact over the persisted vectors == batch
+    got = ann_topk_auto_from_state(spark, state, queries, k=10)
+    assert {r["route"] for r in got.collect()} == {"exact"}
+    want = ann_topk_auto(emb_batch, queries, k=10)
+    assert rows(got, "doc_id") == rows(want, "vec_id")
+
+    # forced int8/ivf_int8 from persisted codes == batch forced routes
+    for route in ("int8", "ivf_int8"):
+        got = ann_topk_auto_from_state(
+            spark, state, queries, k=10, route=route, n_rows=2**30
+        )
+        assert {r["route"] for r in got.collect()} == {route}
+        want = ann_topk_auto(
+            emb_batch, queries, k=10, route=route, n_rows=2**30, dim=64,
+            centroids=cents,
+        )
+        assert rows(got, "doc_id") == rows(want, "vec_id"), route
+
+    # no PQ model bootstrapped -> ivfadc request routes to ivf_int8
+    got = ann_topk_auto_from_state(
+        spark, state, queries, k=10, route="ivfadc", n_rows=2**30
+    )
+    assert {r["route"] for r in got.collect()} == {"ivf_int8"}
+    corpus.unpersist()
