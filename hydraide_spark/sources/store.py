@@ -952,14 +952,18 @@ class TreasureStore:
         The pure transformation (plan shape, cap probes, scale notes)
         lives in :func:`operators.mutate.patch_each_batch`; this
         wrapper adds the serialized persist + event emission."""
-        base = self.current()
-
         # the proto shape allows an empty Patches list — no-op: no new
         # version, no events, an empty result frame
         if not patches:
             return self.spark.createDataFrame(
                 [], f"patch_index int, {self.key_col} string, patch_status string"
             )
+        if cap is None:
+            # a capped request pre-counts the WHOLE swamp (proto:3023)
+            # — its base read must stay unscoped; otherwise the
+            # transaction touches only the entries' keys' buckets
+            self._scope_to([p[0] for p in patches])
+        base = self.current()
 
         batch_out = mutate_ops.patch_each_batch(
             self.spark,
