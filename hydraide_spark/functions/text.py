@@ -1177,8 +1177,12 @@ def calibration_report(
     # binned feeds BOTH the output rows and the ECE total — persist the
     # ≤n_bins frame so the O(corpus) scan+aggregate underneath runs
     # once, not once per consumer (the recompute-above-and-below trap;
-    # CLAUDE.md dedup.py lesson)
+    # CLAUDE.md dedup.py lesson). pin_latest bounds the session-lifetime
+    # leak of repeated calls (functions/_cache LRU of generations).
     binned = binned.persist()
+    from ._cache import pin_latest
+
+    pin_latest("text.calibration_report", binned)
     totals = binned.agg(
         F.sum("n").alias("_N"),
         F.sum(

@@ -1332,7 +1332,11 @@ def ann_topk_auto(
     if n_rows is None:
         n_rows = df.count()
     if dim is None:
-        dim = len(df.select(vec_col).head()[0])
+        h = df.select(vec_col).head()
+        # empty corpus: dim 0 routes to exact, whose empty scan yields
+        # the empty (query_id, id, rank, route) result instead of a
+        # NoneType crash
+        dim = len(h[0]) if h is not None and h[0] is not None else 0
     chosen = route if route is not None else ann_route(n_rows, dim)
     if chosen == "exact":
         out = cosine_topk(
@@ -1340,12 +1344,7 @@ def ann_topk_auto(
             id_col=id_col, vec_col=vec_col,
             query_id_col=query_id_col, query_vec_col=query_vec_col,
         )
-        # the survivors are ≤ k·|queries| rows — ranking them with one
-        # window is driver-scale work, not a corpus funnel
-        w = W.partitionBy(query_id_col).orderBy(
-            F.col("score").desc(), F.col(id_col).asc()
-        )
-        ranked = out.withColumn("rank", F.row_number().over(w))
+        ranked = rank_route_survivors(out, query_id_col, id_col, "score")
     elif chosen == "int8":
         ranked = int8_topk(
             df, queries, k,
@@ -1389,12 +1388,33 @@ def ann_topk_auto(
             id_col=id_col, vec_col=vec_col,
             query_id_col=query_id_col, query_vec_col=query_vec_col,
         )
-        w = W.partitionBy(query_id_col).orderBy(
-            F.col("adist").asc(), F.col(id_col).asc()
-        )
-        ranked = out.withColumn("rank", F.row_number().over(w))
+        ranked = rank_route_survivors(out, query_id_col, id_col, "adist")
     else:
         raise ValueError(f"ann_topk_auto: unknown route {chosen!r}")
+    return route_output(ranked, query_id_col, id_col, chosen)
+
+
+def rank_route_survivors(
+    out: DataFrame, query_id_col: str, id_col: str, score_col: str
+) -> DataFrame:
+    """Rank a route's ≤ k·|queries| survivor frame with ONE per-query
+    window — driver-scale work, never a corpus funnel. 'score' ranks
+    descending (cosine), anything else ('adist') ascending; tiebreak
+    id ASC, the total order every router test pins. Shared by the
+    batch router and the persisted-state router so their ranking
+    semantics cannot drift apart."""
+    key = (
+        F.col(score_col).desc() if score_col == "score" else F.col(score_col).asc()
+    )
+    w = W.partitionBy(query_id_col).orderBy(key, F.col(id_col).asc())
+    return out.withColumn("rank", F.row_number().over(w))
+
+
+def route_output(
+    ranked: DataFrame, query_id_col: str, id_col: str, chosen: str
+) -> DataFrame:
+    """The router's output contract — (query_id, id, rank, route) —
+    in ONE place for both routers."""
     return ranked.select(
         F.col(query_id_col),
         F.col(id_col),

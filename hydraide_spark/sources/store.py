@@ -79,7 +79,13 @@ def _serialized(method):
     def wrapper(self, *args, **kwargs):
         with self._txn:
             self._scope = None  # never inherit a failed txn's scope
-            return method(self, *args, **kwargs)
+            try:
+                return method(self, *args, **kwargs)
+            finally:
+                # a mutation that RAISES after scoping must not leave
+                # current() returning a partial (touched-buckets-only)
+                # view to its caller's error handling
+                self._scope = None
 
     return wrapper
 
@@ -142,12 +148,24 @@ class TreasureStore:
                 "(namespace layout) are mutually exclusive"
             )
         self.n_buckets = int(n_buckets) if n_buckets else None
-        self._scope: Optional[list[int]] = None  # touched-bucket ids
+        # touched-bucket scope is THREAD-LOCAL: a mutation thread's
+        # scoped read must never leak into a concurrent reader thread's
+        # lock-free current() (the claim loop mutates from a stream
+        # thread while serving threads read)
+        self._scope_tl = threading.local()
         self._cached: Optional[tuple[int, DataFrame]] = None
         self._last_access: float = 0.0
         self._txn = threading.RLock()
         self._recover_changes()
         os.makedirs(self.changes_dir, exist_ok=True)
+
+    @property
+    def _scope(self) -> "Optional[list[int]]":
+        return getattr(self._scope_tl, "v", None)
+
+    @_scope.setter
+    def _scope(self, value) -> None:
+        self._scope_tl.v = value
 
     # -- layout ------------------------------------------------------------
 
@@ -458,7 +476,19 @@ class TreasureStore:
             referenced: set[int] = set(kept)
             for v in kept:
                 referenced.update(self._read_manifest(v).values())
+            donors = [v for v in drop if v in referenced]
             drop = [v for v in drop if v not in referenced]
+            # a donor dir survives as bucket storage only — DELETE its
+            # manifest so it stops being a readable version: its own
+            # mapping may reference dirs dropped below, and a
+            # snapshot(v) through it would die mid-plan with a raw
+            # path-not-found instead of the documented
+            # FileNotFoundError for compacted versions
+            for v in donors:
+                try:
+                    os.remove(self._manifest_path(v))
+                except OSError:
+                    pass
         for v in drop:
             shutil.rmtree(self._snapshot_path(v), ignore_errors=True)
         return len(drop)

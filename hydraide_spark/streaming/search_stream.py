@@ -369,7 +369,14 @@ def make_search_ingest(
     from .ann_stream import make_ivf_ingest
 
     centroids = _resolve_centroids(state_dir, centroids)
-    if pq_codebooks is not None or stored_pq_model(state_dir) is not None:
+    if (
+        pq_codebooks is not None
+        or stored_pq_model(state_dir) is not None
+        # an interrupted BOOTSTRAP leaves the journal with no stored
+        # model yet — new epochs silently skipping pqcodes would make
+        # the table lag committed epochs forever; refuse here too
+        or os.path.exists(os.path.join(state_dir, _PQREBUILD_FILE))
+    ):
         pq_codebooks = _resolve_pq_books(state_dir, pq_codebooks)
     lex_ingest = make_postings_ingest(
         spark, state_dir, id_col=id_col, text_col=text_col
@@ -614,9 +621,13 @@ def ann_topk_auto_from_state(
     ``n_rows`` defaults to one count of the persisted doclen-free
     cells frontier — pass a catalog figure at scale. Emits
     (query_id, id, rank, route)."""
-    from ..functions.vector import ann_route, cosine_topk
+    from ..functions.vector import (
+        ann_route,
+        cosine_topk,
+        rank_route_survivors,
+        route_output,
+    )
     from .ann_stream import persisted_cells
-    from pyspark.sql.window import Window as W
 
     if epochs is None:
         epochs = committed_epochs(state_dir)
@@ -625,7 +636,10 @@ def ann_topk_auto_from_state(
     )
     if n_rows is None:
         n_rows = cells.count()
-    dim = len(queries.select(query_vec_col).head()[0])
+    qh = queries.select(query_vec_col).head()
+    # empty query batch: dim 0 routes to exact, whose empty broadcast
+    # join yields the empty (query_id, id, rank, route) result
+    dim = len(qh[0]) if qh is not None and qh[0] is not None else 0
     chosen = route if route is not None else ann_route(n_rows, dim)
     if chosen == "ivfadc" and stored_pq_model(state_dir) is None and codebooks is None:
         chosen = "ivf_int8"  # PQ layer not bootstrapped — nearest route
@@ -639,10 +653,7 @@ def ann_topk_auto_from_state(
             query_id_col=query_id_col,
             query_vec_col=query_vec_col,
         )
-        w = W.partitionBy(query_id_col).orderBy(
-            F.col("score").desc(), F.col(id_col).asc()
-        )
-        ranked = out.withColumn("rank", F.row_number().over(w))
+        ranked = rank_route_survivors(out, query_id_col, id_col, "score")
     elif chosen in ("int8", "ivf_int8"):
         cents = _resolve_centroids(state_dir, centroids)
         ranked = ivf_int8_from_state(
@@ -676,18 +687,10 @@ def ann_topk_auto_from_state(
             query_vec_col=query_vec_col,
             epochs=epochs,
         )
-        w = W.partitionBy(query_id_col).orderBy(
-            F.col("adist").asc(), F.col(id_col).asc()
-        )
-        ranked = out.withColumn("rank", F.row_number().over(w))
+        ranked = rank_route_survivors(out, query_id_col, id_col, "adist")
     else:
         raise ValueError(f"ann_topk_auto_from_state: unknown route {chosen!r}")
-    return ranked.select(
-        F.col(query_id_col),
-        F.col(id_col),
-        F.col("rank").cast("int").alias("rank"),
-        F.lit(chosen).alias("route"),
-    )
+    return route_output(ranked, query_id_col, id_col, chosen)
 
 
 def persisted_pqcodes(

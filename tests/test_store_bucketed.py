@@ -165,3 +165,41 @@ def test_bucketed_delete_retires_empty_bucket(spark, tmp_path):
     m = store._read_manifest(store.version)
     assert target not in m  # empty bucket dropped from the manifest
     assert store.current().count() == 30 - len(doomed)
+
+
+def test_failed_mutation_does_not_leak_scope(spark, tmp_path):
+    """r11 review: a mutation that raises AFTER scoping must not leave
+    current() returning the touched-buckets-only partial view."""
+    import pytest
+
+    store = _mk(spark, tmp_path / "s", n_buckets=8)
+    bad = spark.createDataFrame([("k1", "not-a-long")], "key string, val string")
+    with pytest.raises(Exception):
+        store.set(bad)  # schema mismatch inside the merge
+    assert store.current().count() == 40  # full view, not one bucket
+
+
+def test_compact_demotes_donor_versions_from_time_travel(spark, tmp_path):
+    """r11 review: a version dir kept only as BUCKET STORAGE for newer
+    manifests is no longer a readable version — its own manifest may
+    reference reclaimed dirs. snapshot() must raise the documented
+    FileNotFoundError, not a mid-plan path error."""
+    import pytest
+
+    store = _mk(spark, tmp_path / "s", n_buckets=8, rows=[(f"k{i}", i, None) for i in range(100)])
+    for i in range(4):
+        store.set(spark.createDataFrame([(f"k{i}", 1000 + i, None)], SCHEMA))
+    vs_before = store._versions()
+    store.compact(keep_versions=1)
+    live = store._versions()
+    donors = [
+        v
+        for v in vs_before
+        if v not in live and os.path.isdir(store._snapshot_path(v))
+    ]
+    assert donors, "expected at least one donor version"
+    for v in donors:
+        with pytest.raises(FileNotFoundError):
+            store.snapshot(v)
+    # the surviving version still reads completely
+    assert store.current().count() == 100

@@ -682,3 +682,28 @@ def test_refresh_ivf_model_recells_pqcodes(spark, tmp_path):
     )
     assert got == want
     corpus.unpersist()
+
+
+def test_interrupted_pq_bootstrap_refuses_ingest(spark, tmp_path):
+    """r11 review: an interrupted PQ BOOTSTRAP (journal present, no
+    stored model yet) must refuse a new ingest — silently skipping the
+    pqcodes writes would leave the table lagging committed epochs
+    forever."""
+    import json
+
+    import pytest as _pytest
+
+    from hydraide_spark.streaming.search_stream import store_ivf_model
+
+    corpus = _corpus(spark)
+    cents0 = train_ivf_centroids(
+        corpus.select(F.col("doc_id").alias("vec_id"), "embedding"),
+        n_centroids=4,
+    )
+    state = str(tmp_path / "ustate")
+    os.makedirs(state, exist_ok=True)
+    store_ivf_model(state, cents0)
+    with open(os.path.join(state, "_PQREBUILDING"), "w") as fh:
+        json.dump([[[0, [0.0] * 8]]], fh)
+    with _pytest.raises(RuntimeError, match="interrupted"):
+        make_search_ingest(spark, state, cents0)
