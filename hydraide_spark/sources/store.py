@@ -229,40 +229,86 @@ class TreasureStore:
             F.lit(self.n_buckets),
         ).cast("int")
 
-    def _read_manifest(self, v: int) -> "dict[int, int]":
+    def _read_manifest_full(
+        self, v: int
+    ) -> "dict[int, tuple[int, list[str] | None]]":
+        """bucket -> (owner version, file names or None). The FILE list
+        (manifest v2) is what lets reads skip directory listing
+        entirely — the full Iceberg idiom; a legacy v1 manifest (bucket
+        -> version only) reads with None file lists and falls back to
+        dir paths."""
         with open(self._manifest_path(v)) as fh:
-            return {int(k): int(x) for k, x in json.load(fh).items()}
+            raw = json.load(fh)
+        if isinstance(raw, dict) and "buckets" in raw:
+            return {
+                int(b): (int(entry[0]), entry[1])
+                for b, entry in raw["buckets"].items()
+            }
+        return {int(k): (int(x), None) for k, x in raw.items()}
 
-    def _publish_manifest(self, v: int, mapping: "dict[int, int]") -> None:
+    def _read_manifest(self, v: int) -> "dict[int, int]":
+        return {b: o for b, (o, _f) in self._read_manifest_full(v).items()}
+
+    def _publish_manifest(
+        self, v: int, full: "dict[int, tuple[int, list[str] | None]]"
+    ) -> None:
         path = self._manifest_path(v)
         tmp = path + ".tmp"
         with open(tmp, "w") as fh:
-            json.dump({str(k): x for k, x in sorted(mapping.items())}, fh)
+            json.dump(
+                {
+                    "buckets": {
+                        str(b): [o, files] for b, (o, files) in sorted(full.items())
+                    }
+                },
+                fh,
+            )
         os.replace(tmp, path)
 
-    def _bucket_paths(self, mapping: "dict[int, int]", buckets=None) -> list[str]:
-        want = mapping if buckets is None else {
-            b: mapping[b] for b in buckets if b in mapping
+    def _bucket_paths(
+        self,
+        full: "dict[int, tuple[int, list[str] | None]]",
+        buckets=None,
+    ) -> list[str]:
+        want = full if buckets is None else {
+            b: full[b] for b in buckets if b in full
         }
-        return [
-            os.path.join(self._snapshot_path(x), f"b={b}")
-            for b, x in sorted(want.items())
-        ]
+        out: list[str] = []
+        for b, (o, files) in sorted(want.items()):
+            d = os.path.join(self._snapshot_path(o), f"b={b}")
+            if files:
+                out.extend(os.path.join(d, f) for f in files)
+            else:
+                out.append(d)
+        return out
+
+    @property
+    def _data_schema(self):
+        """The store's data schema, read ONCE from the layout seed —
+        supplying it to every bucketed read skips footer inference on
+        top of the listing skip."""
+        if getattr(self, "_schema_cache", None) is None:
+            self._schema_cache = self.spark.read.parquet(
+                os.path.join(self.root, "_schema")
+            ).schema
+        return self._schema_cache
 
     def _bucketed_read(self, v: int, buckets=None) -> DataFrame:
         """Resolve version ``v``'s manifest and read the referenced
-        bucket dirs (optionally only ``buckets``) in ONE multi-path
-        read — uniform leaf depth, no partition column (``b`` is
-        layout, derivable from the key)."""
-        mapping = self._read_manifest(v)
-        paths = self._bucket_paths(mapping, buckets)
+        bucket FILES (optionally only ``buckets``' ones) in ONE
+        explicit-paths read: no directory listing, no footer schema
+        inference — the manifest IS the file index (Iceberg idiom).
+        No partition column appears (``b`` is layout, derivable from
+        the key)."""
+        full = self._read_manifest_full(v)
+        paths = self._bucket_paths(full, buckets)
         if not paths:
             # fully-empty store (every bucket empty): reconstruct the
             # schema from the layout-seed parquet written at init
             return self.spark.read.parquet(
                 os.path.join(self.root, "_schema")
             ).limit(0)
-        return self.spark.read.parquet(*paths)
+        return self.spark.read.schema(self._data_schema).parquet(*paths)
 
     def _touched_buckets(self, keys) -> list[int]:
         """Bucket ids a key set hashes into. ``keys`` is a python
@@ -425,18 +471,23 @@ class TreasureStore:
             .partitionBy("b")
             .parquet(path)
         )
-        written = {
-            int(d.split("=", 1)[1])
-            for d in os.listdir(path)
-            if d.startswith("b=")
-        }
+        written: "dict[int, list[str]]" = {}
+        for d in os.listdir(path):
+            if not d.startswith("b="):
+                continue
+            b = int(d.split("=", 1)[1])
+            written[b] = sorted(
+                f
+                for f in os.listdir(os.path.join(path, d))
+                if f.endswith(".parquet") and not f.startswith(("_", "."))
+            )
         mapping = dict(base_mapping)
         if self._scope is not None:
             for b in self._scope:
                 mapping.pop(b, None)
         else:
             mapping = {}
-        mapping.update({b: v for b in written})
+        mapping.update({b: (v, files) for b, files in written.items()})
         self._publish_manifest(v, mapping)
 
     def changes(self) -> DataFrame:
@@ -540,7 +591,7 @@ class TreasureStore:
     def _write_version(self, df: DataFrame) -> int:
         v = self.version + 1
         if self.n_buckets is not None:
-            base_mapping = self._read_manifest(v - 1) if v > 0 else {}
+            base_mapping = self._read_manifest_full(v - 1) if v > 0 else {}
             self._write_bucketed(df, v, base_mapping)
             self._scope = None
             return v

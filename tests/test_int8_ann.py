@@ -96,17 +96,23 @@ def test_ivf_int8_recall_vs_exact_cosine(spark):
     assert sum(recalls) / len(recalls) >= 0.5, recalls
 
 
-def test_int8_neardup_agrees_with_float_verify(spark):
+import pytest as _pytest
+
+
+@_pytest.mark.parametrize("sf_dir", [SF, "/root/testdata/sf0.01"])
+def test_int8_neardup_agrees_with_float_verify(spark, sf_dir):
     """embedding_neardup_pairs_int8 must find (nearly) the same pair
     set as the float verify under IDENTICAL blocking: quantization
     moves the cosine by < ~0.02, so with a margin band around tau the
-    sets match exactly; overall Jaccard agreement stays high."""
+    sets match exactly; overall Jaccard agreement stays high. Runs at
+    sf0.001 AND sf0.01 (r10 memory note: the floor should hold as the
+    corpus — and the per-label blocks — grow 10×)."""
     from hydraide_spark.functions.dedup import (
         embedding_neardup_pairs,
         embedding_neardup_pairs_int8,
     )
 
-    emb = load_table(spark, SF, "embeddings")
+    emb = load_table(spark, sf_dir, "embeddings")
     base = emb.select(
         "vec_id", "label",
         F.col("embedding").cast("array<double>").alias("embedding"),
