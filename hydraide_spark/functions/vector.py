@@ -1344,7 +1344,9 @@ def ann_topk_auto(
             id_col=id_col, vec_col=vec_col,
             query_id_col=query_id_col, query_vec_col=query_vec_col,
         )
-        ranked = rank_route_survivors(out, query_id_col, id_col, "score")
+        ranked = rank_route_survivors(
+            out, query_id_col, id_col, "score", descending=True
+        )
     elif chosen == "int8":
         ranked = int8_topk(
             df, queries, k,
@@ -1388,24 +1390,30 @@ def ann_topk_auto(
             id_col=id_col, vec_col=vec_col,
             query_id_col=query_id_col, query_vec_col=query_vec_col,
         )
-        ranked = rank_route_survivors(out, query_id_col, id_col, "adist")
+        ranked = rank_route_survivors(
+            out, query_id_col, id_col, "adist", descending=False
+        )
     else:
         raise ValueError(f"ann_topk_auto: unknown route {chosen!r}")
     return route_output(ranked, query_id_col, id_col, chosen)
 
 
 def rank_route_survivors(
-    out: DataFrame, query_id_col: str, id_col: str, score_col: str
+    out: DataFrame,
+    query_id_col: str,
+    id_col: str,
+    score_col: str,
+    descending: bool,
 ) -> DataFrame:
     """Rank a route's ≤ k·|queries| survivor frame with ONE per-query
-    window — driver-scale work, never a corpus funnel. 'score' ranks
-    descending (cosine), anything else ('adist') ascending; tiebreak
-    id ASC, the total order every router test pins. Shared by the
-    batch router and the persisted-state router so their ranking
-    semantics cannot drift apart."""
-    key = (
-        F.col(score_col).desc() if score_col == "score" else F.col(score_col).asc()
-    )
+    window — driver-scale work, never a corpus funnel. The sort
+    direction is EXPLICIT (similarities rank descending, distances
+    ascending — inferring it from a column name is one rename away
+    from silently inverted ranks); tiebreak id ASC, the total order
+    every router test pins. Shared by the batch router and the
+    persisted-state router so their ranking semantics cannot drift
+    apart."""
+    key = F.col(score_col).desc() if descending else F.col(score_col).asc()
     w = W.partitionBy(query_id_col).orderBy(key, F.col(id_col).asc())
     return out.withColumn("rank", F.row_number().over(w))
 

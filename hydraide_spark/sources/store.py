@@ -282,16 +282,31 @@ class TreasureStore:
                 out.append(d)
         return out
 
-    @property
-    def _data_schema(self):
-        """The store's data schema, read ONCE from the layout seed —
-        supplying it to every bucketed read skips footer inference on
-        top of the listing skip."""
-        if getattr(self, "_schema_cache", None) is None:
-            self._schema_cache = self.spark.read.parquet(
-                os.path.join(self.root, "_schema")
-            ).schema
-        return self._schema_cache
+    def _version_schema(self, v: int):
+        """The data schema AS OF version ``v`` (written with every
+        bucketed commit): bucket files from OLDER versions may lack
+        columns a later mutation added (increment/patch meta stamps),
+        and forcing one fixed schema would either hide the new columns
+        (the init seed) or drop rows' nulls inconsistently (a random
+        footer). Reading with the version's own schema makes old files
+        fill the added columns with NULL — the unionByName
+        (allowMissingColumns) semantics the layout needs. Falls back
+        to the init seed for pre-schema versions."""
+        from pyspark.sql import types as _T
+
+        cache = getattr(self, "_schema_cache", None)
+        if cache is None:
+            cache = self._schema_cache = {}
+        if v not in cache:
+            sp = os.path.join(self._snapshot_path(v), "_SCHEMA")
+            try:
+                with open(sp) as fh:
+                    cache[v] = _T.StructType.fromJson(json.load(fh))
+            except (OSError, ValueError, KeyError):
+                cache[v] = self.spark.read.parquet(
+                    os.path.join(self.root, "_schema")
+                ).schema
+        return cache[v]
 
     def _bucketed_read(self, v: int, buckets=None) -> DataFrame:
         """Resolve version ``v``'s manifest and read the referenced
@@ -308,7 +323,7 @@ class TreasureStore:
             return self.spark.read.parquet(
                 os.path.join(self.root, "_schema")
             ).limit(0)
-        return self.spark.read.schema(self._data_schema).parquet(*paths)
+        return self.spark.read.schema(self._version_schema(v)).parquet(*paths)
 
     def _touched_buckets(self, keys) -> list[int]:
         """Bucket ids a key set hashes into. ``keys`` is a python
@@ -446,7 +461,10 @@ class TreasureStore:
         return w.partitionBy(*self.partition_by) if self.partition_by else w
 
     def _write_bucketed(
-        self, df: DataFrame, v: int, base_mapping: "dict[int, int]"
+        self,
+        df: DataFrame,
+        v: int,
+        base_mapping: "dict[int, tuple[int, list[str] | None]]",
     ) -> None:
         """One bucketed version commit: write ``df``'s rows partitioned
         by bucket under ``v=N`` (mode overwrite clears any unpublished
@@ -488,6 +506,10 @@ class TreasureStore:
         else:
             mapping = {}
         mapping.update({b: (v, files) for b, files in written.items()})
+        # the schema AS OF this commit, BEFORE the manifest (the
+        # publish point) — reads resolve evolved columns through it
+        with open(os.path.join(path, "_SCHEMA"), "w") as fh:
+            json.dump(df.schema.jsonValue(), fh)
         self._publish_manifest(v, mapping)
 
     def changes(self) -> DataFrame:
@@ -510,25 +532,42 @@ class TreasureStore:
         version holds live rows only — so compaction reduces to dropping
         superseded version directories (the analogue of rewriting the
         append-only file without tombstones). Keeps the newest
-        ``keep_versions``; returns the number of versions removed.
+        ``keep_versions``; returns the number of versions removed
+        FROM TIME TRAVEL — deleted dirs plus donor versions demoted to
+        bucket storage (their manifests removed; ``snapshot(v)`` then
+        raises).
 
         Bucketed layout: a kept version's manifest may REFERENCE bucket
         dirs living in older version dirs (that's the point of the
-        layout) — those dirs stay until no kept manifest needs them, so
-        time travel over the kept window and the current read never
-        break. Reclaim is per-version-dir, like Iceberg snapshot
-        expiry."""
+        layout) — those dirs stay as DONORS until no kept manifest
+        needs them; every compact rescans ALL on-disk version dirs, so
+        a donor dereferenced by later commits is reclaimed by the next
+        compact even though it stopped being a listed version. Reclaim
+        is per-version-dir, like Iceberg snapshot expiry."""
         import shutil
 
         vs = self._versions()
         drop = vs[:-keep_versions] if keep_versions > 0 else vs
+        demoted = 0
         if self.n_buckets is not None:
             kept = vs[-keep_versions:] if keep_versions > 0 else []
             referenced: set[int] = set(kept)
             for v in kept:
                 referenced.update(self._read_manifest(v).values())
-            donors = [v for v in drop if v in referenced]
-            drop = [v for v in drop if v not in referenced]
+            # ALL on-disk version dirs, including donors a previous
+            # compact already demoted (their manifests are gone, so
+            # _versions() no longer lists them) — once nothing kept
+            # references them, they are reclaimable dead storage
+            on_disk = sorted(
+                int(m.group(1))
+                for m in (
+                    re.fullmatch(r"v=(\d+)", n)
+                    for n in (os.listdir(self.root) if os.path.isdir(self.root) else [])
+                )
+                if m
+            )
+            donors = [v for v in on_disk if v not in kept and v in referenced]
+            drop = [v for v in on_disk if v not in kept and v not in referenced]
             # a donor dir survives as bucket storage only — DELETE its
             # manifest so it stops being a readable version: its own
             # mapping may reference dirs dropped below, and a
@@ -538,11 +577,12 @@ class TreasureStore:
             for v in donors:
                 try:
                     os.remove(self._manifest_path(v))
+                    demoted += 1
                 except OSError:
                     pass
         for v in drop:
             shutil.rmtree(self._snapshot_path(v), ignore_errors=True)
-        return len(drop)
+        return len(drop) + demoted
 
     @_serialized
     def prune_changes(self, before_batch: int) -> int:

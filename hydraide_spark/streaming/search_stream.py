@@ -637,10 +637,18 @@ def ann_topk_auto_from_state(
     if n_rows is None:
         n_rows = cells.count()
     qh = queries.select(query_vec_col).head()
-    # empty query batch: dim 0 routes to exact, whose empty broadcast
-    # join yields the empty (query_id, id, rank, route) result
-    dim = len(qh[0]) if qh is not None and qh[0] is not None else 0
-    chosen = route if route is not None else ann_route(n_rows, dim)
+    # an EMPTY query batch forces the exact route regardless of n_rows
+    # (the int8/ivf routes would pointlessly resolve models just to
+    # return nothing); its empty broadcast join yields the empty
+    # (query_id, id, rank, route) result
+    empty_batch = qh is None or qh[0] is None
+    dim = 0 if empty_batch else len(qh[0])
+    if route is not None:
+        chosen = route
+    elif empty_batch:
+        chosen = "exact"
+    else:
+        chosen = ann_route(n_rows, dim)
     if chosen == "ivfadc" and stored_pq_model(state_dir) is None and codebooks is None:
         chosen = "ivf_int8"  # PQ layer not bootstrapped — nearest route
     if chosen == "exact":
@@ -653,7 +661,9 @@ def ann_topk_auto_from_state(
             query_id_col=query_id_col,
             query_vec_col=query_vec_col,
         )
-        ranked = rank_route_survivors(out, query_id_col, id_col, "score")
+        ranked = rank_route_survivors(
+            out, query_id_col, id_col, "score", descending=True
+        )
     elif chosen in ("int8", "ivf_int8"):
         cents = _resolve_centroids(state_dir, centroids)
         ranked = ivf_int8_from_state(
@@ -687,7 +697,9 @@ def ann_topk_auto_from_state(
             query_vec_col=query_vec_col,
             epochs=epochs,
         )
-        ranked = rank_route_survivors(out, query_id_col, id_col, "adist")
+        ranked = rank_route_survivors(
+            out, query_id_col, id_col, "adist", descending=False
+        )
     else:
         raise ValueError(f"ann_topk_auto_from_state: unknown route {chosen!r}")
     return route_output(ranked, query_id_col, id_col, chosen)

@@ -209,3 +209,35 @@ def test_auto_from_state_routes_and_matches_batch(spark, tmp_path):
     )
     assert {r["route"] for r in got.collect()} == {"ivf_int8"}
     corpus.unpersist()
+
+
+def test_auto_from_state_empty_query_batch(spark, tmp_path):
+    """r11 review: an empty query batch must yield the empty routed
+    result via the exact route — not resolve models for nothing (a
+    big-n override without a stored IVF model used to raise)."""
+    from hydraide_spark.functions.vector import train_ivf_centroids
+    from hydraide_spark.streaming.search_stream import (
+        ann_topk_auto_from_state,
+        make_search_ingest,
+    )
+
+    emb, _ = _emb_queries(spark)
+    docs = emb.select(
+        F.col("vec_id").alias("doc_id"),
+        F.concat(F.lit("doc "), F.col("vec_id").cast("string")).alias("text"),
+        "embedding",
+    )
+    cents = train_ivf_centroids(
+        emb.select("vec_id", "embedding"), n_centroids=4
+    )
+    state = str(tmp_path / "ustate")
+    # note: NO store_ivf_model — the int8 route would raise on resolve
+    make_search_ingest(spark, state, cents)(docs, 0)
+    empty_q = spark.createDataFrame(
+        [], "query_id long, query_vec array<double>"
+    )
+    out = ann_topk_auto_from_state(
+        spark, state, empty_q, k=5, n_rows=2**30
+    )
+    assert out.count() == 0
+    assert out.columns == ["query_id", "doc_id", "rank", "route"]

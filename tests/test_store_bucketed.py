@@ -224,3 +224,60 @@ def test_legacy_v1_manifest_still_reads(spark, tmp_path):
     full2 = store._read_manifest_full(store.version)
     assert any(files for _o, files in full2.values())
     assert store.current().filter(F.col("key") == "k1").head()["val"] == 5
+
+
+def test_schema_evolution_survives_bucketed_reads(spark, tmp_path):
+    """r11 review #2: a mutation that ADDS columns (increment meta
+    stamps) must stay readable — reads resolve through the committing
+    version's schema, and rows from older bucket files fill the new
+    columns with NULL."""
+    from hydraide_spark.operators.mutate import IncrementMeta
+
+    store = _mk(spark, tmp_path / "s", n_buckets=8)
+    store.increment(
+        ["k1", "k2"],
+        "val",
+        7,
+        meta_if_exist=IncrementMeta(updated_at=True),
+        now_us=1_700_000_000_000_000,
+    )
+    cur = store.current()
+    assert "updated_at_us" in cur.columns  # evolved column visible
+    stamped = {
+        r["key"]: r["updated_at_us"]
+        for r in cur.select("key", "updated_at_us").collect()
+    }
+    assert stamped["k1"] == 1_700_000_000_000_000
+    assert stamped["k2"] == 1_700_000_000_000_000
+    assert stamped["k5"] is None  # old bucket files fill NULL
+    # and a SECOND mutation still sees the stamps (no re-nulling)
+    store.increment(["k1"], "val", 1, now_us=1_700_000_000_000_001)
+    again = {
+        r["key"]: r["updated_at_us"]
+        for r in store.current().select("key", "updated_at_us").collect()
+    }
+    assert again["k2"] == 1_700_000_000_000_000
+
+
+def test_compact_reclaims_dereferenced_donor_dirs(spark, tmp_path):
+    """r11 review #2b: a donor dir demoted by an earlier compact must
+    be reclaimed by a LATER compact once newer commits dereference it
+    — otherwise dead version dirs accumulate without bound."""
+    store = _mk(spark, tmp_path / "s", n_buckets=8, rows=[(f"k{i}", i, None) for i in range(100)])
+    for i in range(3):
+        store.set(spark.createDataFrame([(f"k{i}", 1000 + i, None)], SCHEMA))
+    store.compact(keep_versions=1)  # demotes v0.. to donors
+    # a full rewrite (every bucket touched) dereferences every donor
+    full = store.current().select("key", "val", "expired_at")
+    store.set(
+        full.withColumn("val", F.col("val") + 1)
+    )  # touches every bucket -> new version owns everything
+    removed = store.compact(keep_versions=1)
+    assert removed >= 1
+    leftover = [
+        d
+        for d in os.listdir(str(tmp_path / "s"))
+        if d.startswith("v=") and d != f"v={store.version}"
+    ]
+    assert leftover == [], leftover  # every dead dir reclaimed
+    assert store.current().count() == 100
