@@ -241,6 +241,7 @@ HEADLINE = [
     "shift_by_keys_claim",
     "text_normalize",
     "uint64_decimal_fidelity",
+    "neardup_truth_eval",
 ]
 
 

@@ -1418,3 +1418,60 @@ def snapshot_diff(
         "hash_a",
         "hash_b",
     )
+
+
+def dedup_pair_truth_eval(
+    pairs: DataFrame,
+    truth: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Planted-duplicate evaluation of a near-dup pair set — the
+    standard way to pick/validate a dedup threshold and blocking
+    config: seed the corpus with KNOWN duplicate pairs (``truth``),
+    run the pipeline, and score what came back. Returns ONE row:
+    (n_found, n_truth, n_hit, prec, rec) where prec = n_hit/n_found
+    and rec = n_hit/n_truth (NULL when the denominator is zero — an
+    Infinity would hash differently across engines).
+
+    Both inputs canonicalize to unordered distinct pairs
+    (least/greatest + distinct), so orientation and accidental
+    duplicates can't skew the counts — SET precision/recall. All
+    counts are exact longs; each ratio is ONE division of exact
+    operands rounded to 10 (IEEE correctly-rounded — bit-identical in
+    any engine), so the whole report is SQL-oracle-able.
+
+    Scale: the found-pair set is output-sized (never the corpus); it
+    is persisted once (pin_latest-bounded) and feeds one count and one
+    equi-join against the (small) truth set — two aggregates and a
+    broadcast-sized join, no corpus scan."""
+    from ._cache import pin_latest
+
+    def canon(df):
+        return df.select(
+            F.least(F.col(id_a), F.col(id_b)).alias("_a"),
+            F.greatest(F.col(id_a), F.col(id_b)).alias("_b"),
+        ).distinct()
+
+    p = canon(pairs).persist()
+    pin_latest("dedup.pair_truth_eval", p)
+    t = canon(truth)
+    found = p.agg(F.count(F.lit(1)).cast("long").alias("n_found"))
+    tot = t.agg(F.count(F.lit(1)).cast("long").alias("n_truth"))
+    hit = p.join(t, ["_a", "_b"]).agg(
+        F.count(F.lit(1)).cast("long").alias("n_hit")
+    )
+    out = found.crossJoin(F.broadcast(tot)).crossJoin(F.broadcast(hit))
+    return out.select(
+        "n_found",
+        "n_truth",
+        "n_hit",
+        F.when(
+            F.col("n_found") > 0,
+            F.round(F.col("n_hit").cast("double") / F.col("n_found"), 10),
+        ).alias("prec"),
+        F.when(
+            F.col("n_truth") > 0,
+            F.round(F.col("n_hit").cast("double") / F.col("n_truth"), 10),
+        ).alias("rec"),
+    )

@@ -840,3 +840,90 @@ def ann_topk_int8_ivf_stable(spark, sf_dir):
         F.round("est_cos", 10).alias("est_cos"),
         F.col("rank").cast("int").alias("rank"),
     )
+
+
+@golden(
+    "neardup_truth_eval",
+    oracle=f"""
+    WITH c AS ({_AUTO_CORPUS}),
+    pl AS ({_AUTO_PLANES_CTE}),
+    nb AS (
+      SELECT GREATEST(4, LEAST(24, CAST(CEIL(LOG2(
+        CAST((SELECT COUNT(*) FROM c) AS DOUBLE) / 64.0)) AS INT))) AS bits
+    ),
+    b AS (
+      SELECT e.vec_id,
+             {_AUTO_BUCKET} AS bucket,
+             list_transform(e.v, x -> x / sqrt({_SUMSQ})) AS vn
+      FROM c e CROSS JOIN pl CROSS JOIN nb
+    ),
+    cand AS (
+      SELECT a.vec_id AS id_a, c2.vec_id AS id_b,
+             list_sum(list_transform(range(1, 65),
+                                     i -> a.vn[i] * c2.vn[i])) AS score
+      FROM b a JOIN b c2
+        ON a.bucket = c2.bucket AND a.vec_id < c2.vec_id
+    ),
+    f AS (
+      SELECT CAST(id_a AS BIGINT) AS _a, CAST(id_b AS BIGINT) AS _b
+      FROM cand WHERE score >= '0.95'::DOUBLE
+    ),
+    tr AS (
+      SELECT CAST(vec_id AS BIGINT) AS _a,
+             CAST(vec_id + 10000000 AS BIGINT) AS _b
+      FROM embeddings
+    ),
+    agg AS (
+      SELECT (SELECT COUNT(*) FROM f) AS n_found,
+             (SELECT COUNT(*) FROM tr) AS n_truth,
+             (SELECT COUNT(*) FROM f JOIN tr USING (_a, _b)) AS n_hit
+    )
+    SELECT CAST(n_found AS BIGINT) AS n_found,
+           CAST(n_truth AS BIGINT) AS n_truth,
+           CAST(n_hit AS BIGINT) AS n_hit,
+           CASE WHEN n_found > 0
+                THEN ROUND(CAST(n_hit AS DOUBLE) / n_found, 10) END AS prec,
+           CASE WHEN n_truth > 0
+                THEN ROUND(CAST(n_hit AS DOUBLE) / n_truth, 10) END AS rec
+    FROM agg
+    """,
+)
+def neardup_truth_eval(spark, sf_dir):
+    """r11 #200: planted-duplicate evaluation of a near-dup pipeline
+    (functions/dedup.py::dedup_pair_truth_eval) — the threshold/
+    blocking QA loop: the corpus carries one jittered twin per vector
+    (the KNOWN duplicates), the pipeline here is the PURE auto-bit LSH
+    blocking (no label block — precision against planted truth is only
+    meaningful when the blocking can admit false pairs), and the
+    report is (n_found, n_truth, n_hit, prec, rec). Fully
+    SQL-oracle-able: the oracle replays the jittered corpus, the
+    seeded planes, the bucket strings, the normalize-then-dot scores
+    and the tau cut, then the same exact-integer counts and one
+    correctly-rounded division per ratio."""
+    from ..functions.dedup import dedup_pair_truth_eval, embedding_neardup_pairs
+
+    emb = t(spark, sf_dir, "embeddings")
+    base = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    jit = emb.select(
+        (F.col("vec_id") + F.lit(10_000_000)).alias("vec_id"),
+        F.expr(
+            "transform(CAST(embedding AS ARRAY<DOUBLE>), (x, i) -> "
+            "x * (1.0D + CAST((vec_id + i) % 7 - 3 AS DOUBLE) * 0.001D))"
+        ).alias("embedding"),
+    )
+    corpus = base.unionByName(jit)
+    pairs = embedding_neardup_pairs(
+        corpus, tau=0.95, block_col=None, auto_bucket_target=64, dim=64, seed=42
+    )
+    truth = emb.select(
+        big("vec_id").alias("id_a"),
+        (F.col("vec_id") + F.lit(10_000_000)).cast("bigint").alias("id_b"),
+    )
+    return dedup_pair_truth_eval(
+        pairs.select(
+            big("id_a").alias("id_a"), big("id_b").alias("id_b")
+        ),
+        truth,
+    )

@@ -217,7 +217,7 @@ def test_doc_counts_match_registry():
     for doc in ("COVERAGE.md", "README.md"):
         with open(os.path.join(root, doc)) as fh:
             text = fh.read()
-        stated = {int(m) for m in re.findall(r"\b(1[0-9]{2})\b(?= golden| queries| quer| with|, 1)", text)}
+        stated = {int(m) for m in re.findall(r"\b([12][0-9]{2})\b(?= golden| queries| quer| with|, 1)", text)}
         # every 1xx "N golden queries"-shaped figure must be one of the
         # two true counts — a stale 182 (or any other drifted number)
         # fails here
