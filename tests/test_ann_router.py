@@ -241,3 +241,54 @@ def test_auto_from_state_empty_query_batch(spark, tmp_path):
     )
     assert out.count() == 0
     assert out.columns == ["query_id", "doc_id", "rank", "route"]
+
+
+def test_pq_refuses_non_divisible_dim(spark):
+    """r11 VERDICT defect: PQ silently dropped tail components when
+    dim % m != 0 (train/encode/ADC all used dim // m). Now every PQ
+    entry point refuses loudly, and ann_topk_auto picks m from the
+    divisors of dim (pq_m_for_dim) so e.g. a prime dim routes with ONE
+    full-width subspace — full-dimension distances, never truncation."""
+    import pytest as _pytest
+
+    from hydraide_spark.functions.vector import (
+        pq_codes_expr,
+        pq_m_for_dim,
+        train_pq_codebooks,
+    )
+
+    # the pure divisor picker
+    assert pq_m_for_dim(64) == 8
+    assert pq_m_for_dim(60) == 6
+    assert pq_m_for_dim(257) == 1  # prime -> single full-width subspace
+    assert pq_m_for_dim(12, preferred=8) == 6
+
+    # expression-level guard (no Spark job needed to trip it)
+    with _pytest.raises(ValueError, match="not divisible"):
+        pq_codes_expr(F.col("embedding"), [[(0, [0.0] * 3)]] * 2, dim=7)
+
+    # training guard on a real frame with dim=5, m=2
+    emb5 = load_table(spark, SF, "embeddings").select(
+        "vec_id", F.slice("embedding", 1, 5).alias("embedding")
+    )
+    with _pytest.raises(ValueError, match="not divisible"):
+        train_pq_codebooks(emb5, m=2, k=4, sample_rows=50)
+
+    # auto router on a prime dim must NOT crash: m=1 codebooks cover
+    # the full dimension (forced ivfadc route exercises the default)
+    emb7 = load_table(spark, SF, "embeddings").select(
+        "vec_id", F.slice("embedding", 1, 7).alias("embedding")
+    )
+    queries = emb7.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    from hydraide_spark.functions.vector import train_ivf_centroids
+
+    cents = train_ivf_centroids(emb7, n_centroids=4)
+    out = ann_topk_auto(
+        emb7, queries, k=5, route="ivfadc", centroids=cents, nprobe=4
+    )
+    rows = out.collect()
+    assert len(rows) == 10
+    assert all(r["route"] == "ivfadc" for r in rows)
