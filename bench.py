@@ -216,6 +216,8 @@ HEADLINE = [
     # reads had silently stayed out; tests/test_driver_contract.py now
     # pins set equality so the headline can never shrink again)
     "ann_topk_auto",
+    # r12: filtered ANN (scalar predicate × ANN route)
+    "ann_topk_filtered",
     "approx_distinct_exact_oracle",
     "delete_remaining_count",
     "doc_fingerprint",

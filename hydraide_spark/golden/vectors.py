@@ -148,6 +148,58 @@ def ann_topk_auto(spark, sf_dir):
     )
 
 
+@golden(
+    "ann_topk_filtered",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+               FROM embeddings WHERE vec_id < 5),
+    scored AS (
+      SELECT q.query_id, e.vec_id,
+             {_cos_sql('e.embedding::DOUBLE[]', 'q.qv')} AS score
+      FROM embeddings e, q
+      WHERE e.label <= 4
+    ),
+    ranked AS (
+      SELECT query_id, vec_id,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, vec_id ASC) AS rn
+      FROM scored
+    )
+    SELECT CAST(query_id AS BIGINT) AS query_id,
+           CAST(vec_id AS BIGINT) AS vec_id,
+           CAST(rn AS INT) AS rank,
+           'prefilter:exact' AS route
+    FROM ranked WHERE rn <= 10
+    """,
+)
+def ann_topk_filtered(spark, sf_dir):
+    """r12: filtered ANN — the reference's flagship serving pattern
+    (proto/hydraide.proto:2685-2687 scalar pre-filter + vector scan;
+    query-engine.md:76 cheap-before-expensive) composed from the
+    FilterGroup algebra and the ANN route planner
+    (functions/filtered_ann.py). At gate scale the survivor set is
+    tiny, so the selectivity decision must pick prefilter and the
+    routed subset must take the exact path — the oracle IS the exact
+    filtered ranking PLUS both decisions ('prefilter:exact'), making a
+    silent mis-route a gate failure. The postfilter refill loop's
+    recall floor and predicate pushdown are pinned in
+    tests/test_filtered_ann.py."""
+    from ..functions.filtered_ann import ann_topk_filtered as _filtered
+    from ..query.filters import Cmp, Op
+
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = _filtered(emb, Cmp("label", Op.LE, 4), queries, k=10)
+    return out.select(
+        big("query_id").alias("query_id"),
+        big("vec_id").alias("vec_id"),
+        F.col("rank"),
+        F.col("route"),
+    )
+
+
 @golden("ann_topk_lsh")  # approximate: rows-only check (recall < 1 by design)
 def ann_topk_lsh(spark, sf_dir):
     """LSH-bucketed ANN (the 100 TB path): candidates share the query's
