@@ -316,13 +316,25 @@ def ann_topk_filtered_from_state(
     column — a directory-pruned read, never a recompute of the cell
     expression over the corpus."""
     from ..streaming.ann_stream import persisted_cells
-    from ..streaming.search_stream import _resolve_centroids, committed_epochs
+    from ..streaming.search_stream import (
+        _resolve_centroids,
+        committed_epochs,
+        state_stats,
+    )
 
+    default_frontier = epochs is None
     if epochs is None:
         epochs = committed_epochs(state_dir)
     base = persisted_cells(
         spark, state_dir, id_col=id_col, vec_col=vec_col, epochs=epochs
     )
+    if n_rows is None and default_frontier:
+        # count-free n_rows from the persisted stats catalog (the
+        # survivor count stays predicate-dependent: one job, or pass
+        # n_survivors from upstream knowledge)
+        st = state_stats(state_dir)
+        if st is not None and st.get("rows") is not None:
+            n_rows = st["rows"]
     if attrs is not None:
         base = base.join(attrs, id_col)
     cond = _as_condition(pred, base)

@@ -323,6 +323,81 @@ def hybrid_search_from_state(
 # this tf-bearing loop subsumes it for ranked search.
 
 
+_STATS_FILE = "_STATS"
+
+
+def _marker_stats(path: str) -> "dict | None":
+    """Parse one commit marker's stats payload (r12: markers carry
+    {'rows': N, 'dim': D}); pre-r12 markers are empty files -> None."""
+    import json
+
+    try:
+        with open(path) as fh:
+            txt = fh.read().strip()
+        return json.loads(txt) if txt else None
+    except (OSError, ValueError):
+        return None
+
+
+def state_stats(state_dir: str) -> "dict | None":
+    """Corpus statistics of the unified state, with ZERO Spark jobs —
+    the router's catalog (r11 VERDICT #2: ``ann_topk_auto_from_state``
+    defaulted to a full count of the cells frontier per serve call;
+    at 100 TB that is a corpus scan just to pick a route).
+
+    Sources, combined: the ``_STATS`` base file (rows absorbed from
+    markers compaction pruned — see
+    :func:`compact_unified_search_state`) plus every live commit
+    marker's per-epoch row count (written by the ingest under the same
+    atomic publish as the epoch itself, so the stats frontier IS the
+    commit frontier). Returns ``{"rows": int, "dim": int | None}`` or
+    None when the state predates r12 entirely (no stats anywhere) —
+    callers fall back to one count."""
+    import json
+
+    base_rows, dim, absorbed, found = 0, None, set(), False
+    try:
+        with open(os.path.join(state_dir, _STATS_FILE)) as fh:
+            st = json.load(fh)
+        base_rows = int(st.get("base_rows", 0))
+        dim = st.get("dim")
+        absorbed = set(st.get("absorbed", []))
+        found = True
+    except (OSError, ValueError):
+        pass
+    commits = os.path.join(state_dir, "_commits")
+    if os.path.isdir(commits):
+        for n in os.listdir(commits):
+            if not n.startswith("epoch="):
+                continue
+            ep = int(n.split("=", 1)[1])
+            if ep in absorbed:
+                continue
+            ms = _marker_stats(os.path.join(commits, n))
+            if ms is None:
+                # pre-r12 marker with no payload: rows unknown — the
+                # whole figure would undercount, so report no stats
+                return None if not found else {"rows": None, "dim": dim}
+            found = True
+            base_rows += int(ms.get("rows", 0))
+            if dim is None:
+                dim = ms.get("dim")
+    return {"rows": base_rows, "dim": dim} if found else None
+
+
+def _write_base_stats(state_dir: str, base_rows: int, dim, absorbed) -> None:
+    import json
+
+    path = os.path.join(state_dir, _STATS_FILE)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(
+            {"base_rows": int(base_rows), "dim": dim, "absorbed": sorted(absorbed)},
+            fh,
+        )
+    os.replace(tmp, path)
+
+
 def committed_epochs(state_dir: str) -> list[int]:
     """The readable frontier: the compaction base (-1) plus every epoch
     whose commit marker landed. One listdir — O(live epochs), and
@@ -419,12 +494,27 @@ def make_search_ingest(
             pq.write.mode("overwrite").partitionBy("cell").parquet(
                 os.path.join(pq_dir, f"epoch={int(epoch)}")
             )
+        # per-epoch corpus stats ride INSIDE the marker (r12): same
+        # atomic publish, retry-overwritten with the epoch itself, and
+        # the serve-time router reads them instead of counting the
+        # corpus (state_stats). The count runs on the persisted batch.
+        import json
+
+        n_rows = batch.count()
+        vh = batch.select(vec_col).head()
+        dim = len(vh[0]) if vh is not None and vh[0] is not None else None
         batch.unpersist()
         os.makedirs(commits_dir, exist_ok=True)
-        # marker LAST: one O_CREAT is the publish — readers never see
-        # an epoch some of whose tables are missing
-        with open(os.path.join(commits_dir, f"epoch={int(epoch)}"), "w"):
-            pass
+        # marker LAST: one atomic write is the publish — readers never
+        # see an epoch some of whose tables are missing
+        marker = os.path.join(commits_dir, f"epoch={int(epoch)}")
+        # tmp name must NOT start with "epoch=" — committed_epochs and
+        # state_stats list by that prefix and a crash-leftover tmp
+        # would parse as a bogus epoch
+        tmp = os.path.join(commits_dir, f".tmp-epoch-{int(epoch)}")
+        with open(tmp, "w") as fh:
+            json.dump({"rows": int(n_rows), "dim": dim}, fh)
+        os.replace(tmp, marker)
 
     return ingest
 
@@ -575,9 +665,47 @@ def compact_unified_search_state(
                     live.add(int(n.split("=", 1)[1]))
     commits = os.path.join(state_dir, "_commits")
     if os.path.isdir(commits):
+        import json
+
+        # absorb pruned markers' row stats into the _STATS base BEFORE
+        # unlinking (r12: markers carry per-epoch counts — the router's
+        # count-free catalog). Idempotence across a crash between the
+        # _STATS write and the unlink: absorbed ids stay listed until
+        # their marker is confirmed gone, and an id already listed is
+        # never re-added. The absorbed list stays bounded: ids whose
+        # markers no longer exist are dropped on the next pass.
+        base_rows, dim, absorbed = 0, None, set()
+        try:
+            with open(os.path.join(state_dir, _STATS_FILE)) as fh:
+                st = json.load(fh)
+            base_rows = int(st.get("base_rows", 0))
+            dim = st.get("dim")
+            absorbed = set(st.get("absorbed", []))
+        except (OSError, ValueError):
+            pass
+        to_remove = []
+        marker_eps = set()
+        stats_dirty = False
         for n in os.listdir(commits):
-            if n.startswith("epoch=") and int(n.split("=", 1)[1]) not in live:
-                os.remove(os.path.join(commits, n))
+            if not n.startswith("epoch="):
+                continue
+            ep = int(n.split("=", 1)[1])
+            marker_eps.add(ep)
+            if ep in live:
+                continue
+            to_remove.append((ep, os.path.join(commits, n)))
+            if ep not in absorbed:
+                ms = _marker_stats(os.path.join(commits, n))
+                base_rows += int(ms.get("rows", 0)) if ms else 0
+                if dim is None and ms:
+                    dim = ms.get("dim")
+                absorbed.add(ep)
+                stats_dirty = True
+        pruned_absorbed = {e for e in absorbed if e in marker_eps}
+        if stats_dirty or pruned_absorbed != absorbed:
+            _write_base_stats(state_dir, base_rows, dim, pruned_absorbed | {e for e, _ in to_remove})
+        for _ep, path in to_remove:
+            os.remove(path)
     return folded
 
 
@@ -618,9 +746,11 @@ def ann_topk_auto_from_state(
       (``refresh_pq_model`` brings it up) — availability routing, not
       an error.
 
-    ``n_rows`` defaults to one count of the persisted doclen-free
-    cells frontier — pass a catalog figure at scale. Emits
-    (query_id, id, rank, route)."""
+    ``n_rows`` resolves, in order: the explicit argument, the
+    persisted stats catalog (:func:`state_stats` — maintained per
+    epoch commit, ZERO Spark jobs; r11 VERDICT #2), and only for
+    pre-r12 states with no stats anywhere, one count of the cells
+    frontier. Emits (query_id, id, rank, route)."""
     from ..functions.vector import (
         ann_route,
         cosine_topk,
@@ -629,11 +759,17 @@ def ann_topk_auto_from_state(
     )
     from .ann_stream import persisted_cells
 
+    default_frontier = epochs is None
     if epochs is None:
         epochs = committed_epochs(state_dir)
     cells = persisted_cells(
         spark, state_dir, id_col=id_col, vec_col=vec_col, epochs=epochs
     )
+    if n_rows is None and default_frontier:
+        # the stats catalog describes the FULL committed frontier — a
+        # caller-restricted epoch list must fall through to the count
+        st = state_stats(state_dir)
+        n_rows = st["rows"] if st is not None and st.get("rows") is not None else None
     if n_rows is None:
         n_rows = cells.count()
     qh = queries.select(query_vec_col).head()
