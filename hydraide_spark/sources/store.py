@@ -173,6 +173,39 @@ class TreasureStore:
     def changes_dir(self) -> str:
         return os.path.join(self.root, "changes")
 
+    def logged_in_range(self, lo: int, hi: int) -> "Optional[bool]":
+        """Does the change log still contain any batch id in
+        ``[lo, hi)``? Answered from the log's FILE NAMES alone
+        (r11 VERDICT #6: the strict-FIFO gap probe was a full
+        change-log scan per stalled trigger). Since r12 every log file
+        carries its batch-id range in its name (``b<lo>-<hi>-…``:
+        ``_emit`` writes one single-batch file; ``prune_changes`` names
+        its compacted file with the kept range), so the probe is one
+        directory listing — filesystem metadata, no Spark job, and the
+        index can never go STALE because it lives on the data files
+        themselves (a lost/deleted commit file drops out of the
+        listing, unlike any side-index marker).
+
+        Returns True (a named file intersects — conclusively logged),
+        False (every file is name-indexed and none intersects —
+        conclusively gone), or None (legacy unnamed files present and
+        no named file matched — inconclusive; caller falls back to one
+        scan)."""
+        lo, hi = int(lo), int(hi)
+        has_unnamed = False
+        if not os.path.isdir(self.changes_dir):
+            return False
+        for n in os.listdir(self.changes_dir):
+            if not n.endswith(".parquet") or n.startswith("."):
+                continue
+            m = re.match(r"^b(\d+)-(\d+)-", n)
+            if m is None:
+                has_unnamed = True
+                continue
+            if int(m.group(1)) < hi and int(m.group(2)) >= lo:
+                return True
+        return None if has_unnamed else False
+
     def _recover_changes(self) -> None:
         """Finish or roll back an interrupted :meth:`prune_changes`
         swap. A crash between the two renames would otherwise leave NO
@@ -196,6 +229,20 @@ class TreasureStore:
                 os.rename(old, self.changes_dir)
         shutil.rmtree(tmp, ignore_errors=True)
         shutil.rmtree(old, ignore_errors=True)
+        # finish or discard _emit stagings interrupted between the
+        # staged write and the publish rename: a COMPLETE staging
+        # (_SUCCESS landed) publishes now; an incomplete one is a
+        # partial write the log never saw — discard it
+        if os.path.isdir(self.changes_dir):
+            for n in os.listdir(self.changes_dir):
+                m = re.fullmatch(r"\.staging-(\d+)", n)
+                if m is None:
+                    continue
+                staged = os.path.join(self.changes_dir, n)
+                if os.path.isfile(os.path.join(staged, "_SUCCESS")):
+                    self._publish_change_file(staged, int(m.group(1)))
+                else:
+                    shutil.rmtree(staged, ignore_errors=True)
 
     def _versions(self) -> list[int]:
         if not os.path.isdir(self.root):
@@ -619,6 +666,20 @@ class TreasureStore:
         # _recover_changes completes/rolls back an interrupted swap
         tmp = self.changes_dir + ".compacting"
         keep.coalesce(1).write.parquet(tmp)
+        # range-name the compacted file BEFORE the swap so the gap
+        # probe's name index (logged_in_range) stays exact across
+        # prunes: the one file carries every kept batch id
+        bounds = keep.agg(
+            F.min("batch_id").alias("lo"), F.max("batch_id").alias("hi")
+        ).first()
+        for n in os.listdir(tmp):
+            if n.endswith(".parquet") and not n.startswith("."):
+                os.rename(
+                    os.path.join(tmp, n),
+                    os.path.join(
+                        tmp, f"b{int(bounds['lo'])}-{int(bounds['hi'])}-{n}"
+                    ),
+                )
         ev.unpersist()
         old = self.changes_dir + ".old"
         os.rename(self.changes_dir, old)
@@ -650,8 +711,35 @@ class TreasureStore:
         )
         # one file per batch keeps per-swamp FIFO: the stream source
         # processes files in order, so subscribers see batches in commit
-        # order (the per-partition ordering contract of SURVEY §7)
-        out.coalesce(1).write.mode("append").parquet(self.changes_dir)
+        # order (the per-partition ordering contract of SURVEY §7).
+        # The file is written to a hidden staging dir (dot-prefixed —
+        # invisible to every Spark read) and renamed into the log with
+        # its batch-id range in the NAME (``b<id>-<id>-part…``): the
+        # strict-FIFO gap probe answers "is this batch still logged?"
+        # from one directory listing instead of a Spark scan
+        # (logged_in_range), and the rename is the atomic publish —
+        # the stream source never sees a partially-written file.
+        staging = os.path.join(self.changes_dir, f".staging-{int(batch_id)}")
+        out.coalesce(1).write.mode("overwrite").parquet(staging)
+        self._publish_change_file(staging, int(batch_id))
+
+    def _publish_change_file(self, staging: str, batch_id: int) -> None:
+        """Move the staged commit file into the live log under its
+        range-encoded name (single batch: lo == hi == batch_id). Shared
+        by ``_emit`` and the staging-crash recovery."""
+        import shutil
+
+        parts = [
+            n
+            for n in os.listdir(staging)
+            if n.endswith(".parquet") and not n.startswith(".")
+        ]
+        for n in parts:
+            os.rename(
+                os.path.join(staging, n),
+                os.path.join(self.changes_dir, f"b{batch_id}-{batch_id}-{n}"),
+            )
+        shutil.rmtree(staging, ignore_errors=True)
 
     @staticmethod
     def _payload(df: DataFrame, cols: Sequence[str]) -> F.Column:

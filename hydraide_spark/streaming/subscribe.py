@@ -165,16 +165,29 @@ def subscribe_strict_fifo(
                 # silent event loss in a total-order subscriber. Only a
                 # batch id absent from the log (a prune_changes rewrite
                 # removed it) can never arrive and is safe to skip.
+                #
+                # Probe cost (r11 VERDICT #6): the log files carry
+                # their batch-id range in their NAMES (store._emit /
+                # prune_changes), so the probe is one directory
+                # listing (store.logged_in_range) — filesystem
+                # metadata, no Spark job, and it cannot go stale
+                # because the index IS the data file (a lost commit
+                # file drops out of the listing). Only a log holding
+                # legacy unnamed files (inconclusive None) falls back
+                # to the old scan.
                 gap_hi = min(buf)
-                still_logged = (
-                    store.changes()
-                    .filter(
-                        (F.col("batch_id") >= state["expected"])
-                        & (F.col("batch_id") < gap_hi)
+                still_logged = store.logged_in_range(state["expected"], gap_hi)
+                if still_logged is None:
+                    still_logged = (
+                        store.changes()
+                        .filter(
+                            (F.col("batch_id") >= state["expected"])
+                            & (F.col("batch_id") < gap_hi)
+                        )
+                        .limit(1)
+                        .count()
+                        > 0
                     )
-                    .limit(1)
-                    .count()
-                )
                 if still_logged:
                     # real commit in flight — keep waiting (re-verify
                     # after every further gap_patience stalled triggers)
