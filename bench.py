@@ -212,6 +212,8 @@ HEADLINE = [
     "pack_token_shards_docs",
     "multimodal_features",
     "multimodal_real_decode",
+    # r12: image perceptual-hash near-dup (planted-truth oracle)
+    "image_phash_neardup",
     # r11: headline == full registry (r10 VERDICT #6 — 26 cheap parity
     # reads had silently stayed out; tests/test_driver_contract.py now
     # pins set equality so the headline can never shrink again)

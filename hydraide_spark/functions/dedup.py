@@ -728,12 +728,39 @@ def simhash_neardup_pairs(
         sims = fam.select(F.col("_rep").alias(id_col), F.col("h")).persist()
         pinned.append(sims)
     pin_latest("dedup.simhash_neardup_pairs", *pinned)
+    out = hamming_block_pairs(
+        sims, max_hamming, n_blocks=n_blocks, id_col=id_col, hash_col="h"
+    )
+    if star is not None:
+        out = out.unionByName(star)
+    return out
+
+
+def hamming_block_pairs(
+    sims: DataFrame,
+    max_hamming: int,
+    n_blocks: int = 4,
+    id_col: str = "doc_id",
+    hash_col: str = "h",
+) -> DataFrame:
+    """Near-dup pairs over PRECOMPUTED packed 64-bit signatures
+    (``sims`` = (id, hash)) with the block-rotation blocking: split the
+    64 bits into ``n_blocks`` chunks; any pair within ``max_hamming``
+    (< n_blocks, per pigeonhole) agrees on >= 1 chunk, so candidates
+    come from chunk-equality equi-joins only — never a cross join —
+    then one ``bit_count(a XOR b)`` verifies each candidate. The
+    signature-agnostic core shared by :func:`simhash_neardup_pairs`
+    (text simhash) and the image perceptual-hash near-dup
+    (functions/multimodal.py::image_neardup_pairs). Emits
+    (id_a, id_b, hamming) with id_a < id_b. The caller persists
+    ``sims`` when its hash expression is expensive."""
+    bits_per = SIMHASH_BITS // n_blocks
     mask = (1 << bits_per) - 1
     chunk_structs = F.array(
         *[
             F.struct(
                 F.lit(i).alias("chunk_no"),
-                F.shiftrightunsigned(F.col("h"), i * bits_per)
+                F.shiftrightunsigned(F.col(hash_col), i * bits_per)
                 .bitwiseAND(F.lit(mask))
                 .alias("chunk"),
             )
@@ -754,18 +781,15 @@ def simhash_neardup_pairs(
         .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
         .distinct()
     )
-    ha = sims.select(F.col(id_col).alias("id_a"), F.col("h").alias("h_a"))
-    hb = sims.select(F.col(id_col).alias("id_b"), F.col("h").alias("h_b"))
-    out = (
+    ha = sims.select(F.col(id_col).alias("id_a"), F.col(hash_col).alias("h_a"))
+    hb = sims.select(F.col(id_col).alias("id_b"), F.col(hash_col).alias("h_b"))
+    return (
         cand.join(ha, "id_a")
         .join(hb, "id_b")
         .withColumn("hamming", F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))))
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
-    if star is not None:
-        out = out.unionByName(star)
-    return out
 
 
 def embedding_neardup_pairs(

@@ -308,6 +308,177 @@ def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     )
 
 
+# --- image perceptual hashing / near-dup (r12) ------------------------------
+#
+# BMP is the one image container whose PIXELS are decodable with no
+# codec library (uncompressed BGR rows), so the perceptual-hash dedup
+# path is REAL end to end for BMPs: decode -> area-mean downsample ->
+# dHash/aHash 64-bit signature -> the same hamming block-join the text
+# SimHash path uses (functions/dedup.py::hamming_block_pairs). For
+# compressed formats the decode step is the documented
+# NotImplementedError plug point (swap in PIL and nothing else moves).
+
+
+def encode_bmp(pixels) -> bytes:
+    """Serialize an (h, w, 3) uint8 RGB array as a 24-bit uncompressed
+    BMP — the test/golden synthesizer (round-trips through
+    :func:`bmp_pixels` exactly)."""
+    import numpy as np
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    h, w, _ = px.shape
+    stride = (w * 3 + 3) // 4 * 4
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    # BMP stores BGR, bottom-up
+    rows[:, : w * 3] = px[::-1, :, ::-1].reshape(h, w * 3)
+    body = rows.tobytes()
+    header = (
+        b"BM"
+        + (54 + len(body)).to_bytes(4, "little")
+        + b"\x00\x00\x00\x00"
+        + (54).to_bytes(4, "little")
+        + (40).to_bytes(4, "little")
+        + int(w).to_bytes(4, "little", signed=True)
+        + int(h).to_bytes(4, "little", signed=True)
+        + (1).to_bytes(2, "little")
+        + (24).to_bytes(2, "little")
+        + (0).to_bytes(4, "little")
+        + len(body).to_bytes(4, "little")
+        + b"\x00" * 16
+    )
+    return header + body
+
+
+def bmp_pixels(payload: bytes):
+    """Decode a 24-bit uncompressed (BI_RGB) BMP payload to an
+    (h, w, 3) uint8 RGB array — numpy only. Raises
+    ``NotImplementedError`` for any other bit depth / compression
+    (the PIL plug point, same contract as :func:`real_decode`)."""
+    import numpy as np
+
+    if len(payload) < 54 or payload[:2] != b"BM":
+        raise NotImplementedError("not a BMP payload")
+    data_off = int.from_bytes(payload[10:14], "little")
+    width = int.from_bytes(payload[18:22], "little", signed=True)
+    height = int.from_bytes(payload[22:26], "little", signed=True)
+    bpp = int.from_bytes(payload[28:30], "little")
+    compression = int.from_bytes(payload[30:34], "little")
+    if bpp != 24 or compression != 0:
+        raise NotImplementedError(
+            f"BMP pixel decode supports 24-bit BI_RGB only (bpp={bpp}, "
+            f"compression={compression}) — plug in PIL for the rest"
+        )
+    w, h = abs(width), abs(height)
+    stride = (w * 3 + 3) // 4 * 4
+    rows = np.frombuffer(payload, dtype=np.uint8, count=h * stride, offset=data_off)
+    rows = rows.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+    if height > 0:  # bottom-up storage
+        rows = rows[::-1]
+    return rows[:, :, ::-1]  # BGR -> RGB
+
+
+def _gray_pool(pixels, out_h: int, out_w: int):
+    """Area-mean downsample of an (h, w, 3) image to an
+    (out_h, out_w) float gray grid — np.add.reduceat over bin edges
+    (no PIL resize; deterministic)."""
+    import numpy as np
+
+    gray = np.asarray(pixels, dtype=np.float64).mean(axis=2)
+    h, w = gray.shape
+    re = (np.arange(out_h + 1) * h) // out_h
+    ce = (np.arange(out_w + 1) * w) // out_w
+    t = np.add.reduceat(gray, re[:-1], axis=0)
+    t = np.add.reduceat(t, ce[:-1], axis=1)
+    return t / np.outer(np.diff(re), np.diff(ce))
+
+
+def _pack64(bits) -> int:
+    """Pack 64 bools into a SIGNED int64 (bit 63 contributes the sign —
+    same packed-fingerprint convention as dedup.simhash64)."""
+    v = 0
+    for i, b in enumerate(bits):
+        if b:
+            v |= 1 << i
+    return v - (1 << 64) if v >= 1 << 63 else v
+
+
+def dhash64_py(pixels) -> int:
+    """Difference hash (dHash): 8x9 area-mean gray grid, bit r*8+c set
+    iff grid[r, c] < grid[r, c+1] — the standard gradient fingerprint;
+    robust to brightness/scale changes, 64 bits regardless of image
+    size."""
+    g = _gray_pool(pixels, 8, 9)
+    return _pack64((g[:, :-1] < g[:, 1:]).reshape(-1))
+
+
+def ahash64_py(pixels) -> int:
+    """Average hash (aHash): 8x8 area-mean gray grid thresholded at its
+    own mean — cruder than dHash but cheaper and sometimes
+    complementary."""
+    g = _gray_pool(pixels, 8, 8)
+    return _pack64((g > g.mean()).reshape(-1))
+
+
+IMAGE_HASH_SCHEMA = "media_id long, phash long"
+
+
+def image_hashes(
+    media: DataFrame, algo: str = "dhash", strict: bool = False
+) -> DataFrame:
+    """Perceptual hash per image payload over Arrow batches —
+    (media_id, phash). Same 100 TB shape as every mapInPandas stage
+    here: partition-preserving, payloads never leave executors,
+    parallelism == partition count. Non-decodable payloads (compressed
+    formats without a codec library) yield NULL phash rows
+    (``strict=True`` raises instead) — a curation sweep keeps going
+    and reports the skip count."""
+    if algo not in ("dhash", "ahash"):
+        raise ValueError(f"image_hashes: unknown algo {algo!r}")
+    fn = dhash64_py if algo == "dhash" else ahash64_py
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for p in pdf["payload"]:
+                try:
+                    out.append(fn(bmp_pixels(bytes(p) if p is not None else b"")))
+                except NotImplementedError:
+                    if strict:
+                        raise
+                    out.append(None)
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"], "phash": pd.array(out, dtype="Int64")}
+            )
+
+    return media.mapInPandas(run, IMAGE_HASH_SCHEMA)
+
+
+def image_neardup_pairs(
+    media: DataFrame,
+    max_hamming: int = 3,
+    n_blocks: int = 4,
+    algo: str = "dhash",
+) -> DataFrame:
+    """Image near-duplicate pairs: perceptual hash (dHash/aHash over
+    the dependency-free BMP pixel decode) + the SimHash path's hamming
+    block-join (dedup.hamming_block_pairs — chunk-equality equi-joins,
+    NEVER a cross join; recall is exact for hamming < n_blocks by
+    pigeonhole). Undecodable payloads drop out (NULL phash). Emits
+    (id_a, id_b, hamming), id_a < id_b."""
+    from ._cache import pin_latest
+    from .dedup import hamming_block_pairs
+
+    sigs = (
+        image_hashes(media, algo=algo)
+        .filter(F.col("phash").isNotNull())
+        .persist()
+    )
+    pin_latest("multimodal.image_neardup_pairs", sigs)
+    return hamming_block_pairs(
+        sigs, max_hamming, n_blocks=n_blocks, id_col="media_id", hash_col="phash"
+    )
+
+
 def documents_as_media(docs: DataFrame) -> DataFrame:
     """Adapter for the test corpus: utf-8 text bytes as the opaque
     payload (ASCII corpus => n_bytes == n_chars), metadata synthesized

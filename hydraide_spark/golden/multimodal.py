@@ -220,3 +220,73 @@ def multimodal_frame_plan(spark, sf_dir):
         big("frame_no").alias("frame_no"),
         big("frame_ms").alias("frame_ms"),
     )
+
+
+def _synth_image_corpus(docs: DataFrame) -> DataFrame:
+    """(media_id, kind, payload, meta-less) image corpus with PLANTED
+    near-duplicates: every doc gets a 32x32 random-noise BMP seeded by
+    its id; docs with doc_id % 40 == 0 additionally emit a twin
+    (media_id = doc_id + 10^9) that differs in exactly ONE pixel's
+    high bit — a perturbation confined to one 8x9 pool cell, so the
+    twin's dHash is within 2 bits of the original while unrelated
+    noise images sit ~32 bits apart (P(<=3) ~ 2e-15 per pair). The
+    truth pair set is therefore a pure function of doc_id — which is
+    what lets a SQL oracle check a pixel-level pipeline exactly."""
+    ids = docs.select(F.col("doc_id").cast("long").alias("media_id")).unionByName(
+        docs.filter(F.col("doc_id") % 40 == 0).select(
+            (F.col("doc_id") + F.lit(10**9)).cast("long").alias("media_id")
+        )
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from ..functions.multimodal import encode_bmp
+
+        for pdf in batches:
+            payloads = []
+            for mid in pdf["media_id"]:
+                src = int(mid) % 10**9
+                px = np.random.RandomState(src % (2**31)).randint(
+                    0, 256, size=(32, 32, 3)
+                ).astype(np.uint8)
+                if mid >= 10**9:  # the planted twin: one high bit
+                    px[16, 16, 0] ^= 128
+                payloads.append(encode_bmp(px))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": "image",
+                    "payload": payloads,
+                }
+            )
+
+    return ids.mapInPandas(gen, "media_id long, kind string, payload binary")
+
+
+@golden(
+    "image_phash_neardup",
+    oracle="""
+    SELECT CAST(doc_id AS BIGINT) AS id_a,
+           CAST(doc_id + 1000000000 AS BIGINT) AS id_b
+    FROM documents WHERE doc_id % 40 = 0
+    """,
+)
+def image_phash_neardup(spark, sf_dir):
+    """r12: image near-dup via perceptual hash over REAL pixel decode
+    (functions/multimodal.py::image_neardup_pairs — BMP rows -> 8x9
+    area-mean gray pool -> dHash 64-bit signature -> the SimHash
+    hamming block-join, dedup.py::hamming_block_pairs). The corpus
+    plants one single-pixel-perturbed twin per 40 docs; the oracle is
+    the planted truth (recall AND precision must both be exact: a
+    missed twin or a spurious noise pair each break the hash match).
+    Beyond-parity: the reference has no image pipeline; design target
+    is the same blocked-equi-join shape as its text near-dup."""
+    docs = t(spark, sf_dir, "documents").select("doc_id")
+    media = _synth_image_corpus(docs)
+    from ..functions.multimodal import image_neardup_pairs
+
+    pairs = image_neardup_pairs(media, max_hamming=3)
+    return pairs.select(
+        big("id_a").alias("id_a"), big("id_b").alias("id_b")
+    )

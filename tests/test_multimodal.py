@@ -211,3 +211,75 @@ def test_real_decode_mp4_box_walk():
     assert (ext["width"], ext["height"], ext["duration_ms"]) == (64, 48, 1500)
     with pytest.raises(NotImplementedError):
         real_decode(struct.pack(">I", 16) + b"ftypisom" + bytes(4), "video")
+
+
+def test_bmp_roundtrip_and_hashes(spark):
+    """encode_bmp <-> bmp_pixels round-trip exactly; dHash is invariant
+    to a one-pixel high-bit perturbation within the hamming-3 budget
+    while distinct noise images are far apart; aHash decodes too;
+    non-BMP payloads yield NULL phash (strict=False) or raise."""
+    import numpy as np
+    import pytest as _pytest
+
+    from hydraide_spark.functions.multimodal import (
+        ahash64_py,
+        bmp_pixels,
+        dhash64_py,
+        encode_bmp,
+        image_hashes,
+    )
+
+    rng = np.random.RandomState(7)
+    px = rng.randint(0, 256, size=(32, 32, 3)).astype(np.uint8)
+    assert np.array_equal(bmp_pixels(encode_bmp(px)), px)
+    # odd width exercises the stride padding
+    px2 = rng.randint(0, 256, size=(17, 13, 3)).astype(np.uint8)
+    assert np.array_equal(bmp_pixels(encode_bmp(px2)), px2)
+
+    twin = px.copy()
+    twin[16, 16, 0] ^= 128
+    d = dhash64_py(px) ^ dhash64_py(twin)
+    assert bin(d & (2**64 - 1)).count("1") <= 3
+    other = rng.randint(0, 256, size=(32, 32, 3)).astype(np.uint8)
+    far = dhash64_py(px) ^ dhash64_py(other)
+    assert bin(far & (2**64 - 1)).count("1") >= 10
+    assert isinstance(ahash64_py(px), int)
+
+    media = spark.createDataFrame(
+        [(1, "image", bytearray(encode_bmp(px))), (2, "image", bytearray(b"\x89PNG1234"))],
+        "media_id long, kind string, payload binary",
+    )
+    rows = {r["media_id"]: r["phash"] for r in image_hashes(media).collect()}
+    assert rows[1] == dhash64_py(px)
+    assert rows[2] is None
+    with _pytest.raises(Exception):
+        image_hashes(media, strict=True).collect()
+
+
+def test_image_neardup_blocked_join_shape(spark):
+    """The image near-dup candidate join is the chunk-equality
+    equi-join — no cross join in the plan (the repo invariant)."""
+    import numpy as np
+
+    from hydraide_spark.functions.multimodal import (
+        encode_bmp,
+        image_neardup_pairs,
+    )
+    from hydraide_spark.plans.inspect import physical_plan
+
+    rng = np.random.RandomState(3)
+    rows = []
+    for i in range(20):
+        px = rng.randint(0, 256, size=(16, 16, 3)).astype(np.uint8)
+        rows.append((i, "image", bytearray(encode_bmp(px))))
+        if i % 5 == 0:
+            tw = px.copy()
+            tw[8, 8, 0] ^= 128
+            rows.append((i + 1000, "image", bytearray(encode_bmp(tw))))
+    media = spark.createDataFrame(
+        rows, "media_id long, kind string, payload binary"
+    )
+    pairs = image_neardup_pairs(media, max_hamming=3)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert got == {(i, i + 1000) for i in range(0, 20, 5)}
+    assert "CartesianProduct" not in physical_plan(pairs)
