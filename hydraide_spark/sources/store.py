@@ -79,9 +79,11 @@ def _serialized(method):
     def wrapper(self, *args, **kwargs):
         with self._txn:
             self._scope = None  # never inherit a failed txn's scope
+            self._txn_depth += 1
             try:
                 return method(self, *args, **kwargs)
             finally:
+                self._txn_depth -= 1
                 # a mutation that RAISES after scoping must not leave
                 # current() returning a partial (touched-buckets-only)
                 # view to its caller's error handling
@@ -111,6 +113,7 @@ class TreasureStore:
         name: Optional[str] = None,
         registry=None,
         n_buckets: Optional[int] = None,
+        track_workload: bool = False,
     ):
         """``partition_by``: namespace columns (e.g. sanctuary/realm/
         swamp) that shard every snapshot on disk — per-swamp reads
@@ -156,6 +159,13 @@ class TreasureStore:
         self._cached: Optional[tuple[int, DataFrame]] = None
         self._last_access: float = 0.0
         self._txn = threading.RLock()
+        self._txn_depth = 0
+        # opt-in workload telemetry for the layout advisor (r12): write
+        # batch sizes + external scan count. Off by default — recording
+        # a set() batch size costs one count job on the (batch-sized)
+        # updates frame
+        self.track_workload = bool(track_workload)
+        self.workload: dict = {"write_batches": [], "scans": 0}
         self._recover_changes()
         os.makedirs(self.changes_dir, exist_ok=True)
 
@@ -276,40 +286,54 @@ class TreasureStore:
             F.lit(self.n_buckets),
         ).cast("int")
 
-    def _read_manifest_full(
+    def _manifest_layout(
         self, v: int
-    ) -> "dict[int, tuple[int, list[str] | None]]":
-        """bucket -> (owner version, file names or None). The FILE list
-        (manifest v2) is what lets reads skip directory listing
-        entirely — the full Iceberg idiom; a legacy v1 manifest (bucket
-        -> version only) reads with None file lists and falls back to
-        dir paths."""
+    ) -> "tuple[dict[int, tuple[int, list[str] | None]], tuple[int, list[str]] | None]":
+        """(mapping, flat): ``mapping`` = bucket -> (owner version, file
+        names or None — v1 manifests fall back to dir paths); ``flat``
+        = (owner version, file names) of a whole-store WRITE-BUFFER
+        version (r12: a full-coverage bulk write lands as one flat dir
+        — no bucket shuffle, no n_buckets output dirs) that owns every
+        bucket NOT in ``mapping``, or None. A bucket re-written after
+        the flat version shadows the flat copy's rows for that bucket;
+        a bucket emptied after it is tombstoned with an empty file
+        list."""
         with open(self._manifest_path(v)) as fh:
             raw = json.load(fh)
         if isinstance(raw, dict) and "buckets" in raw:
-            return {
+            mapping = {
                 int(b): (int(entry[0]), entry[1])
                 for b, entry in raw["buckets"].items()
             }
-        return {int(k): (int(x), None) for k, x in raw.items()}
+            flat = raw.get("flat")
+            return mapping, ((int(flat[0]), flat[1]) if flat else None)
+        return {int(k): (int(x), None) for k, x in raw.items()}, None
+
+    def _read_manifest_full(
+        self, v: int
+    ) -> "dict[int, tuple[int, list[str] | None]]":
+        return self._manifest_layout(v)[0]
 
     def _read_manifest(self, v: int) -> "dict[int, int]":
         return {b: o for b, (o, _f) in self._read_manifest_full(v).items()}
 
     def _publish_manifest(
-        self, v: int, full: "dict[int, tuple[int, list[str] | None]]"
+        self,
+        v: int,
+        full: "dict[int, tuple[int, list[str] | None]]",
+        flat: "tuple[int, list[str]] | None" = None,
     ) -> None:
         path = self._manifest_path(v)
         tmp = path + ".tmp"
+        doc = {
+            "buckets": {
+                str(b): [o, files] for b, (o, files) in sorted(full.items())
+            }
+        }
+        if flat is not None:
+            doc["flat"] = [int(flat[0]), flat[1]]
         with open(tmp, "w") as fh:
-            json.dump(
-                {
-                    "buckets": {
-                        str(b): [o, files] for b, (o, files) in sorted(full.items())
-                    }
-                },
-                fh,
-            )
+            json.dump(doc, fh)
         os.replace(tmp, path)
 
     def _bucket_paths(
@@ -323,10 +347,13 @@ class TreasureStore:
         out: list[str] = []
         for b, (o, files) in sorted(want.items()):
             d = os.path.join(self._snapshot_path(o), f"b={b}")
-            if files:
-                out.extend(os.path.join(d, f) for f in files)
+            if files is None:
+                out.append(d)  # legacy v1 manifest: dir path
             else:
-                out.append(d)
+                # an EMPTY list is a tombstone (bucket emptied after a
+                # flat write-buffer — it must shadow the flat copy, so
+                # it contributes no paths rather than falling through)
+                out.extend(os.path.join(d, f) for f in files)
         return out
 
     def _version_schema(self, v: int):
@@ -362,15 +389,45 @@ class TreasureStore:
         inference — the manifest IS the file index (Iceberg idiom).
         No partition column appears (``b`` is layout, derivable from
         the key)."""
-        full = self._read_manifest_full(v)
-        paths = self._bucket_paths(full, buckets)
-        if not paths:
+        mapping, flat = self._manifest_layout(v)
+        schema = self._version_schema(v)
+        frames = []
+        paths = self._bucket_paths(mapping, buckets)
+        if paths:
+            frames.append(self.spark.read.schema(schema).parquet(*paths))
+        if flat is not None:
+            # the flat write-buffer leg: its files hold the whole store
+            # as of the flat version, so rows of buckets RE-OWNED by
+            # later bucket dirs (or tombstoned empty) are stale and
+            # filtered out by bucket id; a scoped read additionally
+            # filters to the requested buckets (a filter, not a
+            # directory prune — the documented write-buffer cost until
+            # settle()/the next full write re-buckets)
+            need = buckets is None or any(int(b) not in mapping for b in buckets)
+            fpaths = [
+                os.path.join(self._snapshot_path(flat[0]), f) for f in flat[1]
+            ]
+            if need and fpaths:
+                fr = self.spark.read.schema(schema).parquet(*fpaths)
+                if mapping:
+                    fr = fr.filter(
+                        ~self._bucket_expr().isin([int(b) for b in mapping])
+                    )
+                if buckets is not None:
+                    fr = fr.filter(
+                        self._bucket_expr().isin([int(b) for b in buckets])
+                    )
+                frames.append(fr)
+        if not frames:
             # fully-empty store (every bucket empty): reconstruct the
             # schema from the layout-seed parquet written at init
             return self.spark.read.parquet(
                 os.path.join(self.root, "_schema")
             ).limit(0)
-        return self.spark.read.schema(self._version_schema(v)).parquet(*paths)
+        out = frames[0]
+        for fr in frames[1:]:
+            out = out.unionByName(fr)
+        return out
 
     def _touched_buckets(self, keys) -> list[int]:
         """Bucket ids a key set hashes into. ``keys`` is a python
@@ -397,6 +454,11 @@ class TreasureStore:
         DataFrames built from a scoped ``current()`` keep their
         resolved paths, so post-write event projections stay valid
         after the scope clears."""
+        if self.track_workload:
+            # one count job per DataFrame-keyed batch — the documented
+            # cost of opting into workload telemetry (layout advisor)
+            n = keys.count() if isinstance(keys, DataFrame) else len(keys)
+            self.workload["write_batches"].append(int(n))
         if self.n_buckets is not None:
             self._scope = self._touched_buckets(keys)
 
@@ -414,6 +476,10 @@ class TreasureStore:
         return self.version >= 0
 
     def current(self) -> DataFrame:
+        if self.track_workload and self._txn_depth == 0:
+            # external scan (mutations' internal base reads run inside
+            # the transaction guard and are part of the write cost)
+            self.workload["scans"] += 1
         v = self.version
         if v < 0:
             raise FileNotFoundError(f"store {self.root} has no snapshot")
@@ -512,6 +578,7 @@ class TreasureStore:
         df: DataFrame,
         v: int,
         base_mapping: "dict[int, tuple[int, list[str] | None]]",
+        base_flat: "tuple[int, list[str]] | None" = None,
     ) -> None:
         """One bucketed version commit: write ``df``'s rows partitioned
         by bucket under ``v=N`` (mode overwrite clears any unpublished
@@ -547,17 +614,29 @@ class TreasureStore:
                 if f.endswith(".parquet") and not f.startswith(("_", "."))
             )
         mapping = dict(base_mapping)
+        flat = base_flat
         if self._scope is not None:
             for b in self._scope:
                 mapping.pop(b, None)
         else:
             mapping = {}
+            flat = None
         mapping.update({b: (v, files) for b, files in written.items()})
+        if flat is not None and self._scope is not None:
+            # over a flat write-buffer base, a touched bucket that came
+            # back EMPTY must be tombstoned (empty file list) — simply
+            # dropping it from the mapping would hand ownership back to
+            # the flat copy and resurrect its deleted rows
+            for b in self._scope:
+                if int(b) not in mapping:
+                    mapping[int(b)] = (v, [])
+            if len(mapping) >= int(self.n_buckets):
+                flat = None  # every bucket re-owned: the buffer is dead
         # the schema AS OF this commit, BEFORE the manifest (the
         # publish point) — reads resolve evolved columns through it
         with open(os.path.join(path, "_SCHEMA"), "w") as fh:
             json.dump(df.schema.jsonValue(), fh)
-        self._publish_manifest(v, mapping)
+        self._publish_manifest(v, mapping, flat)
 
     def changes(self) -> DataFrame:
         return self.spark.read.schema(CHANGE_SCHEMA).parquet(self.changes_dir)
@@ -600,7 +679,10 @@ class TreasureStore:
             kept = vs[-keep_versions:] if keep_versions > 0 else []
             referenced: set[int] = set(kept)
             for v in kept:
-                referenced.update(self._read_manifest(v).values())
+                mapping, flat = self._manifest_layout(v)
+                referenced.update(o for o, _f in mapping.values())
+                if flat is not None:
+                    referenced.add(int(flat[0]))  # the write-buffer donor
             # ALL on-disk version dirs, including donors a previous
             # compact already demoted (their manifests are gone, so
             # _versions() no longer lists them) — once nothing kept
@@ -692,12 +774,117 @@ class TreasureStore:
     def _write_version(self, df: DataFrame) -> int:
         v = self.version + 1
         if self.n_buckets is not None:
-            base_mapping = self._read_manifest_full(v - 1) if v > 0 else {}
-            self._write_bucketed(df, v, base_mapping)
+            base_mapping, base_flat = (
+                self._manifest_layout(v - 1) if v > 0 else ({}, None)
+            )
+            if (
+                self._scope is not None
+                and len({int(b) for b in self._scope}) >= int(self.n_buckets)
+            ):
+                # full-coverage batch: every bucket would be rewritten,
+                # so the per-bucket machinery (bucket shuffle, n_buckets
+                # output dirs, manifest references) buys nothing — land
+                # the version as ONE flat write-buffer dir instead
+                # (BENCH_scale30 store_set_bulk10pct_bucketed paid 2.4x
+                # flat for it; reference analogue: the v2 engine's
+                # write-buffer-vs-settled split,
+                # docs/features/v2-storage-engine.md). Point writes on
+                # top keep working (bucket dirs shadow the buffer);
+                # settle() re-buckets when the point-read rate warrants.
+                self._write_flat(df, v)
+            else:
+                self._write_bucketed(df, v, base_mapping, base_flat)
             self._scope = None
             return v
         self._writer(df).parquet(self._snapshot_path(v))
         return v
+
+    def _write_flat(self, df: DataFrame, v: int) -> None:
+        """One whole-store WRITE-BUFFER commit on the bucketed layout:
+        a plain parallel parquet write (no bucket repartition, no
+        per-bucket dirs) published as ``flat`` in the manifest — every
+        bucket is owned by it until later point writes shadow theirs
+        or :meth:`settle` re-buckets."""
+        path = self._snapshot_path(v)
+        df.write.mode("overwrite").parquet(path)
+        files = sorted(
+            f
+            for f in os.listdir(path)
+            if f.endswith(".parquet") and not f.startswith(("_", "."))
+        )
+        with open(os.path.join(path, "_SCHEMA"), "w") as fh:
+            json.dump(df.schema.jsonValue(), fh)
+        self._publish_manifest(v, {}, flat=(v, files))
+
+    def advise_layout(self) -> dict:
+        """Layout recommendation from the RECORDED workload
+        (``track_workload=True``): the prune-factor formula over the
+        write-batch history vs the measured bucketed-scan penalty
+        (sources/layout_advisor.py). One count job for the store size;
+        the decision itself is pure arithmetic. Includes the concrete
+        migration call to run."""
+        from .layout_advisor import recommend_layout
+
+        out = recommend_layout(
+            self.workload["write_batches"],
+            self.workload["scans"],
+            self.current().count(),
+        )
+        out["current_layout"] = "bucketed" if self.n_buckets else "flat"
+        out["already_optimal"] = (
+            out["recommendation"] == out["current_layout"]
+        )
+        return out
+
+    @_serialized
+    def migrate_layout(self, n_buckets: "Optional[int]" = None) -> bool:
+        """Rewrite the store into the other layout (the advisor's
+        migration call): one full-state write in the target layout,
+        then compaction to a single version — mixed-layout TIME TRAVEL
+        is not supported, so pre-migration snapshots are dropped
+        (archive the change log first if history matters; ``history()``
+        replays it regardless of layout). Returns False when the store
+        is already in the requested layout."""
+        target = int(n_buckets) if n_buckets else None
+        if target == self.n_buckets:
+            return False
+        df = self.current()
+        v = self.version + 1
+        if target is not None:
+            self.n_buckets = target
+            with open(os.path.join(self.root, "_LAYOUT"), "w") as fh:
+                json.dump({"n_buckets": target}, fh)
+            df.limit(0).write.mode("overwrite").parquet(
+                os.path.join(self.root, "_schema")
+            )
+            self._scope = None
+            self._write_bucketed(df, v, {}, None)
+        else:
+            # write the plain snapshot FIRST (the read plan still
+            # resolves the bucketed dirs), then flip the layout
+            self._writer(df).parquet(self._snapshot_path(v))
+            self.n_buckets = None
+            with open(os.path.join(self.root, "_LAYOUT"), "w") as fh:
+                json.dump({"n_buckets": 0}, fh)
+        self.compact(keep_versions=1)
+        return True
+
+    def settle(self) -> bool:
+        """Re-bucket a store whose current version still carries a flat
+        write-buffer (the background 'settle' of the write-buffer-vs-
+        settled split): one full bucketed rewrite, after which point
+        reads/writes prune by bucket again. Returns False (no new
+        version) when the current manifest has no flat leg."""
+        with self._txn:
+            v = self.version
+            if v < 0 or self.n_buckets is None:
+                return False
+            _mapping, flat = self._manifest_layout(v)
+            if flat is None:
+                return False
+            self._scope = None
+            self._write_bucketed(self.current(), v + 1, {}, None)
+            return True
 
     def _emit(self, events: DataFrame, batch_id: int) -> None:
         now = datetime.now(timezone.utc)

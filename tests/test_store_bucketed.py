@@ -281,3 +281,103 @@ def test_compact_reclaims_dereferenced_donor_dirs(spark, tmp_path):
     ]
     assert leftover == [], leftover  # every dead dir reclaimed
     assert store.current().count() == 100
+
+
+def test_full_coverage_write_lands_flat_and_stays_equivalent(spark, tmp_path):
+    """r12: a batch touching EVERY bucket writes one flat write-buffer
+    dir (no per-bucket dirs), the manifest carries the flat leg, and
+    every read — full, scoped, point mutations on top, time travel —
+    stays equivalent to the plain layout."""
+    plain = _mk(spark, tmp_path / "plain", rows=[(f"k{i}", i, None) for i in range(200)])
+    buck = _mk(
+        spark, tmp_path / "buck", n_buckets=8,
+        rows=[(f"k{i}", i, None) for i in range(200)],
+    )
+
+    # bulk update: 200 keys over 8 buckets — full coverage
+    bulk = [(f"k{i}", i * 2, None) for i in range(200)]
+    for s in (plain, buck):
+        s.set(spark.createDataFrame(bulk, SCHEMA))
+    v = buck.version
+    mapping, flat = buck._manifest_layout(v)
+    assert flat is not None and flat[0] == v and flat[1]
+    assert mapping == {}
+    assert not [
+        d for d in os.listdir(buck._snapshot_path(v)) if d.startswith("b=")
+    ]
+    assert _state(buck) == _state(plain)
+
+    # point writes on top of the buffer: bucket dirs shadow flat rows
+    for s in (plain, buck):
+        s.set(spark.createDataFrame([("k3", -3, None), ("knew", 1, None)], SCHEMA))
+        s.delete(["k7"])
+    mapping2, flat2 = buck._manifest_layout(buck.version)
+    assert flat2 is not None and flat2[0] == v  # buffer still the donor
+    assert mapping2  # the touched buckets got dirs
+    assert _state(buck) == _state(plain)
+    assert _events(buck) == _events(plain)
+    # time travel to the flat version still reads exactly
+    assert sorted(
+        (r["key"], r["val"]) for r in buck.snapshot(v).select("key", "val").collect()
+    ) == sorted((k, v2) for k, v2, _ in bulk)
+
+
+def test_flat_buffer_tombstones_emptied_bucket(spark, tmp_path):
+    """Deleting EVERY key of one bucket after a flat write must
+    tombstone that bucket (empty file list) — falling back to the flat
+    copy would resurrect the deleted rows."""
+    buck = _mk(
+        spark, tmp_path / "b", n_buckets=4,
+        rows=[(f"k{i}", i, None) for i in range(40)],
+    )
+    buck.set(spark.createDataFrame([(f"k{i}", i * 10, None) for i in range(40)], SCHEMA))
+    _, flat = buck._manifest_layout(buck.version)
+    assert flat is not None
+    # find one bucket's full key set and delete it
+    rows = buck.current().select("key").collect()
+    by_bucket = {}
+    for r in rows:
+        b = buck._touched_buckets([r["key"]])[0]
+        by_bucket.setdefault(b, []).append(r["key"])
+    victim, keys = next(iter(by_bucket.items()))
+    buck.delete(keys)
+    mapping, flat2 = buck._manifest_layout(buck.version)
+    assert flat2 is not None
+    assert mapping.get(victim, (None, None))[1] == []  # tombstone
+    got = {r["key"] for r in buck.current().select("key").collect()}
+    assert not (got & set(keys))
+    assert len(got) == 40 - len(keys)
+
+
+def test_settle_rebuckets_and_restores_pruned_reads(spark, tmp_path):
+    buck = _mk(
+        spark, tmp_path / "b", n_buckets=8,
+        rows=[(f"k{i}", i, None) for i in range(100)],
+    )
+    buck.set(spark.createDataFrame([(f"k{i}", i + 1, None) for i in range(100)], SCHEMA))
+    _, flat = buck._manifest_layout(buck.version)
+    assert flat is not None
+    before = _state(buck)
+    assert buck.settle() is True
+    mapping, flat2 = buck._manifest_layout(buck.version)
+    assert flat2 is None and len(mapping) == 8
+    assert _state(buck) == before
+    assert buck.settle() is False  # already settled
+    # compact can now reclaim the buffer version once dereferenced
+    buck.compact(keep_versions=1)
+    assert _state(buck) == before
+
+
+def test_compact_keeps_referenced_flat_donor(spark, tmp_path):
+    buck = _mk(
+        spark, tmp_path / "b", n_buckets=8,
+        rows=[(f"k{i}", i, None) for i in range(100)],
+    )
+    buck.set(spark.createDataFrame([(f"k{i}", i + 1, None) for i in range(100)], SCHEMA))
+    vflat = buck.version
+    buck.set(spark.createDataFrame([("k3", 999, None)], SCHEMA))
+    before = _state(buck)
+    buck.compact(keep_versions=1)
+    # the flat version dir must survive as a donor (still referenced)
+    assert os.path.isdir(buck._snapshot_path(vflat))
+    assert _state(buck) == before
