@@ -123,6 +123,8 @@ HEADLINE = [
     "ivfadc_topk_stable",
     "knn_self_join_stable",
     "knn_self_join_auto_stable",
+    # r12: adaptive hot-bucket sub-split (oracle-replayed)
+    "knn_self_join_adaptive_stable",
     "ann_topk_multiprobe_stable",
     "embedding_neardup",
     "embedding_neardup_auto_stable",

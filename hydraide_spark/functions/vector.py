@@ -319,6 +319,13 @@ def auto_ivf_k(n_rows: int, target_cell: int = 256) -> int:
     return max(4, min(65536, math.ceil(n_rows / target_cell)))
 
 
+#: extra hyperplanes available to the adaptive hot-bucket sub-split —
+#: depth is capped here; the planes come from seed+1000 (an independent
+#: stream: make_planes is row-major prefix-stable per seed, so reusing
+#: the SAME seed would replay the primary planes)
+KNN_ADAPTIVE_MAX_BITS = 8
+
+
 def lsh_knn_self_join(
     df: DataFrame,
     k: int,
@@ -327,6 +334,7 @@ def lsh_knn_self_join(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    adaptive_target: Optional[int] = None,
 ) -> DataFrame:
     """kNN SELF-join: every row's top-k cosine neighbors among its LSH
     bucket-mates — the all-rows form of :func:`lsh_topk` (per-query
@@ -344,7 +352,22 @@ def lsh_knn_self_join(
     corpus via :func:`auto_lsh_bits` — one cheap count, and candidate
     volume stays ~n × target-occupancy at ANY corpus size. A pinned
     ``n_bits`` is for oracle-stable tests; the 10x scale stress
-    measured growth exponent 1.59 with fixed bits vs ~1 auto-sized."""
+    measured growth exponent 1.59 with fixed bits vs ~1 auto-sized.
+
+    ``adaptive_target`` (r12): auto bits pin the MEAN occupancy, but
+    real embeddings cluster — the ×30 stress measured a max bucket of
+    131 against a target of 32 (candidate volume is Σ size², so the
+    hot tail is where the growth exponent lives). With a target set,
+    buckets whose size exceeds 2×target split by the first
+    ``ceil(log2(size/target))`` sign bits of an INDEPENDENT hyperplane
+    stream (capped at :data:`KNN_ADAPTIVE_MAX_BITS`) — per-bucket
+    depth, computed in-plan from a bucket-size aggregate (no driver
+    action), both pair sides derive the same depth, so the join stays
+    a pure equi-join. Recall trade: a true neighbor pair inside a hot
+    bucket must also agree on the extra bits — for near vectors the
+    per-bit collision probability 1−θ/π is near 1; the floor is
+    asserted in tests, and the FULL adaptive pipeline is replayed by
+    the ``knn_self_join_adaptive_stable`` SQL oracle."""
     if n_bits is None:
         n_bits = auto_lsh_bits(df.count())
     planes = make_planes(dim, n_bits, seed)
@@ -353,6 +376,36 @@ def lsh_knn_self_join(
         F.col(vec_col),
         lsh_bucket_expr(F.col(vec_col), planes).alias("_bucket"),
     )
+    if adaptive_target is not None:
+        xplanes = make_planes(dim, KNN_ADAPTIVE_MAX_BITS, seed + 1000)
+        b = b.withColumn("_sub", lsh_bucket_expr(F.col(vec_col), xplanes))
+        depth = (
+            F.when(
+                F.col("_c") > 2 * int(adaptive_target),
+                F.least(
+                    F.lit(KNN_ADAPTIVE_MAX_BITS),
+                    F.ceil(
+                        F.log2(F.col("_c") / F.lit(float(adaptive_target)))
+                    ).cast("int"),
+                ),
+            )
+            .otherwise(F.lit(0))
+            .alias("_d")
+        )
+        hot = b.groupBy("_bucket").agg(F.count(F.lit(1)).alias("_c")).select(
+            "_bucket", depth
+        )
+        b = (
+            b.join(hot, "_bucket")
+            .withColumn(
+                "_bucket",
+                F.concat(
+                    F.col("_bucket"),
+                    F.col("_sub").substr(F.lit(1), F.col("_d")),
+                ),
+            )
+            .drop("_sub", "_d")
+        )
     left = b.select(
         F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"), F.col("_bucket")
     )

@@ -927,3 +927,81 @@ def neardup_truth_eval(spark, sf_dir):
         ),
         truth,
     )
+
+
+# Extra hyperplanes for the r12 adaptive hot-bucket sub-split — an
+# INDEPENDENT seeded stream (seed+1000: make_planes is prefix-stable
+# per seed, so the same seed would replay the primary planes).
+_XPLANES = make_planes(dim=64, n_bits=8, seed=1042)
+_XPLANES_CTE = "SELECT " + ", ".join(
+    f"{_dlist(p)} AS x{i}" for i, p in enumerate(_XPLANES)
+)
+_SUB_BUCKET = "concat(" + ", ".join(
+    f"(CASE WHEN {_dot('e.v', f'xp.x{i}')} >= 0 THEN '1' ELSE '0' END)"
+    for i in range(8)
+) + ")"
+
+
+@golden(
+    "knn_self_join_adaptive_stable",
+    oracle=f"""
+    WITH e AS ({_E}),
+    pl AS ({_AUTO_PLANES_CTE}),
+    xp AS ({_XPLANES_CTE}),
+    nb AS (
+      SELECT GREATEST(4, LEAST(24, CAST(CEIL(LOG2(
+        CAST((SELECT COUNT(*) FROM embeddings) AS DOUBLE) / 32.0)) AS INT))) AS bits
+    ),
+    b AS (
+      SELECT e.vec_id, e.v, {_AUTO_BUCKET} AS bucket, {_SUB_BUCKET} AS sub
+      FROM e CROSS JOIN pl CROSS JOIN xp CROSS JOIN nb
+    ),
+    dep AS (
+      SELECT bucket,
+             CASE WHEN COUNT(*) > 16
+                  THEN LEAST(8, CAST(CEIL(LOG2(COUNT(*) / 8.0)) AS INT))
+                  ELSE 0 END AS d
+      FROM b GROUP BY bucket
+    ),
+    b2 AS (
+      SELECT b.vec_id, b.v, b.bucket || substr(b.sub, 1, dep.d) AS bucket
+      FROM b JOIN dep ON b.bucket = dep.bucket
+    ),
+    cand AS (
+      SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+             {_cos('a.v', 'c.v')} AS score
+      FROM b2 a JOIN b2 c ON a.bucket = c.bucket AND a.vec_id <> c.vec_id
+    ),
+    ranked AS (
+      SELECT id_a, id_b, score,
+             ROW_NUMBER() OVER (PARTITION BY id_a
+                                ORDER BY score DESC, id_b ASC) AS rn
+      FROM cand
+    )
+    SELECT CAST(id_a AS BIGINT) AS id_a,
+           CAST(id_b AS BIGINT) AS id_b,
+           round(score, 4) AS score,
+           CAST(rn AS INT) AS rank
+    FROM ranked WHERE rn <= 5
+    """,
+)
+def knn_self_join_adaptive_stable(spark, sf_dir):
+    """r12: the adaptive hot-bucket sub-split (×30 stress: auto bits
+    pin MEAN occupancy but real embeddings cluster — max bucket 131 vs
+    target 32, and candidate volume is Σ size²). Buckets above
+    2×target split by the first ceil(log2(size/target)) sign bits of
+    an independent hyperplane stream; depth is derived in-plan from a
+    bucket-size aggregate, both pair sides agree on it, and the whole
+    pipeline — auto bit formula, primary buckets, per-bucket depth
+    (LOG2/CEIL agree cross-engine: size/target is a power-of-two ratio
+    or ≫1 ulp from an integer), sub-bucket strings, cosine ranks — is
+    replayed by the oracle. target=8 forces the split to ENGAGE at
+    every gate sf (mean occupancy ~31 > 2×8)."""
+    emb = t(spark, sf_dir, "embeddings")
+    out = lsh_knn_self_join(emb, k=5, dim=64, seed=42, adaptive_target=8)
+    return out.select(
+        big("id_a").alias("id_a"),
+        big("id_b").alias("id_b"),
+        F.round("score", 4).alias("score"),
+        F.col("rank").cast("int").alias("rank"),
+    )
