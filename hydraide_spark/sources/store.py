@@ -869,22 +869,22 @@ class TreasureStore:
         self.compact(keep_versions=1)
         return True
 
+    @_serialized
     def settle(self) -> bool:
         """Re-bucket a store whose current version still carries a flat
         write-buffer (the background 'settle' of the write-buffer-vs-
         settled split): one full bucketed rewrite, after which point
         reads/writes prune by bucket again. Returns False (no new
         version) when the current manifest has no flat leg."""
-        with self._txn:
-            v = self.version
-            if v < 0 or self.n_buckets is None:
-                return False
-            _mapping, flat = self._manifest_layout(v)
-            if flat is None:
-                return False
-            self._scope = None
-            self._write_bucketed(self.current(), v + 1, {}, None)
-            return True
+        v = self.version
+        if v < 0 or self.n_buckets is None:
+            return False
+        _mapping, flat = self._manifest_layout(v)
+        if flat is None:
+            return False
+        self._scope = None
+        self._write_bucketed(self.current(), v + 1, {}, None)
+        return True
 
     def _emit(self, events: DataFrame, batch_id: int) -> None:
         now = datetime.now(timezone.utc)

@@ -117,6 +117,12 @@ def run_ops(spark, store: TreasureStore, n: int) -> dict[str, float]:
         )
     )
     t["store_set_bulk10pct"] = timed(lambda: store.set(updates))
+    if store.n_buckets is not None:
+        # the designed post-bulk step on the bucketed layout: the bulk
+        # landed as a flat write-buffer (r12); settle re-buckets so the
+        # point ops below measure the settled layout (its cost is its
+        # own row, not smeared into theirs)
+        t["store_settle_after_bulk"] = timed(lambda: store.settle())
 
     # fixed SMALL batch (100 keys): the point-write regime where the
     # bucketed manifest layout's O(batch) claim is measurable — a
