@@ -248,6 +248,7 @@ HEADLINE = [
     "text_normalize",
     "uint64_decimal_fidelity",
     "neardup_truth_eval",
+    "dsir_importance_topk",
 ]
 
 

@@ -27,7 +27,7 @@ from __future__ import annotations
 
 from typing import Mapping
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window as W, functions as F
 
 _U32 = 1 << 32
 
@@ -376,3 +376,172 @@ def apply_mixing_plan(
         .filter(bucket < F.col("_thr"))
         .drop("_thr")
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR — Data Selection with Importance Resampling (Xie et al., 2023,
+# "Data Selection for Language Models via Importance Resampling").
+# Select raw-corpus documents that look like a small target domain:
+# fit two hashed-n-gram bag models (target p, raw q), weight every raw
+# document by sum_g log(p_b(g)/q_b(g)) over its unigrams+bigrams, keep
+# the top-weighted documents.
+#
+# Scale shape (100 TB): the model is TWO B-row aggregates (map-side
+# combined; B is the fixed hash-bucket count, never corpus-sized), the
+# per-bucket log-ratios are quantized ONCE driver-side and injected as
+# a DECIMAL literal array (CLAUDE.md: injected-literal discounts beat
+# engine math — the JVM never computes a log), scoring is a zero-
+# shuffle scan-side expression, and selection is orderBy().limit(k)
+# (TakeOrderedAndProject, never a global-sort or one-partition window).
+#
+# Engine-stable exactness (the oracle replays the FULL pipeline):
+# bucket = md5 u32 % B (sample_bucket); the pre-log ratio
+# (c_b + 0.5) / (total + 0.5·B) is IEEE correctly-rounded in both
+# engines; ln is libm in BOTH the driver (CPython math.log) and DuckDB
+# (std::log) so the double matches bit-for-bit without the JVM rule;
+# quantization mirrors DuckDB's CAST(DOUBLE AS DECIMAL) exactly
+# (shortest-repr HALF_EVEN: Decimal(repr(x)).quantize(1e-12,
+# ROUND_HALF_EVEN)); per-doc scores are DECIMAL sums of those literals
+# — exact, order-free, comparable bit-for-bit.
+# ---------------------------------------------------------------------------
+
+
+def dsir_grams(text: Column) -> Column:
+    """The DSIR feature stream: word unigrams + bigrams, with repeats
+    (the paper's hashed n-gram features)."""
+    from .text import ngrams
+
+    return F.concat(ngrams(text, 1), ngrams(text, 2))
+
+
+def dsir_bucket(gram: Column, n_buckets: int, salt: str = "", method: str = "md5") -> Column:
+    """Feature hash bucket in [0, B): the u32 key hash mod B (both
+    factors engine-stable in md5 mode)."""
+    return sample_bucket(gram, salt, method) % F.lit(int(n_buckets))
+
+
+def dsir_bucket_counts(
+    df: DataFrame,
+    text_col: str,
+    n_buckets: int,
+    salt: str = "",
+    method: str = "md5",
+) -> DataFrame:
+    """Per-bucket gram counts for one corpus — the sufficient statistic
+    of a hashed bag-of-ngrams model. One explode + groupBy on a B-ary
+    key: map-side combine collapses each partition to <= B rows before
+    the shuffle, so the aggregate is O(B) rows at any corpus size."""
+    return (
+        df.select(F.explode(dsir_grams(F.col(text_col))).alias("_g"))
+        .select(dsir_bucket(F.col("_g"), n_buckets, salt, method).alias("bucket"))
+        .groupBy("bucket")
+        .count()
+    )
+
+
+def dsir_logratios(
+    target_df: DataFrame,
+    raw_df: DataFrame,
+    text_col: str,
+    n_buckets: int = 8192,
+    salt: str = "",
+    method: str = "md5",
+    smoothing: float = 0.5,
+    decimals: int = 12,
+) -> "list":
+    """Fit the DSIR model: per-bucket quantized log importance ratios
+    ``L_b = round(ln((t_b+a)/(T+aB)) - ln((r_b+a)/(R+aB)), 12)`` as
+    ``decimal.Decimal`` (add-a smoothing so unseen buckets stay
+    finite). Computed from two B-row collects — bounded by B, never by
+    corpus size. The quantization is shortest-repr HALF_EVEN, i.e.
+    exactly DuckDB's CAST(DOUBLE AS DECIMAL(38,12)), so an oracle that
+    recomputes the ratios lands on the SAME literals (ln is libm on
+    both sides; the JVM never computes one — see module note)."""
+    import math
+    from decimal import ROUND_HALF_EVEN, Decimal
+
+    q = Decimal(1).scaleb(-int(decimals))
+
+    def counts(df: DataFrame) -> "dict[int, int]":
+        rows = dsir_bucket_counts(df, text_col, n_buckets, salt, method).collect()
+        return {int(r[0]): int(r[1]) for r in rows}
+
+    tc, rc = counts(target_df), counts(raw_df)
+    T, R = sum(tc.values()), sum(rc.values())
+    a = float(smoothing)
+    out = []
+    for b in range(int(n_buckets)):
+        x = math.log((tc.get(b, 0) + a) / (T + a * n_buckets)) - math.log(
+            (rc.get(b, 0) + a) / (R + a * n_buckets)
+        )
+        out.append(Decimal(repr(x)).quantize(q, rounding=ROUND_HALF_EVEN))
+    return out
+
+
+def _decimal_array_literal(vals, decimals: int = 12, precision: int = 20) -> Column:
+    """Literal array<decimal(p,s)> built by ONE SQL parse (the
+    vector.py _as_double_array rule: per-element F.lit is a py4j round
+    trip each; one expr string parses JVM-side in ms). Decimal literals
+    parse exactly — no double transit, no bit drop.
+
+    Precision matters for the DOWNSTREAM SUM, not the values: Spark's
+    decimal(38,s) + decimal(38,s) needs precision 39, and on overflow
+    Spark REDUCES THE SCALE (38,12 + 38,12 -> 38,11) — silently
+    rounding the last digit at every addition step (measured: ~3e-11
+    drift per document vs the exact DuckDB sum). Keeping elements at
+    (20,12) and the accumulator at (32,12) leaves the addition at
+    precision 33: headroom, so every step is exact."""
+    body = ",".join(f"CAST({v:f} AS DECIMAL({precision},{decimals}))" for v in vals)
+    return F.expr(f"array({body})")
+
+
+def dsir_score(
+    text: Column,
+    logratios,
+    salt: str = "",
+    method: str = "md5",
+    decimals: int = 12,
+) -> Column:
+    """Per-document DSIR log importance weight: the DECIMAL-exact sum
+    of the quantized bucket log-ratios over the document's grams. A
+    scan-side expression — zero shuffle, whole-stage codegen (md5/conv/
+    element_at/aggregate are all JVM built-ins); the model rides the
+    plan as a literal array, never a join."""
+    lr = _decimal_array_literal(logratios, decimals)
+    n_buckets = len(logratios)
+    zero = F.expr(f"CAST(0 AS DECIMAL(32,{decimals}))")
+    return F.aggregate(
+        dsir_grams(text),
+        zero,
+        lambda acc, g: (
+            acc
+            + F.element_at(
+                lr, (dsir_bucket(g, n_buckets, salt, method) + F.lit(1)).cast("int")
+            )
+        ).cast(f"decimal(32,{decimals})"),
+    )
+
+
+def dsir_topk(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    logratios,
+    k: int,
+    salt: str = "",
+    method: str = "md5",
+    score_col: str = "dsir_score",
+) -> DataFrame:
+    """Select the k raw documents most like the target domain: rank by
+    DSIR score desc (id asc tiebreak — scores can tie across docs with
+    identical gram multisets). ``orderBy().limit(k)`` is
+    TakeOrderedAndProject (per-partition heaps + k·P driver merge);
+    the rank window runs over the <= k survivors only (CLAUDE.md
+    top-k rule). Returns (id, rank, score) — rank 1 = most target-like."""
+    scored = df.select(
+        F.col(id_col),
+        dsir_score(F.col(text_col), logratios, salt, method).alias(score_col),
+    )
+    top = scored.orderBy(F.col(score_col).desc(), F.col(id_col).asc()).limit(int(k))
+    w = W.orderBy(F.col(score_col).desc(), F.col(id_col).asc())
+    return top.withColumn("rank", F.row_number().over(w).cast("int"))

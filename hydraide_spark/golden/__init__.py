@@ -402,4 +402,5 @@ def _load_all() -> None:
     from . import sketches  # noqa: F401
     from . import telemetry_q  # noqa: F401
     from . import retrieval_q  # noqa: F401
+    from . import curation  # noqa: F401
     _LOADED = True

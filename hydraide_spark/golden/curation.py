@@ -1,0 +1,100 @@
+"""Corpus-curation goldens (round 12+): DSIR importance resampling and
+friends — training-data selection operators beyond the dedup/quality
+families, each replayed end-to-end by a DuckDB oracle.
+
+Reference framing: the reference engine curates corpora with filters +
+beacons (docs/features/query-engine.md); these operators are the
+beyond-parity selection layer a 100 TB training-data pipeline needs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from . import golden
+from ._util import big, t
+
+# Engine-stable md5 bucket of a gram, as DuckDB SQL (mirrors
+# functions/sampling.py::sample_bucket md5 mode + dsir_bucket).
+_DSIR_BUCKET_SQL = "('0x' || substr(md5(g || '|dsir_v1'), 1, 8))::UBIGINT % 64"
+
+
+@golden(
+    "dsir_importance_topk",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, lang, g
+      FROM toks, UNNEST(list_concat(w,
+           list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1]))) AS u(g)
+    ),
+    bucketed AS (
+      SELECT doc_id, lang, {_DSIR_BUCKET_SQL} AS bucket FROM grams
+    ),
+    tcounts AS (
+      SELECT bucket, COUNT(*) AS tc FROM bucketed WHERE lang = 'de' GROUP BY bucket
+    ),
+    rcounts AS (
+      SELECT bucket, COUNT(*) AS rc FROM bucketed GROUP BY bucket
+    ),
+    tot AS (
+      SELECT (SELECT COALESCE(SUM(tc), 0) FROM tcounts) AS T,
+             (SELECT COALESCE(SUM(rc), 0) FROM rcounts) AS R
+    ),
+    lr AS (
+      -- the SAME smoothed log-ratio the driver computes: ln is libm in
+      -- both DuckDB and CPython, the pre-log ratio is IEEE
+      -- correctly-rounded double arithmetic (0.5::DOUBLE keeps DuckDB
+      -- out of DECIMAL division), and CAST(DOUBLE AS DECIMAL) is
+      -- shortest-repr HALF_EVEN — exactly what dsir_logratios quantizes
+      -- with. All 64 buckets materialize (unseen ones carry the pure
+      -- smoothing ratio).
+      SELECT b.bucket,
+             CAST(ln((COALESCE(tc, 0) + 0.5::DOUBLE) / (T + 0.5::DOUBLE * 64))
+                - ln((COALESCE(rc, 0) + 0.5::DOUBLE) / (R + 0.5::DOUBLE * 64))
+                AS DECIMAL(20,12)) AS L
+      FROM (SELECT UNNEST(range(0, 64)) AS bucket) b
+      LEFT JOIN tcounts USING (bucket) LEFT JOIN rcounts USING (bucket), tot
+    ),
+    scores AS (
+      SELECT doc_id, SUM(L) AS dsir_score
+      FROM bucketed JOIN lr USING (bucket)
+      GROUP BY doc_id
+    ),
+    topk AS (
+      SELECT doc_id, dsir_score
+      FROM scores
+      ORDER BY dsir_score DESC, doc_id ASC LIMIT 50
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(ROW_NUMBER() OVER (ORDER BY dsir_score DESC, doc_id ASC) AS INT) AS rank,
+           ROUND(CAST(dsir_score AS DOUBLE), 10) AS dsir_score
+    FROM topk
+    """,
+)
+def dsir_importance_topk(spark, sf_dir):
+    """DSIR importance resampling (Xie et al. 2023): pick the 50 raw
+    documents most like the lang='de' target domain via hashed
+    unigram+bigram bag models. The full pipeline replays in the oracle:
+    md5 buckets, smoothed count ratios, libm-vs-libm log (the JVM never
+    computes one — the per-bucket log-ratios are quantized driver-side
+    with DuckDB's exact CAST semantics and injected as DECIMAL
+    literals), DECIMAL-exact per-doc sums (accumulator precision sized
+    so Spark's decimal addition never overflows 38 and silently drops
+    the last scale digit), TakeOrdered selection with id tiebreak."""
+    from ..functions.sampling import dsir_logratios, dsir_topk
+
+    docs = t(spark, sf_dir, "documents")
+    target = docs.filter(F.col("lang") == "de")
+    lr = dsir_logratios(target, docs, "text", n_buckets=64, salt="dsir_v1")
+    out = dsir_topk(docs, "doc_id", "text", lr, 50, salt="dsir_v1")
+    return out.select(
+        big("doc_id").alias("doc_id"),
+        F.col("rank"),
+        # ranking/selection is DECIMAL-exact; only the REPORTED score
+        # passes a decimal->double cast, so it is rounded (CLAUDE.md:
+        # that cast differs in the last ulp between engines)
+        F.round(F.col("dsir_score").cast("double"), 10).alias("dsir_score"),
+    )
