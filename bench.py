@@ -216,6 +216,7 @@ HEADLINE = [
     "multimodal_real_decode",
     # r12: image perceptual-hash near-dup (planted-truth oracle)
     "image_phash_neardup",
+    "image_phash_neardup_png",
     # r11: headline == full registry (r10 VERDICT #6 — 26 cheap parity
     # reads had silently stayed out; tests/test_driver_contract.py now
     # pins set equality so the headline can never shrink again)

@@ -7,10 +7,12 @@ deterministic output schema — is real and tested. Decoding is real for
 container formats whose headers are self-describing: BMP, PNG, JPEG
 (image dimensions — JPEG via a marker-segment walk to the SOF frame
 header) and RIFF/WAVE (sample rate, channels, duration) parse from raw
-bytes with no codec library. Pixel/sample DECODE of compressed streams
-(JPEG entropy scan, MP4/H.264) needs libraries not in this container
-and raises ``NotImplementedError``; swapping in PIL/av changes ONE
-function body and nothing in the plan.
+bytes with no codec library. PIXEL decode is real for BMP (uncompressed
+rows) and PNG (stdlib zlib + spec unfilters — :func:`png_pixels`);
+pixel/sample decode of entropy-coded streams (JPEG scan, MP4/H.264)
+needs libraries not in this container and raises
+``NotImplementedError``; swapping in PIL/av changes ONE function body
+and nothing in the plan.
 
 At 100 TB: payloads stay columnar in parquet (binary column, never
 exploded through the driver); mapInPandas processes Arrow record
@@ -310,13 +312,14 @@ def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
 
 # --- image perceptual hashing / near-dup (r12) ------------------------------
 #
-# BMP is the one image container whose PIXELS are decodable with no
-# codec library (uncompressed BGR rows), so the perceptual-hash dedup
-# path is REAL end to end for BMPs: decode -> area-mean downsample ->
-# dHash/aHash 64-bit signature -> the same hamming block-join the text
-# SimHash path uses (functions/dedup.py::hamming_block_pairs). For
-# compressed formats the decode step is the documented
-# NotImplementedError plug point (swap in PIL and nothing else moves).
+# BMP (uncompressed BGR rows) and PNG (stdlib zlib inflate + the five
+# spec unfilters) are the image containers whose PIXELS are decodable
+# with no codec library, so the perceptual-hash dedup path is REAL end
+# to end for both: decode -> area-mean downsample -> dHash/aHash 64-bit
+# signature -> the same hamming block-join the text SimHash path uses
+# (functions/dedup.py::hamming_block_pairs). For JPEG-class compressed
+# formats the decode step is the documented NotImplementedError plug
+# point (swap in PIL and nothing else moves).
 
 
 def encode_bmp(pixels) -> bytes:
@@ -375,6 +378,172 @@ def bmp_pixels(payload: bytes):
     if height > 0:  # bottom-up storage
         rows = rows[::-1]
     return rows[:, :, ::-1]  # BGR -> RGB
+
+
+def encode_png(pixels, filters=None) -> bytes:
+    """Serialize an (h, w, 3|4) uint8 array as an 8-bit truecolor PNG
+    (stdlib zlib — no codec library). ``filters`` optionally gives the
+    per-scanline filter type (0..4, cycled); exercising Sub/Up/Average/
+    Paeth in the synthesizer is what makes the decoder's unfilter path
+    a tested surface rather than a filter-0 special case."""
+    import zlib
+
+    import numpy as np
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    h, w, ch = px.shape
+    if ch not in (3, 4):
+        raise ValueError("encode_png: pixels must be (h, w, 3|4) uint8")
+    ctype = 2 if ch == 3 else 6
+    if filters is None:
+        filters = [0]
+    flat = px.reshape(h, w * ch).astype(np.int32)
+    raw = bytearray()
+    prev = np.zeros(w * ch, dtype=np.int32)
+    for y in range(h):
+        f = int(filters[y % len(filters)]) & 7
+        row = flat[y]
+        left = np.zeros_like(row)
+        left[ch:] = row[:-ch]
+        upleft = np.zeros_like(prev)
+        upleft[ch:] = prev[:-ch]
+        if f == 0:
+            filt = row
+        elif f == 1:
+            filt = row - left
+        elif f == 2:
+            filt = row - prev
+        elif f == 3:
+            filt = row - (left + prev) // 2
+        elif f == 4:
+            p = left + prev - upleft
+            pa, pb, pc = np.abs(p - left), np.abs(p - prev), np.abs(p - upleft)
+            pred = np.where(
+                (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, upleft)
+            )
+            filt = row - pred
+        else:
+            raise ValueError(f"encode_png: filter {f} not in 0..4")
+        raw.append(f)
+        raw += (filt & 255).astype(np.uint8).tobytes()
+        prev = row
+
+    def chunk(typ: bytes, body: bytes) -> bytes:
+        return (
+            len(body).to_bytes(4, "big")
+            + typ
+            + body
+            + zlib.crc32(typ + body).to_bytes(4, "big")
+        )
+
+    ihdr = (
+        int(w).to_bytes(4, "big")
+        + int(h).to_bytes(4, "big")
+        + bytes([8, ctype, 0, 0, 0])
+    )
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def png_pixels(payload: bytes):
+    """REAL PNG pixel decode — stdlib only (zlib inflate + the five
+    scanline unfilters of the PNG spec §9: None/Sub/Up/Average/Paeth).
+    Supports 8-bit truecolor (color type 2) and truecolor+alpha (6),
+    non-interlaced — the dominant lossless-image layout; palette/
+     16-bit/interlaced raise ``NotImplementedError`` (the PIL plug
+    point, same contract as :func:`real_decode`). Returns an
+    (h, w, 3) uint8 RGB array (alpha dropped).
+
+    Unfiltering is sequential along a scanline by spec (Sub/Average/
+    Paeth reference the reconstructed left neighbor), so rows decode
+    with a per-byte loop; Up rows stay vectorized. This runs inside
+    Arrow batches on executors — parallelism comes from partitions,
+    not from this loop."""
+    import zlib
+
+    import numpy as np
+
+    if len(payload) < 8 or payload[:8] != b"\x89PNG\r\n\x1a\n":
+        raise NotImplementedError("not a PNG payload")
+    off = 8
+    ihdr = None
+    idat = bytearray()
+    while off + 8 <= len(payload):
+        ln = int.from_bytes(payload[off : off + 4], "big")
+        typ = payload[off + 4 : off + 8]
+        body = payload[off + 8 : off + 8 + ln]
+        if typ == b"IHDR":
+            ihdr = body
+        elif typ == b"IDAT":
+            idat += body
+        elif typ == b"IEND":
+            break
+        off += 12 + ln  # len + type + crc
+    if ihdr is None or len(ihdr) < 13:
+        raise NotImplementedError("PNG stream has no IHDR")
+    w = int.from_bytes(ihdr[0:4], "big")
+    h = int.from_bytes(ihdr[4:8], "big")
+    depth, ctype, comp, filt, interlace = ihdr[8:13]
+    if depth != 8 or ctype not in (2, 6) or comp or filt or interlace:
+        raise NotImplementedError(
+            f"PNG pixel decode supports 8-bit truecolor(+alpha), "
+            f"non-interlaced only (depth={depth}, color={ctype}, "
+            f"interlace={interlace}) — plug in PIL for the rest"
+        )
+    ch = 3 if ctype == 2 else 4
+    stride = w * ch
+    raw = zlib.decompress(bytes(idat))
+    if len(raw) != h * (stride + 1):
+        raise NotImplementedError("PNG IDAT length does not match IHDR dims")
+    arr = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
+    ftypes = arr[:, 0]
+    data = arr[:, 1:].astype(np.int32)
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        f = int(ftypes[y])
+        rec = data[y].copy()
+        if f == 0:
+            pass
+        elif f == 2:
+            rec = (rec + prev) & 255
+        elif f == 1:
+            for x in range(ch, stride):
+                rec[x] = (rec[x] + rec[x - ch]) & 255
+        elif f == 3:
+            for x in range(stride):
+                left = rec[x - ch] if x >= ch else 0
+                rec[x] = (rec[x] + (left + prev[x]) // 2) & 255
+        elif f == 4:
+            for x in range(stride):
+                a = rec[x - ch] if x >= ch else 0
+                b = prev[x]
+                c = prev[x - ch] if x >= ch else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                rec[x] = (rec[x] + pred) & 255
+        else:
+            raise NotImplementedError(f"PNG filter type {f}")
+        rec &= 255
+        out[y] = rec
+        prev = rec
+    return out.reshape(h, w, ch)[:, :, :3]
+
+
+def image_pixels(payload: bytes):
+    """Pixel decode dispatch: BMP (uncompressed rows) and PNG (zlib +
+    unfilter) are REAL with no codec library; anything else raises
+    ``NotImplementedError`` (the PIL plug point). Returns (h, w, 3)
+    uint8 RGB either way — the contract every perceptual-hash path
+    consumes."""
+    if len(payload) >= 8 and payload[:8] == b"\x89PNG\r\n\x1a\n":
+        return png_pixels(payload)
+    return bmp_pixels(payload)
 
 
 def _gray_pool(pixels, out_h: int, out_w: int):
@@ -441,7 +610,7 @@ def image_hashes(
             out = []
             for p in pdf["payload"]:
                 try:
-                    out.append(fn(bmp_pixels(bytes(p) if p is not None else b"")))
+                    out.append(fn(image_pixels(bytes(p) if p is not None else b"")))
                 except NotImplementedError:
                     if strict:
                         raise
@@ -460,7 +629,7 @@ def image_neardup_pairs(
     algo: str = "dhash",
 ) -> DataFrame:
     """Image near-duplicate pairs: perceptual hash (dHash/aHash over
-    the dependency-free BMP pixel decode) + the SimHash path's hamming
+    the dependency-free BMP/PNG pixel decode) + the SimHash path's hamming
     block-join (dedup.hamming_block_pairs — chunk-equality equi-joins,
     NEVER a cross join; recall is exact for hamming < n_blocks by
     pigeonhole). Undecodable payloads drop out (NULL phash). Emits

@@ -290,3 +290,70 @@ def image_phash_neardup(spark, sf_dir):
     return pairs.select(
         big("id_a").alias("id_a"), big("id_b").alias("id_b")
     )
+
+
+def _synth_png_corpus(docs: DataFrame) -> DataFrame:
+    """The same planted-twin image corpus as ``_synth_image_corpus``
+    but serialized as PNG with the scanline filter CYCLING through all
+    five spec types per image (y % 5) — so the oracle gate exercises
+    zlib inflate + every unfilter branch (None/Sub/Up/Average/Paeth),
+    not just the filter-0 special case. Truth pairs remain a pure
+    function of doc_id."""
+
+    ids = docs.select(F.col("doc_id").cast("long").alias("media_id")).unionByName(
+        docs.filter(F.col("doc_id") % 40 == 0).select(
+            (F.col("doc_id") + F.lit(10**9)).cast("long").alias("media_id")
+        )
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from ..functions.multimodal import encode_png
+
+        for pdf in batches:
+            payloads = []
+            for mid in pdf["media_id"]:
+                src = int(mid) % 10**9
+                px = np.random.RandomState(src % (2**31)).randint(
+                    0, 256, size=(32, 32, 3)
+                ).astype(np.uint8)
+                if mid >= 10**9:  # the planted twin: one high bit
+                    px[16, 16, 0] ^= 128
+                payloads.append(encode_png(px, filters=[0, 1, 2, 3, 4]))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": "image",
+                    "payload": payloads,
+                }
+            )
+
+    return ids.mapInPandas(gen, "media_id long, kind string, payload binary")
+
+
+@golden(
+    "image_phash_neardup_png",
+    oracle="""
+    SELECT CAST(doc_id AS BIGINT) AS id_a,
+           CAST(doc_id + 1000000000 AS BIGINT) AS id_b
+    FROM documents WHERE doc_id % 40 = 0
+    """,
+)
+def image_phash_neardup_png(spark, sf_dir):
+    """r12: the image near-dup pipeline over REAL PNG pixel decode
+    (functions/multimodal.py::png_pixels — stdlib zlib inflate + all
+    five scanline unfilters, no codec library) — same planted-twin
+    truth as ``image_phash_neardup``, so a single wrong byte anywhere
+    in inflate/unfilter/pool/dHash/block-join breaks the exact oracle.
+    PNG is the decode path a real curation pipeline hits most for
+    lossless images; the BMP golden stays as the uncompressed
+    control."""
+    docs = t(spark, sf_dir, "documents").select("doc_id")
+    media = _synth_png_corpus(docs)
+    from ..functions.multimodal import image_neardup_pairs
+
+    pairs = image_neardup_pairs(media, max_hamming=3)
+    return pairs.select(
+        big("id_a").alias("id_a"), big("id_b").alias("id_b")
+    )

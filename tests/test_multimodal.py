@@ -283,3 +283,82 @@ def test_image_neardup_blocked_join_shape(spark):
     got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
     assert got == {(i, i + 1000) for i in range(0, 20, 5)}
     assert "CartesianProduct" not in physical_plan(pairs)
+
+
+def test_png_pixel_roundtrip_all_filters():
+    """png_pixels is a REAL decode: zlib inflate + all five spec
+    unfilters reproduce the source pixels exactly, for every filter
+    type and for odd (non-multiple-of-4) widths."""
+    import numpy as np
+
+    from hydraide_spark.functions.multimodal import encode_png, png_pixels
+
+    rng = np.random.RandomState(3)
+    px = rng.randint(0, 256, size=(21, 19, 3)).astype(np.uint8)
+    for filters in ([0], [1], [2], [3], [4], [0, 1, 2, 3, 4]):
+        assert (png_pixels(encode_png(px, filters=filters)) == px).all()
+    # RGBA decodes and drops alpha
+    pxa = rng.randint(0, 256, size=(8, 8, 4)).astype(np.uint8)
+    assert (png_pixels(encode_png(pxa, filters=[4])) == pxa[:, :, :3]).all()
+
+
+def test_png_unsupported_layouts_raise():
+    import numpy as np
+    import pytest as _pytest
+
+    from hydraide_spark.functions.multimodal import encode_png, png_pixels
+
+    px = np.zeros((4, 4, 3), dtype=np.uint8)
+    enc = bytearray(encode_png(px))
+    # flip IHDR color type to palette (3) — decoder must refuse loudly,
+    # never return garbage pixels
+    enc[8 + 8 + 9] = 3
+    with _pytest.raises(NotImplementedError):
+        png_pixels(bytes(enc))
+    with _pytest.raises(NotImplementedError):
+        png_pixels(b"\x89PNG\r\n\x1a\nnot-a-chunk")
+
+
+def test_bmp_and_png_same_pixels_same_hash():
+    """Container-independence: the perceptual hash is a function of
+    PIXELS — the same image through the BMP and PNG codecs yields the
+    identical 64-bit signature."""
+    import numpy as np
+
+    from hydraide_spark.functions.multimodal import (
+        dhash64_py,
+        encode_bmp,
+        encode_png,
+        image_pixels,
+    )
+
+    px = np.random.RandomState(11).randint(0, 256, size=(32, 32, 3)).astype(np.uint8)
+    h_bmp = dhash64_py(image_pixels(encode_bmp(px)))
+    h_png = dhash64_py(image_pixels(encode_png(px, filters=[2, 3])))
+    assert h_bmp == h_png
+
+
+def test_image_neardup_mixed_containers(spark):
+    """A twin stored as PNG must pair with its BMP original — the
+    near-dup path is container-agnostic through image_pixels."""
+    import numpy as np
+
+    from hydraide_spark.functions.multimodal import (
+        encode_bmp,
+        encode_png,
+        image_neardup_pairs,
+    )
+
+    rng = np.random.RandomState(5)
+    rows = []
+    for i in range(12):
+        px = rng.randint(0, 256, size=(16, 16, 3)).astype(np.uint8)
+        rows.append((i, "image", bytearray(encode_bmp(px))))
+        if i % 4 == 0:
+            tw = px.copy()
+            tw[8, 8, 0] ^= 128
+            rows.append((i + 1000, "image", bytearray(encode_png(tw, filters=[1, 4]))))
+    media = spark.createDataFrame(rows, "media_id long, kind string, payload binary")
+    pairs = image_neardup_pairs(media, max_hamming=3)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert got == {(i, i + 1000) for i in range(0, 12, 4)}
