@@ -250,6 +250,7 @@ HEADLINE = [
     "uint64_decimal_fidelity",
     "neardup_truth_eval",
     "dsir_importance_topk",
+    "cluster_balanced_sample_vecs",
 ]
 
 

@@ -545,3 +545,44 @@ def dsir_topk(
     top = scored.orderBy(F.col(score_col).desc(), F.col(id_col).asc()).limit(int(k))
     w = W.orderBy(F.col(score_col).desc(), F.col(id_col).asc())
     return top.withColumn("rank", F.row_number().over(w).cast("int"))
+
+
+def cluster_balanced_sample(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroids,
+    per_cluster: int,
+    salt: str = "",
+    method: str = "md5",
+) -> DataFrame:
+    """Diversity-balanced subsample over an embedding column: assign
+    each row to its nearest centroid (cosine argmax — a pure scan-side
+    expression, centroids inlined as literals: zero joins, zero extra
+    shuffles) and keep at most ``per_cluster`` rows per cluster, chosen
+    by deterministic key-hash rank (md5 mode is engine-stable, so the
+    PICKED SET replays in SQL). The standard guard against dominant-
+    topic corpora: a uniform sample keeps duplicates of the dense
+    clusters; this keeps an equal-width slice of every cluster.
+
+    The per-cluster cut is :func:`~.vector.two_stage_topk` on the
+    cluster id — per-input-partition heads first, then a window over
+    the <= per_cluster * P survivors — so a dense cluster never funnels
+    the whole corpus partition through one reducer (the 100 TB window
+    rule). Returns (id, cluster, pick_rank); rows beyond the quota
+    drop; clusters smaller than the quota keep every row."""
+    from .vector import kmeans_assign, two_stage_topk
+
+    assigned = kmeans_assign(df, id_col, vec_col, centroids).drop("score")
+    bucket = sample_bucket(F.col(id_col), salt, method)
+    picked = two_stage_topk(
+        assigned.withColumn("_b", bucket),
+        int(per_cluster),
+        "label",
+        [F.col("_b").asc(), F.col(id_col).asc()],
+    )
+    return (
+        picked.drop("_b")
+        .withColumnRenamed("label", "cluster")
+        .withColumnRenamed("rank", "pick_rank")
+    )

@@ -98,3 +98,74 @@ def dsir_importance_topk(spark, sf_dir):
         # that cast differs in the last ulp between engines)
         F.round(F.col("dsir_score").cast("double"), 10).alias("dsir_score"),
     )
+
+
+def _cos_sql(a: str, b: str) -> str:
+    """Cosine with the same operand structure as
+    query.filters.cosine_similarity (sequential double folds — see
+    golden/vectors.py; pinned bit-identical in tests)."""
+    return (
+        f"list_dot_product({a}, {b}) / "
+        f"(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
+    )
+
+
+@golden(
+    "cluster_balanced_sample_vecs",
+    oracle=f"""
+    WITH cent AS (
+      SELECT label, i AS dim,
+             CAST(sum(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(28,9)))
+                  AS DOUBLE) / count(*) AS m
+      FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i)
+      GROUP BY label, i
+    ),
+    cvec AS (SELECT label, list(m ORDER BY dim) AS cv FROM cent GROUP BY label),
+    scored AS (
+      SELECT e.vec_id, c.label, {_cos_sql('e.embedding::DOUBLE[]', 'c.cv')} AS score
+      FROM embeddings e CROSS JOIN cvec c
+    ),
+    assigned AS (
+      SELECT vec_id, label FROM (
+        SELECT vec_id, label,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY score DESC, label ASC) AS rn
+        FROM scored
+      ) WHERE rn = 1
+    ),
+    ranked AS (
+      SELECT vec_id, label,
+             ROW_NUMBER() OVER (
+               PARTITION BY label
+               ORDER BY ('0x' || substr(md5(CAST(vec_id AS VARCHAR) || '|div_v1'), 1, 8))::UBIGINT ASC,
+                        vec_id ASC) AS pick_rank
+      FROM assigned
+    )
+    SELECT CAST(vec_id AS BIGINT) AS vec_id,
+           CAST(label AS BIGINT) AS cluster,
+           CAST(pick_rank AS INT) AS pick_rank
+    FROM ranked WHERE pick_rank <= 20
+    """,
+)
+def cluster_balanced_sample_vecs(spark, sf_dir):
+    """Cluster-balanced diversity subsample (the dominant-topic guard:
+    equal-width slices of every embedding cluster instead of a uniform
+    draw that mostly keeps the dense topics). Assignment is the
+    oracle-pinned kmeans_assign argmax (label-mean centroids, exact
+    decimal M-step, margins far above float noise); the per-cluster
+    quota picks by engine-stable md5 hash rank, so the SELECTED SET and
+    pick order replay exactly in SQL. The quota cut is two_stage_topk
+    on the cluster id — never a corpus-wide single-partition window."""
+    from ..functions.sampling import cluster_balanced_sample
+    from ..functions.vector import centroid_means, group_centroid_sums
+
+    emb = t(spark, sf_dir, "embeddings")
+    cents = centroid_means(group_centroid_sums(emb, "label", "embedding").collect())
+    out = cluster_balanced_sample(
+        emb, "vec_id", "embedding", cents, per_cluster=20, salt="div_v1"
+    )
+    return out.select(
+        big("vec_id").alias("vec_id"),
+        big("cluster").alias("cluster"),
+        F.col("pick_rank").cast("int").alias("pick_rank"),
+    )

@@ -322,3 +322,38 @@ def test_apply_mixing_plan_deficit_and_share_zero(spark):
     m2 = {r["source"]: r["count"] for r in out2.groupBy("source").count().collect()}
     assert "b" not in m2
     assert 0 < m2.get("a", 0) < 40
+
+
+def test_cluster_balanced_sample_quota(spark):
+    """Quota semantics: dense clusters cap at per_cluster; sparse ones
+    keep every row; pick ranks are 1..n per cluster; the cut never
+    routes the corpus through one window partition (two_stage_topk —
+    plan carries the two-stage shape, not a global window)."""
+    import numpy as np
+
+    from hydraide_spark.functions.sampling import cluster_balanced_sample
+
+    rng = np.random.RandomState(0)
+    rows = []
+    # cluster 0: 30 rows near e0; cluster 1: 3 rows near e1
+    for i in range(30):
+        v = np.array([10.0, 0.0, 0.0, 0.0]) + rng.normal(0, 0.01, 4)
+        rows.append((i, [float(x) for x in v]))
+    for i in range(3):
+        v = np.array([0.0, 10.0, 0.0, 0.0]) + rng.normal(0, 0.01, 4)
+        rows.append((100 + i, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = [(0, [10.0, 0.0, 0.0, 0.0]), (1, [0.0, 10.0, 0.0, 0.0])]
+    out = cluster_balanced_sample(df, "vec_id", "embedding", cents, per_cluster=5)
+    got = out.collect()
+    by_cluster: dict = {}
+    for r in got:
+        by_cluster.setdefault(r.cluster, []).append(r.pick_rank)
+    assert len(by_cluster[0]) == 5, "dense cluster must cap at quota"
+    assert len(by_cluster[1]) == 3, "sparse cluster keeps every row"
+    assert sorted(by_cluster[0]) == [1, 2, 3, 4, 5]
+    assert sorted(by_cluster[1]) == [1, 2, 3]
+    # determinism: same salt -> same picked set
+    again = {r.vec_id for r in cluster_balanced_sample(
+        df, "vec_id", "embedding", cents, per_cluster=5).collect()}
+    assert again == {r.vec_id for r in got}
