@@ -182,6 +182,7 @@ HEADLINE = [
     "bpe_merge_rules_256",
     "bpe_token_frequencies",
     "lm_logprob_quality_docs",
+    "bigram_lm_quality_docs",
     "telemetry_rolling_rates",
     "telemetry_top_swamps",
     "cms_user_frequencies",

@@ -218,6 +218,62 @@ def unigram_logprob_scores(
     )
 
 
+def bigram_logprob_scores(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Bigram-LM quality signal — the second-order CCNet-style filter
+    (:func:`unigram_logprob_scores` is the first-order one): per-doc
+    average conditional log-probability ln p(b|a) under an add-one-
+    smoothed bigram LM trained on the corpus itself,
+    ``p(b|a) = (c(ab) + 1) / (c(a) + V)`` with c(·) corpus counts and V
+    the unigram vocabulary size. Catches locally-fluent-but-shuffled
+    text that unigram frequencies cannot (every token common, the
+    TRANSITIONS rare). Returns (id, n_bigrams, avg_logprob); docs with
+    fewer than two tokens emit no row (they have no transitions).
+
+    Same 100 TB / exactness shape as the unigram scorer: two corpus
+    passes build token- and bigram-count tables (language-bounded),
+    probability lookups are equi-joins, each ln argument is an INTEGER
+    (so both engines see identical operands), and the per-document sum
+    left-folds over ASCENDING-sorted per-bigram values so any
+    partitioning produces the same double; compared outputs round to 6
+    decimals (ln last-ulp rule)."""
+    toks = df.select(
+        F.col(id_col), F.explode(tokenize(F.col(text_col))).alias("w")
+    )
+    ucounts = toks.groupBy("w").agg(F.count(F.lit(1)).alias("cu"))
+    vocab = ucounts.agg(F.count(F.lit(1)).alias("v_vocab"))
+    bigs = df.select(
+        F.col(id_col), F.explode(ngrams(F.col(text_col), 2)).alias("bg")
+    ).withColumn("w", F.substring_index(F.col("bg"), " ", 1))
+    bcounts = bigs.groupBy("bg").agg(F.count(F.lit(1)).alias("cb"))
+    per = (
+        bigs.join(bcounts, "bg")
+        .join(ucounts, "w")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            F.col(id_col),
+            (
+                F.log((F.col("cb") + F.lit(1)).cast("double"))
+                - F.log((F.col("cu") + F.col("v_vocab")).cast("double"))
+            ).alias("lv"),
+        )
+    )
+    return per.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        (
+            F.aggregate(
+                F.array_sort(F.collect_list("lv")),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            / F.count(F.lit(1))
+        ).alias("avg_logprob"),
+    )
+
+
 def bpe_train_merges(
     df: DataFrame,
     n_merges: int,

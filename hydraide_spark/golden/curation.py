@@ -169,3 +169,47 @@ def cluster_balanced_sample_vecs(spark, sf_dir):
         big("cluster").alias("cluster"),
         F.col("pick_rank").cast("int").alias("pick_rank"),
     )
+
+
+@golden(
+    "bigram_lm_quality_docs",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+    ),
+    ucnt AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS cu FROM toks GROUP BY w),
+    voc AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM ucnt),
+    bgs AS (
+      SELECT doc_id, g AS bg, string_split(g, ' ')[1] AS w
+      FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+           UNNEST(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS u(g)
+    ),
+    bcnt AS (SELECT bg, CAST(COUNT(*) AS BIGINT) AS cb FROM bgs GROUP BY bg),
+    per AS (
+      SELECT b.doc_id,
+             ln(CAST(cb + 1 AS DOUBLE)) - ln(CAST(cu + (SELECT v FROM voc) AS DOUBLE)) AS lv
+      FROM bgs b JOIN bcnt USING (bg) JOIN ucnt USING (w)
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           round(list_sum(list_sort(list(lv))) / COUNT(*), 6) AS avg_logprob
+    FROM per GROUP BY doc_id
+    """,
+)
+def bigram_lm_quality_docs(spark, sf_dir):
+    """Bigram-LM quality scores (functions/text.py::
+    bigram_logprob_scores): average add-one-smoothed conditional
+    log-probability per document — the transition-level fluency signal
+    the unigram filter cannot see. Every ln argument is an integer
+    (identical operands both engines), the per-doc sum left-folds over
+    sorted values (DuckDB list_sum∘list_sort is the bit replay), and
+    the compared score rounds to 6 (ln last-ulp rule, drift ~1e-13)."""
+    from ..functions.text import bigram_logprob_scores
+
+    docs = t(spark, sf_dir, "documents")
+    out = bigram_logprob_scores(docs, "doc_id", "text")
+    return out.select(
+        big("doc_id").alias("doc_id"),
+        big("n_bigrams").alias("n_bigrams"),
+        F.round(F.col("avg_logprob"), 6).alias("avg_logprob"),
+    )

@@ -671,3 +671,27 @@ def test_mmr_rerank_diversifies(spark):
     assert out[1] == 1           # best rel first
     assert out[2] == 4           # orthogonal doc beats near-dup 2
     assert out[3] in (2, 3)
+
+
+def test_bigram_logprob_discriminates_shuffled(spark):
+    """The bigram LM sees what the unigram LM cannot: a doc whose
+    tokens are all corpus-common but whose TRANSITIONS are novel
+    (shuffled word order) scores strictly lower than the fluent
+    original, while both share the same unigram score by construction
+    (same token multiset)."""
+    from hydraide_spark.functions.text import (
+        bigram_logprob_scores,
+        unigram_logprob_scores,
+    )
+
+    fluent = "the quick fox jumps over the lazy dog " * 6
+    shuffled = "fox the dog jumps lazy the over quick " * 6
+    corpus = [(i, fluent) for i in range(10)] + [(100, fluent), (101, shuffled)]
+    df = spark.createDataFrame(corpus, "doc_id long, text string")
+    bg = {r.doc_id: r.avg_logprob for r in bigram_logprob_scores(df).collect()}
+    ug = {r.doc_id: r.avg_logprob for r in unigram_logprob_scores(df).collect()}
+    assert bg[101] < bg[100], "shuffled transitions must score lower"
+    assert abs(ug[101] - ug[100]) < 1e-9, "unigram model is blind to order"
+    # docs with < 2 tokens emit no row
+    tiny = spark.createDataFrame([(1, "one")], "doc_id long, text string")
+    assert bigram_logprob_scores(tiny).count() == 0
