@@ -457,16 +457,32 @@ def dsir_logratios(
     exactly DuckDB's CAST(DOUBLE AS DECIMAL(38,12)), so an oracle that
     recomputes the ratios lands on the SAME literals (ln is libm on
     both sides; the JVM never computes one — see module note)."""
-    import math
-    from decimal import ROUND_HALF_EVEN, Decimal
-
-    q = Decimal(1).scaleb(-int(decimals))
-
     def counts(df: DataFrame) -> "dict[int, int]":
         rows = dsir_bucket_counts(df, text_col, n_buckets, salt, method).collect()
         return {int(r[0]): int(r[1]) for r in rows}
 
-    tc, rc = counts(target_df), counts(raw_df)
+    return dsir_logratios_from_counts(
+        counts(target_df), counts(raw_df), n_buckets, smoothing, decimals
+    )
+
+
+def dsir_logratios_from_counts(
+    tc: "Mapping[int, int]",
+    rc: "Mapping[int, int]",
+    n_buckets: int,
+    smoothing: float = 0.5,
+    decimals: int = 12,
+) -> "list":
+    """The pure DSIR model math, factored out so batch aggregates and
+    continuously-maintained count stores (streaming/rollup.py::
+    run_dsir_count_maintenance_loop) derive the IDENTICAL model from
+    the same integer counts — bucket counts are plain associative
+    counters, so incremental maintenance converges to the batch model
+    bit-for-bit."""
+    import math
+    from decimal import ROUND_HALF_EVEN, Decimal
+
+    q = Decimal(1).scaleb(-int(decimals))
     T, R = sum(tc.values()), sum(rc.values())
     a = float(smoothing)
     out = []
@@ -476,6 +492,30 @@ def dsir_logratios(
         )
         out.append(Decimal(repr(x)).quantize(q, rounding=ROUND_HALF_EVEN))
     return out
+
+
+def dsir_logratios_from_stores(
+    target_store,
+    raw_store,
+    n_buckets: int,
+    smoothing: float = 0.5,
+    decimals: int = 12,
+) -> "list":
+    """Derive the DSIR model from two continuously-maintained
+    bucket-count stores (each fed by
+    ``run_dsir_count_maintenance_loop``): two O(B)-row reads, zero
+    corpus scans — the count-free model refresh a 100 TB serving path
+    needs. Identical to the batch model by the associativity of
+    counts (pinned incremental ≡ batch)."""
+
+    def counts(store) -> "dict[int, int]":
+        return {
+            int(r["bucket"]): int(r["n"]) for r in store.current().collect()
+        }
+
+    return dsir_logratios_from_counts(
+        counts(target_store), counts(raw_store), n_buckets, smoothing, decimals
+    )
 
 
 def _decimal_array_literal(vals, decimals: int = 12, precision: int = 20) -> Column:

@@ -183,3 +183,51 @@ def run_histogram_maintenance_loop(
         .foreachBatch(merge)
         .start()
     )
+
+
+def run_dsir_count_maintenance_loop(
+    store: TreasureStore,
+    docs_stream: DataFrame,
+    text_col: str = "text",
+    n_buckets: int = 8192,
+    salt: str = "",
+    method: str = "md5",
+    queue_name: str = "dsir_maintenance",
+):
+    """Continuously maintained DSIR hashed-n-gram bucket counts: each
+    micro-batch's documents reduce to <= B (bucket, count) rows
+    (functions.sampling.dsir_bucket_counts — map-side combined) that
+    ADD into the stored table. Bucket counts are plain associative
+    counters, so batch-partial + stored-total equals the counts of the
+    full document history under any batching — run one loop over the
+    target-domain stream and one over the raw stream, and
+    ``dsir_logratios_from_stores`` derives the exact batch model from
+    two O(B)-row reads with ZERO corpus scans (the count-free model
+    refresh: new documents only ever cost their own grams). State is
+    bounded at B rows forever."""
+    from ..functions.sampling import dsir_bucket_counts
+
+    def merge(batch_df: DataFrame, _epoch: int) -> None:
+        if batch_df.isEmpty():
+            return
+        part = dsir_bucket_counts(
+            batch_df, text_col, n_buckets, salt, method
+        ).select(
+            F.col("bucket").cast("string").alias("key"),
+            "bucket",
+            F.col("count").alias("n"),
+        )
+        cur = store.current().select("key", F.col("n").alias("_cur"))
+        updates = part.join(cur, "key", "left").select(
+            "key",
+            "bucket",
+            (F.coalesce(F.col("_cur"), F.lit(0)) + F.col("n")).alias("n"),
+        )
+        store.set(updates)
+
+    return (
+        docs_stream.writeStream.outputMode("append")
+        .queryName(queue_name)
+        .foreachBatch(merge)
+        .start()
+    )

@@ -2341,3 +2341,59 @@ def test_strict_fifo_cross_swamp_parallelism(spark, tmp_path):
     # cross-swamp parallelism, not global serialization
     assert a_wall >= 6.0
     assert b_wall < a_wall - 3.0
+
+
+def test_streaming_dsir_counts_converge_to_batch_model(spark, tmp_path):
+    """Continuously maintained DSIR bucket counts: per-batch partials +
+    associative merge equal the batch aggregate under any batching, so
+    the model derived from the stores is BIT-IDENTICAL to the batch
+    dsir_logratios — the count-free model refresh. State stays bounded
+    at B rows."""
+    from hydraide_spark.functions.sampling import (
+        dsir_logratios,
+        dsir_logratios_from_stores,
+    )
+    from hydraide_spark.streaming.rollup import run_dsir_count_maintenance_loop
+
+    B = 32
+    schema = "doc_id long, text string"
+    target_rows = [(i, f"alpha beta gamma tok{i % 5} alpha") for i in range(30)]
+    raw_rows = target_rows + [
+        (100 + i, f"zig zag quux tok{i % 9} zog") for i in range(50)
+    ]
+
+    stores = {}
+    for name, rows in (("target", target_rows), ("raw", raw_rows)):
+        store = TreasureStore(spark, str(tmp_path / f"dsir_{name}"))
+        store.init(spark.createDataFrame([], "key string, bucket bigint, n bigint"))
+        src = tmp_path / f"dsir_{name}_in"
+        src.mkdir()
+        third = max(1, len(rows) // 3)
+        for j in range(0, len(rows), third):
+            spark.createDataFrame(rows[j : j + third], schema).coalesce(1).write.parquet(
+                str(src / f"b{j}")
+            )
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src / "*"))
+        )
+        q = run_dsir_count_maintenance_loop(
+            store, stream, n_buckets=B, salt="s", queue_name=f"dsir_{name}"
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        stores[name] = store
+        assert store.current().count() <= B  # bounded state forever
+
+    streamed = dsir_logratios_from_stores(stores["target"], stores["raw"], B)
+    batch = dsir_logratios(
+        spark.createDataFrame(target_rows, schema),
+        spark.createDataFrame(raw_rows, schema),
+        "text",
+        n_buckets=B,
+        salt="s",
+    )
+    assert streamed == batch  # Decimal-exact: counts are associative
