@@ -174,6 +174,7 @@ HEADLINE = [
     "mmr_diversified_rerank_batch",
     "mmr_lambda_sweep",
     "hybrid_search_rrf_batch",
+    "hard_negative_mining_docs",
     "phrase_search_via_index",
     "text_quality_tokens",
     "quality_classifier_docs",

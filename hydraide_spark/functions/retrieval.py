@@ -831,3 +831,65 @@ def mmr_lambda_sweep(
     return spark.createDataFrame(
         out_rows, _mmr_schema(candidates, [group_col, id_col], "lam_num")
     )
+
+
+def hard_negative_mining(
+    docs: DataFrame,
+    query_terms: Sequence[tuple],
+    k: int,
+    positives: "DataFrame | None" = None,
+    n_auto_positives: int = 0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Hard-negative mining for contrastive retrieval training: the
+    top-k BM25 candidates per query EXCLUDING the query's positives —
+    documents lexically close to the query but not labeled relevant,
+    the negatives a dual-encoder/reranker actually learns from (random
+    negatives are trivially separable; gold positives must never leak
+    into the negative set).
+
+    ``positives`` is a (query_id, id) frame of labeled positives;
+    ``n_auto_positives`` > 0 instead treats each query's top-n BM25
+    hits as its (pseudo-)positives — the bootstrap used when only
+    queries exist. Both can combine.
+
+    Plan shape: ONE corpus scan scores the whole query batch
+    (bm25_terms_multi: postings built once, the (query_id, word) map a
+    broadcast dim), the scored frame persists, positives remove via
+    left_anti on (query_id, id) (positives are label-sized —
+    broadcastable; AQE decides), and the per-query cut is a window
+    PARTITIONED on query_id over candidate rows only. Scores stay
+    DECIMAL(28,6) (exact, order-free) end to end.
+
+    Returns (query_id, id, neg_rank, score), neg_rank 1..k."""
+    from ._cache import pin_latest
+
+    scored = (
+        bm25_terms_multi(docs, id_col, text_col, query_terms, k1, b)
+        .groupBy("query_id", id_col)
+        .agg(F.sum("term_score").alias("score"))
+        .persist()
+    )
+    pin_latest("retrieval.hard_negative_mining", scored)
+    excluded = positives
+    if n_auto_positives > 0:
+        auto = ranked_list_grouped(
+            scored, id_col, "score", n_auto_positives, "query_id"
+        ).select("query_id", id_col)
+        excluded = auto if excluded is None else excluded.select(
+            "query_id", id_col
+        ).unionByName(auto)
+    neg = scored
+    if excluded is not None:
+        neg = scored.join(
+            excluded.select("query_id", id_col), ["query_id", id_col], "left_anti"
+        )
+    w = W.partitionBy("query_id").orderBy(F.col("score").desc(), F.col(id_col).asc())
+    return (
+        neg.withColumn("neg_rank", F.row_number().over(w))
+        .filter(F.col("neg_rank") <= int(k))
+        .select("query_id", id_col, "neg_rank", "score")
+    )

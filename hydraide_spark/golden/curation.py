@@ -213,3 +213,87 @@ def bigram_lm_quality_docs(spark, sf_dir):
         big("n_bigrams").alias("n_bigrams"),
         F.round(F.col("avg_logprob"), 6).alias("avg_logprob"),
     )
+
+
+@golden(
+    "hard_negative_mining_docs",
+    oracle="""
+    WITH dl AS (
+      SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+      FROM documents
+    ),
+    stats AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl),
+    qt(query_id, word) AS (
+      VALUES (0,'stream'),(0,'data'),(0,'query'),
+             (1,'join'),(1,'hash'),(1,'scan'),
+             (2,'vector'),(2,'window'),(2,'sort')
+    ),
+    tf AS (
+      SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+      WHERE word IN ('stream','data','query','join','hash','scan',
+                     'vector','window','sort')
+      GROUP BY doc_id, word
+    ),
+    dfreq AS (SELECT word, COUNT(*) AS dfreq FROM tf GROUP BY word),
+    term AS (
+      SELECT q.query_id, tf.doc_id,
+             CAST(round(
+               ln(1.0::DOUBLE + (n_docs - dfreq + 0.5::DOUBLE) / (dfreq + 0.5::DOUBLE))
+               * (tf * 2.2::DOUBLE)
+               / (tf + 1.2::DOUBLE * (0.25::DOUBLE + 0.75::DOUBLE * dl / avgdl)),
+               6) AS DECIMAL(28,6)) AS term_score
+      FROM tf
+      JOIN qt q USING (word)
+      JOIN dfreq USING (word)
+      JOIN dl USING (doc_id)
+      CROSS JOIN stats
+    ),
+    scored AS (
+      SELECT query_id, doc_id, SUM(term_score) AS score
+      FROM term GROUP BY query_id, doc_id
+    ),
+    ranked AS (
+      SELECT query_id, doc_id, score,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, doc_id ASC) AS rn
+      FROM scored
+    ),
+    neg AS (
+      SELECT query_id, doc_id, score,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, doc_id ASC) AS neg_rank
+      FROM ranked WHERE rn > 2
+    )
+    SELECT CAST(query_id AS BIGINT) AS query_id,
+           CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(neg_rank AS INT) AS neg_rank,
+           CAST(score AS DOUBLE) AS score
+    FROM neg WHERE neg_rank <= 10
+    """,
+)
+def hard_negative_mining_docs(spark, sf_dir):
+    """Hard-negative mining (functions/retrieval.py::
+    hard_negative_mining): per query, the top-10 BM25 candidates AFTER
+    excluding the query's top-2 pseudo-positives — the contrastive-
+    training negative set. One corpus scan scores the whole batch
+    (bm25_terms_multi), exclusion is a left_anti on (query_id, doc_id),
+    scores stay DECIMAL(28,6) exact; the oracle replays BM25, the
+    pseudo-positive cut and the post-exclusion re-ranking."""
+    from ..functions.retrieval import hard_negative_mining
+
+    docs = t(spark, sf_dir, "documents")
+    bags = [
+        (0, ["stream", "data", "query"]),
+        (1, ["join", "hash", "scan"]),
+        (2, ["vector", "window", "sort"]),
+    ]
+    out = hard_negative_mining(docs, bags, k=10, n_auto_positives=2)
+    return out.select(
+        big("query_id").alias("query_id"),
+        big("doc_id").alias("doc_id"),
+        F.col("neg_rank").cast("int").alias("neg_rank"),
+        # exact DECIMAL sum cast once to double on both sides (the
+        # bm25_ranked_search pattern)
+        F.col("score").cast("double").alias("score"),
+    )

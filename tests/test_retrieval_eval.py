@@ -311,3 +311,46 @@ def test_mmr_rerankers_accept_string_ids(spark):
     }
     sweep = mmr_lambda_sweep(cand, k=2, lam_grid=[0.5]).collect()
     assert all(isinstance(r["doc_id"], str) for r in sweep)
+
+
+def test_hard_negative_mining_excludes_positives(spark):
+    """Gold positives never leak into the negative set; labeled and
+    auto (pseudo) positives combine; ranks are dense 1..k over the
+    survivors."""
+    from hydraide_spark.functions.retrieval import hard_negative_mining
+
+    docs = spark.createDataFrame(
+        [
+            (1, "stream data query engine"),
+            (2, "stream data query"),
+            (3, "stream data"),
+            (4, "stream query plan"),
+            (5, "data stream"),
+            (6, "unrelated words entirely"),
+        ],
+        "doc_id long, text string",
+    )
+    bags = [(0, ["stream", "data", "query"])]
+    pos = spark.createDataFrame([(0, 2)], "query_id long, doc_id long")
+
+    out = hard_negative_mining(docs, bags, k=3, positives=pos).collect()
+    ids = [r.doc_id for r in sorted(out, key=lambda r: r.neg_rank)]
+    assert 2 not in ids, "labeled positive leaked into negatives"
+    assert [r.neg_rank for r in sorted(out, key=lambda r: r.neg_rank)] == [1, 2, 3]
+    assert 6 not in ids, "doc with no query term cannot be a candidate"
+
+    # auto-positives: the GLOBAL BM25 top-1 (doc 2 — the exact-match
+    # shortest doc) is the pseudo-positive; with no labels it must drop
+    auto = hard_negative_mining(docs, bags, k=3, n_auto_positives=1).collect()
+    auto_ids = {r.doc_id for r in auto}
+    assert 2 not in auto_ids, "pseudo-positive (global top-1) must drop"
+    # labeled + auto combine: label 5 removes doc 5 as well
+    both = hard_negative_mining(
+        docs,
+        bags,
+        k=3,
+        positives=spark.createDataFrame([(0, 5)], "query_id long, doc_id long"),
+        n_auto_positives=1,
+    ).collect()
+    both_ids = {r.doc_id for r in both}
+    assert 2 not in both_ids and 5 not in both_ids
