@@ -157,6 +157,7 @@ HEADLINE = [
     "pagerank_citation_graph",
     "minhash_lsh_neardup",
     "minhash_lsh_neardup_stable",
+    "chunk_neardup_passages",
     "minhash_collapsed_stable",
     "minhash_incremental_neardup",
     "fuzzy_record_linkage",

@@ -452,6 +452,82 @@ def minhash_neardup_pairs(
     return out
 
 
+def chunk_neardup_pairs(
+    df: DataFrame,
+    tau: float,
+    chunk_size: int,
+    overlap: int = 0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    k: int = 16,
+    bands: int = 4,
+    engine_stable: bool = False,
+    cross_doc_only: bool = True,
+    n_salts: int = 0,
+) -> DataFrame:
+    """Paragraph/chunk-level near-duplicate pairs: chunk every document
+    into token windows (text.chunk_documents — map-only explode), run
+    the MinHash+LSH pipeline over CHUNKS, and decode pairs back to
+    (doc, chunk) coordinates. Finds repeated passages BETWEEN documents
+    that whole-document Jaccard dilutes away (a shared boilerplate
+    paragraph inside two otherwise-different pages is invisible at
+    doc granularity — the Lee et al. motivation for sub-document
+    dedup, here in blocked-equi-join form rather than suffix arrays;
+    repeated_span_coverage is the within-corpus exact-span
+    complement).
+
+    Chunk keys pack as ``doc_id * 2^20 + chunk_id`` (raises if a doc
+    has >= 2^20 chunks or an id >= 2^43 would overflow the packing) so
+    the whole minhash machinery — banding, collapse, salting,
+    engine-stable mode — applies unchanged. ``cross_doc_only`` drops
+    within-doc pairs (self-repetition is repetition_signals' job).
+    Returns (doc_a, chunk_a, doc_b, chunk_b, inter, union)."""
+    from .text import chunk_documents
+
+    lim_bits = 20
+    lim = 1 << lim_bits
+    chunks = chunk_documents(df, chunk_size, overlap, id_col, text_col)
+    packable = (
+        (F.col("chunk_id") < lim)
+        & (F.col(id_col) >= 0)
+        & (F.col(id_col) < (1 << (63 - lim_bits)))
+    )
+    key = F.when(
+        packable, F.col(id_col).cast("long") * lim + F.col("chunk_id")
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("chunk_neardup_pairs: id/chunk outside packing range "),
+                F.col(id_col).cast("string"),
+            )
+        ).cast("long")
+    )
+    keyed = chunks.select(key.alias("_ck"), F.col("chunk_text"))
+    pairs = minhash_neardup_pairs(
+        keyed,
+        tau,
+        n=n,
+        k=k,
+        bands=bands,
+        id_col="_ck",
+        text_col="chunk_text",
+        engine_stable=engine_stable,
+        n_salts=n_salts,
+    )
+    out = pairs.select(
+        F.shiftright(F.col("id_a"), lim_bits).alias("doc_a"),
+        F.col("id_a").bitwiseAND(F.lit(lim - 1)).alias("chunk_a"),
+        F.shiftright(F.col("id_b"), lim_bits).alias("doc_b"),
+        F.col("id_b").bitwiseAND(F.lit(lim - 1)).alias("chunk_b"),
+        F.col("inter"),
+        F.col("union"),
+    )
+    if cross_doc_only:
+        out = out.filter(F.col("doc_a") != F.col("doc_b"))
+    return out
+
+
 def edit_distance_link_pairs(
     df: DataFrame,
     max_edit: int,

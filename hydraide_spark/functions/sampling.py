@@ -466,6 +466,40 @@ def dsir_logratios(
     )
 
 
+def dsir_logratios_tagged(
+    df: DataFrame,
+    is_target: Column,
+    text_col: str,
+    n_buckets: int = 8192,
+    salt: str = "",
+    method: str = "md5",
+    smoothing: float = 0.5,
+    decimals: int = 12,
+) -> "list":
+    """One-pass DSIR model fit for the common case where the target
+    domain is a SUBSET of the raw corpus (a predicate, e.g.
+    ``lang == 'de'``): a single gram explode aggregates raw and target
+    counts together (``count(*)`` + conditional count per bucket) —
+    half the model cost of :func:`dsir_logratios`' two passes, same
+    model bit-for-bit (identical integer counts)."""
+    grams = df.select(
+        is_target.alias("_t"), F.explode(dsir_grams(F.col(text_col))).alias("_g")
+    ).select(
+        "_t", dsir_bucket(F.col("_g"), n_buckets, salt, method).alias("bucket")
+    )
+    rows = (
+        grams.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("rc"),
+            F.count_if(F.col("_t")).alias("tc"),
+        )
+        .collect()
+    )
+    tc = {int(r["bucket"]): int(r["tc"]) for r in rows}
+    rc = {int(r["bucket"]): int(r["rc"]) for r in rows}
+    return dsir_logratios_from_counts(tc, rc, n_buckets, smoothing, decimals)
+
+
 def dsir_logratios_from_counts(
     tc: "Mapping[int, int]",
     rc: "Mapping[int, int]",

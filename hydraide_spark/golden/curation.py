@@ -84,11 +84,12 @@ def dsir_importance_topk(spark, sf_dir):
     literals), DECIMAL-exact per-doc sums (accumulator precision sized
     so Spark's decimal addition never overflows 38 and silently drops
     the last scale digit), TakeOrdered selection with id tiebreak."""
-    from ..functions.sampling import dsir_logratios, dsir_topk
+    from ..functions.sampling import dsir_logratios_tagged, dsir_topk
 
     docs = t(spark, sf_dir, "documents")
-    target = docs.filter(F.col("lang") == "de")
-    lr = dsir_logratios(target, docs, "text", n_buckets=64, salt="dsir_v1")
+    lr = dsir_logratios_tagged(
+        docs, F.col("lang") == "de", "text", n_buckets=64, salt="dsir_v1"
+    )
     out = dsir_topk(docs, "doc_id", "text", lr, 50, salt="dsir_v1")
     return out.select(
         big("doc_id").alias("doc_id"),
@@ -297,3 +298,115 @@ def hard_negative_mining_docs(spark, sf_dir):
         # bm25_ranked_search pattern)
         F.col("score").cast("double").alias("score"),
     )
+
+
+_SHARED_PARA = (
+    "shared boiler plate notice terms apply all rights reserved contact "
+    "support team for help visit docs page follow steps install configure "
+    "run verify deploy monitor scale backup"
+)  # 32 tokens
+
+
+@golden(
+    "chunk_neardup_passages",
+    oracle=None,  # set below: needs the stable-minhash SQL fragments
+)
+def chunk_neardup_passages(spark, sf_dir):
+    """Sub-document (passage-level) near-dup: a 32-token boilerplate
+    paragraph is PREPENDED to every 25th document (same injection in
+    the oracle), the corpus is chunked into 16-token windows and the
+    full engine-stable MinHash+LSH pipeline runs over CHUNKS — the
+    shared paragraph aligns to chunks 0-1 of every injected doc, so
+    cross-doc passage pairs exist by construction while the docs as a
+    whole stay non-duplicates (the dilution that makes doc-level
+    Jaccard blind to shared passages). The oracle replays chunking,
+    packing, signatures, banding, candidates and the exact-Jaccard
+    verify value-for-value."""
+    from ..functions.dedup import chunk_neardup_pairs
+
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 25 == 0,
+            F.concat(F.lit(_SHARED_PARA + " "), F.col("text")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    out = chunk_neardup_pairs(
+        docs, tau=0.6, chunk_size=16, engine_stable=True, cross_doc_only=True
+    )
+    return out.select(
+        big("doc_a").alias("doc_a"),
+        big("chunk_a").alias("chunk_a"),
+        big("doc_b").alias("doc_b"),
+        big("chunk_b").alias("chunk_b"),
+        big("inter").alias("inter"),
+        big("union").alias("union"),
+    )
+
+
+def _chunk_neardup_oracle() -> str:
+    from .dedup_text import _BAND_ROWS, _MH_COLS
+
+    return f"""
+    WITH corpus AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 25 = 0
+                  THEN '{_SHARED_PARA} ' || text ELSE text END AS text
+      FROM documents
+    ),
+    d AS (SELECT doc_id, string_split(text, ' ') AS t FROM corpus),
+    nc AS (
+      SELECT doc_id, t,
+             greatest(CAST(ceil(CAST(len(t) AS DOUBLE) / 16) AS INT), 1) AS n
+      FROM d
+    ),
+    ch AS (
+      SELECT doc_id * 1048576 + i AS ck, t[i*16+1 : i*16+16] AS w
+      FROM nc, unnest(range(0, n)) AS u(i)
+    ),
+    sh AS (
+      SELECT ck AS doc_id, list_distinct(list(array_to_string(w[i:i+2], ' '))) AS sh
+      FROM (
+        SELECT ck, w, unnest(range(1, len(w) - 1)) AS i
+        FROM ch WHERE len(w) >= 3
+      )
+      GROUP BY ck
+    ),
+    sig AS (
+      SELECT doc_id, sh,
+             {_MH_COLS}
+      FROM sh
+    ),
+    banded AS (
+      {_BAND_ROWS}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM banded a JOIN banded b
+        ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, sh, len(sh) AS n_sh FROM sh),
+    verified AS (
+      SELECT id_a, id_b,
+             CAST(len(list_intersect(sa.sh, sb.sh)) AS BIGINT) AS inter,
+             CAST(sa.n_sh + sb.n_sh - len(list_intersect(sa.sh, sb.sh)) AS BIGINT) AS u
+      FROM cand JOIN sizes sa ON cand.id_a = sa.doc_id
+                JOIN sizes sb ON cand.id_b = sb.doc_id
+      WHERE 5 * len(list_intersect(sa.sh, sb.sh))
+            >= 3 * (sa.n_sh + sb.n_sh - len(list_intersect(sa.sh, sb.sh)))
+    )
+    SELECT CAST(id_a // 1048576 AS BIGINT) AS doc_a,
+           CAST(id_a % 1048576 AS BIGINT) AS chunk_a,
+           CAST(id_b // 1048576 AS BIGINT) AS doc_b,
+           CAST(id_b % 1048576 AS BIGINT) AS chunk_b,
+           inter, u AS "union"
+    FROM verified
+    WHERE id_a // 1048576 <> id_b // 1048576
+    """
+
+
+from . import _ORACLES as _OR  # noqa: E402
+
+_OR["chunk_neardup_passages"] = _chunk_neardup_oracle()

@@ -114,3 +114,25 @@ def test_dsir_selection_is_take_ordered(spark):
     # text the Window node sits ABOVE TakeOrderedAndProject
     assert "Window" in plan
     assert plan.index("Window") < plan.index("TakeOrderedAndProject")
+
+
+def test_dsir_tagged_one_pass_equals_two_pass(spark):
+    """dsir_logratios_tagged (one gram explode, conditional counts)
+    produces the IDENTICAL model to the two-pass fit when the target
+    is a subset predicate — integer counts are the sufficient
+    statistic."""
+    from pyspark.sql import functions as F
+
+    from hydraide_spark.functions.sampling import (
+        dsir_logratios,
+        dsir_logratios_tagged,
+    )
+
+    docs = load_table(spark, SF, "documents").limit(120)
+    two = dsir_logratios(
+        docs.filter(F.col("lang") == "zh"), docs, "text", n_buckets=32, salt="q"
+    )
+    one = dsir_logratios_tagged(
+        docs, F.col("lang") == "zh", "text", n_buckets=32, salt="q"
+    )
+    assert one == two
