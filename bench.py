@@ -220,6 +220,7 @@ HEADLINE = [
     # r12: image perceptual-hash near-dup (planted-truth oracle)
     "image_phash_neardup",
     "image_phash_neardup_png",
+    "audio_fingerprint_neardup",
     # r11: headline == full registry (r10 VERDICT #6 — 26 cheap parity
     # reads had silently stayed out; tests/test_driver_contract.py now
     # pins set equality so the headline can never shrink again)

@@ -357,3 +357,68 @@ def image_phash_neardup_png(spark, sf_dir):
     return pairs.select(
         big("id_a").alias("id_a"), big("id_b").alias("id_b")
     )
+
+
+def _synth_wav_corpus(docs: DataFrame) -> DataFrame:
+    """(media_id, kind, payload) WAV corpus with PLANTED near-twins:
+    every doc gets 0.5 s of seeded noise at 16 kHz; every 40th doc
+    additionally emits a twin (media_id = doc_id + 10^9) with tiny
+    additive noise (sigma 5e-4 — ~16 quantization steps, far below the
+    band-energy gradients) so the twin's fingerprint sits within a few
+    bits while unrelated noise signals sit ~32 bits apart. Truth pairs
+    are a pure function of doc_id — SQL-checkable exactly."""
+    ids = docs.select(F.col("doc_id").cast("long").alias("media_id")).unionByName(
+        docs.filter(F.col("doc_id") % 40 == 0).select(
+            (F.col("doc_id") + F.lit(10**9)).cast("long").alias("media_id")
+        )
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from ..functions.multimodal import encode_wav
+
+        for pdf in batches:
+            payloads = []
+            for mid in pdf["media_id"]:
+                src = int(mid) % 10**9
+                x = np.random.RandomState(src % (2**31)).normal(0, 0.2, 8000)
+                if mid >= 10**9:  # planted twin: inaudible perturbation
+                    x = x + np.random.RandomState(7).normal(0, 5e-4, 8000)
+                payloads.append(encode_wav(x, 16000))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": "audio",
+                    "payload": payloads,
+                }
+            )
+
+    return ids.mapInPandas(gen, "media_id long, kind string, payload binary")
+
+
+@golden(
+    "audio_fingerprint_neardup",
+    oracle="""
+    SELECT CAST(doc_id AS BIGINT) AS id_a,
+           CAST(doc_id + 1000000000 AS BIGINT) AS id_b
+    FROM documents WHERE doc_id % 40 = 0
+    """,
+)
+def audio_fingerprint_neardup(spark, sf_dir):
+    """r12: audio near-dup via REAL WAV PCM decode + FFT band-energy
+    gradient fingerprint (functions/multimodal.py::wav_samples /
+    audio_fingerprint64_py — Haitsma-Kalker-style sign-of-band-
+    difference, amplitude-invariant) and the SimHash hamming
+    block-join. The corpus plants one inaudibly-perturbed twin per 40
+    docs; the oracle is the planted truth, so recall AND precision
+    both gate exactly through decode, FFT pooling, hashing and the
+    blocked join. Beyond-parity: the reference has no audio pipeline."""
+    docs = t(spark, sf_dir, "documents").select("doc_id")
+    media = _synth_wav_corpus(docs)
+    from ..functions.multimodal import audio_neardup_pairs
+
+    pairs = audio_neardup_pairs(media, max_hamming=3)
+    return pairs.select(
+        big("id_a").alias("id_a"), big("id_b").alias("id_b")
+    )

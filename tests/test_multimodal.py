@@ -362,3 +362,72 @@ def test_image_neardup_mixed_containers(spark):
     pairs = image_neardup_pairs(media, max_hamming=3)
     got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
     assert got == {(i, i + 1000) for i in range(0, 12, 4)}
+
+
+def test_wav_roundtrip_and_mixdown():
+    import numpy as np
+
+    from hydraide_spark.functions.multimodal import encode_wav, wav_samples
+
+    x = np.random.RandomState(2).normal(0, 0.2, 4000)
+    dec, sr = wav_samples(encode_wav(x, 16000))
+    assert sr == 16000 and dec.size == 4000
+    assert np.abs(dec - np.clip(np.round(x * 32768) / 32768, -1, 1)).max() < 1e-9
+    # stereo payload mixes down to the same mono signal
+    dec2, _ = wav_samples(encode_wav(x[:256], 8000, channels=2))
+    assert np.abs(dec2 - np.clip(np.round(x[:256] * 32768) / 32768, -1, 1)).max() < 1e-9
+
+
+def test_audio_fingerprint_margins():
+    """Twin (tiny additive noise) stays within a few bits; unrelated
+    noise sits tens of bits away; amplitude scaling changes nothing."""
+    import numpy as np
+
+    from hydraide_spark.functions.multimodal import (
+        audio_fingerprint64_py,
+        encode_wav,
+        wav_samples,
+    )
+
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    x = np.random.RandomState(1).normal(0, 0.2, 8000)
+    h0 = audio_fingerprint64_py(wav_samples(encode_wav(x, 16000))[0])
+    twin = x + np.random.RandomState(7).normal(0, 5e-4, 8000)
+    h1 = audio_fingerprint64_py(wav_samples(encode_wav(twin, 16000))[0])
+    other = np.random.RandomState(99).normal(0, 0.2, 8000)
+    h2 = audio_fingerprint64_py(wav_samples(encode_wav(other, 16000))[0])
+    assert ham(h0, h1) <= 3
+    assert ham(h0, h2) >= 10
+    assert ham(h0, audio_fingerprint64_py(wav_samples(encode_wav(x, 16000))[0] * 0.25)) == 0
+
+
+def test_audio_refuses_non_pcm():
+    import pytest as _pytest
+
+    from hydraide_spark.functions.multimodal import encode_wav, wav_samples
+
+    enc = bytearray(encode_wav([0.0] * 64, 8000))
+    enc[20] = 3  # fmt code -> IEEE float (not PCM)
+    with _pytest.raises(NotImplementedError):
+        wav_samples(bytes(enc))
+    with _pytest.raises(NotImplementedError):
+        wav_samples(b"RIFFxxxxWAVE")
+
+
+def test_audio_neardup_pairs_planted(spark):
+    import numpy as np
+
+    from hydraide_spark.functions.multimodal import audio_neardup_pairs, encode_wav
+
+    rows = []
+    for i in range(10):
+        x = np.random.RandomState(i).normal(0, 0.2, 4000)
+        rows.append((i, "audio", bytearray(encode_wav(x, 16000))))
+        if i % 3 == 0:
+            tw = x + np.random.RandomState(7).normal(0, 5e-4, 4000)
+            rows.append((i + 1000, "audio", bytearray(encode_wav(tw, 16000))))
+    media = spark.createDataFrame(rows, "media_id long, kind string, payload binary")
+    got = {(r.id_a, r.id_b) for r in audio_neardup_pairs(media, max_hamming=3).collect()}
+    assert got == {(i, i + 1000) for i in range(0, 10, 3)}
