@@ -158,6 +158,7 @@ HEADLINE = [
     "minhash_lsh_neardup",
     "minhash_lsh_neardup_stable",
     "chunk_neardup_passages",
+    "chunk_neardup_collapsed",
     "minhash_collapsed_stable",
     "minhash_incremental_neardup",
     "fuzzy_record_linkage",

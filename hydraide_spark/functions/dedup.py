@@ -465,6 +465,7 @@ def chunk_neardup_pairs(
     engine_stable: bool = False,
     cross_doc_only: bool = True,
     n_salts: int = 0,
+    collapse_exact: bool = False,
 ) -> DataFrame:
     """Paragraph/chunk-level near-duplicate pairs: chunk every document
     into token windows (text.chunk_documents — map-only explode), run
@@ -482,6 +483,13 @@ def chunk_neardup_pairs(
     the whole minhash machinery — banding, collapse, salting,
     engine-stable mode — applies unchanged. ``cross_doc_only`` drops
     within-doc pairs (self-repetition is repetition_signals' job).
+    ``collapse_exact=True`` is the boilerplate-family scale guard:
+    byte-identical chunks (shared boilerplate paragraphs — the COMMON
+    case at web scale) collapse to a min-key representative before
+    banding, so a family of f copies emits f-1 star edges instead of
+    C(f,2) pairs (connectivity-equivalent; without it the pair count
+    is quadratic in family size — measured b 0.93 at x10 on the
+    injected-paragraph corpus, linear with the collapse).
     Returns (doc_a, chunk_a, doc_b, chunk_b, inter, union)."""
     from .text import chunk_documents
 
@@ -514,6 +522,7 @@ def chunk_neardup_pairs(
         text_col="chunk_text",
         engine_stable=engine_stable,
         n_salts=n_salts,
+        collapse_exact=collapse_exact,
     )
     out = pairs.select(
         F.shiftright(F.col("id_a"), lim_bits).alias("doc_a"),

@@ -410,3 +410,122 @@ def _chunk_neardup_oracle() -> str:
 from . import _ORACLES as _OR  # noqa: E402
 
 _OR["chunk_neardup_passages"] = _chunk_neardup_oracle()
+
+
+@golden(
+    "chunk_neardup_collapsed",
+    oracle=None,  # set below with the stable-minhash SQL fragments
+)
+def chunk_neardup_collapsed(spark, sf_dir):
+    """The PRODUCTION path of passage-level near-dup:
+    ``collapse_exact=True`` groups byte-identical chunks (the planted
+    boilerplate paragraph — and at web scale, real boilerplate) into
+    min-key families BEFORE banding, emitting f-1 star edges per
+    family instead of C(f,2) pairs — the quadratic-family guard
+    measured at b 0.93 -> linear on the ×10 corpus. Oracle replays
+    chunking, packing, family grouping by sorted shingle list, star
+    edges, and the banded pipeline over representatives only."""
+    from ..functions.dedup import chunk_neardup_pairs
+
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 25 == 0,
+            F.concat(F.lit(_SHARED_PARA + " "), F.col("text")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    out = chunk_neardup_pairs(
+        docs,
+        tau=0.6,
+        chunk_size=16,
+        engine_stable=True,
+        cross_doc_only=True,
+        collapse_exact=True,
+    )
+    return out.select(
+        big("doc_a").alias("doc_a"),
+        big("chunk_a").alias("chunk_a"),
+        big("doc_b").alias("doc_b"),
+        big("chunk_b").alias("chunk_b"),
+        big("inter").alias("inter"),
+        big("union").alias("union"),
+    )
+
+
+def _chunk_collapsed_oracle() -> str:
+    from .dedup_text import _BAND_ROWS, _MH_COLS
+
+    return f"""
+    WITH corpus AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 25 = 0
+                  THEN '{_SHARED_PARA} ' || text ELSE text END AS text
+      FROM documents
+    ),
+    d AS (SELECT doc_id, string_split(text, ' ') AS t FROM corpus),
+    nc AS (
+      SELECT doc_id, t,
+             greatest(CAST(ceil(CAST(len(t) AS DOUBLE) / 16) AS INT), 1) AS n
+      FROM d
+    ),
+    ch AS (
+      SELECT doc_id * 1048576 + i AS ck, t[i*16+1 : i*16+16] AS w
+      FROM nc, unnest(range(0, n)) AS u(i)
+    ),
+    sh0 AS (
+      SELECT ck AS doc_id, list_distinct(list(array_to_string(w[i:i+2], ' '))) AS sh
+      FROM (
+        SELECT ck, w, unnest(range(1, len(w) - 1)) AS i
+        FROM ch WHERE len(w) >= 3
+      )
+      GROUP BY ck
+    ),
+    keyed AS (
+      SELECT doc_id, sh, len(sh) AS n_sh, list_sort(sh) AS skey
+      FROM sh0 WHERE len(sh) > 0
+    ),
+    reps AS (SELECT skey, MIN(doc_id) AS rep FROM keyed GROUP BY skey),
+    star AS (
+      SELECT CAST(r.rep AS BIGINT) AS id_a, CAST(k.doc_id AS BIGINT) AS id_b,
+             CAST(k.n_sh AS BIGINT) AS inter, CAST(k.n_sh AS BIGINT) AS u
+      FROM keyed k JOIN reps r ON k.skey = r.skey
+      WHERE k.doc_id <> r.rep
+    ),
+    sh AS (SELECT k.doc_id, k.sh FROM keyed k JOIN reps r ON k.doc_id = r.rep),
+    sig AS (
+      SELECT doc_id, sh,
+             {_MH_COLS}
+      FROM sh
+    ),
+    banded AS (
+      {_BAND_ROWS}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM banded a JOIN banded b
+        ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, sh, len(sh) AS n_sh FROM sh),
+    pairs AS (
+      SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+             CAST(len(list_intersect(sa.sh, sb.sh)) AS BIGINT) AS inter,
+             CAST(sa.n_sh + sb.n_sh - len(list_intersect(sa.sh, sb.sh)) AS BIGINT) AS u
+      FROM cand JOIN sizes sa ON cand.id_a = sa.doc_id
+                JOIN sizes sb ON cand.id_b = sb.doc_id
+      WHERE 5 * len(list_intersect(sa.sh, sb.sh))
+            >= 3 * (sa.n_sh + sb.n_sh - len(list_intersect(sa.sh, sb.sh)))
+    ),
+    allp AS (SELECT * FROM pairs UNION ALL SELECT * FROM star)
+    SELECT CAST(id_a // 1048576 AS BIGINT) AS doc_a,
+           CAST(id_a % 1048576 AS BIGINT) AS chunk_a,
+           CAST(id_b // 1048576 AS BIGINT) AS doc_b,
+           CAST(id_b % 1048576 AS BIGINT) AS chunk_b,
+           inter, u AS "union"
+    FROM allp
+    WHERE id_a // 1048576 <> id_b // 1048576
+    """
+
+
+_OR["chunk_neardup_collapsed"] = _chunk_collapsed_oracle()

@@ -58,3 +58,24 @@ def test_chunk_neardup_packing_guard(spark):
     )
     with pytest.raises(Exception, match="packing range"):
         chunk_neardup_pairs(docs, tau=0.6, chunk_size=4, engine_stable=True).count()
+
+
+def test_chunk_neardup_collapse_star_edges(spark):
+    """Three docs sharing one byte-identical paragraph: collapsed mode
+    emits the 2 star edges (min-key representative) instead of the 3
+    full pairs, and the connectivity (who near-dups whom, transitively)
+    is unchanged."""
+    para = " ".join(f"bp{i}" for i in range(16))
+    rows = [
+        (i, para + " " + " ".join(f"w{i}_{j}" for j in range(48)))
+        for i in (1, 2, 3)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    full = chunk_neardup_pairs(docs, tau=0.6, chunk_size=16, engine_stable=True)
+    coll = chunk_neardup_pairs(
+        docs, tau=0.6, chunk_size=16, engine_stable=True, collapse_exact=True
+    )
+    fp = {(r.doc_a, r.doc_b) for r in full.collect()}
+    cp = {(r.doc_a, r.doc_b) for r in coll.collect()}
+    assert fp == {(1, 2), (1, 3), (2, 3)}
+    assert cp == {(1, 2), (1, 3)}  # star around the min-key rep
