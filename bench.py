@@ -255,6 +255,7 @@ HEADLINE = [
     "uint64_decimal_fidelity",
     "neardup_truth_eval",
     "dsir_importance_topk",
+    "dsir_threshold_select_docs",
     "cluster_balanced_sample_vecs",
 ]
 

@@ -660,3 +660,31 @@ def cluster_balanced_sample(
         .withColumnRenamed("label", "cluster")
         .withColumnRenamed("rank", "pick_rank")
     )
+
+
+def dsir_threshold_select(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    logratios,
+    min_score,
+    salt: str = "",
+    method: str = "md5",
+    score_col: str = "dsir_score",
+) -> DataFrame:
+    """The AT-SCALE form of DSIR selection: keep every document whose
+    importance score clears ``min_score`` — a pure scan-side predicate
+    (score expression + one DECIMAL compare), so selecting x% of a
+    100 TB corpus is one map-only pass with no top-k driver merge at
+    all (:func:`dsir_topk` is the interactive/eval form; a
+    million-row k has no business in a TakeOrdered). ``min_score``
+    is typically calibrated once on a small hash-sample (score
+    quantiles -> threshold) and reused across the corpus and across
+    incremental appends — the same row always decides the same way.
+    Returns the input rows (all columns) plus ``score_col``."""
+    from decimal import Decimal
+
+    thr = F.lit(Decimal(str(min_score)) if not isinstance(min_score, Decimal) else min_score)
+    return df.withColumn(
+        score_col, dsir_score(F.col(text_col), logratios, salt, method)
+    ).filter(F.col(score_col) >= thr)

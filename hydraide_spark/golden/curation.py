@@ -529,3 +529,68 @@ def _chunk_collapsed_oracle() -> str:
 
 
 _OR["chunk_neardup_collapsed"] = _chunk_collapsed_oracle()
+
+
+@golden(
+    "dsir_threshold_select_docs",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, lang, g
+      FROM toks, UNNEST(list_concat(w,
+           list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1]))) AS u(g)
+    ),
+    bucketed AS (
+      SELECT doc_id, lang, {_DSIR_BUCKET_SQL} AS bucket FROM grams
+    ),
+    tcounts AS (
+      SELECT bucket, COUNT(*) AS tc FROM bucketed WHERE lang = 'de' GROUP BY bucket
+    ),
+    rcounts AS (
+      SELECT bucket, COUNT(*) AS rc FROM bucketed GROUP BY bucket
+    ),
+    tot AS (
+      SELECT (SELECT COALESCE(SUM(tc), 0) FROM tcounts) AS T,
+             (SELECT COALESCE(SUM(rc), 0) FROM rcounts) AS R
+    ),
+    lr AS (
+      SELECT b.bucket,
+             CAST(ln((COALESCE(tc, 0) + 0.5::DOUBLE) / (T + 0.5::DOUBLE * 64))
+                - ln((COALESCE(rc, 0) + 0.5::DOUBLE) / (R + 0.5::DOUBLE * 64))
+                AS DECIMAL(20,12)) AS L
+      FROM (SELECT UNNEST(range(0, 64)) AS bucket) b
+      LEFT JOIN tcounts USING (bucket) LEFT JOIN rcounts USING (bucket), tot
+    ),
+    scores AS (
+      SELECT doc_id, SUM(L) AS dsir_score
+      FROM bucketed JOIN lr USING (bucket)
+      GROUP BY doc_id
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           ROUND(CAST(dsir_score AS DOUBLE), 10) AS dsir_score
+    FROM scores
+    WHERE dsir_score >= CAST(0.05 AS DECIMAL(20,12))
+    """,
+)
+def dsir_threshold_select_docs(spark, sf_dir):
+    """The AT-SCALE DSIR selection form: keep every doc whose score
+    clears the threshold — a pure scan-side DECIMAL compare (selecting
+    x% of 100 TB is one map-only pass; no top-k driver merge — a plan
+    test pins ZERO exchanges on the select leg). Membership is
+    DECIMAL-exact on both sides; only the reported score rounds
+    through double."""
+    from ..functions.sampling import dsir_logratios_tagged, dsir_threshold_select
+
+    docs = t(spark, sf_dir, "documents")
+    lr = dsir_logratios_tagged(
+        docs, F.col("lang") == "de", "text", n_buckets=64, salt="dsir_v1"
+    )
+    out = dsir_threshold_select(
+        docs, "doc_id", "text", lr, min_score="0.05", salt="dsir_v1"
+    )
+    return out.select(
+        big("doc_id").alias("doc_id"),
+        F.round(F.col("dsir_score").cast("double"), 10).alias("dsir_score"),
+    )

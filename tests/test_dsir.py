@@ -136,3 +136,28 @@ def test_dsir_tagged_one_pass_equals_two_pass(spark):
         docs, F.col("lang") == "zh", "text", n_buckets=32, salt="q"
     )
     assert one == two
+
+
+def test_dsir_threshold_select_is_scan_side(spark):
+    """The threshold form must be a single map-only pass: score
+    expression + DECIMAL compare on the scan — ZERO exchanges in the
+    physical plan of the select leg (the 100 TB argument: selecting a
+    corpus fraction never funnels through a top-k or a shuffle)."""
+    from hydraide_spark.functions.sampling import (
+        dsir_logratios,
+        dsir_threshold_select,
+        dsir_topk,
+    )
+    from hydraide_spark.plans.inspect import physical_plan
+
+    target, raw = _corpora(spark)
+    docs = load_table(spark, SF, "documents")
+    lr = dsir_logratios(target, raw, "text", n_buckets=16, salt="z")
+    sel = dsir_threshold_select(docs, "doc_id", "text", lr, min_score="0.0", salt="z")
+    plan = physical_plan(sel)
+    assert "Exchange" not in plan, plan
+    # membership agrees with the topk scores above the cut
+    k = dsir_topk(docs, "doc_id", "text", lr, 500, salt="z")
+    above = {r.doc_id for r in k.collect() if r.dsir_score >= 0}
+    got = {r.doc_id for r in sel.select("doc_id").collect()}
+    assert above == got
