@@ -688,3 +688,39 @@ def dsir_threshold_select(
     return df.withColumn(
         score_col, dsir_score(F.col(text_col), logratios, salt, method)
     ).filter(F.col(score_col) >= thr)
+
+
+def dsir_threshold_from_quantile(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    logratios,
+    keep_fraction: float,
+    sample_fraction: float = 0.01,
+    salt: str = "",
+    method: str = "md5",
+):
+    """Calibrate :func:`dsir_threshold_select`'s cut on a hash-sample:
+    score ``sample_fraction`` of the corpus (deterministic membership —
+    the same calibration set on every run and engine), take the exact
+    (1 - keep_fraction) quantile of the sampled scores driver-side, and
+    return it as the DECIMAL threshold. One pass over the sample; the
+    full-corpus select then keeps ~``keep_fraction`` of rows. The
+    returned threshold is an exact score value from the sample, so
+    membership stays DECIMAL-exact and engine-stable."""
+    if not 0 < keep_fraction <= 1:
+        raise ValueError("keep_fraction must be in (0, 1]")
+    sampled = hash_sample(df, id_col, sample_fraction, salt + "|cal", method)
+    scores = sorted(
+        r[0]
+        for r in sampled.select(
+            dsir_score(F.col(text_col), logratios, salt, method).alias("s")
+        ).collect()
+    )
+    if not scores:
+        raise ValueError(
+            "dsir_threshold_from_quantile: calibration sample is empty — "
+            "raise sample_fraction"
+        )
+    idx = int((1.0 - keep_fraction) * (len(scores) - 1))
+    return scores[idx]

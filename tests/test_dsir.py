@@ -161,3 +161,30 @@ def test_dsir_threshold_select_is_scan_side(spark):
     above = {r.doc_id for r in k.collect() if r.dsir_score >= 0}
     got = {r.doc_id for r in sel.select("doc_id").collect()}
     assert above == got
+
+
+def test_dsir_threshold_calibration(spark):
+    """The quantile-calibrated threshold keeps ~keep_fraction of the
+    corpus, and the calibration is deterministic (same sample, same
+    cut, every run)."""
+    from hydraide_spark.functions.sampling import (
+        dsir_logratios,
+        dsir_threshold_from_quantile,
+        dsir_threshold_select,
+    )
+
+    target, raw = _corpora(spark)
+    docs = load_table(spark, SF, "documents")
+    lr = dsir_logratios(target, raw, "text", n_buckets=16, salt="c")
+    thr1 = dsir_threshold_from_quantile(
+        docs, "doc_id", "text", lr, keep_fraction=0.3, sample_fraction=0.5, salt="c"
+    )
+    thr2 = dsir_threshold_from_quantile(
+        docs, "doc_id", "text", lr, keep_fraction=0.3, sample_fraction=0.5, salt="c"
+    )
+    assert thr1 == thr2
+    n_all = docs.count()
+    n_kept = dsir_threshold_select(
+        docs, "doc_id", "text", lr, min_score=thr1, salt="c"
+    ).count()
+    assert 0.15 * n_all <= n_kept <= 0.45 * n_all  # ~30% within sample noise
