@@ -177,6 +177,7 @@ HEADLINE = [
     "mmr_lambda_sweep",
     "hybrid_search_rrf_batch",
     "hard_negative_mining_docs",
+    "prf_expanded_search_docs",
     "phrase_search_via_index",
     "text_quality_tokens",
     "quality_classifier_docs",

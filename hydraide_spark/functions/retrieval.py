@@ -893,3 +893,100 @@ def hard_negative_mining(
         .filter(F.col("neg_rank") <= int(k))
         .select("query_id", id_col, "neg_rank", "score")
     )
+
+
+def prf_expansion_terms(
+    docs: DataFrame,
+    query_terms: Sequence[tuple],
+    k_docs: int,
+    n_terms: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Pseudo-relevance-feedback expansion terms (the RM3 idea in
+    integer-deterministic form): per query, take the top ``k_docs``
+    BM25 hits as the feedback set, count every token's occurrences
+    inside it, and pick the ``n_terms`` most frequent tokens NOT
+    already in the query (ties break on the word — a total order, so
+    the expansion replays exactly in any engine; classic RM3's
+    float-weighted language-model mixture trades that replayability
+    for marginal gains).
+
+    Plan shape: the batch scores in one corpus scan (bm25_terms_multi),
+    the feedback set is <= B·k_docs ids, and the feedback token count
+    joins that tiny id list back to the corpus (broadcastable; AQE
+    decides) — the second corpus touch reads only feedback docs'
+    tokens. Returns (query_id, word, fb_count, term_rank)."""
+    from .text import tokenize
+
+    spark = docs.sparkSession
+    scored = (
+        bm25_terms_multi(docs, id_col, text_col, query_terms, k1, b)
+        .groupBy("query_id", id_col)
+        .agg(F.sum("term_score").alias("score"))
+    )
+    fb = ranked_list_grouped(scored, id_col, "score", k_docs, "query_id").select(
+        "query_id", id_col
+    )
+    toks = docs.select(
+        F.col(id_col), F.explode(tokenize(F.col(text_col))).alias("word")
+    )
+    counts = (
+        toks.join(fb, id_col)
+        .groupBy("query_id", "word")
+        .agg(F.count(F.lit(1)).alias("fb_count"))
+    )
+    orig = spark.createDataFrame(
+        [(int(qid), w) for qid, ws in query_terms for w in ws],
+        "query_id long, word string",
+    )
+    fresh = counts.join(orig, ["query_id", "word"], "left_anti")
+    w = W.partitionBy("query_id").orderBy(
+        F.col("fb_count").desc(), F.col("word").asc()
+    )
+    return (
+        fresh.withColumn("term_rank", F.row_number().over(w))
+        .filter(F.col("term_rank") <= int(n_terms))
+        .select("query_id", "word", "fb_count", "term_rank")
+    )
+
+
+def prf_expanded_search(
+    docs: DataFrame,
+    query_terms: Sequence[tuple],
+    k: int,
+    k_docs: int = 5,
+    n_terms: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Two-round retrieval with pseudo-relevance feedback: expand each
+    query bag with its :func:`prf_expansion_terms` and re-run the BM25
+    batch over the UNION bag — the recall lever when the original query
+    undersamples the topic vocabulary. Both rounds are single-scan
+    batch retrievals; scores stay DECIMAL(28,6). Returns
+    (query_id, id, rank, score) over the expanded queries."""
+    exp = prf_expansion_terms(
+        docs, query_terms, k_docs, n_terms, id_col, text_col, k1, b
+    )
+    extra: dict = {}
+    for r in exp.collect():  # bounded: B queries x n_terms rows
+        extra.setdefault(int(r["query_id"]), []).append(r["word"])
+    expanded = [
+        (qid, sorted(set(ws) | set(extra.get(int(qid), [])))) for qid, ws in query_terms
+    ]
+    scored = (
+        bm25_terms_multi(docs, id_col, text_col, expanded, k1, b)
+        .groupBy("query_id", id_col)
+        .agg(F.sum("term_score").alias("score"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("score").desc(), F.col(id_col).asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= int(k))
+        .select("query_id", id_col, "rank", "score")
+    )

@@ -594,3 +594,118 @@ def dsir_threshold_select_docs(spark, sf_dir):
         big("doc_id").alias("doc_id"),
         F.round(F.col("dsir_score").cast("double"), 10).alias("dsir_score"),
     )
+
+
+_BM25_TERM_SQL = """
+      SELECT q.query_id, tf.doc_id, tf.word,
+             CAST(round(
+               ln(1.0::DOUBLE + (n_docs - dfreq + 0.5::DOUBLE) / (dfreq + 0.5::DOUBLE))
+               * (tf * 2.2::DOUBLE)
+               / (tf + 1.2::DOUBLE * (0.25::DOUBLE + 0.75::DOUBLE * dl / avgdl)),
+               6) AS DECIMAL(28,6)) AS term_score
+"""
+
+
+@golden(
+    "prf_expanded_search_docs",
+    oracle=f"""
+    WITH dl AS (
+      SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+      FROM documents
+    ),
+    stats AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl),
+    toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+    alltf AS (SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS tf
+              FROM toks GROUP BY doc_id, word),
+    qt(query_id, word) AS (
+      VALUES (0,'stream'),(0,'data'),(0,'query'),
+             (1,'join'),(1,'hash'),(1,'scan'),
+             (2,'vector'),(2,'window'),(2,'sort')
+    ),
+    tf1 AS (SELECT a.* FROM alltf a WHERE word IN (SELECT DISTINCT word FROM qt)),
+    dfreq1 AS (SELECT word, COUNT(*) AS dfreq FROM tf1 GROUP BY word),
+    term1 AS (
+      {_BM25_TERM_SQL}
+      FROM tf1 tf JOIN qt q USING (word) JOIN dfreq1 USING (word)
+      JOIN dl USING (doc_id) CROSS JOIN stats
+    ),
+    scored1 AS (
+      SELECT query_id, doc_id, SUM(term_score) AS score
+      FROM term1 GROUP BY query_id, doc_id
+    ),
+    fb AS (
+      SELECT query_id, doc_id FROM (
+        SELECT query_id, doc_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY score DESC, doc_id ASC) AS rn
+        FROM scored1
+      ) WHERE rn <= 5
+    ),
+    fbcnt AS (
+      SELECT f.query_id, t.word, CAST(COUNT(*) AS BIGINT) AS fb_count
+      FROM toks t JOIN fb f USING (doc_id)
+      GROUP BY f.query_id, t.word
+    ),
+    fresh AS (
+      SELECT c.query_id, c.word, c.fb_count
+      FROM fbcnt c LEFT JOIN qt q
+        ON c.query_id = q.query_id AND c.word = q.word
+      WHERE q.word IS NULL
+    ),
+    exp AS (
+      SELECT query_id, word FROM (
+        SELECT query_id, word,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY fb_count DESC, word ASC) AS tr
+        FROM fresh
+      ) WHERE tr <= 3
+    ),
+    qt2 AS (SELECT query_id, word FROM qt UNION SELECT query_id, word FROM exp),
+    tf2 AS (SELECT a.* FROM alltf a WHERE word IN (SELECT DISTINCT word FROM qt2)),
+    dfreq2 AS (SELECT word, COUNT(*) AS dfreq FROM tf2 GROUP BY word),
+    term2 AS (
+      {_BM25_TERM_SQL}
+      FROM tf2 tf JOIN qt2 q USING (word) JOIN dfreq2 USING (word)
+      JOIN dl USING (doc_id) CROSS JOIN stats
+    ),
+    scored2 AS (
+      SELECT query_id, doc_id, SUM(term_score) AS score
+      FROM term2 GROUP BY query_id, doc_id
+    )
+    SELECT CAST(query_id AS BIGINT) AS query_id,
+           CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(rank AS INT) AS rank,
+           CAST(score AS DOUBLE) AS score
+    FROM (
+      SELECT query_id, doc_id, score,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, doc_id ASC) AS rank
+      FROM scored2
+    ) WHERE rank <= 10
+    """,
+)
+def prf_expanded_search_docs(spark, sf_dir):
+    """Pseudo-relevance-feedback retrieval (functions/retrieval.py::
+    prf_expanded_search — the RM3 idea in integer-deterministic form):
+    round 1 BM25 picks 5 feedback docs per query, the 3 most frequent
+    fresh tokens inside them expand the bag (ties on the word — a
+    total order, exactly replayable), round 2 BM25 runs over the union
+    bag. Both rounds are single-scan batch retrievals; the oracle
+    replays both BM25 passes, the feedback cut, the term selection and
+    the final ranking; scores cast once to double (the
+    bm25_ranked_search pattern)."""
+    from ..functions.retrieval import prf_expanded_search
+
+    docs = t(spark, sf_dir, "documents")
+    bags = [
+        (0, ["stream", "data", "query"]),
+        (1, ["join", "hash", "scan"]),
+        (2, ["vector", "window", "sort"]),
+    ]
+    out = prf_expanded_search(docs, bags, k=10, k_docs=5, n_terms=3)
+    return out.select(
+        big("query_id").alias("query_id"),
+        big("doc_id").alias("doc_id"),
+        F.col("rank").cast("int").alias("rank"),
+        F.col("score").cast("double").alias("score"),
+    )

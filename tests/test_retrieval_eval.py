@@ -354,3 +354,35 @@ def test_hard_negative_mining_excludes_positives(spark):
     ).collect()
     both_ids = {r.doc_id for r in both}
     assert 2 not in both_ids and 5 not in both_ids
+
+
+def test_prf_expansion_terms_and_search(spark):
+    """Expansion picks the most frequent FRESH tokens from the
+    feedback docs (originals excluded, word-asc tiebreak), and the
+    expanded search can retrieve a doc that shares no original term
+    with the query (the recall lever PRF exists for)."""
+    from hydraide_spark.functions.retrieval import (
+        prf_expanded_search,
+        prf_expansion_terms,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "stream data query topic alpha alpha"),
+            (2, "stream data query topic alpha"),
+            (3, "stream data topic"),
+            (4, "topic alpha only here"),
+            (5, "unrelated entirely words"),
+        ],
+        "doc_id long, text string",
+    )
+    bags = [(0, ["stream", "data", "query"])]
+    exp = prf_expansion_terms(docs, bags, k_docs=3, n_terms=2).collect()
+    got = [(r.word, r.fb_count) for r in sorted(exp, key=lambda r: r.term_rank)]
+    # feedback set = docs 1,2,3; fresh counts: topic 3, alpha 3 -> word-asc tie
+    assert got == [("alpha", 3), ("topic", 3)]
+
+    out = prf_expanded_search(docs, bags, k=5, k_docs=3, n_terms=2)
+    ids = {r.doc_id for r in out.collect()}
+    assert 4 in ids, "doc sharing only EXPANSION terms must be retrievable"
+    assert 5 not in ids
