@@ -778,6 +778,67 @@ def hamming_distance_bits(a: Column, b: Column) -> Column:
     )
 
 
+def hamming_block_pairs_delta(
+    new_sims: DataFrame,
+    all_sims: DataFrame,
+    max_hamming: int,
+    n_blocks: int = 4,
+    id_col: str = "doc_id",
+    hash_col: str = "h",
+) -> DataFrame:
+    """Incremental form of :func:`hamming_block_pairs`: pairs where at
+    least one side is NEW (``new_sims`` must be a subset of
+    ``all_sims``) — the per-ingest shape: a micro-batch pairs against
+    the whole accumulated index without re-enumerating old-old pairs.
+    Same chunk-equality blocking; ids normalize to id_a < id_b, and
+    new-new pairs dedupe on the id order (each such pair appears from
+    both sides of the join). Emits (id_a, id_b, hamming)."""
+    bits_per = SIMHASH_BITS // n_blocks
+    mask = (1 << bits_per) - 1
+
+    def chunked(frame: DataFrame) -> DataFrame:
+        cs = F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("chunk_no"),
+                    F.shiftrightunsigned(F.col(hash_col), i * bits_per)
+                    .bitwiseAND(F.lit(mask))
+                    .alias("chunk"),
+                )
+                for i in range(n_blocks)
+            ]
+        )
+        return frame.select(F.col(id_col), F.explode(cs).alias("c")).select(
+            F.col(id_col), F.col("c.chunk_no"), F.col("c.chunk")
+        )
+
+    a, b = chunked(new_sims).alias("a"), chunked(all_sims).alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.chunk_no") == F.col("b.chunk_no"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col(f"a.{id_col}") != F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.least(F.col(f"a.{id_col}"), F.col(f"b.{id_col}")).alias("id_a"),
+            F.greatest(F.col(f"a.{id_col}"), F.col(f"b.{id_col}")).alias("id_b"),
+        )
+        .distinct()
+    )
+    ha = all_sims.select(F.col(id_col).alias("id_a"), F.col(hash_col).alias("h_a"))
+    hb = all_sims.select(F.col(id_col).alias("id_b"), F.col(hash_col).alias("h_b"))
+    return (
+        cand.join(ha, "id_a")
+        .join(hb, "id_b")
+        .withColumn(
+            "hamming", F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
 def simhash_neardup_pairs(
     df: DataFrame,
     max_hamming: int = 3,

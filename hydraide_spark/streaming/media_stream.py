@@ -1,0 +1,146 @@
+"""Incremental media near-dup: a streaming ingest loop that keeps a
+perceptual-fingerprint index (image dHash / audio band-gradient hash)
+and discovers near-duplicate pairs as media arrives — the multimodal
+analogue of the text per-ingest loop (dedup_stream.py), sharing its
+exactly-once contract: per-epoch OVERWRITE sinks (a retried
+micro-batch replaces its own partial output), probe excludes the own
+epoch, and pairs read back with an epoch-aware distinct.
+
+State shape at 100 TB of media: the fingerprint index is 16 bytes per
+item (id + packed 64-bit hash) — for a billion items that is ~16 GB
+total, shuffled only through the chunk-equality block join (two-long
+rows; payloads NEVER enter the state or the join). No directory
+pruning is needed at this row width; the block bucket is the join's
+blocking key exactly as in batch mode.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..functions.dedup import hamming_block_pairs_delta
+from ..functions.multimodal import audio_fingerprints, image_hashes
+
+HASH_SCHEMA = "media_id long, h long"
+PAIR_SCHEMA = "id_a long, id_b long, hamming int"
+
+
+def _fingerprints(batch_df: DataFrame, kind: str, algo: str) -> DataFrame:
+    if kind == "image":
+        return image_hashes(batch_df, algo=algo).select(
+            "media_id", F.col("phash").alias("h")
+        )
+    if kind == "audio":
+        return audio_fingerprints(batch_df).select(
+            "media_id", F.col("ahash").alias("h")
+        )
+    raise ValueError(f"media kind must be image|audio, got {kind!r}")
+
+
+def _epoch_read(spark: SparkSession, path: str, schema: str, epoch) -> "DataFrame | None":
+    """All persisted epochs EXCEPT the current one (a retry may run
+    after its own partial write landed)."""
+    if not os.path.isdir(path) or not any(
+        e.startswith("epoch=") for e in os.listdir(path)
+    ):
+        return None
+    df = spark.read.schema(schema + ", epoch long").parquet(path)
+    return df.filter(F.col("epoch") != int(epoch)).drop("epoch")
+
+
+def make_media_ingest(
+    spark: SparkSession,
+    state_dir: str,
+    kind: str = "image",
+    algo: str = "dhash",
+    max_hamming: int = 3,
+    n_blocks: int = 4,
+):
+    """Per-micro-batch ingest: fingerprint the batch's payloads (Arrow
+    decode — the only time payloads are touched), pair the NEW
+    fingerprints against new ∪ persisted via the delta block join
+    (old-old pairs never re-enumerate), and overwrite this epoch's
+    pairs + fingerprints. Exposed for direct replay in tests (the
+    overwrite-idempotence contract)."""
+    hashes_dir = os.path.join(state_dir, "hashes")
+    pairs_dir = os.path.join(state_dir, "pairs")
+
+    def ingest(batch_df: DataFrame, epoch: int) -> None:
+        if batch_df.isEmpty():
+            return
+        sigs_new = (
+            _fingerprints(batch_df, kind, algo)
+            .filter(F.col("h").isNotNull())
+            .persist()
+        )
+        old = _epoch_read(spark, hashes_dir, HASH_SCHEMA, epoch)
+        all_sigs = sigs_new if old is None else sigs_new.unionByName(old)
+        pairs = hamming_block_pairs_delta(
+            sigs_new,
+            all_sigs,
+            max_hamming,
+            n_blocks=n_blocks,
+            id_col="media_id",
+            hash_col="h",
+        ).select(
+            "id_a", "id_b", F.col("hamming").cast("int").alias("hamming")
+        )
+        ep = f"epoch={int(epoch)}"
+        pairs.write.mode("overwrite").parquet(os.path.join(pairs_dir, ep))
+        sigs_new.write.mode("overwrite").parquet(os.path.join(hashes_dir, ep))
+        sigs_new.unpersist()
+
+    return ingest
+
+
+def run_media_neardup_ingest_loop(
+    spark: SparkSession,
+    media_stream: DataFrame,
+    state_dir: str,
+    kind: str = "image",
+    algo: str = "dhash",
+    max_hamming: int = 3,
+    n_blocks: int = 4,
+    queue_name: str = "media_neardup_ingest",
+    checkpoint_dir: Optional[str] = None,
+):
+    """Start the media near-dup stream (``media_stream`` columns:
+    media_id, payload [, ...]; each media_id delivered once). Same
+    restart contract as the text loop: keep ``checkpoint_dir`` stable
+    so retried epochs keep their ids and the overwrites stay
+    idempotent."""
+    ingest = make_media_ingest(
+        spark, state_dir, kind=kind, algo=algo,
+        max_hamming=max_hamming, n_blocks=n_blocks,
+    )
+    return (
+        media_stream.writeStream.outputMode("append")
+        .queryName(queue_name)
+        .option(
+            "checkpointLocation",
+            checkpoint_dir or os.path.join(state_dir, "_checkpoint"),
+        )
+        .foreachBatch(ingest)
+        .start()
+    )
+
+
+def media_pairs(spark: SparkSession, state_dir: str) -> DataFrame:
+    """The accumulated pair table — empty before the first non-empty
+    batch. DISTINCT on read collapses at-least-once re-delivery
+    artifacts (a re-delivered item re-pairs identically; the hamming
+    of a duplicate pair is the same integer)."""
+    path = os.path.join(state_dir, "pairs")
+    if not os.path.isdir(path) or not any(
+        e.startswith("epoch=") for e in os.listdir(path)
+    ):
+        return spark.createDataFrame([], PAIR_SCHEMA)
+    return (
+        spark.read.schema(PAIR_SCHEMA + ", epoch long")
+        .parquet(path)
+        .drop("epoch")
+        .distinct()
+    )
