@@ -40,15 +40,19 @@ def _fingerprints(batch_df: DataFrame, kind: str, algo: str) -> DataFrame:
     raise ValueError(f"media kind must be image|audio, got {kind!r}")
 
 
-def _epoch_read(spark: SparkSession, path: str, schema: str, epoch) -> "DataFrame | None":
-    """All persisted epochs EXCEPT the current one (a retry may run
-    after its own partial write landed)."""
+def _epoch_read(spark: SparkSession, path: str, schema: str, epoch=None) -> "DataFrame | None":
+    """All persisted epochs EXCEPT the given one (a retry may run
+    after its own partial write landed); ``epoch=None`` reads every
+    epoch (the serving probe — no exclusion sentinel, so a future
+    compaction's epoch=-1 base would never be silently dropped)."""
     if not os.path.isdir(path) or not any(
         e.startswith("epoch=") for e in os.listdir(path)
     ):
         return None
     df = spark.read.schema(schema + ", epoch long").parquet(path)
-    return df.filter(F.col("epoch") != int(epoch)).drop("epoch")
+    if epoch is not None:
+        df = df.filter(F.col("epoch") != int(epoch))
+    return df.drop("epoch")
 
 
 def make_media_ingest(
@@ -143,4 +147,69 @@ def media_pairs(spark: SparkSession, state_dir: str) -> DataFrame:
         .parquet(path)
         .drop("epoch")
         .distinct()
+    )
+
+
+def media_neardup_lookup(
+    spark: SparkSession,
+    state_dir: str,
+    query_media: DataFrame,
+    kind: str = "image",
+    algo: str = "dhash",
+    max_hamming: int = 3,
+    n_blocks: int = 4,
+) -> DataFrame:
+    """Serving-side probe WITHOUT ingesting: fingerprint the query
+    items (their payloads are touched once, executor-side) and pair
+    them against the persisted index via the delta block join — "has
+    this image/clip been seen before?" as one blocked equi-join
+    against 16-byte index rows. Returns (query_id, media_id, hamming)
+    — every indexed item within ``max_hamming`` of each query item.
+    The query items do NOT pair among themselves (pure lookup)."""
+    sigs_q = (
+        _fingerprints(query_media, kind, algo)
+        .filter(F.col("h").isNotNull())
+        .select(F.col("media_id").alias("query_id"), "h")
+    )
+    idx = _epoch_read(spark, os.path.join(state_dir, "hashes"), HASH_SCHEMA)
+    if idx is None:
+        return spark.createDataFrame([], "query_id long, media_id long, hamming int")
+    # reuse the delta join with disjoint id namespaces is fragile
+    # (query ids may collide with indexed ids) — do the asymmetric
+    # block join directly: query chunks probe index chunks.
+    from ..functions.dedup import SIMHASH_BITS
+
+    bits_per = SIMHASH_BITS // n_blocks
+    mask = (1 << bits_per) - 1
+
+    def chunked(frame: DataFrame, idc: str) -> DataFrame:
+        cs = F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("chunk_no"),
+                    F.shiftrightunsigned(F.col("h"), i * bits_per)
+                    .bitwiseAND(F.lit(mask))
+                    .alias("chunk"),
+                )
+                for i in range(n_blocks)
+            ]
+        )
+        return frame.select(F.col(idc), F.explode(cs).alias("c")).select(
+            F.col(idc), F.col("c.chunk_no"), F.col("c.chunk")
+        )
+
+    cand = (
+        chunked(sigs_q, "query_id")
+        .join(chunked(idx, "media_id"), ["chunk_no", "chunk"])
+        .select("query_id", "media_id")
+        .distinct()
+    )
+    hq = sigs_q.select(F.col("query_id"), F.col("h").alias("h_q"))
+    hi = idx.select(F.col("media_id"), F.col("h").alias("h_i"))
+    return (
+        cand.join(hq, "query_id")
+        .join(hi, "media_id")
+        .withColumn("hamming", F.bit_count(F.col("h_q").bitwiseXOR(F.col("h_i"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("query_id", "media_id", F.col("hamming").cast("int").alias("hamming"))
     )

@@ -97,3 +97,40 @@ def test_audio_kind_streams_too(spark, tmp_path):
     ingest(df.filter("media_id >= 1000"), 1)
     got = {(r.id_a, r.id_b) for r in media_pairs(spark, state).collect()}
     assert got == {(i, i + 1000) for i in range(0, 6, 2)}
+
+
+def test_media_neardup_lookup_serving_probe(spark, tmp_path):
+    """Lookup pairs query items against the persisted index only: a
+    query twin of an indexed image hits; query items never pair among
+    themselves; an empty state returns an empty frame."""
+    from hydraide_spark.streaming.media_stream import media_neardup_lookup
+
+    schema = "media_id long, kind string, payload binary"
+    state = str(tmp_path / "lookup_state")
+    assert media_neardup_lookup(
+        spark, state, spark.createDataFrame([], schema)
+    ).count() == 0
+
+    rows = _image_rows(6, twin_every=100)  # no twins inside the index
+    ingest = make_media_ingest(spark, state, kind="image")
+    ingest(spark.createDataFrame(rows, schema), 0)
+
+    # queries: a twin of indexed item 2, and two IDENTICAL fresh images
+    # (q-q pair must NOT emit)
+    px2 = np.random.RandomState(2).randint(0, 256, size=(16, 16, 3)).astype(np.uint8)
+    tw = px2.copy()
+    tw[8, 8, 0] ^= 128
+    fresh = np.random.RandomState(777).randint(0, 256, size=(16, 16, 3)).astype(np.uint8)
+    queries = spark.createDataFrame(
+        [
+            (500, "image", bytearray(encode_bmp(tw))),
+            (501, "image", bytearray(encode_bmp(fresh))),
+            (502, "image", bytearray(encode_bmp(fresh))),
+        ],
+        schema,
+    )
+    got = {
+        (r.query_id, r.media_id)
+        for r in media_neardup_lookup(spark, state, queries, kind="image").collect()
+    }
+    assert got == {(500, 2)}
