@@ -67,18 +67,20 @@ def ranked_list_grouped(
     topk: int,
     group_col: str,
 ) -> DataFrame:
-    """Per-group (id, rank): row_number window PARTITIONED on the group
-    key — the grouped-top-k shape (parallel across groups, same plan as
-    the `topk_per_group` golden). For a single global list prefer
+    """Per-group (id, rank) top-k via :func:`vector.two_stage_topk`
+    (r13, ADVICE): a plain ``row_number().over(partitionBy(group))``
+    funnels EVERY scored corpus row for a group through one reducer —
+    for common query terms that reducer sorts corpus-scale rows. Stage
+    1 bounds each reducer at k rows per (group, input partition); the
+    real per-group window then ranks ≤ k·P survivors. Exact (total
+    order: score DESC, id ASC). For a single global list prefer
     :func:`ranked_list` (TakeOrderedAndProject)."""
-    w = W.partitionBy(group_col).orderBy(
-        F.col(score_col).desc(), F.col(id_col).asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= topk)
-        .select(group_col, id_col, "rank")
-    )
+    from .vector import two_stage_topk
+
+    return two_stage_topk(
+        scored, int(topk), group_col,
+        [F.col(score_col).desc(), F.col(id_col).asc()],
+    ).select(group_col, id_col, "rank")
 
 
 def rrf_fuse(
@@ -860,9 +862,11 @@ def hard_negative_mining(
     (bm25_terms_multi: postings built once, the (query_id, word) map a
     broadcast dim), the scored frame persists, positives remove via
     left_anti on (query_id, id) (positives are label-sized —
-    broadcastable; AQE decides), and the per-query cut is a window
-    PARTITIONED on query_id over candidate rows only. Scores stay
-    DECIMAL(28,6) (exact, order-free) end to end.
+    broadcastable; AQE decides), and the per-query cut is
+    two-stage (vector.two_stage_topk — r13: a plain per-query
+    row_number window sorted corpus-scale candidates on one reducer
+    for common terms). Scores stay DECIMAL(28,6) (exact, order-free)
+    end to end.
 
     Returns (query_id, id, neg_rank, score), neg_rank 1..k."""
     from ._cache import pin_latest
@@ -887,11 +891,12 @@ def hard_negative_mining(
         neg = scored.join(
             excluded.select("query_id", id_col), ["query_id", id_col], "left_anti"
         )
-    w = W.partitionBy("query_id").orderBy(F.col("score").desc(), F.col(id_col).asc())
-    return (
-        neg.withColumn("neg_rank", F.row_number().over(w))
-        .filter(F.col("neg_rank") <= int(k))
-        .select("query_id", id_col, "neg_rank", "score")
+    from .vector import two_stage_topk
+
+    return two_stage_topk(
+        neg, int(k), "query_id", [F.col("score").desc(), F.col(id_col).asc()]
+    ).select(
+        "query_id", id_col, F.col("rank").alias("neg_rank"), "score"
     )
 
 
@@ -943,14 +948,15 @@ def prf_expansion_terms(
         "query_id long, word string",
     )
     fresh = counts.join(orig, ["query_id", "word"], "left_anti")
-    w = W.partitionBy("query_id").orderBy(
-        F.col("fb_count").desc(), F.col("word").asc()
-    )
-    return (
-        fresh.withColumn("term_rank", F.row_number().over(w))
-        .filter(F.col("term_rank") <= int(n_terms))
-        .select("query_id", "word", "fb_count", "term_rank")
-    )
+    from .vector import two_stage_topk
+
+    # the candidate vocabulary per query is feedback-set-sized, but the
+    # two-stage cut keeps the shape uniform with every other per-group
+    # top-k (r13 — no single-reducer windows over unbounded inputs)
+    return two_stage_topk(
+        fresh, int(n_terms), "query_id",
+        [F.col("fb_count").desc(), F.col("word").asc()],
+    ).select("query_id", "word", "fb_count", F.col("rank").alias("term_rank"))
 
 
 def prf_expanded_search(
@@ -984,9 +990,8 @@ def prf_expanded_search(
         .groupBy("query_id", id_col)
         .agg(F.sum("term_score").alias("score"))
     )
-    w = W.partitionBy("query_id").orderBy(F.col("score").desc(), F.col(id_col).asc())
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= int(k))
-        .select("query_id", id_col, "rank", "score")
-    )
+    from .vector import two_stage_topk
+
+    return two_stage_topk(
+        scored, int(k), "query_id", [F.col("score").desc(), F.col(id_col).asc()]
+    ).select("query_id", id_col, "rank", "score")

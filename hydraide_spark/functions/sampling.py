@@ -540,11 +540,16 @@ def dsir_logratios_from_stores(
     ``run_dsir_count_maintenance_loop``): two O(B)-row reads, zero
     corpus scans — the count-free model refresh a 100 TB serving path
     needs. Identical to the batch model by the associativity of
-    counts (pinned incremental ≡ batch)."""
+    counts — exactly, including under retried micro-batches: the merge
+    is idempotent per epoch (rollup.make_dsir_count_merge records the
+    last-applied epoch atomically with the counts; its sentinel row
+    rides at bucket=-1 and is excluded here)."""
 
     def counts(store) -> "dict[int, int]":
         return {
-            int(r["bucket"]): int(r["n"]) for r in store.current().collect()
+            int(r["bucket"]): int(r["n"])
+            for r in store.current().collect()
+            if int(r["bucket"]) >= 0
         }
 
     return dsir_logratios_from_counts(
@@ -564,7 +569,21 @@ def _decimal_array_literal(vals, decimals: int = 12, precision: int = 20) -> Col
     rounding the last digit at every addition step (measured: ~3e-11
     drift per document vs the exact DuckDB sum). Keeping elements at
     (20,12) and the accumulator at (32,12) leaves the addition at
-    precision 33: headroom, so every step is exact."""
+    precision 33: headroom, so every step is exact.
+
+    Inputs must be Decimal: the ``:f`` format is exact only for
+    Decimal — a float would silently truncate to 6 fractional digits
+    and inject a subtly wrong model (ADVICE r12), so non-Decimal
+    values fail loudly here instead."""
+    from decimal import Decimal
+
+    for v in vals:
+        if not isinstance(v, Decimal):
+            raise TypeError(
+                f"_decimal_array_literal needs Decimal values (got "
+                f"{type(v).__name__}: {v!r}); quantize floats first — "
+                "f-format would silently truncate them to 6 digits"
+            )
     body = ",".join(f"CAST({v:f} AS DECIMAL({precision},{decimals}))" for v in vals)
     return F.expr(f"array({body})")
 

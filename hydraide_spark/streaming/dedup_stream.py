@@ -30,6 +30,17 @@ retry after the bands write still sees the same "old" index. Epoch ids
 are stable across restarts only with a checkpoint — the loop sets
 ``checkpointLocation`` to ``state_dir/_checkpoint`` by default.
 
+**Commit-marker frontier (r13)**: the three tables form ONE logical
+epoch, published atomically by a ``_commits/epoch=N`` marker written
+AFTER all three writes (state_compact.publish_epoch_marker — the same
+pattern as the unified search state). Every reader — ``ingested_pairs``,
+``neardup_lookup``, and the ingest's own probes — filters to the
+committed frontier, so a crash between the pairs write and the
+shingles write leaves NO window where pairs are visible without their
+verify rows; the epoch surfaces only when the retry re-marks it.
+Pre-marker states are adopted on first post-upgrade ingest
+(state_compact.adopt_unmarked_epochs) and read-everything until then.
+
 Scale: per-batch work is bounded by the delta; the index grows by the
 delta; the bucket join is an equi-join whose key cardinality scales
 with the corpus (the same no-fixed-blocking rule as everything in
@@ -51,23 +62,42 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..functions.dedup import minhash_signature, shingles
 from .state_compact import (
+    adopt_unmarked_epochs,
     band_bucket_expr,
+    committed_frontier,
     migrate_flat_state,
     pending_folded,
+    publish_epoch_marker,
 )
 
+_TABLES = ("pairs", "bands", "shingles")
 
-def _probe_epoch_cond(path: str, epoch):
+
+def _probe_epoch_cond(path: str, epoch, epochs=None):
     """The persisted-index probe filter: exclude the CURRENT epoch's
     partition (a retried epoch must probe the same "old" index the
-    first attempt saw; ``epoch=None`` = read-only caller, nothing to
-    exclude) AND any epochs a crashed compaction already folded into
-    the base but did not clean up (their rows exist twice — base +
-    epoch dir — until the next compaction replays the cleanup; see
+    first attempt saw — regardless of whether its marker landed, since
+    a crash can fall between the marker write and the checkpoint
+    commit; ``epoch=None`` = read-only caller, nothing to exclude) AND
+    any epochs a crashed compaction already folded into the base but
+    did not clean up (their rows exist twice — base + epoch dir — until
+    the next compaction replays the cleanup; see
     state_compact.pending_folded). coalesce(epoch, -1) keeps pre-r8
-    flat legacy rows (NULL epoch) in the probe."""
+    flat legacy rows (NULL epoch) in the probe.
+
+    ``epochs`` (r13): the committed-marker frontier — when given, only
+    NEGATIVE epochs (always-committed compaction artifacts) and listed
+    epochs pass, so an epoch whose tables landed but whose commit
+    marker didn't stays invisible until the retry re-marks it. ``None``
+    keeps the legacy read-everything behavior (pre-marker states)."""
     e = F.coalesce(F.col("epoch"), F.lit(-1))
     cond = F.lit(True) if epoch is None else e != F.lit(int(epoch))
+    if epochs is not None:
+        keep = [int(x) for x in epochs if int(x) >= 0]
+        fc = e < 0
+        if keep:
+            fc = fc | e.isin(keep)
+        cond = cond & fc
     pend = sorted(pending_folded(path))
     if pend:
         cond = cond & ~e.isin(pend)
@@ -127,6 +157,7 @@ def hashed_probe_frame(
     keys_df: DataFrame,
     key_col: str,
     epoch: int,
+    epochs=None,
 ):
     """A hash-bucketed state table restricted to what a delta probe can
     possibly match — the read side of the bucketed-base layout
@@ -147,16 +178,18 @@ def hashed_probe_frame(
 
     A pre-bucketing flat base (no ``_NBUCKETS`` manifest) is read in
     full like a delta dir — legacy behavior until the next compaction
-    rewrites it. Returns None when no index exists yet. Own-epoch and
-    folded-but-uncleaned epochs are excluded (``_probe_epoch_cond``).
-    ``schema`` is the table's DATA schema (no epoch/bkt columns)."""
+    rewrites it. Returns None when no index exists yet. Own-epoch,
+    uncommitted (``epochs`` frontier) and folded-but-uncleaned epochs
+    are excluded (``_probe_epoch_cond``); the bucketed base is part of
+    every frontier. ``schema`` is the table's DATA schema (no
+    epoch/bkt columns)."""
     from .state_compact import split_bucketed_table
 
     nb, flat, base = split_bucketed_table(spark, table_dir, schema)
     frames = []
     if flat is not None:
         frames.append(
-            flat.filter(_probe_epoch_cond(table_dir, epoch)).drop("epoch")
+            flat.filter(_probe_epoch_cond(table_dir, epoch, epochs)).drop("epoch")
         )
     if base is not None:
         touched = sorted(
@@ -182,6 +215,7 @@ def bands_probe_frame(
     delta_banded: DataFrame,
     epoch: int,
     id_col: str = "doc_id",
+    epochs=None,
 ):
     """The band index's :func:`hashed_probe_frame`: pruned to the
     directories the delta's own bucket strings hash into."""
@@ -192,6 +226,7 @@ def bands_probe_frame(
         delta_banded,
         "bucket",
         epoch,
+        epochs=epochs,
     )
 
 
@@ -242,6 +277,11 @@ def make_ingest(
         # from probes. Per-batch cost is one listdir per table.
         for d in (bands_dir, sh_dir, pairs_dir):
             migrate_flat_state(d)
+        # pre-r13 states published epochs by the table writes alone:
+        # mark those epochs committed ONCE so the marker frontier below
+        # doesn't vanish them (no-op when _commits already exists)
+        adopt_unmarked_epochs(state_dir, _TABLES)
+        frontier = committed_frontier(state_dir)
         _t0 = _time.perf_counter()
         _rec = {"epoch": int(epoch)}
         sh_new = (
@@ -263,7 +303,7 @@ def make_ingest(
         # (directory pruning — see bands_probe_frame). Own-epoch and
         # folded-but-uncleaned epochs excluded inside.
         old_banded = bands_probe_frame(
-            spark, bands_dir, new_banded, epoch, id_col=id_col
+            spark, bands_dir, new_banded, epoch, id_col=id_col, epochs=frontier
         )
         _t1 = _time.perf_counter()
         _rec["probe_bands"] = _t1 - _t0
@@ -295,7 +335,7 @@ def make_ingest(
             F.explode(F.array("id_a", "id_b")).alias(id_col)
         )
         old_sizes = hashed_probe_frame(
-            spark, sh_dir, sh_schema, partners, id_col, epoch
+            spark, sh_dir, sh_schema, partners, id_col, epoch, epochs=frontier
         )
         _t2 = _time.perf_counter()
         _rec["candidates"] = _t2 - _t1
@@ -334,6 +374,11 @@ def make_ingest(
         sh_new.select(id_col, "sh", "n_sh").write.mode("overwrite").parquet(
             os.path.join(sh_dir, ep)
         )
+        # marker LAST: the atomic publish point — readers filtering to
+        # the committed frontier never see an epoch whose pairs landed
+        # but whose bands/shingles didn't (r11 invariant, retrofitted
+        # here in r13; the unified search state had it from the start)
+        publish_epoch_marker(state_dir, epoch)
         _t5 = _time.perf_counter()
         _rec["shingle_write"] = _t5 - _t4
         _rec["total"] = _t5 - _t0
@@ -408,8 +453,13 @@ def ingested_pairs(spark: SparkSession, state_dir: str) -> DataFrame:
     migrate_flat_state(path)  # pre-r8 flat layout → epoch=-1 base
     from .search_stream import _epoch_filtered
 
+    # committed-marker frontier (r13): an epoch whose pairs landed but
+    # whose marker didn't (crash mid-batch) stays invisible until the
+    # retry re-marks it; None = pre-marker legacy state, read all
     return _epoch_filtered(
-        spark.read.schema(schema + ", epoch long").parquet(path), None, path
+        spark.read.schema(schema + ", epoch long").parquet(path),
+        committed_frontier(state_dir),
+        path,
     ).distinct()
 
 
@@ -463,7 +513,10 @@ def neardup_lookup(
         .persist()
     )
     banded_q = _bands_from_shingled(sh_q, k, bands, id_col, engine_stable)
-    idx = bands_probe_frame(spark, bands_dir, banded_q, epoch=None, id_col=id_col)
+    frontier = committed_frontier(state_dir)
+    idx = bands_probe_frame(
+        spark, bands_dir, banded_q, epoch=None, id_col=id_col, epochs=frontier
+    )
     empty = spark.createDataFrame(
         [], f"{id_col} long, match_id long, inter int, union int"
     )
@@ -491,6 +544,7 @@ def neardup_lookup(
         cand.select(F.col("match_id").alias(id_col)),
         id_col,
         epoch=None,
+        epochs=frontier,
     )
     if old_sizes is None:
         sh_q.unpersist()

@@ -4,7 +4,12 @@ and discovers near-duplicate pairs as media arrives — the multimodal
 analogue of the text per-ingest loop (dedup_stream.py), sharing its
 exactly-once contract: per-epoch OVERWRITE sinks (a retried
 micro-batch replaces its own partial output), probe excludes the own
-epoch, and pairs read back with an epoch-aware distinct.
+epoch, pairs read back with an epoch-aware distinct, and (r13) the
+two tables published atomically by a ``_commits/epoch=N`` marker
+written after both — readers filter to the committed frontier, so a
+crash between the pairs and hashes writes exposes nothing until the
+retry re-marks the epoch (the r11 multi-table invariant,
+state_compact.publish_epoch_marker / committed_frontier).
 
 State shape at 100 TB of media: the fingerprint index is 16 bytes per
 item (id + packed 64-bit hash) — for a billion items that is ~16 GB
@@ -23,9 +28,15 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..functions.dedup import hamming_block_pairs_delta
 from ..functions.multimodal import audio_fingerprints, image_hashes
+from .state_compact import (
+    adopt_unmarked_epochs,
+    committed_frontier,
+    publish_epoch_marker,
+)
 
 HASH_SCHEMA = "media_id long, h long"
 PAIR_SCHEMA = "id_a long, id_b long, hamming int"
+_TABLES = ("pairs", "hashes")
 
 
 def _fingerprints(batch_df: DataFrame, kind: str, algo: str) -> DataFrame:
@@ -40,19 +51,28 @@ def _fingerprints(batch_df: DataFrame, kind: str, algo: str) -> DataFrame:
     raise ValueError(f"media kind must be image|audio, got {kind!r}")
 
 
-def _epoch_read(spark: SparkSession, path: str, schema: str, epoch=None) -> "DataFrame | None":
+def _epoch_read(
+    spark: SparkSession, path: str, schema: str, epoch=None, epochs=None
+) -> "DataFrame | None":
     """All persisted epochs EXCEPT the given one (a retry may run
-    after its own partial write landed); ``epoch=None`` reads every
-    epoch (the serving probe — no exclusion sentinel, so a future
-    compaction's epoch=-1 base would never be silently dropped)."""
+    after its own partial write landed — and after its own marker, if
+    the crash fell between the marker and the checkpoint commit);
+    ``epoch=None`` reads every epoch. ``epochs`` is the committed-
+    marker frontier (r13): only negative (compaction) epochs and
+    listed epochs pass, so a half-written epoch stays invisible until
+    its retry re-marks it; ``None`` = pre-marker legacy state, read
+    all. Crashed-compaction duplicates are excluded either way
+    (search_stream._epoch_filtered's pending_folded handling)."""
     if not os.path.isdir(path) or not any(
         e.startswith("epoch=") for e in os.listdir(path)
     ):
         return None
+    from .search_stream import _epoch_filtered
+
     df = spark.read.schema(schema + ", epoch long").parquet(path)
     if epoch is not None:
-        df = df.filter(F.col("epoch") != int(epoch))
-    return df.drop("epoch")
+        df = df.filter(F.coalesce(F.col("epoch"), F.lit(-1)) != int(epoch))
+    return _epoch_filtered(df, epochs, path)
 
 
 def make_media_ingest(
@@ -75,12 +95,16 @@ def make_media_ingest(
     def ingest(batch_df: DataFrame, epoch: int) -> None:
         if batch_df.isEmpty():
             return
+        # pre-r13 states published epochs by the table writes alone:
+        # adopt them into the marker frontier once (no-op afterwards)
+        adopt_unmarked_epochs(state_dir, _TABLES)
+        frontier = committed_frontier(state_dir)
         sigs_new = (
             _fingerprints(batch_df, kind, algo)
             .filter(F.col("h").isNotNull())
             .persist()
         )
-        old = _epoch_read(spark, hashes_dir, HASH_SCHEMA, epoch)
+        old = _epoch_read(spark, hashes_dir, HASH_SCHEMA, epoch, epochs=frontier)
         all_sigs = sigs_new if old is None else sigs_new.unionByName(old)
         pairs = hamming_block_pairs_delta(
             sigs_new,
@@ -95,6 +119,10 @@ def make_media_ingest(
         ep = f"epoch={int(epoch)}"
         pairs.write.mode("overwrite").parquet(os.path.join(pairs_dir, ep))
         sigs_new.write.mode("overwrite").parquet(os.path.join(hashes_dir, ep))
+        # marker LAST (r13): a crash between the two writes above
+        # leaves this epoch's pairs invisible to media_pairs until the
+        # retry re-marks — pairs never surface without their index rows
+        publish_epoch_marker(state_dir, epoch)
         sigs_new.unpersist()
 
     return ingest
@@ -137,17 +165,15 @@ def media_pairs(spark: SparkSession, state_dir: str) -> DataFrame:
     batch. DISTINCT on read collapses at-least-once re-delivery
     artifacts (a re-delivered item re-pairs identically; the hamming
     of a duplicate pair is the same integer)."""
-    path = os.path.join(state_dir, "pairs")
-    if not os.path.isdir(path) or not any(
-        e.startswith("epoch=") for e in os.listdir(path)
-    ):
-        return spark.createDataFrame([], PAIR_SCHEMA)
-    return (
-        spark.read.schema(PAIR_SCHEMA + ", epoch long")
-        .parquet(path)
-        .drop("epoch")
-        .distinct()
+    df = _epoch_read(
+        spark,
+        os.path.join(state_dir, "pairs"),
+        PAIR_SCHEMA,
+        epochs=committed_frontier(state_dir),
     )
+    if df is None:
+        return spark.createDataFrame([], PAIR_SCHEMA)
+    return df.distinct()
 
 
 def media_neardup_lookup(
@@ -171,7 +197,12 @@ def media_neardup_lookup(
         .filter(F.col("h").isNotNull())
         .select(F.col("media_id").alias("query_id"), "h")
     )
-    idx = _epoch_read(spark, os.path.join(state_dir, "hashes"), HASH_SCHEMA)
+    idx = _epoch_read(
+        spark,
+        os.path.join(state_dir, "hashes"),
+        HASH_SCHEMA,
+        epochs=committed_frontier(state_dir),
+    )
     if idx is None:
         return spark.createDataFrame([], "query_id long, media_id long, hamming int")
     # reuse the delta join with disjoint id namespaces is fragile

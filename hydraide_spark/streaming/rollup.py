@@ -185,6 +185,66 @@ def run_histogram_maintenance_loop(
     )
 
 
+DSIR_EPOCH_KEY = "__epoch__"
+
+
+def make_dsir_count_merge(
+    store: TreasureStore,
+    text_col: str = "text",
+    n_buckets: int = 8192,
+    salt: str = "",
+    method: str = "md5",
+):
+    """The per-micro-batch DSIR count merge, exposed so tests can
+    replay an epoch and assert the skip directly (the make_ingest
+    pattern). Idempotent at-least-once (ADVICE r12): unlike the
+    rollup/cms/histogram loops, which document the replay caveat, this
+    merge records the last-applied epoch as a sentinel row
+    (key=``__epoch__``, bucket=-1) inside the SAME ``store.set`` call
+    as the counts — one versioned snapshot commit, so the epoch record
+    and the counts can never diverge — and a replayed epoch
+    (``epoch <= recorded``) is skipped instead of double-counting its
+    grams. With the skip, incremental counts equal the batch aggregate
+    under any batching INCLUDING retried micro-batches."""
+    from ..functions.sampling import dsir_bucket_counts
+
+    def merge(batch_df: DataFrame, epoch: int) -> None:
+        if batch_df.isEmpty():
+            return
+        cur_all = store.current()
+        last = (
+            cur_all.filter(F.col("key") == DSIR_EPOCH_KEY)
+            .select("n")
+            .head()
+        )
+        if last is not None and int(last["n"]) >= int(epoch):
+            return  # replay of an epoch whose merge already committed
+        part = dsir_bucket_counts(
+            batch_df, text_col, n_buckets, salt, method
+        ).select(
+            F.col("bucket").cast("string").alias("key"),
+            "bucket",
+            F.col("count").alias("n"),
+        )
+        cur = cur_all.filter(F.col("key") != DSIR_EPOCH_KEY).select(
+            "key", F.col("n").alias("_cur")
+        )
+        updates = part.join(cur, "key", "left").select(
+            "key",
+            F.col("bucket").cast("long").alias("bucket"),
+            (F.coalesce(F.col("_cur"), F.lit(0)) + F.col("n"))
+            .cast("long")
+            .alias("n"),
+        )
+        sentinel = batch_df.sparkSession.createDataFrame(
+            [(DSIR_EPOCH_KEY, -1, int(epoch))],
+            "key string, bucket long, n long",
+        )
+        store.set(updates.unionByName(sentinel))
+
+    return merge
+
+
 def run_dsir_count_maintenance_loop(
     store: TreasureStore,
     docs_stream: DataFrame,
@@ -204,27 +264,10 @@ def run_dsir_count_maintenance_loop(
     ``dsir_logratios_from_stores`` derives the exact batch model from
     two O(B)-row reads with ZERO corpus scans (the count-free model
     refresh: new documents only ever cost their own grams). State is
-    bounded at B rows forever."""
-    from ..functions.sampling import dsir_bucket_counts
-
-    def merge(batch_df: DataFrame, _epoch: int) -> None:
-        if batch_df.isEmpty():
-            return
-        part = dsir_bucket_counts(
-            batch_df, text_col, n_buckets, salt, method
-        ).select(
-            F.col("bucket").cast("string").alias("key"),
-            "bucket",
-            F.col("count").alias("n"),
-        )
-        cur = store.current().select("key", F.col("n").alias("_cur"))
-        updates = part.join(cur, "key", "left").select(
-            "key",
-            "bucket",
-            (F.coalesce(F.col("_cur"), F.lit(0)) + F.col("n")).alias("n"),
-        )
-        store.set(updates)
-
+    bounded at B + 1 rows forever (the +1: the last-applied-epoch
+    sentinel row that makes retried micro-batches no-ops — see
+    :func:`make_dsir_count_merge`)."""
+    merge = make_dsir_count_merge(store, text_col, n_buckets, salt, method)
     return (
         docs_stream.writeStream.outputMode("append")
         .queryName(queue_name)

@@ -242,6 +242,116 @@ def migrate_flat_state(table_dir: str) -> int:
     return len(flat)
 
 
+COMMITS_NAME = "_commits"
+
+
+def publish_epoch_marker(state_dir: str, epoch: int, payload=None) -> None:
+    """Atomically publish an epoch for a MULTI-TABLE streaming state:
+    write the ``_commits/epoch=N`` marker AFTER every table's write has
+    landed, so readers that take the marker set as their frontier
+    (:func:`committed_frontier`) never see an epoch some of whose
+    tables are missing (the r11 invariant, first implemented for the
+    unified search state — search_stream.py::make_search_ingest).
+
+    ``payload``: optional JSON-serializable stats dict that rides
+    inside the marker under the same atomic publish (the r12 pattern —
+    e.g. per-epoch row counts a router reads with zero Spark jobs).
+    The tmp name must NOT share the ``epoch=`` prefix the listers
+    match — a crash-leftover tmp would parse as a bogus epoch."""
+    import json
+
+    commits = os.path.join(state_dir, COMMITS_NAME)
+    os.makedirs(commits, exist_ok=True)
+    tmp = os.path.join(commits, f".tmp-epoch-{int(epoch)}")
+    with open(tmp, "w") as fh:
+        if payload is not None:
+            json.dump(payload, fh)
+    os.replace(tmp, os.path.join(commits, f"epoch={int(epoch)}"))
+
+
+def committed_frontier(state_dir: str) -> "list[int] | None":
+    """The readable epoch frontier of a marker-published state:
+    the always-committed negative compaction epochs are implied (every
+    reader keeps them); the returned list is ``[-1]`` + every epoch
+    whose commit marker landed.
+
+    Returns ``None`` for a state that has never written markers (no
+    ``_commits`` dir) — the pre-r13 dedup/media states published
+    epochs by the table writes themselves, so "no frontier" must mean
+    read-everything, not read-nothing. The first post-upgrade ingest
+    adopts those legacy epochs (:func:`adopt_unmarked_epochs`) and the
+    state becomes marker-published from then on."""
+    commits = os.path.join(state_dir, COMMITS_NAME)
+    if not os.path.isdir(commits):
+        return None
+    eps = [BASE_EPOCH]
+    for n in os.listdir(commits):
+        if n.startswith("epoch="):
+            eps.append(int(n.split("=", 1)[1]))
+    return sorted(eps)
+
+
+def adopt_unmarked_epochs(state_dir: str, tables) -> "list[int]":
+    """First-upgrade migration to the marker frontier: when the
+    ``_commits`` dir does not exist yet but epoch dirs do (a state
+    built by a pre-marker ingest loop), mark every existing
+    non-negative epoch committed — under the old semantics those
+    epochs were already visible to every reader, so adopting them
+    changes nothing; NOT adopting them would vanish the whole legacy
+    state the moment the first marker lands. A partial crash epoch
+    from before the upgrade gets adopted too, exactly as visible as it
+    was — the stream's retry of that epoch overwrites and re-marks it.
+    Idempotent; returns the adopted epoch ids."""
+    commits = os.path.join(state_dir, COMMITS_NAME)
+    if os.path.isdir(commits):
+        return []
+    eps: set[int] = set()
+    for t in tables:
+        d = os.path.join(state_dir, t)
+        if not os.path.isdir(d):
+            continue
+        for n in os.listdir(d):
+            if n.startswith("epoch="):
+                v = n.split("=", 1)[1]
+                if v.lstrip("-").isdigit() and int(v) >= 0:
+                    eps.add(int(v))
+    for e in sorted(eps):
+        publish_epoch_marker(state_dir, e)
+    if not eps:
+        # state exists but holds only flat/legacy or base rows: still
+        # create the dir so the state is marker-published from now on
+        os.makedirs(commits, exist_ok=True)
+    return sorted(eps)
+
+
+def prune_stale_markers(state_dir: str, tables) -> int:
+    """Drop commit markers for epochs no table holds anymore — their
+    rows were folded into the always-committed base by compaction, so
+    the frontier stays correct and the marker listing stays bounded by
+    live epochs. Returns the number of markers removed. (The unified
+    search state has its own pruner that also absorbs marker stats
+    payloads — search_stream.compact_unified_search_state.)"""
+    commits = os.path.join(state_dir, COMMITS_NAME)
+    if not os.path.isdir(commits):
+        return 0
+    live: set[int] = set()
+    for t in tables:
+        d = os.path.join(state_dir, t)
+        if not os.path.isdir(d):
+            continue
+        for n in os.listdir(d):
+            if n.startswith("epoch=") and n.split("=", 1)[1].lstrip("-").isdigit():
+                live.add(int(n.split("=", 1)[1]))
+    removed = 0
+    for n in os.listdir(commits):
+        if not n.startswith("epoch="):
+            continue
+        if int(n.split("=", 1)[1]) not in live:
+            os.remove(os.path.join(commits, n))
+            removed += 1
+    return removed
+
+
 def compact_epochs(
     spark: SparkSession,
     table_dir: str,
@@ -674,9 +784,13 @@ def compact_neardup_state(
     :func:`compact_epochs_tiered` — the maintenance tick for a
     long-running ingest: minor folds cost O(delta), and the full base
     rewrite runs only when L1 pressure warrants it. Returns the tiered
-    per-table dicts instead of fold counts."""
+    per-table dicts instead of fold counts.
+
+    Commit markers for fully-folded epochs are pruned afterwards
+    (:func:`prune_stale_markers`) — the folded rows live in the
+    always-committed base, so the frontier keeps resolving."""
     if tiered:
-        return {
+        out = {
             "pairs": compact_epochs_tiered(spark, os.path.join(state_dir, "pairs")),
             "bands": compact_epochs_tiered(
                 spark, os.path.join(state_dir, "bands"), key_col="bucket"
@@ -685,13 +799,42 @@ def compact_neardup_state(
                 spark, os.path.join(state_dir, "shingles"), key_col=id_col
             ),
         }
-    return {
-        "pairs": compact_epochs(spark, os.path.join(state_dir, "pairs")),
-        "bands": compact_band_epochs(spark, os.path.join(state_dir, "bands")),
-        "shingles": compact_hashed_epochs(
-            spark, os.path.join(state_dir, "shingles"), id_col
-        ),
-    }
+    else:
+        out = {
+            "pairs": compact_epochs(spark, os.path.join(state_dir, "pairs")),
+            "bands": compact_band_epochs(spark, os.path.join(state_dir, "bands")),
+            "shingles": compact_hashed_epochs(
+                spark, os.path.join(state_dir, "shingles"), id_col
+            ),
+        }
+    prune_stale_markers(state_dir, ("pairs", "bands", "shingles"))
+    return out
+
+
+def compact_media_state(
+    spark: SparkSession, state_dir: str, tiered: bool = False
+) -> dict:
+    """Compact the media near-dup ingest state (streaming/
+    media_stream.py). Both tables fold FLAT: the fingerprint index is
+    16 bytes/item and every probe is a blocked equi-join on the
+    hash-chunk key (not a point read by media_id), so a hash-bucketed
+    base would add a shuffle at fold time and prune nothing at probe
+    time; ``pairs/`` is output-sized and read whole. Stale commit
+    markers pruned after (:func:`prune_stale_markers`)."""
+    if tiered:
+        out = {
+            "pairs": compact_epochs_tiered(spark, os.path.join(state_dir, "pairs")),
+            "hashes": compact_epochs_tiered(
+                spark, os.path.join(state_dir, "hashes")
+            ),
+        }
+    else:
+        out = {
+            "pairs": compact_epochs(spark, os.path.join(state_dir, "pairs")),
+            "hashes": compact_epochs(spark, os.path.join(state_dir, "hashes")),
+        }
+    prune_stale_markers(state_dir, ("pairs", "hashes"))
+    return out
 
 
 def compact_ivf_state(

@@ -2386,7 +2386,9 @@ def test_streaming_dsir_counts_converge_to_batch_model(spark, tmp_path):
         finally:
             q.stop()
         stores[name] = store
-        assert store.current().count() <= B  # bounded state forever
+        # bounded state forever: B buckets + the last-applied-epoch
+        # sentinel row (r13 — the replay-idempotency record)
+        assert store.current().count() <= B + 1
 
     streamed = dsir_logratios_from_stores(stores["target"], stores["raw"], B)
     batch = dsir_logratios(
@@ -2397,3 +2399,38 @@ def test_streaming_dsir_counts_converge_to_batch_model(spark, tmp_path):
         salt="s",
     )
     assert streamed == batch  # Decimal-exact: counts are associative
+
+
+def test_dsir_count_merge_replay_is_a_noop(spark, tmp_path):
+    """r13 (ADVICE r12): a retried micro-batch must NOT double-count its
+    grams — the merge records the last-applied epoch in the same atomic
+    store.set as the counts and skips replays, so 'converges to the
+    batch model under any batching' holds under at-least-once delivery
+    too."""
+    from hydraide_spark.streaming.rollup import make_dsir_count_merge
+
+    schema = "doc_id long, text string"
+    store = TreasureStore(spark, str(tmp_path / "dsir"))
+    store.init(spark.createDataFrame([], "key string, bucket bigint, n bigint"))
+    merge = make_dsir_count_merge(store, n_buckets=16, salt="s")
+
+    b0 = spark.createDataFrame([(1, "alpha beta gamma alpha")], schema)
+    b1 = spark.createDataFrame([(2, "zig zag beta")], schema)
+    merge(b0, 0)
+    after_first = sorted(
+        (r["bucket"], r["n"]) for r in store.current().collect()
+    )
+    merge(b0, 0)  # foreachBatch retry: same epoch replays
+    assert (
+        sorted((r["bucket"], r["n"]) for r in store.current().collect())
+        == after_first
+    )
+    merge(b1, 1)  # the NEXT epoch still applies
+    after_second = {
+        int(r["bucket"]): int(r["n"])
+        for r in store.current().collect()
+        if int(r["bucket"]) >= 0
+    }
+    assert sum(after_second.values()) > sum(
+        n for _b, n in after_first if _b >= 0
+    )
