@@ -535,14 +535,597 @@ def png_pixels(payload: bytes):
     return out.reshape(h, w, ch)[:, :, :3]
 
 
+# --- baseline JPEG codec (r13) ----------------------------------------------
+#
+# JPEG is the dominant web image format, so a crawl-dedup pipeline that
+# stops at BMP/PNG misses most of the corpus (r12 VERDICT missing #1).
+# Baseline sequential JPEG (SOF0: 8-bit, Huffman, interleaved scan) is
+# decodable with numpy + stdlib alone: marker walk -> DQT/DHT/SOF/SOS
+# parse -> canonical-Huffman entropy decode (byte-unstuffing, restart
+# markers) -> dequantize -> inverse zigzag -> 8x8 IDCT as two matrix
+# multiplies -> chroma upsample -> YCbCr->RGB. Progressive (SOF2),
+# arithmetic-coded (SOF9+), 12-bit and hierarchical streams raise
+# ``NotImplementedError`` loudly — the PIL plug point, same contract as
+# every decode here. The encoder exists to SYNTHESIZE test/golden
+# corpora (planted-twin truth), emitting interchange-format JFIF with
+# the ISO/IEC 10918-1 Annex K example tables.
+
+_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+_QUANT_LUMA = [
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+]
+
+_QUANT_CHROMA = [
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+] + [99] * 32
+
+# Annex K Huffman specs: (bits[1..16] code-length histogram, values)
+_HUFF_DC_LUMA = (
+    [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_HUFF_DC_CHROMA = (
+    [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_HUFF_AC_LUMA = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
+    [
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+        0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+        0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+        0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+        0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+        0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+        0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+        0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+        0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+        0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+        0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+        0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+        0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+        0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+        0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ],
+)
+_HUFF_AC_CHROMA = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77],
+    [
+        0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+        0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+        0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15,
+        0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17,
+        0x18, 0x19, 0x1A, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37,
+        0x38, 0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A,
+        0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65,
+        0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+        0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A,
+        0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+        0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5,
+        0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+        0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9,
+        0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
+        0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ],
+)
+
+
+def _huff_codes(bits, values):
+    """Canonical Huffman assignment (10918-1 Annex C): codes of each
+    length in value order, shorter lengths first. Returns
+    value -> (code, length)."""
+    out = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[values[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _dct_matrix():
+    import numpy as np
+
+    n = np.arange(8)
+    c = np.cos((2 * n[None, :] + 1) * n[:, None] * np.pi / 16)
+    c[0] *= 1 / np.sqrt(2)
+    return c * 0.5  # orthonormal: block_hat = C @ block @ C.T
+
+
+def _scaled_quant(base, quality: int):
+    import numpy as np
+
+    q = max(1, min(100, int(quality)))
+    scale = 5000 // q if q < 50 else 200 - 2 * q
+    t = (np.asarray(base, dtype=np.int64) * scale + 50) // 100
+    return np.clip(t, 1, 255).reshape(8, 8)
+
+
+def _rgb_to_ycbcr(px):
+    import numpy as np
+
+    p = np.asarray(px, dtype=np.float64)
+    r, g, b = p[..., 0], p[..., 1], p[..., 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = 128.0 - 0.168735892 * r - 0.331264108 * g + 0.5 * b
+    cr = 128.0 + 0.5 * r - 0.418687589 * g - 0.081312411 * b
+    return y, cb, cr
+
+
+class _BitWriter:
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def put(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.n += length
+        while self.n >= 8:
+            self.n -= 8
+            byte = (self.acc >> self.n) & 0xFF
+            self.buf.append(byte)
+            if byte == 0xFF:  # byte stuffing
+                self.buf.append(0x00)
+        self.acc &= (1 << self.n) - 1
+
+    def flush(self) -> None:
+        if self.n:
+            pad = 8 - self.n
+            self.put((1 << pad) - 1, pad)  # 1-fill per spec
+
+
+def _magnitude(v: int):
+    """(category, appended bits) for a DC diff / AC coefficient —
+    negatives in the spec's one's-complement form."""
+    if v == 0:
+        return 0, 0
+    a = abs(v)
+    s = a.bit_length()
+    return s, (v if v > 0 else v + (1 << s) - 1)
+
+
+def encode_jpeg(
+    pixels,
+    quality: int = 90,
+    subsampling: str = "444",
+    restart_interval: int = 0,
+) -> bytes:
+    """Serialize an (h, w, 3) uint8 RGB array as a baseline sequential
+    JFIF JPEG (Annex K tables, quality-scaled quantization; ``"444"``
+    or ``"420"`` chroma subsampling; ``restart_interval`` > 0 emits a
+    DRI segment and RST0-7 markers every N MCUs — so the decoder's
+    restart path is testable without external files) — the test/golden
+    synthesizer for :func:`jpeg_pixels`, numpy + stdlib only. Lossy by
+    nature: the planted-twin goldens rely on the perceptual hash
+    surviving the round trip, not on pixel equality."""
+    import numpy as np
+
+    if subsampling not in ("444", "420"):
+        raise ValueError(f"encode_jpeg: subsampling {subsampling!r} not in 444/420")
+    px = np.asarray(pixels, dtype=np.uint8)
+    h, w, _ = px.shape
+    y, cb, cr = _rgb_to_ycbcr(px)
+    C = _dct_matrix()
+    qy = _scaled_quant(_QUANT_LUMA, quality)
+    qc = _scaled_quant(_QUANT_CHROMA, quality)
+    if subsampling == "444":
+        hv = [(1, 1), (1, 1), (1, 1)]
+        planes = [y, cb, cr]
+    else:
+        hv = [(2, 2), (1, 1), (1, 1)]
+
+        def pool2(p):
+            hh = (p.shape[0] + 1) // 2 * 2
+            ww = (p.shape[1] + 1) // 2 * 2
+            q = np.empty((hh, ww))
+            q[: p.shape[0], : p.shape[1]] = p
+            q[p.shape[0]:, : p.shape[1]] = p[-1:]
+            q[:, p.shape[1]:] = q[:, p.shape[1] - 1 : p.shape[1]]
+            return (q[0::2, 0::2] + q[1::2, 0::2] + q[0::2, 1::2] + q[1::2, 1::2]) / 4.0
+
+        planes = [y, pool2(cb), pool2(cr)]
+    hmax = max(a for a, _ in hv)
+    vmax = max(b for _, b in hv)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+
+    padded = []
+    for (hs, vs), plane in zip(hv, planes):
+        ph, pw = mcuy * vs * 8, mcux * hs * 8
+        p = np.empty((ph, pw))
+        sh, sw = plane.shape
+        p[:sh, :sw] = plane
+        p[sh:, :sw] = plane[-1:]
+        p[:, sw:] = p[:, sw - 1 : sw]
+        padded.append(p - 128.0)
+
+    dc_codes = [_huff_codes(*_HUFF_DC_LUMA), _huff_codes(*_HUFF_DC_CHROMA)]
+    ac_codes = [_huff_codes(*_HUFF_AC_LUMA), _huff_codes(*_HUFF_AC_CHROMA)]
+    quants = [qy, qc, qc]
+    bw = _BitWriter()
+    pred = [0, 0, 0]
+    mcu_i = 0
+    rst_i = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu_i and mcu_i % restart_interval == 0:
+                bw.flush()  # RST markers are byte-aligned
+                bw.buf += bytes([0xFF, 0xD0 + (rst_i & 7)])
+                rst_i += 1
+                pred = [0, 0, 0]
+            mcu_i += 1
+            for ci, ((hs, vs), plane) in enumerate(zip(hv, padded)):
+                tsel = 0 if ci == 0 else 1
+                for by in range(vs):
+                    for bx in range(hs):
+                        r0 = (my * vs + by) * 8
+                        c0 = (mx * hs + bx) * 8
+                        block = plane[r0 : r0 + 8, c0 : c0 + 8]
+                        coef = C @ block @ C.T
+                        qd = np.round(coef / quants[ci]).astype(np.int64)
+                        zz = qd.reshape(-1)[_ZIGZAG]
+                        diff = int(zz[0]) - pred[ci]
+                        pred[ci] = int(zz[0])
+                        s, extra = _magnitude(diff)
+                        code, ln = dc_codes[tsel][s]
+                        bw.put(code, ln)
+                        if s:
+                            bw.put(extra, s)
+                        run = 0
+                        for k in range(1, 64):
+                            v = int(zz[k])
+                            if v == 0:
+                                run += 1
+                                continue
+                            while run > 15:
+                                code, ln = ac_codes[tsel][0xF0]  # ZRL
+                                bw.put(code, ln)
+                                run -= 16
+                            s, extra = _magnitude(v)
+                            code, ln = ac_codes[tsel][(run << 4) | s]
+                            bw.put(code, ln)
+                            bw.put(extra, s)
+                            run = 0
+                        if run:
+                            code, ln = ac_codes[tsel][0x00]  # EOB
+                            bw.put(code, ln)
+    bw.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + (len(body) + 2).to_bytes(2, "big") + body
+
+    def dqt(tid: int, table) -> bytes:
+        return seg(0xDB, bytes([tid]) + bytes(int(table.reshape(-1)[z]) for z in _ZIGZAG))
+
+    def dht(cls: int, tid: int, spec) -> bytes:
+        bits, vals = spec
+        return seg(0xC4, bytes([(cls << 4) | tid]) + bytes(bits) + bytes(vals))
+
+    sof = seg(
+        0xC0,
+        bytes([8])
+        + int(h).to_bytes(2, "big")
+        + int(w).to_bytes(2, "big")
+        + bytes([3])
+        + b"".join(
+            bytes([cid + 1, (hv[cid][0] << 4) | hv[cid][1], 0 if cid == 0 else 1])
+            for cid in range(3)
+        ),
+    )
+    sos = seg(
+        0xDA,
+        bytes([3])
+        + b"".join(bytes([cid + 1, 0x00 if cid == 0 else 0x11]) for cid in range(3))
+        + bytes([0, 63, 0]),
+    )
+    app0 = seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    dri = (
+        seg(0xDD, int(restart_interval).to_bytes(2, "big"))
+        if restart_interval
+        else b""
+    )
+    return (
+        b"\xff\xd8"
+        + app0
+        + dqt(0, qy)
+        + dqt(1, qc)
+        + dri
+        + sof
+        + dht(0, 0, _HUFF_DC_LUMA)
+        + dht(1, 0, _HUFF_AC_LUMA)
+        + dht(0, 1, _HUFF_DC_CHROMA)
+        + dht(1, 1, _HUFF_AC_CHROMA)
+        + sos
+        + bytes(bw.buf)
+        + b"\xff\xd9"
+    )
+
+
+class _BitReader:
+    """Entropy-segment bit reader: unstuffs 0xFF 0x00, stops at any
+    real marker (restart markers are consumed by the caller)."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.n = 0
+
+    def _fill(self) -> None:
+        d = self.data
+        if self.pos >= len(d):
+            raise NotImplementedError("JPEG scan truncated")
+        b = d[self.pos]
+        if b == 0xFF:
+            nxt = d[self.pos + 1] if self.pos + 1 < len(d) else None
+            if nxt == 0x00:
+                self.pos += 2
+            else:
+                raise NotImplementedError("JPEG scan hit a marker mid-symbol")
+        else:
+            self.pos += 1
+        self.acc = (self.acc << 8) | b
+        self.n += 8
+
+    def bit(self) -> int:
+        if self.n == 0:
+            self._fill()
+        self.n -= 1
+        return (self.acc >> self.n) & 1
+
+    def bits(self, k: int) -> int:
+        v = 0
+        for _ in range(k):
+            v = (v << 1) | self.bit()
+        return v
+
+    def align_to_marker(self) -> None:
+        """Drop partial byte; the caller then reads the marker bytes."""
+        self.n = 0
+
+
+def _huff_decode_tree(bits, values):
+    """length -> {code: value} lookup for the sequential reader."""
+    by_len: dict = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        m = {}
+        for _ in range(bits[length - 1]):
+            m[code] = values[k]
+            code += 1
+            k += 1
+        if m:
+            by_len[length] = m
+        code <<= 1
+    return by_len
+
+
+def _read_huff(br: _BitReader, tree) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | br.bit()
+        m = tree.get(length)
+        if m is not None and code in m:
+            return m[code]
+    raise NotImplementedError("invalid JPEG Huffman code")
+
+
+def _extend(v: int, s: int) -> int:
+    return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+
+def jpeg_pixels(payload: bytes):
+    """REAL baseline-JPEG pixel decode — numpy + stdlib only (marker
+    walk, canonical Huffman entropy decode with byte-unstuffing and
+    restart markers, dequantize, inverse zigzag, orthonormal 8x8 IDCT,
+    nearest-neighbor chroma upsample, YCbCr->RGB). Supports SOF0/SOF1
+    (sequential Huffman, 8-bit, up to 4:2:0/4:2:2 sampling);
+    progressive (SOF2), arithmetic (SOF9+), hierarchical and 12-bit
+    streams raise ``NotImplementedError`` (the PIL plug point, same
+    contract as :func:`real_decode`). Returns (h, w, 3) uint8 RGB.
+
+    Entropy decoding is inherently sequential (each Huffman symbol's
+    length depends on the previous bits), so this is a per-payload
+    Python loop inside Arrow batches on executors — parallelism comes
+    from partitions, exactly like the PNG unfilter path."""
+    import numpy as np
+
+    d = bytes(payload)
+    if len(d) < 4 or d[0:2] != b"\xff\xd8":
+        raise NotImplementedError("not a JPEG payload")
+    quant: dict = {}
+    dc_trees: dict = {}
+    ac_trees: dict = {}
+    frame = None
+    restart = 0
+    pos = 2
+    while pos + 4 <= len(d):
+        if d[pos] != 0xFF:
+            raise NotImplementedError("JPEG marker walk desynced")
+        m = d[pos + 1]
+        if m in (0xD8, 0x01) or 0xD0 <= m <= 0xD7:
+            pos += 2
+            continue
+        ln = int.from_bytes(d[pos + 2 : pos + 4], "big")
+        if pos + 2 + ln > len(d):
+            raise NotImplementedError("JPEG segment truncated")
+        body = d[pos + 4 : pos + 2 + ln]
+        if m == 0xDB:
+            o = 0
+            while o < len(body):
+                prec, tid = body[o] >> 4, body[o] & 15
+                if prec:
+                    raise NotImplementedError("16-bit JPEG quant tables")
+                tb = np.zeros(64, dtype=np.int64)
+                tb[_ZIGZAG] = list(body[o + 1 : o + 65])
+                quant[tid] = tb.reshape(8, 8)
+                o += 65
+        elif m == 0xC4:
+            o = 0
+            while o < len(body):
+                cls, tid = body[o] >> 4, body[o] & 15
+                bits = list(body[o + 1 : o + 17])
+                nv = sum(bits)
+                vals = list(body[o + 17 : o + 17 + nv])
+                (dc_trees if cls == 0 else ac_trees)[tid] = _huff_decode_tree(
+                    bits, vals
+                )
+                o += 17 + nv
+        elif m in (0xC0, 0xC1):
+            prec = body[0]
+            if prec != 8:
+                raise NotImplementedError(f"JPEG precision {prec} (8-bit only)")
+            fh = int.from_bytes(body[1:3], "big")
+            fw = int.from_bytes(body[3:5], "big")
+            ncomp = body[5]
+            comps = []
+            for ci in range(ncomp):
+                cid, s, tq = body[6 + 3 * ci : 9 + 3 * ci]
+                comps.append({"id": cid, "h": s >> 4, "v": s & 15, "tq": tq})
+            frame = {"h": fh, "w": fw, "comps": comps}
+        elif m == 0xC2:
+            raise NotImplementedError(
+                "progressive JPEG (SOF2) — plug in PIL for the rest"
+            )
+        elif m in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                f"JPEG frame type SOF{m - 0xC0} (lossless/arithmetic/"
+                "hierarchical) — plug in PIL for the rest"
+            )
+        elif m == 0xDD:
+            restart = int.from_bytes(body[0:2], "big")
+        elif m == 0xDA:
+            if frame is None:
+                raise NotImplementedError("JPEG SOS before SOF")
+            ns = body[0]
+            sel = {}
+            for si in range(ns):
+                cs, tt = body[1 + 2 * si : 3 + 2 * si]
+                sel[cs] = (tt >> 4, tt & 15)
+            scan_pos = pos + 2 + ln
+            return _jpeg_decode_scan(
+                d, scan_pos, frame, sel, quant, dc_trees, ac_trees, restart
+            )
+        pos += 2 + ln
+    raise NotImplementedError("JPEG stream has no SOS scan")
+
+
+def _jpeg_decode_scan(d, pos, frame, sel, quant, dc_trees, ac_trees, restart):
+    import numpy as np
+
+    comps = frame["comps"]
+    if len(comps) not in (1, 3):
+        raise NotImplementedError("JPEG component counts other than 1/3")
+    h, w = frame["h"], frame["w"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    C = _dct_matrix()
+    planes = [
+        np.zeros((mcuy * c["v"] * 8, mcux * c["h"] * 8)) for c in comps
+    ]
+    br = _BitReader(d, pos)
+    pred = [0] * len(comps)
+    mcu_i = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart and mcu_i and mcu_i % restart == 0:
+                br.align_to_marker()
+                # scan forward over pad bytes / stuffed zeros / FF fill
+                # to the RST marker (spec allows fill before markers)
+                p = br.pos
+                while p + 2 <= len(d) and not (
+                    d[p] == 0xFF and d[p + 1] != 0x00
+                ):
+                    p += 1
+                if not (p + 2 <= len(d) and 0xD0 <= d[p + 1] <= 0xD7):
+                    raise NotImplementedError("JPEG missing restart marker")
+                br.pos = p + 2
+                pred = [0] * len(comps)
+            for ci, c in enumerate(comps):
+                dct_t = dc_trees.get(sel[c["id"]][0])
+                act_t = ac_trees.get(sel[c["id"]][1])
+                qt = quant.get(c["tq"])
+                if dct_t is None or act_t is None or qt is None:
+                    raise NotImplementedError("JPEG scan references missing table")
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        zz = np.zeros(64, dtype=np.int64)
+                        s = _read_huff(br, dct_t)
+                        diff = _extend(br.bits(s), s) if s else 0
+                        pred[ci] += diff
+                        zz[0] = pred[ci]
+                        k = 1
+                        while k < 64:
+                            rs = _read_huff(br, act_t)
+                            r, s = rs >> 4, rs & 15
+                            if s == 0:
+                                if r == 15:
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += r
+                            if k > 63:
+                                raise NotImplementedError("JPEG AC run past block")
+                            zz[k] = _extend(br.bits(s), s)
+                            k += 1
+                        blk = np.zeros(64, dtype=np.float64)
+                        blk[_ZIGZAG] = zz
+                        coef = blk.reshape(8, 8) * qt
+                        px = C.T @ coef @ C + 128.0
+                        r0 = (my * c["v"] + by) * 8
+                        c0 = (mx * c["h"] + bx) * 8
+                        planes[ci][r0 : r0 + 8, c0 : c0 + 8] = px
+            mcu_i += 1
+    up = []
+    for c, p in zip(comps, planes):
+        rep_y = vmax // c["v"]
+        rep_x = hmax // c["h"]
+        if rep_y > 1 or rep_x > 1:
+            p = np.repeat(np.repeat(p, rep_y, axis=0), rep_x, axis=1)
+        up.append(p[:h, :w])
+    if len(comps) == 1:
+        y = np.clip(up[0], 0, 255)
+        return np.dstack([y, y, y]).astype(np.uint8)
+    y, cb, cr = up
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136286 * (cb - 128.0) - 0.714136286 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    return np.clip(np.dstack([r, g, b]), 0, 255).round().astype(np.uint8)
+
+
 def image_pixels(payload: bytes):
-    """Pixel decode dispatch: BMP (uncompressed rows) and PNG (zlib +
-    unfilter) are REAL with no codec library; anything else raises
-    ``NotImplementedError`` (the PIL plug point). Returns (h, w, 3)
-    uint8 RGB either way — the contract every perceptual-hash path
-    consumes."""
+    """Pixel decode dispatch: BMP (uncompressed rows), PNG (zlib +
+    unfilter) and baseline JPEG (Huffman + IDCT) are REAL with no
+    codec library; anything else raises ``NotImplementedError`` (the
+    PIL plug point). Returns (h, w, 3) uint8 RGB either way — the
+    contract every perceptual-hash path consumes."""
     if len(payload) >= 8 and payload[:8] == b"\x89PNG\r\n\x1a\n":
         return png_pixels(payload)
+    if len(payload) >= 2 and payload[:2] == b"\xff\xd8":
+        return jpeg_pixels(payload)
     return bmp_pixels(payload)
 
 

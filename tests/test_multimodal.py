@@ -431,3 +431,101 @@ def test_audio_neardup_pairs_planted(spark):
     media = spark.createDataFrame(rows, "media_id long, kind string, payload binary")
     got = {(r.id_a, r.id_b) for r in audio_neardup_pairs(media, max_hamming=3).collect()}
     assert got == {(i, i + 1000) for i in range(0, 10, 3)}
+
+
+# --- baseline JPEG codec (r13) ----------------------------------------------
+
+
+def test_jpeg_roundtrip_smooth_and_solid():
+    """Lossy but bounded: solid colors are DC-only (exact at q90);
+    a smooth non-wrapping gradient survives within a few levels in
+    both subsampling modes."""
+    import numpy as np
+
+    from hydraide_spark.functions.multimodal import encode_jpeg, jpeg_pixels
+
+    solid = np.full((16, 16, 3), (200, 30, 90), dtype=np.uint8)
+    assert np.array_equal(jpeg_pixels(encode_jpeg(solid, quality=90)), solid)
+
+    g = np.zeros((32, 32, 3), np.uint8)
+    for i in range(32):
+        for j in range(32):
+            g[i, j] = (i * 4, j * 4, (i + j) * 2)
+    for sub in ("444", "420"):
+        dec = jpeg_pixels(encode_jpeg(g, quality=92, subsampling=sub))
+        assert dec.shape == g.shape
+        assert np.abs(dec.astype(int) - g.astype(int)).max() <= 6, sub
+
+
+def test_jpeg_restart_markers_and_odd_dims():
+    """DRI + RST0-7 resync must decode identically to the same image
+    without restarts, including non-multiple-of-MCU dimensions (edge
+    replication cropped back on decode)."""
+    import numpy as np
+
+    from hydraide_spark.functions.multimodal import encode_jpeg, jpeg_pixels
+
+    px = np.random.RandomState(5).randint(0, 256, (17, 23, 3)).astype(np.uint8)
+    for sub in ("444", "420"):
+        base = jpeg_pixels(encode_jpeg(px, quality=90, subsampling=sub))
+        for ri in (1, 2, 5):
+            withr = jpeg_pixels(
+                encode_jpeg(px, quality=90, subsampling=sub, restart_interval=ri)
+            )
+            assert np.array_equal(base, withr), (sub, ri)
+        assert base.shape == px.shape
+
+
+def test_jpeg_refuses_progressive_and_arithmetic():
+    """The PIL plug point stays loud: SOF2 (progressive) and SOF9+
+    (arithmetic) frames, 12-bit precision, and truncated scans raise
+    NotImplementedError — never a silent wrong decode."""
+    import numpy as np
+    import pytest as _pytest
+
+    from hydraide_spark.functions.multimodal import encode_jpeg, jpeg_pixels
+
+    px = np.random.RandomState(1).randint(0, 256, (16, 16, 3)).astype(np.uint8)
+    enc = encode_jpeg(px)
+    for sof in (0xC2, 0xC9, 0xCB):
+        bad = bytearray(enc)
+        i = bad.find(b"\xff\xc0\x00\x11")
+        bad[i + 1] = sof
+        with _pytest.raises(NotImplementedError):
+            jpeg_pixels(bytes(bad))
+    bad = bytearray(enc)
+    i = bad.find(b"\xff\xc0\x00\x11")
+    bad[i + 4] = 12  # precision byte
+    with _pytest.raises(NotImplementedError):
+        jpeg_pixels(bytes(bad))
+    with _pytest.raises(NotImplementedError):
+        jpeg_pixels(enc[: len(enc) // 2])  # truncated scan
+    with _pytest.raises(NotImplementedError):
+        jpeg_pixels(b"\x00\x01not a jpeg")
+
+
+def test_jpeg_phash_neardup_planted(spark):
+    """End-to-end: planted single-bit twins pair through the JPEG
+    round trip + dHash + hamming block join; unrelated noise images
+    never pair (same margins the golden relies on)."""
+    import numpy as np
+
+    from hydraide_spark.functions.multimodal import encode_jpeg, image_neardup_pairs
+
+    rows = []
+    for i in range(8):
+        px = np.random.RandomState(i).randint(0, 256, (32, 32, 3)).astype(np.uint8)
+        sub = "420" if i % 2 else "444"
+        rows.append((i, "image", bytearray(encode_jpeg(px, subsampling=sub))))
+        if i % 3 == 0:
+            tw = px.copy()
+            tw[16, 16, 0] ^= 128
+            rows.append(
+                (i + 1000, "image", bytearray(encode_jpeg(tw, subsampling=sub)))
+            )
+    media = spark.createDataFrame(rows, "media_id long, kind string, payload binary")
+    got = {
+        (r.id_a, r.id_b)
+        for r in image_neardup_pairs(media, max_hamming=4).collect()
+    }
+    assert got == {(i, i + 1000) for i in range(0, 8, 3)}
