@@ -695,3 +695,159 @@ def test_bigram_logprob_discriminates_shuffled(spark):
     # docs with < 2 tokens emit no row
     tiny = spark.createDataFrame([(1, "one")], "doc_id long, text string")
     assert bigram_logprob_scores(tiny).count() == 0
+
+
+# --- in-engine quality-classifier training (r13) -----------------------------
+
+
+def test_logreg_gd_loop_reference_math():
+    """The pure driver loop vs independently-written reference math
+    (naive per-step recomputation with math ops in a DIFFERENT but
+    equivalent arrangement is NOT required to match bit-for-bit — the
+    loop's contract is its own fixed order — so the reference here
+    checks BEHAVIOR: loss decreases and separable data separates)."""
+    import math
+
+    from hydraide_spark.functions.text import _logreg_gd_loop
+
+    # 1-D separable: x < 0 -> label 0, x > 0 -> label 1
+    feats = [(1.0, -2.0), (1.0, -1.0), (1.0, -0.5), (1.0, 0.5), (1.0, 1.0), (1.0, 2.0)]
+    ys = [0, 0, 0, 1, 1, 1]
+
+    def loss(w):
+        s = 0.0
+        for f, y in zip(feats, ys):
+            z = w[0] * f[0] + w[1] * f[1]
+            # log(1+exp(-|z|)) + max(0, -yz) form, overflow-free
+            zy = z if y else -z
+            s += math.log1p(math.exp(-abs(zy))) + max(0.0, -zy)
+        return s
+
+    prev = loss([0.0, 0.0])
+    for iters in (5, 20, 80):
+        w = _logreg_gd_loop(feats, ys, lr=1.0, iterations=iters)
+        cur = loss(w)
+        assert cur < prev  # GD monotone decrease checkpoints
+        prev = cur
+    w = _logreg_gd_loop(feats, ys, lr=1.0, iterations=200)
+    for f, y in zip(feats, ys):
+        z = w[0] * f[0] + w[1] * f[1]
+        assert (z >= 0) == bool(y)  # separable data separates
+
+
+def test_logreg_gd_loop_hypothesis_properties():
+    """Property sweep without Spark: for random small datasets the
+    loop (a) is deterministic, (b) never overflows (the two-branch
+    sigmoid keeps exp's arg <= 0), (c) with label-constant data drives
+    p toward that constant label."""
+    from hypothesis import given, settings, strategies as st
+
+    from hydraide_spark.functions.text import _logreg_gd_loop
+
+    @settings(max_examples=30, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(
+                st.floats(-50.0, 50.0, allow_nan=False),
+                st.floats(-50.0, 50.0, allow_nan=False),
+            ),
+            min_size=2,
+            max_size=12,
+        ),
+        st.lists(st.integers(0, 1), min_size=2, max_size=12),
+    )
+    def run(xs, ys):
+        n = min(len(xs), len(ys))
+        feats = [(1.0, a, b) for a, b in xs[:n]]
+        labels = ys[:n]
+        w1 = _logreg_gd_loop(feats, labels, lr=0.5, iterations=30)
+        w2 = _logreg_gd_loop(feats, labels, lr=0.5, iterations=30)
+        assert w1 == w2  # bit-deterministic
+        assert all(abs(x) < float("inf") for x in w1)
+
+    run()
+
+    # label-constant: all-ones data pushes the intercept positive
+    feats = [(1.0, 0.3), (1.0, -0.2), (1.0, 0.1)]
+    w = _logreg_gd_loop(feats, [1, 1, 1], lr=1.0, iterations=100)
+    assert w[0] > 0.5
+
+
+def test_quality_train_weights_local_end_to_end(spark):
+    """Spark collect path == pure loop on hand-built features, the
+    trained model drops into quality_logit, and the learned rule
+    (stop_ratio >= 0.1) actually classifies a held-out-style check."""
+    from pyspark.sql import functions as F
+
+    from hydraide_spark.functions.text import (
+        _logreg_gd_loop,
+        _quality_feature_row,
+        _standardize_features,
+        quality_logit,
+        quality_train_weights_local,
+        QUALITY_TRAIN_FEATURES,
+        STOPWORDS,
+        tokenize,
+    )
+
+    rows = [
+        (i, ("the a of to in word" if i % 3 == 0 else "zig zag quux blorp zot nine"))
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    toks = tokenize(F.col("text"))
+    labeled = df.select(
+        "doc_id",
+        "text",
+        (
+            F.lit(10) * F.size(F.filter(toks, lambda w: w.isin(STOPWORDS)))
+            >= F.size(toks)
+        ).cast("int").alias("label"),
+    )
+    model = quality_train_weights_local(labeled, "label", lr=2.0, iterations=100)
+    assert set(model) == {"weights", "mean", "std"}
+    assert list(model["weights"]) == list(QUALITY_TRAIN_FEATURES)
+
+    # replicate driver-side: counts in python over the same rows
+    import re
+
+    feats, ys = [], []
+    for _i, text in rows:
+        tk = re.split(r"\s+", text)
+        n_tok = len(tk)
+        n_stop = sum(1 for w in tk if w in STOPWORDS)
+        feats.append(
+            _quality_feature_row(
+                n_tok, n_stop, len(text),
+                len(re.sub(r"[^A-Za-z]", "", text)),
+                len(re.sub(r"[^0-9]", "", text)),
+                len(re.sub(r"[^A-Z]", "", text)),
+            )
+        )
+        ys.append(1 if 10 * n_stop >= n_tok else 0)
+    mean, std, sf = _standardize_features(feats)
+    w_ref = _logreg_gd_loop(sf, ys, lr=2.0, iterations=100)
+    assert list(model["weights"].values()) == w_ref  # bit-identical
+
+    # scoring with the trained model separates the two doc families
+    scored = df.select(
+        "doc_id", quality_logit(F.col("text"), weights=model).alias("z")
+    ).collect()
+    for r in scored:
+        assert (r["z"] >= 0) == (r["doc_id"] % 3 == 0), r
+
+
+def test_quality_train_rejects_oversized_and_empty(spark):
+    import pytest as _pytest
+
+    from hydraide_spark.functions.text import quality_train_weights_local
+
+    df = spark.createDataFrame(
+        [(i, "some text here", 1) for i in range(5)],
+        "doc_id long, text string, label int",
+    )
+    with _pytest.raises(ValueError, match="max_train_docs"):
+        quality_train_weights_local(df, "label", max_train_docs=3)
+    empty = spark.createDataFrame([], "doc_id long, text string, label int")
+    with _pytest.raises(ValueError, match="empty"):
+        quality_train_weights_local(empty, "label")
