@@ -491,27 +491,7 @@ def chunk_neardup_pairs(
     is quadratic in family size — measured b 0.93 at x10 on the
     injected-paragraph corpus, linear with the collapse).
     Returns (doc_a, chunk_a, doc_b, chunk_b, inter, union)."""
-    from .text import chunk_documents
-
-    lim_bits = 20
-    lim = 1 << lim_bits
-    chunks = chunk_documents(df, chunk_size, overlap, id_col, text_col)
-    packable = (
-        (F.col("chunk_id") < lim)
-        & (F.col(id_col) >= 0)
-        & (F.col(id_col) < (1 << (63 - lim_bits)))
-    )
-    key = F.when(
-        packable, F.col(id_col).cast("long") * lim + F.col("chunk_id")
-    ).otherwise(
-        F.raise_error(
-            F.concat(
-                F.lit("chunk_neardup_pairs: id/chunk outside packing range "),
-                F.col(id_col).cast("string"),
-            )
-        ).cast("long")
-    )
-    keyed = chunks.select(key.alias("_ck"), F.col("chunk_text"))
+    keyed = packed_chunk_frame(df, chunk_size, overlap, id_col, text_col)
     pairs = minhash_neardup_pairs(
         keyed,
         tau,
@@ -525,16 +505,63 @@ def chunk_neardup_pairs(
         collapse_exact=collapse_exact,
     )
     out = pairs.select(
-        F.shiftright(F.col("id_a"), lim_bits).alias("doc_a"),
-        F.col("id_a").bitwiseAND(F.lit(lim - 1)).alias("chunk_a"),
-        F.shiftright(F.col("id_b"), lim_bits).alias("doc_b"),
-        F.col("id_b").bitwiseAND(F.lit(lim - 1)).alias("chunk_b"),
+        *unpacked_chunk_cols("id_a", "doc_a", "chunk_a"),
+        *unpacked_chunk_cols("id_b", "doc_b", "chunk_b"),
         F.col("inter"),
         F.col("union"),
     )
     if cross_doc_only:
         out = out.filter(F.col("doc_a") != F.col("doc_b"))
     return out
+
+
+CHUNK_KEY_BITS = 20
+
+
+def packed_chunk_frame(
+    df: DataFrame,
+    chunk_size: int,
+    overlap: int = 0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Chunk documents into token windows and pack (doc, chunk) into
+    one long key ``doc_id * 2^20 + chunk_id`` — the single definition
+    the batch operator (:func:`chunk_neardup_pairs`) and the streaming
+    ingest (streaming/dedup_stream.py chunk loop, r13) share, so the
+    incremental index can never band a chunk differently than batch
+    mode would. Raises in-plan if a doc has >= 2^20 chunks or an id
+    >= 2^43 would overflow the packing. Returns (_ck, chunk_text)."""
+    from .text import chunk_documents
+
+    lim = 1 << CHUNK_KEY_BITS
+    chunks = chunk_documents(df, chunk_size, overlap, id_col, text_col)
+    packable = (
+        (F.col("chunk_id") < lim)
+        & (F.col(id_col) >= 0)
+        & (F.col(id_col) < (1 << (63 - CHUNK_KEY_BITS)))
+    )
+    key = F.when(
+        packable, F.col(id_col).cast("long") * lim + F.col("chunk_id")
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("packed_chunk_frame: id/chunk outside packing range "),
+                F.col(id_col).cast("string"),
+            )
+        ).cast("long")
+    )
+    return chunks.select(key.alias("_ck"), F.col("chunk_text"))
+
+
+def unpacked_chunk_cols(packed_col: str, doc_alias: str, chunk_alias: str):
+    """The two decode columns of a packed chunk key (inverse of
+    :func:`packed_chunk_frame`'s packing)."""
+    lim = 1 << CHUNK_KEY_BITS
+    return (
+        F.shiftright(F.col(packed_col), CHUNK_KEY_BITS).alias(doc_alias),
+        F.col(packed_col).bitwiseAND(F.lit(lim - 1)).alias(chunk_alias),
+    )
 
 
 def edit_distance_link_pairs(

@@ -454,6 +454,46 @@ def chunk_neardup_collapsed(spark, sf_dir):
     )
 
 
+@golden("chunk_neardup_production")  # xxhash64 minhash -> rows-only
+def chunk_neardup_production(spark, sf_dir):
+    """The chunk near-dup path exactly as production runs it (r13 —
+    r12 VERDICT #5): xxhash64 minhash signatures (engine_stable=False;
+    the md5-string mode exists only for the SQL-replayable twin
+    ``chunk_neardup_collapsed``, whose signature pass dominated the
+    recorded ×100 asymptote) with the same ``collapse_exact`` family
+    guard. Rows-only in the gate ON PURPOSE (hash mode differs from
+    the oracle); exactness is pinned by the collapsed twin, and this
+    entry exists so the protocol bench and the scale sweep measure the
+    path users actually run."""
+    from ..functions.dedup import chunk_neardup_pairs
+
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 25 == 0,
+            F.concat(F.lit(_SHARED_PARA + " "), F.col("text")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    out = chunk_neardup_pairs(
+        docs,
+        tau=0.6,
+        chunk_size=16,
+        engine_stable=False,
+        cross_doc_only=True,
+        collapse_exact=True,
+    )
+    return out.select(
+        big("doc_a").alias("doc_a"),
+        big("chunk_a").alias("chunk_a"),
+        big("doc_b").alias("doc_b"),
+        big("chunk_b").alias("chunk_b"),
+        big("inter").alias("inter"),
+        big("union").alias("union"),
+    )
+
+
 def _chunk_collapsed_oracle() -> str:
     from .dedup_text import _BAND_ROWS, _MH_COLS
 

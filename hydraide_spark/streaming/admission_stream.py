@@ -1,0 +1,216 @@
+"""Unified crawl-admission state (r13 — r12 VERDICT #8): text AND
+media near-dup under ONE state dir, ONE epoch sequence, ONE
+commit-marker frontier, ONE compactor — so an admission decision
+("have we seen this page's text, any of its passages, or its images
+before?") is answered against a single consistent frontier instead of
+two loops that may have ingested different prefixes of the crawl.
+
+One ``foreachBatch`` ingests items carrying (id, text[, payload]):
+the text side runs the ordinary banded MinHash ingest
+(dedup_stream.make_ingest — bands/shingles/pairs tables), the media
+side fingerprints the non-null payloads (media_stream.make_media_ingest
+— media_hashes/media_pairs tables), both with ``publish=False``; the
+epoch's commit marker is written ONCE after all five tables, so a
+crash anywhere mid-batch leaves the WHOLE epoch — both modalities —
+invisible until the retry re-marks it (state_compact.committed_frontier
+is shared by every reader below).
+
+Maintenance is one call: :func:`compact_admission_state` folds all
+five tables and prunes stale markers against the union of live epochs
+(prune_stale_markers' all-tables default — pruning against one
+modality's tables alone would vanish epochs the other still holds).
+
+Reference anchor: the reference has no media pipeline; this is the
+LLM-training capability layer (SURVEY.md §6) in the shape a crawl
+pipeline runs — one admission stream, mixed modalities.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .dedup_stream import ingested_pairs, make_ingest, neardup_lookup
+from .media_stream import make_media_ingest, media_neardup_lookup, media_pairs
+from .state_compact import (
+    compact_epochs,
+    compact_epochs_tiered,
+    compact_neardup_state,
+    prune_stale_markers,
+    publish_epoch_marker,
+)
+
+MEDIA_HASHES_TABLE = "media_hashes"
+MEDIA_PAIRS_TABLE = "media_pairs"
+
+
+def make_admission_ingest(
+    spark: SparkSession,
+    state_dir: str,
+    tau: float,
+    n: int = 3,
+    k: int = 16,
+    bands: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    payload_col: str = "payload",
+    kind: str = "image",
+    algo: str = "dhash",
+    max_hamming: int = 3,
+    n_blocks: int = 4,
+    engine_stable: bool = False,
+):
+    """Per-micro-batch combined ingest (exposed for epoch replay in
+    tests). Batch rows carry (id, text[, payload]); a NULL payload
+    means text-only (most pages), a NULL/empty text with a payload
+    means media-only. Both sides write epoch-keyed overwrites; the
+    single marker after both is the atomic publish point."""
+    text_ingest = make_ingest(
+        spark,
+        state_dir,
+        tau,
+        n=n,
+        k=k,
+        bands=bands,
+        id_col=id_col,
+        text_col=text_col,
+        engine_stable=engine_stable,
+        publish=False,
+    )
+    media_ingest = make_media_ingest(
+        spark,
+        state_dir,
+        kind=kind,
+        algo=algo,
+        max_hamming=max_hamming,
+        n_blocks=n_blocks,
+        hashes_table=MEDIA_HASHES_TABLE,
+        pairs_table=MEDIA_PAIRS_TABLE,
+        publish=False,
+    )
+
+    def ingest(batch_df: DataFrame, epoch: int) -> None:
+        if batch_df.isEmpty():
+            return
+        batch = batch_df.persist()
+        text_ingest(
+            batch.filter(
+                F.col(text_col).isNotNull() & (F.length(text_col) > 0)
+            ).select(id_col, text_col),
+            epoch,
+        )
+        if payload_col in batch.columns:
+            media_ingest(
+                batch.filter(F.col(payload_col).isNotNull()).select(
+                    F.col(id_col).cast("long").alias("media_id"),
+                    F.col(payload_col).alias("payload"),
+                ),
+                epoch,
+            )
+        batch.unpersist()
+        # ONE marker for the whole multi-modality epoch — text pairs
+        # can never surface while the media index (or any sibling
+        # table) is missing, and vice versa
+        publish_epoch_marker(state_dir, epoch)
+
+    return ingest
+
+
+def run_admission_ingest_loop(
+    spark: SparkSession,
+    items_stream: DataFrame,
+    state_dir: str,
+    tau: float,
+    queue_name: str = "admission_ingest",
+    checkpoint_dir: Optional[str] = None,
+    **kwargs,
+):
+    """Start the unified admission stream; same contracts as the
+    single-modality loops (each id delivered once, stable checkpoint
+    across restarts)."""
+    ingest = make_admission_ingest(spark, state_dir, tau, **kwargs)
+    return (
+        items_stream.writeStream.outputMode("append")
+        .queryName(queue_name)
+        .option(
+            "checkpointLocation",
+            checkpoint_dir or os.path.join(state_dir, "_checkpoint"),
+        )
+        .foreachBatch(ingest)
+        .start()
+    )
+
+
+def admission_text_pairs(spark: SparkSession, state_dir: str) -> DataFrame:
+    """Accumulated TEXT near-dup pairs of the admission state (the
+    shared frontier applies)."""
+    return ingested_pairs(spark, state_dir)
+
+
+def admission_media_pairs(spark: SparkSession, state_dir: str) -> DataFrame:
+    """Accumulated MEDIA near-dup pairs of the admission state."""
+    return media_pairs(spark, state_dir, pairs_table=MEDIA_PAIRS_TABLE)
+
+
+def admission_lookup(
+    spark: SparkSession,
+    state_dir: str,
+    query_items: DataFrame,
+    tau: float,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    payload_col: str = "payload",
+    kind: str = "image",
+    algo: str = "dhash",
+    max_hamming: int = 3,
+    n_blocks: int = 4,
+    n: int = 3,
+    k: int = 16,
+    bands: int = 4,
+    engine_stable: bool = False,
+) -> "tuple[DataFrame, DataFrame]":
+    """The serving admission check, both modalities against the SAME
+    committed frontier: returns (text_hits, media_hits) — text hits as
+    (id, match_id, inter, union), media hits as (query_id, media_id,
+    hamming). Neither ingests anything."""
+    text_q = query_items.filter(
+        F.col(text_col).isNotNull() & (F.length(text_col) > 0)
+    ).select(id_col, text_col)
+    text_hits = neardup_lookup(
+        spark, state_dir, text_q, tau,
+        n=n, k=k, bands=bands, id_col=id_col, text_col=text_col,
+        engine_stable=engine_stable,
+    )
+    media_q = query_items.filter(F.col(payload_col).isNotNull()).select(
+        F.col(id_col).cast("long").alias("media_id"),
+        F.col(payload_col).alias("payload"),
+    )
+    media_hits = media_neardup_lookup(
+        spark, state_dir, media_q,
+        kind=kind, algo=algo, max_hamming=max_hamming, n_blocks=n_blocks,
+        hashes_table=MEDIA_HASHES_TABLE,
+    )
+    return text_hits, media_hits
+
+
+def compact_admission_state(
+    spark: SparkSession, state_dir: str, id_col: str = "doc_id", tiered: bool = False
+) -> dict:
+    """ONE maintenance call for the whole admission state: fold the
+    three text tables (band/shingle bases hash-bucketed so probes keep
+    pruning) and the two media tables (flat — probes are chunk-key
+    block joins, see compact_media_state), then prune commit markers
+    against the union of ALL live tables. Returns {table: fold
+    result}."""
+    out = compact_neardup_state(spark, state_dir, id_col=id_col, tiered=tiered)
+    fold = compact_epochs_tiered if tiered else compact_epochs
+    out[MEDIA_PAIRS_TABLE] = fold(
+        spark, os.path.join(state_dir, MEDIA_PAIRS_TABLE)
+    )
+    out[MEDIA_HASHES_TABLE] = fold(
+        spark, os.path.join(state_dir, MEDIA_HASHES_TABLE)
+    )
+    prune_stale_markers(state_dir)
+    return out

@@ -241,10 +241,13 @@ def make_ingest(
     text_col: str = "text",
     engine_stable: bool = False,
     timings: Optional[list] = None,
+    publish: bool = True,
 ):
     """Build the per-micro-batch ingest function (exposed so tests can
     replay an epoch and assert the overwrite-idempotence contract
-    directly).
+    directly). ``publish=False`` suppresses the commit marker — for a
+    COMBINED ingest (the r13 unified admission state) that writes more
+    tables under the same epoch and publishes once after all of them.
 
     ``timings``: pass a list and every ingest call appends
     ``{"epoch", "probe_bands", "candidates", "verify_write",
@@ -378,7 +381,8 @@ def make_ingest(
         # the committed frontier never see an epoch whose pairs landed
         # but whose bands/shingles didn't (r11 invariant, retrofitted
         # here in r13; the unified search state had it from the start)
-        publish_epoch_marker(state_dir, epoch)
+        if publish:
+            publish_epoch_marker(state_dir, epoch)
         _t5 = _time.perf_counter()
         _rec["shingle_write"] = _t5 - _t4
         _rec["total"] = _t5 - _t0
@@ -432,6 +436,162 @@ def run_neardup_ingest_loop(
         )
         .foreachBatch(ingest)
         .start()
+    )
+
+
+def make_chunk_ingest(
+    spark: SparkSession,
+    state_dir: str,
+    tau: float,
+    chunk_size: int,
+    overlap: int = 0,
+    n: int = 3,
+    k: int = 16,
+    bands: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    engine_stable: bool = False,
+    timings: Optional[list] = None,
+):
+    """Chunk-granularity streaming near-dup ingest (r13 — r12 VERDICT
+    missing #3): each micro-batch's documents EXPLODE into packed
+    (doc·2^20+chunk) token-window chunks inside the batch
+    (functions.dedup.packed_chunk_frame — the same single definition
+    the batch operator uses, so incremental banding can never drift
+    from batch), then run through the ordinary near-dup ingest with
+    the packed key as the id. The crawl admission check at passage
+    granularity: a page sharing one boilerplate paragraph with an
+    earlier page pairs on arrival even when whole-doc Jaccard dilutes
+    the overlap away (the Lee et al. case)."""
+    from ..functions.dedup import packed_chunk_frame
+
+    inner = make_ingest(
+        spark,
+        state_dir,
+        tau,
+        n=n,
+        k=k,
+        bands=bands,
+        id_col="_ck",
+        text_col="chunk_text",
+        engine_stable=engine_stable,
+        timings=timings,
+    )
+
+    def ingest(batch_df: DataFrame, epoch: int) -> None:
+        inner(
+            packed_chunk_frame(batch_df, chunk_size, overlap, id_col, text_col),
+            epoch,
+        )
+
+    return ingest
+
+
+def run_chunk_neardup_ingest_loop(
+    spark: SparkSession,
+    docs_stream: DataFrame,
+    state_dir: str,
+    tau: float,
+    chunk_size: int,
+    overlap: int = 0,
+    n: int = 3,
+    k: int = 16,
+    bands: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    engine_stable: bool = False,
+    queue_name: str = "chunk_neardup_ingest",
+    checkpoint_dir: Optional[str] = None,
+):
+    """Start the chunk-granularity near-dup stream; same contracts as
+    :func:`run_neardup_ingest_loop` (each doc_id delivered once, stable
+    checkpoint across restarts, epoch-keyed overwrites + the r13
+    commit-marker frontier)."""
+    ingest = make_chunk_ingest(
+        spark, state_dir, tau, chunk_size, overlap=overlap,
+        n=n, k=k, bands=bands, id_col=id_col, text_col=text_col,
+        engine_stable=engine_stable,
+    )
+    return (
+        docs_stream.writeStream.outputMode("append")
+        .queryName(queue_name)
+        .option(
+            "checkpointLocation",
+            checkpoint_dir or os.path.join(state_dir, "_checkpoint"),
+        )
+        .foreachBatch(ingest)
+        .start()
+    )
+
+
+def chunk_ingested_pairs(
+    spark: SparkSession, state_dir: str, cross_doc_only: bool = True
+) -> DataFrame:
+    """The accumulated chunk-pair table in (doc, chunk) coordinates —
+    :func:`ingested_pairs` with the packed keys decoded. Converges to
+    the batch ``chunk_neardup_pairs(collapse_exact=False)`` output once
+    the stream has delivered every document. ``cross_doc_only`` drops
+    within-doc pairs (self-repetition is repetition_signals' job, same
+    default as batch)."""
+    from ..functions.dedup import unpacked_chunk_cols
+
+    pairs = ingested_pairs(spark, state_dir)
+    out = pairs.select(
+        *unpacked_chunk_cols("id_a", "doc_a", "chunk_a"),
+        *unpacked_chunk_cols("id_b", "doc_b", "chunk_b"),
+        "inter",
+        "union",
+    )
+    if cross_doc_only:
+        out = out.filter(F.col("doc_a") != F.col("doc_b"))
+    return out
+
+
+def chunk_neardup_lookup(
+    spark: SparkSession,
+    state_dir: str,
+    query_docs: DataFrame,
+    tau: float,
+    chunk_size: int,
+    overlap: int = 0,
+    n: int = 3,
+    k: int = 16,
+    bands: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    engine_stable: bool = False,
+) -> DataFrame:
+    """Passage-granularity serving probe WITHOUT ingesting: chunk the
+    query documents exactly like the index was built, look each packed
+    chunk up against the persisted chunk index
+    (:func:`neardup_lookup`), and decode both sides. Returns one row
+    per (query chunk, persisted near-dup chunk):
+    (doc_id, chunk_id, match_doc, match_chunk, inter, union) — the
+    admission check "does ANY passage of this page duplicate something
+    we already hold?". Cost is O(query chunks + matching index rows),
+    same pruned reads as the doc-level lookup."""
+    from ..functions.dedup import packed_chunk_frame, unpacked_chunk_cols
+
+    chunked = packed_chunk_frame(
+        query_docs, chunk_size, overlap, id_col, text_col
+    )
+    hits = neardup_lookup(
+        spark,
+        state_dir,
+        chunked,
+        tau,
+        n=n,
+        k=k,
+        bands=bands,
+        id_col="_ck",
+        text_col="chunk_text",
+        engine_stable=engine_stable,
+    )
+    return hits.select(
+        *unpacked_chunk_cols("_ck", id_col, "chunk_id"),
+        *unpacked_chunk_cols("match_id", "match_doc", "match_chunk"),
+        "inter",
+        "union",
     )
 
 

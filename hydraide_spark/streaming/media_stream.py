@@ -82,22 +82,29 @@ def make_media_ingest(
     algo: str = "dhash",
     max_hamming: int = 3,
     n_blocks: int = 4,
+    hashes_table: str = "hashes",
+    pairs_table: str = "pairs",
+    publish: bool = True,
 ):
     """Per-micro-batch ingest: fingerprint the batch's payloads (Arrow
     decode — the only time payloads are touched), pair the NEW
     fingerprints against new ∪ persisted via the delta block join
     (old-old pairs never re-enumerate), and overwrite this epoch's
     pairs + fingerprints. Exposed for direct replay in tests (the
-    overwrite-idempotence contract)."""
-    hashes_dir = os.path.join(state_dir, "hashes")
-    pairs_dir = os.path.join(state_dir, "pairs")
+    overwrite-idempotence contract). ``hashes_table``/``pairs_table``
+    relocate the state tables (the r13 unified admission state shares
+    one dir with the text near-dup tables under prefixed names);
+    ``publish=False`` suppresses the marker for a combined ingest that
+    publishes once after all its tables."""
+    hashes_dir = os.path.join(state_dir, hashes_table)
+    pairs_dir = os.path.join(state_dir, pairs_table)
 
     def ingest(batch_df: DataFrame, epoch: int) -> None:
         if batch_df.isEmpty():
             return
         # pre-r13 states published epochs by the table writes alone:
         # adopt them into the marker frontier once (no-op afterwards)
-        adopt_unmarked_epochs(state_dir, _TABLES)
+        adopt_unmarked_epochs(state_dir, (pairs_table, hashes_table))
         frontier = committed_frontier(state_dir)
         sigs_new = (
             _fingerprints(batch_df, kind, algo)
@@ -122,7 +129,8 @@ def make_media_ingest(
         # marker LAST (r13): a crash between the two writes above
         # leaves this epoch's pairs invisible to media_pairs until the
         # retry re-marks — pairs never surface without their index rows
-        publish_epoch_marker(state_dir, epoch)
+        if publish:
+            publish_epoch_marker(state_dir, epoch)
         sigs_new.unpersist()
 
     return ingest
@@ -160,14 +168,16 @@ def run_media_neardup_ingest_loop(
     )
 
 
-def media_pairs(spark: SparkSession, state_dir: str) -> DataFrame:
+def media_pairs(
+    spark: SparkSession, state_dir: str, pairs_table: str = "pairs"
+) -> DataFrame:
     """The accumulated pair table — empty before the first non-empty
     batch. DISTINCT on read collapses at-least-once re-delivery
     artifacts (a re-delivered item re-pairs identically; the hamming
     of a duplicate pair is the same integer)."""
     df = _epoch_read(
         spark,
-        os.path.join(state_dir, "pairs"),
+        os.path.join(state_dir, pairs_table),
         PAIR_SCHEMA,
         epochs=committed_frontier(state_dir),
     )
@@ -184,6 +194,7 @@ def media_neardup_lookup(
     algo: str = "dhash",
     max_hamming: int = 3,
     n_blocks: int = 4,
+    hashes_table: str = "hashes",
 ) -> DataFrame:
     """Serving-side probe WITHOUT ingesting: fingerprint the query
     items (their payloads are touched once, executor-side) and pair
@@ -199,7 +210,7 @@ def media_neardup_lookup(
     )
     idx = _epoch_read(
         spark,
-        os.path.join(state_dir, "hashes"),
+        os.path.join(state_dir, hashes_table),
         HASH_SCHEMA,
         epochs=committed_frontier(state_dir),
     )

@@ -162,6 +162,12 @@ def persisted_postings(
     schema = f"word string, {id_col} long, tf long"
     path = os.path.join(state_dir, "postings")
     empty = spark.createDataFrame([], schema)
+    # layout-advisor history (r13): a words-pruned read is a probe
+    # touching ~len(words) key-buckets; a full read is a scan
+    if words is not None:
+        _record_workload(state_dir, "postings", "probe", len(list(words)))
+    else:
+        _record_workload(state_dir, "postings", "scan")
     nb, flat, base = split_bucketed_table(spark, path, schema)
     if nb is None:
         # no bucketed base: flat covers every epoch dir (or is None
@@ -396,6 +402,85 @@ def _write_base_stats(state_dir: str, base_rows: int, dim, absorbed) -> None:
             fh,
         )
     os.replace(tmp, path)
+
+
+_WORKLOAD_FILE = "_WORKLOAD.json"
+
+
+def _record_workload(state_dir: str, table: str, kind: str, n_keys: int = 0) -> None:
+    """Best-effort per-table access counters for the layout advisor
+    (r13): probes (pruned reads — how many key-buckets they touch) and
+    full scans, accumulated in ``_WORKLOAD.json``. Read-modify-replace
+    of a tiny JSON; failures are swallowed (a read-only state dir must
+    never break serving — the advisor just sees less history)."""
+    import json
+
+    try:
+        if not os.path.isdir(state_dir):
+            return
+        path = os.path.join(state_dir, _WORKLOAD_FILE)
+        try:
+            with open(path) as fh:
+                wl = json.load(fh)
+        except (OSError, ValueError):
+            wl = {}
+        t = wl.setdefault(table, {"probes": 0, "probe_keys": [], "scans": 0})
+        if kind == "probe":
+            t["probes"] = int(t.get("probes", 0)) + 1
+            keys = t.setdefault("probe_keys", [])
+            keys.append(int(n_keys))
+            # bounded history: the advisor needs the batch-size
+            # DISTRIBUTION, not an unbounded log
+            if len(keys) > 1000:
+                del keys[: len(keys) - 1000]
+        else:
+            t["scans"] = int(t.get("scans", 0)) + 1
+        tmp = path + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(wl, fh)
+        os.replace(tmp, path)
+    except OSError:
+        pass
+
+
+def advise_state_layout(state_dir: str, table: str = "postings") -> dict:
+    """Layout advisor for the LSM state tables (r12 VERDICT #7 — the
+    TreasureStore advisor generalized): flat base vs hash-bucketed base
+    for a unified-state table, decided from the RECORDED access history
+    (``_WORKLOAD.json`` — pruned probes with their key counts, full
+    scans) and the corpus size from the commit-marker stats catalog
+    (:func:`state_stats` — zero Spark jobs). Same measured cost model
+    as sources/layout_advisor.py: a probe of k keys costs
+    ``min(1, k / n_buckets)`` of a flat full read under the bucketed
+    layout; a full scan costs ``1 + penalty · n_buckets`` (listing +
+    small-file overhead). Probe-heavy histories recommend bucketing;
+    scan-heavy ones flat. Returns the recommendation plus the concrete
+    compaction call to apply it."""
+    import json
+
+    from ..sources.layout_advisor import recommend_layout
+
+    try:
+        with open(os.path.join(state_dir, _WORKLOAD_FILE)) as fh:
+            wl = json.load(fh).get(table, {})
+    except (OSError, ValueError):
+        wl = {}
+    st = state_stats(state_dir)
+    n_rows = int(st["rows"]) if st and st.get("rows") else 0
+    rec = recommend_layout(
+        write_batches=[int(k) for k in wl.get("probe_keys", [])],
+        n_scans=int(wl.get("scans", 0)),
+        n_rows=n_rows,
+    )
+    key_col = {"postings": "word"}.get(table, "doc_id")
+    rec["table"] = table
+    rec["migration"] = (
+        f"compact_hashed_epochs(spark, '{os.path.join(state_dir, table)}', "
+        f"{key_col!r}, n_buckets={rec['n_buckets']})"
+        if rec["recommendation"] == "bucketed"
+        else f"compact_epochs(spark, '{os.path.join(state_dir, table)}')"
+    )
+    return rec
 
 
 def committed_epochs(state_dir: str) -> list[int]:

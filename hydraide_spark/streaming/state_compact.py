@@ -324,16 +324,29 @@ def adopt_unmarked_epochs(state_dir: str, tables) -> "list[int]":
     return sorted(eps)
 
 
-def prune_stale_markers(state_dir: str, tables) -> int:
+def prune_stale_markers(state_dir: str, tables=None) -> int:
     """Drop commit markers for epochs no table holds anymore — their
     rows were folded into the always-committed base by compaction, so
     the frontier stays correct and the marker listing stays bounded by
     live epochs. Returns the number of markers removed. (The unified
     search state has its own pruner that also absorbs marker stats
-    payloads — search_stream.compact_unified_search_state.)"""
+    payloads — search_stream.compact_unified_search_state.)
+
+    ``tables=None`` scans EVERY table dir under the state dir — the
+    safe default for shared multi-modality state dirs (r13 admission
+    state): a compactor that pruned against only ITS tables would drop
+    markers for epochs another modality's table still holds, vanishing
+    those rows from the frontier."""
     commits = os.path.join(state_dir, COMMITS_NAME)
     if not os.path.isdir(commits):
         return 0
+    if tables is None:
+        tables = [
+            n
+            for n in os.listdir(state_dir)
+            if os.path.isdir(os.path.join(state_dir, n))
+            and not n.startswith(("_", "."))
+        ]
     live: set[int] = set()
     for t in tables:
         d = os.path.join(state_dir, t)
@@ -807,7 +820,7 @@ def compact_neardup_state(
                 spark, os.path.join(state_dir, "shingles"), id_col
             ),
         }
-    prune_stale_markers(state_dir, ("pairs", "bands", "shingles"))
+    prune_stale_markers(state_dir)
     return out
 
 
@@ -833,7 +846,7 @@ def compact_media_state(
             "pairs": compact_epochs(spark, os.path.join(state_dir, "pairs")),
             "hashes": compact_epochs(spark, os.path.join(state_dir, "hashes")),
         }
-    prune_stale_markers(state_dir, ("pairs", "hashes"))
+    prune_stale_markers(state_dir)
     return out
 
 

@@ -1,0 +1,178 @@
+"""r13 unified admission state (streaming/admission_stream.py): text +
+media near-dup under one epoch sequence, one commit-marker frontier,
+one compactor — the crawl admission check over a single consistent
+frontier."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import numpy as np
+
+from hydraide_spark.streaming.admission_stream import (
+    MEDIA_HASHES_TABLE,
+    MEDIA_PAIRS_TABLE,
+    admission_lookup,
+    admission_media_pairs,
+    admission_text_pairs,
+    compact_admission_state,
+    make_admission_ingest,
+)
+from hydraide_spark.streaming.state_compact import committed_frontier
+
+BASE = "the quick brown fox jumps over the lazy dog again and again"
+SCHEMA = "doc_id long, text string, payload binary"
+
+
+def _img(seed, flip=False):
+    from hydraide_spark.functions.multimodal import encode_bmp
+
+    px = (
+        np.random.RandomState(seed).randint(0, 256, size=(16, 16, 3)).astype(np.uint8)
+    )
+    if flip:
+        px[8, 8, 0] ^= 128
+    return bytearray(encode_bmp(px))
+
+
+def _batches():
+    """Three epochs of mixed items: text twins and image twins each
+    split ACROSS epochs; doc 4 is media-only (empty text), doc 2 is
+    text-only (NULL payload)."""
+    return [
+        [(1, BASE, _img(1)), (2, "unique words one two three four", None)],
+        [(3, BASE + " ok", None), (4, "", _img(1, flip=True))],
+        [(5, BASE, _img(9))],
+    ]
+
+
+def test_admission_equals_single_modality_loops(spark, tmp_path):
+    """The combined loop's text pairs == the text-only loop's over the
+    same batches, and its media pairs == the media-only loop's — the
+    equivalence pin for folding media into the shared frontier."""
+    from hydraide_spark.streaming.dedup_stream import make_ingest
+    from hydraide_spark.streaming.media_stream import make_media_ingest
+    from hydraide_spark.streaming import ingested_pairs, media_pairs
+
+    batches = _batches()
+    state = str(tmp_path / "adm")
+    ingest = make_admission_ingest(spark, state, tau=0.6)
+    for e, rows in enumerate(batches):
+        ingest(spark.createDataFrame(rows, SCHEMA), e)
+
+    t_state = str(tmp_path / "text_only")
+    t_ingest = make_ingest(spark, t_state, tau=0.6)
+    m_state = str(tmp_path / "media_only")
+    m_ingest = make_media_ingest(spark, m_state, kind="image")
+    for e, rows in enumerate(batches):
+        df = spark.createDataFrame(rows, SCHEMA)
+        t_ingest(
+            df.filter("text IS NOT NULL AND length(text) > 0").select(
+                "doc_id", "text"
+            ),
+            e,
+        )
+        m_ingest(
+            df.filter("payload IS NOT NULL").select(
+                df.doc_id.alias("media_id"), "payload"
+            ),
+            e,
+        )
+
+    text_pairs = {
+        (r.id_a, r.id_b)
+        for r in admission_text_pairs(spark, state).collect()
+    }
+    assert text_pairs == {
+        (r.id_a, r.id_b) for r in ingested_pairs(spark, t_state).collect()
+    }
+    assert text_pairs == {(1, 3), (1, 5), (3, 5)}
+    mpairs = {
+        (r.id_a, r.id_b)
+        for r in admission_media_pairs(spark, state).collect()
+    }
+    assert mpairs == {
+        (r.id_a, r.id_b) for r in media_pairs(spark, m_state).collect()
+    }
+    assert mpairs == {(1, 4)}
+
+
+def test_admission_partial_epoch_invisible_across_modalities(spark, tmp_path):
+    """Crash mid-batch leaves the WHOLE epoch — both modalities —
+    invisible: epoch 1's text tables landed but the media index and
+    the marker didn't; neither the text pairs nor any epoch-1 media
+    may surface until the retry re-marks."""
+    batches = _batches()
+    state = str(tmp_path / "adm")
+    ingest = make_admission_ingest(spark, state, tau=0.6)
+    ingest(spark.createDataFrame(batches[0], SCHEMA), 0)
+    ingest(spark.createDataFrame(batches[1], SCHEMA), 1)
+    # roll back the crash window: marker + media tables' epoch 1 gone,
+    # text tables' epoch 1 stays on disk
+    os.remove(os.path.join(state, "_commits", "epoch=1"))
+    for t in (MEDIA_HASHES_TABLE, MEDIA_PAIRS_TABLE):
+        shutil.rmtree(os.path.join(state, t, "epoch=1"))
+
+    assert committed_frontier(state) == [-1, 0]
+    assert admission_text_pairs(spark, state).count() == 0  # (1,3) hidden
+    assert {(r.id_a, r.id_b) for r in admission_media_pairs(spark, state).collect()} == set()
+
+    # the serving check probes only the committed frontier: a text twin
+    # of BASE matches doc 1 only; doc 4's twin image matches doc 1's
+    probe = spark.createDataFrame(
+        [(100, BASE + " okay", _img(1, flip=True))], SCHEMA
+    )
+    th, mh = admission_lookup(spark, state, probe, tau=0.6)
+    assert {r.match_id for r in th.collect()} == {1}
+    assert {r.media_id for r in mh.collect()} == {1}
+
+    ingest(spark.createDataFrame(batches[1], SCHEMA), 1)  # retry republishes
+    assert committed_frontier(state) == [-1, 0, 1]
+    assert {(r.id_a, r.id_b) for r in admission_text_pairs(spark, state).collect()} == {(1, 3)}
+    assert {(r.id_a, r.id_b) for r in admission_media_pairs(spark, state).collect()} == {(1, 4)}
+    th, mh = admission_lookup(spark, state, probe, tau=0.6)
+    assert {r.match_id for r in th.collect()} == {1, 3}
+    assert {r.media_id for r in mh.collect()} == {1, 4}
+
+
+def test_one_compactor_covers_all_five_tables(spark, tmp_path):
+    """compact_admission_state folds text AND media tables in one call,
+    prunes markers against the union of live epochs (a text-only prune
+    would vanish media epochs), and the loop + lookups keep working on
+    the compacted state."""
+    batches = _batches()
+    state = str(tmp_path / "adm")
+    ingest = make_admission_ingest(spark, state, tau=0.6)
+    for e, rows in enumerate(batches):
+        ingest(spark.createDataFrame(rows, SCHEMA), e)
+    t_before = {(r.id_a, r.id_b) for r in admission_text_pairs(spark, state).collect()}
+    m_before = {(r.id_a, r.id_b) for r in admission_media_pairs(spark, state).collect()}
+
+    folded = compact_admission_state(spark, state)
+    assert set(folded) == {
+        "pairs", "bands", "shingles", MEDIA_PAIRS_TABLE, MEDIA_HASHES_TABLE
+    }
+    assert {(r.id_a, r.id_b) for r in admission_text_pairs(spark, state).collect()} == t_before
+    assert {(r.id_a, r.id_b) for r in admission_media_pairs(spark, state).collect()} == m_before
+    # markers pruned to live epochs only (union across all tables)
+    live = set()
+    for t in ("pairs", "bands", "shingles", MEDIA_PAIRS_TABLE, MEDIA_HASHES_TABLE):
+        d = os.path.join(state, t)
+        if os.path.isdir(d):
+            live |= {
+                int(n.split("=", 1)[1])
+                for n in os.listdir(d)
+                if n.startswith("epoch=")
+            }
+    assert set(committed_frontier(state)) - {-1} <= live
+    # continue ingesting: a new doc pairs against the folded base in
+    # BOTH modalities
+    ingest(
+        spark.createDataFrame([(9, BASE + " yes", _img(9, flip=True))], SCHEMA),
+        3,
+    )
+    t_after = {(r.id_a, r.id_b) for r in admission_text_pairs(spark, state).collect()}
+    m_after = {(r.id_a, r.id_b) for r in admission_media_pairs(spark, state).collect()}
+    assert {(1, 9), (3, 9), (5, 9)} <= t_after
+    assert (5, 9) in m_after

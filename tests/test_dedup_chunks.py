@@ -79,3 +79,108 @@ def test_chunk_neardup_collapse_star_edges(spark):
     cp = {(r.doc_a, r.doc_b) for r in coll.collect()}
     assert fp == {(1, 2), (1, 3), (2, 3)}
     assert cp == {(1, 2), (1, 3)}  # star around the min-key rep
+
+
+# --- chunk-granularity STREAMING near-dup (r13) -------------------------------
+
+
+def _passage_corpus():
+    """Docs sharing one 16-token paragraph across micro-batch
+    boundaries: whole-doc Jaccard dilutes the overlap away, the chunk
+    pipeline pairs the aligned passages."""
+    para = " ".join(f"shared{i}" for i in range(16))
+    mk = lambda tag, n=48: " ".join(f"{tag}{i}" for i in range(n))
+    return [
+        [(1, para + " " + mk("aword")), (2, mk("bword"))],
+        [(3, para + " " + mk("cword")), (4, mk("dword"))],
+        [(5, mk("eword", 16) + " " + para)],
+    ]
+
+
+def test_chunk_streaming_equals_batch_restriction(spark, tmp_path):
+    """The streamed chunk-pair set must equal batch chunk_neardup_pairs
+    over the full corpus once every doc has streamed — passages shared
+    ACROSS micro-batches are the case that matters (the boilerplate
+    paragraph arrived epochs earlier)."""
+    from hydraide_spark.streaming import (
+        chunk_ingested_pairs,
+        run_chunk_neardup_ingest_loop,
+    )
+
+    batches = _passage_corpus()
+    schema = "doc_id long, text string"
+    src = tmp_path / "docs_in"
+    src.mkdir()
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            str(src / f"b{i}")
+        )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    state = str(tmp_path / "chunk_state")
+    q = run_chunk_neardup_ingest_loop(
+        spark, stream, state, tau=0.6, chunk_size=16
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    streamed = {
+        (r.doc_a, r.chunk_a, r.doc_b, r.chunk_b, r.inter, r["union"])
+        for r in chunk_ingested_pairs(spark, state).collect()
+    }
+    full = spark.createDataFrame([r for b in batches for r in b], schema)
+    batch = {
+        (r.doc_a, r.chunk_a, r.doc_b, r.chunk_b, r.inter, r["union"])
+        for r in chunk_neardup_pairs(
+            full, tau=0.6, chunk_size=16, collapse_exact=False
+        ).collect()
+    }
+    assert streamed == batch
+    # the shared paragraph actually paired across batches, incl. doc 5
+    # where it sits at a DIFFERENT chunk offset (16 filler tokens put it
+    # at chunk 1, not chunk 0)
+    docs_paired = {d for t in streamed for d in (t[0], t[2])}
+    assert {1, 3, 5} <= docs_paired
+    assert any(
+        (t[0], t[2]) in {(1, 5), (3, 5)} and t[3] != 0 for t in streamed
+    )
+
+
+def test_chunk_neardup_lookup_serving_probe(spark, tmp_path):
+    """Admission check at passage granularity: a NEW page sharing one
+    paragraph with the ingested corpus matches that passage (and
+    nothing else) without being ingested; a clean page matches
+    nothing; the probe leaves the state untouched."""
+    import os
+
+    from hydraide_spark.streaming import chunk_neardup_lookup
+    from hydraide_spark.streaming.dedup_stream import make_chunk_ingest
+
+    batches = _passage_corpus()
+    schema = "doc_id long, text string"
+    state = str(tmp_path / "chunk_state")
+    ingest = make_chunk_ingest(spark, state, tau=0.6, chunk_size=16)
+    for e, rows in enumerate(batches):
+        ingest(spark.createDataFrame(rows, schema), e)
+
+    para = " ".join(f"shared{i}" for i in range(16))
+    probe = spark.createDataFrame(
+        [
+            (100, " ".join(f"qword{i}" for i in range(16)) + " " + para),
+            (101, " ".join(f"clean{i}" for i in range(32))),
+        ],
+        schema,
+    )
+    before = sorted(os.listdir(os.path.join(state, "bands")))
+    hits = chunk_neardup_lookup(
+        spark, state, probe, tau=0.6, chunk_size=16
+    ).collect()
+    assert sorted(os.listdir(os.path.join(state, "bands"))) == before
+    got = {(r.doc_id, r.chunk_id, r.match_doc, r.match_chunk) for r in hits}
+    # doc 100's SECOND chunk (the paragraph) matches every indexed copy
+    assert got == {(100, 1, 1, 0), (100, 1, 3, 0), (100, 1, 5, 1)}, got
+    assert all(r.inter == r["union"] for r in hits)  # identical passages

@@ -135,3 +135,90 @@ def test_migrate_layout_round_trip(spark, tmp_path):
 
     reopened2 = TreasureStore(spark, str(tmp_path / "m"))
     assert reopened2.n_buckets is None
+
+
+# --- unified-state table advisor (r13) ---------------------------------------
+
+
+def test_state_layout_probe_heavy_recommends_bucketing(tmp_path):
+    """A serving-style history (thousands of few-word probes, no full
+    scans) on a big corpus must recommend the word-bucketed base, with
+    the concrete compaction call."""
+    import json
+    import os
+
+    from hydraide_spark.streaming.search_stream import (
+        _record_workload,
+        advise_state_layout,
+    )
+
+    state = str(tmp_path / "ustate")
+    os.makedirs(state)
+    # stats catalog: marker payload path — write the _STATS base directly
+    with open(os.path.join(state, "_STATS"), "w") as fh:
+        json.dump({"base_rows": 1_000_000, "dim": 8, "absorbed": []}, fh)
+    for _ in range(200):
+        _record_workload(state, "postings", "probe", 3)
+    rec = advise_state_layout(state, "postings")
+    assert rec["recommendation"] == "bucketed"
+    assert rec["n_buckets"] and rec["n_buckets"] >= 16
+    assert "compact_hashed_epochs" in rec["migration"]
+    assert "'word'" in rec["migration"]
+
+
+def test_state_layout_scan_heavy_recommends_flat(tmp_path):
+    import json
+    import os
+
+    from hydraide_spark.streaming.search_stream import (
+        _record_workload,
+        advise_state_layout,
+    )
+
+    state = str(tmp_path / "ustate")
+    os.makedirs(state)
+    with open(os.path.join(state, "_STATS"), "w") as fh:
+        json.dump({"base_rows": 1_000_000, "dim": 8, "absorbed": []}, fh)
+    for _ in range(50):
+        _record_workload(state, "postings", "scan")
+    _record_workload(state, "postings", "probe", 3)
+    rec = advise_state_layout(state, "postings")
+    assert rec["recommendation"] == "flat"
+    assert rec["n_buckets"] is None
+    assert "compact_epochs" in rec["migration"]
+
+
+def test_state_layout_history_is_bounded_and_serving_records(spark, tmp_path):
+    """persisted_postings records its own access kind; the probe-keys
+    history stays bounded at 1000 entries."""
+    import json
+    import os
+
+    from hydraide_spark.streaming.search_stream import (
+        _WORKLOAD_FILE,
+        _record_workload,
+        make_postings_ingest,
+        persisted_postings,
+    )
+
+    state = str(tmp_path / "ustate")
+    ingest = make_postings_ingest(spark, state)
+    ingest(
+        spark.createDataFrame(
+            [(1, "alpha beta gamma"), (2, "beta delta")],
+            "doc_id long, text string",
+        ),
+        0,
+    )
+    persisted_postings(spark, state, words=["beta", "alpha"]).count()
+    persisted_postings(spark, state).count()
+    with open(os.path.join(state, _WORKLOAD_FILE)) as fh:
+        wl = json.load(fh)["postings"]
+    assert wl["probes"] == 1 and wl["scans"] == 1
+    assert wl["probe_keys"] == [2]
+    for _ in range(1100):
+        _record_workload(state, "postings", "probe", 1)
+    with open(os.path.join(state, _WORKLOAD_FILE)) as fh:
+        wl = json.load(fh)["postings"]
+    assert len(wl["probe_keys"]) == 1000  # bounded history
+    assert wl["probes"] == 1101
