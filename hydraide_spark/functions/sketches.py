@@ -264,3 +264,110 @@ def histogram_bins_fixed(
     return df.select(b.alias("bin")).groupBy("bin").agg(
         F.count(F.lit(1)).alias("cnt")
     )
+
+
+# --- Bloom filter (r13) -------------------------------------------------------
+
+
+def bloom_bits_for(n_values: int, target_fpr: float = 0.01) -> int:
+    """Bit-array size for an expected ``n_values`` at ``target_fpr``
+    (the standard m = -n ln p / ln^2 2), rounded up to a power of two
+    (the modulo stays cheap and the word math exact). The auto-sizing
+    rule that keeps the sketch's false-positive rate constant as the
+    corpus grows — fixed bits on growing data is the same trap as
+    fixed-cardinality blocking keys."""
+    import math
+
+    if n_values <= 0:
+        return 1 << 10
+    m = -float(n_values) * math.log(float(target_fpr)) / (math.log(2.0) ** 2)
+    return 1 << max(10, int(math.ceil(m)).bit_length())
+
+
+def _bloom_positions(value, n_bits: int, k: int):
+    """k bit positions of a value: decimal value of the first 15 hex
+    chars (60 bits) of md5('<i>:' value) mod n_bits — the cms_build
+    hashing convention, bit-identical in any engine (no seeded native
+    hash, no hex->int divergence)."""
+    return [
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(f"{i}:"), value.cast("string"))), 1, 15
+                ),
+                16,
+                10,
+            ).cast("long")
+            % F.lit(int(n_bits))
+        ).alias(f"pos{i}")
+        for i in range(k)
+    ]
+
+
+def bloom_build(
+    df: DataFrame, value_col: str, n_bits: int = 1 << 15, k: int = 4
+) -> DataFrame:
+    """Bloom filter of ``value_col`` as a sparse (word, bits) frame —
+    32-bit words (max shift 31, so the packed value is positive in any
+    engine's signed 64-bit int), at most ``n_bits/32`` rows however
+    large the input. One explode to k positions + one bit_or groupBy
+    (map-side combined): membership summaries without ever shuffling
+    the keys. NO false negatives ever (every inserted value's bits are
+    set); false positives at the standard (1 - e^{-kn/m})^k rate —
+    size with :func:`bloom_bits_for`. Mergeable: :func:`bloom_merge`
+    (bit_or is associative/idempotent — the HLL/CMS rollup pattern,
+    and idempotence makes re-inserts free)."""
+    cells = df.select(
+        F.explode(
+            F.array(*_bloom_positions(F.col(value_col), n_bits, k))
+        ).alias("pos")
+    )
+    return (
+        cells.select(
+            F.shiftright(F.col("pos"), 5).alias("word"),
+            F.expr("shiftleft(1L, CAST(pos % 32 AS INT))").alias("bitval"),
+        )
+        .groupBy("word")
+        .agg(F.bit_or("bitval").alias("bits"))
+    )
+
+
+def bloom_merge(*blooms: DataFrame) -> DataFrame:
+    """Merge filters built with the same (n_bits, k): union + bit_or.
+    bloom(A ∪ B) == merge(bloom(A), bloom(B)) exactly."""
+    out = blooms[0]
+    for b in blooms[1:]:
+        out = out.unionByName(b)
+    return out.groupBy("word").agg(F.bit_or("bits").alias("bits"))
+
+
+def bloom_probe(
+    bloom: DataFrame,
+    probes: DataFrame,
+    value_col: str,
+    n_bits: int = 1 << 15,
+    k: int = 4,
+) -> DataFrame:
+    """Membership probe: (value, might_contain) — 1 iff ALL k of the
+    value's bits are set (min over the k position rows = AND). The
+    bloom side is ≤ n_bits/32 rows (broadcastable at any corpus size —
+    AQE decides); a missing word reads as 0 (left join + coalesce).
+    might_contain=0 is DEFINITIVE absence; 1 means "probably seen"."""
+    p = probes.select(
+        F.col(value_col),
+        F.explode(
+            F.array(*_bloom_positions(F.col(value_col), n_bits, k))
+        ).alias("pos"),
+    ).select(
+        F.col(value_col),
+        F.shiftright(F.col("pos"), 5).alias("word"),
+        F.expr("shiftleft(1L, CAST(pos % 32 AS INT))").alias("bitval"),
+    )
+    j = p.join(bloom, "word", "left")
+    hit = (
+        F.coalesce(F.col("bits"), F.lit(0)).bitwiseAND(F.col("bitval"))
+        == F.col("bitval")
+    )
+    return j.groupBy(value_col).agg(
+        F.min(hit.cast("int")).alias("might_contain")
+    )

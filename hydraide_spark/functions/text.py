@@ -1484,3 +1484,102 @@ def calibration_report(
         F.round(F.col("_wg").cast("double") / F.col("_N"), 10).alias("ece")
     )
     return binned.crossJoin(F.broadcast(totals))
+
+
+# --- URL canonicalization (r13) -----------------------------------------------
+
+
+#: tracking query parameters every crawl-dedup pipeline strips: their
+#: presence/value never changes the fetched content, so two URLs
+#: differing only here are the same page (the classic URL-dedup FP
+#: source). Kept as a module constant so Spark and SQL oracles strip
+#: the identical set.
+TRACKING_PARAM_PREFIXES = ("utm_",)
+TRACKING_PARAMS = ("fbclid", "gclid", "msclkid", "ref", "mc_cid", "mc_eid")
+
+_URL_SCHEME_RE = r"^([A-Za-z][A-Za-z0-9+.\-]*)://.*$"
+_URL_AUTH_RE = r"^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]*).*$"
+_URL_PATH_RE = r"^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*([^?#]*).*$"
+_URL_QUERY_RE = r"^[^?#]*\?([^#]*).*$"
+
+
+def canonical_url(url: Column) -> Column:
+    """Canonical form of an http(s) URL for crawl-level dedup — the
+    normalization whose ABSENCE makes URL frontiers revisit the same
+    page under trivially different spellings (case, fragments,
+    tracking params, param order, default ports, trailing slashes).
+
+    Rules (each a pure deterministic string/array op — exact in any
+    engine, the golden value-checks the whole pipeline against SQL):
+
+    - scheme and host lowercase; path/query case preserved (paths are
+      case-sensitive by spec),
+    - fragment dropped (never sent to the server),
+    - default ports stripped (``:80`` for http, ``:443`` for https),
+    - ``www.`` prefix stripped from the host (the standard aggressive
+      crawl-dedup choice; hosts that genuinely differ on www are rare
+      and a frontier prefers collapsing them),
+    - query parameters: tracking params dropped
+      (``TRACKING_PARAM_PREFIXES``/``TRACKING_PARAMS``), the rest
+      SORTED (param order never changes the page), empty query '?'
+      dropped,
+    - empty path normalized to '/', trailing '/' stripped from longer
+      paths.
+
+    Non-http(s) inputs (mailto:, ftp:, bare strings) pass through
+    trimmed-only — canonicalizing what we can't parse would corrupt
+    it. Map-only at any corpus size."""
+    u = F.trim(url)
+    scheme = F.lower(F.regexp_extract(u, _URL_SCHEME_RE, 1))
+    is_http = scheme.isin("http", "https")
+    auth = F.lower(F.regexp_extract(u, _URL_AUTH_RE, 1))
+    host = F.when(
+        scheme == "http", F.regexp_replace(auth, ":80$", "")
+    ).otherwise(F.regexp_replace(auth, ":443$", ""))
+    host = F.regexp_replace(host, "^www\\.", "")
+    path = F.regexp_extract(u, _URL_PATH_RE, 1)
+    path = F.when(path == "", F.lit("/")).otherwise(
+        F.when(
+            F.length(path) > 1, F.regexp_replace(path, "/+$", "")
+        ).otherwise(path)
+    )
+    # a path of only slashes ('///') regexp-strips to '' — renormalize
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+
+    def _keep_param(p: Column) -> Column:
+        name = F.lower(F.split(p, "=")[0])
+        cond = (F.length(p) > 0) & ~name.isin(*TRACKING_PARAMS)
+        for pref in TRACKING_PARAM_PREFIXES:
+            cond = cond & ~name.startswith(pref)
+        return cond
+
+    query = F.regexp_extract(u, _URL_QUERY_RE, 1)
+    qs = F.array_join(F.array_sort(F.filter(F.split(query, "&"), _keep_param)), "&")
+    canon = F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        path,
+        F.when(qs == "", F.lit("")).otherwise(F.concat(F.lit("?"), qs)),
+    )
+    return F.when(is_http, canon).otherwise(u)
+
+
+def url_dedup_report(
+    df: DataFrame, url_col: str = "url", id_col: str = "doc_id"
+) -> DataFrame:
+    """Group a URL column by canonical form: one row per canonical URL
+    with the variant count and the MIN id as the keep survivor — the
+    crawl-frontier dedup decision as a hash groupBy (map-side combined,
+    one shuffle on the canonical string). Returns
+    (canonical, n_variants, n_distinct_raw, keep_id)."""
+    c = canonical_url(F.col(url_col))
+    return (
+        df.select(F.col(id_col), F.col(url_col), c.alias("canonical"))
+        .groupBy("canonical")
+        .agg(
+            F.count(F.lit(1)).alias("n_variants"),
+            F.countDistinct(F.col(url_col)).alias("n_distinct_raw"),
+            F.min(F.col(id_col)).alias("keep_id"),
+        )
+    )

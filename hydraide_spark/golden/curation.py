@@ -749,3 +749,88 @@ def prf_expanded_search_docs(spark, sf_dir):
         F.col("rank").cast("int").alias("rank"),
         F.col("score").cast("double").alias("score"),
     )
+
+
+_URL_ORACLE = r"""
+    WITH urls AS (
+      SELECT doc_id,
+        CASE CAST(doc_id % 5 AS INT)
+          WHEN 0 THEN 'http://EXAMPLE' || (doc_id // 5) || '.com/path/sub'
+          WHEN 1 THEN 'http://www.example' || (doc_id // 5) || '.com:80/path/sub/'
+          WHEN 2 THEN 'http://example' || (doc_id // 5) || '.com/path/sub?utm_source=feed&fbclid=xyz#frag'
+          WHEN 3 THEN 'http://example' || (doc_id // 5) || '.com/path/sub?b=2&a=1'
+          ELSE        'http://example' || (doc_id // 5) || '.com/path/sub?a=1&utm_campaign=z&b=2'
+        END AS url
+      FROM documents
+    ),
+    parts AS (
+      SELECT doc_id, url,
+        lower(COALESCE(regexp_extract(trim(url), '^([A-Za-z][A-Za-z0-9+.\-]*)://.*$', 1), '')) AS scheme,
+        lower(COALESCE(regexp_extract(trim(url), '^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]*).*$', 1), '')) AS auth,
+        COALESCE(regexp_extract(trim(url), '^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*([^?#]*).*$', 1), '') AS path0,
+        COALESCE(regexp_extract(trim(url), '^[^?#]*\?([^#]*).*$', 1), '') AS q
+      FROM urls
+    ),
+    canon AS (
+      SELECT doc_id, url,
+        scheme || '://'
+        || regexp_replace(
+             CASE WHEN scheme = 'http' THEN regexp_replace(auth, ':80$', '')
+                  ELSE regexp_replace(auth, ':443$', '') END,
+             '^www\.', '')
+        || CASE WHEN p1 = '' THEN '/' ELSE p1 END
+        || CASE WHEN qs = '' THEN '' ELSE '?' || qs END AS canonical
+      FROM (
+        SELECT *,
+          CASE WHEN path0 = '' THEN '/'
+               WHEN length(path0) > 1 THEN regexp_replace(path0, '/+$', '')
+               ELSE path0 END AS p1,
+          COALESCE(array_to_string(list_sort(list_filter(string_split(q, '&'),
+            p -> length(p) > 0
+             AND NOT lower(string_split(p, '=')[1]) IN
+                 ('fbclid','gclid','msclkid','ref','mc_cid','mc_eid')
+             AND NOT starts_with(lower(string_split(p, '=')[1]), 'utm_'))), '&'), '') AS qs
+        FROM parts
+      )
+    )
+    SELECT canonical,
+           CAST(count(*) AS BIGINT) AS n_variants,
+           CAST(count(DISTINCT url) AS BIGINT) AS n_distinct_raw,
+           CAST(min(doc_id) AS BIGINT) AS keep_id
+    FROM canon GROUP BY canonical
+"""
+
+
+@golden("url_canonical_dedup", oracle=_URL_ORACLE)
+def url_canonical_dedup(spark, sf_dir):
+    """Crawl-frontier URL dedup (r13): five deterministic spellings of
+    each logical page — mixed-case host, www + default port + trailing
+    slash, tracking params + fragment, unsorted params, params + a
+    tracking insert — collapse through
+    ``functions/text.py::canonical_url`` (scheme/host lowering, port/
+    fragment/www stripping, tracking-param removal, param sorting,
+    trailing-slash normalization; every rule a deterministic string op
+    value-checked against the SQL replay). Spellings 0-2 collapse to
+    the bare canonical; 3-4 to the ``?a=1&b=2`` canonical. One hash
+    groupBy on the canonical string — map-side combined, map-only
+    before it, at any corpus size."""
+    from ..functions.text import url_dedup_report
+
+    docs = t(spark, sf_dir, "documents").select("doc_id")
+    g = F.expr("doc_id div 5")
+    v = (F.col("doc_id") % 5).cast("int")
+    url = (
+        F.when(v == 0, F.concat(F.lit("http://EXAMPLE"), g, F.lit(".com/path/sub")))
+        .when(v == 1, F.concat(F.lit("http://www.example"), g, F.lit(".com:80/path/sub/")))
+        .when(v == 2, F.concat(F.lit("http://example"), g, F.lit(".com/path/sub?utm_source=feed&fbclid=xyz#frag")))
+        .when(v == 3, F.concat(F.lit("http://example"), g, F.lit(".com/path/sub?b=2&a=1")))
+        .otherwise(F.concat(F.lit("http://example"), g, F.lit(".com/path/sub?a=1&utm_campaign=z&b=2")))
+    )
+    urls = docs.select(F.col("doc_id"), url.alias("url"))
+    out = url_dedup_report(urls, "url", "doc_id")
+    return out.select(
+        F.col("canonical"),
+        big("n_variants").alias("n_variants"),
+        big("n_distinct_raw").alias("n_distinct_raw"),
+        big("keep_id").alias("keep_id"),
+    )

@@ -139,3 +139,68 @@ def histogram_quantiles_events(spark, sf_dir):
     ev = t(spark, sf_dir, "events")
     pairs = histogram_quantiles(ev, "value", qs=[0.1, 0.5, 0.9, 0.99], bins=128)
     return spark.createDataFrame(pairs, "q double, est double")
+
+
+_BLOOM_POS = (
+    "CAST(('0x' || substr(md5(CAST({i} AS VARCHAR) || ':' || "
+    "CAST({v} AS VARCHAR)), 1, 15))::UBIGINT % 32768 AS BIGINT)"
+)
+
+
+@golden(
+    "bloom_membership_orders",
+    oracle=f"""
+    WITH vals AS (SELECT DISTINCT o_custkey AS v FROM orders),
+    cells AS (
+      SELECT (pos // 32) AS word, (1::BIGINT << CAST(pos % 32 AS INT)) AS bitval
+      FROM (
+        SELECT {_BLOOM_POS.format(i="i", v="v")} AS pos
+        FROM vals, UNNEST([0, 1, 2, 3]) AS t(i)
+      )
+    ),
+    bloom AS (SELECT word, bit_or(bitval) AS bits FROM cells GROUP BY word),
+    probes AS (
+      SELECT c_custkey AS probe FROM customer
+      UNION ALL SELECT c_custkey + 10000000 FROM customer
+    ),
+    pp AS (
+      SELECT probe, (pos // 32) AS word,
+             (1::BIGINT << CAST(pos % 32 AS INT)) AS bitval
+      FROM (
+        SELECT probe, {_BLOOM_POS.format(i="i", v="probe")} AS pos
+        FROM probes, UNNEST([0, 1, 2, 3]) AS t(i)
+      )
+    )
+    SELECT CAST(probe AS BIGINT) AS probe,
+           CAST(min(CASE WHEN COALESCE(bits, 0) & bitval = bitval
+                         THEN 1 ELSE 0 END) AS INT) AS might_contain
+    FROM pp LEFT JOIN bloom USING (word)
+    GROUP BY probe
+    """,
+)
+def bloom_membership_orders(spark, sf_dir):
+    """Bloom-filter membership (r13): build a 32K-bit k=4 filter over
+    the DISTINCT order custkeys (functions/sketches.py::bloom_build —
+    md5-position bit math, the cms_build convention, so every set bit
+    and every probe verdict replays exactly in SQL), probe every
+    customer key plus a shifted definitely-absent twin. No false
+    negatives by construction (every present key probes 1); absent
+    keys read the REAL false-positive behavior of the shared bit
+    array — the oracle recomputes the identical words, so even the
+    false positives match exactly. The sketch is ≤ 1024 words however
+    many orders exist; probes broadcast-join it."""
+    from ..functions.sketches import bloom_build, bloom_probe
+
+    orders = t(spark, sf_dir, "orders").select("o_custkey").distinct()
+    bloom = bloom_build(orders, "o_custkey", n_bits=1 << 15, k=4)
+    cust = t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").cast("long").alias("probe")
+    )
+    probes = cust.unionByName(
+        cust.select((F.col("probe") + F.lit(10_000_000)).alias("probe"))
+    )
+    out = bloom_probe(bloom, probes, "probe", n_bits=1 << 15, k=4)
+    return out.select(
+        big("probe").alias("probe"),
+        F.col("might_contain").cast("int").alias("might_contain"),
+    )

@@ -152,3 +152,54 @@ def test_histogram_null_values_excluded_not_crashing(spark):
     all_null = spark.createDataFrame([(None,), (None,)], "value double")
     got = histogram_quantiles(all_null, "value", [0.5])
     assert len(got) == 1 and got[0][1] != got[0][1]  # NaN (empty input)
+
+
+# --- Bloom filter (r13) -------------------------------------------------------
+
+
+def test_bloom_no_false_negatives_and_fpr(spark):
+    """Every inserted value probes 1 (structural — its bits were set);
+    absent values mostly probe 0 at the sized FPR."""
+    from pyspark.sql import functions as F
+
+    from hydraide_spark.functions.sketches import bloom_build, bloom_probe
+
+    vals = spark.range(500).select(F.col("id").alias("v"))
+    bloom = bloom_build(vals, "v", n_bits=1 << 14, k=4)
+    present = bloom_probe(bloom, vals, "v", n_bits=1 << 14, k=4)
+    assert present.filter("might_contain = 0").count() == 0  # never FN
+    absent = spark.range(500, 1500).select(F.col("id").alias("v"))
+    fp = bloom_probe(bloom, absent, "v", n_bits=1 << 14, k=4).filter(
+        "might_contain = 1"
+    ).count()
+    # n=500, m=16384, k=4 -> theoretical FPR ~ (1-e^{-kn/m})^4 ~ 1e-4;
+    # allow generous slack over 1000 probes
+    assert fp <= 5, fp
+
+
+def test_bloom_merge_equals_union(spark):
+    from pyspark.sql import functions as F
+
+    from hydraide_spark.functions.sketches import bloom_build, bloom_merge
+
+    a = spark.range(0, 300).select(F.col("id").alias("v"))
+    b = spark.range(200, 600).select(F.col("id").alias("v"))
+    merged = bloom_merge(
+        bloom_build(a, "v", n_bits=1 << 13, k=3),
+        bloom_build(b, "v", n_bits=1 << 13, k=3),
+    )
+    direct = bloom_build(a.unionByName(b), "v", n_bits=1 << 13, k=3)
+    got = {(r.word, r.bits) for r in merged.collect()}
+    want = {(r.word, r.bits) for r in direct.collect()}
+    assert got == want  # bit_or associativity + insert idempotence
+
+
+def test_bloom_bits_for_sizing():
+    from hydraide_spark.functions.sketches import bloom_bits_for
+
+    m = bloom_bits_for(1_000_000, 0.01)
+    assert m >= 9_585_058  # -n ln p / ln^2 2
+    assert m & (m - 1) == 0  # power of two
+    assert bloom_bits_for(0) == 1 << 10
+    # sizing grows with n: the fixed-cardinality trap is rejected
+    assert bloom_bits_for(10_000_000, 0.01) > m

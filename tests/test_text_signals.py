@@ -851,3 +851,58 @@ def test_quality_train_rejects_oversized_and_empty(spark):
     empty = spark.createDataFrame([], "doc_id long, text string, label int")
     with _pytest.raises(ValueError, match="empty"):
         quality_train_weights_local(empty, "label")
+
+
+def test_canonical_url_rules(spark):
+    """Every canonicalization rule plus the pass-through contract for
+    non-http(s) inputs."""
+    from pyspark.sql import functions as F
+
+    from hydraide_spark.functions.text import canonical_url
+
+    cases = [
+        ("HTTP://WWW.Example.COM:80/A/B/#frag", "http://example.com/A/B"),
+        ("https://example.com:443/", "https://example.com/"),
+        ("http://example.com", "http://example.com/"),
+        ("http://example.com/x/?utm_source=a&b=2&a=1&fbclid=z",
+         "http://example.com/x?a=1&b=2"),
+        ("http://example.com/x?utm_source=a&UTM_MEDIUM=b",
+         "http://example.com/x"),
+        ("http://example.com///", "http://example.com/"),
+        ("  http://example.com/x  ", "http://example.com/x"),
+        # case-sensitive path preserved; only scheme/host lower
+        ("HTTPS://HOST.com/CaseSensitive", "https://host.com/CaseSensitive"),
+        # port that is NOT the scheme default stays
+        ("http://example.com:8080/x", "http://example.com:8080/x"),
+        ("https://example.com:80/x", "https://example.com:80/x"),
+        # non-http passes through trimmed only
+        ("mailto:user@example.com", "mailto:user@example.com"),
+        ("ftp://Mixed.Case/X", "ftp://Mixed.Case/X"),
+        ("not a url at all", "not a url at all"),
+    ]
+    df = spark.createDataFrame([(i, u) for i, (u, _) in enumerate(cases)],
+                               "i int, url string")
+    got = {r["i"]: r["c"] for r in df.select("i", canonical_url(F.col("url")).alias("c")).collect()}
+    for i, (u, want) in enumerate(cases):
+        assert got[i] == want, (u, got[i], want)
+
+
+def test_url_dedup_report_groups(spark):
+    from hydraide_spark.functions.text import url_dedup_report
+
+    rows = [
+        (1, "http://Example.com/a/"),
+        (2, "http://www.example.com:80/a"),
+        (3, "http://example.com/a?utm_source=x"),
+        (4, "http://other.com/b?x=1&y=2"),
+        (5, "http://other.com/b?y=2&x=1"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    got = {
+        r["canonical"]: (r["n_variants"], r["n_distinct_raw"], r["keep_id"])
+        for r in url_dedup_report(df).collect()
+    }
+    assert got == {
+        "http://example.com/a": (3, 3, 1),
+        "http://other.com/b?x=1&y=2": (2, 2, 4),
+    }
