@@ -258,6 +258,11 @@ HEADLINE = [
     "dsir_importance_topk",
     "dsir_threshold_select_docs",
     "cluster_balanced_sample_vecs",
+    "quality_trained_classifier_docs",
+    "image_phash_neardup_jpeg",
+    "bloom_membership_orders",
+    "url_canonical_dedup",
+    "chunk_neardup_production",
 ]
 
 
