@@ -185,6 +185,53 @@ def run_histogram_maintenance_loop(
     )
 
 
+def run_bloom_maintenance_loop(
+    store: TreasureStore,
+    events_stream: DataFrame,
+    value_col: str,
+    n_bits: int = 1 << 15,
+    k: int = 4,
+    queue_name: str = "bloom_maintenance",
+):
+    """Continuously maintained Bloom membership filter: each
+    micro-batch builds its ≤ n_bits/32-row sparse word frame
+    (functions.sketches.bloom_build) and bit_or-merges into the stored
+    filter. Unlike the counter loops (rollup/CMS/histogram — additive,
+    so a retried micro-batch double-counts and the docstrings carry
+    the at-least-once caveat; DSIR got an epoch sentinel), bit_or is
+    IDEMPOTENT: replaying a batch re-sets bits that are already set,
+    so 'converges to the batch filter under any batching' holds
+    unconditionally, retries included — no epoch record needed. State
+    bounded at n_bits/32 rows forever; the stored filter answers
+    "definitely never seen" / "probably seen" probes
+    (bloom_probe against ``store.current()``) without touching event
+    history."""
+    from ..functions.sketches import bloom_build
+
+    def merge(batch_df: DataFrame, _epoch: int) -> None:
+        if batch_df.isEmpty():
+            return
+        part = bloom_build(batch_df, value_col, n_bits=n_bits, k=k).select(
+            F.col("word").cast("string").alias("key"), "word", "bits"
+        )
+        cur = store.current().select("key", F.col("bits").alias("_cur"))
+        updates = part.join(cur, "key", "left").select(
+            "key",
+            "word",
+            F.coalesce(F.col("_cur"), F.lit(0))
+            .bitwiseOR(F.col("bits"))
+            .alias("bits"),
+        )
+        store.set(updates)
+
+    return (
+        events_stream.writeStream.outputMode("append")
+        .queryName(queue_name)
+        .foreachBatch(merge)
+        .start()
+    )
+
+
 DSIR_EPOCH_KEY = "__epoch__"
 
 

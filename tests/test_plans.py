@@ -603,3 +603,57 @@ def test_brute_force_ann_rankers_have_no_per_query_window_funnel(spark, Q):
         assert two_key, (name, wins)  # the local (query, partition) cut exists
         assert one_key, (name, wins)  # the global per-query rank exists
         assert max(two_key) < min(one_key), (name, wins)
+
+
+def test_retrieval_grouped_cuts_are_two_stage(spark, Q):
+    """r13 (ADVICE r12): the per-query cuts in hard-negative mining,
+    PRF expanded search and every ranked_list_grouped caller must be
+    the two-stage shape — stage-1 window keyed by (query, input
+    partition), stage-2 per-query rank over the ≤ k·P survivors — not
+    a single reducer per query over corpus-scale candidates."""
+    import re
+
+    for name in ("hard_negative_mining_docs", "prf_expanded_search_docs",
+                 "hybrid_search_rrf_batch"):
+        plan = physical_plan(Q[name](spark, SF))
+        assert "SPARK_PARTITION_ID" in plan, name
+        wins = re.findall(
+            r"\((\d+)\) Window\n.*?\], \[([^\]]*)\], \[", plan, re.S
+        )
+        two_key = sorted(int(i) for i, spec in wins if spec.count(",") == 1)
+        one_key = sorted(int(i) for i, spec in wins if "," not in spec)
+        # a query may contain SEVERAL independent grouped cuts (hard
+        # negatives: auto-positive cut AND negative cut) plus extra
+        # single-key windows over already-bounded inputs (RRF's final
+        # rank over fused k-sized lists) — the pin is: every local
+        # (query, partition) cut has a global per-query window ABOVE it
+        assert two_key, (name, wins)
+        assert all(any(o > t for o in one_key) for t in two_key), (name, wins)
+
+
+def test_bloom_probe_broadcasts_the_sketch(spark, Q):
+    """The bloom word table is ≤ n_bits/32 rows however large the
+    build input — the probe join must broadcast it (never shuffle the
+    probe keys against a 1024-row sketch), and the build must be a
+    map-side-combined bit_or aggregate."""
+    plan = physical_plan(Q["bloom_membership_orders"](spark, SF))
+    assert "BroadcastHashJoin" in plan, plan[:2000]
+    assert "partial_bit_or" in plan  # map-side combine on the build
+    assert "CartesianProduct" not in plan
+
+
+def test_url_dedup_is_one_shuffle_map_only_before(spark, Q):
+    """url_canonical_dedup: canonicalization is pure scan-side string
+    work; the ONLY exchange is the groupBy on the canonical string
+    (map-side partial agg present)."""
+    import re
+
+    plan = physical_plan(Q["url_canonical_dedup"](spark, SF))
+    # one logical shuffle on the canonical string; countDistinct(url)
+    # plans as the standard two-phase distinct aggregate, which adds
+    # one more exchange on (canonical, url) — still key-bounded. The
+    # formatted plan mentions each node twice (tree + details), so
+    # count UNIQUE exchange node ids.
+    n_exchanges = len(set(re.findall(r"\(\d+\) Exchange", plan)))
+    assert n_exchanges <= 2, plan[:1500]
+    assert "partial_count" in plan or "partial_min" in plan
