@@ -44,6 +44,9 @@ from .state_compact import (
 
 MEDIA_HASHES_TABLE = "media_hashes"
 MEDIA_PAIRS_TABLE = "media_pairs"
+EXACT_BLOOM_TABLE = "exact_bloom"
+EXACT_BLOOM_BITS = 1 << 20  # ~32K words max; size for the REAL corpus
+EXACT_BLOOM_K = 4
 
 
 def make_admission_ingest(
@@ -61,12 +64,24 @@ def make_admission_ingest(
     max_hamming: int = 3,
     n_blocks: int = 4,
     engine_stable: bool = False,
+    exact_bloom_bits: int = EXACT_BLOOM_BITS,
+    exact_bloom_k: int = EXACT_BLOOM_K,
 ):
     """Per-micro-batch combined ingest (exposed for epoch replay in
     tests). Batch rows carry (id, text[, payload]); a NULL payload
     means text-only (most pages), a NULL/empty text with a payload
-    means media-only. Both sides write epoch-keyed overwrites; the
-    single marker after both is the atomic publish point."""
+    means media-only. All sides write epoch-keyed overwrites; the
+    single marker after all of them is the atomic publish point.
+
+    Besides the near-dup tables, each epoch writes an ``exact_bloom``
+    word frame of the batch's raw texts (sketches.bloom_build): the
+    PERMANENT bounded-size "seen this exact text before?" memory —
+    the complement of streaming_exact_dedup, whose watermark drops
+    state (re-emits late dups) precisely because exact state is
+    unbounded. A Bloom keeps ≤ n_bits/32 words forever: a 0 probe is
+    DEFINITIVE admission (no false negatives), a 1 probe routes to the
+    near-dup/exact verify path. ``exact_bloom_bits`` must be sized for
+    the real corpus (bloom_bits_for)."""
     text_ingest = make_ingest(
         spark,
         state_dir,
@@ -91,15 +106,21 @@ def make_admission_ingest(
         publish=False,
     )
 
+    from ..functions.sketches import bloom_build
+
     def ingest(batch_df: DataFrame, epoch: int) -> None:
         if batch_df.isEmpty():
             return
         batch = batch_df.persist()
-        text_ingest(
-            batch.filter(
-                F.col(text_col).isNotNull() & (F.length(text_col) > 0)
-            ).select(id_col, text_col),
-            epoch,
+        texts = batch.filter(
+            F.col(text_col).isNotNull() & (F.length(text_col) > 0)
+        )
+        text_ingest(texts.select(id_col, text_col), epoch)
+        bloom_build(
+            texts.select(text_col), text_col,
+            n_bits=exact_bloom_bits, k=exact_bloom_k,
+        ).write.mode("overwrite").parquet(
+            os.path.join(state_dir, EXACT_BLOOM_TABLE, f"epoch={int(epoch)}")
         )
         if payload_col in batch.columns:
             media_ingest(
@@ -141,6 +162,47 @@ def run_admission_ingest_loop(
         .foreachBatch(ingest)
         .start()
     )
+
+
+def admission_exact_seen(
+    spark: SparkSession,
+    state_dir: str,
+    query_items: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    exact_bloom_bits: int = EXACT_BLOOM_BITS,
+    exact_bloom_k: int = EXACT_BLOOM_K,
+) -> DataFrame:
+    """The exact-text admission fast path: probe the query texts
+    against the bit_or-merge of all COMMITTED epochs' bloom words
+    (merged frame ≤ n_bits/32 rows — broadcastable however much was
+    ingested). Returns (id, exact_seen): 0 is DEFINITIVE "never
+    ingested byte-identically" (no false negatives — admit without
+    touching the near-dup index); 1 means "probably seen" at the sized
+    FPR — route to the verify path. Uncommitted epochs' words are
+    invisible (the shared marker frontier), so a crash mid-batch can
+    never make the fast path claim a doc that the near-dup tables
+    don't hold."""
+    from ..functions.sketches import bloom_probe
+    from .media_stream import _epoch_read
+    from .state_compact import committed_frontier
+
+    q = query_items.select(F.col(id_col), F.col(text_col))
+    words = _epoch_read(
+        spark,
+        os.path.join(state_dir, EXACT_BLOOM_TABLE),
+        "word long, bits long",
+        epochs=committed_frontier(state_dir),
+    )
+    if words is None:
+        return q.select(
+            F.col(id_col), F.lit(0).cast("int").alias("exact_seen")
+        )
+    merged = words.groupBy("word").agg(F.bit_or("bits").alias("bits"))
+    hits = bloom_probe(
+        merged, q, text_col, n_bits=exact_bloom_bits, k=exact_bloom_k
+    ).withColumnRenamed("might_contain", "exact_seen")
+    return q.join(hits, text_col).select(id_col, "exact_seen")
 
 
 def admission_text_pairs(spark: SparkSession, state_dir: str) -> DataFrame:
@@ -212,5 +274,19 @@ def compact_admission_state(
     out[MEDIA_HASHES_TABLE] = fold(
         spark, os.path.join(state_dir, MEDIA_HASHES_TABLE)
     )
+    # the exact-bloom base collapses to one row per word at fold time
+    # (bit_or is the merge — otherwise the base grows one word-frame
+    # per folded epoch and the read-side OR pays for history forever)
+    def _or_words(df: DataFrame) -> DataFrame:
+        return df.groupBy("word").agg(F.bit_or("bits").alias("bits"))
+
+    if tiered:
+        out[EXACT_BLOOM_TABLE] = compact_epochs_tiered(
+            spark, os.path.join(state_dir, EXACT_BLOOM_TABLE)
+        )
+    else:
+        out[EXACT_BLOOM_TABLE] = compact_epochs(
+            spark, os.path.join(state_dir, EXACT_BLOOM_TABLE), augment=_or_words
+        )
     prune_stale_markers(state_dir)
     return out

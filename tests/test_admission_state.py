@@ -137,7 +137,8 @@ def test_admission_partial_epoch_invisible_across_modalities(spark, tmp_path):
 
 
 def test_one_compactor_covers_all_five_tables(spark, tmp_path):
-    """compact_admission_state folds text AND media tables in one call,
+    """compact_admission_state folds text, media AND exact-bloom tables
+    in one call,
     prunes markers against the union of live epochs (a text-only prune
     would vanish media epochs), and the loop + lookups keep working on
     the compacted state."""
@@ -150,8 +151,11 @@ def test_one_compactor_covers_all_five_tables(spark, tmp_path):
     m_before = {(r.id_a, r.id_b) for r in admission_media_pairs(spark, state).collect()}
 
     folded = compact_admission_state(spark, state)
+    from hydraide_spark.streaming.admission_stream import EXACT_BLOOM_TABLE
+
     assert set(folded) == {
-        "pairs", "bands", "shingles", MEDIA_PAIRS_TABLE, MEDIA_HASHES_TABLE
+        "pairs", "bands", "shingles",
+        MEDIA_PAIRS_TABLE, MEDIA_HASHES_TABLE, EXACT_BLOOM_TABLE,
     }
     assert {(r.id_a, r.id_b) for r in admission_text_pairs(spark, state).collect()} == t_before
     assert {(r.id_a, r.id_b) for r in admission_media_pairs(spark, state).collect()} == m_before
@@ -176,3 +180,81 @@ def test_one_compactor_covers_all_five_tables(spark, tmp_path):
     m_after = {(r.id_a, r.id_b) for r in admission_media_pairs(spark, state).collect()}
     assert {(1, 9), (3, 9), (5, 9)} <= t_after
     assert (5, 9) in m_after
+
+
+def test_admission_exact_bloom_fast_path(spark, tmp_path):
+    """The exact-text fast path: 0 is DEFINITIVE never-seen (admit
+    without touching the near-dup index), 1 for every byte-identical
+    re-submission; the bloom rides the SAME epoch marker (a crashed
+    epoch's words are invisible), and compaction collapses the word
+    history to one row per word with identical probe results."""
+    import os
+
+    from hydraide_spark.streaming.admission_stream import (
+        EXACT_BLOOM_TABLE,
+        admission_exact_seen,
+    )
+
+    batches = _batches()
+    state = str(tmp_path / "adm")
+    ingest = make_admission_ingest(spark, state, tau=0.6)
+    for e, rows in enumerate(batches):
+        ingest(spark.createDataFrame(rows, SCHEMA), e)
+
+    probe = spark.createDataFrame(
+        [
+            (200, BASE, None),                     # byte-identical to doc 1/5
+            (201, "unique words one two three four", None),  # == doc 2
+            (202, "never before seen text entirely", None),  # fresh
+        ],
+        SCHEMA,
+    )
+    got = {
+        r.doc_id: r.exact_seen
+        for r in admission_exact_seen(spark, state, probe).collect()
+    }
+    assert got == {200: 1, 201: 1, 202: 0}
+
+    # crash window: epoch 2's bloom words exist but the marker doesn't
+    # -> its texts must NOT probe as seen
+    os.remove(os.path.join(state, "_commits", "epoch=2"))
+    probe5 = spark.createDataFrame([(300, BASE, None)], SCHEMA)
+    # BASE was ingested in epochs 0 AND 2; epoch 0 still committed -> 1
+    got = {
+        r.doc_id: r.exact_seen
+        for r in admission_exact_seen(spark, state, probe5).collect()
+    }
+    assert got == {300: 1}
+    # a text ONLY in the uncommitted epoch 2... all epoch-2 texts are
+    # near-dups of earlier ones except none unique; re-mark and move on
+    ingest(spark.createDataFrame(batches[2], SCHEMA), 2)
+
+    # compaction collapses history; probes unchanged
+    compact_admission_state(spark, state)
+    got = {
+        r.doc_id: r.exact_seen
+        for r in admission_exact_seen(spark, state, probe).collect()
+    }
+    assert got == {200: 1, 201: 1, 202: 0}
+
+
+def test_admission_exact_bloom_uncommitted_epoch_invisible(spark, tmp_path):
+    """A text ingested ONLY in an uncommitted epoch probes 0 — the
+    fast path can never claim a doc the near-dup tables don't hold."""
+    import os
+
+    state = str(tmp_path / "adm")
+    ingest = make_admission_ingest(spark, state, tau=0.6)
+    ingest(spark.createDataFrame(_batches()[0], SCHEMA), 0)
+    only_text = "solitary sentence living in epoch one alone"
+    ingest(spark.createDataFrame([(7, only_text, None)], SCHEMA), 1)
+    from hydraide_spark.streaming.admission_stream import admission_exact_seen
+
+    probe = spark.createDataFrame([(400, only_text, None)], SCHEMA)
+    assert {
+        r.exact_seen for r in admission_exact_seen(spark, state, probe).collect()
+    } == {1}
+    os.remove(os.path.join(state, "_commits", "epoch=1"))
+    assert {
+        r.exact_seen for r in admission_exact_seen(spark, state, probe).collect()
+    } == {0}
