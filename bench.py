@@ -263,6 +263,7 @@ HEADLINE = [
     "bloom_membership_orders",
     "url_canonical_dedup",
     "chunk_neardup_production",
+    "langid_nb_predict_docs",
 ]
 
 

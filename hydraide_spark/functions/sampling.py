@@ -743,3 +743,114 @@ def dsir_threshold_from_quantile(
         )
     idx = int((1.0 - keep_fraction) * (len(scores) - 1))
     return scores[idx]
+
+
+# --- trainable naive-Bayes language ID (r13) ----------------------------------
+
+
+def langid_nb_train(
+    df: DataFrame,
+    label_col: str,
+    text_col: str,
+    n_buckets: int = 256,
+    salt: str = "",
+    method: str = "md5",
+    smoothing: float = 0.5,
+    decimals: int = 12,
+) -> dict:
+    """Train a multinomial naive-Bayes language classifier over hashed
+    unigram+bigram buckets (the trainable upgrade of the heuristic
+    lang-id; fastText's supervised mode is the same bag-of-hashed-
+    ngrams shape with a learned projection — NB is its closed-form
+    cousin whose training is PURE COUNTING, which is what makes the
+    whole pipeline SQL-replayable bit-for-bit).
+
+    One Spark aggregate collects exact integer (label, bucket) counts
+    (≤ L·B rows — map-side combined; nothing float leaves the
+    cluster); the driver derives per-label smoothed log-likelihoods
+    ``ln((c+a)/(T_l+aB))`` and log-priors ``ln(n_l/N)``, quantized to
+    DECIMAL exactly the way DuckDB's CAST(DOUBLE AS DECIMAL) rounds
+    (shortest-repr HALF_EVEN — the dsir_logratios convention; driver
+    libm == DuckDB libm, the JVM never computes a log). Returns
+    {"labels", "priors", "logprobs", "n_buckets", "salt", "method"}."""
+    import math
+    from decimal import ROUND_HALF_EVEN, Decimal
+
+    q = Decimal(1).scaleb(-int(decimals))
+
+    def _q(x: float) -> Decimal:
+        return Decimal(repr(x)).quantize(q, rounding=ROUND_HALF_EVEN)
+
+    grams = df.select(
+        F.col(label_col).cast("string").alias("_l"),
+        F.explode(dsir_grams(F.col(text_col))).alias("_g"),
+    ).select(
+        "_l", dsir_bucket(F.col("_g"), n_buckets, salt, method).alias("bucket")
+    )
+    rows = grams.groupBy("_l", "bucket").agg(F.count(F.lit(1)).alias("c")).collect()
+    docs = (
+        df.groupBy(F.col(label_col).cast("string").alias("_l"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    n_by_label = {r["_l"]: int(r["n"]) for r in docs}
+    labels = sorted(n_by_label)
+    if not labels:
+        raise ValueError("langid_nb_train: empty training set")
+    N = sum(n_by_label.values())
+    counts = {lab: {} for lab in labels}
+    for r in rows:
+        counts[r["_l"]][int(r["bucket"])] = int(r["c"])
+    a = float(smoothing)
+    B = int(n_buckets)
+    logprobs = {}
+    for lab in labels:
+        T = sum(counts[lab].values())
+        logprobs[lab] = [
+            _q(math.log((counts[lab].get(b, 0) + a) / (T + a * B)))
+            for b in range(B)
+        ]
+    priors = [_q(math.log(n_by_label[lab] / N)) for lab in labels]
+    return {
+        "labels": labels,
+        "priors": priors,
+        "logprobs": logprobs,
+        "n_buckets": B,
+        "salt": salt,
+        "method": method,
+        "decimals": int(decimals),
+    }
+
+
+def langid_nb_predict(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    model: dict,
+) -> DataFrame:
+    """Scan-side argmax prediction under a trained NB model: per label,
+    score = prior + Σ_grams logprob[bucket(g)] — the dsir_score
+    machinery per label (model literals ride the plan as decimal
+    arrays, ONE SQL parse each; DECIMAL sums are exact hence
+    order-free), then a struct-greatest argmax with the ASC-label
+    tiebreak (exact decimal compares — no float anywhere). Map-only at
+    any corpus size; L label passes share the one gram explode via
+    Catalyst subexpression reuse. Returns (id, predicted)."""
+    labels = model["labels"]
+    dec = model.get("decimals", 12)
+    scored = []
+    for i, lab in enumerate(labels):
+        s = F.lit(model["priors"][i]) + dsir_score(
+            F.col(text_col),
+            model["logprobs"][lab],
+            model["salt"],
+            model["method"],
+            decimals=dec,
+        )
+        scored.append(
+            F.struct(
+                s.alias("s"), F.lit(-i).alias("ni"), F.lit(lab).alias("lab")
+            )
+        )
+    best = F.greatest(*scored) if len(scored) > 1 else scored[0]
+    return df.select(F.col(id_col), best.getField("lab").alias("predicted"))

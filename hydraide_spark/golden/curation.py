@@ -834,3 +834,98 @@ def url_canonical_dedup(spark, sf_dir):
         big("n_distinct_raw").alias("n_distinct_raw"),
         big("keep_id").alias("keep_id"),
     )
+
+
+_LID_BUCKET = "('0x' || substr(md5(g || '|lid_v1'), 1, 8))::UBIGINT % 2048"
+
+_LANGID_ORACLE = f"""
+    WITH toks AS (
+      SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, lang, g
+      FROM toks, UNNEST(list_concat(w,
+           list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1]))) AS u(g)
+    ),
+    bucketed AS (
+      SELECT doc_id, lang, {_LID_BUCKET} AS bucket FROM grams
+    ),
+    labels AS (SELECT lang AS lab, CAST(count(*) AS BIGINT) AS n
+               FROM documents GROUP BY lang),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS ntotal FROM labels),
+    lcnt AS (SELECT lang AS lab, bucket, count(*) AS c
+             FROM bucketed GROUP BY lang, bucket),
+    ltot AS (SELECT lab, sum(c) AS T FROM lcnt GROUP BY lab),
+    lp AS (
+      -- per-(label, bucket) smoothed log-likelihood, quantized with
+      -- the same shortest-repr HALF_EVEN cast the driver uses
+      SELECT l.lab, b.bucket,
+             CAST(ln((COALESCE(c, 0) + 0.1::DOUBLE) / (T + 0.1::DOUBLE * 2048))
+                  AS DECIMAL(20,12)) AS L
+      FROM (SELECT UNNEST(range(0, 2048)) AS bucket) b
+      CROSS JOIN ltot l
+      LEFT JOIN lcnt ON lcnt.lab = l.lab AND lcnt.bucket = b.bucket
+    ),
+    pri AS (
+      SELECT lab, CAST(ln(CAST(n AS DOUBLE) / CAST(ntotal AS DOUBLE))
+                       AS DECIMAL(20,12)) AS P
+      FROM labels, tot
+    ),
+    gsums AS (
+      SELECT bucketed.doc_id, lp.lab, SUM(lp.L) AS s
+      FROM bucketed JOIN lp USING (bucket)
+      GROUP BY bucketed.doc_id, lp.lab
+    ),
+    scores AS (
+      SELECT d.doc_id, d.lang, p.lab,
+             p.P + COALESCE(g.s, CAST(0 AS DECIMAL(32,12))) AS score
+      FROM documents d CROSS JOIN pri p
+      LEFT JOIN gsums g ON g.doc_id = d.doc_id AND g.lab = p.lab
+    ),
+    pred AS (
+      SELECT doc_id, lang, lab AS predicted,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY score DESC, lab ASC) AS rn
+      FROM scores
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           predicted,
+           CAST(CASE WHEN predicted = lang THEN 1 ELSE 0 END AS INT) AS correct
+    FROM pred WHERE rn = 1
+"""
+
+
+@golden("langid_nb_predict_docs", oracle=_LANGID_ORACLE)
+def langid_nb_predict_docs(spark, sf_dir):
+    """Trainable naive-Bayes language ID (r13 — the learned upgrade of
+    the heuristic lang-id, the second trained-in-engine model after
+    the quality classifier): hashed unigram+bigram bucket counts per
+    label (ONE Spark aggregate of exact integers), driver-quantized
+    DECIMAL log-likelihoods + log-priors (libm ln, shortest-repr
+    HALF_EVEN — the dsir_logratios convention), scan-side per-label
+    DECIMAL score sums (exact hence order-free) and a struct-greatest
+    argmax with ASC-label tiebreak. The oracle replays TRAINING AND
+    PREDICTION — counts, smoothing, ln, quantization, sums, argmax —
+    so every predicted label and correctness flag matches exactly
+    (85% train-set accuracy at B=2048, α=0.1 over the 5-language
+    corpus vs 44% majority; larger B needs SMALLER α — at α=0.5 the
+    unseen-bucket penalty ln(α/(T+αB)) is least negative for the
+    smallest label, so high-B models skew toward rare labels and
+    accuracy COLLAPSED to 49% at B=4096).
+    Scale shape: the model is O(L·B) integers collected once; scoring
+    is map-only."""
+    from ..functions.sampling import langid_nb_predict, langid_nb_train
+
+    docs = t(spark, sf_dir, "documents")
+    model = langid_nb_train(
+        docs, "lang", "text", n_buckets=2048, salt="lid_v1", smoothing=0.1
+    )
+    pred = langid_nb_predict(docs, "doc_id", "text", model)
+    return (
+        pred.join(docs.select("doc_id", "lang"), "doc_id")
+        .select(
+            big("doc_id").alias("doc_id"),
+            F.col("predicted"),
+            (F.col("predicted") == F.col("lang")).cast("int").alias("correct"),
+        )
+    )

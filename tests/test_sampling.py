@@ -357,3 +357,59 @@ def test_cluster_balanced_sample_quota(spark):
     again = {r.vec_id for r in cluster_balanced_sample(
         df, "vec_id", "embedding", cents, per_cluster=5).collect()}
     assert again == {r.vec_id for r in got}
+
+
+# --- trainable naive-Bayes language ID (r13) ----------------------------------
+
+
+def test_langid_nb_learns_separable_languages(spark):
+    from pyspark.sql import functions as F
+
+    from hydraide_spark.functions.sampling import langid_nb_predict, langid_nb_train
+
+    rows = []
+    for i in range(30):
+        rows.append((i, "xx", "der hund läuft schnell und der ball rollt"))
+        rows.append((100 + i, "yy", "the dog runs fast and the ball rolls"))
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    model = langid_nb_train(df, "lang", "text", n_buckets=512, smoothing=0.1)
+    assert model["labels"] == ["xx", "yy"]
+    pred = langid_nb_predict(df, "doc_id", "text", model)
+    got = {r.doc_id: r.predicted for r in pred.collect()}
+    assert all(got[i] == "xx" for i in range(30))
+    assert all(got[100 + i] == "yy" for i in range(30))
+    # an unseen-vocabulary doc falls back to priors+unseen penalties —
+    # deterministic, never an error
+    probe = spark.createDataFrame([(999, "zzz qqq www")], "doc_id long, text string")
+    assert langid_nb_predict(probe, "doc_id", "text", model).count() == 1
+
+
+def test_langid_nb_empty_text_predicts_by_prior(spark):
+    """Zero grams -> score = prior only; the majority label wins, and
+    ties break toward the ASC label (exact decimal compares)."""
+    from hydraide_spark.functions.sampling import langid_nb_predict, langid_nb_train
+
+    rows = [(1, "aa", "foo bar"), (2, "aa", "foo baz"), (3, "bb", "qux zot")]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    model = langid_nb_train(df, "lang", "text", n_buckets=64)
+    probe = spark.createDataFrame([(9, "")], "doc_id long, text string")
+    (r,) = langid_nb_predict(probe, "doc_id", "text", model).collect()
+    assert r.predicted == "aa"  # prior 2/3 beats 1/3
+
+    # exact tie (equal priors, empty text): ASC-label tiebreak
+    even = spark.createDataFrame(
+        [(1, "aa", "foo"), (2, "bb", "foo")], "doc_id long, lang string, text string"
+    )
+    m2 = langid_nb_train(even, "lang", "text", n_buckets=64)
+    (r2,) = langid_nb_predict(probe, "doc_id", "text", m2).collect()
+    assert r2.predicted == "aa"
+
+
+def test_langid_nb_train_guards(spark):
+    import pytest as _pytest
+
+    from hydraide_spark.functions.sampling import langid_nb_train
+
+    empty = spark.createDataFrame([], "doc_id long, lang string, text string")
+    with _pytest.raises(ValueError, match="empty"):
+        langid_nb_train(empty, "lang", "text")
