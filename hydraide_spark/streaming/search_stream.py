@@ -472,8 +472,20 @@ def advise_state_layout(state_dir: str, table: str = "postings") -> dict:
         n_scans=int(wl.get("scans", 0)),
         n_rows=n_rows,
     )
-    key_col = {"postings": "word"}.get(table, "doc_id")
     rec["table"] = table
+    if table in ("cells", "codes", "pqcodes"):
+        # the dense-index tables are CELL-partitioned — their probe
+        # pruning comes from the cell= layout, which compaction must
+        # PRESERVE; hash-bucketing them would destroy it. The flat-vs-
+        # bucketed tradeoff doesn't apply: always fold cell-partitioned.
+        rec["recommendation"] = "cell-partitioned"
+        rec["n_buckets"] = None
+        rec["migration"] = (
+            f"compact_epochs(spark, '{os.path.join(state_dir, table)}', "
+            f"partition_by=['cell'])"
+        )
+        return rec
+    key_col = {"postings": "word", "bands": "bucket"}.get(table, "doc_id")
     rec["migration"] = (
         f"compact_hashed_epochs(spark, '{os.path.join(state_dir, table)}', "
         f"{key_col!r}, n_buckets={rec['n_buckets']})"

@@ -222,3 +222,27 @@ def test_state_layout_history_is_bounded_and_serving_records(spark, tmp_path):
         wl = json.load(fh)["postings"]
     assert len(wl["probe_keys"]) == 1000  # bounded history
     assert wl["probes"] == 1101
+
+
+def test_state_layout_cell_partitioned_tables_never_hash_bucket(tmp_path):
+    """cells/codes/pqcodes get their probe pruning from the cell=
+    layout — the advisor must preserve it (hash-bucketing would
+    destroy partition pruning), whatever the access history says."""
+    import json
+    import os
+
+    from hydraide_spark.streaming.search_stream import (
+        _record_workload,
+        advise_state_layout,
+    )
+
+    state = str(tmp_path / "ustate")
+    os.makedirs(state)
+    with open(os.path.join(state, "_STATS"), "w") as fh:
+        json.dump({"base_rows": 1_000_000, "dim": 8, "absorbed": []}, fh)
+    for _ in range(200):
+        _record_workload(state, "cells", "probe", 2)
+    rec = advise_state_layout(state, "cells")
+    assert rec["recommendation"] == "cell-partitioned"
+    assert "partition_by=['cell']" in rec["migration"]
+    assert rec["n_buckets"] is None
