@@ -48,6 +48,79 @@ EXACT_BLOOM_TABLE = "exact_bloom"
 EXACT_BLOOM_BITS = 1 << 20  # ~32K words max; size for the REAL corpus
 EXACT_BLOOM_K = 4
 
+#: Bloom GEOMETRY manifest (r14, ADVICE): (n_bits, k) are part of the
+#: stored filter's identity — a probe with different parameters reads
+#: the wrong bit positions and silently produces FALSE NEGATIVES,
+#: breaking the "exact_seen=0 is definitive absence" guarantee. The
+#: ingest persists them beside the table (underscore name — Spark
+#: reads skip it) and every reader resolves them from there; explicit
+#: caller parameters that disagree with the manifest RAISE.
+_BLOOM_GEOMETRY = "_GEOMETRY.json"
+
+
+def read_bloom_geometry(state_dir: str) -> "tuple[int, int] | None":
+    """(n_bits, k) persisted with the exact_bloom table, or None for a
+    state that has never written the manifest (pre-r14 states: readers
+    fall back to the module defaults, exactly the old behavior)."""
+    import json
+
+    try:
+        with open(
+            os.path.join(state_dir, EXACT_BLOOM_TABLE, _BLOOM_GEOMETRY)
+        ) as fh:
+            g = json.load(fh)
+        return int(g["n_bits"]), int(g["k"])
+    except (OSError, ValueError, KeyError):
+        return None
+
+
+def _write_bloom_geometry(state_dir: str, n_bits: int, k: int) -> None:
+    """Persist (raise-on-mismatch) the bloom geometry. Idempotent for
+    matching parameters; a second ingest configured differently fails
+    LOUDLY instead of silently poisoning the shared filter."""
+    import json
+
+    existing = read_bloom_geometry(state_dir)
+    if existing is not None:
+        if existing != (int(n_bits), int(k)):
+            raise ValueError(
+                f"exact_bloom geometry mismatch: table was built with "
+                f"(n_bits={existing[0]}, k={existing[1]}), ingest "
+                f"configured (n_bits={int(n_bits)}, k={int(k)}) — "
+                "mixed geometries produce silent false negatives"
+            )
+        return
+    d = os.path.join(state_dir, EXACT_BLOOM_TABLE)
+    os.makedirs(d, exist_ok=True)
+    tmp = os.path.join(d, ".tmp-geometry")
+    with open(tmp, "w") as fh:
+        json.dump({"n_bits": int(n_bits), "k": int(k)}, fh)
+    os.replace(tmp, os.path.join(d, _BLOOM_GEOMETRY))
+
+
+def _resolve_bloom_geometry(
+    state_dir: str,
+    n_bits: "int | None",
+    k: "int | None",
+) -> "tuple[int, int]":
+    """Reader-side resolution: manifest wins; explicit caller values
+    must MATCH it (None = "use the stored geometry"); with no manifest
+    (legacy state) explicit values or the module defaults apply."""
+    stored = read_bloom_geometry(state_dir)
+    if stored is not None:
+        for name, want, have in (("n_bits", n_bits, stored[0]), ("k", k, stored[1])):
+            if want is not None and int(want) != have:
+                raise ValueError(
+                    f"exact_bloom geometry mismatch: stored {name}={have}, "
+                    f"caller passed {int(want)} — probe would read the "
+                    "wrong bit positions (silent false negatives)"
+                )
+        return stored
+    return (
+        EXACT_BLOOM_BITS if n_bits is None else int(n_bits),
+        EXACT_BLOOM_K if k is None else int(k),
+    )
+
 
 def make_admission_ingest(
     spark: SparkSession,
@@ -116,6 +189,7 @@ def make_admission_ingest(
             F.col(text_col).isNotNull() & (F.length(text_col) > 0)
         )
         text_ingest(texts.select(id_col, text_col), epoch)
+        _write_bloom_geometry(state_dir, exact_bloom_bits, exact_bloom_k)
         bloom_build(
             texts.select(text_col), text_col,
             n_bits=exact_bloom_bits, k=exact_bloom_k,
@@ -170,8 +244,8 @@ def admission_exact_seen(
     query_items: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
-    exact_bloom_bits: int = EXACT_BLOOM_BITS,
-    exact_bloom_k: int = EXACT_BLOOM_K,
+    exact_bloom_bits: "int | None" = None,
+    exact_bloom_k: "int | None" = None,
 ) -> DataFrame:
     """The exact-text admission fast path: probe the query texts
     against the bit_or-merge of all COMMITTED epochs' bloom words
@@ -182,11 +256,23 @@ def admission_exact_seen(
     FPR — route to the verify path. Uncommitted epochs' words are
     invisible (the shared marker frontier), so a crash mid-batch can
     never make the fast path claim a doc that the near-dup tables
-    don't hold."""
+    don't hold.
+
+    Geometry comes from the table's ``_GEOMETRY.json`` manifest
+    (written by the ingest — r14 ADVICE): pass ``None`` (the default)
+    to use the stored (n_bits, k); explicit values that disagree with
+    the manifest raise rather than silently probing the wrong bits.
+    EVERY query id gets a row: items with NULL/empty text (the
+    media-only case this module ingests) return exact_seen=0 — the
+    filter has never seen a text for them, and a dropped row would
+    leave the caller with no admission decision at all."""
     from ..functions.sketches import bloom_probe
     from .media_stream import _epoch_read
     from .state_compact import committed_frontier
 
+    n_bits, k = _resolve_bloom_geometry(
+        state_dir, exact_bloom_bits, exact_bloom_k
+    )
     q = query_items.select(F.col(id_col), F.col(text_col))
     words = _epoch_read(
         spark,
@@ -194,15 +280,20 @@ def admission_exact_seen(
         "word long, bits long",
         epochs=committed_frontier(state_dir),
     )
+    zero = F.lit(0).cast("int").alias("exact_seen")
     if words is None:
-        return q.select(
-            F.col(id_col), F.lit(0).cast("int").alias("exact_seen")
-        )
+        return q.select(F.col(id_col), zero)
+    has_text = F.col(text_col).isNotNull() & (F.length(text_col) > 0)
+    textful = q.filter(has_text)
     merged = words.groupBy("word").agg(F.bit_or("bits").alias("bits"))
     hits = bloom_probe(
-        merged, q, text_col, n_bits=exact_bloom_bits, k=exact_bloom_k
+        merged, textful, text_col, n_bits=n_bits, k=k
     ).withColumnRenamed("might_contain", "exact_seen")
-    return q.join(hits, text_col).select(id_col, "exact_seen")
+    return (
+        textful.join(hits, text_col)
+        .select(id_col, "exact_seen")
+        .unionByName(q.filter(~has_text).select(F.col(id_col), zero))
+    )
 
 
 def admission_text_pairs(spark: SparkSession, state_dir: str) -> DataFrame:
@@ -281,8 +372,13 @@ def compact_admission_state(
         return df.groupBy("word").agg(F.bit_or("bits").alias("bits"))
 
     if tiered:
+        # the bit_or collapse must run at BOTH fold levels (r14 ADVICE):
+        # minor folds would otherwise stack one word-frame per folded
+        # epoch into every L1 run and the read-side OR grows unbounded
         out[EXACT_BLOOM_TABLE] = compact_epochs_tiered(
-            spark, os.path.join(state_dir, EXACT_BLOOM_TABLE)
+            spark,
+            os.path.join(state_dir, EXACT_BLOOM_TABLE),
+            augment=_or_words,
         )
     else:
         out[EXACT_BLOOM_TABLE] = compact_epochs(

@@ -404,43 +404,76 @@ def _write_base_stats(state_dir: str, base_rows: int, dim, absorbed) -> None:
     os.replace(tmp, path)
 
 
-_WORKLOAD_FILE = "_WORKLOAD.json"
+_WORKLOAD_FILE = "_WORKLOAD.json"  # legacy r13 snapshot — read-only now
+_WORKLOAD_LOG = "_WORKLOAD.jsonl"  # per-event append log (r14 ADVICE)
+_WORKLOAD_LOG_MAX_BYTES = 4 << 20
 
 
 def _record_workload(state_dir: str, table: str, kind: str, n_keys: int = 0) -> None:
-    """Best-effort per-table access counters for the layout advisor
-    (r13): probes (pruned reads — how many key-buckets they touch) and
-    full scans, accumulated in ``_WORKLOAD.json``. Read-modify-replace
-    of a tiny JSON; failures are swallowed (a read-only state dir must
-    never break serving — the advisor just sees less history)."""
+    """Best-effort per-table access events for the layout advisor:
+    probes (pruned reads — how many key-buckets they touch) and full
+    scans. ONE O_APPEND line per event (r14 ADVICE — the r13
+    read-modify-replace of a whole JSON paid two disk I/Os on every
+    hot serving-path probe and lost concurrent updates last-writer-
+    wins on the entire history); small appends are atomic, so
+    concurrent queries/streams never clobber each other. Aggregation
+    happens at advise time (:func:`advise_state_layout`). The log
+    rotates to ``.old`` at ~4 MB so it stays bounded; failures are
+    swallowed (a read-only state dir must never break serving — the
+    advisor just sees less history)."""
     import json
 
     try:
         if not os.path.isdir(state_dir):
             return
-        path = os.path.join(state_dir, _WORKLOAD_FILE)
+        path = os.path.join(state_dir, _WORKLOAD_LOG)
         try:
-            with open(path) as fh:
-                wl = json.load(fh)
-        except (OSError, ValueError):
-            wl = {}
-        t = wl.setdefault(table, {"probes": 0, "probe_keys": [], "scans": 0})
-        if kind == "probe":
-            t["probes"] = int(t.get("probes", 0)) + 1
-            keys = t.setdefault("probe_keys", [])
-            keys.append(int(n_keys))
-            # bounded history: the advisor needs the batch-size
-            # DISTRIBUTION, not an unbounded log
-            if len(keys) > 1000:
-                del keys[: len(keys) - 1000]
-        else:
-            t["scans"] = int(t.get("scans", 0)) + 1
-        tmp = path + ".tmp"
-        with open(tmp, "w") as fh:
-            json.dump(wl, fh)
-        os.replace(tmp, path)
+            if os.path.getsize(path) > _WORKLOAD_LOG_MAX_BYTES:
+                os.replace(path, path + ".old")
+        except OSError:
+            pass
+        with open(path, "a") as fh:
+            fh.write(json.dumps({"t": table, "k": kind, "n": int(n_keys)}) + "\n")
     except OSError:
         pass
+
+
+def _workload_history(state_dir: str, table: str) -> dict:
+    """Aggregate one table's access history: the legacy r13 snapshot
+    (if present) plus the rotated and current append logs. A torn tail
+    line (crash mid-append) is skipped, not fatal. probe_keys is
+    capped at the most recent 1000 — the advisor needs the batch-size
+    DISTRIBUTION, not an unbounded list."""
+    import json
+
+    wl = {"probes": 0, "probe_keys": [], "scans": 0}
+    try:
+        with open(os.path.join(state_dir, _WORKLOAD_FILE)) as fh:
+            legacy = json.load(fh).get(table, {})
+        wl["probes"] = int(legacy.get("probes", 0))
+        wl["probe_keys"] = [int(x) for x in legacy.get("probe_keys", [])]
+        wl["scans"] = int(legacy.get("scans", 0))
+    except (OSError, ValueError):
+        pass
+    for name in (_WORKLOAD_LOG + ".old", _WORKLOAD_LOG):
+        try:
+            with open(os.path.join(state_dir, name)) as fh:
+                for line in fh:
+                    try:
+                        ev = json.loads(line)
+                    except ValueError:
+                        continue
+                    if ev.get("t") != table:
+                        continue
+                    if ev.get("k") == "probe":
+                        wl["probes"] += 1
+                        wl["probe_keys"].append(int(ev.get("n", 0)))
+                    else:
+                        wl["scans"] += 1
+        except OSError:
+            pass
+    wl["probe_keys"] = wl["probe_keys"][-1000:]
+    return wl
 
 
 def advise_state_layout(state_dir: str, table: str = "postings") -> dict:
@@ -456,15 +489,9 @@ def advise_state_layout(state_dir: str, table: str = "postings") -> dict:
     small-file overhead). Probe-heavy histories recommend bucketing;
     scan-heavy ones flat. Returns the recommendation plus the concrete
     compaction call to apply it."""
-    import json
-
     from ..sources.layout_advisor import recommend_layout
 
-    try:
-        with open(os.path.join(state_dir, _WORKLOAD_FILE)) as fh:
-            wl = json.load(fh).get(table, {})
-    except (OSError, ValueError):
-        wl = {}
+    wl = _workload_history(state_dir, table)
     st = state_stats(state_dir)
     n_rows = int(st["rows"]) if st and st.get("rows") else 0
     rec = recommend_layout(

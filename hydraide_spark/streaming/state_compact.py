@@ -472,6 +472,7 @@ def fold_to_l1(
     table_dir: str,
     partition_by: list[str] | None = None,
     min_epochs: int = 2,
+    augment=None,
 ) -> int:
     """MINOR fold: consolidate the committed delta epochs (L0) into ONE
     new L1 run directory (``epoch=-K``) without touching the base or
@@ -510,6 +511,14 @@ def fold_to_l1(
         .parquet(*[os.path.join(table_dir, f"epoch={e}") for e in fold])
         .drop("epoch")
     )
+    if augment is not None:
+        # same contract as compact_epochs' augment: a df→df collapse /
+        # layout derivation applied to the folded rows (r14 ADVICE —
+        # without it the bloom table's bit_or collapse only ran on the
+        # full-fold path and L1 runs accumulated one word-frame per
+        # folded epoch, the unbounded read-side-OR growth the collapse
+        # exists to prevent)
+        src = augment(src)
     tmp = os.path.join(table_dir, _TMP_L1)
     if partition_by:
         (
@@ -604,6 +613,7 @@ def compact_epochs_tiered(
     partition_by: list[str] | None = None,
     l1_fraction: float = 0.25,
     min_epochs: int = 2,
+    augment=None,
 ) -> dict:
     """Leveled compaction tick — the maintenance entry a long-running
     ingest should call instead of the full fold:
@@ -621,8 +631,17 @@ def compact_epochs_tiered(
     instead of one full-base rewrite per tick. Returns
     ``{"minor": n_l0_folded, "major": n_dirs_folded, "l1_bytes": …,
     "base_bytes": …}``."""
+    if augment is not None and key_col is not None:
+        raise ValueError(
+            "augment is not supported with key_col (the hashed fold "
+            "derives its own bucket layout); use one or the other"
+        )
     minor = fold_to_l1(
-        spark, table_dir, partition_by=partition_by, min_epochs=min_epochs
+        spark,
+        table_dir,
+        partition_by=partition_by,
+        min_epochs=min_epochs,
+        augment=augment,
     )
     l1_b, base_b = l1_pressure(table_dir)
     major = 0
@@ -630,7 +649,9 @@ def compact_epochs_tiered(
         if key_col is not None:
             major = compact_hashed_epochs(spark, table_dir, key_col)
         else:
-            major = compact_epochs(spark, table_dir, partition_by=partition_by)
+            major = compact_epochs(
+                spark, table_dir, partition_by=partition_by, augment=augment
+            )
     return {
         "minor": minor,
         "major": major,

@@ -258,3 +258,121 @@ def test_admission_exact_bloom_uncommitted_epoch_invisible(spark, tmp_path):
     assert {
         r.exact_seen for r in admission_exact_seen(spark, state, probe).collect()
     } == {0}
+
+
+def test_bloom_geometry_manifest_round_trip_and_mismatch(spark, tmp_path):
+    """r14 ADVICE: (n_bits, k) persist with the exact_bloom table. A
+    probe with no explicit parameters uses the STORED geometry (so a
+    non-default ingest still probes correctly); explicit mismatching
+    parameters raise instead of silently producing false negatives;
+    and a second ingest configured differently raises too."""
+    import pytest
+
+    from hydraide_spark.streaming.admission_stream import (
+        admission_exact_seen,
+        read_bloom_geometry,
+    )
+
+    state = str(tmp_path / "adm")
+    ingest = make_admission_ingest(
+        spark, state, tau=0.6, exact_bloom_bits=1 << 14, exact_bloom_k=6
+    )
+    ingest(spark.createDataFrame(_batches()[0], SCHEMA), 0)
+    assert read_bloom_geometry(state) == (1 << 14, 6)
+
+    # default-parameter probe resolves the stored geometry: the
+    # byte-identical text is seen, the fresh one definitively not
+    probe = spark.createDataFrame(
+        [(200, BASE, None), (201, "never seen text entirely fresh", None)],
+        SCHEMA,
+    )
+    got = {
+        r.doc_id: r.exact_seen
+        for r in admission_exact_seen(spark, state, probe).collect()
+    }
+    assert got == {200: 1, 201: 0}
+
+    with pytest.raises(ValueError, match="geometry mismatch"):
+        admission_exact_seen(spark, state, probe, exact_bloom_bits=1 << 20)
+    with pytest.raises(ValueError, match="geometry mismatch"):
+        admission_exact_seen(spark, state, probe, exact_bloom_k=4)
+    # matching explicit values are fine
+    assert (
+        admission_exact_seen(
+            spark, state, probe, exact_bloom_bits=1 << 14, exact_bloom_k=6
+        ).count()
+        == 2
+    )
+
+    bad_ingest = make_admission_ingest(spark, state, tau=0.6)  # defaults
+    with pytest.raises(ValueError, match="geometry mismatch"):
+        bad_ingest(spark.createDataFrame(_batches()[1], SCHEMA), 1)
+
+
+def test_exact_seen_media_only_items_get_a_row(spark, tmp_path):
+    """r14 ADVICE: items with NULL/empty text (media-only) must return
+    exact_seen=0, not vanish — a caller iterating the result to admit
+    docs needs a decision for EVERY input id."""
+    from hydraide_spark.streaming.admission_stream import admission_exact_seen
+
+    state = str(tmp_path / "adm")
+    ingest = make_admission_ingest(spark, state, tau=0.6)
+    for e, rows in enumerate(_batches()):
+        ingest(spark.createDataFrame(rows, SCHEMA), e)
+
+    probe = spark.createDataFrame(
+        [
+            (500, BASE, None),          # seen text
+            (501, None, _img(1)),       # media-only: NULL text
+            (502, "", _img(2)),         # media-only: empty text
+        ],
+        SCHEMA,
+    )
+    got = {
+        r.doc_id: r.exact_seen
+        for r in admission_exact_seen(spark, state, probe).collect()
+    }
+    assert got == {500: 1, 501: 0, 502: 0}
+
+
+def test_tiered_compaction_collapses_bloom_words(spark, tmp_path):
+    """r14 ADVICE: the tiered path must apply the bit_or collapse at
+    minor AND major folds — after compaction no word may appear more
+    than once per folded dir, and probes are unchanged."""
+    import os
+
+    from hydraide_spark.streaming.admission_stream import (
+        EXACT_BLOOM_TABLE,
+        admission_exact_seen,
+    )
+
+    state = str(tmp_path / "adm")
+    ingest = make_admission_ingest(spark, state, tau=0.6)
+    texts = [f"document number {i} with some shared words" for i in range(8)]
+    for e, t in enumerate(texts):
+        ingest(spark.createDataFrame([(e, t, None)], SCHEMA), e)
+
+    probe = spark.createDataFrame(
+        [(900 + i, t, None) for i, t in enumerate(texts)]
+        + [(999, "entirely novel text never ingested", None)],
+        SCHEMA,
+    )
+    before = {
+        r.doc_id: r.exact_seen
+        for r in admission_exact_seen(spark, state, probe).collect()
+    }
+    assert before[999] == 0 and all(before[900 + i] == 1 for i in range(8))
+
+    compact_admission_state(spark, state, tiered=True)
+    table = os.path.join(state, EXACT_BLOOM_TABLE)
+    words = spark.read.option("basePath", table).parquet(table)
+    # per folded dir (base/L1 run), every word collapsed to one row
+    per_dir = (
+        words.groupBy("epoch", "word").count().filter("count > 1").count()
+    )
+    assert per_dir == 0
+    after = {
+        r.doc_id: r.exact_seen
+        for r in admission_exact_seen(spark, state, probe).collect()
+    }
+    assert after == before

@@ -189,14 +189,12 @@ def test_state_layout_scan_heavy_recommends_flat(tmp_path):
 
 
 def test_state_layout_history_is_bounded_and_serving_records(spark, tmp_path):
-    """persisted_postings records its own access kind; the probe-keys
-    history stays bounded at 1000 entries."""
-    import json
-    import os
-
+    """persisted_postings records its own access kind via the append
+    log (r14); the aggregated probe-keys history stays bounded at 1000
+    entries while the probe COUNT keeps every event."""
     from hydraide_spark.streaming.search_stream import (
-        _WORKLOAD_FILE,
         _record_workload,
+        _workload_history,
         make_postings_ingest,
         persisted_postings,
     )
@@ -212,16 +210,70 @@ def test_state_layout_history_is_bounded_and_serving_records(spark, tmp_path):
     )
     persisted_postings(spark, state, words=["beta", "alpha"]).count()
     persisted_postings(spark, state).count()
-    with open(os.path.join(state, _WORKLOAD_FILE)) as fh:
-        wl = json.load(fh)["postings"]
+    wl = _workload_history(state, "postings")
     assert wl["probes"] == 1 and wl["scans"] == 1
     assert wl["probe_keys"] == [2]
     for _ in range(1100):
         _record_workload(state, "postings", "probe", 1)
-    with open(os.path.join(state, _WORKLOAD_FILE)) as fh:
-        wl = json.load(fh)["postings"]
+    wl = _workload_history(state, "postings")
     assert len(wl["probe_keys"]) == 1000  # bounded history
     assert wl["probes"] == 1101
+
+
+def test_state_layout_concurrent_recorders_lose_nothing(tmp_path):
+    """r14 ADVICE: the r13 read-modify-replace lost concurrent updates
+    last-writer-wins on the whole file; O_APPEND event lines make
+    every recorder's events land. 8 threads × 100 events each must all
+    be visible to the aggregator."""
+    import os
+    import threading
+
+    from hydraide_spark.streaming.search_stream import (
+        _record_workload,
+        _workload_history,
+    )
+
+    state = str(tmp_path / "ustate")
+    os.makedirs(state)
+
+    def hammer(i):
+        for _ in range(100):
+            _record_workload(state, "postings", "probe", i + 1)
+
+    threads = [threading.Thread(target=hammer, args=(i,)) for i in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    wl = _workload_history(state, "postings")
+    assert wl["probes"] == 800  # zero lost updates
+    assert len(wl["probe_keys"]) == 800
+
+
+def test_state_layout_legacy_snapshot_still_counts(tmp_path):
+    """A pre-r14 _WORKLOAD.json snapshot merges with new append-log
+    events — upgrading never forgets recorded history."""
+    import json
+    import os
+
+    from hydraide_spark.streaming.search_stream import (
+        _WORKLOAD_FILE,
+        _record_workload,
+        _workload_history,
+    )
+
+    state = str(tmp_path / "ustate")
+    os.makedirs(state)
+    with open(os.path.join(state, _WORKLOAD_FILE), "w") as fh:
+        json.dump(
+            {"postings": {"probes": 5, "probe_keys": [1, 2, 3, 4, 5], "scans": 2}},
+            fh,
+        )
+    _record_workload(state, "postings", "probe", 7)
+    _record_workload(state, "postings", "scan")
+    wl = _workload_history(state, "postings")
+    assert wl["probes"] == 6 and wl["scans"] == 3
+    assert wl["probe_keys"] == [1, 2, 3, 4, 5, 7]
 
 
 def test_state_layout_cell_partitioned_tables_never_hash_bucket(tmp_path):
