@@ -704,6 +704,20 @@ def _magnitude(v: int):
     return s, (v if v > 0 else v + (1 << s) - 1)
 
 
+def _pool2(p):
+    """2x2 area-mean chroma pool with edge replication (the 4:2:0
+    subsample), shared by the sequential and progressive encoders."""
+    import numpy as np
+
+    hh = (p.shape[0] + 1) // 2 * 2
+    ww = (p.shape[1] + 1) // 2 * 2
+    q = np.empty((hh, ww))
+    q[: p.shape[0], : p.shape[1]] = p
+    q[p.shape[0]:, : p.shape[1]] = p[-1:]
+    q[:, p.shape[1]:] = q[:, p.shape[1] - 1 : p.shape[1]]
+    return (q[0::2, 0::2] + q[1::2, 0::2] + q[0::2, 1::2] + q[1::2, 1::2]) / 4.0
+
+
 def encode_jpeg(
     pixels,
     quality: int = 90,
@@ -733,17 +747,7 @@ def encode_jpeg(
         planes = [y, cb, cr]
     else:
         hv = [(2, 2), (1, 1), (1, 1)]
-
-        def pool2(p):
-            hh = (p.shape[0] + 1) // 2 * 2
-            ww = (p.shape[1] + 1) // 2 * 2
-            q = np.empty((hh, ww))
-            q[: p.shape[0], : p.shape[1]] = p
-            q[p.shape[0]:, : p.shape[1]] = p[-1:]
-            q[:, p.shape[1]:] = q[:, p.shape[1] - 1 : p.shape[1]]
-            return (q[0::2, 0::2] + q[1::2, 0::2] + q[0::2, 1::2] + q[1::2, 1::2]) / 4.0
-
-        planes = [y, pool2(cb), pool2(cr)]
+        planes = [y, _pool2(cb), _pool2(cr)]
     hmax = max(a for a, _ in hv)
     vmax = max(b for _, b in hv)
     mcux = (w + 8 * hmax - 1) // (8 * hmax)
@@ -861,6 +865,374 @@ def encode_jpeg(
     )
 
 
+def _jseg(marker: int, body: bytes) -> bytes:
+    return bytes([0xFF, marker]) + (len(body) + 2).to_bytes(2, "big") + body
+
+
+def _jdqt(tid: int, table) -> bytes:
+    return _jseg(
+        0xDB, bytes([tid]) + bytes(int(table.reshape(-1)[z]) for z in _ZIGZAG)
+    )
+
+
+def _jdht(cls: int, tid: int, spec) -> bytes:
+    bits, vals = spec
+    return _jseg(0xC4, bytes([(cls << 4) | tid]) + bytes(bits) + bytes(vals))
+
+
+def _jpeg_coef_arrays(px, quality: int, subsampling: str):
+    """Shared encode front half: RGB -> quantized zigzag-order
+    coefficient arrays per component (vectorized — one batch DCT
+    einsum per component), plus the frame/geometry dicts in exactly
+    the decoder's shape so :func:`_scan_blocks` serves both sides."""
+    import numpy as np
+
+    if subsampling not in ("444", "420"):
+        raise ValueError(
+            f"encode_jpeg_progressive: subsampling {subsampling!r} not in 444/420"
+        )
+    h, w, _ = px.shape
+    y, cb, cr = _rgb_to_ycbcr(px)
+    C = _dct_matrix()
+    qy = _scaled_quant(_QUANT_LUMA, quality)
+    qc = _scaled_quant(_QUANT_CHROMA, quality)
+    if subsampling == "444":
+        hv = [(1, 1), (1, 1), (1, 1)]
+        planes = [y, cb, cr]
+    else:
+        hv = [(2, 2), (1, 1), (1, 1)]
+        planes = [y, _pool2(cb), _pool2(cr)]
+    hmax = max(a for a, _ in hv)
+    vmax = max(b for _, b in hv)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    quants = [qy, qc, qc]
+    coefs = []
+    nblocks = []
+    for (hs, vs), plane, qt in zip(hv, planes, quants):
+        ph, pw = mcuy * vs * 8, mcux * hs * 8
+        p = np.empty((ph, pw))
+        sh, sw = plane.shape
+        p[:sh, :sw] = plane
+        p[sh:, :sw] = plane[-1:]
+        p[:, sw:] = p[:, sw - 1 : sw]
+        p -= 128.0
+        nby, nbx = ph // 8, pw // 8
+        blocks = p.reshape(nby, 8, nbx, 8).transpose(0, 2, 1, 3)
+        coef = np.einsum("ij,abjk,kl->abil", C, blocks, C.T)
+        qd = np.round(coef / qt).astype(np.int64)
+        coefs.append(qd.reshape(nby, nbx, 64)[:, :, _ZIGZAG])
+        cw = (w * hs + hmax - 1) // hmax
+        ch = (h * vs + vmax - 1) // vmax
+        nblocks.append(((ch + 7) // 8, (cw + 7) // 8))
+    frame = {
+        "h": h,
+        "w": w,
+        "comps": [
+            {"id": i + 1, "h": hv[i][0], "v": hv[i][1], "tq": 0 if i == 0 else 1}
+            for i in range(3)
+        ],
+    }
+    geo = {
+        "hmax": hmax,
+        "vmax": vmax,
+        "mcux": mcux,
+        "mcuy": mcuy,
+        "nblocks": nblocks,
+        "coefs": coefs,
+    }
+    return frame, geo, qy, qc
+
+
+def _optimal_huff_table(freq256):
+    """Canonical Huffman (bits, values) from symbol frequencies — the
+    T.81 Annex K.2/K.3 procedure: a 257th pseudo-symbol of frequency 1
+    guarantees the all-ones code is never assigned to a real symbol;
+    code lengths are limited to 16 by the standard pair-lifting
+    adjustment. Progressive encoding NEEDS this: the Annex K baseline
+    AC tables carry no codes for EOB-run symbols 0x10..0xE0, which is
+    why real progressive encoders always emit optimized tables."""
+    freq = list(freq256) + [1]
+    codesize = [0] * 257
+    others = [-1] * 257
+    while True:
+        c1, v = -1, None
+        for i in range(257):
+            if freq[i] > 0 and (v is None or freq[i] <= v):
+                v, c1 = freq[i], i
+        c2, v = -1, None
+        for i in range(257):
+            if i != c1 and freq[i] > 0 and (v is None or freq[i] <= v):
+                v, c2 = freq[i], i
+        if c2 < 0:
+            break
+        freq[c1] += freq[c2]
+        freq[c2] = 0
+        codesize[c1] += 1
+        while others[c1] >= 0:
+            c1 = others[c1]
+            codesize[c1] += 1
+        others[c1] = c2
+        codesize[c2] += 1
+        while others[c2] >= 0:
+            c2 = others[c2]
+            codesize[c2] += 1
+    bits = [0] * 33
+    for s in codesize:
+        if s:
+            bits[s] += 1
+    for i in range(32, 16, -1):
+        while bits[i] > 0:
+            j = i - 2
+            while bits[j] == 0:
+                j -= 1
+            bits[i] -= 2
+            bits[i - 1] += 1
+            bits[j + 1] += 2
+            bits[j] -= 1
+    i = 16
+    while bits[i] == 0:
+        i -= 1
+    bits[i] -= 1  # drop the pseudo-symbol's slot
+    vals = sorted(
+        (s for s in range(256) if codesize[s]),
+        key=lambda s: (codesize[s], s),
+    )
+    return bits[1:17], vals
+
+
+class _ScanEmitter:
+    """Two-mode emitter for progressive scans: counting (codes=None —
+    gathers per-(class, table) symbol frequencies for the optimal-
+    Huffman pass) or writing (canonical codes into a _BitWriter). The
+    scan encoder is mode-blind, so the two passes can never emit
+    different symbol streams."""
+
+    def __init__(self, codes=None):
+        self.codes = codes
+        self.freq: dict = {}
+        self.bw = _BitWriter() if codes is not None else None
+
+    def symbol(self, cls: int, tid: int, s: int) -> None:
+        if self.codes is None:
+            self.freq.setdefault((cls, tid), [0] * 256)[s] += 1
+        else:
+            code, ln = self.codes[(cls, tid)][s]
+            self.bw.put(code, ln)
+
+    def put_bits(self, v: int, n: int) -> None:
+        if self.bw is not None and n:
+            self.bw.put(v, n)
+
+    def restart_marker(self, i: int) -> None:
+        if self.bw is not None:
+            self.bw.flush()  # RST markers are byte-aligned
+            self.bw.buf += bytes([0xFF, 0xD0 + (i & 7)])
+
+
+def _emit_progressive_scan(em, scan, frame, geo, band, restart: int = 0):
+    """Encode ONE progressive scan through an emitter — the libjpeg
+    jcphuff.c control flow: DC first (diff code of the arithmetic-
+    shifted value) / DC refinement (raw bit Al), AC first (magnitude-
+    truncated point transform, ZRL, EOB-run accumulation capped at
+    0x7FFF) / AC refinement (newly-significant ±1<<Al with sign bit,
+    buffered correction bits emitted after the next symbol or behind
+    the pending EOB run)."""
+    Ss, Se, Ah, Al = band
+    comps = frame["comps"]
+    pred = [0] * len(comps)
+    state = {"eobrun": 0, "pending": []}
+
+    def tid_of(ci):
+        return 0 if ci == 0 else 1
+
+    def flush():
+        if state["eobrun"]:
+            nb = state["eobrun"].bit_length() - 1
+            em.symbol(1, tid_of(scan[0]), nb << 4)
+            if nb:
+                em.put_bits(state["eobrun"] & ((1 << nb) - 1), nb)
+        state["eobrun"] = 0
+        for b in state["pending"]:
+            em.put_bits(b, 1)
+        state["pending"] = []
+
+    last_unit = 0
+    rst_i = 0
+    for unit, ci, blk in _scan_blocks(scan, comps, geo):
+        if restart and unit != last_unit and unit % restart == 0:
+            # pending EOB run cannot span a restart interval
+            flush()
+            em.restart_marker(rst_i)
+            rst_i += 1
+            pred = [0] * len(comps)
+        last_unit = unit
+        if Ss == 0 and Ah == 0:  # DC first
+            t = int(blk[0]) >> Al
+            diff = t - pred[ci]
+            pred[ci] = t
+            s, extra = _magnitude(diff)
+            em.symbol(0, tid_of(ci), s)
+            if s:
+                em.put_bits(extra, s)
+        elif Ss == 0:  # DC refinement
+            em.put_bits((int(blk[0]) >> Al) & 1, 1)
+        elif Ah == 0:  # AC first
+            tid = tid_of(ci)
+            r = 0
+            for k in range(Ss, Se + 1):
+                v = int(blk[k])
+                t = abs(v) >> Al  # magnitude truncation, NOT >> on v
+                if t == 0:
+                    r += 1
+                    continue
+                flush()
+                while r > 15:
+                    em.symbol(1, tid, 0xF0)
+                    r -= 16
+                s, extra = _magnitude(t if v > 0 else -t)
+                em.symbol(1, tid, (r << 4) | s)
+                em.put_bits(extra, s)
+                r = 0
+            if r:
+                state["eobrun"] += 1
+                if state["eobrun"] == 0x7FFF:
+                    flush()
+        else:  # AC refinement
+            tid = tid_of(ci)
+            absv = [abs(int(blk[k])) >> Al for k in range(Ss, Se + 1)]
+            eobk = Ss - 1  # last newly-significant position
+            for i, k in enumerate(range(Ss, Se + 1)):
+                if absv[i] == 1:
+                    eobk = k
+            r = 0
+            corr = []
+            for i, k in enumerate(range(Ss, Se + 1)):
+                t = absv[i]
+                if t == 0:
+                    r += 1
+                    continue
+                while r > 15 and k <= eobk:
+                    flush()
+                    em.symbol(1, tid, 0xF0)
+                    r -= 16
+                    for b in corr:
+                        em.put_bits(b, 1)
+                    corr = []
+                if t > 1:
+                    corr.append(t & 1)
+                    continue
+                flush()
+                em.symbol(1, tid, (r << 4) | 1)
+                em.put_bits(1 if int(blk[k]) >= 0 else 0, 1)
+                r = 0
+                for b in corr:
+                    em.put_bits(b, 1)
+                corr = []
+            if r > 0 or corr:
+                state["eobrun"] += 1
+                state["pending"].extend(corr)
+                if state["eobrun"] == 0x7FFF:
+                    flush()
+    if Ss != 0:
+        flush()
+
+
+#: libjpeg's default progressive scan script: DC first at Al=1 then a
+#: full-precision refinement; luma AC split 1-5 / 6-63 at Al=2 with two
+#: one-bit refinements; chroma AC whole-band at Al=1 + refinement. Every
+#: band reaches Al=0, so the quantized coefficients — and therefore the
+#: decode — carry exactly the sequential encoder's information.
+_PROGRESSIVE_SCANS = (
+    ((0, 1, 2), 0, 0, 0, 1),
+    ((0,), 1, 5, 0, 2),
+    ((2,), 1, 63, 0, 1),
+    ((1,), 1, 63, 0, 1),
+    ((0,), 6, 63, 0, 2),
+    ((0,), 1, 63, 2, 1),
+    ((0, 1, 2), 0, 0, 1, 0),
+    ((0,), 1, 63, 1, 0),
+    ((2,), 1, 63, 1, 0),
+    ((1,), 1, 63, 1, 0),
+)
+
+
+def encode_jpeg_progressive(
+    pixels,
+    quality: int = 90,
+    subsampling: str = "444",
+    scans=_PROGRESSIVE_SCANS,
+    restart_interval: int = 0,
+) -> bytes:
+    """Serialize an (h, w, 3) uint8 RGB array as a PROGRESSIVE JFIF
+    JPEG (SOF2): spectral selection + successive approximation over
+    the libjpeg default scan script, with two-pass optimal Huffman
+    tables (counting emitter -> Annex K table build -> writing
+    emitter). The test/golden synthesizer for the progressive half of
+    :func:`jpeg_pixels`, numpy + stdlib only — progressive is the
+    dominant transmission mode for large web JPEGs, so the image
+    near-dup goldens cycle it alongside baseline."""
+    import numpy as np
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    frame, geo, qy, qc = _jpeg_coef_arrays(px, quality, subsampling)
+    counter = _ScanEmitter()
+    for sc in scans:
+        comps_i, Ss, Se, Ah, Al = sc
+        _emit_progressive_scan(
+            counter, list(comps_i), frame, geo, (Ss, Se, Ah, Al),
+            restart=restart_interval,
+        )
+    tables = {}
+    codes = {}
+    for key, freq in counter.freq.items():
+        spec = _optimal_huff_table(freq)
+        tables[key] = spec
+        codes[key] = _huff_codes(*spec)
+    sof2 = _jseg(
+        0xC2,
+        bytes([8])
+        + int(frame["h"]).to_bytes(2, "big")
+        + int(frame["w"]).to_bytes(2, "big")
+        + bytes([3])
+        + b"".join(
+            bytes([c["id"], (c["h"] << 4) | c["v"], c["tq"]])
+            for c in frame["comps"]
+        ),
+    )
+    out = [
+        b"\xff\xd8",
+        _jseg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"),
+        _jdqt(0, qy),
+        _jdqt(1, qc),
+    ]
+    if restart_interval:
+        out.append(_jseg(0xDD, int(restart_interval).to_bytes(2, "big")))
+    out.append(sof2)
+    for cls, tid in sorted(tables):
+        out.append(_jdht(cls, tid, tables[(cls, tid)]))
+    for sc in scans:
+        comps_i, Ss, Se, Ah, Al = sc
+        writer = _ScanEmitter(codes)
+        _emit_progressive_scan(
+            writer, list(comps_i), frame, geo, (Ss, Se, Ah, Al),
+            restart=restart_interval,
+        )
+        writer.bw.flush()
+        sos = _jseg(
+            0xDA,
+            bytes([len(comps_i)])
+            + b"".join(
+                bytes([ci + 1, (0x00 if ci == 0 else 0x11)]) for ci in comps_i
+            )
+            + bytes([Ss, Se, (Ah << 4) | Al]),
+        )
+        out.append(sos)
+        out.append(bytes(writer.bw.buf))
+    out.append(b"\xff\xd9")
+    return b"".join(out)
+
+
 class _BitReader:
     """Entropy-segment bit reader: unstuffs 0xFF 0x00, stops at any
     real marker (restart markers are consumed by the caller)."""
@@ -936,19 +1308,24 @@ def _extend(v: int, s: int) -> int:
 
 
 def jpeg_pixels(payload: bytes):
-    """REAL baseline-JPEG pixel decode — numpy + stdlib only (marker
-    walk, canonical Huffman entropy decode with byte-unstuffing and
-    restart markers, dequantize, inverse zigzag, orthonormal 8x8 IDCT,
+    """REAL JPEG pixel decode — numpy + stdlib only (marker walk,
+    canonical Huffman entropy decode with byte-unstuffing and restart
+    markers, dequantize, inverse zigzag, orthonormal 8x8 IDCT,
     nearest-neighbor chroma upsample, YCbCr->RGB). Supports SOF0/SOF1
-    (sequential Huffman, 8-bit, up to 4:2:0/4:2:2 sampling);
-    progressive (SOF2), arithmetic (SOF9+), hierarchical and 12-bit
-    streams raise ``NotImplementedError`` (the PIL plug point, same
-    contract as :func:`real_decode`). Returns (h, w, 3) uint8 RGB.
+    (sequential Huffman, 8-bit, up to 4:2:0/4:2:2 sampling) AND SOF2
+    (progressive: spectral selection + successive approximation, DC
+    and AC first/refinement scans, EOB runs — r13 VERDICT #1, the
+    dominant web-JPEG transmission mode). Arithmetic (SOF9+),
+    hierarchical, lossless and 12-bit streams raise
+    ``NotImplementedError`` (the PIL plug point, same contract as
+    :func:`real_decode`). Returns (h, w, 3) uint8 RGB.
 
     Entropy decoding is inherently sequential (each Huffman symbol's
     length depends on the previous bits), so this is a per-payload
     Python loop inside Arrow batches on executors — parallelism comes
-    from partitions, exactly like the PNG unfilter path."""
+    from partitions, exactly like the PNG unfilter path. Progressive
+    decode accumulates quantized coefficients per scan and runs ONE
+    vectorized batch IDCT at the end (einsum over all blocks)."""
     import numpy as np
 
     d = bytes(payload)
@@ -958,12 +1335,17 @@ def jpeg_pixels(payload: bytes):
     dc_trees: dict = {}
     ac_trees: dict = {}
     frame = None
+    progressive = False
+    geo = None
+    nscans = 0
     restart = 0
     pos = 2
     while pos + 4 <= len(d):
         if d[pos] != 0xFF:
             raise NotImplementedError("JPEG marker walk desynced")
         m = d[pos + 1]
+        if m == 0xD9:  # EOI — progressive streams reconstruct here
+            break
         if m in (0xD8, 0x01) or 0xD0 <= m <= 0xD7:
             pos += 2
             continue
@@ -992,7 +1374,7 @@ def jpeg_pixels(payload: bytes):
                     bits, vals
                 )
                 o += 17 + nv
-        elif m in (0xC0, 0xC1):
+        elif m in (0xC0, 0xC1, 0xC2):
             prec = body[0]
             if prec != 8:
                 raise NotImplementedError(f"JPEG precision {prec} (8-bit only)")
@@ -1004,10 +1386,7 @@ def jpeg_pixels(payload: bytes):
                 cid, s, tq = body[6 + 3 * ci : 9 + 3 * ci]
                 comps.append({"id": cid, "h": s >> 4, "v": s & 15, "tq": tq})
             frame = {"h": fh, "w": fw, "comps": comps}
-        elif m == 0xC2:
-            raise NotImplementedError(
-                "progressive JPEG (SOF2) — plug in PIL for the rest"
-            )
+            progressive = m == 0xC2
         elif m in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
                 f"JPEG frame type SOF{m - 0xC0} (lossless/arithmetic/"
@@ -1023,12 +1402,241 @@ def jpeg_pixels(payload: bytes):
             for si in range(ns):
                 cs, tt = body[1 + 2 * si : 3 + 2 * si]
                 sel[cs] = (tt >> 4, tt & 15)
-            scan_pos = pos + 2 + ln
-            return _jpeg_decode_scan(
-                d, scan_pos, frame, sel, quant, dc_trees, ac_trees, restart
+            if not progressive:
+                scan_pos = pos + 2 + ln
+                return _jpeg_decode_scan(
+                    d, scan_pos, frame, sel, quant, dc_trees, ac_trees, restart
+                )
+            band = (
+                body[1 + 2 * ns],
+                body[2 + 2 * ns],
+                body[3 + 2 * ns] >> 4,
+                body[3 + 2 * ns] & 15,
             )
+            if geo is None:
+                geo = _jpeg_geometry(frame)
+            pos = _jpeg_progressive_scan(
+                d, pos + 2 + ln, frame, sel, band, dc_trees, ac_trees,
+                restart, geo,
+            )
+            nscans += 1
+            continue
         pos += 2 + ln
-    raise NotImplementedError("JPEG stream has no SOS scan")
+    if not (progressive and nscans):
+        raise NotImplementedError("JPEG stream has no SOS scan")
+    return _jpeg_reconstruct(frame, geo, quant)
+
+
+def _jpeg_geometry(frame):
+    """Per-component block grids for progressive decode: MCU-padded
+    coefficient arrays in ZIGZAG order, plus the non-interleaved block
+    dims (T.81 A.2.2 — a non-interleaved scan covers exactly
+    ceil(comp_size/8) blocks, NOT the MCU-padded grid)."""
+    import numpy as np
+
+    comps = frame["comps"]
+    h, w = frame["h"], frame["w"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    nblocks = []
+    coefs = []
+    for c in comps:
+        cw = (w * c["h"] + hmax - 1) // hmax
+        ch = (h * c["v"] + vmax - 1) // vmax
+        nblocks.append(((ch + 7) // 8, (cw + 7) // 8))
+        coefs.append(
+            np.zeros((mcuy * c["v"], mcux * c["h"], 64), dtype=np.int32)
+        )
+    return {
+        "hmax": hmax,
+        "vmax": vmax,
+        "mcux": mcux,
+        "mcuy": mcuy,
+        "nblocks": nblocks,
+        "coefs": coefs,
+    }
+
+
+def _scan_blocks(scan, comps, geo):
+    """Yield (unit, ci, blk) in a scan's transmission order (T.81
+    A.2): MCU-interleaved when the scan holds more than one component,
+    raster over the component's own block grid otherwise. ``unit`` is
+    the restart-interval counter (MCU index / block index); ``blk`` is
+    the 64-long zigzag-order coefficient row (a writable numpy view).
+    SHARED by the progressive decoder and encoder so the transmission
+    orders can never drift apart."""
+    if len(scan) > 1:
+        mcux, mcuy = geo["mcux"], geo["mcuy"]
+        for my in range(mcuy):
+            for mx in range(mcux):
+                unit = my * mcux + mx
+                for ci in scan:
+                    c = comps[ci]
+                    for by in range(c["v"]):
+                        for bx in range(c["h"]):
+                            yield unit, ci, geo["coefs"][ci][
+                                my * c["v"] + by, mx * c["h"] + bx
+                            ]
+    else:
+        ci = scan[0]
+        bh, bw = geo["nblocks"][ci]
+        for y in range(bh):
+            for x in range(bw):
+                yield y * bw + x, ci, geo["coefs"][ci][y, x]
+
+
+def _jpeg_progressive_scan(
+    d, pos, frame, sel, band, dc_trees, ac_trees, restart, geo
+):
+    """Decode ONE progressive scan (T.81 G.2) into the zigzag-order
+    coefficient arrays: DC first/refinement (interleaved or not), AC
+    first/refinement with EOB runs, ZRL and correction bits — the
+    libjpeg jdphuff.c control flow, including the subtle rules (EOB
+    run includes the current block in refinement scans but not first
+    scans; correction bits are read for every nonzero-history
+    coefficient passed over; AC point transform is magnitude
+    truncation while DC is an arithmetic shift). Returns the stream
+    position of the next marker after the scan's entropy data."""
+    Ss, Se, Ah, Al = band
+    comps = frame["comps"]
+    by_id = {c["id"]: i for i, c in enumerate(comps)}
+    scan = [by_id[cid] for cid in sel]
+    if Ss == 0:
+        if Se != 0:
+            raise NotImplementedError("progressive DC scan with Se != 0")
+    elif len(scan) != 1:
+        raise NotImplementedError("progressive AC scan with >1 component")
+    br = _BitReader(d, pos)
+    p1, m1 = 1 << Al, (-1) << Al
+    pred = [0] * len(comps)
+    eobrun = 0
+    last_unit = 0
+    for unit, ci, blk in _scan_blocks(scan, comps, geo):
+        if restart and unit != last_unit and unit % restart == 0:
+            # byte-align, skip fill bytes, consume the RST marker,
+            # reset DC predictors and the EOB run (the sequential
+            # path's resync, plus the progressive-only eobrun reset)
+            br.align_to_marker()
+            p = br.pos
+            while p + 2 <= len(d) and not (
+                d[p] == 0xFF and d[p + 1] != 0x00
+            ):
+                p += 1
+            if not (p + 2 <= len(d) and 0xD0 <= d[p + 1] <= 0xD7):
+                raise NotImplementedError("JPEG missing restart marker")
+            br.pos = p + 2
+            pred = [0] * len(comps)
+            eobrun = 0
+        last_unit = unit
+        c = comps[ci]
+        if Ss == 0 and Ah == 0:  # DC first: diff code in the Al domain
+            tree = dc_trees.get(sel[c["id"]][0])
+            if tree is None:
+                raise NotImplementedError("JPEG scan references missing table")
+            s = _read_huff(br, tree)
+            diff = _extend(br.bits(s), s) if s else 0
+            pred[ci] += diff
+            blk[0] = pred[ci] << Al
+        elif Ss == 0:  # DC refinement: one raw bit per block
+            if br.bit():
+                blk[0] = int(blk[0]) | p1
+        elif Ah == 0:  # AC first
+            if eobrun > 0:
+                eobrun -= 1
+                continue
+            tree = ac_trees.get(sel[c["id"]][1])
+            if tree is None:
+                raise NotImplementedError("JPEG scan references missing table")
+            k = Ss
+            while k <= Se:
+                rs = _read_huff(br, tree)
+                r, s = rs >> 4, rs & 15
+                if s == 0:
+                    if r == 15:
+                        k += 16
+                        continue
+                    eobrun = (1 << r) - 1 + (br.bits(r) if r else 0)
+                    break
+                k += r
+                if k > Se:
+                    raise NotImplementedError("JPEG AC run past band")
+                blk[k] = _extend(br.bits(s), s) << Al
+                k += 1
+        else:  # AC refinement
+            tree = ac_trees.get(sel[c["id"]][1])
+            if tree is None:
+                raise NotImplementedError("JPEG scan references missing table")
+            k = Ss
+            if eobrun == 0:
+                while k <= Se:
+                    rs = _read_huff(br, tree)
+                    r, s = rs >> 4, rs & 15
+                    newval = 0
+                    if s == 0:
+                        if r != 15:
+                            # refinement EOB run INCLUDES this block
+                            # (its tail still gets correction bits)
+                            eobrun = (1 << r) + (br.bits(r) if r else 0)
+                            break
+                        # r == 15: ZRL — skip 16 zero-history coefs
+                    else:
+                        if s != 1:
+                            raise NotImplementedError(
+                                "invalid AC refinement magnitude"
+                            )
+                        newval = p1 if br.bit() else m1
+                    while k <= Se:
+                        cur = int(blk[k])
+                        if cur != 0:
+                            if br.bit() and (cur & p1) == 0:
+                                blk[k] = cur + (p1 if cur >= 0 else m1)
+                        else:
+                            if r == 0:
+                                break
+                            r -= 1
+                        k += 1
+                    if newval and k <= Se:
+                        blk[k] = newval
+                    k += 1
+            if eobrun > 0:
+                while k <= Se:
+                    cur = int(blk[k])
+                    if cur != 0 and br.bit() and (cur & p1) == 0:
+                        blk[k] = cur + (p1 if cur >= 0 else m1)
+                    k += 1
+                eobrun -= 1
+    p = br.pos
+    while p + 2 <= len(d) and not (
+        d[p] == 0xFF
+        and d[p + 1] != 0x00
+        and not (0xD0 <= d[p + 1] <= 0xD7)
+    ):
+        p += 1
+    return p
+
+
+def _jpeg_reconstruct(frame, geo, quant):
+    """Progressive finish: dequantize the accumulated coefficients
+    (zigzag -> natural order), ONE batch 8x8 IDCT per component (a
+    single einsum over all blocks — no per-block Python loop), then
+    the shared upsample + color convert."""
+    import numpy as np
+
+    C = _dct_matrix()
+    planes = []
+    for c, zz in zip(frame["comps"], geo["coefs"]):
+        qt = quant.get(c["tq"])
+        if qt is None:
+            raise NotImplementedError("JPEG scan references missing table")
+        nby, nbx, _ = zz.shape
+        nat = np.zeros((nby, nbx, 64))
+        nat[:, :, _ZIGZAG] = zz
+        coef = nat.reshape(nby, nbx, 8, 8) * qt
+        px = np.einsum("ij,abjk,kl->abil", C.T, coef, C) + 128.0
+        planes.append(px.transpose(0, 2, 1, 3).reshape(nby * 8, nbx * 8))
+    return _jpeg_finish(frame, planes)
 
 
 def _jpeg_decode_scan(d, pos, frame, sel, quant, dc_trees, ac_trees, restart):
@@ -1099,6 +1707,20 @@ def _jpeg_decode_scan(d, pos, frame, sel, quant, dc_trees, ac_trees, restart):
                         c0 = (mx * c["h"] + bx) * 8
                         planes[ci][r0 : r0 + 8, c0 : c0 + 8] = px
             mcu_i += 1
+    return _jpeg_finish(frame, planes)
+
+
+def _jpeg_finish(frame, planes):
+    """Shared decode tail: chroma upsample (sample repetition), crop
+    to the frame dims, YCbCr->RGB (or gray replication). ``planes``
+    are full-precision pixel-domain planes at each component's own
+    resolution (already +128-shifted)."""
+    import numpy as np
+
+    comps = frame["comps"]
+    h, w = frame["h"], frame["w"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
     up = []
     for c, p in zip(comps, planes):
         rep_y = vmax // c["v"]

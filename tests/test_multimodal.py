@@ -476,10 +476,14 @@ def test_jpeg_restart_markers_and_odd_dims():
         assert base.shape == px.shape
 
 
-def test_jpeg_refuses_progressive_and_arithmetic():
-    """The PIL plug point stays loud: SOF2 (progressive) and SOF9+
-    (arithmetic) frames, 12-bit precision, and truncated scans raise
-    NotImplementedError — never a silent wrong decode."""
+def test_jpeg_refuses_arithmetic_and_12bit():
+    """The PIL plug point stays loud: SOF9+ (arithmetic), SOF3/SOF5+
+    (lossless/hierarchical), 12-bit precision, and truncated scans
+    raise NotImplementedError — never a silent wrong decode. (SOF2
+    progressive is REAL since r14 — see the progressive tests below;
+    a baseline stream mutated to claim SOF2 still refuses loudly
+    because its sequential SOS band Ss=0/Se=63 is invalid for a
+    progressive DC scan.)"""
     import numpy as np
     import pytest as _pytest
 
@@ -502,6 +506,103 @@ def test_jpeg_refuses_progressive_and_arithmetic():
         jpeg_pixels(enc[: len(enc) // 2])  # truncated scan
     with _pytest.raises(NotImplementedError):
         jpeg_pixels(b"\x00\x01not a jpeg")
+
+
+# --- progressive JPEG (r14) ---------------------------------------------------
+
+
+def test_jpeg_progressive_equals_baseline_decode():
+    """Progressive transmission is a reordering of the SAME quantized
+    coefficients: across content types (random / gradient / near-solid
+    for long EOB runs), sizes, qualities and both subsamplings, the
+    progressive decode must be BIT-IDENTICAL to decoding the baseline
+    encode of the same image."""
+    import numpy as np
+
+    from hydraide_spark.functions.multimodal import (
+        encode_jpeg,
+        encode_jpeg_progressive,
+        jpeg_pixels,
+    )
+
+    for seed in range(12):
+        rs = np.random.RandomState(seed)
+        h, w = rs.randint(8, 70), rs.randint(8, 70)
+        kind = seed % 3
+        if kind == 0:
+            px = rs.randint(0, 256, (h, w, 3)).astype(np.uint8)
+        elif kind == 1:
+            i, j = np.mgrid[0:h, 0:w]
+            px = np.dstack(
+                [(i * 3) % 256, (j * 3) % 256, ((i + j) * 2) % 256]
+            ).astype(np.uint8)
+        else:
+            px = np.full((h, w, 3), 77, np.uint8)
+            px[h // 2, w // 2] = 200
+        q = [70, 85, 95][seed % 3]
+        sub = "420" if seed % 2 else "444"
+        dp = jpeg_pixels(encode_jpeg_progressive(px, quality=q, subsampling=sub))
+        db = jpeg_pixels(encode_jpeg(px, quality=q, subsampling=sub))
+        assert np.array_equal(dp, db), (seed, h, w, q, sub)
+
+
+def test_jpeg_progressive_solid_exact_and_restarts():
+    """Solid colors are DC-only and decode exactly through the whole
+    successive-approximation ladder; DRI + RST markers inside
+    progressive scans (predictor + EOB-run resets) decode identically
+    to the restart-free stream, including odd dimensions."""
+    import numpy as np
+
+    from hydraide_spark.functions.multimodal import (
+        encode_jpeg_progressive,
+        jpeg_pixels,
+    )
+
+    solid = np.full((16, 16, 3), (200, 30, 90), dtype=np.uint8)
+    assert np.array_equal(jpeg_pixels(encode_jpeg_progressive(solid)), solid)
+
+    px = np.random.RandomState(5).randint(0, 256, (33, 41, 3)).astype(np.uint8)
+    for sub in ("444", "420"):
+        base = jpeg_pixels(encode_jpeg_progressive(px, subsampling=sub))
+        for ri in (1, 2, 5):
+            withr = jpeg_pixels(
+                encode_jpeg_progressive(px, subsampling=sub, restart_interval=ri)
+            )
+            assert np.array_equal(base, withr), (sub, ri)
+        assert base.shape == px.shape
+
+
+def test_jpeg_progressive_phash_neardup_planted(spark):
+    """End-to-end: planted single-bit twins pair through the
+    PROGRESSIVE JPEG round trip + dHash + hamming block join — and a
+    baseline-encoded twin still pairs with a progressive-encoded
+    original (the mixed-format case a real crawl hits)."""
+    import numpy as np
+
+    from hydraide_spark.functions.multimodal import (
+        encode_jpeg,
+        encode_jpeg_progressive,
+        image_neardup_pairs,
+    )
+
+    rows = []
+    for i in range(8):
+        px = np.random.RandomState(i).randint(0, 256, (32, 32, 3)).astype(np.uint8)
+        sub = "420" if i % 2 else "444"
+        rows.append(
+            (i, "image", bytearray(encode_jpeg_progressive(px, subsampling=sub)))
+        )
+        if i % 3 == 0:
+            tw = px.copy()
+            tw[16, 16, 0] ^= 128
+            enc = encode_jpeg if i % 2 else encode_jpeg_progressive
+            rows.append((i + 1000, "image", bytearray(enc(tw, subsampling=sub))))
+    media = spark.createDataFrame(rows, "media_id long, kind string, payload binary")
+    got = {
+        (r.id_a, r.id_b)
+        for r in image_neardup_pairs(media, max_hamming=4).collect()
+    }
+    assert got == {(i, i + 1000) for i in range(0, 8, 3)}
 
 
 def test_jpeg_phash_neardup_planted(spark):
