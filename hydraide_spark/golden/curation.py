@@ -929,3 +929,219 @@ def langid_nb_predict_docs(spark, sf_dir):
             (F.col("predicted") == F.col("lang")).cast("int").alias("correct"),
         )
     )
+
+
+# --- HTML main-content extraction (r14 — r13 VERDICT missing #2) --------------
+
+#: the constant paragraph planted on every 25th doc (the exact-dup
+#: family the pipeline golden collapses)
+_HTML_CONST_PARA = (
+    "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu "
+    "nu xi omicron pi rho sigma tau upsilon phi chi psi omega one two "
+    "three four five six"
+)
+
+#: SQL replay of the synthesized page (pure function of doc_id + text;
+#: the Spark side builds the identical string with concat)
+_HTML_SYNTH_SQL = (
+    "'<html><head><title>Page ' || CAST(doc_id AS VARCHAR) || '</title>"
+    "<style>body {{ color: red; }}</style>"
+    '<script>if (a < b) {{ nav("</div> fake"); }}</script></head>'
+    '<body><nav><ul><li><a href="/">Home</a></li>'
+    '<li><a href="/about">About us</a></li></ul></nav>'
+    "<!-- comment <p>with tags</p> -->"
+    '<div id="main"><h1>Title words here maybe</h1><p>' "'"
+    " || CASE WHEN doc_id % 25 = 0 THEN '" + _HTML_CONST_PARA + "'"
+    " ELSE substr(text, 1, 160) || ' tail &amp; escaped &lt;marker&gt; words'"
+    " END || "
+    "'</p>' || CASE WHEN doc_id % 3 = 0 THEN "
+    "'<p>second paragraph for this page with plenty of extra words to keep</p>'"
+    " ELSE '' END || "
+    "'<p>Short.</p></div>"
+    '<aside><a href="/ad">Buy now great offer deal</a></aside>'
+    "<footer>&amp;copy 2026 "
+    '<a href="/terms">Terms</a> <a href="/privacy">Privacy</a>'
+    "</footer></body></html>'"
+).replace("{{", "{").replace("}}", "}")
+
+
+def _html_clean_sql(inner: str) -> str:
+    """DuckDB replay of functions/text.py::_html_clean_text: strip tags,
+    decode the entity set (&amp; LAST), collapse [ \\t\\n\\r\\f]+, trim."""
+    return (
+        "trim(regexp_replace("
+        "replace(replace(replace(replace(replace(replace(replace("
+        f"regexp_replace({inner}, '<[^>]*>', ' ', 'g'), "
+        "'&lt;', '<'), '&gt;', '>'), '&quot;', '\"'), "
+        "'&#39;', ''''), '&apos;', ''''), '&nbsp;', ' '), '&amp;', '&'), "
+        r"'[ \t\n\r\f]+', ' ', 'g'))"
+    )
+
+
+def _html_wc_sql(t: str) -> str:
+    return (
+        f"(CASE WHEN {t} = '' THEN 0 "
+        f"ELSE length({t}) - length(replace({t}, ' ', '')) + 1 END)"
+    )
+
+
+#: extraction replay over a CTE h(doc_id, html) -> ext(doc_id, text,
+#: n_kept, n_words). Rule-for-rule: sentinel reserve, script/style/
+#: comment drop, block-tag split, per-block clean text + anchor-text
+#: length, min-words + link-density keep, newline join.
+_HTML_ANCHORS_SQL = (
+    "COALESCE(array_to_string(regexp_extract_all(b, "
+    r"'(?is)<a\b[^>]*>(.*?)</a>', 1), ' '), '')"
+)
+_HTML_EXTRACT_SQL = f"""
+    s1 AS (
+      SELECT doc_id,
+        regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+          replace(html, chr(1), ''),
+          '(?is)<script\\b[^>]*>.*?</script>', ' ', 'g'),
+          '(?is)<style\\b[^>]*>.*?</style>', ' ', 'g'),
+          '(?s)<!--.*?-->', ' ', 'g'),
+          '(?i)</?(p|div|h[1-6]|li|ul|ol|table|thead|tbody|tr|td|th|section|article|header|footer|nav|aside|blockquote|pre|form|dl|dt|dd|hr|main|figure|figcaption|br)\\b[^>]*>',
+          chr(1), 'g') AS s
+      FROM h
+    ),
+    proc AS (
+      SELECT doc_id, list_transform(string_split(s, chr(1)), b -> struct_pack(
+        t := {_html_clean_sql('b')},
+        ll := length({_html_clean_sql(_HTML_ANCHORS_SQL)})
+      )) AS bs
+      FROM s1
+    ),
+    keptb AS (
+      SELECT doc_id, list_filter(bs, sb ->
+        {_html_wc_sql('sb.t')} >= 5 AND 2 * sb.ll <= length(sb.t)) AS ks
+      FROM proc
+    ),
+    ext AS (
+      SELECT doc_id,
+        COALESCE(array_to_string(list_transform(ks, sb -> sb.t), chr(10)), '') AS text,
+        CAST(len(ks) AS INT) AS n_kept,
+        CAST(COALESCE(list_sum(list_transform(ks, sb -> {_html_wc_sql('sb.t')})), 0) AS INT) AS n_words
+      FROM keptb
+    )
+"""
+
+
+def _synth_html(docs):
+    """The Spark twin of _HTML_SYNTH_SQL — byte-identical pages."""
+    body = F.when(
+        F.col("doc_id") % 25 == 0, F.lit(_HTML_CONST_PARA)
+    ).otherwise(
+        F.concat(
+            F.substring(F.col("text"), 1, 160),
+            F.lit(" tail &amp; escaped &lt;marker&gt; words"),
+        )
+    )
+    second = F.when(
+        F.col("doc_id") % 3 == 0,
+        F.lit(
+            "<p>second paragraph for this page with plenty of extra "
+            "words to keep</p>"
+        ),
+    ).otherwise(F.lit(""))
+    html = F.concat(
+        F.lit("<html><head><title>Page "),
+        F.col("doc_id").cast("string"),
+        F.lit(
+            "</title><style>body { color: red; }</style>"
+            '<script>if (a < b) { nav("</div> fake"); }</script></head>'
+            '<body><nav><ul><li><a href="/">Home</a></li>'
+            '<li><a href="/about">About us</a></li></ul></nav>'
+            "<!-- comment <p>with tags</p> -->"
+            '<div id="main"><h1>Title words here maybe</h1><p>'
+        ),
+        body,
+        F.lit("</p>"),
+        second,
+        F.lit(
+            "<p>Short.</p></div>"
+            '<aside><a href="/ad">Buy now great offer deal</a></aside>'
+            "<footer>&amp;copy 2026 "
+            '<a href="/terms">Terms</a> <a href="/privacy">Privacy</a>'
+            "</footer></body></html>"
+        ),
+    )
+    return docs.select(F.col("doc_id"), html.alias("html"))
+
+
+@golden(
+    "html_extract_text",
+    oracle=f"""
+    WITH h AS (
+      SELECT doc_id, {_HTML_SYNTH_SQL} AS html FROM documents
+    ),
+    {_HTML_EXTRACT_SQL}
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, text, n_kept, n_words FROM ext
+    """,
+)
+def html_extract_text(spark, sf_dir):
+    """HTML main-content extraction (r14 — r13 VERDICT missing #2,
+    functions/text.py::html_main_text): the trafilatura/jusText step a
+    crawl pipeline runs FIRST. Synthesized pages wrap each document's
+    text in a realistic boilerplate scaffold (title, style + script
+    with tag-looking strings inside, comments, link-only nav, an
+    undersized heading, a link-saturated aside, an entity-bearing
+    footer); extraction must keep exactly the body paragraphs — block
+    split on block-level tags, per-block word-count >= 5 AND link
+    density <= 1/2 (both exact integer comparisons), entities decoded
+    AFTER tag stripping. Zero UDFs, map-only at any corpus size; the
+    oracle replays every rule including the synthesized page itself,
+    so the compared values are exact strings."""
+    from ..functions.text import html_extract_report
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    out = html_extract_report(_synth_html(docs))
+    return out.select(
+        big("doc_id").alias("doc_id"),
+        F.col("text"),
+        F.col("n_kept").cast("int").alias("n_kept"),
+        F.col("n_words").cast("int").alias("n_words"),
+    )
+
+
+@golden(
+    "html_curation_pipeline",
+    oracle=f"""
+    WITH h AS (
+      SELECT doc_id, {_HTML_SYNTH_SQL} AS html FROM documents
+    ),
+    {_HTML_EXTRACT_SQL}
+    SELECT CAST(min(doc_id) AS BIGINT) AS keep_id,
+           CAST(count(*) AS BIGINT) AS n_copies,
+           CAST(min(n_words) AS INT) AS n_words
+    FROM ext WHERE n_words >= 20
+    GROUP BY text
+    """,
+)
+def html_curation_pipeline(spark, sf_dir):
+    """The curation pipeline STARTING from raw HTML (r13 VERDICT #2's
+    'done' bar): extract main content, keep docs with >= 20 extracted
+    words (exact integer rule), exact-dedup the survivors on the
+    extracted text (hash groupBy, min-id survivor — the dedup_exact
+    shape). The every-25th-doc constant paragraph plants an exact-dup
+    family that must collapse to one survivor per (%3 second-paragraph)
+    variant; everything else survives alone. One narrow map + one
+    groupBy shuffle on the text hash at any corpus size."""
+    from ..functions.text import html_extract_report
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    ext = html_extract_report(_synth_html(docs))
+    return (
+        ext.filter(F.col("n_words") >= 20)
+        .groupBy("text")
+        .agg(
+            F.min("doc_id").alias("keep_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min("n_words").alias("n_words"),
+        )
+        .select(
+            big("keep_id").alias("keep_id"),
+            big("n_copies").alias("n_copies"),
+            F.col("n_words").cast("int").alias("n_words"),
+        )
+    )

@@ -906,3 +906,80 @@ def test_url_dedup_report_groups(spark):
         "http://example.com/a": (3, 3, 1),
         "http://other.com/b?x=1&y=2": (2, 2, 4),
     }
+
+
+def test_html_main_text_rules(spark):
+    """r14 html_main_text: script/style/comment content vanishes (even
+    when it contains tag-looking strings), block boundaries come from
+    block-level tags, link-saturated and undersized blocks drop,
+    entities decode AFTER stripping (escaped markup stays text), and
+    kept blocks join with newlines in document order."""
+    from hydraide_spark.functions.text import html_extract_report
+
+    cases = [
+        # (html, expected_text, n_kept, n_words)
+        (
+            "<p>one two three four five</p><p>six seven eight nine ten</p>",
+            "one two three four five\nsix seven eight nine ten",
+            2,
+            10,
+        ),
+        # exactly min_words-1 -> dropped
+        ("<p>one two three four</p>", "", 0, 0),
+        # link density <= 1/2 kept (2*ll <= len), saturated dropped —
+        # both 5 words, so density is the only discriminator
+        (
+            '<p><a href="/">aa bb</a> cc dd ee</p>',  # ll=5, len=14 -> kept
+            "aa bb cc dd ee",
+            1,
+            5,
+        ),
+        (
+            '<p><a href="/">aa bb cc dd</a> ee</p>',  # ll=11, len=14 -> drop
+            "",
+            0,
+            0,
+        ),
+        # script with fake closing tags + style + comment all vanish
+        (
+            '<script>x = "</p> five words here not kept";</script>'
+            "<style>p { color: red }</style><!-- <p>ghost block</p> -->"
+            "<p>real words survive the sweep fine</p>",
+            "real words survive the sweep fine",
+            1,
+            6,
+        ),
+        # entities: decoded after stripping; &amp;lt; single-decodes
+        (
+            "<p>a &lt;b&gt; c &quot;d&quot; e&nbsp;f &amp;lt; g</p>",
+            'a <b> c "d" e f &lt; g',
+            1,
+            8,
+        ),
+        # no block tags at all: one block
+        ("plain text with no markup at all", "plain text with no markup at all", 1, 7),
+        ("", "", 0, 0),
+    ]
+    df = spark.createDataFrame(
+        [(i, h) for i, (h, *_r) in enumerate(cases)], "doc_id long, html string"
+    )
+    got = {
+        r.doc_id: (r.text, r.n_kept, r.n_words)
+        for r in html_extract_report(df).collect()
+    }
+    for i, (_h, text, n_kept, n_words) in enumerate(cases):
+        assert got[i] == (text, n_kept, n_words), (i, got[i])
+
+
+def test_html_main_text_sentinel_reserved(spark):
+    """A hostile \\x01 byte in the input cannot fake a block boundary —
+    it is stripped before the tag-to-sentinel replacement."""
+    from hydraide_spark.functions.text import html_extract_report
+
+    df = spark.createDataFrame(
+        [(0, "<p>alpha beta\x01gamma delta epsilon zeta</p>")],
+        "doc_id long, html string",
+    )
+    r = html_extract_report(df).collect()[0]
+    assert r.text == "alpha betagamma delta epsilon zeta"
+    assert r.n_kept == 1 and r.n_words == 5
