@@ -658,3 +658,43 @@ def ann_topk_int8(spark, sf_dir):
         F.round("est_cos", 10).alias("est_cos"),
         F.col("rank").cast("int").alias("rank"),
     )
+
+
+@golden("ann_recall_report")
+def ann_recall_report(spark, sf_dir):
+    """PRODUCTION serving-time ANN recall QA (r14 — rows-only ON
+    PURPOSE, like every probabilistic production path; the oracle-
+    gated twin is `ann_recall_report_stable` and the per-route recall
+    floors are pytest-asserted in tests/test_ann_router.py):
+    functions/vector.py::ann_recall_report runs the exact brute-force
+    truth once over a sampled query set, then each route THROUGH THE
+    SERVING ROUTER (ann_topk_auto — the measured path is the served
+    path), and scores set recall@10 per route. 'exact' must come back
+    recall 1.0 by construction (the self-check that the harness
+    itself is sound); int8 measures quantized-ranking loss; ivf_int8
+    measures cell-pruning loss with corpus-trained centroids. At
+    100 TB this runs continuously on a few hundred sampled queries —
+    the truth scan is |sample| x corpus, every later stage is
+    k·|sample| rows."""
+    from ..functions.vector import ann_recall_report as _rep
+    from ..functions.vector import auto_ivf_k, train_ivf_centroids
+
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    n_rows = emb.count()
+    cents = train_ivf_centroids(emb, n_centroids=auto_ivf_k(n_rows))
+    out = _rep(
+        emb, queries, 10,
+        routes=("exact", "int8", "ivf_int8"),
+        n_rows=n_rows, dim=64, centroids=cents, nprobe=2,
+    )
+    return out.select(
+        F.col("route"),
+        F.col("k").cast("int").alias("k"),
+        big("n_queries").alias("n_queries"),
+        big("n_truth").alias("n_truth"),
+        big("n_hit").alias("n_hit"),
+        F.col("recall"),
+    )

@@ -1005,3 +1005,119 @@ def knn_self_join_adaptive_stable(spark, sf_dir):
         F.round("score", 4).alias("score"),
         F.col("rank").cast("int").alias("rank"),
     )
+
+
+@golden(
+    "ann_recall_report_stable",
+    oracle=f"""
+    WITH e AS ({_E}),
+    pl AS ({_LSH_PLANES_CTE}),
+    bb AS (
+      SELECT e.vec_id, e.v, {_LSH_BUCKET} AS bucket
+      FROM e CROSS JOIN pl
+    ),
+    lq AS (SELECT vec_id AS query_id, v AS qv, bucket AS qb
+           FROM bb WHERE vec_id < 5),
+    lcand AS (
+      SELECT lq.query_id, bb.vec_id, {_cos('bb.v', 'lq.qv')} AS score
+      FROM bb JOIN lq ON bb.bucket = lq.qb
+    ),
+    lshp AS (
+      SELECT query_id, vec_id FROM (
+        SELECT query_id, vec_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY score DESC, vec_id ASC) AS rn
+        FROM lcand
+      ) WHERE rn <= 10
+    ),
+    {_CVEC.strip()},
+    {_CELLS.strip()},
+    probed AS (SELECT vec_id AS query_id, v AS qv, j AS cell
+               FROM cellr WHERE vec_id < 5 AND rn <= 2),
+    icand AS (
+      SELECT p.query_id, c.vec_id, {_cos('c.v', 'p.qv')} AS score
+      FROM cells c JOIN probed p ON c.cell = p.cell
+    ),
+    ivfp AS (
+      SELECT query_id, vec_id FROM (
+        SELECT query_id, vec_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY score DESC, vec_id ASC) AS rn
+        FROM icand
+      ) WHERE rn <= 10
+    ),
+    q5 AS ({_Q5}),
+    tcand AS (
+      SELECT q5.query_id, e.vec_id, {_cos('e.v', 'q5.qv')} AS score
+      FROM e CROSS JOIN q5
+    ),
+    truthp AS (
+      SELECT query_id, vec_id FROM (
+        SELECT query_id, vec_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY score DESC, vec_id ASC) AS rn
+        FROM tcand
+      ) WHERE rn <= 10
+    ),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n_truth,
+                   CAST(count(DISTINCT query_id) AS BIGINT) AS n_queries
+            FROM truthp),
+    lhit AS (SELECT CAST(count(*) AS BIGINT) AS n_hit
+             FROM lshp a JOIN truthp USING (query_id, vec_id)),
+    ihit AS (SELECT CAST(count(*) AS BIGINT) AS n_hit
+             FROM ivfp a JOIN truthp USING (query_id, vec_id))
+    SELECT 'lsh_stable' AS route, CAST(10 AS INT) AS k,
+           n_queries, n_truth, n_hit,
+           CASE WHEN n_truth > 0 THEN
+             round(CAST(n_hit AS DOUBLE) / CAST(n_truth AS DOUBLE), 10)
+           END AS recall
+    FROM tot CROSS JOIN lhit
+    UNION ALL
+    SELECT 'ivf_stable', CAST(10 AS INT),
+           n_queries, n_truth, n_hit,
+           CASE WHEN n_truth > 0 THEN
+             round(CAST(n_hit AS DOUBLE) / CAST(n_truth AS DOUBLE), 10)
+           END
+    FROM tot CROSS JOIN ihit
+    """,
+)
+def ann_recall_report_stable(spark, sf_dir):
+    """Serving-time ANN recall QA, ENGINE-STABLE (r14 — r13 VERDICT
+    missing #3, functions/vector.py::topk_recall_vs_truth): recall@10
+    of the stable LSH route (fixed-seed exact-literal hyperplanes) and
+    the stable IVF route (per-label exact-mean centroids, nprobe=2)
+    against the exact brute-force truth — the `neardup_truth_eval`
+    pattern lifted to ANN. The oracle replays BOTH approximate
+    pipelines end-to-end (bucketing / cell assignment, candidate cut,
+    ranking) AND the exact truth, then the set-intersection counts;
+    every compared value is an exact integer or one rounded division
+    of exact integers, so a single swapped candidate anywhere in
+    either pipeline moves n_hit and fails the gate. The production
+    xxhash64 path is the rows-only `ann_recall_report` twin; recall
+    floors for every route are pytest-asserted in
+    tests/test_ann_router.py."""
+    from ..functions.vector import (
+        cosine_topk,
+        ivf_topk,
+        lsh_topk,
+        topk_recall_vs_truth,
+    )
+
+    emb = t(spark, sf_dir, "embeddings")
+    q = _queries_df(emb)
+    truth = cosine_topk(emb, q, 10)
+    lsh = lsh_topk(emb, q, k=10, dim=64, n_bits=_LSH_BITS, seed=42)
+    ivf = ivf_topk(
+        emb, q, k=10, centroids=_label_centroid_list(spark, sf_dir), nprobe=2
+    )
+    rep = topk_recall_vs_truth(lsh, truth, "lsh_stable", 10).unionByName(
+        topk_recall_vs_truth(ivf, truth, "ivf_stable", 10)
+    )
+    return rep.select(
+        F.col("route"),
+        F.col("k").cast("int").alias("k"),
+        big("n_queries").alias("n_queries"),
+        big("n_truth").alias("n_truth"),
+        big("n_hit").alias("n_hit"),
+        F.col("recall"),
+    )

@@ -292,3 +292,98 @@ def test_pq_refuses_non_divisible_dim(spark):
     rows = out.collect()
     assert len(rows) == 10
     assert all(r["route"] == "ivfadc" for r in rows)
+
+
+def test_ann_recall_report_routes_and_floors(spark):
+    """r14 serving QA (functions/vector.py::ann_recall_report): one
+    row per route, exact integer counts, the exact route recall
+    EXACTLY 1.0 (self-check the harness is sound), and every
+    approximate route above its pytest floor — the same floors the
+    forced-route test pins, now measured by the shipped operator."""
+    from hydraide_spark.functions.vector import (
+        ann_recall_report,
+        train_ivf_centroids,
+    )
+
+    emb, queries = _emb_queries(spark)
+    cents = train_ivf_centroids(
+        emb.select(F.col("vec_id"), "embedding"), n_centroids=8
+    )
+    rep = {
+        r["route"]: r
+        for r in ann_recall_report(
+            emb, queries, 10,
+            routes=("exact", "int8", "ivf_int8"),
+            n_rows=2**30, dim=64, centroids=cents, nprobe=2,
+        ).collect()
+    }
+    assert set(rep) == {"exact", "int8", "ivf_int8"}
+    for r in rep.values():
+        assert r["k"] == 10
+        assert r["n_queries"] == 5
+        assert r["n_truth"] == 50
+        assert 0 <= r["n_hit"] <= r["n_truth"]
+        assert r["recall"] == round(r["n_hit"] / r["n_truth"], 10)
+    assert rep["exact"]["recall"] == 1.0
+    assert rep["int8"]["recall"] >= 0.8
+    assert rep["ivf_int8"]["recall"] >= 0.5
+
+
+def test_ann_recall_report_from_state_matches_batch(spark, tmp_path):
+    """The from_state QA variant measures the SERVED path: truth from
+    the state's persisted float vectors, routes through
+    ann_topk_auto_from_state. Because ingest and batch quantize with
+    the same expressions, each route's report must EQUAL the batch
+    report over the same corpus/models."""
+    import os
+
+    from hydraide_spark.functions.vector import (
+        ann_recall_report,
+        train_ivf_centroids,
+    )
+    from hydraide_spark.sources.tables import load_table
+    from hydraide_spark.streaming.search_stream import (
+        ann_recall_report_from_state,
+        make_search_ingest,
+        store_ivf_model,
+    )
+
+    emb = load_table(spark, SF, "embeddings").select(
+        F.col("vec_id").alias("doc_id"), "embedding"
+    )
+    docs = emb.select(
+        "doc_id",
+        F.concat(F.lit("doc "), F.col("doc_id").cast("string")).alias("text"),
+        "embedding",
+    ).persist()
+    cents = train_ivf_centroids(
+        docs.select(F.col("doc_id").alias("vec_id"), "embedding"), n_centroids=8
+    )
+    state = str(tmp_path / "ustate")
+    os.makedirs(state, exist_ok=True)
+    store_ivf_model(state, cents)
+    ingest = make_search_ingest(spark, state, cents)
+    for e in range(2):
+        ingest(docs.filter(F.col("doc_id") % 2 == e), e)
+
+    queries = docs.filter(F.col("doc_id") < 5).select(
+        F.col("doc_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    got = {
+        r["route"]: (r["n_queries"], r["n_truth"], r["n_hit"], r["recall"])
+        for r in ann_recall_report_from_state(
+            spark, state, queries, 10, routes=("int8", "ivf_int8"), nprobe=2
+        ).collect()
+    }
+    want = {
+        r["route"]: (r["n_queries"], r["n_truth"], r["n_hit"], r["recall"])
+        for r in ann_recall_report(
+            docs.select(F.col("doc_id").alias("vec_id"), "embedding"),
+            queries, 10,
+            routes=("int8", "ivf_int8"),
+            n_rows=2**30, dim=64, centroids=cents, nprobe=2,
+        ).collect()
+    }
+    assert got == want
+    assert got["int8"][3] >= 0.8
+    docs.unpersist()
