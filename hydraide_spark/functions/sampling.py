@@ -822,21 +822,52 @@ def langid_nb_train(
     }
 
 
+#: literal-path ceiling: above this many (label × bucket) plan
+#: literals the expression tree itself becomes the cost (the
+#: _book_literals lesson — Catalyst spent ~7 s PLANNING a 2K-row PQ
+#: encode at m·k·d=1024 nodes) and scoring routes through the
+#: broadcast-join path instead.
+LANGID_LITERAL_MAX_CELLS = 32768
+
+
 def langid_nb_predict(
     df: DataFrame,
     id_col: str,
     text_col: str,
     model: dict,
+    strategy: "str | None" = None,
 ) -> DataFrame:
-    """Scan-side argmax prediction under a trained NB model: per label,
-    score = prior + Σ_grams logprob[bucket(g)] — the dsir_score
-    machinery per label (model literals ride the plan as decimal
-    arrays, ONE SQL parse each; DECIMAL sums are exact hence
-    order-free), then a struct-greatest argmax with the ASC-label
-    tiebreak (exact decimal compares — no float anywhere). Map-only at
-    any corpus size; L label passes share the one gram explode via
-    Catalyst subexpression reuse. Returns (id, predicted)."""
+    """Argmax prediction under a trained NB model. Two physical
+    strategies with BIT-IDENTICAL results (decimal arithmetic is
+    exactly associative, so regrouping gram sums by bucket changes
+    nothing; tests pin equality):
+
+    - ``literal`` — per label, score = prior + Σ_grams
+      logprob[bucket(g)] via the dsir_score machinery (model rides the
+      plan as decimal-array literals, ONE SQL parse each; map-only,
+      zero shuffle). Right at small L·B — the oracle twin, since the
+      SQL replay inlines the same literals.
+    - ``broadcast`` — the model as a (bucket, label, logprob) FRAME
+      broadcast-joined to per-(id, bucket) gram counts, then one
+      per-(id, label) decimal sum and a struct-max argmax. Right at
+      fastText-scale label counts (L~176, B≥2048 would be a ~360K-
+      literal plan — the expression-tree-size trap CLAUDE.md
+      documents).
+
+    ``strategy=None`` picks by L·B against LANGID_LITERAL_MAX_CELLS.
+    Returns (id, predicted); ties argmax to the ASC label, exact
+    decimal compares everywhere."""
     labels = model["labels"]
+    if strategy is None:
+        strategy = (
+            "literal"
+            if len(labels) * int(model["n_buckets"]) <= LANGID_LITERAL_MAX_CELLS
+            else "broadcast"
+        )
+    if strategy == "broadcast":
+        return _langid_nb_predict_broadcast(df, id_col, text_col, model)
+    if strategy != "literal":
+        raise ValueError(f"langid_nb_predict: unknown strategy {strategy!r}")
     dec = model.get("decimals", 12)
     scored = []
     for i, lab in enumerate(labels):
@@ -854,3 +885,80 @@ def langid_nb_predict(
         )
     best = F.greatest(*scored) if len(scored) > 1 else scored[0]
     return df.select(F.col(id_col), best.getField("lab").alias("predicted"))
+
+
+def _langid_nb_predict_broadcast(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    model: dict,
+) -> DataFrame:
+    """The broadcast-model scoring path (r14 — r13 VERDICT #4): model
+    constants as DATA, not expression nodes. Pipeline: explode grams ->
+    per-(id, bucket) exact counts (ONE shuffle, map-side combined, at
+    most min(grams, B) rows per doc) -> broadcast join the (bucket,
+    label, logprob) model frame -> per-(id, label) decimal sum of
+    count·logprob (products cast to DECIMAL(32,s) — addition stays
+    under precision 38, the r12 scale-digit trap) -> + prior ->
+    struct-max argmax. Docs with no grams fall back to the argmax
+    prior via a left join (the literal path's empty-aggregate
+    semantics). Plan size is O(1) in L·B."""
+    labels = model["labels"]
+    dec = int(model.get("decimals", 12))
+    B = int(model["n_buckets"])
+    spark = df.sparkSession
+    lp_rows = [
+        (int(b), int(i), model["logprobs"][lab][b])
+        for i, lab in enumerate(labels)
+        for b in range(B)
+    ]
+    lp = spark.createDataFrame(
+        lp_rows, f"bucket int, li int, lp decimal(20,{dec})"
+    )
+    pri = spark.createDataFrame(
+        [(int(i), lab, model["priors"][i]) for i, lab in enumerate(labels)],
+        f"li int, lab string, prior decimal(20,{dec})",
+    )
+    # the no-grams fallback: the label the literal path picks for an
+    # empty gram stream (max prior, ties to the ASC label)
+    default_lab = max(
+        ((model["priors"][i], -i, lab) for i, lab in enumerate(labels))
+    )[2]
+    ids = df.select(F.col(id_col))
+    grams = df.select(
+        F.col(id_col), F.explode(dsir_grams(F.col(text_col))).alias("_g")
+    ).select(
+        id_col,
+        dsir_bucket(F.col("_g"), B, model["salt"], model["method"]).alias(
+            "bucket"
+        ),
+    )
+    per_bucket = grams.groupBy(id_col, "bucket").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    per_label = (
+        per_bucket.join(F.broadcast(lp), "bucket")
+        .groupBy(id_col, "li")
+        .agg(
+            F.sum(
+                (F.col("c") * F.col("lp")).cast(f"decimal(32,{dec})")
+            ).alias("s0")
+        )
+    )
+    scored = per_label.join(F.broadcast(pri), "li").select(
+        F.col(id_col),
+        F.struct(
+            (F.col("prior") + F.col("s0"))
+            .cast(f"decimal(32,{dec})")
+            .alias("s"),
+            (-F.col("li")).alias("ni"),
+            F.col("lab").alias("lab"),
+        ).alias("cand"),
+    )
+    best = scored.groupBy(id_col).agg(
+        F.max("cand").getField("lab").alias("predicted")
+    )
+    return ids.join(best, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce(F.col("predicted"), F.lit(default_lab)).alias("predicted"),
+    )

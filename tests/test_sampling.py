@@ -413,3 +413,98 @@ def test_langid_nb_train_guards(spark):
     empty = spark.createDataFrame([], "doc_id long, lang string, text string")
     with _pytest.raises(ValueError, match="empty"):
         langid_nb_train(empty, "lang", "text")
+
+
+def test_langid_nb_broadcast_equals_literal(spark):
+    """r14 broadcast-model scoring path: decimal arithmetic is exactly
+    associative, so regrouping the gram sum by bucket changes NOTHING —
+    the two strategies must agree on every prediction, including the
+    empty-text prior fallback and unseen-vocabulary docs."""
+    from hydraide_spark.functions.sampling import (
+        langid_nb_predict,
+        langid_nb_train,
+    )
+
+    rows = []
+    texts = {
+        "de": "der hund läuft schnell und der ball rollt weit",
+        "en": "the dog runs fast and the ball rolls far today",
+        "fr": "le chien court vite et la balle roule loin",
+        "es": "el perro corre rapido y la pelota rueda lejos",
+        "it": "il cane corre veloce e la palla rotola lontano",
+    }
+    i = 0
+    for lang, base in texts.items():
+        for j in range(6):
+            rows.append((i, lang, base + f" extra{j % 3}"))
+            i += 1
+    rows.append((900, "en", ""))  # empty text in the corpus too
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    model = langid_nb_train(df, "lang", "text", n_buckets=256, smoothing=0.5)
+    probe = df.select("doc_id", "text").unionByName(
+        spark.createDataFrame(
+            [(991, ""), (992, "zzz qqq unseen vocabulary entirely")],
+            "doc_id long, text string",
+        )
+    )
+    lit_pred = {
+        r.doc_id: r.predicted
+        for r in langid_nb_predict(
+            probe, "doc_id", "text", model, strategy="literal"
+        ).collect()
+    }
+    bc_pred = {
+        r.doc_id: r.predicted
+        for r in langid_nb_predict(
+            probe, "doc_id", "text", model, strategy="broadcast"
+        ).collect()
+    }
+    assert lit_pred == bc_pred
+    assert len(lit_pred) == probe.count()
+
+
+def test_langid_nb_large_label_count_routes_broadcast(spark):
+    """r14 plan-size pin: at L=64/B=2048 the literal plan would carry
+    131K decimal literals (the expression-tree-size trap); the default
+    strategy must route to broadcast and its ANALYZED plan must stay
+    O(1) in L·B (pinned: not ~10x the L=2 plan)."""
+    from decimal import Decimal
+
+    from hydraide_spark.functions.sampling import (
+        LANGID_LITERAL_MAX_CELLS,
+        langid_nb_predict,
+    )
+
+    def synth_model(L, B):
+        q = Decimal("0.000000000001")
+        return {
+            "labels": [f"l{i:03d}" for i in range(L)],
+            "priors": [Decimal(-i).quantize(q) for i in range(L)],
+            "logprobs": {
+                f"l{i:03d}": [
+                    (Decimal(-(i + b % 7)) / 10).quantize(q) for b in range(B)
+                ]
+                for i in range(L)
+            },
+            "n_buckets": B,
+            "salt": "",
+            "method": "md5",
+            "decimals": 12,
+        }
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "delta epsilon")],
+        "doc_id long, text string",
+    )
+    big_model = synth_model(64, 2048)
+    assert 64 * 2048 > LANGID_LITERAL_MAX_CELLS
+    out = langid_nb_predict(df, "doc_id", "text", big_model)  # auto-routes
+    plan_big = out._jdf.queryExecution().analyzed().toString()
+    small = langid_nb_predict(
+        df, "doc_id", "text", synth_model(2, 64), strategy="broadcast"
+    )
+    plan_small = small._jdf.queryExecution().analyzed().toString()
+    # model constants are DATA, not expression nodes: the plan text may
+    # not blow up with the model (the literal path's would be ~100x)
+    assert len(plan_big) < 10 * max(1, len(plan_small))
+    assert out.count() == 2
