@@ -320,6 +320,64 @@ def minhash_signature(
     ]
 
 
+def minhash_signature_array(
+    shingle_col: Column, k: int = 16, engine_stable: bool = False
+) -> Column:
+    """The k-value MinHash signature as ONE array column built by a
+    nested HOF over an in-plan permutation-id sequence — permutation
+    ids as DATA, not k separate expression trees (r14, the
+    _book_literals lesson: the unrolled k-column form made Catalyst
+    codegen the dominant COLD cost, ~10 s first-touch on the md5
+    stable path). Values are bit-identical to
+    :func:`minhash_signature`: the hash inputs are unchanged
+    (``xxhash64(i, s)`` — sequence elements are INT like the unrolled
+    form's literals, and xxhash64 is type-sensitive; md5 of
+    ``'<i>:' || s``)."""
+    seq = F.sequence(F.lit(0), F.lit(int(k) - 1))
+    if engine_stable:
+        return F.transform(
+            seq,
+            lambda i: F.array_min(
+                F.transform(
+                    shingle_col,
+                    lambda s: F.md5(
+                        F.concat(i.cast("string"), F.lit(":"), s)
+                    ),
+                )
+            ),
+        )
+    return F.transform(
+        seq,
+        lambda i: F.array_min(
+            F.transform(shingle_col, lambda s: F.xxhash64(i, s))
+        ),
+    )
+
+
+def band_bucket_array(sig_col: Column, k: int, bands: int) -> Column:
+    """Banded-LSH bucket strings from a MATERIALIZED signature array
+    (one projection boundary between signature and banding keeps the
+    signature computed once, exactly like the old k-column form):
+    band b = concat_ws('|', b, sig[b*r+1 .. b*r+r]) — byte-identical
+    to the unrolled concat_ws over mh columns (bigints render through
+    the same cast-to-string, md5 values are already hex strings)."""
+    rpb = int(k) // int(bands)
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(int(bands) - 1)),
+        lambda b: F.concat_ws(
+            "|",
+            b.cast("string"),
+            F.array_join(
+                F.transform(
+                    F.slice(sig_col, b * F.lit(rpb) + F.lit(1), rpb),
+                    lambda v: v.cast("string"),
+                ),
+                "|",
+            ),
+        ),
+    )
+
+
 def minhash_neardup_pairs(
     df: DataFrame,
     tau: float,
@@ -359,7 +417,6 @@ def minhash_neardup_pairs(
     web-crawl-shaped corpora where exact duplicates dominate, full
     enumeration is quadratic in copy-family size; this is linear."""
     assert k % bands == 0
-    rows_per_band = k // bands
     frac = Fraction(tau).limit_denominator(10**6)
     num, den = frac.numerator, frac.denominator
 
@@ -412,24 +469,19 @@ def minhash_neardup_pairs(
     pin_latest("dedup.minhash_neardup_pairs", *pinned)
     sig = sh.select(
         F.col(id_col),
-        *minhash_signature(F.col("sh"), k, engine_stable=engine_stable),
+        minhash_signature_array(F.col("sh"), k, engine_stable=engine_stable).alias(
+            "_sig"
+        ),
     )
 
-    band_cols = [
-        F.concat_ws(
-            "|",
-            F.lit(str(b)),
-            *[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)],
-        ).alias(f"band{b}")
-        for b in range(bands)
-    ]
     # one pass: explode the band array instead of unioning `bands` frames
     # (a union would recompute the signature pipeline per band). The
     # banded frame carries ONLY (id, bucket) — shingle arrays stay out of
-    # the bucket shuffle (they'd be duplicated `bands` times).
+    # the bucket shuffle (they'd be duplicated `bands` times). Array-form
+    # signature/banding (r14): identical strings, O(1) expression tree.
     banded = sig.select(
         F.col(id_col),
-        F.explode(F.array(*band_cols)).alias("bucket"),
+        F.explode(band_bucket_array(F.col("_sig"), k, bands)).alias("bucket"),
     )
 
     a, b_ = banded.alias("a"), banded.alias("b")
@@ -669,7 +721,6 @@ def minhash_incremental_pairs(
     for SQL-oracle replay. Returns (id_a, id_b, inter, union) with
     id_a < id_b and at least one side new."""
     assert k % bands == 0
-    rows_per_band = k // bands
     frac = Fraction(tau).limit_denominator(10**6)
     num, den = frac.numerator, frac.denominator
 
@@ -681,18 +732,14 @@ def minhash_incremental_pairs(
     sig = sh.select(
         F.col(id_col),
         F.col("_new"),
-        *minhash_signature(F.col("sh"), k, engine_stable=engine_stable),
+        minhash_signature_array(F.col("sh"), k, engine_stable=engine_stable).alias(
+            "_sig"
+        ),
     )
-    band_cols = [
-        F.concat_ws(
-            "|",
-            F.lit(str(b)),
-            *[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)],
-        ).alias(f"band{b}")
-        for b in range(bands)
-    ]
     banded = sig.select(
-        F.col(id_col), F.col("_new"), F.explode(F.array(*band_cols)).alias("bucket")
+        F.col(id_col),
+        F.col("_new"),
+        F.explode(band_bucket_array(F.col("_sig"), k, bands)).alias("bucket"),
     )
     new_banded = banded.filter(F.col("_new")).select(F.col(id_col), F.col("bucket"))
     a, b_ = new_banded.alias("a"), banded.alias("b")

@@ -60,7 +60,7 @@ from typing import Optional
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from ..functions.dedup import minhash_signature, shingles
+from ..functions.dedup import band_bucket_array, minhash_signature_array, shingles
 from .state_compact import (
     adopt_unmarked_epochs,
     band_bucket_expr,
@@ -132,21 +132,15 @@ def _bands_from_shingled(
     (column ``sh``) — the single definition both the ingest and
     :func:`band_buckets` use, so a probe's banding can never drift from
     the index's."""
-    rows_per_band = k // bands
     sig = sh_df.select(
         F.col(id_col),
-        *minhash_signature(F.col("sh"), k, engine_stable=engine_stable),
+        minhash_signature_array(F.col("sh"), k, engine_stable=engine_stable).alias(
+            "_sig"
+        ),
     )
-    band_cols = [
-        F.concat_ws(
-            "|",
-            F.lit(str(b)),
-            *[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)],
-        ).alias(f"band{b}")
-        for b in range(bands)
-    ]
     return sig.select(
-        F.col(id_col), F.explode(F.array(*band_cols)).alias("bucket")
+        F.col(id_col),
+        F.explode(band_bucket_array(F.col("_sig"), k, bands)).alias("bucket"),
     )
 
 

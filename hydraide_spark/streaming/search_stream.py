@@ -780,6 +780,18 @@ def compact_unified_search_state(
                 spark, os.path.join(state_dir, "pqcodes"), partition_by=["cell"]
             ),
         }
+    # marker snapshot BEFORE the live-epoch listing (r14 — the
+    # prune_stale_markers ordering fix): every ingest writes its table
+    # dirs before its marker, so a marker in the snapshot either still
+    # has dirs (the later listing keeps it) or was folded into the
+    # always-committed base (safe to prune). The old live-first order
+    # could prune a marker that landed between the two listings.
+    commits = os.path.join(state_dir, "_commits")
+    marker_snapshot = (
+        [n for n in os.listdir(commits) if n.startswith("epoch=")]
+        if os.path.isdir(commits)
+        else []
+    )
     live: set[int] = set()
     for t in ("postings", "doclen", "cells", "codes", "pqcodes"):
         d = os.path.join(state_dir, t)
@@ -787,8 +799,7 @@ def compact_unified_search_state(
             for n in os.listdir(d):
                 if n.startswith("epoch=") and n.split("=", 1)[1].lstrip("-").isdigit():
                     live.add(int(n.split("=", 1)[1]))
-    commits = os.path.join(state_dir, "_commits")
-    if os.path.isdir(commits):
+    if marker_snapshot:
         import json
 
         # absorb pruned markers' row stats into the _STATS base BEFORE
@@ -810,9 +821,7 @@ def compact_unified_search_state(
         to_remove = []
         marker_eps = set()
         stats_dirty = False
-        for n in os.listdir(commits):
-            if not n.startswith("epoch="):
-                continue
+        for n in marker_snapshot:
             ep = int(n.split("=", 1)[1])
             marker_eps.add(ep)
             if ep in live:
@@ -829,7 +838,10 @@ def compact_unified_search_state(
         if stats_dirty or pruned_absorbed != absorbed:
             _write_base_stats(state_dir, base_rows, dim, pruned_absorbed | {e for e, _ in to_remove})
         for _ep, path in to_remove:
-            os.remove(path)
+            try:
+                os.remove(path)
+            except FileNotFoundError:
+                pass  # a concurrent pruner got there first
     return folded
 
 

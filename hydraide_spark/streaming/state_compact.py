@@ -336,10 +336,21 @@ def prune_stale_markers(state_dir: str, tables=None) -> int:
     safe default for shared multi-modality state dirs (r13 admission
     state): a compactor that pruned against only ITS tables would drop
     markers for epochs another modality's table still holds, vanishing
-    those rows from the frontier."""
+    those rows from the frontier.
+
+    ORDER IS LOAD-BEARING (r14, found by the concurrent ingest-vs-
+    compactor stress test): the marker set is snapshotted BEFORE the
+    live-epoch listing. Every ingest writes its table dirs before its
+    marker, so any marker in the snapshot either still has its dirs
+    (seen by the later listing -> kept) or compaction already folded
+    them into the always-committed base (-> safe to prune). The old
+    tables-first order had a window where an ingest landed dirs +
+    marker between the two listings and its FRESH marker was pruned —
+    a committed epoch invisible until the next full fold."""
     commits = os.path.join(state_dir, COMMITS_NAME)
     if not os.path.isdir(commits):
         return 0
+    marker_snapshot = [n for n in os.listdir(commits) if n.startswith("epoch=")]
     if tables is None:
         tables = [
             n
@@ -356,11 +367,12 @@ def prune_stale_markers(state_dir: str, tables=None) -> int:
             if n.startswith("epoch=") and n.split("=", 1)[1].lstrip("-").isdigit():
                 live.add(int(n.split("=", 1)[1]))
     removed = 0
-    for n in os.listdir(commits):
-        if not n.startswith("epoch="):
-            continue
+    for n in marker_snapshot:
         if int(n.split("=", 1)[1]) not in live:
-            os.remove(os.path.join(commits, n))
+            try:
+                os.remove(os.path.join(commits, n))
+            except FileNotFoundError:
+                continue  # a concurrent pruner got there first
             removed += 1
     return removed
 
