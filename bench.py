@@ -219,6 +219,12 @@ HEADLINE = [
     "pack_token_shards_docs",
     "multimodal_features",
     "multimodal_real_decode",
+    # r14: HTML extraction, ANN recall QA, progressive-JPEG golden is
+    # the existing image_phash_neardup_jpeg entry
+    "html_extract_text",
+    "html_curation_pipeline",
+    "ann_recall_report_stable",
+    "ann_recall_report",
     # r12: image perceptual-hash near-dup (planted-truth oracle)
     "image_phash_neardup",
     "image_phash_neardup_png",
