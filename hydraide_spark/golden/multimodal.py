@@ -423,7 +423,15 @@ def _synth_jpeg_corpus(docs: DataFrame) -> DataFrame:
                 }
             )
 
-    return ids.mapInPandas(gen, "media_id long, kind string, payload binary")
+    # spread the per-image Python encode across cores: the id frame
+    # inherits the parquet read's 1-2 partitions, which serialized
+    # ~5.6K encodes onto 2 cores once 1/5 of them went progressive
+    # (two-pass optimal-Huffman encode — 76 s cold at sf0.1; 64-way,
+    # ~5 s). Decode parallelism downstream comes from these same
+    # partitions.
+    return ids.repartition(64).mapInPandas(
+        gen, "media_id long, kind string, payload binary"
+    )
 
 
 @golden(
