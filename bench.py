@@ -222,6 +222,8 @@ HEADLINE = [
     # r14: HTML extraction, ANN recall QA, progressive-JPEG golden is
     # the existing image_phash_neardup_jpeg entry
     "html_extract_text",
+    "warc_parse_records",
+    "crawl_ingest_pipeline",
     "html_curation_pipeline",
     "ann_recall_report_stable",
     "ann_recall_report",

@@ -1145,3 +1145,235 @@ def html_curation_pipeline(spark, sf_dir):
             F.col("n_words").cast("int").alias("n_words"),
         )
     )
+
+
+# --- WARC crawl-archive ingestion (r14) ---------------------------------------
+
+#: synthesized WARC record per doc (pure function of doc_id + text):
+#: response records wrap the _HTML_SYNTH_SQL page behind HTTP headers;
+#: every 7th doc is a 404, every 11th a non-HTML content type, every
+#: 13th a 'request' record (non-HTTP-response payload); a trailer after
+#: Content-Length bytes proves the payload slice is length-driven.
+#: DuckDB E'' escape strings carry the CRLFs; Spark builds the same
+#: bytes with \r\n literals.
+_WARC_SYNTH_SQL = f"""
+    hh AS (
+      SELECT doc_id, {_HTML_SYNTH_SQL} AS html FROM documents
+    ),
+    wparts AS (
+      SELECT doc_id,
+        CASE WHEN doc_id % 13 = 3 THEN 'request' ELSE 'response' END AS wtype,
+        CASE WHEN doc_id % 13 = 3
+             THEN 'GET /p HTTP/1.1' || E'\\r\\n' || 'Host: example.com' || E'\\r\\n\\r\\n'
+             ELSE 'HTTP/1.1 '
+                  || CASE WHEN doc_id % 7 = 1 THEN '404 Not Found' ELSE '200 OK' END
+                  || E'\\r\\n' || 'Content-Type: '
+                  || CASE WHEN doc_id % 11 = 2 THEN 'application/pdf'
+                          ELSE 'text/html; charset=utf-8' END
+                  || E'\\r\\n' || 'X-Crawl: junk' || E'\\r\\n\\r\\n' || html
+        END AS pay,
+        'http://EXAMPLE' || CAST(doc_id AS VARCHAR) || '.com/p'
+          || CAST(doc_id AS VARCHAR) || '/' AS uri
+      FROM hh
+    ),
+    w AS (
+      SELECT doc_id,
+        'WARC/1.0' || E'\\r\\n' || 'WARC-Type: ' || wtype
+        || E'\\r\\n' || 'WARC-Target-URI: ' || uri
+        || E'\\r\\n' || 'WARC-Date: 2026-01-01T00:00:00Z'
+        || E'\\r\\n' || 'Content-Length: ' || CAST(length(pay) AS VARCHAR)
+        || E'\\r\\n\\r\\n' || pay
+        || E'\\r\\n\\r\\n' || 'trailer junk not part of the record payload'
+        AS record
+      FROM wparts
+    )
+"""
+
+#: rule-for-rule replay of functions/crawl.py::warc_fields over CTE
+#: w(doc_id, record) -> parsed(doc_id, version, warc_type, target_uri,
+#: warc_date, content_length, http_status, mime, body)
+_WARC_PARSE_SQL = r"""
+    pr1 AS (
+      SELECT doc_id, record,
+        split_part(record, E'\r\n\r\n', 1) AS head,
+        substr(record, length(split_part(record, E'\r\n\r\n', 1)) + 5) AS rest
+      FROM w
+    ),
+    pr2 AS (
+      SELECT doc_id, head, rest,
+        TRY_CAST(regexp_extract(head, '(?i)\r\nContent-Length:[ ]*([^\r\n]*)', 1) AS INT) AS cl
+      FROM pr1
+    ),
+    pr3 AS (
+      SELECT doc_id, head, cl,
+        CASE WHEN cl IS NOT NULL THEN substr(rest, 1, cl) ELSE rest END AS payload
+      FROM pr2
+    ),
+    pr4 AS (
+      SELECT doc_id, head, cl, payload,
+        starts_with(payload, 'HTTP/') AS is_http,
+        split_part(payload, E'\r\n\r\n', 1) AS http_head
+      FROM pr3
+    ),
+    parsed AS (
+      SELECT doc_id,
+        split_part(head, E'\r\n', 1) AS version,
+        COALESCE(regexp_extract(head, '(?i)\r\nWARC-Type:[ ]*([^\r\n]*)', 1), '') AS warc_type,
+        COALESCE(regexp_extract(head, '(?i)\r\nWARC-Target-URI:[ ]*([^\r\n]*)', 1), '') AS target_uri,
+        COALESCE(regexp_extract(head, '(?i)\r\nWARC-Date:[ ]*([^\r\n]*)', 1), '') AS warc_date,
+        CAST(cl AS INT) AS content_length,
+        CASE WHEN is_http
+             THEN TRY_CAST(regexp_extract(http_head, '^HTTP/[0-9.]+ ([0-9]{3})', 1) AS INT)
+        END AS http_status,
+        CASE WHEN is_http
+             THEN COALESCE(regexp_extract(http_head, '(?i)\r\nContent-Type:[ ]*([^\r\n]*)', 1), '')
+             ELSE '' END AS mime,
+        CASE WHEN is_http THEN substr(payload, length(http_head) + 5)
+             ELSE payload END AS body
+      FROM pr4
+    )
+"""
+
+
+def _synth_warc(spark, sf_dir):
+    """Spark twin of _WARC_SYNTH_SQL — byte-identical records."""
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    html_df = _synth_html(docs)
+    d = F.col("doc_id")
+    is_req = d % 13 == 3
+    status = F.when(d % 7 == 1, F.lit("404 Not Found")).otherwise(F.lit("200 OK"))
+    mime = F.when(d % 11 == 2, F.lit("application/pdf")).otherwise(
+        F.lit("text/html; charset=utf-8")
+    )
+    http = F.concat(
+        F.lit("HTTP/1.1 "),
+        status,
+        F.lit("\r\nContent-Type: "),
+        mime,
+        F.lit("\r\nX-Crawl: junk\r\n\r\n"),
+        F.col("html"),
+    )
+    pay = F.when(
+        is_req, F.lit("GET /p HTTP/1.1\r\nHost: example.com\r\n\r\n")
+    ).otherwise(http)
+    wtype = F.when(is_req, F.lit("request")).otherwise(F.lit("response"))
+    uri = F.concat(
+        F.lit("http://EXAMPLE"),
+        d.cast("string"),
+        F.lit(".com/p"),
+        d.cast("string"),
+        F.lit("/"),
+    )
+    record = F.concat(
+        F.lit("WARC/1.0\r\nWARC-Type: "),
+        wtype,
+        F.lit("\r\nWARC-Target-URI: "),
+        uri,
+        F.lit("\r\nWARC-Date: 2026-01-01T00:00:00Z\r\nContent-Length: "),
+        F.length(pay).cast("string"),
+        F.lit("\r\n\r\n"),
+        pay,
+        F.lit("\r\n\r\ntrailer junk not part of the record payload"),
+    )
+    return html_df.select(F.col("doc_id"), record.alias("record"))
+
+
+@golden(
+    "warc_parse_records",
+    oracle=f"""
+    WITH {_WARC_SYNTH_SQL.strip()},
+    {_WARC_PARSE_SQL.strip()}
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, version, warc_type,
+           target_uri, warc_date, content_length, http_status, mime, body
+    FROM parsed
+    """,
+)
+def warc_parse_records(spark, sf_dir):
+    """WARC record parsing (r14, functions/crawl.py::warc_extract) —
+    the raw-crawl framing step ahead of the HTML extractor: header
+    block split, case-insensitive header extraction, Content-Length
+    payload slicing (a planted trailer after the payload proves the
+    slice is length-driven, not separator-driven), HTTP status/header
+    parsing for response records; request records (non-HTTP payloads)
+    get NULL status, '' mime, raw payload as body. Pure string ops,
+    map-only; the oracle replays the record SYNTHESIS and the parser
+    rule-for-rule, comparing exact strings for every field including
+    the full body."""
+    from ..functions.crawl import warc_extract
+
+    out = warc_extract(_synth_warc(spark, sf_dir))
+    return out.select(
+        big("doc_id").alias("doc_id"),
+        "version",
+        "warc_type",
+        "target_uri",
+        "warc_date",
+        F.col("content_length").cast("int").alias("content_length"),
+        F.col("http_status").cast("int").alias("http_status"),
+        "mime",
+        "body",
+    )
+
+
+@golden(
+    "crawl_ingest_pipeline",
+    oracle=f"""
+    WITH {_WARC_SYNTH_SQL.strip()},
+    {_WARC_PARSE_SQL.strip()},
+    pages AS (
+      SELECT doc_id, target_uri, body
+      FROM parsed
+      WHERE warc_type = 'response' AND http_status = 200
+        AND starts_with(mime, 'text/html')
+    ),
+    canon AS (
+      SELECT doc_id, body,
+        lower(COALESCE(regexp_extract(trim(target_uri), '^([A-Za-z][A-Za-z0-9+.\\-]*)://.*$', 1), ''))
+          || '://'
+          || regexp_replace(
+               regexp_replace(
+                 lower(COALESCE(regexp_extract(trim(target_uri), '^[A-Za-z][A-Za-z0-9+.\\-]*://([^/?#]*).*$', 1), '')),
+                 ':80$', ''),
+               '^www\\.', '')
+          || CASE WHEN p1 = '' THEN '/' ELSE p1 END AS canonical_uri
+      FROM (
+        SELECT *,
+          CASE WHEN path0 = '' THEN '/'
+               WHEN length(path0) > 1 THEN regexp_replace(path0, '/+$', '')
+               ELSE path0 END AS p1
+        FROM (
+          SELECT doc_id, target_uri, body,
+            COALESCE(regexp_extract(trim(target_uri), '^[A-Za-z][A-Za-z0-9+.\\-]*://[^/?#]*([^?#]*).*$', 1), '') AS path0
+          FROM pages
+        )
+      )
+    ),
+    h AS (SELECT doc_id, body AS html FROM canon),
+    {_HTML_EXTRACT_SQL.strip()}
+    SELECT CAST(c.doc_id AS BIGINT) AS doc_id, c.canonical_uri,
+           e.text, e.n_words
+    FROM canon c JOIN ext e ON c.doc_id = e.doc_id
+    WHERE e.n_words >= 20
+    """,
+)
+def crawl_ingest_pipeline(spark, sf_dir):
+    """The COMPLETE raw-crawl admission chain (r14,
+    functions/crawl.py::crawl_ingest_report): WARC records -> keep
+    HTTP 200 text/html responses (404s, PDFs and request records
+    drop) -> canonicalize the target URI (case/port/trailing-slash
+    rules — these synthesized URIs have no query, so the tracking-
+    param leg is exercised by url_canonical_dedup) -> extract main
+    content from the parsed BODY (not the pre-wrap page — a parser
+    bug that mangles one byte of the body breaks the exact string
+    compare) -> keep >= 20 extracted words. Map-only end to end; one
+    narrow projection from archive bytes to the `documents` shape the
+    dedup/quality family ingests."""
+    from ..functions.crawl import crawl_ingest_report
+
+    out = crawl_ingest_report(_synth_warc(spark, sf_dir))
+    return out.select(
+        big("doc_id").alias("doc_id"),
+        F.col("canonical_uri"),
+        F.col("text"),
+        F.col("n_words").cast("int").alias("n_words"),
+    )

@@ -983,3 +983,47 @@ def test_html_main_text_sentinel_reserved(spark):
     r = html_extract_report(df).collect()[0]
     assert r.text == "alpha betagamma delta epsilon zeta"
     assert r.n_kept == 1 and r.n_words == 5
+
+
+def test_warc_fields_rules(spark):
+    """r14 warc_extract: Content-Length-driven payload slicing (the
+    trailer never leaks), case-insensitive headers, HTTP vs non-HTTP
+    payloads, missing Content-Length falls back to rest-of-record,
+    absent headers come back '' and never an ANSI cast error."""
+    from hydraide_spark.functions.crawl import warc_extract
+
+    body = "<html><p>hello crawl world</p></html>"
+    http = (
+        "HTTP/1.1 200 OK\r\ncontent-type: text/html\r\n\r\n" + body
+    )
+    rec_ok = (
+        "WARC/1.0\r\nwarc-type: response\r\nWARC-Target-URI: http://a.com/\r\n"
+        f"Content-Length: {len(http)}\r\n\r\n{http}\r\n\r\nTRAILER"
+    )
+    rec_req = (
+        "WARC/1.0\r\nWARC-Type: request\r\nWARC-Target-URI: http://a.com/\r\n"
+        "Content-Length: 18\r\n\r\nGET / HTTP/1.1\r\n\r\n\r\n\r\njunk"
+    )
+    rec_nolen = (
+        "WARC/1.0\r\nWARC-Type: warcinfo\r\n\r\nsoftware: test-crawler"
+    )
+    df = spark.createDataFrame(
+        [(1, rec_ok), (2, rec_req), (3, rec_nolen)], "doc_id long, record string"
+    )
+    got = {r.doc_id: r for r in warc_extract(df).collect()}
+    r1 = got[1]
+    assert r1.version == "WARC/1.0"
+    assert r1.warc_type == "response"  # case-insensitive header name
+    assert r1.http_status == 200
+    assert r1.mime == "text/html"
+    assert r1.body == body  # TRAILER excluded by the length slice
+    assert r1.content_length == len(http)
+    r2 = got[2]
+    assert r2.warc_type == "request"
+    assert r2.http_status is None and r2.mime == ""
+    assert r2.body == "GET / HTTP/1.1\r\n\r\n"  # sliced to 18 bytes
+    r3 = got[3]
+    assert r3.warc_type == "warcinfo"
+    assert r3.content_length is None
+    assert r3.body == "software: test-crawler"  # no-length fallback
+    assert r3.target_uri == "" and r3.http_status is None
