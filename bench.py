@@ -224,6 +224,7 @@ HEADLINE = [
     "html_extract_text",
     "warc_parse_records",
     "crawl_ingest_pipeline",
+    "robots_frontier_filter",
     "html_curation_pipeline",
     "ann_recall_report_stable",
     "ann_recall_report",

@@ -145,3 +145,165 @@ def crawl_ingest_report(
         )
         .filter(F.col("n_words") >= int(min_words))
     )
+
+
+# --- robots.txt politeness rules (r14) ----------------------------------------
+
+#: regex metacharacters escaped before '*' wildcards are translated —
+#: a FIXED list shared with the SQL oracle so both engines build the
+#: same pattern string
+_ROBOTS_ESCAPES = [
+    ("\\", "\\\\"), (".", "\\."), ("+", "\\+"), ("?", "\\?"),
+    ("(", "\\("), (")", "\\)"), ("[", "\\["), ("]", "\\]"),
+    ("{", "\\{"), ("}", "\\}"), ("|", "\\|"), ("^", "\\^"),
+]
+
+
+def robots_rules(
+    df: DataFrame, host_col: str = "host", robots_col: str = "robots"
+) -> DataFrame:
+    """Parse robots.txt bodies into flat (host, agent, pattern, allow,
+    plen) rule rows — the RFC 9309 grammar subset a frontier needs:
+    ``User-agent`` lines open a group (CONSECUTIVE user-agent lines
+    share the group's rules), ``Allow``/``Disallow`` lines attach to
+    the open group, ``#`` comments and unknown keys are ignored, an
+    empty Disallow value matches nothing (allow-all, per the RFC).
+    Patterns keep their '*' wildcards and trailing '$' anchors for
+    :func:`robots_allowed` to compile.
+
+    The sequential group structure is recovered with WINDOW functions
+    over (host, line_no) — a new group starts at a user-agent line
+    whose predecessor is not one — so the whole parse is declarative
+    (shuffle on host only) and SQL-replayable; no fold state."""
+    from pyspark.sql import Window as W
+
+    lines = df.select(
+        F.col(host_col).alias("host"),
+        F.posexplode(F.split(F.col(robots_col), "\n")).alias("ln", "raw"),
+    )
+    cleaned = lines.select(
+        "host",
+        "ln",
+        F.trim(F.substring_index(F.col("raw"), "#", 1)).alias("line"),
+    ).select(
+        "host",
+        "ln",
+        F.lower(F.trim(F.substring_index(F.col("line"), ":", 1))).alias("key"),
+        F.trim(
+            F.regexp_extract(F.col("line"), r"^[^:]*:(.*)$", 1)
+        ).alias("value"),
+    )
+    w = W.partitionBy("host").orderBy("ln")
+    is_ua = F.col("key") == "user-agent"
+    grouped = cleaned.withColumn(
+        "new_group",
+        (is_ua & (F.lag("key").over(w).isNull() | (F.lag("key").over(w) != "user-agent"))).cast(
+            "int"
+        ),
+    ).withColumn("gid", F.sum("new_group").over(w))
+    uas = (
+        grouped.filter(is_ua & (F.col("value") != ""))
+        .select("host", "gid", F.lower(F.col("value")).alias("agent"))
+        .distinct()
+    )
+    rules = grouped.filter(
+        F.col("key").isin("allow", "disallow") & (F.col("value") != "")
+    ).select(
+        "host",
+        "gid",
+        F.col("value").alias("pattern"),
+        (F.col("key") == "allow").alias("allow"),
+        F.length("value").alias("plen"),
+    )
+    return uas.join(rules, ["host", "gid"]).select(
+        "host", "agent", "pattern", "allow", "plen"
+    )
+
+
+def _robots_pattern_regex(pattern: Column) -> Column:
+    """robots pattern -> anchored regex, the deterministic translation
+    shared with the oracle: escape regex metacharacters (fixed list),
+    '*' -> '.*', a trailing '$' stays an end anchor (escaped first,
+    un-escaped back when terminal)."""
+    p = pattern
+    for lit_ch, esc in _ROBOTS_ESCAPES:
+        p = F.replace(p, F.lit(lit_ch), F.lit(esc))
+    p = F.replace(p, F.lit("$"), F.lit("\\$"))
+    p = F.replace(p, F.lit("*"), F.lit(".*"))
+    # terminal '$' anchor: the RFC's only use of '$'
+    p = F.when(
+        p.endswith("\\$"),
+        F.concat(F.substring(p, F.lit(1), F.length(p) - F.lit(2)), F.lit("$")),
+    ).otherwise(p)
+    return F.concat(F.lit("^"), p)
+
+
+def robots_allowed(
+    urls: DataFrame,
+    rules: DataFrame,
+    agent: str,
+    url_col: str = "url",
+) -> DataFrame:
+    """Frontier politeness decision per URL under parsed robots rules:
+
+    - group selection: the crawler's groups are the host's rules whose
+      agent equals ``agent`` (lowercased) when any exist, else the
+      ``*`` groups (RFC 9309 most-specific-group rule at the
+      exact-token/* granularity this parser keeps),
+    - rule matching: the URL's PATH (query included, fragment not)
+      against the compiled pattern,
+    - precedence: LONGEST pattern wins; at equal length Allow wins
+      (the documented Google tiebreak),
+    - no matching rule (or no rules for the host at all) => allowed.
+
+    Returns the url rows plus (host, path, allowed). Plan shape: one
+    equi-join on host (rules frames are tiny — AQE broadcasts), a
+    per-URL max-struct instead of a window, no cartesian anywhere."""
+    a = str(agent).lower()
+    path0 = F.regexp_extract(
+        F.col(url_col), r"^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*([^#]*)", 1
+    )
+    u = urls.select(
+        F.col(url_col),
+        F.lower(
+            F.regexp_extract(
+                F.col(url_col), r"^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#:]*).*$", 1
+            )
+        ).alias("host"),
+        F.when(path0 == "", F.lit("/")).otherwise(path0).alias("path"),
+    )
+    # most-specific group per host: exact agent beats '*'
+    r = rules.filter(F.col("agent").isin(a, "*")).withColumn(
+        "spec", (F.col("agent") == a).cast("int")
+    )
+    best_spec = r.groupBy("host").agg(F.max("spec").alias("best_spec"))
+    r = r.join(best_spec, "host").filter(F.col("spec") == F.col("best_spec"))
+    matched = u.join(r, "host", "left").withColumn(
+        "hit",
+        F.col("pattern").isNotNull()
+        & F.regexp_like(
+            F.col("path"), _robots_pattern_regex(F.col("pattern"))
+        ),
+    )
+    # rlike with a non-literal pattern: per-row regex compile — fine
+    # for rule-sized frames; the hit rows collapse to one decision by
+    # (plen, allow) max-struct
+    decided = matched.groupBy(url_col, "host", "path").agg(
+        F.max(
+            F.when(
+                F.col("hit"),
+                F.struct(
+                    F.col("plen").alias("plen"),
+                    F.col("allow").cast("int").alias("al"),
+                ),
+            )
+        ).alias("win")
+    )
+    return decided.select(
+        url_col,
+        "host",
+        "path",
+        F.when(F.col("win").isNull(), F.lit(True))
+        .otherwise(F.col("win")["al"] == 1)
+        .alias("allowed"),
+    )

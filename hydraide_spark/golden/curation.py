@@ -1377,3 +1377,197 @@ def crawl_ingest_pipeline(spark, sf_dir):
         F.col("text"),
         F.col("n_words").cast("int").alias("n_words"),
     )
+
+
+# --- robots.txt frontier politeness (r14) --------------------------------------
+
+_ROBOTS_PARSE_SQL = r"""
+    hostsx AS (
+      SELECT DISTINCT CAST(doc_id % 6 AS INT) AS hid FROM documents
+    ),
+    rb AS (
+      SELECT 'site' || hid || '.com' AS host,
+        CASE CAST(hid % 3 AS INT)
+          WHEN 0 THEN '# robots' || chr(10) || 'User-agent: trainbot' || chr(10) ||
+            'Disallow: /private/' || chr(10) || 'Allow: /private/ok' || chr(10) ||
+            'User-agent: *' || chr(10) || 'Disallow: /*.pdf$' || chr(10) || 'Crawl-delay: 5'
+          WHEN 1 THEN 'User-agent: *' || chr(10) || 'Disallow: /'
+          ELSE ''
+        END AS robots
+      FROM hostsx
+    ),
+    rlines AS (
+      SELECT host, i AS ln, ls[i] AS raw
+      FROM (SELECT host, string_split(robots, chr(10)) AS ls FROM rb),
+           UNNEST(range(1, len(ls) + 1)) AS t(i)
+    ),
+    rclean AS (
+      SELECT host, ln,
+        lower(trim(split_part(split_part(raw, '#', 1), ':', 1))) AS key,
+        trim(COALESCE(regexp_extract(split_part(raw, '#', 1), '^[^:]*:(.*)$', 1), '')) AS value
+      FROM rlines
+    ),
+    rmarked AS (
+      SELECT host, ln, key, value,
+        CASE WHEN key = 'user-agent'
+              AND COALESCE(LAG(key) OVER (PARTITION BY host ORDER BY ln), '') <> 'user-agent'
+             THEN 1 ELSE 0 END AS new_group
+      FROM rclean
+    ),
+    rgrouped AS (
+      SELECT host, ln, key, value,
+        SUM(new_group) OVER (PARTITION BY host ORDER BY ln) AS gid
+      FROM rmarked
+    ),
+    ruas AS (
+      SELECT DISTINCT host, gid, lower(value) AS agent
+      FROM rgrouped WHERE key = 'user-agent' AND value <> ''
+    ),
+    rrules AS (
+      SELECT host, gid, value AS pattern, key = 'allow' AS allow, length(value) AS plen
+      FROM rgrouped WHERE key IN ('allow', 'disallow') AND value <> ''
+    ),
+    robots_rules_t AS (
+      SELECT u.host, u.agent, rl.pattern, rl.allow, rl.plen
+      FROM ruas u JOIN rrules rl USING (host, gid)
+    )
+"""
+
+
+def _robots_esc_sql(inner: str) -> str:
+    """DuckDB replay of functions/crawl.py::_robots_pattern_regex —
+    the SAME fixed escape order, then $-escape, *-wildcard, terminal
+    $-anchor restore."""
+    from ..functions.crawl import _ROBOTS_ESCAPES
+
+    e = inner
+    for lit, rep in _ROBOTS_ESCAPES:
+        l = lit.replace("'", "''")
+        r = rep.replace("'", "''")
+        e = f"replace({e}, '{l}', '{r}')"
+    e = f"replace({e}, '$', '\\$')"
+    e = f"replace({e}, '*', '.*')"
+    return (
+        "(CASE WHEN substr(%s, length(%s) - 1) = '\\$' "
+        "THEN substr(%s, 1, length(%s) - 2) || '$' ELSE %s END)"
+        % (e, e, e, e, e)
+    )
+
+
+def _synth_robots_frames(spark, sf_dir):
+    """Spark twin of the oracle's synthesized robots + frontier URLs."""
+    docs = t(spark, sf_dir, "documents").select("doc_id")
+    hid = (F.col("doc_id") % 6).cast("int")
+    hosts = docs.select(hid.alias("hid")).distinct()
+    k = (F.col("hid") % 3).cast("int")
+    robots = (
+        F.when(
+            k == 0,
+            F.lit(
+                "# robots\nUser-agent: trainbot\nDisallow: /private/\n"
+                "Allow: /private/ok\nUser-agent: *\nDisallow: /*.pdf$\n"
+                "Crawl-delay: 5"
+            ),
+        )
+        .when(k == 1, F.lit("User-agent: *\nDisallow: /"))
+        .otherwise(F.lit(""))
+    )
+    robots_df = hosts.select(
+        F.concat(F.lit("site"), F.col("hid").cast("string"), F.lit(".com")).alias(
+            "host"
+        ),
+        robots.alias("robots"),
+    )
+    v = (F.col("doc_id") % 4).cast("int")
+    d = F.col("doc_id").cast("string")
+    path = (
+        F.when(v == 0, F.concat(F.lit("/private/secret"), d))
+        .when(v == 1, F.concat(F.lit("/private/ok/page"), d))
+        .when(v == 2, F.concat(F.lit("/doc"), d, F.lit(".pdf")))
+        .otherwise(F.concat(F.lit("/public/x"), d))
+    )
+    urls = docs.select(
+        F.col("doc_id"),
+        F.concat(
+            F.lit("http://site"), hid.cast("string"), F.lit(".com"), path
+        ).alias("url"),
+    )
+    return robots_df, urls
+
+
+@golden(
+    "robots_frontier_filter",
+    oracle=f"""
+    WITH {_ROBOTS_PARSE_SQL.strip()},
+    urls AS (
+      SELECT doc_id,
+        'http://site' || CAST(doc_id % 6 AS INT) || '.com' ||
+        CASE CAST(doc_id % 4 AS INT)
+          WHEN 0 THEN '/private/secret' || doc_id
+          WHEN 1 THEN '/private/ok/page' || doc_id
+          WHEN 2 THEN '/doc' || doc_id || '.pdf'
+          ELSE '/public/x' || doc_id END AS url
+      FROM documents
+    ),
+    u AS (
+      SELECT doc_id, url,
+        lower(COALESCE(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.\\-]*://([^/?#:]*).*$', 1), '')) AS host,
+        CASE WHEN p0 = '' THEN '/' ELSE p0 END AS path
+      FROM (SELECT doc_id, url,
+              COALESCE(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.\\-]*://[^/?#]*([^#]*)', 1), '') AS p0
+            FROM urls)
+    ),
+    ar AS (
+      SELECT host, pattern, allow, plen,
+        CASE WHEN agent = 'trainbot' THEN 1 ELSE 0 END AS spec
+      FROM robots_rules_t WHERE agent IN ('trainbot', '*')
+    ),
+    bs AS (SELECT host, max(spec) AS best FROM ar GROUP BY host),
+    sel AS (SELECT ar.host, ar.allow, ar.plen, '^' || {_robots_esc_sql('ar.pattern')} AS rx
+            FROM ar JOIN bs USING (host) WHERE ar.spec = bs.best),
+    m AS (
+      SELECT u.doc_id, u.url, u.host, u.path, s.allow, s.plen,
+        (s.rx IS NOT NULL AND regexp_matches(u.path, s.rx)) AS hit
+      FROM u LEFT JOIN sel s USING (host)
+    ),
+    dec AS (
+      SELECT doc_id, url, host, path, allow, hit,
+        ROW_NUMBER() OVER (PARTITION BY url
+                           ORDER BY hit DESC, plen DESC NULLS LAST,
+                                    allow DESC NULLS LAST) AS rn
+      FROM m
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, url, host, path,
+           CASE WHEN hit THEN allow ELSE TRUE END AS allowed
+    FROM dec WHERE rn = 1
+    """,
+)
+def robots_frontier_filter(spark, sf_dir):
+    """robots.txt frontier politeness (r14, functions/crawl.py::
+    robots_rules + robots_allowed): parse synthesized per-host robots
+    bodies — grouped User-agent blocks (consecutive UA lines SHARE
+    rules), comments, unknown keys, empty-Disallow allow-all — then
+    decide every frontier URL for agent 'trainbot': most-specific
+    group (exact agent beats '*'), longest-pattern precedence with the
+    Allow tiebreak, '*' wildcards and terminal '$' anchors compiled
+    through the SAME fixed escape chain in both engines. Hosts cycle
+    three shapes (agent-specific rules + a '*' PDF ban / block-all /
+    empty). The oracle replays the synthesis, the window-function
+    group recovery, the regex compilation and the precedence rule;
+    every compared value is a string or an exact boolean. Plan: rules
+    are host-grouped windows over tiny robots bodies; the decision is
+    one host equi-join (AQE broadcasts the rule frame) + a per-URL
+    max-struct — no cartesian, no UDF."""
+    from ..functions.crawl import robots_allowed, robots_rules
+
+    robots_df, urls = _synth_robots_frames(spark, sf_dir)
+    rules = robots_rules(robots_df)
+    out = robots_allowed(urls, rules, "trainbot")
+    dec = urls.join(out, "url").select(
+        big("doc_id").alias("doc_id"),
+        F.col("url"),
+        F.col("host"),
+        F.col("path"),
+        F.col("allowed"),
+    )
+    return dec

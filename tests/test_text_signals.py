@@ -1027,3 +1027,76 @@ def test_warc_fields_rules(spark):
     assert r3.content_length is None
     assert r3.body == "software: test-crawler"  # no-length fallback
     assert r3.target_uri == "" and r3.http_status is None
+
+
+def test_robots_rules_and_decisions(spark):
+    """r14 robots.txt politeness: grouped UA blocks (consecutive UA
+    lines share rules), comments/unknown keys ignored, empty Disallow
+    = allow-all, exact-agent group beats '*', longest pattern wins
+    with the Allow tiebreak, '*' wildcards + terminal '$' anchors,
+    rule-less hosts allowed."""
+    from hydraide_spark.functions.crawl import robots_allowed, robots_rules
+
+    robots = (
+        "# header comment\n"
+        "User-agent: mybot\n"
+        "Disallow: /private/\n"
+        "Allow: /private/ok\n"
+        "User-agent: otherbot\n"
+        "User-agent: thirdbot\n"
+        "Disallow: /\n"
+        "User-agent: *\n"
+        "Disallow: /*.pdf$\n"
+        "Disallow: /tmp/*\n"
+        "Allow:\n"
+        "Crawl-delay: 10\n"
+    )
+    df = spark.createDataFrame(
+        [("example.com", robots), ("open.com", "User-agent: *\nDisallow:")],
+        "host string, robots string",
+    )
+    rules = robots_rules(df)
+    got = {
+        (r.host, r.agent, r.pattern): (r.allow, r.plen)
+        for r in rules.collect()
+    }
+    assert got == {
+        ("example.com", "mybot", "/private/"): (False, 9),
+        ("example.com", "mybot", "/private/ok"): (True, 11),
+        ("example.com", "otherbot", "/"): (False, 1),
+        ("example.com", "thirdbot", "/"): (False, 1),  # shared group
+        ("example.com", "*", "/*.pdf$"): (False, 7),
+        ("example.com", "*", "/tmp/*"): (False, 6),
+    }
+
+    urls = spark.createDataFrame(
+        [(u,) for u in [
+            "http://example.com/private/secret.html",
+            "http://example.com/private/ok/page",
+            "http://example.com/public/x",
+            "http://example.com/doc.pdf",
+            "http://example.com/doc.pdf.html",  # '$' anchor must NOT match
+            "http://example.com/tmp/scratch",
+            "http://open.com/anything",
+            "http://nowhere.com/x",
+        ]],
+        "url string",
+    )
+    my = {r.url.split(".com")[1]: r.allowed
+          for r in robots_allowed(urls, rules, "MyBot").collect()}
+    assert my == {
+        "/private/secret.html": False,
+        "/private/ok/page": True,     # longer Allow beats Disallow
+        "/public/x": True,
+        "/doc.pdf": True,             # '*' group does not apply to mybot
+        "/doc.pdf.html": True,
+        "/tmp/scratch": True,
+        "/anything": True,
+        "/x": True,
+    }
+    rand = {r.url.split(".com")[1]: r.allowed
+            for r in robots_allowed(urls, rules, "randombot").collect()}
+    assert rand["/doc.pdf"] is False        # terminal '$' match
+    assert rand["/doc.pdf.html"] is True    # '$' anchor holds
+    assert rand["/tmp/scratch"] is False    # mid-pattern wildcard
+    assert rand["/private/secret.html"] is True  # mybot group not selected
