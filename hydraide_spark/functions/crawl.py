@@ -177,9 +177,16 @@ def robots_rules(
     (shuffle on host only) and SQL-replayable; no fold state."""
     from pyspark.sql import Window as W
 
+    # CRLF endings are the wire norm (r15 ADVICE fix): a trailing '\r'
+    # left inside pattern values would make every rule unmatched — a
+    # FAIL-OPEN politeness violation. Strip all CRs before the line
+    # split (robots values never meaningfully contain a bare '\r');
+    # the oracle replays replace(robots, chr(13), '').
     lines = df.select(
         F.col(host_col).alias("host"),
-        F.posexplode(F.split(F.col(robots_col), "\n")).alias("ln", "raw"),
+        F.posexplode(
+            F.split(F.replace(F.col(robots_col), F.lit("\r"), F.lit("")), "\n")
+        ).alias("ln", "raw"),
     )
     cleaned = lines.select(
         "host",
@@ -256,9 +263,15 @@ def robots_allowed(
       (the documented Google tiebreak),
     - no matching rule (or no rules for the host at all) => allowed.
 
-    Returns the url rows plus (host, path, allowed). Plan shape: one
-    equi-join on host (rules frames are tiny — AQE broadcasts), a
-    per-URL max-struct instead of a window, no cartesian anywhere."""
+    Returns ONE row per DISTINCT url: (url, host, path, allowed) —
+    duplicate input URLs collapse in the decision groupBy and caller
+    columns are NOT carried (r15 ADVICE contract fix: this is the
+    documented shape, and callers join the decision back on
+    ``url_col`` — the robots_frontier_filter golden shape; the dedup
+    costs nothing extra because the decision aggregate already
+    shuffles on url). Plan shape: one equi-join on host (rules frames
+    are tiny — AQE broadcasts), a per-URL max-struct instead of a
+    window, no cartesian anywhere."""
     a = str(agent).lower()
     path0 = F.regexp_extract(
         F.col(url_col), r"^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*([^#]*)", 1

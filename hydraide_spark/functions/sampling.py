@@ -936,13 +936,25 @@ def _langid_nb_predict_broadcast(
     per_bucket = grams.groupBy(id_col, "bucket").agg(
         F.count(F.lit(1)).alias("c")
     )
+    # Two decimal-reduction traps guard this sum (r15 ADVICE fix +
+    # the deeper instance the regression test found): (a) a BIGINT
+    # count is decimal(20,0), so c*lp(20,12) needs precision 41 and
+    # Spark reduces the PRODUCT to (38,9) — HALF_UP at scale 9; cast
+    # the count to decimal(12,0) first so the multiply peaks at
+    # (33,12), exact. (b) sum over decimal(32,s) yields (38,s) and
+    # prior(20,s) + that needs precision 39, reduced to (38,s-1) —
+    # cast the sum back down to (32,s) so the add peaks at 33.
     per_label = (
         per_bucket.join(F.broadcast(lp), "bucket")
         .groupBy(id_col, "li")
         .agg(
             F.sum(
-                (F.col("c") * F.col("lp")).cast(f"decimal(32,{dec})")
-            ).alias("s0")
+                (F.col("c").cast("decimal(12,0)") * F.col("lp")).cast(
+                    f"decimal(32,{dec})"
+                )
+            )
+            .cast(f"decimal(32,{dec})")
+            .alias("s0")
         )
     )
     scored = per_label.join(F.broadcast(pri), "li").select(

@@ -1391,14 +1391,14 @@ _ROBOTS_PARSE_SQL = r"""
           WHEN 0 THEN '# robots' || chr(10) || 'User-agent: trainbot' || chr(10) ||
             'Disallow: /private/' || chr(10) || 'Allow: /private/ok' || chr(10) ||
             'User-agent: *' || chr(10) || 'Disallow: /*.pdf$' || chr(10) || 'Crawl-delay: 5'
-          WHEN 1 THEN 'User-agent: *' || chr(10) || 'Disallow: /'
+          WHEN 1 THEN 'User-agent: *' || chr(13) || chr(10) || 'Disallow: /'
           ELSE ''
         END AS robots
       FROM hostsx
     ),
     rlines AS (
       SELECT host, i AS ln, ls[i] AS raw
-      FROM (SELECT host, string_split(robots, chr(10)) AS ls FROM rb),
+      FROM (SELECT host, string_split(replace(robots, chr(13), ''), chr(10)) AS ls FROM rb),
            UNNEST(range(1, len(ls) + 1)) AS t(i)
     ),
     rclean AS (
@@ -1469,7 +1469,7 @@ def _synth_robots_frames(spark, sf_dir):
                 "Crawl-delay: 5"
             ),
         )
-        .when(k == 1, F.lit("User-agent: *\nDisallow: /"))
+        .when(k == 1, F.lit("User-agent: *\r\nDisallow: /"))
         .otherwise(F.lit(""))
     )
     robots_df = hosts.select(

@@ -77,11 +77,19 @@ def read_bloom_geometry(state_dir: str) -> "tuple[int, int] | None":
 def _write_bloom_geometry(state_dir: str, n_bits: int, k: int) -> None:
     """Persist (raise-on-mismatch) the bloom geometry. Idempotent for
     matching parameters; a second ingest configured differently fails
-    LOUDLY instead of silently poisoning the shared filter."""
-    import json
+    LOUDLY instead of silently poisoning the shared filter.
 
-    existing = read_bloom_geometry(state_dir)
-    if existing is not None:
+    Publication is EXCLUSIVE, not last-writer-wins (r15 ADVICE fix):
+    the fully-written temp file is published with ``os.link`` — atomic
+    create-if-absent with complete content — so two concurrent
+    first-time ingests configured differently cannot both "win"; the
+    loser sees FileExistsError, re-reads the winner's manifest and
+    raises on mismatch. (A check-then-``os.replace`` would let the
+    second writer silently overwrite the first.)"""
+    import json
+    import uuid
+
+    def _check(existing: "tuple[int, int]") -> None:
         if existing != (int(n_bits), int(k)):
             raise ValueError(
                 f"exact_bloom geometry mismatch: table was built with "
@@ -89,13 +97,32 @@ def _write_bloom_geometry(state_dir: str, n_bits: int, k: int) -> None:
                 f"configured (n_bits={int(n_bits)}, k={int(k)}) — "
                 "mixed geometries produce silent false negatives"
             )
+
+    existing = read_bloom_geometry(state_dir)
+    if existing is not None:
+        _check(existing)
         return
     d = os.path.join(state_dir, EXACT_BLOOM_TABLE)
     os.makedirs(d, exist_ok=True)
-    tmp = os.path.join(d, ".tmp-geometry")
+    tmp = os.path.join(d, f".tmp-geometry-{os.getpid()}-{uuid.uuid4().hex}")
     with open(tmp, "w") as fh:
         json.dump({"n_bits": int(n_bits), "k": int(k)}, fh)
-    os.replace(tmp, os.path.join(d, _BLOOM_GEOMETRY))
+    try:
+        os.link(tmp, os.path.join(d, _BLOOM_GEOMETRY))
+    except FileExistsError:
+        won = read_bloom_geometry(state_dir)
+        if won is None:
+            raise ValueError(
+                "exact_bloom geometry manifest exists but is unreadable — "
+                "refusing to guess; inspect "
+                + os.path.join(d, _BLOOM_GEOMETRY)
+            )
+        _check(won)
+    finally:
+        try:
+            os.remove(tmp)
+        except OSError:
+            pass
 
 
 def _resolve_bloom_geometry(

@@ -309,6 +309,44 @@ def test_bloom_geometry_manifest_round_trip_and_mismatch(spark, tmp_path):
         bad_ingest(spark.createDataFrame(_batches()[1], SCHEMA), 1)
 
 
+def test_bloom_geometry_first_write_race_is_exclusive(tmp_path, monkeypatch):
+    """r15 ADVICE regression: two concurrent FIRST-TIME ingests with
+    different geometries must not last-writer-wins. The loser — whose
+    pre-check raced past before the winner published — must fail
+    loudly on publish (os.link is create-if-absent), and a matching
+    loser must no-op. No stray tmp files either way."""
+    import os
+
+    import pytest
+
+    import hydraide_spark.streaming.admission_stream as adm
+
+    state = str(tmp_path / "adm")
+    adm._write_bloom_geometry(state, 1 << 14, 6)  # the winner
+
+    # the loser's pre-publish existence check already returned None
+    # (it raced past before the winner's os.link) — replay that by
+    # making the FIRST read see no manifest, later reads the truth
+    real = adm.read_bloom_geometry
+    calls = {"n": 0}
+
+    def flaky(state_dir):
+        calls["n"] += 1
+        return None if calls["n"] == 1 else real(state_dir)
+
+    monkeypatch.setattr(adm, "read_bloom_geometry", flaky)
+    with pytest.raises(ValueError, match="geometry mismatch"):
+        adm._write_bloom_geometry(state, 1 << 20, 4)
+    assert real(state) == (1 << 14, 6)  # winner's manifest intact
+
+    calls["n"] = 0  # a racing loser with MATCHING geometry is a no-op
+    adm._write_bloom_geometry(state, 1 << 14, 6)
+    assert real(state) == (1 << 14, 6)
+
+    d = os.path.join(state, adm.EXACT_BLOOM_TABLE)
+    assert [f for f in os.listdir(d) if f.startswith(".tmp-")] == []
+
+
 def test_exact_seen_media_only_items_get_a_row(spark, tmp_path):
     """r14 ADVICE: items with NULL/empty text (media-only) must return
     exact_seen=0, not vanish — a caller iterating the result to admit

@@ -508,3 +508,39 @@ def test_langid_nb_large_label_count_routes_broadcast(spark):
     # not blow up with the model (the literal path's would be ~100x)
     assert len(plan_big) < 10 * max(1, len(plan_small))
     assert out.count() == 2
+
+
+def test_langid_nb_broadcast_exact_at_sub_ulp_score_gaps(spark):
+    """r15 ADVICE regression: sum over decimal(32,12) yields (38,12),
+    and prior(20,12) + that needs precision 39 — pre-fix Spark reduced
+    the add to (38,11) and HALF_UP-rounded the 12th scale digit, so
+    two labels whose exact scores differ only at the 12th decimal
+    could TIE after rounding and flip the argmax to the lower-index
+    label. Crafted model: score(a)=6e-12, score(b)=1.4e-11 — both
+    round to 1e-11 at scale 11, tying in favor of 'a'; the exact
+    arithmetic (and the literal strategy) picks 'b'."""
+    from decimal import Decimal
+
+    from hydraide_spark.functions.sampling import langid_nb_predict
+
+    q = Decimal("0.000000000001")
+    B = 8
+    model = {
+        "labels": ["a", "b"],
+        "priors": [Decimal(0).quantize(q), Decimal(0).quantize(q)],
+        "logprobs": {
+            # same value in every bucket: the doc's gram hash is
+            # irrelevant, only the count (exactly 1 gram) matters
+            "a": [Decimal("6e-12").quantize(q)] * B,
+            "b": [Decimal("1.4e-11").quantize(q)] * B,
+        },
+        "n_buckets": B,
+        "salt": "",
+        "method": "md5",
+        "decimals": 12,
+    }
+    df = spark.createDataFrame([(1, "solo")], "doc_id long, text string")
+    lit = langid_nb_predict(df, "doc_id", "text", model, strategy="literal")
+    bc = langid_nb_predict(df, "doc_id", "text", model, strategy="broadcast")
+    assert [r.predicted for r in lit.collect()] == ["b"]
+    assert [r.predicted for r in bc.collect()] == ["b"]

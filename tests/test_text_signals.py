@@ -1100,3 +1100,30 @@ def test_robots_rules_and_decisions(spark):
     assert rand["/doc.pdf.html"] is True    # '$' anchor holds
     assert rand["/tmp/scratch"] is False    # mid-pattern wildcard
     assert rand["/private/secret.html"] is True  # mybot group not selected
+
+
+def test_robots_crlf_bodies_still_block(spark):
+    """r15 ADVICE regression: robots.txt served with CRLF endings must
+    parse identically to LF — pre-fix the trailing '\\r' stayed inside
+    every pattern value, no rule ever matched, and every Disallow was
+    silently ignored (fail-open politeness violation)."""
+    from hydraide_spark.functions.crawl import robots_allowed, robots_rules
+
+    body = "User-agent: *\r\nDisallow: /private/\r\nAllow: /private/ok\r\n"
+    df = spark.createDataFrame([("x.com", body)], "host string, robots string")
+    rules = robots_rules(df)
+    rows = rules.collect()
+    assert rows and all("\r" not in r.pattern and "\r" not in r.agent for r in rows)
+    urls = spark.createDataFrame(
+        [
+            (1, "http://x.com/private/a"),
+            (2, "http://x.com/private/ok/b"),
+            (3, "http://x.com/pub"),
+        ],
+        "i long, url string",
+    )
+    got = {
+        r.url.split(".com")[1]: r.allowed
+        for r in robots_allowed(urls, rules, "anybot").collect()
+    }
+    assert got == {"/private/a": False, "/private/ok/b": True, "/pub": True}
