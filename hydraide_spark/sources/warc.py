@@ -1,0 +1,154 @@
+"""WARC file framing (r15): ``.warc`` / ``.warc.gz`` archive files ->
+one BINARY record per row — the step the r14 crawl chain declared "the
+storage reader's framing job", now implemented so
+``crawl_ingest_report(binary=True)`` runs end-to-end on an actual
+CommonCrawl-shaped dump.
+
+Shape: the ``binaryFile`` source lands one row per FILE; an
+Arrow-batched ``mapInPandas`` (the multimodal ``real_decode`` pattern)
+walks gzip members and record boundaries in plain Python bytes and
+yields records. Parallelism is per-file — the WARC file is the atomic
+compression unit, and CommonCrawl ships ~1 GiB segment files, so a
+100 TB crawl is ~100K independent rows into this map: plenty of
+partitions, zero shuffle, no driver-side byte ever. Everything after
+framing is the byte-exact column-expression parser
+(functions/crawl.py::warc_extract_binary).
+
+Format facts the walkers encode (ISO 28500 / the CommonCrawl
+convention):
+
+- a WARC file is records back to back; each record = header block +
+  CRLFCRLF + exactly Content-Length payload octets, and TWO CRLFs
+  separate records;
+- ``.warc.gz`` compresses record-at-a-time — one gzip member per
+  record, members concatenated — but a whole-file single member is
+  equally legal, so the member walk and the record walk are
+  independent steps (either handles the other's degenerate case).
+
+Reference anchor: the reference engine ingests pre-extracted documents
+(docs/features/query-engine.md); this source belongs to the
+beyond-parity LLM-curation layer (SURVEY.md §6).
+"""
+
+from __future__ import annotations
+
+import re
+import zlib
+from typing import Iterable, Iterator, List
+
+from pyspark.sql import DataFrame, SparkSession
+
+#: Content-Length inside a header BLOCK only (multiline, case-insensitive,
+#: anchored at line start so a value mentioning the header name can't match)
+_CL_RE = re.compile(rb"(?im)^content-length:[ \t]*([0-9]+)[ \t]*\r?$")
+
+
+def gzip_member_bytes(data: bytes) -> bytes:
+    """Concatenated gzip members -> the decompressed stream. Walks
+    member-by-member via ``zlib.decompressobj(wbits=31)`` +
+    ``unused_data`` (the stdlib's documented multi-member idiom); a
+    truncated trailing member keeps whatever decoded (lenient — a
+    partial tail record is dropped later by its own short length, not
+    by failing the whole file)."""
+    parts: List[bytes] = []
+    while data:
+        d = zlib.decompressobj(wbits=31)
+        try:
+            parts.append(d.decompress(data))
+            parts.append(d.flush())
+        except zlib.error:
+            break  # corrupt tail: keep the members that decoded
+        if not d.eof:
+            break  # truncated trailing member
+        data = d.unused_data
+    return b"".join(parts)
+
+
+def split_warc_records(data: bytes) -> List[bytes]:
+    """Record-boundary walk over a decompressed WARC stream: consume
+    inter-record CRLFs, find the header block, jump exactly
+    Content-Length octets past its terminator. A record without
+    Content-Length is invalid per ISO 28500 — the walk lenient-consumes
+    the rest of the stream as that record (same fallback as the column
+    parser). Pure bytes -> list; no Spark, hypothesis-testable."""
+    out: List[bytes] = []
+    i, n = 0, len(data)
+    while i < n:
+        while data.startswith(b"\r\n", i):
+            i += 2
+        if i >= n:
+            break
+        j = data.find(b"\r\n\r\n", i)
+        if j < 0:
+            out.append(data[i:])
+            break
+        m = _CL_RE.search(data, i, j)
+        end = (j + 4 + int(m.group(1))) if m else n
+        out.append(data[i : min(end, n)])
+        i = end
+    return out
+
+
+def read_warc_files(
+    spark: SparkSession, path: str, glob: str = "*.warc*"
+) -> DataFrame:
+    """(path, rec_no, record BINARY) for every record in every
+    ``.warc`` / ``.warc.gz`` file under ``path``. ``rec_no`` is the
+    record's position within its file — (path, rec_no) is the natural
+    record id when the archive carries none.
+
+    Feed the result to ``functions.crawl.warc_extract_binary`` /
+    ``crawl_ingest_report(binary=True)``. On a real cluster point
+    ``path`` at object storage; the binaryFile source distributes
+    whole files (one file = one row = one task unit), so executor
+    memory must hold a file's decompressed bytes — the CommonCrawl
+    ~1 GiB segment convention fits comfortably."""
+    import pandas as pd
+
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", glob)
+        .load(path)
+        .select("path", "content")
+    )
+
+    def _walk(batches: Iterable["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            paths: List[str] = []
+            recnos: List[int] = []
+            recs: List[bytes] = []
+            for p, content in zip(pdf["path"], pdf["content"]):
+                raw = bytes(content)
+                if str(p).endswith(".gz"):
+                    raw = gzip_member_bytes(raw)
+                for k, r in enumerate(split_warc_records(raw)):
+                    paths.append(str(p))
+                    recnos.append(k)
+                    recs.append(r)
+            yield pd.DataFrame(
+                {"path": paths, "rec_no": recnos, "record": recs}
+            )
+
+    return files.mapInPandas(_walk, "path string, rec_no long, record binary")
+
+
+def write_warc_gz(records: List[bytes], path: str) -> None:
+    """Write records as a record-at-a-time-compressed ``.warc.gz``
+    (one gzip member per record, the CommonCrawl convention), each
+    record followed by the two separator CRLFs. Driver-side test/
+    fixture utility — production archives come from the crawler."""
+    import gzip as _gzip
+    import io
+    import os
+
+    buf = io.BytesIO()
+    for r in records:
+        member = io.BytesIO()
+        # mtime=0: deterministic bytes (gzip headers carry a timestamp)
+        with _gzip.GzipFile(fileobj=member, mode="wb", mtime=0) as gz:
+            gz.write(r + b"\r\n\r\n")
+        buf.write(member.getvalue())
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as fh:
+        fh.write(buf.getvalue())
+    os.replace(tmp, path)
