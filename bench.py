@@ -227,6 +227,7 @@ HEADLINE = [
     "warc_binary_parse_records",
     "crawl_ingest_pipeline_files",
     "robots_frontier_filter",
+    "robots_crawl_delay_sitemaps",
     "html_curation_pipeline",
     "ann_recall_report_stable",
     "ann_recall_report",

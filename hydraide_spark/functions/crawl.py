@@ -297,19 +297,13 @@ _ROBOTS_ESCAPES = [
 ]
 
 
-def robots_rules(
-    df: DataFrame, host_col: str = "host", robots_col: str = "robots"
-) -> DataFrame:
-    """Parse robots.txt bodies into flat (host, agent, pattern, allow,
-    plen) rule rows — the RFC 9309 grammar subset a frontier needs:
-    ``User-agent`` lines open a group (CONSECUTIVE user-agent lines
-    share the group's rules), ``Allow``/``Disallow`` lines attach to
-    the open group, ``#`` comments and unknown keys are ignored, an
-    empty Disallow value matches nothing (allow-all, per the RFC).
-    Patterns keep their '*' wildcards and trailing '$' anchors for
-    :func:`robots_allowed` to compile.
-
-    The sequential group structure is recovered with WINDOW functions
+def _robots_grouped(
+    df: DataFrame, host_col: str, robots_col: str
+) -> "tuple[DataFrame, DataFrame]":
+    """The shared RFC 9309 group recovery: robots bodies -> (grouped,
+    uas) where ``grouped`` is one row per non-comment line (host, ln,
+    key, value, gid) and ``uas`` maps (host, gid) -> agent (CONSECUTIVE
+    User-agent lines share the group). Recovered with WINDOW functions
     over (host, line_no) — a new group starts at a user-agent line
     whose predecessor is not one — so the whole parse is declarative
     (shuffle on host only) and SQL-replayable; no fold state."""
@@ -351,6 +345,22 @@ def robots_rules(
         .select("host", "gid", F.lower(F.col("value")).alias("agent"))
         .distinct()
     )
+    return grouped, uas
+
+
+def robots_rules(
+    df: DataFrame, host_col: str = "host", robots_col: str = "robots"
+) -> DataFrame:
+    """Parse robots.txt bodies into flat (host, agent, pattern, allow,
+    plen) rule rows — the RFC 9309 grammar subset a frontier needs:
+    ``User-agent`` lines open a group (CONSECUTIVE user-agent lines
+    share the group's rules), ``Allow``/``Disallow`` lines attach to
+    the open group, ``#`` comments and unknown keys are ignored, an
+    empty Disallow value matches nothing (allow-all, per the RFC).
+    Patterns keep their '*' wildcards and trailing '$' anchors for
+    :func:`robots_allowed` to compile. Group recovery:
+    :func:`_robots_grouped` (declarative window functions)."""
+    grouped, uas = _robots_grouped(df, host_col, robots_col)
     rules = grouped.filter(
         F.col("key").isin("allow", "disallow") & (F.col("value") != "")
     ).select(
@@ -362,6 +372,71 @@ def robots_rules(
     )
     return uas.join(rules, ["host", "gid"]).select(
         "host", "agent", "pattern", "allow", "plen"
+    )
+
+
+def robots_crawl_delays(
+    df: DataFrame, host_col: str = "host", robots_col: str = "robots"
+) -> DataFrame:
+    """Per-group ``Crawl-delay`` directives (r15 — r14 VERDICT #5) as
+    (host, agent, crawl_delay DOUBLE) rows through the same group
+    recovery as :func:`robots_rules`. Values must be plain decimal
+    seconds (``^[0-9]+(\\.[0-9]+)?$``); anything else is ignored (the
+    de-facto crawler behavior for this non-RFC extension). Duplicate
+    delays inside one group keep the MAX — the most polite reading.
+    EVERY agent group is present — a group without a valid delay
+    carries NULL — so :func:`robots_crawl_delay_for` can apply the
+    RFC's group-selection rule (a delay-less specific group does NOT
+    fall back to the '*' group's delay)."""
+    grouped, uas = _robots_grouped(df, host_col, robots_col)
+    delays = (
+        grouped.filter(
+            (F.col("key") == "crawl-delay")
+            & F.col("value").rlike(r"^[0-9]+(\.[0-9]+)?$")
+        )
+        .groupBy("host", "gid")
+        .agg(F.max(F.col("value").cast("double")).alias("crawl_delay"))
+    )
+    return uas.join(delays, ["host", "gid"], "left").select(
+        "host", "agent", "crawl_delay"
+    )
+
+
+def robots_crawl_delay_for(delays: DataFrame, agent: str) -> DataFrame:
+    """The frontier's per-host delay decision for one crawler: select
+    the most-specific group set (exact ``agent`` beats ``*`` — the
+    same rule :func:`robots_allowed` applies to patterns; a specific
+    group WITHOUT a delay deliberately yields no row, it does not fall
+    back to '*'), then MAX across the selected groups. Returns (host,
+    crawl_delay); hosts with no valid delay emit nothing."""
+    a = str(agent).lower()
+    r = delays.filter(F.col("agent").isin(a, "*")).withColumn(
+        "spec", (F.col("agent") == a).cast("int")
+    )
+    best = r.groupBy("host").agg(F.max("spec").alias("best_spec"))
+    return (
+        r.join(best, "host")
+        .filter(F.col("spec") == F.col("best_spec"))
+        .groupBy("host")
+        .agg(F.max("crawl_delay").alias("crawl_delay"))
+        .filter(F.col("crawl_delay").isNotNull())
+    )
+
+
+def robots_sitemaps(
+    df: DataFrame, host_col: str = "host", robots_col: str = "robots"
+) -> DataFrame:
+    """Distinct (host, sitemap) discovery rows (r15 — r14 VERDICT #5).
+    ``Sitemap`` directives are group-INDEPENDENT per the sitemaps
+    protocol, so no agent column; URL values keep their case (only the
+    key is lowercased by the line parser). Caveat shared with the
+    oracle: '#' starts a comment, so a (spec-invalid) fragment in a
+    sitemap URL would be truncated."""
+    grouped, _uas = _robots_grouped(df, host_col, robots_col)
+    return (
+        grouped.filter((F.col("key") == "sitemap") & (F.col("value") != ""))
+        .select("host", F.col("value").alias("sitemap"))
+        .distinct()
     )
 
 

@@ -1823,3 +1823,184 @@ def robots_frontier_filter(spark, sf_dir):
         F.col("allowed"),
     )
     return dec
+
+
+# --- robots.txt Crawl-delay + Sitemap directives (r15) -------------------------
+
+#: directive-focused synth: hid%3 shapes — agent-specific fractional
+#: delay + '*' delay + two sitemaps / CRLF body with an INVALID delay
+#: but a sitemap / a delay-LESS specific group beside a '*' delay (the
+#: no-fallback group-selection probe)
+_ROBOTS_DIR_SYNTH_SQL = """
+    hostsx AS (
+      SELECT DISTINCT CAST(doc_id % 6 AS INT) AS hid FROM documents
+    ),
+    rb AS (
+      SELECT 'site' || hid || '.com' AS host,
+        CASE CAST(hid % 3 AS INT)
+          WHEN 0 THEN 'User-agent: trainbot' || chr(10) || 'Crawl-delay: 2.5'
+            || chr(10) || 'Disallow: /private/' || chr(10) || 'User-agent: *'
+            || chr(10) || 'Crawl-delay: 5' || chr(10)
+            || 'Sitemap: https://site' || hid || '.com/sitemap.xml' || chr(10)
+            || 'Sitemap: https://site' || hid || '.com/news.xml'
+          WHEN 1 THEN 'User-agent: *' || chr(13) || chr(10) || 'Disallow: /'
+            || chr(13) || chr(10) || 'Crawl-delay: abc' || chr(13) || chr(10)
+            || 'Sitemap: https://site' || hid || '.com/map-b.xml'
+          ELSE 'User-agent: trainbot' || chr(10) || 'Disallow: /x' || chr(10)
+            || 'User-agent: *' || chr(10) || 'Crawl-delay: 7' || chr(10)
+            || 'Sitemap: https://site' || hid || '.com/map-c.xml'
+        END AS robots
+      FROM hostsx
+    ),
+    rlines AS (
+      SELECT host, i AS ln, ls[i] AS raw
+      FROM (SELECT host, string_split(replace(robots, chr(13), ''), chr(10)) AS ls FROM rb),
+           UNNEST(range(1, len(ls) + 1)) AS t(i)
+    ),
+    rclean AS (
+      SELECT host, ln,
+        lower(trim(split_part(split_part(raw, '#', 1), ':', 1))) AS key,
+        trim(COALESCE(regexp_extract(split_part(raw, '#', 1), '^[^:]*:(.*)$', 1), '')) AS value
+      FROM rlines
+    ),
+    rmarked AS (
+      SELECT host, ln, key, value,
+        CASE WHEN key = 'user-agent'
+              AND COALESCE(LAG(key) OVER (PARTITION BY host ORDER BY ln), '') <> 'user-agent'
+             THEN 1 ELSE 0 END AS new_group
+      FROM rclean
+    ),
+    rgrouped AS (
+      SELECT host, ln, key, value,
+        SUM(new_group) OVER (PARTITION BY host ORDER BY ln) AS gid
+      FROM rmarked
+    ),
+    ruas AS (
+      SELECT DISTINCT host, gid, lower(value) AS agent
+      FROM rgrouped WHERE key = 'user-agent' AND value <> ''
+    )
+"""
+
+
+def _synth_robots_directives(spark, sf_dir):
+    """Spark twin of _ROBOTS_DIR_SYNTH_SQL's rb CTE."""
+    docs = t(spark, sf_dir, "documents").select("doc_id")
+    hid = (F.col("doc_id") % 6).cast("int")
+    hosts = docs.select(hid.alias("hid")).distinct()
+    k = (F.col("hid") % 3).cast("int")
+    h = F.col("hid").cast("string")
+    robots = (
+        F.when(
+            k == 0,
+            F.concat(
+                F.lit(
+                    "User-agent: trainbot\nCrawl-delay: 2.5\n"
+                    "Disallow: /private/\nUser-agent: *\nCrawl-delay: 5\n"
+                    "Sitemap: https://site"
+                ),
+                h,
+                F.lit(".com/sitemap.xml\nSitemap: https://site"),
+                h,
+                F.lit(".com/news.xml"),
+            ),
+        )
+        .when(
+            k == 1,
+            F.concat(
+                F.lit(
+                    "User-agent: *\r\nDisallow: /\r\nCrawl-delay: abc\r\n"
+                    "Sitemap: https://site"
+                ),
+                h,
+                F.lit(".com/map-b.xml"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit(
+                    "User-agent: trainbot\nDisallow: /x\nUser-agent: *\n"
+                    "Crawl-delay: 7\nSitemap: https://site"
+                ),
+                h,
+                F.lit(".com/map-c.xml"),
+            )
+        )
+    )
+    return hosts.select(
+        F.concat(F.lit("site"), h, F.lit(".com")).alias("host"),
+        robots.alias("robots"),
+    )
+
+
+@golden(
+    "robots_crawl_delay_sitemaps",
+    oracle=f"""
+    WITH {_ROBOTS_DIR_SYNTH_SQL.strip()},
+    rdel AS (
+      SELECT host, gid, max(TRY_CAST(value AS DOUBLE)) AS d
+      FROM rgrouped
+      WHERE key = 'crawl-delay' AND regexp_matches(value, '^[0-9]+(\\.[0-9]+)?$')
+      GROUP BY host, gid
+    ),
+    adel AS (
+      SELECT u.host, u.agent, d,
+        CASE WHEN u.agent = 'trainbot' THEN 1 ELSE 0 END AS spec
+      FROM ruas u LEFT JOIN rdel USING (host, gid)
+      WHERE u.agent IN ('trainbot', '*')
+    ),
+    bsd AS (SELECT host, max(spec) AS best FROM adel GROUP BY host),
+    seld AS (
+      SELECT a.host, max(d) AS crawl_delay
+      FROM adel a JOIN bsd USING (host) WHERE a.spec = bsd.best
+      GROUP BY a.host
+      HAVING max(d) IS NOT NULL
+    ),
+    smaps AS (
+      SELECT host,
+        array_to_string(list_sort(list(DISTINCT value)), ',') AS sitemaps
+      FROM rgrouped WHERE key = 'sitemap' AND value <> ''
+      GROUP BY host
+    )
+    SELECT COALESCE(d.host, s.host) AS host, d.crawl_delay,
+           COALESCE(s.sitemaps, '') AS sitemaps
+    FROM seld d FULL OUTER JOIN smaps s ON d.host = s.host
+    """,
+)
+def robots_crawl_delay_sitemaps(spark, sf_dir):
+    """Crawl-delay + Sitemap directives (r15 — r14 VERDICT #5,
+    functions/crawl.py::robots_crawl_delays / robots_crawl_delay_for /
+    robots_sitemaps): the same window-function group recovery as the
+    allow/disallow rules, two more keys. Shapes cycle: an
+    agent-specific FRACTIONAL delay (2.5 beats the '*' group's 5 under
+    the most-specific rule), a CRLF body whose delay value is invalid
+    (ignored — host keeps its sitemap but emits NULL delay), and a
+    delay-LESS trainbot group beside a '*' delay — the RFC
+    group-selection probe: the crawler obeys ITS group only, so the
+    '*' delay must NOT leak through (NULL delay, sitemap kept).
+    Sitemaps are group-independent, case-preserved, deduped, sorted
+    into one deterministic string. Delay values are short dyadic
+    decimals, exact in both engines' double parse."""
+    from ..functions.crawl import (
+        robots_crawl_delay_for,
+        robots_crawl_delays,
+        robots_sitemaps,
+    )
+
+    robots_df = _synth_robots_directives(spark, sf_dir)
+    delays = robots_crawl_delay_for(
+        robots_crawl_delays(robots_df), "trainbot"
+    )
+    maps = (
+        robots_sitemaps(robots_df)
+        .groupBy("host")
+        .agg(
+            F.array_join(F.array_sort(F.collect_set("sitemap")), ",").alias(
+                "sitemaps"
+            )
+        )
+    )
+    return delays.join(maps, "host", "full_outer").select(
+        F.col("host"),
+        F.col("crawl_delay"),
+        F.coalesce(F.col("sitemaps"), F.lit("")).alias("sitemaps"),
+    )

@@ -1127,3 +1127,41 @@ def test_robots_crlf_bodies_still_block(spark):
         for r in robots_allowed(urls, rules, "anybot").collect()
     }
     assert got == {"/private/a": False, "/private/ok/b": True, "/pub": True}
+
+
+def test_robots_crawl_delay_and_sitemaps(spark):
+    """r15 Crawl-delay + Sitemap directives: per-group delays with the
+    most-specific-group selection (a delay-less specific group does
+    NOT fall back to '*'), invalid values ignored, fractional values
+    kept, group-independent case-preserved sitemap discovery."""
+    from hydraide_spark.functions.crawl import (
+        robots_crawl_delay_for,
+        robots_crawl_delays,
+        robots_sitemaps,
+    )
+
+    bodies = [
+        # specific fractional delay beats '*' delay
+        ("a.com", "User-agent: mybot\nCrawl-delay: 2.5\nDisallow: /p\n"
+                  "User-agent: *\nCrawl-delay: 5\n"
+                  "Sitemap: https://a.com/SiteMap.XML\n"
+                  "Sitemap: https://a.com/news.xml\n"
+                  "Sitemap: https://a.com/SiteMap.XML"),  # dup collapses
+        # delay-less specific group: '*' delay must NOT leak through
+        ("b.com", "User-agent: mybot\nDisallow: /x\n"
+                  "User-agent: *\nCrawl-delay: 7"),
+        # invalid value ignored entirely
+        ("c.com", "User-agent: *\nCrawl-delay: soon\nDisallow: /"),
+        # only '*' delay -> applies to everyone
+        ("d.com", "User-agent: *\nCrawl-delay: 1"),
+    ]
+    df = spark.createDataFrame(bodies, "host string, robots string")
+    delays = robots_crawl_delays(df)
+    dec = {r.host: r.crawl_delay
+           for r in robots_crawl_delay_for(delays, "MyBot").collect()}
+    assert dec == {"a.com": 2.5, "d.com": 1.0}  # b: no fallback; c: invalid
+    maps = {(r.host, r.sitemap) for r in robots_sitemaps(df).collect()}
+    assert maps == {
+        ("a.com", "https://a.com/SiteMap.XML"),  # case preserved, deduped
+        ("a.com", "https://a.com/news.xml"),
+    }
