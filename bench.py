@@ -276,6 +276,7 @@ HEADLINE = [
     "url_canonical_dedup",
     "chunk_neardup_production",
     "langid_nb_predict_docs",
+    "langid_nb_predict_broadcast",
 ]
 
 
