@@ -272,6 +272,7 @@ HEADLINE = [
     "cluster_balanced_sample_vecs",
     "quality_trained_classifier_docs",
     "image_phash_neardup_jpeg",
+    "image_phash_neardup_webp",
     "bloom_membership_orders",
     "url_canonical_dedup",
     "chunk_neardup_production",

@@ -129,6 +129,28 @@ def real_decode(payload: bytes, kind: str) -> dict:
                 }
             off += 2 + seglen
         raise NotImplementedError("JPEG stream has no SOF frame header")
+    if len(payload) >= 12 and payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+        # WebP (r15): VP8L stores (width-1, height-1) as two 14-bit
+        # LSB-first fields right after the 0x2F signature byte
+        off = 12
+        while off + 8 <= len(payload):
+            fourcc = payload[off : off + 4]
+            size = int.from_bytes(payload[off + 4 : off + 8], "little")
+            if fourcc == b"VP8L" and size >= 5:
+                b = payload[off + 8 : off + 13]
+                if b[0] == 0x2F:
+                    v = int.from_bytes(b[1:5], "little")
+                    return {
+                        "format": "webp",
+                        "width": (v & 0x3FFF) + 1,
+                        "height": ((v >> 14) & 0x3FFF) + 1,
+                        "sample_rate": None,
+                        "duration_ms": None,
+                    }
+            off += 8 + size + (size & 1)
+        raise NotImplementedError(
+            "WebP container without a VP8L header (lossy/extended)"
+        )
     if len(payload) >= 12 and payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         channels = sample_rate = bits = None
         n_data = 0
@@ -1740,7 +1762,8 @@ def _jpeg_finish(frame, planes):
 
 def image_pixels(payload: bytes):
     """Pixel decode dispatch: BMP (uncompressed rows), PNG (zlib +
-    unfilter) and baseline JPEG (Huffman + IDCT) are REAL with no
+    unfilter), JPEG (baseline + progressive Huffman + IDCT) and
+    lossless WebP (VP8L — functions/webp.py, r15) are REAL with no
     codec library; anything else raises ``NotImplementedError`` (the
     PIL plug point). Returns (h, w, 3) uint8 RGB either way — the
     contract every perceptual-hash path consumes."""
@@ -1748,6 +1771,10 @@ def image_pixels(payload: bytes):
         return png_pixels(payload)
     if len(payload) >= 2 and payload[:2] == b"\xff\xd8":
         return jpeg_pixels(payload)
+    if len(payload) >= 12 and payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+        from .webp import webp_pixels
+
+        return webp_pixels(payload)
     return bmp_pixels(payload)
 
 

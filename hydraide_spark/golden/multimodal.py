@@ -466,6 +466,88 @@ def image_phash_neardup_jpeg(spark, sf_dir):
     )
 
 
+def _synth_webp_corpus(docs: DataFrame) -> DataFrame:
+    """The planted-twin image corpus serialized as lossless WebP
+    (VP8L) with encode features CYCLING per image — plain literals /
+    color cache / subtract-green + Select predictor / LZ77 + cache —
+    so the gate exercises the prefix-code reader, the cache hash, two
+    transforms and both backref distance classes, not just one happy
+    path. Losslessness keeps the truth identical to the BMP golden."""
+    ids = docs.select(F.col("doc_id").cast("long").alias("media_id")).unionByName(
+        docs.filter(F.col("doc_id") % 40 == 0).select(
+            (F.col("doc_id") + F.lit(10**9)).cast("long").alias("media_id")
+        )
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from ..functions.webp import encode_webp_vp8l
+
+        for pdf in batches:
+            payloads = []
+            for mid in pdf["media_id"]:
+                src = int(mid) % 10**9
+                px = np.random.RandomState(src % (2**31)).randint(
+                    0, 256, size=(32, 32, 3)
+                ).astype(np.uint8)
+                if mid >= 10**9:  # the planted twin: one high bit
+                    px[16, 16, 0] ^= 128
+                variant = src % 4
+                if variant == 0:
+                    payloads.append(encode_webp_vp8l(px))
+                elif variant == 1:
+                    payloads.append(encode_webp_vp8l(px, cache_bits=8))
+                elif variant == 2:
+                    payloads.append(
+                        encode_webp_vp8l(px, subtract_green=True, predictor=11)
+                    )
+                else:
+                    payloads.append(
+                        encode_webp_vp8l(px, lz77=True, cache_bits=5)
+                    )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": "image",
+                    "payload": payloads,
+                }
+            )
+
+    # pure-Python encode: spread across cores like the JPEG corpus
+    return ids.repartition(64).mapInPandas(
+        gen, "media_id long, kind string, payload binary"
+    )
+
+
+@golden(
+    "image_phash_neardup_webp",
+    oracle="""
+    SELECT CAST(doc_id AS BIGINT) AS id_a,
+           CAST(doc_id + 1000000000 AS BIGINT) AS id_b
+    FROM documents WHERE doc_id % 40 = 0
+    """,
+)
+def image_phash_neardup_webp(spark, sf_dir):
+    """r15 (r14 VERDICT missing #4): the image near-dup pipeline over
+    REAL lossless-WebP pixel decode (functions/webp.py::webp_pixels —
+    RIFF walk, LSB-first canonical prefix codes, color cache, LZ77
+    with the close-neighbor distance map, subtract-green/predictor
+    transforms; stdlib + numpy, no codec library). WebP was the
+    largest image class silently exiting near-dup with a NULL phash;
+    same planted-twin truth as the BMP/PNG/JPEG goldens, so recall AND
+    precision gate exactly. Lossy VP8 and extended VP8X stay a loud
+    NotImplementedError (tests pin the refusal)."""
+    docs = t(spark, sf_dir, "documents").select("doc_id")
+    media = _synth_webp_corpus(docs)
+    from ..functions.multimodal import image_neardup_pairs
+
+    pairs = image_neardup_pairs(media, max_hamming=3)
+    return pairs.select(
+        big("id_a").alias("id_a"), big("id_b").alias("id_b")
+    )
+
+
 def _synth_wav_corpus(docs: DataFrame) -> DataFrame:
     """(media_id, kind, payload) WAV corpus with PLANTED near-twins:
     every doc gets 0.5 s of seeded noise at 16 kHz; every 40th doc

@@ -630,3 +630,117 @@ def test_jpeg_phash_neardup_planted(spark):
         for r in image_neardup_pairs(media, max_hamming=4).collect()
     }
     assert got == {(i, i + 1000) for i in range(0, 8, 3)}
+
+
+def test_webp_vp8l_round_trips_every_feature():
+    """r15 WebP lossless: each decoder path pinned by an exact pixel
+    round-trip — plain literals, color cache, subtract-green, every
+    predictor mode family (incl. Select and the clamp add/subtract
+    pair), LZ77 through BOTH distance classes, and palettes at every
+    sub-byte bundling width."""
+    import numpy as np
+
+    from hydraide_spark.functions.webp import encode_webp_vp8l, webp_pixels
+
+    rng = np.random.RandomState(7)
+    img = rng.randint(0, 256, size=(13, 17, 3)).astype(np.uint8)
+    for kw in (
+        dict(),
+        dict(cache_bits=6),
+        dict(subtract_green=True),
+        dict(predictor=0),
+        dict(predictor=2),
+        dict(predictor=5),
+        dict(predictor=11),
+        dict(predictor=12),
+        dict(predictor=13),
+        dict(subtract_green=True, predictor=7),
+        dict(lz77=True),
+        dict(lz77=True, cache_bits=4),
+    ):
+        out = webp_pixels(encode_webp_vp8l(img, **kw))
+        assert (out == img).all(), kw
+
+    # flat regions force real LZ77 runs (vertical neighbor-mapped +
+    # horizontal raw-distance) and cache hits
+    flat = np.zeros((16, 16, 3), np.uint8)
+    flat[:8] = [10, 20, 30]
+    flat[8:] = [200, 100, 50]
+    flat[3, 5] = [1, 2, 3]
+    p = encode_webp_vp8l(flat, lz77=True, cache_bits=5)
+    assert len(p) < 200  # the runs actually compressed
+    assert (webp_pixels(p) == flat).all()
+
+    for ncol in (2, 3, 4, 9, 16, 17, 200):  # every bundling width
+        cols = rng.randint(0, 256, size=(ncol, 3)).astype(np.uint8)
+        pimg = cols[rng.randint(0, ncol, size=(11, 23))]
+        assert (webp_pixels(encode_webp_vp8l(pimg, palette=True)) == pimg).all()
+
+
+def test_webp_refusals_and_meta():
+    """Lossy VP8 and extended VP8X raise loudly (the silent-NULL exit
+    the r14 VERDICT flagged is gone); real_decode reads VP8L dims."""
+    import numpy as np
+    import pytest
+
+    from hydraide_spark.functions.multimodal import image_pixels, real_decode
+    from hydraide_spark.functions.webp import encode_webp_vp8l, webp_pixels
+
+    def riff(fourcc, body):
+        return (
+            b"RIFF"
+            + (4 + 8 + len(body)).to_bytes(4, "little")
+            + b"WEBP"
+            + fourcc
+            + len(body).to_bytes(4, "little")
+            + body
+        )
+
+    with pytest.raises(NotImplementedError, match="lossy"):
+        webp_pixels(riff(b"VP8 ", b"\x00" * 16))
+    with pytest.raises(NotImplementedError, match="extended"):
+        webp_pixels(riff(b"VP8X", b"\x00" * 10))
+    with pytest.raises(NotImplementedError):
+        webp_pixels(b"not a webp at all----")
+
+    img = np.random.RandomState(3).randint(0, 256, (21, 34, 3)).astype(np.uint8)
+    payload = encode_webp_vp8l(img)
+    # dispatch: image_pixels routes RIFF/WEBP to the VP8L decoder
+    assert (image_pixels(payload) == img).all()
+    meta = real_decode(payload, "image")
+    assert (meta["format"], meta["width"], meta["height"]) == ("webp", 34, 21)
+
+
+def test_webp_phash_neardup_planted(spark):
+    """End-to-end: planted single-bit twins pair through the WebP
+    round trip + dHash + hamming block join, with encode features
+    cycling; unrelated noise images never pair."""
+    import numpy as np
+
+    from hydraide_spark.functions.multimodal import image_neardup_pairs
+    from hydraide_spark.functions.webp import encode_webp_vp8l
+
+    def enc(px, i):
+        v = i % 4
+        if v == 0:
+            return encode_webp_vp8l(px)
+        if v == 1:
+            return encode_webp_vp8l(px, cache_bits=8)
+        if v == 2:
+            return encode_webp_vp8l(px, subtract_green=True, predictor=11)
+        return encode_webp_vp8l(px, lz77=True, cache_bits=5)
+
+    rows = []
+    for i in range(8):
+        px = np.random.RandomState(i).randint(0, 256, (32, 32, 3)).astype(np.uint8)
+        rows.append((i, "image", bytearray(enc(px, i))))
+        if i % 3 == 0:
+            tw = px.copy()
+            tw[16, 16, 0] ^= 128
+            rows.append((i + 1000, "image", bytearray(enc(tw, i))))
+    media = spark.createDataFrame(rows, "media_id long, kind string, payload binary")
+    got = {
+        (r.id_a, r.id_b)
+        for r in image_neardup_pairs(media, max_hamming=3).collect()
+    }
+    assert got == {(i, i + 1000) for i in range(0, 8, 3)}
