@@ -43,9 +43,15 @@ from typing import Dict, List, Tuple
 from pyspark.sql import DataFrame
 
 #: generations kept per call site — sized to the largest query-variant
-#: family that realistically interleaves (the ngram near-dup family is
-#: 5-6 distinct argument sets over one site)
-_MAX_GENERATIONS = 6
+#: family that realistically interleaves. r15: the minhash site now
+#: rotates SEVEN headline argument sets (lsh / lsh_stable /
+#: collapsed_stable / chunk passages / chunk collapsed / chunk
+#: production / fuzzy linkage); at 6 every interleaved bench pass
+#: evicted one member, so some pass always re-materialized cold —
+#: the measured burst pattern behind minhash_collapsed_stable's
+#: 8.9 s median with 8.6 spread (r14) and dedup_report_by_source's
+#: 12.4 s cold rotations (r13/r14 adjudications).
+_MAX_GENERATIONS = 8
 
 _PINNED: Dict[str, List[Tuple[DataFrame, ...]]] = {}
 #: the target of this module is a long-lived serving session whose
