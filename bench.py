@@ -273,6 +273,7 @@ HEADLINE = [
     "quality_trained_classifier_docs",
     "image_phash_neardup_jpeg",
     "image_phash_neardup_webp",
+    "image_phash_neardup_gif",
     "bloom_membership_orders",
     "url_canonical_dedup",
     "chunk_neardup_production",

@@ -129,6 +129,15 @@ def real_decode(payload: bytes, kind: str) -> dict:
                 }
             off += 2 + seglen
         raise NotImplementedError("JPEG stream has no SOF frame header")
+    if len(payload) >= 13 and payload[:6] in (b"GIF87a", b"GIF89a"):
+        # GIF (r15): logical screen w/h are uint16-LE at offsets 6/8
+        return {
+            "format": "gif",
+            "width": int.from_bytes(payload[6:8], "little"),
+            "height": int.from_bytes(payload[8:10], "little"),
+            "sample_rate": None,
+            "duration_ms": None,
+        }
     if len(payload) >= 12 and payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
         # WebP (r15): VP8L stores (width-1, height-1) as two 14-bit
         # LSB-first fields right after the 0x2F signature byte
@@ -1775,6 +1784,10 @@ def image_pixels(payload: bytes):
         from .webp import webp_pixels
 
         return webp_pixels(payload)
+    if len(payload) >= 6 and payload[:6] in (b"GIF87a", b"GIF89a"):
+        from .gif import gif_pixels
+
+        return gif_pixels(payload)
     return bmp_pixels(payload)
 
 

@@ -548,6 +548,84 @@ def image_phash_neardup_webp(spark, sf_dir):
     )
 
 
+def _synth_gif_corpus(docs: DataFrame) -> DataFrame:
+    """Planted-twin corpus as GIF: each image is random indices into a
+    per-image random 256-color palette (GIF's indexed model — a direct
+    random-RGB image would exceed 256 colors); the twin flips the high
+    bit of ONE index, landing on a different palette entry. Any
+    single-pixel change moves at most 2 dHash bits (one 8x9 pool cell
+    borders two gradient comparisons), so the twin stays within the
+    pairing threshold regardless of the entries' gray delta, while
+    unrelated palette-noise images keep the usual ~32-bit margin.
+    Encode settings cycle interlaced x local-color-table so all four
+    decoder branches gate."""
+    ids = docs.select(F.col("doc_id").cast("long").alias("media_id")).unionByName(
+        docs.filter(F.col("doc_id") % 40 == 0).select(
+            (F.col("doc_id") + F.lit(10**9)).cast("long").alias("media_id")
+        )
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from ..functions.gif import encode_gif
+
+        for pdf in batches:
+            payloads = []
+            for mid in pdf["media_id"]:
+                src = int(mid) % 10**9
+                rng = np.random.RandomState(src % (2**31))
+                pal = rng.randint(0, 256, size=(256, 3)).astype(np.uint8)
+                idx = rng.randint(0, 256, size=(32, 32)).astype(np.uint8)
+                if mid >= 10**9:  # the planted twin: one index's high bit
+                    idx[16, 16] ^= 128
+                px = pal[idx]
+                payloads.append(
+                    encode_gif(
+                        px,
+                        interlace=bool(src % 2),
+                        local_table=bool((src >> 1) % 2),
+                    )
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": "image",
+                    "payload": payloads,
+                }
+            )
+
+    return ids.repartition(64).mapInPandas(
+        gen, "media_id long, kind string, payload binary"
+    )
+
+
+@golden(
+    "image_phash_neardup_gif",
+    oracle="""
+    SELECT CAST(doc_id AS BIGINT) AS id_a,
+           CAST(doc_id + 1000000000 AS BIGINT) AS id_b
+    FROM documents WHERE doc_id % 40 = 0
+    """,
+)
+def image_phash_neardup_gif(spark, sf_dir):
+    """r15: the image near-dup pipeline over REAL GIF decode
+    (functions/gif.py::gif_pixels — variable-width LZW with 12-bit
+    dictionary growth and clear handling, global/local color tables,
+    interlaced row reordering; stdlib + numpy). GIF closed the last
+    common web image class that still NULL-exited near-dup after WebP;
+    planted-twin truth gates recall AND precision exactly, with
+    interlace and table placement cycling per image."""
+    docs = t(spark, sf_dir, "documents").select("doc_id")
+    media = _synth_gif_corpus(docs)
+    from ..functions.multimodal import image_neardup_pairs
+
+    pairs = image_neardup_pairs(media, max_hamming=3)
+    return pairs.select(
+        big("id_a").alias("id_a"), big("id_b").alias("id_b")
+    )
+
+
 def _synth_wav_corpus(docs: DataFrame) -> DataFrame:
     """(media_id, kind, payload) WAV corpus with PLANTED near-twins:
     every doc gets 0.5 s of seeded noise at 16 kHz; every 40th doc

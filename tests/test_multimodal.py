@@ -744,3 +744,68 @@ def test_webp_phash_neardup_planted(spark):
         for r in image_neardup_pairs(media, max_hamming=3).collect()
     }
     assert got == {(i, i + 1000) for i in range(0, 8, 3)}
+
+
+def test_gif_round_trips_and_refusals():
+    """r15 GIF: LZW (variable width, 12-bit growth, clear/reset),
+    interlace, global/local color tables — each pinned by exact pixel
+    round-trip; non-GIF and table-less streams refuse loudly;
+    real_decode reads the screen descriptor dims."""
+    import numpy as np
+    import pytest
+
+    from hydraide_spark.functions.gif import encode_gif, gif_pixels
+    from hydraide_spark.functions.multimodal import image_pixels, real_decode
+
+    rng = np.random.RandomState(5)
+    for ncol in (2, 3, 16, 200, 256):
+        cols = rng.randint(0, 256, size=(ncol, 3)).astype(np.uint8)
+        img = cols[rng.randint(0, ncol, size=(19, 31))]
+        for kw in (
+            dict(),
+            dict(interlace=True),
+            dict(local_table=True),
+            dict(interlace=True, local_table=True),
+        ):
+            assert (gif_pixels(encode_gif(img, **kw)) == img).all(), (ncol, kw)
+
+    # 128x128 @ 256 colors forces the 12-bit dictionary path
+    cols = rng.randint(0, 256, size=(256, 3)).astype(np.uint8)
+    big = cols[rng.randint(0, 256, size=(128, 128))]
+    payload = encode_gif(big)
+    assert (image_pixels(payload) == big).all()  # dispatch routes GIF
+    meta = real_decode(payload, "image")
+    assert (meta["format"], meta["width"], meta["height"]) == ("gif", 128, 128)
+
+    with pytest.raises(NotImplementedError):
+        gif_pixels(b"NOTAGIF-------")
+    with pytest.raises(ValueError, match="256 distinct"):
+        encode_gif(rng.randint(0, 256, size=(32, 32, 3)).astype(np.uint8))
+
+
+def test_gif_phash_neardup_planted(spark):
+    """End-to-end: planted single-index twins pair through the GIF
+    round trip + dHash + hamming block join; unrelated palette-noise
+    images never pair."""
+    import numpy as np
+
+    from hydraide_spark.functions.gif import encode_gif
+    from hydraide_spark.functions.multimodal import image_neardup_pairs
+
+    rows = []
+    for i in range(8):
+        rng = np.random.RandomState(i)
+        pal = rng.randint(0, 256, size=(256, 3)).astype(np.uint8)
+        idx = rng.randint(0, 256, size=(32, 32)).astype(np.uint8)
+        kw = dict(interlace=bool(i % 2), local_table=bool((i >> 1) % 2))
+        rows.append((i, "image", bytearray(encode_gif(pal[idx], **kw))))
+        if i % 3 == 0:
+            tw = idx.copy()
+            tw[16, 16] ^= 128
+            rows.append((i + 1000, "image", bytearray(encode_gif(pal[tw], **kw))))
+    media = spark.createDataFrame(rows, "media_id long, kind string, payload binary")
+    got = {
+        (r.id_a, r.id_b)
+        for r in image_neardup_pairs(media, max_hamming=3).collect()
+    }
+    assert got == {(i, i + 1000) for i in range(0, 8, 3)}
