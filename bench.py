@@ -228,6 +228,7 @@ HEADLINE = [
     "crawl_ingest_pipeline_files",
     "robots_frontier_filter",
     "robots_crawl_delay_sitemaps",
+    "polite_fetch_schedule_frontier",
     "html_curation_pipeline",
     "ann_recall_report_stable",
     "ann_recall_report",

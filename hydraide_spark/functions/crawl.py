@@ -423,6 +423,52 @@ def robots_crawl_delay_for(delays: DataFrame, agent: str) -> DataFrame:
     )
 
 
+def polite_fetch_schedule(
+    urls: DataFrame,
+    host_delays: DataFrame,
+    default_delay: float = 1.0,
+    url_col: str = "url",
+) -> DataFrame:
+    """Assign each frontier URL a politeness slot (r15 — the step
+    after :func:`robots_allowed` + :func:`robots_crawl_delay_for`):
+    URLs are ranked per host (deterministic: ordered by the URL
+    string) and scheduled ``(rank-1) * delay`` seconds into the
+    host's fetch window, where ``delay`` is the host's resolved
+    Crawl-delay or ``default_delay``. Returns (url, host, rank,
+    delay_sec, fetch_offset_sec).
+
+    Plan shape: one broadcast-joinable (host, crawl_delay) frame +
+    ONE window partitioned by host — the host is the politeness
+    serialization unit, so per-host ranking is the exact parallelism
+    the problem itself has; no global window, no cartesian. Offsets
+    multiply exact small-decimal doubles by integer ranks —
+    bit-identical across engines."""
+    u = urls.select(
+        F.col(url_col),
+        F.lower(
+            F.regexp_extract(
+                F.col(url_col), r"^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#:]*).*$", 1
+            )
+        ).alias("host"),
+    )
+    from pyspark.sql import Window as W
+
+    d = u.join(host_delays, "host", "left").withColumn(
+        "delay_sec",
+        F.coalesce(F.col("crawl_delay"), F.lit(float(default_delay))),
+    )
+    w = W.partitionBy("host").orderBy(url_col)
+    return d.withColumn("rank", F.row_number().over(w)).select(
+        F.col(url_col),
+        F.col("host"),
+        F.col("rank"),
+        F.col("delay_sec"),
+        ((F.col("rank") - F.lit(1)) * F.col("delay_sec")).alias(
+            "fetch_offset_sec"
+        ),
+    )
+
+
 def robots_sitemaps(
     df: DataFrame, host_col: str = "host", robots_col: str = "robots"
 ) -> DataFrame:

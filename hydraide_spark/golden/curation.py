@@ -1970,14 +1970,13 @@ def _synth_robots_directives(spark, sf_dir):
     )
 
 
-@golden(
-    "robots_crawl_delay_sitemaps",
-    oracle=f"""
-    WITH {_ROBOTS_DIR_SYNTH_SQL.strip()},
+#: trainbot's per-host delay decision over the directives synth —
+#: shared by the directives golden and the fetch-schedule golden
+_ROBOTS_DELAY_SQL = r"""
     rdel AS (
       SELECT host, gid, max(TRY_CAST(value AS DOUBLE)) AS d
       FROM rgrouped
-      WHERE key = 'crawl-delay' AND regexp_matches(value, '^[0-9]+(\\.[0-9]+)?$')
+      WHERE key = 'crawl-delay' AND regexp_matches(value, '^[0-9]+(\.[0-9]+)?$')
       GROUP BY host, gid
     ),
     adel AS (
@@ -1992,7 +1991,15 @@ def _synth_robots_directives(spark, sf_dir):
       FROM adel a JOIN bsd USING (host) WHERE a.spec = bsd.best
       GROUP BY a.host
       HAVING max(d) IS NOT NULL
-    ),
+    )
+"""
+
+
+@golden(
+    "robots_crawl_delay_sitemaps",
+    oracle=f"""
+    WITH {_ROBOTS_DIR_SYNTH_SQL.strip()},
+    {_ROBOTS_DELAY_SQL.strip()},
     smaps AS (
       SELECT host,
         array_to_string(list_sort(list(DISTINCT value)), ',') AS sitemaps
@@ -2041,4 +2048,66 @@ def robots_crawl_delay_sitemaps(spark, sf_dir):
         F.col("host"),
         F.col("crawl_delay"),
         F.coalesce(F.col("sitemaps"), F.lit("")).alias("sitemaps"),
+    )
+
+
+@golden(
+    "polite_fetch_schedule_frontier",
+    oracle=f"""
+    WITH {_ROBOTS_DIR_SYNTH_SQL.strip()},
+    {_ROBOTS_DELAY_SQL.strip()},
+    urls AS (
+      SELECT doc_id,
+        'http://site' || CAST(doc_id % 6 AS INT) || '.com' ||
+        CASE CAST(doc_id % 4 AS INT)
+          WHEN 0 THEN '/private/secret' || doc_id
+          WHEN 1 THEN '/private/ok/page' || doc_id
+          WHEN 2 THEN '/doc' || doc_id || '.pdf'
+          ELSE '/public/x' || doc_id END AS url
+      FROM documents
+    ),
+    uh AS (
+      SELECT url,
+        lower(COALESCE(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.\\-]*://([^/?#:]*).*$', 1), '')) AS host
+      FROM urls
+    )
+    SELECT u.url, u.host,
+           CAST(ROW_NUMBER() OVER (PARTITION BY u.host ORDER BY u.url) AS INT) AS rank,
+           COALESCE(s.crawl_delay, CAST(1.0 AS DOUBLE)) AS delay_sec,
+           (ROW_NUMBER() OVER (PARTITION BY u.host ORDER BY u.url) - 1)
+             * COALESCE(s.crawl_delay, CAST(1.0 AS DOUBLE)) AS fetch_offset_sec
+    FROM uh u LEFT JOIN seld s ON u.host = s.host
+    """,
+)
+def polite_fetch_schedule_frontier(spark, sf_dir):
+    """Frontier politeness scheduling (r15, functions/crawl.py::
+    polite_fetch_schedule — the step after robots_allowed +
+    robots_crawl_delay_for): every URL gets a per-host rank (ordered
+    by URL string — deterministic) and a fetch offset of
+    (rank-1)·delay seconds, delay = the host's resolved trainbot
+    Crawl-delay (2.5 on the agent-specific hosts) or the 1.0 default
+    (invalid-delay hosts AND the no-fallback hosts whose specific
+    group has no delay). Offsets are exact products of small dyadic
+    doubles and integer ranks — bit-identical across engines. Plan:
+    one broadcastable delay frame + ONE host-partitioned window (the
+    host IS the politeness serialization unit — the window's
+    parallelism equals the problem's)."""
+    from ..functions.crawl import (
+        polite_fetch_schedule,
+        robots_crawl_delay_for,
+        robots_crawl_delays,
+    )
+
+    robots_df = _synth_robots_directives(spark, sf_dir)
+    _, urls = _synth_robots_frames(spark, sf_dir)
+    delays = robots_crawl_delay_for(
+        robots_crawl_delays(robots_df), "trainbot"
+    )
+    out = polite_fetch_schedule(urls, delays, default_delay=1.0)
+    return out.select(
+        F.col("url"),
+        F.col("host"),
+        F.col("rank").cast("int").alias("rank"),
+        F.col("delay_sec").cast("double").alias("delay_sec"),
+        F.col("fetch_offset_sec").cast("double").alias("fetch_offset_sec"),
     )

@@ -1165,3 +1165,31 @@ def test_robots_crawl_delay_and_sitemaps(spark):
         ("a.com", "https://a.com/SiteMap.XML"),  # case preserved, deduped
         ("a.com", "https://a.com/news.xml"),
     }
+
+
+def test_polite_fetch_schedule(spark):
+    """r15: per-host rank x resolved delay; delay-less hosts use the
+    default; offsets are (rank-1)*delay exactly."""
+    from hydraide_spark.functions.crawl import polite_fetch_schedule
+
+    delays = spark.createDataFrame(
+        [("slow.com", 2.5)], "host string, crawl_delay double"
+    )
+    urls = spark.createDataFrame(
+        [(u,) for u in [
+            "http://slow.com/b", "http://slow.com/a", "http://slow.com/c",
+            "http://fast.com/x", "http://fast.com/y",
+        ]],
+        "url string",
+    )
+    got = {
+        r.url: (r.host, r.rank, r.delay_sec, r.fetch_offset_sec)
+        for r in polite_fetch_schedule(urls, delays, default_delay=1.0).collect()
+    }
+    assert got == {
+        "http://slow.com/a": ("slow.com", 1, 2.5, 0.0),
+        "http://slow.com/b": ("slow.com", 2, 2.5, 2.5),
+        "http://slow.com/c": ("slow.com", 3, 2.5, 5.0),
+        "http://fast.com/x": ("fast.com", 1, 1.0, 0.0),
+        "http://fast.com/y": ("fast.com", 2, 1.0, 1.0),
+    }
