@@ -280,6 +280,8 @@ HEADLINE = [
     "chunk_neardup_production",
     "langid_nb_predict_docs",
     "langid_nb_predict_broadcast",
+    "sitemap_discovery_docs",
+    "line_corpus_dedup_docs",
 ]
 
 

@@ -579,3 +579,168 @@ def robots_allowed(
         .otherwise(F.col("win")["al"] == 1)
         .alias("allowed"),
     )
+
+
+# --- sitemap XML parsing (r15) -------------------------------------------------
+
+#: XML predefined-entity decode order, shared with the SQL oracle:
+#: '&amp;' LAST so a double-escaped '&amp;lt;' decodes ONE level (to
+#: the literal '&lt;'), not two
+_XML_ENTITIES = [
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&apos;", "'"),
+    ("&amp;", "&"),
+]
+
+
+def _xml_unescape(c: Column) -> Column:
+    for ent, ch in _XML_ENTITIES:
+        c = F.replace(c, F.lit(ent), F.lit(ch))
+    return c
+
+
+def _xml_child(block: Column, tag: str) -> Column:
+    """Trimmed, entity-decoded text content of ``<tag>...</tag>``
+    inside a block; NULL when the tag is absent or empty. The
+    ''-means-NULL bridge is explicit because Spark's regexp_extract
+    returns '' on no match where DuckDB returns NULL (the r13
+    url_canonical_dedup trap) — both engines route through the same
+    CASE. Tags are matched WITHOUT attributes (sitemap-protocol child
+    elements carry none; the attribute-bearing ROOT tags never reach
+    this helper). Whitespace stripping uses an EXPLICIT [ \\t\\n\\r]
+    class — Spark's trim() strips spaces only, and Java's \\s differs
+    from RE2's (the r14 html_* rule), so the explicit class is the
+    only form both engines replay identically."""
+    raw = F.regexp_replace(
+        F.regexp_extract(block, rf"(?s)<{tag}>(.*?)</{tag}>", 1),
+        "^[ \t\n\r]+|[ \t\n\r]+$",
+        "",
+    )
+    return F.when(raw == "", F.lit(None)).otherwise(_xml_unescape(raw))
+
+
+def _sitemap_parsed(
+    df: DataFrame, xml_col: str, keep: "list[str]"
+) -> DataFrame:
+    """Shared parse core: ``keep`` columns + (kind, ord, loc, lastmod,
+    changefreq, priority) — one exploded row per ``<url>`` (urlset) or
+    ``<sitemap>`` (sitemapindex) child whose required ``<loc>`` is
+    present. Rows whose body is neither root kind vanish (explode of
+    an empty array). Map-only: regexp_extract_all + posexplode; no
+    shuffle, no UDF — the 100 TB cost is one pass over the bodies."""
+    body = F.col(xml_col)
+    kind = (
+        F.when(body.rlike("<sitemapindex[ \t\n\r>]"), F.lit("index"))
+        .when(body.rlike("<urlset[ \t\n\r>]"), F.lit("urlset"))
+        .otherwise(F.lit(None))
+    )
+    blocks = (
+        F.when(
+            F.col("kind") == "index",
+            F.regexp_extract_all(body, F.lit(r"(?s)<sitemap>(.*?)</sitemap>"), 1),
+        )
+        .when(
+            F.col("kind") == "urlset",
+            F.regexp_extract_all(body, F.lit(r"(?s)<url>(.*?)</url>"), 1),
+        )
+        .otherwise(F.array())
+    )
+    exploded = (
+        df.withColumn("kind", kind)
+        .withColumn("__blocks", blocks)
+        .select(
+            *keep,
+            "kind",
+            F.posexplode("__blocks").alias("__p", "__block"),
+        )
+    )
+    b = F.col("__block")
+    return exploded.select(
+        *keep,
+        "kind",
+        (F.col("__p") + F.lit(1)).cast("int").alias("ord"),
+        _xml_child(b, "loc").alias("loc"),
+        _xml_child(b, "lastmod").alias("lastmod"),
+        _xml_child(b, "changefreq").alias("changefreq"),
+        _xml_child(b, "priority").cast("double").alias("priority"),
+    ).filter(F.col("loc").isNotNull())
+
+
+def sitemap_entries(
+    df: DataFrame, url_col: str = "sitemap_url", xml_col: str = "xml"
+) -> DataFrame:
+    """Parse sitemap-protocol XML bodies into child rows: a ``urlset``
+    body yields its ``<url>`` entries, a ``sitemapindex`` yields its
+    ``<sitemap>`` entries. Returns (url_col, kind, ord, loc, lastmod,
+    changefreq, priority) — ``ord`` is the 1-based position in the
+    body, ``kind`` says which grammar produced the row; optional
+    fields are NULL when absent, ``priority`` parses as DOUBLE.
+
+    Subset contract (documented, shared with the oracle): child
+    elements are matched without attributes or namespace prefixes
+    (the protocol defines none), the five predefined XML entities are
+    decoded in ``<loc>``-family text (``&amp;`` last — one level),
+    CDATA sections are out of scope. Bodies that are neither root
+    kind produce no rows."""
+    return _sitemap_parsed(df, xml_col, [url_col])
+
+
+def sitemap_url_entries(
+    bodies: DataFrame, url_col: str = "sitemap_url", xml_col: str = "xml"
+) -> DataFrame:
+    """Resolve sitemap discovery to FINAL page-URL entries: direct
+    ``urlset`` bodies pass through; ``sitemapindex`` children are
+    looked up in ``bodies`` by URL (one equi-join) and their
+    ``urlset`` entries returned with the index as ``root_sitemap``.
+    Returns (root_sitemap, src_sitemap, loc, lastmod, changefreq,
+    priority).
+
+    ONE level of indirection by construction — the sitemaps protocol
+    forbids an index file from listing another index file, so a
+    child that parses as ``index`` is dropped (no silent recursion),
+    and a child URL with no body in ``bodies`` drops out of the inner
+    join (not yet fetched — the frontier's job, not the parser's).
+    Plan shape: parse is map-only; the resolution is a single
+    URL equi-join (index child lists are tiny next to the bodies
+    frame — AQE broadcasts the small side); no window, no UDF."""
+    e = sitemap_entries(bodies, url_col, xml_col)
+    out_cols = [
+        "root_sitemap",
+        "src_sitemap",
+        "loc",
+        "lastmod",
+        "changefreq",
+        "priority",
+    ]
+    direct = e.filter(F.col("kind") == "urlset").select(
+        F.col(url_col).alias("root_sitemap"),
+        F.col(url_col).alias("src_sitemap"),
+        "loc",
+        "lastmod",
+        "changefreq",
+        "priority",
+    )
+    children = e.filter(F.col("kind") == "index").select(
+        F.col(url_col).alias("root_sitemap"),
+        F.col("loc").alias("__child_url"),
+    )
+    child_bodies = children.join(
+        bodies.select(
+            F.col(url_col).alias("__child_url"), F.col(xml_col)
+        ),
+        "__child_url",
+    )
+    resolved = _sitemap_parsed(
+        child_bodies, xml_col, ["root_sitemap", "__child_url"]
+    )
+    via_index = resolved.filter(F.col("kind") == "urlset").select(
+        "root_sitemap",
+        F.col("__child_url").alias("src_sitemap"),
+        "loc",
+        "lastmod",
+        "changefreq",
+        "priority",
+    )
+    return direct.select(out_cols).unionByName(via_index.select(out_cols))

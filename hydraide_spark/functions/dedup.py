@@ -1743,3 +1743,61 @@ def dedup_pair_truth_eval(
             F.round(F.col("n_hit").cast("double") / F.col("n_truth"), 10),
         ).alias("rec"),
     )
+
+
+def line_corpus_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_docs: int = 2,
+) -> DataFrame:
+    """CCNet-style line-level corpus dedup (r15): a line whose
+    whitespace-stripped content appears in >= ``min_docs`` DISTINCT
+    documents is boilerplate (cookie banners, nav menus, copyright
+    footers — the bulk of crawl noise CCNet removes before perplexity
+    filtering) and is dropped from EVERY document that carries it.
+    Returns (id_col, n_lines, n_removed, clean_text) — clean_text is
+    the surviving lines (VERBATIM, not stripped) re-joined with
+    newlines in original order.
+
+    Shared-with-oracle rules: lines split on '\\n'; the dedup key
+    strips an EXPLICIT [ \\t\\r] class from both ends (Spark trim() is
+    space-only and Java \\s != RE2 \\s); lines that strip to '' are
+    structural blank lines — never counted, never removed; a line
+    repeated only WITHIN one document stays (the count is distinct
+    documents, not occurrences — intra-doc repetition is
+    repeated_span_dedup's job).
+
+    100 TB plan shape: posexplode -> one groupBy on the line key
+    (map-side partial agg) -> the >=min_docs survivors form the
+    boilerplate dictionary, usually orders of magnitude smaller than
+    the line table; marking is a single key equi-join (AQE broadcasts
+    when small, plain shuffle join when not — no collect either way),
+    reassembly one groupBy(id). No window, no UDF, no driver data."""
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n", -1)).alias("pos", "line"),
+    ).withColumn(
+        "key", F.regexp_replace(F.col("line"), "^[ \t\r]+|[ \t\r]+$", "")
+    )
+    dup_keys = (
+        lines.filter(F.col("key") != "")
+        .groupBy("key")
+        .agg(F.countDistinct(F.col(id_col)).alias("nd"))
+        .filter(F.col("nd") >= int(min_docs))
+        .select("key", F.lit(True).alias("__dup"))
+    )
+    marked = lines.join(dup_keys, "key", "left").withColumn(
+        "dup", F.coalesce(F.col("__dup"), F.lit(False))
+    )
+    arr = F.array_sort(
+        F.collect_list(F.struct(F.col("pos"), F.col("line"), F.col("dup")))
+    )
+    kept = F.filter(arr, lambda s: ~s["dup"])
+    return marked.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(F.col("dup").cast("int")).alias("n_removed"),
+        F.array_join(
+            F.transform(kept, lambda s: s["line"]), "\n"
+        ).alias("clean_text"),
+    )

@@ -2111,3 +2111,286 @@ def polite_fetch_schedule_frontier(spark, sf_dir):
         F.col("delay_sec").cast("double").alias("delay_sec"),
         F.col("fetch_offset_sec").cast("double").alias("fetch_offset_sec"),
     )
+
+
+# --- sitemap XML parsing + discovery resolution (r15) --------------------------
+
+#: explicit whitespace class (real chars) shared by both engines —
+#: Spark trim() strips spaces only and Java \s != RE2 \s, so the
+#: sitemap parser strips with this class on both sides
+_SM_WS = "^[ \t\n\r]+|[ \t\n\r]+$"
+
+
+def _xc_sql(tag: str) -> str:
+    """DuckDB replay of functions/crawl.py::_xml_child: extract
+    <tag>...</tag> (dotall, non-greedy), strip the explicit whitespace
+    class, ''->NULL (DuckDB's regexp_extract is NULL on no match where
+    Spark's is '' — COALESCE bridges), then the five XML entities with
+    '&amp;' LAST."""
+    from ..functions.crawl import _XML_ENTITIES
+
+    pat = f"(?s)<{tag}>(.*?)</{tag}>"
+    s = (
+        f"regexp_replace(COALESCE(regexp_extract(block, '{pat}', 1), ''), "
+        f"'{_SM_WS}', '', 'g')"
+    )
+    e = s
+    for ent, ch in _XML_ENTITIES:
+        c = ch.replace("'", "''")
+        e = f"replace({e}, '{ent}', '{c}')"
+    return f"(CASE WHEN {s} = '' THEN NULL ELSE {e} END)"
+
+
+def _sitemap_parse_sql(src: str, carry: str, out: str) -> str:
+    """The repeated parse chain (kind detection -> block extraction ->
+    per-block fields) as CTEs; mirrors functions/crawl.py::
+    _sitemap_parsed rule-for-rule."""
+    ws = " \t\n\r>"
+    return f"""
+    {out}_k AS (
+      SELECT {carry},
+        CASE WHEN regexp_matches(xml, '<sitemapindex[{ws}]') THEN 'index'
+             WHEN regexp_matches(xml, '<urlset[{ws}]') THEN 'urlset' END AS kind,
+        xml
+      FROM {src}
+    ),
+    {out}_b AS (
+      SELECT {carry}, kind,
+        CASE WHEN kind = 'index'
+               THEN regexp_extract_all(xml, '(?s)<sitemap>(.*?)</sitemap>', 1)
+             WHEN kind = 'urlset'
+               THEN regexp_extract_all(xml, '(?s)<url>(.*?)</url>', 1)
+             ELSE CAST([] AS VARCHAR[]) END AS bl
+      FROM {out}_k
+    ),
+    {out}_r AS (
+      SELECT {carry}, kind, bl[i] AS block
+      FROM {out}_b, UNNEST(range(1, len(bl) + 1)) AS t(i)
+    ),
+    {out} AS (
+      SELECT {carry}, kind,
+        {_xc_sql('loc')} AS loc,
+        {_xc_sql('lastmod')} AS lastmod,
+        {_xc_sql('changefreq')} AS changefreq,
+        CAST({_xc_sql('priority')} AS DOUBLE) AS priority
+      FROM {out}_r
+      WHERE {_xc_sql('loc')} IS NOT NULL
+    )"""
+
+
+#: synthesized sitemap bodies: hid%3 shapes — an index with a lastmod
+#: child, a child with no lastmod and an UNFETCHED child (inner-join
+#: drop) / an index whose second child is ITSELF (index->index: the
+#: spec forbids nested indexes, the resolver must drop it, plus a
+#: whitespace-padded <loc> probe) / a DIRECT urlset at sitemap.xml.
+#: Per-doc <url> entries cycle entity-escaped query URLs, missing
+#: lastmod/changefreq/priority, and space-padded loc values.
+_SITEMAP_SYNTH_SQL = """
+    docsx AS (SELECT CAST(doc_id AS BIGINT) AS d FROM documents),
+    fr AS (
+      SELECT d,
+        'https://site' || CAST(d % 6 AS INT) || '.com/' ||
+          CASE CAST((d % 6) % 3 AS INT)
+            WHEN 0 THEN CASE WHEN d % 2 = 0 THEN 'map-1.xml' ELSE 'map-2.xml' END
+            WHEN 1 THEN 'map-1.xml'
+            ELSE 'sitemap.xml' END AS sitemap_url,
+        '<url><loc> ' ||
+          CASE WHEN d % 3 = 0
+            THEN 'https://site' || CAST(d % 6 AS INT) || '.com/page?id=' || d || '&amp;ref=sm'
+            ELSE 'https://site' || CAST(d % 6 AS INT) || '.com/p' || d END
+          || ' </loc>' ||
+          CASE WHEN d % 4 <> 1
+            THEN '<lastmod>2026-03-0' || (d % 9 + 1) || '</lastmod>' ELSE '' END ||
+          CASE WHEN d % 5 <> 2
+            THEN '<changefreq>' ||
+              CASE CAST(d % 3 AS INT) WHEN 0 THEN 'daily' WHEN 1 THEN 'weekly'
+                   ELSE 'monthly' END || '</changefreq>' ELSE '' END ||
+          CASE WHEN d % 2 = 0
+            THEN '<priority>0.' || (d % 10) || '</priority>' ELSE '' END ||
+          '</url>' || chr(10) AS frag
+      FROM docsx
+    ),
+    us AS (
+      SELECT sitemap_url,
+        '<?xml version="1.0" encoding="UTF-8"?>' || chr(10) ||
+        '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">' || chr(10) ||
+        string_agg(frag, '' ORDER BY d) || '</urlset>' AS xml
+      FROM fr GROUP BY sitemap_url
+    ),
+    hostsy AS (
+      SELECT DISTINCT CAST(d % 6 AS INT) AS hid FROM docsx WHERE (d % 6) % 3 < 2
+    ),
+    ib AS (
+      SELECT 'https://site' || hid || '.com/sitemap.xml' AS sitemap_url,
+        '<?xml version="1.0" encoding="UTF-8"?>' || chr(10) ||
+        '<sitemapindex xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">' || chr(10) ||
+        CASE WHEN hid % 3 = 0
+          THEN '<sitemap><loc>https://site' || hid || '.com/map-1.xml</loc><lastmod>2026-01-15</lastmod></sitemap>' || chr(10)
+            || '<sitemap><loc>https://site' || hid || '.com/map-2.xml</loc></sitemap>' || chr(10)
+            || '<sitemap><loc>https://site' || hid || '.com/missing.xml</loc></sitemap>' || chr(10)
+          ELSE '<sitemap><loc> https://site' || hid || '.com/map-1.xml </loc></sitemap>' || chr(10)
+            || '<sitemap><loc>https://site' || hid || '.com/sitemap.xml</loc></sitemap>' || chr(10)
+        END || '</sitemapindex>' AS xml
+      FROM hostsy
+    ),
+    bodies AS (SELECT * FROM us UNION ALL SELECT * FROM ib)
+"""
+
+
+def _synth_sitemap_bodies(spark, sf_dir):
+    """Spark twin of _SITEMAP_SYNTH_SQL's bodies CTE."""
+    docs = t(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id")
+    hid = (d % 6).cast("int")
+    h = hid.cast("string")
+    ds = d.cast("string")
+    k = (hid % 3).cast("int")
+    site = F.concat(F.lit("https://site"), h, F.lit(".com/"))
+    loc_xml = F.when(
+        d % 3 == 0,
+        F.concat(site, F.lit("page?id="), ds, F.lit("&amp;ref=sm")),
+    ).otherwise(F.concat(site, F.lit("p"), ds))
+    lm = F.when(
+        d % 4 != 1,
+        F.concat(
+            F.lit("<lastmod>2026-03-0"),
+            (d % 9 + 1).cast("string"),
+            F.lit("</lastmod>"),
+        ),
+    ).otherwise(F.lit(""))
+    cf_name = F.element_at(
+        F.array(F.lit("daily"), F.lit("weekly"), F.lit("monthly")),
+        (d % 3).cast("int") + 1,
+    )
+    cf = F.when(
+        d % 5 != 2,
+        F.concat(F.lit("<changefreq>"), cf_name, F.lit("</changefreq>")),
+    ).otherwise(F.lit(""))
+    pr = F.when(
+        d % 2 == 0,
+        F.concat(
+            F.lit("<priority>0."), (d % 10).cast("string"), F.lit("</priority>")
+        ),
+    ).otherwise(F.lit(""))
+    frag = F.concat(
+        F.lit("<url><loc> "), loc_xml, F.lit(" </loc>"), lm, cf, pr,
+        F.lit("</url>\n"),
+    )
+    mapfile = (
+        F.when(
+            k == 0,
+            F.when(d % 2 == 0, F.lit("map-1.xml")).otherwise(
+                F.lit("map-2.xml")
+            ),
+        )
+        .when(k == 1, F.lit("map-1.xml"))
+        .otherwise(F.lit("sitemap.xml"))
+    )
+    frags = docs.select(
+        d.alias("doc_id"),
+        F.concat(site, mapfile).alias("sitemap_url"),
+        frag.alias("frag"),
+    )
+    hdr_us = (
+        '<?xml version="1.0" encoding="UTF-8"?>\n'
+        '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">\n'
+    )
+    urlsets = frags.groupBy("sitemap_url").agg(
+        F.concat(
+            F.lit(hdr_us),
+            F.concat_ws(
+                "",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("doc_id"), F.col("frag")))
+                    ),
+                    lambda s: s["frag"],
+                ),
+            ),
+            F.lit("</urlset>"),
+        ).alias("xml")
+    )
+    hosts = docs.select(hid.alias("hid")).distinct().filter(
+        (F.col("hid") % 3) < 2
+    )
+    hh = F.col("hid").cast("string")
+    hsite = F.concat(F.lit("https://site"), hh, F.lit(".com/"))
+    hdr_ix = (
+        '<?xml version="1.0" encoding="UTF-8"?>\n'
+        '<sitemapindex xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">\n'
+    )
+    kk = (F.col("hid") % 3).cast("int")
+    ibody = F.when(
+        kk == 0,
+        F.concat(
+            F.lit(hdr_ix),
+            F.lit("<sitemap><loc>"), hsite,
+            F.lit("map-1.xml</loc><lastmod>2026-01-15</lastmod></sitemap>\n"),
+            F.lit("<sitemap><loc>"), hsite, F.lit("map-2.xml</loc></sitemap>\n"),
+            F.lit("<sitemap><loc>"), hsite, F.lit("missing.xml</loc></sitemap>\n"),
+            F.lit("</sitemapindex>"),
+        ),
+    ).otherwise(
+        F.concat(
+            F.lit(hdr_ix),
+            F.lit("<sitemap><loc> "), hsite, F.lit("map-1.xml </loc></sitemap>\n"),
+            F.lit("<sitemap><loc>"), hsite, F.lit("sitemap.xml</loc></sitemap>\n"),
+            F.lit("</sitemapindex>"),
+        )
+    )
+    idx = hosts.select(
+        F.concat(hsite, F.lit("sitemap.xml")).alias("sitemap_url"),
+        ibody.alias("xml"),
+    )
+    return urlsets.unionByName(idx)
+
+
+@golden(
+    "sitemap_discovery_docs",
+    oracle=f"""
+    WITH {_SITEMAP_SYNTH_SQL.strip()},
+    {_sitemap_parse_sql('bodies', 'sitemap_url', 'p1').strip()},
+    direct AS (
+      SELECT sitemap_url AS root_sitemap, sitemap_url AS src_sitemap,
+             loc, lastmod, changefreq, priority
+      FROM p1 WHERE kind = 'urlset'
+    ),
+    chl AS (
+      SELECT sitemap_url AS root_sitemap, loc AS child_url
+      FROM p1 WHERE kind = 'index'
+    ),
+    cbod AS (
+      SELECT c.root_sitemap, c.child_url, b.xml
+      FROM chl c JOIN bodies b ON b.sitemap_url = c.child_url
+    ),
+    {_sitemap_parse_sql('cbod', 'root_sitemap, child_url', 'p2').strip()}
+    SELECT * FROM direct
+    UNION ALL
+    SELECT root_sitemap, child_url AS src_sitemap,
+           loc, lastmod, changefreq, priority
+    FROM p2 WHERE kind = 'urlset'
+    """,
+)
+def sitemap_discovery_docs(spark, sf_dir):
+    """Sitemap XML parsing + discovery resolution (r15,
+    functions/crawl.py::sitemap_entries / sitemap_url_entries — the
+    step between robots_sitemaps discovery and the fetch frontier):
+    synthesized per-host sitemap trees cycle three shapes — an index
+    whose children carry/omit <lastmod> plus an UNFETCHED child
+    (dropped by the inner join), an index whose second child is
+    ITSELF (index->index is forbidden by the protocol — the resolver
+    drops it, no recursion) with a whitespace-padded <loc>, and a
+    DIRECT urlset. Per-doc <url> entries cycle entity-escaped query
+    URLs ('&amp;' decoded exactly one level), missing optional
+    fields (NULL via the shared ''->NULL bridge), and <priority>
+    parsed to DOUBLE (strtod-exact in both engines). Urlset bodies
+    that were ALSO fetched directly appear via both paths with
+    different root_sitemap — deliberate: one corpus exercises the
+    pass-through and the index-resolution legs on identical blocks.
+    Plan: parse is map-only regexp work; resolution is ONE URL
+    equi-join (AQE broadcasts the tiny child list); the only shuffle
+    is the synthesis groupBy itself."""
+    from ..functions.crawl import sitemap_url_entries
+
+    bodies = _synth_sitemap_bodies(spark, sf_dir)
+    return sitemap_url_entries(bodies)

@@ -2704,3 +2704,94 @@ def corpus_snapshot_diff(spark, sf_dir):
         F.min("doc_id").cast("bigint").alias("min_key"),
         F.max("doc_id").cast("bigint").alias("max_key"),
     )
+
+
+# --- CCNet-style line-level corpus dedup (r15) ---------------------------------
+
+
+@golden(
+    "line_corpus_dedup_docs",
+    oracle="""
+    WITH aug AS (
+      SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        CASE WHEN doc_id % 3 = 0 THEN 'Sign in | Register  '
+             ELSE 'Sign in | Register' END
+        || chr(10) || 'Menu site' || CAST(doc_id % 6 AS INT)
+        || chr(10) || text
+        || chr(10) || 'Copyright site' || CAST(doc_id % 6 AS INT) || ' 2026'
+        || CASE WHEN doc_id % 97 = 0
+             THEN chr(10) || 'repeat-' || doc_id || chr(10) || 'repeat-' || doc_id
+             ELSE '' END AS text
+      FROM documents
+    ),
+    lx AS (
+      SELECT doc_id, i - 1 AS pos, ls[i] AS line
+      FROM (SELECT doc_id, string_split(text, chr(10)) AS ls FROM aug),
+           UNNEST(range(1, len(ls) + 1)) AS t(i)
+    ),
+    ky AS (
+      SELECT doc_id, pos, line,
+        regexp_replace(line, '^[ \t\r]+|[ \t\r]+$', '', 'g') AS key
+      FROM lx
+    ),
+    dup AS (
+      SELECT key FROM ky WHERE key <> ''
+      GROUP BY key HAVING COUNT(DISTINCT doc_id) >= 3
+    ),
+    mk AS (
+      SELECT k.doc_id, k.pos, k.line, (d.key IS NOT NULL) AS isdup
+      FROM ky k LEFT JOIN dup d USING (key)
+    )
+    SELECT doc_id,
+      CAST(COUNT(*) AS BIGINT) AS n_lines,
+      CAST(SUM(CASE WHEN isdup THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+      COALESCE(
+        string_agg(CASE WHEN NOT isdup THEN line END, chr(10) ORDER BY pos),
+        '') AS clean_text
+    FROM mk GROUP BY doc_id
+    """,
+)
+def line_corpus_dedup_docs(spark, sf_dir):
+    """CCNet-style line-level corpus dedup (r15, functions/dedup.py::
+    line_corpus_dedup): every doc is wrapped in planted boilerplate —
+    a global sign-in banner (every 3rd doc carries TRAILING SPACES:
+    the stripped key still collapses them into one family, and the
+    verbatim line is what gets removed), a per-host menu line and
+    copyright footer (6 linear families), and every 97th doc a line
+    repeated twice WITHIN itself only (unique per doc — distinct-doc
+    count 1, so it survives: intra-doc repetition is not corpus
+    boilerplate). min_docs=3 so every planted family crosses the
+    threshold at any sf while doc-unique content lines stay. Any
+    NATURAL cross-doc duplicate lines in the raw corpus dedup too —
+    both engines replay the same rule, so the gate pins that as well.
+    Empty lines are never counted or removed (structural). Compared
+    values are integers and verbatim strings — engine-exact."""
+    from ..functions.dedup import line_corpus_dedup
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    d = F.col("doc_id")
+    hid = (d % 6).cast("int").cast("string")
+    ds = d.cast("string")
+    header = F.when(d % 3 == 0, F.lit("Sign in | Register  ")).otherwise(
+        F.lit("Sign in | Register")
+    )
+    tail = F.when(
+        d % 97 == 0,
+        F.concat(F.lit("\nrepeat-"), ds, F.lit("\nrepeat-"), ds),
+    ).otherwise(F.lit(""))
+    aug = docs.select(
+        big("doc_id").alias("doc_id"),
+        F.concat(
+            header,
+            F.lit("\nMenu site"), hid,
+            F.lit("\n"), F.col("text"),
+            F.lit("\nCopyright site"), hid, F.lit(" 2026"),
+            tail,
+        ).alias("text"),
+    )
+    return line_corpus_dedup(aug, min_docs=3).select(
+        F.col("doc_id"),
+        big("n_lines").alias("n_lines"),
+        big("n_removed").alias("n_removed"),
+        F.col("clean_text"),
+    )

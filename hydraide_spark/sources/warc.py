@@ -111,25 +111,65 @@ def read_warc_files(
         .load(path)
         .select("path", "content")
     )
+    return files.mapInPandas(
+        _records_walk, "path string, rec_no long, record binary"
+    )
 
-    def _walk(batches: Iterable["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
-        for pdf in batches:
-            paths: List[str] = []
-            recnos: List[int] = []
-            recs: List[bytes] = []
-            for p, content in zip(pdf["path"], pdf["content"]):
-                raw = bytes(content)
-                if str(p).endswith(".gz"):
-                    raw = gzip_member_bytes(raw)
-                for k, r in enumerate(split_warc_records(raw)):
-                    paths.append(str(p))
-                    recnos.append(k)
-                    recs.append(r)
-            yield pd.DataFrame(
-                {"path": paths, "rec_no": recnos, "record": recs}
-            )
 
-    return files.mapInPandas(_walk, "path string, rec_no long, record binary")
+def _records_walk(
+    batches: Iterable["pd.DataFrame"],
+) -> Iterator["pd.DataFrame"]:
+    """(path, content) file rows -> (path, rec_no, record) record rows;
+    shared by the batch reader and the streaming source (the framing
+    rules must be ONE implementation — a drift between them would make
+    a stream re-ingest frame records differently than the backfill)."""
+    import pandas as pd
+
+    for pdf in batches:
+        paths: List[str] = []
+        recnos: List[int] = []
+        recs: List[bytes] = []
+        for p, content in zip(pdf["path"], pdf["content"]):
+            raw = bytes(content)
+            if str(p).endswith(".gz"):
+                raw = gzip_member_bytes(raw)
+            for k, r in enumerate(split_warc_records(raw)):
+                paths.append(str(p))
+                recnos.append(k)
+                recs.append(r)
+        yield pd.DataFrame({"path": paths, "rec_no": recnos, "record": recs})
+
+
+#: the binaryFile source's fixed schema — readStream file sources
+#: require an explicit schema, and binaryFile's is documented/stable
+BINARY_FILE_SCHEMA = (
+    "path string, modificationTime timestamp, length long, content binary"
+)
+
+
+def read_warc_files_stream(
+    spark: SparkSession,
+    path: str,
+    glob: str = "*.warc*",
+    max_files_per_trigger: "int | None" = None,
+) -> DataFrame:
+    """Streaming twin of :func:`read_warc_files`: new archive files
+    landing under ``path`` become record rows in micro-batches (the
+    CommonCrawl delivery shape — segments appear as a crawl
+    progresses). Same per-file parallelism, same shared record walk;
+    ``max_files_per_trigger`` bounds a micro-batch for test
+    determinism and backfill pacing."""
+    reader = (
+        spark.readStream.format("binaryFile")
+        .schema(BINARY_FILE_SCHEMA)
+        .option("pathGlobFilter", glob)
+    )
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", int(max_files_per_trigger))
+    files = reader.load(path).select("path", "content")
+    return files.mapInPandas(
+        _records_walk, "path string, rec_no long, record binary"
+    )
 
 
 def write_warc_gz(records: List[bytes], path: str) -> None:

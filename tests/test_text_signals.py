@@ -1193,3 +1193,126 @@ def test_polite_fetch_schedule(spark):
         "http://fast.com/x": ("fast.com", 1, 1.0, 0.0),
         "http://fast.com/y": ("fast.com", 2, 1.0, 1.0),
     }
+
+
+# --- sitemap XML parsing (r15) -------------------------------------------------
+
+
+def _sitemap_bodies(spark):
+    from pyspark.sql import Row
+
+    idx = (
+        '<?xml version="1.0" encoding="UTF-8"?>\n'
+        '<sitemapindex xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">\n'
+        "<sitemap><loc> https://a.com/m1.xml </loc>"
+        "<lastmod>2026-01-15</lastmod></sitemap>\n"
+        "<sitemap><loc>https://a.com/self.xml</loc></sitemap>\n"
+        "<sitemap><loc>https://a.com/unfetched.xml</loc></sitemap>\n"
+        "</sitemapindex>"
+    )
+    self_idx = (
+        "<sitemapindex>"
+        "<sitemap><loc>https://a.com/m1.xml</loc></sitemap>"
+        "</sitemapindex>"
+    )
+    m1 = (
+        '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+        "<url><loc>https://a.com/p?x=1&amp;y=2&apos;</loc>"
+        "<lastmod>\n 2026-03-02 \n</lastmod>"
+        "<changefreq>daily</changefreq><priority>0.8</priority></url>"
+        "<url><loc>https://a.com/q</loc></url>"
+        "<url><lastmod>2026-01-01</lastmod></url>"
+        "</urlset>"
+    )
+    return spark.createDataFrame(
+        [
+            Row(sitemap_url="https://a.com/sitemap.xml", xml=idx),
+            Row(sitemap_url="https://a.com/self.xml", xml=self_idx),
+            Row(sitemap_url="https://a.com/m1.xml", xml=m1),
+            Row(sitemap_url="https://a.com/other.txt", xml="not xml at all"),
+        ]
+    )
+
+
+def test_sitemap_entries_grammar(spark):
+    from hydraide_spark.functions.crawl import sitemap_entries
+
+    rows = {
+        (r.sitemap_url, r.kind, r.ord): r
+        for r in sitemap_entries(_sitemap_bodies(spark)).collect()
+    }
+    # index children: padded loc trimmed, lastmod carried / absent
+    r1 = rows[("https://a.com/sitemap.xml", "index", 1)]
+    assert r1.loc == "https://a.com/m1.xml" and r1.lastmod == "2026-01-15"
+    assert rows[("https://a.com/sitemap.xml", "index", 2)].lastmod is None
+    # urlset entries: entities decoded ONE level, whitespace stripped,
+    # priority parsed as double, loc-less block dropped
+    u1 = rows[("https://a.com/m1.xml", "urlset", 1)]
+    assert u1.loc == "https://a.com/p?x=1&y=2'"
+    assert u1.lastmod == "2026-03-02" and u1.priority == 0.8
+    u2 = rows[("https://a.com/m1.xml", "urlset", 2)]
+    assert u2.lastmod is None and u2.changefreq is None and u2.priority is None
+    assert ("https://a.com/m1.xml", "urlset", 3) not in rows
+    # non-sitemap body yields nothing
+    assert not any(k[0] == "https://a.com/other.txt" for k in rows)
+
+
+def test_sitemap_url_entries_resolution(spark):
+    from hydraide_spark.functions.crawl import sitemap_url_entries
+
+    out = sitemap_url_entries(_sitemap_bodies(spark)).collect()
+    roots = {(r.root_sitemap, r.src_sitemap, r.loc) for r in out}
+    # via index: m1's entries under the index root
+    assert (
+        "https://a.com/sitemap.xml",
+        "https://a.com/m1.xml",
+        "https://a.com/q",
+    ) in roots
+    # direct pass-through of the fetched urlset body
+    assert (
+        "https://a.com/m1.xml",
+        "https://a.com/m1.xml",
+        "https://a.com/q",
+    ) in roots
+    # the index->index child (self.xml) was dropped: nothing rooted at
+    # sitemap.xml comes FROM self.xml, and self.xml's own children are
+    # indexes too so it contributes no rows as a root either
+    assert not any(r.src_sitemap == "https://a.com/self.xml" for r in out)
+    # unfetched child contributes nothing
+    assert not any("unfetched" in (r.src_sitemap or "") for r in out)
+    # direct and via-index legs agree on the entry payload
+    by_leg = {}
+    for r in out:
+        by_leg.setdefault(r.loc, set()).add(
+            (r.lastmod, r.changefreq, r.priority)
+        )
+    assert all(len(v) == 1 for v in by_leg.values())
+
+
+# --- CCNet line-level corpus dedup (r15) ---------------------------------------
+
+
+def test_line_corpus_dedup_semantics(spark):
+    from pyspark.sql import Row
+
+    from hydraide_spark.functions.dedup import line_corpus_dedup
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="Sign in\nalpha one\n\nCopyright 2026"),
+            Row(doc_id=2, text="Sign in  \nbeta two\nCopyright 2026"),
+            Row(doc_id=3, text="\tSign in\ngamma three\nonly mine\nonly mine"),
+            Row(doc_id=4, text=""),
+        ]
+    )
+    out = {r.doc_id: r for r in line_corpus_dedup(docs, min_docs=3).collect()}
+    # 'Sign in' appears in 3 docs under 3 whitespace paddings — ONE key
+    assert out[1].clean_text == "alpha one\n\nCopyright 2026"
+    assert out[1].n_removed == 1 and out[1].n_lines == 4
+    # 'Copyright 2026' is only in 2 docs: below min_docs, kept
+    assert "Copyright 2026" in out[2].clean_text
+    # intra-doc repeat survives (distinct-doc count is 1)
+    assert out[3].clean_text == "gamma three\nonly mine\nonly mine"
+    # empty doc: one blank structural line, kept
+    assert out[4].n_lines == 1 and out[4].n_removed == 0
+    assert out[4].clean_text == ""
