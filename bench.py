@@ -282,6 +282,7 @@ HEADLINE = [
     "langid_nb_predict_broadcast",
     "sitemap_discovery_docs",
     "line_corpus_dedup_docs",
+    "sitemap_recrawl_schedule",
 ]
 
 

@@ -2394,3 +2394,84 @@ def sitemap_discovery_docs(spark, sf_dir):
 
     bodies = _synth_sitemap_bodies(spark, sf_dir)
     return sitemap_url_entries(bodies)
+
+
+@golden(
+    "sitemap_recrawl_schedule",
+    oracle=f"""
+    WITH {_SITEMAP_SYNTH_SQL.strip()},
+    {_sitemap_parse_sql('bodies', 'sitemap_url', 'p1').strip()},
+    chl AS (
+      SELECT sitemap_url AS root_sitemap, loc AS child_url
+      FROM p1 WHERE kind = 'index'
+    ),
+    cbod AS (
+      SELECT c.root_sitemap, c.child_url, b.xml
+      FROM chl c JOIN bodies b ON b.sitemap_url = c.child_url
+    ),
+    {_sitemap_parse_sql('cbod', 'root_sitemap, child_url', 'p2').strip()},
+    allent AS (
+      SELECT loc, lastmod FROM p1 WHERE kind = 'urlset'
+      UNION ALL
+      SELECT loc, lastmod FROM p2 WHERE kind = 'urlset'
+    ),
+    due AS (
+      SELECT DISTINCT loc AS url FROM allent
+      WHERE lastmod IS NOT NULL AND lastmod >= '2026-03-05'
+    ),
+    {_ROBOTS_DIR_SYNTH_SQL.strip()},
+    {_ROBOTS_DELAY_SQL.strip()},
+    uh AS (
+      SELECT url,
+        lower(COALESCE(regexp_extract(url,
+          '^[A-Za-z][A-Za-z0-9+.\\-]*://([^/?#:]*).*$', 1), '')) AS host
+      FROM due
+    )
+    SELECT u.url, u.host,
+           CAST(ROW_NUMBER() OVER (PARTITION BY u.host ORDER BY u.url) AS INT) AS rank,
+           COALESCE(s.crawl_delay, CAST(1.0 AS DOUBLE)) AS delay_sec,
+           (ROW_NUMBER() OVER (PARTITION BY u.host ORDER BY u.url) - 1)
+             * COALESCE(s.crawl_delay, CAST(1.0 AS DOUBLE)) AS fetch_offset_sec
+    FROM uh u LEFT JOIN seld s ON u.host = s.host
+    """,
+)
+def sitemap_recrawl_schedule(spark, sf_dir):
+    """Sitemap-driven recrawl scheduling (r15 — the chain closer:
+    robots discovery -> sitemap XML parse -> lastmod freshness cut ->
+    politeness schedule, all four r14/r15 crawl operators composed):
+    final URL entries from the resolved sitemap tree whose <lastmod>
+    is on/after the cutoff (W3C dates compare LEXICOGRAPHICALLY —
+    string >= is the shared rule, no timestamp parse, no timezone
+    trap) become the recrawl frontier; entries without lastmod follow
+    the default recrawl cycle instead (excluded here). The frontier is
+    deduped across discovery legs (direct + via-index see the same
+    urlset) and scheduled per host with the resolved trainbot
+    Crawl-delay (2.5 s agent-specific hosts; 1.0 default where the
+    delay is invalid or the specific group has none — the no-fallback
+    rule). Plan: the freshness cut is a pushed string filter on the
+    parsed entries; dedup is one distinct; scheduling is the ONE
+    host-partitioned window (the politeness serialization unit)."""
+    from ..functions.crawl import (
+        polite_fetch_schedule,
+        robots_crawl_delay_for,
+        robots_crawl_delays,
+        sitemap_url_entries,
+    )
+
+    bodies = _synth_sitemap_bodies(spark, sf_dir)
+    due = (
+        sitemap_url_entries(bodies)
+        .filter(F.col("lastmod").isNotNull() & (F.col("lastmod") >= "2026-03-05"))
+        .select(F.col("loc").alias("url"))
+        .distinct()
+    )
+    robots_df = _synth_robots_directives(spark, sf_dir)
+    delays = robots_crawl_delay_for(robots_crawl_delays(robots_df), "trainbot")
+    out = polite_fetch_schedule(due, delays, default_delay=1.0)
+    return out.select(
+        F.col("url"),
+        F.col("host"),
+        F.col("rank").cast("int").alias("rank"),
+        F.col("delay_sec").cast("double").alias("delay_sec"),
+        F.col("fetch_offset_sec").cast("double").alias("fetch_offset_sec"),
+    )

@@ -192,3 +192,76 @@ def write_warc_gz(records: List[bytes], path: str) -> None:
     with open(tmp, "wb") as fh:
         fh.write(buf.getvalue())
     os.replace(tmp, path)
+
+
+def wet_record(
+    uri: str, text: str, date: str = "2026-01-01T00:00:00Z"
+) -> bytes:
+    """One WET-style ``conversion`` record (the CommonCrawl companion
+    format for extracted text): WARC headers + UTF-8 plain-text
+    payload, Content-Length in OCTETS (the byte-exact rule this repo
+    learned the hard way on the parse side)."""
+    body = text.encode("utf-8")
+    return (
+        b"WARC/1.0\r\nWARC-Type: conversion\r\nWARC-Target-URI: "
+        + uri.encode("ascii")
+        + b"\r\nWARC-Date: "
+        + date.encode("ascii")
+        + b"\r\nContent-Type: text/plain; charset=utf-8\r\nContent-Length: "
+        + str(len(body)).encode("ascii")
+        + b"\r\n\r\n"
+        + body
+    )
+
+
+def write_wet_files(
+    df: DataFrame,
+    out_dir: str,
+    uri_col: str = "canonical_uri",
+    text_col: str = "text",
+    date: str = "2026-01-01T00:00:00Z",
+) -> int:
+    """Write an extracted-documents frame as ``.warc.wet.gz`` files —
+    the curation pipeline's ARCHIVE-SHAPED output (ingest consumes
+    WARC, this emits its WET complement, so a hydraide_spark curation
+    run slots into an existing CommonCrawl-consuming toolchain on both
+    ends). Executor-side: one file per partition, records ordered by
+    URI within the file (deterministic bytes given a deterministic
+    partitioning), no driver byte. Returns the record count written.
+
+    Round-trip contract: :func:`read_warc_files` over ``out_dir`` +
+    ``functions.crawl.warc_extract_binary`` recovers (uri, text)
+    exactly — pinned in tests/test_crawl_stream.py."""
+    import os
+
+    import pandas as pd  # noqa: F401  (mapInPandas batch type)
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def _write(batches: Iterable["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        rows = []
+        for pdf in batches:
+            rows.extend(zip(pdf["__uri"], pdf["__text"]))
+        rows.sort(key=lambda r: str(r[0]))
+        if rows:
+            write_warc_gz(
+                [wet_record(str(u), str(t), date=date) for u, t in rows],
+                os.path.join(out_dir, f"part-{pid:05d}.warc.wet.gz"),
+            )
+        yield pd.DataFrame({"n": [len(rows)]})
+
+    from pyspark.sql import functions as F
+
+    counted = (
+        df.select(
+            F.col(uri_col).alias("__uri"), F.col(text_col).alias("__text")
+        )
+        .mapInPandas(_write, "n long")
+        .agg(F.sum("n").alias("n"))
+        .collect()
+    )
+    return int(counted[0]["n"] or 0)

@@ -123,3 +123,29 @@ def test_crawl_stream_end_to_end(spark, tmp_path):
         assert all(v == 1 for d, v in seen2.items() if d != 999)
     finally:
         q.stop()
+
+
+def test_wet_write_read_round_trip(spark, tmp_path):
+    """WET output: extracted docs -> .warc.wet.gz conversion records ->
+    framed + parsed back byte-exactly. Multi-byte text pins the
+    octet-counted Content-Length on the WRITE side this time."""
+    from hydraide_spark.functions.crawl import warc_extract_binary
+    from hydraide_spark.sources.warc import read_warc_files, write_wet_files
+
+    data = [
+        (f"http://ex{i}.com/p{i}", f"téxt {i} ☃ body naïve")
+        for i in range(7)
+    ]
+    items = spark.createDataFrame(data, "canonical_uri string, text string")
+    out = str(tmp_path / "wet")
+    n = write_wet_files(items.repartition(3), out)
+    assert n == 7
+
+    back = warc_extract_binary(
+        read_warc_files(spark, out, glob="*.wet.gz"), id_col="rec_no"
+    ).collect()
+    assert len(back) == 7
+    # mime/charset are HTTP-RESPONSE attributes; conversion records
+    # have no HTTP block — the body decodes via the lenient utf-8 path
+    assert all(r.warc_type == "conversion" and r.mime == "" for r in back)
+    assert {(r.target_uri, r.body) for r in back} == set(data)
