@@ -283,6 +283,7 @@ HEADLINE = [
     "sitemap_discovery_docs",
     "line_corpus_dedup_docs",
     "sitemap_recrawl_schedule",
+    "html_link_graph_docs",
 ]
 
 

@@ -744,3 +744,113 @@ def sitemap_url_entries(
         "priority",
     )
     return direct.select(out_cols).unionByName(via_index.select(out_cols))
+
+
+# --- HTML link-graph extraction (r15) ------------------------------------------
+
+#: schemes a frontier never fetches — dropped at extraction (shared
+#: list, lowercase; checked case-insensitively)
+_NONFETCH_SCHEMES = ("javascript:", "mailto:", "tel:", "data:")
+
+
+def html_link_graph(
+    df: DataFrame,
+    url_col: str = "url",
+    html_col: str = "html",
+) -> DataFrame:
+    """Extract the outbound link edges of HTML pages: one row per
+    ``<a href=...>`` anchor — (url_col, dst, anchor, nofollow). The
+    web-graph builder between ``html_main_text`` (content) and the
+    graph family (pagerank over the crawl graph, in-degree features).
+
+    Shared-with-oracle grammar subset (every rule RE2-safe, explicit
+    whitespace classes — Java \\s != RE2 \\s):
+
+    - anchors matched as ``<a`` + whitespace + attrs + ``>`` ...
+      ``</a>`` (dotall, non-greedy, case-insensitive);
+    - ``href`` value in double OR single quotes (unquoted values are
+      out of the subset — vanishingly rare in real markup);
+    - dropped: empty hrefs, pure fragments (``#...``), and
+      javascript:/mailto:/tel:/data: schemes;
+    - resolution against the page URL: absolute kept; ``//host/...``
+      gets the page scheme; ``/path`` joins scheme://host;
+      anything else joins the page's DIRECTORY (path up to the last
+      '/'). Dot-segments are NOT normalized (documented subset —
+      canonical_url downstream handles the dedup-relevant forms);
+    - ``anchor``: inner markup stripped, entities decoded one level
+      (the sitemap _xml_unescape chain), whitespace runs collapsed to
+      one space, stripped;
+    - ``nofollow``: any ``rel`` attribute value containing the token.
+
+    Map-only: regexp_extract_all + posexplode; no shuffle, no UDF —
+    at 100 TB this is one pass over the pages, and the edge volume
+    (~50 links/page) is the output's size, not a join blowup."""
+    page = F.col(url_col)
+    scheme = F.regexp_extract(page, r"^([A-Za-z][A-Za-z0-9+.\-]*)://.*$", 1)
+    host = F.regexp_extract(
+        page, r"^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]*).*$", 1
+    )
+    path0 = F.regexp_extract(
+        page, r"^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*([^?#]*).*$", 1
+    )
+    path = F.when(path0 == "", F.lit("/")).otherwise(path0)
+    # the page's directory incl. the trailing '/'
+    pdir = F.regexp_extract(path, r"^(.*/)[^/]*$", 1)
+
+    blocks = F.regexp_extract_all(
+        F.col(html_col),
+        F.lit(r"(?si)<a[ \t\n\r][^>]*>.*?</a>"),
+        0,
+    )
+    e = df.select(
+        page.alias("__src"),
+        scheme.alias("__scheme"),
+        host.alias("__host"),
+        pdir.alias("__pdir"),
+        F.posexplode(blocks).alias("__p", "__a"),
+    )
+    a = F.col("__a")
+    href_d = F.regexp_extract(a, "(?si)href[ \t\n\r]*=[ \t\n\r]*\"([^\"]*)\"", 1)
+    href_s = F.regexp_extract(a, "(?si)href[ \t\n\r]*=[ \t\n\r]*'([^']*)'", 1)
+    href = F.when(href_d != "", href_d).otherwise(href_s)
+    href = F.regexp_replace(href, "^[ \t\n\r]+|[ \t\n\r]+$", "")
+    low = F.lower(href)
+    bad = (href == "") | low.startswith("#")
+    for s in _NONFETCH_SCHEMES:
+        bad = bad | low.startswith(s)
+    dst = (
+        F.when(href.rlike(r"^[A-Za-z][A-Za-z0-9+.\-]*://"), href)
+        .when(
+            href.startswith("//"),
+            F.concat(F.col("__scheme"), F.lit(":"), href),
+        )
+        .when(
+            href.startswith("/"),
+            F.concat(
+                F.col("__scheme"), F.lit("://"), F.col("__host"), href
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.col("__scheme"), F.lit("://"), F.col("__host"),
+                F.col("__pdir"), href,
+            )
+        )
+    )
+    inner = F.regexp_extract(a, r"(?si)<a[ \t\n\r][^>]*>(.*)</a>", 1)
+    anchor = F.regexp_replace(inner, "<[^>]*>", "")
+    anchor = _xml_unescape(anchor)
+    anchor = F.regexp_replace(anchor, "[ \t\n\r]+", " ")
+    anchor = F.regexp_replace(anchor, "^ +| +$", "")
+    nofollow = a.rlike(
+        "(?si)rel[ \t\n\r]*=[ \t\n\r]*['\"][^'\"]*nofollow"
+    )
+    return (
+        e.filter(~bad)
+        .select(
+            F.col("__src").alias(url_col),
+            dst.alias("dst"),
+            anchor.alias("anchor"),
+            nofollow.alias("nofollow"),
+        )
+    )

@@ -2475,3 +2475,141 @@ def sitemap_recrawl_schedule(spark, sf_dir):
         F.col("delay_sec").cast("double").alias("delay_sec"),
         F.col("fetch_offset_sec").cast("double").alias("fetch_offset_sec"),
     )
+
+
+# --- HTML link-graph extraction (r15) ------------------------------------------
+
+
+def _ent_sql(e: str) -> str:
+    """Entity-decode chain over a SQL expression (same order as
+    functions/crawl.py::_xml_unescape — '&amp;' last)."""
+    from ..functions.crawl import _XML_ENTITIES
+
+    for ent, ch in _XML_ENTITIES:
+        c = ch.replace("'", "''")
+        e = f"replace({e}, '{ent}', '{c}')"
+    return e
+
+
+_LINK_WS = "[ \t\n\r]"
+
+
+def _link_graph_sql() -> str:
+    """DuckDB replay of functions/crawl.py::html_link_graph over the
+    synthesized pages CTE (url, html)."""
+    hd = f"COALESCE(regexp_extract(a, '(?si)href{_LINK_WS}*={_LINK_WS}*\"([^\"]*)\"', 1), '')"
+    hs = f"COALESCE(regexp_extract(a, '(?si)href{_LINK_WS}*={_LINK_WS}*''([^'']*)''', 1), '')"
+    anchor_raw = "regexp_replace(COALESCE(regexp_extract(a, '(?si)<a[ \t\n\r][^>]*>(.*)</a>', 1), ''), '<[^>]*>', '', 'g')"
+    anchor = f"regexp_replace(regexp_replace({_ent_sql(anchor_raw)}, '{_LINK_WS}+', ' ', 'g'), '^ +| +$', '', 'g')"
+    return f"""
+    bl AS (
+      SELECT url,
+        COALESCE(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.\\-]*)://.*$', 1), '') AS scheme,
+        COALESCE(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.\\-]*://([^/?#]*).*$', 1), '') AS host,
+        COALESCE(regexp_extract(
+          CASE WHEN COALESCE(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.\\-]*://[^/?#]*([^?#]*).*$', 1), '') = ''
+               THEN '/' ELSE regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.\\-]*://[^/?#]*([^?#]*).*$', 1) END,
+          '^(.*/)[^/]*$', 1), '') AS pdir,
+        regexp_extract_all(html, '(?si)<a[ \t\n\r][^>]*>.*?</a>', 0) AS bs
+      FROM pages
+    ),
+    ax AS (
+      SELECT url, scheme, host, pdir, bs[i] AS a
+      FROM bl, UNNEST(range(1, len(bs) + 1)) AS t(i)
+    ),
+    hx AS (
+      SELECT url, scheme, host, pdir, a,
+        regexp_replace(
+          CASE WHEN {hd} <> '' THEN {hd} ELSE {hs} END,
+          '^{_LINK_WS}+|{_LINK_WS}+$', '', 'g') AS href
+      FROM ax
+    ),
+    keepx AS (
+      SELECT * FROM hx
+      WHERE href <> '' AND substr(lower(href), 1, 1) <> '#'
+        AND NOT (lower(href) LIKE 'javascript:%' OR lower(href) LIKE 'mailto:%'
+                 OR lower(href) LIKE 'tel:%' OR lower(href) LIKE 'data:%')
+    ),
+    edges AS (
+      SELECT url,
+        CASE WHEN regexp_matches(href, '^[A-Za-z][A-Za-z0-9+.\\-]*://') THEN href
+             WHEN substr(href, 1, 2) = '//' THEN scheme || ':' || href
+             WHEN substr(href, 1, 1) = '/' THEN scheme || '://' || host || href
+             ELSE scheme || '://' || host || pdir || href END AS dst,
+        {anchor} AS anchor,
+        regexp_matches(a, '(?si)rel{_LINK_WS}*={_LINK_WS}*[''"][^''"]*nofollow') AS nofollow
+      FROM keepx
+    )"""
+
+
+@golden(
+    "html_link_graph_docs",
+    oracle=f"""
+    WITH pages AS (
+      SELECT
+        'https://site' || CAST(doc_id % 6 AS INT) || '.com/dir/page'
+          || CAST(doc_id AS BIGINT) || '.html' AS url,
+        '<html><body>'
+        || '<a href="https://site' || CAST((doc_id + 1) % 6 AS INT)
+          || '.com/x' || CAST(doc_id AS BIGINT) || '">Abs &amp; link</a>'
+        || '<a href=''/r' || CAST(doc_id AS BIGINT)
+          || '''> <b>Root</b>' || chr(10) || 'link ' || CAST(doc_id AS BIGINT) || ' </a>'
+        || '<a href="sub/q' || CAST(doc_id AS BIGINT) || '">rel</a>'
+        || '<a href="//cdn' || CAST(doc_id % 6 AS INT) || '.com/a">cdn</a>'
+        || CASE WHEN doc_id % 2 = 0
+             THEN '<a rel="nofollow" href="/nf">NF &lt;here&gt;</a>' ELSE '' END
+        || CASE WHEN doc_id % 3 = 0
+             THEN '<a href="#top">top</a><a href="javascript:void(0)">js</a>'
+                  || '<a href="MAILTO:x@y.z">m</a>' ELSE '' END
+        || '</body></html>' AS html
+      FROM documents
+    ),
+    {_link_graph_sql().strip()}
+    SELECT url, dst, anchor, nofollow FROM edges
+    """,
+)
+def html_link_graph_docs(spark, sf_dir):
+    """HTML link-graph extraction (r15, functions/crawl.py::
+    html_link_graph — the web-graph edge builder between
+    html_main_text and the graph family): synthesized pages carry one
+    link of every resolution class — absolute (cross-host), root-
+    relative in SINGLE quotes with inner markup + a newline in the
+    anchor (tag strip + whitespace collapse), directory-relative
+    (joins the page's /dir/), protocol-relative (page scheme), a
+    rel=nofollow on every 2nd page, and a dropped trio (#fragment,
+    javascript:, uppercase MAILTO:) on every 3rd. Anchors decode
+    entities one level ('&amp;' last, the sitemap chain). Every rule
+    is an explicit-class regex both engines run verbatim; compared
+    values are strings and exact booleans. Plan: map-only explode —
+    no shuffle beyond the synthesis itself."""
+    from ..functions.crawl import html_link_graph
+
+    docs = t(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id").cast("bigint")
+    hid = (d % 6).cast("int").cast("string")
+    nxt = ((d + 1) % 6).cast("int").cast("string")
+    ds = d.cast("string")
+    url = F.concat(
+        F.lit("https://site"), hid, F.lit(".com/dir/page"), ds, F.lit(".html")
+    )
+    html = F.concat(
+        F.lit('<html><body><a href="https://site'), nxt, F.lit(".com/x"), ds,
+        F.lit('">Abs &amp; link</a>'),
+        F.lit("<a href='/r"), ds, F.lit("'> <b>Root</b>\nlink "), ds, F.lit(" </a>"),
+        F.lit('<a href="sub/q'), ds, F.lit('">rel</a>'),
+        F.lit('<a href="//cdn'), hid, F.lit('.com/a">cdn</a>'),
+        F.when(
+            d % 2 == 0,
+            F.lit('<a rel="nofollow" href="/nf">NF &lt;here&gt;</a>'),
+        ).otherwise(F.lit("")),
+        F.when(
+            d % 3 == 0,
+            F.lit(
+                '<a href="#top">top</a><a href="javascript:void(0)">js</a>'
+                '<a href="MAILTO:x@y.z">m</a>'
+            ),
+        ).otherwise(F.lit("")),
+        F.lit("</body></html>"),
+    )
+    pages = docs.select(url.alias("url"), html.alias("html"))
+    return html_link_graph(pages)

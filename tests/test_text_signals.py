@@ -1316,3 +1316,37 @@ def test_line_corpus_dedup_semantics(spark):
     # empty doc: one blank structural line, kept
     assert out[4].n_lines == 1 and out[4].n_removed == 0
     assert out[4].clean_text == ""
+
+
+def test_html_link_graph_resolution(spark):
+    from pyspark.sql import Row
+
+    from hydraide_spark.functions.crawl import html_link_graph
+
+    html = (
+        '<html><body>'
+        '<a href="https://b.com/abs">A</a>'
+        "<a href='/root'>R</a>"
+        '<a href="rel/x">REL</a>'
+        '<a href="//cdn.com/c">P</a>'
+        '<a href="../up">UP</a>'
+        '<a rel="nofollow" href="/nf"> NF  <i>x</i> &amp; y </a>'
+        '<a href="#f">drop</a><a href="JavaScript:alert(1)">drop</a>'
+        '<a href="">drop</a>'
+        '</body></html>'
+    )
+    df = spark.createDataFrame(
+        [Row(url="https://a.com/d/e/page.html", html=html)]
+    )
+    rows = {r.dst: r for r in html_link_graph(df).collect()}
+    assert set(rows) == {
+        "https://b.com/abs",
+        "https://a.com/root",
+        "https://a.com/d/e/rel/x",
+        "https://cdn.com/c",
+        "https://a.com/d/e/../up",  # dot-segments documented unnormalized
+        "https://a.com/nf",
+    }
+    assert rows["https://a.com/nf"].nofollow
+    assert rows["https://a.com/nf"].anchor == "NF x & y"
+    assert not rows["https://b.com/abs"].nofollow
