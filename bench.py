@@ -284,6 +284,8 @@ HEADLINE = [
     "line_corpus_dedup_docs",
     "sitemap_recrawl_schedule",
     "html_link_graph_docs",
+    "warc_legacy_charset_records",
+    "host_link_stats_docs",
 ]
 
 

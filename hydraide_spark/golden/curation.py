@@ -2613,3 +2613,203 @@ def html_link_graph_docs(spark, sf_dir):
     )
     pages = docs.select(url.alias("url"), html.alias("html"))
     return html_link_graph(pages)
+
+
+# --- legacy-charset decode (r15) -----------------------------------------------
+
+#: single source for the legacy-decode golden: the TEXT constants are
+#: what both engines must produce; the latin-1 projections of their
+#: legacy encodings are what the Spark synth feeds the parser. Driver
+#: Python is the only place the legacy codec tables live — the oracle
+#: never decodes, it selects the expected constant by shape.
+_LEGACY_TEXTS = {
+    "shift_jis": "こんにちは世界、データ処理。",
+    "euc-jp": "日本語のテキスト抽出と正規化。",
+    "gbk": "你好，世界。大规模文本处理。",
+}
+_LEGACY_PROJ = {
+    cs: txt.encode(cs).decode("ISO-8859-1") for cs, txt in _LEGACY_TEXTS.items()
+}
+_LEGACY_ASCII = "plain ascii body under an unknown charset label"
+
+
+@golden(
+    "warc_legacy_charset_records",
+    oracle=f"""
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+      CASE CAST(doc_id % 4 AS INT)
+        WHEN 0 THEN 'shift_jis' WHEN 1 THEN 'euc-jp' WHEN 2 THEN 'gbk'
+        ELSE 'x-future-cs' END AS charset,
+      CASE CAST(doc_id % 4 AS INT)
+        WHEN 0 THEN '{_LEGACY_TEXTS["shift_jis"]}'
+        WHEN 1 THEN '{_LEGACY_TEXTS["euc-jp"]}'
+        WHEN 2 THEN '{_LEGACY_TEXTS["gbk"]}'
+        ELSE '{_LEGACY_ASCII}' END AS body
+    FROM documents
+    """,
+)
+def warc_legacy_charset_records(spark, sf_dir):
+    """Legacy-charset crawl bodies decoded for real (r15,
+    functions/crawl.py::decode_legacy_bodies — upgrades the documented
+    'Shift-JIS comes out mojibake' lenient fallback): synthesized WARC
+    response records cycle Shift_JIS / EUC-JP / GBK bodies plus an
+    UNKNOWN charset label over an ASCII body (LookupError keeps the
+    lenient column result). The byte-exact parser slices the
+    multi-byte payloads by octet Content-Length (computed as the
+    latin-1 projection's char length — chars == bytes by the
+    bijection), then the declared-legacy tail routes through ONE
+    Arrow-batched decode while native rows never leave the column
+    path. The oracle never decodes: expected text and the projection
+    literals share one driver-side constant table, so a one-byte
+    framing slip or a wrong codec shows as a string mismatch."""
+    from ..functions.crawl import decode_legacy_bodies, warc_extract_binary
+
+    docs = t(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id")
+    ds = d.cast("string")
+    k = (d % 4).cast("int")
+    body_proj = (
+        F.when(k == 0, F.lit(_LEGACY_PROJ["shift_jis"]))
+        .when(k == 1, F.lit(_LEGACY_PROJ["euc-jp"]))
+        .when(k == 2, F.lit(_LEGACY_PROJ["gbk"]))
+        .otherwise(F.lit(_LEGACY_ASCII))
+    )
+    cs_label = (
+        F.when(k == 0, F.lit("shift_jis"))
+        .when(k == 1, F.lit("euc-jp"))
+        .when(k == 2, F.lit("gbk"))
+        .otherwise(F.lit("x-future-cs"))
+    )
+    http = F.concat(
+        F.lit("HTTP/1.1 200 OK\r\nContent-Type: text/html; charset="),
+        cs_label,
+        F.lit("\r\n\r\n"),
+        body_proj,
+    )
+    rec = F.concat(
+        F.lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: http://ex"),
+        ds,
+        F.lit(".com/p\r\nContent-Length: "),
+        F.length(http).cast("string"),
+        F.lit("\r\n\r\n"),
+        http,
+    )
+    records = docs.select(
+        big("doc_id").alias("doc_id"),
+        F.encode(rec, "ISO-8859-1").alias("record"),
+    )
+    parsed = warc_extract_binary(records)
+    return decode_legacy_bodies(parsed).select(
+        F.col("doc_id"), F.col("charset"), F.col("body")
+    )
+
+
+_PAGES_SYNTH_SQL = """
+    pages AS (
+      SELECT
+        'https://site' || CAST(doc_id % 6 AS INT) || '.com/dir/page'
+          || CAST(doc_id AS BIGINT) || '.html' AS url,
+        '<html><body>'
+        || '<a href="https://site' || CAST((doc_id + 1) % 6 AS INT)
+          || '.com/x' || CAST(doc_id AS BIGINT) || '">Abs &amp; link</a>'
+        || '<a href=''/r' || CAST(doc_id AS BIGINT)
+          || '''> <b>Root</b>' || chr(10) || 'link ' || CAST(doc_id AS BIGINT) || ' </a>'
+        || '<a href="sub/q' || CAST(doc_id AS BIGINT) || '">rel</a>'
+        || '<a href="//cdn' || CAST(doc_id % 6 AS INT) || '.com/a">cdn</a>'
+        || CASE WHEN doc_id % 2 = 0
+             THEN '<a rel="nofollow" href="/nf">NF &lt;here&gt;</a>' ELSE '' END
+        || CASE WHEN doc_id % 3 = 0
+             THEN '<a href="#top">top</a><a href="javascript:void(0)">js</a>'
+                  || '<a href="MAILTO:x@y.z">m</a>' ELSE '' END
+        || '</body></html>' AS html
+      FROM documents
+    )
+"""
+
+
+@golden(
+    "host_link_stats_docs",
+    oracle=f"""
+    WITH {_PAGES_SYNTH_SQL.strip()},
+    {_link_graph_sql().strip()},
+    hh AS (
+      SELECT
+        lower(COALESCE(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.\\-]*://([^/?#:]*).*$', 1), '')) AS src_host,
+        lower(COALESCE(regexp_extract(dst, '^[A-Za-z][A-Za-z0-9+.\\-]*://([^/?#:]*).*$', 1), '')) AS dst_host,
+        dst, nofollow
+      FROM edges
+    )
+    SELECT src_host,
+      CAST(COUNT(*) AS BIGINT) AS out_links,
+      CAST(SUM(CASE WHEN dst_host <> src_host THEN 1 ELSE 0 END) AS BIGINT) AS external_links,
+      CAST(SUM(CASE WHEN nofollow THEN 1 ELSE 0 END) AS BIGINT) AS nofollow_links,
+      CAST(COUNT(DISTINCT dst) AS BIGINT) AS distinct_targets,
+      CAST(COUNT(DISTINCT CASE WHEN dst_host <> src_host THEN dst_host END) AS BIGINT) AS external_hosts
+    FROM hh GROUP BY src_host
+    """,
+)
+def host_link_stats_docs(spark, sf_dir):
+    """Host-level link-graph rollup (r15 — the aggregation layer over
+    html_link_graph that a crawl scheduler and a spam/quality model
+    both read): per source host, out-link count, external-link count
+    (dst host differs), nofollow count, distinct link targets and
+    distinct external hosts. Same synthesized pages as
+    html_link_graph_docs, so the edge extraction is double-gated (raw
+    edges exactly there, aggregates exactly here). All compared
+    values are exact integers. Plan: the edge explode is map-only;
+    the rollup is ONE partial-agg groupBy on src_host (count-distinct
+    expands to the standard two-phase plan) — the natural web-graph
+    build shape at any corpus size."""
+    from ..functions.crawl import html_link_graph
+
+    docs = t(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id").cast("bigint")
+    hid = (d % 6).cast("int").cast("string")
+    nxt = ((d + 1) % 6).cast("int").cast("string")
+    ds = d.cast("string")
+    url = F.concat(
+        F.lit("https://site"), hid, F.lit(".com/dir/page"), ds, F.lit(".html")
+    )
+    html = F.concat(
+        F.lit('<html><body><a href="https://site'), nxt, F.lit(".com/x"), ds,
+        F.lit('">Abs &amp; link</a>'),
+        F.lit("<a href='/r"), ds, F.lit("'> <b>Root</b>\nlink "), ds, F.lit(" </a>"),
+        F.lit('<a href="sub/q'), ds, F.lit('">rel</a>'),
+        F.lit('<a href="//cdn'), hid, F.lit('.com/a">cdn</a>'),
+        F.when(
+            d % 2 == 0,
+            F.lit('<a rel="nofollow" href="/nf">NF &lt;here&gt;</a>'),
+        ).otherwise(F.lit("")),
+        F.when(
+            d % 3 == 0,
+            F.lit(
+                '<a href="#top">top</a><a href="javascript:void(0)">js</a>'
+                '<a href="MAILTO:x@y.z">m</a>'
+            ),
+        ).otherwise(F.lit("")),
+        F.lit("</body></html>"),
+    )
+    pages = docs.select(url.alias("url"), html.alias("html"))
+    edges = html_link_graph(pages)
+
+    def host(c):
+        return F.lower(
+            F.regexp_extract(c, r"^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#:]*).*$", 1)
+        )
+
+    hh = edges.select(
+        host(F.col("url")).alias("src_host"),
+        host(F.col("dst")).alias("dst_host"),
+        F.col("dst"),
+        F.col("nofollow"),
+    )
+    ext = (F.col("dst_host") != F.col("src_host")).cast("int")
+    return hh.groupBy("src_host").agg(
+        F.count(F.lit(1)).cast("bigint").alias("out_links"),
+        F.sum(ext).cast("bigint").alias("external_links"),
+        F.sum(F.col("nofollow").cast("int")).cast("bigint").alias("nofollow_links"),
+        F.countDistinct("dst").cast("bigint").alias("distinct_targets"),
+        F.countDistinct(
+            F.when(F.col("dst_host") != F.col("src_host"), F.col("dst_host"))
+        ).cast("bigint").alias("external_hosts"),
+    )

@@ -1350,3 +1350,32 @@ def test_html_link_graph_resolution(spark):
     assert rows["https://a.com/nf"].nofollow
     assert rows["https://a.com/nf"].anchor == "NF x & y"
     assert not rows["https://b.com/abs"].nofollow
+
+
+def test_decode_legacy_bodies_split(spark):
+    from pyspark.sql import Row
+
+    from hydraide_spark.functions.crawl import decode_legacy_bodies
+
+    sj = "こんにちは".encode("shift_jis")
+    rows = [
+        Row(charset="utf-8", body="native stays", body_bytes=b"native stays"),
+        Row(charset="shift_jis", body="mojibake", body_bytes=sj),
+        Row(charset="euc-kr", body="mojibake2",
+            body_bytes="안녕".encode("euc-kr")),
+        Row(charset="x-nope", body="lenient kept", body_bytes=b"whatever"),
+        Row(charset="shift_jis", body="fb",
+            body_bytes=b"\xff\xfe bad bytes \x81"),
+    ]
+    out = {
+        (r.charset, bytes(r.body_bytes)): r.body
+        for r in decode_legacy_bodies(spark.createDataFrame(rows)).collect()
+    }
+    # native and unknown-label rows keep their incoming body verbatim
+    assert out[("utf-8", b"native stays")] == "native stays"
+    assert out[("x-nope", b"whatever")] == "lenient kept"
+    # declared legacy charsets decode for real
+    assert out[("shift_jis", sj)] == "こんにちは"
+    assert out[("euc-kr", "안녕".encode("euc-kr"))] == "안녕"
+    # undecodable bytes under a known codec: errors='replace', no raise
+    assert "�" in out[("shift_jis", b"\xff\xfe bad bytes \x81")]
