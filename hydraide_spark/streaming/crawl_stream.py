@@ -33,7 +33,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..functions.crawl import crawl_ingest_report
 from ..sources.warc import read_warc_files_stream
-from .admission_stream import run_admission_ingest_loop
+from .admission_stream import make_admission_ingest, run_admission_ingest_loop
 
 
 def crawl_admission_items(
@@ -69,6 +69,7 @@ def run_crawl_ingest_loop(
     max_files_per_trigger: Optional[int] = None,
     checkpoint_dir: Optional[str] = None,
     queue_name: str = "crawl_ingest",
+    wet_dir: Optional[str] = None,
     **kwargs,
 ):
     """Start the end-to-end crawl ingestion stream: .warc(.gz) files
@@ -76,17 +77,61 @@ def run_crawl_ingest_loop(
     into ``state_dir``'s unified admission state. Returns the
     StreamingQuery. Same delivery contracts as the admission loop
     (stable checkpoint across restarts; a crashed epoch is invisible
-    until its retry re-publishes the marker)."""
+    until its retry re-publishes the marker).
+
+    ``wet_dir`` additionally writes each micro-batch's admitted
+    documents as WET conversion records under
+    ``wet_dir/epoch=N/part-*.warc.wet.gz`` — the pipeline's
+    archive-shaped output, continuously. Epoch-keyed with a
+    clear-then-write (a RETRIED batch replaces its own partial
+    output, the foreachBatch overwrite rule), and written BEFORE the
+    admission ingest publishes the epoch marker — so a WET consumer
+    that filters to marker-committed epochs (the same frontier every
+    admission reader uses) never sees a crashed epoch's partial
+    files."""
     records = read_warc_files_stream(
         spark, path, glob=glob, max_files_per_trigger=max_files_per_trigger
     )
     items = crawl_admission_items(records, min_words=min_words)
-    return run_admission_ingest_loop(
-        spark,
-        items,
-        state_dir,
-        tau,
-        queue_name=queue_name,
-        checkpoint_dir=checkpoint_dir,
-        **kwargs,
+    if wet_dir is None:
+        return run_admission_ingest_loop(
+            spark,
+            items,
+            state_dir,
+            tau,
+            queue_name=queue_name,
+            checkpoint_dir=checkpoint_dir,
+            **kwargs,
+        )
+
+    import os
+    import shutil
+
+    from ..sources.warc import write_wet_files
+
+    ingest = make_admission_ingest(spark, state_dir, tau, **kwargs)
+
+    def batch_fn(batch_df: DataFrame, epoch: int) -> None:
+        if batch_df.isEmpty():
+            return
+        batch = batch_df.persist()
+        try:
+            epoch_dir = os.path.join(wet_dir, f"epoch={int(epoch)}")
+            shutil.rmtree(epoch_dir, ignore_errors=True)
+            write_wet_files(
+                batch.select("canonical_uri", "text"), epoch_dir
+            )
+            ingest(batch, epoch)  # publishes the marker LAST
+        finally:
+            batch.unpersist()
+
+    return (
+        items.writeStream.outputMode("append")
+        .queryName(queue_name)
+        .option(
+            "checkpointLocation",
+            checkpoint_dir or os.path.join(state_dir, "_checkpoint"),
+        )
+        .foreachBatch(batch_fn)
+        .start()
     )

@@ -149,3 +149,62 @@ def test_wet_write_read_round_trip(spark, tmp_path):
     # have no HTTP block — the body decodes via the lenient utf-8 path
     assert all(r.warc_type == "conversion" and r.mime == "" for r in back)
     assert {(r.target_uri, r.body) for r in back} == set(data)
+
+
+def test_crawl_stream_wet_output(spark, tmp_path):
+    """wet_dir leg: every committed epoch's admitted docs exist as WET
+    conversion records under epoch=N/, readable back byte-exactly, and
+    the epochs line up with the admission marker frontier (WET written
+    BEFORE the marker — a consumer filtering to committed epochs never
+    sees a partial epoch)."""
+    import re
+
+    from hydraide_spark.functions.crawl import warc_extract_binary
+    from hydraide_spark.streaming.state_compact import committed_frontier
+
+    in_dir = tmp_path / "landing"
+    state = str(tmp_path / "adm")
+    wet = str(tmp_path / "wet")
+    os.makedirs(in_dir)
+    write_warc_gz(
+        [_page(1, _words("alpha")), _page(2, _words("bravo"))],
+        str(in_dir / "seg-00000.warc.gz"),
+    )
+    write_warc_gz(
+        [_page(3, _words("carol"))], str(in_dir / "seg-00001.warc.gz")
+    )
+
+    q = run_crawl_ingest_loop(
+        spark,
+        str(in_dir),
+        state,
+        tau=0.6,
+        max_files_per_trigger=1,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        wet_dir=wet,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    epochs = sorted(
+        int(m.group(1))
+        for d in os.listdir(wet)
+        if (m := re.match(r"epoch=(\d+)$", d))
+    )
+    assert len(epochs) == 2
+    committed = committed_frontier(state)
+    assert committed is not None and set(epochs) <= set(committed)
+
+    got = set()
+    for e in epochs:
+        rows = warc_extract_binary(
+            read_warc_files(spark, os.path.join(wet, f"epoch={e}")),
+            id_col="rec_no",
+        ).collect()
+        got |= {(r.target_uri, r.body) for r in rows}
+    batch = crawl_admission_items(
+        read_warc_files(spark, str(in_dir))
+    ).collect()
+    assert got == {(r.canonical_uri, r.text) for r in batch}
