@@ -286,6 +286,7 @@ HEADLINE = [
     "html_link_graph_docs",
     "warc_legacy_charset_records",
     "host_link_stats_docs",
+    "pdf_text_extract_docs",
 ]
 
 

@@ -2813,3 +2813,81 @@ def host_link_stats_docs(spark, sf_dir):
             F.when(F.col("dst_host") != F.col("src_host"), F.col("dst_host"))
         ).cast("bigint").alias("external_hosts"),
     )
+
+
+# --- PDF text extraction (r15) -------------------------------------------------
+
+#: the module-level pieces are plain Python (no Column construction —
+#: the driver-contract import rule); page lines are deterministic in
+#: doc_id so the oracle can derive the expected text WITHOUT running
+#: the parser (the warc_binary / legacy-charset pattern)
+_PDF_TAIL = "tail (checks) \\ escapes café"
+
+
+@golden(
+    "pdf_text_extract_docs",
+    oracle=f"""
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+      CASE WHEN doc_id % 9 = 0 THEN NULL
+        ELSE 'Document ' || CAST(doc_id AS BIGINT) || chr(10)
+          || 'body line ' || CAST(doc_id % 7 AS BIGINT) || chr(10)
+          || 'Page two of ' || CAST(doc_id AS BIGINT) || chr(10)
+          || '{_PDF_TAIL}'
+      END AS text,
+      CASE WHEN doc_id % 9 = 0 THEN 'not a PDF payload' END AS error
+    FROM documents
+    """,
+)
+def pdf_text_extract_docs(spark, sf_dir):
+    """PDF text extraction (r15, functions/pdf.py — the dominant
+    non-HTML crawl document format, previously a silent nothing):
+    per-doc PDFs are ENCODED executor-side with features cycling by
+    doc_id — Flate vs raw streams, kerned TJ arrays vs plain Tj, an
+    incremental-update /Prev chain — across a TWO-page tree, then
+    extracted back. Every 9th doc's payload is not a PDF at all: the
+    loud refusal lands in the ``error`` column with NULL text (crawl
+    pipelines keep refusal rates visible). The expected text derives
+    from the synthesis alone — the oracle never parses — so a wrong
+    xref offset, a mis-decoded escape, a dropped TJ segment or a
+    broken /Prev walk all surface as exact string mismatches. Escapes
+    under test: parens, backslash, and a cp1252 é. Plan: encode and
+    extract are both Arrow-batched map-only passes; no shuffle."""
+    from ..functions.pdf import pdf_text_extract
+
+    docs = parallelize_small(
+        t(spark, sf_dir, "documents").select("doc_id"), cap=16
+    )
+
+    tail = _PDF_TAIL
+
+    def gen(batches):
+        import pandas as pd
+
+        from ..functions.pdf import encode_pdf
+
+        for b in batches:
+            ids, pays = [], []
+            for d in b["doc_id"]:
+                d = int(d)
+                ids.append(d)
+                if d % 9 == 0:
+                    pays.append(b"not really a pdf")
+                    continue
+                pages = [
+                    [f"Document {d}", f"body line {d % 7}"],
+                    [f"Page two of {d}", tail],
+                ]
+                pays.append(
+                    encode_pdf(
+                        pages,
+                        compress=d % 2 == 0,
+                        use_tj_arrays=d % 3 == 0,
+                        incremental_noop=d % 4 == 0,
+                    )
+                )
+            yield pd.DataFrame({"doc_id": ids, "payload": pays})
+
+    payloads = docs.mapInPandas(gen, "doc_id long, payload binary")
+    return pdf_text_extract(payloads).select(
+        big("doc_id").alias("doc_id"), F.col("text"), F.col("error")
+    )
