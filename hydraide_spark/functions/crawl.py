@@ -887,9 +887,23 @@ def decode_legacy_bodies(
 
     Plan shape: a charset predicate SPLIT + union — the legacy leg's
     Python cost is proportional to the legacy subset only, not the
-    corpus; no shuffle is added (both legs stay map-only)."""
+    corpus; no shuffle is added (both legs stay map-only).
+
+    The input is PERSISTED before the split (r15 optimization, the
+    CLAUDE.md inlining gotcha): without the cache boundary Catalyst
+    inlines the upstream parse expressions (for the usual caller, the
+    warc_extract_binary grammar — big enough that whole-stage codegen
+    fails janino compile and the stage runs interpreted) into BOTH
+    legs' filters AND projections, so the parse ran ~4x per row;
+    filtering the materialized columns runs it once (measured 3.9 s ->
+    ~0.9 s on the legacy-charset golden at sf0.1, janino failure gone). Generation-evicted
+    per call site (functions/_cache) like every library persist."""
     import pandas as pd  # noqa: F401
 
+    from ._cache import pin_latest
+
+    df = df.persist()
+    pin_latest("crawl.decode_legacy_bodies", df)
     native = F.lower(F.col(charset_col)).isin(*_NATIVE_CHARSETS)
     nat = df.filter(native)
     leg = df.filter(~native)

@@ -869,22 +869,57 @@ def langid_nb_predict(
     if strategy != "literal":
         raise ValueError(f"langid_nb_predict: unknown strategy {strategy!r}")
     dec = model.get("decimals", 12)
-    scored = []
-    for i, lab in enumerate(labels):
-        s = F.lit(model["priors"][i]) + dsir_score(
-            F.col(text_col),
-            model["logprobs"][lab],
-            model["salt"],
-            model["method"],
-            decimals=dec,
-        )
-        scored.append(
-            F.struct(
-                s.alias("s"), F.lit(-i).alias("ni"), F.lit(lab).alias("lab")
-            )
-        )
-    best = F.greatest(*scored) if len(scored) > 1 else scored[0]
-    return df.select(F.col(id_col), best.getField("lab").alias("predicted"))
+    B = int(model["n_buckets"])
+    L = len(labels)
+    # r15 optimization (guide §1/§4-adjacent: do the expensive hash
+    # once): the old per-label loop evaluated dsir_score L times, which
+    # re-hashed EVERY gram once per label — aggregate/transform HOFs
+    # are CodegenFallback, so no subexpression elimination ever hoists
+    # the shared bucket stream out of the L folds (measured 5x the md5
+    # work at L=5). Restructured: ONE transform derives the 1-based
+    # bucket stream (one hash per gram), ONE fold carries all L label
+    # sums as a decimal-array accumulator, and the argmax struct is
+    # built per label from the finished sums. Decimal adds stay at
+    # precision <= 33 (elements (20,s), accumulator (32,s)) and decimal
+    # arithmetic is exactly associative, so every score — and therefore
+    # every predicted label — is bit-identical to the old loop (pinned
+    # against the broadcast strategy and the SQL oracle).
+    salt, method = model["salt"], model["method"]
+    lrs = F.array(
+        *[
+            _decimal_array_literal(model["logprobs"][lab], dec)
+            for lab in labels
+        ]
+    )
+    priors_lit = _decimal_array_literal(model["priors"], dec)
+    lab_body = ",".join("'" + lab.replace("'", "''") + "'" for lab in labels)
+    labels_lit = F.expr(f"array({lab_body})")
+    buckets = F.transform(
+        dsir_grams(F.col(text_col)),
+        lambda g: (dsir_bucket(g, B, salt, method) + F.lit(1)).cast("int"),
+    )
+    zero_arr = F.expr(f"array_repeat(CAST(0 AS DECIMAL(32,{dec})), {L})")
+    sums = F.aggregate(
+        buckets,
+        zero_arr,
+        lambda accs, b: F.transform(
+            accs,
+            lambda acc, i: (
+                acc + F.element_at(F.element_at(lrs, i + F.lit(1)), b)
+            ).cast(f"decimal(32,{dec})"),
+        ),
+    )
+    cands = F.transform(
+        sums,
+        lambda s, i: F.struct(
+            (F.element_at(priors_lit, i + F.lit(1)) + s).alias("s"),
+            (-i).alias("ni"),
+            F.element_at(labels_lit, i + F.lit(1)).alias("lab"),
+        ),
+    )
+    return df.select(
+        F.col(id_col), F.array_max(cands).getField("lab").alias("predicted")
+    )
 
 
 def _langid_nb_predict_broadcast(
