@@ -251,6 +251,7 @@ def crawl_ingest_report(
     id_col: str = "doc_id",
     min_words: int = 20,
     binary: bool = False,
+    cache: bool = False,
 ) -> DataFrame:
     """The full raw-crawl admission pipeline over WARC records: parse
     -> keep HTTP 200 text/html responses -> canonicalize the target
@@ -263,26 +264,50 @@ def crawl_ingest_report(
     ``binary=True`` parses a BINARY record column byte-exactly with
     charset resolution (:func:`warc_extract_binary`) — the path real
     archives take; the default string path is the documented
-    single-byte oracle twin."""
+    single-byte oracle twin.
+
+    ``cache=True`` adds two cache boundaries (r15 optimization, the
+    CLAUDE.md inlining gotcha): without them Catalyst inlines the
+    parse grammar into the page filter AND the extract projection
+    (big enough to fail janino compile — interpreted fallback), and
+    the ``n_words`` filter re-inlines the whole extract chain below
+    itself, so parse+extract ran ~3x per row (measured 5.0 s -> 1.6 s
+    on the pipeline golden at sf0.1). Persisting the parsed fields and
+    the extracted survivors runs each stage once; generation-evicted
+    per call site (functions/_cache). OFF by default and ignored for
+    streaming frames: Spark's CacheManager dedupes by logical plan, so
+    a persisted parse over a MUTABLE input directory would serve stale
+    records to a later call that re-lists the same path (the streaming
+    backfill probe hit exactly this) — opt in only when the input
+    frame is immutable for the session (the goldens' synthesized
+    corpora; deterministic scratch archives)."""
+    from ._cache import pin_latest
     from .text import canonical_url, html_main_text
 
     extract = warc_extract_binary if binary else warc_extract
     parsed = extract(df, record_col=record_col, id_col=id_col)
+    use_cache = cache and not parsed.isStreaming
+    pinned = []
+    if use_cache:
+        parsed = parsed.persist()
+        pinned.append(parsed)
     pages = parsed.filter(
         (F.col("warc_type") == "response")
         & (F.col("http_status") == 200)
         & F.col("mime").startswith("text/html")
     )
     text, _n_kept, n_words = html_main_text(F.col("body"))
-    return (
-        pages.select(
-            F.col(id_col),
-            canonical_url(F.col("target_uri")).alias("canonical_uri"),
-            text.alias("text"),
-            n_words.cast("int").alias("n_words"),
-        )
-        .filter(F.col("n_words") >= int(min_words))
+    sel = pages.select(
+        F.col(id_col),
+        canonical_url(F.col("target_uri")).alias("canonical_uri"),
+        text.alias("text"),
+        n_words.cast("int").alias("n_words"),
     )
+    if use_cache:
+        sel = sel.persist()
+        pinned.append(sel)
+        pin_latest("crawl.crawl_ingest_report", *pinned)
+    return sel.filter(F.col("n_words") >= int(min_words))
 
 
 # --- robots.txt politeness rules (r14) ----------------------------------------

@@ -1408,7 +1408,7 @@ def crawl_ingest_pipeline(spark, sf_dir):
     dedup/quality family ingests."""
     from ..functions.crawl import crawl_ingest_report
 
-    out = crawl_ingest_report(_synth_warc(spark, sf_dir))
+    out = crawl_ingest_report(_synth_warc(spark, sf_dir), cache=True)
     return out.select(
         big("doc_id").alias("doc_id"),
         F.col("canonical_uri"),
@@ -1654,8 +1654,11 @@ def crawl_ingest_pipeline_files(spark, sf_dir):
     ).agg(F.sum("n")).collect()
 
     frame = read_warc_files(spark, base)
+    # cache=True is safe here: the scratch archive is rewritten
+    # rmtree-first with DETERMINISTIC content per sf_dir, so a cached
+    # parse and a fresh listing read the same bytes
     out = crawl_ingest_report(
-        frame, record_col="record", id_col="rec_no", binary=True
+        frame, record_col="record", id_col="rec_no", binary=True, cache=True
     )
     return out.select(
         F.regexp_extract(

@@ -181,3 +181,36 @@ def test_crawl_ingest_binary_end_to_end(spark, tmp_path):
     for r in out:
         assert "Füße schöne Grüße — résumé naïve ☃" in r.text
         assert r.n_words >= 20
+
+
+def test_crawl_ingest_cache_matches_uncached(spark, tmp_path):
+    """r15 optimization pin: cache=True (the golden/bench boundary
+    shape — parse and extract persisted once) returns exactly the
+    uncached single-pass rows, and repeat calls stay correct."""
+    page = (
+        "<html><body><div><p>"
+        "Füße schöne Grüße — résumé naïve ☃ words continue here with "
+        "plenty of extra content so the extractor keeps this block of "
+        "at least twenty real words in total for admission today"
+        "</p></div></body></html>"
+    )
+    recs = [
+        _rec(page.encode("utf-8"), uri=f"http://c{i}.com/p{i}")
+        for i in range(3)
+    ]
+    write_warc_gz(recs, str(tmp_path / "seg.warc.gz"))
+    frame = read_warc_files(spark, str(tmp_path))
+
+    def rows(cache):
+        return sorted(
+            (r.canonical_uri, r.text, r.n_words)
+            for r in crawl_ingest_report(
+                frame, record_col="record", id_col="rec_no",
+                binary=True, cache=cache,
+            ).collect()
+        )
+
+    plain = rows(cache=False)
+    assert rows(cache=True) == plain
+    # repeat call with the same plan: CacheManager dedupe, same rows
+    assert rows(cache=True) == plain
