@@ -160,7 +160,7 @@ def cluster_balanced_sample_vecs(spark, sf_dir):
     from ..functions.sampling import cluster_balanced_sample
     from ..functions.vector import centroid_means, group_centroid_sums
 
-    emb = t(spark, sf_dir, "embeddings")
+    emb = parallelize_small(t(spark, sf_dir, "embeddings"))
     cents = centroid_means(group_centroid_sums(emb, "label", "embedding").collect())
     out = cluster_balanced_sample(
         emb, "vec_id", "embedding", cents, per_cluster=20, salt="div_v1"

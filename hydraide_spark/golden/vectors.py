@@ -12,7 +12,7 @@ from ..functions.dedup import embedding_neardup_pairs
 from ..query import VectorSim, translate
 from ..query.filters import cosine_similarity
 from . import golden
-from ._util import big, t
+from ._util import big, parallelize_small, t
 
 def _cos_sql(a: str, b: str) -> str:
     """Cosine in DuckDB with the same operand structure as
@@ -206,7 +206,7 @@ def ann_topk_lsh(spark, sf_dir):
     random-hyperplane bucket; exact re-rank within candidates. Recall is
     probabilistic, so no SQL oracle — the driver records rows-only; the
     recall floor vs exact top-k is asserted in tests/test_vectors.py."""
-    emb = t(spark, sf_dir, "embeddings")
+    emb = parallelize_small(t(spark, sf_dir, "embeddings"))
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
@@ -262,7 +262,7 @@ def ann_topk_ivf(spark, sf_dir):
     scale), queries probe nprobe=2 cells, exact cosine re-rank within
     candidates. Probabilistic recall — rows-only; the recall floor vs
     exact top-k is asserted in tests/test_dedup.py."""
-    emb = t(spark, sf_dir, "embeddings")
+    emb = parallelize_small(t(spark, sf_dir, "embeddings"))
     centroids = train_ivf_centroids(emb, n_centroids=8)
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
@@ -300,7 +300,7 @@ def label_centroid_sums(spark, sf_dir):
     mean = s/n downstream."""
     from ..functions.vector import group_centroid_sums
 
-    emb = t(spark, sf_dir, "embeddings")
+    emb = parallelize_small(t(spark, sf_dir, "embeddings"))
     out = group_centroid_sums(emb, "label", "embedding")
     return out.select(
         big("label").alias("label"),
@@ -355,7 +355,7 @@ def pq_encode_codes(spark, sf_dir):
     that lets a 100 TB corpus ANN-scan from hot storage."""
     from ..functions.vector import label_pq_codebooks, pq_encode
 
-    emb = t(spark, sf_dir, "embeddings")
+    emb = parallelize_small(t(spark, sf_dir, "embeddings"))
     books = label_pq_codebooks(emb, m=8)
     out = pq_encode(emb, books, dim=64)
     return out.select(
@@ -378,7 +378,7 @@ def pq_ann_topk(spark, sf_dir):
     top-k is asserted in tests/test_dedup.py."""
     from ..functions.vector import pq_adc_topk, train_pq_codebooks
 
-    emb = t(spark, sf_dir, "embeddings")
+    emb = parallelize_small(t(spark, sf_dir, "embeddings"))
     books = train_pq_codebooks(emb, m=8, k=16)
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
@@ -493,7 +493,7 @@ def kmeans_assign_exact(spark, sf_dir):
     cross-engine float noise; score rounded to 4 like ann_topk_exact."""
     from ..functions.vector import centroid_means, group_centroid_sums, kmeans_assign
 
-    emb = t(spark, sf_dir, "embeddings")
+    emb = parallelize_small(t(spark, sf_dir, "embeddings"))
     cents = centroid_means(
         group_centroid_sums(emb, "label", "embedding").collect()
     )
@@ -516,7 +516,7 @@ def ivfadc_topk_q(spark, sf_dir):
     asserted in tests/test_dedup.py."""
     from ..functions.vector import ivfadc_topk, train_ivf_centroids, train_pq_codebooks
 
-    emb = t(spark, sf_dir, "embeddings")
+    emb = parallelize_small(t(spark, sf_dir, "embeddings"))
     cells = train_ivf_centroids(emb, n_centroids=8)
     books = train_pq_codebooks(emb, m=8, k=16)
     queries = emb.filter(F.col("vec_id") < 5).select(
@@ -585,7 +585,7 @@ def embedding_drift_report(spark, sf_dir):
     A healthy split shows cos ≈ 1; a drifted source shows the drop."""
     from ..functions.vector import centroid_drift
 
-    emb = t(spark, sf_dir, "embeddings")
+    emb = parallelize_small(t(spark, sf_dir, "embeddings"))
     return centroid_drift(
         emb.filter(F.col("vec_id") % 2 == 0),
         emb.filter(F.col("vec_id") % 2 == 1),
@@ -646,7 +646,7 @@ def ann_topk_int8(spark, sf_dir):
     tests/test_int8_ann.py."""
     from ..functions.vector import int8_topk
 
-    emb = t(spark, sf_dir, "embeddings")
+    emb = parallelize_small(t(spark, sf_dir, "embeddings"))
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
@@ -679,7 +679,7 @@ def ann_recall_report(spark, sf_dir):
     from ..functions.vector import ann_recall_report as _rep
     from ..functions.vector import auto_ivf_k, train_ivf_centroids
 
-    emb = t(spark, sf_dir, "embeddings")
+    emb = parallelize_small(t(spark, sf_dir, "embeddings"))
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )

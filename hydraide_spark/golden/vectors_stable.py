@@ -48,7 +48,7 @@ from ..functions.vector import (
     pq_adc_topk,
 )
 from . import golden
-from ._util import big, t
+from ._util import big, parallelize_small, t
 
 # ---------------------------------------------------------------- SQL
 
@@ -266,7 +266,7 @@ def ann_topk_lsh_stable(spark, sf_dir):
     zero margin required. Same plan as the rows-only `ann_topk_lsh`
     (bucket equi-join, broadcast queries, per-query window): the bucket
     is a write-time partition key at 100 TB."""
-    emb = t(spark, sf_dir, "embeddings")
+    emb = parallelize_small(t(spark, sf_dir, "embeddings"))
     out = lsh_topk(emb, _queries_df(emb), k=10, dim=64, n_bits=_LSH_BITS, seed=42)
     return out.select(
         big("query_id").alias("query_id"),
@@ -307,7 +307,7 @@ def ann_topk_ivf_stable(spark, sf_dir):
     re-rank within candidates. Bit-identical cells -> bit-identical
     candidates -> bit-identical top-10. Same partition-pruned scan
     shape as the rows-only `ann_topk_ivf`."""
-    emb = t(spark, sf_dir, "embeddings")
+    emb = parallelize_small(t(spark, sf_dir, "embeddings"))
     cents = _label_centroid_list(spark, sf_dir)
     out = ivf_topk(emb, _queries_df(emb), k=10, centroids=cents, nprobe=2)
     return out.select(
@@ -342,7 +342,7 @@ def pq_ann_topk_stable(spark, sf_dir):
     vectors fetched only for the shortlist equi-join (the 100 TB
     contract of `pq_adc_topk`); only the codebook SOURCE differs from
     the trained rows-only variant."""
-    emb = t(spark, sf_dir, "embeddings")
+    emb = parallelize_small(t(spark, sf_dir, "embeddings"))
     books = label_pq_codebooks(emb, m=8)
     out = pq_adc_topk(emb, _queries_df(emb), books, dim=64, k=10, rerank_factor=10)
     return out.select(
@@ -383,7 +383,7 @@ def ivfadc_topk_stable(spark, sf_dir):
     the fold order of the approximate distances, and the shortlist
     boundary all match exactly; recall properties of TRAINED models
     stay asserted in tests for the rows-only `ivfadc_topk`."""
-    emb = t(spark, sf_dir, "embeddings")
+    emb = parallelize_small(t(spark, sf_dir, "embeddings"))
     cents = _label_centroid_list(spark, sf_dir)
     books = label_pq_codebooks(emb, m=8)
     out = ivfadc_topk(
@@ -431,7 +431,7 @@ def knn_self_join_stable(spark, sf_dir):
     plane literals, left-fold dots, deterministic rank tiebreaks).
     The all-rows companion of `ann_topk_lsh_stable`; coverage/recall
     of single-probe bucketing is the documented LSH trade."""
-    emb = t(spark, sf_dir, "embeddings")
+    emb = parallelize_small(t(spark, sf_dir, "embeddings"))
     out = lsh_knn_self_join(emb, k=5, dim=64, n_bits=_LSH_BITS, seed=42)
     return out.select(
         big("id_a").alias("id_a"),
@@ -505,7 +505,7 @@ def ann_topk_multiprobe_stable(spark, sf_dir):
     bucketed once (n_probes partition-pruned lookups at scale, not L
     hash tables); the recall lift itself is pinned in
     tests/test_vectors_stable.py."""
-    emb = t(spark, sf_dir, "embeddings")
+    emb = parallelize_small(t(spark, sf_dir, "embeddings"))
     out = lsh_multiprobe_topk(
         emb, _queries_df(emb), k=10, dim=64, n_bits=_LSH_BITS, n_probes=4, seed=42
     )
@@ -611,7 +611,7 @@ def embedding_neardup_auto_stable(spark, sf_dir):
     on ~all bits, so the pair set here is dense, not vacuous."""
     from ..functions.dedup import embedding_neardup_pairs
 
-    emb = t(spark, sf_dir, "embeddings")
+    emb = parallelize_small(t(spark, sf_dir, "embeddings"))
     base = emb.select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("embedding")
     )
@@ -688,7 +688,7 @@ def embedding_neardup_int8(spark, sf_dir):
     tests/test_int8_ann.py."""
     from ..functions.dedup import embedding_neardup_pairs_int8
 
-    emb = t(spark, sf_dir, "embeddings")
+    emb = parallelize_small(t(spark, sf_dir, "embeddings"))
     base = emb.select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("embedding")
     )
@@ -753,7 +753,7 @@ def knn_self_join_auto_stable(spark, sf_dir):
     With `knn_self_join_stable` (pinned bits) this closes the gap the
     30× stress highlighted: the quadratic-prone pinned form exists
     only for the oracle, and now the auto form IS oracle-gated too."""
-    emb = t(spark, sf_dir, "embeddings")
+    emb = parallelize_small(t(spark, sf_dir, "embeddings"))
     out = lsh_knn_self_join(emb, k=5, dim=64, seed=42)
     return out.select(
         big("id_a").alias("id_a"),
@@ -830,7 +830,7 @@ def ann_topk_int8_ivf_stable(spark, sf_dir):
     query."""
     from ..functions.vector import ivf_int8_topk
 
-    emb = t(spark, sf_dir, "embeddings")
+    emb = parallelize_small(t(spark, sf_dir, "embeddings"))
     cents = _label_centroid_list(spark, sf_dir)
     out = ivf_int8_topk(emb, _queries_df(emb), k=10, centroids=cents, nprobe=2)
     return out.select(
@@ -902,7 +902,7 @@ def neardup_truth_eval(spark, sf_dir):
     correctly-rounded division per ratio."""
     from ..functions.dedup import dedup_pair_truth_eval, embedding_neardup_pairs
 
-    emb = t(spark, sf_dir, "embeddings")
+    emb = parallelize_small(t(spark, sf_dir, "embeddings"))
     base = emb.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
@@ -997,7 +997,7 @@ def knn_self_join_adaptive_stable(spark, sf_dir):
     or ≫1 ulp from an integer), sub-bucket strings, cosine ranks — is
     replayed by the oracle. target=8 forces the split to ENGAGE at
     every gate sf (mean occupancy ~31 > 2×8)."""
-    emb = t(spark, sf_dir, "embeddings")
+    emb = parallelize_small(t(spark, sf_dir, "embeddings"))
     out = lsh_knn_self_join(emb, k=5, dim=64, seed=42, adaptive_target=8)
     return out.select(
         big("id_a").alias("id_a"),
@@ -1103,7 +1103,7 @@ def ann_recall_report_stable(spark, sf_dir):
         topk_recall_vs_truth,
     )
 
-    emb = t(spark, sf_dir, "embeddings")
+    emb = parallelize_small(t(spark, sf_dir, "embeddings"))
     q = _queries_df(emb)
     truth = cosine_topk(emb, q, 10)
     lsh = lsh_topk(emb, q, k=10, dim=64, n_bits=_LSH_BITS, seed=42)
