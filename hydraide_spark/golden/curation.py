@@ -86,7 +86,7 @@ def dsir_importance_topk(spark, sf_dir):
     the last scale digit), TakeOrdered selection with id tiebreak."""
     from ..functions.sampling import dsir_logratios_tagged, dsir_topk
 
-    docs = t(spark, sf_dir, "documents")
+    docs = parallelize_small(t(spark, sf_dir, "documents"))
     lr = dsir_logratios_tagged(
         docs, F.col("lang") == "de", "text", n_buckets=64, salt="dsir_v1"
     )
@@ -207,7 +207,7 @@ def bigram_lm_quality_docs(spark, sf_dir):
     the compared score rounds to 6 (ln last-ulp rule, drift ~1e-13)."""
     from ..functions.text import bigram_logprob_scores
 
-    docs = t(spark, sf_dir, "documents")
+    docs = parallelize_small(t(spark, sf_dir, "documents"))
     out = bigram_logprob_scores(docs, "doc_id", "text")
     return out.select(
         big("doc_id").alias("doc_id"),
@@ -283,7 +283,7 @@ def hard_negative_mining_docs(spark, sf_dir):
     pseudo-positive cut and the post-exclusion re-ranking."""
     from ..functions.retrieval import hard_negative_mining
 
-    docs = t(spark, sf_dir, "documents")
+    docs = parallelize_small(t(spark, sf_dir, "documents"))
     bags = [
         (0, ["stream", "data", "query"]),
         (1, ["join", "hash", "scan"]),
@@ -324,7 +324,7 @@ def chunk_neardup_passages(spark, sf_dir):
     verify value-for-value."""
     from ..functions.dedup import chunk_neardup_pairs
 
-    docs = t(spark, sf_dir, "documents").select(
+    docs = parallelize_small(t(spark, sf_dir, "documents")).select(
         "doc_id",
         F.when(
             F.col("doc_id") % 25 == 0,
@@ -427,7 +427,7 @@ def chunk_neardup_collapsed(spark, sf_dir):
     edges, and the banded pipeline over representatives only."""
     from ..functions.dedup import chunk_neardup_pairs
 
-    docs = t(spark, sf_dir, "documents").select(
+    docs = parallelize_small(t(spark, sf_dir, "documents")).select(
         "doc_id",
         F.when(
             F.col("doc_id") % 25 == 0,
@@ -467,7 +467,7 @@ def chunk_neardup_production(spark, sf_dir):
     path users actually run."""
     from ..functions.dedup import chunk_neardup_pairs
 
-    docs = t(spark, sf_dir, "documents").select(
+    docs = parallelize_small(t(spark, sf_dir, "documents")).select(
         "doc_id",
         F.when(
             F.col("doc_id") % 25 == 0,
@@ -623,7 +623,7 @@ def dsir_threshold_select_docs(spark, sf_dir):
     through double."""
     from ..functions.sampling import dsir_logratios_tagged, dsir_threshold_select
 
-    docs = t(spark, sf_dir, "documents")
+    docs = parallelize_small(t(spark, sf_dir, "documents"))
     lr = dsir_logratios_tagged(
         docs, F.col("lang") == "de", "text", n_buckets=64, salt="dsir_v1"
     )
@@ -736,7 +736,7 @@ def prf_expanded_search_docs(spark, sf_dir):
     bm25_ranked_search pattern)."""
     from ..functions.retrieval import prf_expanded_search
 
-    docs = t(spark, sf_dir, "documents")
+    docs = parallelize_small(t(spark, sf_dir, "documents"))
     bags = [
         (0, ["stream", "data", "query"]),
         (1, ["join", "hash", "scan"]),
@@ -1132,7 +1132,7 @@ def html_extract_text(spark, sf_dir):
     so the compared values are exact strings."""
     from ..functions.text import html_extract_report
 
-    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = parallelize_small(t(spark, sf_dir, "documents")).select("doc_id", "text")
     out = html_extract_report(_synth_html(docs))
     return out.select(
         big("doc_id").alias("doc_id"),
@@ -1167,7 +1167,7 @@ def html_curation_pipeline(spark, sf_dir):
     groupBy shuffle on the text hash at any corpus size."""
     from ..functions.text import html_extract_report
 
-    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = parallelize_small(t(spark, sf_dir, "documents")).select("doc_id", "text")
     ext = html_extract_report(_synth_html(docs))
     return (
         ext.filter(F.col("n_words") >= 20)
@@ -2587,7 +2587,7 @@ def html_link_graph_docs(spark, sf_dir):
     no shuffle beyond the synthesis itself."""
     from ..functions.crawl import html_link_graph
 
-    docs = t(spark, sf_dir, "documents").select("doc_id")
+    docs = parallelize_small(t(spark, sf_dir, "documents")).select("doc_id")
     d = F.col("doc_id").cast("bigint")
     hid = (d % 6).cast("int").cast("string")
     nxt = ((d + 1) % 6).cast("int").cast("string")
@@ -2667,7 +2667,7 @@ def warc_legacy_charset_records(spark, sf_dir):
     framing slip or a wrong codec shows as a string mismatch."""
     from ..functions.crawl import decode_legacy_bodies, warc_extract_binary
 
-    docs = t(spark, sf_dir, "documents").select("doc_id")
+    docs = parallelize_small(t(spark, sf_dir, "documents")).select("doc_id")
     d = F.col("doc_id")
     ds = d.cast("string")
     k = (d % 4).cast("int")
@@ -2765,7 +2765,7 @@ def host_link_stats_docs(spark, sf_dir):
     build shape at any corpus size."""
     from ..functions.crawl import html_link_graph
 
-    docs = t(spark, sf_dir, "documents").select("doc_id")
+    docs = parallelize_small(t(spark, sf_dir, "documents")).select("doc_id")
     d = F.col("doc_id").cast("bigint")
     hid = (d % 6).cast("int").cast("string")
     nxt = ((d + 1) % 6).cast("int").cast("string")
@@ -2858,7 +2858,7 @@ def pdf_text_extract_docs(spark, sf_dir):
     from ..functions.pdf import pdf_text_extract
 
     docs = parallelize_small(
-        t(spark, sf_dir, "documents").select("doc_id"), cap=16
+        parallelize_small(t(spark, sf_dir, "documents")).select("doc_id"), cap=16
     )
 
     tail = _PDF_TAIL

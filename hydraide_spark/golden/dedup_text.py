@@ -30,7 +30,7 @@ from ..functions.text import (
     token_count,
 )
 from . import golden
-from ._util import big, t
+from ._util import big, parallelize_small, t
 
 
 def _augmented_corpus(spark, sf_dir):
@@ -685,7 +685,7 @@ def repetition_signals_docs(spark, sf_dir):
     division in a hashed column)."""
     from ..functions.text import repetition_signals
 
-    docs = t(spark, sf_dir, "documents")
+    docs = parallelize_small(t(spark, sf_dir, "documents"))
     out = repetition_signals(docs, "doc_id", "text")
     return out.select(
         big("doc_id").alias("doc_id"),
@@ -924,7 +924,7 @@ def decontaminate_docs(spark, sf_dir):
     from ._util import parallelize_small
 
     docs = parallelize_small(
-        t(spark, sf_dir, "documents").select(big("doc_id").alias("doc_id"), "text")
+        parallelize_small(t(spark, sf_dir, "documents")).select(big("doc_id").alias("doc_id"), "text")
     )
     ev = docs.filter(F.col("doc_id") % 41 == 0)
     train = docs.filter(F.col("doc_id") % 41 != 0)
@@ -965,7 +965,7 @@ def boilerplate_stats_docs(spark, sf_dir):
     from ._util import parallelize_small
 
     docs = parallelize_small(
-        t(spark, sf_dir, "documents").select(big("doc_id").alias("doc_id"), "text")
+        parallelize_small(t(spark, sf_dir, "documents")).select(big("doc_id").alias("doc_id"), "text")
     )
     return boilerplate_stats(docs, n=3, min_df=5, frac_denominator=10)
 
@@ -1003,7 +1003,7 @@ def tfidf_top_terms(spark, sf_dir):
     over tokens total."""
     from ..functions.text import top_distinctive_terms
 
-    docs = t(spark, sf_dir, "documents").select(big("doc_id").alias("doc_id"), "text")
+    docs = parallelize_small(t(spark, sf_dir, "documents")).select(big("doc_id").alias("doc_id"), "text")
     return top_distinctive_terms(docs, k=3)
 
 
@@ -1085,7 +1085,7 @@ def vocab_encode_docs(spark, sf_dir):
     from ._util import parallelize_small
 
     docs = parallelize_small(
-        t(spark, sf_dir, "documents").select(big("doc_id").alias("doc_id"), "text")
+        parallelize_small(t(spark, sf_dir, "documents")).select(big("doc_id").alias("doc_id"), "text")
     )
     counts = top_ngrams(docs, "text", n=1, k=100)
     w = W.orderBy(F.col("n_occurrences").desc(), F.col("gram").asc())
@@ -1270,7 +1270,7 @@ def quality_trained_classifier_docs(spark, sf_dir):
     scoring is map-only at any corpus size."""
     from ..functions.text import quality_logit, quality_train_weights_local, tokenize
 
-    docs = t(spark, sf_dir, "documents")
+    docs = parallelize_small(t(spark, sf_dir, "documents"))
     toks = tokenize(F.col("text"))
     labeled = docs.select(
         big("doc_id").alias("doc_id"),
@@ -1449,7 +1449,7 @@ def bpe_token_frequencies(spark, sf_dir):
     tests/test_text_signals.py)."""
     from ..functions.text import bpe_encode_token_counts, bpe_train_merges_local
 
-    docs = t(spark, sf_dir, "documents")
+    docs = parallelize_small(t(spark, sf_dir, "documents"))
     merges = bpe_train_merges_local(docs, n_merges=12, min_freq=2)
     out = bpe_encode_token_counts(docs, merges)
     return out.select(F.col("token"), big("n_occurrences").alias("n_occurrences"))
@@ -1471,7 +1471,7 @@ def bpe_merge_rules(spark, sf_dir):
     40 merges) is pinned in tests/test_text_signals.py."""
     from ..functions.text import bpe_train_merges
 
-    docs = t(spark, sf_dir, "documents")
+    docs = parallelize_small(t(spark, sf_dir, "documents"))
     merges = bpe_train_merges(docs, n_merges=12, min_freq=2)
     rows = [
         (rank, a, b, freq) for rank, (a, b, freq) in enumerate(merges)
@@ -2395,7 +2395,7 @@ def dedup_report_by_source(spark, sf_dir):
     pairs = ngram_jaccard_pairs(corpus, tau=0.6, n=3).persist()
     clusters = star_contraction_clusters(pairs)
     pin_latest("golden.dedup_report_by_source.pairs", pairs)
-    src = t(spark, sf_dir, "documents").select(
+    src = parallelize_small(t(spark, sf_dir, "documents")).select(
         F.col("doc_id").alias("orig_id"), "source"
     )
     meta = corpus.select(
@@ -2768,7 +2768,7 @@ def line_corpus_dedup_docs(spark, sf_dir):
     values are integers and verbatim strings — engine-exact."""
     from ..functions.dedup import line_corpus_dedup
 
-    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = parallelize_small(t(spark, sf_dir, "documents")).select("doc_id", "text")
     d = F.col("doc_id")
     hid = (d % 6).cast("int").cast("string")
     ds = d.cast("string")
