@@ -1330,6 +1330,7 @@ def star_contraction_clusters(
     id_b: str = "id_b",
     max_iterations: int = 30,
     stats: dict | None = None,
+    driver_cap: int = 0,
 ) -> DataFrame:
     """Connected components via alternating large-star / small-star
     contraction (Kiveris et al., "Connected Components in MapReduce and
@@ -1353,17 +1354,60 @@ def star_contraction_clusters(
     overflow-free under ANSI mode) — no row collect. If
     ``stats`` is given, ``stats['rounds']`` records the rounds used.
     Returns (doc_id, cluster_id), identical to ``neardup_clusters``.
+
+    ``driver_cap > 0`` (r15 optimization) opts into a BOUNDED driver
+    union-find for small edge sets: one ``limit(cap+1)`` collect probes
+    the size, and at most ``cap`` distinct edges are folded in driver
+    memory to the identical component-min labeling (the same loud-cap
+    bounded-collect convention as the BPE trainer and the model
+    collects). The distributed log²-round loop costs ~3 Spark jobs per
+    round plus two checkpoint jobs — measured ~1.5 s of pure job/plan
+    overhead on a 100-edge graph at sf0.1 — where the driver fold is
+    one job. Above the cap the collected probe is discarded and the
+    distributed loop runs unchanged, so the cap can never make a big
+    graph a driver problem; default 0 keeps the distributed contract
+    (including the non-convergence RAISE) untouched.
     """
     # canonical undirected edges (x, y), x > y, no self-loops
-    edges = (
+    edge_set = (
         pairs.select(
             F.greatest(F.col(id_a), F.col(id_b)).alias("x"),
             F.least(F.col(id_a), F.col(id_b)).alias("y"),
         )
         .filter(F.col("x") != F.col("y"))
         .distinct()
-        .localCheckpoint()
     )
+    if driver_cap and int(driver_cap) > 0:
+        head = edge_set.limit(int(driver_cap) + 1).collect()
+        if len(head) <= int(driver_cap):
+            parent: dict = {}
+
+            def _find(a):
+                while parent.setdefault(a, a) != a:
+                    parent[a] = parent[parent[a]]
+                    a = parent[a]
+                return a
+
+            for r in head:
+                ra, rb = _find(r["x"]), _find(r["y"])
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+            if stats is not None:
+                stats["rounds"] = 0
+            from pyspark.sql.types import StructField, StructType
+
+            dtype = dict(
+                zip(pairs.schema.names, [f.dataType for f in pairs.schema.fields])
+            )[id_a]
+            schema = StructType(
+                [
+                    StructField("doc_id", dtype, False),
+                    StructField("cluster_id", dtype, False),
+                ]
+            )
+            rows = [(x, _find(x)) for x in parent]
+            return pairs.sparkSession.createDataFrame(rows, schema)
+    edges = edge_set.localCheckpoint()
     nodes = (
         edges.select(F.col("x").alias("id"))
         .union(edges.select(F.col("y").alias("id")))

@@ -381,7 +381,7 @@ def neardup_clusters_q(spark, sf_dir):
 
     corpus = _augmented_corpus(spark, sf_dir)
     pairs = ngram_jaccard_pairs(corpus, tau=0.6, n=3).persist()
-    out = star_contraction_clusters(pairs)
+    out = star_contraction_clusters(pairs, driver_cap=200_000)
     # the contraction localCheckpoints eagerly (lineage cut), so pairs
     # is fully consumed when it returns; LRU-pin instead of unpersist —
     # a repeat invocation (the bench's interleaved passes, a serving
@@ -2337,7 +2337,7 @@ def neardup_keep_best(spark, sf_dir):
 
     corpus = _augmented_corpus(spark, sf_dir)
     pairs = ngram_jaccard_pairs(corpus, tau=0.6, n=3).persist()
-    clusters = star_contraction_clusters(pairs)
+    clusters = star_contraction_clusters(pairs, driver_cap=200_000)
     from ..functions._cache import pin_latest
     pin_latest("golden.neardup_keep_best.pairs", pairs)  # LRU, stays warm
     dl = corpus.select("doc_id", token_count(F.col("text")).alias("n_tok"))
@@ -2393,7 +2393,7 @@ def dedup_report_by_source(spark, sf_dir):
 
     corpus = _augmented_corpus(spark, sf_dir)
     pairs = ngram_jaccard_pairs(corpus, tau=0.6, n=3).persist()
-    clusters = star_contraction_clusters(pairs)
+    clusters = star_contraction_clusters(pairs, driver_cap=200_000)
     pin_latest("golden.dedup_report_by_source.pairs", pairs)
     src = parallelize_small(t(spark, sf_dir, "documents")).select(
         F.col("doc_id").alias("orig_id"), "source"
@@ -2426,7 +2426,7 @@ def dedup_cluster_histogram(spark, sf_dir):
 
     corpus = _augmented_corpus(spark, sf_dir)
     pairs = ngram_jaccard_pairs(corpus, tau=0.6, n=3).persist()
-    clusters = star_contraction_clusters(pairs)
+    clusters = star_contraction_clusters(pairs, driver_cap=200_000)
     pin_latest("golden.dedup_cluster_histogram.pairs", pairs)
     return cluster_size_histogram(clusters).select(
         big("cluster_size").alias("cluster_size"),

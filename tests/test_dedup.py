@@ -1033,3 +1033,42 @@ def test_dedup_report_and_histogram_by_hand(spark):
         for r in cluster_size_histogram(clusters).collect()
     }
     assert hist == {3: 1}
+
+
+def test_star_contraction_driver_cap_matches_distributed(spark):
+    """r15 optimization pin: driver_cap's bounded union-find fold must
+    label exactly like the distributed contraction (component-min), and
+    an over-cap graph must fall through to the distributed loop."""
+    import random
+
+    from hydraide_spark.functions.dedup import star_contraction_clusters
+
+    rnd = random.Random(7)
+    n = 200
+    edges = [
+        (a, b)
+        for a, b in ((rnd.randrange(n), rnd.randrange(n)) for _ in range(150))
+        if a != b
+    ]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    dist = {
+        r["doc_id"]: r["cluster_id"]
+        for r in star_contraction_clusters(df).collect()
+    }
+    stats = {}
+    drv = {
+        r["doc_id"]: r["cluster_id"]
+        for r in star_contraction_clusters(
+            df, driver_cap=100_000, stats=stats
+        ).collect()
+    }
+    assert drv == dist
+    assert stats["rounds"] == 0
+    # cap smaller than the edge count: distributed loop runs (rounds > 0)
+    stats2 = {}
+    over = {
+        r["doc_id"]: r["cluster_id"]
+        for r in star_contraction_clusters(df, driver_cap=3, stats=stats2).collect()
+    }
+    assert over == dist
+    assert stats2["rounds"] > 0
