@@ -97,7 +97,7 @@ def pagerank_citation_graph(spark, sf_dir):
         ((F.col("doc_id") * 17 + 3) % n_docs).alias("dst"),
     )
     edges = e1.unionByName(e2).filter(F.col("src") != F.col("dst"))
-    out = pagerank(edges, damping=0.85, iterations=_ITERS)
+    out = pagerank(edges, damping=0.85, iterations=_ITERS, driver_cap=500_000)
     return out.select(F.col("node").cast("bigint").alias("node"), "rank")
 
 
@@ -252,7 +252,7 @@ def personalized_pagerank_seeds(spark, sf_dir):
         .distinct()
         .collect()
     ]
-    out = personalized_pagerank(edges, seeds, damping=0.85, iterations=_ITERS)
+    out = personalized_pagerank(edges, seeds, damping=0.85, iterations=_ITERS, driver_cap=500_000)
     # DECIMAL(38,18) -> DOUBLE casts round differently in the last ulp
     # between Spark and DuckDB for SOME values (observed: 1 row in 500;
     # the plain-pagerank golden happens to avoid such values) — compared
@@ -352,7 +352,7 @@ def weighted_pagerank_graph(spark, sf_dir):
         .filter(F.col("src") != F.col("dst"))
         .withColumn("w", (F.lit(1) + (F.col("src") + F.col("dst")) % 5).cast("double"))
     )
-    out = weighted_pagerank(edges, "w", damping=0.85, iterations=_ITERS)
+    out = weighted_pagerank(edges, "w", damping=0.85, iterations=_ITERS, driver_cap=500_000)
     return out.select(
         F.col("node").cast("bigint").alias("node"), F.round("rank", 10).alias("rank")
     )

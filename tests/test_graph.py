@@ -208,3 +208,46 @@ def test_weighted_pagerank_null_weight_raises(spark):
     )
     with _pytest.raises(ValueError, match="NULL"):
         weighted_pagerank(bad, "w")
+
+
+def test_pagerank_driver_cap_bit_identical(spark):
+    """r15 optimization pin: the driver_cap replay (HALF_UP decimal-18
+    quantize + exact decimal sums + identical float operand order) must
+    be BIT-identical to the distributed loop for all three variants,
+    and an over-cap graph must fall through to the distributed loop."""
+    from hydraide_spark.functions.graph import (
+        pagerank,
+        personalized_pagerank,
+        weighted_pagerank,
+    )
+
+    n = 97
+    rows = [(i, (i * 31 + 7) % n) for i in range(n)] + [
+        (i, (i * 17 + 3) % n) for i in range(n)
+    ]
+    edges = spark.createDataFrame(
+        [(s, d) for s, d in rows if s != d], "src long, dst long"
+    )
+
+    def ranks(df):
+        return {r["node"]: r["rank"] for r in df.collect()}
+
+    dist = ranks(pagerank(edges, iterations=6))
+    drv = ranks(pagerank(edges, iterations=6, driver_cap=100_000))
+    assert drv == dist  # exact float equality, not approx
+
+    w = edges.withColumn("w", (F.col("src") + F.col("dst")) % 5 + 1)
+    dist_w = ranks(weighted_pagerank(w, "w", iterations=6))
+    drv_w = ranks(weighted_pagerank(w, "w", iterations=6, driver_cap=100_000))
+    assert drv_w == dist_w
+
+    seeds = [i for i in range(0, n, 13)]
+    dist_p = ranks(personalized_pagerank(edges, seeds, iterations=6))
+    drv_p = ranks(
+        personalized_pagerank(edges, seeds, iterations=6, driver_cap=100_000)
+    )
+    assert drv_p == dist_p
+
+    # cap below the edge count: distributed loop runs, same ranks
+    over = ranks(pagerank(edges, iterations=6, driver_cap=3))
+    assert over == dist
