@@ -676,14 +676,20 @@ def ann_recall_report(spark, sf_dir):
     100 TB this runs continuously on a few hundred sampled queries —
     the truth scan is |sample| x corpus, every later stage is
     k·|sample| rows."""
+    from ..functions._cache import pin_latest
     from ..functions.vector import ann_recall_report as _rep
     from ..functions.vector import auto_ivf_k, train_ivf_centroids
 
-    emb = parallelize_small(t(spark, sf_dir, "embeddings"))
+    raw = t(spark, sf_dir, "embeddings")
+    # count the RAW scan (cheap), then spread + persist ONCE: the truth
+    # scan, the trainer sample and all three routes re-read the spread
+    # corpus, so without the boundary each leg re-paid the repartition
+    emb = parallelize_small(raw).persist()
+    pin_latest("golden.ann_recall_report.emb", emb)
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
-    n_rows = emb.count()
+    n_rows = raw.count()
     cents = train_ivf_centroids(emb, n_centroids=auto_ivf_k(n_rows))
     out = _rep(
         emb, queries, 10,

@@ -1103,7 +1103,10 @@ def ann_recall_report_stable(spark, sf_dir):
         topk_recall_vs_truth,
     )
 
-    emb = parallelize_small(t(spark, sf_dir, "embeddings"))
+    from ..functions._cache import pin_latest
+
+    emb = parallelize_small(t(spark, sf_dir, "embeddings")).persist()
+    pin_latest("golden.ann_recall_report_stable.emb", emb)
     q = _queries_df(emb)
     truth = cosine_topk(emb, q, 10)
     lsh = lsh_topk(emb, q, k=10, dim=64, n_bits=_LSH_BITS, seed=42)
