@@ -1134,6 +1134,14 @@ def embedding_neardup_pairs(
         *[F.col(c) for c in carry],
         F.transform(F.col(vec_col), lambda x: x.cast("double") / F.col("_n")).alias("_vn"),
     )
+    # batch inputs: materialize the blocked+normalized projection once —
+    # BOTH pair-join sides read it, and without the boundary each side
+    # re-evaluated the block expressions (a centroid argmax or LSH
+    # bucket fold over inlined literals — the expensive part) plus the
+    # norm pass (r15 optimization; generation-evicted per call site)
+    if not normed.isStreaming:
+        normed = normed.persist()
+        pin_latest("dedup.embedding_neardup_pairs.normed", normed)
     a = normed.select(
         F.col(id_col).alias("id_a"), F.col("_vn").alias("v_a"),
         *[F.col(c) for c in carry],
@@ -1615,6 +1623,13 @@ def semantic_dedup(
         .cast("long")
         .alias("cluster"),
     )
+    # batch: one centroid-argmax pass — the pair pipeline AND the final
+    # survivor projection both read the materialized cluster column
+    # (r15 optimization; without the boundary the argmax over inlined
+    # centroid literals re-ran in every leg)
+    if not with_cluster.isStreaming:
+        with_cluster = with_cluster.persist()
+        pin_latest("dedup.semantic_dedup.with_cluster", with_cluster)
     pairs = embedding_neardup_pairs(
         with_cluster, tau=tau, id_col=id_col, vec_col=vec_col, block_col="cluster"
     )
