@@ -236,12 +236,19 @@ def ngram_jaccard_pairs(
     if n == "auto":
         from .text import tokenize
 
-        stats = df.select(
+        stats_df = df.select(
             F.explode(tokenize(F.col(text_col))).alias("t")
         ).agg(
             F.count(F.lit(1)).alias("total"),
             F.count_distinct(F.col("t")).alias("vocab"),
-        ).first()
+        )
+        # the 1-row stats aggregate is a full corpus token scan; persist
+        # it so sibling auto queries over the same corpus (and repeat
+        # calls) dedupe to one scan via CacheManager plan matching
+        # (r15 optimization; batch-only — auto-n needs an action anyway)
+        stats_df = stats_df.persist()
+        pin_latest("dedup.ngram_jaccard_pairs.auto_stats", stats_df)
+        stats = stats_df.first()
         n = auto_shingle_n(int(stats["total"]), int(stats["vocab"]))
     frac = Fraction(tau).limit_denominator(10**6)
     num, den = frac.numerator, frac.denominator

@@ -161,7 +161,9 @@ def cluster_balanced_sample_vecs(spark, sf_dir):
     from ..functions.vector import centroid_means, group_centroid_sums
 
     emb = parallelize_small(t(spark, sf_dir, "embeddings"))
-    cents = centroid_means(group_centroid_sums(emb, "label", "embedding").collect())
+    from .vectors_stable import _label_centroid_list
+
+    cents = [(i, v) for i, v in enumerate(_label_centroid_list(spark, sf_dir))]
     out = cluster_balanced_sample(
         emb, "vec_id", "embedding", cents, per_cluster=20, salt="div_v1"
     )
