@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 
 from ..functions.retrieval import ranked_list, rrf_fuse
 from . import golden
-from ._util import big, parallelize_small, t
+from ._util import big, t
 from .vectors import _cos_sql, _query_vec
 
 _BM25_LEX_SQL = """
@@ -101,7 +101,7 @@ def hybrid_search_rrf(spark, sf_dir):
     dense; a doc missing from a list contributes 0 to rrf."""
     from ..functions.text import bm25_terms
 
-    docs = parallelize_small(t(spark, sf_dir, "documents"))
+    docs = t(spark, sf_dir, "documents")
     emb = t(spark, sf_dir, "embeddings")
 
     lex_scored = (
@@ -306,7 +306,7 @@ def hybrid_search_rrf_batch(spark, sf_dir):
         (1, ["join", "hash", "scan"]),
         (2, ["vector", "window", "sort"]),
     ]
-    docs = parallelize_small(t(spark, sf_dir, "documents"))
+    docs = t(spark, sf_dir, "documents")
     emb = t(spark, sf_dir, "embeddings")
 
     lex_scored = (
@@ -531,7 +531,7 @@ def retrieval_eval_metrics(spark, sf_dir):
     from ..functions.retrieval import ranked_list_grouped, retrieval_eval
     from ..functions.text import tokenize
 
-    docs = parallelize_small(t(spark, sf_dir, "documents"))
+    docs = t(spark, sf_dir, "documents")
     words = docs.select(
         "doc_id", F.explode(tokenize(F.col("text"))).alias("word")
     )
@@ -691,7 +691,7 @@ def retrieval_run_compare(spark, sf_dir):
     )
     from ..functions.text import tokenize
 
-    docs = parallelize_small(t(spark, sf_dir, "documents"))
+    docs = t(spark, sf_dir, "documents")
     words = docs.select(
         "doc_id", F.explode(tokenize(F.col("text"))).alias("word")
     )
@@ -783,7 +783,7 @@ def retrieval_run_sign_test(spark, sf_dir):
     )
     from ..functions.text import tokenize
 
-    docs = parallelize_small(t(spark, sf_dir, "documents"))
+    docs = t(spark, sf_dir, "documents")
     words = docs.select(
         "doc_id", F.explode(tokenize(F.col("text"))).alias("word")
     )
@@ -963,7 +963,7 @@ def retrieval_param_sweep(spark, sf_dir):
     from ..functions.retrieval import ranked_list_grouped, rrf_param_sweep
     from ..functions.text import tokenize
 
-    docs = parallelize_small(t(spark, sf_dir, "documents"))
+    docs = t(spark, sf_dir, "documents")
     words = docs.select(
         "doc_id", F.explode(tokenize(F.col("text"))).alias("word")
     )
