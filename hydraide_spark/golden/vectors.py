@@ -103,7 +103,7 @@ def ann_topk_exact(spark, sf_dir):
     vectors broadcast against the corpus, window top-10 per query.
     Rank-10/11 score gaps verified >= 2e-5 across sfs, far above
     cross-engine float noise."""
-    emb = t(spark, sf_dir, "embeddings")
+    emb = parallelize_small(t(spark, sf_dir, "embeddings"))
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
@@ -150,7 +150,7 @@ def ann_topk_auto(spark, sf_dir):
     floors are pinned in tests/test_ann_router.py."""
     from ..functions.vector import ann_topk_auto as _auto
 
-    emb = t(spark, sf_dir, "embeddings")
+    emb = parallelize_small(t(spark, sf_dir, "embeddings"))
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
