@@ -1280,8 +1280,16 @@ def quality_trained_classifier_docs(spark, sf_dir):
             >= F.size(toks)
         ).cast("int").alias("label"),
     )
-    model = quality_train_weights_local(
-        labeled, "label", lr=2.0, iterations=200
+    # deterministic training (exact integer counts, fixed lr/iters) —
+    # one train per process, the langid/IVF memo convention; every
+    # invocation still SCORES the corpus from parquet
+    from .vectors import _model_memo
+
+    model = _model_memo(
+        ("quality_gd", sf_dir),
+        lambda: quality_train_weights_local(
+            labeled, "label", lr=2.0, iterations=200
+        ),
     )
     z = quality_logit(F.col("text"), weights=model)
     return docs.select(
