@@ -11,7 +11,7 @@ from pyspark.sql import functions as F
 
 from ..functions.graph import pagerank, triangle_count
 from . import golden
-from ._util import big, t
+from ._util import big, t, n_rows_memo
 
 _D = "'0.85'::DOUBLE"  # string-cast: exact strtod, same double as Python 0.85
 _ITERS = 4
@@ -87,7 +87,7 @@ def pagerank_citation_graph(spark, sf_dir):
     collect_list fan-in, dangling mass as a broadcast 1-row
     aggregate."""
     docs = t(spark, sf_dir, "documents").select("doc_id")
-    n_docs = docs.count()
+    n_docs = n_rows_memo(spark, sf_dir, "documents")
     e1 = docs.select(
         F.col("doc_id").alias("src"),
         ((F.col("doc_id") * 31 + 7) % n_docs).alias("dst"),
@@ -136,7 +136,7 @@ def triangle_counts_graph(spark, sf_dir):
     candidates on any graph, no cartesian); oracle: an INDEPENDENT
     algorithm — the canonical a<b<c triple self-join — so agreement
     certifies the orientation argument, not just the arithmetic."""
-    ndocs = t(spark, sf_dir, "documents").count()
+    ndocs = n_rows_memo(spark, sf_dir, "documents")
     base = t(spark, sf_dir, "documents").select(F.col("doc_id"))
     edges = (
         base.filter(F.col("doc_id") + 50 < ndocs)
@@ -228,7 +228,7 @@ def personalized_pagerank_seeds(spark, sf_dir):
     from ..functions.graph import personalized_pagerank
 
     docs = t(spark, sf_dir, "documents").select("doc_id")
-    n_docs = docs.count()
+    n_docs = n_rows_memo(spark, sf_dir, "documents")
     e1 = docs.select(
         F.col("doc_id").alias("src"),
         ((F.col("doc_id") * 31 + 7) % n_docs).alias("dst"),
@@ -338,7 +338,7 @@ def weighted_pagerank_graph(spark, sf_dir):
     from ..functions.graph import weighted_pagerank
 
     docs = t(spark, sf_dir, "documents").select("doc_id")
-    n_docs = docs.count()
+    n_docs = n_rows_memo(spark, sf_dir, "documents")
     e1 = docs.select(
         F.col("doc_id").alias("src"),
         ((F.col("doc_id") * 31 + 7) % n_docs).alias("dst"),

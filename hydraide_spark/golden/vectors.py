@@ -40,10 +40,18 @@ def _cos_sql(a: str, b: str) -> str:
 
 
 def _query_vec(spark, sf_dir, vec_id: int = 0) -> list[float]:
-    row = (
-        t(spark, sf_dir, "embeddings").filter(F.col("vec_id") == vec_id).select("embedding").head()
-    )
-    return [float(x) for x in row["embedding"]]
+    # an input constant (point lookup on the immutable fixture) — one
+    # bounded job per process per (sf_dir, vec_id), the memo convention
+    def _fetch():
+        row = (
+            t(spark, sf_dir, "embeddings")
+            .filter(F.col("vec_id") == vec_id)
+            .select("embedding")
+            .head()
+        )
+        return [float(x) for x in row["embedding"]]
+
+    return _model_memo(("query_vec", sf_dir, vec_id), _fetch)
 
 
 @golden(
@@ -710,7 +718,9 @@ def ann_recall_report(spark, sf_dir):
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
-    n_rows = raw.count()
+    from ._util import n_rows_memo
+
+    n_rows = n_rows_memo(spark, sf_dir, "embeddings")
     cents = _model_memo(
         ("ivf_auto", sf_dir),
         lambda: train_ivf_centroids(emb, n_centroids=auto_ivf_k(n_rows)),
