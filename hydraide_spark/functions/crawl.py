@@ -927,8 +927,13 @@ def decode_legacy_bodies(
 
     from ._cache import pin_latest
 
-    df = df.persist()
-    pin_latest("crawl.decode_legacy_bodies", df)
+    # batch-only persist (ADVICE r15): a streaming frame would raise
+    # AnalysisException on persist — streaming callers keep the
+    # stateless split (the parse runs per leg there, the price of a
+    # mutable input; same guard as crawl_ingest_report)
+    if not df.isStreaming:
+        df = df.persist()
+        pin_latest("crawl.decode_legacy_bodies", df)
     native = F.lower(F.col(charset_col)).isin(*_NATIVE_CHARSETS)
     nat = df.filter(native)
     leg = df.filter(~native)

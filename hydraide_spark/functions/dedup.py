@@ -1411,9 +1411,12 @@ def star_contraction_clusters(
                 stats["rounds"] = 0
             from pyspark.sql.types import StructField, StructType
 
-            dtype = dict(
-                zip(pairs.schema.names, [f.dataType for f in pairs.schema.fields])
-            )[id_a]
+            # schema from the COERCED edge column (ADVICE r15): when
+            # id_a and id_b have different widths, greatest/least
+            # already widened x/y to the common type — typing the
+            # output from id_a alone could reject collected wider
+            # values in createDataFrame
+            dtype = edge_set.schema["x"].dataType
             schema = StructType(
                 [
                     StructField("doc_id", dtype, False),

@@ -308,9 +308,14 @@ def weighted_pagerank(
             n = len(univ)
             if n == 0:
                 return _rank_frame(e, [], "src")
-            s_out: dict = {}
+            # strength via the same decimal(38,18) quantize+sum as the
+            # distributed path (ADVICE r15): a plain float fold here
+            # runs in collect order while F.sum folds in partition
+            # order — 1-ulp drift on non-integer weights
+            s_dec: dict = {}
             for s, _, w in E:
-                s_out[s] = s_out.get(s, 0.0) + w
+                s_dec[s] = s_dec.get(s, _Decimal(0)) + _dec18(w)
+            s_out = {s: float(v) for s, v in s_dec.items()}
             frac = [(s, d, w / s_out[s]) for s, d, w in E]
             ranks = {u: 1.0 / n for u in univ}
             base = (1.0 - damping) / n
@@ -340,7 +345,14 @@ def weighted_pagerank(
     n = nodes.count()
     if n == 0:
         return nodes.select("node", F.lit(0.0).alias("rank"))
-    strength = e.groupBy("src").agg(F.sum("w").alias("s_out")).localCheckpoint()
+    # strength through DECIMAL (ADVICE r15, the repo's double-sum
+    # rule): F.sum over doubles folds in partition order — quantize
+    # each w at decimal(38,18) (exact-sum) so strength, hence every
+    # w/strength frac, is byte-identical under any partitioning AND
+    # to the driver replay's collect-order fold
+    strength = e.groupBy("src").agg(
+        F.sum(F.col("w").cast("decimal(38,18)")).cast("double").alias("s_out")
+    ).localCheckpoint()
     # per-edge share, computed once: w / strength(src)
     share = (
         e.join(strength, "src")

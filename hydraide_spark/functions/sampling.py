@@ -892,7 +892,13 @@ def langid_nb_predict(
         ]
     )
     priors_lit = _decimal_array_literal(model["priors"], dec)
-    lab_body = ",".join("'" + lab.replace("'", "''") + "'" for lab in labels)
+    # Spark SQL single-quoted literals process backslash escapes as
+    # well as doubled quotes (ADVICE r15): escape backslashes FIRST so
+    # a label like r"a\b" round-trips instead of parsing as an escape
+    lab_body = ",".join(
+        "'" + lab.replace("\\", "\\\\").replace("'", "''") + "'"
+        for lab in labels
+    )
     labels_lit = F.expr(f"array({lab_body})")
     buckets = F.transform(
         dsir_grams(F.col(text_col)),

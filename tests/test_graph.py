@@ -241,6 +241,17 @@ def test_pagerank_driver_cap_bit_identical(spark):
     drv_w = ranks(weighted_pagerank(w, "w", iterations=6, driver_cap=100_000))
     assert drv_w == dist_w
 
+    # NON-INTEGER weights (ADVICE r15): strength is now a decimal(38,18)
+    # quantize+sum in BOTH paths, so collect-order vs partition-order
+    # folds cannot drift — 0.3-multiples are non-dyadic, the case a
+    # plain double fold gets wrong
+    wf = edges.withColumn(
+        "w", ((F.col("src") * 7 + F.col("dst")) % 13) * F.lit(0.3) + F.lit(0.1)
+    )
+    dist_wf = ranks(weighted_pagerank(wf, "w", iterations=6))
+    drv_wf = ranks(weighted_pagerank(wf, "w", iterations=6, driver_cap=100_000))
+    assert drv_wf == dist_wf
+
     seeds = [i for i in range(0, n, 13)]
     dist_p = ranks(personalized_pagerank(edges, seeds, iterations=6))
     drv_p = ranks(
