@@ -4,11 +4,55 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 
-from ..sources.tables import load_table
+#: per-process memo of the reader METADATA for the immutable sf_dir
+#: fixture tables (r16, guide §1.2/§7.3 driver-side planning cost):
+#: ``load_table`` costs ~0.10-0.15 s PER CALL, ~2/3 of it footer schema
+#: inference + the pyarrow timestamp classification — and the bench's
+#: 240 goldens load ~2 tables each, so tens of seconds of pure
+#: plan-build per pass re-derive byte-identical metadata. The memo
+#: holds (path, schema, nanos-columns) ONLY — pure-Python values, no
+#: JVM refs — and every ``t()`` call still issues a FRESH
+#: ``spark.read.schema(...).parquet(path)`` (~0.03-0.07 s), so each
+#: returned frame has its own expression IDs. (Memoizing the FRAME
+#: itself broke self-join disambiguation: a query that loads one table
+#: twice — directly or via a derived frame like partsupp — then shares
+#: expression IDs across both join sides and Catalyst raises
+#: AMBIGUOUS_SELF_JOIN; tpch_q2_min_cost_supplier caught it.) Every
+#: action still lists and scans the parquet inputs — this is the
+#: n_rows_memo/input-constant convention, not result caching.
+from weakref import WeakKeyDictionary
+
+from ..sources.tables import _ensure_nanos_conf, _timestamp_columns
+
+_TABLE_META_MEMO: dict = {}
+
+#: sessions whose nanosAsLong/inferTimestampNTZ confs are already set
+#: (keyed weakly — a stopped driver session must not mask its
+#: successor, which needs the confs set again).
+_CONF_SESSIONS: "WeakKeyDictionary" = WeakKeyDictionary()
 
 
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return load_table(spark, sf_dir, name)
+    import os
+
+    if spark not in _CONF_SESSIONS:
+        _ensure_nanos_conf(spark)
+        _CONF_SESSIONS[spark] = True
+    key = (sf_dir, name)
+    meta = _TABLE_META_MEMO.get(key)
+    if meta is None:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if not os.path.exists(path):
+            path = os.path.join(sf_dir, name)
+        raw = spark.read.parquet(path)
+        nanos, _ = _timestamp_columns(path)
+        meta = (path, raw.schema, tuple(nanos))
+        _TABLE_META_MEMO[key] = meta
+    path, schema, nanos = meta
+    df = spark.read.schema(schema).parquet(path)
+    for col in nanos:
+        df = df.withColumn(col, F.expr(f"timestamp_micros({col} div 1000)"))
+    return df
 
 
 #: per-process memo of INPUT CONSTANTS that are pure functions of the
