@@ -418,30 +418,48 @@ def main() -> None:
     print(json.dumps(full))
     sys.stdout.flush()
     # ...then a COMPACT machine-first summary as the FINAL stdout line.
-    # The driver keeps only the last ~2000 chars of stdout; round 1's
-    # single ~3 KB line came back `parsed: null`. This line is ~300 bytes
-    # so it always survives the tail window intact.
-    slowest = dict(
-        sorted(
-            ((n, v) for n, v in timings.items() if v >= 0),
-            key=lambda kv: -kv[1],
-        )[:5]
+    # The driver parses the LAST JSON line inside a 2000-char stdout
+    # tail window (round 1's single ~3 KB full line came back
+    # `parsed: null`; every BENCH_rN.json since records tail_len=2000),
+    # so the full 240-query map (~7 KB) physically cannot ride this
+    # line. r15 VERDICT item 2 asks for inline per-query data anyway:
+    # the compromise is a BYTE-BUDGETED inline `queries`/`spreads`
+    # subset — slowest queries first (the ones that matter for
+    # round-over-round and core-scaling comparisons) until the line
+    # would exceed the tail window, with the complete map still in
+    # `queries_file`. Deterministic given the timings; across two
+    # same-code driver runs the slow sets overlap almost entirely, so
+    # scaling.per_query gets a usable intersection.
+    ranked = sorted(
+        ((n, v) for n, v in timings.items() if v >= 0),
+        key=lambda kv: (-kv[1], kv[0]),
     )
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": total,
-                "unit": "sec",
-                "sf": sf,
-                "n_queries": len(timings),
-                "n_errors": len(errors),
-                "vs_r1_total": vs_r1_total,
-                "slowest": slowest,
-                "queries_file": "bench/latest_full.json",
-            }
-        )
-    )
+    slowest = dict(ranked[:5])
+    compact = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "sf": sf,
+        "n_queries": len(timings),
+        "n_errors": len(errors),
+        "vs_r1_total": vs_r1_total,
+        "slowest": slowest,
+        "queries": {},
+        "spreads": {},
+        "n_queries_inlined": 0,
+        "queries_file": "bench/latest_full.json",
+    }
+    _BUDGET = 1900  # headroom under the 2000-char tail window
+    for n, v in ranked:
+        compact["queries"][n] = v
+        compact["spreads"][n] = spreads.get(n, 0.0)
+        compact["n_queries_inlined"] += 1
+        if len(json.dumps(compact)) > _BUDGET:
+            del compact["queries"][n]
+            del compact["spreads"][n]
+            compact["n_queries_inlined"] -= 1
+            break
+    print(json.dumps(compact))
 
 
 if __name__ == "__main__":
