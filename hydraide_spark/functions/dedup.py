@@ -1081,8 +1081,14 @@ def embedding_neardup_pairs(
     is recovered at ~n_probes× candidate volume, still never all-pairs.
     Each (id_a, id_b) pair can match at most once (the right side keeps
     one bucket; probe strings are distinct), so no dedup join follows."""
-    from ..query.filters import dot_product, l2_norm
-    from .vector import _as_double_array, auto_lsh_bits, lsh_bucket_expr, make_planes
+    from ..query.filters import dot_product, dot_product_sql, l2_norm
+    from .vector import (
+        _q,
+        _sql_doubles,
+        auto_lsh_bits,
+        lsh_bucket_expr,
+        make_planes,
+    )
 
     if n_probes > 1 and auto_bucket_target is None:
         raise ValueError("n_probes > 1 requires auto_bucket_target")
@@ -1100,25 +1106,20 @@ def embedding_neardup_pairs(
             dim = row[0]
         n_bits = auto_lsh_bits(df.count(), target_bucket=auto_bucket_target)
         planes = make_planes(dim, n_bits, seed)
-        blocks.append(lsh_bucket_expr(F.col(vec_col), planes).alias("_sub"))
+        blocks.append(lsh_bucket_expr(_q(vec_col), planes).alias("_sub"))
     blk_names = ["_blk"] if block_col else []
     if auto_bucket_target is not None:
         blk_names.append("_sub")
     if planes is not None and n_probes > 1:
-        # per-plane |dot| ascending: the least-confident planes first
-        conf = F.array_sort(
-            F.array(
-                *[
-                    F.struct(
-                        F.abs(
-                            dot_product(F.col(vec_col), _as_double_array(p))
-                        ).alias("a"),
-                        F.lit(i).alias("p"),
-                    )
-                    for i, p in enumerate(planes)
-                ]
-            )
+        # per-plane |dot| ascending: the least-confident planes first —
+        # one SQL parse for the whole confidence array (r16 twins,
+        # tests/test_sql_twins.py pins tree equality for this shape)
+        conf_body = ",".join(
+            f"struct(abs({dot_product_sql(_q(vec_col), f'array({_sql_doubles(p)})')})"
+            f" AS a, {i} AS p)"
+            for i, p in enumerate(planes)
         )
+        conf = F.expr(f"array_sort(array({conf_body}))")
         blocks.append(
             F.slice(
                 F.transform(conf, lambda s: s.getField("p")), 1, n_probes - 1
@@ -1133,7 +1134,7 @@ def embedding_neardup_pairs(
         F.col(id_col),
         *blocks,
         F.col(vec_col),
-        l2_norm(F.col(vec_col)).alias("_n"),
+        l2_norm(_q(vec_col)).alias("_n"),
     )
     carry = list(blk_names) + (["_flips"] if planes is not None and n_probes > 1 else [])
     normed = with_norm.select(
@@ -1182,7 +1183,7 @@ def embedding_neardup_pairs(
     cond = F.col("id_a") < F.col("id_b")
     joined = a.join(b, blk_names).filter(cond) if blk_names else a.join(b, cond)
     return (
-        joined.withColumn("score", dot_product(F.col("v_a"), F.col("v_b")))
+        joined.withColumn("score", dot_product("`v_a`", "`v_b`"))
         .filter(F.col("score") >= tau)
         .select("id_a", "id_b", "score")
     )
@@ -1629,7 +1630,7 @@ def semantic_dedup(
     with_cluster = df.select(
         F.col(id_col),
         F.col(vec_col),
-        (-nearest_centroid_struct(F.col(vec_col), centroids).getField("neg_label"))
+        (-nearest_centroid_struct("`" + vec_col.replace("`", "``") + "`", centroids).getField("neg_label"))
         .cast("long")
         .alias("cluster"),
     )

@@ -158,8 +158,8 @@ def _postfilter_probe_loop(
                 F.col(query_id_col),
                 F.col(id_col),
                 cosine_similarity(
-                    F.transform(F.col(vec_col), lambda x: x.cast("double")),
-                    F.col("_qv"),
+                    f"transform(`{vec_col}`, x_0 -> CAST(x_0 AS DOUBLE))",
+                    "`_qv`",
                 ).alias("score"),
             )
         )

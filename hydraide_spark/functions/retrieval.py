@@ -281,8 +281,8 @@ def mmr_rerank(
             F.col(f"a.{id_col}").alias("ia"),
             F.col(f"b.{id_col}").alias("ib"),
             cosine_similarity(
-                F.col(f"a.{vec_col}").cast("array<double>"),
-                F.col(f"b.{vec_col}").cast("array<double>"),
+                f"CAST(`a`.`{vec_col}` AS ARRAY<DOUBLE>)",
+                f"CAST(`b`.`{vec_col}` AS ARRAY<DOUBLE>)",
             ).alias("s"),
         )
     )
@@ -773,8 +773,8 @@ def _collect_mmr_batch(
             F.col(f"a.{id_col}").alias("ia"),
             F.col(f"b.{id_col}").alias("ib"),
             cosine_similarity(
-                F.col(f"a.{vec_col}").cast("array<double>"),
-                F.col(f"b.{vec_col}").cast("array<double>"),
+                f"CAST(`a`.`{vec_col}` AS ARRAY<DOUBLE>)",
+                f"CAST(`b`.`{vec_col}` AS ARRAY<DOUBLE>)",
             ).alias("s"),
         )
     )

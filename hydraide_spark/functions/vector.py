@@ -29,7 +29,13 @@ from typing import Optional, Sequence
 
 from pyspark.sql import Column, DataFrame, Window as W, functions as F
 
-from ..query.filters import cosine_similarity, dot_product, l2_norm
+from ..query.filters import (
+    cosine_similarity,
+    cosine_similarity_sql,
+    dot_product,
+    dot_product_sql,
+    l2_norm,
+)
 
 
 def _sql_doubles(vs: Sequence[float]) -> str:
@@ -46,6 +52,50 @@ def _as_double_array(vs: Sequence[float]) -> Column:
     (~3 s per query at m*k*d0=1024); a single F.expr string parses
     JVM-side in milliseconds and produces the identical literal."""
     return F.expr(f"array({_sql_doubles(vs)})")
+
+
+# --- SQL-text twins of the per-model expression builders (r16) -------------
+#
+# Same move as _as_double_array, one level up (guide §1.2 step 2 /
+# §7.3 "planning time itself can become the bottleneck" — here it is
+# py4j round trips, ~25-40 ms per Column-API dot/cosine, × planes or
+# centroids × queries): the model-loop builders (LSH bucket bits,
+# centroid score arrays) assemble their WHOLE expression as one SQL
+# string and parse once. The SQL mirrors the Column construction token
+# for token — pyspark names lambda parameters positionally (x/y/z plus
+# a global counter), so with x_0/y_0-style names the analyzed trees are
+# identical after normalizing the counter digits and expr ids
+# (tests/test_sql_twins.py pins tree equality per builder; execution
+# plans cannot differ because the trees do not).
+#
+# Dispatch convention: ``Column | str`` inputs — a str is a SQL
+# fragment (callers quote plain column names via ``_q``) and routes
+# the builder through the single-parse path.
+
+
+def _q(name: str) -> str:
+    """Backtick-quoted SQL identifier for a plain column name."""
+    return "`" + name.replace("`", "``") + "`"
+
+
+def _lsh_bucket_sql(vec_frag: str, planes: Sequence[Sequence[float]]) -> str:
+    bits = [
+        f"CASE WHEN {dot_product_sql(vec_frag, f'array({_sql_doubles(p)})')}"
+        " >= 0 THEN '1' ELSE '0' END"
+        for p in planes
+    ]
+    return f"concat({','.join(bits)})"
+
+
+def _centroid_scores_sql(
+    vec_frag: str, centroids: Sequence[Sequence[float]]
+) -> str:
+    body = ",".join(
+        f"struct({dot_product_sql(vec_frag, f'array({_sql_doubles(c)})')} AS s,"
+        f" {j} AS j)"
+        for j, c in enumerate(centroids)
+    )
+    return f"array({body})"
 
 
 def two_stage_topk(
@@ -107,15 +157,21 @@ def cosine_topk(
     scored = df.join(F.broadcast(q)).select(
         F.col(query_id_col),
         F.col(id_col),
-        cosine_similarity(F.col(vec_col), F.col("_qv")).alias("score"),
+        cosine_similarity(_q(vec_col), _q("_qv")).alias("score"),
     )
     order = [F.col("score").desc(), F.col(id_col).asc()]
     return two_stage_topk(scored, k, query_id_col, order).drop("rank")
 
 
-def lsh_bucket_expr(vec_col: Column, planes: Sequence[Sequence[float]]) -> Column:
+def lsh_bucket_expr(
+    vec_col: "Column | str", planes: Sequence[Sequence[float]]
+) -> Column:
     """Sign-bit bucket id for random-hyperplane LSH: one char per plane,
-    '1' if dot(v, plane) >= 0. Pure column expression."""
+    '1' if dot(v, plane) >= 0. Pure column expression. A ``str`` input
+    is a SQL fragment: the whole bucket expression then builds via ONE
+    SQL parse (identical tree — tests/test_sql_twins.py)."""
+    if isinstance(vec_col, str):
+        return F.expr(_lsh_bucket_sql(vec_col, planes))
     bits = [
         F.when(dot_product(vec_col, _as_double_array(p)) >= 0, F.lit("1")).otherwise(
             F.lit("0")
@@ -150,15 +206,15 @@ def lsh_topk(
     the corpus can be bucketed/partitioned once and reused across query
     batches — no full-corpus scan per query."""
     planes = make_planes(dim, n_bits, seed)
-    corpus = df.withColumn("_bucket", lsh_bucket_expr(F.col(vec_col), planes))
+    corpus = df.withColumn("_bucket", lsh_bucket_expr(_q(vec_col), planes))
     q = queries.select(
         F.col(query_id_col),
         F.col(query_vec_col).cast("array<double>").alias("_qv"),
-    ).withColumn("_bucket", lsh_bucket_expr(F.col("_qv"), planes))
+    ).withColumn("_bucket", lsh_bucket_expr(_q("_qv"), planes))
     cand = corpus.join(F.broadcast(q), "_bucket").select(
         F.col(query_id_col),
         F.col(id_col),
-        cosine_similarity(F.col(vec_col), F.col("_qv")).alias("score"),
+        cosine_similarity(_q(vec_col), _q("_qv")).alias("score"),
     )
     w = W.partitionBy(query_id_col).orderBy(F.col("score").desc(), F.col(id_col).asc())
     return (
@@ -227,22 +283,19 @@ def lsh_multiprobe_topk(
     a corpus row matches at most one probe string (buckets partition
     the corpus), so no dedup is needed."""
     planes = make_planes(dim, n_bits, seed)
-    corpus = df.withColumn("_bucket", lsh_bucket_expr(F.col(vec_col), planes))
+    corpus = df.withColumn("_bucket", lsh_bucket_expr(_q(vec_col), planes))
+    qv_frag = f"CAST({_q(query_vec_col)} AS ARRAY<DOUBLE>)"
     qv = F.col(query_vec_col).cast("array<double>")
-    base_bucket = lsh_bucket_expr(qv, planes)
+    base_bucket = lsh_bucket_expr(qv_frag, planes)
     # per-plane |dot| with the plane index; ascending sort puts the
-    # least-confident planes first (ties break on the plane index)
-    conf = F.array_sort(
-        F.array(
-            *[
-                F.struct(
-                    F.abs(dot_product(qv, _as_double_array(p))).alias("a"),
-                    F.lit(i).alias("p"),
-                )
-                for i, p in enumerate(planes)
-            ]
-        )
+    # least-confident planes first (ties break on the plane index) —
+    # one SQL parse for the whole confidence array (r16 twins)
+    conf_body = ",".join(
+        f"struct(abs({dot_product_sql(qv_frag, f'array({_sql_doubles(p)})')}) AS a,"
+        f" {i} AS p)"
+        for i, p in enumerate(planes)
     )
+    conf = F.expr(f"array_sort(array({conf_body}))")
     flip_positions = F.slice(
         F.transform(conf, lambda s: s.getField("p")), 1, n_probes - 1
     )
@@ -273,7 +326,7 @@ def lsh_multiprobe_topk(
     cand = corpus.join(F.broadcast(q), "_bucket").select(
         F.col(query_id_col),
         F.col(id_col),
-        cosine_similarity(F.col(vec_col), F.col("_qv")).alias("score"),
+        cosine_similarity(_q(vec_col), _q("_qv")).alias("score"),
     )
     w = W.partitionBy(query_id_col).orderBy(F.col("score").desc(), F.col(id_col).asc())
     return (
@@ -374,11 +427,11 @@ def lsh_knn_self_join(
     b = df.select(
         F.col(id_col),
         F.col(vec_col),
-        lsh_bucket_expr(F.col(vec_col), planes).alias("_bucket"),
+        lsh_bucket_expr(_q(vec_col), planes).alias("_bucket"),
     )
     if adaptive_target is not None:
         xplanes = make_planes(dim, KNN_ADAPTIVE_MAX_BITS, seed + 1000)
-        b = b.withColumn("_sub", lsh_bucket_expr(F.col(vec_col), xplanes))
+        b = b.withColumn("_sub", lsh_bucket_expr(_q(vec_col), xplanes))
         depth = (
             F.when(
                 F.col("_c") > 2 * int(adaptive_target),
@@ -423,8 +476,8 @@ def lsh_knn_self_join(
         "id_a",
         "id_b",
         cosine_similarity(
-            F.transform(F.col("_va"), lambda x: x.cast("double")),
-            F.transform(F.col("_vb"), lambda x: x.cast("double")),
+            "transform(`_va`, x_0 -> CAST(x_0 AS DOUBLE))",
+            "transform(`_vb`, x_0 -> CAST(x_0 AS DOUBLE))",
         ).alias("score"),
     )
     w = W.partitionBy("id_a").orderBy(F.col("score").desc(), F.col("id_b").asc())
@@ -467,9 +520,14 @@ def train_ivf_centroids(
     return C.tolist()
 
 
-def _centroid_scores(vec_col: Column, centroids: Sequence[Sequence[float]]) -> Column:
+def _centroid_scores(
+    vec_col: "Column | str", centroids: Sequence[Sequence[float]]
+) -> Column:
     """array<struct<s,j>>: dot(v, centroid_j) per centroid. argmax over j
-    is scale-invariant in v, so v need not be normalized."""
+    is scale-invariant in v, so v need not be normalized. A ``str``
+    input builds the whole array via ONE SQL parse (identical tree)."""
+    if isinstance(vec_col, str):
+        return F.expr(_centroid_scores_sql(vec_col, centroids))
     return F.array(
         *[
             F.struct(
@@ -481,9 +539,16 @@ def _centroid_scores(vec_col: Column, centroids: Sequence[Sequence[float]]) -> C
     )
 
 
-def ivf_cell_expr(vec_col: Column, centroids: Sequence[Sequence[float]]) -> Column:
+def ivf_cell_expr(
+    vec_col: "Column | str", centroids: Sequence[Sequence[float]]
+) -> Column:
     """Nearest-centroid cell id — pure column expression (the corpus is
     assigned once at write time; the cell is a partition/bucket key)."""
+    if isinstance(vec_col, str):
+        return F.expr(
+            f"element_at(reverse(array_sort("
+            f"{_centroid_scores_sql(vec_col, centroids)})), 1).j"
+        )
     scored = F.reverse(F.array_sort(_centroid_scores(vec_col, centroids)))
     return F.element_at(scored, 1).getField("j")
 
@@ -506,7 +571,7 @@ def ivf_topk(
     to nprobe/n_centroids of the data. The 100 TB layout writes the
     corpus partitioned by cell, making the probe a partition-pruned
     read."""
-    corpus = df.withColumn("_cell", ivf_cell_expr(F.col(vec_col), centroids))
+    corpus = df.withColumn("_cell", ivf_cell_expr(_q(vec_col), centroids))
     q = queries.select(
         F.col(query_id_col), F.col(query_vec_col).cast("array<double>").alias("_qv")
     )
@@ -516,7 +581,7 @@ def ivf_topk(
         F.explode(
             F.transform(
                 F.slice(
-                    F.reverse(F.array_sort(_centroid_scores(F.col("_qv"), centroids))),
+                    F.reverse(F.array_sort(_centroid_scores(_q("_qv"), centroids))),
                     1,
                     nprobe,
                 ),
@@ -527,7 +592,7 @@ def ivf_topk(
     cand = corpus.join(F.broadcast(probed), "_cell").select(
         F.col(query_id_col),
         F.col(id_col),
-        cosine_similarity(F.col(vec_col), F.col("_qv")).alias("score"),
+        cosine_similarity(_q(vec_col), _q("_qv")).alias("score"),
     )
     w = W.partitionBy(query_id_col).orderBy(F.col("score").desc(), F.col(id_col).asc())
     return (
@@ -844,7 +909,7 @@ def ivfadc_topk(
     tests, rows-only in the gate."""
     enc = df.select(
         F.col(id_col),
-        ivf_cell_expr(F.col(vec_col), cell_centroids).alias("_cell"),
+        ivf_cell_expr(_q(vec_col), cell_centroids).alias("_cell"),
         pq_codes_expr(F.col(vec_col), codebooks, dim).alias("codes"),
     )
     raw = df.select(F.col(id_col), F.col(vec_col).alias("_v"))
@@ -910,7 +975,12 @@ def ivfadc_rank_codes(
             F.transform(
                 F.slice(
                     F.reverse(
-                        F.array_sort(_centroid_scores(qv, cell_centroids))
+                        F.array_sort(
+                            _centroid_scores(
+                                f"CAST({_q(query_vec_col)} AS ARRAY<DOUBLE>)",
+                                cell_centroids,
+                            )
+                        )
                     ),
                     1,
                     nprobe,
@@ -1053,7 +1123,7 @@ def kmeans_assign(
     Each cosine is evaluated once: scores pack into an array of
     ``struct(score, -label)`` and ``array_max``'s lexicographic struct
     ordering performs the argmax with the smallest-label tiebreak."""
-    top = nearest_centroid_struct(F.col(vec_col), centroids)
+    top = nearest_centroid_struct(_q(vec_col), centroids)
     return df.select(
         F.col(id_col),
         (-top.getField("neg_label")).cast("long").alias("label"),
@@ -1062,11 +1132,19 @@ def kmeans_assign(
 
 
 def nearest_centroid_struct(
-    vec_col: Column, centroids: Sequence[tuple[int, Sequence[float]]]
+    vec_col: "Column | str", centroids: Sequence[tuple[int, Sequence[float]]]
 ) -> Column:
     """``struct(score, neg_label)`` of the argmax-cosine centroid — the
     pure-expression E-step core shared by ``kmeans_assign`` and
-    ``semantic_dedup`` (label = ``-getField('neg_label')``)."""
+    ``semantic_dedup`` (label = ``-getField('neg_label')``). A ``str``
+    input builds the whole array via ONE SQL parse (identical tree)."""
+    if isinstance(vec_col, str):
+        body = ",".join(
+            f"struct({cosine_similarity_sql(vec_col, f'array({_sql_doubles(vec)})')}"
+            f" AS score, CAST({-int(label)} AS BIGINT) AS neg_label)"
+            for label, vec in centroids
+        )
+        return F.expr(f"array_max(array({body}))")
     entries = []
     for label, vec in centroids:
         c = _as_double_array(vec)
@@ -1136,7 +1214,7 @@ def centroid_drift(
         F.col("n_a").cast("long").alias("n_a"),
         F.col("n_b").cast("long").alias("n_b"),
         F.round(
-            cosine_similarity(F.col("c_a"), F.col("c_b")), 10
+            cosine_similarity(_q("c_a"), _q("c_b")), 10
         ).alias("centroid_cos"),
     )
 
@@ -1311,7 +1389,7 @@ def ivf_int8_topk(
     bounded-collect-free transform as :func:`ivf_topk`."""
     corpus = df.select(
         F.col(id_col),
-        ivf_cell_expr(F.col(vec_col), centroids).alias("_cell"),
+        ivf_cell_expr(_q(vec_col), centroids).alias("_cell"),
         int8_quantize_expr(F.col(vec_col)).getField("q").alias("q"),
     )
     q = queries.select(
@@ -1324,7 +1402,7 @@ def ivf_int8_topk(
         F.explode(
             F.transform(
                 F.slice(
-                    F.reverse(F.array_sort(_centroid_scores(F.col("_qv"), centroids))),
+                    F.reverse(F.array_sort(_centroid_scores(_q("_qv"), centroids))),
                     1,
                     nprobe,
                 ),

@@ -112,13 +112,14 @@ def hybrid_search_rrf(spark, sf_dir):
     lex = ranked_list(lex_scored, "doc_id", "score", topk=50)
 
     qv = _query_vec(spark, sf_dir, 0)
+    from ..functions.vector import _sql_doubles
     from ..query.filters import cosine_similarity
 
     dense_scored = emb.select(
         F.col("vec_id").alias("doc_id"),
         cosine_similarity(
-            F.col("embedding"),
-            F.array(*[F.lit(x) for x in qv]).cast("array<double>"),
+            "`embedding`",
+            f"CAST(array({_sql_doubles(qv)}) AS ARRAY<DOUBLE>)",
         ).alias("score"),
     )
     dense = ranked_list(dense_scored, "doc_id", "score", topk=50)
@@ -183,6 +184,7 @@ def mmr_diversified_rerank(spark, sf_dir):
     so the selection SEQUENCE matches exactly; rank-only output keeps
     the comparison integer-exact."""
     from ..functions.retrieval import mmr_rerank
+    from ..functions.vector import _sql_doubles
     from ..query.filters import cosine_similarity
 
     emb = t(spark, sf_dir, "embeddings")
@@ -191,8 +193,8 @@ def mmr_diversified_rerank(spark, sf_dir):
         "vec_id",
         "embedding",
         cosine_similarity(
-            F.col("embedding").cast("array<double>"),
-            F.array(*[F.lit(x) for x in qv]).cast("array<double>"),
+            "CAST(`embedding` AS ARRAY<DOUBLE>)",
+            f"CAST(array({_sql_doubles(qv)}) AS ARRAY<DOUBLE>)",
         ).alias("rel"),
     )
     cand = scored.orderBy(F.col("rel").desc(), F.col("vec_id").asc()).limit(20)
@@ -1049,6 +1051,7 @@ def mmr_lambda_sweep(spark, sf_dir):
     output keeps the comparison integer-exact, so best-λ selection
     downstream is engine-stable."""
     from ..functions.retrieval import mmr_lambda_sweep as sweep
+    from ..functions.vector import _sql_doubles
     from ..query.filters import cosine_similarity
 
     emb = t(spark, sf_dir, "embeddings")
@@ -1057,8 +1060,8 @@ def mmr_lambda_sweep(spark, sf_dir):
         "vec_id",
         "embedding",
         cosine_similarity(
-            F.col("embedding").cast("array<double>"),
-            F.array(*[F.lit(x) for x in qv]).cast("array<double>"),
+            "CAST(`embedding` AS ARRAY<DOUBLE>)",
+            f"CAST(array({_sql_doubles(qv)}) AS ARRAY<DOUBLE>)",
         ).alias("rel"),
     )
     cand = (

@@ -75,8 +75,10 @@ def vector_filter(spark, sf_dir):
     emb = t(spark, sf_dir, "embeddings")
     qv = _query_vec(spark, sf_dir, 0)
     vs = VectorSim("embedding", qv, 0.25, normalize=True)
+    from ..functions.vector import _sql_doubles
+
     score = cosine_similarity(
-        F.col("embedding"), F.array(*[F.lit(x) for x in qv]).cast("array<double>")
+        "`embedding`", f"CAST(array({_sql_doubles(qv)}) AS ARRAY<DOUBLE>)"
     )
     return (
         emb.filter(translate(vs, emb))

@@ -367,24 +367,67 @@ def phrase_column_pandas(map_col: Column, words: Sequence[str]) -> Column:
     return matcher(map_col)
 
 
-def dot_product(a: Column, b: Column) -> Column:
+# --- SQL-text twins of the vector-math expression builders (r16) ----------
+#
+# Building these higher-order-function expressions through the Column
+# API costs ~25-30 ms of py4j round trips PER CALL (each lambda is a
+# dozen JVM object constructions); one SQL parse builds the identical
+# Catalyst tree in ~1 ms. The templates mirror the API construction
+# token for token — pyspark names lambda parameters positionally
+# (x/y/z + a global counter), so the SQL variables use the same
+# letters with a digit suffix and the plans are byte-identical after
+# number normalization (verified per query in plans/r16). Helpers
+# below accept ``Column | str``: a str is a SQL fragment and routes
+# through the single-parse path.
+
+
+def dot_product_sql(a: str, b: str) -> str:
+    """SQL text of :func:`dot_product` over two SQL array fragments."""
+    return (
+        f"aggregate(zip_with({a}, {b}, (x_0, y_0) -> CAST(x_0 AS DOUBLE)"
+        f" * CAST(y_0 AS DOUBLE)), 0.0D, (x_1, y_1) -> x_1 + y_1)"
+    )
+
+
+def l2_norm_sql(a: str) -> str:
+    """SQL text of :func:`l2_norm` over a SQL array fragment."""
+    return (
+        f"sqrt(aggregate({a}, 0.0D, (x_0, y_0) -> x_0 +"
+        f" CAST(y_0 AS DOUBLE) * CAST(y_0 AS DOUBLE)))"
+    )
+
+
+def cosine_similarity_sql(a: str, b: str) -> str:
+    """SQL text of :func:`cosine_similarity` over SQL array fragments."""
+    return f"({dot_product_sql(a, b)} / ({l2_norm_sql(a)} * {l2_norm_sql(b)}))"
+
+
+def dot_product(a: "Column | str", b: "Column | str") -> Column:
     """Dot product of two float array columns, accumulated in double.
 
     Pure higher-order-function encoding (zip_with + aggregate) — stays
     JVM-side. For very high dimensional batch scoring the pandas-UDF
     variant in ``functions.vector`` trades this for numpy BLAS.
+    ``str`` inputs are SQL fragments: the whole expression then builds
+    via ONE SQL parse instead of ~30 py4j round trips (identical tree).
     """
+    if isinstance(a, str) and isinstance(b, str):
+        return F.expr(dot_product_sql(a, b))
     prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
     return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
 
 
-def l2_norm(a: Column) -> Column:
+def l2_norm(a: "Column | str") -> Column:
+    if isinstance(a, str):
+        return F.expr(l2_norm_sql(a))
     return F.sqrt(
         F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double"))
     )
 
 
-def cosine_similarity(a: Column, b: Column) -> Column:
+def cosine_similarity(a: "Column | str", b: "Column | str") -> Column:
+    if isinstance(a, str) and isinstance(b, str):
+        return F.expr(cosine_similarity_sql(a, b))
     return dot_product(a, b) / (l2_norm(a) * l2_norm(b))
 
 

@@ -192,7 +192,7 @@ def ivf_query_persisted(
             F.col(query_id_col),
             F.col(id_col),
             cosine_similarity(
-                F.col(vec_col).cast("array<double>"), F.col("_qv")
+                f"CAST(`{vec_col}` AS ARRAY<DOUBLE>)", "`_qv`"
             ).alias("score"),
         )
     )
