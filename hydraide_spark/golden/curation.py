@@ -2860,7 +2860,7 @@ def pdf_text_extract_docs(spark, sf_dir):
     from ..functions.pdf import pdf_text_extract
 
     docs = parallelize_small(
-        parallelize_small(t(spark, sf_dir, "documents")).select("doc_id"), cap=16
+        t(spark, sf_dir, "documents").select("doc_id"), cap=16
     )
 
     tail = _PDF_TAIL

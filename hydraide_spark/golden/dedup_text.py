@@ -924,7 +924,7 @@ def decontaminate_docs(spark, sf_dir):
     from ._util import parallelize_small
 
     docs = parallelize_small(
-        parallelize_small(t(spark, sf_dir, "documents")).select(big("doc_id").alias("doc_id"), "text")
+        t(spark, sf_dir, "documents").select(big("doc_id").alias("doc_id"), "text")
     )
     ev = docs.filter(F.col("doc_id") % 41 == 0)
     train = docs.filter(F.col("doc_id") % 41 != 0)
@@ -965,7 +965,7 @@ def boilerplate_stats_docs(spark, sf_dir):
     from ._util import parallelize_small
 
     docs = parallelize_small(
-        parallelize_small(t(spark, sf_dir, "documents")).select(big("doc_id").alias("doc_id"), "text")
+        t(spark, sf_dir, "documents").select(big("doc_id").alias("doc_id"), "text")
     )
     return boilerplate_stats(docs, n=3, min_df=5, frac_denominator=10)
 
@@ -1085,7 +1085,7 @@ def vocab_encode_docs(spark, sf_dir):
     from ._util import parallelize_small
 
     docs = parallelize_small(
-        parallelize_small(t(spark, sf_dir, "documents")).select(big("doc_id").alias("doc_id"), "text")
+        t(spark, sf_dir, "documents").select(big("doc_id").alias("doc_id"), "text")
     )
     counts = top_ngrams(docs, "text", n=1, k=100)
     w = W.orderBy(F.col("n_occurrences").desc(), F.col("gram").asc())
