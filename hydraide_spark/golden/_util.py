@@ -71,6 +71,16 @@ def n_rows_memo(spark: SparkSession, sf_dir: str, name: str) -> int:
     return _STAT_MEMO[key]
 
 
+def stat_memo(key: tuple, compute):
+    """Memo an INPUT CONSTANT that is a pure function of the immutable
+    sf_dir fixtures (same convention and same line as
+    :func:`n_rows_memo`: corpus statistics feeding request parameters
+    may memo; anything that IS a query's output may not)."""
+    if key not in _STAT_MEMO:
+        _STAT_MEMO[key] = compute()
+    return _STAT_MEMO[key]
+
+
 def parallelize_small(df: DataFrame, cap: int | None = None) -> DataFrame:
     """Spread a small-file input across the cluster before compute-heavy
     per-row work (hashing, UDF batches). Local parquet fixtures arrive

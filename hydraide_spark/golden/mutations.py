@@ -17,7 +17,7 @@ from ..operators import claims as C
 from ..operators import mutate as M
 from ..query import And, Cmp, Index, IndexOrder, IndexType, Op
 from . import golden
-from ._util import ORDERS_SWAMP_SQL, big, orders_as_swamp, t
+from ._util import ORDERS_SWAMP_SQL, big, orders_as_swamp, stat_memo, t
 
 
 def _customer_kv(spark, sf_dir):
@@ -466,7 +466,12 @@ def patch_cap_budget(spark, sf_dir):
         F.col("c_custkey").cast("string").alias("key"),
         F.struct(F.col("c_acctbal").alias("bal")).alias("body"),
     )
-    pre = base.filter(F.col("body.bal") >= 9000.0).count()
+    # input constant (fixture statistic -> the request's cap literal);
+    # memoized per process like n_rows_memo
+    pre = stat_memo(
+        ("cust_bal_ge_9000", sf_dir),
+        lambda: base.filter(F.col("body.bal") >= 9000.0).count(),
+    )
     out = M.patch_treasures_batch(
         spark,
         base,
@@ -598,7 +603,12 @@ def patch_each_cap(spark, sf_dir):
         F.col("c_custkey").cast("string").alias("key"),
         F.struct(F.col("c_acctbal").alias("bal")).alias("body"),
     )
-    pre = base.filter(F.col("body.bal") >= 9000.0).count()
+    # input constant (fixture statistic -> the request's cap literal);
+    # memoized per process like n_rows_memo
+    pre = stat_memo(
+        ("cust_bal_ge_9000", sf_dir),
+        lambda: base.filter(F.col("body.bal") >= 9000.0).count(),
+    )
     cond = Cmp("body.bal", Op.LT, 9500.0)
     inc = lambda d: [M.PatchOp(M.PatchKind.INC, "bal", d)]  # noqa: E731
     out = M.patch_each_batch(

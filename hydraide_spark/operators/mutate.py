@@ -409,16 +409,19 @@ def patch_treasures(
 class PatchBatch:
     """Result of :func:`patch_treasures_batch`: per-key status rows,
     the full new state, and the accepted (patched/created) rows for
-    event emission. ``unpersist()`` releases the internal cache once
+    event emission. ``unpersist()`` releases the internal caches once
     the caller has consumed all three frames."""
 
     results: DataFrame
     new_state: DataFrame
     applied: DataFrame
     _cached: DataFrame
+    _deps: tuple = ()
 
     def unpersist(self) -> None:
         self._cached.unpersist()
+        for d in self._deps:
+            d.unpersist()
 
 
 def patch_treasures_batch(
@@ -471,17 +474,58 @@ def patch_treasures_batch(
     keys = list(dict.fromkeys(keys))
     if cap is not None and cap.max_matching <= 0:
         raise ValueError("Cap.max_matching must be > 0 (proto:3040)")
+    # resolve the meta timestamp ONCE: the targeted and created legs
+    # are patched by separate patch_treasures calls below and must
+    # stamp the same updated_at
+    if meta is not None and meta.updated_at and now_us is None:
+        import time as _time
+
+        now_us = int(_time.time_ns() // 1_000)
     kdf = spark.createDataFrame(
         [(k, i) for i, k in enumerate(keys)],
         f"{key_col} string, _req_idx int",
     )
     targeted = base.join(F.broadcast(kdf), key_col, "inner")
+
+    # stash the pre-patch row (for CAP_EXCEEDED revert) and the
+    # pre-patch cap membership; patch_treasures is a per-row
+    # projection, so patching the targeted and created legs separately
+    # and unioning is row-for-row identical to patching their union
+    orig_cols = [c for c in base.columns if c != key_col]
+
+    def _prep(frame):
+        w = frame.withColumn(
+            "_orig", F.struct(*[F.col(c) for c in orig_cols])
+        )
+        if cap is not None:
+            w = w.withColumn(
+                "_pre_match",
+                F.when(F.col("_created"), F.lit(False)).otherwise(
+                    F.coalesce(translate(cap.filter, w), F.lit(False))
+                ),
+            )
+        return patch_treasures(
+            w,
+            ops,
+            condition=condition,
+            key_col=key_col,
+            body_col=body_col,
+            meta=meta,
+            now_us=now_us,
+        )
+
+    # ONE state scan (r16, guide §1.2 fewer jobs): cache the patched
+    # TARGETED rows and collect the hit keys FROM that cache — the
+    # collect is itself the cache-fill action, where previously a
+    # separate hit_keys job scanned the state before the cache-fill
+    # scanned it again. Both frames are request-bounded (≤ len(keys)).
+    patched0 = _prep(targeted.withColumn("_created", F.lit(False))).cache()
     hit_keys = {
-        r[0] for r in targeted.select(key_col).collect()
+        r[0] for r in patched0.select(key_col).collect()
     }  # bounded by len(keys)
     missing = [k for k in keys if k not in hit_keys]
 
-    work = targeted.withColumn("_created", F.lit(False))
+    patched = patched0
     if create_if_not_exist and missing:
         body_type = base.schema[body_col].dataType
         created_raw = spark.createDataFrame(
@@ -497,29 +541,9 @@ def patch_treasures_batch(
         for c, t in base.dtypes:
             if c not in (key_col, body_col):
                 created_raw = created_raw.withColumn(c, F.lit(None).cast(t))
-        work = work.unionByName(created_raw.withColumn("_created", F.lit(True)))
-
-    # stash the pre-patch row (for CAP_EXCEEDED revert) and the
-    # pre-patch cap membership
-    orig_cols = [c for c in base.columns if c != key_col]
-    work = work.withColumn("_orig", F.struct(*[F.col(c) for c in orig_cols]))
-    if cap is not None:
-        work = work.withColumn(
-            "_pre_match",
-            F.when(F.col("_created"), F.lit(False)).otherwise(
-                F.coalesce(translate(cap.filter, work), F.lit(False))
-            ),
+        patched = patched.unionByName(
+            _prep(created_raw.withColumn("_created", F.lit(True)))
         )
-
-    patched = patch_treasures(
-        work,
-        ops,
-        condition=condition,
-        key_col=key_col,
-        body_col=body_col,
-        meta=meta,
-        now_us=now_us,
-    )
 
     if cap is not None:
         # capPreCount: whole-swamp, once, pre-mutation — as a broadcast
@@ -550,6 +574,8 @@ def patch_treasures_batch(
         )
     else:
         patched = patched.withColumn("_capped", F.lit(False))
+    # the fill reads patched0's cache (plus the budget aggregate's one
+    # state scan under cap) — request-bounded rows, no second state scan
     patched = patched.cache()
     patched.count()
 
@@ -600,7 +626,7 @@ def patch_treasures_batch(
     new_state = untargeted.unionByName(new_rows)
 
     applied = patched.filter(applied_pred)
-    return PatchBatch(results, new_state, applied, patched)
+    return PatchBatch(results, new_state, applied, patched, (patched0,))
 
 
 @dataclass
@@ -796,20 +822,20 @@ def patch_each_batch(
         return out.withColumns(cols)
 
     capped: list[set] = [set() for _ in rounds]
+    found: "set | None" = None
 
     if cap is not None:
         # capPreCount (gateway_patch.go:98-105): whole-swamp, once,
-        # pre-mutation; one scan-side aggregate, O(1) result
-        budget = int(
-            base.agg(
-                F.greatest(
-                    F.lit(0),
-                    F.lit(int(cap.max_matching))
-                    - F.count_if(
-                        F.coalesce(translate(cap.filter, base), F.lit(False))
-                    ),
-                ).alias("b")
-            ).collect()[0][0]
+        # pre-mutation; one scan-side aggregate, broadcast onto the
+        # probe rows below so it needs no job of its own
+        budget_df = base.agg(
+            F.greatest(
+                F.lit(0),
+                F.lit(int(cap.max_matching))
+                - F.count_if(
+                    F.coalesce(translate(cap.filter, base), F.lit(False))
+                ),
+            ).alias("_budget")
         )
 
         def _chain(upto):
@@ -818,9 +844,9 @@ def patch_each_batch(
                 out = _apply_round(out, rr, capped[rr])
             return out
 
-        def _probe(r):
-            """One bounded job: the (cond, pre, post) bits of round r's
-            keys, post-match on the candidate-patched row (meta stamps
+        def _probe_frame(r):
+            """The (cond, pre, post) bits of round r's keys as a lazy
+            frame, post-match on the candidate-patched row (meta stamps
             included, matching patch_treasures_batch). The isin filter
             rides the untouched key column down to the scan; output is
             <= len(rounds[r]) rows."""
@@ -841,17 +867,50 @@ def patch_each_batch(
                 probe_cols["updated_by"] = ub
                 probe_cols[expired_col] = ex
             probe = out_r.filter(key_c.isin(round_keys)).withColumns(probe_cols)
+            return probe.select(
+                key_c.alias("_k"),
+                "_cond_ok",
+                "_pre",
+                F.coalesce(
+                    translate(cap.filter, probe), F.lit(False)
+                ).alias("_post"),
+            )
+
+        def _probe(r):
             return {
-                row[0]: (row[1], row[2], row[3])
-                for row in probe.select(
-                    key_c,
-                    "_cond_ok",
-                    "_pre",
-                    F.coalesce(
-                        translate(cap.filter, probe), F.lit(False)
-                    ).alias("_post"),
-                ).collect()
+                row["_k"]: (row["_cond_ok"], row["_pre"], row["_post"])
+                for row in _probe_frame(r).collect()
             }
+
+        # ONE upfront job for EVERY round's bits plus the budget (r16,
+        # guide §1.2 fewer jobs; previously one pre-count job + one job
+        # per round): the union is computed optimistically with NO
+        # capped keys — valid because a probe row is only wrong for a
+        # key one of whose EARLIER entries got capped, which is exactly
+        # the staleness the walk below already tracks and lazily
+        # re-probes.
+        union = None
+        for r in range(len(rounds)):
+            pf = _probe_frame(r).withColumn("_round", F.lit(r))
+            union = pf if union is None else union.unionByName(pf)
+        probe_rows = union.crossJoin(F.broadcast(budget_df)).collect()
+        probes: dict[int, dict] = {r: {} for r in range(len(rounds))}
+        stale: dict[int, set] = {r: set() for r in range(len(rounds))}
+        budget = None
+        for row in probe_rows:
+            probes[row["_round"]][row["_k"]] = (
+                row["_cond_ok"], row["_pre"], row["_post"],
+            )
+            budget = row["_budget"]
+        if budget is None:
+            # every requested key is missing: no probe row carried the
+            # broadcast budget — irrelevant to the walk (nothing can
+            # spend), but keep the variable an int
+            budget = 0
+        budget = int(budget)
+        # round-0 probes cover every key's first occurrence, so the
+        # request's present-key set falls out of the same job
+        found = set(probes[0])
 
         # Budget walk in GLOBAL entry order (gateway_patch.go threads
         # one budgetLeft through the patches loop) — NOT round order:
@@ -867,10 +926,8 @@ def patch_each_batch(
             for r, ents in enumerate(rounds)
             for idx, k, _, _, _ in ents
         )
-        probes: dict[int, dict] = {}
-        stale: dict[int, set] = {}
         for idx, k, r in flat:
-            if r not in probes or k in stale[r]:
+            if k in stale[r]:
                 probes[r] = _probe(r)
                 stale[r] = set()
             bits = probes[r].get(k)
@@ -897,7 +954,18 @@ def patch_each_batch(
         for c in (f"_status_{r}", f"_idx_{r}", f"_hit_{r}")
     ]
     out = out.cache()
-    out.count()
+    if found is None:
+        # the present-key collect IS the cache-fill action (one job;
+        # bounded by len(patches)) — the cap path already knows the
+        # set from its probe job and only needs the fill
+        found = {
+            row[0]
+            for row in out.filter(key_c.isin(all_keys))
+            .select(key_col)
+            .collect()
+        }
+    else:
+        out.count()
 
     per_round = [
         out.filter(F.col(f"_status_{r}").isNotNull()).select(
@@ -910,10 +978,6 @@ def patch_each_batch(
     results = per_round[0]
     for p in per_round[1:]:
         results = results.unionByName(p)
-    found = {
-        row[0]
-        for row in out.filter(key_c.isin(all_keys)).select(key_col).collect()
-    }  # bounded by len(patches)
     nf = [
         (idx, k)
         for r_entries in rounds
