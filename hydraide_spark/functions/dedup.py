@@ -294,8 +294,22 @@ def ngram_jaccard_pairs(
             fam.select(F.col("_rep").alias(id_col)), id_col, "left_semi"
         ).persist()
         pinned += [keyed, sizes]
-    pin_latest("dedup.ngram_jaccard_pairs", *pinned)
-    cand = _pair_jaccard_candidates(sizes, id_col, "sh", num, den)
+    # persist the candidate PAIR frame too (r16): it is two-long rows
+    # (78K at sf0.1 — trivial storage even at the 12M-pair x10 stress),
+    # but everything that produces it — the df aggregate, the per-doc
+    # rank window, the prefix self-join and the distinct — re-ran on
+    # every repeat invocation while only the inputs below it were warm
+    # (measured 3.7 s/pass at sf0.1, almost all of it these stages).
+    # Same pin_latest lifetime as the frames above.
+    cand = _pair_jaccard_candidates(sizes, id_col, "sh", num, den).persist()
+    pinned.append(cand)
+    # max_generations=16: NINE headline goldens call this site per
+    # bench pass (plain n=3 x6, collapsed, auto, auto_collapsed) — at
+    # the default 8 every pass evicted each variant before its next
+    # use (the r15 minhash-rotation lesson; measured: collapsed warm
+    # 1.2-1.75 s solo vs ~5 s under the family interleave). Storage is
+    # bounded by DISTINCT plans (CacheManager dedupes), not generations.
+    pin_latest("dedup.ngram_jaccard_pairs", *pinned, max_generations=16)
     out = _verify_pair_join(cand, sizes, id_col, num, den, n_salts=n_salts)
     if star is not None:
         out = out.unionByName(star)
@@ -473,7 +487,6 @@ def minhash_neardup_pairs(
             fam.select(F.col("_rep").alias(id_col)), id_col, "left_semi"
         ).persist()
         pinned += [keyed, sh]
-    pin_latest("dedup.minhash_neardup_pairs", *pinned)
     sig = sh.select(
         F.col(id_col),
         minhash_signature_array(F.col("sh"), k, engine_stable=engine_stable).alias(
@@ -500,7 +513,18 @@ def minhash_neardup_pairs(
         )
         .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
         .distinct()
+        # persist the candidate pairs (r16, same rationale as the ngram
+        # path): two-long rows, but signature + banding + self-join +
+        # distinct re-ran on every repeat invocation above the warm
+        # shingle cache
+        .persist()
     )
+    pinned.append(cand)
+    # max_generations=16: the headline rotation at this site spans the
+    # doc-level minhash variants plus the three chunk_neardup flavors
+    # (packed-chunk id_col) — same family-rotation sizing rule as the
+    # ngram site above; storage bounded by distinct plans.
+    pin_latest("dedup.minhash_neardup_pairs", *pinned, max_generations=16)
 
     sizes = sh.select(F.col(id_col), F.col("sh"), F.size("sh").alias("n_sh"))
     out = _verify_pair_join(
