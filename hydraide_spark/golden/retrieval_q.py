@@ -431,6 +431,48 @@ _EVAL_QUERIES = [
 _EVAL_K = 10
 
 
+def _eval_tf_frames(spark, sf_dir):
+    """The eval family's shared term-frequency legs (r16): ONE corpus
+    tokenize scan builds a persisted (kind, query_id, doc_id, cnt)
+    aggregate over the union of the rank- and grade-word dims; the
+    four eval goldens (metrics / run_compare / sign_test / param_sweep)
+    each previously re-ran 2-3 fused tokenize scans per call, ~12
+    corpus scans per bench pass family-wide. The persisted frame is
+    tiny (only query-matching docs) and plan-identical across the
+    goldens, so the CacheManager shares one entry. Returns
+    (tf_rank, tf_grade) with columns (query_id, doc_id, tf) — counts
+    identical to the per-dim joins they replace."""
+    from ..functions._cache import pin_latest
+    from ..functions.text import tokenize
+
+    docs = t(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id", F.explode(tokenize(F.col("text"))).alias("word")
+    )
+    qdim = spark.createDataFrame(
+        [
+            (k, q, w)
+            for q, wr, wg in _EVAL_QUERIES
+            for k, w in ((0, wr), (1, wg))
+        ],
+        "kind int, query_id int, word string",
+    )
+    hits = (
+        words.join(F.broadcast(qdim), "word")
+        .groupBy("kind", "query_id", "doc_id")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .persist()
+    )
+    pin_latest("golden.retrieval_eval.hits", hits)
+    tf_rank = hits.filter(F.col("kind") == 0).select(
+        "query_id", "doc_id", F.col("cnt").alias("tf")
+    )
+    tf_grade = hits.filter(F.col("kind") == 1).select(
+        "query_id", "doc_id", F.col("cnt").alias("tf")
+    )
+    return tf_rank, tf_grade
+
+
 def _denom_values_sql() -> str:
     from ..functions.retrieval import dcg_denominators
 
@@ -531,30 +573,15 @@ def retrieval_eval_metrics(spark, sf_dir):
     sums, and NDCG (the one decimal→double value) rounds to 10
     decimals per the repo's decimal-cast rule."""
     from ..functions.retrieval import ranked_list_grouped, retrieval_eval
-    from ..functions.text import tokenize
 
-    docs = t(spark, sf_dir, "documents")
-    words = docs.select(
-        "doc_id", F.explode(tokenize(F.col("text"))).alias("word")
-    )
-    qrank = spark.createDataFrame(
-        [(q, wr) for q, wr, _ in _EVAL_QUERIES], "query_id int, word string"
-    )
-    qgrade = spark.createDataFrame(
-        [(q, wg) for q, _, wg in _EVAL_QUERIES], "query_id int, word string"
-    )
-    tf_rank = (
-        words.join(F.broadcast(qrank), "word")
-        .groupBy("query_id", "doc_id")
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
+    tf_rank, tf_grade = _eval_tf_frames(spark, sf_dir)
     run = ranked_list_grouped(
         tf_rank, "doc_id", "tf", topk=_EVAL_K, group_col="query_id"
     )
-    labels = (
-        words.join(F.broadcast(qgrade), "word")
-        .groupBy("query_id", "doc_id")
-        .agg(F.least(F.count(F.lit(1)), F.lit(3)).cast("int").alias("grade"))
+    labels = tf_grade.select(
+        "query_id",
+        "doc_id",
+        F.least(F.col("tf"), F.lit(3)).cast("int").alias("grade"),
     )
     out = retrieval_eval(run, labels, k=_EVAL_K)
     return out.select(
@@ -691,36 +718,21 @@ def retrieval_run_compare(spark, sf_dir):
         compare_retrieval_runs,
         ranked_list_grouped,
     )
-    from ..functions.text import tokenize
 
-    docs = t(spark, sf_dir, "documents")
-    words = docs.select(
-        "doc_id", F.explode(tokenize(F.col("text"))).alias("word")
-    )
-    qrank = spark.createDataFrame(
-        [(q, wr) for q, wr, _ in _EVAL_QUERIES], "query_id int, word string"
-    )
-    qgrade = spark.createDataFrame(
-        [(q, wg) for q, _, wg in _EVAL_QUERIES], "query_id int, word string"
-    )
+    tf_rank, tf_grade = _eval_tf_frames(spark, sf_dir)
 
-    def run_of(qdim):
-        tf = (
-            words.join(F.broadcast(qdim), "word")
-            .groupBy("query_id", "doc_id")
-            .agg(F.count(F.lit(1)).alias("tf"))
-        )
+    def run_of(tf):
         return ranked_list_grouped(
             tf, "doc_id", "tf", topk=_EVAL_K, group_col="query_id"
         )
 
-    labels = (
-        words.join(F.broadcast(qgrade), "word")
-        .groupBy("query_id", "doc_id")
-        .agg(F.least(F.count(F.lit(1)), F.lit(3)).cast("int").alias("grade"))
+    labels = tf_grade.select(
+        "query_id",
+        "doc_id",
+        F.least(F.col("tf"), F.lit(3)).cast("int").alias("grade"),
     )
     return compare_retrieval_runs(
-        run_of(qrank), run_of(qgrade), labels, k=_EVAL_K
+        run_of(tf_rank), run_of(tf_grade), labels, k=_EVAL_K
     )
 
 
@@ -783,36 +795,21 @@ def retrieval_run_sign_test(spark, sf_dir):
         ranked_list_grouped,
         retrieval_sign_test,
     )
-    from ..functions.text import tokenize
 
-    docs = t(spark, sf_dir, "documents")
-    words = docs.select(
-        "doc_id", F.explode(tokenize(F.col("text"))).alias("word")
-    )
-    qrank = spark.createDataFrame(
-        [(q, wr) for q, wr, _ in _EVAL_QUERIES], "query_id int, word string"
-    )
-    qgrade = spark.createDataFrame(
-        [(q, wg) for q, _, wg in _EVAL_QUERIES], "query_id int, word string"
-    )
+    tf_rank, tf_grade = _eval_tf_frames(spark, sf_dir)
 
-    def run_of(qdim):
-        tf = (
-            words.join(F.broadcast(qdim), "word")
-            .groupBy("query_id", "doc_id")
-            .agg(F.count(F.lit(1)).alias("tf"))
-        )
+    def run_of(tf):
         return ranked_list_grouped(
             tf, "doc_id", "tf", topk=_EVAL_K, group_col="query_id"
         )
 
-    labels = (
-        words.join(F.broadcast(qgrade), "word")
-        .groupBy("query_id", "doc_id")
-        .agg(F.least(F.count(F.lit(1)), F.lit(3)).cast("int").alias("grade"))
+    labels = tf_grade.select(
+        "query_id",
+        "doc_id",
+        F.least(F.col("tf"), F.lit(3)).cast("int").alias("grade"),
     )
     return retrieval_sign_test(
-        run_of(qrank), run_of(qgrade), labels, k=_EVAL_K,
+        run_of(tf_rank), run_of(tf_grade), labels, k=_EVAL_K,
         max_n=len(_EVAL_QUERIES),
     )
 
@@ -963,36 +960,21 @@ def retrieval_param_sweep(spark, sf_dir):
     integer-exact window pick — best-k0 selection is engine-stable by
     construction."""
     from ..functions.retrieval import ranked_list_grouped, rrf_param_sweep
-    from ..functions.text import tokenize
 
-    docs = t(spark, sf_dir, "documents")
-    words = docs.select(
-        "doc_id", F.explode(tokenize(F.col("text"))).alias("word")
-    )
-    qrank = spark.createDataFrame(
-        [(q, wr) for q, wr, _ in _EVAL_QUERIES], "query_id int, word string"
-    )
-    qgrade = spark.createDataFrame(
-        [(q, wg) for q, _, wg in _EVAL_QUERIES], "query_id int, word string"
-    )
+    tf_rank, tf_grade = _eval_tf_frames(spark, sf_dir)
 
-    def run_of(qdim):
-        tf = (
-            words.join(F.broadcast(qdim), "word")
-            .groupBy("query_id", "doc_id")
-            .agg(F.count(F.lit(1)).alias("tf"))
-        )
+    def run_of(tf):
         return ranked_list_grouped(
             tf, "doc_id", "tf", topk=_EVAL_K, group_col="query_id"
         )
 
-    labels = (
-        words.join(F.broadcast(qgrade), "word")
-        .groupBy("query_id", "doc_id")
-        .agg(F.least(F.count(F.lit(1)), F.lit(3)).cast("int").alias("grade"))
+    labels = tf_grade.select(
+        "query_id",
+        "doc_id",
+        F.least(F.col("tf"), F.lit(3)).cast("int").alias("grade"),
     )
     return rrf_param_sweep(
-        [run_of(qrank), run_of(qgrade)], labels, _SWEEP_K0S, k=_EVAL_K
+        [run_of(tf_rank), run_of(tf_grade)], labels, _SWEEP_K0S, k=_EVAL_K
     )
 
 

@@ -1035,6 +1035,37 @@ def test_dedup_report_and_histogram_by_hand(spark):
     assert hist == {3: 1}
 
 
+def test_neardup_clusters_driver_cap_matches_distributed(spark):
+    """r16 optimization pin: neardup_clusters' driver_cap union-find
+    must label exactly like the distributed min-label propagation
+    (component-min), keep self-pair-only ids as singletons, and fall
+    through to the distributed loop above the cap."""
+    import random
+
+    from hydraide_spark.functions.dedup import neardup_clusters
+
+    rnd = random.Random(11)
+    n = 200
+    edges = [
+        (rnd.randrange(n), rnd.randrange(n)) for _ in range(150)
+    ] + [(777, 777)]  # self-pair-only id: must survive as a singleton
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    dist = {
+        r["doc_id"]: r["cluster_id"] for r in neardup_clusters(df).collect()
+    }
+    assert dist[777] == 777
+    drv = {
+        r["doc_id"]: r["cluster_id"]
+        for r in neardup_clusters(df, driver_cap=100_000).collect()
+    }
+    assert drv == dist
+    over = {
+        r["doc_id"]: r["cluster_id"]
+        for r in neardup_clusters(df, driver_cap=3).collect()
+    }
+    assert over == dist
+
+
 def test_star_contraction_driver_cap_matches_distributed(spark):
     """r15 optimization pin: driver_cap's bounded union-find fold must
     label exactly like the distributed contraction (component-min), and
