@@ -1056,6 +1056,16 @@ def hamming_block_pairs(
         .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
         .distinct()
     )
+    if not sims.isStreaming:
+        # persist the two-long candidate frame (r16, the near-dup
+        # candidate rule): the chunk explode + self-join + distinct
+        # re-ran per repeat invocation above the caller's warm sims
+        # cache. Budget sized for the simhash + image/audio phash
+        # rotation (the ngram-site sizing rule).
+        cand = cand.persist()
+        pin_latest(
+            "dedup.hamming_block_pairs.cand", cand, max_generations=16
+        )
     ha = sims.select(F.col(id_col).alias("id_a"), F.col(hash_col).alias("h_a"))
     hb = sims.select(F.col(id_col).alias("id_b"), F.col(hash_col).alias("h_b"))
     return (

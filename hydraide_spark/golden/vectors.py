@@ -381,7 +381,12 @@ def pq_encode_codes(spark, sf_dir):
     from ..functions.vector import label_pq_codebooks, pq_encode
 
     emb = parallelize_small(t(spark, sf_dir, "embeddings"))
-    books = label_pq_codebooks(emb, m=8)
+    # deterministic model (exact decimal per-label means) — memoized
+    # per process like the IVF/langid trainings; shared with the two
+    # stable ADC goldens
+    books = _model_memo(
+        ("label_books", sf_dir, 8), lambda: label_pq_codebooks(emb, m=8)
+    )
     out = pq_encode(emb, books, dim=64)
     return out.select(
         big("vec_id").alias("vec_id"),

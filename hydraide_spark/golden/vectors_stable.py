@@ -49,6 +49,7 @@ from ..functions.vector import (
 )
 from . import golden
 from ._util import big, parallelize_small, t
+from .vectors import _model_memo
 
 # ---------------------------------------------------------------- SQL
 
@@ -353,7 +354,9 @@ def pq_ann_topk_stable(spark, sf_dir):
     contract of `pq_adc_topk`); only the codebook SOURCE differs from
     the trained rows-only variant."""
     emb = parallelize_small(t(spark, sf_dir, "embeddings"))
-    books = label_pq_codebooks(emb, m=8)
+    books = _model_memo(
+        ("label_books", sf_dir, 8), lambda: label_pq_codebooks(emb, m=8)
+    )
     out = pq_adc_topk(emb, _queries_df(emb), books, dim=64, k=10, rerank_factor=10)
     return out.select(
         big("query_id").alias("query_id"),
@@ -395,7 +398,9 @@ def ivfadc_topk_stable(spark, sf_dir):
     stay asserted in tests for the rows-only `ivfadc_topk`."""
     emb = parallelize_small(t(spark, sf_dir, "embeddings"))
     cents = _label_centroid_list(spark, sf_dir)
-    books = label_pq_codebooks(emb, m=8)
+    books = _model_memo(
+        ("label_books", sf_dir, 8), lambda: label_pq_codebooks(emb, m=8)
+    )
     out = ivfadc_topk(
         emb, _queries_df(emb), cents, books, dim=64, k=10, nprobe=4, rerank_factor=10
     )

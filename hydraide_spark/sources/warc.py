@@ -172,11 +172,17 @@ def read_warc_files_stream(
     )
 
 
-def write_warc_gz(records: List[bytes], path: str) -> None:
+def write_warc_gz(
+    records: List[bytes], path: str, compresslevel: int = 9
+) -> None:
     """Write records as a record-at-a-time-compressed ``.warc.gz``
     (one gzip member per record, the CommonCrawl convention), each
     record followed by the two separator CRLFs. Driver-side test/
-    fixture utility — production archives come from the crawler."""
+    fixture utility — production archives come from the crawler.
+
+    ``compresslevel`` trades CPU for bytes; any level round-trips
+    byte-exactly through the member walk (the decoder never sees the
+    level), and the bytes stay deterministic per level (mtime=0)."""
     import gzip as _gzip
     import io
     import os
@@ -185,7 +191,9 @@ def write_warc_gz(records: List[bytes], path: str) -> None:
     for r in records:
         member = io.BytesIO()
         # mtime=0: deterministic bytes (gzip headers carry a timestamp)
-        with _gzip.GzipFile(fileobj=member, mode="wb", mtime=0) as gz:
+        with _gzip.GzipFile(
+            fileobj=member, mode="wb", mtime=0, compresslevel=compresslevel
+        ) as gz:
             gz.write(r + b"\r\n\r\n")
         buf.write(member.getvalue())
     tmp = path + ".tmp"

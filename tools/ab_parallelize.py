@@ -34,14 +34,30 @@ def main() -> None:
     def identity(df, cap=None):
         return df
 
+    # several golden modules bind parallelize_small at MODULE level
+    # (curation, dedup_text, vectors, vectors_stable) — patch every
+    # module attribute, not just _util's, or the A/B silently measures
+    # A twice for those modules
+    import importlib
+
+    mods = [_util] + [
+        importlib.import_module(f"hydraide_spark.golden.{m}")
+        for m in ("curation", "dedup_text", "vectors", "vectors_stable")
+    ]
+
+    def _set(fn):
+        for m in mods:
+            if hasattr(m, "parallelize_small"):
+                m.parallelize_small = fn
+
     def run(n: str, patched: bool) -> float:
-        _util.parallelize_small = identity if patched else real
+        _set(identity if patched else real)
         try:
             t0 = time.time()
             qs[n](spark, sf_dir).write.format("noop").mode("overwrite").save()
             return time.time() - t0
         finally:
-            _util.parallelize_small = real
+            _set(real)
 
     out = {}
     for n in names:
