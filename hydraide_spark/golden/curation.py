@@ -285,7 +285,8 @@ def hard_negative_mining_docs(spark, sf_dir):
     pseudo-positive cut and the post-exclusion re-ranking."""
     from ..functions.retrieval import hard_negative_mining
 
-    docs = parallelize_small(t(spark, sf_dir, "documents"))
+    # r16 A/B: no measured win (1.95 vs 1.80 without) — bb34b4bc profile
+    docs = t(spark, sf_dir, "documents")
     bags = [
         (0, ["stream", "data", "query"]),
         (1, ["join", "hash", "scan"]),
@@ -738,7 +739,11 @@ def prf_expanded_search_docs(spark, sf_dir):
     bm25_ranked_search pattern)."""
     from ..functions.retrieval import prf_expanded_search
 
-    docs = parallelize_small(t(spark, sf_dir, "documents"))
+    # r16 A/B (interleaved, warmup discarded): the input-spread
+    # repartition measured no win here (3.73 vs 3.52 without) — the
+    # broadcast query-word join fuses into the scan (the bb34b4bc
+    # retrieval-family profile)
+    docs = t(spark, sf_dir, "documents")
     bags = [
         (0, ["stream", "data", "query"]),
         (1, ["join", "hash", "scan"]),

@@ -1003,7 +1003,11 @@ def tfidf_top_terms(spark, sf_dir):
     over tokens total."""
     from ..functions.text import top_distinctive_terms
 
-    docs = parallelize_small(t(spark, sf_dir, "documents")).select(big("doc_id").alias("doc_id"), "text")
+    # r16 A/B: repartition a measured LOSS here (1.48 vs 0.84 without;
+    # delta >> spread) — the tokenize+agg pipeline fuses into the scan
+    docs = t(spark, sf_dir, "documents").select(
+        big("doc_id").alias("doc_id"), "text"
+    )
     return top_distinctive_terms(docs, k=3)
 
 
