@@ -85,10 +85,17 @@ def dsir_importance_topk(spark, sf_dir):
     so Spark's decimal addition never overflows 38 and silently drops
     the last scale digit), TakeOrdered selection with id tiebreak."""
     from ..functions.sampling import dsir_logratios_tagged, dsir_topk
+    from .vectors import _model_memo
 
     docs = parallelize_small(t(spark, sf_dir, "documents"))
-    lr = dsir_logratios_tagged(
-        docs, F.col("lang") == "de", "text", n_buckets=64, salt="dsir_v1"
+    # deterministic model (exact integer counts -> driver libm) —
+    # memoized per process like the langid/quality trainings; shared
+    # with dsir_threshold_select_docs (same predicate and params)
+    lr = _model_memo(
+        ("dsir_lr_de", sf_dir, 64, "dsir_v1"),
+        lambda: dsir_logratios_tagged(
+            docs, F.col("lang") == "de", "text", n_buckets=64, salt="dsir_v1"
+        ),
     )
     out = dsir_topk(docs, "doc_id", "text", lr, 50, salt="dsir_v1")
     return out.select(
@@ -625,10 +632,14 @@ def dsir_threshold_select_docs(spark, sf_dir):
     DECIMAL-exact on both sides; only the reported score rounds
     through double."""
     from ..functions.sampling import dsir_logratios_tagged, dsir_threshold_select
+    from .vectors import _model_memo
 
     docs = parallelize_small(t(spark, sf_dir, "documents"))
-    lr = dsir_logratios_tagged(
-        docs, F.col("lang") == "de", "text", n_buckets=64, salt="dsir_v1"
+    lr = _model_memo(
+        ("dsir_lr_de", sf_dir, 64, "dsir_v1"),
+        lambda: dsir_logratios_tagged(
+            docs, F.col("lang") == "de", "text", n_buckets=64, salt="dsir_v1"
+        ),
     )
     out = dsir_threshold_select(
         docs, "doc_id", "text", lr, min_score="0.05", salt="dsir_v1"
