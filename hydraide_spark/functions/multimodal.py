@@ -304,22 +304,40 @@ def extract_features(media: DataFrame, fake: bool = False) -> DataFrame:
     partitioning and streams batches — no per-row Python overhead."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         for pdf in batches:
-            feats = []
-            for payload in pdf["payload"]:
-                raw = bytes(payload) if payload is not None else b""
-                if fake:
-                    feats.append(_fake_features(raw))
-                else:
+            if not fake:
+                for payload in pdf["payload"]:
+                    raw = bytes(payload) if payload is not None else b""
                     real_decode(raw, "?")  # raises: clearly-marked stub
-            n, first, checksum = zip(*feats) if feats else ((), (), ())
+            # one vectorized pass per BATCH (r16, guide §4): the
+            # per-payload loop (bytes() + np.frombuffer per row) was
+            # ~57K interpreter iterations per batch set; joining the
+            # batch into one buffer and segment-summing via cumsum
+            # computes the identical features (empty payloads sum to 0
+            # and keep first_byte -1)
+            pays = [
+                bytes(p) if p is not None else b"" for p in pdf["payload"]
+            ]
+            n = len(pays)
+            lens = np.fromiter(
+                (len(p) for p in pays), dtype=np.int64, count=n
+            )
+            firsts = np.fromiter(
+                (p[0] if p else -1 for p in pays), dtype=np.int64, count=n
+            )
+            arr = np.frombuffer(b"".join(pays), dtype=np.uint8)
+            c = np.concatenate(([0], np.cumsum(arr, dtype=np.int64)))
+            ends = np.cumsum(lens)
+            sums = (c[ends] - c[ends - lens]) % 997
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "kind": pdf["kind"],
-                    "n_bytes": list(n),
-                    "first_byte": list(first),
-                    "checksum": list(checksum),
+                    "n_bytes": lens,
+                    "first_byte": firsts,
+                    "checksum": sums,
                 }
             )
 
