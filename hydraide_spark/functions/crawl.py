@@ -108,7 +108,13 @@ def warc_fields(record: Column) -> "dict[str, Column]":
        corpora; real archives go through :func:`warc_fields_binary`
        (byte-exact, charset-resolving). tests pin the failure mode.
     """
-    return _warc_grammar(record)
+    from ._cache import column_memo
+
+    return dict(
+        column_memo(
+            ("warc_fields", str(record)), lambda: _warc_grammar(record)
+        )
+    )
 
 
 # --- byte-exact binary parsing + charset resolution (r15) ----------------------
@@ -192,13 +198,22 @@ def warc_fields_binary(record: Column) -> "dict[str, Column]":
 
     Still zero UDFs: projection, slicing, charset choice and decode
     are all column expressions — map-only at any corpus size."""
-    f = _warc_grammar(F.decode(record, "ISO-8859-1"))
-    body_l1 = f.pop("body")
-    charset = _charset_of(f["mime"], body_l1)
-    f["charset"] = charset
-    f["body"] = _decode_body(body_l1, charset)
-    f["body_bytes"] = F.encode(body_l1, "ISO-8859-1")
-    return f
+    from ._cache import column_memo
+
+    def _build() -> "dict[str, Column]":
+        f = _warc_grammar(F.decode(record, "ISO-8859-1"))
+        body_l1 = f.pop("body")
+        charset = _charset_of(f["mime"], body_l1)
+        f["charset"] = charset
+        f["body"] = _decode_body(body_l1, charset)
+        f["body_bytes"] = F.encode(body_l1, "ISO-8859-1")
+        return f
+
+    # the grammar is a pure (large) expression tree over `record` —
+    # memo it per context/input expression; copy so callers may pop
+    return dict(
+        column_memo(("warc_fields_binary", str(record)), _build)
+    )
 
 
 def warc_extract_binary(

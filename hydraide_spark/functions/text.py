@@ -1641,6 +1641,17 @@ def html_main_text(
 
     Entity decode happens after tag stripping, so escaped markup in
     text can never be re-parsed as markup."""
+    from ._cache import column_memo
+
+    return column_memo(
+        ("html_main_text", str(html), int(min_words)),
+        lambda: _html_main_text_build(html, min_words),
+    )
+
+
+def _html_main_text_build(
+    html: Column, min_words: int
+) -> "tuple[Column, Column, Column]":
     s = F.replace(html, F.lit("\x01"), F.lit(""))  # reserve the sentinel
     s = F.regexp_replace(s, _HTML_SCRIPT_RE, " ")
     s = F.regexp_replace(s, _HTML_STYLE_RE, " ")
