@@ -155,13 +155,16 @@ def bm25_terms_multi(
         F.col(id_col), token_count(F.col(text_col)).alias("dl")
     ).persist()
     stats = dl.agg(F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl"))
-    post = (
-        postings(df, id_col, text_col)
-        .filter(F.col("word").isin(all_words))
-        .select("word", id_col, "tf")
-        .persist()
+    # persist the UNFILTERED postings (r16): the word-list filter used
+    # to sit below the persist, so every distinct bag (PRF round 1 vs
+    # round 2, each retrieval golden) re-ran the corpus tokenize+agg —
+    # the full (doc, word, tf) frame is one plan shared by ALL callers
+    # over the same corpus, and the isin filter prunes above the cache
+    post_full = postings(df, id_col, text_col).persist()
+    post = post_full.filter(F.col("word").isin(all_words)).select(
+        "word", id_col, "tf"
     )
-    pin_latest("retrieval.bm25_terms_multi", dl, post)
+    pin_latest("retrieval.bm25_terms_multi", dl, post_full)
     dfreq = post.groupBy("word").agg(F.count(F.lit(1)).alias("dfreq"))
     qt = spark.createDataFrame(
         [(int(qid), w) for qid, ws in query_terms for w in ws],
