@@ -81,6 +81,41 @@ def stat_memo(key: tuple, compute):
     return _STAT_MEMO[key]
 
 
+#: per-process memo of RESULT-FRAME PLANS for goldens whose build phase
+#: is pure DataFrame construction (r16 — VERDICT item 1, guide §7.3
+#: "very large plans can spend minutes in planning"). A lazy DataFrame
+#: is a PLAN, never data: every action on the memoized frame still
+#: computes the query's output from the parquet inputs (through the
+#: same pin_latest cache boundaries a fresh build would create), so the
+#: models-may-memo/results-may-not line is untouched — this memoizes
+#: strictly LESS than a model memo does (zero values, only an analyzed
+#: operator tree). What it saves is the per-call py4j round trips AND
+#: the JVM re-analysis of large literal subtrees (langid's 5x2048
+#: decimal model re-analyzed by every op stacked above it: ~1-3 s per
+#: call on the worst builders).
+#:
+#: Opt-in is deliberately NARROW. A golden may use frame_memo ONLY if
+#: its build phase (a) runs no action whose effect or result feeds the
+#: returned plan as anything but a memoized MODEL/INPUT CONSTANT
+#: (bpe_merge_rules' training, PRF's round-1 collect, the patch walks,
+#: mmr's greedy, and scratch-file writers are all excluded — skipping
+#: those on repeat calls would memoize the OUTPUT), and (b) pins its
+#: persisted deps at sites whose every caller also memoizes (or at
+#: its own single-variant site): a memoized golden stops re-pinning,
+#: so a shared site still rotated by non-memoized siblings would
+#: eventually evict its deps (_cache._same_plan keeps only RE-PINNED
+#: plans) and silently revert the plan-boundary persists.
+#: Keyed per applicationId so a restarted session rebuilds cleanly.
+_FRAME_MEMO: dict = {}
+
+
+def frame_memo(spark: SparkSession, key: tuple, build) -> DataFrame:
+    k = (spark.sparkContext.applicationId,) + tuple(key)
+    if k not in _FRAME_MEMO:
+        _FRAME_MEMO[k] = build()
+    return _FRAME_MEMO[k]
+
+
 def parallelize_small(df: DataFrame, cap: int | None = None) -> DataFrame:
     """Spread a small-file input across the cluster before compute-heavy
     per-row work (hashing, UDF batches). Local parquet fixtures arrive

@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from . import golden
-from ._util import big, parallelize_small, t
+from ._util import big, frame_memo, parallelize_small, t
 
 # Engine-stable md5 bucket of a gram, as DuckDB SQL (mirrors
 # functions/sampling.py::sample_bucket md5 mode + dsir_bucket).
@@ -955,6 +955,19 @@ def _langid_model(spark, sf_dir):
 
 
 def _langid_pred_golden(spark, sf_dir, strategy):
+    # frame_memo (r16): build is pure plan once the model memo is warm,
+    # and the JVM re-ANALYZES the 5x2048-decimal literal subtree on
+    # every op stacked above it (~0.9 s/call measured) — the worst
+    # builder in the registry. Both strategies memoize, so the shared
+    # buckets pin site never rotates a memoized dep out.
+    return frame_memo(
+        spark,
+        ("langid_pred", sf_dir, strategy),
+        lambda: _langid_pred_build(spark, sf_dir, strategy),
+    )
+
+
+def _langid_pred_build(spark, sf_dir, strategy):
     from ..functions.sampling import langid_nb_predict
 
     docs = t(spark, sf_dir, "documents")
@@ -2479,23 +2492,32 @@ def sitemap_recrawl_schedule(spark, sf_dir):
         sitemap_url_entries,
     )
 
-    bodies = _synth_sitemap_bodies(spark, sf_dir)
-    due = (
-        sitemap_url_entries(bodies)
-        .filter(F.col("lastmod").isNotNull() & (F.col("lastmod") >= "2026-03-05"))
-        .select(F.col("loc").alias("url"))
-        .distinct()
-    )
-    robots_df = _synth_robots_directives(spark, sf_dir)
-    delays = robots_crawl_delay_for(robots_crawl_delays(robots_df), "trainbot")
-    out = polite_fetch_schedule(due, delays, default_delay=1.0)
-    return out.select(
-        F.col("url"),
-        F.col("host"),
-        F.col("rank").cast("int").alias("rank"),
-        F.col("delay_sec").cast("double").alias("delay_sec"),
-        F.col("fetch_offset_sec").cast("double").alias("fetch_offset_sec"),
-    )
+    def _build():
+        bodies = _synth_sitemap_bodies(spark, sf_dir)
+        due = (
+            sitemap_url_entries(bodies)
+            .filter(
+                F.col("lastmod").isNotNull() & (F.col("lastmod") >= "2026-03-05")
+            )
+            .select(F.col("loc").alias("url"))
+            .distinct()
+        )
+        robots_df = _synth_robots_directives(spark, sf_dir)
+        delays = robots_crawl_delay_for(
+            robots_crawl_delays(robots_df), "trainbot"
+        )
+        out = polite_fetch_schedule(due, delays, default_delay=1.0)
+        return out.select(
+            F.col("url"),
+            F.col("host"),
+            F.col("rank").cast("int").alias("rank"),
+            F.col("delay_sec").cast("double").alias("delay_sec"),
+            F.col("fetch_offset_sec").cast("double").alias("fetch_offset_sec"),
+        )
+
+    # frame_memo (r16): pure plan — the four-operator composition costs
+    # ~0.8 s of DataFrame construction per call, no actions, no pins
+    return frame_memo(spark, ("sitemap_recrawl_schedule", sf_dir), _build)
 
 
 # --- HTML link-graph extraction (r15) ------------------------------------------

@@ -30,7 +30,7 @@ from ..functions.text import (
     token_count,
 )
 from . import golden
-from ._util import big, parallelize_small, t
+from ._util import big, frame_memo, parallelize_small, t
 
 
 def _augmented_corpus(spark, sf_dir):
@@ -1274,32 +1274,38 @@ def quality_trained_classifier_docs(spark, sf_dir):
     scoring is map-only at any corpus size."""
     from ..functions.text import quality_logit, quality_train_weights_local, tokenize
 
-    docs = parallelize_small(t(spark, sf_dir, "documents"))
-    toks = tokenize(F.col("text"))
-    labeled = docs.select(
-        big("doc_id").alias("doc_id"),
-        "text",
-        (
-            F.lit(10) * F.size(F.filter(toks, lambda w: w.isin(STOPWORDS)))
-            >= F.size(toks)
-        ).cast("int").alias("label"),
-    )
-    # deterministic training (exact integer counts, fixed lr/iters) —
-    # one train per process, the langid/IVF memo convention; every
-    # invocation still SCORES the corpus from parquet
-    from .vectors import _model_memo
+    def _build():
+        docs = parallelize_small(t(spark, sf_dir, "documents"))
+        toks = tokenize(F.col("text"))
+        labeled = docs.select(
+            big("doc_id").alias("doc_id"),
+            "text",
+            (
+                F.lit(10) * F.size(F.filter(toks, lambda w: w.isin(STOPWORDS)))
+                >= F.size(toks)
+            ).cast("int").alias("label"),
+        )
+        # deterministic training (exact integer counts, fixed lr/iters)
+        # — one train per process, the langid/IVF memo convention; every
+        # invocation still SCORES the corpus from parquet
+        from .vectors import _model_memo
 
-    model = _model_memo(
-        ("quality_gd", sf_dir),
-        lambda: quality_train_weights_local(
-            labeled, "label", lr=2.0, iterations=200
-        ),
-    )
-    z = quality_logit(F.col("text"), weights=model)
-    return docs.select(
-        big("doc_id").alias("doc_id"),
-        F.round(z, 10).alias("logit"),
-        F.when(z >= 0.0, F.lit(1)).otherwise(F.lit(0)).alias("keep"),
+        model = _model_memo(
+            ("quality_gd", sf_dir),
+            lambda: quality_train_weights_local(
+                labeled, "label", lr=2.0, iterations=200
+            ),
+        )
+        z = quality_logit(F.col("text"), weights=model)
+        return docs.select(
+            big("doc_id").alias("doc_id"),
+            F.round(z, 10).alias("logit"),
+            F.when(z >= 0.0, F.lit(1)).otherwise(F.lit(0)).alias("keep"),
+        )
+
+    # frame_memo (r16): pure plan over the memoized training, no pins
+    return frame_memo(
+        spark, ("quality_trained_classifier_docs", sf_dir), _build
     )
 
 

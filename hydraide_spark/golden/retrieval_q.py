@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 
 from ..functions.retrieval import ranked_list, rrf_fuse
 from . import golden
-from ._util import big, t
+from ._util import big, frame_memo, t
 from .vectors import _cos_sql, _query_vec
 
 _BM25_LEX_SQL = """
@@ -574,29 +574,34 @@ def retrieval_eval_metrics(spark, sf_dir):
     decimals per the repo's decimal-cast rule."""
     from ..functions.retrieval import ranked_list_grouped, retrieval_eval
 
-    tf_rank, tf_grade = _eval_tf_frames(spark, sf_dir)
-    run = ranked_list_grouped(
-        tf_rank, "doc_id", "tf", topk=_EVAL_K, group_col="query_id"
-    )
-    labels = tf_grade.select(
-        "query_id",
-        "doc_id",
-        F.least(F.col("tf"), F.lit(3)).cast("int").alias("grade"),
-    )
-    out = retrieval_eval(run, labels, k=_EVAL_K)
-    return out.select(
-        "query_id",
-        big("n_rel").alias("n_rel"),
-        big("hits_at_k").alias("hits_at_k"),
-        "recall_at_k",
-        "mrr_at_k",
-        # exact DECIMAL sums inside retrieval_eval; the output casts to
-        # double (rounded 10 per the decimal-cast rule) because DuckDB's
-        # pandas bridge renders DECIMAL(28,12) as float64 anyway
-        F.round(F.col("dcg_at_k").cast("double"), 10).alias("dcg_at_k"),
-        F.round(F.col("idcg_at_k").cast("double"), 10).alias("idcg_at_k"),
-        "ndcg_at_k",
-    )
+    def _build():
+        tf_rank, tf_grade = _eval_tf_frames(spark, sf_dir)
+        run = ranked_list_grouped(
+            tf_rank, "doc_id", "tf", topk=_EVAL_K, group_col="query_id"
+        )
+        labels = tf_grade.select(
+            "query_id",
+            "doc_id",
+            F.least(F.col("tf"), F.lit(3)).cast("int").alias("grade"),
+        )
+        out = retrieval_eval(run, labels, k=_EVAL_K)
+        return out.select(
+            "query_id",
+            big("n_rel").alias("n_rel"),
+            big("hits_at_k").alias("hits_at_k"),
+            "recall_at_k",
+            "mrr_at_k",
+            # exact DECIMAL sums inside retrieval_eval; the output casts
+            # to double (rounded 10 per the decimal-cast rule) because
+            # DuckDB's pandas bridge renders DECIMAL(28,12) as float64
+            F.round(F.col("dcg_at_k").cast("double"), 10).alias("dcg_at_k"),
+            F.round(F.col("idcg_at_k").cast("double"), 10).alias("idcg_at_k"),
+            "ndcg_at_k",
+        )
+
+    # frame_memo (r16): pure plan; all four eval goldens memoize, so
+    # the shared hits pin site never rotates
+    return frame_memo(spark, ("retrieval_eval_metrics", sf_dir), _build)
 
 
 def _metrics_block(s: str, qcte: str) -> str:
@@ -719,21 +724,26 @@ def retrieval_run_compare(spark, sf_dir):
         ranked_list_grouped,
     )
 
-    tf_rank, tf_grade = _eval_tf_frames(spark, sf_dir)
+    def _build():
+        tf_rank, tf_grade = _eval_tf_frames(spark, sf_dir)
 
-    def run_of(tf):
-        return ranked_list_grouped(
-            tf, "doc_id", "tf", topk=_EVAL_K, group_col="query_id"
+        def run_of(tf):
+            return ranked_list_grouped(
+                tf, "doc_id", "tf", topk=_EVAL_K, group_col="query_id"
+            )
+
+        labels = tf_grade.select(
+            "query_id",
+            "doc_id",
+            F.least(F.col("tf"), F.lit(3)).cast("int").alias("grade"),
+        )
+        return compare_retrieval_runs(
+            run_of(tf_rank), run_of(tf_grade), labels, k=_EVAL_K
         )
 
-    labels = tf_grade.select(
-        "query_id",
-        "doc_id",
-        F.least(F.col("tf"), F.lit(3)).cast("int").alias("grade"),
-    )
-    return compare_retrieval_runs(
-        run_of(tf_rank), run_of(tf_grade), labels, k=_EVAL_K
-    )
+    # frame_memo (r16): pure plan; the shared hits dep pins one plan
+    # used by all four memoizing eval goldens — the site never rotates
+    return frame_memo(spark, ("retrieval_run_compare", sf_dir), _build)
 
 
 def _sign_p_values_sql() -> str:
@@ -796,22 +806,27 @@ def retrieval_run_sign_test(spark, sf_dir):
         retrieval_sign_test,
     )
 
-    tf_rank, tf_grade = _eval_tf_frames(spark, sf_dir)
+    def _build():
+        tf_rank, tf_grade = _eval_tf_frames(spark, sf_dir)
 
-    def run_of(tf):
-        return ranked_list_grouped(
-            tf, "doc_id", "tf", topk=_EVAL_K, group_col="query_id"
+        def run_of(tf):
+            return ranked_list_grouped(
+                tf, "doc_id", "tf", topk=_EVAL_K, group_col="query_id"
+            )
+
+        labels = tf_grade.select(
+            "query_id",
+            "doc_id",
+            F.least(F.col("tf"), F.lit(3)).cast("int").alias("grade"),
+        )
+        return retrieval_sign_test(
+            run_of(tf_rank), run_of(tf_grade), labels, k=_EVAL_K,
+            max_n=len(_EVAL_QUERIES),
         )
 
-    labels = tf_grade.select(
-        "query_id",
-        "doc_id",
-        F.least(F.col("tf"), F.lit(3)).cast("int").alias("grade"),
-    )
-    return retrieval_sign_test(
-        run_of(tf_rank), run_of(tf_grade), labels, k=_EVAL_K,
-        max_n=len(_EVAL_QUERIES),
-    )
+    # frame_memo (r16): pure plan (p-table literals are a pure function
+    # of max_n — an input constant, never data)
+    return frame_memo(spark, ("retrieval_run_sign_test", sf_dir), _build)
 
 
 _SWEEP_K0S = [5, 20, 60, 240]
@@ -961,21 +976,26 @@ def retrieval_param_sweep(spark, sf_dir):
     construction."""
     from ..functions.retrieval import ranked_list_grouped, rrf_param_sweep
 
-    tf_rank, tf_grade = _eval_tf_frames(spark, sf_dir)
+    def _build():
+        tf_rank, tf_grade = _eval_tf_frames(spark, sf_dir)
 
-    def run_of(tf):
-        return ranked_list_grouped(
-            tf, "doc_id", "tf", topk=_EVAL_K, group_col="query_id"
+        def run_of(tf):
+            return ranked_list_grouped(
+                tf, "doc_id", "tf", topk=_EVAL_K, group_col="query_id"
+            )
+
+        labels = tf_grade.select(
+            "query_id",
+            "doc_id",
+            F.least(F.col("tf"), F.lit(3)).cast("int").alias("grade"),
+        )
+        return rrf_param_sweep(
+            [run_of(tf_rank), run_of(tf_grade)], labels, _SWEEP_K0S, k=_EVAL_K
         )
 
-    labels = tf_grade.select(
-        "query_id",
-        "doc_id",
-        F.least(F.col("tf"), F.lit(3)).cast("int").alias("grade"),
-    )
-    return rrf_param_sweep(
-        [run_of(tf_rank), run_of(tf_grade)], labels, _SWEEP_K0S, k=_EVAL_K
-    )
+    # frame_memo (r16): pure plan; the sweep's joined persist pins at
+    # its own single-variant site
+    return frame_memo(spark, ("retrieval_param_sweep", sf_dir), _build)
 
 
 def _mmr_pick_cte(tag: str, lam_sql: str, one_minus_sql: str) -> str:

@@ -12,7 +12,7 @@ from ..functions.dedup import embedding_neardup_pairs
 from ..query import VectorSim, translate
 from ..query.filters import cosine_similarity
 from . import golden
-from ._util import big, parallelize_small, t
+from ._util import big, frame_memo, parallelize_small, t
 
 
 #: deterministic-model memo (the langid_nb convention): every trainer
@@ -552,20 +552,29 @@ def ivfadc_topk_q(spark, sf_dir):
     asserted in tests/test_dedup.py."""
     from ..functions.vector import ivfadc_topk, train_ivf_centroids, train_pq_codebooks
 
-    emb = parallelize_small(t(spark, sf_dir, "embeddings"))
-    cells = _model_memo(("ivf8", sf_dir), lambda: train_ivf_centroids(emb, n_centroids=8))
-    books = _model_memo(("pq816", sf_dir), lambda: train_pq_codebooks(emb, m=8, k=16))
-    queries = emb.filter(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
-    )
-    out = ivfadc_topk(
-        emb, queries, cells, books, dim=64, k=10, nprobe=4, rerank_factor=10
-    )
-    return out.select(
-        big("query_id").alias("query_id"),
-        big("vec_id").alias("vec_id"),
-        F.round("adist", 4).alias("adist"),
-    )
+    def _build():
+        emb = parallelize_small(t(spark, sf_dir, "embeddings"))
+        cells = _model_memo(
+            ("ivf8", sf_dir), lambda: train_ivf_centroids(emb, n_centroids=8)
+        )
+        books = _model_memo(
+            ("pq816", sf_dir), lambda: train_pq_codebooks(emb, m=8, k=16)
+        )
+        queries = emb.filter(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"),
+        )
+        out = ivfadc_topk(
+            emb, queries, cells, books, dim=64, k=10, nprobe=4, rerank_factor=10
+        )
+        return out.select(
+            big("query_id").alias("query_id"),
+            big("vec_id").alias("vec_id"),
+            F.round("adist", 4).alias("adist"),
+        )
+
+    # frame_memo (r16): pure plan over memoized models, no persists
+    return frame_memo(spark, ("ivfadc_topk", sf_dir), _build)
 
 
 def _fold_dot(a: str, b: str) -> str:
@@ -712,36 +721,44 @@ def ann_recall_report(spark, sf_dir):
     100 TB this runs continuously on a few hundred sampled queries —
     the truth scan is |sample| x corpus, every later stage is
     k·|sample| rows."""
-    from ..functions._cache import pin_latest
-    from ..functions.vector import ann_recall_report as _rep
-    from ..functions.vector import auto_ivf_k, train_ivf_centroids
+    def _build():
+        from ..functions._cache import pin_latest
+        from ..functions.vector import ann_recall_report as _rep
+        from ..functions.vector import auto_ivf_k, train_ivf_centroids
 
-    raw = t(spark, sf_dir, "embeddings")
-    # count the RAW scan (cheap), then spread + persist ONCE: the truth
-    # scan, the trainer sample and all three routes re-read the spread
-    # corpus, so without the boundary each leg re-paid the repartition
-    emb = parallelize_small(raw).persist()
-    pin_latest("golden.ann_recall_report.emb", emb)
-    queries = emb.filter(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
-    )
-    from ._util import n_rows_memo
+        raw = t(spark, sf_dir, "embeddings")
+        # count the RAW scan (cheap), then spread + persist ONCE: the
+        # truth scan, the trainer sample and all three routes re-read
+        # the spread corpus, so without the boundary each leg re-paid
+        # the repartition
+        emb = parallelize_small(raw).persist()
+        pin_latest("golden.ann_recall_report.emb", emb)
+        queries = emb.filter(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"),
+        )
+        from ._util import n_rows_memo
 
-    n_rows = n_rows_memo(spark, sf_dir, "embeddings")
-    cents = _model_memo(
-        ("ivf_auto", sf_dir),
-        lambda: train_ivf_centroids(emb, n_centroids=auto_ivf_k(n_rows)),
-    )
-    out = _rep(
-        emb, queries, 10,
-        routes=("exact", "int8", "ivf_int8"),
-        n_rows=n_rows, dim=64, centroids=cents, nprobe=2,
-    )
-    return out.select(
-        F.col("route"),
-        F.col("k").cast("int").alias("k"),
-        big("n_queries").alias("n_queries"),
-        big("n_truth").alias("n_truth"),
-        big("n_hit").alias("n_hit"),
-        F.col("recall"),
-    )
+        n_rows = n_rows_memo(spark, sf_dir, "embeddings")
+        cents = _model_memo(
+            ("ivf_auto", sf_dir),
+            lambda: train_ivf_centroids(emb, n_centroids=auto_ivf_k(n_rows)),
+        )
+        out = _rep(
+            emb, queries, 10,
+            routes=("exact", "int8", "ivf_int8"),
+            n_rows=n_rows, dim=64, centroids=cents, nprobe=2,
+        )
+        return out.select(
+            F.col("route"),
+            F.col("k").cast("int").alias("k"),
+            big("n_queries").alias("n_queries"),
+            big("n_truth").alias("n_truth"),
+            big("n_hit").alias("n_hit"),
+            F.col("recall"),
+        )
+
+    # frame_memo (r16): ~5,300 py4j round trips per build (three router
+    # probes through ann_topk_auto); models are memoized, deps pin at
+    # this golden's own sites only
+    return frame_memo(spark, ("ann_recall_report", sf_dir), _build)

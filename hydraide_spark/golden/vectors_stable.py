@@ -48,7 +48,7 @@ from ..functions.vector import (
     pq_adc_topk,
 )
 from . import golden
-from ._util import big, parallelize_small, t
+from ._util import big, frame_memo, parallelize_small, t
 from .vectors import _model_memo
 
 # ---------------------------------------------------------------- SQL
@@ -396,19 +396,24 @@ def ivfadc_topk_stable(spark, sf_dir):
     the fold order of the approximate distances, and the shortlist
     boundary all match exactly; recall properties of TRAINED models
     stay asserted in tests for the rows-only `ivfadc_topk`."""
-    emb = parallelize_small(t(spark, sf_dir, "embeddings"))
-    cents = _label_centroid_list(spark, sf_dir)
-    books = _model_memo(
-        ("label_books", sf_dir, 8), lambda: label_pq_codebooks(emb, m=8)
-    )
-    out = ivfadc_topk(
-        emb, _queries_df(emb), cents, books, dim=64, k=10, nprobe=4, rerank_factor=10
-    )
-    return out.select(
-        big("query_id").alias("query_id"),
-        big("vec_id").alias("vec_id"),
-        F.round("adist", 4).alias("adist"),
-    )
+    def _build():
+        emb = parallelize_small(t(spark, sf_dir, "embeddings"))
+        cents = _label_centroid_list(spark, sf_dir)
+        books = _model_memo(
+            ("label_books", sf_dir, 8), lambda: label_pq_codebooks(emb, m=8)
+        )
+        out = ivfadc_topk(
+            emb, _queries_df(emb), cents, books,
+            dim=64, k=10, nprobe=4, rerank_factor=10,
+        )
+        return out.select(
+            big("query_id").alias("query_id"),
+            big("vec_id").alias("vec_id"),
+            F.round("adist", 4).alias("adist"),
+        )
+
+    # frame_memo (r16): pure plan over memoized models, no persists
+    return frame_memo(spark, ("ivfadc_topk_stable", sf_dir), _build)
 
 
 @golden(
@@ -1120,22 +1125,26 @@ def ann_recall_report_stable(spark, sf_dir):
 
     from ..functions._cache import pin_latest
 
-    emb = parallelize_small(t(spark, sf_dir, "embeddings")).persist()
-    pin_latest("golden.ann_recall_report_stable.emb", emb)
-    q = _queries_df(emb)
-    truth = cosine_topk(emb, q, 10)
-    lsh = lsh_topk(emb, q, k=10, dim=64, n_bits=_LSH_BITS, seed=42)
-    ivf = ivf_topk(
-        emb, q, k=10, centroids=_label_centroid_list(spark, sf_dir), nprobe=2
-    )
-    rep = topk_recall_vs_truth(lsh, truth, "lsh_stable", 10).unionByName(
-        topk_recall_vs_truth(ivf, truth, "ivf_stable", 10)
-    )
-    return rep.select(
-        F.col("route"),
-        F.col("k").cast("int").alias("k"),
-        big("n_queries").alias("n_queries"),
-        big("n_truth").alias("n_truth"),
-        big("n_hit").alias("n_hit"),
-        F.col("recall"),
-    )
+    def _build():
+        emb = parallelize_small(t(spark, sf_dir, "embeddings")).persist()
+        pin_latest("golden.ann_recall_report_stable.emb", emb)
+        q = _queries_df(emb)
+        truth = cosine_topk(emb, q, 10)
+        lsh = lsh_topk(emb, q, k=10, dim=64, n_bits=_LSH_BITS, seed=42)
+        ivf = ivf_topk(
+            emb, q, k=10, centroids=_label_centroid_list(spark, sf_dir), nprobe=2
+        )
+        rep = topk_recall_vs_truth(lsh, truth, "lsh_stable", 10).unionByName(
+            topk_recall_vs_truth(ivf, truth, "ivf_stable", 10)
+        )
+        return rep.select(
+            F.col("route"),
+            F.col("k").cast("int").alias("k"),
+            big("n_queries").alias("n_queries"),
+            big("n_truth").alias("n_truth"),
+            big("n_hit").alias("n_hit"),
+            F.col("recall"),
+        )
+
+    # frame_memo (r16): pure plan (stable models memoized), own-site pin
+    return frame_memo(spark, ("ann_recall_report_stable", sf_dir), _build)
