@@ -38,9 +38,10 @@ from ._util import big, t
     """,
 )
 def multimodal_features(spark, sf_dir):
-    """Binary payload -> mapInPandas feature extraction (batch iterator,
-    Arrow transfer, declared schema). ASCII corpus => byte-level features
-    are SQL-recomputable, proving the pandas path end to end."""
+    """Binary payload -> mapInArrow feature extraction (batch iterator,
+    zero-copy offsets math over the Arrow binary buffer, declared
+    schema — r16, guide §4.2). ASCII corpus => byte-level features are
+    SQL-recomputable, proving the Python-boundary path end to end."""
     from ._util import parallelize_small
 
     media = documents_as_media(parallelize_small(t(spark, sf_dir, "documents"), cap=8))
