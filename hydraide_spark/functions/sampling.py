@@ -704,9 +704,22 @@ def dsir_threshold_select(
     from decimal import Decimal
 
     thr = F.lit(Decimal(str(min_score)) if not isinstance(min_score, Decimal) else min_score)
-    return df.withColumn(
-        score_col, dsir_score(F.col(text_col), logratios, salt, method)
-    ).filter(F.col(score_col) >= thr)
+    # explode(array(score)) is a Generate barrier (r16): a plain
+    # withColumn+filter let Catalyst inline the aliased score into the
+    # Filter — the full md5 fold evaluated TWICE per surviving row, and
+    # the Filter copy was pushed below the caller's input-spread
+    # repartition into the narrow scan stage (the CLAUDE.md inlining
+    # trap, scan-side edition). A single-element explode computes the
+    # score ONCE per row and the filter reads the generated attribute;
+    # still map-only, no persist — the right shape for selecting x% of
+    # 100 TB in one pass.
+    scored = df.select(
+        "*",
+        F.explode(
+            F.array(dsir_score(F.col(text_col), logratios, salt, method))
+        ).alias(score_col),
+    )
+    return scored.filter(F.col(score_col) >= thr)
 
 
 def dsir_threshold_from_quantile(

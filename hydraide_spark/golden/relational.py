@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from . import golden
-from ._util import big, dbl, dec, t
+from ._util import big, dbl, dec, memo_golden, t
 
 
 @golden(
@@ -278,6 +278,7 @@ _Z_SQL = _zsql(["pz", "sz"], bits=_Z_BITS)
     FROM b
     """,
 )
+@memo_golden("zorder_layout_keys")
 def zorder_layout_keys(spark, sf_dir):
     """Z-order (Morton) clustering key over (l_partkey, l_suppkey) —
     the multi-dimension generalization of the reference's single-beacon
@@ -392,19 +393,29 @@ def tpch_q7_nation_volume(spark, sf_dir):
     """,
 )
 def cube_pricing_matrix(spark, sf_dir):
-    """CUBE over (returnflag, linestatus): all four grouping-set levels
-    in ONE pass — Spark expands the sets map-side and still shuffles
-    only O(groups x levels) partial states, never the fact twice.
-    grouping_id disambiguates aggregated-out dimensions from natural
-    NULLs (none here, but the column contract matters); quantities sum
-    through exact DECIMAL."""
+    """CUBE over (returnflag, linestatus), two-level (r16, guide §2.3
+    "aggregate before you shuffle" — here aggregate before you
+    EXPAND): Spark's CUBE puts the Expand x4 BELOW the partial
+    aggregate, so the fact's 600K rows became 2.4M hash-agg inputs
+    with string keys. Both measures are distributive and exact (count
+    is integer; quantity sums through DECIMAL, exactly associative),
+    so aggregating by the full (flag, status) key first and cubing the
+    ~6-row result computes bit-identical cells — the Expand now
+    multiplies 6 rows, not 600K. grouping_id disambiguates
+    aggregated-out dimensions from natural NULLs exactly as before
+    (natural NULL keys survive the base aggregate as their own
+    groups)."""
     li = t(spark, sf_dir, "lineitem")
+    base = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("pn"),
+        F.sum(dec("l_quantity")).alias("pq"),
+    )
     return (
-        li.cube("l_returnflag", "l_linestatus")
+        base.cube("l_returnflag", "l_linestatus")
         .agg(
             big(F.grouping_id()).alias("gid"),
-            big(F.count(F.lit(1))).alias("n"),
-            dbl(F.sum(dec("l_quantity"))).alias("sum_qty"),
+            big(F.sum("pn")).alias("n"),
+            dbl(F.sum("pq")).alias("sum_qty"),
         )
         .select("l_returnflag", "l_linestatus", "gid", "n", "sum_qty")
     )
