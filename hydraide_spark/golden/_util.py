@@ -116,6 +116,23 @@ def frame_memo(spark: SparkSession, key: tuple, build) -> DataFrame:
     return _FRAME_MEMO[k]
 
 
+def memo_golden(name: str):
+    """Decorator form of :func:`frame_memo` for goldens whose whole
+    body is pure plan construction (see the opt-in rules above).
+    Stacks UNDER ``@golden`` so the registry holds the memoizing
+    wrapper."""
+    import functools
+
+    def deco(fn):
+        @functools.wraps(fn)
+        def wrapped(spark, sf_dir):
+            return frame_memo(spark, (name, sf_dir), lambda: fn(spark, sf_dir))
+
+        return wrapped
+
+    return deco
+
+
 def parallelize_small(df: DataFrame, cap: int | None = None) -> DataFrame:
     """Spread a small-file input across the cluster before compute-heavy
     per-row work (hashing, UDF batches). Local parquet fixtures arrive

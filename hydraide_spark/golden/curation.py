@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from . import golden
-from ._util import big, frame_memo, parallelize_small, t
+from ._util import big, frame_memo, memo_golden, parallelize_small, t
 
 # Engine-stable md5 bucket of a gram, as DuckDB SQL (mirrors
 # functions/sampling.py::sample_bucket md5 mode + dsir_bucket).
@@ -87,25 +87,30 @@ def dsir_importance_topk(spark, sf_dir):
     from ..functions.sampling import dsir_logratios_tagged, dsir_topk
     from .vectors import _model_memo
 
-    docs = parallelize_small(t(spark, sf_dir, "documents"))
-    # deterministic model (exact integer counts -> driver libm) —
-    # memoized per process like the langid/quality trainings; shared
-    # with dsir_threshold_select_docs (same predicate and params)
-    lr = _model_memo(
-        ("dsir_lr_de", sf_dir, 64, "dsir_v1"),
-        lambda: dsir_logratios_tagged(
-            docs, F.col("lang") == "de", "text", n_buckets=64, salt="dsir_v1"
-        ),
-    )
-    out = dsir_topk(docs, "doc_id", "text", lr, 50, salt="dsir_v1")
-    return out.select(
-        big("doc_id").alias("doc_id"),
-        F.col("rank"),
-        # ranking/selection is DECIMAL-exact; only the REPORTED score
-        # passes a decimal->double cast, so it is rounded (CLAUDE.md:
-        # that cast differs in the last ulp between engines)
-        F.round(F.col("dsir_score").cast("double"), 10).alias("dsir_score"),
-    )
+    def _build():
+        docs = parallelize_small(t(spark, sf_dir, "documents"))
+        # deterministic model (exact integer counts -> driver libm) —
+        # memoized per process like the langid/quality trainings;
+        # shared with dsir_threshold_select_docs (same predicate/params)
+        lr = _model_memo(
+            ("dsir_lr_de", sf_dir, 64, "dsir_v1"),
+            lambda: dsir_logratios_tagged(
+                docs, F.col("lang") == "de", "text", n_buckets=64, salt="dsir_v1"
+            ),
+        )
+        out = dsir_topk(docs, "doc_id", "text", lr, 50, salt="dsir_v1")
+        return out.select(
+            big("doc_id").alias("doc_id"),
+            F.col("rank"),
+            # ranking/selection is DECIMAL-exact; only the REPORTED
+            # score passes a decimal->double cast, so it is rounded
+            # (CLAUDE.md: that cast differs in the last ulp between
+            # engines)
+            F.round(F.col("dsir_score").cast("double"), 10).alias("dsir_score"),
+        )
+
+    # frame_memo (r16): pure plan over the memoized model, no pins
+    return frame_memo(spark, ("dsir_importance_topk", sf_dir), _build)
 
 
 def _cos_sql(a: str, b: str) -> str:
@@ -634,20 +639,24 @@ def dsir_threshold_select_docs(spark, sf_dir):
     from ..functions.sampling import dsir_logratios_tagged, dsir_threshold_select
     from .vectors import _model_memo
 
-    docs = parallelize_small(t(spark, sf_dir, "documents"))
-    lr = _model_memo(
-        ("dsir_lr_de", sf_dir, 64, "dsir_v1"),
-        lambda: dsir_logratios_tagged(
-            docs, F.col("lang") == "de", "text", n_buckets=64, salt="dsir_v1"
-        ),
-    )
-    out = dsir_threshold_select(
-        docs, "doc_id", "text", lr, min_score="0.05", salt="dsir_v1"
-    )
-    return out.select(
-        big("doc_id").alias("doc_id"),
-        F.round(F.col("dsir_score").cast("double"), 10).alias("dsir_score"),
-    )
+    def _build():
+        docs = parallelize_small(t(spark, sf_dir, "documents"))
+        lr = _model_memo(
+            ("dsir_lr_de", sf_dir, 64, "dsir_v1"),
+            lambda: dsir_logratios_tagged(
+                docs, F.col("lang") == "de", "text", n_buckets=64, salt="dsir_v1"
+            ),
+        )
+        out = dsir_threshold_select(
+            docs, "doc_id", "text", lr, min_score="0.05", salt="dsir_v1"
+        )
+        return out.select(
+            big("doc_id").alias("doc_id"),
+            F.round(F.col("dsir_score").cast("double"), 10).alias("dsir_score"),
+        )
+
+    # frame_memo (r16): pure plan over the memoized model, no pins
+    return frame_memo(spark, ("dsir_threshold_select_docs", sf_dir), _build)
 
 
 _BM25_TERM_SQL = """
@@ -1866,6 +1875,7 @@ def _synth_robots_frames(spark, sf_dir):
     FROM dec WHERE rn = 1
     """,
 )
+@memo_golden("robots_frontier_filter")
 def robots_frontier_filter(spark, sf_dir):
     """robots.txt frontier politeness (r14, functions/crawl.py::
     robots_rules + robots_allowed): parse synthesized per-host robots
@@ -2045,6 +2055,7 @@ _ROBOTS_DELAY_SQL = r"""
     FROM seld d FULL OUTER JOIN smaps s ON d.host = s.host
     """,
 )
+@memo_golden("robots_crawl_delay_sitemaps")
 def robots_crawl_delay_sitemaps(spark, sf_dir):
     """Crawl-delay + Sitemap directives (r15 — r14 VERDICT #5,
     functions/crawl.py::robots_crawl_delays / robots_crawl_delay_for /
@@ -2113,6 +2124,7 @@ def robots_crawl_delay_sitemaps(spark, sf_dir):
     FROM uh u LEFT JOIN seld s ON u.host = s.host
     """,
 )
+@memo_golden("polite_fetch_schedule_frontier")
 def polite_fetch_schedule_frontier(spark, sf_dir):
     """Frontier politeness scheduling (r15, functions/crawl.py::
     polite_fetch_schedule — the step after robots_allowed +
@@ -2405,6 +2417,7 @@ def _synth_sitemap_bodies(spark, sf_dir):
     FROM p2 WHERE kind = 'urlset'
     """,
 )
+@memo_golden("sitemap_discovery_docs")
 def sitemap_discovery_docs(spark, sf_dir):
     """Sitemap XML parsing + discovery resolution (r15,
     functions/crawl.py::sitemap_entries / sitemap_url_entries — the

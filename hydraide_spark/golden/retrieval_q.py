@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 
 from ..functions.retrieval import ranked_list, rrf_fuse
 from . import golden
-from ._util import big, frame_memo, t
+from ._util import big, frame_memo, memo_golden, t
 from .vectors import _cos_sql, _query_vec
 
 _BM25_LEX_SQL = """
@@ -90,6 +90,7 @@ _BM25_LEX_SQL = """
     ) WHERE rn <= 20
     """,
 )
+@memo_golden("hybrid_search_rrf")
 def hybrid_search_rrf(spark, sf_dir):
     """Hybrid search: BM25 (bag {stream,data,query}, k1=1.2, b=0.75,
     exact-decimal sums) top-50 fused with dense cosine (query = doc 0's
@@ -286,6 +287,7 @@ def mmr_diversified_rerank(spark, sf_dir):
     ) WHERE rn <= 10
     """.replace("{COS}", _cos_sql("e.embedding::DOUBLE[]", "q.qv")),
 )
+@memo_golden("hybrid_search_rrf_batch")
 def hybrid_search_rrf_batch(spark, sf_dir):
     """The multi-tenant production shape of hybrid search: a BATCH of
     3 queries (each a bag of words + a query vector) retrieved in ONE

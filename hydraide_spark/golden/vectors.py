@@ -12,7 +12,7 @@ from ..functions.dedup import embedding_neardup_pairs
 from ..query import VectorSim, translate
 from ..query.filters import cosine_similarity
 from . import golden
-from ._util import big, frame_memo, parallelize_small, t
+from ._util import big, frame_memo, memo_golden, parallelize_small, t
 
 
 #: deterministic-model memo (the langid_nb convention): every trainer
@@ -398,6 +398,7 @@ def pq_encode_codes(spark, sf_dir):
 
 
 @golden("pq_ann_topk")  # approximate: rows-only (quantization error by design)
+@memo_golden("pq_ann_topk")
 def pq_ann_topk(spark, sf_dir):
     """PQ ANN with ADC + exact re-rank (the ADC+R refine of the PQ
     paper): corpus scanned as 8-byte codes, per-query LUT of subspace

@@ -48,7 +48,7 @@ from ..functions.vector import (
     pq_adc_topk,
 )
 from . import golden
-from ._util import big, frame_memo, parallelize_small, t
+from ._util import big, frame_memo, memo_golden, parallelize_small, t
 from .vectors import _model_memo
 
 # ---------------------------------------------------------------- SQL
@@ -343,6 +343,7 @@ def ann_topk_ivf_stable(spark, sf_dir):
     {_RERANK.strip()}
     """,
 )
+@memo_golden("pq_ann_topk_stable")
 def pq_ann_topk_stable(spark, sf_dir):
     """PQ ADC+R ANN, ENGINE-STABLE: codebooks are the per-label mean
     subvectors (the bit-exact `pq_encode_codes` construction), so the
@@ -833,6 +834,7 @@ _INT8_CODES = """
     FROM ranked WHERE rank <= 10
     """,
 )
+@memo_golden("ann_topk_int8_ivf_stable")
 def ann_topk_int8_ivf_stable(spark, sf_dir):
     """IVF × int8 composed, ENGINE-STABLE end to end: cells from the
     per-label exact-mean centroids (bit-identical assignment, the
