@@ -109,6 +109,34 @@ def _same_plan(a: DataFrame, b: DataFrame) -> bool:
         return False
 
 
+#: thread-local capture of pin_latest calls (r16): frame_memo records
+#: the pins its build made so memo HITS can re-pin them — a memoized
+#: caller is then indistinguishable from a rebuild for site rotation,
+#: and the _same_plan eviction guard protects its deps exactly as if
+#: it still re-pinned per call.
+_PIN_CAPTURE = threading.local()
+
+
+def capture_pins():
+    """Context manager collecting (site, deps, max_generations) for
+    every pin_latest issued inside the block (this thread only)."""
+    import contextlib
+
+    @contextlib.contextmanager
+    def _cm():
+        stack = getattr(_PIN_CAPTURE, "stack", None)
+        if stack is None:
+            stack = _PIN_CAPTURE.stack = []
+        rec: list = []
+        stack.append(rec)
+        try:
+            yield rec
+        finally:
+            stack.pop()
+
+    return _cm()
+
+
 def pin_latest(site: str, *deps: DataFrame, max_generations: int | None = None) -> None:
     """Pin ``deps`` as call site ``site``'s newest cache generation,
     releasing the oldest once the site exceeds the generation budget.
@@ -120,6 +148,10 @@ def pin_latest(site: str, *deps: DataFrame, max_generations: int | None = None) 
     entries by logical plan, so a repeat call with the same arguments
     re-persists the SAME entry — unpersisting the old generation would
     evict the new one's (warm) cache with it."""
+    stack = getattr(_PIN_CAPTURE, "stack", None)
+    if stack:
+        for rec in stack:  # nested captures all see the pin
+            rec.append((site, deps, max_generations))
     cap = _MAX_GENERATIONS if max_generations is None else int(max_generations)
     with _LOCK:
         gens = _PINNED.setdefault(site, [])

@@ -95,25 +95,34 @@ def stat_memo(key: tuple, compute):
 #: call on the worst builders).
 #:
 #: Opt-in is deliberately NARROW. A golden may use frame_memo ONLY if
-#: its build phase (a) runs no action whose effect or result feeds the
+#: its build phase runs no action whose effect or result feeds the
 #: returned plan as anything but a memoized MODEL/INPUT CONSTANT
 #: (bpe_merge_rules' training, PRF's round-1 collect, the patch walks,
-#: mmr's greedy, and scratch-file writers are all excluded — skipping
-#: those on repeat calls would memoize the OUTPUT), and (b) pins its
-#: persisted deps at sites whose every caller also memoizes (or at
-#: its own single-variant site): a memoized golden stops re-pinning,
-#: so a shared site still rotated by non-memoized siblings would
-#: eventually evict its deps (_cache._same_plan keeps only RE-PINNED
-#: plans) and silently revert the plan-boundary persists.
+#: mmr's greedy, driver-replay cluster/rank collects, increment's
+#: hit-key set, and scratch-file writers are all excluded — skipping
+#: those on repeat calls would memoize the OUTPUT).
+#: Shared pin sites are safe: the build's pin_latest calls are
+#: CAPTURED (functions/_cache.capture_pins) and RE-PINNED on every
+#: memo hit, so a memoized golden is indistinguishable from a rebuild
+#: for site rotation — the _same_plan eviction guard keeps its deps
+#: warm exactly as if it still re-pinned per call.
 #: Keyed per applicationId so a restarted session rebuilds cleanly.
 _FRAME_MEMO: dict = {}
 
 
 def frame_memo(spark: SparkSession, key: tuple, build) -> DataFrame:
+    from ..functions._cache import capture_pins, pin_latest
+
     k = (spark.sparkContext.applicationId,) + tuple(key)
-    if k not in _FRAME_MEMO:
-        _FRAME_MEMO[k] = build()
-    return _FRAME_MEMO[k]
+    hit = _FRAME_MEMO.get(k)
+    if hit is None:
+        with capture_pins() as pins:
+            frame = build()
+        hit = _FRAME_MEMO[k] = (frame, pins)
+    else:
+        for site, deps, mg in hit[1]:
+            pin_latest(site, *deps, max_generations=mg)
+    return hit[0]
 
 
 def memo_golden(name: str):

@@ -326,6 +326,7 @@ _SHARED_PARA = (
     "chunk_neardup_passages",
     oracle=None,  # set below: needs the stable-minhash SQL fragments
 )
+@memo_golden("chunk_neardup_passages")
 def chunk_neardup_passages(spark, sf_dir):
     """Sub-document (passage-level) near-dup: a 32-token boilerplate
     paragraph is PREPENDED to every 25th document (same injection in
@@ -431,6 +432,7 @@ _OR["chunk_neardup_passages"] = _chunk_neardup_oracle()
     "chunk_neardup_collapsed",
     oracle=None,  # set below with the stable-minhash SQL fragments
 )
+@memo_golden("chunk_neardup_collapsed")
 def chunk_neardup_collapsed(spark, sf_dir):
     """The PRODUCTION path of passage-level near-dup:
     ``collapse_exact=True`` groups byte-identical chunks (the planted
@@ -470,6 +472,7 @@ def chunk_neardup_collapsed(spark, sf_dir):
 
 
 @golden("chunk_neardup_production")  # xxhash64 minhash -> rows-only
+@memo_golden("chunk_neardup_production")
 def chunk_neardup_production(spark, sf_dir):
     """The chunk near-dup path exactly as production runs it (r13 —
     r12 VERDICT #5): xxhash64 minhash signatures (engine_stable=False;

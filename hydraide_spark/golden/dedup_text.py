@@ -30,7 +30,7 @@ from ..functions.text import (
     token_count,
 )
 from . import golden
-from ._util import big, frame_memo, parallelize_small, t
+from ._util import big, frame_memo, memo_golden, parallelize_small, t
 
 
 def _augmented_corpus(spark, sf_dir):
@@ -115,6 +115,7 @@ def dedup_exact(spark, sf_dir):
     WHERE 5 * inter >= 3 * (sa.n_sh + sb.n_sh - inter)
     """,
 )
+@memo_golden("ngram_jaccard_neardup")
 def ngram_jaccard_neardup(spark, sf_dir):
     """Exact n-gram-Jaccard near-dup (tau=0.6, 3-gram shingles):
     candidates from a shingle inverted-index join (blocking — no cross
@@ -172,6 +173,7 @@ def ngram_jaccard_neardup(spark, sf_dir):
     SELECT * FROM pairs UNION ALL SELECT * FROM star
     """,
 )
+@memo_golden("ngram_jaccard_collapsed")
 def ngram_jaccard_collapsed(spark, sf_dir):
     """The PRODUCTION collapse path of ngram Jaccard near-dup
     (functions/dedup.py::ngram_jaccard_pairs collapse_exact=True, the
@@ -195,6 +197,7 @@ def ngram_jaccard_collapsed(spark, sf_dir):
 
 
 @golden("minhash_lsh_neardup")  # LSH recall is probabilistic -> rows-only
+@memo_golden("minhash_lsh_neardup")
 def minhash_lsh_neardup(spark, sf_dir):
     """MinHash+LSH near-dup (k=16, 4 bands, tau=0.6): band-bucket
     blocking join -> exact Jaccard verify. No false positives by
@@ -212,6 +215,7 @@ def minhash_lsh_neardup(spark, sf_dir):
 
 
 @golden("simhash_neardup")  # bit-level hash specifics -> rows-only
+@memo_golden("simhash_neardup")
 def simhash_neardup(spark, sf_dir):
     """SimHash near-dup (64-bit, hamming <= 12, 4-block rotation
     blocking): per-token xxhash64 bit votes folded JVM-side (no UDF),
@@ -1038,6 +1042,7 @@ def tfidf_top_terms(spark, sf_dir):
     FROM corpus c LEFT JOIN cov USING (doc_id)
     """,
 )
+@memo_golden("repeated_span_dedup")
 def repeated_span_dedup(spark, sf_dir):
     """Exact-substring span dedup
     (functions/dedup.py::repeated_span_coverage, k=8) over the
@@ -1765,6 +1770,7 @@ _BAND_ROWS = "\n      UNION ALL\n      ".join(
           >= 3 * (sa.n_sh + sb.n_sh - len(list_intersect(sa.sh, sb.sh)))
     """,
 )
+@memo_golden("minhash_lsh_neardup_stable")
 def minhash_lsh_neardup_stable(spark, sf_dir):
     """MinHash+LSH with the ENGINE-STABLE md5 signature mode — the
     complete probabilistic pipeline (16 md5 min-hashes, 4 band buckets,
@@ -1827,6 +1833,7 @@ def minhash_lsh_neardup_stable(spark, sf_dir):
     WHERE 5 * inter >= 3 * (sa.n_sh + sb.n_sh - inter)
     """,
 )
+@memo_golden("ngram_jaccard_auto")
 def ngram_jaccard_auto(spark, sf_dir):
     """The corpus-scaled AUTO shingle length in the exact-Jaccard
     pipeline (functions/dedup.py::auto_shingle_n — the r6 scale fix
@@ -1905,6 +1912,7 @@ def ngram_jaccard_auto(spark, sf_dir):
     SELECT * FROM pairs UNION ALL SELECT * FROM star
     """,
 )
+@memo_golden("ngram_jaccard_auto_collapsed")
 def ngram_jaccard_auto_collapsed(spark, sf_dir):
     """The FULL production call of text near-dup — corpus-scaled auto
     shingle length AND exact-duplicate family collapse together (the
@@ -1976,6 +1984,7 @@ def ngram_jaccard_auto_collapsed(spark, sf_dir):
     SELECT * FROM pairs UNION ALL SELECT * FROM star
     """,
 )
+@memo_golden("minhash_collapsed_stable")
 def minhash_collapsed_stable(spark, sf_dir):
     """The PRODUCTION collapse path of MinHash+LSH (collapse_exact at
     the shingle-SET level — sound where signature-level collapse would
@@ -2046,6 +2055,7 @@ def minhash_collapsed_stable(spark, sf_dir):
     FROM ham WHERE hamming <= 6
     """,
 )
+@memo_golden("simhash_neardup_stable")
 def simhash_neardup_stable(spark, sf_dir):
     """SimHash near-dup with the ENGINE-STABLE md5 bit source: the 64
     per-token bits come from two 32-bit halves of md5 hex, so the
@@ -2146,6 +2156,7 @@ def weighted_sample_docs(spark, sf_dir):
           >= 3 * (sa.n_sh + sb.n_sh - len(list_intersect(sa.sh, sb.sh)))
     """,
 )
+@memo_golden("minhash_incremental_neardup")
 def minhash_incremental_neardup(spark, sf_dir):
     """INCREMENTAL near-dup: the augmented copies (ids >= 1e6) arrive
     as a new batch and only pairs touching that batch are generated —
@@ -2210,6 +2221,7 @@ _REC_SQL = """
     FROM cand WHERE levenshtein(ra, rb) <= 1
     """,
 )
+@memo_golden("fuzzy_record_linkage")
 def fuzzy_record_linkage(spark, sf_dir):
     """Fuzzy record linkage (entity resolution): customer keys carried
     as text records plus single-substitution corruptions ('cust-' ->
@@ -2305,6 +2317,7 @@ def fuzzy_record_linkage(spark, sf_dir):
     FROM star
     """,
 )
+@memo_golden("simhash_collapsed_stable")
 def simhash_collapsed_stable(spark, sf_dir):
     """The family-collapsed SimHash pipeline (r6 scale fix) under the
     ENGINE-STABLE md5 bit source, replayed end-to-end in SQL: identical

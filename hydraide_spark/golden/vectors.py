@@ -262,6 +262,7 @@ def ann_topk_lsh(spark, sf_dir):
     FROM pairs WHERE score >= 0.40
     """,
 )
+@memo_golden("embedding_neardup")
 def embedding_neardup(spark, sf_dir):
     """Embedding-cosine near-duplicate pairs, blocked on the label column
     (cluster id): candidate generation is an equi-join on the block, not
@@ -464,6 +465,7 @@ def pq_ann_topk(spark, sf_dir):
     WHERE a.vec_id NOT IN (SELECT vec_id FROM dupes)
     """,
 )
+@memo_golden("semantic_dedup_docs")
 def semantic_dedup_docs(spark, sf_dir):
     """SemDeDup semantic deduplication (Abbas et al. 2023; generalizes
     VectorFilter, /root/reference/proto/hydraide.proto:2660-2709):

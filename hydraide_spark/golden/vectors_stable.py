@@ -444,6 +444,7 @@ def ivfadc_topk_stable(spark, sf_dir):
     FROM ranked WHERE rn <= 5
     """,
 )
+@memo_golden("knn_self_join_stable")
 def knn_self_join_stable(spark, sf_dir):
     """kNN-graph construction, ENGINE-STABLE: every embedding's top-5
     cosine neighbors among its LSH bucket-mates, candidate volume
@@ -617,6 +618,7 @@ _AUTO_CORPUS = """
     FROM cand WHERE score >= '0.95'::DOUBLE
     """,
 )
+@memo_golden("embedding_neardup_auto_stable")
 def embedding_neardup_auto_stable(spark, sf_dir):
     """Embedding near-dup with the CORPUS-SCALED blocking the 30x scale
     stress made necessary (fixed-cardinality label blocking measured
@@ -695,6 +697,7 @@ def embedding_neardup_auto_stable(spark, sf_dir):
     FROM cand WHERE est >= '0.95'::DOUBLE
     """,
 )
+@memo_golden("embedding_neardup_int8")
 def embedding_neardup_int8(spark, sf_dir):
     """Embedding near-dup with int8 codes as the VERIFY representation
     (r10): blocking identical to embedding_neardup_auto_stable (label ×
@@ -764,6 +767,7 @@ def embedding_neardup_int8(spark, sf_dir):
     FROM ranked WHERE rn <= 5
     """,
 )
+@memo_golden("knn_self_join_auto_stable")
 def knn_self_join_auto_stable(spark, sf_dir):
     """kNN-graph via the PRODUCTION auto-sized path (n_bits=None →
     auto_lsh_bits, target occupancy 32): the bucket-bit count the
@@ -910,6 +914,7 @@ def ann_topk_int8_ivf_stable(spark, sf_dir):
     FROM agg
     """,
 )
+@memo_golden("neardup_truth_eval")
 def neardup_truth_eval(spark, sf_dir):
     """r11 #200: planted-duplicate evaluation of a near-dup pipeline
     (functions/dedup.py::dedup_pair_truth_eval) — the threshold/
@@ -1007,6 +1012,7 @@ _SUB_BUCKET = "concat(" + ", ".join(
     FROM ranked WHERE rn <= 5
     """,
 )
+@memo_golden("knn_self_join_adaptive_stable")
 def knn_self_join_adaptive_stable(spark, sf_dir):
     """r12: the adaptive hot-bucket sub-split (×30 stress: auto bits
     pin MEAN occupancy but real embeddings cluster — max bucket 131 vs

@@ -48,3 +48,41 @@ def test_frame_memo_keys_isolate_sf_dir_and_application(spark):
     # frames holding dead JVM references
     app = spark.sparkContext.applicationId
     assert any(k[0] == app and k[1] == "t_memo_key" for k in _FRAME_MEMO)
+
+
+def test_frame_memo_replays_pins_on_hit(spark):
+    """A memo HIT must re-pin the build's pin_latest sites: shared
+    sites rotated by non-memoized siblings would otherwise evict the
+    memoized frame's persisted deps (the _same_plan guard only keeps
+    RE-PINNED plans)."""
+    from hydraide_spark.functions._cache import (
+        _PINNED,
+        pin_latest,
+        release_pinned,
+    )
+
+    site = "t_memo.repin_site"
+    release_pinned(site)
+    dep = spark.range(7).persist()
+
+    def build():
+        pin_latest(site, dep, max_generations=2)
+        return spark.range(2)
+
+    fa = frame_memo(spark, ("t_memo_repin",), build)
+    assert len(_PINNED[site]) == 1
+    # sibling pins with DIFFERENT plans would rotate the dep out...
+    other = spark.range(8).persist()
+    pin_latest(site, other, max_generations=2)
+    # ...but a memo hit re-pins, keeping the dep the youngest generation
+    fb = frame_memo(spark, ("t_memo_repin",), build)
+    assert fb is fa
+    gens = _PINNED[site]
+    assert gens[-1][0] is dep
+    # rotation now evicts `other`, never the memoized frame's dep
+    pin_latest(site, spark.range(9).persist(), max_generations=2)
+    live = [d for g in _PINNED[site] for d in g]
+    assert dep in live
+    release_pinned(site)
+    dep.unpersist()
+    other.unpersist()
