@@ -160,6 +160,7 @@ def _cos_sql(a: str, b: str) -> str:
     FROM ranked WHERE pick_rank <= 20
     """,
 )
+@memo_golden("cluster_balanced_sample_vecs")
 def cluster_balanced_sample_vecs(spark, sf_dir):
     """Cluster-balanced diversity subsample (the dominant-topic guard:
     equal-width slices of every embedding cluster instead of a uniform
@@ -287,6 +288,7 @@ def bigram_lm_quality_docs(spark, sf_dir):
     FROM neg WHERE neg_rank <= 10
     """,
 )
+@memo_golden("hard_negative_mining_docs")
 def hard_negative_mining_docs(spark, sf_dir):
     """Hard-negative mining (functions/retrieval.py::
     hard_negative_mining): per query, the top-10 BM25 candidates AFTER
@@ -1437,6 +1439,7 @@ def warc_parse_records(spark, sf_dir):
     WHERE e.n_words >= 20
     """,
 )
+@memo_golden("crawl_ingest_pipeline")
 def crawl_ingest_pipeline(spark, sf_dir):
     """The COMPLETE raw-crawl admission chain (r14,
     functions/crawl.py::crawl_ingest_report): WARC records -> keep
@@ -1600,6 +1603,7 @@ def _synth_warc_binary(spark, sf_dir, trailer=True):
     FROM h2
     """,
 )
+@memo_golden("warc_binary_parse_records")
 def warc_binary_parse_records(spark, sf_dir):
     """Byte-exact binary WARC parsing (r15 — r14 VERDICT #1,
     functions/crawl.py::warc_extract_binary): every synthesized body
@@ -2707,6 +2711,7 @@ _LEGACY_ASCII = "plain ascii body under an unknown charset label"
     FROM documents
     """,
 )
+@memo_golden("warc_legacy_charset_records")
 def warc_legacy_charset_records(spark, sf_dir):
     """Legacy-charset crawl bodies decoded for real (r15,
     functions/crawl.py::decode_legacy_bodies — upgrades the documented

@@ -680,6 +680,7 @@ def phrase_search_via_index(spark, sf_dir):
     FROM uni_doc u LEFT JOIN bi_doc b USING (doc_id)
     """,
 )
+@memo_golden("repetition_signals_docs")
 def repetition_signals_docs(spark, sf_dir):
     """Gopher-style repetition quality signals, row-local (zero-shuffle
     run-length scan over the sorted token array) vs the oracle's
@@ -1606,6 +1607,7 @@ def bpe_merge_rules_256(spark, sf_dir):
     LEFT JOIN hits h ON d.doc_id = h.doc_id
     """,
 )
+@memo_golden("curation_pipeline_docs")
 def curation_pipeline_docs(spark, sf_dir):
     """The END-TO-END curation pipeline a training-data user actually
     runs, as ONE query: exact dedup (content-hash min-id survivor) ->

@@ -9,7 +9,7 @@ from pyspark.sql import functions as F
 from ..functions.text import word_index
 from ..query import And, Cmp, GeoDistance, Labeled, Op, Phrase, translate, with_search_meta
 from . import golden
-from ._util import big, t
+from ._util import big, memo_golden, t
 
 _PHRASE = ["stream", "table", "hash"]
 _PHRASE_SQL = " ".join(_PHRASE)
@@ -206,6 +206,7 @@ _HAV_PAIR = """
     WHERE {_HAV_PAIR} <= 5.0
     """,
 )
+@memo_golden("geo_radius_pairs")
 def geo_radius_pairs(spark, sf_dir):
     """Spatial radius self-join (operators/spatial.py): all point pairs
     within 5 km — grid-cell blocking (3x3 neighbor equi-join, pairs

@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from . import golden
-from ._util import big, t
+from ._util import big, memo_golden, t
 
 
 @golden(
@@ -52,6 +52,7 @@ from ._util import big, t
     FROM stages
     """,
 )
+@memo_golden("funnel_conversion_events")
 def funnel_conversion_events(spark, sf_dir):
     """Ordered funnel view -> click -> purchase: a user advances a step
     only with an event strictly AFTER their previous step's first

@@ -24,7 +24,7 @@ from ..functions.multimodal import (
     frame_sample_plan,
 )
 from . import golden
-from ._util import big, t
+from ._util import big, memo_golden, t
 
 
 @golden(
@@ -273,6 +273,7 @@ def _synth_image_corpus(docs: DataFrame) -> DataFrame:
     FROM documents WHERE doc_id % 40 = 0
     """,
 )
+@memo_golden("image_phash_neardup")
 def image_phash_neardup(spark, sf_dir):
     """r12: image near-dup via perceptual hash over REAL pixel decode
     (functions/multimodal.py::image_neardup_pairs — BMP rows -> 8x9
@@ -341,6 +342,7 @@ def _synth_png_corpus(docs: DataFrame) -> DataFrame:
     FROM documents WHERE doc_id % 40 = 0
     """,
 )
+@memo_golden("image_phash_neardup_png")
 def image_phash_neardup_png(spark, sf_dir):
     """r12: the image near-dup pipeline over REAL PNG pixel decode
     (functions/multimodal.py::png_pixels — stdlib zlib inflate + all
@@ -443,6 +445,7 @@ def _synth_jpeg_corpus(docs: DataFrame) -> DataFrame:
     FROM documents WHERE doc_id % 40 = 0
     """,
 )
+@memo_golden("image_phash_neardup_jpeg")
 def image_phash_neardup_jpeg(spark, sf_dir):
     """r13/r14: the image near-dup pipeline over REAL JPEG pixel
     decode (functions/multimodal.py::jpeg_pixels — marker walk,
@@ -529,6 +532,7 @@ def _synth_webp_corpus(docs: DataFrame) -> DataFrame:
     FROM documents WHERE doc_id % 40 = 0
     """,
 )
+@memo_golden("image_phash_neardup_webp")
 def image_phash_neardup_webp(spark, sf_dir):
     """r15 (r14 VERDICT missing #4): the image near-dup pipeline over
     REAL lossless-WebP pixel decode (functions/webp.py::webp_pixels —
@@ -609,6 +613,7 @@ def _synth_gif_corpus(docs: DataFrame) -> DataFrame:
     FROM documents WHERE doc_id % 40 = 0
     """,
 )
+@memo_golden("image_phash_neardup_gif")
 def image_phash_neardup_gif(spark, sf_dir):
     """r15: the image near-dup pipeline over REAL GIF decode
     (functions/gif.py::gif_pixels — variable-width LZW with 12-bit
@@ -673,6 +678,7 @@ def _synth_wav_corpus(docs: DataFrame) -> DataFrame:
     FROM documents WHERE doc_id % 40 = 0
     """,
 )
+@memo_golden("audio_fingerprint_neardup")
 def audio_fingerprint_neardup(spark, sf_dir):
     """r12: audio near-dup via REAL WAV PCM decode + FFT band-energy
     gradient fingerprint (functions/multimodal.py::wav_samples /

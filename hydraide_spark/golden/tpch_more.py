@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from . import golden
-from ._util import big, dbl, dec, t
+from ._util import big, dbl, dec, memo_golden, t
 
 _VOL_SQL = (
     "CAST(l_extendedprice AS DECIMAL(28,2)) * (1 - CAST(l_discount AS DECIMAL(28,2)))"
@@ -98,6 +98,7 @@ def tpch_q4_order_priority_exists(spark, sf_dir):
     FROM flat GROUP BY o_year
     """,
 )
+@memo_golden("tpch_q8_market_share")
 def tpch_q8_market_share(spark, sf_dir):
     """TPC-H Q8 shape — national market share: NATION_2's fraction of
     ECONOMY-part volume sold into ASIA by order year. Every dimension

@@ -40,7 +40,7 @@ from __future__ import annotations
 from pyspark.sql import Window, functions as F
 
 from . import golden
-from ._util import big, dbl, dec, t
+from ._util import big, dbl, dec, memo_golden, t
 
 # ---------------------------------------------------------------------------
 # The derived partsupp view, once in each dialect.
@@ -140,6 +140,7 @@ def partsupp(spark, sf_dir):
     WHERE ps_supplycost_cents = mn
     """,
 )
+@memo_golden("tpch_q2_min_cost_supplier")
 def tpch_q2_min_cost_supplier(spark, sf_dir):
     """TPC-H Q2 shape — for each STANDARD part in a size band, the
     EUROPE supplier(s) achieving the minimum supply cost. The
@@ -204,6 +205,7 @@ def tpch_q2_min_cost_supplier(spark, sf_dir):
     GROUP BY nation, o_year
     """,
 )
+@memo_golden("tpch_q9_product_profit")
 def tpch_q9_product_profit(spark, sf_dir):
     """TPC-H Q9 — profit on 'red' parts by supplier nation and order
     year: revenue minus supply cost. The five dimension sides (part
@@ -279,6 +281,7 @@ def tpch_q9_product_profit(spark, sf_dir):
     WHERE 2 * g.value_cents * totals.n_parts > 3 * totals.total_cents
     """,
 )
+@memo_golden("tpch_q11_important_stock")
 def tpch_q11_important_stock(spark, sf_dir):
     """TPC-H Q11 — parts whose NATION_3 stock value exceeds a fraction
     of the national total. dbgen's ``0.0001/SF`` fraction exists to
@@ -336,6 +339,7 @@ def tpch_q11_important_stock(spark, sf_dir):
     GROUP BY p.p_brand, p.p_type, p_size
     """,
 )
+@memo_golden("tpch_q16_supplier_relation")
 def tpch_q16_supplier_relation(spark, sf_dir):
     """TPC-H Q16 — how many distinct suppliers can supply each
     (brand, type, size) bucket, excluding blacklisted suppliers (the
@@ -393,6 +397,7 @@ def tpch_q16_supplier_relation(spark, sf_dir):
       AND s.s_suppkey IN (SELECT ps_suppkey FROM excess)
     """,
 )
+@memo_golden("tpch_q20_excess_stock_suppliers")
 def tpch_q20_excess_stock_suppliers(spark, sf_dir):
     """TPC-H Q20 — ASIA suppliers holding excess stock of 'red' parts
     (the single-nation filter is re-anchored to the region so the

@@ -281,6 +281,7 @@ def embedding_neardup(spark, sf_dir):
 
 
 @golden("ann_topk_ivf")  # approximate: rows-only check (recall < 1 by design)
+@memo_golden("ann_topk_ivf")
 def ann_topk_ivf(spark, sf_dir):
     """IVF-bucketed ANN (the partition-pruned 100 TB path): spherical
     k-means cells trained driver-side on a bounded deterministic sample,
@@ -680,6 +681,7 @@ def embedding_drift_report(spark, sf_dir):
     FROM ranked WHERE rank <= 10
     """,
 )
+@memo_golden("ann_topk_int8")
 def ann_topk_int8(spark, sf_dir):
     """Int8-quantized brute-force top-k (r9): symmetric per-vector
     max-abs quantization (q = clamp(floor(x·127/maxabs + 0.5))) and the
